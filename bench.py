@@ -1,0 +1,81 @@
+"""Benchmark harness (driver contract, BASELINE.md).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+Each query is executed to completion with a cheap terminal action
+(``count`` after the full computation) so the measured time is the real
+plan execution, not a ``collect`` of a large result into the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mycenae_spark.registry import QUERIES  # noqa: E402
+from mycenae_spark.session import get_spark  # noqa: E402
+
+# Headline set: one per operator family, covering scan, filter, hash-agg,
+# window-heavy TSDB math, joins (broadcast + shuffle), LSH dedup, ANN top-k.
+HEADLINE = [
+    "scan_project",
+    "filter_time_range",
+    "agg_grouped",
+    "downsample_avg_1m",
+    "fill_null",
+    "rate",
+    "order_rate_after_agg",
+    "topk_series_by_sum",
+    "stream_session",
+    "join_inner",
+    "join_broadcast",
+    "join_asof",
+    "join_range",
+    "agg_rollup",
+    "dedup_near_signature",
+    "dedup_minhash_pairs",
+    "dedup_simhash",
+    "sim_topk",
+    "text_tokens",
+    "text_quality",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("mycenae-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM + file listing so per-query numbers measure the plans.
+    QUERIES["scan_project"](spark, sf_dir).count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        df = QUERIES[name](spark, sf_dir)
+        df.count()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

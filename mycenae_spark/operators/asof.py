@@ -1,0 +1,68 @@
+"""As-of join (SURVEY.md §2.6 J6) — align a stream to the latest-prior row
+of another stream, per key.  TSDB-idiomatic (align series A to series B).
+
+Spark lacks a native ASOF operator.  The scalable composition used here:
+
+1. tag both inputs with a side marker and union them (no join at all),
+2. one shuffle: ``Window.partitionBy(key).orderBy(ts, side)``,
+3. carry the right side's payload forward with ``last(..., ignorenulls)``,
+4. keep only left rows.
+
+Cost is a single sort-shuffle on the key — linear in |L|+|R| — versus a
+range join's quadratic blowup.  Ties (equal ts) resolve right-before-left,
+i.e. a right row at exactly t matches a left row at t (ASOF `>=` semantics,
+same as DuckDB's ``ASOF JOIN ... ON l.ts >= r.ts``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+import pyspark.sql.functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str = "ts_us",
+    left_id: str = "event_id",
+    right_id: str = "event_id",
+    inner: bool = True,
+) -> DataFrame:
+    """Match each left row to the right row with the greatest ts ≤ left ts.
+
+    Returns left rows with ``left_<left_id>``, ``right_<right_id>`` and
+    ``right_<ts_col>`` columns.  ``inner=False`` keeps unmatched left rows
+    with nulls.
+    """
+    l = left.select(
+        F.col(on),
+        F.col(ts_col),
+        F.col(left_id).alias(f"left_{left_id}"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast("long").alias("_rid"),
+        F.lit(None).cast("long").alias("_rts"),
+    )
+    r = right.select(
+        F.col(on),
+        F.col(ts_col),
+        F.lit(None).cast("long").alias(f"left_{left_id}"),
+        F.lit(0).alias("_side"),
+        F.col(right_id).cast("long").alias("_rid"),
+        F.col(ts_col).cast("long").alias("_rts"),
+    )
+    u = l.unionByName(r)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(ts_col, "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        u.withColumn(f"right_{right_id}", F.last("_rid", ignorenulls=True).over(w))
+        .withColumn(f"right_{ts_col}", F.last("_rts", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+        .drop("_side", "_rid", "_rts")
+    )
+    if inner:
+        out = out.filter(F.col(f"right_{right_id}").isNotNull())
+    return out

@@ -1,0 +1,522 @@
+"""Training-data-pipeline queries (SURVEY.md §2.11 + build-brief extensions)
+on ``documents`` / ``embeddings``: deduplication (exact, minhash+LSH,
+simhash, n-gram Jaccard, embedding-cosine), similarity search (brute-force
+top-k baseline), and text analysis (lang-id, quality, token counting,
+fingerprinting).
+
+Every operator is pure built-in expressions (no UDFs) so it is both
+Catalyst-optimizable and DuckDB-checkable.  Cross-engine hash determinism
+comes from md5 (identical lowercase hex in both engines) with *lexicographic
+string mins* for minhash — no engine-specific integer hash anywhere.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from mycenae_spark.registry.util import r4, r6, t
+
+QUERIES = {}
+ORACLE = {}
+
+N_BANDS = 4
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------- exact dedup
+
+@q(
+    "dedup_exact",
+    "SELECT min(doc_id) AS doc_id, count(*) AS n_copies, "
+    "min(n_chars) AS n_chars FROM documents GROUP BY text",
+)
+def dedup_exact(spark, sf_dir):
+    """U1: exact dedup — keep the smallest doc_id per identical text.
+    Hash-groupBy on the text column; at 100 TB one groups on md5(text)
+    instead so the shuffle carries 16-byte keys, not documents."""
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("n_chars").alias("n_chars"),
+    ).select("doc_id", "n_copies", "n_chars")
+
+
+# ------------------------------------------------------------ minhash + LSH
+
+# 3-gram word shingles, then per band b: signature = lexicographic min of
+# md5('<b>|' || shingle).  min-of-md5 is a valid minwise hash family and is
+# bit-identical across engines (lowercase hex in both).
+_SHINGLES_SQL = """
+SELECT doc_id, list_transform(generate_series(1, len(toks) - 2),
+         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shingles
+FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+WHERE len(toks) >= 3
+"""
+
+_SIG_COLS_SQL = ", ".join(
+    f"list_min(list_transform(shingles, s -> md5('{b}|' || s))) AS sig{b}"
+    for b in range(N_BANDS)
+)
+
+_SIGS_SQL = f"SELECT doc_id, {_SIG_COLS_SQL} FROM ({_SHINGLES_SQL})"
+
+
+def _shingles_df(spark, sf_dir, ngram: int = 3):
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    d = d.filter(F.size("toks") >= ngram)
+    idx = F.sequence(F.lit(1), F.size("toks") - (ngram - 1))
+    mk = lambda i: F.concat_ws(
+        " ", *[F.element_at("toks", i + off) for off in range(ngram)]
+    )
+    return d.select("doc_id", F.transform(idx, mk).alias("shingles"))
+
+
+def _sigs_df(spark, sf_dir):
+    sh = _shingles_df(spark, sf_dir)
+    cols = [
+        F.array_min(
+            F.transform("shingles", lambda s: F.md5(F.concat(F.lit(f"{b}|"), s)))
+        ).alias(f"sig{b}")
+        for b in range(N_BANDS)
+    ]
+    return sh.select("doc_id", *cols)
+
+
+@q("dedup_near_signature", _SIGS_SQL)
+def dedup_near_signature(spark, sf_dir):
+    """U2: per-document minhash band signatures (the near-dup sketch)."""
+    return _sigs_df(spark, sf_dir)
+
+
+@q(
+    "dedup_minhash_pairs",
+    f"""
+WITH sigs AS ({_SIGS_SQL}), bands AS (
+  {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, sig{b} AS sig FROM sigs" for b in range(N_BANDS))}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+WHERE a.doc_id < b.doc_id
+""",
+)
+def dedup_minhash_pairs(spark, sf_dir):
+    """U2/LSH: candidate near-dup pairs = documents colliding in any band
+    bucket.
+
+    One pass: signatures → unpivot to (band, sig, doc_id) → groupBy bucket →
+    pair expansion *inside* buckets (collision buckets are tiny by
+    construction).  A naive self-join on (band, sig) would recompute the
+    whole shingle+md5 pipeline on both branches — measured 60× slower at
+    sf0.1.  Shuffle ∝ #docs × #bands, never #docs²; that asymmetry is the
+    whole point of LSH at corpus scale."""
+    sigs = _sigs_df(spark, sf_dir)
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), F.col(f"sig{b}").alias("sig")
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "bs.band", "bs.sig")
+    buckets = (
+        bands.groupBy("band", "sig")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ids",
+                    lambda a, i: F.transform(
+                        F.slice(
+                            "ids", i + F.lit(2), F.size("ids")
+                        ),
+                        lambda bb: F.struct(
+                            a.alias("doc_a"), bb.alias("doc_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.doc_a", "p.doc_b").distinct()
+
+
+# --------------------------------------------------------- n-gram Jaccard
+
+_BIGRAMS_SQL = """
+SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks) - 1),
+         i -> toks[i] || ' ' || toks[i+1])) AS grams
+FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 300)
+WHERE len(toks) >= 2
+"""
+
+
+@q(
+    "dedup_ngram_jaccard",
+    f"""
+WITH g AS ({_BIGRAMS_SQL}),
+sizes AS (SELECT doc_id, len(grams) AS sz FROM g),
+inv AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, (round(c / (sa.sz + sb.sz - c) + 1e-9, 6) + 0.0) AS jaccard_r
+FROM common JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE c / (sa.sz + sb.sz - c) >= 0.05
+""",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Near-dup via bigram-shingle Jaccard over an inverted index:
+    explode distinct shingles, join postings on the shingle, count common,
+    |A∪B| = |A|+|B|−common.  Shuffle ∝ postings, pairs materialize only for
+    docs sharing ≥1 shingle (bounded doc_id<300 slice for the declared
+    query; the operator itself is corpus-size-agnostic)."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300).select(
+        "doc_id", F.split("text", " ").alias("toks")
+    ).filter(F.size("toks") >= 2)
+    idx = F.sequence(F.lit(1), F.size("toks") - 1)
+    grams = F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", F.element_at("toks", i), F.element_at("toks", i + 1)
+            ),
+        )
+    )
+    g = d.select("doc_id", grams.alias("grams"))
+    sizes = g.select("doc_id", F.size("grams").alias("sz"))
+    inv = g.select("doc_id", F.explode("grams").alias("gram"))
+    a = inv.select(F.col("doc_id").alias("doc_a"), "gram")
+    b = inv.select(F.col("doc_id").alias("doc_b"), "gram")
+    common = (
+        a.join(b, "gram")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sa"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sb"))
+    jac = F.col("c") / (F.col("sa") + F.col("sb") - F.col("c"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= 0.05)
+        .select("doc_a", "doc_b", r6(jac).alias("jaccard_r"))
+    )
+
+
+# ----------------------------------------------------------------- simhash
+
+def _simhash_sql(bits: int = 32) -> str:
+    return f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+h AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM tok),
+n AS (SELECT doc_id, count(*) AS n FROM h GROUP BY doc_id),
+b AS (
+  SELECT doc_id, j, sum((h // CAST(pow(2, j) AS BIGINT)) % 2) AS c
+  FROM h CROSS JOIN (SELECT unnest(generate_series(0, {bits - 1})) AS j) js
+  GROUP BY doc_id, j
+)
+SELECT b.doc_id,
+  CAST(sum(CASE WHEN 2 * b.c > n.n THEN CAST(pow(2, b.j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+FROM b JOIN n ON b.doc_id = n.doc_id GROUP BY b.doc_id
+"""
+
+
+@q("dedup_simhash", _simhash_sql())
+def dedup_simhash(spark, sf_dir):
+    """SimHash (32-bit): per-bit majority vote over token hashes.  Token
+    hash = first 8 hex chars of md5 (identical in both engines); near-dups
+    then cluster by Hamming distance on the signature.  Shuffle is two
+    hash-aggregations — no pairwise work."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    h = d.select(
+        "doc_id", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long").alias("h")
+    )
+    n = h.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    js = spark.range(32).select(F.col("id").cast("int").alias("j"))
+    bits = (
+        h.crossJoin(F.broadcast(js))
+        .select(
+            "doc_id",
+            "j",
+            (F.floor(F.col("h") / F.pow(F.lit(2.0), F.col("j"))).cast("long") % 2).alias(
+                "bit"
+            ),
+        )
+        .groupBy("doc_id", "j")
+        .agg(F.sum("bit").alias("c"))
+    )
+    return (
+        bits.join(n, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(
+                    2 * F.col("c") > F.col("n"),
+                    F.pow(F.lit(2.0), F.col("j")).cast("long"),
+                ).otherwise(F.lit(0))
+            ).alias("simhash")
+        )
+    )
+
+
+# ------------------------------------------------------- embedding near-dup
+
+_COS_SQL = (
+    "list_sum(list_transform(generate_series(1, 64), "
+    "i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) "
+    "/ (sqrt(list_sum(list_transform(generate_series(1, 64), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))) "
+    "* sqrt(list_sum(list_transform(generate_series(1, 64), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))))"
+)
+
+
+def _dot(x, y):
+    return F.aggregate(
+        F.zip_with(x, y, lambda p, qq: p.cast("double") * qq.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _with_norm(df):
+    return df.withColumn("_norm", F.sqrt(_dot(F.col("embedding"), F.col("embedding"))))
+
+
+@q(
+    "dedup_embedding_cosine",
+    f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, (round({_COS_SQL} + 1e-9, 6) + 0.0) AS cos_r
+FROM (SELECT * FROM embeddings WHERE vec_id < 300) a
+JOIN (SELECT * FROM embeddings WHERE vec_id < 300) b ON a.vec_id < b.vec_id
+WHERE (round({_COS_SQL} + 1e-9, 6) + 0.0) >= 0.8
+""",
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (bounded slice).  The declared form
+    is the exact quadratic check on a slice; the corpus-scale path is the
+    LSH/IVF bucketing of sim_topk/ann, then this check only within buckets."""
+    e = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    a = _with_norm(e).select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("_norm").alias("na"),
+    )
+    b = _with_norm(e).select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("_norm").alias("nb"),
+    )
+    cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos_r", r6(cos))
+        .filter(F.col("cos_r") >= 0.8)
+        .select("vec_a", "vec_b", "cos_r")
+    )
+
+
+# ------------------------------------------------------- similarity search
+
+@q(
+    "sim_topk",
+    f"""
+WITH ranked AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS n_id, {_COS_SQL} AS cos,
+         row_number() OVER (PARTITION BY a.vec_id ORDER BY {_COS_SQL} DESC, b.vec_id) AS rk
+  FROM (SELECT * FROM embeddings WHERE vec_id < 10) a
+  JOIN embeddings b ON b.vec_id <> a.vec_id
+)
+SELECT q_id, n_id, rk, (round(cos + 1e-9, 6) + 0.0) AS cos_r FROM ranked WHERE rk <= 5
+""",
+)
+def sim_topk(spark, sf_dir):
+    """U3: brute-force cosine top-k — the exact ANN baseline.  The query set
+    broadcasts; the corpus streams once with no shuffle; per-query top-k via
+    window.  At 100 TB the same plan holds (broadcast queries × scan), with
+    IVF/LSH pruning the scan (ann_* variants)."""
+    e = t(spark, sf_dir, "embeddings")
+    qs = _with_norm(e.filter(F.col("vec_id") < 10)).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qe"),
+        F.col("_norm").alias("qn"),
+    )
+    c = _with_norm(e).select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").alias("ce"),
+        F.col("_norm").alias("cn"),
+    )
+    cos = _dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), "n_id")
+    return (
+        c.crossJoin(F.broadcast(qs))
+        .filter(F.col("n_id") != F.col("q_id"))
+        .withColumn("cos", cos)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("q_id", "n_id", "rk", r6(F.col("cos")).alias("cos_r"))
+    )
+
+
+# ------------------------------------------------------------ text analysis
+
+@q(
+    "text_tokens",
+    "SELECT tok, count(*) AS cnt FROM "
+    "(SELECT unnest(string_split(text, ' ')) AS tok FROM documents) GROUP BY tok",
+)
+def text_tokens(spark, sf_dir):
+    """U4: corpus word count — explode + hash aggregate (partial map-side)."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@q(
+    "text_token_count",
+    r"""
+SELECT doc_id, len(string_split(text, ' ')) AS n_ws,
+  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe
+FROM documents
+""",
+)
+def text_token_count(spark, sf_dir):
+    """Token counting: whitespace tokens + a BPE-ish regex segmentation."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_ws"),
+        F.regexp_count("text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")).alias(
+            "n_bpe"
+        ),
+    )
+
+
+_STOPS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "es": ["el", "la", "de", "y", "que"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "de", "et", "est"],
+}
+
+
+def _stop_sql(lang: str) -> str:
+    lits = ", ".join(f"'{w}'" for w in _STOPS[lang])
+    return f"len(list_intersect(list_distinct(toks), [{lits}]))"
+
+
+@q(
+    "text_langid",
+    f"""
+SELECT doc_id, lang,
+  CASE
+    WHEN {_stop_sql('en')} >= {_stop_sql('es')} AND {_stop_sql('en')} >= {_stop_sql('de')} AND {_stop_sql('en')} >= {_stop_sql('fr')} THEN 'en'
+    WHEN {_stop_sql('es')} >= {_stop_sql('de')} AND {_stop_sql('es')} >= {_stop_sql('fr')} THEN 'es'
+    WHEN {_stop_sql('de')} >= {_stop_sql('fr')} THEN 'de'
+    ELSE 'fr'
+  END AS pred_lang
+FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)
+""",
+)
+def text_langid(spark, sf_dir):
+    """Language-ID heuristic: stopword-overlap argmax (deterministic
+    priority order on ties).  A real system swaps the wordlists for n-gram
+    profiles; the plan shape (per-doc set intersections) is identical."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.split("text", " ").alias("toks")
+    )
+    s = {
+        lang: F.size(
+            F.array_intersect(
+                F.array_distinct("toks"), F.array(*[F.lit(w) for w in ws])
+            )
+        )
+        for lang, ws in _STOPS.items()
+    }
+    pred = (
+        F.when(
+            (s["en"] >= s["es"]) & (s["en"] >= s["de"]) & (s["en"] >= s["fr"]), "en"
+        )
+        .when((s["es"] >= s["de"]) & (s["es"] >= s["fr"]), "es")
+        .when(s["de"] >= s["fr"], "de")
+        .otherwise("fr")
+    )
+    return d.select("doc_id", "lang", pred.alias("pred_lang"))
+
+
+@q(
+    "text_quality",
+    f"""
+SELECT doc_id,
+  len(toks) AS n_tokens,
+  (round(CAST(n_chars AS DOUBLE) / len(toks) + 1e-9, 6) + 0.0) AS chars_per_tok_r,
+  (round({_stop_sql('en')} / 5.0 + 1e-9, 6) + 0.0) AS stop_cov_r,
+  (round(least(1.0, len(toks) / 100.0) * 0.5 + ({_stop_sql('en')} / 5.0) * 0.5 + 1e-9, 6) + 0.0) AS quality_r
+FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents)
+""",
+)
+def text_quality(spark, sf_dir):
+    """Quality scoring: length + stopword-coverage composite in [0,1]."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", F.split("text", " ").alias("toks")
+    )
+    stop_en = F.size(
+        F.array_intersect(
+            F.array_distinct("toks"), F.array(*[F.lit(w) for w in _STOPS["en"]])
+        )
+    )
+    n_tok = F.size("toks")
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        r6(F.col("n_chars").cast("double") / n_tok).alias("chars_per_tok_r"),
+        r6(stop_en / F.lit(5.0)).alias("stop_cov_r"),
+        r6(
+            F.least(F.lit(1.0), n_tok / F.lit(100.0)) * 0.5
+            + (stop_en / F.lit(5.0)) * 0.5
+        ).alias("quality_r"),
+    )
+
+
+@q(
+    "text_fingerprint",
+    r"SELECT doc_id, substr(md5(lower(regexp_replace(text, '\s+', ' ', 'g'))), 1, 16) "
+    "AS fp FROM documents",
+)
+def text_fingerprint(spark, sf_dir):
+    """Document fingerprint: md5 over whitespace-normalized lowercased text
+    (the groupable stand-in for a rolling content hash)."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.substring(
+            F.md5(F.lower(F.regexp_replace("text", r"\s+", " "))), 1, 16
+        ).alias("fp"),
+    )

@@ -1,0 +1,600 @@
+"""Declared TSDB queries (SURVEY.md §2.1–§2.5, §2.9, §2.10) on ``events``.
+
+The events table plays the mycenae point lake: ``event_type`` = metric,
+``user_id`` = the single tag, ``value`` = float64 datapoint
+(SURVEY.md §2 intro).  Every query here is a composition of the operator
+modules — the same code paths the OpenTSDB planner (plans/tsdb.py) uses.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from mycenae_spark.operators.downsample import bucket_ms_long, downsample
+from mycenae_spark.operators.merge import merge
+from mycenae_spark.operators.rate import rate
+from mycenae_spark.operators import filters as flt
+from mycenae_spark.registry.util import (
+    MS_2024_01_05,
+    MS_2024_01_12,
+    SQL_POINTS,
+    bucket_ms_sql,
+    points,
+    r4,
+    r6,
+)
+
+HOUR_MS = 3_600_000
+DAY_MS = 86_400_000
+
+QUERIES = {}
+ORACLE = {}
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------- §2.1 scan
+
+@q(
+    "scan_project",
+    f"SELECT event_id, metric, tag_user, ts_us, value FROM ({SQL_POINTS}) "
+    "WHERE metric = 'click'",
+)
+def scan_project(spark, sf_dir):
+    """S7/F10: pruned scan + projection; metric predicate reaches parquet."""
+    return (
+        points(spark, sf_dir)
+        .filter(F.col("metric") == "click")
+        .select("event_id", "metric", "tag_user", "ts_us", "value")
+    )
+
+
+# ------------------------------------------------------------- §2.2 filters
+
+@q(
+    "filter_time_range",
+    f"SELECT event_id, metric, tag_user, ts_us, value FROM ({SQL_POINTS}) "
+    f"WHERE ts_us >= {MS_2024_01_05 * 1000} AND ts_us < {MS_2024_01_12 * 1000}",
+)
+def filter_time_range(spark, sf_dir):
+    """F1: [start, end) — inclusive start, exclusive end (OpenTSDB)."""
+    p = points(spark, sf_dir)
+    return p.filter(
+        flt.time_range(F.col("ts_us"), MS_2024_01_05 * 1000, MS_2024_01_12 * 1000)
+    ).select("event_id", "metric", "tag_user", "ts_us", "value")
+
+
+@q(
+    "filter_literal_or",
+    f"SELECT event_id, metric, tag_user, value FROM ({SQL_POINTS}) "
+    "WHERE metric IN ('click', 'view')",
+)
+def filter_literal_or(spark, sf_dir):
+    p = points(spark, sf_dir)
+    return p.filter(flt.literal_or(F.col("metric"), ["click", "view"])).select(
+        "event_id", "metric", "tag_user", "value"
+    )
+
+
+@q(
+    "filter_not_literal_or",
+    f"SELECT event_id, metric, tag_user, value FROM ({SQL_POINTS}) "
+    "WHERE CAST(tag_user AS VARCHAR) NOT IN ('1', '2', '3')",
+)
+def filter_not_literal_or(spark, sf_dir):
+    p = points(spark, sf_dir)
+    return p.filter(
+        flt.not_literal_or(F.col("tag_user").cast("string"), ["1", "2", "3"])
+    ).select("event_id", "metric", "tag_user", "value")
+
+
+@q(
+    "filter_iliteral_or",
+    f"SELECT event_id, metric, tag_user, value FROM ({SQL_POINTS}) "
+    "WHERE lower(metric) IN ('click', 'signup')",
+)
+def filter_iliteral_or(spark, sf_dir):
+    p = points(spark, sf_dir)
+    return p.filter(flt.iliteral_or(F.col("metric"), ["CLICK", "Signup"])).select(
+        "event_id", "metric", "tag_user", "value"
+    )
+
+
+@q(
+    "filter_wildcard",
+    f"SELECT event_id, metric, tag_user, value FROM ({SQL_POINTS}) "
+    "WHERE metric LIKE 'c%'",
+)
+def filter_wildcard(spark, sf_dir):
+    p = points(spark, sf_dir)
+    return p.filter(flt.wildcard(F.col("metric"), "c*")).select(
+        "event_id", "metric", "tag_user", "value"
+    )
+
+
+@q(
+    "filter_iwildcard",
+    f"SELECT event_id, metric, tag_user, value FROM ({SQL_POINTS}) "
+    "WHERE lower(metric) LIKE '%u%'",
+)
+def filter_iwildcard(spark, sf_dir):
+    p = points(spark, sf_dir)
+    return p.filter(flt.iwildcard(F.col("metric"), "*U*")).select(
+        "event_id", "metric", "tag_user", "value"
+    )
+
+
+@q(
+    "filter_regexp",
+    f"SELECT event_id, metric, tag_user, value FROM ({SQL_POINTS}) "
+    "WHERE regexp_matches(metric, '^(cl|si)')",
+)
+def filter_regexp(spark, sf_dir):
+    p = points(spark, sf_dir)
+    return p.filter(flt.regexp(F.col("metric"), "^(cl|si)")).select(
+        "event_id", "metric", "tag_user", "value"
+    )
+
+
+@q(
+    "filter_value",
+    f"SELECT event_id, metric, tag_user, value FROM ({SQL_POINTS}) "
+    "WHERE value > 150.0",
+)
+def filter_value(spark, sf_dir):
+    """F9: mycenae filterValue extension — predicate on the datapoint value."""
+    p = points(spark, sf_dir)
+    return p.filter(flt.filter_value(F.col("value"), ">150")).select(
+        "event_id", "metric", "tag_user", "value"
+    )
+
+
+# -------------------------------------------- §2.3 aggregators (series merge)
+
+def _agg_oracle(agg_sql: str, alias: str) -> str:
+    return (
+        f"SELECT metric, {bucket_ms_sql(DAY_MS)} AS bucket_ms, {agg_sql} AS {alias} "
+        f"FROM ({SQL_POINTS}) GROUP BY metric, bucket_ms"
+    )
+
+
+def _merged_daily(spark, sf_dir, aggname, alias, rounder=r4):
+    p = points(spark, sf_dir).withColumn(
+        "bucket_ms", bucket_ms_long(F.col("ts_us"), DAY_MS)
+    )
+    out = merge(p, aggname, ["metric"], time_col="bucket_ms", out_col="_v")
+    col = F.col("_v")
+    if rounder is not None:
+        col = rounder(col)
+    return out.select("metric", "bucket_ms", col.alias(alias))
+
+
+@q("agg_sum", _agg_oracle("(round(sum(value) + 1e-9, 4) + 0.0)", "sum_v_r"))
+def agg_sum(spark, sf_dir):
+    """A1: cross-series merge with sum, daily alignment buckets."""
+    return _merged_daily(spark, sf_dir, "sum", "sum_v_r")
+
+
+@q("agg_avg", _agg_oracle("(round(avg(value) + 1e-9, 4) + 0.0)", "avg_v_r"))
+def agg_avg(spark, sf_dir):
+    return _merged_daily(spark, sf_dir, "avg", "avg_v_r")
+
+
+@q("agg_min", _agg_oracle("min(value)", "min_v"))
+def agg_min(spark, sf_dir):
+    return _merged_daily(spark, sf_dir, "min", "min_v", rounder=None)
+
+
+@q("agg_max", _agg_oracle("max(value)", "max_v"))
+def agg_max(spark, sf_dir):
+    return _merged_daily(spark, sf_dir, "max", "max_v", rounder=None)
+
+
+@q("agg_count", _agg_oracle("count(value)", "n"))
+def agg_count(spark, sf_dir):
+    return _merged_daily(spark, sf_dir, "count", "n", rounder=None)
+
+
+@q(
+    "agg_grouped",
+    f"SELECT metric, tag_user, {bucket_ms_sql(DAY_MS)} AS bucket_ms, "
+    f"(round(sum(value) + 1e-9, 4) + 0.0) AS sum_v_r FROM ({SQL_POINTS}) "
+    "GROUP BY metric, tag_user, bucket_ms",
+)
+def agg_grouped(spark, sf_dir):
+    """A6: groupBy-tag variant — one output series per (metric, tag)."""
+    p = points(spark, sf_dir).withColumn(
+        "bucket_ms", bucket_ms_long(F.col("ts_us"), DAY_MS)
+    )
+    out = merge(p, "sum", ["metric", "tag_user"], time_col="bucket_ms", out_col="_v")
+    return out.select("metric", "tag_user", "bucket_ms", r4(F.col("_v")).alias("sum_v_r"))
+
+
+@q(
+    "agg_count_distinct",
+    f"SELECT metric, count(DISTINCT tag_user) AS n_series FROM ({SQL_POINTS}) "
+    "GROUP BY metric",
+)
+def agg_count_distinct(spark, sf_dir):
+    p = points(spark, sf_dir)
+    return p.groupBy("metric").agg(F.countDistinct("tag_user").alias("n_series"))
+
+
+@q("agg_approx_distinct")  # no oracle: approximate by construction → rows-only check
+def agg_approx_distinct(spark, sf_dir):
+    """HLL++ distinct-series estimate — the 100 TB-scale path for M3-style
+    cardinality questions (exact twin: agg_count_distinct)."""
+    p = points(spark, sf_dir)
+    return p.groupBy("metric").agg(
+        F.approx_count_distinct("tag_user").alias("n_series_approx")
+    )
+
+
+# ------------------------------------------------- §2.4 downsample/fill/rate
+
+def _ds_oracle(iv_ms: int, agg_sql: str, alias: str) -> str:
+    return (
+        f"SELECT metric, tag_user, {bucket_ms_sql(iv_ms)} AS bucket_ms, "
+        f"{agg_sql} AS {alias} FROM ({SQL_POINTS}) "
+        "GROUP BY metric, tag_user, bucket_ms"
+    )
+
+
+def _ds(spark, sf_dir, iv_ms, agg, alias, rounder=r4):
+    out = downsample(
+        points(spark, sf_dir), ["metric", "tag_user"], iv_ms, agg, out_col="_v"
+    )
+    col = F.col("_v")
+    if rounder is not None:
+        col = rounder(col)
+    return out.select("metric", "tag_user", "bucket_ms", col.alias(alias))
+
+
+@q("downsample_avg_1m", _ds_oracle(60_000, "(round(avg(value) + 1e-9, 4) + 0.0)", "avg_v_r"))
+def downsample_avg_1m(spark, sf_dir):
+    """W1: per-series 1-minute tumbling avg (`1m-avg`)."""
+    return _ds(spark, sf_dir, 60_000, "avg", "avg_v_r")
+
+
+@q("downsample_sum_1h", _ds_oracle(HOUR_MS, "(round(sum(value) + 1e-9, 4) + 0.0)", "sum_v_r"))
+def downsample_sum_1h(spark, sf_dir):
+    return _ds(spark, sf_dir, HOUR_MS, "sum", "sum_v_r")
+
+
+@q("downsample_min", _ds_oracle(600_000, "min(value)", "min_v"))
+def downsample_min(spark, sf_dir):
+    return _ds(spark, sf_dir, 600_000, "min", "min_v", rounder=None)
+
+
+@q("downsample_max", _ds_oracle(900_000, "max(value)", "max_v"))
+def downsample_max(spark, sf_dir):
+    return _ds(spark, sf_dir, 900_000, "max", "max_v", rounder=None)
+
+
+@q("downsample_count", _ds_oracle(DAY_MS, "count(value)", "n"))
+def downsample_count(spark, sf_dir):
+    return _ds(spark, sf_dir, DAY_MS, "count", "n", rounder=None)
+
+
+def _fill_oracle(fill_expr: str) -> str:
+    return f"""
+WITH ds AS (
+  SELECT metric, tag_user, {bucket_ms_sql(HOUR_MS)} AS bucket_ms,
+         (round(avg(value) + 1e-9, 4) + 0.0) AS avg_v_r
+  FROM ({SQL_POINTS}) GROUP BY metric, tag_user, bucket_ms
+), ext AS (
+  SELECT metric, tag_user, min(bucket_ms) AS lo, max(bucket_ms) AS hi
+  FROM ds GROUP BY metric, tag_user
+), spine AS (
+  SELECT metric, tag_user, unnest(generate_series(lo, hi, {HOUR_MS})) AS bucket_ms
+  FROM ext
+)
+SELECT s.metric, s.tag_user, s.bucket_ms, {fill_expr} AS avg_v_r
+FROM spine s LEFT JOIN ds d USING (metric, tag_user, bucket_ms)
+"""
+
+
+def _filled(spark, sf_dir, fill):
+    # Round before fill so filled zeros stay exact on both sides.
+    agged = downsample(
+        points(spark, sf_dir), ["metric", "tag_user"], HOUR_MS, "avg", out_col="_v"
+    ).withColumn("_v", r4(F.col("_v")))
+    from mycenae_spark.operators.downsample import _fill
+
+    return _fill(agged, ["metric", "tag_user"], HOUR_MS, "_v", fill).select(
+        "metric", "tag_user", "bucket_ms", F.col("_v").alias("avg_v_r")
+    )
+
+
+@q("fill_null", _fill_oracle("d.avg_v_r"))
+def fill_null(spark, sf_dir):
+    """W3: dense per-series spine, empty buckets emitted as NULL."""
+    return _filled(spark, sf_dir, "null")
+
+
+@q("fill_zero", _fill_oracle("coalesce(d.avg_v_r, 0.0)"))
+def fill_zero(spark, sf_dir):
+    """W4: empty buckets emitted as 0."""
+    return _filled(spark, sf_dir, "zero")
+
+
+_RATE_BASE = f"""
+WITH l AS (
+  SELECT metric, tag_user, ts_us, event_id, value,
+         lag(value) OVER w AS pv, lag(ts_us) OVER w AS pt
+  FROM ({SQL_POINTS})
+  WINDOW w AS (PARTITION BY metric, tag_user ORDER BY ts_us, event_id)
+)
+"""
+
+
+@q(
+    "rate",
+    _RATE_BASE
+    + "SELECT metric, tag_user, ts_us, "
+    "(round((value - pv) / ((ts_us - pt) / 1000000.0) + 1e-9, 6) + 0.0) AS rate_r "
+    "FROM l WHERE pt IS NOT NULL",
+)
+def rate_q(spark, sf_dir):
+    """W5: per-series first derivative per second."""
+    out = rate(
+        points(spark, sf_dir),
+        ["metric", "tag_user"],
+        out_col="_r",
+        order_cols=["ts_us", "event_id"],
+    )
+    return out.select("metric", "tag_user", "ts_us", r6(F.col("_r")).alias("rate_r"))
+
+
+@q(
+    "rate_counter",
+    _RATE_BASE
+    + """
+SELECT metric, tag_user, ts_us,
+  CASE WHEN raw > 100.0 THEN 0.0 ELSE raw END AS rate_r
+FROM (
+  SELECT metric, tag_user, ts_us,
+    (round((CASE WHEN value - pv < 0 THEN value - pv + 1000.0 ELSE value - pv END)
+          / ((ts_us - pt) / 1000000.0) + 1e-9, 6) + 0.0) AS raw
+  FROM l WHERE pt IS NOT NULL
+)
+""",
+)
+def rate_counter(spark, sf_dir):
+    """W6: counter mode — wrap at counterMax=1000, resetValue=100 → 0."""
+    out = rate(
+        points(spark, sf_dir),
+        ["metric", "tag_user"],
+        out_col="_r",
+        counter=True,
+        counter_max=1000.0,
+        reset_value=None,  # reset applied after rounding to mirror oracle
+        order_cols=["ts_us", "event_id"],
+    )
+    r = r6(F.col("_r"))
+    r = F.when(r > 100.0, F.lit(0.0)).otherwise(r)
+    return out.select("metric", "tag_user", "ts_us", r.alias("rate_r"))
+
+
+@q(
+    "order_rate_after_agg",
+    f"""
+WITH m AS (
+  SELECT metric, {bucket_ms_sql(HOUR_MS)} AS bucket_ms, sum(value) AS v
+  FROM ({SQL_POINTS}) GROUP BY metric, bucket_ms
+), l AS (
+  SELECT metric, bucket_ms, v,
+         lag(v) OVER w AS pv, lag(bucket_ms) OVER w AS pb
+  FROM m WINDOW w AS (PARTITION BY metric ORDER BY bucket_ms)
+)
+SELECT metric, bucket_ms, (round((v - pv) / ((bucket_ms - pb) / 1000.0) + 1e-9, 6) + 0.0) AS rate_r
+FROM l WHERE pb IS NOT NULL
+""",
+)
+def order_rate_after_agg(spark, sf_dir):
+    """W7: mycenae ``order`` extension — aggregation *before* rate.
+
+    Pipeline: 1h-sum downsample merged across series per metric, then the
+    derivative of the merged series (the reference permutes the same stages
+    in-process; here it is just a different composition order).
+    """
+    p = points(spark, sf_dir).withColumn(
+        "bucket_ms", bucket_ms_long(F.col("ts_us"), HOUR_MS)
+    )
+    m = merge(p, "sum", ["metric"], time_col="bucket_ms", out_col="v").withColumn(
+        "bucket_us", F.col("bucket_ms") * 1000
+    )
+    out = rate(m, ["metric"], value_col="v", ts_us_col="bucket_us", out_col="_r")
+    return out.select("metric", "bucket_ms", r6(F.col("_r")).alias("rate_r"))
+
+
+# ------------------------------------------------------ §2.5 sort/limit/topk
+
+@q(
+    "limit_n",
+    f"SELECT event_id, metric, tag_user, value FROM ({SQL_POINTS}) "
+    "ORDER BY event_id LIMIT 100",
+)
+def limit_n(spark, sf_dir):
+    """L2: deterministic cap (ordered limit ↔ MaxTimeseries-style guard)."""
+    p = points(spark, sf_dir)
+    return p.orderBy("event_id").limit(100).select(
+        "event_id", "metric", "tag_user", "value"
+    )
+
+
+@q(
+    "topk_series_by_sum",
+    f"""
+WITH s AS (
+  SELECT metric, tag_user, sum(value) AS sv FROM ({SQL_POINTS})
+  GROUP BY metric, tag_user
+)
+SELECT metric, tag_user, (round(sv + 1e-9, 4) + 0.0) AS sum_v_r, rk FROM (
+  SELECT *, row_number() OVER (ORDER BY sv DESC, metric, tag_user) AS rk FROM s
+) WHERE rk <= 5
+""",
+)
+def topk_series_by_sum(spark, sf_dir):
+    """L3: global top-k series by summed value (rank ties broken by key)."""
+    p = points(spark, sf_dir)
+    s = p.groupBy("metric", "tag_user").agg(F.sum("value").alias("sv"))
+    w = Window.orderBy(F.desc("sv"), "metric", "tag_user")
+    return (
+        s.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("metric", "tag_user", r4(F.col("sv")).alias("sum_v_r"), "rk")
+    )
+
+
+# ----------------------------------------------------- §2.9 metadata/catalog
+
+@q(
+    "meta_suggest",
+    f"SELECT DISTINCT metric FROM ({SQL_POINTS}) WHERE metric LIKE 'c%' "
+    "ORDER BY metric LIMIT 10",
+)
+def meta_suggest(spark, sf_dir):
+    """M1: prefix suggest over the series catalog (Solr facet equivalent)."""
+    from mycenae_spark.catalog import build_catalog, suggest
+
+    return suggest(build_catalog(points(spark, sf_dir)), "metrics", "c", 10)
+
+
+@q(
+    "meta_lookup",
+    f"SELECT DISTINCT metric, tag_user FROM ({SQL_POINTS}) WHERE metric = 'click'",
+)
+def meta_lookup(spark, sf_dir):
+    """M2: lookup — series matching ``m=click``."""
+    from mycenae_spark.catalog import build_catalog, lookup
+
+    return lookup(build_catalog(points(spark, sf_dir)), metric="click")
+
+
+@q(
+    "meta_count",
+    f"SELECT metric, count(DISTINCT tag_user) AS n_series, count(*) AS n_points "
+    f"FROM ({SQL_POINTS}) GROUP BY metric",
+)
+def meta_count(spark, sf_dir):
+    """M3: paged metadata listing's counts."""
+    p = points(spark, sf_dir)
+    return p.groupBy("metric").agg(
+        F.countDistinct("tag_user").alias("n_series"),
+        F.count(F.lit(1)).alias("n_points"),
+    )
+
+
+@q(
+    "join_semi",
+    f"SELECT event_id, metric, tag_user FROM ({SQL_POINTS}) p "
+    "WHERE EXISTS (SELECT 1 FROM (SELECT DISTINCT metric, tag_user "
+    f"FROM ({SQL_POINTS}) WHERE tag_user < 5) c "
+    "WHERE c.metric = p.metric AND c.tag_user = p.tag_user)",
+)
+def join_semi(spark, sf_dir):
+    """J1: the reference's actual join — resolve series in the metadata
+    index, then semi-join the point lake (Solr→Cassandra, SURVEY.md §2.6).
+    The catalog side is tiny ⇒ broadcast left-semi, no shuffle of points."""
+    p = points(spark, sf_dir)
+    catalog = (
+        p.filter(F.col("tag_user") < 5).select("metric", "tag_user").distinct()
+    )
+    return p.join(
+        F.broadcast(catalog), ["metric", "tag_user"], "left_semi"
+    ).select("event_id", "metric", "tag_user")
+
+
+# ------------------------------------------------- §2.10 window forms (batch)
+
+@q(
+    "stream_tumbling",
+    f"SELECT metric, {bucket_ms_sql(600_000)} AS win_start_ms, count(*) AS n_events, "
+    f"(round(sum(value) + 1e-9, 4) + 0.0) AS sum_v_r FROM ({SQL_POINTS}) "
+    "GROUP BY metric, win_start_ms",
+)
+def stream_tumbling(spark, sf_dir):
+    """T3: tumbling event-time window (batch form of the streaming agg)."""
+    p = points(spark, sf_dir)
+    return (
+        p.groupBy("metric", F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), r4(F.sum("value")).alias("sum_v_r"))
+        .select(
+            "metric",
+            F.unix_millis(F.col("w.start")).alias("win_start_ms"),
+            "n_events",
+            "sum_v_r",
+        )
+    )
+
+
+@q(
+    "stream_sliding",
+    f"""
+WITH p AS ({SQL_POINTS}), w AS (
+  SELECT metric, {bucket_ms_sql(300_000)} AS win_start_ms, value FROM p
+  UNION ALL
+  SELECT metric, {bucket_ms_sql(300_000)} - 300000 AS win_start_ms, value FROM p
+)
+SELECT metric, win_start_ms, count(*) AS n_events, (round(sum(value) + 1e-9, 4) + 0.0) AS sum_v_r
+FROM w GROUP BY metric, win_start_ms
+""",
+)
+def stream_sliding(spark, sf_dir):
+    """T4: sliding window 10m/5m — each event lands in two windows."""
+    p = points(spark, sf_dir)
+    return (
+        p.groupBy("metric", F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), r4(F.sum("value")).alias("sum_v_r"))
+        .select(
+            "metric",
+            F.unix_millis(F.col("w.start")).alias("win_start_ms"),
+            "n_events",
+            "sum_v_r",
+        )
+    )
+
+
+@q(
+    "stream_session",
+    f"""
+WITH l AS (
+  SELECT tag_user, ts_us, value,
+         lag(ts_us) OVER (PARTITION BY tag_user ORDER BY ts_us) AS pt
+  FROM ({SQL_POINTS})
+), s AS (
+  SELECT tag_user, ts_us, value,
+         sum(CASE WHEN pt IS NULL OR ts_us - pt >= 1800000000 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY tag_user ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS sid
+  FROM l
+)
+SELECT tag_user, min(ts_us) AS session_start_us, count(*) AS n_events,
+       (round(sum(value) + 1e-9, 4) + 0.0) AS sum_v_r
+FROM s GROUP BY tag_user, sid
+""",
+)
+def stream_session(spark, sf_dir):
+    """T5: session windows, 30-minute inactivity gap (oracle:
+    gaps-and-islands; a new session starts when the gap is ≥ the timeout,
+    matching Spark's half-open [ts, ts+gap) session extension)."""
+    p = points(spark, sf_dir)
+    return (
+        p.groupBy("tag_user", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), r4(F.sum("value")).alias("sum_v_r"))
+        .select(
+            "tag_user",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            "n_events",
+            "sum_v_r",
+        )
+    )

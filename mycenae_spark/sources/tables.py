@@ -1,0 +1,78 @@
+"""Read the driver-generated testdata lake (TESTDATA.md) scale-safely.
+
+The read path is mycenae's ``lib/plot`` scan (SURVEY.md §2.1 S7) re-expressed
+as ``spark.read.parquet`` + Catalyst pruning: predicate pushdown, column
+pruning and row-group min/max skipping replace the reference's per-series
+Cassandra bucket reads.  Nothing here collects to the driver.
+
+Timestamp normalization
+-----------------------
+``events.parquet`` stores parquet ``TIMESTAMP(NANOS)``.  Spark has no native
+nanos timestamp: with ``spark.sql.legacy.parquet.nanosAsLong=true`` the column
+surfaces as BIGINT nanoseconds.  DuckDB — the correctness oracle — reads the
+same file truncated to microseconds.  We therefore expose, for ``events``:
+
+* ``ts``      TIMESTAMP (µs, = floor(ns/1000), matching the oracle exactly)
+* ``ts_us``   BIGINT epoch microseconds (same value, arithmetic-friendly)
+
+All other tables' timestamps are already µs and pass through untouched.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from mycenae_spark.session import apply_session_confs
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table; normalizes ``events`` timestamps (see module doc)."""
+    apply_session_confs(spark)
+    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # ns → µs floor-division matches DuckDB's truncating read of NANOS.
+        df = (
+            df.withColumn("ts_us", F.expr("ts div 1000"))
+            .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        )
+    return df
+
+
+def events_as_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table viewed as mycenae datapoints.
+
+    Mapping (SURVEY.md §2): ``event_type`` plays the metric, ``user_id`` the
+    single tag, ``value`` the float64 datapoint value.  The tsid — mycenae's
+    hash of (metric, sorted tags) used as the Cassandra row key
+    (SURVEY.md §1.1, upstream ``lib/collector`` hashing) — collapses here to
+    the (metric, tag) pair itself; a materialized hash is only needed for
+    physical clustering, which Parquet partitioning already gives us.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_type").alias("metric"),
+        F.col("user_id").alias("tag_user"),
+        "ts",
+        "ts_us",
+        "value",
+        "event_id",
+        "props",
+    )

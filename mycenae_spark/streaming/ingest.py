@@ -1,0 +1,150 @@
+"""Continuous point ingestion → partitioned Parquet lake + series catalog.
+
+Reference write path (SURVEY.md §3.1; upstream ``lib/collector`` →
+Cassandra + Solr): decode JSON points, validate per-point with error
+accounting, hash the series id, async-upsert new series metadata, insert
+points with keyspace TTL.
+
+Spark rebuild — one Structured Streaming job:
+
+    source → from_json(POINT_SCHEMA) → validate (valid/invalid split)
+           → tsid → foreachBatch { append points to lake partitioned by
+             (ksid, date); merge new tsids into the series catalog }
+
+The micro-batch boundary replaces goroutine batching; checkpointing upgrades
+UDP's at-most-once to exactly-once on the file sink.  Late/out-of-order
+points need no watermark here — the lake is append-only and queries are
+batch over storage, exactly the reference's semantics (§2.10 T2).
+
+At 100 TB: partitionBy(ksid, date) gives partition pruning for every
+time-ranged query; within-file ordering by tsid gives row-group locality
+per series.  The catalog dedup (`dropDuplicates("tsid")` per batch, then
+anti-join against the stored catalog) keeps metadata writes ∝ new series,
+not ∝ points — the moral equivalent of mycenae's bloom-gated Solr upsert.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from mycenae_spark.schema import (
+    POINT_SCHEMA,
+    normalize_timestamp_ms,
+    tsid_column,
+    valid_point_predicate,
+)
+
+
+def decode_json_lines(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """JSON-line datagrams (HTTP/UDP bodies) → typed point rows (S1/S3)."""
+    return raw.select(
+        F.from_json(F.col(value_col).cast("string"), POINT_SCHEMA).alias("p")
+    ).select("p.*")
+
+
+def decode_opentsdb_lines(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """Telnet line protocol ``put <metric> <ts> <value> k=v ...`` (S4).
+
+    Pure column expressions: split, slice, map_from_entries — no UDF.
+    """
+    toks = F.split(F.trim(F.col(value_col).cast("string")), r"\s+")
+    # try_* variants keep ANSI mode happy on malformed lines; the `put` +
+    # arity filter below then drops them (fire-and-forget, like UDP ingest).
+    tag_entries = F.transform(
+        F.slice(toks, 5, 64),
+        lambda kv: F.struct(
+            F.split_part(kv, F.lit("="), F.lit(1)).alias("key"),
+            F.split_part(kv, F.lit("="), F.lit(2)).alias("value"),
+        ),
+    )
+    return (
+        raw.where(
+            (F.try_element_at(toks, F.lit(1)) == "put") & (F.size(toks) >= 4)
+        )
+        .select(
+            F.try_element_at(toks, F.lit(2)).alias("metric"),
+            F.map_from_entries(
+                F.filter(tag_entries, lambda e: e["key"] != "")
+            ).alias("tags"),
+            F.try_element_at(toks, F.lit(3)).try_cast("long").alias("timestamp"),
+            F.try_element_at(toks, F.lit(4)).try_cast("double").alias("value"),
+            F.lit(None).cast("string").alias("text"),
+        )
+    )
+
+
+def prepare_points(decoded: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Validation split + tsid + event-time column (§3.1 steps 2–3).
+
+    Returns (valid, invalid); invalid rows carry an ``error`` column for the
+    per-point error accounting the reference returns in its put response.
+    """
+    ok = valid_point_predicate()
+    with_flag = decoded.withColumn("_valid", ok)
+    valid = (
+        with_flag.filter("_valid")
+        .drop("_valid")
+        .withColumn("timestamp", normalize_timestamp_ms(F.col("timestamp")))
+        .withColumn("ts", F.timestamp_millis(F.col("timestamp")))
+        .withColumn("tsid", tsid_column(F.col("metric"), F.col("tags")))
+        .withColumn("ksid", F.col("tags").getItem("ksid"))
+        .withColumn("date", F.to_date("ts"))
+    )
+    invalid = with_flag.filter(~F.coalesce(F.col("_valid"), F.lit(False))).drop(
+        "_valid"
+    ).withColumn("error", F.lit("validation failed"))
+    return valid, invalid
+
+
+def start_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    lake_dir: str,
+    catalog_dir: str,
+    checkpoint_dir: str,
+    fmt: str = "json",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """File-source ingest job (tests use availableNow for bounded runs)."""
+    raw = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", "16")
+        .load(source_dir)
+    )
+    decoded = (
+        decode_json_lines(raw)
+        if fmt == "json"
+        else decode_opentsdb_lines(raw)
+    )
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        valid, _invalid = prepare_points(batch)
+        valid.persist()
+        try:
+            (
+                valid.repartition("ksid", "date")
+                .sortWithinPartitions("tsid", "ts")
+                .write.mode("append")
+                .partitionBy("ksid", "date")
+                .parquet(lake_dir)
+            )
+            new_series = valid.select("ksid", "tsid", "metric", "tags").dropDuplicates(
+                ["tsid"]
+            )
+            try:
+                existing = batch.sparkSession.read.parquet(catalog_dir).select("tsid")
+                new_series = new_series.join(existing, "tsid", "left_anti")
+            except Exception:
+                pass  # first batch: catalog does not exist yet
+            new_series.write.mode("append").parquet(catalog_dir)
+        finally:
+            valid.unpersist()
+
+    writer = decoded.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,75 @@
+"""Series catalog ops (SURVEY.md §2.9) + property tests for downsample/fill
+invariants (SURVEY.md §5 item 4)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from mycenae_spark.catalog import build_catalog, lookup, series_cap_guard, suggest
+from mycenae_spark.operators.downsample import downsample
+from mycenae_spark.sources.tables import events_as_points
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def points(spark):
+    return events_as_points(spark, SF_DIR)
+
+
+def test_build_catalog_is_distinct_series(points):
+    cat = build_catalog(points)
+    assert cat.count() == points.select("metric", "tag_user").distinct().count()
+
+
+def test_suggest_prefix_cap(points):
+    cat = build_catalog(points)
+    got = [r[0] for r in suggest(cat, "metrics", "c", 2).collect()]
+    assert got == ["click"]
+    got_all = [r[0] for r in suggest(cat, "metrics", "", 100).collect()]
+    assert got_all == sorted(got_all)
+
+
+def test_lookup(points):
+    cat = build_catalog(points)
+    rows = lookup(cat, metric="view").collect()
+    assert all(r["metric"] == "view" for r in rows)
+    one = lookup(cat, metric="view", user=rows[0]["tag_user"]).collect()
+    assert len(one) == 1
+
+
+def test_series_cap_guard(points):
+    cat = build_catalog(points)
+    n = cat.count()
+    assert series_cap_guard(cat, n) == n
+    with pytest.raises(ValueError):
+        series_cap_guard(cat, n - 1)
+
+
+# ---------------------------------------------------- downsample invariants
+
+def test_fill_spine_density(points):
+    """fill=null emits exactly (hi-lo)/interval + 1 buckets per series."""
+    iv = 3_600_000
+    filled = downsample(points, ["metric", "tag_user"], iv, "avg", fill="null")
+    ext = filled.groupBy("metric", "tag_user").agg(
+        F.count(F.lit(1)).alias("n"),
+        ((F.max("bucket_ms") - F.min("bucket_ms")) / iv + 1).alias("expect"),
+    )
+    bad = ext.filter(F.col("n") != F.col("expect")).count()
+    assert bad == 0
+
+
+def test_sum_downsample_partition_sums_equal_total(points):
+    """Σ per-bucket sums == Σ raw values (conservation, any interval)."""
+    iv = 600_000
+    ds = downsample(points, ["metric"], iv, "sum")
+    total_ds = ds.agg(F.sum("value")).collect()[0][0]
+    total_raw = points.agg(F.sum("value")).collect()[0][0]
+    assert abs(total_ds - total_raw) < 1e-6
+
+
+def test_fill_zero_never_null(points):
+    filled = downsample(points, ["metric"], 3_600_000, "avg", fill="zero")
+    assert filled.filter(F.col("value").isNull()).count() == 0

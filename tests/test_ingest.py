@@ -1,0 +1,118 @@
+"""Round-trip ingestion tests (SURVEY.md §5 item 2): synthetic point JSON →
+availableNow streaming ingest → partitioned lake + catalog → query back.
+Mirrors the reference's end-to-end golden style (POST points, query, compare)."""
+
+from __future__ import annotations
+
+import json
+
+import pyspark.sql.functions as F
+import pytest
+
+from mycenae_spark.schema import POINT_SCHEMA
+from mycenae_spark.streaming.ingest import (
+    decode_json_lines,
+    decode_opentsdb_lines,
+    prepare_points,
+    start_ingest,
+)
+
+POINTS = [
+    {"metric": "cpu.usage", "tags": {"ksid": "ks1", "host": "web01"},
+     "timestamp": 1704067200000, "value": 1.5},
+    {"metric": "cpu.usage", "tags": {"ksid": "ks1", "host": "web02"},
+     "timestamp": 1704067260, "value": 2.5},  # seconds → normalized to ms
+    {"metric": "req.count", "tags": {"ksid": "ks1", "host": "web01"},
+     "timestamp": 1704067320000, "value": 10.0},
+    {"metric": "build info", "tags": {"ksid": "ks1"},  # bad charset (space)
+     "timestamp": 1704067200000, "value": 1.0},
+    {"metric": "no.ksid", "tags": {"host": "a"},
+     "timestamp": 1704067200000, "value": 1.0},  # missing ksid
+    {"metric": "note", "tags": {"ksid": "ks1"},
+     "timestamp": 1704067200000, "text": "deploy v2"},  # text point
+]
+
+
+def test_validation_split(spark):
+    raw = spark.createDataFrame([(json.dumps(p),) for p in POINTS], ["value"])
+    decoded = decode_json_lines(raw)
+    assert [(f.name, f.dataType) for f in decoded.schema.fields] == [
+        (f.name, f.dataType) for f in POINT_SCHEMA.fields
+    ]
+    valid, invalid = prepare_points(decoded)
+    v = valid.collect()
+    assert len(v) == 4  # 3 numeric + 1 text
+    assert len(invalid.collect()) == 2
+    by_metric = {r["metric"]: r for r in v}
+    # s→ms normalization
+    assert by_metric["cpu.usage"] is not None
+    secs = [r for r in v if r["tags"].get("host") == "web02"]
+    assert secs[0]["timestamp"] == 1704067260000
+    # tsid is deterministic and distinct per series
+    tsids = {r["tsid"] for r in v}
+    assert len(tsids) == 4
+
+
+def test_tsid_tag_order_insensitive(spark):
+    a = {"metric": "m", "tags": {"ksid": "k", "a": "1", "b": "2"},
+         "timestamp": 1704067200000, "value": 1.0}
+    b = {"metric": "m", "tags": {"b": "2", "a": "1", "ksid": "k"},
+         "timestamp": 1704067200001, "value": 2.0}
+    raw = spark.createDataFrame([(json.dumps(a),), (json.dumps(b),)], ["value"])
+    valid, _ = prepare_points(decode_json_lines(raw))
+    assert valid.select("tsid").distinct().count() == 1
+
+
+def test_telnet_line_decode(spark):
+    lines = [
+        ("put cpu.usage 1704067200 3.5 ksid=ks1 host=web01",),
+        ("put mem.free 1704067200000 9.0 ksid=ks1",),
+        ("version",),  # non-put line dropped
+    ]
+    raw = spark.createDataFrame(lines, ["value"])
+    decoded = decode_opentsdb_lines(raw)
+    rows = decoded.collect()
+    assert {r["metric"] for r in rows} == {"cpu.usage", "mem.free"}
+    r0 = [r for r in rows if r["metric"] == "cpu.usage"][0]
+    assert r0["tags"] == {"ksid": "ks1", "host": "web01"}
+    assert r0["value"] == 3.5
+
+
+def test_streaming_ingest_roundtrip(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "batch1.jsonl").write_text(
+        "\n".join(json.dumps(p) for p in POINTS)
+    )
+    lake = str(tmp_path / "lake")
+    catalog = str(tmp_path / "catalog")
+    ck = str(tmp_path / "ck")
+
+    q = start_ingest(spark, str(src), lake, catalog, ck)
+    q.awaitTermination(120)
+
+    pts = spark.read.parquet(lake)
+    assert pts.count() == 4
+    # partition layout: ksid + date directories exist (pruning at scale)
+    assert pts.select("ksid").distinct().collect()[0][0] == "ks1"
+    cat = spark.read.parquet(catalog)
+    assert cat.count() == 4
+    assert set(cat.columns) == {"ksid", "tsid", "metric", "tags"}
+
+    # idempotent metadata: re-ingesting the same points adds points to the
+    # lake but no new catalog entries
+    (src / "batch2.jsonl").write_text(json.dumps(POINTS[0]))
+    q2 = start_ingest(spark, str(src), lake, catalog, ck)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(catalog).count() == 4
+
+    # query back: the lake answers an OpenTSDB-style aggregation
+    got = (
+        spark.read.parquet(lake)
+        .filter(F.col("metric") == "cpu.usage")
+        .groupBy("metric")
+        .agg(F.sum("value").alias("s"))
+        .collect()
+    )
+    # 1.5 + 2.5 from batch1, + 1.5 re-ingested in batch2
+    assert got[0]["s"] == pytest.approx(5.5)

@@ -1,0 +1,71 @@
+"""Multimodal plumbing tests: schema, Arrow batching, row expansion —
+deterministic fake decode (codecs are stubbed in this environment)."""
+
+from __future__ import annotations
+
+import pytest
+
+from mycenae_spark.functions.multimodal import (
+    FEATURES_SCHEMA,
+    MEDIA_SCHEMA,
+    decode_media,
+    sample_frames,
+)
+
+
+@pytest.fixture()
+def media(spark):
+    rows = [
+        (1, "image", b"\x89PNG" + b"x" * 100, "image/png"),
+        (2, "video", b"\x00\x00ftyp" + b"y" * 5000, "video/mp4"),
+        (3, "audio", b"RIFF" + b"z" * 300, "audio/wav"),
+        (4, "image", None, None),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_decode_stub_schema_and_determinism(media):
+    out = decode_media(media)
+    assert out.schema == FEATURES_SCHEMA
+    rows = {r["media_id"]: r for r in out.collect()}
+    assert len(rows) == 4
+    assert rows[1]["n_bytes"] == 104
+    assert rows[4]["n_bytes"] == 0
+    # running twice gives identical checksums (deterministic kernel)
+    again = {r["media_id"]: r["checksum"] for r in decode_media(media).collect()}
+    assert again == {k: v["checksum"] for k, v in rows.items()}
+
+
+def test_decode_real_path_raises(media):
+    with pytest.raises(Exception) as ei:
+        decode_media(media, decode_stub=False).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
+
+
+def test_custom_kernel_and_bucketing(media):
+    import pandas as pd
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf[["media_id", "kind"]].copy()
+        out["n_bytes"] = pdf["payload"].map(lambda b: 0 if b is None else len(b))
+        out["width"] = 0
+        out["height"] = 0
+        out["n_frames"] = 1
+        out["checksum"] = "k"
+        return out.astype(
+            {"n_bytes": "int64", "width": "int32", "height": "int32",
+             "n_frames": "int32"}
+        )
+
+    out = decode_media(media, kernel=kernel, shuffle_buckets=2)
+    assert out.count() == 4
+    assert out.rdd.getNumPartitions() == 2
+
+
+def test_frame_sampling_expansion(media):
+    frames = sample_frames(media, every_n=5)
+    rows = frames.collect()
+    assert all(r["media_id"] == 2 for r in rows)  # only the video row expands
+    assert [r["frame_idx"] for r in rows] == sorted(r["frame_idx"] for r in rows)

@@ -1,0 +1,100 @@
+"""OpenTSDB planner end-to-end (SURVEY.md §5 item 2 style): JSON query dict
+→ TsdbQuery IR → DataFrame program → golden checks against DuckDB."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from mycenae_spark.api import parse_query_request, shape_response
+from mycenae_spark.plans.tsdb import TsdbQuery, plan
+from mycenae_spark.sources.tables import events_as_points
+
+from tests.conftest import SF_DIR
+
+NOW = 1706745600000  # 2024-02-01, after all event timestamps
+
+
+def _points(spark):
+    return events_as_points(spark, SF_DIR)
+
+
+def test_plan_downsample_merge(spark, ddb):
+    qs = parse_query_request(
+        {
+            "start": 1704067200000,
+            "end": NOW,
+            "queries": [
+                {"metric": "click", "aggregator": "sum", "downsample": "1h-avg"}
+            ],
+        },
+        NOW,
+    )
+    out = plan(_points(spark), qs[0])
+    got = {(r["bucket_ms"], round(r["value"], 4)) for r in out.collect()}
+    exp = {
+        (r[0], round(r[1], 4))
+        for r in ddb.sql(
+            """
+            WITH ds AS (
+              SELECT user_id, (epoch_us(ts) // 3600000000) * 3600000 AS b,
+                     avg(value) AS v
+              FROM events WHERE event_type = 'click' GROUP BY 1, 2
+            ) SELECT b, sum(v) FROM ds GROUP BY b
+            """
+        ).fetchall()
+    }
+    assert got == exp
+
+
+def test_plan_order_controls_stage_composition(spark):
+    base = dict(metric="click", start_ms=0, end_ms=NOW, aggregator="sum", rate=True)
+    q_default = TsdbQuery(**base, downsample="1h-avg")
+    q_rate_first = TsdbQuery(
+        **base, downsample="1h-avg", order=("rate", "downsample", "aggregation")
+    )
+    p = _points(spark)
+    a = plan(p, q_default).collect()
+    b = plan(p, q_rate_first).collect()
+    assert a and b
+    assert {r["bucket_ms"] for r in a} and a != b
+
+
+def test_plan_tag_filter_and_group_by(spark):
+    from mycenae_spark.plans.tsdb import TagFilter
+
+    q = TsdbQuery(
+        metric="view",
+        start_ms=0,
+        end_ms=NOW,
+        aggregator="count",
+        downsample="1d-count",
+        filters=[TagFilter("user", "literal_or", ["1", "2", "3"], group_by=True)],
+    )
+    p = _points(spark).withColumn("tag_user", F.col("tag_user").cast("string"))
+    out = plan(p, q)
+    rows = out.collect()
+    assert set(out.columns) == {"metric", "tag_user", "bucket_ms", "value"}
+    assert {r["tag_user"] for r in rows} <= {"1", "2", "3"}
+
+
+def test_filter_value_stage(spark):
+    q = TsdbQuery(
+        metric="error", start_ms=0, end_ms=NOW, aggregator="max", filter_value=">100"
+    )
+    out = plan(_points(spark), q)
+    assert all(r["value"] > 100 for r in out.collect())
+
+
+def test_response_shaping(spark):
+    q = TsdbQuery(metric="click", start_ms=0, end_ms=NOW, aggregator="sum",
+                  downsample="1d-sum")
+    out = plan(_points(spark), q)
+    payload = shape_response(out, q)
+    assert len(payload) == 1
+    obj = payload[0]
+    assert obj["metric"] == "click"
+    assert obj["aggregateTags"] == []
+    assert len(obj["dps"]) > 0
+    # keys are epoch-second strings in ascending order
+    keys = [int(k) for k in obj["dps"]]
+    assert keys == sorted(keys)
