@@ -345,20 +345,24 @@ def dedup_embedding_cosine(spark, sf_dir):
 @q(
     "sim_topk",
     f"""
-WITH ranked AS (
-  SELECT a.vec_id AS q_id, b.vec_id AS n_id, {_COS_SQL} AS cos,
-         row_number() OVER (PARTITION BY a.vec_id ORDER BY {_COS_SQL} DESC, b.vec_id) AS rk
+WITH scored AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+         (round({_COS_SQL} + 1e-9, 6) + 0.0) AS cos_r
   FROM (SELECT * FROM embeddings WHERE vec_id < 10) a
   JOIN embeddings b ON b.vec_id <> a.vec_id
 )
-SELECT q_id, n_id, rk, (round(cos + 1e-9, 6) + 0.0) AS cos_r FROM ranked WHERE rk <= 5
+SELECT q_id, n_id, rk, cos_r FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_r DESC, n_id) AS rk
+  FROM scored
+) WHERE rk <= 5
 """,
 )
 def sim_topk(spark, sf_dir):
     """U3: brute-force cosine top-k — the exact ANN baseline.  The query set
     broadcasts; the corpus streams once with no shuffle; per-query top-k via
     window.  At 100 TB the same plan holds (broadcast queries × scan), with
-    IVF/LSH pruning the scan (ann_* variants)."""
+    IVF/LSH pruning the scan (ann_ivf_topk).  Ranking is on the rounded
+    score (tie-break n_id) so sub-ulp engine noise can't flip the cutoff."""
     e = t(spark, sf_dir, "embeddings")
     qs = _with_norm(e.filter(F.col("vec_id") < 10)).select(
         F.col("vec_id").alias("q_id"),
@@ -371,14 +375,14 @@ def sim_topk(spark, sf_dir):
         F.col("_norm").alias("cn"),
     )
     cos = _dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), "n_id")
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_r"), "n_id")
     return (
         c.crossJoin(F.broadcast(qs))
         .filter(F.col("n_id") != F.col("q_id"))
-        .withColumn("cos", cos)
+        .withColumn("cos_r", r6(cos))
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 5)
-        .select("q_id", "n_id", "rk", r6(F.col("cos")).alias("cos_r"))
+        .select("q_id", "n_id", "rk", "cos_r")
     )
 
 
@@ -519,4 +523,98 @@ def text_fingerprint(spark, sf_dir):
         F.substring(
             F.md5(F.lower(F.regexp_replace("text", r"\s+", " "))), 1, 16
         ).alias("fp"),
+    )
+
+
+# ---------------------------------------------------- IVF similarity search
+
+def _cos_sql_pair(xa: str, xb: str) -> str:
+    """Cosine between two embedding column references, double math, fixed
+    fold order (ascending dim) — identical in both engines."""
+    def dot(u, v):
+        return (
+            f"list_sum(list_transform(generate_series(1, 64), "
+            f"i -> {u}[i]::DOUBLE * {v}[i]::DOUBLE))"
+        )
+
+    return f"{dot(xa, xb)} / (sqrt({dot(xa, xa)}) * sqrt({dot(xb, xb)}))"
+
+
+@q(
+    "ann_ivf_topk",
+    f"""
+WITH cent AS (
+  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id % 100 = 0
+), assign AS (
+  SELECT vec_id, c_id FROM (
+    SELECT a.vec_id, c.c_id,
+           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+             (round({_cos_sql_pair('a.embedding', 'c.c_emb')} + 1e-9, 6) + 0.0) DESC,
+             c.c_id) AS rn
+    FROM embeddings a CROSS JOIN cent c
+  ) WHERE rn = 1
+), qset AS (
+  SELECT vec_id AS q_id, c_id FROM assign WHERE vec_id < 10
+), cand AS (
+  SELECT qset.q_id, v.vec_id AS n_id
+  FROM qset JOIN assign v ON v.c_id = qset.c_id AND v.vec_id <> qset.q_id
+), scored AS (
+  SELECT cand.q_id, cand.n_id,
+         (round({_cos_sql_pair('a.embedding', 'b.embedding')} + 1e-9, 6) + 0.0) AS cos_r
+  FROM cand JOIN embeddings a ON a.vec_id = cand.q_id
+            JOIN embeddings b ON b.vec_id = cand.n_id
+)
+SELECT q_id, n_id, rk, cos_r FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_r DESC, n_id) AS rk
+  FROM scored
+) WHERE rk <= 3
+""",
+)
+def ann_ivf_topk(spark, sf_dir):
+    """IVF-style ANN: the 100 TB scale path for similarity search.
+
+    Deterministic "trained" centroids = every 100th vector.  Phase 1 assigns
+    each corpus vector to its nearest centroid (centroids broadcast, corpus
+    streams — shuffle-free).  Phase 2 searches ONLY the query's cluster:
+    the scan shrinks by the fan-out factor versus brute force (sim_topk),
+    which is exactly how IVF indexes trade recall for scan cost.  All
+    ranking on rounded scores with id tie-breaks (cross-engine stable).
+    """
+    e = t(spark, sf_dir, "embeddings")
+    en = _with_norm(e)
+    cent = en.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("_norm").alias("c_norm"),
+    )
+    cos_vc = _dot(F.col("embedding"), F.col("c_emb")) / (
+        F.col("_norm") * F.col("c_norm")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cos_r"), "c_id")
+    assign = (
+        en.crossJoin(F.broadcast(cent))
+        .withColumn("cos_r", r6(cos_vc))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "c_id")
+    )
+    qset = assign.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "c_id"
+    )
+    cand = qset.join(assign.withColumnRenamed("vec_id", "n_id"), "c_id").filter(
+        F.col("n_id") != F.col("q_id")
+    )
+    qa = en.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe"),
+                   F.col("_norm").alias("qn"))
+    na = en.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("ne"),
+                   F.col("_norm").alias("nn"))
+    cos_qn = _dot(F.col("qe"), F.col("ne")) / (F.col("qn") * F.col("nn"))
+    w_rank = Window.partitionBy("q_id").orderBy(F.desc("cos_r"), "n_id")
+    return (
+        cand.join(F.broadcast(qa), "q_id")
+        .join(na, "n_id")
+        .withColumn("cos_r", r6(cos_qn))
+        .withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") <= 3)
+        .select("q_id", "n_id", "rk", "cos_r")
     )

@@ -439,20 +439,26 @@ WITH s AS (
   SELECT metric, tag_user, sum(value) AS sv FROM ({SQL_POINTS})
   GROUP BY metric, tag_user
 )
-SELECT metric, tag_user, (round(sv + 1e-9, 4) + 0.0) AS sum_v_r, rk FROM (
-  SELECT *, row_number() OVER (ORDER BY sv DESC, metric, tag_user) AS rk FROM s
+SELECT metric, tag_user, sum_v_r, rk FROM (
+  SELECT metric, tag_user, sum_v_r,
+         row_number() OVER (ORDER BY sum_v_r DESC, metric, tag_user) AS rk
+  FROM (SELECT metric, tag_user, (round(sv + 1e-9, 4) + 0.0) AS sum_v_r FROM s)
 ) WHERE rk <= 5
 """,
 )
 def topk_series_by_sum(spark, sf_dir):
-    """L3: global top-k series by summed value (rank ties broken by key)."""
+    """L3: global top-k series by summed value.
+
+    Ranking happens on the *rounded* sum (ties then broken by key) so a
+    sub-ulp cross-engine difference between two near-equal sums can never
+    flip the cutoff — the same stabilization the scalar outputs use."""
     p = points(spark, sf_dir)
-    s = p.groupBy("metric", "tag_user").agg(F.sum("value").alias("sv"))
-    w = Window.orderBy(F.desc("sv"), "metric", "tag_user")
+    s = p.groupBy("metric", "tag_user").agg(r4(F.sum("value")).alias("sum_v_r"))
+    w = Window.orderBy(F.desc("sum_v_r"), "metric", "tag_user")
     return (
         s.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 5)
-        .select("metric", "tag_user", r4(F.col("sv")).alias("sum_v_r"), "rk")
+        .select("metric", "tag_user", "sum_v_r", "rk")
     )
 
 
@@ -597,4 +603,131 @@ def stream_session(spark, sf_dir):
             "n_events",
             "sum_v_r",
         )
+    )
+
+
+# --------------------------------------- §2.4 first/last + extra aggregators
+
+@q(
+    "downsample_first",
+    f"SELECT metric, tag_user, {bucket_ms_sql(HOUR_MS)} AS bucket_ms, "
+    f"arg_min(value, ts_us) AS first_v FROM ({SQL_POINTS}) "
+    "GROUP BY metric, tag_user, bucket_ms",
+)
+def downsample_first(spark, sf_dir):
+    """W1 `first` agg: earliest point per bucket — `min_by`/`arg_min` keeps
+    it a single hash aggregation (no window, no sort)."""
+    p = points(spark, sf_dir).withColumn(
+        "bucket_ms", bucket_ms_long(F.col("ts_us"), HOUR_MS)
+    )
+    return p.groupBy("metric", "tag_user", "bucket_ms").agg(
+        F.expr("min_by(value, ts_us)").alias("first_v")
+    )
+
+
+@q(
+    "downsample_last",
+    f"SELECT metric, tag_user, {bucket_ms_sql(HOUR_MS)} AS bucket_ms, "
+    f"arg_max(value, ts_us) AS last_v FROM ({SQL_POINTS}) "
+    "GROUP BY metric, tag_user, bucket_ms",
+)
+def downsample_last(spark, sf_dir):
+    """W1 `last` agg: latest point per bucket."""
+    p = points(spark, sf_dir).withColumn(
+        "bucket_ms", bucket_ms_long(F.col("ts_us"), HOUR_MS)
+    )
+    return p.groupBy("metric", "tag_user", "bucket_ms").agg(
+        F.expr("max_by(value, ts_us)").alias("last_v")
+    )
+
+
+@q("agg_dev", _agg_oracle("(round(stddev_samp(value) + 1e-9, 4) + 0.0)", "dev_r"))
+def agg_dev(spark, sf_dir):
+    """OpenTSDB `dev` aggregator (sample stddev) per metric-day."""
+    return _merged_daily(spark, sf_dir, "dev", "dev_r")
+
+
+@q(
+    "agg_percentile",
+    f"SELECT metric, (round(quantile_cont(value, 0.9) + 1e-9, 4) + 0.0) AS p90_r "
+    f"FROM ({SQL_POINTS}) GROUP BY metric",
+)
+def agg_percentile(spark, sf_dir):
+    """Exact interpolated percentile (OpenTSDB pNN family).  The exact form
+    is the oracle-checkable twin; at 100 TB one switches to
+    `percentile_approx` (single-pass sketch, mergeable map-side)."""
+    p = points(spark, sf_dir)
+    return p.groupBy("metric").agg(
+        r4(F.expr("percentile(value, 0.9)")).alias("p90_r")
+    )
+
+
+# ------------------------------------------- rolling/cumulative series math
+
+_WIN_SQL = "PARTITION BY metric, tag_user ORDER BY ts_us, event_id"
+
+
+@q(
+    "window_moving_avg",
+    f"SELECT metric, tag_user, ts_us, "
+    f"(round(avg(value) OVER ({_WIN_SQL} ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) "
+    f"+ 1e-9, 4) + 0.0) AS mavg_r FROM ({SQL_POINTS})",
+)
+def window_moving_avg(spark, sf_dir):
+    """5-point trailing moving average per series — the TSDB smoothing
+    primitive.  One shuffle on the series key; sorted single pass within."""
+    p = points(spark, sf_dir)
+    w = (
+        Window.partitionBy("metric", "tag_user")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    return p.select(
+        "metric", "tag_user", "ts_us", r4(F.avg("value").over(w)).alias("mavg_r")
+    )
+
+
+@q(
+    "window_cumsum",
+    f"SELECT metric, tag_user, ts_us, "
+    f"(round(sum(value) OVER ({_WIN_SQL} ROWS UNBOUNDED PRECEDING) + 1e-9, 4) + 0.0) "
+    f"AS csum_r FROM ({SQL_POINTS})",
+)
+def window_cumsum(spark, sf_dir):
+    """Per-series running total (gauge→counter inversion; the operator dual
+    of rate).  Deterministic accumulation order ⇒ bit-stable cross-engine."""
+    p = points(spark, sf_dir)
+    w = (
+        Window.partitionBy("metric", "tag_user")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return p.select(
+        "metric", "tag_user", "ts_us", r4(F.sum("value").over(w)).alias("csum_r")
+    )
+
+
+@q(
+    "meta_page",
+    f"""
+SELECT metric, tag_user, pg FROM (
+  SELECT metric, tag_user,
+         row_number() OVER (ORDER BY metric, tag_user) AS rn,
+         ((row_number() OVER (ORDER BY metric, tag_user) - 1) // 10) AS pg
+  FROM (SELECT DISTINCT metric, tag_user FROM ({SQL_POINTS}))
+) WHERE rn BETWEEN 11 AND 20
+""",
+)
+def meta_page(spark, sf_dir):
+    """M3 paging: page 2 (rows 11–20) of the ordered series listing —
+    mycenae's paginated `/keysets/{{ks}}/meta`."""
+    from mycenae_spark.catalog import build_catalog
+
+    cat = build_catalog(points(spark, sf_dir))
+    w = Window.orderBy("metric", "tag_user")
+    return (
+        cat.withColumn("rn", F.row_number().over(w))
+        .withColumn("pg", ((F.col("rn") - 1) / 10).cast("long"))
+        .filter((F.col("rn") >= 11) & (F.col("rn") <= 20))
+        .select("metric", "tag_user", "pg")
     )
