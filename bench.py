@@ -42,6 +42,10 @@ HEADLINE = [
     "dedup_minhash_pairs",
     "dedup_simhash",
     "sim_topk",
+    "ann_ivf_topk",
+    "window_cumsum",
+    "agg_percentile",
+    "tsdb_pipeline_expression",
     "text_tokens",
     "text_quality",
 ]

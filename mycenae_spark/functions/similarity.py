@@ -1,0 +1,96 @@
+"""Embedding similarity search (build brief): exact brute-force top-k and
+IVF-bucketed ANN, over ``array<float>`` columns with double math.
+
+Dot products use ``zip_with`` + ``aggregate`` (JVM higher-order functions,
+fixed left-to-right fold) — no UDF, deterministic summation order, so the
+DuckDB oracle reproduces values bit-for-bit before rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+import pyspark.sql.functions as F
+
+
+def dot(x: Column, y: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(x, y, lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(x: Column) -> Column:
+    return F.sqrt(dot(x, x))
+
+
+def with_norm(df: DataFrame, emb_col: str = "embedding", out: str = "_norm") -> DataFrame:
+    return df.withColumn(out, norm(F.col(emb_col)))
+
+
+def cosine(xa: Column, xb: Column, na: Column, nb: Column) -> Column:
+    return dot(xa, xb) / (na * nb)
+
+
+def brute_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    score_rounder=None,
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the query set against one corpus scan
+    (no corpus shuffle), rank per query.  Returns (q_id, n_id, rk, cos_r).
+
+    ``score_rounder`` (Column→Column) stabilizes ranking — rank on the
+    rounded score with id tie-break so float noise can't flip the cutoff.
+    """
+    rounder = score_rounder or (lambda c: c)
+    qs = with_norm(queries, emb_col).select(
+        F.col(id_col).alias("q_id"),
+        F.col(emb_col).alias("_qe"),
+        F.col("_norm").alias("_qn"),
+    )
+    c = with_norm(corpus, emb_col).select(
+        F.col(id_col).alias("n_id"),
+        F.col(emb_col).alias("_ce"),
+        F.col("_norm").alias("_cn"),
+    )
+    cos = cosine(F.col("_qe"), F.col("_ce"), F.col("_qn"), F.col("_cn"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_r"), "n_id")
+    return (
+        c.crossJoin(F.broadcast(qs))
+        .filter(F.col("n_id") != F.col("q_id"))
+        .withColumn("cos_r", rounder(cos))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "n_id", "rk", "cos_r")
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    score_rounder=None,
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (centroids broadcast —
+    shuffle-free over the corpus).  Returns (id_col, c_id)."""
+    rounder = score_rounder or (lambda c: c)
+    en = with_norm(corpus, emb_col)
+    cent = with_norm(centroids, emb_col).select(
+        F.col(id_col).alias("c_id"),
+        F.col(emb_col).alias("_ce"),
+        F.col("_norm").alias("_cn"),
+    )
+    cos = cosine(F.col(emb_col), F.col("_ce"), F.col("_norm"), F.col("_cn"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("_cos_r"), "c_id")
+    return (
+        en.crossJoin(F.broadcast(cent))
+        .withColumn("_cos_r", rounder(cos))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "c_id")
+    )

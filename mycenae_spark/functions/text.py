@@ -1,0 +1,90 @@
+"""Text-analysis column builders (build brief: lang-id, quality scoring,
+token counting, fingerprinting) — pure built-in expressions, so they run
+inside WholeStageCodegen and stay DuckDB-checkable.
+
+All builders take/return Columns so they compose into any DataFrame program
+(the registry's declared queries are thin wrappers over these).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+import pyspark.sql.functions as F
+
+#: Minimal per-language stopword profiles for the lang-id heuristic.  A real
+#: deployment swaps these for character-n-gram profiles; the plan shape
+#: (per-doc set intersections) is identical.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "es": ["el", "la", "de", "y", "que"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "de", "et", "est"],
+}
+
+#: BPE-ish segmentation: letter runs | digit runs | single punctuation.
+BPE_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization (single-space corpus convention)."""
+    return F.split(text, " ")
+
+
+def shingles(toks: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles as space-joined strings; [] when len < n.
+
+    Guarded with ``when``: Spark's ``sequence(1, 0)`` counts *down* to
+    ``[1, 0]``, so an unguarded short document would index out of bounds
+    (an ANSI-mode error), not produce an empty list.
+    """
+    toks = F.col(toks) if isinstance(toks, str) else toks
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    built = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + off) for off in range(n)]),
+    )
+    empty = F.array().cast("array<string>")
+    return F.when(F.size(toks) >= n, built).otherwise(empty)
+
+
+def stopword_overlap(toks: Column | str, lang: str) -> Column:
+    """#distinct tokens ∩ the language's stopword set."""
+    return F.size(
+        F.array_intersect(
+            F.array_distinct(toks), F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        )
+    )
+
+
+def langid(toks: Column | str) -> Column:
+    """Argmax stopword overlap with deterministic priority on ties."""
+    s = {lang: stopword_overlap(toks, lang) for lang in STOPWORDS}
+    return (
+        F.when((s["en"] >= s["es"]) & (s["en"] >= s["de"]) & (s["en"] >= s["fr"]), "en")
+        .when((s["es"] >= s["de"]) & (s["es"] >= s["fr"]), "es")
+        .when(s["de"] >= s["fr"], "de")
+        .otherwise("fr")
+    )
+
+
+def token_count_ws(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def token_count_bpe(text: Column | str) -> Column:
+    return F.regexp_count(text, F.lit(BPE_REGEX))
+
+
+def fingerprint(text: Column | str, length: int = 16) -> Column:
+    """md5 over whitespace-normalized lowercased text — the groupable
+    stand-in for a rolling content hash."""
+    return F.substring(
+        F.md5(F.lower(F.regexp_replace(text, r"\s+", " "))), 1, length
+    )
+
+
+def quality_score(toks: Column | str) -> Column:
+    """Length + English-stopword-coverage composite in [0, 1]."""
+    n_tok = F.size(F.col(toks) if isinstance(toks, str) else toks)
+    stop_cov = stopword_overlap(toks, "en") / F.lit(float(len(STOPWORDS["en"])))
+    return F.least(F.lit(1.0), n_tok / F.lit(100.0)) * 0.5 + stop_cov * 0.5

@@ -91,6 +91,12 @@ def plan(points: DataFrame, q: TsdbQuery) -> DataFrame:
     clustering-range read); ``order`` only permutes the math stages, exactly
     as mycenae's ``order`` field does (SURVEY.md §2.4 W7).
     """
+    # Tag values are strings in the data model (SURVEY.md §1.1); sources
+    # that surface typed tag columns (events.user_id) are normalized here so
+    # every filter type (wildcard/regexp/...) applies uniformly.
+    for c, dt in points.dtypes:
+        if c.startswith("tag_") and dt != "string":
+            points = points.withColumn(c, F.col(c).cast("string"))
     df = points.filter(F.col("metric") == q.metric).filter(
         flt.time_range(F.col("ts_us"), q.start_ms * 1000, q.end_ms * 1000)
     )

@@ -72,27 +72,12 @@ _SIG_COLS_SQL = ", ".join(
 _SIGS_SQL = f"SELECT doc_id, {_SIG_COLS_SQL} FROM ({_SHINGLES_SQL})"
 
 
-def _shingles_df(spark, sf_dir, ngram: int = 3):
-    d = t(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("toks")
-    )
-    d = d.filter(F.size("toks") >= ngram)
-    idx = F.sequence(F.lit(1), F.size("toks") - (ngram - 1))
-    mk = lambda i: F.concat_ws(
-        " ", *[F.element_at("toks", i + off) for off in range(ngram)]
-    )
-    return d.select("doc_id", F.transform(idx, mk).alias("shingles"))
-
-
 def _sigs_df(spark, sf_dir):
-    sh = _shingles_df(spark, sf_dir)
-    cols = [
-        F.array_min(
-            F.transform("shingles", lambda s: F.md5(F.concat(F.lit(f"{b}|"), s)))
-        ).alias(f"sig{b}")
-        for b in range(N_BANDS)
-    ]
-    return sh.select("doc_id", *cols)
+    from mycenae_spark.functions.dedup import minhash_signatures
+
+    return minhash_signatures(
+        t(spark, sf_dir, "documents"), "doc_id", "text", n_bands=N_BANDS, ngram=3
+    )
 
 
 @q("dedup_near_signature", _SIGS_SQL)
@@ -122,43 +107,9 @@ def dedup_minhash_pairs(spark, sf_dir):
     whole shingle+md5 pipeline on both branches — measured 60× slower at
     sf0.1.  Shuffle ∝ #docs × #bands, never #docs²; that asymmetry is the
     whole point of LSH at corpus scale."""
-    sigs = _sigs_df(spark, sf_dir)
-    bands = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"), F.col(f"sig{b}").alias("sig")
-                    )
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("bs"),
-    ).select("doc_id", "bs.band", "bs.sig")
-    buckets = (
-        bands.groupBy("band", "sig")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
-    pairs = buckets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    "ids",
-                    lambda a, i: F.transform(
-                        F.slice(
-                            "ids", i + F.lit(2), F.size("ids")
-                        ),
-                        lambda bb: F.struct(
-                            a.alias("doc_a"), bb.alias("doc_b")
-                        ),
-                    ),
-                )
-            )
-        ).alias("p")
-    )
-    return pairs.select("p.doc_a", "p.doc_b").distinct()
+    from mycenae_spark.functions.dedup import lsh_candidate_pairs
+
+    return lsh_candidate_pairs(_sigs_df(spark, sf_dir), "doc_id", n_bands=N_BANDS)
 
 
 # --------------------------------------------------------- n-gram Jaccard
@@ -193,38 +144,11 @@ def dedup_ngram_jaccard(spark, sf_dir):
     |A∪B| = |A|+|B|−common.  Shuffle ∝ postings, pairs materialize only for
     docs sharing ≥1 shingle (bounded doc_id<300 slice for the declared
     query; the operator itself is corpus-size-agnostic)."""
-    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300).select(
-        "doc_id", F.split("text", " ").alias("toks")
-    ).filter(F.size("toks") >= 2)
-    idx = F.sequence(F.lit(1), F.size("toks") - 1)
-    grams = F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", F.element_at("toks", i), F.element_at("toks", i + 1)
-            ),
-        )
-    )
-    g = d.select("doc_id", grams.alias("grams"))
-    sizes = g.select("doc_id", F.size("grams").alias("sz"))
-    inv = g.select("doc_id", F.explode("grams").alias("gram"))
-    a = inv.select(F.col("doc_id").alias("doc_a"), "gram")
-    b = inv.select(F.col("doc_id").alias("doc_b"), "gram")
-    common = (
-        a.join(b, "gram")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sa"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sb"))
-    jac = F.col("c") / (F.col("sa") + F.col("sb") - F.col("c"))
-    return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(jac >= 0.05)
-        .select("doc_a", "doc_b", r6(jac).alias("jaccard_r"))
-    )
+    from mycenae_spark.functions.dedup import ngram_jaccard_pairs
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", ngram=2, threshold=0.05)
+    return pairs.select("doc_a", "doc_b", r6(F.col("jaccard")).alias("jaccard_r"))
 
 
 # ----------------------------------------------------------------- simhash
@@ -251,38 +175,9 @@ def dedup_simhash(spark, sf_dir):
     hash = first 8 hex chars of md5 (identical in both engines); near-dups
     then cluster by Hamming distance on the signature.  Shuffle is two
     hash-aggregations — no pairwise work."""
-    d = t(spark, sf_dir, "documents").select(
-        "doc_id", F.explode(F.split("text", " ")).alias("tok")
-    )
-    h = d.select(
-        "doc_id", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long").alias("h")
-    )
-    n = h.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    js = spark.range(32).select(F.col("id").cast("int").alias("j"))
-    bits = (
-        h.crossJoin(F.broadcast(js))
-        .select(
-            "doc_id",
-            "j",
-            (F.floor(F.col("h") / F.pow(F.lit(2.0), F.col("j"))).cast("long") % 2).alias(
-                "bit"
-            ),
-        )
-        .groupBy("doc_id", "j")
-        .agg(F.sum("bit").alias("c"))
-    )
-    return (
-        bits.join(n, "doc_id")
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(
-                    2 * F.col("c") > F.col("n"),
-                    F.pow(F.lit(2.0), F.col("j")).cast("long"),
-                ).otherwise(F.lit(0))
-            ).alias("simhash")
-        )
-    )
+    from mycenae_spark.functions.dedup import simhash
+
+    return simhash(t(spark, sf_dir, "documents"), "doc_id", "text", bits=32)
 
 
 # ------------------------------------------------------- embedding near-dup
@@ -295,16 +190,8 @@ _COS_SQL = (
 )
 
 
-def _dot(x, y):
-    return F.aggregate(
-        F.zip_with(x, y, lambda p, qq: p.cast("double") * qq.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-
-
-def _with_norm(df):
-    return df.withColumn("_norm", F.sqrt(_dot(F.col("embedding"), F.col("embedding"))))
+from mycenae_spark.functions.similarity import dot as _dot  # noqa: E402
+from mycenae_spark.functions.similarity import with_norm as _with_norm  # noqa: E402
 
 
 @q(
@@ -363,26 +250,11 @@ def sim_topk(spark, sf_dir):
     window.  At 100 TB the same plan holds (broadcast queries × scan), with
     IVF/LSH pruning the scan (ann_ivf_topk).  Ranking is on the rounded
     score (tie-break n_id) so sub-ulp engine noise can't flip the cutoff."""
+    from mycenae_spark.functions.similarity import brute_topk
+
     e = t(spark, sf_dir, "embeddings")
-    qs = _with_norm(e.filter(F.col("vec_id") < 10)).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("qe"),
-        F.col("_norm").alias("qn"),
-    )
-    c = _with_norm(e).select(
-        F.col("vec_id").alias("n_id"),
-        F.col("embedding").alias("ce"),
-        F.col("_norm").alias("cn"),
-    )
-    cos = _dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos_r"), "n_id")
-    return (
-        c.crossJoin(F.broadcast(qs))
-        .filter(F.col("n_id") != F.col("q_id"))
-        .withColumn("cos_r", r6(cos))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 5)
-        .select("q_id", "n_id", "rk", "cos_r")
+    return brute_topk(
+        e, e.filter(F.col("vec_id") < 10), k=5, score_rounder=r6
     )
 
 
@@ -413,22 +285,17 @@ FROM documents
 )
 def text_token_count(spark, sf_dir):
     """Token counting: whitespace tokens + a BPE-ish regex segmentation."""
+    from mycenae_spark.functions.text import token_count_bpe, token_count_ws
+
     d = t(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        F.size(F.split("text", " ")).alias("n_ws"),
-        F.regexp_count("text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")).alias(
-            "n_bpe"
-        ),
+        token_count_ws("text").alias("n_ws"),
+        token_count_bpe("text").alias("n_bpe"),
     )
 
 
-_STOPS = {
-    "en": ["the", "a", "of", "and", "to"],
-    "es": ["el", "la", "de", "y", "que"],
-    "de": ["der", "die", "das", "und", "ist"],
-    "fr": ["le", "la", "de", "et", "est"],
-}
+from mycenae_spark.functions.text import STOPWORDS as _STOPS  # noqa: E402
 
 
 def _stop_sql(lang: str) -> str:
@@ -453,26 +320,10 @@ def text_langid(spark, sf_dir):
     """Language-ID heuristic: stopword-overlap argmax (deterministic
     priority order on ties).  A real system swaps the wordlists for n-gram
     profiles; the plan shape (per-doc set intersections) is identical."""
-    d = t(spark, sf_dir, "documents").select(
-        "doc_id", "lang", F.split("text", " ").alias("toks")
-    )
-    s = {
-        lang: F.size(
-            F.array_intersect(
-                F.array_distinct("toks"), F.array(*[F.lit(w) for w in ws])
-            )
-        )
-        for lang, ws in _STOPS.items()
-    }
-    pred = (
-        F.when(
-            (s["en"] >= s["es"]) & (s["en"] >= s["de"]) & (s["en"] >= s["fr"]), "en"
-        )
-        .when((s["es"] >= s["de"]) & (s["es"] >= s["fr"]), "es")
-        .when(s["de"] >= s["fr"], "de")
-        .otherwise("fr")
-    )
-    return d.select("doc_id", "lang", pred.alias("pred_lang"))
+    from mycenae_spark.functions.text import langid, tokens
+
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", langid(tokens("text")).alias("pred_lang"))
 
 
 @q(
@@ -488,24 +339,18 @@ FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents)
 )
 def text_quality(spark, sf_dir):
     """Quality scoring: length + stopword-coverage composite in [0,1]."""
+    from mycenae_spark.functions.text import quality_score, stopword_overlap, tokens
+
     d = t(spark, sf_dir, "documents").select(
-        "doc_id", "n_chars", F.split("text", " ").alias("toks")
-    )
-    stop_en = F.size(
-        F.array_intersect(
-            F.array_distinct("toks"), F.array(*[F.lit(w) for w in _STOPS["en"]])
-        )
+        "doc_id", "n_chars", tokens("text").alias("toks")
     )
     n_tok = F.size("toks")
     return d.select(
         "doc_id",
         n_tok.alias("n_tokens"),
         r6(F.col("n_chars").cast("double") / n_tok).alias("chars_per_tok_r"),
-        r6(stop_en / F.lit(5.0)).alias("stop_cov_r"),
-        r6(
-            F.least(F.lit(1.0), n_tok / F.lit(100.0)) * 0.5
-            + (stop_en / F.lit(5.0)) * 0.5
-        ).alias("quality_r"),
+        r6(stopword_overlap("toks", "en") / F.lit(5.0)).alias("stop_cov_r"),
+        r6(quality_score("toks")).alias("quality_r"),
     )
 
 
@@ -517,13 +362,10 @@ def text_quality(spark, sf_dir):
 def text_fingerprint(spark, sf_dir):
     """Document fingerprint: md5 over whitespace-normalized lowercased text
     (the groupable stand-in for a rolling content hash)."""
+    from mycenae_spark.functions.text import fingerprint
+
     d = t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        F.substring(
-            F.md5(F.lower(F.regexp_replace("text", r"\s+", " "))), 1, 16
-        ).alias("fp"),
-    )
+    return d.select("doc_id", fingerprint("text").alias("fp"))
 
 
 # ---------------------------------------------------- IVF similarity search
@@ -580,23 +422,12 @@ def ann_ivf_topk(spark, sf_dir):
     which is exactly how IVF indexes trade recall for scan cost.  All
     ranking on rounded scores with id tie-breaks (cross-engine stable).
     """
+    from mycenae_spark.functions.similarity import ivf_assign
+
     e = t(spark, sf_dir, "embeddings")
     en = _with_norm(e)
-    cent = en.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("c_id"),
-        F.col("embedding").alias("c_emb"),
-        F.col("_norm").alias("c_norm"),
-    )
-    cos_vc = _dot(F.col("embedding"), F.col("c_emb")) / (
-        F.col("_norm") * F.col("c_norm")
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cos_r"), "c_id")
-    assign = (
-        en.crossJoin(F.broadcast(cent))
-        .withColumn("cos_r", r6(cos_vc))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "c_id")
+    assign = ivf_assign(
+        e, e.filter(F.col("vec_id") % 100 == 0), score_rounder=r6
     )
     qset = assign.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), "c_id"
