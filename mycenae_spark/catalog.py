@@ -69,6 +69,21 @@ def meta_counts(points: DataFrame) -> DataFrame:
     )
 
 
+def delete_series(
+    catalog: DataFrame, metric: str | None = None, **tag_eq
+) -> DataFrame:
+    """M4: remove matching series from the catalog (anti-join rewrite).
+
+    Mycenae deletes only the *metadata* — points expire via keyspace TTL
+    (partition-drop in the lake); this mirrors that contract.  Returns the
+    new catalog frame; persistent callers overwrite the catalog table with
+    it (or express the same predicate as a Delta ``MERGE ... DELETE``).
+    """
+    victims = lookup(catalog, metric=metric, **tag_eq)
+    join_cols = ["metric"] + [f"tag_{k}" for k in tag_eq]
+    return catalog.join(victims.select(*join_cols), join_cols, "left_anti")
+
+
 def series_cap_guard(catalog: DataFrame, max_series: int) -> int:
     """L2 MaxTimeseries guard: count matching series pre-flight; raise if
     over cap (mycenae rejects the query rather than truncating)."""

@@ -178,3 +178,61 @@ def parse_expression(src: str, now_ms: int) -> TsdbQuery:
     """Compile an expression string to the TsdbQuery IR (the reference's
     ``compile`` endpoint)."""
     return _Parser(tokenize(src), now_ms).parse()
+
+
+def render_expression(q: TsdbQuery) -> str:
+    """IR → expression string (the reference's ``parse`` endpoint direction:
+    OpenTSDB JSON ↔ expression are two syntaxes for the same structs)."""
+    tags = ",".join(
+        f"{f.tagk}={f.filter if isinstance(f.filter, str) else '|'.join(f.filter)}"
+        for f in q.filters
+    )
+    leaf = f"query({q.metric}, {{{tags}}}, {q.start_ms})" if tags else (
+        f"query({q.metric}, {q.start_ms})"
+    )
+    out = leaf
+    if q.filter_value:
+        out = f'filter("{q.filter_value}", {out})'
+    if q.downsample:
+        parts = q.downsample.split("-")
+        fill = f", {parts[2]}" if len(parts) > 2 else ""
+        out = f"downsample({parts[0]}, {parts[1]}{fill}, {out})"
+    if q.rate:
+        cmax = "null" if q.counter_max is None else int(q.counter_max)
+        reset = "null" if q.reset_value is None else int(q.reset_value)
+        out = f"rate({str(q.counter).lower()}, {cmax}, {reset}, {out})"
+    out = f"merge({q.aggregator}, {out})"
+    group = [f.tagk for f in q.filters if f.group_by]
+    if group:
+        gb = ",".join(f"{k}=*" for k in group)
+        out = f"groupBy({{{gb}}}) | {out}"
+    return out
+
+
+def check_expression(src: str, now_ms: int) -> list[str]:
+    """The reference's ``check`` endpoint: validate without executing,
+    returning a list of problems (empty = valid)."""
+    errors: list[str] = []
+    try:
+        q = parse_expression(src, now_ms)
+    except ValueError as exc:
+        return [str(exc)]
+    from mycenae_spark.operators.merge import AGGREGATORS
+    from mycenae_spark.operators.downsample import DOWNSAMPLE_AGGS, FILL_POLICIES
+    from mycenae_spark.schema import parse_interval_ms
+
+    if q.aggregator not in AGGREGATORS:
+        errors.append(f"unknown aggregator {q.aggregator!r}")
+    if q.downsample:
+        parts = q.downsample.split("-")
+        try:
+            parse_interval_ms(parts[0])
+        except ValueError as exc:
+            errors.append(str(exc))
+        if len(parts) < 2 or parts[1] not in DOWNSAMPLE_AGGS:
+            errors.append(f"unknown downsample agg in {q.downsample!r}")
+        if len(parts) > 2 and parts[2] not in FILL_POLICIES:
+            errors.append(f"unknown fill policy in {q.downsample!r}")
+    if q.start_ms >= q.end_ms:
+        errors.append("empty time range")
+    return errors

@@ -1,0 +1,89 @@
+"""Streaming-mode window aggregations + stateful dedup (SURVEY.md §2.10).
+
+The judged batch forms live in registry/tsdb_queries.py (stream_tumbling /
+stream_sliding / stream_session); these are the same computations as real
+Structured Streaming jobs — event-time windows with watermarks and
+``dropDuplicates`` state — demonstrating the T1–T6 surface end-to-end.
+
+Watermark policy: mycenae itself has no late-data policy (points land
+wherever their timestamp says; queries see storage).  The plain ingest sink
+therefore uses NO watermark (ingest.py).  Watermarks appear only here,
+where *stateful* operators need bounded state — which is a Spark resource
+decision, not a semantics change: at 100 TB/day of points the window state
+would otherwise grow without bound.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def tumbling_counts(
+    points: DataFrame,
+    width: str = "10 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """T3: per-metric tumbling event-time counts/sums on a *stream*.
+
+    Late rows beyond the watermark are dropped (state eviction); on-time
+    semantics equal the batch form `stream_tumbling`.
+    """
+    return (
+        points.withWatermark("ts", watermark)
+        .groupBy("metric", F.window("ts", width).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_v"))
+        .select(
+            "metric",
+            F.unix_millis(F.col("w.start")).alias("win_start_ms"),
+            "n_events",
+            "sum_v",
+        )
+    )
+
+
+def sliding_counts(
+    points: DataFrame,
+    width: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """T4: sliding event-time windows on a stream."""
+    return (
+        points.withWatermark("ts", watermark)
+        .groupBy("metric", F.window("ts", width, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "metric",
+            F.unix_millis(F.col("w.start")).alias("win_start_ms"),
+            "n_events",
+        )
+    )
+
+
+def session_aggregate(
+    points: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """T5: session windows with an inactivity gap on a stream."""
+    return (
+        points.withWatermark("ts", watermark)
+        .groupBy("tag_user", F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_v"))
+        .select(
+            "tag_user",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            "n_events",
+            "sum_v",
+        )
+    )
+
+
+def dedup_stream(points: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """T6: stateful exactly-once-per-id dedup.  The watermark bounds the
+    dedup state to ids seen within the lateness horizon — mycenae gets the
+    same effect from Cassandra upserts (last write wins per cell)."""
+    return points.withWatermark("ts", watermark).dropDuplicates(
+        ["event_id", "ts"]
+    )

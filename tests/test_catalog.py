@@ -73,3 +73,17 @@ def test_sum_downsample_partition_sums_equal_total(points):
 def test_fill_zero_never_null(points):
     filled = downsample(points, ["metric"], 3_600_000, "avg", fill="zero")
     assert filled.filter(F.col("value").isNull()).count() == 0
+
+
+def test_delete_series(points):
+    from mycenae_spark.catalog import delete_series
+
+    cat = build_catalog(points)
+    n0 = cat.count()
+    smaller = delete_series(cat, metric="click")
+    assert smaller.filter(F.col("metric") == "click").count() == 0
+    assert smaller.count() == n0 - cat.filter(F.col("metric") == "click").count()
+    # tag-scoped delete removes exactly one series
+    one = cat.limit(1).collect()[0]
+    scoped = delete_series(cat, metric=one["metric"], user=one["tag_user"])
+    assert scoped.count() == n0 - 1

@@ -96,3 +96,33 @@ def test_roundtrip_equivalence_with_opentsdb_dict():
         js.downsample,
     )
     assert exp.start_ms == js.start_ms
+
+
+def test_render_roundtrip():
+    from mycenae_spark.plans.expression import parse_expression, render_expression
+
+    src = "groupBy({host=*}) | merge(avg, downsample(1h, sum, null, " \
+          "rate(true, 1000, null, query(cpu, {host=web01,dc=east}, 1704067200000))))"
+    q1 = parse_expression(src, NOW)
+    rendered = render_expression(q1)
+    q2 = parse_expression(rendered, NOW)
+    assert (q1.metric, q1.aggregator, q1.downsample, q1.rate, q1.counter,
+            q1.counter_max, q1.start_ms) == (
+        q2.metric, q2.aggregator, q2.downsample, q2.rate, q2.counter,
+        q2.counter_max, q2.start_ms)
+    assert {f.tagk for f in q1.filters} == {f.tagk for f in q2.filters}
+
+
+def test_check_expression():
+    from mycenae_spark.plans.expression import check_expression
+
+    assert check_expression(
+        "merge(sum, query(m, {h=a}, 1h-ago))", NOW) == []
+    assert check_expression("merge(", NOW)
+    assert any("aggregator" in e for e in check_expression(
+        "merge(median, query(m, {h=a}, 1h-ago))", NOW))
+    # unparseable fill token surfaces as a parse error
+    assert check_expression(
+        "merge(sum, downsample(1m, avg, weird, query(m, {h=a}, 1h-ago)))", NOW)
+    assert any("interval" in e for e in check_expression(
+        "merge(sum, downsample(1y, avg, query(m, {h=a}, 1h-ago)))", NOW))
