@@ -37,7 +37,9 @@ HEADLINE = [
     "join_broadcast",
     "join_asof",
     "join_range",
+    "join_multiway",
     "agg_rollup",
+    "agg_cube",
     "dedup_near_signature",
     "dedup_minhash_pairs",
     "dedup_simhash",

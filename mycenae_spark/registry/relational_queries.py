@@ -405,3 +405,65 @@ def scalar_conditional(spark, sf_dir):
         ),
         F.isnull("value").alias("v_null"),
     )
+
+
+# ------------------------------------------- multiway star join (TPC-H-ish)
+
+@q(
+    "join_multiway",
+    """
+SELECT r.r_name AS region, n.n_name AS nation,
+       count(*) AS n_items,
+       (round(sum(l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 2) + 0.0) AS revenue_r
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE o.o_orderstatus <> 'P'
+GROUP BY region, nation
+""",
+)
+def join_multiway(spark, sf_dir):
+    """TPC-H Q5-shaped star join.  customer/nation/region are true
+    dimensions → explicit broadcast; orders is fact-sized at 100 TB, so its
+    join is left to the planner (AQE broadcasts it at test scale, switches
+    to a key-shuffled join when stats say otherwise — forcing a broadcast
+    hint there would OOM a real cluster).  The fact is scanned once; the
+    final shuffle is the tiny (region, nation) aggregation."""
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "P")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            rN(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue_r"),
+        )
+    )
+
+
+@q(
+    "agg_cube",
+    """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n, (round(avg(l_discount) + 1e-9, 6) + 0.0) AS avg_disc_r
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def agg_cube(spark, sf_dir):
+    """CUBE: all grouping-set combinations in one pass (partial aggregation
+    expands grouping ids map-side; shuffle ∝ Σ per-set group counts)."""
+    l = t(spark, sf_dir, "lineitem")
+    return l.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        rN(F.avg("l_discount"), 6).alias("avg_disc_r"),
+    )

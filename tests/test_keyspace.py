@@ -1,0 +1,66 @@
+"""Keyspace CRUD + TTL partition-drop maintenance (SURVEY.md §1.1)."""
+
+from __future__ import annotations
+
+from datetime import date
+
+import pyspark.sql.functions as F
+import pytest
+
+from mycenae_spark.keyspace import Keyspace, KeyspaceManager
+from mycenae_spark.sources.tables import events_as_points
+
+from tests.conftest import SF_DIR
+
+
+def test_crud(tmp_path):
+    km = KeyspaceManager(str(tmp_path))
+    km.create(Keyspace("ks1", ttl_days=30))
+    km.create(Keyspace("ks2", ttl_days=7))
+    assert km.list() == ["ks1", "ks2"]
+    assert km.get("ks1").ttl_days == 30
+    km.update_ttl("ks1", 60)
+    assert km.get("ks1").ttl_days == 60
+    with pytest.raises(ValueError):
+        km.create(Keyspace("ks1"))
+    km.drop("ks2")
+    assert km.list() == ["ks1"]
+    with pytest.raises(KeyError):
+        km.get("ks2")
+
+
+def test_ttl_partition_drop(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    pts = (
+        events_as_points(spark, SF_DIR)
+        .withColumn("ksid", F.lit("ks1"))
+        .withColumn("date", F.to_date("ts"))
+    )
+    pts.write.partitionBy("ksid", "date").parquet(lake)
+    km = KeyspaceManager(lake)
+    km.create(Keyspace("ks1", ttl_days=10))
+
+    before = spark.read.parquet(lake).count()
+    # events span 2024-01-01..30; TTL=10d from 2024-01-25 keeps >= 01-15
+    dropped = km.apply_ttl("ks1", today=date(2024, 1, 25))
+    assert dropped and all("date=2024-01-0" in p or "date=2024-01-1" in p for p in dropped)
+
+    remaining = spark.read.parquet(lake)
+    assert remaining.count() < before
+    assert remaining.select(F.min(F.col("date"))).collect()[0][0] >= date(2024, 1, 15)
+    # idempotent
+    assert km.apply_ttl("ks1", today=date(2024, 1, 25)) == []
+
+
+def test_drop_keyspace_removes_data(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    pts = events_as_points(spark, SF_DIR).limit(100).withColumn(
+        "ksid", F.lit("ksx")
+    ).withColumn("date", F.to_date("ts"))
+    pts.write.partitionBy("ksid", "date").parquet(lake)
+    km = KeyspaceManager(lake)
+    km.create(Keyspace("ksx", ttl_days=1))
+    km.drop("ksx")
+    import os
+
+    assert not os.path.exists(f"{lake}/ksid=ksx")

@@ -98,3 +98,40 @@ def test_response_shaping(spark):
     # keys are epoch-second strings in ascending order
     keys = [int(k) for k in obj["dps"]]
     assert keys == sorted(keys)
+
+
+def test_response_shaping_nan_fill(spark):
+    import math
+
+    from mycenae_spark.api import render_json
+
+    q = TsdbQuery(
+        metric="purchase", start_ms=0, end_ms=NOW, aggregator="sum",
+        downsample="1h-avg-null",
+    )
+    out = plan(_points(spark), q)
+    payload = shape_response(out, q, nan_fill=True)
+    gaps = [v for g in payload for v in g["dps"].values()
+            if isinstance(v, float) and math.isnan(v)]
+    assert gaps, "expected empty buckets rendered as NaN"
+    text = render_json(payload)
+    assert "NaN" in text and "null" not in text
+
+
+def test_multi_subquery_request(spark):
+    qs = parse_query_request(
+        {
+            "start": 1704067200000,
+            "queries": [
+                {"metric": "click", "aggregator": "count", "downsample": "1d-count"},
+                {"metric": "error", "aggregator": "max", "filterValue": ">100"},
+            ],
+        },
+        NOW,
+    )
+    assert len(qs) == 2
+    outs = [plan(_points(spark), q) for q in qs]
+    payloads = [shape_response(o, q) for o, q in zip(outs, qs)]
+    assert payloads[0][0]["metric"] == "click"
+    assert payloads[1][0]["metric"] == "error"
+    assert all(v > 100 for v in payloads[1][0]["dps"].values())
