@@ -107,3 +107,48 @@ def _fill(
             out_col, F.coalesce(F.col(out_col), F.lit(float("nan")))
         )
     return joined  # fill == "null": left join already produced nulls
+
+
+def fill_linear(
+    agged: DataFrame,
+    series_cols: list[str],
+    interval_ms: int,
+    value_col: str = "value",
+) -> DataFrame:
+    """Linear-interpolation fill over a dense spine (beyond-reference
+    extension; the SURVEY §2.11 U5 'exotic interpolation' example done as
+    pure window composition — no pandas needed, so it stays codegen'd and
+    oracle-checkable).
+
+    Empty buckets between two observed buckets get the time-weighted
+    interpolation; leading/trailing gaps stay null (no extrapolation).
+    Cost: the spine join + two window passes over #buckets rows.
+    """
+    from pyspark.sql import Window
+
+    dense = _fill(agged, series_cols, interval_ms, value_col, "null")
+    w_past = (
+        Window.partitionBy(*series_cols)
+        .orderBy("bucket_ms")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_future = (
+        Window.partitionBy(*series_cols)
+        .orderBy("bucket_ms")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    v = F.col(value_col)
+    obs_bucket = F.when(v.isNotNull(), F.col("bucket_ms"))
+    prev_v = F.last(v, ignorenulls=True).over(w_past)
+    prev_b = F.last(obs_bucket, ignorenulls=True).over(w_past)
+    next_v = F.first(v, ignorenulls=True).over(w_future)
+    next_b = F.first(obs_bucket, ignorenulls=True).over(w_future)
+    lerp = prev_v + (next_v - prev_v) * (
+        (F.col("bucket_ms") - prev_b) / (next_b - prev_b)
+    )
+    filled = (
+        F.when(v.isNotNull(), v)
+        .when(prev_v.isNotNull() & next_v.isNotNull(), lerp)
+        .otherwise(F.lit(None))
+    )
+    return dense.withColumn(value_col, filled)

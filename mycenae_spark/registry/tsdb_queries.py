@@ -769,3 +769,53 @@ def tsdb_pipeline_expression(spark, sf_dir):
     return out.select(
         "metric", "tag_user", "bucket_ms", r4(F.col("value")).alias("value_r")
     )
+
+
+@q(
+    "fill_linear",
+    f"""
+WITH ds AS (
+  SELECT metric, tag_user, {bucket_ms_sql(HOUR_MS)} AS bucket_ms,
+         avg(value) AS v
+  FROM ({SQL_POINTS}) GROUP BY metric, tag_user, bucket_ms
+), ext AS (
+  SELECT metric, tag_user, min(bucket_ms) AS lo, max(bucket_ms) AS hi
+  FROM ds GROUP BY metric, tag_user
+), spine AS (
+  SELECT metric, tag_user, unnest(generate_series(lo, hi, {HOUR_MS})) AS bucket_ms
+  FROM ext
+), dense AS (
+  SELECT s.metric, s.tag_user, s.bucket_ms, d.v
+  FROM spine s LEFT JOIN ds d USING (metric, tag_user, bucket_ms)
+), wins AS (
+  SELECT metric, tag_user, bucket_ms, v,
+    last_value(v IGNORE NULLS) OVER wp AS pv,
+    last_value(CASE WHEN v IS NOT NULL THEN bucket_ms END IGNORE NULLS) OVER wp AS pb,
+    first_value(v IGNORE NULLS) OVER wf AS nv,
+    first_value(CASE WHEN v IS NOT NULL THEN bucket_ms END IGNORE NULLS) OVER wf AS nb
+  FROM dense
+  WINDOW
+    wp AS (PARTITION BY metric, tag_user ORDER BY bucket_ms
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    wf AS (PARTITION BY metric, tag_user ORDER BY bucket_ms
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT metric, tag_user, bucket_ms,
+  (round(CASE
+     WHEN v IS NOT NULL THEN v
+     WHEN pv IS NOT NULL AND nv IS NOT NULL
+       THEN pv + (nv - pv) * ((bucket_ms - pb) / CAST(nb - pb AS DOUBLE))
+     ELSE NULL END + 1e-9, 4) + 0.0) AS value_r
+FROM wins
+""",
+)
+def fill_linear_q(spark, sf_dir):
+    """Linear-interpolation fill between observed 1h buckets (window
+    composition; see operators/downsample.py::fill_linear)."""
+    from mycenae_spark.operators.downsample import fill_linear
+
+    agged = downsample(
+        points(spark, sf_dir), ["metric", "tag_user"], HOUR_MS, "avg", out_col="v"
+    )
+    out = fill_linear(agged, ["metric", "tag_user"], HOUR_MS, value_col="v")
+    return out.select("metric", "tag_user", "bucket_ms", r4(F.col("v")).alias("value_r"))

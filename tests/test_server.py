@@ -1,0 +1,109 @@
+"""HTTP façade end-to-end over real sockets: put → query → suggest →
+expression, mirroring the reference's golden-response test style."""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+
+import pytest
+
+from mycenae_spark.server import serve
+
+BASE_TS = 1704067200000
+
+
+def _req(base, path, body=None):
+    url = f"{base}{path}"
+    data = json.dumps(body).encode() if body is not None else None
+    req = urllib.request.Request(
+        url, data=data, headers={"Content-Type": "application/json"}
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+@pytest.fixture(scope="module")
+def server(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("httplake")
+    httpd, _ = serve(spark, str(d / "lake"), str(d / "catalog"))
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    yield base
+    httpd.shutdown()
+
+
+def test_put_then_query_roundtrip(server):
+    points = [
+        {"metric": "cpu.usage", "tags": {"ksid": "k1", "host": f"h{i % 2}"},
+         "timestamp": BASE_TS + i * 60_000, "value": float(i)}
+        for i in range(10)
+    ] + [
+        {"metric": "bad metric!", "tags": {"ksid": "k1"},
+         "timestamp": BASE_TS, "value": 1.0}
+    ]
+    code, resp = _req(server, "/api/put", points)
+    assert code == 200
+    assert resp == {"success": 10, "failed": 1}
+
+    code, out = _req(
+        server,
+        "/keysets/k1/api/query",
+        {
+            "start": BASE_TS,
+            "end": BASE_TS + 3_600_000,
+            "queries": [
+                {
+                    "metric": "cpu.usage",
+                    "aggregator": "sum",
+                    "downsample": "5m-avg",
+                    "filters": [
+                        {"tagk": "host", "type": "literal_or", "filter": "h0",
+                         "groupBy": True}
+                    ],
+                }
+            ],
+        },
+    )
+    assert code == 200
+    assert len(out) == 1
+    g = out[0]
+    assert g["metric"] == "cpu.usage" and g["tags"] == {"host": "h0"}
+    # h0 = even minutes 0,2,4,6,8 → 5m buckets: {0,2,4}→avg 2, {6,8}→avg 7
+    assert list(g["dps"].values()) == [pytest.approx(2.0), pytest.approx(7.0)]
+
+
+def test_suggest_and_static_endpoints(server):
+    code, metrics = _req(server, "/api/suggest?type=metrics&q=cpu&max=5")
+    assert code == 200 and metrics == ["cpu.usage"]
+    code, aggs = _req(server, "/api/aggregators")
+    assert code == 200 and "sum" in aggs and "p99" in aggs
+    code, filters = _req(server, "/api/config/filters")
+    assert code == 200 and "iwildcard" in filters
+
+
+def test_expression_endpoints(server):
+    code, out = _req(
+        server,
+        "/keysets/k1/api/query/expression?exp="
+        f"merge(max,downsample(5m,avg,query(cpu.usage,{{host=*}},{BASE_TS})))"
+        .replace(" ", "%20"),
+    )
+    assert code == 200
+    assert out and out[0]["metric"] == "cpu.usage"
+    assert out[0]["dps"]
+
+    code, resp = _req(server, "/api/expression/check",
+                      {"exp": "merge(sum, query(m, {a=b}, 1h-ago))"})
+    assert code == 200 and resp["errors"] == []
+    code, resp = _req(server, "/api/expression/check", {"exp": "merge("})
+    assert code == 400 and resp["errors"]
+
+
+def test_error_paths(server):
+    code, resp = _req(server, "/api/nope")
+    assert code == 404
+    code, resp = _req(server, "/keysets/k1/api/query", {"bad": "shape"})
+    assert code == 400 and "error" in resp
