@@ -155,3 +155,78 @@ def ngram_jaccard_pairs(
         .filter(jac >= threshold)
         .select("doc_a", "doc_b", jac.alias("jaccard"))
     )
+
+
+def connected_components(
+    pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b", max_iter: int = 20
+) -> DataFrame:
+    """Cluster near-dup candidate pairs into components: every member gets
+    ``cluster_id`` = the smallest doc id reachable from it.
+
+    Iterative min-label propagation (the scalable path for dedup clustering
+    when the pair graph no longer fits one machine): each round joins labels
+    across edges and keeps the min; converges in O(component diameter)
+    rounds — LSH components are shallow, so this is a handful of shuffles.
+    ``localCheckpoint`` cuts lineage growth per round.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+    )
+    # localCheckpoint materializes `edges`/`labels` with fresh lineage, which
+    # also sidesteps Spark's ambiguous-self-join detection across rounds.
+    edges = edges.localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # 1) hook: pull the min label across direct edges
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+            .withColumnRenamed("src", "nnode")
+        )
+        hooked = labels.join(
+            neighbor_min, labels.node == neighbor_min.nnode, "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+            ).alias("label"),
+        )
+        # 2) pointer-jump: label ← label's label.  Without this the loop
+        # needs O(component diameter) rounds (a 172-node LSH chain broke a
+        # 20-round cap); with it, O(log diameter).
+        ptr = hooked.select(
+            F.col("node").alias("pnode"), F.col("label").alias("plabel")
+        )
+        new_labels = (
+            hooked.join(ptr, hooked.label == ptr.pnode, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("plabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.withColumnRenamed("label", "new_label")
+            .join(labels, "node")
+            .filter(F.col("new_label") != F.col("label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )

@@ -449,3 +449,38 @@ def ann_ivf_topk(spark, sf_dir):
         .filter(F.col("rk") <= 3)
         .select("q_id", "n_id", "rk", "cos_r")
     )
+
+
+# ------------------------------------------------- dedup cluster assignment
+
+@q(
+    "dedup_clusters",
+    f"""
+WITH RECURSIVE pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM (
+    {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, sig{b} AS sig FROM ({_SIGS_SQL})" for b in range(N_BANDS))}
+  ) a JOIN (
+    {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, sig{b} AS sig FROM ({_SIGS_SQL})" for b in range(N_BANDS))}
+  ) b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+), reach(src, dst) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+)
+SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+FROM reach GROUP BY src
+""",
+)
+def dedup_clusters(spark, sf_dir):
+    """Near-dup *clusters* from the LSH candidate pairs: connected
+    components by iterative min-label propagation (functions/dedup.py) —
+    the iterative-algorithm shape Spark runs as a handful of self-joins.
+    Oracle: transitive closure via DuckDB recursive CTE (tiny pair graph)."""
+    from mycenae_spark.functions.dedup import connected_components
+
+    pairs = QUERIES["dedup_minhash_pairs"](spark, sf_dir)
+    return connected_components(pairs)

@@ -49,3 +49,33 @@ def test_catalog_semi_join_broadcasts(spark, tmp_path):
     plan = resolved._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert resolved.count() > 0
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """SCALING §4: pre-bucketing both sides of a recurring join key removes
+    the per-query shuffle entirely (SortMergeJoin with no Exchange)."""
+    import shutil
+
+    ev = events_as_points(spark, SF_DIR)
+    agg_a = ev.groupBy("tag_user").agg(F.sum("value").alias("sv"))
+    agg_b = ev.groupBy("tag_user").agg(F.count(F.lit(1)).alias("n"))
+    spark.sql("DROP TABLE IF EXISTS bkt_a")
+    spark.sql("DROP TABLE IF EXISTS bkt_b")
+    try:
+        agg_a.write.bucketBy(8, "tag_user").sortBy("tag_user").saveAsTable("bkt_a")
+        agg_b.write.bucketBy(8, "tag_user").sortBy("tag_user").saveAsTable("bkt_b")
+        # hint forces SortMergeJoin (tiny test tables would broadcast and the
+        # planner then skips bucketed reads); at real scale SMJ is the
+        # default and bucketing removes its shuffle.
+        joined = spark.table("bkt_a").hint("merge").join(
+            spark.table("bkt_b"), "tag_user"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Bucketed: true" in plan
+        assert "ShuffleExchange" not in plan and "Exchange hashpartitioning" not in plan, plan
+        assert joined.count() == agg_a.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
+        shutil.rmtree("spark-warehouse", ignore_errors=True)
