@@ -42,6 +42,7 @@ HEADLINE = [
     "agg_cube",
     "dedup_near_signature",
     "dedup_minhash_pairs",
+    "dedup_clusters",
     "dedup_simhash",
     "sim_topk",
     "ann_ivf_topk",

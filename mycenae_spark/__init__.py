@@ -27,7 +27,35 @@ docstrings cite upstream *package* loci from SURVEY.md rather than file:line.
 
 from mycenae_spark.session import get_spark
 from mycenae_spark.sources.tables import load_table, events_as_points
+from mycenae_spark.catalog import build_catalog, lookup, suggest
+from mycenae_spark.operators.downsample import downsample, fill_linear
+from mycenae_spark.operators.merge import merge
+from mycenae_spark.operators.rate import rate
+from mycenae_spark.operators.asof import asof_join
+from mycenae_spark.plans.tsdb import TsdbQuery, plan
+from mycenae_spark.plans.expression import (
+    check_expression,
+    parse_expression,
+    render_expression,
+)
 
-__all__ = ["get_spark", "load_table", "events_as_points"]
+__all__ = [
+    "get_spark",
+    "load_table",
+    "events_as_points",
+    "build_catalog",
+    "lookup",
+    "suggest",
+    "downsample",
+    "fill_linear",
+    "merge",
+    "rate",
+    "asof_join",
+    "TsdbQuery",
+    "plan",
+    "parse_expression",
+    "render_expression",
+    "check_expression",
+]
 
 __version__ = "0.1.0"

@@ -1,0 +1,58 @@
+"""Physical-plan regression guards (SCALING.md claims, asserted).
+
+These tests pin the plan *properties* that matter at 100 TB — pushdown,
+pruned read schemas, broadcast joins, single-shuffle aggregations — so a
+future refactor that silently degrades a plan fails here, not at the
+benchmark."""
+
+from __future__ import annotations
+
+import pytest
+
+from mycenae_spark.registry import QUERIES
+
+from tests.conftest import SF_DIR
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scan_project_pushes_filter_and_prunes(spark):
+    plan = _plan(spark, "scan_project")
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)]" in plan
+    # pruned read schema: no props column reaches the scan
+    assert "props" not in plan
+
+
+def test_filter_reaches_parquet(spark):
+    plan = _plan(spark, "filter_literal_or")
+    assert "In(event_type" in plan or "EqualTo(event_type" in plan
+
+
+@pytest.mark.parametrize("name", ["join_inner", "join_broadcast", "join_semi"])
+def test_dimension_joins_broadcast(spark, name):
+    plan = _plan(spark, name)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_range_join_is_not_cartesian(spark):
+    plan = _plan(spark, "join_range")
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_downsample_single_shuffle(spark):
+    plan = _plan(spark, "downsample_avg_1m")
+    # exactly one exchange: the (series, bucket) hash aggregation
+    assert plan.count("Exchange") <= 2  # shuffle + AQE read marker
+    assert "HashAggregate" in plan
+
+
+def test_multiway_fact_joins(spark):
+    plan = _plan(spark, "join_multiway")
+    # the three true dimensions broadcast
+    assert plan.count("BroadcastHashJoin") >= 3
