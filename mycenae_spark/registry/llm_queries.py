@@ -484,3 +484,55 @@ def dedup_clusters(spark, sf_dir):
 
     pairs = QUERIES["dedup_minhash_pairs"](spark, sf_dir)
     return connected_components(pairs)
+
+
+# ------------------------------------------------------------ text scrubbing
+
+@q(
+    "text_scrub",
+    r"""
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(raw, 'https?://[^\s]+', '<URL>', 'g'),
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g') AS scrubbed,
+  len(regexp_extract_all(raw, 'https?://[^\s]+')) AS n_urls,
+  len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails
+FROM (
+  SELECT doc_id,
+         text || ' visit https://example.com/' || doc_id ||
+         ' or mail user' || doc_id || '@test.org ssn 123-45-6789' AS raw
+  FROM documents WHERE doc_id < 200
+)
+""",
+)
+def text_scrub(spark, sf_dir):
+    """Training-data cleaning: mask URLs / emails / SSN-shaped ids and count
+    them.  Pure regexp_replace chains (JVM regex, codegen'd); deterministic
+    synthetic PII is appended so the masking is actually exercised."""
+    import pyspark.sql.functions as F
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" visit https://example.com/"), F.col("doc_id").cast("string"),
+        F.lit(" or mail user"), F.col("doc_id").cast("string"),
+        F.lit("@test.org ssn 123-45-6789"),
+    )
+    url = r"https?://[^\s]+"
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    ssn = r"\b\d{3}-\d{2}-\d{4}\b"
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(raw, url, "<URL>"), email, "<EMAIL>"
+        ),
+        ssn,
+        "<SSN>",
+    )
+    return d.select(
+        "doc_id",
+        scrubbed.alias("scrubbed"),
+        F.regexp_count(raw, F.lit(url)).alias("n_urls"),
+        F.regexp_count(raw, F.lit(email)).alias("n_emails"),
+    )

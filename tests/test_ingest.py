@@ -116,3 +116,21 @@ def test_streaming_ingest_roundtrip(spark, tmp_path):
     )
     # 1.5 + 2.5 from batch1, + 1.5 re-ingested in batch2
     assert got[0]["s"] == pytest.approx(5.5)
+
+
+def test_csv_point_source(spark, tmp_path):
+    from mycenae_spark.sources.csv_points import read_points_csv
+
+    f = tmp_path / "points.csv"
+    f.write_text(
+        "cpu.usage,1704067200000,1.5,ksid=ks1;host=web01\n"
+        "cpu.usage,1704067260,2.5,ksid=ks1;host=web02\n"
+        "mem.free,1704067200000,9.0,ksid=ks1\n"
+        "bad metric,1704067200000,1.0,ksid=ks1\n"
+    )
+    decoded = read_points_csv(spark, str(f))
+    valid, invalid = prepare_points(decoded)
+    v = {(r["metric"], r["tags"].get("host")): r for r in valid.collect()}
+    assert len(v) == 3 and invalid.count() == 1
+    assert v[("cpu.usage", "web02")]["timestamp"] == 1704067260000  # s→ms
+    assert v[("mem.free", None)]["tags"] == {"ksid": "ks1"}
