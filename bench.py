@@ -71,6 +71,19 @@ def main() -> None:
         times[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(times.values()), 3)
+
+    # ANN quality metric: recall@3 of the IVF index against brute force.
+    brute = {
+        (r["q_id"], r["n_id"])
+        for r in QUERIES["sim_topk"](spark, sf_dir).collect()
+        if r["rk"] <= 3
+    }
+    ivf = {
+        (r["q_id"], r["n_id"])
+        for r in QUERIES["ann_ivf_topk"](spark, sf_dir).collect()
+    }
+    recall = round(len(brute & ivf) / max(len(brute), 1), 3)
+
     print(
         json.dumps(
             {
@@ -79,6 +92,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": float(sf),
+                "extras": {"ann_ivf_recall_at3": recall},
             }
         )
     )

@@ -395,11 +395,17 @@ WITH cent AS (
              c.c_id) AS rn
     FROM embeddings a CROSS JOIN cent c
   ) WHERE rn = 1
-), qset AS (
-  SELECT vec_id AS q_id, c_id FROM assign WHERE vec_id < 10
+), probes AS (
+  SELECT vec_id AS q_id, c_id FROM (
+    SELECT a.vec_id, c.c_id,
+           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+             (round({_cos_sql_pair('a.embedding', 'c.c_emb')} + 1e-9, 6) + 0.0) DESC,
+             c.c_id) AS rn
+    FROM (SELECT * FROM embeddings WHERE vec_id < 10) a CROSS JOIN cent c
+  ) WHERE rn <= 4
 ), cand AS (
-  SELECT qset.q_id, v.vec_id AS n_id
-  FROM qset JOIN assign v ON v.c_id = qset.c_id AND v.vec_id <> qset.q_id
+  SELECT DISTINCT probes.q_id, v.vec_id AS n_id
+  FROM probes JOIN assign v ON v.c_id = probes.c_id AND v.vec_id <> probes.q_id
 ), scored AS (
   SELECT cand.q_id, cand.n_id,
          (round({_cos_sql_pair('a.embedding', 'b.embedding')} + 1e-9, 6) + 0.0) AS cos_r
@@ -413,27 +419,46 @@ SELECT q_id, n_id, rk, cos_r FROM (
 """,
 )
 def ann_ivf_topk(spark, sf_dir):
-    """IVF-style ANN: the 100 TB scale path for similarity search.
+    """IVF-style ANN with multi-probe: the 100 TB scale path for similarity
+    search.
 
     Deterministic "trained" centroids = every 100th vector.  Phase 1 assigns
     each corpus vector to its nearest centroid (centroids broadcast, corpus
-    streams — shuffle-free).  Phase 2 searches ONLY the query's cluster:
-    the scan shrinks by the fan-out factor versus brute force (sim_topk),
-    which is exactly how IVF indexes trade recall for scan cost.  All
-    ranking on rounded scores with id tie-breaks (cross-engine stable).
+    streams — shuffle-free).  Phase 2 searches the query's 4 closest
+    clusters (nprobe=4): single-probe recall@3 measured only 0.23 on this
+    weakly-clustered corpus; multi-probe is the standard recall/scan-cost
+    dial and the scan still shrinks ∝ nprobe/#clusters versus brute force.
+    All ranking on rounded scores with id tie-breaks (cross-engine stable).
     """
-    from mycenae_spark.functions.similarity import ivf_assign
+    from mycenae_spark.functions.similarity import ivf_assign, with_norm
 
     e = t(spark, sf_dir, "embeddings")
     en = _with_norm(e)
-    assign = ivf_assign(
-        e, e.filter(F.col("vec_id") % 100 == 0), score_rounder=r6
+    cent = e.filter(F.col("vec_id") % 100 == 0)
+    assign = ivf_assign(e, cent, score_rounder=r6)
+    # per-query top-nprobe centroids (same scoring path, rank cap 4)
+    cw = with_norm(cent).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("_ce"),
+        F.col("_norm").alias("_cn"),
     )
-    qset = assign.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("q_id"), "c_id"
+    qv = en.filter(F.col("vec_id") < 10)
+    probe_cos = _dot(F.col("embedding"), F.col("_ce")) / (
+        F.col("_norm") * F.col("_cn")
     )
-    cand = qset.join(assign.withColumnRenamed("vec_id", "n_id"), "c_id").filter(
-        F.col("n_id") != F.col("q_id")
+    w_probe = Window.partitionBy("vec_id").orderBy(F.desc("_cos_r"), "c_id")
+    probes = (
+        qv.crossJoin(F.broadcast(cw))
+        .withColumn("_cos_r", r6(probe_cos))
+        .withColumn("_rn", F.row_number().over(w_probe))
+        .filter(F.col("_rn") <= 4)
+        .select(F.col("vec_id").alias("q_id"), "c_id")
+    )
+    cand = (
+        probes.join(assign.withColumnRenamed("vec_id", "n_id"), "c_id")
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select("q_id", "n_id")
+        .distinct()
     )
     qa = en.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe"),
                    F.col("_norm").alias("qn"))

@@ -819,3 +819,32 @@ def fill_linear_q(spark, sf_dir):
     )
     out = fill_linear(agged, ["metric", "tag_user"], HOUR_MS, value_col="v")
     return out.select("metric", "tag_user", "bucket_ms", r4(F.col("v")).alias("value_r"))
+
+
+@q(
+    "agg_grouped_multi_tag",
+    f"""
+SELECT metric, tag_user,
+       CAST(CAST(json_extract(props, '$.k') AS INT) % 10 AS VARCHAR) AS tag_kmod,
+       {bucket_ms_sql(DAY_MS)} AS bucket_ms,
+       (round(sum(value) + 1e-9, 4) + 0.0) AS sum_v_r
+FROM ({SQL_POINTS})
+GROUP BY metric, tag_user, tag_kmod, bucket_ms
+""",
+)
+def agg_grouped_multi_tag(spark, sf_dir):
+    """A6 with two grouping tags: the ``props.k`` payload lifted to a second
+    tag dimension (mycenae series carry many tags; events.parquet has one
+    native tag, so the JSON sidecar plays the second).  Same single-shuffle
+    hash aggregation, now on a composite series key."""
+    p = points(spark, sf_dir).withColumn(
+        "tag_kmod",
+        (F.get_json_object("props", "$.k").cast("int") % 10).cast("string"),
+    ).withColumn("bucket_ms", bucket_ms_long(F.col("ts_us"), DAY_MS))
+    out = merge(
+        p, "sum", ["metric", "tag_user", "tag_kmod"], time_col="bucket_ms",
+        out_col="_v",
+    )
+    return out.select(
+        "metric", "tag_user", "tag_kmod", "bucket_ms", r4(F.col("_v")).alias("sum_v_r")
+    )

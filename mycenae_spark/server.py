@@ -65,18 +65,10 @@ class Engine:
         ).select("p.*")
         valid, invalid = prepare_points(decoded)
         n_bad = invalid.count()
-        valid.write.mode("append").partitionBy("ksid", "date").parquet(self.lake_dir)
-        new_series = valid.select("ksid", "tsid", "metric", "tags").dropDuplicates(
-            ["tsid"]
-        )
-        try:
-            existing = self.spark.read.parquet(self.catalog_dir).select("tsid")
-            new_series = new_series.join(existing, "tsid", "left_anti")
-        except Exception:
-            pass
-        new_series.write.mode("append").parquet(self.catalog_dir)
-        n_ok = len(points) - n_bad
-        return {"success": n_ok, "failed": n_bad}
+        from mycenae_spark.streaming.ingest import write_points_batch
+
+        write_points_batch(valid, self.lake_dir, self.catalog_dir)
+        return {"success": len(points) - n_bad, "failed": n_bad}
 
     # -- query ------------------------------------------------------------
 

@@ -98,6 +98,33 @@ def prepare_points(decoded: DataFrame) -> tuple[DataFrame, DataFrame]:
     return valid, invalid
 
 
+def write_points_batch(valid: DataFrame, lake_dir: str, catalog_dir: str) -> None:
+    """Shared lake+catalog writer (streaming micro-batches and the HTTP put
+    path both land here): append points partitioned by (ksid, date), sorted
+    by (tsid, ts) within partitions, then merge only *new* series into the
+    catalog — writes ∝ new series, mycenae's bloom-gated Solr upsert."""
+    valid.persist()
+    try:
+        (
+            valid.repartition("ksid", "date")
+            .sortWithinPartitions("tsid", "ts")
+            .write.mode("append")
+            .partitionBy("ksid", "date")
+            .parquet(lake_dir)
+        )
+        new_series = valid.select("ksid", "tsid", "metric", "tags").dropDuplicates(
+            ["tsid"]
+        )
+        try:
+            existing = valid.sparkSession.read.parquet(catalog_dir).select("tsid")
+            new_series = new_series.join(existing, "tsid", "left_anti")
+        except Exception:
+            pass  # first batch: catalog does not exist yet
+        new_series.write.mode("append").parquet(catalog_dir)
+    finally:
+        valid.unpersist()
+
+
 def start_ingest(
     spark: SparkSession,
     source_dir: str,
@@ -121,26 +148,7 @@ def start_ingest(
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         valid, _invalid = prepare_points(batch)
-        valid.persist()
-        try:
-            (
-                valid.repartition("ksid", "date")
-                .sortWithinPartitions("tsid", "ts")
-                .write.mode("append")
-                .partitionBy("ksid", "date")
-                .parquet(lake_dir)
-            )
-            new_series = valid.select("ksid", "tsid", "metric", "tags").dropDuplicates(
-                ["tsid"]
-            )
-            try:
-                existing = batch.sparkSession.read.parquet(catalog_dir).select("tsid")
-                new_series = new_series.join(existing, "tsid", "left_anti")
-            except Exception:
-                pass  # first batch: catalog does not exist yet
-            new_series.write.mode("append").parquet(catalog_dir)
-        finally:
-            valid.unpersist()
+        write_points_batch(valid, lake_dir, catalog_dir)
 
     writer = decoded.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir
