@@ -1,0 +1,101 @@
+"""Quickstart: the full engine in one script.
+
+    python examples/quickstart.py
+
+Walks the mycenae lifecycle — ingest points (JSON lines, streaming),
+query them three ways (OpenTSDB JSON dict, expression string, raw
+DataFrame ops) — then the training-data extensions (dedup + similarity +
+text analysis) on the bundled testdata.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from mycenae_spark import (  # noqa: E402
+    TsdbQuery,
+    events_as_points,
+    get_spark,
+    parse_expression,
+    plan,
+)
+from mycenae_spark.api import render_json, shape_response  # noqa: E402
+from mycenae_spark.streaming.ingest import start_ingest  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+
+def main() -> None:
+    spark = get_spark("quickstart")
+    spark.sparkContext.setLogLevel("ERROR")
+    work = tempfile.mkdtemp(prefix="mycenae_quickstart_")
+
+    # -- 1. ingest: JSON point lines → partitioned lake + series catalog --
+    src = os.path.join(work, "incoming")
+    os.makedirs(src)
+    points = [
+        {"metric": "cpu.usage", "tags": {"ksid": "demo", "host": f"web{i % 3}"},
+         "timestamp": 1704067200000 + i * 30_000, "value": 50 + (i * 7) % 40}
+        for i in range(240)
+    ]
+    with open(os.path.join(src, "points.jsonl"), "w") as f:
+        f.write("\n".join(json.dumps(p) for p in points))
+    lake, catalog = os.path.join(work, "lake"), os.path.join(work, "catalog")
+    start_ingest(spark, src, lake, catalog, os.path.join(work, "ck")).awaitTermination(120)
+    print(f"ingested {spark.read.parquet(lake).count()} points, "
+          f"{spark.read.parquet(catalog).count()} series → {lake}")
+
+    # -- 2. query, OpenTSDB-style: downsample + merge grouped by host -----
+    pts = spark.read.parquet(lake).select(
+        "metric",
+        F.col("tags")["host"].alias("tag_host"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "value",
+    )
+    q = TsdbQuery(
+        metric="cpu.usage", start_ms=1704067200000, end_ms=1704080000000,
+        aggregator="avg", downsample="5m-avg",
+        filters=[__import__("mycenae_spark.plans.tsdb", fromlist=["TagFilter"])
+                 .TagFilter("host", "wildcard", "web*", group_by=True)],
+    )
+    payload = shape_response(plan(pts, q), q)
+    print("\nOpenTSDB response (truncated):")
+    print(render_json(payload)[:300], "…")
+
+    # -- 3. same engine via the expression language -----------------------
+    exp = "merge(max, downsample(10m, avg, query(cpu.usage, {host=web1}, 1704067200000)))"
+    out = plan(pts, parse_expression(exp, 1704080000000))
+    print(f"\nexpression {exp!r} → {out.count()} buckets")
+
+    # -- 4. training-data ops on the bundled corpus -----------------------
+    from mycenae_spark.functions.dedup import (
+        connected_components, lsh_candidate_pairs, minhash_signatures,
+    )
+    from mycenae_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    sigs = minhash_signatures(docs, "doc_id", "text")
+    pairs = lsh_candidate_pairs(sigs, "doc_id")
+    clusters = connected_components(pairs)
+    n_members = clusters.count()
+    n_clusters = clusters.select("cluster_id").distinct().count()
+    print(f"\nnear-dup: {pairs.count()} candidate pairs → "
+          f"{n_clusters} clusters covering {n_members} docs")
+
+    from mycenae_spark.functions.similarity import brute_topk
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    topk = brute_topk(emb, emb.filter(F.col("vec_id") < 3), k=3)
+    print("similarity top-3 for 3 queries:")
+    topk.show(9, truncate=False)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,84 @@
+"""Lake maintenance: small-file compaction (SCALING.md §1 companion).
+
+Streaming ingest writes one file set per micro-batch; at 100 TB/day that is
+the classic small-files problem — NameNode/listing pressure and tiny
+row-groups that defeat min/max skipping.  The fix is periodic per-partition
+compaction: rewrite a (ksid, date) partition into ~target-sized files,
+sorted by (tsid, ts) so per-series locality survives.
+
+The rewrite is made atomic-enough for a filesystem lake: write to a temp
+directory next to the partition, then swap via two renames.  (On an object
+store one uses a table format's transaction — Delta/Iceberg — instead; the
+job shape is identical.)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import SparkSession
+
+
+def compact_partition(
+    spark: SparkSession,
+    lake_dir: str,
+    ksid: str,
+    date: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> tuple[int, int]:
+    """Compact one (ksid, date) partition; returns (files_before, files_after).
+
+    File count is chosen from actual partition bytes / target size, floor 1.
+    """
+    part = os.path.join(lake_dir, f"ksid={ksid}", f"date={date}")
+    if not os.path.isdir(part):
+        raise FileNotFoundError(part)
+    data_files = [
+        f for f in os.listdir(part) if f.endswith(".parquet")
+    ]
+    total_bytes = sum(os.path.getsize(os.path.join(part, f)) for f in data_files)
+    n_out = max(1, round(total_bytes / target_file_bytes))
+
+    df = spark.read.parquet(part)
+    tmp = f"{part}__compact_{uuid.uuid4().hex[:8]}"
+    sort_cols = [c for c in ("tsid", "ts") if c in df.columns]
+    writer = df.repartition(n_out)
+    if sort_cols:
+        writer = writer.sortWithinPartitions(*sort_cols)
+    writer.write.mode("overwrite").parquet(tmp)
+
+    old = f"{part}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(part, old)
+    os.rename(tmp, part)
+    shutil.rmtree(old)
+    return len(data_files), n_out
+
+
+def list_partitions(lake_dir: str, ksid: str) -> list[str]:
+    root = os.path.join(lake_dir, f"ksid={ksid}")
+    if not os.path.isdir(root):
+        return []
+    return sorted(
+        e.split("=", 1)[1] for e in os.listdir(root) if e.startswith("date=")
+    )
+
+
+def compact_keyspace(
+    spark: SparkSession,
+    lake_dir: str,
+    ksid: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 4,
+) -> dict[str, tuple[int, int]]:
+    """Compact every partition of a keyspace that has ≥ min_files files."""
+    out = {}
+    for date in list_partitions(lake_dir, ksid):
+        part = os.path.join(lake_dir, f"ksid={ksid}", f"date={date}")
+        n = len([f for f in os.listdir(part) if f.endswith(".parquet")])
+        if n >= min_files:
+            out[date] = compact_partition(
+                spark, lake_dir, ksid, date, target_file_bytes
+            )
+    return out

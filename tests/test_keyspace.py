@@ -64,3 +64,26 @@ def test_drop_keyspace_removes_data(spark, tmp_path):
     import os
 
     assert not os.path.exists(f"{lake}/ksid=ksx")
+
+
+def test_compaction(spark, tmp_path):
+    from mycenae_spark.maintenance import compact_keyspace, compact_partition
+
+    lake = str(tmp_path / "lake")
+    pts = (
+        events_as_points(spark, SF_DIR)
+        .filter(F.to_date("ts") == "2024-01-05")
+        .withColumn("ksid", F.lit("ks1"))
+        .withColumn("date", F.to_date("ts"))
+    )
+    # simulate many micro-batch appends → many small files
+    for _ in range(5):
+        pts.repartition(3).write.mode("append").partitionBy("ksid", "date").parquet(lake)
+    before_rows = spark.read.parquet(lake).count()
+
+    nb, na = compact_partition(spark, lake, "ks1", "2024-01-05")
+    assert nb >= 15 and na == 1
+    after = spark.read.parquet(lake)
+    assert after.count() == before_rows  # lossless
+    # second pass is a no-op under the min_files gate
+    assert compact_keyspace(spark, lake, "ks1", min_files=4) == {}
