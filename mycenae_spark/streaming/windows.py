@@ -87,3 +87,37 @@ def dedup_stream(points: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return points.withWatermark("ts", watermark).dropDuplicates(
         ["event_id", "ts"]
     )
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "tag_user",
+    within: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join: pair each left event with right events for
+    the same key that occurred at-or-before it within ``within`` (the
+    streaming analog of the as-of/window join — e.g. purchases joined to the
+    clicks that preceded them).
+
+    Both sides carry watermarks so the join state is bounded: Spark retains
+    right rows only until ``watermark + within`` passes — this is the state
+    eviction contract that keeps the operator runnable forever at ingest
+    scale.  The time-band predicate keeps the join from being a full
+    per-key history product.
+    """
+    l = left.withWatermark("ts", watermark).alias("l")
+    r = right.withWatermark("ts", watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col("r.ts") <= F.col("l.ts"))
+        & (F.col("r.ts") >= F.col("l.ts") - F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, "inner").select(
+        F.col(f"l.{key}").alias(key),
+        F.col("l.event_id").alias("left_id"),
+        F.col("l.ts").alias("left_ts"),
+        F.col("r.event_id").alias("right_id"),
+        F.col("r.ts").alias("right_ts"),
+    )

@@ -78,3 +78,39 @@ def test_stream_session_counts(spark, tmp_path):
     assert got
     # sanity: session starts are valid event times and counts positive
     assert all(r["n_events"] >= 1 for r in got)
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    from mycenae_spark.streaming.windows import stream_stream_join
+
+    stream = _events_stream(spark, tmp_path)
+    purchases = stream.filter(F.col("metric") == "purchase")
+    clicks = stream.filter(F.col("metric") == "click")
+    joined = stream_stream_join(purchases, clicks, within="30 minutes")
+    got = {
+        (r["left_id"], r["right_id"])
+        for r in _run_to_memory(spark, joined, "t_ssj").collect()
+    }
+
+    batch = events_as_points(spark, SF_DIR)
+    p = batch.filter(F.col("metric") == "purchase").select(
+        F.col("tag_user").alias("u"), F.col("event_id").alias("pid"),
+        F.col("ts").alias("pts"),
+    )
+    c = batch.filter(F.col("metric") == "click").select(
+        F.col("tag_user").alias("u2"), F.col("event_id").alias("cid"),
+        F.col("ts").alias("cts"),
+    )
+    exp = {
+        (r["pid"], r["cid"])
+        for r in p.join(
+            c,
+            (p.u == c.u2)
+            & (c.cts <= p.pts)
+            & (c.cts >= p.pts - F.expr("INTERVAL 30 minutes")),
+        ).collect()
+    }
+    assert got, "stream-stream join produced no rows"
+    # streaming output is a subset only via watermark trimming at the bounded
+    # stream's tail; with availableNow over one batch it should be complete
+    assert got == exp
