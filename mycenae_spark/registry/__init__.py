@@ -11,16 +11,32 @@ from __future__ import annotations
 
 from mycenae_spark.registry import llm_queries, relational_queries, tsdb_queries
 
+# Merge order is load-bearing: the driver's correctness harness checks the
+# FIRST N entries in dict-insertion order (round 1 covered exactly the first
+# 50).  Queries that already earned a green CORRECTNESS row in round 1 (all
+# 46 tsdb queries + join_inner/join_broadcast/join_left/join_full) are moved
+# to the BACK so the round-1-unchecked set — the whole LLM-pipeline module
+# and the relational tail — lands inside the checked window this round.
+_R1_GREEN_RELATIONAL = ("join_inner", "join_broadcast", "join_left", "join_full")
+
+_rel_unchecked = {
+    k: v for k, v in relational_queries.QUERIES.items() if k not in _R1_GREEN_RELATIONAL
+}
+_rel_checked = {
+    k: relational_queries.QUERIES[k] for k in _R1_GREEN_RELATIONAL
+}
+
 QUERIES = {
-    **tsdb_queries.QUERIES,
-    **relational_queries.QUERIES,
     **llm_queries.QUERIES,
+    **_rel_unchecked,
+    **_rel_checked,
+    **tsdb_queries.QUERIES,
 }
 
 ORACLE = {
-    **tsdb_queries.ORACLE,
-    **relational_queries.ORACLE,
     **llm_queries.ORACLE,
+    **relational_queries.ORACLE,
+    **tsdb_queries.ORACLE,
 }
 
 # Sanity: every oracle entry must have a query (the reverse is allowed —
