@@ -42,14 +42,19 @@ def compact_partition(
     n_out = max(1, round(total_bytes / target_file_bytes))
 
     df = spark.read.parquet(part)
-    tmp = f"{part}__compact_{uuid.uuid4().hex[:8]}"
+    # Underscore-prefixed siblings: Spark's file listing ignores paths whose
+    # basename starts with `_`, and they don't match the `date=` prefix — so
+    # a concurrent read of the lake root never sees the in-flight rewrite as
+    # data or as a bogus partition value.
+    ksid_dir = os.path.dirname(part)
+    tmp = os.path.join(ksid_dir, f"_compact_{uuid.uuid4().hex[:8]}")
     sort_cols = [c for c in ("tsid", "ts") if c in df.columns]
     writer = df.repartition(n_out)
     if sort_cols:
         writer = writer.sortWithinPartitions(*sort_cols)
     writer.write.mode("overwrite").parquet(tmp)
 
-    old = f"{part}__old_{uuid.uuid4().hex[:8]}"
+    old = os.path.join(ksid_dir, f"_old_{uuid.uuid4().hex[:8]}")
     os.rename(part, old)
     os.rename(tmp, part)
     shutil.rmtree(old)

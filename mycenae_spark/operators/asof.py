@@ -35,20 +35,25 @@ def asof_join(
     ``right_<ts_col>`` columns.  ``inner=False`` keeps unmatched left rows
     with nulls.
     """
+    # Null placeholders adopt the OTHER side's native dtype — casting the id
+    # itself (e.g. a string event id to long) would silently null it out and,
+    # with inner=True, filter every row.
+    left_id_dt = dict(left.dtypes)[left_id]
+    right_id_dt = dict(right.dtypes)[right_id]
     l = left.select(
         F.col(on),
         F.col(ts_col),
         F.col(left_id).alias(f"left_{left_id}"),
         F.lit(1).alias("_side"),
-        F.lit(None).cast("long").alias("_rid"),
+        F.lit(None).cast(right_id_dt).alias("_rid"),
         F.lit(None).cast("long").alias("_rts"),
     )
     r = right.select(
         F.col(on),
         F.col(ts_col),
-        F.lit(None).cast("long").alias(f"left_{left_id}"),
+        F.lit(None).cast(left_id_dt).alias(f"left_{left_id}"),
         F.lit(0).alias("_side"),
-        F.col(right_id).cast("long").alias("_rid"),
+        F.col(right_id).alias("_rid"),
         F.col(ts_col).cast("long").alias("_rts"),
     )
     u = l.unionByName(r)

@@ -100,13 +100,12 @@ def _fill(
     joined = spine.join(agged, [*series_cols, "bucket_ms"], "left")
     if fill == "zero":
         return joined.withColumn(out_col, F.coalesce(F.col(out_col), F.lit(0.0)))
-    if fill == "nan":
-        # NaN breaks hash-comparison and JSON round-trips; keep NaN only at
-        # the serialization edge (api.py renders null→NaN for fill=nan).
-        return joined.withColumn(
-            out_col, F.coalesce(F.col(out_col), F.lit(float("nan")))
-        )
-    return joined  # fill == "null": left join already produced nulls
+    # fill in ("null", "nan"): empty buckets stay NULL internally.  OpenTSDB
+    # NaN-fill semantics skip NaN buckets in downstream aggregation, which is
+    # exactly what NULL gives Spark's sum/avg for free; a literal NaN here
+    # would instead poison every merged group containing a missing bucket.
+    # NaN is rendered only at the JSON edge (shape_response nan_fill).
+    return joined
 
 
 def fill_linear(

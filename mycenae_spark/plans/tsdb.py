@@ -123,8 +123,11 @@ def plan(points: DataFrame, q: TsdbQuery) -> DataFrame:
                 ts_us_col="ts_us" if not merged else "bucket_us",
                 fill=fill,
             )
-            if not merged:
-                df = df.withColumn("bucket_us", F.col("bucket_ms") * 1000)
+            # Re-derive the µs bucket column on BOTH branches: the merged-path
+            # downsample also drops bucket_us, and a later rate stage (e.g.
+            # order = aggregation → downsample → rate) resolves its ts column
+            # from it.
+            df = df.withColumn("bucket_us", F.col("bucket_ms") * 1000)
         elif stage == "aggregation" and not merged:
             time_col = "bucket_ms" if "bucket_ms" in df.columns else "ts_us"
             df = merge(df, q.aggregator, ["metric", *group_tags], time_col=time_col)

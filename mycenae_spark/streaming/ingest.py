@@ -115,11 +115,18 @@ def write_points_batch(valid: DataFrame, lake_dir: str, catalog_dir: str) -> Non
         new_series = valid.select("ksid", "tsid", "metric", "tags").dropDuplicates(
             ["tsid"]
         )
+        # Only a genuinely missing catalog (first batch) may be skipped; any
+        # other read failure (corrupt file, transient IO) must propagate —
+        # swallowing it would append the batch's series as catalog duplicates.
+        from pyspark.errors import AnalysisException
+
         try:
             existing = valid.sparkSession.read.parquet(catalog_dir).select("tsid")
+        except AnalysisException as exc:
+            if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
+                raise
+        else:
             new_series = new_series.join(existing, "tsid", "left_anti")
-        except Exception:
-            pass  # first batch: catalog does not exist yet
         new_series.write.mode("append").parquet(catalog_dir)
     finally:
         valid.unpersist()

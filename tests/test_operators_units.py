@@ -1,0 +1,48 @@
+"""Operator-level unit regressions from round-1 ADVICE."""
+
+from __future__ import annotations
+
+
+def test_asof_join_keeps_string_ids(spark):
+    """ADVICE r1: non-numeric id columns must survive asof_join in their
+    native dtype (an unconditional cast to long nulled them out and inner
+    mode then dropped every row)."""
+    from mycenae_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("u1", 100, "L-a"), ("u1", 200, "L-b"), ("u2", 150, "L-c")],
+        "k string, ts_us long, lid string",
+    )
+    right = spark.createDataFrame(
+        [("u1", 90, "R-x"), ("u1", 150, "R-y"), ("u2", 200, "R-z")],
+        "k string, ts_us long, rid string",
+    )
+    out = asof_join(
+        left, right, on="k", ts_col="ts_us", left_id="lid", right_id="rid"
+    )
+    rows = {r["left_lid"]: r["right_rid"] for r in out.collect()}
+    assert rows == {"L-a": "R-x", "L-b": "R-y"}  # L-c has no prior right row
+    assert dict(out.dtypes)["right_rid"] == "string"
+
+
+def test_compaction_tempdirs_invisible_to_readers(spark, tmp_path):
+    """ADVICE r1: in-flight compaction rewrites must not be listable as data
+    or as a bogus `date=` partition."""
+    import os
+
+    from mycenae_spark.maintenance import compact_partition, list_partitions
+
+    lake = str(tmp_path / "lake")
+    df = spark.range(100).selectExpr(
+        "'k1' AS ksid", "date'2024-01-05' AS date", "id AS tsid",
+        "timestamp_millis(1704412800000 + id) AS ts", "cast(id as double) AS value",
+    )
+    for _ in range(3):
+        df.write.mode("append").partitionBy("ksid", "date").parquet(lake)
+    compact_partition(spark, lake, "k1", "2024-01-05")
+    assert list_partitions(lake, "k1") == ["2024-01-05"]
+    # no leftover non-partition dirs inside the ksid directory
+    entries = os.listdir(os.path.join(lake, "ksid=k1"))
+    assert all(e.startswith("date=") or e.startswith("_") or e.startswith(".")
+               for e in entries)
+    assert spark.read.parquet(lake).count() == 300

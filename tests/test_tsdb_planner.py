@@ -118,6 +118,33 @@ def test_response_shaping_nan_fill(spark):
     assert "NaN" in text and "null" not in text
 
 
+def test_nan_fill_does_not_poison_merge(spark):
+    """ADVICE r1: fill='nan' must stay NULL internally so the merge stage
+    skips empty buckets (OpenTSDB semantics) instead of propagating NaN."""
+    import math
+
+    q_nan = TsdbQuery(metric="purchase", start_ms=0, end_ms=NOW, aggregator="sum",
+                      downsample="1h-avg-nan")
+    q_null = TsdbQuery(metric="purchase", start_ms=0, end_ms=NOW, aggregator="sum",
+                       downsample="1h-avg-null")
+    p = _points(spark)
+    got_nan = {(r["bucket_ms"], r["value"]) for r in plan(p, q_nan).collect()}
+    got_null = {(r["bucket_ms"], r["value"]) for r in plan(p, q_null).collect()}
+    assert got_nan == got_null
+    assert not any(isinstance(v, float) and math.isnan(v) for _, v in got_nan)
+
+
+def test_order_downsample_after_aggregation_with_rate(spark):
+    """ADVICE r1: order=(aggregation, downsample, rate) must re-derive the
+    µs bucket column after the post-merge downsample for the rate stage."""
+    q = TsdbQuery(
+        metric="click", start_ms=0, end_ms=NOW, aggregator="sum", rate=True,
+        downsample="1h-avg", order=("aggregation", "downsample", "rate"),
+    )
+    rows = plan(_points(spark), q).collect()
+    assert rows and all(r["bucket_ms"] is not None for r in rows)
+
+
 def test_multi_subquery_request(spark):
     qs = parse_query_request(
         {
