@@ -53,13 +53,22 @@ def minhash_signatures(
     return sh.select(id_col, *cols)
 
 
-def lsh_candidate_pairs(sigs: DataFrame, id_col: str, n_bands: int = 4) -> DataFrame:
-    """LSH bucket join in one pass: unpivot bands → groupBy (band, sig) →
-    pair expansion *inside* collision buckets (tiny by construction).
+def lsh_buckets(
+    sigs: DataFrame,
+    id_col: str,
+    n_bands: int = 4,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Collision buckets: unpivot bands → groupBy (band, sig) → sorted id
+    arrays, buckets of ≥2 only.
 
-    Never self-joins the signature pipeline (which Spark would recompute on
-    both branches — measured 7× slower at sf0.1) and never shuffles more
-    than #docs × #bands rows.
+    ``max_bucket_size`` is the hot-bucket valve for corpus scale: a
+    degenerate signature (boilerplate / empty-ish documents) otherwise lands
+    one huge array on one executor and a quadratic in-bucket pair explosion.
+    Buckets above the cap are *dropped*, which is the standard LSH practice —
+    documents identical enough to produce giant buckets are exact-dedup's
+    job (`exact_dedup_groups`), not near-dedup's.  Count the dropped mass
+    with ``lsh_dropped_bucket_stats`` when tuning the cap.
     """
     bands = sigs.select(
         id_col,
@@ -77,6 +86,56 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str, n_bands: int = 4) -> DataF
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
+    return buckets
+
+
+def lsh_seed_labels(buckets: DataFrame) -> DataFrame:
+    """(node, label) seeds for ``connected_components``: each document's
+    smallest co-bucket member across all its LSH buckets.  Valid because a
+    collision bucket is a clique in the candidate-pair graph — its min is
+    always reachable — so seeding can only lower labels toward the fixpoint."""
+    return (
+        buckets.select(
+            F.explode("ids").alias("node"),
+            F.element_at("ids", 1).alias("label"),  # ids sorted ascending
+        )
+        .groupBy("node")
+        .agg(F.min("label").alias("label"))
+    )
+
+
+def lsh_dropped_bucket_stats(
+    sigs: DataFrame, id_col: str, n_bands: int, max_bucket_size: int
+) -> DataFrame:
+    """One row per over-cap bucket (band, sig, n_ids) — the observability
+    side of the ``max_bucket_size`` drop, cheap enough to run per batch."""
+    return (
+        lsh_buckets(sigs, id_col, n_bands, max_bucket_size=None)
+        .filter(F.size("ids") > max_bucket_size)
+        .select("band", "sig", F.size("ids").alias("n_ids"))
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    n_bands: int = 4,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """LSH bucket join in one pass: collision buckets → pair expansion
+    *inside* buckets (bounded by ``max_bucket_size``).
+
+    Never self-joins the signature pipeline (which Spark would recompute on
+    both branches — measured 7× slower at sf0.1) and never shuffles more
+    than #docs × #bands rows.
+    """
+    return bucket_pairs(lsh_buckets(sigs, id_col, n_bands, max_bucket_size))
+
+
+def bucket_pairs(buckets: DataFrame) -> DataFrame:
+    """In-bucket pair expansion over a (band, sig, ids) bucket frame."""
     pairs = buckets.select(
         F.explode(
             F.flatten(
@@ -95,32 +154,31 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str, n_bands: int = 4) -> DataF
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
     """Per-bit majority vote over token md5s → one integer signature.
-    Two hash aggregations, zero pairwise work; near-dup clustering then
+
+    ONE hash aggregation: ``groupBy(doc)`` with one conditional-sum column
+    per bit (``(h >> j) & 1``) plus the token count, then the signature is a
+    pure projection over the 32 counts.  The earlier form cross-joined a
+    32-row bit frame into the token-hash table — a 32× shuffle expansion for
+    the same result; this one shuffles each token hash exactly once, and the
+    per-bit sums partial-aggregate map-side.  Near-dup clustering then
     operates on Hamming distance over 8-byte values."""
     tok = df.select(id_col, F.explode(tokens(text_col)).alias("_tok"))
     h = tok.select(
         id_col,
         F.conv(F.substring(F.md5("_tok"), 1, 8), 16, 10).cast("long").alias("_h"),
     )
-    n = h.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
-    js = df.sparkSession.range(bits).select(F.col("id").cast("int").alias("_j"))
-    bit = (F.floor(F.col("_h") / F.pow(F.lit(2.0), F.col("_j"))).cast("long") % 2)
-    per_bit = (
-        h.crossJoin(F.broadcast(js))
-        .select(id_col, "_j", bit.alias("_bit"))
-        .groupBy(id_col, "_j")
-        .agg(F.sum("_bit").alias("_c"))
-    )
-    weight = F.pow(F.lit(2.0), F.col("_j")).cast("long")
-    return (
-        per_bit.join(n, id_col)
-        .groupBy(id_col)
-        .agg(
-            F.sum(
-                F.when(2 * F.col("_c") > F.col("_n"), weight).otherwise(F.lit(0))
-            ).alias("simhash")
-        )
-    )
+    bit_sums = [
+        F.sum(F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(1))).alias(f"_c{j}")
+        for j in range(bits)
+    ]
+    agged = h.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"), *bit_sums)
+    sig = None
+    for j in range(bits):
+        term = F.when(
+            2 * F.col(f"_c{j}") > F.col("_n"), F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return agged.select(id_col, sig.alias("simhash"))
 
 
 def ngram_jaccard_pairs(
@@ -129,15 +187,35 @@ def ngram_jaccard_pairs(
     text_col: str,
     ngram: int = 2,
     threshold: float = 0.05,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Pairwise n-gram-set Jaccard via an inverted index: postings join on
     the shingle, |A∪B| = |A|+|B|−common.  Cost ∝ postings lists; pairs only
-    materialize for documents sharing ≥1 shingle."""
+    materialize for documents sharing ≥1 shingle.
+
+    ``max_df`` is the document-frequency cut that makes the postings
+    self-join survive corpus scale: a shingle appearing in d documents
+    contributes d² join rows ("of the" bigrams are quadratic killers).
+    Shingles with df > max_df are removed from the gram *sets themselves*
+    (both the intersection and the sizes), i.e. Jaccard is computed over the
+    df-filtered vocabulary — the standard stop-shingle semantics, and a form
+    the SQL oracle expresses identically.
+    """
     g = df.select(
         id_col, F.array_distinct(shingles(tokens(text_col), ngram)).alias("_g")
     ).filter(F.size("_g") > 0)
-    sizes = g.select(id_col, F.size("_g").alias("_sz"))
     inv = g.select(id_col, F.explode("_g").alias("_gram"))
+    if max_df is not None:
+        keep = (
+            inv.groupBy("_gram")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("_gram")
+        )
+        inv = inv.join(keep, "_gram")
+        sizes = inv.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz"))
+    else:
+        sizes = g.select(id_col, F.size("_g").alias("_sz"))
     a = inv.select(F.col(id_col).alias("doc_a"), "_gram")
     b = inv.select(F.col(id_col).alias("doc_b"), "_gram")
     common = (
@@ -158,7 +236,11 @@ def ngram_jaccard_pairs(
 
 
 def connected_components(
-    pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b", max_iter: int = 20
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 20,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Cluster near-dup candidate pairs into components: every member gets
     ``cluster_id`` = the smallest doc id reachable from it.
@@ -168,6 +250,12 @@ def connected_components(
     across edges and keeps the min; converges in O(component diameter)
     rounds — LSH components are shallow, so this is a handful of shuffles.
     ``localCheckpoint`` cuts lineage growth per round.
+
+    ``seeds`` — optional (node, label) initialization with label already a
+    lower bound of the node's final cluster id (e.g. LSH bucket minima from
+    ``lsh_seed_labels``: every bucket is a clique, so its min is reachable).
+    Whole-bucket components then converge at round 1 and only cross-bucket
+    chains need propagation — in practice this halves the round count.
     """
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
@@ -179,12 +267,20 @@ def connected_components(
     # localCheckpoint materializes `edges`/`labels` with fresh lineage, which
     # also sidesteps Spark's ambiguous-self-join detection across rounds.
     edges = edges.localCheckpoint(eager=True)
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
-    )
+    labels = edges.select(F.col("src").alias("node")).distinct()
+    if seeds is not None:
+        labels = (
+            labels.join(seeds.withColumnRenamed("label", "_seed"), "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("node"), F.coalesce(F.col("_seed"), F.col("node"))
+                ).alias("label"),
+            )
+        )
+    else:
+        labels = labels.withColumn("label", F.col("node"))
+    labels = labels.localCheckpoint(eager=True)
     for _ in range(max_iter):
         # 1) hook: pull the min label across direct edges
         neighbor_min = (

@@ -21,6 +21,11 @@ QUERIES = {}
 ORACLE = {}
 
 N_BANDS = 4
+# Hot-bucket valve (VERDICT r1): LSH buckets larger than this are dropped —
+# degenerate signatures are exact-dedup's job.  Mirrored in the oracle SQL
+# (count(*) OVER (PARTITION BY band, sig) <= cap) so the semantics are
+# checked, not assumed.
+MAX_BUCKET = 512
 
 
 def q(name: str, sql: str | None = None):
@@ -86,14 +91,24 @@ def dedup_near_signature(spark, sf_dir):
     return _sigs_df(spark, sf_dir)
 
 
+_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, sig{b} AS sig FROM sigs" for b in range(N_BANDS)
+)
+
+_CAPPED_BANDS_SQL = f"""
+SELECT doc_id, band, sig FROM (
+  SELECT doc_id, band, sig, count(*) OVER (PARTITION BY band, sig) AS bsz
+  FROM bands
+) WHERE bsz <= {MAX_BUCKET}
+"""
+
+
 @q(
     "dedup_minhash_pairs",
     f"""
-WITH sigs AS ({_SIGS_SQL}), bands AS (
-  {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, sig{b} AS sig FROM sigs" for b in range(N_BANDS))}
-)
+WITH sigs AS ({_SIGS_SQL}), bands AS ({_BANDS_SQL}), capped AS ({_CAPPED_BANDS_SQL})
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+FROM capped a JOIN capped b ON a.band = b.band AND a.sig = b.sig
 WHERE a.doc_id < b.doc_id
 """,
 )
@@ -102,14 +117,18 @@ def dedup_minhash_pairs(spark, sf_dir):
     bucket.
 
     One pass: signatures → unpivot to (band, sig, doc_id) → groupBy bucket →
-    pair expansion *inside* buckets (collision buckets are tiny by
-    construction).  A naive self-join on (band, sig) would recompute the
-    whole shingle+md5 pipeline on both branches — measured 60× slower at
-    sf0.1.  Shuffle ∝ #docs × #bands, never #docs²; that asymmetry is the
-    whole point of LSH at corpus scale."""
+    pair expansion *inside* buckets, buckets capped at MAX_BUCKET ids (the
+    hot-bucket valve: a degenerate signature otherwise lands one huge array
+    on one executor and a quadratic pair explosion).  A naive self-join on
+    (band, sig) would recompute the whole shingle+md5 pipeline on both
+    branches — measured 60× slower at sf0.1.  Shuffle ∝ #docs × #bands,
+    never #docs²; that asymmetry is the whole point of LSH at corpus
+    scale."""
     from mycenae_spark.functions.dedup import lsh_candidate_pairs
 
-    return lsh_candidate_pairs(_sigs_df(spark, sf_dir), "doc_id", n_bands=N_BANDS)
+    return lsh_candidate_pairs(
+        _sigs_df(spark, sf_dir), "doc_id", n_bands=N_BANDS, max_bucket_size=MAX_BUCKET
+    )
 
 
 # --------------------------------------------------------- n-gram Jaccard
@@ -148,6 +167,39 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     pairs = ngram_jaccard_pairs(d, "doc_id", "text", ngram=2, threshold=0.05)
+    return pairs.select("doc_a", "doc_b", r6(F.col("jaccard")).alias("jaccard_r"))
+
+
+@q(
+    "dedup_ngram_jaccard_dfcut",
+    f"""
+WITH g AS ({_BIGRAMS_SQL}),
+inv0 AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+keep AS (SELECT gram FROM inv0 GROUP BY gram HAVING count(*) <= 20),
+inv AS (SELECT doc_id, gram FROM inv0 JOIN keep USING (gram)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM inv GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, (round(c / (sa.sz + sb.sz - c) + 1e-9, 6) + 0.0) AS jaccard_r
+FROM common JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE c / (sa.sz + sb.sz - c) >= 0.05
+""",
+)
+def dedup_ngram_jaccard_dfcut(spark, sf_dir):
+    """n-gram Jaccard with the document-frequency cut that survives corpus
+    scale: shingles in >20 documents are dropped from the gram sets before
+    the postings self-join (a df-d shingle contributes d² join rows — "of
+    the" bigrams are the quadratic killer).  Jaccard is computed over the
+    df-filtered vocabulary on both engines."""
+    from mycenae_spark.functions.dedup import ngram_jaccard_pairs
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    pairs = ngram_jaccard_pairs(
+        d, "doc_id", "text", ngram=2, threshold=0.05, max_df=20
+    )
     return pairs.select("doc_a", "doc_b", r6(F.col("jaccard")).alias("jaccard_r"))
 
 
@@ -481,13 +533,12 @@ def ann_ivf_topk(spark, sf_dir):
 @q(
     "dedup_clusters",
     f"""
-WITH RECURSIVE pairs AS (
+WITH RECURSIVE sigs AS ({_SIGS_SQL}), bands AS ({_BANDS_SQL}),
+capped AS ({_CAPPED_BANDS_SQL}),
+pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM (
-    {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, sig{b} AS sig FROM ({_SIGS_SQL})" for b in range(N_BANDS))}
-  ) a JOIN (
-    {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, sig{b} AS sig FROM ({_SIGS_SQL})" for b in range(N_BANDS))}
-  ) b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+  FROM capped a JOIN capped b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
 ), edges AS (
   SELECT doc_a AS a, doc_b AS b FROM pairs
   UNION SELECT doc_b, doc_a FROM pairs
@@ -504,11 +555,25 @@ def dedup_clusters(spark, sf_dir):
     """Near-dup *clusters* from the LSH candidate pairs: connected
     components by iterative min-label propagation (functions/dedup.py) —
     the iterative-algorithm shape Spark runs as a handful of self-joins.
-    Oracle: transitive closure via DuckDB recursive CTE (tiny pair graph)."""
-    from mycenae_spark.functions.dedup import connected_components
 
-    pairs = QUERIES["dedup_minhash_pairs"](spark, sf_dir)
-    return connected_components(pairs)
+    The bucket frame is localCheckpointed once and reused for BOTH the pair
+    expansion and the label seeds (each doc's smallest co-bucket member):
+    whole-bucket components converge at round 1 and only cross-bucket chains
+    need propagation — measured ~2× fewer rounds than unseeded at sf0.1.
+    Oracle: transitive closure via DuckDB recursive CTE (tiny pair graph)."""
+    from mycenae_spark.functions.dedup import (
+        bucket_pairs,
+        connected_components,
+        lsh_buckets,
+        lsh_seed_labels,
+    )
+
+    buckets = lsh_buckets(
+        _sigs_df(spark, sf_dir), "doc_id", n_bands=N_BANDS, max_bucket_size=MAX_BUCKET
+    ).localCheckpoint(eager=True)
+    return connected_components(
+        bucket_pairs(buckets), seeds=lsh_seed_labels(buckets)
+    )
 
 
 # ------------------------------------------------------------ text scrubbing

@@ -1,14 +1,87 @@
-"""Salted two-phase downsample equals the direct single-shuffle form."""
+"""Skew defenses: salted downsample; LSH hot-bucket cap on a degenerate
+corpus."""
 
 from __future__ import annotations
 
 import pytest
+
+import pyspark.sql.functions as F
 
 from mycenae_spark.operators.downsample import downsample
 from mycenae_spark.operators.skew import salted_downsample
 from mycenae_spark.sources.tables import events_as_points
 
 from tests.conftest import SF_DIR
+
+
+def _degenerate_corpus(spark, n=1000):
+    """1k near-identical docs: every band signature collides → one hot
+    bucket per band."""
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("lorem ipsum dolor sit amet consectetur adipiscing elit sed").alias(
+            "text"
+        ),
+    )
+
+
+def test_lsh_hot_bucket_capped(spark):
+    """VERDICT r1: a degenerate signature must not produce a quadratic
+    in-bucket pair explosion — over-cap buckets are dropped."""
+    from mycenae_spark.functions.dedup import (
+        lsh_candidate_pairs,
+        lsh_dropped_bucket_stats,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(_degenerate_corpus(spark), "doc_id", "text")
+    capped = lsh_candidate_pairs(sigs, "doc_id", max_bucket_size=64)
+    assert capped.count() == 0  # 1000-doc buckets all exceed the cap
+    dropped = lsh_dropped_bucket_stats(sigs, "doc_id", 4, 64).collect()
+    assert len(dropped) == 4 and all(r["n_ids"] == 1000 for r in dropped)
+    # sanity: small genuine buckets still pair up under the same cap
+    mixed = _degenerate_corpus(spark, 3).union(
+        spark.range(2).select(
+            (F.col("id") + 100).alias("doc_id"),
+            F.lit("completely different words here repeated tokens apart").alias(
+                "text"
+            ),
+        )
+    )
+    pairs = lsh_candidate_pairs(
+        minhash_signatures(mixed, "doc_id", "text"), "doc_id", max_bucket_size=64
+    ).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert got == {(0, 1), (0, 2), (1, 2), (100, 101)}
+
+
+def test_seeded_components_match_unseeded(spark):
+    from mycenae_spark.functions.dedup import (
+        bucket_pairs,
+        connected_components,
+        lsh_buckets,
+        lsh_seed_labels,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"shared prefix words here tail {i % 7} {'x' * (i % 3)}") for i in range(60)],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(docs, "doc_id", "text")
+    buckets = lsh_buckets(sigs, "doc_id").localCheckpoint(eager=True)
+    pairs = bucket_pairs(buckets)
+    unseeded = {
+        (r["doc_id"], r["cluster_id"])
+        for r in connected_components(pairs).collect()
+    }
+    seeded = {
+        (r["doc_id"], r["cluster_id"])
+        for r in connected_components(
+            pairs, seeds=lsh_seed_labels(buckets)
+        ).collect()
+    }
+    assert seeded == unseeded and seeded
 
 
 @pytest.mark.parametrize("agg", ["sum", "count", "min", "max", "avg"])
