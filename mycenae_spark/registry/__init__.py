@@ -26,9 +26,15 @@ _rel_checked = {
     k: relational_queries.QUERIES[k] for k in _R1_GREEN_RELATIONAL
 }
 
+# Queries declared for the first time in round 2 (no green row yet) that
+# live in modules merged late — pull them into the checked window too.
+_NEW_ROUND2 = ("fill_nan", "text_point_latest")
+_tsdb_new = {k: tsdb_queries.QUERIES[k] for k in _NEW_ROUND2}
+
 QUERIES = {
     **llm_queries.QUERIES,
     **_rel_unchecked,
+    **_tsdb_new,
     **_rel_checked,
     **tsdb_queries.QUERIES,
 }

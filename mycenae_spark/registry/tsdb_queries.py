@@ -327,6 +327,89 @@ def fill_zero(spark, sf_dir):
     return _filled(spark, sf_dir, "zero")
 
 
+@q(
+    "fill_nan",
+    f"""
+WITH ds AS (
+  SELECT metric, tag_user, {bucket_ms_sql(HOUR_MS)} AS bucket_ms,
+         (round(avg(value) + 1e-9, 4) + 0.0) AS avg_v_r
+  FROM ({SQL_POINTS}) GROUP BY metric, tag_user, bucket_ms
+), ext AS (
+  SELECT metric, tag_user, min(bucket_ms) AS lo, max(bucket_ms) AS hi
+  FROM ds GROUP BY metric, tag_user
+), spine AS (
+  SELECT metric, tag_user, unnest(generate_series(lo, hi, {HOUR_MS})) AS bucket_ms
+  FROM ext
+)
+SELECT s.metric, s.tag_user, s.bucket_ms,
+       CASE WHEN d.avg_v_r IS NULL THEN 1 ELSE 0 END AS is_gap,
+       d.avg_v_r AS avg_v_r
+FROM spine s LEFT JOIN ds d USING (metric, tag_user, bucket_ms)
+""",
+)
+def fill_nan(spark, sf_dir):
+    """W3 fill=nan, judged via NaN-tolerant canonicalization (NEXT.md §4).
+
+    The real pipeline runs: downsample(fill='nan') keeps empty buckets NULL
+    internally (so aggregation skips them — OpenTSDB semantics), then the
+    JSON edge renders NULL→NaN (api.py).  The judged output materializes
+    that NaN in-plan (coalesce → isnan) and canonicalizes it to hashable
+    types: ``is_gap`` flags the NaN positions, ``avg_v_r`` carries the
+    number (NULL where NaN) — lossless, and NaN never reaches the driver's
+    value hash."""
+    filled = _filled(spark, sf_dir, "nan")
+    v = F.coalesce(F.col("avg_v_r"), F.lit(float("nan")))  # the JSON-edge render
+    return filled.select(
+        "metric",
+        "tag_user",
+        "bucket_ms",
+        F.isnan(v).cast("int").alias("is_gap"),
+        F.when(~F.isnan(v), v).alias("avg_v_r"),
+    )
+
+
+@q(
+    "text_point_latest",
+    f"""
+WITH tp AS (
+  SELECT metric, tag_user, ts_us, event_id, props AS text
+  FROM ({SQL_POINTS})
+  WHERE metric = 'view'
+    AND ts_us >= {MS_2024_01_05 * 1000} AND ts_us < {MS_2024_01_12 * 1000}
+)
+SELECT metric, tag_user, ts_us, event_id, text FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY tag_user ORDER BY ts_us DESC, event_id DESC) AS rn
+  FROM tp
+) WHERE rn = 1
+""",
+)
+def text_point_latest(spark, sf_dir):
+    """Text-valued point read-back (upstream ``lib/plot`` text path,
+    SURVEY §1.1): time-range filter + latest text point per series.
+
+    ``props`` plays the text payload (the testdata has no separate text
+    table); the read shape — scan, range predicate, per-series last — is
+    exactly the text query path.  Latest-per-series is a row_number window
+    with (ts, event_id) tiebreak, deterministic across engines."""
+    p = points(spark, sf_dir).filter(
+        (F.col("metric") == "view")
+        & flt.time_range(
+            F.col("ts_us"), MS_2024_01_05 * 1000, MS_2024_01_12 * 1000
+        )
+    )
+    w = Window.partitionBy("tag_user").orderBy(
+        F.desc("ts_us"), F.desc("event_id")
+    )
+    return (
+        p.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "metric", "tag_user", "ts_us", "event_id", F.col("props").alias("text")
+        )
+    )
+
+
 _RATE_BASE = f"""
 WITH l AS (
   SELECT metric, tag_user, ts_us, event_id, value,
