@@ -29,18 +29,42 @@ def build_catalog(points: DataFrame, tag_cols: list[str] | None = None) -> DataF
     return points.select("metric", *tag_cols).distinct()
 
 
-def suggest(catalog: DataFrame, kind: str, prefix: str, limit: int = 25) -> DataFrame:
+def suggest(
+    catalog: DataFrame,
+    kind: str,
+    prefix: str,
+    limit: int = 25,
+    tagk: str | None = None,
+) -> DataFrame:
     """M1 ``/api/suggest``: prefix-matched distinct names, capped.
 
-    kind ∈ {metrics, tagk, tagv}; for tagk/tagv the single testdata tag is
-    ``tag_user`` — the general form takes any tag column.
+    kind ∈ {metrics, tagk, tagv}.  ``tagv`` suggests over the values of ALL
+    tag columns (or one specific tag via ``tagk=``) — no column is
+    hardcoded, so any tag schema works.
     """
-    col = {"metrics": "metric", "tagk": "tagk", "tagv": "tag_user"}[kind]
-    if kind == "tagk":
+    if kind == "metrics":
+        df, col = catalog, "metric"
+    elif kind == "tagk":
         names = [c[4:] for c in catalog.columns if c.startswith("tag_")]
         df = catalog.sparkSession.createDataFrame([(n,) for n in names], ["tagk"])
+        col = "tagk"
+    elif kind == "tagv":
+        tag_cols = (
+            [f"tag_{tagk}"]
+            if tagk is not None
+            else [c for c in catalog.columns if c.startswith("tag_")]
+        )
+        missing = [c for c in tag_cols if c not in catalog.columns]
+        if missing:
+            raise KeyError(f"unknown tag column(s): {missing}")
+        df = catalog.select(
+            F.explode(
+                F.array(*[F.col(c).cast("string") for c in tag_cols])
+            ).alias("tagv")
+        )
+        col = "tagv"
     else:
-        df = catalog
+        raise ValueError(f"unknown suggest kind: {kind!r}")
     return (
         df.select(col)
         .filter(F.col(col).cast("string").startswith(prefix))

@@ -8,8 +8,10 @@ already speaks, backed by the Parquet lake + planner:
 * ``POST /keysets/{ks}/api/query``      — OpenTSDB query JSON
 * ``GET  /keysets/{ks}/api/query/expression?exp=...`` — expression query
 * ``POST /api/expression/check``        — validate an expression
-* ``GET  /api/suggest?type=metrics&q=p&max=N``
+* ``GET  /api/suggest?type=metrics&q=p&max=N`` (``type=tagv`` takes ``tagk=``)
 * ``GET  /api/aggregators`` / ``GET /api/config/filters``
+* ``POST/GET/PUT/DELETE /keyspaces[/{id}]`` — keyspace CRUD + TTL
+  (upstream ``lib/keyspace`` REST), backed by keyspace.py
 
 The server is deliberately driver-side thin: every request body is parsed in
 Python, but all data work is a Spark plan over the lake.  Ingest here is the
@@ -52,6 +54,9 @@ class Engine:
         self.spark = spark
         self.lake_dir = lake_dir
         self.catalog_dir = catalog_dir
+        from mycenae_spark.keyspace import KeyspaceManager
+
+        self.keyspaces = KeyspaceManager(lake_dir)
 
     # -- ingest -----------------------------------------------------------
 
@@ -103,18 +108,44 @@ class Engine:
         q = parse_expression(exp, now_ms)
         return shape_response(plan(self._points(), q), q)
 
-    def suggest(self, kind: str, prefix: str, limit: int) -> list:
+    def suggest(
+        self, kind: str, prefix: str, limit: int, tagk: str | None = None
+    ) -> list:
         from mycenae_spark.catalog import suggest
 
-        cat = self.spark.read.parquet(self.catalog_dir).select("metric").distinct()
-        if kind != "metrics":
-            cat = self.spark.read.parquet(self.catalog_dir)
-            col = {"tagk": F.explode(F.map_keys("tags")), "tagv": F.explode(F.map_values("tags"))}[kind]
-            cat = cat.select(col.alias("metric")).distinct()
-        return [
+        # The stored catalog carries a tags MAP column; expand it to the
+        # per-tag-column form catalog.suggest expects (any tag schema).
+        cat = self.spark.read.parquet(self.catalog_dir)
+        keys = [
             r[0]
-            for r in suggest(cat, "metrics", prefix, limit).collect()
+            for r in cat.select(F.explode(F.map_keys("tags")).alias("k"))
+            .distinct()
+            .collect()
+            if r[0] not in ("ksid", "ttl")
         ]
+        cat = cat.select(
+            "metric",
+            *[F.col("tags").getItem(k).alias(f"tag_{k}") for k in sorted(keys)],
+        )
+        return [
+            r[0] for r in suggest(cat, kind, prefix, limit, tagk=tagk).collect()
+        ]
+
+    # -- keyspaces --------------------------------------------------------
+
+    def keyspace_create(self, name: str, body: dict) -> dict:
+        from mycenae_spark.keyspace import Keyspace
+
+        allowed = {"ttl_days", "replication", "datacenter", "contact"}
+        self.keyspaces.create(
+            Keyspace(name=name, **{k: v for k, v in (body or {}).items() if k in allowed})
+        )
+        return {"ksid": name}
+
+    def keyspace_get(self, name: str) -> dict:
+        from dataclasses import asdict
+
+        return asdict(self.keyspaces.get(name))
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -150,8 +181,17 @@ class _Handler(BaseHTTPRequestHandler):
                         qs.get("type", ["metrics"])[0],
                         qs.get("q", [""])[0],
                         int(qs.get("max", ["25"])[0]),
+                        tagk=qs.get("tagk", [None])[0],
                     ),
                 )
+            if u.path == "/keyspaces":
+                return self._send(200, self.engine.keyspaces.list())
+            m = re.match(r"^/keyspaces/([^/]+)$", u.path)
+            if m:
+                try:
+                    return self._send(200, self.engine.keyspace_get(m.group(1)))
+                except KeyError:
+                    return self._send(404, {"error": f"no keyspace {m.group(1)}"})
             m = re.match(r"^/keysets/[^/]+/api/query/expression$", u.path)
             if m:
                 return self._send(
@@ -175,6 +215,41 @@ class _Handler(BaseHTTPRequestHandler):
                     self._body()["exp"], int(time.time() * 1000)
                 )
                 return self._send(200 if not errors else 400, {"errors": errors})
+            m = re.match(r"^/keyspaces/([^/]+)$", u.path)
+            if m:
+                return self._send(
+                    201, self.engine.keyspace_create(m.group(1), self._body())
+                )
+            return self._send(404, {"error": f"no route {u.path}"})
+        except Exception as exc:  # noqa: BLE001
+            return self._send(400, {"error": str(exc)})
+
+    def do_PUT(self):  # noqa: N802
+        u = urlparse(self.path)
+        try:
+            m = re.match(r"^/keyspaces/([^/]+)$", u.path)
+            if m:
+                body = self._body() or {}
+                try:
+                    self.engine.keyspaces.update_ttl(
+                        m.group(1), int(body["ttl_days"])
+                    )
+                except KeyError as exc:
+                    missing = str(exc).strip("'")
+                    code = 400 if missing == "ttl_days" else 404
+                    return self._send(code, {"error": f"missing {missing}"})
+                return self._send(200, self.engine.keyspace_get(m.group(1)))
+            return self._send(404, {"error": f"no route {u.path}"})
+        except Exception as exc:  # noqa: BLE001
+            return self._send(400, {"error": str(exc)})
+
+    def do_DELETE(self):  # noqa: N802
+        u = urlparse(self.path)
+        try:
+            m = re.match(r"^/keyspaces/([^/]+)$", u.path)
+            if m:
+                self.engine.keyspaces.drop(m.group(1))
+                return self._send(200, {"ksid": m.group(1), "dropped": True})
             return self._send(404, {"error": f"no route {u.path}"})
         except Exception as exc:  # noqa: BLE001
             return self._send(400, {"error": str(exc)})

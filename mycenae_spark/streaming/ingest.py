@@ -75,6 +75,51 @@ def decode_opentsdb_lines(raw: DataFrame, value_col: str = "value") -> DataFrame
     )
 
 
+#: netdata's JSON backend line shape (upstream ``lib/telnet`` netdata
+#: handler [M]): one JSON object per line from netdata's opentsdb/json
+#: exporter.
+NETDATA_SCHEMA = (
+    "hostname string, chart_id string, chart_family string, "
+    "chart_context string, id string, name string, "
+    "value double, timestamp long"
+)
+
+
+def decode_netdata_lines(
+    raw: DataFrame, value_col: str = "value", default_ksid: str | None = None
+) -> DataFrame:
+    """Telnet netdata format (S4): JSON-per-line from netdata's exporter.
+
+    Mapping (mirrors the reference's netdata handler semantics): metric =
+    ``<chart_id>.<dimension id>``; tags carry the source host and chart;
+    second-resolution timestamps normalize downstream.  ``ksid`` is
+    mandatory in the data model, so the listener injects its configured
+    keyset — exactly what the reference's per-listener config does.
+    """
+    p = raw.select(
+        F.from_json(F.col(value_col).cast("string"), NETDATA_SCHEMA).alias("p")
+    ).select("p.*")
+    tag_entries = [
+        F.struct(F.lit("host").alias("key"), F.col("hostname").alias("value")),
+        F.struct(F.lit("chart").alias("key"), F.col("chart_id").alias("value")),
+    ]
+    if default_ksid is not None:
+        tag_entries.append(
+            F.struct(F.lit("ksid").alias("key"), F.lit(default_ksid).alias("value"))
+        )
+    return p.where(
+        F.col("chart_id").isNotNull() & F.col("id").isNotNull()
+    ).select(
+        F.concat_ws(".", F.col("chart_id"), F.col("id")).alias("metric"),
+        F.map_from_entries(
+            F.filter(F.array(*tag_entries), lambda e: e["value"].isNotNull())
+        ).alias("tags"),
+        F.col("timestamp"),
+        F.col("value"),
+        F.lit(None).cast("string").alias("text"),
+    )
+
+
 def prepare_points(decoded: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Validation split + tsid + event-time column (§3.1 steps 2–3).
 
@@ -147,11 +192,12 @@ def start_ingest(
         .option("maxFilesPerTrigger", "16")
         .load(source_dir)
     )
-    decoded = (
-        decode_json_lines(raw)
-        if fmt == "json"
-        else decode_opentsdb_lines(raw)
-    )
+    decoders = {
+        "json": decode_json_lines,
+        "opentsdb": decode_opentsdb_lines,
+        "netdata": decode_netdata_lines,
+    }
+    decoded = decoders[fmt](raw)
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         valid, _invalid = prepare_points(batch)

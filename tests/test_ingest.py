@@ -78,6 +78,39 @@ def test_telnet_line_decode(spark):
     assert r0["value"] == 3.5
 
 
+def test_netdata_line_decode(spark):
+    import json as _json
+
+    from mycenae_spark.streaming.ingest import decode_netdata_lines
+
+    lines = [
+        (_json.dumps({
+            "prefix": "netdata", "hostname": "web01",
+            "chart_id": "system.cpu", "chart_family": "cpu",
+            "chart_context": "system.cpu", "id": "user", "name": "user",
+            "value": 1.5, "timestamp": 1704067200,
+        }),),
+        (_json.dumps({
+            "hostname": "web01", "chart_id": "system.ram", "id": "free",
+            "value": 2048.0, "timestamp": 1704067201,
+        }),),
+        ("not json at all",),  # dropped (fire-and-forget, like UDP)
+    ]
+    raw = spark.createDataFrame(lines, ["value"])
+    rows = decode_netdata_lines(raw, default_ksid="ks1").collect()
+    assert {r["metric"] for r in rows} == {"system.cpu.user", "system.ram.free"}
+    r0 = [r for r in rows if r["metric"] == "system.cpu.user"][0]
+    assert r0["tags"] == {"host": "web01", "chart": "system.cpu", "ksid": "ks1"}
+    assert r0["value"] == 1.5
+    # second-resolution timestamps normalize to ms downstream
+    valid, invalid = prepare_points(
+        decode_netdata_lines(raw, default_ksid="ks1")
+    )
+    got = {r["timestamp"] for r in valid.collect()}
+    assert got == {1704067200000, 1704067201000}
+    assert invalid.count() == 0
+
+
 def test_streaming_ingest_roundtrip(spark, tmp_path):
     src = tmp_path / "src"
     src.mkdir()

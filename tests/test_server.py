@@ -13,11 +13,11 @@ from mycenae_spark.server import serve
 BASE_TS = 1704067200000
 
 
-def _req(base, path, body=None):
+def _req(base, path, body=None, method=None):
     url = f"{base}{path}"
     data = json.dumps(body).encode() if body is not None else None
     req = urllib.request.Request(
-        url, data=data, headers={"Content-Type": "application/json"}
+        url, data=data, headers={"Content-Type": "application/json"}, method=method
     )
     try:
         with urllib.request.urlopen(req, timeout=120) as resp:
@@ -107,3 +107,35 @@ def test_error_paths(server):
     assert code == 404
     code, resp = _req(server, "/keysets/k1/api/query", {"bad": "shape"})
     assert code == 400 and "error" in resp
+
+
+def test_keyspace_rest_crud(server):
+    code, resp = _req(server, "/keyspaces/ks_rest", {"ttl_days": 30})
+    assert code == 201 and resp["ksid"] == "ks_rest"
+    # duplicate create → error
+    code, resp = _req(server, "/keyspaces/ks_rest", {"ttl_days": 30})
+    assert code == 400 and "exists" in resp["error"]
+    code, resp = _req(server, "/keyspaces")
+    assert code == 200 and "ks_rest" in resp
+    code, resp = _req(server, "/keyspaces/ks_rest")
+    assert code == 200 and resp["ttl_days"] == 30
+    code, resp = _req(server, "/keyspaces/ks_rest", {"ttl_days": 7}, method="PUT")
+    assert code == 200 and resp["ttl_days"] == 7
+    code, resp = _req(server, "/keyspaces/ks_rest", method="DELETE")
+    assert code == 200 and resp["dropped"]
+    code, resp = _req(server, "/keyspaces/ks_rest")
+    assert code == 404
+    code, resp = _req(server, "/keyspaces/ks_rest", {"ttl_days": 7}, method="PUT")
+    assert code == 404  # updating a dropped keyspace
+    code, resp = _req(server, "/keyspaces/other", {"bad": 1}, method="PUT")
+    assert code == 400  # ttl_days missing from body
+
+
+def test_suggest_tagv_any_tag(server):
+    # data from test_put_then_query_roundtrip: tags host=h0/h1 (+ksid)
+    code, vals = _req(server, "/api/suggest?type=tagv&q=h&max=10")
+    assert code == 200 and set(vals) >= {"h0", "h1"}
+    code, vals = _req(server, "/api/suggest?type=tagv&q=h&max=10&tagk=host")
+    assert code == 200 and set(vals) == {"h0", "h1"}
+    code, keys = _req(server, "/api/suggest?type=tagk&q=&max=10")
+    assert code == 200 and "host" in keys
