@@ -40,10 +40,13 @@ HEADLINE = [
     "join_multiway",
     "agg_rollup",
     "agg_cube",
+    "fill_nan",
+    "text_point_latest",
     "dedup_near_signature",
     "dedup_minhash_pairs",
     "dedup_clusters",
     "dedup_simhash",
+    "dedup_ngram_jaccard_dfcut",
     "sim_topk",
     "ann_ivf_topk",
     "window_cumsum",

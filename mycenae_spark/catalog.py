@@ -108,6 +108,34 @@ def delete_series(
     return catalog.join(victims.select(*join_cols), join_cols, "left_anti")
 
 
+def meta_page_after(
+    catalog: DataFrame,
+    page_size: int = 10,
+    last_metric: str | None = None,
+    last_tag: str | None = None,
+    tag_col: str = "tag_user",
+) -> DataFrame:
+    """M3 deep paging, keyset-style: the page *after* (last_metric,
+    last_tag).
+
+    A row_number over the whole catalog pulls every series through one
+    partition (single-task sort at 10⁸ series); keyset continuation instead
+    filters to keys strictly greater than the cursor — a pushed-down scan
+    predicate — and takes the top page_size of what remains
+    (TakeOrderedAndProject: per-partition top-K, no global sort shuffle).
+    Page N costs the same as page 1 at any catalog size.
+    """
+    df = catalog
+    if last_metric is not None:
+        # The cursor comparison must use the tag column's NATIVE type so it
+        # agrees with orderBy's ordering (string '10' < '2', long 10 > 2).
+        after = (F.col("metric") > last_metric) | (
+            (F.col("metric") == last_metric) & (F.col(tag_col) > F.lit(last_tag))
+        )
+        df = df.filter(after)
+    return df.orderBy("metric", tag_col).limit(page_size)
+
+
 def series_cap_guard(catalog: DataFrame, max_series: int) -> int:
     """L2 MaxTimeseries guard: count matching series pre-flight; raise if
     over cap (mycenae rejects the query rather than truncating)."""

@@ -87,3 +87,21 @@ def test_delete_series(points):
     one = cat.limit(1).collect()[0]
     scoped = delete_series(cat, metric=one["metric"], user=one["tag_user"])
     assert scoped.count() == n0 - 1
+
+
+def test_meta_page_keyset_continuation(points):
+    """Keyset paging (catalog.meta_page_after) returns the same page-2 rows
+    as offset paging, without a global-sort window."""
+    from mycenae_spark.catalog import meta_page_after
+
+    cat = build_catalog(points)
+    page1 = meta_page_after(cat, page_size=10).collect()
+    assert len(page1) == 10
+    page2 = meta_page_after(
+        cat, page_size=10,
+        last_metric=page1[-1]["metric"], last_tag=page1[-1]["tag_user"],
+    ).collect()
+    all_sorted = sorted(
+        ((r["metric"], r["tag_user"]) for r in cat.collect()),
+    )
+    assert [(r["metric"], r["tag_user"]) for r in page2] == all_sorted[10:20]
