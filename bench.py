@@ -49,6 +49,7 @@ HEADLINE = [
     "dedup_ngram_jaccard_dfcut",
     "sim_topk",
     "ann_ivf_topk",
+    "ann_ivf_kmeans_topk",
     "window_cumsum",
     "agg_percentile",
     "tsdb_pipeline_expression",
@@ -85,7 +86,12 @@ def main() -> None:
         (r["q_id"], r["n_id"])
         for r in QUERIES["ann_ivf_topk"](spark, sf_dir).collect()
     }
+    kmeans = {
+        (r["q_id"], r["n_id"])
+        for r in QUERIES["ann_ivf_kmeans_topk"](spark, sf_dir).collect()
+    }
     recall = round(len(brute & ivf) / max(len(brute), 1), 3)
+    recall_km = round(len(brute & kmeans) / max(len(brute), 1), 3)
 
     print(
         json.dumps(
@@ -95,7 +101,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": float(sf),
-                "extras": {"ann_ivf_recall_at3": recall},
+                "extras": {
+                    "ann_ivf_recall_at3": recall,
+                    "ann_ivf_kmeans_recall_at3": recall_km,
+                },
             }
         )
     )

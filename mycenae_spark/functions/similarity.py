@@ -69,6 +69,56 @@ def brute_topk(
     )
 
 
+def kmeans_refine(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    iters: int = 1,
+    score_rounder=None,
+    comp_rounder=None,
+) -> DataFrame:
+    """Lloyd-iteration centroid refinement: assign (cosine, broadcast
+    centroids) → per-cluster per-dimension mean → new centroids.
+
+    Returns (c_id, ``emb_col``) with array<double> centroids.  This is the
+    "trained" IVF the literature assumes: seeded from deterministic samples,
+    tightened by k-means so clusters match the data distribution and probing
+    few clusters actually captures the neighbors.  Each iteration is one
+    broadcast-assign pass over the corpus plus a (cluster, dim) hash
+    aggregation — shuffle ∝ #clusters × dim, never corpus².
+
+    ``comp_rounder`` rounds each mean component — REQUIRED for cross-engine
+    determinism (mean summation order differs between engines; rounding to a
+    1e-6 grid collapses the ~1e-15 noise to identical values).  Clusters
+    that lose all members disappear (identically on both engines).
+    """
+    comp = comp_rounder or (lambda c: c)
+    cent = centroids.select(F.col(id_col).alias("c_id"), F.col(emb_col))
+    for _ in range(iters):
+        assign = ivf_assign(
+            corpus,
+            cent.withColumnRenamed("c_id", id_col),
+            id_col=id_col,
+            emb_col=emb_col,
+            score_rounder=score_rounder,
+        )
+        dims = (
+            corpus.join(assign, id_col)
+            .select("c_id", F.posexplode(F.col(emb_col)).alias("_j", "_e"))
+            .groupBy("c_id", "_j")
+            .agg(comp(F.avg(F.col("_e").cast("double"))).alias("_m"))
+        )
+        # rebuild ordered arrays: sort (dim, mean) structs, project the mean
+        cent = dims.groupBy("c_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_j", "_m"))),
+                lambda s: s["_m"],
+            ).alias(emb_col)
+        )
+    return cent
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: DataFrame,

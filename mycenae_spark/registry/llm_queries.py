@@ -434,12 +434,39 @@ def _cos_sql_pair(xa: str, xb: str) -> str:
     return f"{dot(xa, xb)} / (sqrt({dot(xa, xa)}) * sqrt({dot(xb, xb)}))"
 
 
-@q(
-    "ann_ivf_topk",
-    f"""
-WITH cent AS (
-  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id % 100 = 0
-), assign AS (
+_CENT0_SQL = (
+    "SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings "
+    "WHERE vec_id % 100 = 0"
+)
+
+#: One Lloyd iteration over the seed centroids: assign every vector to its
+#: nearest seed, then per-cluster per-dimension mean (rounded to the 1e-6
+#: grid on BOTH engines — mean summation order differs, rounding collapses
+#: the ~1e-15 noise).  list(m ORDER BY j) rebuilds the ordered vector.
+_CENT_KMEANS_SQL = f"""
+cent0 AS ({_CENT0_SQL}),
+a0 AS (
+  SELECT vec_id, c_id FROM (
+    SELECT e.vec_id, c.c_id,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             (round({{cos0}} + 1e-9, 6) + 0.0) DESC, c.c_id) AS rn
+    FROM embeddings e CROSS JOIN cent0 c
+  ) WHERE rn = 1
+),
+dims AS (
+  SELECT a0.c_id, j, (round(avg(e.embedding[j]::DOUBLE) + 1e-9, 6) + 0.0) AS m
+  FROM embeddings e JOIN a0 USING (vec_id)
+  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS j) js
+  GROUP BY a0.c_id, j
+),
+cent AS (SELECT c_id, list(m ORDER BY j) AS c_emb FROM dims GROUP BY c_id)
+"""
+
+
+#: The IVF search phase, shared by seeded and k-means-refined centroid
+#: variants — everything after the ``cent(c_id, c_emb)`` CTE.
+_IVF_SEARCH_SQL_TAIL = f"""
+assign AS (
   SELECT vec_id, c_id FROM (
     SELECT a.vec_id, c.c_id,
            row_number() OVER (PARTITION BY a.vec_id ORDER BY
@@ -468,31 +495,24 @@ SELECT q_id, n_id, rk, cos_r FROM (
   SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_r DESC, n_id) AS rk
   FROM scored
 ) WHERE rk <= 3
-""",
-)
-def ann_ivf_topk(spark, sf_dir):
-    """IVF-style ANN with multi-probe: the 100 TB scale path for similarity
-    search.
+"""
 
-    Deterministic "trained" centroids = every 100th vector.  Phase 1 assigns
-    each corpus vector to its nearest centroid (centroids broadcast, corpus
-    streams — shuffle-free).  Phase 2 searches the query's 4 closest
-    clusters (nprobe=4): single-probe recall@3 measured only 0.23 on this
-    weakly-clustered corpus; multi-probe is the standard recall/scan-cost
-    dial and the scan still shrinks ∝ nprobe/#clusters versus brute force.
-    All ranking on rounded scores with id tie-breaks (cross-engine stable).
-    """
+
+def _ivf_search(spark, sf_dir, cent, nprobe: int = 4, k: int = 3):
+    """IVF search over a (c_id, embedding) centroid frame: broadcast-assign
+    the corpus, probe the query's nprobe nearest clusters, exact-score only
+    the candidates, rank on rounded cosine.  Scan cost ∝ nprobe/#clusters
+    of brute force; the corpus is never shuffled."""
     from mycenae_spark.functions.similarity import ivf_assign, with_norm
 
     e = t(spark, sf_dir, "embeddings")
     en = _with_norm(e)
-    cent = e.filter(F.col("vec_id") % 100 == 0)
-    assign = ivf_assign(e, cent, score_rounder=r6)
-    # per-query top-nprobe centroids (same scoring path, rank cap 4)
+    assign = ivf_assign(
+        e, cent.select(F.col("c_id").alias("vec_id"), "embedding"), score_rounder=r6
+    )
+    # per-query top-nprobe centroids (same scoring path, rank cap nprobe)
     cw = with_norm(cent).select(
-        F.col("vec_id").alias("c_id"),
-        F.col("embedding").alias("_ce"),
-        F.col("_norm").alias("_cn"),
+        "c_id", F.col("embedding").alias("_ce"), F.col("_norm").alias("_cn")
     )
     qv = en.filter(F.col("vec_id") < 10)
     probe_cos = _dot(F.col("embedding"), F.col("_ce")) / (
@@ -503,7 +523,7 @@ def ann_ivf_topk(spark, sf_dir):
         qv.crossJoin(F.broadcast(cw))
         .withColumn("_cos_r", r6(probe_cos))
         .withColumn("_rn", F.row_number().over(w_probe))
-        .filter(F.col("_rn") <= 4)
+        .filter(F.col("_rn") <= nprobe)
         .select(F.col("vec_id").alias("q_id"), "c_id")
     )
     cand = (
@@ -523,9 +543,65 @@ def ann_ivf_topk(spark, sf_dir):
         .join(na, "n_id")
         .withColumn("cos_r", r6(cos_qn))
         .withColumn("rk", F.row_number().over(w_rank))
-        .filter(F.col("rk") <= 3)
+        .filter(F.col("rk") <= k)
         .select("q_id", "n_id", "rk", "cos_r")
     )
+
+
+def _cent0(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 100 == 0)
+        .select(F.col("vec_id").alias("c_id"), "embedding")
+    )
+
+
+@q("ann_ivf_topk", f"WITH cent AS ({_CENT0_SQL}), {_IVF_SEARCH_SQL_TAIL}")
+def ann_ivf_topk(spark, sf_dir):
+    """IVF-style ANN with multi-probe: the 100 TB scale path for similarity
+    search.
+
+    Deterministic seed centroids = every 100th vector.  Phase 1 assigns
+    each corpus vector to its nearest centroid (centroids broadcast, corpus
+    streams — shuffle-free).  Phase 2 searches the query's 4 closest
+    clusters (nprobe=4): single-probe recall@3 measured only 0.23 on this
+    weakly-clustered corpus; multi-probe is the standard recall/scan-cost
+    dial and the scan still shrinks ∝ nprobe/#clusters versus brute force.
+    All ranking on rounded scores with id tie-breaks (cross-engine stable).
+    See ann_ivf_kmeans_topk for the trained-centroid variant.
+    """
+    return _ivf_search(spark, sf_dir, _cent0(spark, sf_dir))
+
+
+@q(
+    "ann_ivf_kmeans_topk",
+    "WITH "
+    + _CENT_KMEANS_SQL.format(cos0=_cos_sql_pair("e.embedding", "c.c_emb"))
+    + ", "
+    + _IVF_SEARCH_SQL_TAIL,
+)
+def ann_ivf_kmeans_topk(spark, sf_dir):
+    """IVF ANN with k-means-TRAINED centroids (one Lloyd iteration over the
+    deterministic seeds): assign all vectors to their nearest seed, recenter
+    each cluster at its per-dimension mean, then search as in ann_ivf_topk.
+
+    Training cost per iteration = one broadcast-assign pass over the corpus
+    + a (cluster, dim) hash aggregation — shuffle ∝ #clusters × dim.  Mean
+    components are rounded to the 1e-6 grid on both engines (summation-order
+    noise ~1e-15 collapses to identical values), keeping the whole pipeline
+    hash-checkable.  Recall@3 vs the untrained seeds is reported in bench
+    extras."""
+    from mycenae_spark.functions.similarity import kmeans_refine
+
+    e = t(spark, sf_dir, "embeddings")
+    cent = kmeans_refine(
+        e,
+        _cent0(spark, sf_dir).withColumnRenamed("c_id", "vec_id"),
+        iters=1,
+        score_rounder=r6,
+        comp_rounder=r6,
+    )
+    return _ivf_search(spark, sf_dir, cent)
 
 
 # ------------------------------------------------- dedup cluster assignment
