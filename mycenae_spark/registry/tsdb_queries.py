@@ -545,6 +545,46 @@ def topk_series_by_sum(spark, sf_dir):
     )
 
 
+@q(
+    "topk_per_day",
+    f"""
+WITH d AS (
+  SELECT metric, tag_user, {bucket_ms_sql(DAY_MS)} AS day_ms,
+         (round(sum(value) + 1e-9, 4) + 0.0) AS sum_v_r
+  FROM ({SQL_POINTS}) WHERE metric = 'click'
+  GROUP BY metric, tag_user, day_ms
+)
+SELECT metric, tag_user, day_ms, sum_v_r, rk FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY day_ms ORDER BY sum_v_r DESC, tag_user) AS rk
+  FROM d
+) WHERE rk <= 3
+""",
+)
+def topk_per_day(spark, sf_dir):
+    """Windowed top-k (L3 extension): the top-3 series per DAY by daily sum
+    — "hottest users each day", the per-window ranking every TSDB dashboard
+    needs.
+
+    One downsample aggregation then a rank window PARTITIONED by day: the
+    shuffle key is the day bucket, so ranking parallelizes across days and
+    no global sort exists anywhere (contrast topk_series_by_sum's single
+    global ranking, which is the deliberately-global variant).  Rank on
+    rounded sums with id tie-break — cross-engine stable."""
+    p = points(spark, sf_dir).filter(F.col("metric") == "click")
+    d = downsample(p, ["metric", "tag_user"], DAY_MS, "sum", out_col="_s")
+    d = d.select(
+        "metric", "tag_user", F.col("bucket_ms").alias("day_ms"),
+        r4(F.col("_s")).alias("sum_v_r"),
+    )
+    w = Window.partitionBy("day_ms").orderBy(F.desc("sum_v_r"), "tag_user")
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("metric", "tag_user", "day_ms", "sum_v_r", "rk")
+    )
+
+
 # ----------------------------------------------------- §2.9 metadata/catalog
 
 @q(

@@ -143,20 +143,50 @@ def prepare_points(decoded: DataFrame) -> tuple[DataFrame, DataFrame]:
     return valid, invalid
 
 
-def write_points_batch(valid: DataFrame, lake_dir: str, catalog_dir: str) -> None:
+def write_points_batch(
+    valid: DataFrame,
+    lake_dir: str,
+    catalog_dir: str,
+    batch_id: int | None = None,
+) -> None:
     """Shared lake+catalog writer (streaming micro-batches and the HTTP put
     path both land here): append points partitioned by (ksid, date), sorted
     by (tsid, ts) within partitions, then merge only *new* series into the
-    catalog — writes ∝ new series, mycenae's bloom-gated Solr upsert."""
+    catalog — writes ∝ new series, mycenae's bloom-gated Solr upsert.
+
+    Exactly-once on replay: with a ``batch_id``, a per-batch commit marker
+    (``<lake>/_commits/<id>``, written via atomic rename) makes the lake
+    append idempotent — if Spark re-runs a foreachBatch whose lake write
+    already committed (checkpoint advanced after the sink, so any failure
+    inside the sink replays the whole batch), the marker skips the second
+    append.  The catalog merge is idempotent by construction (anti-join
+    against the stored catalog).  Residual window: a crash between the lake
+    job commit and the marker rename duplicates that one batch — the gap a
+    transactional table format (Delta/Iceberg) closes with its atomic log
+    append; on a filesystem lake this marker is the standard approximation.
+    """
+    import os
+
+    marker = None
+    if batch_id is not None:
+        commits = os.path.join(lake_dir, "_commits")
+        os.makedirs(commits, exist_ok=True)
+        marker = os.path.join(commits, str(batch_id))
     valid.persist()
     try:
-        (
-            valid.repartition("ksid", "date")
-            .sortWithinPartitions("tsid", "ts")
-            .write.mode("append")
-            .partitionBy("ksid", "date")
-            .parquet(lake_dir)
-        )
+        if marker is None or not os.path.exists(marker):
+            (
+                valid.repartition("ksid", "date")
+                .sortWithinPartitions("tsid", "ts")
+                .write.mode("append")
+                .partitionBy("ksid", "date")
+                .parquet(lake_dir)
+            )
+            if marker is not None:
+                tmp = marker + ".tmp"
+                with open(tmp, "w") as f:
+                    f.write("done")
+                os.rename(tmp, marker)
         new_series = valid.select("ksid", "tsid", "metric", "tags").dropDuplicates(
             ["tsid"]
         )
@@ -201,7 +231,7 @@ def start_ingest(
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         valid, _invalid = prepare_points(batch)
-        write_points_batch(valid, lake_dir, catalog_dir)
+        write_points_batch(valid, lake_dir, catalog_dir, batch_id=batch_id)
 
     writer = decoded.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir

@@ -111,6 +111,32 @@ def test_netdata_line_decode(spark):
     assert invalid.count() == 0
 
 
+def test_batch_replay_is_exactly_once(spark, tmp_path):
+    """Replaying a foreachBatch (Spark re-runs the whole batch when the
+    sink fails before the checkpoint commits) must not duplicate lake rows
+    or catalog entries: the commit marker skips the second lake append and
+    the catalog merge is anti-join-idempotent."""
+    from mycenae_spark.streaming.ingest import write_points_batch
+
+    lake, catalog = str(tmp_path / "lake"), str(tmp_path / "catalog")
+    raw = spark.createDataFrame(
+        [(json.dumps(p),) for p in POINTS], ["value"]
+    )
+    valid, _ = prepare_points(decode_json_lines(raw))
+    write_points_batch(valid, lake, catalog, batch_id=0)
+    n_lake = spark.read.parquet(lake).count()
+    n_cat = spark.read.parquet(catalog).count()
+    # replay the same batch id — e.g. checkpoint did not advance
+    write_points_batch(valid, lake, catalog, batch_id=0)
+    assert spark.read.parquet(lake).count() == n_lake
+    assert spark.read.parquet(catalog).count() == n_cat
+    # a NEW batch with overlapping series still appends points but adds no
+    # duplicate catalog entries
+    write_points_batch(valid, lake, catalog, batch_id=1)
+    assert spark.read.parquet(lake).count() == 2 * n_lake
+    assert spark.read.parquet(catalog).count() == n_cat
+
+
 def test_streaming_ingest_roundtrip(spark, tmp_path):
     src = tmp_path / "src"
     src.mkdir()
