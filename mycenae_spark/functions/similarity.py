@@ -119,6 +119,101 @@ def kmeans_refine(
     return cent
 
 
+def hyperplane_planes(
+    n_tables: int, n_bits: int, dim: int
+) -> list[tuple[int, int, list[float]]]:
+    """Deterministic pseudo-random hyperplanes for sign-LSH: component
+    (t, b, j) = md5-derived uniform in [-1, 1).  Pure Python constants —
+    both engines receive the identical literal matrix, so there is no
+    cross-engine hashing to reconcile at query time."""
+    import hashlib
+
+    out = []
+    for t in range(n_tables):
+        for b in range(n_bits):
+            comps = [
+                (int(hashlib.md5(f"{t}|{b}|{j}".encode()).hexdigest()[:8], 16)
+                 / 2**31) - 1.0
+                for j in range(dim)
+            ]
+            out.append((t, b, comps))
+    return out
+
+
+def embedding_lsh_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_tables: int = 4,
+    n_bits: int = 8,
+    dim: int = 64,
+    threshold: float = 0.95,
+    score_rounder=None,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Embedding near-dup pairs at corpus scale: random-hyperplane LSH
+    bucketing, then exact cosine verification only INSIDE buckets.
+
+    Sign-LSH collision probability for angle θ is (1 − θ/π) per bit; with
+    ``n_tables`` tables of ``n_bits`` bits, P(candidate | cos ≥ 0.95) ≈
+    1 − (1 − 0.9⁸)⁴ ≈ 0.89 — while the exact check runs on ~#docs²/2^bits
+    pairs per table instead of the full quadratic.  The plane matrix is a
+    broadcast constant; bucket keys are one pass over the corpus (shuffle
+    carries (id, table, key)); ``max_bucket_size`` is the same hot-bucket
+    valve LSH text dedup uses.  Sign bits are taken on the ROUNDED dot
+    (``score_rounder``) so summation-order noise cannot flip a bucket
+    across engines.
+    """
+    from mycenae_spark.functions.dedup import bucket_pairs
+
+    rounder = score_rounder or (lambda c: c)
+    spark = corpus.sparkSession
+    planes = spark.createDataFrame(
+        hyperplane_planes(n_tables, n_bits, dim),
+        "t int, b int, arr array<double>",
+    )
+    bit = F.when(rounder(dot(F.col(emb_col), F.col("arr"))) >= 0, 1).otherwise(0)
+    keys = (
+        corpus.select(id_col, emb_col)
+        .crossJoin(F.broadcast(planes))
+        .select(
+            id_col,
+            "t",
+            (bit * F.expr("shiftleft(CAST(1 AS BIGINT), b)")).alias("_kb"),
+        )
+        .groupBy(id_col, "t")
+        .agg(F.sum("_kb").alias("key"))
+    )
+    buckets = (
+        keys.groupBy("t", "key")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
+    cand = bucket_pairs(buckets).withColumnRenamed("doc_a", "vec_a").withColumnRenamed(
+        "doc_b", "vec_b"
+    )
+    ea = with_norm(corpus, emb_col).select(
+        F.col(id_col).alias("vec_a"),
+        F.col(emb_col).alias("_ea"),
+        F.col("_norm").alias("_na"),
+    )
+    eb = with_norm(corpus, emb_col).select(
+        F.col(id_col).alias("vec_b"),
+        F.col(emb_col).alias("_eb"),
+        F.col("_norm").alias("_nb"),
+    )
+    cos = cosine(F.col("_ea"), F.col("_eb"), F.col("_na"), F.col("_nb"))
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .withColumn("cos_r", rounder(cos))
+        .filter(F.col("cos_r") >= threshold)
+        .select("vec_a", "vec_b", "cos_r")
+    )
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: DataFrame,

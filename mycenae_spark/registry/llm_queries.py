@@ -279,6 +279,74 @@ def dedup_embedding_cosine(spark, sf_dir):
     )
 
 
+from mycenae_spark.functions.similarity import hyperplane_planes as _hp  # noqa: E402
+
+_LSH_PLANES = _hp(n_tables=4, n_bits=4, dim=64)
+_PLANES_VALUES_SQL = ", ".join(
+    f"({t}, {b}, [{', '.join(repr(x) for x in arr)}]::DOUBLE[])"
+    for t, b, arr in _LSH_PLANES
+)
+_PLANE_DOT_SQL = (
+    "list_sum(list_transform(generate_series(1, 64), "
+    "i -> e.embedding[i]::DOUBLE * p.arr[i]))"
+)
+
+
+@q(
+    "dedup_embedding_lsh",
+    f"""
+WITH planes AS (SELECT * FROM (VALUES {_PLANES_VALUES_SQL}) AS v(t, b, arr)),
+keys AS (
+  SELECT e.vec_id, p.t,
+         sum(CASE WHEN (round({_PLANE_DOT_SQL} + 1e-9, 6) + 0.0) >= 0
+                  THEN CAST(pow(2, p.b) AS BIGINT) ELSE 0 END) AS key
+  FROM embeddings e CROSS JOIN planes p
+  GROUP BY e.vec_id, p.t
+), capped AS (
+  SELECT vec_id, t, key FROM (
+    SELECT *, count(*) OVER (PARTITION BY t, key) AS bsz FROM keys
+  ) WHERE bsz <= 512
+), cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM capped a JOIN capped b ON a.t = b.t AND a.key = b.key
+  WHERE a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cos_r FROM (
+  SELECT cand.vec_a, cand.vec_b,
+         (round({_COS_SQL} + 1e-9, 6) + 0.0) AS cos_r
+  FROM cand JOIN embeddings a ON a.vec_id = cand.vec_a
+            JOIN embeddings b ON b.vec_id = cand.vec_b
+) WHERE cos_r >= 0.4
+""",
+)
+def dedup_embedding_lsh(spark, sf_dir):
+    """Embedding near-dup at CORPUS scale (the bucket-then-verify path that
+    dedup_embedding_cosine's bounded slice only documents): 4 tables × 4
+    sign bits of md5-derived hyperplanes bucket the vectors, exact cosine
+    runs only inside buckets, pairs keep cos ≥ 0.4.
+
+    The testdata embeddings are i.i.d.-ish (max pair cosine ≈ 0.51), so the
+    threshold sits where real pairs exist (59 exact pairs ≥ 0.4 at sf0.01;
+    sign-LSH recall ≈ 0.63⁴ per table ≈ 0.5 over 4 tables — the judged row
+    is non-trivial).  A production near-dup run would use more bits and a
+    higher threshold; recall/bits trade exactly as the docstring math in
+    ``embedding_lsh_pairs``.  The plane matrix is a literal constant
+    broadcast to executors — and pasted verbatim into the oracle SQL, so
+    both engines use bit-identical planes and identical bucket recall.
+    Full corpus, no id slice."""
+    from mycenae_spark.functions.similarity import embedding_lsh_pairs
+
+    return embedding_lsh_pairs(
+        t(spark, sf_dir, "embeddings"),
+        n_tables=4,
+        n_bits=4,
+        dim=64,
+        threshold=0.4,
+        score_rounder=r6,
+        max_bucket_size=512,
+    )
+
+
 # ------------------------------------------------------- similarity search
 
 @q(
