@@ -28,6 +28,15 @@ DOWNSAMPLE_AGGS = {
     "count": F.count,
     "first": lambda c: F.first(c, ignorenulls=True),
     "last": lambda c: F.last(c, ignorenulls=True),
+    # OpenTSDB pNN downsampler family.  Exact interpolated percentile so the
+    # result is oracle-checkable (DuckDB quantile_cont); `percentile` is a
+    # hash-aggregate (sorts only within each (series, bucket) group — bounded
+    # by points-per-bucket, never a global sort).  At 100 TB swap for
+    # `percentile_approx` (mergeable single-pass sketch) when ±ε is fine.
+    "p50": lambda c: F.percentile(c, F.lit(0.5)),
+    "p90": lambda c: F.percentile(c, F.lit(0.9)),
+    "p95": lambda c: F.percentile(c, F.lit(0.95)),
+    "p99": lambda c: F.percentile(c, F.lit(0.99)),
 }
 
 FILL_POLICIES = ("none", "null", "nan", "zero")

@@ -28,7 +28,7 @@ _rel_checked = {
 
 # Queries declared for the first time in round 2 (no green row yet) that
 # live in modules merged late — pull them into the checked window too.
-_NEW_ROUND2 = ("fill_nan", "text_point_latest", "topk_per_day")
+_NEW_ROUND2 = ("fill_nan", "text_point_latest", "topk_per_day", "downsample_p95")
 _tsdb_new = {k: tsdb_queries.QUERIES[k] for k in _NEW_ROUND2}
 
 QUERIES = {

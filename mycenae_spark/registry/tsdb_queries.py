@@ -285,6 +285,19 @@ def downsample_count(spark, sf_dir):
     return _ds(spark, sf_dir, DAY_MS, "count", "n", rounder=None)
 
 
+@q(
+    "downsample_p95",
+    _ds_oracle(HOUR_MS, "(round(quantile_cont(value, 0.95) + 1e-9, 4) + 0.0)", "p95_r"),
+)
+def downsample_p95(spark, sf_dir):
+    """W1 pNN family: per-series 1-hour `1h-p95` downsample (OpenTSDB
+    percentile downsamplers).  Exact interpolated percentile — sorts only
+    within each (series, bucket) group, so work is bounded by
+    points-per-bucket; the 100 TB variant swaps in `percentile_approx`
+    (DOWNSAMPLE_AGGS note)."""
+    return _ds(spark, sf_dir, HOUR_MS, "p95", "p95_r")
+
+
 def _fill_oracle(fill_expr: str) -> str:
     return f"""
 WITH ds AS (

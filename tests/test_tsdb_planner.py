@@ -46,6 +46,36 @@ def test_plan_downsample_merge(spark, ddb):
     assert got == exp
 
 
+def test_plan_percentile_downsampler(spark, ddb):
+    """OpenTSDB pNN downsample family flows through the spec parser
+    (`1h-p95`) down to the exact-percentile hash aggregate."""
+    qs = parse_query_request(
+        {
+            "start": 1704067200000,
+            "end": NOW,
+            "queries": [
+                {"metric": "click", "aggregator": "sum", "downsample": "1h-p95"}
+            ],
+        },
+        NOW,
+    )
+    out = plan(_points(spark), qs[0])
+    got = {(r["bucket_ms"], round(r["value"], 4)) for r in out.collect()}
+    exp = {
+        (r[0], round(r[1], 4))
+        for r in ddb.sql(
+            """
+            WITH ds AS (
+              SELECT user_id, (epoch_us(ts) // 3600000000) * 3600000 AS b,
+                     quantile_cont(value, 0.95) AS v
+              FROM events WHERE event_type = 'click' GROUP BY 1, 2
+            ) SELECT b, sum(v) FROM ds GROUP BY b
+            """
+        ).fetchall()
+    }
+    assert got == exp
+
+
 def test_plan_order_controls_stage_composition(spark):
     base = dict(metric="click", start_ms=0, end_ms=NOW, aggregator="sum", rate=True)
     q_default = TsdbQuery(**base, downsample="1h-avg")
