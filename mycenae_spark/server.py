@@ -158,13 +158,25 @@ class _Handler(BaseHTTPRequestHandler):
         body = render_json(payload).encode()
         self.send_response(code)
         self.send_header("Content-Type", "application/json")
+        if "gzip" in self.headers.get("Accept-Encoding", ""):
+            import gzip
+
+            body = gzip.compress(body)
+            self.send_header("Content-Encoding", "gzip")
         self.send_header("Content-Length", str(len(body)))
         self.end_headers()
         self.wfile.write(body)
 
     def _body(self):
         n = int(self.headers.get("Content-Length", 0))
-        return json.loads(self.rfile.read(n) or b"null")
+        raw = self.rfile.read(n)
+        # OpenTSDB clients (and the upstream reference's) may gzip put
+        # bodies — high-volume put batches compress ~10×.
+        if "gzip" in self.headers.get("Content-Encoding", ""):
+            import gzip
+
+            raw = gzip.decompress(raw)
+        return json.loads(raw or b"null")
 
     def do_GET(self):  # noqa: N802 (stdlib casing)
         u = urlparse(self.path)

@@ -131,6 +131,52 @@ def test_keyspace_rest_crud(server):
     assert code == 400  # ttl_days missing from body
 
 
+def test_gzip_put_and_gzip_response(server):
+    import gzip
+
+    points = [
+        {"metric": "gz.metric", "tags": {"ksid": "k1", "host": "zq"},
+         "timestamp": BASE_TS + i * 1000, "value": float(i)}
+        for i in range(5)
+    ]
+    data = gzip.compress(json.dumps(points).encode())
+    req = urllib.request.Request(
+        f"{server}/api/put",
+        data=data,
+        headers={"Content-Type": "application/json",
+                 "Content-Encoding": "gzip"},
+    )
+    with urllib.request.urlopen(req, timeout=120) as resp:
+        assert resp.status == 200
+        assert json.loads(resp.read()) == {"success": 5, "failed": 0}
+
+    req = urllib.request.Request(
+        f"{server}/api/suggest?type=metrics&q=gz&max=5",
+        headers={"Accept-Encoding": "gzip"},
+    )
+    with urllib.request.urlopen(req, timeout=120) as resp:
+        assert resp.status == 200
+        assert resp.headers.get("Content-Encoding") == "gzip"
+        assert json.loads(gzip.decompress(resp.read())) == ["gz.metric"]
+
+
+def test_concurrent_queries(server):
+    """ThreadingHTTPServer + one shared SparkSession: concurrent reads must
+    all succeed (Spark sessions are thread-safe for job submission)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    body = {
+        "start": BASE_TS,
+        "end": BASE_TS + 3_600_000,
+        "queries": [{"metric": "cpu.usage", "aggregator": "sum"}],
+    }
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        results = list(
+            pool.map(lambda _: _req(server, "/keysets/k1/api/query", body), range(4))
+        )
+    assert all(code == 200 and out for code, out in results)
+
+
 def test_suggest_tagv_any_tag(server):
     # data from test_put_then_query_roundtrip: tags host=h0/h1 (+ksid)
     code, vals = _req(server, "/api/suggest?type=tagv&q=h&max=10")
