@@ -12,6 +12,11 @@ already speaks, backed by the Parquet lake + planner:
 * ``GET  /api/aggregators`` / ``GET /api/config/filters``
 * ``POST/GET/PUT/DELETE /keyspaces[/{id}]`` — keyspace CRUD + TTL
   (upstream ``lib/keyspace`` REST), backed by keyspace.py
+* ``DELETE /keysets/{ks}/api/meta?metric=...&tag_<k>=<v>`` — series
+  metadata delete (SURVEY §2.9 M4; points expire via TTL, not here)
+
+Request bodies may be gzip-compressed (``Content-Encoding: gzip``);
+responses honor ``Accept-Encoding: gzip``.
 
 The server is deliberately driver-side thin: every request body is parsed in
 Python, but all data work is a Spark plan over the lake.  Ingest here is the
@@ -147,6 +152,30 @@ class Engine:
 
         return asdict(self.keyspaces.get(name))
 
+    # -- metadata delete (SURVEY §2.9 M4) ---------------------------------
+
+    def delete_meta(self, metric: str | None, tag_eq: dict[str, str]) -> dict:
+        """Remove matching series from the catalog (metadata only — points
+        expire via keyspace TTL, mirroring the reference contract).
+
+        The catalog is #series rows (tiny at any point volume); the rewrite
+        localCheckpoints the survivor set so overwriting the source path is
+        safe, staying distributed — no driver collect.
+        """
+        cat = self.spark.read.parquet(self.catalog_dir)
+        victim = F.lit(True)
+        if metric is not None:
+            victim = victim & (F.col("metric") == metric)
+        for k, v in tag_eq.items():
+            victim = victim & (F.col("tags").getItem(k) == v)
+        n_before = cat.count()
+        survivors = cat.filter(~F.coalesce(victim, F.lit(False))).localCheckpoint(
+            eager=True
+        )
+        n_after = survivors.count()
+        survivors.write.mode("overwrite").parquet(self.catalog_dir)
+        return {"deleted": n_before - n_after, "remaining": n_after}
+
 
 class _Handler(BaseHTTPRequestHandler):
     engine: Engine  # injected by serve()
@@ -257,11 +286,20 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_DELETE(self):  # noqa: N802
         u = urlparse(self.path)
+        qs = parse_qs(u.query)
         try:
             m = re.match(r"^/keyspaces/([^/]+)$", u.path)
             if m:
                 self.engine.keyspaces.drop(m.group(1))
                 return self._send(200, {"ksid": m.group(1), "dropped": True})
+            if re.match(r"^/keysets/[^/]+/api/meta$", u.path):
+                tag_eq = {
+                    k[4:]: v[0] for k, v in qs.items() if k.startswith("tag_")
+                }
+                return self._send(
+                    200,
+                    self.engine.delete_meta(qs.get("metric", [None])[0], tag_eq),
+                )
             return self._send(404, {"error": f"no route {u.path}"})
         except Exception as exc:  # noqa: BLE001
             return self._send(400, {"error": str(exc)})

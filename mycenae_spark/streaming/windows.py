@@ -89,6 +89,22 @@ def dedup_stream(points: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def dedup_stream_retransmit(points: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """T6 variant for *retransmitted* points: ``dropDuplicatesWithinWatermark``
+    keys on event_id ONLY, so a re-send that arrives with a different
+    timestamp (UDP/telnet retry stamping receive time) still collapses to
+    one row — semantics ``dropDuplicates(["event_id", "ts"])`` cannot give,
+    because the new ts makes the (id, ts) key unique.
+
+    State eviction contract: an id is remembered until the watermark passes
+    the *first* sighting's event time + delay, so state is bounded by ids
+    seen within the lateness horizon — same budget as ``dedup_stream``.
+    """
+    return points.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def stream_stream_join(
     left: DataFrame,
     right: DataFrame,

@@ -185,3 +185,25 @@ def test_suggest_tagv_any_tag(server):
     assert code == 200 and set(vals) == {"h0", "h1"}
     code, keys = _req(server, "/api/suggest?type=tagk&q=&max=10")
     assert code == 200 and "host" in keys
+
+
+def test_meta_delete_rest(server):
+    """M4 over REST: metadata delete removes the series from suggest but
+    the points survive (TTL owns point expiry, not this endpoint).
+
+    Runs last in the module: earlier tests assert on the catalog this
+    mutates."""
+    code, resp = _req(
+        server, "/keysets/k1/api/meta?metric=gz.metric", method="DELETE"
+    )
+    assert code == 200 and resp["deleted"] == 1 and resp["remaining"] >= 2
+    code, metrics = _req(server, "/api/suggest?type=metrics&q=gz&max=5")
+    assert code == 200 and metrics == []
+    # tag-scoped delete: only host=h0 of cpu.usage goes
+    code, resp = _req(
+        server, "/keysets/k1/api/meta?metric=cpu.usage&tag_host=h0",
+        method="DELETE",
+    )
+    assert code == 200 and resp["deleted"] == 1
+    code, vals = _req(server, "/api/suggest?type=tagv&q=h&max=10&tagk=host")
+    assert code == 200 and vals == ["h1"]

@@ -72,6 +72,30 @@ def test_stream_dedup_drops_replayed_batch(spark, tmp_path):
     assert out.select("event_id").distinct().count() == n
 
 
+def test_stream_dedup_retransmit_collapses_new_ts(spark, tmp_path):
+    """A replayed point with a DIFFERENT timestamp (retransmit stamped at
+    receive time) still dedups on event_id via dropDuplicatesWithinWatermark;
+    plain (id, ts) dedup would keep both."""
+    from mycenae_spark.streaming.windows import dedup_stream_retransmit
+
+    batch = load_table(spark, SF_DIR, "events").limit(500)
+    src = str(tmp_path / "retx_src")
+    batch.write.mode("overwrite").parquet(src)
+    # retransmit copy: same ids, ts shifted 1s forward (still inside the
+    # 1h watermark delay of the originals)
+    batch.withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 second")).write.mode(
+        "append"
+    ).parquet(src)
+    raw = spark.readStream.schema(batch.schema).parquet(src)
+    stream = raw.select(
+        F.col("event_type").alias("metric"), "ts", "value", "event_id"
+    )
+    out = _run_to_memory(spark, dedup_stream_retransmit(stream), "t_retx")
+    n = out.count()
+    assert n == 500, f"expected 500 unique ids, got {n}"
+    assert out.select("event_id").distinct().count() == n
+
+
 def test_stream_session_counts(spark, tmp_path):
     stream = _events_stream(spark, tmp_path)
     got = _run_to_memory(spark, session_aggregate(stream), "t_session").collect()
