@@ -46,3 +46,40 @@ def test_compaction_tempdirs_invisible_to_readers(spark, tmp_path):
     assert all(e.startswith("date=") or e.startswith("_") or e.startswith(".")
                for e in entries)
     assert spark.read.parquet(lake).count() == 300
+
+
+def test_approx_percentile_merge_error_bound(spark):
+    """The 100 TB percentile path (`percentile_approx`, used by the p50/p90/
+    p99 merge aggregators) is a mergeable sketch: partial sketches built per
+    partition combine map-side.  Property: the guaranteed rank-error bound
+    (accuracy parameter d => rank within n/d) holds REGARDLESS of how the
+    data is partitioned — i.e. sketch merging does not degrade the bound."""
+    import pyspark.sql.functions as F
+
+    from tests.conftest import SF_DIR
+    from mycenae_spark.sources.tables import events_as_points
+
+    pts = events_as_points(spark, SF_DIR).select("value")
+    n = pts.count()
+    vals = sorted(r[0] for r in pts.collect())
+    accuracy = 1000  # rank error <= n / accuracy
+
+    for parts in (1, 7, 32):
+        got = (
+            pts.repartition(parts)
+            .agg(
+                F.percentile_approx("value", F.lit(0.9), F.lit(accuracy)).alias("p")
+            )
+            .collect()[0]["p"]
+        )
+        import bisect
+
+        # rank window of the returned value within the sorted data
+        lo = bisect.bisect_left(vals, got)
+        hi = bisect.bisect_right(vals, got)
+        target = 0.9 * n
+        tol = n / accuracy + 1
+        assert lo - tol <= target <= hi + tol, (
+            f"parts={parts}: approx p90 {got} has rank [{lo},{hi}], "
+            f"target {target} outside ±{tol}"
+        )
