@@ -56,3 +56,20 @@ def test_multiway_fact_joins(spark):
     plan = _plan(spark, "join_multiway")
     # the three true dimensions broadcast
     assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_downsample_percentile_single_shuffle(spark):
+    """pNN downsamplers keep the one-hash-agg shape of avg/sum (the sort is
+    inside each (series, bucket) group, not a global Exchange)."""
+    plan = _plan(spark, "downsample_p95")
+    assert plan.count("Exchange") <= 2
+    assert "percentile" in plan
+
+
+def test_embedding_lsh_broadcasts_planes_once(spark):
+    """Sign-LSH key assignment must broadcast the literal plane matrix, and
+    the whole query must scan parquet a bounded number of times (key
+    assignment + two verify-side projections), never per-plane."""
+    plan = _plan(spark, "dedup_embedding_lsh")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert plan.count("FileScan parquet") <= 3
