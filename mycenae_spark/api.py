@@ -71,7 +71,7 @@ def render_json(payload: Any) -> str:
     return json.dumps(payload, cls=_E)
 
 
-AGGREGATORS_ENDPOINT = ["avg", "count", "dev", "max", "min", "p50", "p90", "p99", "sum", "zimsum", "mimmin", "mimmax"]
+AGGREGATORS_ENDPOINT = ["avg", "count", "dev", "max", "min", "p50", "p90", "p95", "p99", "sum", "zimsum", "mimmin", "mimmax"]
 
 FILTERS_ENDPOINT = [
     "literal_or",

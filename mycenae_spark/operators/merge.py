@@ -29,6 +29,7 @@ AGGREGATORS: dict[str, callable] = {
     "mimmax": F.max,
     "p50": lambda c: F.percentile_approx(c, 0.5),
     "p90": lambda c: F.percentile_approx(c, 0.9),
+    "p95": lambda c: F.percentile_approx(c, 0.95),
     "p99": lambda c: F.percentile_approx(c, 0.99),
 }
 

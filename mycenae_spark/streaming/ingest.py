@@ -148,6 +148,8 @@ def write_points_batch(
     lake_dir: str,
     catalog_dir: str,
     batch_id: int | None = None,
+    rollup_dir: str | None = None,
+    rollup_interval_ms: int = 60_000,
 ) -> None:
     """Shared lake+catalog writer (streaming micro-batches and the HTTP put
     path both land here): append points partitioned by (ksid, date), sorted
@@ -182,6 +184,13 @@ def write_points_batch(
                 .partitionBy("ksid", "date")
                 .parquet(lake_dir)
             )
+            if rollup_dir is not None:
+                # Continuous aggregate (streaming/rollup.py): appended under
+                # the SAME commit marker, so a replayed batch re-appends
+                # neither points nor partials.
+                from mycenae_spark.streaming.rollup import write_rollup_batch
+
+                write_rollup_batch(valid, rollup_dir, rollup_interval_ms)
             if marker is not None:
                 tmp = marker + ".tmp"
                 with open(tmp, "w") as f:
@@ -215,8 +224,15 @@ def start_ingest(
     checkpoint_dir: str,
     fmt: str = "json",
     available_now: bool = True,
+    rollup_dir: str | None = None,
+    rollup_interval_ms: int = 60_000,
 ) -> StreamingQuery:
-    """File-source ingest job (tests use availableNow for bounded runs)."""
+    """File-source ingest job (tests use availableNow for bounded runs).
+
+    With ``rollup_dir``, each batch also appends mergeable downsample
+    partials (streaming/rollup.py) — the continuous-aggregate path long
+    time-range queries read instead of raw points.
+    """
     raw = (
         spark.readStream.format("text")
         .option("maxFilesPerTrigger", "16")
@@ -231,7 +247,14 @@ def start_ingest(
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         valid, _invalid = prepare_points(batch)
-        write_points_batch(valid, lake_dir, catalog_dir, batch_id=batch_id)
+        write_points_batch(
+            valid,
+            lake_dir,
+            catalog_dir,
+            batch_id=batch_id,
+            rollup_dir=rollup_dir,
+            rollup_interval_ms=rollup_interval_ms,
+        )
 
     writer = decoded.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir

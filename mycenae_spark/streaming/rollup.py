@@ -1,0 +1,101 @@
+"""Incremental downsample rollups — continuous aggregates for the lake.
+
+The TSDB scale pattern (OpenTSDB rollup tables / TimescaleDB continuous
+aggregates): long-range queries should never rescan raw points.  The ingest
+stream maintains a parallel *rollup lake* of per-(series, bucket) partial
+aggregates; a 30-day `1h-avg` query then reads #series × 720 rollup rows
+instead of billions of raw points.
+
+Correctness under micro-batching is the design point.  A micro-batch
+boundary can split a time bucket, and late points can land in a bucket
+already rolled up — so the rollup stores MERGEABLE partials
+(sum / count / min / max per bucket), appended per batch, and the read path
+re-merges with a second tiny aggregation:
+
+    avg = sum(partial_sum) / sum(partial_count)   -- exact, any batching
+
+Every mycenae downsample aggregator except percentiles is recoverable
+exactly from these four partials; the read path is the algebraic-aggregate
+trick that makes map-side combine work inside Spark itself, applied across
+micro-batches.  No read-modify-write, no compaction required for
+correctness (compaction remains an optimization via maintenance.py).
+
+At 100 TB: rollup writes are ∝ #active (series, bucket) per batch — orders
+of magnitude below point volume; the rollup lake partitions by date like
+the point lake, so partition pruning applies to both.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from mycenae_spark.operators.downsample import bucket_ms_long
+
+#: Read-path reconstruction per downsample aggregator.
+_MERGE_EXPRS = {
+    "avg": lambda: (F.sum("p_sum") / F.sum("p_count")),
+    "sum": lambda: F.sum("p_sum"),
+    "min": lambda: F.min("p_min"),
+    "max": lambda: F.max("p_max"),
+    "count": lambda: F.sum("p_count"),
+}
+
+
+def rollup_batch(
+    valid: DataFrame, interval_ms: int, series_cols: list[str] | None = None
+) -> DataFrame:
+    """One micro-batch → mergeable per-(series, bucket) partials.
+
+    ``valid`` is the prepared point frame (streaming/ingest.py schema with
+    ``tsid``/``ksid``/``ts``/``value``/``date``).
+    """
+    series_cols = series_cols or ["ksid", "tsid"]
+    ts_us = F.unix_micros(F.col("ts"))
+    return (
+        valid.withColumn("bucket_ms", bucket_ms_long(ts_us, interval_ms))
+        .groupBy(*series_cols, "date", "bucket_ms")
+        .agg(
+            F.sum("value").alias("p_sum"),
+            F.count("value").alias("p_count"),
+            F.min("value").alias("p_min"),
+            F.max("value").alias("p_max"),
+        )
+    )
+
+
+def write_rollup_batch(
+    valid: DataFrame,
+    rollup_dir: str,
+    interval_ms: int,
+    series_cols: list[str] | None = None,
+) -> None:
+    """Append the batch's partials to the rollup lake (same (ksid, date)
+    partitioning as the point lake → same pruning)."""
+    (
+        rollup_batch(valid, interval_ms, series_cols)
+        .write.mode("append")
+        .partitionBy("ksid", "date")
+        .parquet(rollup_dir)
+    )
+
+
+def read_rollup(
+    spark,
+    rollup_dir: str,
+    agg: str = "avg",
+    series_cols: list[str] | None = None,
+) -> DataFrame:
+    """Merged rollup: one row per (series, bucket) with the exact
+    downsampled value, regardless of how micro-batches split buckets."""
+    if agg not in _MERGE_EXPRS:
+        raise ValueError(
+            f"aggregator {agg!r} is not recoverable from rollup partials "
+            f"(supported: {sorted(_MERGE_EXPRS)})"
+        )
+    series_cols = series_cols or ["ksid", "tsid"]
+    return (
+        spark.read.parquet(rollup_dir)
+        .groupBy(*series_cols, "bucket_ms")
+        .agg(_MERGE_EXPRS[agg]().alias("value"))
+    )

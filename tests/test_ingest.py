@@ -193,3 +193,62 @@ def test_csv_point_source(spark, tmp_path):
     assert len(v) == 3 and invalid.count() == 1
     assert v[("cpu.usage", "web02")]["timestamp"] == 1704067260000  # s→ms
     assert v[("mem.free", None)]["tags"] == {"ksid": "ks1"}
+
+
+def test_rollup_continuous_aggregate(spark, tmp_path):
+    """streaming/rollup.py: micro-batches that SPLIT a time bucket (and a
+    late point into an already-rolled-up bucket) still yield exact
+    downsample values, because the rollup stores mergeable partials and the
+    read path re-merges.  Replayed batches append no duplicate partials
+    (same commit marker as the point lake)."""
+    BASE = 1704067200000
+    mk = lambda i, v: {"metric": "roll.m", "tags": {"ksid": "ks1", "h": "a"},
+                       "timestamp": BASE + i * 1000, "value": v}
+    # batch 1: seconds 0..29 of minute 0, plus minute 1 complete
+    b1 = [mk(i, 1.0) for i in range(30)] + [mk(60 + i, 3.0) for i in range(10)]
+    # batch 2: rest of minute 0 (bucket split!) + late point into minute 1
+    b2 = [mk(30 + i, 2.0) for i in range(30)] + [mk(65, 100.0)]
+
+    src = tmp_path / "src"
+    src.mkdir()
+    lake, catalog, ck, roll = (
+        str(tmp_path / d) for d in ("lake", "catalog", "ck", "rollup")
+    )
+    (src / "b1.jsonl").write_text("\n".join(json.dumps(p) for p in b1))
+    q = start_ingest(spark, str(src), lake, catalog, ck, rollup_dir=roll)
+    q.awaitTermination(120)
+    (src / "b2.jsonl").write_text("\n".join(json.dumps(p) for p in b2))
+    q = start_ingest(spark, str(src), lake, catalog, ck, rollup_dir=roll)
+    q.awaitTermination(120)
+
+    from mycenae_spark.streaming.rollup import read_rollup
+
+    got = {
+        r["bucket_ms"]: (r["value"])
+        for r in read_rollup(spark, roll, agg="avg").collect()
+    }
+    # minute 0: 30×1.0 + 30×2.0 → avg 1.5 (split across batches, still exact)
+    assert got[BASE] == pytest.approx(1.5)
+    # minute 1: 10×3.0 + late 100.0 → (30+100)/11
+    assert got[BASE + 60_000] == pytest.approx(130.0 / 11)
+    # cross-check every aggregator against the raw lake downsample
+    from mycenae_spark.operators.downsample import bucket_ms_long
+
+    raw = spark.read.parquet(lake).withColumn(
+        "bucket_ms", bucket_ms_long(F.unix_micros("ts"), 60_000)
+    )
+    for agg, expr in [("sum", F.sum("value")), ("min", F.min("value")),
+                      ("max", F.max("value")), ("count", F.count("value"))]:
+        exp = {r["bucket_ms"]: r["v"]
+               for r in raw.groupBy("bucket_ms").agg(expr.alias("v")).collect()}
+        g2 = {r["bucket_ms"]: r["value"]
+              for r in read_rollup(spark, roll, agg=agg).collect()}
+        assert g2 == exp, agg
+
+    # replay: same checkpoint dir, no new data -> no duplicate partials
+    n_before = spark.read.parquet(roll).count()
+    q = start_ingest(spark, str(src), lake, catalog, ck, rollup_dir=roll)
+    q.awaitTermination(120)
+    assert spark.read.parquet(roll).count() == n_before
+    with pytest.raises(ValueError):
+        read_rollup(spark, roll, agg="p95")
