@@ -42,6 +42,8 @@ HEADLINE = [
     "agg_cube",
     "fill_nan",
     "text_point_latest",
+    "downsample_p95",
+    "dedup_embedding_lsh",
     "dedup_near_signature",
     "dedup_minhash_pairs",
     "dedup_clusters",

@@ -85,17 +85,29 @@ def read_rollup(
     rollup_dir: str,
     agg: str = "avg",
     series_cols: list[str] | None = None,
+    interval_ms: int | None = None,
 ) -> DataFrame:
     """Merged rollup: one row per (series, bucket) with the exact
-    downsampled value, regardless of how micro-batches split buckets."""
+    downsampled value, regardless of how micro-batches split buckets.
+
+    ``interval_ms`` re-buckets to a COARSER grid (must be a multiple of the
+    stored rollup interval): partials are algebraic, so a 1m rollup answers
+    `1h-avg`/`1d-max`/... exactly — the query-time routing that lets every
+    long-range downsample skip the raw point lake entirely.
+    """
     if agg not in _MERGE_EXPRS:
         raise ValueError(
             f"aggregator {agg!r} is not recoverable from rollup partials "
             f"(supported: {sorted(_MERGE_EXPRS)})"
         )
     series_cols = series_cols or ["ksid", "tsid"]
+    df = spark.read.parquet(rollup_dir)
+    if interval_ms is not None:
+        df = df.withColumn(
+            "bucket_ms",
+            F.col("bucket_ms") - (F.col("bucket_ms") % F.lit(interval_ms)),
+        )
     return (
-        spark.read.parquet(rollup_dir)
-        .groupBy(*series_cols, "bucket_ms")
+        df.groupBy(*series_cols, "bucket_ms")
         .agg(_MERGE_EXPRS[agg]().alias("value"))
     )

@@ -252,3 +252,34 @@ def test_rollup_continuous_aggregate(spark, tmp_path):
     assert spark.read.parquet(roll).count() == n_before
     with pytest.raises(ValueError):
         read_rollup(spark, roll, agg="p95")
+
+
+def test_rollup_rebuckets_to_coarser_interval(spark, tmp_path):
+    """A 1m rollup answers a 5m downsample exactly (partials re-merge on the
+    coarser grid) — the routing that keeps long-range queries off raw points."""
+    BASE = 1704067200000
+    pts = [{"metric": "rb.m", "tags": {"ksid": "ks1", "h": "a"},
+            "timestamp": BASE + i * 30_000, "value": float(i)} for i in range(20)]
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "b.jsonl").write_text("\n".join(json.dumps(p) for p in pts))
+    lake, catalog, ck, roll = (
+        str(tmp_path / d) for d in ("lake", "catalog", "ck", "rollup")
+    )
+    q = start_ingest(spark, str(src), lake, catalog, ck, rollup_dir=roll)
+    q.awaitTermination(120)
+
+    from mycenae_spark.operators.downsample import bucket_ms_long
+    from mycenae_spark.streaming.rollup import read_rollup
+
+    for agg, expr in [("avg", F.avg("value")), ("sum", F.sum("value")),
+                      ("max", F.max("value")), ("count", F.count("value"))]:
+        raw = spark.read.parquet(lake).withColumn(
+            "bucket_ms", bucket_ms_long(F.unix_micros("ts"), 300_000)
+        )
+        exp = {r["bucket_ms"]: r["v"]
+               for r in raw.groupBy("bucket_ms").agg(expr.alias("v")).collect()}
+        got = {r["bucket_ms"]: r["value"]
+               for r in read_rollup(spark, roll, agg=agg,
+                                    interval_ms=300_000).collect()}
+        assert got == exp, agg
