@@ -79,7 +79,46 @@ class TsdbQuery:
         )
 
 
-def plan(points: DataFrame, q: TsdbQuery) -> DataFrame:
+#: Downsample aggregators recoverable exactly from rollup partials.
+_ROLLUP_AGGS = ("avg", "sum", "min", "max", "count")
+
+
+def rollup_routable(q: TsdbQuery, rollup_interval_ms: int) -> bool:
+    """True iff serving ``q``'s downsample from the rollup lake is EXACT:
+
+    * a downsample with a mergeable agg, on a bucket grid the rollup
+      interval divides;
+    * start/end aligned to the downsample interval (otherwise the edge
+      buckets would include points the time range excludes);
+    * no math stage ordered before the downsample (a rate or filterValue
+      applied to raw points cannot be reconstructed from partials).
+    """
+    if not q.downsample:
+        return False
+    parts = q.downsample.split("-")
+    interval_ms = parse_interval_ms(parts[0])
+    if parts[1] not in _ROLLUP_AGGS or interval_ms % rollup_interval_ms:
+        return False
+    if q.start_ms % interval_ms or q.end_ms % interval_ms:
+        return False
+    for stage in q.order:
+        if stage == "downsample":
+            return True
+        if (
+            stage == "aggregation"
+            or (stage == "rate" and q.rate)
+            or (stage == "filterValue" and q.filter_value)
+        ):
+            return False
+    return False
+
+
+def plan(
+    points: DataFrame,
+    q: TsdbQuery,
+    rollup: DataFrame | None = None,
+    rollup_interval_ms: int = 60_000,
+) -> DataFrame:
     """Lower a TsdbQuery onto a points frame.
 
     ``points`` must carry columns ``metric``, per-tag columns named
@@ -90,27 +129,70 @@ def plan(points: DataFrame, q: TsdbQuery) -> DataFrame:
     are scan predicates (the reference's Solr resolution + Cassandra
     clustering-range read); ``order`` only permutes the math stages, exactly
     as mycenae's ``order`` field does (SURVEY.md §2.4 W7).
-    """
-    # Tag values are strings in the data model (SURVEY.md §1.1); sources
-    # that surface typed tag columns (events.user_id) are normalized here so
-    # every filter type (wildcard/regexp/...) applies uniformly.
-    for c, dt in points.dtypes:
-        if c.startswith("tag_") and dt != "string":
-            points = points.withColumn(c, F.col(c).cast("string"))
-    df = points.filter(F.col("metric") == q.metric).filter(
-        flt.time_range(F.col("ts_us"), q.start_ms * 1000, q.end_ms * 1000)
-    )
-    for f in q.filters:
-        df = df.filter(flt.build_tag_filter(F.col(f"tag_{f.tagk}"), f.type, f.filter))
 
+    ``rollup`` (streaming/rollup.py `read_rollup_series` frame) routes the
+    downsample stage onto pre-aggregated partials whenever that is exact
+    (`rollup_routable`) — long-range dashboard queries then never scan raw
+    points; non-routable queries silently use the point path.
+    """
+    downsample_done = False
     group_tags = [f"tag_{f.tagk}" for f in q.filters if f.group_by]
-    series_cols = ["metric"] + sorted(
-        {c for c in df.columns if c.startswith("tag_")}
-    )
+
+    if rollup is not None and rollup_routable(q, rollup_interval_ms):
+        parts = q.downsample.split("-")
+        interval_ms = parse_interval_ms(parts[0])
+        agg = parts[1]
+        fill = parts[2] if len(parts) > 2 else "none"
+        r = rollup
+        for c, dt in r.dtypes:
+            if c.startswith("tag_") and dt != "string":
+                r = r.withColumn(c, F.col(c).cast("string"))
+        r = r.filter(F.col("metric") == q.metric).filter(
+            (F.col("bucket_ms") >= q.start_ms) & (F.col("bucket_ms") < q.end_ms)
+        )
+        for f in q.filters:
+            r = r.filter(
+                flt.build_tag_filter(F.col(f"tag_{f.tagk}"), f.type, f.filter)
+            )
+        series_cols = ["metric"] + sorted(
+            {c for c in r.columns if c.startswith("tag_")}
+        )
+        from mycenae_spark.operators.downsample import _fill
+        from mycenae_spark.streaming.rollup import _MERGE_EXPRS
+
+        df = (
+            r.withColumn(
+                "bucket_ms",
+                F.col("bucket_ms") - (F.col("bucket_ms") % F.lit(interval_ms)),
+            )
+            .groupBy(*series_cols, "bucket_ms")
+            .agg(_MERGE_EXPRS[agg]().alias("value"))
+        )
+        if fill != "none":
+            df = _fill(df, series_cols, interval_ms, "value", fill)
+        df = df.withColumn("bucket_us", F.col("bucket_ms") * 1000)
+        downsample_done = True
+    else:
+        # Tag values are strings in the data model (SURVEY.md §1.1); sources
+        # that surface typed tag columns (events.user_id) are normalized here
+        # so every filter type (wildcard/regexp/...) applies uniformly.
+        for c, dt in points.dtypes:
+            if c.startswith("tag_") and dt != "string":
+                points = points.withColumn(c, F.col(c).cast("string"))
+        df = points.filter(F.col("metric") == q.metric).filter(
+            flt.time_range(F.col("ts_us"), q.start_ms * 1000, q.end_ms * 1000)
+        )
+        for f in q.filters:
+            df = df.filter(
+                flt.build_tag_filter(F.col(f"tag_{f.tagk}"), f.type, f.filter)
+            )
+        series_cols = ["metric"] + sorted(
+            {c for c in df.columns if c.startswith("tag_")}
+        )
 
     merged = False
     for stage in q.order:
-        if stage == "downsample" and q.downsample:
+        if stage == "downsample" and q.downsample and not downsample_done:
             parts = q.downsample.split("-")
             interval_ms = parse_interval_ms(parts[0])
             agg = parts[1]

@@ -50,17 +50,23 @@ def rollup_batch(
     ``valid`` is the prepared point frame (streaming/ingest.py schema with
     ``tsid``/``ksid``/``ts``/``value``/``date``).
     """
-    series_cols = series_cols or ["ksid", "tsid"]
+    series_cols = series_cols or ["ksid", "tsid", "metric"]
     ts_us = F.unix_micros(F.col("ts"))
+    aggs = [
+        F.sum("value").alias("p_sum"),
+        F.count("value").alias("p_count"),
+        F.min("value").alias("p_min"),
+        F.max("value").alias("p_max"),
+    ]
+    if "tags" in valid.columns and "tags" not in series_cols:
+        # tsid is a hash of (metric, tags), so tags are constant per series —
+        # carried (not grouped: MapType can't be a grouping key) so the
+        # query-time rollup router can apply tag filters without the lake.
+        aggs.append(F.first("tags").alias("tags"))
     return (
         valid.withColumn("bucket_ms", bucket_ms_long(ts_us, interval_ms))
         .groupBy(*series_cols, "date", "bucket_ms")
-        .agg(
-            F.sum("value").alias("p_sum"),
-            F.count("value").alias("p_count"),
-            F.min("value").alias("p_min"),
-            F.max("value").alias("p_max"),
-        )
+        .agg(*aggs)
     )
 
 
@@ -110,4 +116,33 @@ def read_rollup(
     return (
         df.groupBy(*series_cols, "bucket_ms")
         .agg(_MERGE_EXPRS[agg]().alias("value"))
+    )
+
+
+def read_rollup_series(spark, rollup_dir: str) -> DataFrame:
+    """Rollup partials in the planner's column convention: ``metric``,
+    ``tag_<k>`` columns (expanded from the carried tags map), ``bucket_ms``,
+    ``p_sum/p_count/p_min/p_max``.  This is the frame
+    ``plans.tsdb.plan(..., rollup=...)`` routes downsample queries onto.
+
+    The tag-key discovery is one distinct over map keys of the (tiny,
+    #series-bounded buckets) rollup — same driver-side shaping the HTTP
+    engine does for the point lake.
+    """
+    df = spark.read.parquet(rollup_dir)
+    keys = [
+        r[0]
+        for r in df.select(F.explode(F.map_keys("tags")).alias("k"))
+        .distinct()
+        .collect()
+        if r[0] not in ("ksid", "ttl")
+    ]
+    return df.select(
+        "metric",
+        "bucket_ms",
+        "p_sum",
+        "p_count",
+        "p_min",
+        "p_max",
+        *[F.col("tags").getItem(k).alias(f"tag_{k}") for k in sorted(keys)],
     )

@@ -283,3 +283,71 @@ def test_rollup_rebuckets_to_coarser_interval(spark, tmp_path):
                for r in read_rollup(spark, roll, agg=agg,
                                     interval_ms=300_000).collect()}
         assert got == exp, agg
+
+
+def test_planner_routes_downsample_to_rollup(spark, tmp_path):
+    """plans.tsdb.plan(rollup=...): an aligned mergeable downsample is
+    served ENTIRELY from rollup partials (the physical plan never scans the
+    point lake), matches the point-path result exactly, and non-routable
+    shapes (unaligned range / rate-before-downsample) fall back."""
+    BASE = 1704067200000
+    pts = [{"metric": "route.m", "tags": {"ksid": "ks1", "host": f"h{i % 2}"},
+            "timestamp": BASE + i * 30_000, "value": float(i)} for i in range(40)]
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "b.jsonl").write_text("\n".join(json.dumps(p) for p in pts))
+    lake, catalog, ck, roll = (
+        str(tmp_path / d) for d in ("lake", "catalog", "ck", "rollup")
+    )
+    q = start_ingest(spark, str(src), lake, catalog, ck, rollup_dir=roll)
+    q.awaitTermination(120)
+
+    from mycenae_spark.plans.tsdb import TsdbQuery, plan, rollup_routable
+    from mycenae_spark.streaming.rollup import read_rollup_series
+
+    points = (
+        spark.read.parquet(lake)
+        .select(
+            "metric",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            "value",
+            F.col("tags").getItem("host").alias("tag_host"),
+        )
+    )
+    rollup = read_rollup_series(spark, roll)
+    tq = TsdbQuery(
+        metric="route.m", start_ms=BASE, end_ms=BASE + 1_200_000,
+        aggregator="sum", downsample="5m-avg",
+        filters=[], order=("downsample", "aggregation"),
+    )
+    assert rollup_routable(tq, 60_000)
+    routed = plan(points, tq, rollup=rollup)
+    direct = plan(points, tq)
+    as_map = lambda df: {r["bucket_ms"]: r["value"] for r in df.collect()}
+    assert as_map(routed) == as_map(direct)
+    # the routed physical plan scans only rollup partials (p_sum/p_count in
+    # the read schema), never the raw point lake (no ts/value point columns)
+    pstr = routed._jdf.queryExecution().executedPlan().toString()
+    assert "p_sum" in pstr and "p_count" in pstr
+    assert "ts_us" not in pstr and "tsid" not in pstr
+
+    # fallbacks: unaligned start; rate ordered before downsample; percentile
+    assert not rollup_routable(
+        TsdbQuery(metric="m", start_ms=BASE + 1, end_ms=BASE + 600_000,
+                  downsample="5m-avg"), 60_000)
+    assert not rollup_routable(
+        TsdbQuery(metric="m", start_ms=BASE, end_ms=BASE + 600_000,
+                  downsample="5m-avg", rate=True,
+                  order=("rate", "downsample", "aggregation")), 60_000)
+    assert not rollup_routable(
+        TsdbQuery(metric="m", start_ms=BASE, end_ms=BASE + 600_000,
+                  downsample="5m-p95"), 60_000)
+    # grouped query through the rollup path
+    from mycenae_spark.plans.tsdb import TagFilter
+
+    tq_g = TsdbQuery(
+        metric="route.m", start_ms=BASE, end_ms=BASE + 1_200_000,
+        aggregator="sum", downsample="10m-max",
+        filters=[TagFilter("host", "literal_or", "h0|h1", group_by=True)],
+    )
+    assert as_map(plan(points, tq_g, rollup=rollup)) == as_map(plan(points, tq_g))
