@@ -55,10 +55,17 @@ from mycenae_spark.streaming.ingest import prepare_points
 class Engine:
     """Lake-backed query/ingest engine shared by all requests."""
 
-    def __init__(self, spark: SparkSession, lake_dir: str, catalog_dir: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        lake_dir: str,
+        catalog_dir: str,
+        rollup_dir: str | None = None,
+    ):
         self.spark = spark
         self.lake_dir = lake_dir
         self.catalog_dir = catalog_dir
+        self.rollup_dir = rollup_dir
         from mycenae_spark.keyspace import KeyspaceManager
 
         self.keyspaces = KeyspaceManager(lake_dir)
@@ -77,7 +84,9 @@ class Engine:
         n_bad = invalid.count()
         from mycenae_spark.streaming.ingest import write_points_batch
 
-        write_points_batch(valid, self.lake_dir, self.catalog_dir)
+        write_points_batch(
+            valid, self.lake_dir, self.catalog_dir, rollup_dir=self.rollup_dir
+        )
         return {"success": len(points) - n_bad, "failed": n_bad}
 
     # -- query ------------------------------------------------------------
@@ -103,9 +112,19 @@ class Engine:
         now_ms = int(time.time() * 1000)
         out = []
         pts = self._points()
+        rollup = None
+        if self.rollup_dir is not None:
+            import os
+
+            from mycenae_spark.streaming.rollup import read_rollup_series
+
+            if os.path.isdir(self.rollup_dir):
+                rollup = read_rollup_series(self.spark, self.rollup_dir)
         for q in parse_query_request(body, now_ms):
             nan_fill = bool(q.downsample and q.downsample.endswith("-nan"))
-            out.extend(shape_response(plan(pts, q), q, nan_fill=nan_fill))
+            out.extend(
+                shape_response(plan(pts, q, rollup=rollup), q, nan_fill=nan_fill)
+            )
         return out
 
     def query_expression(self, exp: str) -> list:
@@ -306,10 +325,21 @@ class _Handler(BaseHTTPRequestHandler):
 
 
 def serve(
-    spark: SparkSession, lake_dir: str, catalog_dir: str, port: int = 0
+    spark: SparkSession,
+    lake_dir: str,
+    catalog_dir: str,
+    port: int = 0,
+    rollup_dir: str | None = None,
 ) -> tuple[ThreadingHTTPServer, Thread]:
-    """Start the façade on ``port`` (0 = ephemeral); returns (server, thread)."""
-    handler = type("BoundHandler", (_Handler,), {"engine": Engine(spark, lake_dir, catalog_dir)})
+    """Start the façade on ``port`` (0 = ephemeral); returns (server, thread).
+
+    With ``rollup_dir``, puts also maintain the continuous-aggregate rollup
+    and queries route eligible downsamples onto it (plans/tsdb.py)."""
+    handler = type(
+        "BoundHandler",
+        (_Handler,),
+        {"engine": Engine(spark, lake_dir, catalog_dir, rollup_dir=rollup_dir)},
+    )
     httpd = ThreadingHTTPServer(("127.0.0.1", port), handler)
     thread = Thread(target=httpd.serve_forever, daemon=True)
     thread.start()

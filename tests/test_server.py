@@ -207,3 +207,35 @@ def test_meta_delete_rest(server):
     assert code == 200 and resp["deleted"] == 1
     code, vals = _req(server, "/api/suggest?type=tagv&q=h&max=10&tagk=host")
     assert code == 200 and vals == ["h1"]
+
+
+def test_rollup_backed_server(spark, tmp_path_factory):
+    """A façade started with rollup_dir: puts maintain partials, an aligned
+    downsample query routes onto them and matches the point-path answer."""
+    d = tmp_path_factory.mktemp("rolllake")
+    httpd, _ = serve(spark, str(d / "lake"), str(d / "catalog"),
+                     rollup_dir=str(d / "rollup"))
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        pts = [{"metric": "cpu.r", "tags": {"ksid": "k1", "host": f"h{i % 2}"},
+                "timestamp": BASE_TS + i * 60_000, "value": float(i)}
+               for i in range(10)]
+        code, resp = _req(base, "/api/put", pts)
+        assert code == 200 and resp == {"success": 10, "failed": 0}
+        import os
+        assert os.path.isdir(str(d / "rollup"))  # partials written
+
+        body = {
+            "start": BASE_TS, "end": BASE_TS + 600_000,
+            "queries": [{"metric": "cpu.r", "aggregator": "sum",
+                         "downsample": "5m-avg"}],
+        }
+        code, out = _req(base, f"/keysets/k1/api/query", body)
+        assert code == 200 and len(out) == 1
+        # per-series 5m-avg then sum across the two host series:
+        # bucket 0: h0 avg(0,2,4)=2 + h1 avg(1,3)=2 → 4
+        # bucket 1: h0 avg(6,8)=7 + h1 avg(5,7,9)=7 → 14
+        assert list(out[0]["dps"].values()) == [pytest.approx(4.0),
+                                                pytest.approx(14.0)]
+    finally:
+        httpd.shutdown()
