@@ -42,13 +42,39 @@ _MERGE_EXPRS = {
 }
 
 
+#: Default fixed-bin histogram grid for the percentile partial: values are
+#: binned on [hist_lo, hist_hi) with hist_bins equal bins (clamped edges).
+#: Bin width bounds the percentile error; pick the grid per deployment from
+#: the metric's dynamic range (a config, like Prometheus histogram buckets).
+HIST_BINS, HIST_LO, HIST_HI = 64, 0.0, 1024.0
+
+
+def _hist_bin(value, bins: int, lo: float, hi: float):
+    width = (hi - lo) / bins
+    raw = F.floor((value - F.lit(lo)) / F.lit(width)).cast("int")
+    return F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1))
+
+
 def rollup_batch(
-    valid: DataFrame, interval_ms: int, series_cols: list[str] | None = None
+    valid: DataFrame,
+    interval_ms: int,
+    series_cols: list[str] | None = None,
+    hist: bool = True,
+    hist_bins: int = HIST_BINS,
+    hist_lo: float = HIST_LO,
+    hist_hi: float = HIST_HI,
 ) -> DataFrame:
     """One micro-batch → mergeable per-(series, bucket) partials.
 
     ``valid`` is the prepared point frame (streaming/ingest.py schema with
     ``tsid``/``ksid``/``ts``/``value``/``date``).
+
+    With ``hist``, each partial also carries ``p_hist`` — a MAP<bin, count>
+    fixed-grid histogram (Prometheus-style).  Histograms merge by summing
+    counts, which makes approximate percentiles mergeable across batches
+    and series where exact sort-based percentiles are not; the error is
+    bounded by one bin width.  Cost: one extra (series, bucket, bin)
+    pre-aggregation — still ∝ occupied bins, never ∝ points.
     """
     series_cols = series_cols or ["ksid", "tsid", "metric"]
     ts_us = F.unix_micros(F.col("ts"))
@@ -63,11 +89,22 @@ def rollup_batch(
         # carried (not grouped: MapType can't be a grouping key) so the
         # query-time rollup router can apply tag filters without the lake.
         aggs.append(F.first("tags").alias("tags"))
-    return (
-        valid.withColumn("bucket_ms", bucket_ms_long(ts_us, interval_ms))
+    base = valid.withColumn("bucket_ms", bucket_ms_long(ts_us, interval_ms))
+    out = base.groupBy(*series_cols, "date", "bucket_ms").agg(*aggs)
+    if not hist:
+        return out
+    hist_df = (
+        base.withColumn("_bin", _hist_bin(F.col("value"), hist_bins, hist_lo, hist_hi))
+        .groupBy(*series_cols, "date", "bucket_ms", "_bin")
+        .agg(F.count("value").alias("_n"))
         .groupBy(*series_cols, "date", "bucket_ms")
-        .agg(*aggs)
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("_bin", "_n")))
+            ).alias("p_hist")
+        )
     )
+    return out.join(hist_df, [*series_cols, "date", "bucket_ms"])
 
 
 def write_rollup_batch(
@@ -117,6 +154,58 @@ def read_rollup(
         df.groupBy(*series_cols, "bucket_ms")
         .agg(_MERGE_EXPRS[agg]().alias("value"))
     )
+
+
+def read_rollup_percentile(
+    spark,
+    rollup_dir: str,
+    q: float,
+    series_cols: list[str] | None = None,
+    interval_ms: int | None = None,
+    hist_bins: int = HIST_BINS,
+    hist_lo: float = HIST_LO,
+    hist_hi: float = HIST_HI,
+) -> DataFrame:
+    """Approximate percentile from the merged histogram partials.
+
+    Sums bin counts across partials (micro-batches, and coarser buckets via
+    ``interval_ms``), then linearly interpolates the target rank inside its
+    bin — error ≤ one bin width of the fixed grid.  This is the mergeable
+    path `read_rollup` deliberately refuses for exact pNN: every step is a
+    hash aggregation over (series, bucket, bin), nothing scans points.
+    """
+    series_cols = series_cols or ["ksid", "tsid"]
+    df = spark.read.parquet(rollup_dir)
+    if "p_hist" not in df.columns:
+        raise ValueError("rollup was written without histogram partials")
+    if interval_ms is not None:
+        df = df.withColumn(
+            "bucket_ms",
+            F.col("bucket_ms") - (F.col("bucket_ms") % F.lit(interval_ms)),
+        )
+    width = (hist_hi - hist_lo) / hist_bins
+    bins = (
+        df.select(*series_cols, "bucket_ms", F.explode("p_hist").alias("bin", "n"))
+        .groupBy(*series_cols, "bucket_ms", "bin")
+        .agg(F.sum("n").alias("n"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*series_cols, "bucket_ms").orderBy("bin")
+    wt = Window.partitionBy(*series_cols, "bucket_ms")
+    ranked = (
+        bins.withColumn("cum", F.sum("n").over(w))
+        .withColumn("total", F.sum("n").over(wt))
+        .withColumn("target", F.lit(q) * F.col("total"))
+    )
+    # first bin whose cumulative count reaches the target rank; interpolate
+    # the rank position inside it
+    hit = ranked.filter(F.col("cum") >= F.col("target")).withColumn(
+        "_rk", F.row_number().over(w.orderBy("bin"))
+    ).filter(F.col("_rk") == 1)
+    frac = (F.col("target") - (F.col("cum") - F.col("n"))) / F.col("n")
+    value = F.lit(hist_lo) + (F.col("bin") + frac) * F.lit(width)
+    return hit.select(*series_cols, "bucket_ms", value.alias("value"))
 
 
 def read_rollup_series(spark, rollup_dir: str) -> DataFrame:

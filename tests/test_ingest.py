@@ -351,3 +351,59 @@ def test_planner_routes_downsample_to_rollup(spark, tmp_path):
         filters=[TagFilter("host", "literal_or", "h0|h1", group_by=True)],
     )
     assert as_map(plan(points, tq_g, rollup=rollup)) == as_map(plan(points, tq_g))
+
+
+def test_rollup_histogram_percentile(spark, tmp_path):
+    """Mergeable approximate percentile: fixed-grid histogram partials sum
+    across micro-batches; interpolated pNN lands within one bin width of the
+    exact percentile, and merging two half-batches equals one full batch."""
+    BASE = 1704067200000
+    import pyspark.sql.functions as _F
+
+    from mycenae_spark.streaming.ingest import decode_json_lines, prepare_points
+    from mycenae_spark.streaming.rollup import (
+        read_rollup_percentile,
+        rollup_batch,
+    )
+
+    def valid_frame(vals):
+        rows = [
+            json.dumps({"metric": "h.m", "tags": {"ksid": "ks1", "h": "a"},
+                        "timestamp": BASE + i * 1000, "value": v})
+            for i, v in enumerate(vals)
+        ]
+        raw = spark.createDataFrame([(r,) for r in rows], ["value"])
+        valid, _ = prepare_points(decode_json_lines(raw))
+        return valid
+
+    vals = [float(i) for i in range(60)]  # one 1m bucket, values 0..59
+    grid = dict(hist_bins=64, hist_lo=0.0, hist_hi=64.0)  # width 1.0
+    roll = str(tmp_path / "roll")
+    # two half-batches written separately (merge path)
+    for chunk in (vals[:30], vals[30:]):
+        rollup_batch(valid_frame(chunk), 60_000, **grid).write.mode(
+            "append"
+        ).parquet(roll)
+    got = read_rollup_percentile(spark, roll, 0.95, **grid).collect()
+    assert len(got) == 1
+    import numpy as np
+
+    exact = float(np.quantile(vals, 0.95))
+    assert abs(got[0]["value"] - exact) <= 1.0, (got[0]["value"], exact)
+
+    # determinism of the merge: one full batch gives the same percentile
+    roll2 = str(tmp_path / "roll2")
+    rollup_batch(valid_frame(vals), 60_000, **grid).write.parquet(roll2)
+    got2 = read_rollup_percentile(spark, roll2, 0.95, **grid).collect()
+    assert got2[0]["value"] == got[0]["value"]
+
+    # grid clamping: out-of-range values land in edge bins, never lost
+    roll3 = str(tmp_path / "roll3")
+    rollup_batch(valid_frame([-5.0, 1000.0]), 60_000, **grid).write.parquet(roll3)
+    n = (
+        spark.read.parquet(roll3)
+        .select(_F.explode("p_hist").alias("b", "n"))
+        .agg(_F.sum("n"))
+        .collect()[0][0]
+    )
+    assert n == 2
