@@ -95,6 +95,25 @@ def main() -> None:
     recall = round(len(brute & ivf) / max(len(brute), 1), 3)
     recall_km = round(len(brute & kmeans) / max(len(brute), 1), 3)
 
+    # Recall-vs-scan dial: nprobe sweep over the k-means-trained index.
+    # Scan fraction ≈ nprobe / #clusters (candidates probed per query).
+    from mycenae_spark.functions.similarity import kmeans_refine
+    from mycenae_spark.registry.llm_queries import _cent0, _ivf_search, t as _t
+    from mycenae_spark.registry.util import r6
+
+    cent = kmeans_refine(
+        _t(spark, sf_dir, "embeddings"),
+        _cent0(spark, sf_dir).withColumnRenamed("c_id", "vec_id"),
+        iters=1, score_rounder=r6, comp_rounder=r6,
+    ).localCheckpoint(eager=True)
+    curve = {}
+    for nprobe in (1, 2, 4, 8):
+        got = {
+            (r["q_id"], r["n_id"])
+            for r in _ivf_search(spark, sf_dir, cent, nprobe=nprobe).collect()
+        }
+        curve[str(nprobe)] = round(len(brute & got) / max(len(brute), 1), 3)
+
     print(
         json.dumps(
             {
@@ -106,6 +125,7 @@ def main() -> None:
                 "extras": {
                     "ann_ivf_recall_at3": recall,
                     "ann_ivf_kmeans_recall_at3": recall_km,
+                    "ann_ivf_kmeans_recall_at3_by_nprobe": curve,
                 },
             }
         )
