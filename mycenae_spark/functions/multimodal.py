@@ -81,16 +81,49 @@ def _decode_batch_stub(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def rechunk_by_bytes(
+    batches: Iterator[pd.DataFrame],
+    max_batch_bytes: int,
+    size_col: str = "payload",
+) -> Iterator[pd.DataFrame]:
+    """Re-chunk an Arrow batch iterator so each yielded pandas frame carries
+    at most ``max_batch_bytes`` of ``size_col`` payload.
+
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds ROWS per batch,
+    which is useless under media-size skew: 10k thumbnail rows and 10k 4K
+    video rows are the "same" batch to Arrow but differ by ~1000× in bytes.
+    Greedy consecutive packing; a single row larger than the budget is
+    yielded alone (it must be processed somewhere — the bound is then that
+    row's own size, the irreducible minimum).
+    """
+    for pdf in batches:
+        if pdf.empty or len(pdf) == 1:
+            yield pdf
+            continue
+        sizes = pdf[size_col].map(lambda b: 0 if b is None else len(b)).to_numpy()
+        start, total = 0, 0
+        for i, s in enumerate(sizes):
+            if i > start and total + int(s) > max_batch_bytes:
+                yield pdf.iloc[start:i]
+                start, total = i, 0
+            total += int(s)
+        yield pdf.iloc[start:]
+
+
 def decode_media(
     df: DataFrame,
     decode_stub: bool = True,
     kernel: Callable[[pd.DataFrame], pd.DataFrame] | None = None,
     shuffle_buckets: int | None = None,
+    max_batch_bytes: int | None = None,
 ) -> DataFrame:
     """Decode/feature-extract media rows via Arrow-batched ``mapInPandas``.
 
     ``kernel`` overrides the per-batch pandas function (signature:
-    pdf[MEDIA_SCHEMA cols] → pdf[FEATURES_SCHEMA cols]).
+    pdf[MEDIA_SCHEMA cols] → pdf[FEATURES_SCHEMA cols]).  With
+    ``max_batch_bytes`` the incoming Arrow batches are re-chunked by payload
+    bytes before the kernel sees them, bounding per-invocation memory under
+    media-size skew (see :func:`rechunk_by_bytes`).
     """
     if kernel is None:
         if not decode_stub:
@@ -106,6 +139,8 @@ def decode_media(
         df = df.repartition(shuffle_buckets, F.pmod(F.col("media_id"), shuffle_buckets))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if max_batch_bytes:
+            batches = rechunk_by_bytes(batches, max_batch_bytes)
         for pdf in batches:
             yield kernel(pdf)
 

@@ -69,3 +69,57 @@ def test_frame_sampling_expansion(media):
     rows = frames.collect()
     assert all(r["media_id"] == 2 for r in rows)  # only the video row expands
     assert [r["frame_idx"] for r in rows] == sorted(r["frame_idx"] for r in rows)
+
+
+def test_rechunk_bounds_batch_bytes_under_skew(spark):
+    """Skewed media sizes: each kernel invocation sees at most
+    max_batch_bytes of payload (an oversized single row is the only
+    exception — it is yielded alone)."""
+    import pandas as pd
+
+    from mycenae_spark.functions.multimodal import rechunk_by_bytes
+
+    # One partition so Arrow hands the kernel large multi-row batches.
+    sizes = [100, 200, 5000, 50, 7000, 10, 10, 9000, 3000, 3000, 3000]
+    rows = [(i, "video", b"v" * s, "video/mp4") for i, s in enumerate(sizes)]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(1)
+    cap = 4096
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        batch_bytes = int(pdf["payload"].map(len).sum())
+        out = pdf[["media_id", "kind"]].copy()
+        out["n_bytes"] = pdf["payload"].map(len).astype("int64")
+        # smuggle the observed per-invocation totals out through the rows
+        out["width"] = batch_bytes if batch_bytes <= 2**31 - 1 else -1
+        out["height"] = len(pdf)
+        out["n_frames"] = 1
+        out["checksum"] = ""
+        return out.astype(
+            {"n_bytes": "int64", "width": "int32", "height": "int32",
+             "n_frames": "int32"}
+        )
+
+    out = decode_media(media, kernel=kernel, max_batch_bytes=cap).collect()
+    assert len(out) == len(sizes)
+    assert sorted(r["n_bytes"] for r in out) == sorted(sizes)
+    for r in out:
+        # bound holds unless the row itself exceeds the budget
+        assert r["width"] <= cap or r["width"] == r["n_bytes"], (
+            r["media_id"], r["width"], r["n_bytes"])
+    # the skewed rows actually forced a split (>1 invocation)
+    assert len({(r["width"], r["height"]) for r in out}) > 1
+
+
+def test_rechunk_pure_iterator_shapes():
+    """Unit check of the greedy packer: consecutive packing, oversized row
+    isolated, empty frames passed through."""
+    import pandas as pd
+
+    from mycenae_spark.functions.multimodal import rechunk_by_bytes
+
+    pdf = pd.DataFrame({"payload": [b"a" * 10, b"a" * 10, b"a" * 25, b"a" * 5, None]})
+    chunks = list(rechunk_by_bytes(iter([pdf]), max_batch_bytes=20))
+    assert [len(c) for c in chunks] == [2, 1, 2]
+    assert [int(c["payload"].map(lambda b: 0 if b is None else len(b)).sum())
+            for c in chunks] == [20, 25, 5]
+    assert list(rechunk_by_bytes(iter([pdf.iloc[:0]]), 20))[0].empty
