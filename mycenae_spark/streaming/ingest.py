@@ -156,46 +156,97 @@ def write_points_batch(
     by (tsid, ts) within partitions, then merge only *new* series into the
     catalog — writes ∝ new series, mycenae's bloom-gated Solr upsert.
 
-    Exactly-once on replay: with a ``batch_id``, a per-batch commit marker
-    (``<lake>/_commits/<id>``, written via atomic rename) makes the lake
-    append idempotent — if Spark re-runs a foreachBatch whose lake write
-    already committed (checkpoint advanced after the sink, so any failure
-    inside the sink replays the whole batch), the marker skips the second
-    append.  The catalog merge is idempotent by construction (anti-join
-    against the stored catalog).  Residual window: a crash between the lake
-    job commit and the marker rename duplicates that one batch — the gap a
-    transactional table format (Delta/Iceberg) closes with its atomic log
-    append; on a filesystem lake this marker is the standard approximation.
+    Exactly-once on replay: with a ``batch_id``, the append is a
+    Delta-shaped two-phase commit — the batch's part files are first written
+    under ``<lake>/_staging/<id>`` (underscore-prefixed, so Spark/Hadoop
+    file listing never surfaces them to readers), then a manifest listing
+    every staged file is atomically renamed into ``<lake>/_commits/<id>``
+    (the commit point), and only then are the files moved into the
+    partitioned tree.  Every crash point is safe: before the manifest
+    rename, nothing is visible and the replay rebuilds staging from
+    scratch; after it, the replay skips the write and idempotently re-runs
+    the remaining moves from the manifest (a move whose source is gone and
+    destination exists already happened).  This closes the
+    duplicate-on-crash window a bare write-then-marker scheme has — the
+    same files-invisible-until-log-commit idea as Delta/Iceberg, minus
+    snapshot isolation for concurrent writers (the ingest stream is the
+    single writer here).  Rollup partials (``rollup_dir``) stage and commit
+    under the SAME manifest, so points and partials land atomically
+    together.  The catalog merge is idempotent by construction (anti-join
+    against the stored catalog).  Orphaned ``_staging`` dirs (crash before
+    commit, batch id never replayed) are invisible garbage; the maintenance
+    job may GC them by age.
     """
+    import json as _json
     import os
+    import shutil
 
-    marker = None
+    marker = staging = None
     if batch_id is not None:
         commits = os.path.join(lake_dir, "_commits")
         os.makedirs(commits, exist_ok=True)
         marker = os.path.join(commits, str(batch_id))
+        staging = os.path.join(lake_dir, "_staging", str(batch_id))
+
+    def _staged_files(root: str) -> list[str]:
+        out = []
+        for dirpath, _dirs, files in os.walk(root):
+            for f in files:
+                if f.startswith(("_", ".")):
+                    continue  # _SUCCESS, checksums
+                out.append(os.path.relpath(os.path.join(dirpath, f), root))
+        return sorted(out)
+
+    def _apply_moves(manifest: dict) -> None:
+        for section, dest_root in (("points", lake_dir), ("rollup", rollup_dir)):
+            for rel in manifest.get(section, ()):
+                src = os.path.join(staging, section, rel)
+                dst = os.path.join(dest_root, rel)
+                if os.path.exists(src):
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    os.rename(src, dst)
+                elif not os.path.exists(dst):
+                    raise RuntimeError(
+                        f"committed batch {batch_id} lost staged file {rel}"
+                    )
+        shutil.rmtree(staging, ignore_errors=True)
+
     valid.persist()
     try:
-        if marker is None or not os.path.exists(marker):
+        if marker is not None and os.path.exists(marker):
+            # Replay of a committed batch: data write already happened;
+            # finish any moves the crash interrupted.
+            with open(marker) as f:
+                _apply_moves(_json.load(f))
+        else:
+            points_out = lake_dir if staging is None else os.path.join(staging, "points")
+            if staging is not None:
+                shutil.rmtree(staging, ignore_errors=True)  # crashed attempt
             (
                 valid.repartition("ksid", "date")
                 .sortWithinPartitions("tsid", "ts")
                 .write.mode("append")
                 .partitionBy("ksid", "date")
-                .parquet(lake_dir)
+                .parquet(points_out)
             )
             if rollup_dir is not None:
-                # Continuous aggregate (streaming/rollup.py): appended under
-                # the SAME commit marker, so a replayed batch re-appends
-                # neither points nor partials.
                 from mycenae_spark.streaming.rollup import write_rollup_batch
 
-                write_rollup_batch(valid, rollup_dir, rollup_interval_ms)
+                rollup_out = (
+                    rollup_dir if staging is None else os.path.join(staging, "rollup")
+                )
+                write_rollup_batch(valid, rollup_out, rollup_interval_ms)
             if marker is not None:
+                manifest = {"points": _staged_files(os.path.join(staging, "points"))}
+                if rollup_dir is not None:
+                    manifest["rollup"] = _staged_files(os.path.join(staging, "rollup"))
                 tmp = marker + ".tmp"
                 with open(tmp, "w") as f:
-                    f.write("done")
-                os.rename(tmp, marker)
+                    _json.dump(manifest, f)
+                    f.flush()
+                    os.fsync(f.fileno())
+                os.rename(tmp, marker)  # the commit point
+                _apply_moves(manifest)
         new_series = valid.select("ksid", "tsid", "metric", "tags").dropDuplicates(
             ["tsid"]
         )

@@ -407,3 +407,61 @@ def test_rollup_histogram_percentile(spark, tmp_path):
         .collect()[0][0]
     )
     assert n == 2
+
+
+def test_crash_before_commit_leaves_nothing_visible(spark, tmp_path):
+    """Files staged by a crashed attempt (no manifest committed) are
+    invisible to readers — underscore-prefixed staging is skipped by
+    Spark's file listing — and the replay lands exactly one copy."""
+    import os
+
+    from mycenae_spark.streaming.ingest import write_points_batch
+
+    lake, catalog = str(tmp_path / "lake"), str(tmp_path / "catalog")
+    raw = spark.createDataFrame([(json.dumps(p),) for p in POINTS], ["value"])
+    valid, _ = prepare_points(decode_json_lines(raw))
+
+    # leftover staging from a crashed attempt: garbage that would break any
+    # reader that listed it
+    staging = tmp_path / "lake" / "_staging" / "3" / "points" / "ksid=k1"
+    staging.mkdir(parents=True)
+    (staging / "part-junk.parquet").write_bytes(b"not parquet at all")
+
+    write_points_batch(valid, lake, catalog, batch_id=3)
+    n = valid.count()
+    assert spark.read.parquet(lake).count() == n
+    # staging fully consumed (garbage replaced, then moved+removed)
+    assert not os.path.exists(str(tmp_path / "lake" / "_staging" / "3"))
+
+
+def test_crash_mid_move_resumes_from_manifest(spark, tmp_path):
+    """After the manifest commit, a crash can interrupt the staged→final
+    moves; replaying the batch id must finish them without re-running the
+    write (no duplicates)."""
+    import json as _json
+    import os
+
+    from mycenae_spark.streaming.ingest import write_points_batch
+
+    lake, catalog = str(tmp_path / "lake"), str(tmp_path / "catalog")
+    rollup = str(tmp_path / "rollup")
+    raw = spark.createDataFrame([(json.dumps(p),) for p in POINTS], ["value"])
+    valid, _ = prepare_points(decode_json_lines(raw))
+    write_points_batch(valid, lake, catalog, batch_id=0, rollup_dir=rollup)
+    n_lake = spark.read.parquet(lake).count()
+    n_roll = spark.read.parquet(rollup).count()
+
+    # manufacture the crash state: one committed point file and one rollup
+    # file moved back into staging, exactly as an interrupted move leaves it
+    manifest = _json.load(open(os.path.join(lake, "_commits", "0")))
+    for section, root in (("points", lake), ("rollup", rollup)):
+        rel = manifest[section][0]
+        src = os.path.join(root, rel)
+        back = os.path.join(lake, "_staging", "0", section, rel)
+        os.makedirs(os.path.dirname(back), exist_ok=True)
+        os.rename(src, back)
+
+    write_points_batch(valid, lake, catalog, batch_id=0, rollup_dir=rollup)
+    assert spark.read.parquet(lake).count() == n_lake
+    assert spark.read.parquet(rollup).count() == n_roll
+    assert not os.path.exists(os.path.join(lake, "_staging", "0"))
