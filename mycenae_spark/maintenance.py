@@ -87,3 +87,33 @@ def compact_keyspace(
                 spark, lake_dir, ksid, date, target_file_bytes
             )
     return out
+
+def gc_staging(lake_dir: str, max_age_s: float = 24 * 3600) -> list[str]:
+    """Remove orphaned ``_staging/<batch>`` dirs older than ``max_age_s``.
+
+    A crash before the manifest rename leaves staged files with no
+    ``_commits/<batch>`` entry; if the stream later replays that batch id
+    the writer overwrites them, but a batch id that is never replayed
+    (e.g. the checkpoint itself was reset) orphans the dir forever.  They
+    are invisible to readers (underscore prefix) but accumulate bytes, so
+    the maintenance job sweeps them by age.  A staging dir WITH a manifest
+    is in-flight move state and is left alone — the replay path owns it.
+    Returns the batch ids removed.
+    """
+    import time
+
+    staging_root = os.path.join(lake_dir, "_staging")
+    commits = os.path.join(lake_dir, "_commits")
+    if not os.path.isdir(staging_root):
+        return []
+    removed = []
+    now = time.time()
+    for batch in os.listdir(staging_root):
+        path = os.path.join(staging_root, batch)
+        if os.path.exists(os.path.join(commits, batch)):
+            continue  # committed: pending moves, not garbage
+        if now - os.path.getmtime(path) < max_age_s:
+            continue
+        shutil.rmtree(path, ignore_errors=True)
+        removed.append(batch)
+    return sorted(removed)
