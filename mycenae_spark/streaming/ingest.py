@@ -198,13 +198,30 @@ def write_points_batch(
         return sorted(out)
 
     def _apply_moves(manifest: dict) -> None:
-        for section, dest_root in (("points", lake_dir), ("rollup", rollup_dir)):
+        # Destination roots are persisted IN the manifest so a replay after a
+        # config change (e.g. stream restarted without rollup_dir) still
+        # finishes the committed batch's moves instead of raising on a None
+        # root.  Manifests written before roots existed fall back to the
+        # current config.
+        roots = manifest.get("roots", {})
+        for section, cfg_root in (("points", lake_dir), ("rollup", rollup_dir)):
+            dest_root = roots.get(section, cfg_root)
+            if manifest.get(section) and dest_root is None:
+                raise RuntimeError(
+                    f"committed batch {batch_id} has staged {section!r} files "
+                    "but no destination root (manifest predates root "
+                    "persistence and the stream was restarted without "
+                    f"{section}_dir configured)"
+                )
             for rel in manifest.get(section, ()):
                 src = os.path.join(staging, section, rel)
                 dst = os.path.join(dest_root, rel)
                 if os.path.exists(src):
                     os.makedirs(os.path.dirname(dst), exist_ok=True)
-                    os.rename(src, dst)
+                    # shutil.move falls back to copy+unlink when the staging
+                    # dir and the destination root are on different
+                    # filesystems (os.rename would raise EXDEV).
+                    shutil.move(src, dst)
                 elif not os.path.exists(dst):
                     raise RuntimeError(
                         f"committed batch {batch_id} lost staged file {rel}"
@@ -237,8 +254,12 @@ def write_points_batch(
                 )
                 write_rollup_batch(valid, rollup_out, rollup_interval_ms)
             if marker is not None:
-                manifest = {"points": _staged_files(os.path.join(staging, "points"))}
+                manifest = {
+                    "roots": {"points": lake_dir},
+                    "points": _staged_files(os.path.join(staging, "points")),
+                }
                 if rollup_dir is not None:
+                    manifest["roots"]["rollup"] = rollup_dir
                     manifest["rollup"] = _staged_files(os.path.join(staging, "rollup"))
                 tmp = marker + ".tmp"
                 with open(tmp, "w") as f:
@@ -277,13 +298,25 @@ def start_ingest(
     available_now: bool = True,
     rollup_dir: str | None = None,
     rollup_interval_ms: int = 60_000,
+    default_ksid: str | None = None,
 ) -> StreamingQuery:
     """File-source ingest job (tests use availableNow for bounded runs).
 
     With ``rollup_dir``, each batch also appends mergeable downsample
     partials (streaming/rollup.py) — the continuous-aggregate path long
     time-range queries read instead of raw points.
+
+    ``default_ksid`` is the listener's configured keyset, injected into
+    formats whose wire protocol carries no ksid tag (netdata).  The data
+    model makes ksid mandatory (valid_point_predicate), so starting a
+    netdata ingest without one would silently route every point to the
+    invalid side-output — fail fast instead.
     """
+    if fmt == "netdata" and default_ksid is None:
+        raise ValueError(
+            "fmt='netdata' requires default_ksid: netdata lines carry no "
+            "ksid tag and validation drops ksid-less points"
+        )
     raw = (
         spark.readStream.format("text")
         .option("maxFilesPerTrigger", "16")
@@ -292,7 +325,7 @@ def start_ingest(
     decoders = {
         "json": decode_json_lines,
         "opentsdb": decode_opentsdb_lines,
-        "netdata": decode_netdata_lines,
+        "netdata": lambda r: decode_netdata_lines(r, default_ksid=default_ksid),
     }
     decoded = decoders[fmt](raw)
 

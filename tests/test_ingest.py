@@ -111,6 +111,39 @@ def test_netdata_line_decode(spark):
     assert invalid.count() == 0
 
 
+def test_netdata_ingest_end_to_end(spark, tmp_path):
+    """fmt='netdata' must actually land points in the lake: the listener's
+    configured keyset is threaded through to the decoder (ksid is mandatory,
+    so a None default_ksid would silently drop every point), and starting
+    without one fails fast."""
+    import json as _json
+
+    lines = [
+        _json.dumps({"hostname": "web01", "chart_id": "system.cpu",
+                     "id": "user", "value": 1.5, "timestamp": 1704067200}),
+        _json.dumps({"hostname": "web01", "chart_id": "system.ram",
+                     "id": "free", "value": 2048.0, "timestamp": 1704067201}),
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "b.jsonl").write_text("\n".join(lines))
+    lake, catalog, ck = (str(tmp_path / d) for d in ("lake", "catalog", "ck"))
+
+    with pytest.raises(ValueError, match="default_ksid"):
+        start_ingest(spark, str(src), lake, catalog, ck, fmt="netdata")
+
+    q = start_ingest(
+        spark, str(src), lake, catalog, ck, fmt="netdata", default_ksid="ks1"
+    )
+    q.awaitTermination(120)
+    pts = spark.read.parquet(lake)
+    assert pts.count() == 2
+    assert {r["metric"] for r in pts.collect()} == {
+        "system.cpu.user", "system.ram.free"
+    }
+    assert pts.select("ksid").distinct().collect()[0][0] == "ks1"
+
+
 def test_batch_replay_is_exactly_once(spark, tmp_path):
     """Replaying a foreachBatch (Spark re-runs the whole batch when the
     sink fails before the checkpoint commits) must not duplicate lake rows
@@ -463,5 +496,35 @@ def test_crash_mid_move_resumes_from_manifest(spark, tmp_path):
 
     write_points_batch(valid, lake, catalog, batch_id=0, rollup_dir=rollup)
     assert spark.read.parquet(lake).count() == n_lake
+    assert spark.read.parquet(rollup).count() == n_roll
+    assert not os.path.exists(os.path.join(lake, "_staging", "0"))
+
+
+def test_replay_after_config_change_uses_manifest_roots(spark, tmp_path):
+    """Destination roots live in the committed manifest: a stream restarted
+    WITHOUT rollup_dir can still replay a committed batch whose manifest has
+    staged rollup files (previously os.path.join(None, rel) → TypeError and
+    the batch could never replay)."""
+    import json as _json
+    import os
+
+    from mycenae_spark.streaming.ingest import write_points_batch
+
+    lake, catalog = str(tmp_path / "lake"), str(tmp_path / "catalog")
+    rollup = str(tmp_path / "rollup")
+    raw = spark.createDataFrame([(json.dumps(p),) for p in POINTS], ["value"])
+    valid, _ = prepare_points(decode_json_lines(raw))
+    write_points_batch(valid, lake, catalog, batch_id=0, rollup_dir=rollup)
+    n_roll = spark.read.parquet(rollup).count()
+
+    # crash state: a rollup file back in staging, then replay with the
+    # stream reconfigured (rollup_dir no longer passed)
+    manifest = _json.load(open(os.path.join(lake, "_commits", "0")))
+    rel = manifest["rollup"][0]
+    back = os.path.join(lake, "_staging", "0", "rollup", rel)
+    os.makedirs(os.path.dirname(back), exist_ok=True)
+    os.rename(os.path.join(rollup, rel), back)
+
+    write_points_batch(valid, lake, catalog, batch_id=0, rollup_dir=None)
     assert spark.read.parquet(rollup).count() == n_roll
     assert not os.path.exists(os.path.join(lake, "_staging", "0"))
