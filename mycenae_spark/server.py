@@ -66,6 +66,7 @@ class Engine:
         self.lake_dir = lake_dir
         self.catalog_dir = catalog_dir
         self.rollup_dir = rollup_dir
+        self._tag_keys_cache: list[str] | None = None
         from mycenae_spark.keyspace import KeyspaceManager
 
         self.keyspaces = KeyspaceManager(lake_dir)
@@ -87,20 +88,43 @@ class Engine:
         write_points_batch(
             valid, self.lake_dir, self.catalog_dir, rollup_dir=self.rollup_dir
         )
+        self._tag_keys_cache = None  # batch may introduce new tag keys
         return {"success": len(points) - n_bad, "failed": n_bad}
 
     # -- query ------------------------------------------------------------
 
+    def _tag_keys(self) -> list[str]:
+        """Distinct tag keys, read from the series catalog — NEVER the point
+        lake.
+
+        A series' tag set is fixed by its tsid, so every tag key in the lake
+        also appears in the catalog (the ingest MERGE writes the full tags
+        map per new series).  The catalog is #series-bounded, so this scan
+        stays tiny no matter how many points land; scanning the lake's tags
+        column per HTTP request would be a full 100 TB read on the hot path.
+        Cached per engine; writers (put / delete_meta) invalidate.
+        """
+        if self._tag_keys_cache is None:
+            from pyspark.errors import AnalysisException
+
+            try:
+                cat = self.spark.read.parquet(self.catalog_dir)
+            except AnalysisException:  # no catalog yet → no tag keys yet
+                return []
+            self._tag_keys_cache = sorted(
+                r[0]
+                for r in cat.select(
+                    F.explode(F.map_keys("tags")).alias("k")
+                ).distinct().collect()
+                if r[0] not in ("ksid", "ttl")
+            )
+        return self._tag_keys_cache
+
     def _points(self) -> DataFrame:
         lake = self.spark.read.parquet(self.lake_dir)
-        keys = [
-            r[0]
-            for r in lake.select(
-                F.explode(F.map_keys("tags")).alias("k")
-            ).distinct().collect()
-            if r[0] not in ("ksid", "ttl")
+        cols = [
+            F.col("tags").getItem(k).alias(f"tag_{k}") for k in self._tag_keys()
         ]
-        cols = [F.col("tags").getItem(k).alias(f"tag_{k}") for k in sorted(keys)]
         return lake.select(
             "metric",
             F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
@@ -138,18 +162,12 @@ class Engine:
         from mycenae_spark.catalog import suggest
 
         # The stored catalog carries a tags MAP column; expand it to the
-        # per-tag-column form catalog.suggest expects (any tag schema).
+        # per-tag-column form catalog.suggest expects (any tag schema),
+        # sharing the cached _tag_keys source of truth.
         cat = self.spark.read.parquet(self.catalog_dir)
-        keys = [
-            r[0]
-            for r in cat.select(F.explode(F.map_keys("tags")).alias("k"))
-            .distinct()
-            .collect()
-            if r[0] not in ("ksid", "ttl")
-        ]
         cat = cat.select(
             "metric",
-            *[F.col("tags").getItem(k).alias(f"tag_{k}") for k in sorted(keys)],
+            *[F.col("tags").getItem(k).alias(f"tag_{k}") for k in self._tag_keys()],
         )
         return [
             r[0] for r in suggest(cat, kind, prefix, limit, tagk=tagk).collect()
@@ -177,10 +195,16 @@ class Engine:
         """Remove matching series from the catalog (metadata only — points
         expire via keyspace TTL, mirroring the reference contract).
 
-        The catalog is #series rows (tiny at any point volume); the rewrite
-        localCheckpoints the survivor set so overwriting the source path is
-        safe, staying distributed — no driver collect.
+        The rewrite lands survivors in a sibling temp dir first and
+        atomically swaps directories (the maintenance._compact pattern):
+        overwriting the path being read would lose the whole catalog if an
+        executor died between truncate and write-complete — localCheckpoint
+        blocks are not recoverable on a real cluster.
         """
+        import os
+        import shutil
+        import uuid
+
         cat = self.spark.read.parquet(self.catalog_dir)
         victim = F.lit(True)
         if metric is not None:
@@ -188,11 +212,16 @@ class Engine:
         for k, v in tag_eq.items():
             victim = victim & (F.col("tags").getItem(k) == v)
         n_before = cat.count()
-        survivors = cat.filter(~F.coalesce(victim, F.lit(False))).localCheckpoint(
-            eager=True
-        )
+        survivors = cat.filter(~F.coalesce(victim, F.lit(False)))
         n_after = survivors.count()
-        survivors.write.mode("overwrite").parquet(self.catalog_dir)
+        base = os.path.dirname(self.catalog_dir.rstrip("/")) or "."
+        tmp = os.path.join(base, f"_catalog_tmp_{uuid.uuid4().hex[:8]}")
+        survivors.write.mode("overwrite").parquet(tmp)
+        old = os.path.join(base, f"_catalog_old_{uuid.uuid4().hex[:8]}")
+        os.rename(self.catalog_dir, old)
+        os.rename(tmp, self.catalog_dir)
+        shutil.rmtree(old)
+        self._tag_keys_cache = None
         return {"deleted": n_before - n_after, "remaining": n_after}
 
 

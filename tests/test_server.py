@@ -239,3 +239,45 @@ def test_rollup_backed_server(spark, tmp_path_factory):
                                                 pytest.approx(14.0)]
     finally:
         httpd.shutdown()
+
+
+def test_tag_key_discovery_reads_catalog_not_lake(spark, tmp_path_factory):
+    """_points()/suggest tag-key discovery must come from the #series-bounded
+    catalog, never a full scan of the point lake's tags column (a per-request
+    100 TB read at scale).  Proven behaviorally: a tag key present only in
+    lake rows (never cataloged) is invisible, and the key set is cached until
+    a writer invalidates it."""
+    import pyspark.sql.functions as F
+
+    from mycenae_spark.server import Engine
+
+    d = tmp_path_factory.mktemp("tagkeys")
+    lake, catalog = str(d / "lake"), str(d / "catalog")
+    eng = Engine(spark, lake, catalog)
+    eng.put([
+        {"metric": "m.a", "tags": {"ksid": "k1", "host": "h0"},
+         "timestamp": BASE_TS, "value": 1.0},
+    ])
+
+    # plant a lake-only rogue tag key, bypassing ingest (so it never reaches
+    # the catalog) — discovery must NOT see it
+    rogue = (
+        spark.read.parquet(lake)
+        .withColumn("tags", F.map_concat("tags", F.create_map(
+            F.lit("rogue"), F.lit("x"))))
+    )
+    rogue.write.mode("append").partitionBy("ksid", "date").parquet(lake)
+
+    eng._tag_keys_cache = None
+    assert eng._tag_keys() == ["host"]
+    assert [c for c in eng._points().columns if c.startswith("tag_")] == ["tag_host"]
+
+    # cached: poisoning the cache proves later reads don't recompute…
+    eng._tag_keys_cache = ["sentinel"]
+    assert eng._tag_keys() == ["sentinel"]
+    # …and a write invalidates, picking up genuinely new cataloged keys
+    eng.put([
+        {"metric": "m.b", "tags": {"ksid": "k1", "dc": "eu"},
+         "timestamp": BASE_TS, "value": 2.0},
+    ])
+    assert eng._tag_keys() == ["dc", "host"]
