@@ -52,6 +52,8 @@ HEADLINE = [
     "sim_topk",
     "ann_ivf_topk",
     "ann_ivf_kmeans_topk",
+    "ann_ivf_rerank_topk",
+    "ann_ivf_kmeans2_topk",
     "window_cumsum",
     "agg_percentile",
     "tsdb_pipeline_expression",
@@ -92,8 +94,18 @@ def main() -> None:
         (r["q_id"], r["n_id"])
         for r in QUERIES["ann_ivf_kmeans_topk"](spark, sf_dir).collect()
     }
+    rerank = {
+        (r["q_id"], r["n_id"])
+        for r in QUERIES["ann_ivf_rerank_topk"](spark, sf_dir).collect()
+    }
+    kmeans2 = {
+        (r["q_id"], r["n_id"])
+        for r in QUERIES["ann_ivf_kmeans2_topk"](spark, sf_dir).collect()
+    }
     recall = round(len(brute & ivf) / max(len(brute), 1), 3)
     recall_km = round(len(brute & kmeans) / max(len(brute), 1), 3)
+    recall_rr = round(len(brute & rerank) / max(len(brute), 1), 3)
+    recall_k2 = round(len(brute & kmeans2) / max(len(brute), 1), 3)
 
     # Recall-vs-scan dial: nprobe sweep over the k-means-trained index.
     # Scan fraction ≈ nprobe / #clusters (candidates probed per query).
@@ -125,6 +137,8 @@ def main() -> None:
                 "extras": {
                     "ann_ivf_recall_at3": recall,
                     "ann_ivf_kmeans_recall_at3": recall_km,
+                    "ann_ivf_rerank_recall_at3": recall_rr,
+                    "ann_ivf_kmeans2_recall_at3": recall_k2,
                     "ann_ivf_kmeans_recall_at3_by_nprobe": curve,
                 },
             }
