@@ -125,6 +125,18 @@ def decode_media(
     bytes before the kernel sees them, bounding per-invocation memory under
     media-size skew (see :func:`rechunk_by_bytes`).
     """
+    # The kernel closure references functions from THIS module; executors'
+    # Python workers cannot import mycenae_spark unless the repo happens to
+    # be on their PYTHONPATH (it is under pytest's cwd, but NOT when an
+    # external driver imports us from elsewhere).  Register the module for
+    # by-value cloudpickle serialization so the closure ships self-contained
+    # — the same fix pyspark documents for "module not found on workers".
+    import sys as _sys
+
+    from pyspark import cloudpickle as _cp
+
+    _cp.register_pickle_by_value(_sys.modules[__name__])
+
     if kernel is None:
         if not decode_stub:
             def kernel(pdf):  # pragma: no cover - real-codec path

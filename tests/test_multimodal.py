@@ -123,3 +123,19 @@ def test_rechunk_pure_iterator_shapes():
     assert [int(c["payload"].map(lambda b: 0 if b is None else len(b)).sum())
             for c in chunks] == [20, 25, 5]
     assert list(rechunk_by_bytes(iter([pdf.iloc[:0]]), 20))[0].empty
+
+
+def test_multimodal_media_stats_judged_query(spark):
+    """The judged rows-only query drives the full Arrow path on real
+    testdata and returns one deterministic row per media kind."""
+    from mycenae_spark.registry.llm_queries import multimodal_media_stats
+
+    from tests.conftest import SF_DIR
+
+    rows = multimodal_media_stats(spark, SF_DIR).collect()
+    kinds = [r["kind"] for r in rows]
+    assert kinds == sorted(kinds) and set(kinds) == {"image", "audio", "video"}
+    assert all(r["n_items"] > 0 and r["total_bytes"] > 0 for r in rows)
+    # deterministic across runs (stub kernel is pure)
+    again = multimodal_media_stats(spark, SF_DIR).collect()
+    assert rows == again
