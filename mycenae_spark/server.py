@@ -83,10 +83,22 @@ class Engine:
         ).select("p.*")
         valid, invalid = prepare_points(decoded)
         n_bad = invalid.count()
+        import uuid
+
         from mycenae_spark.streaming.ingest import write_points_batch
 
+        # HTTP puts get a batch id too, so the point append and the rollup
+        # partials commit under ONE staged manifest — a crash between the
+        # two can no longer leave points in the lake with their partials
+        # missing from the rollup (which would silently corrupt routed
+        # downsample answers).  uuid ids never collide with the streaming
+        # job's integer batch ids; manifests are tiny and GC'd by age.
         write_points_batch(
-            valid, self.lake_dir, self.catalog_dir, rollup_dir=self.rollup_dir
+            valid,
+            self.lake_dir,
+            self.catalog_dir,
+            batch_id=f"put-{uuid.uuid4().hex[:16]}",
+            rollup_dir=self.rollup_dir,
         )
         self._tag_keys_cache = None  # batch may introduce new tag keys
         return {"success": len(points) - n_bad, "failed": n_bad}
@@ -140,9 +152,18 @@ class Engine:
         if self.rollup_dir is not None:
             import os
 
-            from mycenae_spark.streaming.rollup import read_rollup_series
+            from mycenae_spark.streaming.rollup import (
+                read_rollup_series,
+                rollup_coverage_complete,
+            )
 
-            if os.path.isdir(self.rollup_dir):
+            # Route onto partials only when the rollup provably covers the
+            # whole lake (marker maintained by ingest / backfill_rollup) —
+            # otherwise pre-rollup points would silently vanish from routed
+            # answers.  Fallback to raw points is always correct.
+            if os.path.isdir(self.rollup_dir) and rollup_coverage_complete(
+                self.rollup_dir
+            ):
                 rollup = read_rollup_series(self.spark, self.rollup_dir)
         for q in parse_query_request(body, now_ms):
             nan_fill = bool(q.downsample and q.downsample.endswith("-nan"))

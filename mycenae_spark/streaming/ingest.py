@@ -147,7 +147,7 @@ def write_points_batch(
     valid: DataFrame,
     lake_dir: str,
     catalog_dir: str,
-    batch_id: int | None = None,
+    batch_id: int | str | None = None,
     rollup_dir: str | None = None,
     rollup_interval_ms: int = 60_000,
 ) -> None:
@@ -187,6 +187,19 @@ def write_points_batch(
         os.makedirs(commits, exist_ok=True)
         marker = os.path.join(commits, str(batch_id))
         staging = os.path.join(lake_dir, "_staging", str(batch_id))
+
+    if rollup_dir is not None and not os.path.isdir(rollup_dir):
+        # First rollup write: coverage is complete only if the lake holds no
+        # pre-existing points (otherwise their buckets are missing from the
+        # rollup and routed queries would silently under-report — the reader
+        # checks rollup_coverage_complete and falls back to raw points until
+        # backfill_rollup runs).
+        from mycenae_spark.streaming.rollup import mark_rollup_coverage
+
+        lake_has_data = os.path.isdir(lake_dir) and any(
+            e.startswith("ksid=") for e in os.listdir(lake_dir)
+        )
+        mark_rollup_coverage(rollup_dir, complete=not lake_has_data)
 
     def _staged_files(root: str) -> list[str]:
         out = []

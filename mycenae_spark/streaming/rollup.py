@@ -123,6 +123,84 @@ def write_rollup_batch(
     )
 
 
+#: Marker file recording whether the rollup lake covers the ENTIRE point
+#: lake.  Routing a downsample onto partials is only exact if every lake
+#: point is represented; points ingested before rollup was enabled are not.
+_COVERAGE_MARKER = "_coverage_complete"
+
+
+def mark_rollup_coverage(rollup_dir: str, complete: bool) -> None:
+    """Record rollup coverage state (atomic write-then-rename)."""
+    import json
+    import os
+
+    os.makedirs(rollup_dir, exist_ok=True)
+    path = os.path.join(rollup_dir, _COVERAGE_MARKER)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"complete": bool(complete)}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, path)
+
+
+def rollup_coverage_complete(rollup_dir: str) -> bool:
+    """True iff the rollup lake is marked as covering the whole point lake.
+
+    A MISSING marker reads as incomplete: rollup dirs created before the
+    marker existed (or by out-of-band writers) cannot prove coverage, and
+    the fallback — serving from raw points — is always correct, just
+    slower.  ``backfill_rollup`` repairs an incomplete rollup.
+    """
+    import json
+    import os
+
+    path = os.path.join(rollup_dir, _COVERAGE_MARKER)
+    try:
+        with open(path) as f:
+            return bool(json.load(f).get("complete"))
+    except (OSError, ValueError):
+        return False
+
+
+def backfill_rollup(
+    spark,
+    lake_dir: str,
+    rollup_dir: str,
+    interval_ms: int = 60_000,
+    series_cols: list[str] | None = None,
+) -> None:
+    """Rebuild the rollup lake from the ENTIRE point lake and mark coverage
+    complete — required when enabling ``rollup_dir`` on a lake that already
+    holds points (their buckets would otherwise be silently missing from
+    routed queries).
+
+    One distributed pass: scan lake → partials → overwrite rollup (the
+    overwrite replaces any partial-coverage rollup exactly, since the
+    result is recomputed from every point).  Run with ingest paused — a
+    concurrent batch appending to both lakes during the overwrite could be
+    double-counted.  Cost ∝ lake size, once; the same job serves as
+    disaster recovery for a lost rollup lake.
+    """
+    import os
+    import shutil
+    import uuid
+
+    valid = spark.read.parquet(lake_dir)
+    partials = rollup_batch(valid, interval_ms, series_cols)
+    base = os.path.dirname(rollup_dir.rstrip("/")) or "."
+    tmp = os.path.join(base, f"_rollup_backfill_{uuid.uuid4().hex[:8]}")
+    partials.write.mode("overwrite").partitionBy("ksid", "date").parquet(tmp)
+    if os.path.isdir(rollup_dir):
+        old = os.path.join(base, f"_rollup_old_{uuid.uuid4().hex[:8]}")
+        os.rename(rollup_dir, old)
+        os.rename(tmp, rollup_dir)
+        shutil.rmtree(old)
+    else:
+        os.rename(tmp, rollup_dir)
+    mark_rollup_coverage(rollup_dir, True)
+
+
 def read_rollup(
     spark,
     rollup_dir: str,

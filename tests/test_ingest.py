@@ -528,3 +528,71 @@ def test_replay_after_config_change_uses_manifest_roots(spark, tmp_path):
     write_points_batch(valid, lake, catalog, batch_id=0, rollup_dir=None)
     assert spark.read.parquet(rollup).count() == n_roll
     assert not os.path.exists(os.path.join(lake, "_staging", "0"))
+
+
+def test_rollup_coverage_guard_and_backfill(spark, tmp_path):
+    """Enabling rollup_dir on a lake that already holds points must NOT
+    route queries onto the (incomplete) partials; backfill_rollup rebuilds
+    them from the whole lake and flips the marker."""
+    from mycenae_spark.streaming.ingest import write_points_batch
+    from mycenae_spark.streaming.rollup import (
+        backfill_rollup,
+        read_rollup,
+        rollup_coverage_complete,
+    )
+
+    BASE = 1704067200000
+    mk = lambda i, v: {"metric": "cov.m", "tags": {"ksid": "ks1", "h": "a"},
+                       "timestamp": BASE + i * 1000, "value": v}
+    lake, catalog, roll = (str(tmp_path / d) for d in ("lake", "catalog", "roll"))
+
+    def valid_of(pts):
+        raw = spark.createDataFrame([(json.dumps(p),) for p in pts], ["value"])
+        v, _ = prepare_points(decode_json_lines(raw))
+        return v
+
+    # batch 0 lands BEFORE rollup is enabled
+    write_points_batch(valid_of([mk(i, 1.0) for i in range(30)]), lake, catalog,
+                       batch_id=0)
+    # batch 1 enables rollup on the now-non-empty lake → incomplete
+    write_points_batch(valid_of([mk(30 + i, 3.0) for i in range(30)]), lake,
+                       catalog, batch_id=1, rollup_dir=roll)
+    assert not rollup_coverage_complete(roll)
+    # the partial rollup is missing batch 0's half of the minute bucket
+    got = {r["bucket_ms"]: r["value"]
+           for r in read_rollup(spark, roll, agg="avg").collect()}
+    assert got[BASE] == pytest.approx(3.0)  # wrong if served to a query!
+
+    backfill_rollup(spark, lake, roll, 60_000)
+    assert rollup_coverage_complete(roll)
+    got = {r["bucket_ms"]: r["value"]
+           for r in read_rollup(spark, roll, agg="avg").collect()}
+    assert got[BASE] == pytest.approx(2.0)  # (30×1 + 30×3)/60 — exact again
+
+    # a FRESH lake whose first batch already carries rollup is complete
+    lake2, cat2, roll2 = (str(tmp_path / d) for d in ("lake2", "cat2", "roll2"))
+    write_points_batch(valid_of([mk(0, 1.0)]), lake2, cat2, batch_id=0,
+                       rollup_dir=roll2)
+    assert rollup_coverage_complete(roll2)
+
+
+def test_http_put_is_staged_with_rollup(spark, tmp_path):
+    """Engine.put commits points + rollup partials under one manifest (a
+    crash between the two writes can no longer lose only the partials)."""
+    import os
+
+    from mycenae_spark.server import Engine
+
+    lake, catalog, roll = (str(tmp_path / d) for d in ("lake", "catalog", "roll"))
+    eng = Engine(spark, lake, catalog, rollup_dir=roll)
+    eng.put([{"metric": "m.p", "tags": {"ksid": "k1"},
+              "timestamp": 1704067200000, "value": 1.0}])
+    commits = os.listdir(os.path.join(lake, "_commits"))
+    assert len(commits) == 1 and commits[0].startswith("put-")
+    manifest = json.load(open(os.path.join(lake, "_commits", commits[0])))
+    assert manifest["points"] and manifest["rollup"]
+    assert manifest["roots"] == {"points": lake, "rollup": roll}
+    # staging fully drained; both lakes populated
+    assert not os.path.exists(os.path.join(lake, "_staging", commits[0]))
+    assert spark.read.parquet(lake).count() == 1
+    assert spark.read.parquet(roll).count() == 1
