@@ -117,3 +117,12 @@ def gc_staging(lake_dir: str, max_age_s: float = 24 * 3600) -> list[str]:
         shutil.rmtree(path, ignore_errors=True)
         removed.append(batch)
     return sorted(removed)
+
+
+def gc_commitlog(lake_dir: str, keep_last: int = 10_000) -> int:
+    """Bound the commit log (streaming/commitlog.py): keep the newest
+    ``keep_last`` entries — enough for conflict detection and recent-batch
+    crash replay, while the log never grows past ~entries × ~100 bytes."""
+    from mycenae_spark.streaming import commitlog
+
+    return commitlog.truncate(lake_dir, keep_last)

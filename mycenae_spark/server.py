@@ -220,30 +220,50 @@ class Engine:
         atomically swaps directories (the maintenance._compact pattern):
         overwriting the path being read would lose the whole catalog if an
         executor died between truncate and write-complete — localCheckpoint
-        blocks are not recoverable on a real cluster.
+        blocks are not recoverable on a real cluster.  The swap is guarded
+        by a commit-log CAS (streaming/commitlog.py): if a put commits
+        while survivors are being written, the append with expected_head
+        conflicts and the whole read-rewrite retries against the fresh
+        catalog — serializing catalog rewrites against the put path.
         """
         import os
         import shutil
         import uuid
 
-        cat = self.spark.read.parquet(self.catalog_dir)
-        victim = F.lit(True)
-        if metric is not None:
-            victim = victim & (F.col("metric") == metric)
-        for k, v in tag_eq.items():
-            victim = victim & (F.col("tags").getItem(k) == v)
-        n_before = cat.count()
-        survivors = cat.filter(~F.coalesce(victim, F.lit(False)))
-        n_after = survivors.count()
-        base = os.path.dirname(self.catalog_dir.rstrip("/")) or "."
-        tmp = os.path.join(base, f"_catalog_tmp_{uuid.uuid4().hex[:8]}")
-        survivors.write.mode("overwrite").parquet(tmp)
-        old = os.path.join(base, f"_catalog_old_{uuid.uuid4().hex[:8]}")
-        os.rename(self.catalog_dir, old)
-        os.rename(tmp, self.catalog_dir)
-        shutil.rmtree(old)
-        self._tag_keys_cache = None
-        return {"deleted": n_before - n_after, "remaining": n_after}
+        from mycenae_spark.streaming import commitlog
+
+        for _attempt in range(5):
+            head = commitlog.latest_seq(self.lake_dir)
+            cat = self.spark.read.parquet(self.catalog_dir)
+            victim = F.lit(True)
+            if metric is not None:
+                victim = victim & (F.col("metric") == metric)
+            for k, v in tag_eq.items():
+                victim = victim & (F.col("tags").getItem(k) == v)
+            n_before = cat.count()
+            survivors = cat.filter(~F.coalesce(victim, F.lit(False)))
+            n_after = survivors.count()
+            base = os.path.dirname(self.catalog_dir.rstrip("/")) or "."
+            tmp = os.path.join(base, f"_catalog_tmp_{uuid.uuid4().hex[:8]}")
+            survivors.write.mode("overwrite").parquet(tmp)
+            try:
+                commitlog.append(
+                    self.lake_dir,
+                    {"kind": "catalog-rewrite", "deleted": n_before - n_after},
+                    expected_head=head,
+                )
+            except commitlog.CommitConflict:
+                shutil.rmtree(tmp, ignore_errors=True)
+                continue  # a put landed mid-rewrite — redo from fresh state
+            old = os.path.join(base, f"_catalog_old_{uuid.uuid4().hex[:8]}")
+            os.rename(self.catalog_dir, old)
+            os.rename(tmp, self.catalog_dir)
+            shutil.rmtree(old)
+            self._tag_keys_cache = None
+            return {"deleted": n_before - n_after, "remaining": n_after}
+        raise RuntimeError(
+            "catalog rewrite lost the commit-log race 5 times in a row"
+        )
 
 
 class _Handler(BaseHTTPRequestHandler):

@@ -217,7 +217,11 @@ def write_points_batch(
         # root.  Manifests written before roots existed fall back to the
         # current config.
         roots = manifest.get("roots", {})
-        for section, cfg_root in (("points", lake_dir), ("rollup", rollup_dir)):
+        for section, cfg_root in (
+            ("points", lake_dir),
+            ("rollup", rollup_dir),
+            ("catalog", catalog_dir),
+        ):
             dest_root = roots.get(section, cfg_root)
             if manifest.get(section) and dest_root is None:
                 raise RuntimeError(
@@ -241,13 +245,68 @@ def write_points_batch(
                     )
         shutil.rmtree(staging, ignore_errors=True)
 
+    def _ensure_logged(manifest: dict) -> None:
+        """Idempotently record this commit in the lake's monotonic commit
+        log (multi-writer ordering + CAS conflict detection for
+        read-modify-write maintenance).  The marker rename is the commit
+        point; the log entry follows and the marker is rewritten with its
+        seq.  Crash windows are closed by ``find_batch``: a replay that
+        finds a marker without a seq scans the log for this batch id before
+        appending, so no batch ever logs twice."""
+        if manifest.get("seq") is not None:
+            return
+        from mycenae_spark.streaming import commitlog
+
+        seq = commitlog.find_batch(lake_dir, str(batch_id))
+        if seq is None:
+            seq = commitlog.append(
+                lake_dir,
+                {
+                    "kind": "points-append",
+                    "batch_id": str(batch_id),
+                    "n_files": len(manifest.get("points", ()))
+                    + len(manifest.get("rollup", ())),
+                },
+            )
+        manifest["seq"] = seq
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, marker)
+
+    def _new_series() -> DataFrame:
+        ns = valid.select("ksid", "tsid", "metric", "tags").dropDuplicates(
+            ["tsid"]
+        )
+        # Only a genuinely missing catalog (first batch) may be skipped; any
+        # other read failure (corrupt file, transient IO) must propagate —
+        # swallowing it would append the batch's series as catalog duplicates.
+        from pyspark.errors import AnalysisException
+
+        try:
+            existing = valid.sparkSession.read.parquet(catalog_dir).select("tsid")
+        except AnalysisException as exc:
+            if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
+                raise
+        else:
+            ns = ns.join(existing, "tsid", "left_anti")
+        return ns
+
     valid.persist()
     try:
         if marker is not None and os.path.exists(marker):
             # Replay of a committed batch: data write already happened;
             # finish any moves the crash interrupted.
             with open(marker) as f:
-                _apply_moves(_json.load(f))
+                manifest = _json.load(f)
+            _ensure_logged(manifest)
+            _apply_moves(manifest)
+            if "catalog" not in manifest:
+                # manifest predates staged catalog appends — replay the
+                # direct append (idempotent: anti-join vs stored catalog)
+                _new_series().write.mode("append").parquet(catalog_dir)
         else:
             points_out = lake_dir if staging is None else os.path.join(staging, "points")
             if staging is not None:
@@ -266,10 +325,21 @@ def write_points_batch(
                     rollup_dir if staging is None else os.path.join(staging, "rollup")
                 )
                 write_rollup_batch(valid, rollup_out, rollup_interval_ms)
-            if marker is not None:
+            if marker is None:
+                _new_series().write.mode("append").parquet(catalog_dir)
+            else:
+                # Catalog entries stage under the SAME manifest as points:
+                # direct concurrent appends to one directory collide in
+                # Hadoop's shared _temporary committer dir, and a crash
+                # between the point append and the catalog append could
+                # separate points from their series metadata.  Staged part
+                # files carry job-unique names, so the final moves from many
+                # writers never clash.
+                _new_series().write.parquet(os.path.join(staging, "catalog"))
                 manifest = {
-                    "roots": {"points": lake_dir},
+                    "roots": {"points": lake_dir, "catalog": catalog_dir},
                     "points": _staged_files(os.path.join(staging, "points")),
+                    "catalog": _staged_files(os.path.join(staging, "catalog")),
                 }
                 if rollup_dir is not None:
                     manifest["roots"]["rollup"] = rollup_dir
@@ -280,23 +350,8 @@ def write_points_batch(
                     f.flush()
                     os.fsync(f.fileno())
                 os.rename(tmp, marker)  # the commit point
+                _ensure_logged(manifest)
                 _apply_moves(manifest)
-        new_series = valid.select("ksid", "tsid", "metric", "tags").dropDuplicates(
-            ["tsid"]
-        )
-        # Only a genuinely missing catalog (first batch) may be skipped; any
-        # other read failure (corrupt file, transient IO) must propagate —
-        # swallowing it would append the batch's series as catalog duplicates.
-        from pyspark.errors import AnalysisException
-
-        try:
-            existing = valid.sparkSession.read.parquet(catalog_dir).select("tsid")
-        except AnalysisException as exc:
-            if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
-                raise
-        else:
-            new_series = new_series.join(existing, "tsid", "left_anti")
-        new_series.write.mode("append").parquet(catalog_dir)
     finally:
         valid.unpersist()
 

@@ -591,8 +591,137 @@ def test_http_put_is_staged_with_rollup(spark, tmp_path):
     assert len(commits) == 1 and commits[0].startswith("put-")
     manifest = json.load(open(os.path.join(lake, "_commits", commits[0])))
     assert manifest["points"] and manifest["rollup"]
-    assert manifest["roots"] == {"points": lake, "rollup": roll}
+    assert manifest["roots"] == {
+        "points": lake, "rollup": roll, "catalog": catalog,
+    }
+    assert manifest["catalog"]  # series metadata staged under the manifest too
     # staging fully drained; both lakes populated
     assert not os.path.exists(os.path.join(lake, "_staging", commits[0]))
     assert spark.read.parquet(lake).count() == 1
     assert spark.read.parquet(roll).count() == 1
+
+
+def test_commitlog_two_writer_sequencing(spark, tmp_path):
+    """Concurrent writers each claim a distinct monotonic commit-log slot
+    (the os.link claim is the atomic point); both batches land fully."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from mycenae_spark.streaming import commitlog
+    from mycenae_spark.streaming.ingest import write_points_batch
+
+    lake, catalog = str(tmp_path / "lake"), str(tmp_path / "catalog")
+    raw = spark.createDataFrame([(json.dumps(p),) for p in POINTS], ["value"])
+    valid, _ = prepare_points(decode_json_lines(raw))
+    n = valid.count()
+
+    def write(bid):
+        write_points_batch(valid, lake, catalog, batch_id=bid)
+
+    with ThreadPoolExecutor(2) as ex:
+        list(ex.map(write, ["w1-0", "w2-0"]))
+
+    got = commitlog.entries(lake)
+    assert [s for s, _ in got] == [1, 2]
+    assert {p["batch_id"] for _, p in got} == {"w1-0", "w2-0"}
+    assert spark.read.parquet(lake).count() == 2 * n
+
+    # raw slot contention: many appenders, no duplicate/skipped seqs
+    with ThreadPoolExecutor(8) as ex:
+        seqs = list(ex.map(
+            lambda i: commitlog.append(lake, {"kind": "noop", "i": i}),
+            range(20),
+        ))
+    assert sorted(seqs) == list(range(3, 23))
+
+    # CAS: stale head conflicts; fresh head succeeds
+    head = commitlog.latest_seq(lake)
+    with pytest.raises(commitlog.CommitConflict):
+        commitlog.append(lake, {"kind": "rewrite"}, expected_head=head - 1)
+    assert commitlog.append(lake, {"kind": "rewrite"}, expected_head=head) == head + 1
+
+
+def test_commitlog_crash_replay_logs_once(spark, tmp_path):
+    """Replay of a committed batch whose crash interrupted (a) the log
+    append or (b) the marker rewrite must finish the moves and leave
+    EXACTLY one log entry for the batch."""
+    import os
+
+    from mycenae_spark.streaming import commitlog
+    from mycenae_spark.streaming.ingest import write_points_batch
+
+    lake, catalog = str(tmp_path / "lake"), str(tmp_path / "catalog")
+    raw = spark.createDataFrame([(json.dumps(p),) for p in POINTS], ["value"])
+    valid, _ = prepare_points(decode_json_lines(raw))
+    write_points_batch(valid, lake, catalog, batch_id=7)
+    n = spark.read.parquet(lake).count()
+    marker = os.path.join(lake, "_commits", "7")
+
+    # crash state (b): log entry exists but the marker rewrite (seq field)
+    # never happened — replay must find the entry, not append a second one
+    man = json.load(open(marker))
+    assert man["seq"] == 1
+    del man["seq"]
+    json.dump(man, open(marker, "w"))
+    write_points_batch(valid, lake, catalog, batch_id=7)
+    assert [p["batch_id"] for _, p in commitlog.entries(lake)] == ["7"]
+    assert json.load(open(marker))["seq"] == 1
+    assert spark.read.parquet(lake).count() == n
+
+    # crash state (a): marker committed, log append never happened at all
+    json.dump(man, open(marker, "w"))  # man is already seq-less
+    for s, _ in commitlog.entries(lake):
+        os.unlink(os.path.join(lake, "_commitlog", f"{s:020d}.json"))
+    write_points_batch(valid, lake, catalog, batch_id=7)
+    got = commitlog.entries(lake)
+    assert len(got) == 1 and got[0][1]["batch_id"] == "7"
+    assert spark.read.parquet(lake).count() == n
+
+
+def test_delete_meta_retries_on_concurrent_put(spark, tmp_path):
+    """A put committing between delete_meta's catalog read and its swap
+    forces a CAS conflict; the rewrite retries and the put's series
+    survives in the final catalog."""
+    from mycenae_spark.server import Engine
+    from mycenae_spark.streaming import commitlog
+
+    lake, catalog = str(tmp_path / "lake"), str(tmp_path / "catalog")
+    eng = Engine(spark, lake, catalog)
+    eng.put([
+        {"metric": "del.me", "tags": {"ksid": "k1"},
+         "timestamp": 1704067200000, "value": 1.0},
+        {"metric": "keep.me", "tags": {"ksid": "k1"},
+         "timestamp": 1704067200000, "value": 2.0},
+    ])
+
+    real_append = commitlog.append
+    raced = {"done": False}
+
+    def racing_append(lake_dir, payload, expected_head=None):
+        # first CAS attempt collides with a "concurrent" put landing now
+        if payload.get("kind") == "catalog-rewrite" and not raced["done"]:
+            raced["done"] = True
+            eng.put([{"metric": "late.series", "tags": {"ksid": "k1"},
+                      "timestamp": 1704067200000, "value": 3.0}])
+        return real_append(lake_dir, payload, expected_head=expected_head)
+
+    import unittest.mock as mock
+
+    with mock.patch.object(commitlog, "append", racing_append):
+        out = eng.delete_meta("del.me", {})
+    assert out["deleted"] == 1
+    metrics = {r["metric"] for r in spark.read.parquet(catalog).collect()}
+    assert metrics == {"keep.me", "late.series"}
+
+
+def test_gc_commitlog_bounds_log(spark, tmp_path):
+    from mycenae_spark.maintenance import gc_commitlog
+    from mycenae_spark.streaming import commitlog
+
+    lake = str(tmp_path / "lake")
+    for i in range(30):
+        commitlog.append(lake, {"kind": "noop", "i": i})
+    assert gc_commitlog(lake, keep_last=10) == 20
+    got = commitlog.entries(lake)
+    assert [s for s, _ in got] == list(range(21, 31))
+    # appends continue from the surviving head
+    assert commitlog.append(lake, {"kind": "noop"}) == 31
