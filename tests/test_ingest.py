@@ -725,3 +725,83 @@ def test_gc_commitlog_bounds_log(spark, tmp_path):
     assert [s for s, _ in got] == list(range(21, 31))
     # appends continue from the surviving head
     assert commitlog.append(lake, {"kind": "noop"}) == 31
+
+
+def test_rollup_percentile_error_bound_on_real_data(spark):
+    """VERDICT r2 item 8: the mergeable-histogram p95 must land within ONE
+    bin width of the exact per-bucket percentile on real testdata, with the
+    partials split across micro-batches (the merge path, not one batch)."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from mycenae_spark.sources.tables import events_as_points
+    from mycenae_spark.streaming.rollup import rollup_batch
+    from tests.conftest import SF_DIR
+
+    pts = (
+        events_as_points(spark, SF_DIR)
+        .select(
+            F.lit("ks1").alias("ksid"),
+            F.col("metric").alias("tsid"),
+            "metric",
+            F.timestamp_micros(F.col("ts_us")).alias("ts"),
+            "value",
+            F.to_date(F.timestamp_micros(F.col("ts_us"))).alias("date"),
+        )
+        .filter(F.col("value").isNotNull())
+    )
+    lo, hi, bins = 0.0, 1024.0, 64
+    width = (hi - lo) / bins
+    interval = 3_600_000  # 1h buckets
+
+    # two half-batches → partials merge across batches
+    import tempfile
+
+    roll = tempfile.mkdtemp(prefix="rollup_p95_")
+    for half in (pts.filter(F.col("value") < 300),
+                 pts.filter(F.col("value") >= 300)):
+        rollup_batch(half, interval, hist_bins=bins, hist_lo=lo,
+                     hist_hi=hi).write.mode("append").parquet(roll)
+
+    from mycenae_spark.streaming.rollup import read_rollup_percentile
+
+    approx = {
+        (r["tsid"], r["bucket_ms"]): r["value"]
+        for r in read_rollup_percentile(
+            spark, roll, 0.95, hist_bins=bins, hist_lo=lo, hist_hi=hi
+        ).collect()
+    }
+    from mycenae_spark.operators.downsample import bucket_ms_long
+
+    # The provable bound is against the inverted-CDF percentile (the order
+    # statistic of rank ceil(q*n)) — that is the rank the histogram's
+    # cumulative counts track, so the estimate lands in that value's bin:
+    # error <= one bin width.  Interpolated percentile semantics (numpy
+    # type-7 / Spark `percentile`) additionally blend toward the NEXT order
+    # statistic, whose distance is data-dependent (unbounded for sparse
+    # tails) — asserted separately as the measured, not guaranteed, gap.
+    exact_rows = (
+        pts.withColumn("bucket_ms", bucket_ms_long(F.unix_micros("ts"), interval))
+        .groupBy("tsid", "bucket_ms")
+        .agg(
+            F.expr(
+                "element_at(sort_array(collect_list(value)),"
+                " cast(ceil(0.95 * count(value)) AS INT))"
+            ).alias("p95_ic"),
+            F.expr("percentile(value, 0.95)").alias("p95_interp"),
+        )
+        .collect()
+    )
+    assert len(exact_rows) > 10
+    errs_ic, errs_interp = [], []
+    for r in exact_rows:
+        # the bound only holds for values inside the configured grid
+        if not (lo <= r["p95_ic"] < hi):
+            continue
+        got = approx[(r["tsid"], r["bucket_ms"])]
+        errs_ic.append(abs(got - r["p95_ic"]))
+        errs_interp.append(abs(got - r["p95_interp"]))
+    assert errs_ic and max(errs_ic) <= width, (max(errs_ic), width)
+    # interpolated gap: bounded by bin width + adjacent-rank spacing; on
+    # this data that stays within two bin widths (measured, documented)
+    assert max(errs_interp) <= 2 * width, (max(errs_interp), width)
