@@ -15,7 +15,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Window
 
-from mycenae_spark.registry.util import r4, r6, t
+from mycenae_spark.registry.util import expand_rounding_macros, r4, r6, t
 
 QUERIES = {}
 ORACLE = {}
@@ -32,7 +32,7 @@ def q(name: str, sql: str | None = None):
     def deco(fn):
         QUERIES[name] = fn
         if sql is not None:
-            ORACLE[name] = sql
+            ORACLE[name] = expand_rounding_macros(sql)
         return fn
 
     return deco
@@ -152,7 +152,7 @@ common AS (
   FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
-SELECT doc_a, doc_b, (round(c / (sa.sz + sb.sz - c) + 1e-9, 6) + 0.0) AS jaccard_r
+SELECT doc_a, doc_b, round6(c / (sa.sz + sb.sz - c)) AS jaccard_r
 FROM common JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
 WHERE c / (sa.sz + sb.sz - c) >= 0.05
 """,
@@ -183,7 +183,7 @@ common AS (
   FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
-SELECT doc_a, doc_b, (round(c / (sa.sz + sb.sz - c) + 1e-9, 6) + 0.0) AS jaccard_r
+SELECT doc_a, doc_b, round6(c / (sa.sz + sb.sz - c)) AS jaccard_r
 FROM common JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
 WHERE c / (sa.sz + sb.sz - c) >= 0.05
 """,
@@ -249,10 +249,10 @@ from mycenae_spark.functions.similarity import with_norm as _with_norm  # noqa: 
 @q(
     "dedup_embedding_cosine",
     f"""
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, (round({_COS_SQL} + 1e-9, 6) + 0.0) AS cos_r
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round6({_COS_SQL}) AS cos_r
 FROM (SELECT * FROM embeddings WHERE vec_id < 300) a
 JOIN (SELECT * FROM embeddings WHERE vec_id < 300) b ON a.vec_id < b.vec_id
-WHERE (round({_COS_SQL} + 1e-9, 6) + 0.0) >= 0.8
+WHERE round6({_COS_SQL}) >= 0.8
 """,
 )
 def dedup_embedding_cosine(spark, sf_dir):
@@ -298,7 +298,7 @@ _PLANE_DOT_SQL = (
 WITH planes AS (SELECT * FROM (VALUES {_PLANES_VALUES_SQL}) AS v(t, b, arr)),
 keys AS (
   SELECT e.vec_id, p.t,
-         sum(CASE WHEN (round({_PLANE_DOT_SQL} + 1e-9, 6) + 0.0) >= 0
+         sum(CASE WHEN round6({_PLANE_DOT_SQL}) >= 0
                   THEN CAST(pow(2, p.b) AS BIGINT) ELSE 0 END) AS key
   FROM embeddings e CROSS JOIN planes p
   GROUP BY e.vec_id, p.t
@@ -313,7 +313,7 @@ keys AS (
 )
 SELECT vec_a, vec_b, cos_r FROM (
   SELECT cand.vec_a, cand.vec_b,
-         (round({_COS_SQL} + 1e-9, 6) + 0.0) AS cos_r
+         round6({_COS_SQL}) AS cos_r
   FROM cand JOIN embeddings a ON a.vec_id = cand.vec_a
             JOIN embeddings b ON b.vec_id = cand.vec_b
 ) WHERE cos_r >= 0.4
@@ -354,7 +354,7 @@ def dedup_embedding_lsh(spark, sf_dir):
     f"""
 WITH scored AS (
   SELECT a.vec_id AS q_id, b.vec_id AS n_id,
-         (round({_COS_SQL} + 1e-9, 6) + 0.0) AS cos_r
+         round6({_COS_SQL}) AS cos_r
   FROM (SELECT * FROM embeddings WHERE vec_id < 10) a
   JOIN embeddings b ON b.vec_id <> a.vec_id
 )
@@ -451,9 +451,9 @@ def text_langid(spark, sf_dir):
     f"""
 SELECT doc_id,
   len(toks) AS n_tokens,
-  (round(CAST(n_chars AS DOUBLE) / len(toks) + 1e-9, 6) + 0.0) AS chars_per_tok_r,
-  (round({_stop_sql('en')} / 5.0 + 1e-9, 6) + 0.0) AS stop_cov_r,
-  (round(least(1.0, len(toks) / 100.0) * 0.5 + ({_stop_sql('en')} / 5.0) * 0.5 + 1e-9, 6) + 0.0) AS quality_r
+  round6(CAST(n_chars AS DOUBLE) / len(toks)) AS chars_per_tok_r,
+  round6({_stop_sql('en')} / 5.0) AS stop_cov_r,
+  round6(least(1.0, len(toks) / 100.0) * 0.5 + ({_stop_sql('en')} / 5.0) * 0.5) AS quality_r
 FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents)
 """,
 )
@@ -522,12 +522,12 @@ def _cent_kmeans_sql(iters: int = 1) -> str:
   SELECT vec_id, c_id FROM (
     SELECT e.vec_id, c.c_id,
            row_number() OVER (PARTITION BY e.vec_id ORDER BY
-             (round({cos} + 1e-9, 6) + 0.0) DESC, c.c_id) AS rn
+             round6({cos}) DESC, c.c_id) AS rn
     FROM embeddings e CROSS JOIN cent{i - 1} c
   ) WHERE rn = 1
 )""")
         parts.append(f"""dims{i} AS (
-  SELECT a{i}.c_id, j, (round(avg(e.embedding[j]::DOUBLE) + 1e-9, 6) + 0.0) AS m
+  SELECT a{i}.c_id, j, round6(avg(e.embedding[j]::DOUBLE)) AS m
   FROM embeddings e JOIN a{i} USING (vec_id)
   CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS j) js
   GROUP BY a{i}.c_id, j
@@ -548,7 +548,7 @@ assign AS (
   SELECT vec_id, c_id FROM (
     SELECT a.vec_id, c.c_id,
            row_number() OVER (PARTITION BY a.vec_id ORDER BY
-             (round({_cos_sql_pair('a.embedding', 'c.c_emb')} + 1e-9, 6) + 0.0) DESC,
+             round6({_cos_sql_pair('a.embedding', 'c.c_emb')}) DESC,
              c.c_id) AS rn
     FROM embeddings a CROSS JOIN cent c
   ) WHERE rn = 1
@@ -556,7 +556,7 @@ assign AS (
   SELECT vec_id AS q_id, c_id FROM (
     SELECT a.vec_id, c.c_id,
            row_number() OVER (PARTITION BY a.vec_id ORDER BY
-             (round({_cos_sql_pair('a.embedding', 'c.c_emb')} + 1e-9, 6) + 0.0) DESC,
+             round6({_cos_sql_pair('a.embedding', 'c.c_emb')}) DESC,
              c.c_id) AS rn
     FROM (SELECT * FROM embeddings WHERE vec_id < 10) a CROSS JOIN cent c
   ) WHERE rn <= {nprobe}
@@ -565,7 +565,7 @@ assign AS (
   FROM probes JOIN assign v ON v.c_id = probes.c_id AND v.vec_id <> probes.q_id
 ), scored AS (
   SELECT cand.q_id, cand.n_id,
-         (round({_cos_sql_pair('a.embedding', 'b.embedding')} + 1e-9, 6) + 0.0) AS cos_r
+         round6({_cos_sql_pair('a.embedding', 'b.embedding')}) AS cos_r
   FROM cand JOIN embeddings a ON a.vec_id = cand.q_id
             JOIN embeddings b ON b.vec_id = cand.n_id
 )

@@ -14,7 +14,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Window
 
-from mycenae_spark.registry.util import r4, rN, t
+from mycenae_spark.registry.util import expand_rounding_macros, r4, rN, t
 
 QUERIES = {}
 ORACLE = {}
@@ -24,7 +24,7 @@ def q(name: str, sql: str | None = None):
     def deco(fn):
         QUERIES[name] = fn
         if sql is not None:
-            ORACLE[name] = sql
+            ORACLE[name] = expand_rounding_macros(sql)
         return fn
 
     return deco
@@ -51,7 +51,7 @@ def join_inner(spark, sf_dir):
 @q(
     "join_broadcast",
     "SELECT p.p_brand, count(*) AS n_items, "
-    "(round(sum(l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 4) + 0.0) AS revenue_r "
+    "round4(sum(l.l_extendedprice * (1 - l.l_discount))) AS revenue_r "
     "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
     "GROUP BY p.p_brand",
 )
@@ -242,7 +242,7 @@ def set_except(spark, sf_dir):
 
 @q(
     "agg_rollup",
-    "SELECT l_returnflag, l_linestatus, (round(sum(l_quantity) + 1e-9, 4) + 0.0) AS sum_qty_r, "
+    "SELECT l_returnflag, l_linestatus, round4(sum(l_quantity)) AS sum_qty_r, "
     "count(*) AS n FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)",
 )
 def agg_rollup(spark, sf_dir):
@@ -312,10 +312,10 @@ def scalar_datetime(spark, sf_dir):
     "scalar_math",
     """
 SELECT l_orderkey, l_linenumber,
-  (round(l_extendedprice * (1 - l_discount) + 1e-9, 2) + 0.0) AS net_r,
-  (round(sqrt(l_quantity) + 1e-9, 6) + 0.0) AS sqrt_qty_r,
-  (round(ln(l_extendedprice) + 1e-9, 6) + 0.0) AS ln_price_r,
-  (round(pow(1 + l_tax, 2) + 1e-9, 6) + 0.0) AS tax2_r,
+  round2(l_extendedprice * (1 - l_discount)) AS net_r,
+  round6(sqrt(l_quantity)) AS sqrt_qty_r,
+  round6(ln(l_extendedprice)) AS ln_price_r,
+  round6(pow(1 + l_tax, 2)) AS tax2_r,
   greatest(l_discount, l_tax) AS gd,
   least(l_discount, l_tax) AS ld,
   abs(l_discount - l_tax) AS adiff
@@ -414,7 +414,7 @@ def scalar_conditional(spark, sf_dir):
     """
 SELECT r.r_name AS region, n.n_name AS nation,
        count(*) AS n_items,
-       (round(sum(l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 2) + 0.0) AS revenue_r
+       round2(sum(l.l_extendedprice * (1 - l.l_discount))) AS revenue_r
 FROM lineitem l
 JOIN orders o   ON l.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -455,7 +455,7 @@ def join_multiway(spark, sf_dir):
     "agg_cube",
     """
 SELECT l_returnflag, l_linestatus,
-       count(*) AS n, (round(avg(l_discount) + 1e-9, 6) + 0.0) AS avg_disc_r
+       count(*) AS n, round6(avg(l_discount)) AS avg_disc_r
 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 """,
 )

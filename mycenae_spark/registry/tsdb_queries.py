@@ -20,6 +20,7 @@ from mycenae_spark.registry.util import (
     MS_2024_01_12,
     SQL_POINTS,
     bucket_ms_sql,
+    expand_rounding_macros,
     points,
     r4,
     r6,
@@ -36,7 +37,7 @@ def q(name: str, sql: str | None = None):
     def deco(fn):
         QUERIES[name] = fn
         if sql is not None:
-            ORACLE[name] = sql
+            ORACLE[name] = expand_rounding_macros(sql)
         return fn
 
     return deco
@@ -178,13 +179,13 @@ def _merged_daily(spark, sf_dir, aggname, alias, rounder=r4):
     return out.select("metric", "bucket_ms", col.alias(alias))
 
 
-@q("agg_sum", _agg_oracle("(round(sum(value) + 1e-9, 4) + 0.0)", "sum_v_r"))
+@q("agg_sum", _agg_oracle("round4(sum(value))", "sum_v_r"))
 def agg_sum(spark, sf_dir):
     """A1: cross-series merge with sum, daily alignment buckets."""
     return _merged_daily(spark, sf_dir, "sum", "sum_v_r")
 
 
-@q("agg_avg", _agg_oracle("(round(avg(value) + 1e-9, 4) + 0.0)", "avg_v_r"))
+@q("agg_avg", _agg_oracle("round4(avg(value))", "avg_v_r"))
 def agg_avg(spark, sf_dir):
     return _merged_daily(spark, sf_dir, "avg", "avg_v_r")
 
@@ -207,7 +208,7 @@ def agg_count(spark, sf_dir):
 @q(
     "agg_grouped",
     f"SELECT metric, tag_user, {bucket_ms_sql(DAY_MS)} AS bucket_ms, "
-    f"(round(sum(value) + 1e-9, 4) + 0.0) AS sum_v_r FROM ({SQL_POINTS}) "
+    f"round4(sum(value)) AS sum_v_r FROM ({SQL_POINTS}) "
     "GROUP BY metric, tag_user, bucket_ms",
 )
 def agg_grouped(spark, sf_dir):
@@ -259,13 +260,13 @@ def _ds(spark, sf_dir, iv_ms, agg, alias, rounder=r4):
     return out.select("metric", "tag_user", "bucket_ms", col.alias(alias))
 
 
-@q("downsample_avg_1m", _ds_oracle(60_000, "(round(avg(value) + 1e-9, 4) + 0.0)", "avg_v_r"))
+@q("downsample_avg_1m", _ds_oracle(60_000, "round4(avg(value))", "avg_v_r"))
 def downsample_avg_1m(spark, sf_dir):
     """W1: per-series 1-minute tumbling avg (`1m-avg`)."""
     return _ds(spark, sf_dir, 60_000, "avg", "avg_v_r")
 
 
-@q("downsample_sum_1h", _ds_oracle(HOUR_MS, "(round(sum(value) + 1e-9, 4) + 0.0)", "sum_v_r"))
+@q("downsample_sum_1h", _ds_oracle(HOUR_MS, "round4(sum(value))", "sum_v_r"))
 def downsample_sum_1h(spark, sf_dir):
     return _ds(spark, sf_dir, HOUR_MS, "sum", "sum_v_r")
 
@@ -287,7 +288,7 @@ def downsample_count(spark, sf_dir):
 
 @q(
     "downsample_p95",
-    _ds_oracle(HOUR_MS, "(round(quantile_cont(value, 0.95) + 1e-9, 4) + 0.0)", "p95_r"),
+    _ds_oracle(HOUR_MS, "round4(quantile_cont(value, 0.95))", "p95_r"),
 )
 def downsample_p95(spark, sf_dir):
     """W1 pNN family: per-series 1-hour `1h-p95` downsample (OpenTSDB
@@ -302,7 +303,7 @@ def _fill_oracle(fill_expr: str) -> str:
     return f"""
 WITH ds AS (
   SELECT metric, tag_user, {bucket_ms_sql(HOUR_MS)} AS bucket_ms,
-         (round(avg(value) + 1e-9, 4) + 0.0) AS avg_v_r
+         round4(avg(value)) AS avg_v_r
   FROM ({SQL_POINTS}) GROUP BY metric, tag_user, bucket_ms
 ), ext AS (
   SELECT metric, tag_user, min(bucket_ms) AS lo, max(bucket_ms) AS hi
@@ -345,7 +346,7 @@ def fill_zero(spark, sf_dir):
     f"""
 WITH ds AS (
   SELECT metric, tag_user, {bucket_ms_sql(HOUR_MS)} AS bucket_ms,
-         (round(avg(value) + 1e-9, 4) + 0.0) AS avg_v_r
+         round4(avg(value)) AS avg_v_r
   FROM ({SQL_POINTS}) GROUP BY metric, tag_user, bucket_ms
 ), ext AS (
   SELECT metric, tag_user, min(bucket_ms) AS lo, max(bucket_ms) AS hi
@@ -437,7 +438,7 @@ WITH l AS (
     "rate",
     _RATE_BASE
     + "SELECT metric, tag_user, ts_us, "
-    "(round((value - pv) / ((ts_us - pt) / 1000000.0) + 1e-9, 6) + 0.0) AS rate_r "
+    "round6((value - pv) / ((ts_us - pt) / 1000000.0)) AS rate_r "
     "FROM l WHERE pt IS NOT NULL",
 )
 def rate_q(spark, sf_dir):
@@ -459,8 +460,8 @@ SELECT metric, tag_user, ts_us,
   CASE WHEN raw > 100.0 THEN 0.0 ELSE raw END AS rate_r
 FROM (
   SELECT metric, tag_user, ts_us,
-    (round((CASE WHEN value - pv < 0 THEN value - pv + 1000.0 ELSE value - pv END)
-          / ((ts_us - pt) / 1000000.0) + 1e-9, 6) + 0.0) AS raw
+    round6((CASE WHEN value - pv < 0 THEN value - pv + 1000.0 ELSE value - pv END)
+          / ((ts_us - pt) / 1000000.0)) AS raw
   FROM l WHERE pt IS NOT NULL
 )
 """,
@@ -492,7 +493,7 @@ WITH m AS (
          lag(v) OVER w AS pv, lag(bucket_ms) OVER w AS pb
   FROM m WINDOW w AS (PARTITION BY metric ORDER BY bucket_ms)
 )
-SELECT metric, bucket_ms, (round((v - pv) / ((bucket_ms - pb) / 1000.0) + 1e-9, 6) + 0.0) AS rate_r
+SELECT metric, bucket_ms, round6((v - pv) / ((bucket_ms - pb) / 1000.0)) AS rate_r
 FROM l WHERE pb IS NOT NULL
 """,
 )
@@ -538,7 +539,7 @@ WITH s AS (
 SELECT metric, tag_user, sum_v_r, rk FROM (
   SELECT metric, tag_user, sum_v_r,
          row_number() OVER (ORDER BY sum_v_r DESC, metric, tag_user) AS rk
-  FROM (SELECT metric, tag_user, (round(sv + 1e-9, 4) + 0.0) AS sum_v_r FROM s)
+  FROM (SELECT metric, tag_user, round4(sv) AS sum_v_r FROM s)
 ) WHERE rk <= 5
 """,
 )
@@ -563,7 +564,7 @@ def topk_series_by_sum(spark, sf_dir):
     f"""
 WITH d AS (
   SELECT metric, tag_user, {bucket_ms_sql(DAY_MS)} AS day_ms,
-         (round(sum(value) + 1e-9, 4) + 0.0) AS sum_v_r
+         round4(sum(value)) AS sum_v_r
   FROM ({SQL_POINTS}) WHERE metric = 'click'
   GROUP BY metric, tag_user, day_ms
 )
@@ -662,7 +663,7 @@ def join_semi(spark, sf_dir):
 @q(
     "stream_tumbling",
     f"SELECT metric, {bucket_ms_sql(600_000)} AS win_start_ms, count(*) AS n_events, "
-    f"(round(sum(value) + 1e-9, 4) + 0.0) AS sum_v_r FROM ({SQL_POINTS}) "
+    f"round4(sum(value)) AS sum_v_r FROM ({SQL_POINTS}) "
     "GROUP BY metric, win_start_ms",
 )
 def stream_tumbling(spark, sf_dir):
@@ -688,7 +689,7 @@ WITH p AS ({SQL_POINTS}), w AS (
   UNION ALL
   SELECT metric, {bucket_ms_sql(300_000)} - 300000 AS win_start_ms, value FROM p
 )
-SELECT metric, win_start_ms, count(*) AS n_events, (round(sum(value) + 1e-9, 4) + 0.0) AS sum_v_r
+SELECT metric, win_start_ms, count(*) AS n_events, round4(sum(value)) AS sum_v_r
 FROM w GROUP BY metric, win_start_ms
 """,
 )
@@ -721,7 +722,7 @@ WITH l AS (
   FROM l
 )
 SELECT tag_user, min(ts_us) AS session_start_us, count(*) AS n_events,
-       (round(sum(value) + 1e-9, 4) + 0.0) AS sum_v_r
+       round4(sum(value)) AS sum_v_r
 FROM s GROUP BY tag_user, sid
 """,
 )
@@ -777,7 +778,7 @@ def downsample_last(spark, sf_dir):
     )
 
 
-@q("agg_dev", _agg_oracle("(round(stddev_samp(value) + 1e-9, 4) + 0.0)", "dev_r"))
+@q("agg_dev", _agg_oracle("round4(stddev_samp(value))", "dev_r"))
 def agg_dev(spark, sf_dir):
     """OpenTSDB `dev` aggregator (sample stddev) per metric-day."""
     return _merged_daily(spark, sf_dir, "dev", "dev_r")
@@ -785,7 +786,7 @@ def agg_dev(spark, sf_dir):
 
 @q(
     "agg_percentile",
-    f"SELECT metric, (round(quantile_cont(value, 0.9) + 1e-9, 4) + 0.0) AS p90_r "
+    f"SELECT metric, round4(quantile_cont(value, 0.9)) AS p90_r "
     f"FROM ({SQL_POINTS}) GROUP BY metric",
 )
 def agg_percentile(spark, sf_dir):
@@ -806,8 +807,8 @@ _WIN_SQL = "PARTITION BY metric, tag_user ORDER BY ts_us, event_id"
 @q(
     "window_moving_avg",
     f"SELECT metric, tag_user, ts_us, "
-    f"(round(avg(value) OVER ({_WIN_SQL} ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) "
-    f"+ 1e-9, 4) + 0.0) AS mavg_r FROM ({SQL_POINTS})",
+    f"round4(avg(value) OVER ({_WIN_SQL} ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)"
+    f") AS mavg_r FROM ({SQL_POINTS})",
 )
 def window_moving_avg(spark, sf_dir):
     """5-point trailing moving average per series — the TSDB smoothing
@@ -826,7 +827,7 @@ def window_moving_avg(spark, sf_dir):
 @q(
     "window_cumsum",
     f"SELECT metric, tag_user, ts_us, "
-    f"(round(sum(value) OVER ({_WIN_SQL} ROWS UNBOUNDED PRECEDING) + 1e-9, 4) + 0.0) "
+    f"round4(sum(value) OVER ({_WIN_SQL} ROWS UNBOUNDED PRECEDING)) "
     f"AS csum_r FROM ({SQL_POINTS})",
 )
 def window_cumsum(spark, sf_dir):
@@ -884,7 +885,7 @@ def meta_page(spark, sf_dir):
     f"""
 SELECT 'click' AS metric, CAST(tag_user AS VARCHAR) AS tag_user,
        {bucket_ms_sql(HOUR_MS)} AS bucket_ms,
-       (round(avg(value) + 1e-9, 4) + 0.0) AS value_r
+       round4(avg(value)) AS value_r
 FROM ({SQL_POINTS})
 WHERE metric = 'click'
   AND ts_us >= 1704067200000000 AND ts_us < 1706745600000000
@@ -945,11 +946,11 @@ WITH ds AS (
            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
 )
 SELECT metric, tag_user, bucket_ms,
-  (round(CASE
+  round4(CASE
      WHEN v IS NOT NULL THEN v
      WHEN pv IS NOT NULL AND nv IS NOT NULL
        THEN pv + (nv - pv) * ((bucket_ms - pb) / CAST(nb - pb AS DOUBLE))
-     ELSE NULL END + 1e-9, 4) + 0.0) AS value_r
+     ELSE NULL END) AS value_r
 FROM wins
 """,
 )
@@ -971,7 +972,7 @@ def fill_linear_q(spark, sf_dir):
 SELECT metric, tag_user,
        CAST(CAST(json_extract(props, '$.k') AS INT) % 10 AS VARCHAR) AS tag_kmod,
        {bucket_ms_sql(DAY_MS)} AS bucket_ms,
-       (round(sum(value) + 1e-9, 4) + 0.0) AS sum_v_r
+       round4(sum(value)) AS sum_v_r
 FROM ({SQL_POINTS})
 GROUP BY metric, tag_user, tag_kmod, bucket_ms
 """,

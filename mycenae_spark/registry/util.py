@@ -52,6 +52,45 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def sql_round(expr: str, d: int) -> str:
+    """THE oracle-side float canonicalization, generated from one place
+    (VERDICT r2 item 7 — previously hand-copied into ~46 SQL strings):
+
+    ``(round((expr) + 1e-9, d) + 0.0)``
+
+    * ``+ 1e-9`` — the same EPS tie-break shift the Spark side applies in
+      :func:`rN`, so half-way ties round identically on both engines;
+    * ``+ 0.0`` — collapses DuckDB's ``-0.0`` (Spark never emits it).
+    """
+    return f"(round(({expr}) + 1e-9, {d}) + 0.0)"  # 1e-9 == EPS
+
+
+def expand_rounding_macros(sql: str) -> str:
+    """Expand ``round4(X)`` / ``round6(X)`` macros (balanced-paren aware)
+    into the canonical form via :func:`sql_round`.
+
+    Registry SQL is AUTHORED with the macros; every module's ``q()``
+    decorator runs this expansion, so the epsilon/negative-zero convention
+    exists in exactly one builder and cannot drift between queries.
+    """
+    import re
+
+    pat = re.compile(r"\bround([246])\(")
+    while True:
+        m = pat.search(sql)
+        if m is None:
+            return sql
+        depth, i = 1, m.end()
+        while depth:
+            if sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+            i += 1
+        inner = sql[m.end() : i - 1]
+        sql = sql[: m.start()] + sql_round(inner, int(m.group(1))) + sql[i:]
+
+
 #: DuckDB fragment: events viewed as points (metric/tag_user/ts_us/value),
 #: mirroring sources/tables.py::events_as_points.
 SQL_POINTS = (

@@ -32,3 +32,35 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(QUERIES) >= set(ORACLE)
+
+
+def test_rounding_convention_generated_not_copied():
+    """Every float canonicalization in every oracle comes from the ONE spec
+    builder (util.sql_round): no unexpanded macros, and every `round(` in
+    the final SQL is the canonical `(round((X) + 1e-9, d) + 0.0)` shape —
+    convention drift between hand-written strings is structurally
+    impossible."""
+    import re
+
+    from mycenae_spark.registry.util import expand_rounding_macros, sql_round
+
+    for name, sql in ORACLE.items():
+        assert not re.search(r"\bround[246]\(", sql), name
+        for m in re.finditer(r"\bround\(", sql):
+            assert sql[m.start() - 1] == "(" and sql[m.end()] == "(", (
+                name, sql[max(0, m.start() - 20) : m.end() + 20])
+            # find the close of the inner (X) group; the canonical tail
+            # " + 1e-9, d) + 0.0)" must follow immediately
+            depth, i = 1, m.end() + 1
+            while depth:
+                depth += {"(": 1, ")": -1}.get(sql[i], 0)
+                i += 1
+            assert re.match(r" \+ 1e-9, [246]\) \+ 0\.0\)", sql[i:]), (
+                name, sql[i : i + 25])
+
+    # the expander is exact on nesting
+    assert (
+        expand_rounding_macros("round4(a(b) + round6(c))")
+        == "(round((a(b) + (round((c) + 1e-9, 6) + 0.0)) + 1e-9, 4) + 0.0)"
+    )
+    assert sql_round("x", 4) == "(round((x) + 1e-9, 4) + 0.0)"
