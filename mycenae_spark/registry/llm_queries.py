@@ -131,6 +131,40 @@ def dedup_minhash_pairs(spark, sf_dir):
     )
 
 
+@q(
+    "dedup_minhash_pairs_auto",
+    f"""
+WITH sigs AS ({_SIGS_SQL}), bands AS ({_BANDS_SQL}),
+capped AS (
+  SELECT doc_id, band, sig FROM (
+    SELECT doc_id, band, sig, count(*) OVER (PARTITION BY band, sig) AS bsz
+    FROM bands
+  ) WHERE bsz <= (SELECT greatest(64, count(*) // 100) FROM documents)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM capped a JOIN capped b ON a.band = b.band AND a.sig = b.sig
+WHERE a.doc_id < b.doc_id
+""",
+)
+def dedup_minhash_pairs_auto(spark, sf_dir):
+    """dedup_minhash_pairs with the hot-bucket cap DERIVED from corpus size
+    (the same scale rule as embedding-LSH auto-bits): cap = max(64,
+    n_docs/100), so the in-bucket pair bound grows linearly with the
+    corpus — n/100 docs per bucket ⇒ ≤ n²/20000 pairs per bucket worst
+    case, and in practice the cap only trims the degenerate tail.  A fixed
+    cap either drops real near-dup mass at 100× data (too small) or lets
+    a boilerplate bucket go quadratic (too big); tying it to n keeps the
+    drop probability constant.  Both engines compute the cap from the same
+    count, so the judged semantics include the rule itself."""
+    from mycenae_spark.functions.dedup import lsh_candidate_pairs
+
+    d = t(spark, sf_dir, "documents")
+    cap = max(64, d.count() // 100)
+    return lsh_candidate_pairs(
+        _sigs_df(spark, sf_dir), "doc_id", n_bands=N_BANDS, max_bucket_size=cap
+    )
+
+
 # --------------------------------------------------------- n-gram Jaccard
 
 _BIGRAMS_SQL = """
@@ -486,6 +520,51 @@ def text_fingerprint(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents")
     return d.select("doc_id", fingerprint("text").alias("fp"))
+
+
+@q(
+    "text_shingle_stats",
+    """
+WITH g AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(generate_series(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i+1]))) AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  WHERE len(toks) >= 2
+), freq AS (SELECT gram, count(*) AS df FROM g GROUP BY gram),
+tot AS (SELECT count(*) AS n_docs FROM documents)
+SELECT gram, df, round6(df / n_docs) AS share_r
+FROM freq, tot ORDER BY df DESC, gram LIMIT 20
+""",
+)
+def text_shingle_stats(spark, sf_dir):
+    """Shingle document-frequency profile — the tuning input for the
+    n-gram-Jaccard df-cut and the LSH hot-bucket cap: the df distribution's
+    head is exactly the Σdf² quadratic mass the cut removes (SCALING.md §5).
+    Per-doc DISTINCT bigrams → df per gram → top-20 by df with corpus
+    share.  Pure expressions; the groupBy shuffles (gram, 1) pairs and
+    partial-aggregates map-side, so cost ∝ distinct grams, not corpus
+    bytes."""
+    from mycenae_spark.functions.text import shingles, tokens
+
+    d = t(spark, sf_dir, "documents")
+    grams = (
+        d.select("doc_id", tokens("text").alias("_toks"))
+        .filter(F.size("_toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(shingles(F.col("_toks"), 2))).alias("gram"),
+        )
+    )
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select("gram", "df", r6(F.col("df") / F.col("n_docs")).alias("share_r"))
+        .orderBy(F.desc("df"), "gram")
+        .limit(20)
+    )
 
 
 # ---------------------------------------------------- IVF similarity search

@@ -299,6 +299,42 @@ def downsample_p95(spark, sf_dir):
     return _ds(spark, sf_dir, HOUR_MS, "p95", "p95_r")
 
 
+@q(
+    "rollup_downsample_avg",
+    f"""
+WITH partials AS (
+  SELECT metric, tag_user, {bucket_ms_sql(60_000)} AS b1,
+         sum(value) AS p_sum, count(value) AS p_count
+  FROM ({SQL_POINTS}) GROUP BY metric, tag_user, b1
+)
+SELECT metric, (b1 - b1 % 300000) AS bucket_ms,
+       round4(sum(p_sum) / sum(p_count)) AS avg_v_r
+FROM partials GROUP BY metric, bucket_ms
+""",
+)
+def rollup_downsample_avg(spark, sf_dir):
+    """The rollup lake's read path as a judged query (streaming/rollup.py):
+    per-(series, 1m-bucket) MERGEABLE partials (sum, count) re-merge on a
+    coarser 5m grid to an EXACT cross-series average — avg = Σsum/Σcount,
+    regardless of how the partials were split (micro-batch boundaries,
+    late points).  Two hash aggregations; the second runs over partials
+    (∝ active series×buckets), never points — the algebraic-aggregate
+    property that lets 30-day dashboard queries skip the raw lake."""
+    p = points(spark, sf_dir).withColumn(
+        "b1", bucket_ms_long(F.col("ts_us"), 60_000)
+    )
+    partials = p.groupBy("metric", "tag_user", "b1").agg(
+        F.sum("value").alias("p_sum"), F.count("value").alias("p_count")
+    )
+    return (
+        partials.withColumn(
+            "bucket_ms", F.col("b1") - F.col("b1") % F.lit(300_000)
+        )
+        .groupBy("metric", "bucket_ms")
+        .agg(r4(F.sum("p_sum") / F.sum("p_count")).alias("avg_v_r"))
+    )
+
+
 def _fill_oracle(fill_expr: str) -> str:
     return f"""
 WITH ds AS (
