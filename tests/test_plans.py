@@ -73,3 +73,29 @@ def test_embedding_lsh_broadcasts_planes_once(spark):
     plan = _plan(spark, "dedup_embedding_lsh")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert plan.count("FileScan parquet") <= 3
+
+
+def test_rollup_downsample_two_hash_aggs_partials_only(spark):
+    """The mergeable-partials re-merge: two hash aggregations (partials,
+    then merge) — the second aggregation's input is the partial frame,
+    never a rescan of points (exactly one file scan in the plan)."""
+    plan = _plan(spark, "rollup_downsample_avg")
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("HashAggregate") >= 4  # 2 aggs × partial+final
+    assert "CartesianProduct" not in plan
+
+
+def test_shingle_stats_broadcasts_count_frame(spark):
+    """Corpus-count normalization joins as a broadcast of a 1-row frame —
+    no shuffle of the gram frequencies against the count."""
+    plan = _plan(spark, "text_shingle_stats")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ann_rerank_broadcasts_centroids_no_corpus_shuffle_join(spark):
+    """The wider-probe rerank keeps the IVF shape: centroid/query frames
+    broadcast; the corpus is never on the build side of a shuffle join."""
+    plan = _plan(spark, "ann_ivf_rerank_topk")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # tiny centroid cross-products
