@@ -245,19 +245,20 @@ def write_points_batch(
                     )
         shutil.rmtree(staging, ignore_errors=True)
 
-    def _ensure_logged(manifest: dict) -> None:
+    def _ensure_logged(manifest: dict, replay: bool = False) -> None:
         """Idempotently record this commit in the lake's monotonic commit
         log (multi-writer ordering + CAS conflict detection for
         read-modify-write maintenance).  The marker rename is the commit
         point; the log entry follows and the marker is rewritten with its
-        seq.  Crash windows are closed by ``find_batch``: a replay that
-        finds a marker without a seq scans the log for this batch id before
-        appending, so no batch ever logs twice."""
+        seq.  Crash windows are closed by ``find_batch`` — but ONLY on
+        replay: a fresh commit provably has no log entry yet (the append
+        follows its own marker rename), so the O(log-length) scan never
+        runs on the hot path, only during crash recovery."""
         if manifest.get("seq") is not None:
             return
         from mycenae_spark.streaming import commitlog
 
-        seq = commitlog.find_batch(lake_dir, str(batch_id))
+        seq = commitlog.find_batch(lake_dir, str(batch_id)) if replay else None
         if seq is None:
             seq = commitlog.append(
                 lake_dir,
@@ -301,7 +302,7 @@ def write_points_batch(
             # finish any moves the crash interrupted.
             with open(marker) as f:
                 manifest = _json.load(f)
-            _ensure_logged(manifest)
+            _ensure_logged(manifest, replay=True)
             _apply_moves(manifest)
             if "catalog" not in manifest:
                 # manifest predates staged catalog appends — replay the
