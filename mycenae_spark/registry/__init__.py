@@ -78,6 +78,8 @@ _NEW_ROUND3 = (
     "dedup_minhash_pairs_auto",
     "rollup_downsample_avg",
     "text_shingle_stats",
+    "window_ewma",
+    "dedup_ngram_containment",
 )
 
 _ALL_QUERIES = {

@@ -818,6 +818,63 @@ def ann_ivf_kmeans2_topk(spark, sf_dir):
     return _ivf_search(spark, sf_dir, cent)
 
 
+@q(
+    "dedup_ngram_containment",
+    f"""
+WITH g AS ({_BIGRAMS_SQL}),
+sizes AS (SELECT doc_id, len(grams) AS sz FROM g),
+inv AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, round6(c / sa.sz) AS containment_r
+FROM common JOIN sizes sa ON sa.doc_id = doc_a
+WHERE c / sa.sz >= 0.5
+""",
+)
+def dedup_ngram_containment(spark, sf_dir):
+    """ASYMMETRIC near-dup: containment C(A,B) = |A∩B| / |A| over distinct
+    bigram sets — the quote/subset detector Jaccard misses (a paragraph
+    fully contained in a larger document scores C≈1 but low Jaccard).
+    Ordered pairs (doc_a ⊂ doc_b ≠ doc_b ⊂ doc_a), same inverted-index
+    shape as dedup_ngram_jaccard: cost ∝ Σdf², bounded by the same df-cut
+    at corpus scale (SCALING.md §5)."""
+    from mycenae_spark.functions.text import shingles, tokens
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    g = (
+        d.select("doc_id", tokens("text").alias("_toks"))
+        .filter(F.size("_toks") >= 2)
+        .select(
+            "doc_id",
+            F.array_distinct(shingles(F.col("_toks"), 2)).alias("grams"),
+        )
+    )
+    sizes = g.select("doc_id", F.size("grams").alias("sz"))
+    inv = g.select("doc_id", F.explode("grams").alias("gram"))
+    common = (
+        inv.alias("a")
+        .join(
+            inv.alias("b"),
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .filter(F.col("c") / F.col("sz") >= 0.5)
+        .select(
+            "doc_a", "doc_b", r6(F.col("c") / F.col("sz")).alias("containment_r")
+        )
+    )
+
+
 # ------------------------------------------------------- multimodal columns
 
 @q("multimodal_media_stats")  # no oracle: Arrow/mapInPandas path → rows-only

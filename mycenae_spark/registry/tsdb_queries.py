@@ -881,6 +881,71 @@ def window_cumsum(spark, sf_dir):
 
 
 @q(
+    "window_ewma",
+    f"""
+WITH ds AS (
+  SELECT metric, tag_user, {bucket_ms_sql(DAY_MS)} AS bucket_ms,
+         round4(avg(value)) AS v
+  FROM ({SQL_POINTS}) GROUP BY metric, tag_user, bucket_ms
+), ordd AS (
+  SELECT metric, tag_user, bucket_ms, v,
+         row_number() OVER w AS rn,
+         first_value(v) OVER w AS v1,
+         v * pow(2.0, row_number() OVER w) AS u
+  FROM ds
+  WINDOW w AS (PARTITION BY metric, tag_user ORDER BY bucket_ms)
+), acc AS (
+  SELECT metric, tag_user, bucket_ms, rn, v1,
+         sum(u) OVER (PARTITION BY metric, tag_user ORDER BY bucket_ms
+                      ROWS UNBOUNDED PRECEDING) AS tsum
+  FROM ordd
+)
+SELECT metric, tag_user, bucket_ms,
+       round4(pow(2.0, 1 - rn) * v1
+              + 0.5 * pow(2.0, -rn) * (tsum - 2 * v1)) AS ewma_r
+FROM acc
+""",
+)
+def window_ewma(spark, sf_dir):
+    """EWMA (α = 0.5) over the per-series daily downsample — the BATCH twin
+    of the stateful streaming EWMA (streaming/stateful.py, U5), here in
+    closed form so a DuckDB oracle can hash-check it:
+
+        s_n = 2^(1-n)·v_1 + 0.5·2^(-n)·(T_n − 2·v_1),  T_n = Σ v_i·2^i
+
+    α = 0.5 is chosen deliberately: every coefficient is a power of two, so
+    v_i·2^i is an EXACT binary exponent shift, the running sum accumulates
+    in the same ORDER BY order on both engines, and the final scaling is
+    exact — the whole pipeline is bit-identical cross-engine, not merely
+    within rounding tolerance.  Daily buckets keep 2^n far from overflow.
+    One shuffle on the series key; window math is a single sorted pass."""
+    p = points(spark, sf_dir).withColumn(
+        "bucket_ms", bucket_ms_long(F.col("ts_us"), DAY_MS)
+    )
+    ds = p.groupBy("metric", "tag_user", "bucket_ms").agg(
+        r4(F.avg("value")).alias("v")
+    )
+    w = Window.partitionBy("metric", "tag_user").orderBy("bucket_ms")
+    wacc = w.rowsBetween(Window.unboundedPreceding, 0)
+    rn = F.row_number().over(w)
+    ordd = ds.select(
+        "metric", "tag_user", "bucket_ms", "v",
+        rn.alias("rn"),
+        F.first("v").over(w).alias("v1"),
+        (F.col("v") * F.pow(F.lit(2.0), rn)).alias("u"),
+    )
+    acc = ordd.withColumn("tsum", F.sum("u").over(wacc))
+    ewma = (
+        F.pow(F.lit(2.0), 1 - F.col("rn")) * F.col("v1")
+        + 0.5 * F.pow(F.lit(2.0), -F.col("rn"))
+        * (F.col("tsum") - 2 * F.col("v1"))
+    )
+    return acc.select(
+        "metric", "tag_user", "bucket_ms", r4(ewma).alias("ewma_r")
+    )
+
+
+@q(
     "meta_page",
     f"""
 SELECT metric, tag_user, pg FROM (
