@@ -754,7 +754,7 @@ def ann_ivf_kmeans_topk(spark, sf_dir):
         iters=1,
         score_rounder=r6,
         comp_rounder=r6,
-    )
+    ).localCheckpoint(eager=True)  # reused by assign+probes; ~2x else
     return _ivf_search(spark, sf_dir, cent)
 
 
@@ -783,7 +783,7 @@ def ann_ivf_rerank_topk(spark, sf_dir):
         iters=1,
         score_rounder=r6,
         comp_rounder=r6,
-    )
+    ).localCheckpoint(eager=True)
     return _ivf_search(spark, sf_dir, cent, nprobe=8)
 
 
@@ -814,7 +814,7 @@ def ann_ivf_kmeans2_topk(spark, sf_dir):
         iters=2,
         score_rounder=r6,
         comp_rounder=r6,
-    )
+    ).localCheckpoint(eager=True)
     return _ivf_search(spark, sf_dir, cent)
 
 
