@@ -119,6 +119,52 @@ def gc_staging(lake_dir: str, max_age_s: float = 24 * 3600) -> list[str]:
     return sorted(removed)
 
 
+def dedupe_catalog(
+    spark: SparkSession, lake_dir: str, catalog_dir: str, retries: int = 5
+) -> dict:
+    """Remove duplicate series rows from the catalog (one row per tsid).
+
+    Two writers ingesting the SAME new series concurrently both anti-join
+    against the pre-batch catalog and both append it — the anti-join is
+    idempotent against the STORED catalog, not against in-flight peers.
+    Duplicates are harmless to queries that treat the catalog as a set but
+    distort meta counts, so the maintenance job sweeps them: rewrite
+    ``dropDuplicates(tsid)`` to a sibling temp dir, then atomically swap,
+    guarded by the same commit-log CAS as delete_meta (a put landing
+    mid-rewrite restarts it, so the put's series cannot be lost).
+    """
+    from pyspark.sql import functions as F
+
+    from mycenae_spark.streaming import commitlog
+
+    for _ in range(retries):
+        head = commitlog.latest_seq(lake_dir)
+        cat = spark.read.parquet(catalog_dir)
+        n_before = cat.count()
+        uniq = cat.dropDuplicates(["tsid"])
+        n_after = uniq.count()
+        if n_after == n_before:
+            return {"removed": 0, "remaining": n_before}
+        base = os.path.dirname(catalog_dir.rstrip("/")) or "."
+        tmp = os.path.join(base, f"_catalog_tmp_{uuid.uuid4().hex[:8]}")
+        uniq.write.mode("overwrite").parquet(tmp)
+        try:
+            commitlog.append(
+                lake_dir,
+                {"kind": "catalog-dedupe", "removed": n_before - n_after},
+                expected_head=head,
+            )
+        except commitlog.CommitConflict:
+            shutil.rmtree(tmp, ignore_errors=True)
+            continue
+        old = os.path.join(base, f"_catalog_old_{uuid.uuid4().hex[:8]}")
+        os.rename(catalog_dir, old)
+        os.rename(tmp, catalog_dir)
+        shutil.rmtree(old)
+        return {"removed": n_before - n_after, "remaining": n_after}
+    raise RuntimeError("catalog dedupe lost the commit-log race repeatedly")
+
+
 def gc_commitlog(lake_dir: str, keep_last: int = 10_000) -> int:
     """Bound the commit log (streaming/commitlog.py): keep the newest
     ``keep_last`` entries — enough for conflict detection and recent-batch

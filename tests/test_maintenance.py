@@ -28,3 +28,35 @@ def test_gc_staging_removes_only_orphans(spark, tmp_path):
     assert removed == ["7"]
     assert not old_orphan.parent.exists()
     assert committed.exists() and fresh.exists()
+
+
+def test_dedupe_catalog(spark, tmp_path):
+    """Concurrent writers that both cataloged the same new series leave
+    duplicate rows; the maintenance sweep keeps one per tsid and is a no-op
+    when the catalog is already clean."""
+    import json
+
+    from mycenae_spark.maintenance import dedupe_catalog
+    from mycenae_spark.streaming.ingest import (
+        decode_json_lines,
+        prepare_points,
+        write_points_batch,
+    )
+
+    lake, catalog = str(tmp_path / "lake"), str(tmp_path / "catalog")
+    pts = [{"metric": "dup.m", "tags": {"ksid": "k1", "h": "a"},
+            "timestamp": 1704067200000, "value": 1.0}]
+    raw = spark.createDataFrame([(json.dumps(p),) for p in pts], ["value"])
+    valid, _ = prepare_points(decode_json_lines(raw))
+    write_points_batch(valid, lake, catalog, batch_id="a-0")
+    # second writer raced the first: same series appended again, bypassing
+    # the anti-join (simulates both reading the pre-batch catalog)
+    valid.select("ksid", "tsid", "metric", "tags").dropDuplicates(
+        ["tsid"]
+    ).write.mode("append").parquet(catalog)
+    assert spark.read.parquet(catalog).count() == 2
+
+    out = dedupe_catalog(spark, lake, catalog)
+    assert out == {"removed": 1, "remaining": 1}
+    assert spark.read.parquet(catalog).count() == 1
+    assert dedupe_catalog(spark, lake, catalog) == {"removed": 0, "remaining": 1}
