@@ -59,6 +59,14 @@ HEADLINE = [
     "tsdb_pipeline_expression",
     "text_tokens",
     "text_quality",
+    # round 3
+    "dedup_minhash_pairs_auto",
+    "dedup_ngram_containment",
+    "rollup_downsample_avg",
+    "text_shingle_stats",
+    "window_ewma",
+    "multimodal_media_stats",
+    "multimodal_frame_sample",
 ]
 
 

@@ -80,6 +80,7 @@ _NEW_ROUND3 = (
     "text_shingle_stats",
     "window_ewma",
     "dedup_ngram_containment",
+    "multimodal_frame_sample",
 )
 
 _ALL_QUERIES = {

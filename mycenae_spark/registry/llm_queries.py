@@ -922,6 +922,37 @@ def multimodal_media_stats(spark, sf_dir):
     )
 
 
+@q("multimodal_frame_sample")  # no oracle: mapInPandas path → rows-only
+def multimodal_frame_sample(spark, sf_dir):
+    """Frame-sampling row expansion through the Arrow decode path: one
+    video row → ceil(n_frames / every_n) frame rows, then per-video frame
+    counts.  Covers the one multimodal shape multimodal_media_stats does
+    not — output rows EXPAND from input rows (decode → explode), the video
+    preprocessing primitive of a training-data pipeline.  Same deterministic
+    binary envelope and honest stub decode; declared rows-only."""
+    from mycenae_spark.functions.multimodal import sample_frames
+
+    d = t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit("video/fake").alias("mime"),
+    )
+    frames = sample_frames(media, every_n=4)
+    return (
+        frames.groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.max("frame_idx").alias("last_frame_idx"),
+        )
+        .orderBy("media_id")
+    )
+
+
 # ------------------------------------------------- dedup cluster assignment
 
 @q(
