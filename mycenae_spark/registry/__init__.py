@@ -81,6 +81,7 @@ _NEW_ROUND3 = (
     "window_ewma",
     "dedup_ngram_containment",
     "multimodal_frame_sample",
+    "ingest_roundtrip",
 )
 
 _ALL_QUERIES = {

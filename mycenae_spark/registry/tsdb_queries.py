@@ -59,6 +59,88 @@ def scan_project(spark, sf_dir):
     )
 
 
+@q(
+    "ingest_roundtrip",
+    """
+SELECT * FROM (VALUES
+  ('cpu.usage', CAST(60 AS BIGINT), CAST(1770.0 AS DOUBLE),
+   CAST(2 AS BIGINT), CAST(1770.0 AS DOUBLE)),
+  ('mem.free', CAST(30 AS BIGINT), CAST(435.0 AS DOUBLE),
+   CAST(1 AS BIGINT), CAST(435.0 AS DOUBLE))
+) AS t(metric, n_points, sum_v_r, n_series, rollup_sum_r)
+""",
+)
+def ingest_roundtrip(spark, sf_dir):
+    """S1/S5/S6 + rollup, HASH-CHECKED end-to-end: run the real streaming
+    ingest job (JSON decode → validation → tsid → two-phase staged commit →
+    commit log → catalog anti-join merge → rollup partials) on a
+    deterministic point set in a temp dir, then read every store back and
+    compare against a CONSTANT oracle — the write path's behavior itself
+    becomes a judged value equality, not just a pytest.
+
+    90 points over two metrics; expected counts/sums/series and the
+    rollup's re-merged sum are closed-form.  The result is collected (5
+    rows) and re-created so the returned frame has no lineage into the
+    temp dir, which is removed before returning.  ``sf_dir`` is unused —
+    the input is synthesized, making the check scale-invariant."""
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from mycenae_spark.streaming.ingest import start_ingest
+    from mycenae_spark.streaming.rollup import read_rollup
+
+    base = tempfile.mkdtemp(prefix="ingest_rt_")
+    try:
+        src = os.path.join(base, "src")
+        os.makedirs(src)
+        pts = [
+            {"metric": "cpu.usage", "tags": {"ksid": "k1", "host": f"h{i % 2}"},
+             "timestamp": 1704067200000 + i * 1000, "value": float(i)}
+            for i in range(60)
+        ] + [
+            {"metric": "mem.free", "tags": {"ksid": "k1"},
+             "timestamp": 1704067200000 + i * 1000, "value": float(i)}
+            for i in range(30)
+        ]
+        with open(os.path.join(src, "b.jsonl"), "w") as f:
+            f.write("\n".join(_json.dumps(p) for p in pts))
+        lake, catalog, ck, roll = (
+            os.path.join(base, d) for d in ("lake", "catalog", "ck", "rollup")
+        )
+        job = start_ingest(spark, src, lake, catalog, ck, rollup_dir=roll)
+        job.awaitTermination(120)
+
+        lake_agg = (
+            spark.read.parquet(lake)
+            .groupBy("metric")
+            .agg(
+                F.count(F.lit(1)).alias("n_points"),
+                r4(F.sum("value")).alias("sum_v_r"),
+            )
+        )
+        cat_agg = (
+            spark.read.parquet(catalog)
+            .groupBy("metric")
+            .agg(F.count(F.lit(1)).alias("n_series"))
+        )
+        roll_agg = (
+            read_rollup(spark, roll, agg="sum", series_cols=["metric"])
+            .groupBy("metric")
+            .agg(r4(F.sum("value")).alias("rollup_sum_r"))
+        )
+        out = (
+            lake_agg.join(cat_agg, "metric").join(roll_agg, "metric")
+            .select("metric", "n_points", "sum_v_r", "n_series", "rollup_sum_r")
+        )
+        rows = out.collect()  # 2 rows — decouples the frame from temp files
+        schema = out.schema
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
 # ------------------------------------------------------------- §2.2 filters
 
 @q(
