@@ -119,6 +119,38 @@ def gc_staging(lake_dir: str, max_age_s: float = 24 * 3600) -> list[str]:
     return sorted(removed)
 
 
+def swap_catalog_dir(catalog_dir: str, tmp: str, snapshot_files: set[str]) -> int:
+    """Atomically replace ``catalog_dir`` with ``tmp``, salvaging racing
+    appends.
+
+    The commit-log CAS serializes rewrites against appends that commit
+    BEFORE the CAS — but an append can still land its part files in the
+    window between the CAS succeeding and the directory swap (its commit
+    then carries a later seq, so losing its files would violate the log
+    order).  Closing it: any file present in the old directory that was
+    NOT part of the rewrite's input snapshot arrived during the window —
+    move it into the new directory before dropping the old one.  Appends
+    target the ``catalog_dir`` PATH, so once the old dir is renamed away no
+    further files can land in it and the salvage scan is race-free.
+    Returns the number of salvaged files.
+    """
+    old = os.path.join(
+        os.path.dirname(catalog_dir.rstrip("/")) or ".",
+        f"_catalog_old_{uuid.uuid4().hex[:8]}",
+    )
+    os.rename(catalog_dir, old)
+    os.rename(tmp, catalog_dir)
+    snapshot_names = {os.path.basename(p) for p in snapshot_files}
+    salvaged = 0
+    for name in os.listdir(old):
+        if name.startswith(("_", ".")) or name in snapshot_names:
+            continue
+        shutil.move(os.path.join(old, name), os.path.join(catalog_dir, name))
+        salvaged += 1
+    shutil.rmtree(old)
+    return salvaged
+
+
 def dedupe_catalog(
     spark: SparkSession, lake_dir: str, catalog_dir: str, retries: int = 5
 ) -> dict:
@@ -140,6 +172,7 @@ def dedupe_catalog(
     for _ in range(retries):
         head = commitlog.latest_seq(lake_dir)
         cat = spark.read.parquet(catalog_dir)
+        snapshot = set(cat.inputFiles())
         n_before = cat.count()
         uniq = cat.dropDuplicates(["tsid"])
         n_after = uniq.count()
@@ -157,10 +190,7 @@ def dedupe_catalog(
         except commitlog.CommitConflict:
             shutil.rmtree(tmp, ignore_errors=True)
             continue
-        old = os.path.join(base, f"_catalog_old_{uuid.uuid4().hex[:8]}")
-        os.rename(catalog_dir, old)
-        os.rename(tmp, catalog_dir)
-        shutil.rmtree(old)
+        swap_catalog_dir(catalog_dir, tmp, snapshot)
         return {"removed": n_before - n_after, "remaining": n_after}
     raise RuntimeError("catalog dedupe lost the commit-log race repeatedly")
 

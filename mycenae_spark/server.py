@@ -232,9 +232,12 @@ class Engine:
 
         from mycenae_spark.streaming import commitlog
 
+        from mycenae_spark.maintenance import swap_catalog_dir
+
         for _attempt in range(5):
             head = commitlog.latest_seq(self.lake_dir)
             cat = self.spark.read.parquet(self.catalog_dir)
+            snapshot = set(cat.inputFiles())
             victim = F.lit(True)
             if metric is not None:
                 victim = victim & (F.col("metric") == metric)
@@ -255,10 +258,9 @@ class Engine:
             except commitlog.CommitConflict:
                 shutil.rmtree(tmp, ignore_errors=True)
                 continue  # a put landed mid-rewrite — redo from fresh state
-            old = os.path.join(base, f"_catalog_old_{uuid.uuid4().hex[:8]}")
-            os.rename(self.catalog_dir, old)
-            os.rename(tmp, self.catalog_dir)
-            shutil.rmtree(old)
+            # swap salvages part files from appends that landed between the
+            # CAS and the rename (see maintenance.swap_catalog_dir)
+            swap_catalog_dir(self.catalog_dir, tmp, snapshot)
             self._tag_keys_cache = None
             return {"deleted": n_before - n_after, "remaining": n_after}
         raise RuntimeError(

@@ -60,3 +60,43 @@ def test_dedupe_catalog(spark, tmp_path):
     assert out == {"removed": 1, "remaining": 1}
     assert spark.read.parquet(catalog).count() == 1
     assert dedupe_catalog(spark, lake, catalog) == {"removed": 0, "remaining": 1}
+
+
+def test_catalog_swap_salvages_racing_append(spark, tmp_path):
+    """An append whose part files land in the catalog between the rewrite's
+    CAS and the directory swap must survive: the swap moves any
+    not-in-snapshot file into the new directory before dropping the old."""
+    import json
+
+    from mycenae_spark.maintenance import swap_catalog_dir
+    from mycenae_spark.streaming.ingest import (
+        decode_json_lines,
+        prepare_points,
+        write_points_batch,
+    )
+
+    lake, catalog = str(tmp_path / "lake"), str(tmp_path / "catalog")
+
+    def valid_of(metric):
+        pts = [{"metric": metric, "tags": {"ksid": "k1"},
+                "timestamp": 1704067200000, "value": 1.0}]
+        raw = spark.createDataFrame([(json.dumps(p),) for p in pts], ["value"])
+        v, _ = prepare_points(decode_json_lines(raw))
+        return v
+
+    write_points_batch(valid_of("keep.me"), lake, catalog, batch_id="w-0")
+    cat = spark.read.parquet(catalog)
+    snapshot = set(cat.inputFiles())
+
+    # rewrite: survivors staged to tmp
+    import os
+    tmp = str(tmp_path / "cat_tmp")
+    cat.write.parquet(tmp)
+
+    # ...meanwhile a racing append lands AFTER the snapshot listing
+    write_points_batch(valid_of("late.series"), lake, catalog, batch_id="w-1")
+
+    salvaged = swap_catalog_dir(catalog, tmp, snapshot)
+    assert salvaged >= 1
+    metrics = {r["metric"] for r in spark.read.parquet(catalog).collect()}
+    assert metrics == {"keep.me", "late.series"}
