@@ -82,6 +82,8 @@ _NEW_ROUND3 = (
     "dedup_ngram_containment",
     "multimodal_frame_sample",
     "ingest_roundtrip",
+    "meta_delete_roundtrip",
+    "api_aggregators",
 )
 
 _ALL_QUERIES = {
