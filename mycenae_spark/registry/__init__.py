@@ -46,7 +46,9 @@ _R1_ONLY = (
     "agg_grouped",
     "agg_grouped_multi_tag",
     "agg_count_distinct",
-    "agg_approx_distinct",
+    # agg_approx_distinct is intentionally NOT front-loaded: its check is
+    # rows-only by construction and its code path is untouched since its
+    # r1 green row — the weakest claim on a bounded-window slot.
     "agg_dev",
     "agg_percentile",
     "downsample_avg_1m",
@@ -84,6 +86,8 @@ _NEW_ROUND3 = (
     "ingest_roundtrip",
     "meta_delete_roundtrip",
     "api_aggregators",
+    "api_filters",
+    "keyspace_ttl_roundtrip",
 )
 
 _ALL_QUERIES = {

@@ -192,6 +192,70 @@ def meta_delete_roundtrip(spark, sf_dir):
 
 
 @q(
+    "keyspace_ttl_roundtrip",
+    """
+SELECT * FROM (VALUES
+  ('2024-01-03', CAST(10 AS BIGINT)),
+  ('2024-01-04', CAST(10 AS BIGINT))
+) AS t(date_kept, n_points)
+""",
+)
+def keyspace_ttl_roundtrip(spark, sf_dir):
+    """Keyspace TTL HASH-CHECKED: ingest four days of points into a temp
+    lake, set ttl_days=2, apply TTL as-of a fixed date — the two expired
+    date partitions are dropped (pure directory deletes, cost independent
+    of partition bytes: mycenae's Cassandra-TTL contract as partition
+    pruning) — then read the lake back per remaining date.  Constant
+    oracle; collected (2 rows) so the frame outlives the temp dir."""
+    import datetime
+    import shutil
+    import tempfile
+
+    from mycenae_spark.keyspace import Keyspace, KeyspaceManager
+    from mycenae_spark.server import Engine
+
+    base = tempfile.mkdtemp(prefix="ks_ttl_")
+    try:
+        lake = base + "/lake"
+        eng = Engine(spark, lake, base + "/catalog")
+        day_ms = 86_400_000
+        d0 = 1704067200000  # 2024-01-01
+        pts = [
+            {"metric": "ttl.m", "tags": {"ksid": "k1", "host": f"h{i}"},
+             "timestamp": d0 + d * day_ms + i * 1000, "value": 1.0}
+            for d in range(4)
+            for i in range(10)
+        ]
+        eng.put(pts)
+        mgr = KeyspaceManager(lake)
+        mgr.create(Keyspace(name="k1", ttl_days=2))
+        dropped = mgr.apply_ttl("k1", today=datetime.date(2024, 1, 5))
+        assert len(dropped) == 2, dropped
+        out = (
+            spark.read.parquet(lake)
+            .groupBy(F.col("date").cast("string").alias("date_kept"))
+            .agg(F.count(F.lit(1)).alias("n_points"))
+        )
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+@q(
+    "api_filters",
+    "SELECT unnest(['literal_or','not_literal_or','iliteral_or',"
+    "'wildcard','iwildcard','regexp']) AS filter",
+)
+def api_filters(spark, sf_dir):
+    """M5: the `/api/config/filters` endpoint surface, value-checked."""
+    from mycenae_spark.api import FILTERS_ENDPOINT
+
+    return spark.createDataFrame([(f,) for f in FILTERS_ENDPOINT], "filter string")
+
+
+@q(
     "api_aggregators",
     "SELECT unnest(['avg','count','dev','max','min','p50','p90','p95','p99',"
     "'sum','zimsum','mimmin','mimmax']) AS aggregator",
