@@ -195,6 +195,39 @@ def dedupe_catalog(
     raise RuntimeError("catalog dedupe lost the commit-log race repeatedly")
 
 
+def gc_commit_markers(
+    lake_dir: str, max_age_s: float = 7 * 24 * 3600
+) -> list[str]:
+    """Remove committed-batch markers whose work is finished and old.
+
+    Markers exist for replay idempotence; a marker is safely removable once
+    (a) its staged moves completed (no ``_staging/<batch>`` dir remains)
+    and (b) it is older than any plausible replay window (streaming
+    replays happen within a checkpoint restart; HTTP put ids are never
+    replayed at all).  Without GC the façade's one-marker-per-put grows
+    unboundedly.  Returns the batch ids removed.
+    """
+    import time
+
+    commits = os.path.join(lake_dir, "_commits")
+    staging_root = os.path.join(lake_dir, "_staging")
+    if not os.path.isdir(commits):
+        return []
+    removed = []
+    now = time.time()
+    for batch in os.listdir(commits):
+        path = os.path.join(commits, batch)
+        if batch.endswith(".tmp"):
+            continue  # in-flight marker write
+        if os.path.exists(os.path.join(staging_root, batch)):
+            continue  # moves still pending: the replay path owns it
+        if now - os.path.getmtime(path) < max_age_s:
+            continue
+        os.unlink(path)
+        removed.append(batch)
+    return sorted(removed)
+
+
 def gc_commitlog(lake_dir: str, keep_last: int = 10_000) -> int:
     """Bound the commit log (streaming/commitlog.py): keep the newest
     ``keep_last`` entries — enough for conflict detection and recent-batch

@@ -100,3 +100,36 @@ def test_catalog_swap_salvages_racing_append(spark, tmp_path):
     assert salvaged >= 1
     metrics = {r["metric"] for r in spark.read.parquet(catalog).collect()}
     assert metrics == {"keep.me", "late.series"}
+
+
+def test_gc_commit_markers(spark, tmp_path):
+    """Old markers with completed moves are swept; young markers and
+    markers with pending staged moves survive."""
+    import json
+    import os
+
+    from mycenae_spark.maintenance import gc_commit_markers
+    from mycenae_spark.streaming.ingest import (
+        decode_json_lines,
+        prepare_points,
+        write_points_batch,
+    )
+
+    lake, catalog = str(tmp_path / "lake"), str(tmp_path / "catalog")
+    pts = [{"metric": "gc.m", "tags": {"ksid": "k1"},
+            "timestamp": 1704067200000, "value": 1.0}]
+    raw = spark.createDataFrame([(json.dumps(p),) for p in pts], ["value"])
+    valid, _ = prepare_points(decode_json_lines(raw))
+    write_points_batch(valid, lake, catalog, batch_id="old-done")
+    write_points_batch(valid, lake, catalog, batch_id="young-done")
+    # age the first marker; give the second a fake pending staging dir
+    old_marker = os.path.join(lake, "_commits", "old-done")
+    os.utime(old_marker, (1, 1))
+    write_points_batch(valid, lake, catalog, batch_id="old-pending")
+    pend_marker = os.path.join(lake, "_commits", "old-pending")
+    os.utime(pend_marker, (1, 1))
+    os.makedirs(os.path.join(lake, "_staging", "old-pending"))
+
+    assert gc_commit_markers(lake) == ["old-done"]
+    left = set(os.listdir(os.path.join(lake, "_commits")))
+    assert left == {"young-done", "old-pending"}
