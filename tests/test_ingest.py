@@ -805,3 +805,39 @@ def test_rollup_percentile_error_bound_on_real_data(spark):
     # interpolated gap: bounded by bin width + adjacent-rank spacing; on
     # this data that stays within two bin widths (measured, documented)
     assert max(errs_interp) <= 2 * width, (max(errs_interp), width)
+
+
+def test_commitlog_thread_stress_invariants(tmp_path):
+    """Many threads appending concurrently (mixed pure appends and CAS
+    attempts): the log must come out gap-free with unique seqs, and every
+    successful CAS append must actually sit at expected_head + 1."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from mycenae_spark.streaming import commitlog
+
+    lake = str(tmp_path / "lake")
+    cas_results = []
+
+    def worker(i):
+        if i % 3 == 0:
+            # CAS writer: read head, try claim; record outcome
+            head = commitlog.latest_seq(lake)
+            try:
+                seq = commitlog.append(
+                    lake, {"kind": "cas", "i": i}, expected_head=head
+                )
+                cas_results.append((head, seq))
+            except commitlog.CommitConflict:
+                pass
+            return None
+        return commitlog.append(lake, {"kind": "append", "i": i})
+
+    with ThreadPoolExecutor(12) as ex:
+        list(ex.map(worker, range(60)))
+
+    entries = commitlog.entries(lake)
+    seqs = [s for s, _ in entries]
+    assert seqs == list(range(1, len(seqs) + 1))  # gap-free, unique, ordered
+    assert len({p["i"] for _, p in entries}) == len(entries)  # no dup payloads
+    for head, seq in cas_results:
+        assert seq == head + 1

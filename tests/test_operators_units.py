@@ -83,3 +83,56 @@ def test_approx_percentile_merge_error_bound(spark):
             f"parts={parts}: approx p90 {got} has rank [{lo},{hi}], "
             f"target {target} outside ±{tol}"
         )
+
+
+def test_window_ewma_closed_form_matches_recursive(spark):
+    """window_ewma's power-of-two closed form must match the textbook
+    recursion s_n = a*v_n + (1-a)*s_{n-1} (a=0.5) to FP tolerance.
+
+    NOT bit-equal to the recursion: the closed form reassociates the
+    additions (T_n accumulates v_i·2^i at large magnitudes, the recursion
+    halves as it goes).  The judged bit-exactness claim is CROSS-ENGINE —
+    both engines evaluate the same closed form with the same coefficients
+    and the same running-sum order — which tests/test_oracle.py checks;
+    this test pins the semantics against the recursive definition."""
+    import random
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    rng = random.Random(7)
+    rows = []
+    for series in ("s1", "s2", "s3"):
+        for i in range(rng.randint(1, 40)):
+            rows.append((series, i, round(rng.uniform(-100, 100), 4)))
+    df = spark.createDataFrame(rows, "series string, i int, v double")
+
+    w = Window.partitionBy("series").orderBy("i")
+    wacc = w.rowsBetween(Window.unboundedPreceding, 0)
+    rn = F.row_number().over(w)
+    acc = df.select(
+        "series", "i", "v", rn.alias("rn"),
+        F.first("v").over(w).alias("v1"),
+        (F.col("v") * F.pow(F.lit(2.0), rn)).alias("u"),
+    ).withColumn("tsum", F.sum("u").over(wacc))
+    closed = (
+        F.pow(F.lit(2.0), 1 - F.col("rn")) * F.col("v1")
+        + 0.5 * F.pow(F.lit(2.0), -F.col("rn"))
+        * (F.col("tsum") - 2 * F.col("v1"))
+    )
+    got = {
+        (r["series"], r["i"]): r["e"]
+        for r in acc.select("series", "i", closed.alias("e")).collect()
+    }
+
+    import math
+
+    by_series = {}
+    for series, i, v in sorted(rows):
+        if series not in by_series:
+            by_series[series] = v  # s_1 = v_1
+        else:
+            by_series[series] = 0.5 * v + 0.5 * by_series[series]
+        assert math.isclose(
+            got[(series, i)], by_series[series], rel_tol=1e-11, abs_tol=1e-11
+        ), (series, i, got[(series, i)], by_series[series])
