@@ -64,3 +64,30 @@ def test_rounding_convention_generated_not_copied():
         == "(round((a(b) + (round((c) + 1e-9, 6) + 0.0)) + 1e-9, 4) + 0.0)"
     )
     assert sql_round("x", 4) == "(round((x) + 1e-9, 4) + 0.0)"
+
+
+def test_verification_window_composition():
+    """The driver checks the first 50 registry entries per round: every id
+    never yet driver-verified (declared this round) must sit inside that
+    window, the ledger must stay consistent, and every ledger id must
+    exist."""
+    import json
+    import os
+
+    from mycenae_spark.registry import _NEW_ROUND3, _R1_ONLY
+
+    ids = list(QUERIES)
+    window = set(ids[:50])
+    missing = [k for k in _NEW_ROUND3 if k not in window]
+    assert not missing, f"never-verified ids outside the driver window: {missing}"
+    assert set(_R1_ONLY) <= set(ids) and set(_NEW_ROUND3) <= set(ids)
+
+    # every declared id has a green row in SOME past round or is new this
+    # round (nothing silently falls through the coverage union)
+    seen = set()
+    for fname in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
+        path = os.path.join(os.path.dirname(__file__), "..", fname)
+        if os.path.exists(path):
+            seen |= set(json.load(open(path)))
+    unaccounted = set(ids) - seen - set(_NEW_ROUND3) - window
+    assert not unaccounted, f"ids with no green row and no window slot: {unaccounted}"
