@@ -417,6 +417,28 @@ def agg_count(spark, sf_dir):
     return _merged_daily(spark, sf_dir, "count", "n", rounder=None)
 
 
+@q("agg_zimsum", _agg_oracle("round4(sum(value))", "zimsum_v_r"))
+def agg_zimsum(spark, sf_dir):
+    """A-family tail (the /api/aggregators surface): OpenTSDB `zimsum` —
+    sum treating missing series values as zero.  Under hash-aggregation
+    alignment (no interpolation spine) that IS plain sum: absent rows
+    contribute nothing either way — declared separately so the endpoint's
+    aggregator list and the judged surface enumerate 1:1."""
+    return _merged_daily(spark, sf_dir, "zimsum", "zimsum_v_r")
+
+
+@q("agg_mimmin", _agg_oracle("min(value)", "mimmin_v"))
+def agg_mimmin(spark, sf_dir):
+    """`mimmin` — min ignoring missing values (hash-agg min exactly)."""
+    return _merged_daily(spark, sf_dir, "mimmin", "mimmin_v", rounder=None)
+
+
+@q("agg_mimmax", _agg_oracle("max(value)", "mimmax_v"))
+def agg_mimmax(spark, sf_dir):
+    """`mimmax` — max ignoring missing values (hash-agg max exactly)."""
+    return _merged_daily(spark, sf_dir, "mimmax", "mimmax_v", rounder=None)
+
+
 @q(
     "agg_grouped",
     f"SELECT metric, tag_user, {bucket_ms_sql(DAY_MS)} AS bucket_ms, "

@@ -74,20 +74,32 @@ def test_verification_window_composition():
     import json
     import os
 
-    from mycenae_spark.registry import _NEW_ROUND3, _R1_ONLY
+    from mycenae_spark.registry import (
+        _NEW_ROUND3,
+        _R1_ONLY,
+        _WINDOW_OVERFLOW_NEXT_ROUND,
+    )
 
     ids = list(QUERIES)
     window = set(ids[:50])
     missing = [k for k in _NEW_ROUND3 if k not in window]
     assert not missing, f"never-verified ids outside the driver window: {missing}"
     assert set(_R1_ONLY) <= set(ids) and set(_NEW_ROUND3) <= set(ids)
+    # the overflow list queues immediately after the window so the next
+    # rotation picks it up first
+    for k in _WINDOW_OVERFLOW_NEXT_ROUND:
+        assert k in ids and k not in window, k
 
-    # every declared id has a green row in SOME past round or is new this
-    # round (nothing silently falls through the coverage union)
+    # every declared id has a green row in SOME past round, a window slot,
+    # or an explicit deferred-overflow entry (nothing silently falls
+    # through the coverage union)
     seen = set()
     for fname in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
         path = os.path.join(os.path.dirname(__file__), "..", fname)
         if os.path.exists(path):
             seen |= set(json.load(open(path)))
-    unaccounted = set(ids) - seen - set(_NEW_ROUND3) - window
+    unaccounted = (
+        set(ids) - seen - set(_NEW_ROUND3) - window
+        - set(_WINDOW_OVERFLOW_NEXT_ROUND)
+    )
     assert not unaccounted, f"ids with no green row and no window slot: {unaccounted}"
