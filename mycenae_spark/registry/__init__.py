@@ -99,6 +99,8 @@ _WINDOW_OVERFLOW_NEXT_ROUND = (
     "agg_zimsum",
     "agg_mimmin",
     "agg_mimmax",
+    "downsample_p50",
+    "downsample_p99",
 )
 
 _ALL_QUERIES = {

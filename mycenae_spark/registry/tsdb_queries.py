@@ -534,6 +534,25 @@ def downsample_p95(spark, sf_dir):
 
 
 @q(
+    "downsample_p50",
+    _ds_oracle(HOUR_MS, "round4(quantile_cont(value, 0.5))", "p50_r"),
+)
+def downsample_p50(spark, sf_dir):
+    """`1h-p50` (median downsampler) — completes the endpoint's pNN family
+    as judged rows alongside p95/p99; same exact-percentile plan shape."""
+    return _ds(spark, sf_dir, HOUR_MS, "p50", "p50_r")
+
+
+@q(
+    "downsample_p99",
+    _ds_oracle(HOUR_MS, "round4(quantile_cont(value, 0.99))", "p99_r"),
+)
+def downsample_p99(spark, sf_dir):
+    """`1h-p99` (tail-latency downsampler) — see downsample_p50."""
+    return _ds(spark, sf_dir, HOUR_MS, "p99", "p99_r")
+
+
+@q(
     "rollup_downsample_avg",
     f"""
 WITH partials AS (
