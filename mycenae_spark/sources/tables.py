@@ -7,13 +7,21 @@ Cassandra bucket reads.  Nothing here collects to the driver.
 
 Timestamp normalization
 -----------------------
-``events.parquet`` stores parquet ``TIMESTAMP(NANOS)``.  Spark has no native
-nanos timestamp: with ``spark.sql.legacy.parquet.nanosAsLong=true`` the column
-surfaces as BIGINT nanoseconds.  DuckDB — the correctness oracle — reads the
-same file truncated to microseconds.  We therefore expose, for ``events``:
+``events.parquet``'s ``ts`` physical type has DRIFTED across testdata
+regenerations: originally parquet ``TIMESTAMP(NANOS)`` (Spark surfaces it as
+BIGINT ns under ``spark.sql.legacy.parquet.nanosAsLong=true``), currently
+``timestamp[us]`` (Spark reads TIMESTAMP_NTZ).  The reader therefore branches
+on the *observed* dtype and always exposes the same contract for ``events``:
 
-* ``ts``      TIMESTAMP (µs, = floor(ns/1000), matching the oracle exactly)
-* ``ts_us``   BIGINT epoch microseconds (same value, arithmetic-friendly)
+* ``ts``      TIMESTAMP (µs precision, session tz pinned UTC)
+* ``ts_us``   BIGINT epoch microseconds (same instant, arithmetic-friendly)
+
+matching DuckDB (the correctness oracle), which reads either physical type as
+a µs timestamp (NANOS truncates).  For TIMESTAMP_NTZ the ``cast("timestamp")``
+is mandatory before ``unix_micros`` — and exact, because the session timezone
+is pinned UTC (session.py).  tests/test_schema_units.py pins this contract
+against all three sf dirs so the next silent regeneration fails locally in
+seconds instead of bricking a round.
 
 All other tables' timestamps are already µs and pass through untouched.
 """
@@ -47,12 +55,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table; normalizes ``events`` timestamps (see module doc)."""
     apply_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # ns → µs floor-division matches DuckDB's truncating read of NANOS.
-        df = (
-            df.withColumn("ts_us", F.expr("ts div 1000"))
-            .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
-        )
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # legacy NANOS file under nanosAsLong: ns → µs floor-division
+            # matches DuckDB's truncating read of NANOS.
+            df = df.withColumn("ts_us", F.expr("ts div 1000"))
+        elif ts_type in ("timestamp", "timestamp_ntz"):
+            # current testdata: timestamp[us] (NTZ needs the cast; exact
+            # because the session tz is pinned UTC).
+            df = df.withColumn(
+                "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+            )
+        elif ts_type is not None:  # pragma: no cover - future drift
+            raise TypeError(
+                f"events.ts has unsupported dtype {ts_type!r}; "
+                "extend sources/tables.py::load_table"
+            )
+        # Re-derive ts from ts_us so its type is a plain TIMESTAMP
+        # regardless of which physical encoding the file used.
+        df = df.withColumn("ts", F.timestamp_micros(F.col("ts_us")))
     return df
 
 

@@ -67,39 +67,32 @@ def test_rounding_convention_generated_not_copied():
 
 
 def test_verification_window_composition():
-    """The driver checks the first 50 registry entries per round: every id
-    never yet driver-verified (declared this round) must sit inside that
-    window, the ledger must stay consistent, and every ledger id must
-    exist."""
-    import json
-    import os
-
+    """The driver checks the first 50 registry entries per round.  Round-6
+    rotation (VERDICT r5 items 3-4): the 5 never-checked ledger ids and the
+    40 r5-err ids MUST sit inside that window; the ledger partitions the
+    registry exactly (nothing silently falls through the rotation)."""
     from mycenae_spark.registry import (
-        _NEW_ROUND3,
-        _R1_ONLY,
-        _WINDOW_OVERFLOW_NEXT_ROUND,
+        _NEVER_CHECKED,
+        _R5_ERR,
+        _R5_GREEN,
+        _STALE_EVENTS_READERS,
+        _STALE_TAIL,
     )
 
     ids = list(QUERIES)
     window = set(ids[:50])
-    missing = [k for k in _NEW_ROUND3 if k not in window]
-    assert not missing, f"never-verified ids outside the driver window: {missing}"
-    assert set(_R1_ONLY) <= set(ids) and set(_NEW_ROUND3) <= set(ids)
-    # the overflow list queues immediately after the window so the next
-    # rotation picks it up first
-    for k in _WINDOW_OVERFLOW_NEXT_ROUND:
-        assert k in ids and k not in window, k
+    must_front = list(_NEVER_CHECKED) + list(_R5_ERR)
+    missing = [k for k in must_front if k not in window]
+    assert not missing, f"priority ids outside the driver window: {missing}"
 
-    # every declared id has a green row in SOME past round, a window slot,
-    # or an explicit deferred-overflow entry (nothing silently falls
-    # through the coverage union)
-    seen = set()
-    for fname in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
-        path = os.path.join(os.path.dirname(__file__), "..", fname)
-        if os.path.exists(path):
-            seen |= set(json.load(open(path)))
-    unaccounted = (
-        set(ids) - seen - set(_NEW_ROUND3) - window
-        - set(_WINDOW_OVERFLOW_NEXT_ROUND)
+    ledger = (
+        set(_NEVER_CHECKED) | set(_R5_ERR) | set(_STALE_EVENTS_READERS)
+        | set(_STALE_TAIL) | set(_R5_GREEN)
     )
-    assert not unaccounted, f"ids with no green row and no window slot: {unaccounted}"
+    assert ledger == set(ids), (
+        f"ledger/registry mismatch: only-ledger={ledger - set(ids)} "
+        f"only-registry={set(ids) - ledger}"
+    )
+    # the stale tail queues immediately after the window → r7's front
+    for k in _STALE_TAIL:
+        assert k in ids and k not in window, k
