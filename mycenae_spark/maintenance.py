@@ -27,38 +27,82 @@ def compact_partition(
     ksid: str,
     date: str,
     target_file_bytes: int = 128 * 1024 * 1024,
+    retries: int = 5,
 ) -> tuple[int, int]:
     """Compact one (ksid, date) partition; returns (files_before, files_after).
 
     File count is chosen from actual partition bytes / target size, floor 1.
+
+    Concurrency: the rewrite is a read-modify-write of the partition, so it
+    is CAS-guarded on the commit log like the catalog rewrites — an append
+    committing mid-rewrite forces a retry against fresh state, and the
+    directory swap salvages part files from appends that land in the
+    CAS-to-rename window (they belong to later log entries, so dropping
+    them would violate the log order).  The log entry records the compacted
+    file list so log-gated snapshot reads (streaming/snapshot.py) replace
+    the partition's visible set at exactly this position.
     """
+    from mycenae_spark.streaming import commitlog
+
     part = os.path.join(lake_dir, f"ksid={ksid}", f"date={date}")
+    rel_part = os.path.join(f"ksid={ksid}", f"date={date}")
     if not os.path.isdir(part):
         raise FileNotFoundError(part)
-    data_files = [
-        f for f in os.listdir(part) if f.endswith(".parquet")
-    ]
-    total_bytes = sum(os.path.getsize(os.path.join(part, f)) for f in data_files)
-    n_out = max(1, round(total_bytes / target_file_bytes))
-
-    df = spark.read.parquet(part)
-    # Underscore-prefixed siblings: Spark's file listing ignores paths whose
-    # basename starts with `_`, and they don't match the `date=` prefix — so
-    # a concurrent read of the lake root never sees the in-flight rewrite as
-    # data or as a bogus partition value.
     ksid_dir = os.path.dirname(part)
-    tmp = os.path.join(ksid_dir, f"_compact_{uuid.uuid4().hex[:8]}")
-    sort_cols = [c for c in ("tsid", "ts") if c in df.columns]
-    writer = df.repartition(n_out)
-    if sort_cols:
-        writer = writer.sortWithinPartitions(*sort_cols)
-    writer.write.mode("overwrite").parquet(tmp)
 
-    old = os.path.join(ksid_dir, f"_old_{uuid.uuid4().hex[:8]}")
-    os.rename(part, old)
-    os.rename(tmp, part)
-    shutil.rmtree(old)
-    return len(data_files), n_out
+    for _ in range(retries):
+        head = commitlog.latest_seq(lake_dir)
+        data_files = [f for f in os.listdir(part) if f.endswith(".parquet")]
+        total_bytes = sum(
+            os.path.getsize(os.path.join(part, f)) for f in data_files
+        )
+        n_out = max(1, round(total_bytes / target_file_bytes))
+
+        df = spark.read.parquet(part)
+        # The authoritative input set is what the rewrite actually read —
+        # a file landing between the os.listdir above and Spark's own
+        # listing would otherwise be both compacted AND salvaged.
+        input_names = {os.path.basename(p) for p in df.inputFiles()}
+        # Underscore-prefixed siblings: Spark's file listing ignores paths
+        # whose basename starts with `_`, and they don't match the `date=`
+        # prefix — so a concurrent read of the lake root never sees the
+        # in-flight rewrite as data or as a bogus partition value.
+        tmp = os.path.join(ksid_dir, f"_compact_{uuid.uuid4().hex[:8]}")
+        sort_cols = [c for c in ("tsid", "ts") if c in df.columns]
+        writer = df.repartition(n_out)
+        if sort_cols:
+            writer = writer.sortWithinPartitions(*sort_cols)
+        writer.write.mode("overwrite").parquet(tmp)
+
+        new_files = sorted(
+            f for f in os.listdir(tmp) if not f.startswith(("_", "."))
+        )
+        try:
+            commitlog.append(
+                lake_dir,
+                {
+                    "kind": "compaction",
+                    "partition": rel_part,
+                    "files": [os.path.join(rel_part, f) for f in new_files],
+                },
+                expected_head=head,
+            )
+        except commitlog.CommitConflict:
+            shutil.rmtree(tmp, ignore_errors=True)
+            continue  # an append landed mid-rewrite — redo from fresh state
+        old = os.path.join(ksid_dir, f"_old_{uuid.uuid4().hex[:8]}")
+        os.rename(part, old)
+        os.rename(tmp, part)
+        # Salvage appends that landed between the CAS and the rename: any
+        # data file not in the rewrite's input set belongs to a later
+        # commit; its manifest re-adds it for snapshot readers.
+        for name in os.listdir(old):
+            if name.startswith(("_", ".")) or name in input_names:
+                continue
+            shutil.move(os.path.join(old, name), os.path.join(part, name))
+        shutil.rmtree(old)
+        return len(data_files), n_out
+    raise RuntimeError("compaction lost the commit-log race repeatedly")
 
 
 def list_partitions(lake_dir: str, ksid: str) -> list[str]:
@@ -181,10 +225,19 @@ def dedupe_catalog(
         base = os.path.dirname(catalog_dir.rstrip("/")) or "."
         tmp = os.path.join(base, f"_catalog_tmp_{uuid.uuid4().hex[:8]}")
         uniq.write.mode("overwrite").parquet(tmp)
+        survivor_files = sorted(
+            f for f in os.listdir(tmp) if not f.startswith(("_", "."))
+        )
         try:
             commitlog.append(
                 lake_dir,
-                {"kind": "catalog-dedupe", "removed": n_before - n_after},
+                {
+                    "kind": "catalog-dedupe",
+                    "removed": n_before - n_after,
+                    # survivor file list: snapshot readers REPLACE the
+                    # catalog's visible set at this log position
+                    "files": survivor_files,
+                },
                 expected_head=head,
             )
         except commitlog.CommitConflict:

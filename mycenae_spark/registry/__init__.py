@@ -88,20 +88,28 @@ _R5_ERR = (
     "multimodal_frame_sample",
 )
 
+# Declared for the first time in round 6 — never checked, takes a window
+# slot ahead of stale re-checks.
+_NEW_ROUND6 = (
+    "snapshot_read_roundtrip",
+)
+
 # Stale (r1/r2-only green) ids that ALSO read events through the reader that
 # changed this round — highest-value use of the remaining window slots.
+# (downsample_p95 yielded its slot to the new round-6 id; it leads the
+# stale tail instead.)
 _STALE_EVENTS_READERS = (
     "scan_project",
     "filter_time_range",
     "filter_value",
     "fill_nan",
-    "downsample_p95",
 )
 
 # Stale r1/r2-only ids NOT touched by the drift (TPC-H/documents/embeddings
 # inputs).  Queued immediately after the window: r7's front once the r6
 # window re-greens.
 _STALE_TAIL = (
+    "downsample_p95",
     "filter_literal_or",
     "filter_not_literal_or",
     "filter_iliteral_or",
@@ -172,7 +180,8 @@ _ALL_QUERIES = {
 }
 
 _ORDER = (
-    _NEVER_CHECKED + _R5_ERR + _STALE_EVENTS_READERS + _STALE_TAIL + _R5_GREEN
+    _NEVER_CHECKED + _R5_ERR + _NEW_ROUND6 + _STALE_EVENTS_READERS
+    + _STALE_TAIL + _R5_GREEN
 )
 _missing_ledger = [k for k in _ORDER if k not in _ALL_QUERIES]
 assert not _missing_ledger, f"ledger ids without queries: {_missing_ledger}"

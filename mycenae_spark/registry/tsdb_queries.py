@@ -1347,3 +1347,90 @@ def agg_grouped_multi_tag(spark, sf_dir):
     return out.select(
         "metric", "tag_user", "tag_kmod", "bucket_ms", r4(F.col("_v")).alias("sum_v_r")
     )
+
+
+@q(
+    "snapshot_read_roundtrip",
+    """
+SELECT * FROM (VALUES
+  ('snapshot_pinned', CAST(10 AS BIGINT)),
+  ('snapshot_head', CAST(15 AS BIGINT)),
+  ('foreign_file_invisible', CAST(1 AS BIGINT)),
+  ('directory_sees_foreign', CAST(1 AS BIGINT))
+) AS t(what, n)
+""",
+)
+def snapshot_read_roundtrip(spark, sf_dir):
+    """Log-gated snapshot reads HASH-CHECKED (streaming/snapshot.py): the
+    Delta-style visibility contract itself becomes a judged value equality.
+    In a temp lake: commit batch A (10 points) → checkpoint → commit batch
+    B (5 points) → drop a FOREIGN parquet file into a partition outside the
+    commit protocol (the torn-write failure class).  Then:
+
+    * a snapshot pinned at the checkpoint sees exactly batch A (isolation),
+    * a head snapshot sees A+B via manifest replay — and is UNCHANGED by
+      the foreign file (log-gating),
+    * a plain directory read DOES see the foreign rows (the gap being
+      closed).
+
+    Constant oracle; collected (4 rows) so the frame outlives the temp
+    dir.  ``sf_dir`` unused — input synthesized, scale-invariant."""
+    import glob
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from mycenae_spark.streaming import snapshot as snap
+    from mycenae_spark.streaming.ingest import (
+        decode_json_lines,
+        prepare_points,
+        write_points_batch,
+    )
+
+    def mk(metric, n):
+        rows = [
+            (_json.dumps({
+                "metric": metric,
+                "tags": {"ksid": "k1", "host": f"h{i}"},
+                "timestamp": 1704067200000 + i * 60_000,
+                "value": float(i),
+            }),)
+            for i in range(n)
+        ]
+        valid, _ = prepare_points(
+            decode_json_lines(spark.createDataFrame(rows, ["value"]))
+        )
+        return valid
+
+    base = tempfile.mkdtemp(prefix="snap_rt_")
+    try:
+        lake, catalog = base + "/lake", base + "/catalog"
+        write_points_batch(mk("snap.a", 10), lake, catalog, batch_id="a")
+        cp = snap.write_checkpoint(lake, catalog)
+        write_points_batch(mk("snap.b", 5), lake, catalog, batch_id="b")
+
+        n_pinned = snap.read_points_snapshot(spark, lake, as_of=cp).count()
+        n_head = snap.read_points_snapshot(spark, lake).count()
+
+        part_dir = glob.glob(f"{lake}/ksid=k1/date=*/")[0]
+        src = glob.glob(f"{part_dir}/*.parquet")[0]
+        shutil.copy(src, os.path.join(part_dir, "part-foreign.c000.parquet"))
+
+        n_head_after = snap.read_points_snapshot(spark, lake).count()
+        n_dir_after = spark.read.parquet(lake).count()
+
+        out = spark.createDataFrame(
+            [
+                ("snapshot_pinned", n_pinned),
+                ("snapshot_head", n_head),
+                ("foreign_file_invisible", 1 if n_head_after == n_head else 0),
+                ("directory_sees_foreign", 1 if n_dir_after > n_head else 0),
+            ],
+            "what string, n long",
+        )
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)

@@ -249,10 +249,19 @@ class Engine:
             base = os.path.dirname(self.catalog_dir.rstrip("/")) or "."
             tmp = os.path.join(base, f"_catalog_tmp_{uuid.uuid4().hex[:8]}")
             survivors.write.mode("overwrite").parquet(tmp)
+            survivor_files = sorted(
+                f for f in os.listdir(tmp) if not f.startswith(("_", "."))
+            )
             try:
                 commitlog.append(
                     self.lake_dir,
-                    {"kind": "catalog-rewrite", "deleted": n_before - n_after},
+                    {
+                        "kind": "catalog-rewrite",
+                        "deleted": n_before - n_after,
+                        # survivor file list: log-gated snapshot readers
+                        # REPLACE the catalog's visible set at this position
+                        "files": survivor_files,
+                    },
                     expected_head=head,
                 )
             except commitlog.CommitConflict:

@@ -1,0 +1,237 @@
+"""Log-gated snapshot reads — manifests as the only source of visible files.
+
+The two-phase batch commit (streaming/ingest.py) and the monotonic commit
+log (streaming/commitlog.py) made WRITES atomic and totally ordered, but
+readers still listed parquet directories, so:
+
+* a read could see a torn foreign write (files copied into the lake outside
+  the commit protocol — exactly the class of drift that bricked rounds 4-5),
+* a read-modify-write transaction could not get a stable view of the lake
+  while appends land (the documented gap in commitlog.py),
+* there was no time travel: "the lake as of commit N" was unanswerable.
+
+This module closes the gap the way Delta/Iceberg do — a reader resolves the
+commit log, not the directory tree:
+
+    visible(as_of) = checkpoint(seq ≤ as_of) ⊕ entries(cp.seq < seq ≤ as_of)
+
+where ``⊕`` applies each entry's file-set delta:
+
+* ``points-append`` — union the batch manifest's per-section file lists
+  (``<lake>/_commits/<batch_id>``, written at the batch's commit point),
+* ``catalog-rewrite`` / ``catalog-dedupe`` — REPLACE the catalog section
+  with the rewrite's recorded survivor files (appends salvaged across the
+  swap re-add their files via their own later entries),
+* ``compaction`` — replace one ``ksid=…/date=…`` partition's files with the
+  compacted set,
+* ``checkpoint`` — no delta (the entry only serializes the bootstrap).
+
+Checkpoints (``<lake>/_commitlog/_checkpoints/<seq>.json``) bound the replay
+and solve genesis: a lake may predate the log (or the log may be truncated),
+so the first checkpoint BOOTSTRAPS by listing the directories under a
+commit-log CAS — the listing is registered at an exact log position, and any
+concurrent commit forces a retry, so the checkpoint is a consistent cut.
+After bootstrap, incremental checkpoints can be derived purely from the log.
+
+Scale notes (100 TB): resolution is manifest metadata only — no data IO, no
+Spark jobs; the returned file list feeds ``spark.read.option("basePath",
+root).parquet(*files)``, which preserves partition-column derivation and
+per-file row-group pruning exactly as a directory read would.  Checkpoint
+cadence bounds resolution cost the same way Delta's 10-commit checkpoints
+do.  Limitations (documented, not pretended): time-travel to a seq OLDER
+than a destructive rewrite (catalog rewrite, compaction, TTL drop) fails —
+old generations are physically deleted, there is no retention/VACUUM window;
+and rollup backfill writes are not yet logged (reads of the rollup section
+resolve ingest-written partials only).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from mycenae_spark.streaming import commitlog
+
+
+class SnapshotError(Exception):
+    """The log/checkpoint state cannot produce a consistent snapshot."""
+
+
+def _cp_dir(lake_dir: str) -> str:
+    return os.path.join(lake_dir, "_commitlog", "_checkpoints")
+
+
+SECTIONS = ("points", "rollup", "catalog")
+
+
+def _list_data_files(root: str | None) -> list[str]:
+    """Rel paths of data files under ``root`` (skips _staging/_commits/etc.,
+    hidden files, and underscore-prefixed dirs — Spark's own convention)."""
+    if root is None or not os.path.isdir(root):
+        return []
+    out = []
+    for dirpath, dirs, files in os.walk(root):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for f in files:
+            if f.startswith(("_", ".")):
+                continue
+            out.append(os.path.relpath(os.path.join(dirpath, f), root))
+    return sorted(out)
+
+
+def write_checkpoint(
+    lake_dir: str,
+    catalog_dir: str | None = None,
+    rollup_dir: str | None = None,
+    retries: int = 5,
+) -> int:
+    """Write a full visible-file checkpoint; returns its sequence number.
+
+    Bootstrap path: LIST the roots, then register the listing at an exact
+    log position with a CAS append — if any commit lands between the read
+    of the head and the append, the listing may be torn, so the whole
+    list-and-claim retries.  The checkpoint is therefore a consistent cut
+    even though directory listing is not atomic.
+    """
+    for _ in range(retries):
+        head = commitlog.latest_seq(lake_dir)
+        state = {
+            "points": _list_data_files(lake_dir),
+            "rollup": _list_data_files(rollup_dir),
+            "catalog": _list_data_files(catalog_dir),
+            "roots": {"points": lake_dir, "rollup": rollup_dir, "catalog": catalog_dir},
+        }
+        try:
+            seq = commitlog.append(
+                lake_dir, {"kind": "checkpoint"}, expected_head=head
+            )
+        except commitlog.CommitConflict:
+            continue
+        state["seq"] = seq
+        d = _cp_dir(lake_dir)
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f".tmp-{os.getpid()}-{seq}")
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, os.path.join(d, f"{seq:020d}.json"))
+        return seq
+    raise SnapshotError("checkpoint lost the commit-log race repeatedly")
+
+
+def latest_checkpoint(lake_dir: str, as_of: int | None = None) -> dict | None:
+    """Newest checkpoint with seq ≤ as_of (or the newest overall)."""
+    d = _cp_dir(lake_dir)
+    try:
+        names = sorted(
+            (n for n in os.listdir(d) if n.endswith(".json")), reverse=True
+        )
+    except FileNotFoundError:
+        return None
+    for name in names:
+        seq = int(name[: -len(".json")])
+        if as_of is None or seq <= as_of:
+            with open(os.path.join(d, name)) as f:
+                return json.load(f)
+    return None
+
+
+def _batch_manifest(lake_dir: str, batch_id: str) -> dict:
+    marker = os.path.join(lake_dir, "_commits", str(batch_id))
+    try:
+        with open(marker) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        raise SnapshotError(
+            f"commit marker for batch {batch_id!r} is gone (GC'd); the "
+            "checkpoint predates it — run write_checkpoint to re-baseline"
+        ) from None
+
+
+def resolve(lake_dir: str, as_of: int | None = None) -> dict:
+    """Visible file sets per section as of a log position (default: head).
+
+    Pure metadata: reads the checkpoint plus the (bounded) log suffix.
+    Returns ``{"seq", "roots", "points", "rollup", "catalog"}`` with
+    sorted rel-path lists.
+    """
+    cp = latest_checkpoint(lake_dir, as_of)
+    if cp is None:
+        raise SnapshotError(
+            "no checkpoint at or before the requested position — run "
+            "write_checkpoint(lake_dir, ...) once to bootstrap log-gated reads"
+        )
+    files = {s: set(cp[s]) for s in SECTIONS}
+    pos = cp["seq"]
+    for seq, payload in commitlog.entries(lake_dir, since=cp["seq"]):
+        if as_of is not None and seq > as_of:
+            break
+        pos = seq
+        kind = payload.get("kind")
+        if kind == "points-append":
+            manifest = _batch_manifest(lake_dir, payload["batch_id"])
+            for s in SECTIONS:
+                files[s].update(manifest.get(s, ()))
+        elif kind in ("catalog-rewrite", "catalog-dedupe"):
+            if "files" not in payload:
+                raise SnapshotError(
+                    f"log entry {seq} ({kind}) predates survivor-file "
+                    "recording — run write_checkpoint to re-baseline"
+                )
+            files["catalog"] = set(payload["files"])
+        elif kind == "compaction":
+            prefix = payload["partition"].rstrip("/") + "/"
+            files["points"] = {
+                p for p in files["points"] if not p.startswith(prefix)
+            }
+            files["points"].update(payload["files"])
+        # "checkpoint" and unknown informational kinds carry no file delta
+    out = {"seq": pos, "roots": cp.get("roots", {})}
+    for s in SECTIONS:
+        out[s] = sorted(files[s])
+    return out
+
+
+def _read_section(
+    spark: SparkSession, root: str, rel_files: list[str], schema_hint: str | None
+) -> DataFrame:
+    if not rel_files:
+        if schema_hint is None:
+            raise SnapshotError(f"empty snapshot section under {root}")
+        return spark.createDataFrame([], schema_hint)
+    paths = [os.path.join(root, rel) for rel in rel_files]
+    # The batch commit orders marker → log append → file moves, so a commit
+    # is briefly log-visible before its files finish moving.  Surface that
+    # transient as a retryable error instead of a confusing Spark failure
+    # (silently skipping missing files would break snapshot consistency).
+    missing = [p for p in paths if not os.path.exists(p)]
+    if missing:
+        raise SnapshotError(
+            f"{len(missing)} committed file(s) not yet moved into place "
+            f"(in-flight batch) — retry; first: {missing[0]}"
+        )
+    # basePath keeps ksid=…/date=… partition-column derivation identical to
+    # a directory read, so downstream partition pruning still works.
+    return spark.read.option("basePath", root).parquet(*paths)
+
+
+def read_points_snapshot(
+    spark: SparkSession, lake_dir: str, as_of: int | None = None
+) -> DataFrame:
+    """The point lake at a log position: committed files only, no torn or
+    foreign writes, stable under concurrent appends."""
+    snap = resolve(lake_dir, as_of)
+    return _read_section(spark, lake_dir, snap["points"], None)
+
+
+def read_catalog_snapshot(
+    spark: SparkSession,
+    lake_dir: str,
+    catalog_dir: str,
+    as_of: int | None = None,
+) -> DataFrame:
+    snap = resolve(lake_dir, as_of)
+    return _read_section(spark, catalog_dir, snap["catalog"], None)

@@ -73,6 +73,7 @@ def test_verification_window_composition():
     registry exactly (nothing silently falls through the rotation)."""
     from mycenae_spark.registry import (
         _NEVER_CHECKED,
+        _NEW_ROUND6,
         _R5_ERR,
         _R5_GREEN,
         _STALE_EVENTS_READERS,
@@ -81,13 +82,13 @@ def test_verification_window_composition():
 
     ids = list(QUERIES)
     window = set(ids[:50])
-    must_front = list(_NEVER_CHECKED) + list(_R5_ERR)
+    must_front = list(_NEVER_CHECKED) + list(_R5_ERR) + list(_NEW_ROUND6)
     missing = [k for k in must_front if k not in window]
     assert not missing, f"priority ids outside the driver window: {missing}"
 
     ledger = (
-        set(_NEVER_CHECKED) | set(_R5_ERR) | set(_STALE_EVENTS_READERS)
-        | set(_STALE_TAIL) | set(_R5_GREEN)
+        set(_NEVER_CHECKED) | set(_R5_ERR) | set(_NEW_ROUND6)
+        | set(_STALE_EVENTS_READERS) | set(_STALE_TAIL) | set(_R5_GREEN)
     )
     assert ledger == set(ids), (
         f"ledger/registry mismatch: only-ledger={ledger - set(ids)} "

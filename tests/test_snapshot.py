@@ -1,0 +1,151 @@
+"""Log-gated snapshot reads (streaming/snapshot.py): manifests are the only
+source of visible files — torn/foreign writes are invisible, concurrent
+appends don't move a pinned snapshot, and compaction/catalog rewrites
+replace file sets at exact log positions (NEXT.md item 3, Delta-style)."""
+
+from __future__ import annotations
+
+import json
+import shutil
+
+import pytest
+
+from mycenae_spark.streaming import commitlog, snapshot
+from mycenae_spark.streaming.ingest import (
+    decode_json_lines,
+    prepare_points,
+    write_points_batch,
+)
+
+def _mk_points(spark, n=6, metric="cpu.usage", day="2024-01-01"):
+    rows = [
+        (json.dumps({
+            "metric": metric,
+            "tags": {"ksid": "ks1", "host": f"web{i:02d}"},
+            "timestamp": 1704067200000 + i * 60_000,
+            "value": float(i),
+        }),)
+        for i in range(n)
+    ]
+    valid, _ = prepare_points(
+        decode_json_lines(spark.createDataFrame(rows, ["value"]))
+    )
+    return valid
+
+
+def _setup_lake(spark, tmp_path, batches=2):
+    lake, catalog = str(tmp_path / "lake"), str(tmp_path / "catalog")
+    for b in range(batches):
+        write_points_batch(
+            _mk_points(spark, metric=f"m{b}"), lake, catalog, batch_id=b
+        )
+    return lake, catalog
+
+
+def test_checkpoint_bootstrap_matches_directory_read(spark, tmp_path):
+    lake, catalog = _setup_lake(spark, tmp_path)
+    seq = snapshot.write_checkpoint(lake, catalog)
+    assert seq == commitlog.latest_seq(lake)
+    snap_df = snapshot.read_points_snapshot(spark, lake)
+    assert snap_df.count() == spark.read.parquet(lake).count() == 12
+    # partition-column derivation survives the explicit-file read
+    assert {"ksid", "date"} <= set(snap_df.columns)
+    cat = snapshot.read_catalog_snapshot(spark, lake, catalog)
+    assert cat.count() == spark.read.parquet(catalog).count() == 12
+
+
+def test_foreign_write_is_invisible_to_snapshot(spark, tmp_path):
+    """THE log-gating property: a parquet file landing in the lake outside
+    the commit protocol (torn write, stray copy — the failure class that
+    bricked rounds 4-5) is visible to a directory read but NOT to a
+    snapshot read."""
+    lake, catalog = _setup_lake(spark, tmp_path)
+    snapshot.write_checkpoint(lake, catalog)
+    # copy a committed part file to a rogue name — a plausible torn write
+    import glob
+    import os
+
+    part_dir = glob.glob(f"{lake}/ksid=ks1/date=*/")[0]
+    src = glob.glob(f"{part_dir}/*.parquet")[0]
+    shutil.copy(src, os.path.join(part_dir, "part-rogue-copy.c000.parquet"))
+
+    assert spark.read.parquet(lake).count() > 12  # directory read: polluted
+    assert snapshot.read_points_snapshot(spark, lake).count() == 12
+
+
+def test_append_after_checkpoint_is_visible_and_time_travel_works(
+    spark, tmp_path
+):
+    lake, catalog = _setup_lake(spark, tmp_path)
+    cp_seq = snapshot.write_checkpoint(lake, catalog)
+    write_points_batch(_mk_points(spark, metric="late"), lake, catalog,
+                       batch_id="b-late")
+    # head snapshot sees the new batch (manifest replay past the checkpoint)
+    assert snapshot.read_points_snapshot(spark, lake).count() == 18
+    # pinned snapshot at the checkpoint does NOT (snapshot isolation)
+    assert snapshot.read_points_snapshot(spark, lake, as_of=cp_seq).count() == 12
+    # catalog section replays the same way
+    assert snapshot.read_catalog_snapshot(spark, lake, catalog).count() == 18
+    assert (
+        snapshot.read_catalog_snapshot(spark, lake, catalog, as_of=cp_seq).count()
+        == 12
+    )
+
+
+def test_resolve_requires_checkpoint(spark, tmp_path):
+    lake, catalog = _setup_lake(spark, tmp_path, batches=1)
+    with pytest.raises(snapshot.SnapshotError, match="checkpoint"):
+        snapshot.resolve(lake)
+
+
+def test_compaction_replaces_partition_in_snapshot(spark, tmp_path):
+    from mycenae_spark.maintenance import compact_partition
+
+    lake, catalog = _setup_lake(spark, tmp_path, batches=3)
+    snapshot.write_checkpoint(lake, catalog)
+    before = snapshot.read_points_snapshot(spark, lake)
+    n_before = before.count()
+    import glob
+    import os
+
+    date = os.path.basename(
+        glob.glob(f"{lake}/ksid=ks1/date=*")[0]
+    ).split("=", 1)[1]
+    files_before, files_after = compact_partition(
+        spark, lake, "ks1", date, target_file_bytes=1 << 30
+    )
+    assert files_after <= files_before
+    snap = snapshot.resolve(lake)
+    # the compaction entry replaced the partition's visible files
+    part_files = [p for p in snap["points"] if f"date={date}" in p]
+    assert len(part_files) == files_after
+    assert snapshot.read_points_snapshot(spark, lake).count() == n_before
+
+
+def test_catalog_rewrite_replaces_catalog_in_snapshot(spark, tmp_path):
+    from mycenae_spark.maintenance import dedupe_catalog
+
+    lake, catalog = _setup_lake(spark, tmp_path, batches=1)
+    # force duplicates: re-append the same series rows directly
+    cat = spark.read.parquet(catalog)
+    cat.write.mode("append").parquet(catalog)
+    snapshot.write_checkpoint(lake, catalog)
+    assert snapshot.read_catalog_snapshot(spark, lake, catalog).count() == 12
+    out = dedupe_catalog(spark, lake, catalog)
+    assert out["removed"] == 6
+    # snapshot readers pick up the survivor set recorded in the log entry
+    assert snapshot.read_catalog_snapshot(spark, lake, catalog).count() == 6
+    # and a post-rewrite append becomes visible through its manifest
+    write_points_batch(_mk_points(spark, metric="post"), lake, catalog,
+                       batch_id="b-post")
+    assert snapshot.read_catalog_snapshot(spark, lake, catalog).count() == 12
+
+
+def test_checkpoint_cas_retries_are_bounded(spark, tmp_path):
+    lake, catalog = _setup_lake(spark, tmp_path, batches=1)
+    seq1 = snapshot.write_checkpoint(lake, catalog)
+    seq2 = snapshot.write_checkpoint(lake, catalog)
+    assert seq2 == seq1 + 1  # each checkpoint claims its own log slot
+    # resolving uses the NEWEST checkpoint ≤ as_of
+    assert snapshot.resolve(lake)["seq"] == seq2
+    assert snapshot.resolve(lake, as_of=seq1)["seq"] == seq1
