@@ -169,36 +169,78 @@ def backfill_rollup(
     rollup_dir: str,
     interval_ms: int = 60_000,
     series_cols: list[str] | None = None,
-) -> None:
-    """Rebuild the rollup lake from the ENTIRE point lake and mark coverage
+) -> dict:
+    """Rebuild the rollup lake from the point lake and mark coverage
     complete — required when enabling ``rollup_dir`` on a lake that already
     holds points (their buckets would otherwise be silently missing from
-    routed queries).
+    routed queries).  Also disaster recovery for a lost rollup lake.
 
-    One distributed pass: scan lake → partials → overwrite rollup (the
-    overwrite replaces any partial-coverage rollup exactly, since the
-    result is recomputed from every point).  Run with ingest paused — a
-    concurrent batch appending to both lakes during the overwrite could be
-    double-counted.  Cost ∝ lake size, once; the same job serves as
-    disaster recovery for a lost rollup lake.
+    Concurrent-safe WITHOUT pausing ingest (NEXT.md item 4), by composing
+    with log-gated snapshots (streaming/snapshot.py):
+
+    1. the scan reads a snapshot PINNED at log position H — committed
+       batches only, by manifest, so which points the recompute covers is
+       exact, not whatever the directory listing raced into;
+    2. any batch committing after H keeps its own partial files across the
+       directory swap (salvage below).  Partials are MERGEABLE, so
+       "recomputed-from-≤H plus retained->H" is exactly correct — the
+       property that makes this possible without a lock or a re-run;
+    3. the ``rollup-backfill`` log entry records (as_of=H, recomputed
+       files), letting snapshot readers replace the rollup's visible set
+       at this exact position with the same salvage rule.
+
+    The swap salvage is race-free for the same reason swap_catalog_dir's
+    is: appends target the ``rollup_dir`` PATH, so once the old dir is
+    renamed away no further files land in it.  (A move landing in the
+    instant between the two renames can recreate ``rollup_dir`` and fail
+    the second rename loudly — rerun; nothing is lost or double-counted.)
+
+    Cost ∝ lake size, once.  Returns {"as_of", "seq", "salvaged"}.
     """
     import os
     import shutil
     import uuid
 
-    valid = spark.read.parquet(lake_dir)
+    from mycenae_spark.streaming import commitlog
+    from mycenae_spark.streaming import snapshot as snap
+
+    # Always take a FRESH checkpoint: its directory listing includes any
+    # legacy files written before this lake was log-tracked, matching the
+    # coverage semantics of a directory scan while still pinning an exact
+    # cut.  (Omitted roots inherit from the previous checkpoint.)
+    as_of = snap.write_checkpoint(lake_dir, rollup_dir=rollup_dir)
+    cut = snap.resolve(lake_dir, as_of=as_of)
+    valid = snap.read_points_snapshot(spark, lake_dir, as_of=as_of)
     partials = rollup_batch(valid, interval_ms, series_cols)
     base = os.path.dirname(rollup_dir.rstrip("/")) or "."
     tmp = os.path.join(base, f"_rollup_backfill_{uuid.uuid4().hex[:8]}")
     partials.write.mode("overwrite").partitionBy("ksid", "date").parquet(tmp)
+    new_files = snap._list_data_files(tmp)
+    seq = commitlog.append(
+        lake_dir,
+        {"kind": "rollup-backfill", "as_of": as_of, "files": new_files},
+    )
+    salvaged = 0
     if os.path.isdir(rollup_dir):
         old = os.path.join(base, f"_rollup_old_{uuid.uuid4().hex[:8]}")
         os.rename(rollup_dir, old)
         os.rename(tmp, rollup_dir)
+        # Keep partials from batches that committed after the pinned cut:
+        # anything in the old dir that was NOT visible at H belongs to a
+        # later commit (its manifest re-adds it for snapshot readers).
+        superseded = set(cut["rollup"])
+        for rel in snap._list_data_files(old):
+            if rel in superseded:
+                continue
+            dst = os.path.join(rollup_dir, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.move(os.path.join(old, rel), dst)
+            salvaged += 1
         shutil.rmtree(old)
     else:
         os.rename(tmp, rollup_dir)
     mark_rollup_coverage(rollup_dir, True)
+    return {"as_of": as_of, "seq": seq, "salvaged": salvaged}
 
 
 def read_rollup(

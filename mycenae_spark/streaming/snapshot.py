@@ -94,7 +94,16 @@ def write_checkpoint(
     of the head and the append, the listing may be torn, so the whole
     list-and-claim retries.  The checkpoint is therefore a consistent cut
     even though directory listing is not atomic.
+
+    Roots omitted here are inherited from the previous checkpoint, so a
+    caller that only knows one section (e.g. backfill_rollup) cannot
+    silently drop another section's tracking.
     """
+    prev = latest_checkpoint(lake_dir)
+    if prev is not None:
+        prev_roots = prev.get("roots", {})
+        catalog_dir = catalog_dir or prev_roots.get("catalog")
+        rollup_dir = rollup_dir or prev_roots.get("rollup")
     for _ in range(retries):
         head = commitlog.latest_seq(lake_dir)
         state = {
@@ -188,6 +197,20 @@ def resolve(lake_dir: str, as_of: int | None = None) -> dict:
                 p for p in files["points"] if not p.startswith(prefix)
             }
             files["points"].update(payload["files"])
+        elif kind == "rollup-backfill":
+            # The backfill recomputed partials from a snapshot pinned at
+            # payload["as_of"]; batches committing in (as_of, here) kept
+            # their partial files via swap salvage (partials are mergeable,
+            # so retaining them is exact) — re-add them from their
+            # manifests on top of the recomputed set.
+            base = set(payload["files"])
+            for s2, p2 in commitlog.entries(lake_dir, since=payload["as_of"]):
+                if s2 >= seq:
+                    break
+                if p2.get("kind") == "points-append":
+                    m = _batch_manifest(lake_dir, p2["batch_id"])
+                    base.update(m.get("rollup", ()))
+            files["rollup"] = base
         # "checkpoint" and unknown informational kinds carry no file delta
     out = {"seq": pos, "roots": cp.get("roots", {})}
     for s in SECTIONS:
@@ -234,4 +257,26 @@ def read_catalog_snapshot(
     as_of: int | None = None,
 ) -> DataFrame:
     snap = resolve(lake_dir, as_of)
+    if snap["roots"].get("catalog") is None:
+        raise SnapshotError(
+            "the governing checkpoint did not track the catalog section — "
+            "run write_checkpoint(lake_dir, catalog_dir=...) to re-baseline"
+        )
     return _read_section(spark, catalog_dir, snap["catalog"], None)
+
+
+def read_rollup_snapshot(
+    spark: SparkSession,
+    lake_dir: str,
+    rollup_dir: str,
+    as_of: int | None = None,
+) -> DataFrame:
+    """Rollup partials at a log position (ingest-written partials and
+    backfill generations; see ``resolve`` for the backfill delta rule)."""
+    snap = resolve(lake_dir, as_of)
+    if snap["roots"].get("rollup") is None:
+        raise SnapshotError(
+            "the governing checkpoint did not track the rollup section — "
+            "run write_checkpoint(lake_dir, rollup_dir=...) to re-baseline"
+        )
+    return _read_section(spark, rollup_dir, snap["rollup"], None)
