@@ -132,8 +132,33 @@ class Engine:
             )
         return self._tag_keys_cache
 
+    def checkpoint(self) -> int:
+        """Enable log-gated reads for this lake (streaming/snapshot.py):
+        writes a consistent checkpoint so subsequent queries resolve their
+        file set from the commit log instead of directory listing —
+        torn/foreign files become invisible and concurrent rewrites can't
+        tear a query's view.  Run once (and periodically, to bound manifest
+        replay) from the maintenance schedule."""
+        from mycenae_spark.streaming import snapshot as snap
+
+        return snap.write_checkpoint(
+            self.lake_dir, self.catalog_dir, rollup_dir=self.rollup_dir
+        )
+
+    def _read_lake(self) -> DataFrame:
+        """Log-gated snapshot read when a checkpoint exists; directory read
+        otherwise.  The fallback favors availability: a lake that predates
+        log-gating (or whose markers were GC'd past the checkpoint) still
+        serves queries, with the pre-r6 visibility semantics."""
+        from mycenae_spark.streaming import snapshot as snap
+
+        try:
+            return snap.read_points_snapshot(self.spark, self.lake_dir)
+        except snap.SnapshotError:
+            return self.spark.read.parquet(self.lake_dir)
+
     def _points(self) -> DataFrame:
-        lake = self.spark.read.parquet(self.lake_dir)
+        lake = self._read_lake()
         cols = [
             F.col("tags").getItem(k).alias(f"tag_{k}") for k in self._tag_keys()
         ]

@@ -281,3 +281,45 @@ def test_tag_key_discovery_reads_catalog_not_lake(spark, tmp_path_factory):
          "timestamp": BASE_TS, "value": 2.0},
     ])
     assert eng._tag_keys() == ["dc", "host"]
+
+
+def test_engine_log_gated_reads_after_checkpoint(spark, tmp_path_factory):
+    """Engine.checkpoint() switches the query path to log-gated snapshot
+    reads: a foreign parquet file dropped into the lake outside the commit
+    protocol is invisible to queries, while a later committed put IS
+    visible (manifest replay).  Without a checkpoint the engine keeps the
+    availability-first directory-read fallback."""
+    import glob
+    import shutil
+
+    from mycenae_spark.server import Engine
+
+    d = tmp_path_factory.mktemp("loggated")
+    lake, catalog = str(d / "lake"), str(d / "catalog")
+    eng = Engine(spark, lake, catalog)
+    eng.put([
+        {"metric": "lg.m", "tags": {"ksid": "k1", "host": f"h{i}"},
+         "timestamp": BASE_TS + i * 1000, "value": 1.0}
+        for i in range(4)
+    ])
+
+    def n_rows():
+        return eng._points().filter("metric = 'lg.m'").count()
+
+    assert n_rows() == 4
+    eng.checkpoint()
+
+    part_dir = glob.glob(f"{lake}/ksid=k1/date=*/")[0]
+    src = glob.glob(f"{part_dir}*.parquet")[0]
+    shutil.copy(src, part_dir + "part-foreign.c000.parquet")
+
+    # directory read would double-count; the log-gated read does not
+    assert n_rows() == 4
+    assert spark.read.parquet(lake).count() > 4
+
+    # a committed put after the checkpoint is visible via its manifest
+    eng.put([
+        {"metric": "lg.m", "tags": {"ksid": "k1", "host": "h9"},
+         "timestamp": BASE_TS + 9000, "value": 1.0},
+    ])
+    assert n_rows() == 5
