@@ -99,3 +99,50 @@ def test_ann_rerank_broadcasts_centroids_no_corpus_shuffle_join(spark):
     plan = _plan(spark, "ann_ivf_rerank_topk")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # tiny centroid cross-products
+
+
+def test_snapshot_read_preserves_pushdown_and_partition_pruning(spark, tmp_path):
+    """The log-gated read (explicit file list + basePath) must keep the
+    same physical-plan properties as a directory read: predicate pushdown
+    into the parquet scan AND partition-column pruning on ksid/date —
+    otherwise snapshot isolation would cost a 100 TB full scan."""
+    import json
+
+    import pyspark.sql.functions as F
+
+    from mycenae_spark.streaming import snapshot
+    from mycenae_spark.streaming.ingest import (
+        decode_json_lines,
+        prepare_points,
+        write_points_batch,
+    )
+
+    lake, catalog = str(tmp_path / "lake"), str(tmp_path / "catalog")
+    rows = [
+        (json.dumps({
+            "metric": "plan.m",
+            "tags": {"ksid": k, "host": "h"},
+            "timestamp": 1704067200000 + d * 86_400_000,
+            "value": 1.0,
+        }),)
+        for k in ("k1", "k2")
+        for d in range(2)
+    ]
+    valid, _ = prepare_points(
+        decode_json_lines(spark.createDataFrame(rows, ["value"]))
+    )
+    write_points_batch(valid, lake, catalog, batch_id=0)
+    snapshot.write_checkpoint(lake, catalog)
+
+    df = (
+        snapshot.read_points_snapshot(spark, lake)
+        .filter((F.col("ksid") == "k1") & (F.col("metric") == "plan.m"))
+        .select("metric", "value")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # value predicate pushed into the parquet scan
+    assert "EqualTo(metric,plan.m)" in plan
+    # partition filter applied at planning (ksid is a partition column of
+    # the explicit-file relation thanks to basePath)
+    assert "ksid" in plan and "PartitionFilters" in plan
+    assert df.count() == 2
