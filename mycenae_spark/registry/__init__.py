@@ -88,21 +88,22 @@ _R5_ERR = (
     "multimodal_frame_sample",
 )
 
-# Declared for the first time in round 6 — never checked, takes a window
-# slot ahead of stale re-checks.
+# Declared for the first time in round 6 — never checked, take window
+# slots ahead of stale re-checks (never-checked beats has-a-historical-
+# green for a bounded slot).
 _NEW_ROUND6 = (
     "snapshot_read_roundtrip",
+    "stream_dedup_roundtrip",
 )
 
 # Stale (r1/r2-only green) ids that ALSO read events through the reader that
 # changed this round — highest-value use of the remaining window slots.
-# (downsample_p95 yielded its slot to the new round-6 id; it leads the
-# stale tail instead.)
+# (downsample_p95 and fill_nan yielded their slots to the new round-6 ids;
+# they lead the stale tail instead.)
 _STALE_EVENTS_READERS = (
     "scan_project",
     "filter_time_range",
     "filter_value",
-    "fill_nan",
 )
 
 # Stale r1/r2-only ids NOT touched by the drift (TPC-H/documents/embeddings
@@ -110,6 +111,7 @@ _STALE_EVENTS_READERS = (
 # window re-greens.
 _STALE_TAIL = (
     "downsample_p95",
+    "fill_nan",
     "filter_literal_or",
     "filter_not_literal_or",
     "filter_iliteral_or",

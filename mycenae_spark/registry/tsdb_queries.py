@@ -1434,3 +1434,82 @@ def snapshot_read_roundtrip(spark, sf_dir):
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+@q(
+    "stream_dedup_roundtrip",
+    """
+SELECT * FROM (VALUES
+  ('raw_rows', CAST(25 AS BIGINT)),
+  ('deduped_rows', CAST(15 AS BIGINT))
+) AS t(what, n)
+""",
+)
+def stream_dedup_roundtrip(spark, sf_dir):
+    """T6 retransmit-dedup HASH-CHECKED end-to-end: a REAL Structured
+    Streaming job (file source → dropDuplicatesWithinWatermark → memory
+    sink, availableNow) over a source where every point of file A is
+    RETRANSMITTED in file B with a later receive-stamped ts (the UDP/telnet
+    retry shape), plus 5 genuinely new points.  Keying on event_id alone
+    collapses each retransmit to one row — semantics (id, ts) dedup cannot
+    give — and the result is batching-invariant: the dedup state store
+    persists across however many micro-batches the files split into.
+    Constant oracle: 25 raw rows in, 15 unique ids out.  ``sf_dir`` unused
+    — input synthesized, scale-invariant."""
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from mycenae_spark.streaming.windows import dedup_stream_retransmit
+
+    base = tempfile.mkdtemp(prefix="sdedup_rt_")
+    try:
+        src = os.path.join(base, "src")
+        os.makedirs(src)
+        t0 = 1704067200000
+        orig = [
+            {"event_id": i, "ts_ms": t0 + i * 1000, "metric": "sd.m",
+             "value": float(i)}
+            for i in range(10)
+        ]
+        retrans = [dict(p, ts_ms=p["ts_ms"] + 5000) for p in orig] + [
+            {"event_id": i, "ts_ms": t0 + i * 1000, "metric": "sd.m",
+             "value": float(i)}
+            for i in range(10, 15)
+        ]
+        with open(os.path.join(src, "a.jsonl"), "w") as f:
+            f.write("\n".join(_json.dumps(p) for p in orig))
+        with open(os.path.join(src, "b.jsonl"), "w") as f:
+            f.write("\n".join(_json.dumps(p) for p in retrans))
+
+        schema = "event_id long, ts_ms long, metric string, value double"
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")  # force a multi-batch run
+            .json(src)
+            .withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+        )
+        deduped = dedup_stream_retransmit(stream)
+        sink = f"sdedup_{uuid.uuid4().hex[:8]}"
+        (
+            deduped.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(120)
+        )
+        n_raw = spark.read.schema(schema).json(src).count()
+        n_dedup = spark.table(sink).count()
+        out = spark.createDataFrame(
+            [("raw_rows", n_raw), ("deduped_rows", n_dedup)],
+            "what string, n long",
+        )
+        rows = out.collect()
+        res_schema = out.schema
+        spark.catalog.dropTempView(sink)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, res_schema)
