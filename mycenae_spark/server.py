@@ -189,7 +189,17 @@ class Engine:
             if os.path.isdir(self.rollup_dir) and rollup_coverage_complete(
                 self.rollup_dir
             ):
-                rollup = read_rollup_series(self.spark, self.rollup_dir)
+                from mycenae_spark.streaming import snapshot as snap
+
+                try:
+                    roll_df = snap.read_rollup_snapshot(
+                        self.spark, self.lake_dir, self.rollup_dir
+                    )
+                except snap.SnapshotError:
+                    roll_df = None  # same availability fallback as _read_lake
+                rollup = read_rollup_series(
+                    self.spark, self.rollup_dir, df=roll_df
+                )
         for q in parse_query_request(body, now_ms):
             nan_fill = bool(q.downsample and q.downsample.endswith("-nan"))
             out.extend(

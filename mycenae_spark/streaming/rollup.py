@@ -328,17 +328,21 @@ def read_rollup_percentile(
     return hit.select(*series_cols, "bucket_ms", value.alias("value"))
 
 
-def read_rollup_series(spark, rollup_dir: str) -> DataFrame:
+def read_rollup_series(spark, rollup_dir: str, df: DataFrame | None = None) -> DataFrame:
     """Rollup partials in the planner's column convention: ``metric``,
     ``tag_<k>`` columns (expanded from the carried tags map), ``bucket_ms``,
     ``p_sum/p_count/p_min/p_max``.  This is the frame
     ``plans.tsdb.plan(..., rollup=...)`` routes downsample queries onto.
 
+    ``df`` overrides the directory read with a caller-provided partials
+    frame (the engine passes a log-gated snapshot when one exists).
+
     The tag-key discovery is one distinct over map keys of the (tiny,
     #series-bounded buckets) rollup — same driver-side shaping the HTTP
     engine does for the point lake.
     """
-    df = spark.read.parquet(rollup_dir)
+    if df is None:
+        df = spark.read.parquet(rollup_dir)
     keys = [
         r[0]
         for r in df.select(F.explode(F.map_keys("tags")).alias("k"))
