@@ -120,7 +120,7 @@ class Engine:
             from pyspark.errors import AnalysisException
 
             try:
-                cat = self.spark.read.parquet(self.catalog_dir)
+                cat = self._read_catalog()
             except AnalysisException:  # no catalog yet → no tag keys yet
                 return []
             self._tag_keys_cache = sorted(
@@ -156,6 +156,17 @@ class Engine:
             return snap.read_points_snapshot(self.spark, self.lake_dir)
         except snap.SnapshotError:
             return self.spark.read.parquet(self.lake_dir)
+
+    def _read_catalog(self) -> DataFrame:
+        """Catalog twin of :meth:`_read_lake` (same fallback contract)."""
+        from mycenae_spark.streaming import snapshot as snap
+
+        try:
+            return snap.read_catalog_snapshot(
+                self.spark, self.lake_dir, self.catalog_dir
+            )
+        except snap.SnapshotError:
+            return self.spark.read.parquet(self.catalog_dir)
 
     def _points(self) -> DataFrame:
         lake = self._read_lake()
@@ -220,7 +231,7 @@ class Engine:
         # The stored catalog carries a tags MAP column; expand it to the
         # per-tag-column form catalog.suggest expects (any tag schema),
         # sharing the cached _tag_keys source of truth.
-        cat = self.spark.read.parquet(self.catalog_dir)
+        cat = self._read_catalog()
         cat = cat.select(
             "metric",
             *[F.col("tags").getItem(k).alias(f"tag_{k}") for k in self._tag_keys()],
