@@ -178,6 +178,16 @@ def resolve(lake_dir: str, as_of: int | None = None) -> dict:
     for seq, payload in commitlog.entries(lake_dir, since=cp["seq"]):
         if as_of is not None and seq > as_of:
             break
+        if seq != pos + 1:
+            # commitlog.truncate dropped entries newer than the governing
+            # checkpoint: their file deltas are unrecoverable, so failing
+            # loudly beats silently serving a hole in the lake.
+            raise SnapshotError(
+                f"commit log gap after {pos} (next surviving entry {seq}); "
+                "the log was truncated past the newest checkpoint — run "
+                "write_checkpoint to re-baseline, and keep the truncate "
+                "horizon longer than the checkpoint cadence"
+            )
         pos = seq
         kind = payload.get("kind")
         if kind == "points-append":

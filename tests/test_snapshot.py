@@ -202,3 +202,29 @@ def test_backfill_rollup_salvages_concurrent_batch(spark, tmp_path):
     n_pre = len(snap.resolve(lake, as_of=pre_b2)["rollup"])
     n_now = len(snap.resolve(lake)["rollup"])
     assert n_now > n_pre  # batch 2's partials joined the visible set
+
+
+def test_resolve_detects_truncated_log_gap(spark, tmp_path):
+    """If commitlog.truncate drops entries newer than the governing
+    checkpoint, their manifests are unrecoverable — resolve must fail
+    loudly instead of serving a hole in the lake."""
+    import os
+
+    lake, catalog = _setup_lake(spark, tmp_path, batches=1)
+    snapshot.write_checkpoint(lake, catalog)
+    write_points_batch(_mk_points(spark, metric="gap1"), lake, catalog,
+                       batch_id="g1")
+    write_points_batch(_mk_points(spark, metric="gap2"), lake, catalog,
+                       batch_id="g2")
+    # simulate an over-aggressive truncate: remove the entry right after
+    # the checkpoint
+    victims = sorted(
+        n for n in os.listdir(os.path.join(lake, "_commitlog"))
+        if n.endswith(".json")
+    )
+    os.unlink(os.path.join(lake, "_commitlog", victims[-2]))
+    with pytest.raises(snapshot.SnapshotError, match="gap"):
+        snapshot.resolve(lake)
+    # re-baselining repairs it
+    snapshot.write_checkpoint(lake, catalog)
+    assert snapshot.read_points_snapshot(spark, lake).count() == 18
