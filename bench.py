@@ -67,6 +67,8 @@ HEADLINE = [
     "window_ewma",
     "multimodal_media_stats",
     "multimodal_frame_sample",
+    # round 6
+    "ann_pq_adc_topk",
 ]
 
 
@@ -110,6 +112,11 @@ def main() -> None:
         (r["q_id"], r["n_id"])
         for r in QUERIES["ann_ivf_kmeans2_topk"](spark, sf_dir).collect()
     }
+    pq = {
+        (r["q_id"], r["n_id"])
+        for r in QUERIES["ann_pq_adc_topk"](spark, sf_dir).collect()
+    }
+    recall_pq = round(len(brute & pq) / max(len(brute), 1), 3)
     recall = round(len(brute & ivf) / max(len(brute), 1), 3)
     recall_km = round(len(brute & kmeans) / max(len(brute), 1), 3)
     recall_rr = round(len(brute & rerank) / max(len(brute), 1), 3)
@@ -147,6 +154,7 @@ def main() -> None:
                     "ann_ivf_kmeans_recall_at3": recall_km,
                     "ann_ivf_rerank_recall_at3": recall_rr,
                     "ann_ivf_kmeans2_recall_at3": recall_k2,
+                    "ann_pq_adc_recall_at3": recall_pq,
                     "ann_ivf_kmeans_recall_at3_by_nprobe": curve,
                 },
             }

@@ -106,6 +106,13 @@ _STALE_EVENTS_READERS = (
     "filter_value",
 )
 
+# Declared AFTER the round-6 window filled (the r3 overflow precedent):
+# consciously deferred to the r7 front window, queued before the stale
+# tail so the first rotation picks it up.
+_WINDOW_OVERFLOW_NEXT_ROUND = (
+    "ann_pq_adc_topk",
+)
+
 # Stale r1/r2-only ids NOT touched by the drift (TPC-H/documents/embeddings
 # inputs).  Queued immediately after the window: r7's front once the r6
 # window re-greens.
@@ -183,7 +190,7 @@ _ALL_QUERIES = {
 
 _ORDER = (
     _NEVER_CHECKED + _R5_ERR + _NEW_ROUND6 + _STALE_EVENTS_READERS
-    + _STALE_TAIL + _R5_GREEN
+    + _WINDOW_OVERFLOW_NEXT_ROUND + _STALE_TAIL + _R5_GREEN
 )
 _missing_ledger = [k for k in _ORDER if k not in _ALL_QUERIES]
 assert not _missing_ledger, f"ledger ids without queries: {_missing_ledger}"

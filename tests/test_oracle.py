@@ -78,6 +78,7 @@ def test_verification_window_composition():
         _R5_GREEN,
         _STALE_EVENTS_READERS,
         _STALE_TAIL,
+        _WINDOW_OVERFLOW_NEXT_ROUND,
     )
 
     ids = list(QUERIES)
@@ -88,12 +89,13 @@ def test_verification_window_composition():
 
     ledger = (
         set(_NEVER_CHECKED) | set(_R5_ERR) | set(_NEW_ROUND6)
-        | set(_STALE_EVENTS_READERS) | set(_STALE_TAIL) | set(_R5_GREEN)
+        | set(_STALE_EVENTS_READERS) | set(_WINDOW_OVERFLOW_NEXT_ROUND)
+        | set(_STALE_TAIL) | set(_R5_GREEN)
     )
     assert ledger == set(ids), (
         f"ledger/registry mismatch: only-ledger={ledger - set(ids)} "
         f"only-registry={set(ids) - ledger}"
     )
-    # the stale tail queues immediately after the window → r7's front
-    for k in _STALE_TAIL:
+    # overflow + stale tail queue immediately after the window → r7's front
+    for k in (*_WINDOW_OVERFLOW_NEXT_ROUND, *_STALE_TAIL):
         assert k in ids and k not in window, k
