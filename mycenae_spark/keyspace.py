@@ -81,6 +81,13 @@ class KeyspaceManager:
         path = os.path.join(self.lake_dir, f"ksid={name}")
         if os.path.exists(path):
             shutil.rmtree(path)
+            from mycenae_spark.streaming import commitlog
+
+            # same snapshot-visibility contract as apply_ttl
+            commitlog.append(
+                self.lake_dir,
+                {"kind": "partition-drop", "partitions": [f"ksid={name}"]},
+            )
 
     # -- TTL maintenance --------------------------------------------------
 
@@ -105,8 +112,29 @@ class KeyspaceManager:
 
     def apply_ttl(self, name: str, today: date | None = None) -> list[str]:
         """Drop expired partitions; returns the paths removed.  Pure
-        directory deletes — cost independent of partition size."""
+        directory deletes — cost independent of partition size.
+
+        The drop is recorded in the commit log (``partition-drop``) so
+        log-gated snapshot readers (streaming/snapshot.py) remove the
+        partitions' files from the visible set at this exact position —
+        without the entry, every later snapshot read would reference the
+        deleted files and fail.  No CAS: the TTL horizon is days while
+        append timestamps are near-now, so a batch racing the drop into an
+        *expired* partition is already outside the data contract (its
+        points were due for deletion the moment they landed)."""
         dropped = self.expired_partitions(name, today or date.today())
         for path in dropped:
             shutil.rmtree(path)
+        if dropped:
+            from mycenae_spark.streaming import commitlog
+
+            commitlog.append(
+                self.lake_dir,
+                {
+                    "kind": "partition-drop",
+                    "partitions": [
+                        os.path.relpath(p, self.lake_dir) for p in dropped
+                    ],
+                },
+            )
         return dropped

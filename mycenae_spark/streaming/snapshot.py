@@ -207,6 +207,16 @@ def resolve(lake_dir: str, as_of: int | None = None) -> dict:
                 p for p in files["points"] if not p.startswith(prefix)
             }
             files["points"].update(payload["files"])
+        elif kind == "partition-drop":
+            # keyspace TTL / drop: the partitions' files left the visible
+            # set at this position (rollup partials share the same
+            # ksid=/date= layout, so the prefix applies to both sections)
+            prefixes = [p.rstrip("/") + "/" for p in payload["partitions"]]
+            for section in ("points", "rollup"):
+                files[section] = {
+                    p for p in files[section]
+                    if not any(p.startswith(px) for px in prefixes)
+                }
         elif kind == "rollup-backfill":
             # The backfill recomputed partials from a snapshot pinned at
             # payload["as_of"]; batches committing in (as_of, here) kept

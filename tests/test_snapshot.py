@@ -228,3 +228,44 @@ def test_resolve_detects_truncated_log_gap(spark, tmp_path):
     # re-baselining repairs it
     snapshot.write_checkpoint(lake, catalog)
     assert snapshot.read_points_snapshot(spark, lake).count() == 18
+
+
+def test_ttl_partition_drop_updates_snapshot(spark, tmp_path):
+    """Keyspace TTL drops are destructive rewrites like compaction: the
+    partition-drop log entry must remove the dropped files from the
+    visible set, or every later snapshot read would reference deleted
+    files and fail."""
+    import datetime
+    import json as _json
+
+    from mycenae_spark.keyspace import Keyspace, KeyspaceManager
+
+    lake, catalog = str(tmp_path / "lake"), str(tmp_path / "catalog")
+    # two date partitions: one old (expired), one recent
+    for b, (day_ms, metric) in enumerate(
+        [(1704067200000, "old.m"), (1706745600000, "new.m")]
+    ):
+        rows = [
+            (_json.dumps({
+                "metric": metric,
+                "tags": {"ksid": "k1", "host": f"h{i}"},
+                "timestamp": day_ms + i * 1000,
+                "value": 1.0,
+            }),)
+            for i in range(5)
+        ]
+        valid, _ = prepare_points(
+            decode_json_lines(spark.createDataFrame(rows, ["value"]))
+        )
+        write_points_batch(valid, lake, catalog, batch_id=b)
+    snapshot.write_checkpoint(lake, catalog)
+    assert snapshot.read_points_snapshot(spark, lake).count() == 10
+
+    mgr = KeyspaceManager(lake)
+    mgr.create(Keyspace(name="k1", ttl_days=2))
+    dropped = mgr.apply_ttl("k1", today=datetime.date(2024, 2, 2))
+    assert len(dropped) == 1
+
+    snap_df = snapshot.read_points_snapshot(spark, lake)
+    assert snap_df.count() == 5
+    assert {r["metric"] for r in snap_df.select("metric").collect()} == {"new.m"}
