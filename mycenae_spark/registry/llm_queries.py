@@ -1201,15 +1201,17 @@ def ann_pq_adc_topk(spark, sf_dir):
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    w_enc = Window.partitionBy("vec_id", "s").orderBy("_d_r", "code")
 
     def assign(codebook):
+        # argmin via min_by over the total-order (dist, code) struct —
+        # semantically identical to the oracle's row_number()=1 with the
+        # same ORDER BY, but a partial-aggregating hash agg instead of a
+        # full sort of the #vectors × M × |codebook| join (the hot frame).
         return (
             vsub.join(F.broadcast(codebook), "s")
             .withColumn("_d_r", r6(l2))
-            .withColumn("_rn", F.row_number().over(w_enc))
-            .filter(F.col("_rn") == 1)
-            .select("vec_id", "s", "code")
+            .groupBy("vec_id", "s")
+            .agg(F.min_by("code", F.struct("_d_r", "code")).alias("code"))
         )
 
     # one per-subspace Lloyd recenter (mirrors the dims/cb oracle CTEs)
