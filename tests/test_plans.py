@@ -146,3 +146,13 @@ def test_snapshot_read_preserves_pushdown_and_partition_pruning(spark, tmp_path)
     # the explicit-file relation thanks to basePath)
     assert "ksid" in plan and "PartitionFilters" in plan
     assert df.count() == 2
+
+
+def test_pq_encode_no_corpus_shuffle_and_broadcast_codebook(spark):
+    """ann_pq_adc_topk's scale contract: codebooks reach the encode join
+    by broadcast (the corpus side is never shuffled for assignment), and
+    the encode argmin is a hash aggregation (partial/final), not a window
+    sort over the vectors-by-codebook join."""
+    plan = _plan(spark, "ann_pq_adc_topk")
+    assert "BroadcastExchange" in plan
+    assert "min_by" in plan or "minby" in plan.lower()
