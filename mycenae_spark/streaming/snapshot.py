@@ -160,13 +160,30 @@ def _batch_manifest(lake_dir: str, batch_id: str) -> dict:
         ) from None
 
 
+#: resolve() memo keyed by (lake_dir, as_of, observed head seq): a façade
+#: serving many queries between commits pays ONE listdir (the head check)
+#: instead of re-reading the checkpoint and every manifest per query.  At
+#: 10k log entries that is the difference between O(1) and O(10k) file
+#: reads on the query hot path.  Entries are tiny (file-name lists);
+#: bounded FIFO.
+_RESOLVE_MEMO: dict = {}
+_RESOLVE_MEMO_MAX = 64
+
+
 def resolve(lake_dir: str, as_of: int | None = None) -> dict:
     """Visible file sets per section as of a log position (default: head).
 
     Pure metadata: reads the checkpoint plus the (bounded) log suffix.
     Returns ``{"seq", "roots", "points", "rollup", "catalog"}`` with
-    sorted rel-path lists.
+    sorted rel-path lists.  Memoized per observed log head — correct
+    because the log is append-only and entries are immutable once
+    written (a GC'd manifest would only affect a STALE key).
     """
+    head = commitlog.latest_seq(lake_dir)
+    key = (lake_dir, as_of, head)
+    hit = _RESOLVE_MEMO.get(key)
+    if hit is not None:
+        return hit
     cp = latest_checkpoint(lake_dir, as_of)
     if cp is None:
         raise SnapshotError(
@@ -235,6 +252,9 @@ def resolve(lake_dir: str, as_of: int | None = None) -> dict:
     out = {"seq": pos, "roots": cp.get("roots", {})}
     for s in SECTIONS:
         out[s] = sorted(files[s])
+    if len(_RESOLVE_MEMO) >= _RESOLVE_MEMO_MAX:
+        _RESOLVE_MEMO.pop(next(iter(_RESOLVE_MEMO)))
+    _RESOLVE_MEMO[key] = out
     return out
 
 

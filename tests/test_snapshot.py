@@ -269,3 +269,17 @@ def test_ttl_partition_drop_updates_snapshot(spark, tmp_path):
     snap_df = snapshot.read_points_snapshot(spark, lake)
     assert snap_df.count() == 5
     assert {r["metric"] for r in snap_df.select("metric").collect()} == {"new.m"}
+
+
+def test_resolve_memo_hits_and_invalidates_on_new_commit(spark, tmp_path):
+    """The resolve memo must serve repeated queries without re-reading
+    manifests, and a new commit (new head seq) must miss the memo and
+    pick up the batch."""
+    lake, catalog = _setup_lake(spark, tmp_path, batches=1)
+    snapshot.write_checkpoint(lake, catalog)
+    r1 = snapshot.resolve(lake)
+    assert snapshot.resolve(lake) is r1  # memo hit: same object
+    write_points_batch(_mk_points(spark, metric="memo"), lake, catalog,
+                       batch_id="memo-b")
+    r2 = snapshot.resolve(lake)
+    assert r2 is not r1 and len(r2["points"]) > len(r1["points"])
