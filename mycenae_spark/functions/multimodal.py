@@ -168,3 +168,94 @@ def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
     return feats.filter(F.col("kind") == "video").select(
         "media_id", F.explode(idx).alias("frame_idx"), "checksum"
     )
+
+
+#: Resize output: envelope metadata + computed output geometry.
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("in_w", LongType(), True),
+        StructField("in_h", LongType(), True),
+        StructField("out_w", LongType(), True),
+        StructField("out_h", LongType(), True),
+        StructField("out_bytes", LongType(), True),
+        StructField("checksum", StringType(), True),
+    ]
+)
+
+
+def make_resize_kernel(target_w: int, target_h: int):
+    """Aspect-preserving fit-resize stub kernel (pure integer math, so the
+    DuckDB oracle can specify it exactly): input dims derive from payload
+    length (len%1920+1, len%1080+1 — never zero); the binding dimension is
+    chosen by cross-multiplication (w·th vs h·tw, no float ratios), the
+    other side floor-scales by integer division."""
+    import hashlib
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = pdf["payload"].map(lambda b: 0 if b is None else len(b)).astype("int64")
+        w = (n % 1920 + 1).astype("int64")
+        h = (n % 1080 + 1).astype("int64")
+        fits = (w <= target_w) & (h <= target_h)
+        width_bound = (w * target_h) >= (h * target_w)
+        out_w = w.where(fits, w.where(~width_bound, target_w))
+        out_w = out_w.mask(~fits & ~width_bound, (w * target_h) // h)
+        out_h = h.where(fits, h.where(width_bound, target_h))
+        out_h = out_h.mask(~fits & width_bound, (h * target_w) // w)
+        return pd.DataFrame(
+            {
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "in_w": w,
+                "in_h": h,
+                "out_w": out_w.astype("int64"),
+                "out_h": out_h.astype("int64"),
+                "out_bytes": (out_w * out_h * 3).astype("int64"),
+                "checksum": pdf["payload"].map(
+                    lambda b: hashlib.md5(b or b"").hexdigest()
+                ),
+            }
+        )
+
+    return kernel
+
+
+def resize_media(
+    df: DataFrame,
+    target_w: int = 320,
+    target_h: int = 240,
+    decode_stub: bool = True,
+    shuffle_buckets: int | None = None,
+    max_batch_bytes: int | None = None,
+) -> DataFrame:
+    """Resize plumbing via Arrow-batched ``mapInPandas`` (build brief:
+    decode / feature-extract / RESIZE / frame-sample).  Same honest-stub
+    contract as :func:`decode_media`: ``decode_stub=False`` raises where a
+    real codec (PIL thumbnail / ffmpeg scale) would run; the Spark-side
+    shape — skew bucketing, byte-bounded batches, schema — is real."""
+    import sys as _sys
+
+    from pyspark import cloudpickle as _cp
+
+    _cp.register_pickle_by_value(_sys.modules[__name__])
+
+    if not decode_stub:  # pragma: no cover - real-codec path
+        def kernel(pdf):
+            raise NotImplementedError(
+                "media codecs (PIL/ffmpeg) not available in this "
+                "environment; pass decode_stub=True"
+            )
+    else:
+        kernel = make_resize_kernel(target_w, target_h)
+
+    if shuffle_buckets:
+        df = df.repartition(shuffle_buckets, F.pmod(F.col("media_id"), shuffle_buckets))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if max_batch_bytes:
+            batches = rechunk_by_bytes(batches, max_batch_bytes)
+        for pdf in batches:
+            yield kernel(pdf)
+
+    return df.mapInPandas(run, RESIZE_SCHEMA)

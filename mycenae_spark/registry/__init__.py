@@ -111,6 +111,7 @@ _STALE_EVENTS_READERS = (
 # tail so the first rotation picks it up.
 _WINDOW_OVERFLOW_NEXT_ROUND = (
     "ann_pq_adc_topk",
+    "multimodal_resize",
 )
 
 # Stale r1/r2-only ids NOT touched by the drift (TPC-H/documents/embeddings

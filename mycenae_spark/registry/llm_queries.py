@@ -1261,3 +1261,58 @@ def ann_pq_adc_topk(spark, sf_dir):
         .filter(F.col("rk") <= 3)
         .select("q_id", "n_id", "rk", "cos_r")
     )
+
+
+@q(
+    "multimodal_resize",
+    """
+WITH media AS (
+  SELECT doc_id AS media_id,
+         ['image','audio','video'][(doc_id % 3 + 1)::INT] AS kind,
+         octet_length(encode(text)) AS n,
+         md5(text) AS checksum
+  FROM documents
+), dims AS (
+  SELECT media_id, kind, checksum,
+         (n % 1920 + 1)::BIGINT AS w, (n % 1080 + 1)::BIGINT AS h
+  FROM media
+), fit AS (
+  SELECT media_id, kind, checksum, w AS in_w, h AS in_h,
+         CASE WHEN w <= 320 AND h <= 240 THEN w
+              WHEN w * 240 >= h * 320 THEN 320
+              ELSE (w * 240) // h END AS out_w,
+         CASE WHEN w <= 320 AND h <= 240 THEN h
+              WHEN w * 240 >= h * 320 THEN (h * 320) // w
+              ELSE 240 END AS out_h
+  FROM dims
+)
+SELECT media_id, kind, in_w, in_h, out_w, out_h,
+       (out_w * out_h * 3)::BIGINT AS out_bytes, checksum
+FROM fit
+""",
+)
+def multimodal_resize(spark, sf_dir):
+    """Resize plumbing HASH-CHECKED — the one multimodal member whose stub
+    kernel is a pure-integer specification, so the REAL Arrow path
+    (mapInPandas, skew-bucketed, byte-bounded batches) can be value-checked
+    against a DuckDB oracle instead of rows-only: aspect-preserving fit of
+    stub dims (payload_len%1920+1 × %1080+1) into 320×240, binding side by
+    cross-multiplication, floor integer division, md5 checksum.  Upgrades
+    the multimodal family's evidence tier: if the Arrow batching dropped,
+    duplicated, or reordered-and-mangled a single row, the value hash
+    catches it."""
+    from mycenae_spark.functions.multimodal import resize_media
+
+    d = t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+    )
+    return resize_media(
+        media, 320, 240, shuffle_buckets=8, max_batch_bytes=1 << 20
+    )
