@@ -69,6 +69,7 @@ HEADLINE = [
     "multimodal_frame_sample",
     # round 6
     "ann_pq_adc_topk",
+    "ann_pq_search_topk",
 ]
 
 
@@ -80,6 +81,17 @@ def main() -> None:
 
     # Warm the JVM + file listing so per-query numbers measure the plans.
     QUERIES["scan_project"](spark, sf_dir).count()
+
+    # Materialize the PQ index up front and price the build separately:
+    # ann_pq_search_topk's per-query number is then the amortized search
+    # phase (the production shape — the build is a once-per-corpus job),
+    # while ann_pq_adc_topk keeps pricing the self-contained build+search.
+    from mycenae_spark.functions.pq import ensure_pq_index
+    from mycenae_spark.registry.util import r6 as _r6
+
+    t0 = time.perf_counter()
+    ensure_pq_index(spark, sf_dir, rounder=_r6)
+    pq_build_s = round(time.perf_counter() - t0, 3)
 
     times: dict[str, float] = {}
     for name in HEADLINE:
@@ -155,6 +167,7 @@ def main() -> None:
                     "ann_ivf_rerank_recall_at3": recall_rr,
                     "ann_ivf_kmeans2_recall_at3": recall_k2,
                     "ann_pq_adc_recall_at3": recall_pq,
+                    "ann_pq_index_build_s": pq_build_s,
                     "ann_ivf_kmeans_recall_at3_by_nprobe": curve,
                 },
             }

@@ -1,0 +1,421 @@
+"""Product-quantization ANN: train / encode / ADC search, plus a
+MATERIALIZED index (build once, search many).
+
+Pipeline (the standard PQ design — ADC generates candidates, exact math
+ranks them):
+
+* **Train**: unit-normalize each 64-dim embedding (partial dots then sum to
+  the cosine brute force ranks on), split into M=16 subspaces of 4 dims;
+  per subspace train a codebook — deterministic seeds (every ``seed_mod``-th
+  vector's slice) tightened by one per-subspace Lloyd recenter.
+* **Encode**: nearest codebook entry per (vector, subspace) — a ``min_by``
+  hash aggregation (partial-aggregating argmin), never a window sort of the
+  #vectors × M × |codebook| frame.
+* **Search**: per query, an M × |codebook| partial-dot lookup table (tiny,
+  broadcast); a candidate's approximate cosine is M lookups + a sum — no
+  raw-vector math, no corpus shuffle (codes join the broadcast LUT).  The
+  ADC shortlist is re-ranked by exact cosine.
+
+Scale (100 TB): a vector becomes M small codes — at a dense 256-entry
+codebook, 16 bytes instead of 256: the 16× compression that keeps the
+candidate representation resident while raw vectors stay in parquet.  The
+**materialized index** completes the story: in a real deployment the
+codebook/codes are built once and amortized across every query, so
+``ensure_pq_index`` persists them (plus the unit vectors the re-rank needs)
+as parquet and commits with an atomic directory rename — the same
+CAS-by-rename discipline as the lake's commit log (streaming/commitlog.py).
+Concurrent builders race benignly: the build is deterministic, losers
+delete their staging directory and read the winner's.
+
+All steps are built-in expressions (zip_with / aggregate / min_by /
+transform) — Catalyst-optimizable, DuckDB-mirrorable, no UDFs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import tempfile
+import uuid
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+import pyspark.sql.functions as F
+
+from mycenae_spark.functions.similarity import dot, norm
+
+PQ_M, PQ_SUB = 16, 4  # 16 subspaces × 4 dims = the 64-dim embedding
+PQ_SHORTLIST = 50     # ADC candidates exact-re-ranked per query
+
+Rounder = Callable[[Column], Column]
+
+
+def unit_embeddings(e: DataFrame) -> DataFrame:
+    """``(vec_id, ue)`` — embeddings scaled to unit L2 norm (as double)."""
+    return e.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: x.cast("double") / norm(F.col("embedding"))
+        ).alias("ue"),
+    )
+
+
+def sub_slices(unitv: DataFrame, id_alias: str, out: str) -> DataFrame:
+    """Explode ``(vec_id, ue)`` into ``(id_alias, s, out)`` subspace slices."""
+    return unitv.select(
+        F.col("vec_id").alias(id_alias),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(s).alias("s"),
+                    F.slice("ue", s * PQ_SUB + 1, PQ_SUB).alias(out),
+                )
+                for s in range(PQ_M)
+            ])
+        ).alias("_x"),
+    ).select(id_alias, "_x.s", f"_x.{out}")
+
+
+def _l2(rounder: Rounder) -> Column:
+    return rounder(
+        F.aggregate(
+            F.zip_with(F.col("ve"), F.col("ce"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def encode(vsub: DataFrame, cb: DataFrame, rounder: Rounder) -> DataFrame:
+    """Assign each (vector, subspace) slice its nearest codebook entry.
+
+    argmin via ``min_by`` over the total-order (dist, code) struct — a
+    partial-aggregating hash agg, not a full sort of the
+    #vectors × M × |codebook| join (the hot frame).
+    """
+    return (
+        vsub.join(F.broadcast(cb), "s")
+        .withColumn("_d_r", _l2(rounder))
+        .groupBy("vec_id", "s")
+        .agg(F.min_by("code", F.struct("_d_r", "code")).alias("code"))
+    )
+
+
+def build_pq(
+    unitv: DataFrame, rounder: Rounder, seed_mod: int = 50
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Train codebooks + encode the corpus; returns ``(vsub, cb, codes)``.
+
+    Seeds are every ``seed_mod``-th vector's slices (corpus-derived sizing,
+    like the IVF seeds), tightened by ONE per-subspace Lloyd recenter.  The
+    codebook is localCheckpointed — it is reused by encode + every search
+    LUT, and recomputing the recenter lineage would double the build.
+    """
+    vsub = sub_slices(unitv, "vec_id", "ve")
+    cb0 = sub_slices(unitv.filter(F.col("vec_id") % seed_mod == 0), "code", "ce")
+    cb = (
+        vsub.join(encode(vsub, cb0, rounder), ["vec_id", "s"])
+        .select("s", "code", F.posexplode("ve").alias("_j", "_x"))
+        .groupBy("s", "code", "_j")
+        .agg(rounder(F.avg("_x")).alias("_m"))
+        .groupBy("s", "code")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_j", "_m"))),
+                lambda st: st["_m"],
+            ).alias("ce")
+        )
+    )
+    cb = cb.localCheckpoint(eager=True)
+    codes = encode(vsub, cb, rounder)
+    return vsub, cb, codes
+
+
+def adc_search(
+    unitv: DataFrame,
+    cb: DataFrame,
+    codes: DataFrame,
+    query_pred: Column,
+    rounder: Rounder,
+    k: int = 3,
+    shortlist: int = PQ_SHORTLIST,
+) -> DataFrame:
+    """ADC shortlist + exact re-rank → ``(q_id, n_id, rk, cos_r)``.
+
+    The LUT (queries × M × |codebook| partial dots) and the query vectors
+    are broadcast; the corpus side (codes, unit vectors) never shuffles.
+    """
+    qsub = sub_slices(unitv.filter(query_pred), "q_id", "ve")
+    lut = qsub.join(F.broadcast(cb), "s").select(
+        "q_id", "s", "code", rounder(dot(F.col("ve"), F.col("ce"))).alias("pdot_r")
+    )
+
+    w_short = Window.partitionBy("q_id").orderBy(F.desc("adc_r"), "n_id")
+    short = (
+        codes.withColumnRenamed("vec_id", "n_id")
+        .join(F.broadcast(lut), ["s", "code"])
+        .filter(F.col("n_id") != F.col("q_id"))
+        .groupBy("q_id", "n_id")
+        .agg(rounder(F.sum("pdot_r")).alias("adc_r"))
+        .withColumn("_srn", F.row_number().over(w_short))
+        .filter(F.col("_srn") <= shortlist)
+        .select("q_id", "n_id")
+    )
+
+    uq = unitv.filter(query_pred).select(
+        F.col("vec_id").alias("q_id"), F.col("ue").alias("_uq")
+    )
+    un = unitv.select(F.col("vec_id").alias("n_id"), F.col("ue").alias("_un"))
+    w_rank = Window.partitionBy("q_id").orderBy(F.desc("cos_r"), "n_id")
+    return (
+        short.join(F.broadcast(uq), "q_id")
+        .join(un, "n_id")
+        .withColumn("cos_r", rounder(dot(F.col("_uq"), F.col("_un"))))
+        .withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "n_id", "rk", "cos_r")
+    )
+
+
+# ------------------------------------------------------- materialized index
+
+INDEX_TABLES = ("unitv", "codebook", "codes")
+IVFPQ_TABLES = ("unitv", "codebook", "codes", "centroids")
+_COMMIT_MARKER = "_COMMITTED"
+
+
+def _index_root() -> str:
+    return os.environ.get(
+        "MYCENAE_INDEX_ROOT",
+        os.path.join(tempfile.gettempdir(), "mycenae_pq_index"),
+    )
+
+
+def pq_index_fingerprint(sf_dir: str, variant: str = "pq") -> str:
+    """Content fingerprint of the embeddings table + index parameters.
+
+    Hashes every data file's (relative path, size, mtime_ns) — cheap stat
+    calls, no data read — so a regenerated testdata dir (the r4/r5 outage
+    mode) gets a NEW index instead of silently serving stale codes.
+    """
+    src = os.path.join(sf_dir.rstrip("/"), "embeddings.parquet")
+    h = hashlib.md5(
+        f"{variant}|M{PQ_M}|SUB{PQ_SUB}|{os.path.abspath(src)}".encode()
+    )
+    if os.path.isdir(src):
+        for base, _dirs, files in sorted(os.walk(src)):
+            for f in sorted(files):
+                p = os.path.join(base, f)
+                st = os.stat(p)
+                rel = os.path.relpath(p, src)
+                h.update(f"|{rel}|{st.st_size}|{st.st_mtime_ns}".encode())
+    else:
+        st = os.stat(src)
+        h.update(f"|{st.st_size}|{st.st_mtime_ns}".encode())
+    return h.hexdigest()[:16]
+
+
+def pq_index_dir(sf_dir: str, variant: str = "pq") -> str:
+    return os.path.join(_index_root(), pq_index_fingerprint(sf_dir, variant))
+
+
+def _commit_index(dest: str, staging: str, fingerprint: str) -> str:
+    """Atomic CAS-by-rename commit of a staged index directory.
+
+    The marker is written LAST inside staging, then one ``os.rename``
+    publishes everything.  A concurrent builder that loses the rename race
+    deletes its staging dir and uses the winner's — equivalent by
+    deterministic construction.  Readers only ever trust a directory
+    containing the marker, so a torn build (crash mid-write) is invisible,
+    never half-read.
+    """
+    with open(os.path.join(staging, _COMMIT_MARKER), "w") as fh:
+        fh.write(fingerprint)
+    os.makedirs(_index_root(), exist_ok=True)
+    try:
+        os.rename(staging, dest)
+    except OSError:
+        shutil.rmtree(staging, ignore_errors=True)
+        if not os.path.isfile(os.path.join(dest, _COMMIT_MARKER)):
+            raise
+    return dest
+
+
+def _load_index(
+    spark: SparkSession, index_dir: str, tables: tuple[str, ...]
+) -> tuple[DataFrame, ...]:
+    if not os.path.isfile(os.path.join(index_dir, _COMMIT_MARKER)):
+        raise FileNotFoundError(
+            f"PQ index at {index_dir!r} has no {_COMMIT_MARKER}; "
+            "refusing to read a torn build"
+        )
+    return tuple(
+        spark.read.parquet(os.path.join(index_dir, name)) for name in tables
+    )
+
+
+def ensure_pq_index(
+    spark: SparkSession, sf_dir: str, rounder: Rounder, seed_mod: int = 50
+) -> str:
+    """Build-and-commit the PQ index for ``sf_dir`` if absent; return its dir."""
+    from mycenae_spark.sources.tables import load_table
+
+    dest = pq_index_dir(sf_dir)
+    if os.path.isfile(os.path.join(dest, _COMMIT_MARKER)):
+        return dest
+
+    staging = f"{dest}.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    unitv = unit_embeddings(load_table(spark, sf_dir, "embeddings"))
+    _vsub, cb, codes = build_pq(unitv, rounder, seed_mod=seed_mod)
+    unitv.write.parquet(os.path.join(staging, "unitv"))
+    cb.write.parquet(os.path.join(staging, "codebook"))
+    codes.write.parquet(os.path.join(staging, "codes"))
+    return _commit_index(dest, staging, pq_index_fingerprint(sf_dir))
+
+
+def load_pq_index(
+    spark: SparkSession, index_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Read a committed index → ``(unitv, codebook, codes)`` DataFrames."""
+    return _load_index(spark, index_dir, INDEX_TABLES)
+
+
+def ensure_ivfpq_index(
+    spark: SparkSession,
+    sf_dir: str,
+    rounder: Rounder,
+    seed_mod: int = 50,
+    cent_mod: int = 100,
+) -> str:
+    """Build-and-commit the IVF+PQ index: PQ codes stored as INVERTED LISTS.
+
+    FAISS's IVFPQ layout re-expressed as a lake table: each vector is
+    coarse-assigned to its nearest IVF centroid (cosine, broadcast
+    centroids), and the codes table is written ``partitionBy("c_id")`` —
+    one parquet partition per inverted list.  A search that probes nprobe
+    clusters therefore reads ``nprobe / #clusters`` of the codes table via
+    plain partition pruning — the directory IS the index structure, no
+    bespoke storage engine needed.  At 100 TB with ~1M centroids this is
+    the difference between scanning terabytes of codes and tens of
+    megabytes."""
+    from mycenae_spark.sources.tables import load_table
+
+    dest = pq_index_dir(sf_dir, "ivfpq")
+    if os.path.isfile(os.path.join(dest, _COMMIT_MARKER)):
+        return dest
+
+    staging = f"{dest}.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    e = load_table(spark, sf_dir, "embeddings")
+    unitv = unit_embeddings(e)
+    _vsub, cb, codes = build_pq(unitv, rounder, seed_mod=seed_mod)
+
+    from mycenae_spark.functions.similarity import ivf_assign
+
+    cent = e.filter(F.col("vec_id") % cent_mod == 0).select(
+        F.col("vec_id").alias("c_id"), "embedding"
+    )
+    assign = ivf_assign(
+        e, cent.select(F.col("c_id").alias("vec_id"), "embedding"),
+        score_rounder=rounder,
+    )
+    unitv.write.parquet(os.path.join(staging, "unitv"))
+    cb.write.parquet(os.path.join(staging, "codebook"))
+    cent.write.parquet(os.path.join(staging, "centroids"))
+    (
+        codes.join(assign, "vec_id")
+        .repartition("c_id")
+        .write.partitionBy("c_id")
+        .parquet(os.path.join(staging, "codes"))
+    )
+    return _commit_index(dest, staging, pq_index_fingerprint(sf_dir, "ivfpq"))
+
+
+def load_ivfpq_index(
+    spark: SparkSession, index_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Read a committed IVFPQ index → ``(unitv, cb, codes+c_id, centroids)``."""
+    return _load_index(spark, index_dir, IVFPQ_TABLES)
+
+
+def ivfpq_search(
+    unitv: DataFrame,
+    cb: DataFrame,
+    codes: DataFrame,
+    cent: DataFrame,
+    queries: DataFrame,
+    rounder: Rounder,
+    nprobe: int = 4,
+    k: int = 3,
+    shortlist: int = PQ_SHORTLIST,
+) -> DataFrame:
+    """IVF-probe → partition-pruned ADC → exact re-rank.
+
+    ``queries`` is the raw ``(vec_id, embedding)`` query set (bounded).
+    Probe selection broadcasts the centroids against it; the probed
+    cluster ids are collected (#queries × nprobe values — driver-bounded
+    by contract, the FAISS "select inverted lists" step) and pushed into
+    the codes scan as a partition filter, so only the probed lists are
+    ever read.  ADC then joins those codes against the broadcast
+    (query × subspace × code) LUT scoped per query, and the shortlist is
+    exact-re-ranked from the unit vectors."""
+    from mycenae_spark.functions.similarity import cosine, with_norm
+
+    cw = with_norm(cent, "embedding").select(
+        "c_id", F.col("embedding").alias("_ce"), F.col("_norm").alias("_cn")
+    )
+    qn = with_norm(queries, "embedding")
+    w_probe = Window.partitionBy("vec_id").orderBy(F.desc("_cos_r"), "c_id")
+    probes = (
+        qn.crossJoin(F.broadcast(cw))
+        .withColumn(
+            "_cos_r",
+            rounder(
+                cosine(F.col("embedding"), F.col("_ce"), F.col("_norm"), F.col("_cn"))
+            ),
+        )
+        .withColumn("_rn", F.row_number().over(w_probe))
+        .filter(F.col("_rn") <= nprobe)
+        .select(F.col("vec_id").alias("q_id"), "c_id")
+    )
+    probe_rows = probes.collect()  # bounded: #queries × nprobe
+    probed_lists = sorted({r["c_id"] for r in probe_rows})
+
+    query_pred = F.col("vec_id").isin(
+        [r["q_id"] for r in probe_rows]
+    )
+    qsub = sub_slices(unitv.filter(query_pred), "q_id", "ve")
+    lut = qsub.join(F.broadcast(cb), "s").select(
+        "q_id", "s", "code", rounder(dot(F.col("ve"), F.col("ce"))).alias("pdot_r")
+    )
+    # (q_id, c_id) scoping joined per-code-row: a code row in list c_id is a
+    # candidate ONLY for queries that probed c_id.
+    probe_pairs = probes  # tiny, broadcast below
+
+    pruned = codes.filter(F.col("c_id").isin(probed_lists))
+    w_short = Window.partitionBy("q_id").orderBy(F.desc("adc_r"), "n_id")
+    short = (
+        pruned.withColumnRenamed("vec_id", "n_id")
+        .join(F.broadcast(probe_pairs), "c_id")
+        .filter(F.col("n_id") != F.col("q_id"))
+        .join(F.broadcast(lut), ["q_id", "s", "code"])
+        .groupBy("q_id", "n_id")
+        .agg(rounder(F.sum("pdot_r")).alias("adc_r"))
+        .withColumn("_srn", F.row_number().over(w_short))
+        .filter(F.col("_srn") <= shortlist)
+        .select("q_id", "n_id")
+    )
+
+    uq = unitv.filter(query_pred).select(
+        F.col("vec_id").alias("q_id"), F.col("ue").alias("_uq")
+    )
+    un = unitv.select(F.col("vec_id").alias("n_id"), F.col("ue").alias("_un"))
+    w_rank = Window.partitionBy("q_id").orderBy(F.desc("cos_r"), "n_id")
+    return (
+        short.join(F.broadcast(uq), "q_id")
+        .join(un, "n_id")
+        .withColumn("cos_r", rounder(dot(F.col("_uq"), F.col("_un"))))
+        .withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "n_id", "rk", "cos_r")
+    )

@@ -1055,8 +1055,13 @@ def text_scrub(spark, sf_dir):
 
 # --------------------------------------------- product-quantization ANN
 
-_PQ_M, _PQ_SUB = 16, 4  # 16 subspaces × 4 dims = the 64-dim embedding
-_PQ_SHORTLIST = 50      # ADC candidates exact-re-ranked per query
+# Constants live with the machinery (functions/pq.py); the oracle SQL below
+# is generated from the same values, so Spark and DuckDB cannot drift apart.
+from mycenae_spark.functions.pq import (  # noqa: E402
+    PQ_M as _PQ_M,
+    PQ_SHORTLIST as _PQ_SHORTLIST,
+    PQ_SUB as _PQ_SUB,
+)
 
 # Unit-normalized vectors make partial dots sum to the cosine brute force
 # ranks on; fine (4-dim) subspaces keep per-subspace quantization error
@@ -1147,7 +1152,10 @@ SELECT q_id, n_id, rk, cos_r FROM (
 def ann_pq_adc_topk(spark, sf_dir):
     """Product-quantization ANN with asymmetric distance computation — the
     memory-side complement to IVF's scan-side pruning (build brief: "PQ
-    codes as array<tinyint>", NEXT.md ANN residuals).
+    codes as array<tinyint>", NEXT.md ANN residuals).  Self-contained
+    build+search variant: trains the codebooks, encodes the corpus, and
+    searches in ONE plan (functions/pq.py holds the shared machinery; see
+    ``ann_pq_search_topk`` for the amortized materialized-index path).
 
     Encode: unit-normalize each 64-dim embedding (so partial dots sum to
     the cosine brute force ranks on), split into M=16 subspaces of 4 dims;
@@ -1169,98 +1177,41 @@ def ann_pq_adc_topk(spark, sf_dir):
     ADC-only ranking at 0.33 on this weakly-clustered corpus, which is
     precisely why the re-rank stage exists.  Every step is built-in
     expressions, mirrored in the DuckDB oracle CTE-for-CTE."""
-    from mycenae_spark.functions.similarity import dot as _sdot, norm as _snorm
+    from mycenae_spark.functions import pq
 
-    e = t(spark, sf_dir, "embeddings")
-    unitv = e.select(
-        "vec_id",
-        F.transform(
-            "embedding", lambda x: x.cast("double") / _snorm(F.col("embedding"))
-        ).alias("ue"),
+    unitv = pq.unit_embeddings(t(spark, sf_dir, "embeddings"))
+    _vsub, cb, codes = pq.build_pq(unitv, rounder=r6)
+    return pq.adc_search(
+        unitv, cb, codes, F.col("vec_id") < 10, rounder=r6,
+        k=3, shortlist=_PQ_SHORTLIST,
     )
 
-    def sub_slices(df, id_alias, out):
-        return df.select(
-            F.col("vec_id").alias(id_alias),
-            F.explode(
-                F.array(*[
-                    F.struct(
-                        F.lit(s).alias("s"),
-                        F.slice("ue", s * _PQ_SUB + 1, _PQ_SUB).alias(out),
-                    )
-                    for s in range(_PQ_M)
-                ])
-            ).alias("_x"),
-        ).select(id_alias, "_x.s", f"_x.{out}")
 
-    cb0 = sub_slices(unitv.filter(F.col("vec_id") % 50 == 0), "code", "ce")
-    vsub = sub_slices(unitv, "vec_id", "ve")
+@q("ann_pq_search_topk", _PQ_SQL)
+def ann_pq_search_topk(spark, sf_dir):
+    """PQ ANN over a MATERIALIZED index — the amortized production shape.
 
-    l2 = F.aggregate(
-        F.zip_with(F.col("ve"), F.col("ce"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+    ``ann_pq_adc_topk`` pays codebook training + corpus encoding inside
+    the query; at 100 TB that build is an offline job you run once (like
+    the rollup partials), not per query.  This query is the search phase
+    alone: ``ensure_pq_index`` builds the index on first use and commits
+    it with an atomic directory rename (CAS-by-rename, commit-marker-gated
+    — the lake's discipline, functions/pq.py), then every subsequent
+    search reads the parquet codebook/codes/unit-vectors and runs ONLY
+    the broadcast-LUT ADC + exact re-rank.  Identical output to the
+    self-contained variant by deterministic construction, so both share
+    one oracle.  The residual per-search plan has no train/encode stages:
+    a broadcast hash join of codes against the LUT, one hash agg, one
+    per-query top-k window on the 50-row shortlist."""
+    from mycenae_spark.functions import pq
+
+    idx = pq.ensure_pq_index(spark, sf_dir, rounder=r6)
+    unitv, cb, codes = pq.load_pq_index(spark, idx)
+    return pq.adc_search(
+        unitv, cb, codes, F.col("vec_id") < 10, rounder=r6,
+        k=3, shortlist=_PQ_SHORTLIST,
     )
 
-    def assign(codebook):
-        # argmin via min_by over the total-order (dist, code) struct —
-        # semantically identical to the oracle's row_number()=1 with the
-        # same ORDER BY, but a partial-aggregating hash agg instead of a
-        # full sort of the #vectors × M × |codebook| join (the hot frame).
-        return (
-            vsub.join(F.broadcast(codebook), "s")
-            .withColumn("_d_r", r6(l2))
-            .groupBy("vec_id", "s")
-            .agg(F.min_by("code", F.struct("_d_r", "code")).alias("code"))
-        )
-
-    # one per-subspace Lloyd recenter (mirrors the dims/cb oracle CTEs)
-    cb = (
-        vsub.join(assign(cb0), ["vec_id", "s"])
-        .select("s", "code", F.posexplode("ve").alias("_j", "_x"))
-        .groupBy("s", "code", "_j")
-        .agg(r6(F.avg("_x")).alias("_m"))
-        .groupBy("s", "code")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("_j", "_m"))),
-                lambda st: st["_m"],
-            ).alias("ce")
-        )
-    )
-    cb = cb.localCheckpoint(eager=True)  # reused by encode + LUT; ~2x else
-    codes = assign(cb)
-
-    lut = (
-        vsub.filter(F.col("vec_id") < 10)
-        .withColumnRenamed("vec_id", "q_id")
-        .join(F.broadcast(cb), "s")
-        .select("q_id", "s", "code", r6(_sdot(F.col("ve"), F.col("ce"))).alias("pdot_r"))
-    )
-
-    w_short = Window.partitionBy("q_id").orderBy(F.desc("adc_r"), "n_id")
-    short = (
-        codes.withColumnRenamed("vec_id", "n_id")
-        .join(F.broadcast(lut), ["s", "code"])
-        .filter(F.col("n_id") != F.col("q_id"))
-        .groupBy("q_id", "n_id")
-        .agg(r6(F.sum("pdot_r")).alias("adc_r"))
-        .withColumn("_srn", F.row_number().over(w_short))
-        .filter(F.col("_srn") <= _PQ_SHORTLIST)
-        .select("q_id", "n_id")
-    )
-
-    uq = unitv.select(F.col("vec_id").alias("q_id"), F.col("ue").alias("_uq"))
-    un = unitv.select(F.col("vec_id").alias("n_id"), F.col("ue").alias("_un"))
-    w_rank = Window.partitionBy("q_id").orderBy(F.desc("cos_r"), "n_id")
-    return (
-        short.join(F.broadcast(uq), "q_id")
-        .join(un, "n_id")
-        .withColumn("cos_r", r6(_sdot(F.col("_uq"), F.col("_un"))))
-        .withColumn("rk", F.row_number().over(w_rank))
-        .filter(F.col("rk") <= 3)
-        .select("q_id", "n_id", "rk", "cos_r")
-    )
 
 
 @q(

@@ -1,0 +1,75 @@
+"""Materialized PQ index: commit protocol + fingerprint invalidation.
+
+The index is the amortized form of ``ann_pq_adc_topk`` (functions/pq.py);
+its value equality against the DuckDB oracle is covered by
+``test_oracle.py::test_oracle_match[ann_pq_search_topk]``.  These tests pin
+the lifecycle: build-once reuse, atomic commit visibility, torn-state
+refusal, and stat-based invalidation when the source table is regenerated
+(the r4/r5 testdata-drift outage mode).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from mycenae_spark.functions import pq
+from mycenae_spark.registry.util import r6
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture()
+def index_root(tmp_path, monkeypatch):
+    root = tmp_path / "pqidx"
+    monkeypatch.setenv("MYCENAE_INDEX_ROOT", str(root))
+    return root
+
+
+def test_build_once_then_reuse(spark, index_root):
+    d1 = pq.ensure_pq_index(spark, SF_DIR, rounder=r6)
+    marker = os.path.join(d1, "_COMMITTED")
+    assert os.path.isfile(marker)
+    stamp = os.stat(marker).st_mtime_ns
+    # Second call must short-circuit on the committed marker, not rebuild.
+    d2 = pq.ensure_pq_index(spark, SF_DIR, rounder=r6)
+    assert d2 == d1
+    assert os.stat(marker).st_mtime_ns == stamp
+
+    unitv, cb, codes = pq.load_pq_index(spark, d1)
+    n = unitv.count()
+    assert n > 0
+    assert codes.count() == n * pq.PQ_M
+    assert set(cb.columns) == {"s", "code", "ce"}
+    # No leftover staging dirs (winner renamed, nothing orphaned).
+    assert [p for p in os.listdir(index_root) if ".build-" in p] == []
+
+
+def test_torn_index_is_refused(spark, index_root):
+    dest = pq.pq_index_dir(SF_DIR)
+    os.makedirs(dest)
+    # Non-empty, but no commit marker: external torn state.  Readers must
+    # refuse rather than half-read.
+    with open(os.path.join(dest, "junk"), "w") as fh:
+        fh.write("torn")
+    with pytest.raises(FileNotFoundError, match="torn"):
+        pq.load_pq_index(spark, dest)
+    # The builder cannot atomically replace a non-empty uncommitted dir and
+    # must fail loudly, not silently serve either version.
+    with pytest.raises(OSError):
+        pq.ensure_pq_index(spark, SF_DIR, rounder=r6)
+
+
+def test_fingerprint_tracks_source_regeneration(tmp_path):
+    sf = tmp_path / "sfX"
+    emb = sf / "embeddings.parquet"
+    emb.mkdir(parents=True)
+    f = emb / "part-0.parquet"
+    f.write_bytes(b"v1")
+    fp1 = pq.pq_index_fingerprint(str(sf))
+    assert fp1 == pq.pq_index_fingerprint(str(sf))  # stat-stable
+    # Regenerating the table (new bytes/mtime) must yield a NEW index dir:
+    f.write_bytes(b"v2-longer")
+    fp2 = pq.pq_index_fingerprint(str(sf))
+    assert fp2 != fp1
