@@ -70,6 +70,7 @@ HEADLINE = [
     # round 6
     "ann_pq_adc_topk",
     "ann_pq_search_topk",
+    "ann_ivfpq_topk",
 ]
 
 
@@ -92,6 +93,12 @@ def main() -> None:
     t0 = time.perf_counter()
     ensure_pq_index(spark, sf_dir, rounder=_r6)
     pq_build_s = round(time.perf_counter() - t0, 3)
+
+    from mycenae_spark.functions.pq import ensure_ivfpq_index
+
+    t0 = time.perf_counter()
+    ensure_ivfpq_index(spark, sf_dir, rounder=_r6)
+    ivfpq_build_s = round(time.perf_counter() - t0, 3)
 
     times: dict[str, float] = {}
     for name in HEADLINE:
@@ -128,7 +135,12 @@ def main() -> None:
         (r["q_id"], r["n_id"])
         for r in QUERIES["ann_pq_adc_topk"](spark, sf_dir).collect()
     }
+    ivfpq = {
+        (r["q_id"], r["n_id"])
+        for r in QUERIES["ann_ivfpq_topk"](spark, sf_dir).collect()
+    }
     recall_pq = round(len(brute & pq) / max(len(brute), 1), 3)
+    recall_ivfpq = round(len(brute & ivfpq) / max(len(brute), 1), 3)
     recall = round(len(brute & ivf) / max(len(brute), 1), 3)
     recall_km = round(len(brute & kmeans) / max(len(brute), 1), 3)
     recall_rr = round(len(brute & rerank) / max(len(brute), 1), 3)
@@ -167,7 +179,9 @@ def main() -> None:
                     "ann_ivf_rerank_recall_at3": recall_rr,
                     "ann_ivf_kmeans2_recall_at3": recall_k2,
                     "ann_pq_adc_recall_at3": recall_pq,
+                    "ann_ivfpq_recall_at3": recall_ivfpq,
                     "ann_pq_index_build_s": pq_build_s,
+                    "ann_ivfpq_index_build_s": ivfpq_build_s,
                     "ann_ivf_kmeans_recall_at3_by_nprobe": curve,
                 },
             }

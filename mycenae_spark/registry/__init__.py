@@ -113,6 +113,7 @@ _WINDOW_OVERFLOW_NEXT_ROUND = (
     "ann_pq_adc_topk",
     "multimodal_resize",
     "ann_pq_search_topk",
+    "ann_ivfpq_topk",
 )
 
 # Stale r1/r2-only ids NOT touched by the drift (TPC-H/documents/embeddings

@@ -1075,8 +1075,11 @@ def _pq_l2(v, c, n):
     )
 
 
-_PQ_SQL = f"""
-WITH subs AS (
+# Composable oracle CTE blocks: BUILD (train + encode) → LUT (per-query
+# partial dots) → a candidate-generation ADC (variant-specific) → RERANK
+# (exact cosine on the shortlist).  ann_pq_adc_topk / ann_pq_search_topk
+# use the full-corpus ADC; ann_ivfpq_topk swaps in the IVF-scoped ADC.
+_PQ_BUILD_CTES = f"""subs AS (
   SELECT unnest(generate_series(0, {_PQ_M - 1})) AS s
 ), unitv AS (
   SELECT vec_id,
@@ -1122,12 +1125,9 @@ WITH subs AS (
            i -> q.ve[i] * cb.ce[i]))) AS pdot_r
   FROM vsub q JOIN cb ON cb.s = q.s
   WHERE q.vec_id < 10
-), adc AS (
-  SELECT lut.q_id, codes.vec_id AS n_id, round6(sum(pdot_r)) AS adc_r
-  FROM codes JOIN lut ON lut.s = codes.s AND lut.code = codes.code
-  WHERE codes.vec_id <> lut.q_id
-  GROUP BY lut.q_id, codes.vec_id
-), short AS (
+)"""
+
+_PQ_RERANK_TAIL = f"""short AS (
   SELECT q_id, n_id FROM (
     SELECT *, row_number() OVER (PARTITION BY q_id
               ORDER BY adc_r DESC, n_id) AS srn
@@ -1144,7 +1144,15 @@ SELECT q_id, n_id, rk, cos_r FROM (
   SELECT *, row_number() OVER (PARTITION BY q_id
             ORDER BY cos_r DESC, n_id) AS rk
   FROM scored
-) WHERE rk <= 3
+) WHERE rk <= 3"""
+
+_PQ_SQL = f"""
+WITH {_PQ_BUILD_CTES}, adc AS (
+  SELECT lut.q_id, codes.vec_id AS n_id, round6(sum(pdot_r)) AS adc_r
+  FROM codes JOIN lut ON lut.s = codes.s AND lut.code = codes.code
+  WHERE codes.vec_id <> lut.q_id
+  GROUP BY lut.q_id, codes.vec_id
+), {_PQ_RERANK_TAIL}
 """
 
 
@@ -1210,6 +1218,75 @@ def ann_pq_search_topk(spark, sf_dir):
     return pq.adc_search(
         unitv, cb, codes, F.col("vec_id") < 10, rounder=r6,
         k=3, shortlist=_PQ_SHORTLIST,
+    )
+
+
+_IVFPQ_NPROBE = 4
+
+_IVFPQ_SQL = f"""
+WITH {_PQ_BUILD_CTES}, cent AS ({_CENT0_SQL}),
+assign AS (
+  SELECT vec_id, c_id FROM (
+    SELECT a.vec_id, c.c_id,
+           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+             round6({_cos_sql_pair('a.embedding', 'c.c_emb')}) DESC,
+             c.c_id) AS rn
+    FROM embeddings a CROSS JOIN cent c
+  ) WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS q_id, c_id FROM (
+    SELECT a.vec_id, c.c_id,
+           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+             round6({_cos_sql_pair('a.embedding', 'c.c_emb')}) DESC,
+             c.c_id) AS rn
+    FROM (SELECT * FROM embeddings WHERE vec_id < 10) a CROSS JOIN cent c
+  ) WHERE rn <= {_IVFPQ_NPROBE}
+), adc AS (
+  SELECT lut.q_id, codes.vec_id AS n_id, round6(sum(pdot_r)) AS adc_r
+  FROM codes
+  JOIN assign ON assign.vec_id = codes.vec_id
+  JOIN probes ON probes.c_id = assign.c_id
+  JOIN lut ON lut.s = codes.s AND lut.code = codes.code
+          AND lut.q_id = probes.q_id
+  WHERE codes.vec_id <> lut.q_id
+  GROUP BY lut.q_id, codes.vec_id
+), {_PQ_RERANK_TAIL}
+"""
+
+
+@q("ann_ivfpq_topk", _IVFPQ_SQL)
+def ann_ivfpq_topk(spark, sf_dir):
+    """IVF+PQ — the full FAISS-style pipeline (NEXT.md's last ANN residual),
+    over a materialized index whose codes are stored as INVERTED LISTS.
+
+    Build (``ensure_ivfpq_index``, once per corpus, atomic-rename commit):
+    coarse-assign every vector to its nearest IVF centroid (every 100th
+    vector, broadcast, cosine) and write the PQ codes parquet
+    ``partitionBy(c_id)`` — one directory per inverted list, so the lake
+    layout IS the index structure.
+
+    Search: probe the query's nprobe=4 nearest centroids; the probed list
+    ids (#queries × nprobe values, driver-bounded by contract — the FAISS
+    "select inverted lists" step) become a partition filter on the codes
+    scan, so only probed lists are ever read: scan cost ∝ nprobe/#clusters
+    of the codes table via plain parquet partition pruning, no bespoke
+    storage engine.  Within the probed lists, ADC against the broadcast
+    per-query LUT generates the shortlist and exact cosine re-ranks it —
+    candidate generation is doubly pruned (cluster membership × code
+    compression) while the final ranking stays exact.  The oracle mirrors
+    build, probe scoping, and re-rank CTE-for-CTE."""
+    from mycenae_spark.functions import pq
+
+    idx = pq.ensure_ivfpq_index(spark, sf_dir, rounder=r6)
+    unitv, cb, codes, cent = pq.load_ivfpq_index(spark, idx)
+    queries = (
+        t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 10)
+        .select("vec_id", "embedding")
+    )
+    return pq.ivfpq_search(
+        unitv, cb, codes, cent, queries, rounder=r6,
+        nprobe=_IVFPQ_NPROBE, k=3, shortlist=_PQ_SHORTLIST,
     )
 
 

@@ -46,6 +46,26 @@ def test_build_once_then_reuse(spark, index_root):
     assert [p for p in os.listdir(index_root) if ".build-" in p] == []
 
 
+def test_ivfpq_inverted_list_layout(spark, index_root):
+    """IVFPQ codes are written partitionBy(c_id) — one parquet partition per
+    inverted list — and a probe-style filter reaches the scan as a
+    PartitionFilter, so unprobed lists are never read."""
+    d = pq.ensure_ivfpq_index(spark, SF_DIR, rounder=r6)
+    assert d != pq.pq_index_dir(SF_DIR)  # distinct variant namespace
+    unitv, cb, codes, cent = pq.load_ivfpq_index(spark, d)
+    # every inverted list is a directory; every vector is in exactly one
+    lists = [p for p in os.listdir(os.path.join(d, "codes")) if p.startswith("c_id=")]
+    assert len(lists) == cent.count()
+    assert codes.count() == unitv.count() * pq.PQ_M
+
+    probed = [r["c_id"] for r in cent.limit(2).collect()]
+    plan = (
+        codes.filter(codes.c_id.isin(probed))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [c_id" in plan
+
+
 def test_torn_index_is_refused(spark, index_root):
     dest = pq.pq_index_dir(SF_DIR)
     os.makedirs(dest)
