@@ -71,6 +71,9 @@ HEADLINE = [
     "ann_pq_adc_topk",
     "ann_pq_search_topk",
     "ann_ivfpq_topk",
+    "sample_hash_split",
+    "sample_stratified",
+    "decontaminate_ngram",
 ]
 
 

@@ -1,0 +1,92 @@
+"""Deterministic sampling / splitting / decontamination for training-data
+pipelines.
+
+Production pipelines at 100 TB never use ``rand()`` for train/val/test
+assignment: it is non-deterministic across task retries, engines, and
+re-runs, and a document's split would change whenever the corpus changes.
+The reproducible form is a **hash split**: bucket = md5(salt|id), compared
+against cumulative hex thresholds.  That is a pure projection — no shuffle,
+no global sort, stable under corpus growth (adding documents never moves an
+existing document's split), and bit-identical in any engine with md5 (the
+repo's cross-engine hash convention, registry/llm_queries.py module doc).
+
+Benchmark decontamination is the other first-class op here: evaluation sets
+are tiny (10³–10⁵ docs) next to a 100 TB corpus, so the eval n-gram set is
+built once and BROADCAST against the corpus postings — a map-side join that
+touches each corpus document once and never shuffles it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+import pyspark.sql.functions as F
+
+from mycenae_spark.functions.text import shingles, tokens
+
+
+def hex_threshold(frac: float) -> str:
+    """Cumulative split bound as a 4-hex-digit string (1/65536 granularity)."""
+    return format(int(frac * 0x10000), "04x")
+
+
+def split_bucket(id_col: Column | str, salt: str) -> Column:
+    """The 4-hex-char md5 bucket a row's id falls in (uniform on [0, ffff])."""
+    id_col = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.substring(
+        F.md5(F.concat(F.lit(f"{salt}|"), id_col.cast("string"))), 1, 4
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    salt: str = "split1",
+    train: float = 0.90,
+    val: float = 0.05,
+    out: str = "split",
+) -> DataFrame:
+    """Assign each row a deterministic train/val/test split label."""
+    h4 = split_bucket(id_col, salt)
+    label = (
+        F.when(h4 < F.lit(hex_threshold(train)), "train")
+        .when(h4 < F.lit(hex_threshold(train + val)), "val")
+        .otherwise("test")
+    )
+    return df.withColumn(out, label)
+
+
+def distinct_grams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """``(id_col, grams)`` — each document's distinct word-n-gram set."""
+    return (
+        df.select(id_col, tokens(text_col).alias("_toks"))
+        .filter(F.size("_toks") >= n)
+        .select(id_col, F.array_distinct(shingles(F.col("_toks"), n)).alias("grams"))
+    )
+
+
+def contamination_pairs(
+    train: DataFrame,
+    eval_: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """(train_doc, eval_doc, n_shared) for every train/eval pair sharing at
+    least one distinct word-n-gram.
+
+    The eval side (shingled, exploded) is broadcast — benchmark sets are
+    small by construction — so the corpus-side postings never shuffle: the
+    contamination scan is one map-side hash join + a hash aggregation keyed
+    on (train_doc, eval_doc), a key space bounded by actual overlaps, not
+    the cross product."""
+    tg = distinct_grams(train, id_col, text_col, n).select(
+        F.col(id_col).alias("train_doc"), F.explode("grams").alias("gram")
+    )
+    eg = distinct_grams(eval_, id_col, text_col, n).select(
+        F.col(id_col).alias("eval_doc"), F.explode("grams").alias("gram")
+    )
+    return (
+        tg.join(F.broadcast(eg), "gram")
+        .groupBy("train_doc", "eval_doc")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )

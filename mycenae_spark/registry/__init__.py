@@ -114,6 +114,9 @@ _WINDOW_OVERFLOW_NEXT_ROUND = (
     "multimodal_resize",
     "ann_pq_search_topk",
     "ann_ivfpq_topk",
+    "sample_hash_split",
+    "sample_stratified",
+    "decontaminate_ngram",
 )
 
 # Stale r1/r2-only ids NOT touched by the drift (TPC-H/documents/embeddings
