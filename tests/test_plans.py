@@ -156,3 +156,32 @@ def test_pq_encode_no_corpus_shuffle_and_broadcast_codebook(spark):
     plan = _plan(spark, "ann_pq_adc_topk")
     assert "BroadcastExchange" in plan
     assert "min_by" in plan or "minby" in plan.lower()
+
+
+def test_hash_split_is_projection_plus_single_agg(spark):
+    """sample_hash_split's scale contract: the split label is a pure
+    projection (md5 + CASE, codegen'd) — the only exchange in the plan is
+    the final 3-group hash aggregation, and no window or sort appears."""
+    plan = _plan(spark, "sample_hash_split")
+    assert plan.count("Exchange") <= 2  # partial/final agg exchange only
+    assert "Window" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    """decontaminate_ngram's scale contract: the eval postings (benchmark
+    set) reach the corpus join by broadcast — the training corpus is never
+    shuffled for the gram join."""
+    plan = _plan(spark, "decontaminate_ngram")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ivfpq_search_prunes_inverted_lists(spark, tmp_path, monkeypatch):
+    """ann_ivfpq_topk's scale contract: the probed inverted-list ids reach
+    the codes scan as PartitionFilters (only nprobe/#clusters of the codes
+    table is read) and the LUT joins broadcast."""
+    monkeypatch.setenv("MYCENAE_INDEX_ROOT", str(tmp_path / "idx"))
+    plan = _plan(spark, "ann_ivfpq_topk")
+    assert "PartitionFilters: [c_id" in plan
+    assert "BroadcastHashJoin" in plan
