@@ -74,6 +74,7 @@ HEADLINE = [
     "sample_hash_split",
     "sample_stratified",
     "decontaminate_ngram",
+    "corpus_mix_profile",
 ]
 
 

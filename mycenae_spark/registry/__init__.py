@@ -117,6 +117,7 @@ _WINDOW_OVERFLOW_NEXT_ROUND = (
     "sample_hash_split",
     "sample_stratified",
     "decontaminate_ngram",
+    "corpus_mix_profile",
 )
 
 # Stale r1/r2-only ids NOT touched by the drift (TPC-H/documents/embeddings

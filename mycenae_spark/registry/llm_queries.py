@@ -1482,3 +1482,51 @@ def decontaminate_ngram(spark, sf_dir):
             r6(F.col("n_shared") / F.col("sz")).alias("leak_r"),
         )
     )
+
+
+@q(
+    "corpus_mix_profile",
+    """
+WITH base AS (
+  SELECT lang, len(string_split(text, ' ')) AS n_toks,
+    CASE WHEN substr(md5('split1|' || doc_id::VARCHAR), 1, 4) < 'e666' THEN 'train'
+         WHEN substr(md5('split1|' || doc_id::VARCHAR), 1, 4) < 'f333' THEN 'val'
+         ELSE 'test' END AS split
+  FROM documents
+), g AS (
+  SELECT split, lang, count(*) AS n_docs, sum(n_toks)::BIGINT AS n_tokens
+  FROM base GROUP BY split, lang
+)
+SELECT split, lang, n_docs, n_tokens,
+       round6(n_tokens::DOUBLE / sum(n_tokens) OVER (PARTITION BY split)) AS tok_share_r
+FROM g
+""",
+)
+def corpus_mix_profile(spark, sf_dir):
+    """Training-mixture profile: per (split, language) document and token
+    counts plus each language's token share WITHIN its split — the numbers
+    a data-mixing stage weights domains by before training.
+
+    Composes the deterministic hash split with whitespace token counting:
+    one projection, one (split, lang) hash aggregation (key space = a few
+    dozen groups regardless of corpus size), and a window over that tiny
+    grouped frame — at 100 TB the only corpus-sized work is the scan."""
+    from mycenae_spark.functions.sampling import hash_split
+    from mycenae_spark.functions.text import token_count_ws
+
+    d = t(spark, sf_dir, "documents")
+    base = hash_split(d, "doc_id", salt="split1", train=0.90, val=0.05).select(
+        "split", "lang", token_count_ws("text").alias("n_toks")
+    )
+    g = base.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("n_tokens"),
+    )
+    w = Window.partitionBy("split")
+    return g.select(
+        "split",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        r6(F.col("n_tokens") / F.sum("n_tokens").over(w)).alias("tok_share_r"),
+    )
