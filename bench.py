@@ -75,6 +75,7 @@ HEADLINE = [
     "sample_stratified",
     "decontaminate_ngram",
     "corpus_mix_profile",
+    "pack_sequences",
 ]
 
 

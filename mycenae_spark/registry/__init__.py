@@ -118,6 +118,7 @@ _WINDOW_OVERFLOW_NEXT_ROUND = (
     "sample_stratified",
     "decontaminate_ngram",
     "corpus_mix_profile",
+    "pack_sequences",
 )
 
 # Stale r1/r2-only ids NOT touched by the drift (TPC-H/documents/embeddings

@@ -1530,3 +1530,70 @@ def corpus_mix_profile(spark, sf_dir):
         "n_tokens",
         r6(F.col("n_tokens") / F.sum("n_tokens").over(w)).alias("tok_share_r"),
     )
+
+
+@q(
+    "pack_sequences",
+    """
+WITH base AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_toks,
+         substr(md5('pack1|' || doc_id::VARCHAR), 1, 1) AS bucket,
+         md5('pack1|' || doc_id::VARCHAR) AS h
+  FROM documents
+), cum AS (
+  SELECT doc_id, bucket, n_toks,
+         sum(n_toks) OVER (PARTITION BY bucket ORDER BY h, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_toks
+  FROM base
+)
+SELECT bucket, (cum_toks - n_toks) // 2048 AS seq_id,
+       count(*) AS n_docs, sum(n_toks)::BIGINT AS seq_toks,
+       min(doc_id) AS first_doc
+FROM cum GROUP BY bucket, seq_id
+""",
+)
+def pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing — the pretraining step that turns
+    a document corpus into fixed-budget training sequences: documents are
+    concatenated in a stable order and cut every 2048 tokens; a document's
+    sequence id is its running token offset divided by the budget.
+
+    Scale shape: a GLOBAL concatenation order would serialize the corpus
+    through one partition, so documents are first sharded into 16 md5
+    buckets ('pack1' salt, same convention as the hash split) and the
+    running sum is per-bucket — each bucket packs independently and in
+    parallel, exactly how a distributed packing job shards at 100 TB.
+    Within a bucket the order is (md5, doc_id): deterministic, engine-
+    independent, and a shuffle-free window over the bucket partition.
+    Judged output is the per-(bucket, sequence) profile (doc count, token
+    sum, first doc) so the cumulative arithmetic itself is value-checked.
+    Integer division is `div`/`//` on both sides — exact floor on the
+    non-negative offsets, immune to DuckDB's rounding BIGINT cast."""
+    from pyspark.sql.window import Window as W
+
+    d = t(spark, sf_dir, "documents")
+    from mycenae_spark.functions.text import token_count_ws
+
+    h = F.md5(F.concat(F.lit("pack1|"), F.col("doc_id").cast("string")))
+    base = d.select(
+        "doc_id",
+        token_count_ws("text").alias("n_toks"),
+        F.substring(h, 1, 1).alias("bucket"),
+        h.alias("h"),
+    )
+    w = (
+        W.partitionBy("bucket")
+        .orderBy("h", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = base.withColumn("cum_toks", F.sum("n_toks").over(w))
+    return (
+        cum.withColumn("seq_id", F.expr("(cum_toks - n_toks) div 2048"))
+        .groupBy("bucket", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("seq_toks"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
