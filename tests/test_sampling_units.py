@@ -1,0 +1,99 @@
+"""Sampling/splitting properties beyond the oracle hash-match: split
+stability under corpus change (the property that justifies hash splits over
+rand()), ratio accuracy, and packing invariants."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from mycenae_spark.functions.sampling import (
+    contamination_pairs,
+    hash_split,
+    hex_threshold,
+)
+from mycenae_spark.registry.util import t
+
+from tests.conftest import SF_DIR
+
+
+def test_hex_thresholds():
+    assert hex_threshold(0.90) == "e666"
+    assert hex_threshold(0.95) == "f333"
+    assert hex_threshold(1.0) == format(0x10000, "04x")  # never matched: h4 < this
+
+
+def test_split_is_stable_under_corpus_change(spark):
+    """A document's split depends only on its id — filtering the corpus
+    (growth, deletion, re-partitioning) never moves survivors between
+    splits.  rand()-based assignment fails exactly this."""
+    d = t(spark, SF_DIR, "documents")
+    full = hash_split(d, "doc_id").select("doc_id", "split")
+    sub = hash_split(d.filter(F.col("doc_id") % 7 == 0), "doc_id").select(
+        "doc_id", F.col("split").alias("split_sub")
+    )
+    moved = (
+        full.join(sub, "doc_id")
+        .filter(F.col("split") != F.col("split_sub"))
+        .count()
+    )
+    assert moved == 0
+
+
+def test_split_ratios_near_nominal(spark):
+    d = t(spark, SF_DIR, "documents")
+    n = d.count()
+    by = dict(
+        (r["split"], r["c"])
+        for r in hash_split(d, "doc_id").groupBy("split").agg(
+            F.count(F.lit(1)).alias("c")
+        ).collect()
+    )
+    assert set(by) == {"train", "val", "test"}
+    # md5 is uniform; at n=500 the binomial 3σ band for p=0.9 is ~±0.04
+    assert abs(by["train"] / n - 0.90) < 0.05
+    assert abs((by["val"] + by["test"]) / n - 0.10) < 0.05
+
+
+def test_contamination_self_overlap_is_total(spark):
+    """A document 'contaminates' itself completely: running the detector
+    with eval == train (same slice both sides) yields, for every doc with
+    at least n tokens, a pair (d, d) whose n_shared equals its distinct
+    gram count."""
+    d = t(spark, SF_DIR, "documents").filter(F.col("doc_id") < 20)
+    pairs = contamination_pairs(d, d, "doc_id", "text", n=3)
+    diag = pairs.filter(F.col("train_doc") == F.col("eval_doc"))
+    from mycenae_spark.functions.sampling import distinct_grams
+
+    sz = distinct_grams(d, "doc_id", "text", 3).select(
+        F.col("doc_id").alias("train_doc"), F.size("grams").alias("sz")
+    )
+    bad = (
+        diag.join(sz, "train_doc")
+        .filter(F.col("n_shared") != F.col("sz"))
+        .count()
+    )
+    assert bad == 0
+    assert diag.count() == sz.count()
+
+
+def test_pack_sequences_respects_budget(spark):
+    """Every packed sequence except a bucket's last holds ≥ the 2048-token
+    budget's worth of starts — equivalently, a sequence's token sum can
+    only exceed the budget via its final straddling document, and chunk
+    ids per bucket are dense from 0."""
+    from mycenae_spark.registry.llm_queries import pack_sequences
+
+    seqs = pack_sequences(spark, SF_DIR).collect()
+    by_bucket: dict[str, list] = {}
+    for r in seqs:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    for bucket, rows in by_bucket.items():
+        ids = sorted(r["seq_id"] for r in rows)
+        assert ids == list(range(len(ids))), bucket  # dense from 0
+        # cumulative reconstruction: all but the last sequence must end at
+        # or past its budget boundary (a doc straddles the cut)
+        rows.sort(key=lambda r: r["seq_id"])
+        cum = 0
+        for r in rows[:-1]:
+            cum += r["seq_toks"]
+            assert cum >= (r["seq_id"] + 1) * 2048, (bucket, r["seq_id"])
