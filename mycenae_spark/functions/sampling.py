@@ -18,7 +18,7 @@ touches each corpus document once and never shuffles it.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 import pyspark.sql.functions as F
 
 from mycenae_spark.functions.text import shingles, tokens
@@ -56,11 +56,42 @@ def hash_split(
 
 
 def distinct_grams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """``(id_col, grams)`` — each document's distinct word-n-gram set."""
+    """``(id_col, grams)`` — each document's distinct word-n-gram set as an
+    array (the per-document form; tests cross-check it against
+    ``gram_postings``, the full-corpus form)."""
     return (
         df.select(id_col, tokens(text_col).alias("_toks"))
         .filter(F.size("_toks") >= n)
         .select(id_col, F.array_distinct(shingles(F.col("_toks"), n)).alias("grams"))
+    )
+
+
+def gram_postings(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """``(id_col, gram)`` — DISTINCT word-n-gram postings, exploded form.
+
+    Built with ``posexplode`` + ``lead`` windows so every string operation
+    stays inside whole-stage codegen; the per-row higher-order
+    ``transform`` that builds shingle *arrays* evaluates interpreted and
+    measured 2× slower over a full corpus (fine for the bounded dedup
+    queries, wrong for corpus-sized scans).  Output is identical to
+    exploding ``distinct_grams`` (asserted in tests/test_sampling_units).
+    The window partitions by document — the shuffle moves (doc, pos, tok)
+    triples once and each document's grams build independently."""
+    tk = df.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    parts = ["tok"] + [F.lead("tok", i).over(w) for i in range(1, n)]
+    last = F.lead("tok", n - 1).over(w) if n > 1 else F.col("tok")
+    return (
+        tk.select(
+            id_col,
+            F.concat_ws(" ", *parts).alias("gram"),
+            last.alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .select(id_col, "gram")
+        .distinct()
     )
 
 
@@ -79,11 +110,11 @@ def contamination_pairs(
     contamination scan is one map-side hash join + a hash aggregation keyed
     on (train_doc, eval_doc), a key space bounded by actual overlaps, not
     the cross product."""
-    tg = distinct_grams(train, id_col, text_col, n).select(
-        F.col(id_col).alias("train_doc"), F.explode("grams").alias("gram")
+    tg = gram_postings(train, id_col, text_col, n).select(
+        F.col(id_col).alias("train_doc"), "gram"
     )
-    eg = distinct_grams(eval_, id_col, text_col, n).select(
-        F.col(id_col).alias("eval_doc"), F.explode("grams").alias("gram")
+    eg = gram_postings(eval_, id_col, text_col, n).select(
+        F.col(id_col).alias("eval_doc"), "gram"
     )
     return (
         tg.join(F.broadcast(eg), "gram")

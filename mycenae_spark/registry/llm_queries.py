@@ -1463,14 +1463,16 @@ def decontaminate_ngram(spark, sf_dir):
     document is touched once, nothing corpus-sized shuffles, and the
     aggregation key space is bounded by actual overlaps.  This is the
     dedup machinery pointed across two tables instead of within one."""
-    from mycenae_spark.functions.sampling import contamination_pairs, distinct_grams
+    from mycenae_spark.functions.sampling import contamination_pairs, gram_postings
 
     d = t(spark, sf_dir, "documents")
     ev = d.filter(F.col("doc_id") < 50)
     tr = d.filter(F.col("doc_id") >= 50)
     pairs = contamination_pairs(tr, ev, "doc_id", "text", n=3)
-    ev_sz = distinct_grams(ev, "doc_id", "text", 3).select(
-        F.col("doc_id").alias("eval_doc"), F.size("grams").alias("sz")
+    ev_sz = (
+        gram_postings(ev, "doc_id", "text", 3)
+        .groupBy(F.col("doc_id").alias("eval_doc"))
+        .agg(F.count(F.lit(1)).alias("sz"))
     )
     return (
         pairs.join(F.broadcast(ev_sz), "eval_doc")

@@ -54,6 +54,21 @@ def test_split_ratios_near_nominal(spark):
     assert abs((by["val"] + by["test"]) / n - 0.10) < 0.05
 
 
+def test_gram_postings_match_array_formulation(spark):
+    """The codegen'd postings form (posexplode + lead window) and the
+    per-document array form (higher-order transform) are the same set —
+    the perf rewrite changed the plan, not the semantics."""
+    from mycenae_spark.functions.sampling import distinct_grams, gram_postings
+
+    d = t(spark, SF_DIR, "documents")
+    fast = gram_postings(d, "doc_id", "text", 3)
+    slow = distinct_grams(d, "doc_id", "text", 3).select(
+        "doc_id", F.explode("grams").alias("gram")
+    ).distinct()
+    assert fast.exceptAll(slow).count() == 0
+    assert slow.exceptAll(fast).count() == 0
+
+
 def test_contamination_self_overlap_is_total(spark):
     """A document 'contaminates' itself completely: running the detector
     with eval == train (same slice both sides) yields, for every doc with
