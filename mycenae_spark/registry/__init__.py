@@ -119,6 +119,8 @@ _WINDOW_OVERFLOW_NEXT_ROUND = (
     "decontaminate_ngram",
     "corpus_mix_profile",
     "pack_sequences",
+    "stream_enrich_roundtrip",
+    "stream_join_roundtrip",
 )
 
 # Stale r1/r2-only ids NOT touched by the drift (TPC-H/documents/embeddings

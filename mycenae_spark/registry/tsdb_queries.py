@@ -1513,3 +1513,178 @@ def stream_dedup_roundtrip(spark, sf_dir):
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(rows, res_schema)
+
+
+@q(
+    "stream_enrich_roundtrip",
+    """
+SELECT * FROM (VALUES
+  ('even', CAST(10 AS BIGINT), CAST(90.0 AS DOUBLE)),
+  ('odd',  CAST(10 AS BIGINT), CAST(100.0 AS DOUBLE))
+) AS t(segment, n, sum_value)
+""",
+)
+def stream_enrich_roundtrip(spark, sf_dir):
+    """Stream-static enrichment HASH-CHECKED end-to-end: a REAL Structured
+    Streaming job joins each in-flight point against a broadcast static
+    dimension (user → segment) and aggregates per segment in the sink —
+    the canonical "tag points with reference data as they arrive" shape
+    (streaming/windows.py::enrich_stream).  Stateless by construction:
+    the static side broadcasts per micro-batch, the stream never shuffles
+    and carries no join state; forcing one file per trigger proves the
+    result is batching-invariant.  Constant oracle, computable by hand:
+    20 points with value=i, user i%4; segment = even/odd of user →
+    10 points each, Σvalue 90 (i%4∈{0,2}) and 100 (i%4∈{1,3}).
+    ``sf_dir`` unused — input synthesized, scale-invariant."""
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from mycenae_spark.streaming.windows import enrich_stream
+
+    base = tempfile.mkdtemp(prefix="senrich_rt_")
+    try:
+        src = os.path.join(base, "src")
+        os.makedirs(src)
+        t0 = 1704067200000
+        pts = [
+            {"event_id": i, "ts_ms": t0 + i * 1000, "user_id": i % 4,
+             "value": float(i)}
+            for i in range(20)
+        ]
+        # two files so the enrichment provably spans micro-batches
+        with open(os.path.join(src, "a.jsonl"), "w") as f:
+            f.write("\n".join(_json.dumps(p) for p in pts[:11]))
+        with open(os.path.join(src, "b.jsonl"), "w") as f:
+            f.write("\n".join(_json.dumps(p) for p in pts[11:]))
+
+        dim = spark.createDataFrame(
+            [(u, "even" if u % 2 == 0 else "odd") for u in range(4)],
+            "user_id long, segment string",
+        )
+        schema = "event_id long, ts_ms long, user_id long, value double"
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .json(src)
+        )
+        enriched = enrich_stream(stream, dim, key="user_id")
+        sink = f"senrich_{uuid.uuid4().hex[:8]}"
+        (
+            enriched.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(120)
+        )
+        out = (
+            spark.table(sink)
+            .groupBy("segment")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("value").alias("sum_value"),
+            )
+        )
+        rows = out.collect()
+        res_schema = out.schema
+        spark.catalog.dropTempView(sink)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, res_schema)
+
+
+@q(
+    "stream_join_roundtrip",
+    """
+SELECT * FROM (VALUES
+  ('raw_left',    CAST(5 AS BIGINT)),
+  ('raw_right',   CAST(7 AS BIGINT)),
+  ('joined_rows', CAST(5 AS BIGINT))
+) AS t(what, n)
+""",
+)
+def stream_join_roundtrip(spark, sf_dir):
+    """Stream-stream time-band join HASH-CHECKED end-to-end (turns the
+    pytest-only ``stream_stream_join`` surface into a driver row, the r3
+    lifecycle-query pattern): purchases and clicks stream from files,
+    each purchase pairs with same-user clicks at-or-before it within 30
+    minutes; both sides are watermarked so join state is evicted after
+    watermark + band — the contract that keeps the operator runnable
+    forever at ingest scale.  Inputs are built so the answer is
+    computable by hand: 5 purchases (distinct users), one matching click
+    5 min before each, plus one click 2 h early (outside the band) and
+    one click 1 min after a purchase (wrong side of the as-of
+    inequality) → exactly 5 joined rows from 7 clicks.  ``sf_dir``
+    unused — input synthesized, scale-invariant."""
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from mycenae_spark.streaming.windows import stream_stream_join
+
+    base = tempfile.mkdtemp(prefix="sjoin_rt_")
+    try:
+        lsrc = os.path.join(base, "left")
+        rsrc = os.path.join(base, "right")
+        os.makedirs(lsrc)
+        os.makedirs(rsrc)
+        t0 = 1704067200000
+        purchases = [
+            {"event_id": i, "ts_ms": t0 + i * 600_000, "tag_user": i}
+            for i in range(5)
+        ]
+        clicks = [
+            {"event_id": 100 + i, "ts_ms": t0 + i * 600_000 - 300_000,
+             "tag_user": i}
+            for i in range(5)
+        ] + [
+            # outside the 30-minute band
+            {"event_id": 200, "ts_ms": t0 - 7_200_000, "tag_user": 0},
+            # after its purchase: fails the as-of inequality
+            {"event_id": 201, "ts_ms": t0 + 600_000 + 60_000, "tag_user": 1},
+        ]
+        with open(os.path.join(lsrc, "l.jsonl"), "w") as f:
+            f.write("\n".join(_json.dumps(p) for p in purchases))
+        with open(os.path.join(rsrc, "r.jsonl"), "w") as f:
+            f.write("\n".join(_json.dumps(p) for p in clicks))
+
+        schema = "event_id long, ts_ms long, tag_user long"
+
+        def _stream(path):
+            return (
+                spark.readStream.schema(schema)
+                .json(path)
+                .withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+            )
+
+        joined = stream_stream_join(
+            _stream(lsrc), _stream(rsrc), key="tag_user", within="30 minutes"
+        )
+        sink = f"sjoin_{uuid.uuid4().hex[:8]}"
+        (
+            joined.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(120)
+        )
+        n_left = spark.read.schema(schema).json(lsrc).count()
+        n_right = spark.read.schema(schema).json(rsrc).count()
+        n_joined = spark.table(sink).count()
+        out = spark.createDataFrame(
+            [("raw_left", n_left), ("raw_right", n_right),
+             ("joined_rows", n_joined)],
+            "what string, n long",
+        )
+        rows = out.collect()
+        res_schema = out.schema
+        spark.catalog.dropTempView(sink)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, res_schema)

@@ -105,6 +105,22 @@ def dedup_stream_retransmit(points: DataFrame, watermark: str = "1 hour") -> Dat
     )
 
 
+def enrich_stream(
+    points: DataFrame, dim: DataFrame, key: str = "tag_user", how: str = "left"
+) -> DataFrame:
+    """Stream-static enrichment: join each in-flight point against a
+    static dimension table (user segments, metric metadata, keyspace
+    config) as it streams past.
+
+    The static side is BROADCAST — per micro-batch Spark re-plans the
+    join, so the stream side never shuffles and needs no watermark or
+    join state (unlike stream-stream joins): the operator is stateless
+    and its cost is one broadcast hash probe per point.  Spark also
+    re-reads a file-backed static side at each micro-batch, so slowly
+    changing dimensions are picked up without restarting the query."""
+    return points.join(F.broadcast(dim), key, how)
+
+
 def stream_stream_join(
     left: DataFrame,
     right: DataFrame,
