@@ -877,7 +877,23 @@ def dedup_ngram_containment(spark, sf_dir):
 
 # ------------------------------------------------------- multimodal columns
 
-@q("multimodal_media_stats")  # no oracle: Arrow/mapInPandas path → rows-only
+@q(
+    "multimodal_media_stats",
+    """
+WITH media AS (
+  SELECT doc_id AS media_id,
+         ['image','audio','video'][(doc_id % 3 + 1)::INT] AS kind,
+         octet_length(encode(text)) AS n,
+         md5(text) AS checksum
+  FROM documents
+)
+SELECT kind, count(*) AS n_items, sum(n)::BIGINT AS total_bytes,
+       round4(avg(n % 1920)) AS avg_width,
+       round4(avg(n % 24 + 1)) AS avg_frames,
+       count(DISTINCT checksum) AS n_distinct_payloads
+FROM media GROUP BY kind
+""",
+)
 def multimodal_media_stats(spark, sf_dir):
     """Media-metadata pipeline through the REAL multimodal plumbing (VERDICT
     r2 item 5): per-kind byte/shape/checksum stats over a binary payload
@@ -888,12 +904,14 @@ def multimodal_media_stats(spark, sf_dir):
     table (text bytes; kind cycles image/audio/video by doc_id), so the run
     is reproducible without codecs — the decode kernel is the honest stub
     (metadata derived from byte length; real codecs raise
-    ``NotImplementedError``, functions/multimodal.py).  Declared WITHOUT an
-    oracle: the mapInPandas stage is not SQL-expressible, so the driver
-    records the weaker rows-only check — exactly what this row claims.
-    At 100 TB the shape is the point: payload bytes cross the JVM↔Python
-    boundary once per Arrow batch, batches are bounded by BYTES not rows
-    (media skew), and the aggregate output is #kinds rows."""
+    ``NotImplementedError``, functions/multimodal.py).  HASH-CHECKED as of
+    r6 (the multimodal_resize precedent): the stub kernel is a pure
+    byte-length/md5 specification the DuckDB oracle states exactly, so the
+    whole Arrow path — repartition, re-chunking, kernel, aggregation — is
+    value-verified; a dropped/duplicated/mangled batch row changes the
+    hash.  At 100 TB the shape is the point: payload bytes cross the
+    JVM↔Python boundary once per Arrow batch, batches are bounded by BYTES
+    not rows (media skew), and the aggregate output is #kinds rows."""
     from mycenae_spark.functions.multimodal import decode_media
 
     d = t(spark, sf_dir, "documents")
@@ -922,14 +940,31 @@ def multimodal_media_stats(spark, sf_dir):
     )
 
 
-@q("multimodal_frame_sample")  # no oracle: mapInPandas path → rows-only
+@q(
+    "multimodal_frame_sample",
+    """
+WITH media AS (
+  SELECT doc_id AS media_id,
+         ['image','audio','video'][(doc_id % 3 + 1)::INT] AS kind,
+         octet_length(encode(text)) % 24 + 1 AS n_frames
+  FROM documents
+)
+SELECT media_id, ((n_frames - 1) // 4 + 1)::BIGINT AS n_sampled,
+       (4 * ((n_frames - 1) // 4))::INT AS last_frame_idx
+FROM media WHERE kind = 'video'
+""",
+)
 def multimodal_frame_sample(spark, sf_dir):
     """Frame-sampling row expansion through the Arrow decode path: one
     video row → ceil(n_frames / every_n) frame rows, then per-video frame
     counts.  Covers the one multimodal shape multimodal_media_stats does
     not — output rows EXPAND from input rows (decode → explode), the video
     preprocessing primitive of a training-data pipeline.  Same deterministic
-    binary envelope and honest stub decode; declared rows-only."""
+    binary envelope and honest stub decode; HASH-CHECKED as of r6: the
+    stub's frame count is n_bytes % 24 + 1, so the expansion closed form
+    (count = (n−1)//4 + 1 at every_n=4, last index = 4·((n−1)//4)) is an
+    exact oracle — row-loss or double-explode in the Arrow path breaks the
+    hash."""
     from mycenae_spark.functions.multimodal import sample_frames
 
     d = t(spark, sf_dir, "documents")
