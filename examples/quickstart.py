@@ -96,6 +96,28 @@ def main() -> None:
     print("similarity top-3 for 3 queries:")
     topk.show(9, truncate=False)
 
+    # -- 5. ANN over a materialized PQ index (build once, search many) ----
+    from mycenae_spark.functions import pq
+    from mycenae_spark.registry.util import r6
+
+    idx = pq.ensure_pq_index(spark, SF_DIR, rounder=r6)
+    unitv, cb, codes = pq.load_pq_index(spark, idx)
+    ann = pq.adc_search(unitv, cb, codes, F.col("vec_id") < 3, rounder=r6)
+    print(f"PQ index at {idx} → ANN top-3 for 3 queries: {ann.count()} rows")
+
+    # -- 6. corpus prep: split / decontaminate / pack ---------------------
+    from mycenae_spark.functions.sampling import contamination_pairs, hash_split
+
+    split = hash_split(docs, "doc_id")
+    split.groupBy("split").count().orderBy("split").show()
+    leaks = contamination_pairs(
+        docs.filter(F.col("doc_id") >= 50),
+        docs.filter(F.col("doc_id") < 50),
+        "doc_id", "text", n=3,
+    )
+    print(f"decontamination: {leaks.count()} train docs share a 3-gram "
+          "with the eval slice")
+
 
 if __name__ == "__main__":
     main()
