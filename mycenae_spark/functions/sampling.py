@@ -45,7 +45,19 @@ def hash_split(
     val: float = 0.05,
     out: str = "split",
 ) -> DataFrame:
-    """Assign each row a deterministic train/val/test split label."""
+    """Assign each row a deterministic train/val/test split label.
+
+    Requires ``train + val < 1`` (test takes the remainder): the bucket
+    comparison is lexicographic on 4 hex chars, and a cumulative bound of
+    1.0 would format as the 5-char ``"10000"``, which sorts BELOW ``"2…"``
+    –``"f…"`` buckets and would silently mislabel them.  A two-way split
+    is spelled ``val=0`` (val bucket empty), not ``train + val = 1``.
+    """
+    if not (0.0 < train and 0.0 <= val and train + val < 1.0):
+        raise ValueError(
+            f"need 0 < train and 0 <= val and train + val < 1, "
+            f"got train={train} val={val}"
+        )
     h4 = split_bucket(id_col, salt)
     label = (
         F.when(h4 < F.lit(hex_threshold(train)), "train")

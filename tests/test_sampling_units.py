@@ -19,7 +19,24 @@ from tests.conftest import SF_DIR
 def test_hex_thresholds():
     assert hex_threshold(0.90) == "e666"
     assert hex_threshold(0.95) == "f333"
-    assert hex_threshold(1.0) == format(0x10000, "04x")  # never matched: h4 < this
+
+
+def test_hash_split_rejects_degenerate_ratios(spark):
+    """train + val = 1 would format the cumulative bound as 5-char "10000",
+    which sorts BELOW most 4-char hex buckets — a silent mislabeling, so
+    the API refuses it (two-way splits are spelled val=0)."""
+    import pytest as _pytest
+
+    d = t(spark, SF_DIR, "documents")
+    with _pytest.raises(ValueError, match="train \\+ val < 1"):
+        hash_split(d, "doc_id", train=0.9, val=0.1)
+    # two-way split: empty val bucket, test takes the remainder
+    labels = {
+        r["split"]
+        for r in hash_split(d, "doc_id", train=0.9, val=0.0)
+        .select("split").distinct().collect()
+    }
+    assert labels == {"train", "test"}
 
 
 def test_split_is_stable_under_corpus_change(spark):
