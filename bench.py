@@ -92,17 +92,21 @@ def main() -> None:
     # ann_pq_search_topk's per-query number is then the amortized search
     # phase (the production shape — the build is a once-per-corpus job),
     # while ann_pq_adc_topk keeps pricing the self-contained build+search.
-    from mycenae_spark.functions.pq import ensure_pq_index
+    from mycenae_spark.functions import pq as _pq
     from mycenae_spark.registry.util import r6 as _r6
 
+    # The index root persists across bench runs (that IS the amortization),
+    # so report whether each build actually ran or was a marker cache hit —
+    # otherwise round-over-round build numbers silently compare a build
+    # against a stat call.
+    pq_cached = _pq.index_is_committed(_pq.pq_index_dir(sf_dir, "pq"))
     t0 = time.perf_counter()
-    ensure_pq_index(spark, sf_dir, rounder=_r6)
+    _pq.ensure_pq_index(spark, sf_dir, rounder=_r6)
     pq_build_s = round(time.perf_counter() - t0, 3)
 
-    from mycenae_spark.functions.pq import ensure_ivfpq_index
-
+    ivfpq_cached = _pq.index_is_committed(_pq.pq_index_dir(sf_dir, "ivfpq"))
     t0 = time.perf_counter()
-    ensure_ivfpq_index(spark, sf_dir, rounder=_r6)
+    _pq.ensure_ivfpq_index(spark, sf_dir, rounder=_r6)
     ivfpq_build_s = round(time.perf_counter() - t0, 3)
 
     times: dict[str, float] = {}
@@ -186,7 +190,9 @@ def main() -> None:
                     "ann_pq_adc_recall_at3": recall_pq,
                     "ann_ivfpq_recall_at3": recall_ivfpq,
                     "ann_pq_index_build_s": pq_build_s,
+                    "ann_pq_index_was_cached": pq_cached,
                     "ann_ivfpq_index_build_s": ivfpq_build_s,
+                    "ann_ivfpq_index_was_cached": ivfpq_cached,
                     "ann_ivf_kmeans_recall_at3_by_nprobe": curve,
                 },
             }

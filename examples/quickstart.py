@@ -115,8 +115,8 @@ def main() -> None:
         docs.filter(F.col("doc_id") < 50),
         "doc_id", "text", n=3,
     )
-    print(f"decontamination: {leaks.count()} train docs share a 3-gram "
-          "with the eval slice")
+    print(f"decontamination: {leaks.count()} (train, eval) doc pairs "
+          "share at least one 3-gram")
 
 
 if __name__ == "__main__":

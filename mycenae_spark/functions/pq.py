@@ -43,7 +43,7 @@ from typing import Callable
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 import pyspark.sql.functions as F
 
-from mycenae_spark.functions.similarity import dot, norm
+from mycenae_spark.functions.similarity import dot, with_norm
 
 PQ_M, PQ_SUB = 16, 4  # 16 subspaces × 4 dims = the 64-dim embedding
 PQ_SHORTLIST = 50     # ADC candidates exact-re-ranked per query
@@ -52,11 +52,17 @@ Rounder = Callable[[Column], Column]
 
 
 def unit_embeddings(e: DataFrame) -> DataFrame:
-    """``(vec_id, ue)`` — embeddings scaled to unit L2 norm (as double)."""
-    return e.select(
+    """``(vec_id, ue)`` — embeddings scaled to unit L2 norm (as double).
+
+    The norm is computed ONCE per vector (``with_norm``) and referenced
+    from the per-element transform; inlining the 64-term norm expression
+    into the lambda would do O(d²) work per vector on the index-build
+    path.  Same double division, so values (and oracle hashes) are
+    unchanged."""
+    return with_norm(e, "embedding").select(
         "vec_id",
         F.transform(
-            "embedding", lambda x: x.cast("double") / norm(F.col("embedding"))
+            "embedding", lambda x: x.cast("double") / F.col("_norm")
         ).alias("ue"),
     )
 
@@ -135,37 +141,28 @@ def build_pq(
     return vsub, cb, codes
 
 
-def adc_search(
-    unitv: DataFrame,
-    cb: DataFrame,
-    codes: DataFrame,
-    query_pred: Column,
-    rounder: Rounder,
-    k: int = 3,
-    shortlist: int = PQ_SHORTLIST,
+def _query_lut(
+    unitv: DataFrame, cb: DataFrame, query_pred: Column, rounder: Rounder
 ) -> DataFrame:
-    """ADC shortlist + exact re-rank → ``(q_id, n_id, rk, cos_r)``.
-
-    The LUT (queries × M × |codebook| partial dots) and the query vectors
-    are broadcast; the corpus side (codes, unit vectors) never shuffles.
-    """
+    """Per-query (q_id, s, code, pdot_r) partial-dot lookup table (tiny)."""
     qsub = sub_slices(unitv.filter(query_pred), "q_id", "ve")
-    lut = qsub.join(F.broadcast(cb), "s").select(
+    return qsub.join(F.broadcast(cb), "s").select(
         "q_id", "s", "code", rounder(dot(F.col("ve"), F.col("ce"))).alias("pdot_r")
     )
 
-    w_short = Window.partitionBy("q_id").orderBy(F.desc("adc_r"), "n_id")
-    short = (
-        codes.withColumnRenamed("vec_id", "n_id")
-        .join(F.broadcast(lut), ["s", "code"])
-        .filter(F.col("n_id") != F.col("q_id"))
-        .groupBy("q_id", "n_id")
-        .agg(rounder(F.sum("pdot_r")).alias("adc_r"))
-        .withColumn("_srn", F.row_number().over(w_short))
-        .filter(F.col("_srn") <= shortlist)
-        .select("q_id", "n_id")
-    )
 
+def _exact_rerank(
+    short: DataFrame,
+    unitv: DataFrame,
+    query_pred: Column,
+    rounder: Rounder,
+    k: int,
+) -> DataFrame:
+    """Exact-cosine re-rank of a (q_id, n_id) shortlist to top-k.
+
+    Single-sourced for both search paths (adc_search, ivfpq_search) the
+    way the oracle single-sources its rerank tail (_PQ_RERANK_TAIL) — the
+    tie-break and rounding cannot drift between variants."""
     uq = unitv.filter(query_pred).select(
         F.col("vec_id").alias("q_id"), F.col("ue").alias("_uq")
     )
@@ -181,11 +178,59 @@ def adc_search(
     )
 
 
+def adc_search(
+    unitv: DataFrame,
+    cb: DataFrame,
+    codes: DataFrame,
+    query_pred: Column,
+    rounder: Rounder,
+    k: int = 3,
+    shortlist: int = PQ_SHORTLIST,
+) -> DataFrame:
+    """ADC shortlist + exact re-rank → ``(q_id, n_id, rk, cos_r)``.
+
+    The LUT (queries × M × |codebook| partial dots) and the query vectors
+    are broadcast; the corpus side (codes, unit vectors) never shuffles.
+    """
+    lut = _query_lut(unitv, cb, query_pred, rounder)
+
+    w_short = Window.partitionBy("q_id").orderBy(F.desc("adc_r"), "n_id")
+    short = (
+        codes.withColumnRenamed("vec_id", "n_id")
+        .join(F.broadcast(lut), ["s", "code"])
+        .filter(F.col("n_id") != F.col("q_id"))
+        .groupBy("q_id", "n_id")
+        .agg(rounder(F.sum("pdot_r")).alias("adc_r"))
+        .withColumn("_srn", F.row_number().over(w_short))
+        .filter(F.col("_srn") <= shortlist)
+        .select("q_id", "n_id")
+    )
+    return _exact_rerank(short, unitv, query_pred, rounder, k)
+
+
 # ------------------------------------------------------- materialized index
 
 INDEX_TABLES = ("unitv", "codebook", "codes")
 IVFPQ_TABLES = ("unitv", "codebook", "codes", "centroids")
 _COMMIT_MARKER = "_COMMITTED"
+
+#: Bump when build_pq / coarse-assign semantics change: the version is part
+#: of the index fingerprint, so new code never silently serves an index
+#: built by an older algorithm.
+PQ_BUILD_VERSION = 2
+
+
+def _pq_params(seed_mod: int) -> str:
+    return f"seed{seed_mod}"
+
+
+def _ivfpq_params(seed_mod: int, cent_mod: int) -> str:
+    return f"seed{seed_mod}|cent{cent_mod}"
+
+
+def index_is_committed(index_dir: str) -> bool:
+    """True iff ``index_dir`` holds a fully committed index."""
+    return os.path.isfile(os.path.join(index_dir, _COMMIT_MARKER))
 
 
 def _index_root() -> str:
@@ -195,16 +240,25 @@ def _index_root() -> str:
     )
 
 
-def pq_index_fingerprint(sf_dir: str, variant: str = "pq") -> str:
+def pq_index_fingerprint(
+    sf_dir: str, variant: str = "pq", params: str | None = None
+) -> str:
     """Content fingerprint of the embeddings table + index parameters.
 
     Hashes every data file's (relative path, size, mtime_ns) — cheap stat
     calls, no data read — so a regenerated testdata dir (the r4/r5 outage
-    mode) gets a NEW index instead of silently serving stale codes.
+    mode) gets a NEW index instead of silently serving stale codes.  The
+    build VERSION and build parameters (seed/centroid moduli) are part of
+    the hash too: a parameter change or an algorithm change mints a new
+    index directory instead of silently serving codes built differently
+    from what the caller (and the shared oracle) expects.
     """
+    if params is None:
+        params = _pq_params(50) if variant == "pq" else _ivfpq_params(50, 100)
     src = os.path.join(sf_dir.rstrip("/"), "embeddings.parquet")
     h = hashlib.md5(
-        f"{variant}|M{PQ_M}|SUB{PQ_SUB}|{os.path.abspath(src)}".encode()
+        f"v{PQ_BUILD_VERSION}|{variant}|M{PQ_M}|SUB{PQ_SUB}|{params}|"
+        f"{os.path.abspath(src)}".encode()
     )
     if os.path.isdir(src):
         for base, _dirs, files in sorted(os.walk(src)):
@@ -219,8 +273,12 @@ def pq_index_fingerprint(sf_dir: str, variant: str = "pq") -> str:
     return h.hexdigest()[:16]
 
 
-def pq_index_dir(sf_dir: str, variant: str = "pq") -> str:
-    return os.path.join(_index_root(), pq_index_fingerprint(sf_dir, variant))
+def pq_index_dir(
+    sf_dir: str, variant: str = "pq", params: str | None = None
+) -> str:
+    return os.path.join(
+        _index_root(), pq_index_fingerprint(sf_dir, variant, params)
+    )
 
 
 def _commit_index(dest: str, staging: str, fingerprint: str) -> str:
@@ -264,17 +322,22 @@ def ensure_pq_index(
     """Build-and-commit the PQ index for ``sf_dir`` if absent; return its dir."""
     from mycenae_spark.sources.tables import load_table
 
-    dest = pq_index_dir(sf_dir)
-    if os.path.isfile(os.path.join(dest, _COMMIT_MARKER)):
+    params = _pq_params(seed_mod)
+    dest = pq_index_dir(sf_dir, "pq", params)
+    if index_is_committed(dest):
         return dest
 
     staging = f"{dest}.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
-    unitv = unit_embeddings(load_table(spark, sf_dir, "embeddings"))
-    _vsub, cb, codes = build_pq(unitv, rounder, seed_mod=seed_mod)
-    unitv.write.parquet(os.path.join(staging, "unitv"))
-    cb.write.parquet(os.path.join(staging, "codebook"))
-    codes.write.parquet(os.path.join(staging, "codes"))
-    return _commit_index(dest, staging, pq_index_fingerprint(sf_dir))
+    try:
+        unitv = unit_embeddings(load_table(spark, sf_dir, "embeddings"))
+        _vsub, cb, codes = build_pq(unitv, rounder, seed_mod=seed_mod)
+        unitv.write.parquet(os.path.join(staging, "unitv"))
+        cb.write.parquet(os.path.join(staging, "codebook"))
+        codes.write.parquet(os.path.join(staging, "codes"))
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)  # no orphaned staging
+        raise
+    return _commit_index(dest, staging, pq_index_fingerprint(sf_dir, "pq", params))
 
 
 def load_pq_index(
@@ -304,34 +367,41 @@ def ensure_ivfpq_index(
     megabytes."""
     from mycenae_spark.sources.tables import load_table
 
-    dest = pq_index_dir(sf_dir, "ivfpq")
-    if os.path.isfile(os.path.join(dest, _COMMIT_MARKER)):
+    params = _ivfpq_params(seed_mod, cent_mod)
+    dest = pq_index_dir(sf_dir, "ivfpq", params)
+    if index_is_committed(dest):
         return dest
 
     staging = f"{dest}.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
-    e = load_table(spark, sf_dir, "embeddings")
-    unitv = unit_embeddings(e)
-    _vsub, cb, codes = build_pq(unitv, rounder, seed_mod=seed_mod)
+    try:
+        e = load_table(spark, sf_dir, "embeddings")
+        unitv = unit_embeddings(e)
+        _vsub, cb, codes = build_pq(unitv, rounder, seed_mod=seed_mod)
 
-    from mycenae_spark.functions.similarity import ivf_assign
+        from mycenae_spark.functions.similarity import ivf_assign
 
-    cent = e.filter(F.col("vec_id") % cent_mod == 0).select(
-        F.col("vec_id").alias("c_id"), "embedding"
+        cent = e.filter(F.col("vec_id") % cent_mod == 0).select(
+            F.col("vec_id").alias("c_id"), "embedding"
+        )
+        assign = ivf_assign(
+            e, cent.select(F.col("c_id").alias("vec_id"), "embedding"),
+            score_rounder=rounder,
+        )
+        unitv.write.parquet(os.path.join(staging, "unitv"))
+        cb.write.parquet(os.path.join(staging, "codebook"))
+        cent.write.parquet(os.path.join(staging, "centroids"))
+        (
+            codes.join(assign, "vec_id")
+            .repartition("c_id")
+            .write.partitionBy("c_id")
+            .parquet(os.path.join(staging, "codes"))
+        )
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)  # no orphaned staging
+        raise
+    return _commit_index(
+        dest, staging, pq_index_fingerprint(sf_dir, "ivfpq", params)
     )
-    assign = ivf_assign(
-        e, cent.select(F.col("c_id").alias("vec_id"), "embedding"),
-        score_rounder=rounder,
-    )
-    unitv.write.parquet(os.path.join(staging, "unitv"))
-    cb.write.parquet(os.path.join(staging, "codebook"))
-    cent.write.parquet(os.path.join(staging, "centroids"))
-    (
-        codes.join(assign, "vec_id")
-        .repartition("c_id")
-        .write.partitionBy("c_id")
-        .parquet(os.path.join(staging, "codes"))
-    )
-    return _commit_index(dest, staging, pq_index_fingerprint(sf_dir, "ivfpq"))
 
 
 def load_ivfpq_index(
@@ -355,13 +425,15 @@ def ivfpq_search(
     """IVF-probe → partition-pruned ADC → exact re-rank.
 
     ``queries`` is the raw ``(vec_id, embedding)`` query set (bounded).
-    Probe selection broadcasts the centroids against it; the probed
-    cluster ids are collected (#queries × nprobe values — driver-bounded
-    by contract, the FAISS "select inverted lists" step) and pushed into
-    the codes scan as a partition filter, so only the probed lists are
-    ever read.  ADC then joins those codes against the broadcast
-    (query × subspace × code) LUT scoped per query, and the shortlist is
-    exact-re-ranked from the unit vectors."""
+    Probe selection broadcasts the centroids against it; the probe result
+    is collected ONCE (#queries × nprobe pairs — driver-bounded by
+    contract, the FAISS "select inverted lists" step) and reused three
+    ways: the cluster ids become a partition filter on the codes scan (so
+    only probed lists are ever read), the (q_id, c_id) pairs re-enter the
+    plan as a broadcast local relation (no re-execution of the probe
+    cross-join), and the query ids scope the LUT and the re-rank.  ADC
+    joins the pruned codes against the broadcast per-query LUT, and the
+    shortlist is exact-re-ranked from the unit vectors."""
     from mycenae_spark.functions.similarity import cosine, with_norm
 
     cw = with_norm(cent, "embedding").select(
@@ -381,20 +453,18 @@ def ivfpq_search(
         .filter(F.col("_rn") <= nprobe)
         .select(F.col("vec_id").alias("q_id"), "c_id")
     )
-    probe_rows = probes.collect()  # bounded: #queries × nprobe
-    probed_lists = sorted({r["c_id"] for r in probe_rows})
-
-    query_pred = F.col("vec_id").isin(
-        [r["q_id"] for r in probe_rows]
+    probe_rows = [(r["q_id"], r["c_id"]) for r in probes.collect()]
+    probed_lists = sorted({c for _q, c in probe_rows})
+    query_pred = F.col("vec_id").isin(sorted({q for q, _c in probe_rows}))
+    # (q_id, c_id) scoping joined per-code-row: a code row in list c_id is
+    # a candidate ONLY for queries that probed c_id.  Rebuilt from the
+    # collected rows as a local relation — broadcasting `probes` itself
+    # would re-execute the probe cross-join inside the search DAG.
+    probe_pairs = unitv.sparkSession.createDataFrame(
+        probe_rows, "q_id long, c_id long"
     )
-    qsub = sub_slices(unitv.filter(query_pred), "q_id", "ve")
-    lut = qsub.join(F.broadcast(cb), "s").select(
-        "q_id", "s", "code", rounder(dot(F.col("ve"), F.col("ce"))).alias("pdot_r")
-    )
-    # (q_id, c_id) scoping joined per-code-row: a code row in list c_id is a
-    # candidate ONLY for queries that probed c_id.
-    probe_pairs = probes  # tiny, broadcast below
 
+    lut = _query_lut(unitv, cb, query_pred, rounder)
     pruned = codes.filter(F.col("c_id").isin(probed_lists))
     w_short = Window.partitionBy("q_id").orderBy(F.desc("adc_r"), "n_id")
     short = (
@@ -408,17 +478,4 @@ def ivfpq_search(
         .filter(F.col("_srn") <= shortlist)
         .select("q_id", "n_id")
     )
-
-    uq = unitv.filter(query_pred).select(
-        F.col("vec_id").alias("q_id"), F.col("ue").alias("_uq")
-    )
-    un = unitv.select(F.col("vec_id").alias("n_id"), F.col("ue").alias("_un"))
-    w_rank = Window.partitionBy("q_id").orderBy(F.desc("cos_r"), "n_id")
-    return (
-        short.join(F.broadcast(uq), "q_id")
-        .join(un, "n_id")
-        .withColumn("cos_r", rounder(dot(F.col("_uq"), F.col("_un"))))
-        .withColumn("rk", F.row_number().over(w_rank))
-        .filter(F.col("rk") <= k)
-        .select("q_id", "n_id", "rk", "cos_r")
-    )
+    return _exact_rerank(short, unitv, query_pred, rounder, k)
