@@ -479,3 +479,48 @@ def ivfpq_search(
         .select("q_id", "n_id")
     )
     return _exact_rerank(short, unitv, query_pred, rounder, k)
+
+
+def gc_pq_indexes(max_age_s: float = 7 * 24 * 3600) -> list[str]:
+    """Sweep the index root: abandoned staging dirs and superseded indexes.
+
+    Two garbage classes accumulate under the shared index root (same
+    age-based sweep discipline as the lake's ``gc_staging`` /
+    ``gc_commit_markers``, maintenance.py):
+
+    * ``*.build-*`` staging dirs whose builder died before commit AND
+      before its own cleanup (SIGKILL) — uncommitted, so readers never
+      see them, but they hold partial parquet.  Swept by age.
+    * committed index dirs whose source table was regenerated or whose
+      build version/parameters changed — the new fingerprint means
+      nothing will ever read them again.  Unreferencable staleness is
+      invisible to correctness, so the only safe eviction signal is age:
+      an index untouched for ``max_age_s`` is swept.
+
+    Age uses the directory mtime; a freshly built or rebuilt index always
+    survives.  Returns the paths removed.
+    """
+    import time
+
+    root = _index_root()
+    if not os.path.isdir(root):
+        return []
+    removed = []
+    now = time.time()
+    for name in os.listdir(root):
+        path = os.path.join(root, name)
+        if not os.path.isdir(path):
+            continue
+        try:
+            age = now - os.path.getmtime(path)
+        except OSError:
+            continue  # concurrently removed
+        if age < max_age_s:
+            continue
+        if ".build-" not in name and not index_is_committed(path):
+            # torn external state inside the root: leave for a human —
+            # ensure_* already refuses to read or replace it silently.
+            continue
+        shutil.rmtree(path, ignore_errors=True)
+        removed.append(path)
+    return removed

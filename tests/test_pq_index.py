@@ -81,6 +81,31 @@ def test_torn_index_is_refused(spark, index_root):
         pq.ensure_pq_index(spark, SF_DIR, rounder=r6)
 
 
+def test_gc_sweeps_stale_dirs_only(spark, index_root):
+    import os as _os
+
+    d = pq.ensure_pq_index(spark, SF_DIR, rounder=r6)
+    stale_idx = _os.path.join(index_root, "0123456789abcdef")
+    _os.makedirs(stale_idx)
+    with open(_os.path.join(stale_idx, "_COMMITTED"), "w") as fh:
+        fh.write("old")
+    stale_staging = _os.path.join(index_root, "feed.build-1-dead")
+    _os.makedirs(stale_staging)
+    torn = _os.path.join(index_root, "feedfacefeedface")
+    _os.makedirs(torn)  # committed-shaped name, NO marker: torn, kept
+    old = 1_000_000_000  # well past any max_age
+    for p in (stale_idx, stale_staging, torn):
+        _os.utime(p, (old, old))
+
+    removed = set(pq.gc_pq_indexes(max_age_s=3600))
+    assert removed == {stale_idx, stale_staging}
+    assert _os.path.isdir(torn)  # torn state left for a human
+    assert _os.path.isdir(d)  # fresh index untouched
+    # and it still loads
+    unitv, _cb, _codes = pq.load_pq_index(spark, d)
+    assert unitv.count() > 0
+
+
 def test_fingerprint_tracks_source_regeneration(tmp_path):
     sf = tmp_path / "sfX"
     emb = sf / "embeddings.parquet"
