@@ -15,17 +15,20 @@ anything: the full ledger below is explicit and the local oracle replica
 (tests/test_oracle.py) re-checks the whole registry every CI run regardless
 of order.
 
-Round-6 window (VERDICT r5 items 3-4).  Rounds 4-5 were zero-turn rounds
-against a testdata regeneration that bricked the events reader
-(sources/tables.py, fixed this round), so the evidence state is:
+Round-7 window (VERDICT r6 items 1-2).  CORRECTNESS_r06 is 50/50 green,
+covering exactly the r6-ordered front (never-checked overflow + r5-err +
+new-r6 + stale events readers).  The evidence state entering r7:
 
-* 5 ids NEVER driver-checked (the round-3 overflow ledger) — window FRONT,
-* 40 ids that ERRED in r5 (all the same ``ts_us`` root cause) — next,
-* 5 stale r1/r2-only ids that also read events through the just-changed
-  reader (scan/filter/fill/downsample-p95 family) — fill the window to 50,
-* the remaining 46 r1/r2-only ids (relational/dedup/text — unaffected by the
-  drift but evidence-stale) queue immediately after the window for r7,
-* the 10 ids green in r5 go last.
+* 11 ids declared late in r6, NEVER driver-checked (the r3 overflow
+  precedent, ledger-documented last round) — window FRONT,
+* any queries newly declared THIS round — next (never-checked beats
+  has-a-historical-green for a bounded slot),
+* the 48 stale r1/r2-only ids (relational/dedup/text/ANN families —
+  re-verified green locally by the r6 judge on current data, but without a
+  post-regeneration driver row) — fill the window to 50; the remainder
+  queues for r8,
+* the 10 r5-green roundtrip ids next (freshest evidence before r6),
+* the 50 ids green in CORRECTNESS_r06 go last.
 """
 
 from __future__ import annotations
@@ -33,9 +36,28 @@ from __future__ import annotations
 from mycenae_spark.registry import llm_queries, relational_queries, tsdb_queries
 
 # --- Verification ledger -------------------------------------------------
-# Never driver-checked: declared late in round 3 after the 50-slot window
-# filled, then starved by the r4/r5 zero-turn outage.  First in line.
-_NEVER_CHECKED = (
+# Declared late in round 6 after that round's 50-slot window filled; never
+# driver-checked (VERDICT r6 item 1).  First in line.
+_R6_OVERFLOW = (
+    "ann_pq_adc_topk",
+    "multimodal_resize",
+    "ann_pq_search_topk",
+    "ann_ivfpq_topk",
+    "sample_hash_split",
+    "sample_stratified",
+    "decontaminate_ngram",
+    "corpus_mix_profile",
+    "pack_sequences",
+    "stream_enrich_roundtrip",
+    "stream_join_roundtrip",
+)
+
+# Declared for the first time in round 7 — never checked, take window slots
+# ahead of stale re-checks.
+_NEW_ROUND7 = ()
+
+# --- CORRECTNESS_r06 green ids, grouped as they were fronted in r6 --------
+_R6_GREEN_NEVER_CHECKED = (
     "agg_zimsum",
     "agg_mimmin",
     "agg_mimmax",
@@ -43,9 +65,7 @@ _NEVER_CHECKED = (
     "downsample_p99",
 )
 
-# Erred in CORRECTNESS_r05 (UNRESOLVED_COLUMN ts_us — the events-reader
-# schema drift).  The reader is fixed; these need fresh green rows.
-_R5_ERR = (
+_R6_GREEN_R5_ERR = (
     "order_rate_after_agg",
     "rate",
     "rate_counter",
@@ -88,44 +108,22 @@ _R5_ERR = (
     "multimodal_frame_sample",
 )
 
-# Declared for the first time in round 6 — never checked, take window
-# slots ahead of stale re-checks (never-checked beats has-a-historical-
-# green for a bounded slot).
-_NEW_ROUND6 = (
+_R6_GREEN_NEW_ROUND6 = (
     "snapshot_read_roundtrip",
     "stream_dedup_roundtrip",
 )
 
-# Stale (r1/r2-only green) ids that ALSO read events through the reader that
-# changed this round — highest-value use of the remaining window slots.
-# (downsample_p95 and fill_nan yielded their slots to the new round-6 ids;
-# they lead the stale tail instead.)
-_STALE_EVENTS_READERS = (
+_R6_GREEN_EVENTS_READERS = (
     "scan_project",
     "filter_time_range",
     "filter_value",
 )
 
-# Declared AFTER the round-6 window filled (the r3 overflow precedent):
-# consciously deferred to the r7 front window, queued before the stale
-# tail so the first rotation picks it up.
-_WINDOW_OVERFLOW_NEXT_ROUND = (
-    "ann_pq_adc_topk",
-    "multimodal_resize",
-    "ann_pq_search_topk",
-    "ann_ivfpq_topk",
-    "sample_hash_split",
-    "sample_stratified",
-    "decontaminate_ngram",
-    "corpus_mix_profile",
-    "pack_sequences",
-    "stream_enrich_roundtrip",
-    "stream_join_roundtrip",
-)
-
-# Stale r1/r2-only ids NOT touched by the drift (TPC-H/documents/embeddings
-# inputs).  Queued immediately after the window: r7's front once the r6
-# window re-greens.
+# Stale r1/r2-only ids (TPC-H/documents/embeddings inputs — unaffected by
+# the r4 testdata drift, and all re-verified green locally by the r6 judge
+# on current data, but the driver ledger lacks a post-regeneration row).
+# Fill the r7 window after the never-checked ids; the tail past slot 50
+# queues for r8.
 _STALE_TAIL = (
     "downsample_p95",
     "fill_nan",
@@ -178,7 +176,7 @@ _STALE_TAIL = (
 )
 
 # Green in CORRECTNESS_r05 (they build temp lakes / read undrifted tables):
-# freshest evidence, back of the rotation.
+# stalest driver evidence after the r1/r2 tail.
 _R5_GREEN = (
     "ann_ivf_rerank_topk",
     "ann_ivf_kmeans2_topk",
@@ -192,6 +190,12 @@ _R5_GREEN = (
     "keyspace_ttl_roundtrip",
 )
 
+# Green in CORRECTNESS_r06 — freshest evidence, back of the rotation.
+_R6_GREEN = (
+    _R6_GREEN_NEVER_CHECKED + _R6_GREEN_R5_ERR + _R6_GREEN_NEW_ROUND6
+    + _R6_GREEN_EVENTS_READERS
+)
+
 _ALL_QUERIES = {
     **llm_queries.QUERIES,
     **relational_queries.QUERIES,
@@ -199,8 +203,7 @@ _ALL_QUERIES = {
 }
 
 _ORDER = (
-    _NEVER_CHECKED + _R5_ERR + _NEW_ROUND6 + _STALE_EVENTS_READERS
-    + _WINDOW_OVERFLOW_NEXT_ROUND + _STALE_TAIL + _R5_GREEN
+    _R6_OVERFLOW + _NEW_ROUND7 + _STALE_TAIL + _R5_GREEN + _R6_GREEN
 )
 _missing_ledger = [k for k in _ORDER if k not in _ALL_QUERIES]
 assert not _missing_ledger, f"ledger ids without queries: {_missing_ledger}"
