@@ -1442,26 +1442,22 @@ def sample_stratified(spark, sf_dir):
     order within the stratum — deterministic "random" that both engines
     reproduce exactly (same convention as the hash split).
 
-    The judged form uses an exact global ntile for oracle parity — a
-    single-partition window, fine at declared-query scale.  At 100 TB the
-    decile boundaries come from ``approxQuantile`` (driver-bounded, one
-    pass) broadcast as a range lookup, and the per-stratum top-k is the
-    usual partial top-k aggregation — no global window anywhere; the
-    within-stratum hash-order selection is unchanged."""
-    w_tile = Window.orderBy("n_chars", "doc_id")
+    The judged form IS the scale form
+    (functions/sampling.py::stratified_sample): decile assignment
+    decomposes into a value histogram (bounded by the distinct-length
+    domain, broadcast back as running offsets) + a window partitioned by
+    the length value + closed-form ntile arithmetic, and the per-stratum
+    hash-order top-k runs as a sharded two-phase partial top-k.  No
+    single-partition exchange anywhere (asserted in test_plans); the
+    oracle states the same assignment as a plain global ntile, which the
+    histogram decomposition reproduces bit-exactly."""
+    from mycenae_spark.functions.sampling import stratified_sample
+
     d = t(spark, sf_dir, "documents")
-    strat = d.select(
-        "doc_id",
-        "n_chars",
-        F.ntile(10).over(w_tile).alias("decile"),
-        F.md5(F.concat(F.lit("strat1|"), F.col("doc_id").cast("string"))).alias("h"),
-    )
-    w_rank = Window.partitionBy("decile").orderBy("h", "doc_id")
-    return (
-        strat.withColumn("rn", F.row_number().over(w_rank))
-        .filter(F.col("rn") <= 5)
-        .select("decile", "doc_id", "n_chars", "rn")
-    )
+    return stratified_sample(
+        d.select("doc_id", "n_chars"), "doc_id", "n_chars", k=5, n_strata=10,
+        salt="strat1",
+    ).select(F.col("stratum").alias("decile"), "doc_id", "n_chars", "rn")
 
 
 @q(

@@ -185,3 +185,12 @@ def test_ivfpq_search_prunes_inverted_lists(spark, tmp_path, monkeypatch):
     plan = _plan(spark, "ann_ivfpq_topk")
     assert "PartitionFilters: [c_id" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_stratified_sample_no_single_partition_exchange(spark):
+    """sample_stratified's scale contract: decile assignment decomposes
+    through the value histogram + per-value windows — nothing in the plan
+    funnels the corpus through one task."""
+    plan = _plan(spark, "sample_stratified")
+    assert "SinglePartition" not in plan
+    assert "Window" in plan  # the partitioned rank windows remain

@@ -129,3 +129,44 @@ def test_pack_sequences_respects_budget(spark):
         for r in rows[:-1]:
             cum += r["seq_toks"]
             assert cum >= (r["seq_id"] + 1) * 2048, (bucket, r["seq_id"])
+
+
+def test_stratified_sample_matches_global_ntile(spark):
+    """The histogram-decomposed stratified sample (no global window) must
+    reproduce the naive global-ntile formulation bit-exactly — including
+    strata that straddle runs of equal values and a row count not divisible
+    by n_strata."""
+    from pyspark.sql import Window
+
+    from mycenae_spark.functions.sampling import stratified_sample
+
+    # 103 rows, heavy value ties (v = i // 7), 10 strata: boundaries land
+    # inside tie runs, N % 10 = 3 so the first 3 strata take an extra row
+    rows = [(i, i // 7) for i in range(103)]
+    df = spark.createDataFrame(rows, ["id", "v"])
+    got = {
+        tuple(r)
+        for r in stratified_sample(df, "id", "v", k=3, n_strata=10).collect()
+    }
+
+    w_tile = Window.orderBy("v", "id")
+    h = F.md5(F.concat(F.lit("strat1|"), F.col("id").cast("string")))
+    naive = (
+        df.select("id", "v", F.ntile(10).over(w_tile).alias("stratum"), h.alias("h"))
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("stratum").orderBy("h", "id")),
+        )
+        .filter(F.col("rn") <= 3)
+        .select("stratum", "id", "v", "rn")
+    )
+    assert got == {tuple(r) for r in naive.collect()}
+
+
+def test_stratified_sample_empty_and_tiny(spark):
+    from mycenae_spark.functions.sampling import stratified_sample
+
+    df = spark.createDataFrame([(1, 5), (2, 9)], ["id", "v"])
+    out = stratified_sample(df, "id", "v", k=2, n_strata=10)
+    assert out.count() == 2  # q == 0 branch: stratum = global rank
+    assert stratified_sample(df.limit(0), "id", "v").count() == 0
