@@ -89,9 +89,10 @@ def main() -> None:
     QUERIES["scan_project"](spark, sf_dir).count()
 
     # Materialize the PQ index up front and price the build separately:
-    # ann_pq_search_topk's per-query number is then the amortized search
-    # phase (the production shape — the build is a once-per-corpus job),
-    # while ann_pq_adc_topk keeps pricing the self-contained build+search.
+    # the per-query numbers for both PQ queries are then the amortized
+    # search phase (the production shape — the build is a once-per-corpus
+    # job; ann_pq_adc_topk reuses a committed index when one exists, r7).
+    # The cold build stays priced in ann_pq_index_build_s below.
     from mycenae_spark.functions import pq as _pq
     from mycenae_spark.registry.util import r6 as _r6
 

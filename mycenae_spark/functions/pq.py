@@ -303,6 +303,17 @@ def _commit_index(dest: str, staging: str, fingerprint: str) -> str:
     return dest
 
 
+def _touch_index(index_dir: str) -> None:
+    """Bump the index dir's mtime: parquet READS don't update it, so without
+    this an actively-queried index older than the GC age would be swept out
+    from under a concurrent search (the eviction signal is use, not build
+    time)."""
+    try:
+        os.utime(index_dir)
+    except OSError:
+        pass  # concurrently swept / read-only root — the read itself decides
+
+
 def _load_index(
     spark: SparkSession, index_dir: str, tables: tuple[str, ...]
 ) -> tuple[DataFrame, ...]:
@@ -311,6 +322,7 @@ def _load_index(
             f"PQ index at {index_dir!r} has no {_COMMIT_MARKER}; "
             "refusing to read a torn build"
         )
+    _touch_index(index_dir)
     return tuple(
         spark.read.parquet(os.path.join(index_dir, name)) for name in tables
     )
@@ -325,6 +337,7 @@ def ensure_pq_index(
     params = _pq_params(seed_mod)
     dest = pq_index_dir(sf_dir, "pq", params)
     if index_is_committed(dest):
+        _touch_index(dest)
         return dest
 
     staging = f"{dest}.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
@@ -370,6 +383,7 @@ def ensure_ivfpq_index(
     params = _ivfpq_params(seed_mod, cent_mod)
     dest = pq_index_dir(sf_dir, "ivfpq", params)
     if index_is_committed(dest):
+        _touch_index(dest)
         return dest
 
     staging = f"{dest}.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
@@ -497,8 +511,10 @@ def gc_pq_indexes(max_age_s: float = 7 * 24 * 3600) -> list[str]:
       invisible to correctness, so the only safe eviction signal is age:
       an index untouched for ``max_age_s`` is swept.
 
-    Age uses the directory mtime; a freshly built or rebuilt index always
-    survives.  Returns the paths removed.
+    Age uses the directory mtime as a LAST-USE stamp: parquet reads don't
+    bump it, so ``ensure_*`` / ``_load_index`` touch the dir on every use —
+    an actively-queried index never ages out; a freshly built or rebuilt
+    index always survives.  Returns the paths removed.
     """
     import time
 

@@ -148,14 +148,33 @@ def test_snapshot_read_preserves_pushdown_and_partition_pruning(spark, tmp_path)
     assert df.count() == 2
 
 
-def test_pq_encode_no_corpus_shuffle_and_broadcast_codebook(spark):
-    """ann_pq_adc_topk's scale contract: codebooks reach the encode join
-    by broadcast (the corpus side is never shuffled for assignment), and
-    the encode argmin is a hash aggregation (partial/final), not a window
-    sort over the vectors-by-codebook join."""
+def test_pq_encode_no_corpus_shuffle_and_broadcast_codebook(
+    spark, tmp_path, monkeypatch
+):
+    """ann_pq_adc_topk's COLD-path scale contract (no committed index, so
+    the build runs in-plan): codebooks reach the encode join by broadcast
+    (the corpus side is never shuffled for assignment), and the encode
+    argmin is a hash aggregation (partial/final), not a window sort over
+    the vectors-by-codebook join."""
+    monkeypatch.setenv("MYCENAE_INDEX_ROOT", str(tmp_path / "idx"))
     plan = _plan(spark, "ann_pq_adc_topk")
     assert "BroadcastExchange" in plan
     assert "min_by" in plan or "minby" in plan.lower()
+
+
+def test_pq_adc_reuses_committed_index(spark, tmp_path, monkeypatch):
+    """ann_pq_adc_topk's WARM path: with a committed index for this exact
+    corpus fingerprint, the plan contains no train/encode stages (no
+    min_by argmin) — the search reads the materialized codebook/codes and
+    only the broadcast-LUT ADC + re-rank remain."""
+    from mycenae_spark.functions import pq
+    from mycenae_spark.registry.util import r6
+
+    monkeypatch.setenv("MYCENAE_INDEX_ROOT", str(tmp_path / "idx"))
+    pq.ensure_pq_index(spark, SF_DIR, rounder=r6)
+    plan = _plan(spark, "ann_pq_adc_topk")
+    assert "min_by" not in plan and "minby" not in plan.lower()
+    assert "BroadcastExchange" in plan  # the LUT still broadcasts
 
 
 def test_hash_split_is_projection_plus_single_agg(spark):
