@@ -837,13 +837,20 @@ def topk_series_by_sum(spark, sf_dir):
 
     Ranking happens on the *rounded* sum (ties then broken by key) so a
     sub-ulp cross-engine difference between two near-equal sums can never
-    flip the cutoff — the same stabilization the scalar outputs use."""
+    flip the cutoff — the same stabilization the scalar outputs use.
+
+    Scale shape (VERDICT r6): ``orderBy().limit(k)`` plans as
+    TakeOrderedAndProject — per-partition top-k merged on the driver, no
+    single-partition sort of the full (metric, tag_user) aggregate, which
+    at 100 TB series-cardinality would funnel every series through one
+    task.  The rank window then runs over only the k survivors (the
+    meta_page pattern)."""
     p = points(spark, sf_dir)
     s = p.groupBy("metric", "tag_user").agg(r4(F.sum("value")).alias("sum_v_r"))
+    top = s.orderBy(F.desc("sum_v_r"), "metric", "tag_user").limit(5)
     w = Window.orderBy(F.desc("sum_v_r"), "metric", "tag_user")
     return (
-        s.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 5)
+        top.withColumn("rk", F.row_number().over(w))
         .select("metric", "tag_user", "sum_v_r", "rk")
     )
 

@@ -213,3 +213,12 @@ def test_stratified_sample_no_single_partition_exchange(spark):
     plan = _plan(spark, "sample_stratified")
     assert "SinglePartition" not in plan
     assert "Window" in plan  # the partitioned rank windows remain
+
+
+def test_topk_series_is_take_ordered(spark):
+    """topk_series_by_sum's scale contract: the global top-5 plans as
+    TakeOrderedAndProject (per-partition top-k merged on the driver); the
+    rank window runs over only the survivors, so no single-partition
+    exchange of the full series aggregate exists."""
+    plan = _plan(spark, "topk_series_by_sum")
+    assert "TakeOrderedAndProject" in plan
