@@ -80,14 +80,19 @@ class KeyspaceManager:
         self._save(cfg)
         path = os.path.join(self.lake_dir, f"ksid={name}")
         if os.path.exists(path):
-            shutil.rmtree(path)
+            from mycenae_spark.maintenance import retain_path
             from mycenae_spark.streaming import commitlog
 
-            # same snapshot-visibility contract as apply_ttl
-            commitlog.append(
+            # same snapshot-visibility contract as apply_ttl: log first,
+            # then move the partition into the retention area (grace
+            # window for pinned snapshot readers; gc_retained reclaims)
+            seq = commitlog.append(
                 self.lake_dir,
                 {"kind": "partition-drop", "partitions": [f"ksid={name}"]},
             )
+            dst = retain_path(self.lake_dir, seq, f"ksid={name}")
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.move(path, dst)
 
     # -- TTL maintenance --------------------------------------------------
 
@@ -112,23 +117,25 @@ class KeyspaceManager:
 
     def apply_ttl(self, name: str, today: date | None = None) -> list[str]:
         """Drop expired partitions; returns the paths removed.  Pure
-        directory deletes — cost independent of partition size.
+        directory moves — cost independent of partition size.
 
         The drop is recorded in the commit log (``partition-drop``) so
         log-gated snapshot readers (streaming/snapshot.py) remove the
         partitions' files from the visible set at this exact position —
         without the entry, every later snapshot read would reference the
-        deleted files and fail.  No CAS: the TTL horizon is days while
-        append timestamps are near-now, so a batch racing the drop into an
+        dropped files and fail.  The partitions themselves move to
+        ``_retained/<seq>/`` (grace window): snapshot reads pinned before
+        the drop keep resolving until ``maintenance.gc_retained`` reclaims
+        the bytes.  No CAS: the TTL horizon is days while append
+        timestamps are near-now, so a batch racing the drop into an
         *expired* partition is already outside the data contract (its
         points were due for deletion the moment they landed)."""
         dropped = self.expired_partitions(name, today or date.today())
-        for path in dropped:
-            shutil.rmtree(path)
         if dropped:
+            from mycenae_spark.maintenance import retain_path
             from mycenae_spark.streaming import commitlog
 
-            commitlog.append(
+            seq = commitlog.append(
                 self.lake_dir,
                 {
                     "kind": "partition-drop",
@@ -137,4 +144,10 @@ class KeyspaceManager:
                     ],
                 },
             )
+            for path in dropped:
+                dst = retain_path(
+                    self.lake_dir, seq, os.path.relpath(path, self.lake_dir)
+                )
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                shutil.move(path, dst)
         return dropped

@@ -10,6 +10,16 @@ The rewrite is made atomic-enough for a filesystem lake: write to a temp
 directory next to the partition, then swap via two renames.  (On an object
 store one uses a table format's transaction — Delta/Iceberg — instead; the
 job shape is identical.)
+
+Retention (r7): destructive rewrites — compaction, catalog rewrite/dedupe,
+TTL partition drops, rollup backfill — no longer delete the superseded
+generation outright.  Superseded files move to
+``<section_root>/_retained/<seq>/<rel_path>`` (the VACUUM-style grace
+window): underscore-prefixed, so directory readers never double-count, while
+log-gated snapshot reads pinned BEFORE the rewrite fall back to the retained
+copy and keep working (streaming/snapshot.py).  ``gc_retained`` sweeps
+generations by age, like every other GC here — until it runs, short-range
+time travel survives any rewrite.
 """
 
 from __future__ import annotations
@@ -19,6 +29,52 @@ import shutil
 import uuid
 
 from pyspark.sql import SparkSession
+
+RETAINED_DIR = "_retained"
+
+
+def retain_path(section_root: str, seq: int, rel_path: str) -> str:
+    """Destination for a superseded file retained at log position ``seq``."""
+    return os.path.join(section_root, RETAINED_DIR, f"{seq:020d}", rel_path)
+
+
+def retain_file(section_root: str, seq: int, rel_path: str, src: str) -> None:
+    """Move a superseded data file into the retention area (grace window)."""
+    dst = retain_path(section_root, seq, rel_path)
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    shutil.move(src, dst)
+
+
+def gc_retained(
+    section_root: str, max_age_s: float = 7 * 24 * 3600
+) -> list[str]:
+    """Sweep retained generations older than ``max_age_s`` (the VACUUM).
+
+    A ``_retained/<seq>`` generation is referenced only by snapshot reads
+    pinned before log position seq; once the grace window passes, pinned
+    readers that old are out of contract (same horizon discipline as
+    ``gc_commitlog``) and the bytes are reclaimed.  Age uses the generation
+    dir's mtime (stamped at the rewrite).  Returns the paths removed.
+    """
+    import time
+
+    root = os.path.join(section_root, RETAINED_DIR)
+    if not os.path.isdir(root):
+        return []
+    removed = []
+    now = time.time()
+    for name in sorted(os.listdir(root)):
+        path = os.path.join(root, name)
+        if not os.path.isdir(path):
+            continue
+        try:
+            if now - os.path.getmtime(path) < max_age_s:
+                continue
+        except OSError:
+            continue  # concurrently removed
+        shutil.rmtree(path, ignore_errors=True)
+        removed.append(path)
+    return removed
 
 
 def compact_partition(
@@ -78,7 +134,7 @@ def compact_partition(
             f for f in os.listdir(tmp) if not f.startswith(("_", "."))
         )
         try:
-            commitlog.append(
+            seq = commitlog.append(
                 lake_dir,
                 {
                     "kind": "compaction",
@@ -92,14 +148,34 @@ def compact_partition(
             continue  # an append landed mid-rewrite — redo from fresh state
         old = os.path.join(ksid_dir, f"_old_{uuid.uuid4().hex[:8]}")
         os.rename(part, old)
-        os.rename(tmp, part)
-        # Salvage appends that landed between the CAS and the rename: any
-        # data file not in the rewrite's input set belongs to a later
-        # commit; its manifest re-adds it for snapshot readers.
+        try:
+            os.rename(tmp, part)
+        except OSError:
+            # An in-flight batch's file moves recreated `part` between the
+            # two renames (ingest's _apply_moves makedirs the partition):
+            # the whole-dir rename fails, so merge the compacted files into
+            # the recreated dir file-by-file — part-file names are
+            # uuid-unique, nothing collides, and the racing batch's files
+            # stay in place (its manifest owns them).
+            os.makedirs(part, exist_ok=True)
+            for name in os.listdir(tmp):
+                shutil.move(os.path.join(tmp, name), os.path.join(part, name))
+            shutil.rmtree(tmp, ignore_errors=True)
+        # Old dir triage: files not in the rewrite's input set belong to a
+        # later commit — salvage them back (their manifests re-add them for
+        # snapshot readers).  Input files are the superseded generation —
+        # RETAIN them under _retained/<seq>/ so snapshot reads pinned
+        # before this compaction keep resolving (grace window, not delete).
         for name in os.listdir(old):
-            if name.startswith(("_", ".")) or name in input_names:
+            if name.startswith(("_", ".")):
                 continue
-            shutil.move(os.path.join(old, name), os.path.join(part, name))
+            if name in input_names:
+                retain_file(
+                    lake_dir, seq, os.path.join(rel_part, name),
+                    os.path.join(old, name),
+                )
+            else:
+                shutil.move(os.path.join(old, name), os.path.join(part, name))
         shutil.rmtree(old)
         return len(data_files), n_out
     raise RuntimeError("compaction lost the commit-log race repeatedly")
@@ -163,7 +239,12 @@ def gc_staging(lake_dir: str, max_age_s: float = 24 * 3600) -> list[str]:
     return sorted(removed)
 
 
-def swap_catalog_dir(catalog_dir: str, tmp: str, snapshot_files: set[str]) -> int:
+def swap_catalog_dir(
+    catalog_dir: str,
+    tmp: str,
+    snapshot_files: set[str],
+    retain_seq: int | None = None,
+) -> int:
     """Atomically replace ``catalog_dir`` with ``tmp``, salvaging racing
     appends.
 
@@ -176,7 +257,11 @@ def swap_catalog_dir(catalog_dir: str, tmp: str, snapshot_files: set[str]) -> in
     move it into the new directory before dropping the old one.  Appends
     target the ``catalog_dir`` PATH, so once the old dir is renamed away no
     further files can land in it and the salvage scan is race-free.
-    Returns the number of salvaged files.
+
+    With ``retain_seq`` (the rewrite's log position), the superseded
+    generation moves to ``_retained/<seq>/`` instead of being deleted, so
+    snapshot reads pinned before the rewrite keep resolving (grace
+    window).  Returns the number of salvaged files.
     """
     old = os.path.join(
         os.path.dirname(catalog_dir.rstrip("/")) or ".",
@@ -187,7 +272,12 @@ def swap_catalog_dir(catalog_dir: str, tmp: str, snapshot_files: set[str]) -> in
     snapshot_names = {os.path.basename(p) for p in snapshot_files}
     salvaged = 0
     for name in os.listdir(old):
-        if name.startswith(("_", ".")) or name in snapshot_names:
+        if name.startswith(("_", ".")):
+            continue
+        if name in snapshot_names:
+            if retain_seq is not None:
+                retain_file(catalog_dir, retain_seq, name,
+                            os.path.join(old, name))
             continue
         shutil.move(os.path.join(old, name), os.path.join(catalog_dir, name))
         salvaged += 1
@@ -229,7 +319,7 @@ def dedupe_catalog(
             f for f in os.listdir(tmp) if not f.startswith(("_", "."))
         )
         try:
-            commitlog.append(
+            seq = commitlog.append(
                 lake_dir,
                 {
                     "kind": "catalog-dedupe",
@@ -243,7 +333,7 @@ def dedupe_catalog(
         except commitlog.CommitConflict:
             shutil.rmtree(tmp, ignore_errors=True)
             continue
-        swap_catalog_dir(catalog_dir, tmp, snapshot)
+        swap_catalog_dir(catalog_dir, tmp, snapshot, retain_seq=seq)
         return {"removed": n_before - n_after, "remaining": n_after}
     raise RuntimeError("catalog dedupe lost the commit-log race repeatedly")
 

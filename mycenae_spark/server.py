@@ -145,28 +145,52 @@ class Engine:
             self.lake_dir, self.catalog_dir, rollup_dir=self.rollup_dir
         )
 
-    def _read_lake(self) -> DataFrame:
-        """Log-gated snapshot read when a checkpoint exists; directory read
-        otherwise.  The fallback favors availability: a lake that predates
-        log-gating (or whose markers were GC'd past the checkpoint) still
-        serves queries, with the pre-r6 visibility semantics."""
+    def _snapshot_or_dir(self, read_snapshot, dir_path: str) -> DataFrame:
+        """Run a snapshot read with error-class-aware degradation:
+
+        * ``NoBaseline`` (lake predates log-gating / markers GC'd past the
+          checkpoint) → directory read, the pre-log-gating semantics — the
+          only class where that fallback is SAFE;
+        * ``TransientInFlight`` (a committed batch's files mid-move) →
+          brief retry; the window closes by itself, and a directory read
+          here would serve exactly the torn state log-gating hides;
+        * ``LogGap`` (log truncated past the checkpoint) → propagate: the
+          operator must re-baseline deliberately, silent degradation would
+          hide a real consistency loss.
+        """
+        import time as _time
+
         from mycenae_spark.streaming import snapshot as snap
 
-        try:
-            return snap.read_points_snapshot(self.spark, self.lake_dir)
-        except snap.SnapshotError:
-            return self.spark.read.parquet(self.lake_dir)
+        for _ in range(20):
+            try:
+                return read_snapshot()
+            except snap.NoBaseline:
+                return self.spark.read.parquet(dir_path)
+            except snap.TransientInFlight:
+                _time.sleep(0.05)
+        return read_snapshot()  # still in-flight after ~1s: surface it
+
+    def _read_lake(self) -> DataFrame:
+        """Log-gated snapshot read when a checkpoint exists; directory read
+        only when no baseline exists (see :meth:`_snapshot_or_dir`)."""
+        from mycenae_spark.streaming import snapshot as snap
+
+        return self._snapshot_or_dir(
+            lambda: snap.read_points_snapshot(self.spark, self.lake_dir),
+            self.lake_dir,
+        )
 
     def _read_catalog(self) -> DataFrame:
         """Catalog twin of :meth:`_read_lake` (same fallback contract)."""
         from mycenae_spark.streaming import snapshot as snap
 
-        try:
-            return snap.read_catalog_snapshot(
+        return self._snapshot_or_dir(
+            lambda: snap.read_catalog_snapshot(
                 self.spark, self.lake_dir, self.catalog_dir
-            )
-        except snap.SnapshotError:
-            return self.spark.read.parquet(self.catalog_dir)
+            ),
+            self.catalog_dir,
+        )
 
     def _points(self) -> DataFrame:
         lake = self._read_lake()
@@ -202,12 +226,15 @@ class Engine:
             ):
                 from mycenae_spark.streaming import snapshot as snap
 
-                try:
-                    roll_df = snap.read_rollup_snapshot(
+                # NoBaseline degrades to a directory read inside the
+                # helper; TransientInFlight retries; LogGap propagates —
+                # same contract as the points/catalog paths.
+                roll_df = self._snapshot_or_dir(
+                    lambda: snap.read_rollup_snapshot(
                         self.spark, self.lake_dir, self.rollup_dir
-                    )
-                except snap.SnapshotError:
-                    roll_df = None  # same availability fallback as _read_lake
+                    ),
+                    self.rollup_dir,
+                )
                 rollup = read_rollup_series(
                     self.spark, self.rollup_dir, df=roll_df
                 )
@@ -299,7 +326,7 @@ class Engine:
                 f for f in os.listdir(tmp) if not f.startswith(("_", "."))
             )
             try:
-                commitlog.append(
+                seq = commitlog.append(
                     self.lake_dir,
                     {
                         "kind": "catalog-rewrite",
@@ -314,8 +341,9 @@ class Engine:
                 shutil.rmtree(tmp, ignore_errors=True)
                 continue  # a put landed mid-rewrite — redo from fresh state
             # swap salvages part files from appends that landed between the
-            # CAS and the rename (see maintenance.swap_catalog_dir)
-            swap_catalog_dir(self.catalog_dir, tmp, snapshot)
+            # CAS and the rename (see maintenance.swap_catalog_dir); the
+            # superseded generation is retained for pinned snapshot readers
+            swap_catalog_dir(self.catalog_dir, tmp, snapshot, retain_seq=seq)
             self._tag_keys_cache = None
             return {"deleted": n_before - n_after, "remaining": n_after}
         raise RuntimeError(

@@ -67,7 +67,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
             )
-        elif ts_type is not None:  # pragma: no cover - future drift
+        else:  # pragma: no cover - future drift (incl. a missing ts column)
             raise TypeError(
                 f"events.ts has unsupported dtype {ts_type!r}; "
                 "extend sources/tables.py::load_table"

@@ -222,19 +222,26 @@ def backfill_rollup(
     )
     salvaged = 0
     if os.path.isdir(rollup_dir):
+        from mycenae_spark.maintenance import retain_file
+
         old = os.path.join(base, f"_rollup_old_{uuid.uuid4().hex[:8]}")
         os.rename(rollup_dir, old)
         os.rename(tmp, rollup_dir)
         # Keep partials from batches that committed after the pinned cut:
         # anything in the old dir that was NOT visible at H belongs to a
         # later commit (its manifest re-adds it for snapshot readers).
+        # The superseded generation (visible at H) moves to _retained/<seq>
+        # instead of being deleted, so snapshot reads pinned BEFORE this
+        # backfill keep resolving (maintenance.gc_retained sweeps by age).
         superseded = set(cut["rollup"])
         for rel in snap._list_data_files(old):
+            src = os.path.join(old, rel)
             if rel in superseded:
+                retain_file(rollup_dir, seq, rel, src)
                 continue
             dst = os.path.join(rollup_dir, rel)
             os.makedirs(os.path.dirname(dst), exist_ok=True)
-            shutil.move(os.path.join(old, rel), dst)
+            shutil.move(src, dst)
             salvaged += 1
         shutil.rmtree(old)
     else:

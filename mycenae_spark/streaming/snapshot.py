@@ -38,11 +38,17 @@ Spark jobs; the returned file list feeds ``spark.read.option("basePath",
 root).parquet(*files)``, which preserves partition-column derivation and
 per-file row-group pruning exactly as a directory read would.  Checkpoint
 cadence bounds resolution cost the same way Delta's 10-commit checkpoints
-do.  Limitations (documented, not pretended): time-travel to a seq OLDER
-than a destructive rewrite (catalog rewrite, compaction, TTL drop) fails —
-old generations are physically deleted, there is no retention/VACUUM window;
-and rollup backfill writes are not yet logged (reads of the rollup section
-resolve ingest-written partials only).
+do.
+
+Destructive rewrites (catalog rewrite/dedupe, compaction, TTL partition
+drops, rollup backfill — all of which log their survivor sets, including
+``rollup-backfill`` with its salvage replay rule below) RETAIN the
+superseded generation under ``<section_root>/_retained/<seq>/`` instead of
+deleting it (maintenance.py, r7): ``_read_section`` falls back there for
+files no longer live, so time travel to a position older than a rewrite
+keeps working until ``maintenance.gc_retained`` sweeps the grace window —
+the VACUUM model.  After the sweep, such reads fail loudly with the
+missing-file SnapshotError (never a silent hole).
 """
 
 from __future__ import annotations
@@ -57,6 +63,26 @@ from mycenae_spark.streaming import commitlog
 
 class SnapshotError(Exception):
     """The log/checkpoint state cannot produce a consistent snapshot."""
+
+
+class NoBaseline(SnapshotError):
+    """No usable checkpoint baseline (never bootstrapped, section untracked,
+    or manifests GC'd past the governing checkpoint) — re-baseline with
+    ``write_checkpoint``.  The SAFE degraded mode is a directory read: the
+    lake's pre-log-gating visibility semantics."""
+
+
+class TransientInFlight(SnapshotError):
+    """A committed batch's files are still mid-move (marker → log append →
+    file moves).  Retry shortly — this window closes by itself; falling
+    back to a directory read here would serve exactly the torn state
+    log-gating exists to hide."""
+
+
+class LogGap(SnapshotError):
+    """The commit log was truncated past the newest checkpoint: file deltas
+    are unrecoverable.  NOT safe to silently degrade — surface it and
+    re-baseline deliberately."""
 
 
 def _cp_dir(lake_dir: str) -> str:
@@ -81,6 +107,41 @@ def _list_data_files(root: str | None) -> list[str]:
     return sorted(out)
 
 
+def _appends_settled(
+    lake_dir: str, roots: dict, since: int, head: int
+) -> bool:
+    """True iff every points-append manifest in ``(since, head]`` has all
+    of its files on disk (live or retained).
+
+    The batch commit orders marker → log append → file moves, so an entry
+    at seq ≤ head can still have files mid-move while the checkpoint lists
+    directories — the CAS only detects appends landing AFTER the head
+    read, so without this guard the listing could permanently omit a
+    committed file (torn bootstrap).  Checked BEFORE listing: if all
+    commits ≤ head are settled when the walk starts, the walk sees every
+    committed file, and anything newer conflicts the CAS.
+    """
+    for seq, payload in commitlog.entries(lake_dir, since=since):
+        if seq > head:
+            break
+        if payload.get("kind") != "points-append":
+            continue
+        try:
+            manifest = _batch_manifest(lake_dir, payload["batch_id"])
+        except NoBaseline:
+            continue  # marker GC'd: its moves finished long ago
+        for section in SECTIONS:
+            root = roots.get(section)
+            if root is None:
+                continue
+            for rel in manifest.get(section, ()):
+                if not os.path.exists(os.path.join(root, rel)) and (
+                    _find_retained(root, rel) is None
+                ):
+                    return False
+    return True
+
+
 def write_checkpoint(
     lake_dir: str,
     catalog_dir: str | None = None,
@@ -89,23 +150,34 @@ def write_checkpoint(
 ) -> int:
     """Write a full visible-file checkpoint; returns its sequence number.
 
-    Bootstrap path: LIST the roots, then register the listing at an exact
-    log position with a CAS append — if any commit lands between the read
-    of the head and the append, the listing may be torn, so the whole
-    list-and-claim retries.  The checkpoint is therefore a consistent cut
-    even though directory listing is not atomic.
+    Bootstrap path: wait for every committed append ≤ head to finish its
+    file moves (``_appends_settled`` — a commit is log-visible before its
+    files land), then LIST the roots, then register the listing at an
+    exact log position with a CAS append — if any commit lands between the
+    read of the head and the append, the listing may be torn, so the whole
+    settle-list-and-claim retries.  The checkpoint is therefore a
+    consistent cut even though directory listing is not atomic.
 
     Roots omitted here are inherited from the previous checkpoint, so a
     caller that only knows one section (e.g. backfill_rollup) cannot
     silently drop another section's tracking.
     """
+    import time as _time
+
     prev = latest_checkpoint(lake_dir)
     if prev is not None:
         prev_roots = prev.get("roots", {})
         catalog_dir = catalog_dir or prev_roots.get("catalog")
         rollup_dir = rollup_dir or prev_roots.get("rollup")
+    roots = {"points": lake_dir, "rollup": rollup_dir, "catalog": catalog_dir}
+    since = prev["seq"] if prev is not None else 0
+    unsettled = False
     for _ in range(retries):
         head = commitlog.latest_seq(lake_dir)
+        unsettled = not _appends_settled(lake_dir, roots, since, head)
+        if unsettled:
+            _time.sleep(0.05)  # an in-flight batch: its moves finish shortly
+            continue
         state = {
             "points": _list_data_files(lake_dir),
             "rollup": _list_data_files(rollup_dir),
@@ -128,6 +200,11 @@ def write_checkpoint(
             os.fsync(f.fileno())
         os.rename(tmp, os.path.join(d, f"{seq:020d}.json"))
         return seq
+    if unsettled:
+        raise TransientInFlight(
+            "a committed batch's file moves never settled (crashed "
+            "writer?) — replay the batch or GC its marker, then retry"
+        )
     raise SnapshotError("checkpoint lost the commit-log race repeatedly")
 
 
@@ -154,7 +231,7 @@ def _batch_manifest(lake_dir: str, batch_id: str) -> dict:
         with open(marker) as f:
             return json.load(f)
     except FileNotFoundError:
-        raise SnapshotError(
+        raise NoBaseline(
             f"commit marker for batch {batch_id!r} is gone (GC'd); the "
             "checkpoint predates it — run write_checkpoint to re-baseline"
         ) from None
@@ -186,7 +263,7 @@ def resolve(lake_dir: str, as_of: int | None = None) -> dict:
         return hit
     cp = latest_checkpoint(lake_dir, as_of)
     if cp is None:
-        raise SnapshotError(
+        raise NoBaseline(
             "no checkpoint at or before the requested position — run "
             "write_checkpoint(lake_dir, ...) once to bootstrap log-gated reads"
         )
@@ -199,7 +276,7 @@ def resolve(lake_dir: str, as_of: int | None = None) -> dict:
             # commitlog.truncate dropped entries newer than the governing
             # checkpoint: their file deltas are unrecoverable, so failing
             # loudly beats silently serving a hole in the lake.
-            raise SnapshotError(
+            raise LogGap(
                 f"commit log gap after {pos} (next surviving entry {seq}); "
                 "the log was truncated past the newest checkpoint — run "
                 "write_checkpoint to re-baseline, and keep the truncate "
@@ -213,7 +290,7 @@ def resolve(lake_dir: str, as_of: int | None = None) -> dict:
                 files[s].update(manifest.get(s, ()))
         elif kind in ("catalog-rewrite", "catalog-dedupe"):
             if "files" not in payload:
-                raise SnapshotError(
+                raise NoBaseline(
                     f"log entry {seq} ({kind}) predates survivor-file "
                     "recording — run write_checkpoint to re-baseline"
                 )
@@ -258,27 +335,60 @@ def resolve(lake_dir: str, as_of: int | None = None) -> dict:
     return out
 
 
+def _find_retained(root: str, rel: str) -> str | None:
+    """Locate ``rel`` in the section's retention area (``_retained/<seq>/``,
+    maintenance.py): destructive rewrites move the superseded generation
+    there instead of deleting it, so reads pinned before the rewrite keep
+    resolving until ``gc_retained`` reclaims the grace window."""
+    import glob as _glob
+
+    hits = _glob.glob(
+        os.path.join(_glob.escape(root), "_retained", "*", _glob.escape(rel))
+    )
+    return sorted(hits)[0] if hits else None
+
+
 def _read_section(
     spark: SparkSession, root: str, rel_files: list[str], schema_hint: str | None
 ) -> DataFrame:
     if not rel_files:
         if schema_hint is None:
-            raise SnapshotError(f"empty snapshot section under {root}")
+            raise NoBaseline(f"empty snapshot section under {root}")
         return spark.createDataFrame([], schema_hint)
-    paths = [os.path.join(root, rel) for rel in rel_files]
+    live, retained, missing = [], {}, []
+    for rel in rel_files:
+        p = os.path.join(root, rel)
+        if os.path.exists(p):
+            live.append(p)
+            continue
+        hit = _find_retained(root, rel)
+        if hit is not None:
+            # group by generation dir: it becomes that frame's basePath so
+            # ksid=…/date=… partition-column derivation still works
+            gen = hit[: -(len(rel) + 1)]
+            retained.setdefault(gen, []).append(hit)
+        else:
+            missing.append(p)
     # The batch commit orders marker → log append → file moves, so a commit
     # is briefly log-visible before its files finish moving.  Surface that
     # transient as a retryable error instead of a confusing Spark failure
     # (silently skipping missing files would break snapshot consistency).
-    missing = [p for p in paths if not os.path.exists(p)]
     if missing:
-        raise SnapshotError(
+        raise TransientInFlight(
             f"{len(missing)} committed file(s) not yet moved into place "
             f"(in-flight batch) — retry; first: {missing[0]}"
         )
     # basePath keeps ksid=…/date=… partition-column derivation identical to
     # a directory read, so downstream partition pruning still works.
-    return spark.read.option("basePath", root).parquet(*paths)
+    frames = []
+    if live:
+        frames.append(spark.read.option("basePath", root).parquet(*live))
+    for gen, paths in sorted(retained.items()):
+        frames.append(spark.read.option("basePath", gen).parquet(*paths))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
 
 
 def read_points_snapshot(
@@ -298,7 +408,7 @@ def read_catalog_snapshot(
 ) -> DataFrame:
     snap = resolve(lake_dir, as_of)
     if snap["roots"].get("catalog") is None:
-        raise SnapshotError(
+        raise NoBaseline(
             "the governing checkpoint did not track the catalog section — "
             "run write_checkpoint(lake_dir, catalog_dir=...) to re-baseline"
         )
@@ -315,7 +425,7 @@ def read_rollup_snapshot(
     backfill generations; see ``resolve`` for the backfill delta rule)."""
     snap = resolve(lake_dir, as_of)
     if snap["roots"].get("rollup") is None:
-        raise SnapshotError(
+        raise NoBaseline(
             "the governing checkpoint did not track the rollup section — "
             "run write_checkpoint(lake_dir, rollup_dir=...) to re-baseline"
         )

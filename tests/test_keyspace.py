@@ -87,3 +87,50 @@ def test_compaction(spark, tmp_path):
     assert after.count() == before_rows  # lossless
     # second pass is a no-op under the min_files gate
     assert compact_keyspace(spark, lake, "ks1", min_files=4) == {}
+
+
+def test_ttl_drop_retains_partition_for_pinned_readers(spark, tmp_path):
+    """TTL drops move expired partitions into _retained/<seq>/ instead of
+    deleting: head snapshots and directory reads no longer see them, but a
+    snapshot pinned before the drop still resolves the rows."""
+    import datetime
+    import json
+
+    from mycenae_spark.keyspace import Keyspace, KeyspaceManager
+    from mycenae_spark.streaming import snapshot
+    from mycenae_spark.streaming.ingest import (
+        decode_json_lines,
+        prepare_points,
+        write_points_batch,
+    )
+
+    lake, catalog = str(tmp_path / "lake"), str(tmp_path / "catalog")
+    for b, (day_ms, metric) in enumerate(
+        [(1704067200000, "old.m"), (1706745600000, "new.m")]
+    ):
+        rows = [
+            (json.dumps({
+                "metric": metric,
+                "tags": {"ksid": "k1", "host": f"h{i}"},
+                "timestamp": day_ms + i * 1000,
+                "value": 1.0,
+            }),)
+            for i in range(5)
+        ]
+        valid, _ = prepare_points(
+            decode_json_lines(spark.createDataFrame(rows, ["value"]))
+        )
+        write_points_batch(valid, lake, catalog, batch_id=f"t{b}")
+    pre = snapshot.write_checkpoint(lake, catalog)
+
+    mgr = KeyspaceManager(lake)
+    mgr.create(Keyspace(name="k1", ttl_days=30))
+    dropped = mgr.apply_ttl("k1", today=datetime.date(2024, 2, 10))
+    assert len(dropped) == 1
+
+    assert spark.read.parquet(lake).count() == 5  # directory: gone
+    assert snapshot.read_points_snapshot(spark, lake).count() == 5
+    pinned = snapshot.read_points_snapshot(spark, lake, as_of=pre)
+    assert pinned.count() == 10  # grace window: still resolvable
+    assert {r["metric"] for r in pinned.select("metric").distinct().collect()} \
+        == {"old.m", "new.m"}

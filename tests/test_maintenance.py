@@ -133,3 +133,101 @@ def test_gc_commit_markers(spark, tmp_path):
     assert gc_commit_markers(lake) == ["old-done"]
     left = set(os.listdir(os.path.join(lake, "_commits")))
     assert left == {"young-done", "old-pending"}
+
+
+def _ingest_batches(spark, lake, catalog, n_batches=2, per=6, metric="ret.m"):
+    import json
+
+    from mycenae_spark.streaming.ingest import (
+        decode_json_lines,
+        prepare_points,
+        write_points_batch,
+    )
+
+    for b in range(n_batches):
+        rows = [
+            (json.dumps({
+                "metric": metric,
+                "tags": {"ksid": "k1", "host": f"h{b}-{i}"},
+                "timestamp": 1704067200000 + (b * per + i) * 60_000,
+                "value": 1.0,
+            }),)
+            for i in range(per)
+        ]
+        valid, _ = prepare_points(
+            decode_json_lines(spark.createDataFrame(rows, ["value"]))
+        )
+        write_points_batch(valid, lake, catalog, batch_id=f"r{b}")
+
+
+def test_compaction_retains_superseded_generation(spark, tmp_path):
+    """Time travel across a compaction: the pre-compaction snapshot still
+    reads (its files moved to _retained/<seq>/, not deleted), the head
+    snapshot serves the compacted files, and gc_retained reclaims the
+    grace window by age — after which the pinned read fails loudly."""
+    import os
+    import time
+
+    import pytest as _pytest
+
+    from mycenae_spark.maintenance import compact_partition, gc_retained
+    from mycenae_spark.streaming import snapshot
+
+    lake, catalog = str(tmp_path / "lake"), str(tmp_path / "catalog")
+    _ingest_batches(spark, lake, catalog)
+    pre = snapshot.write_checkpoint(lake, catalog)
+    n_files_pre = len(snapshot.resolve(lake)["points"])
+    assert n_files_pre >= 2
+
+    date = os.listdir(os.path.join(lake, "ksid=k1"))[0].split("=", 1)[1]
+    compact_partition(spark, lake, "k1", date)
+
+    # head: compacted view, same rows
+    assert snapshot.read_points_snapshot(spark, lake).count() == 12
+    assert len(snapshot.resolve(lake)["points"]) < n_files_pre
+    # pinned pre-compaction: old generation resolves from _retained
+    pinned = snapshot.read_points_snapshot(spark, lake, as_of=pre)
+    assert pinned.count() == 12
+    assert any("_retained" in f for f in pinned.inputFiles())
+
+    # VACUUM: age out the retained generation → pinned read fails loudly
+    ret_root = os.path.join(lake, "_retained")
+    for gen in os.listdir(ret_root):
+        ancient = time.time() - 8 * 24 * 3600
+        os.utime(os.path.join(ret_root, gen), (ancient, ancient))
+    removed = gc_retained(lake)
+    assert removed
+    snapshot._RESOLVE_MEMO.clear()
+    with _pytest.raises(snapshot.TransientInFlight):
+        snapshot.read_points_snapshot(spark, lake, as_of=pre).count()
+
+
+def test_catalog_dedupe_retains_superseded_generation(spark, tmp_path):
+    """Catalog rewrites keep the old generation for pinned readers."""
+    import json
+
+    from mycenae_spark.maintenance import dedupe_catalog
+    from mycenae_spark.streaming import snapshot
+    from mycenae_spark.streaming.ingest import (
+        decode_json_lines,
+        prepare_points,
+        write_points_batch,
+    )
+
+    lake, catalog = str(tmp_path / "lake"), str(tmp_path / "catalog")
+    pts = [{"metric": "dup.m", "tags": {"ksid": "k1", "h": "a"},
+            "timestamp": 1704067200000, "value": 1.0}]
+    raw = spark.createDataFrame([(json.dumps(p),) for p in pts], ["value"])
+    valid, _ = prepare_points(decode_json_lines(raw))
+    write_points_batch(valid, lake, catalog, batch_id="a-0")
+    valid.select("ksid", "tsid", "metric", "tags").dropDuplicates(
+        ["tsid"]
+    ).write.mode("append").parquet(catalog)
+    pre = snapshot.write_checkpoint(lake, catalog)
+
+    assert dedupe_catalog(spark, lake, catalog)["removed"] == 1
+    # head sees the deduped catalog; pinned still sees both rows
+    assert snapshot.read_catalog_snapshot(spark, lake, catalog).count() == 1
+    assert snapshot.read_catalog_snapshot(
+        spark, lake, catalog, as_of=pre
+    ).count() == 2
