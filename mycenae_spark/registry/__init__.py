@@ -54,7 +54,9 @@ _R6_OVERFLOW = (
 
 # Declared for the first time in round 7 — never checked, take window slots
 # ahead of stale re-checks.
-_NEW_ROUND7 = ()
+_NEW_ROUND7 = (
+    "rollup_backfill_roundtrip",
+)
 
 # --- CORRECTNESS_r06 green ids, grouped as they were fronted in r6 --------
 _R6_GREEN_NEVER_CHECKED = (

@@ -67,35 +67,34 @@ def test_rounding_convention_generated_not_copied():
 
 
 def test_verification_window_composition():
-    """The driver checks the first 50 registry entries per round.  Round-6
-    rotation (VERDICT r5 items 3-4): the 5 never-checked ledger ids and the
-    40 r5-err ids MUST sit inside that window; the ledger partitions the
-    registry exactly (nothing silently falls through the rotation)."""
+    """The driver checks the first 50 registry entries per round.  Round-7
+    rotation (VERDICT r6 items 1-2): the 11 never-checked r6-overflow ids
+    and anything newly declared this round MUST sit inside that window;
+    the ledger partitions the registry exactly (nothing silently falls
+    through the rotation)."""
     from mycenae_spark.registry import (
-        _NEVER_CHECKED,
-        _NEW_ROUND6,
-        _R5_ERR,
+        _NEW_ROUND7,
         _R5_GREEN,
-        _STALE_EVENTS_READERS,
+        _R6_GREEN,
+        _R6_OVERFLOW,
         _STALE_TAIL,
-        _WINDOW_OVERFLOW_NEXT_ROUND,
     )
 
     ids = list(QUERIES)
     window = set(ids[:50])
-    must_front = list(_NEVER_CHECKED) + list(_R5_ERR) + list(_NEW_ROUND6)
+    must_front = list(_R6_OVERFLOW) + list(_NEW_ROUND7)
     missing = [k for k in must_front if k not in window]
     assert not missing, f"priority ids outside the driver window: {missing}"
 
     ledger = (
-        set(_NEVER_CHECKED) | set(_R5_ERR) | set(_NEW_ROUND6)
-        | set(_STALE_EVENTS_READERS) | set(_WINDOW_OVERFLOW_NEXT_ROUND)
-        | set(_STALE_TAIL) | set(_R5_GREEN)
+        set(_R6_OVERFLOW) | set(_NEW_ROUND7) | set(_STALE_TAIL)
+        | set(_R5_GREEN) | set(_R6_GREEN)
     )
     assert ledger == set(ids), (
         f"ledger/registry mismatch: only-ledger={ledger - set(ids)} "
         f"only-registry={set(ids) - ledger}"
     )
-    # overflow + stale tail queue immediately after the window → r7's front
-    for k in (*_WINDOW_OVERFLOW_NEXT_ROUND, *_STALE_TAIL):
-        assert k in ids and k not in window, k
+    # the stale tail fills the remaining slots in order; whatever spills
+    # past slot 50 queues as r8's front
+    n_spill = len(must_front) + len(_STALE_TAIL) - 50
+    assert [k for k in ids[50:50 + n_spill]] == list(_STALE_TAIL)[-n_spill:]
