@@ -7,6 +7,13 @@ Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default sf0.1) on
 Each query is executed to completion with a cheap terminal action
 (``count`` after the full computation) so the measured time is the real
 plan execution, not a ``collect`` of a large result into the driver.
+
+Noise control (VERDICT r6 item 8): every query runs ``$SPARK_GRAFT_BENCH_REPS``
+times (default 3) and the quoted per-query/suite numbers are the BEST run —
+host variance inflated r6's unchanged plans 1.35× against r3, which made the
+2× regression gate mushy; best-of-N measures the plan, not the host's mood.
+The first-run total is still emitted (``extras.total_first_run_s``) so
+cold-path drift stays visible.
 """
 
 from __future__ import annotations
@@ -110,14 +117,23 @@ def main() -> None:
     _pq.ensure_ivfpq_index(spark, sf_dir, rounder=_r6)
     ivfpq_build_s = round(time.perf_counter() - t0, 3)
 
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     times: dict[str, float] = {}
+    first_run: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        df = QUERIES[name](spark, sf_dir)
-        df.count()
-        times[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for rep in range(reps):
+            t0 = time.perf_counter()
+            df = QUERIES[name](spark, sf_dir)
+            df.count()
+            dt = time.perf_counter() - t0
+            if rep == 0:
+                first_run[name] = round(dt, 3)
+            best = min(best, dt)
+        times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
+    total_first = round(sum(first_run.values()), 3)
 
     # ANN quality metric: recall@3 of the IVF index against brute force.
     brute = {
@@ -175,6 +191,31 @@ def main() -> None:
         }
         curve[str(nprobe)] = round(len(brute & got) / max(len(brute), 1), 3)
 
+    # Same dial for the IVFPQ index (VERDICT r6 item 7): recall-vs-nprobe
+    # over the materialized inverted lists — the number that justifies the
+    # judged default (registry/llm_queries.py::_IVFPQ_NPROBE).
+    import pyspark.sql.functions as F  # noqa: N812
+
+    u_, cb_, codes_, cent_ = _pq.load_ivfpq_index(
+        spark, _pq.pq_index_dir(sf_dir, "ivfpq")
+    )
+    qset = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 10)
+        .select("vec_id", "embedding")
+    )
+    ivfpq_curve = {}
+    for nprobe in (1, 2, 4, 8, 16):
+        got = {
+            (r["q_id"], r["n_id"])
+            for r in _pq.ivfpq_search(
+                u_, cb_, codes_, cent_, qset, rounder=_r6, nprobe=nprobe
+            ).collect()
+        }
+        ivfpq_curve[str(nprobe)] = round(
+            len(brute & got) / max(len(brute), 1), 3
+        )
+
     print(
         json.dumps(
             {
@@ -195,6 +236,9 @@ def main() -> None:
                     "ann_ivfpq_index_build_s": ivfpq_build_s,
                     "ann_ivfpq_index_was_cached": ivfpq_cached,
                     "ann_ivf_kmeans_recall_at3_by_nprobe": curve,
+                    "ann_ivfpq_recall_at3_by_nprobe": ivfpq_curve,
+                    "bench_reps": reps,
+                    "total_first_run_s": total_first,
                 },
             }
         )

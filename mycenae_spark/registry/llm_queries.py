@@ -1270,7 +1270,11 @@ def ann_pq_search_topk(spark, sf_dir):
     )
 
 
-_IVFPQ_NPROBE = 4
+# nprobe=8 is the knee of the measured recall-vs-scan curve (bench extras
+# ``ann_ivfpq_recall_at3_by_nprobe``: 0.40@1, 0.70@2, 0.77@4, 0.87@8,
+# 0.87@16 at sf0.01) — past it recall saturates while scan cost keeps
+# doubling, before it the probe misses real neighbors' lists.
+_IVFPQ_NPROBE = 8
 
 _IVFPQ_SQL = f"""
 WITH {_PQ_BUILD_CTES}, cent AS ({_CENT0_SQL}),
