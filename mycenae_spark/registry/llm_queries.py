@@ -1271,9 +1271,9 @@ def ann_pq_search_topk(spark, sf_dir):
 
 
 # nprobe=8 is the knee of the measured recall-vs-scan curve (bench extras
-# ``ann_ivfpq_recall_at3_by_nprobe``: 0.40@1, 0.70@2, 0.77@4, 0.87@8,
-# 0.87@16 at sf0.01) — past it recall saturates while scan cost keeps
-# doubling, before it the probe misses real neighbors' lists.
+# ``ann_ivfpq_recall_at3_by_nprobe``; sf0.1: 0.23@1, 0.27@2, 0.47@4,
+# 0.80@8, 0.93@16 — sf0.01 saturates at 8): going 4→8 nearly doubles
+# recall for double scan; 8→16 pays the same doubling for +0.13.
 _IVFPQ_NPROBE = 8
 
 _IVFPQ_SQL = f"""

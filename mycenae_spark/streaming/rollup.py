@@ -204,11 +204,13 @@ def backfill_rollup(
     from mycenae_spark.streaming import commitlog
     from mycenae_spark.streaming import snapshot as snap
 
-    # Always take a FRESH checkpoint: its directory listing includes any
-    # legacy files written before this lake was log-tracked, matching the
-    # coverage semantics of a directory scan while still pinning an exact
-    # cut.  (Omitted roots inherit from the previous checkpoint.)
-    as_of = snap.write_checkpoint(lake_dir, rollup_dir=rollup_dir)
+    # Always take a FRESH FULL checkpoint: its directory listing includes
+    # any legacy files written before this lake was log-tracked, matching
+    # the coverage semantics of a directory scan while still pinning an
+    # exact cut.  (Omitted roots inherit from the previous checkpoint;
+    # mode="full" because an incremental checkpoint would keep legacy
+    # files invisible and the backfill would silently skip their points.)
+    as_of = snap.write_checkpoint(lake_dir, rollup_dir=rollup_dir, mode="full")
     cut = snap.resolve(lake_dir, as_of=as_of)
     valid = snap.read_points_snapshot(spark, lake_dir, as_of=as_of)
     partials = rollup_batch(valid, interval_ms, series_cols)

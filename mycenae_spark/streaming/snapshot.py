@@ -147,20 +147,35 @@ def write_checkpoint(
     catalog_dir: str | None = None,
     rollup_dir: str | None = None,
     retries: int = 5,
+    mode: str = "auto",
 ) -> int:
-    """Write a full visible-file checkpoint; returns its sequence number.
+    """Write a visible-file checkpoint; returns its sequence number.
 
-    Bootstrap path: wait for every committed append ≤ head to finish its
-    file moves (``_appends_settled`` — a commit is log-visible before its
-    files land), then LIST the roots, then register the listing at an
-    exact log position with a CAS append — if any commit lands between the
-    read of the head and the append, the listing may be torn, so the whole
-    settle-list-and-claim retries.  The checkpoint is therefore a
-    consistent cut even though directory listing is not atomic.
+    ``mode``:
+
+    * ``"full"`` — LIST the roots.  Required at genesis and whenever the
+      directory tree is the authority (legacy files written before the
+      lake was log-tracked; ``backfill_rollup`` uses this to honor the
+      coverage semantics of a directory scan).  Waits for every committed
+      append ≤ head to finish its file moves first (``_appends_settled``
+      — a commit is log-visible before its files land, so an unguarded
+      listing could permanently omit committed files), then registers the
+      listing at an exact log position with a CAS append — any commit
+      landing between the head read and the append forces a retry, so the
+      checkpoint is a consistent cut even though listing is not atomic.
+    * ``"incremental"`` — derive the state from ``resolve()`` (previous
+      checkpoint ⊕ manifest replay): no directory walk at all, so no
+      torn-listing window to guard and no O(#files) stat cost — at 100 TB
+      file counts this is the only checkpoint cadence that stays cheap.
+      Requires a baseline; keeps foreign files exactly as invisible as
+      the log says (a full re-listing would launder them into
+      visibility).
+    * ``"auto"`` (default) — incremental when a baseline exists and the
+      requested roots match the tracked ones, else full.
 
     Roots omitted here are inherited from the previous checkpoint, so a
-    caller that only knows one section (e.g. backfill_rollup) cannot
-    silently drop another section's tracking.
+    caller that only knows one section cannot silently drop another
+    section's tracking.
     """
     import time as _time
 
@@ -170,20 +185,46 @@ def write_checkpoint(
         catalog_dir = catalog_dir or prev_roots.get("catalog")
         rollup_dir = rollup_dir or prev_roots.get("rollup")
     roots = {"points": lake_dir, "rollup": rollup_dir, "catalog": catalog_dir}
+    if mode not in ("auto", "full", "incremental"):
+        raise ValueError(f"unknown checkpoint mode {mode!r}")
+    incremental = mode == "incremental" or (
+        mode == "auto"
+        and prev is not None
+        and prev.get("roots", {}) == roots
+    )
+    if incremental and prev is None:
+        raise NoBaseline(
+            "incremental checkpoint needs a previous checkpoint baseline"
+        )
     since = prev["seq"] if prev is not None else 0
     unsettled = False
     for _ in range(retries):
-        head = commitlog.latest_seq(lake_dir)
-        unsettled = not _appends_settled(lake_dir, roots, since, head)
-        if unsettled:
-            _time.sleep(0.05)  # an in-flight batch: its moves finish shortly
-            continue
-        state = {
-            "points": _list_data_files(lake_dir),
-            "rollup": _list_data_files(rollup_dir),
-            "catalog": _list_data_files(catalog_dir),
-            "roots": {"points": lake_dir, "rollup": rollup_dir, "catalog": catalog_dir},
-        }
+        if incremental:
+            try:
+                snapres = resolve(lake_dir)
+            except (LogGap, NoBaseline):
+                # re-baseline semantics: a truncated log or GC'd manifest
+                # is exactly what a FULL checkpoint repairs — auto mode
+                # degrades to the listing; explicit incremental propagates
+                if mode == "incremental":
+                    raise
+                incremental = False
+        if incremental:
+            head = snapres["seq"]
+            state = {s: snapres[s] for s in SECTIONS}
+            state["roots"] = roots
+        else:
+            head = commitlog.latest_seq(lake_dir)
+            unsettled = not _appends_settled(lake_dir, roots, since, head)
+            if unsettled:
+                _time.sleep(0.05)  # in-flight batch: moves finish shortly
+                continue
+            state = {
+                "points": _list_data_files(lake_dir),
+                "rollup": _list_data_files(rollup_dir),
+                "catalog": _list_data_files(catalog_dir),
+                "roots": roots,
+            }
         try:
             seq = commitlog.append(
                 lake_dir, {"kind": "checkpoint"}, expected_head=head

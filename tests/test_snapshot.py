@@ -283,3 +283,53 @@ def test_resolve_memo_hits_and_invalidates_on_new_commit(spark, tmp_path):
                        batch_id="memo-b")
     r2 = snapshot.resolve(lake)
     assert r2 is not r1 and len(r2["points"]) > len(r1["points"])
+
+
+def test_incremental_checkpoint_matches_full_and_skips_listing(
+    spark, tmp_path
+):
+    """Once a baseline exists, auto-mode checkpoints derive state from the
+    log (no directory walk): the state must equal what a full listing
+    would produce on a fully log-tracked lake, and a foreign file dropped
+    outside the commit protocol must stay invisible across the
+    re-checkpoint (a full listing would launder it into visibility)."""
+    import glob
+    import os
+
+    lake, catalog = _setup_lake(spark, tmp_path, batches=1)
+    cp1 = snapshot.write_checkpoint(lake, catalog)  # genesis: full listing
+    write_points_batch(_mk_points(spark, metric="inc1"), lake, catalog,
+                       batch_id="i1")
+
+    # drop a foreign parquet outside the protocol
+    part_dir = glob.glob(f"{lake}/ksid=ks1/date=*/")[0]
+    src = glob.glob(f"{part_dir}/*.parquet")[0]
+    shutil.copy(src, os.path.join(part_dir, "part-foreign.c000.parquet"))
+
+    cp2 = snapshot.write_checkpoint(lake, catalog)  # auto → incremental
+    assert cp2 > cp1
+    state = snapshot.latest_checkpoint(lake)
+    assert state["seq"] == cp2
+    # incremental state == checkpoint-1 files ⊕ batch i1's manifest
+    resolved = snapshot.resolve(lake)
+    assert sorted(state["points"]) == resolved["points"]
+    assert not any("foreign" in f for f in state["points"])
+    # the full listing WOULD have adopted the foreign file
+    assert any(
+        "foreign" in f for f in snapshot._list_data_files(lake)
+    )
+    # explicit full mode is still available and does adopt it
+    cp3 = snapshot.write_checkpoint(lake, catalog, mode="full")
+    assert any(
+        "foreign" in f for f in snapshot.latest_checkpoint(lake)["points"]
+    )
+    assert cp3 > cp2
+
+
+def test_incremental_checkpoint_requires_baseline(spark, tmp_path):
+    lake, catalog = _setup_lake(spark, tmp_path, batches=1)
+    with pytest.raises(snapshot.NoBaseline):
+        snapshot.write_checkpoint(lake, catalog, mode="incremental")
+    snapshot.write_checkpoint(lake, catalog)
+    # with a baseline the explicit mode works
+    assert snapshot.write_checkpoint(lake, catalog, mode="incremental")
