@@ -56,6 +56,7 @@ _R6_OVERFLOW = (
 # ahead of stale re-checks.
 _NEW_ROUND7 = (
     "rollup_backfill_roundtrip",
+    "rollup_ladder_roundtrip",
 )
 
 # --- CORRECTNESS_r06 green ids, grouped as they were fronted in r6 --------

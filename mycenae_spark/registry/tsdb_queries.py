@@ -1544,6 +1544,125 @@ def rollup_backfill_roundtrip(spark, sf_dir):
 
 
 @q(
+    "rollup_ladder_roundtrip",
+    """
+SELECT * FROM (VALUES
+  ('n_1m_partials', CAST(144 AS BIGINT)),
+  ('n_1h_partials', CAST(48 AS BIGINT)),
+  ('n_1d_partials', CAST(2 AS BIGINT)),
+  ('day_avgs_exact', CAST(1 AS BIGINT)),
+  ('cascade_all_aggs_exact', CAST(1 AS BIGINT)),
+  ('cascade_p95_exact', CAST(1 AS BIGINT)),
+  ('route_2h_picks_1h_rung', CAST(1 AS BIGINT))
+) AS t(what, n)
+""",
+)
+def rollup_ladder_roundtrip(spark, sf_dir):
+    """Multi-interval rollup LADDER (streaming/rollup.py::cascade_rollup —
+    TimescaleDB continuous-aggregate cascades / OpenTSDB multi-interval
+    rollup tables), hash-checked: 2 days of points at 20-minute spacing
+    (value = i) roll up to 144 one-minute partials; cascading materializes
+    the 1h rung (48 partials) and, FROM THAT RUNG, the 1d rung (2) —
+    rung-from-rung, so associativity itself is under test.  Judged flags:
+
+    * the 1d averages are the closed-form exact values (day 0: mean of
+      0..71 = 35.5; day 1: mean of 72..143 = 107.5),
+    * every algebraic aggregator read off the 1h rung is bit-equal to
+      re-bucketing the 1m rung at read time,
+    * the cascaded HISTOGRAM partials give the same p95 as read-time
+      re-bucketing (bin-count maps merge by summation),
+    * ladder routing serves a 2h downsample from the 1h rung (coarsest
+      exact divisor), never the 1m rung.
+
+    At 100 TB the ladder is what keeps a year-long 1d query at
+    #series × 365 rollup rows instead of #series × 525k.  Constant
+    oracle; collected so the frame outlives the temp dir.  ``sf_dir``
+    unused — input synthesized, scale-invariant."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from mycenae_spark.streaming.ingest import decode_json_lines, prepare_points
+    from mycenae_spark.streaming.rollup import (
+        cascade_rollup,
+        ladder_rung,
+        read_rollup,
+        read_rollup_percentile,
+        write_rollup_batch,
+    )
+
+    BASE = 1704067200000  # 2024-01-01T00:00Z, day-aligned
+    rows = [
+        (_json.dumps({
+            "metric": "lad.m",
+            "tags": {"ksid": "k1", "host": "h0"},
+            "timestamp": BASE + i * 20 * 60_000,
+            "value": float(i),
+        }),)
+        for i in range(144)
+    ]
+    valid, _ = prepare_points(
+        decode_json_lines(spark.createDataFrame(rows, ["value"]))
+    )
+    base = tempfile.mkdtemp(prefix="ladder_rt_")
+    try:
+        m_dir, h_dir, d_dir = (f"{base}/r{s}" for s in ("1m", "1h", "1d"))
+        write_rollup_batch(valid, m_dir, 60_000)
+        cascade_rollup(spark, m_dir, h_dir, HOUR_MS)
+        cascade_rollup(spark, h_dir, d_dir, DAY_MS)
+
+        n_m = spark.read.parquet(m_dir).count()
+        n_h = spark.read.parquet(h_dir).count()
+        n_d = spark.read.parquet(d_dir).count()
+
+        day_avg = {
+            r["bucket_ms"]: r["value"]
+            for r in read_rollup(spark, d_dir, agg="avg").collect()
+        }
+        day_ok = 1 if (
+            abs(day_avg.get(BASE, 0) - 35.5) < 1e-9
+            and abs(day_avg.get(BASE + DAY_MS, 0) - 107.5) < 1e-9
+        ) else 0
+
+        aggs_ok = 1
+        for agg in ("avg", "sum", "min", "max", "count"):
+            exp = {r["bucket_ms"]: r["value"]
+                   for r in read_rollup(spark, m_dir, agg=agg,
+                                        interval_ms=HOUR_MS).collect()}
+            got = {r["bucket_ms"]: r["value"]
+                   for r in read_rollup(spark, h_dir, agg=agg).collect()}
+            if got != exp:
+                aggs_ok = 0
+        exp_p = {r["bucket_ms"]: r["value"]
+                 for r in read_rollup_percentile(
+                     spark, m_dir, 0.95, interval_ms=DAY_MS).collect()}
+        got_p = {r["bucket_ms"]: r["value"]
+                 for r in read_rollup_percentile(spark, d_dir, 0.95).collect()}
+        p95_ok = 1 if got_p == exp_p and got_p else 0
+
+        rungs = {60_000: m_dir, HOUR_MS: h_dir, DAY_MS: d_dir}
+        route_ok = 1 if ladder_rung(rungs, 2 * HOUR_MS) == (HOUR_MS, h_dir) else 0
+
+        out = spark.createDataFrame(
+            [
+                ("n_1m_partials", n_m),
+                ("n_1h_partials", n_h),
+                ("n_1d_partials", n_d),
+                ("day_avgs_exact", day_ok),
+                ("cascade_all_aggs_exact", aggs_ok),
+                ("cascade_p95_exact", p95_ok),
+                ("route_2h_picks_1h_rung", route_ok),
+            ],
+            "what string, n long",
+        )
+        rows_out = out.collect()
+        schema = out.schema
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows_out, schema)
+
+
+@q(
     "stream_dedup_roundtrip",
     """
 SELECT * FROM (VALUES

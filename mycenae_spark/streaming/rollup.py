@@ -252,6 +252,108 @@ def backfill_rollup(
     return {"as_of": as_of, "seq": seq, "salvaged": salvaged}
 
 
+def cascade_rollup(
+    spark,
+    src_dir: str,
+    dst_dir: str,
+    dst_interval_ms: int,
+    series_cols: list[str] | None = None,
+) -> None:
+    """Materialize a COARSER rollup rung from a finer one (1m → 1h → 1d —
+    the TimescaleDB continuous-aggregate ladder / OpenTSDB multi-interval
+    rollup tables).  ``read_rollup(interval_ms=...)`` already answers
+    coarse queries exactly by re-bucketing at read time; the ladder spends
+    one merge pass so a year-long `1d-avg` reads #series × 365 rows from
+    the 1d rung instead of #series × 525k from the 1m rung — at 100 TB the
+    read-time re-bucket itself becomes the scan.
+
+    Because partials are ALGEBRAIC (sum/count/min/max sum-or-extremum
+    merge; histograms merge by summing bin counts), cascading partials is
+    exactly equivalent to rolling up raw points at the coarse interval —
+    no raw-point rescan, cost ∝ fine-rung rows.  The merge keeps ``date``
+    in the grouping key: a coarse bucket that crosses a date boundary
+    simply yields one partial per date, and the read path's re-merge by
+    bucket makes that invisible (the same property that makes micro-batch
+    bucket splits safe).
+
+    Atomic publish: write to a temp dir, rename into place (the rung
+    either exists completely or not at all); coverage is inherited from
+    the source rung's marker.
+    """
+    import os
+    import uuid
+
+    series_cols = series_cols or ["ksid", "tsid", "metric"]
+    df = spark.read.parquet(src_dir)
+    df = df.withColumn(
+        "bucket_ms",
+        F.col("bucket_ms") - (F.col("bucket_ms") % F.lit(dst_interval_ms)),
+    )
+    aggs = [
+        F.sum("p_sum").alias("p_sum"),
+        F.sum("p_count").alias("p_count"),
+        F.min("p_min").alias("p_min"),
+        F.max("p_max").alias("p_max"),
+    ]
+    if "tags" in df.columns:
+        aggs.append(F.first("tags").alias("tags"))
+    merged = df.groupBy(*series_cols, "date", "bucket_ms").agg(*aggs)
+    if "p_hist" in df.columns:
+        hist = (
+            df.select(
+                *series_cols, "date", "bucket_ms",
+                F.explode("p_hist").alias("bin", "n"),
+            )
+            .groupBy(*series_cols, "date", "bucket_ms", "bin")
+            .agg(F.sum("n").alias("n"))
+            .groupBy(*series_cols, "date", "bucket_ms")
+            .agg(
+                F.map_from_entries(
+                    F.array_sort(F.collect_list(F.struct("bin", "n")))
+                ).alias("p_hist")
+            )
+        )
+        merged = merged.join(hist, [*series_cols, "date", "bucket_ms"])
+    base = os.path.dirname(dst_dir.rstrip("/")) or "."
+    tmp = os.path.join(base, f"_rollup_cascade_{uuid.uuid4().hex[:8]}")
+    merged.write.mode("overwrite").partitionBy("ksid", "date").parquet(tmp)
+    os.rename(tmp, dst_dir)
+    mark_rollup_coverage(dst_dir, rollup_coverage_complete(src_dir))
+
+
+def ladder_rung(rungs: dict[int, str], interval_ms: int) -> tuple[int, str]:
+    """Route a downsample onto the COARSEST materialized rung whose
+    interval divides the query interval (exactness requires divisibility —
+    a 90m query over a 1h rung would split rung buckets).  ``rungs`` maps
+    stored interval_ms → rollup dir.  Always resolvable when the finest
+    rung divides the query interval; raises otherwise (caller falls back
+    to raw points, the same rule as the coverage marker)."""
+    fits = [iv for iv in rungs if interval_ms % iv == 0]
+    if not fits:
+        raise ValueError(
+            f"no ladder rung divides interval {interval_ms} "
+            f"(rungs: {sorted(rungs)})"
+        )
+    best = max(fits)
+    return best, rungs[best]
+
+
+def read_rollup_ladder(
+    spark,
+    rungs: dict[int, str],
+    agg: str = "avg",
+    interval_ms: int = 3_600_000,
+    series_cols: list[str] | None = None,
+) -> DataFrame:
+    """`read_rollup` through the ladder: pick the coarsest exact rung and
+    re-bucket the (much smaller) residual at read time."""
+    _, rung_dir = ladder_rung(rungs, interval_ms)
+    return read_rollup(
+        spark, rung_dir, agg=agg, series_cols=series_cols,
+        interval_ms=interval_ms,
+    )
+
+
 def read_rollup(
     spark,
     rollup_dir: str,

@@ -318,6 +318,75 @@ def test_rollup_rebuckets_to_coarser_interval(spark, tmp_path):
         assert got == exp, agg
 
 
+def test_rollup_ladder_cascade(spark, tmp_path):
+    """cascade_rollup (1m → 1h → 1d): every merged read off a cascaded rung
+    is bit-equal to re-bucketing the fine rung at read time — for the four
+    algebraic aggregators AND the histogram percentile — because partials
+    merge associatively.  Ladder routing picks the coarsest exact rung and
+    refuses non-divisible intervals; coverage is inherited."""
+    from mycenae_spark.streaming.ingest import decode_json_lines, prepare_points
+    from mycenae_spark.streaming.rollup import (
+        cascade_rollup,
+        ladder_rung,
+        mark_rollup_coverage,
+        read_rollup,
+        read_rollup_ladder,
+        read_rollup_percentile,
+        rollup_coverage_complete,
+        write_rollup_batch,
+    )
+
+    BASE = 1704067200000  # 2024-01-01T00:00Z — day-aligned
+    # ~2 days of points every 17 minutes, two series, values on the hist grid
+    pts = [
+        {"metric": "lad.m", "tags": {"ksid": "ks1", "h": h},
+         "timestamp": BASE + i * 17 * 60_000, "value": float((i * 7) % 200)}
+        for i in range(170) for h in ("a", "b")
+    ]
+    raw = spark.createDataFrame([(json.dumps(p),) for p in pts], ["value"])
+    valid, _ = prepare_points(decode_json_lines(raw))
+    m_dir, h_dir, d_dir = (str(tmp_path / d) for d in ("r1m", "r1h", "r1d"))
+    write_rollup_batch(valid, m_dir, 60_000)
+    mark_rollup_coverage(m_dir, True)
+
+    cascade_rollup(spark, m_dir, h_dir, 3_600_000)
+    cascade_rollup(spark, h_dir, d_dir, 86_400_000)  # rung-from-rung
+
+    key = lambda r: (r["ksid"], r["tsid"], r["bucket_ms"])
+    for rung_dir, iv in ((h_dir, 3_600_000), (d_dir, 86_400_000)):
+        for agg in ("avg", "sum", "min", "max", "count"):
+            exp = {key(r): r["value"]
+                   for r in read_rollup(spark, m_dir, agg=agg,
+                                        interval_ms=iv).collect()}
+            got = {key(r): r["value"]
+                   for r in read_rollup(spark, rung_dir, agg=agg).collect()}
+            assert got == exp, (rung_dir, agg)
+        # histogram partials cascade too: percentile from the rung's merged
+        # maps == percentile from read-time re-bucketing the 1m maps
+        exp_p = {key(r): r["value"]
+                 for r in read_rollup_percentile(
+                     spark, m_dir, 0.95, interval_ms=iv).collect()}
+        got_p = {key(r): r["value"]
+                 for r in read_rollup_percentile(spark, rung_dir, 0.95).collect()}
+        assert got_p == exp_p, rung_dir
+        assert rollup_coverage_complete(rung_dir)
+
+    rungs = {60_000: m_dir, 3_600_000: h_dir, 86_400_000: d_dir}
+    assert ladder_rung(rungs, 7_200_000) == (3_600_000, h_dir)  # 2h → 1h rung
+    assert ladder_rung(rungs, 86_400_000)[0] == 86_400_000
+    assert ladder_rung(rungs, 300_000) == (60_000, m_dir)  # 5m → only 1m fits
+    with pytest.raises(ValueError):
+        ladder_rung(rungs, 90_000)  # 1.5m divides nothing
+
+    got = {key(r): r["value"]
+           for r in read_rollup_ladder(spark, rungs, agg="avg",
+                                       interval_ms=7_200_000).collect()}
+    exp = {key(r): r["value"]
+           for r in read_rollup(spark, m_dir, agg="avg",
+                                interval_ms=7_200_000).collect()}
+    assert got == exp and got
+
+
 def test_planner_routes_downsample_to_rollup(spark, tmp_path):
     """plans.tsdb.plan(rollup=...): an aligned mergeable downsample is
     served ENTIRELY from rollup partials (the physical plan never scans the
