@@ -57,6 +57,8 @@ _R6_OVERFLOW = (
 _NEW_ROUND7 = (
     "rollup_backfill_roundtrip",
     "rollup_ladder_roundtrip",
+    "sample_mix_temperature",
+    "text_quality_filter",
 )
 
 # --- CORRECTNESS_r06 green ids, grouped as they were fronted in r6 --------

@@ -1584,6 +1584,122 @@ def corpus_mix_profile(spark, sf_dir):
 
 
 @q(
+    "sample_mix_temperature",
+    """
+WITH g AS (
+  SELECT lang, count(*) AS n_docs,
+         sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+  FROM documents GROUP BY lang
+), p AS (
+  SELECT lang, n_docs, n_tokens,
+         n_tokens::DOUBLE / sum(n_tokens) OVER () AS p
+  FROM g
+)
+SELECT lang, n_docs, n_tokens, round6(p) AS p_r,
+       round6(pow(p, 0.3) / sum(pow(p, 0.3)) OVER ()) AS weight_r,
+       round6(pow(p, 0.3) / sum(pow(p, 0.3)) OVER () / p) AS boost_r
+FROM p
+""",
+)
+def sample_mix_temperature(spark, sf_dir):
+    """Temperature-scaled corpus mixing (the multilingual-pretraining
+    resampling rule, XLM-R / mT5 style): a language with natural token
+    share p gets sampling weight p^alpha / sum(p^alpha) with alpha = 0.3 —
+    flattening the head so low-resource languages are up-sampled; boost_r
+    (= weight / p, the effective epoch multiplier over one natural pass)
+    is the number a data loader actually consumes.
+
+    Scale shape: one corpus scan into a per-language hash aggregation
+    (key space = #languages, a few hundred at most), then windows over
+    that tiny grouped frame — the same only-the-scan-is-corpus-sized
+    property as corpus_mix_profile.  Both engines compute the weights
+    from unrounded float64 shares; only the emitted columns round."""
+    d = t(spark, sf_dir, "documents")
+    from mycenae_spark.functions.text import token_count_ws
+
+    g = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count_ws("text")).alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    p = F.col("n_tokens") / F.sum("n_tokens").over(w)
+    pa = F.pow(p, 0.3)
+    weight = pa / F.sum(pa).over(w)
+    return g.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        r6(p).alias("p_r"),
+        r6(weight).alias("weight_r"),
+        r6(weight / p).alias("boost_r"),
+    )
+
+
+@q(
+    "text_quality_filter",
+    """
+WITH s AS (
+  SELECT doc_id, lang,
+         len(string_split(text, ' ')) AS n_toks,
+         len(list_distinct(string_split(text, ' '))) AS n_uniq,
+         length(text) AS n_chars
+  FROM documents
+), m AS (
+  SELECT doc_id, lang, n_toks,
+         1.0 - n_uniq::DOUBLE / n_toks AS dup_frac,
+         (n_chars - n_toks + 1.0) / n_toks AS mean_len
+  FROM s
+)
+SELECT doc_id, lang, n_toks,
+       round6(dup_frac) AS dup_frac_r, round6(mean_len) AS mean_len_r,
+       CASE WHEN n_toks BETWEEN 20 AND 80 THEN 0 ELSE 1 END AS fail_len,
+       CASE WHEN dup_frac <= 0.6 THEN 0 ELSE 1 END AS fail_dup,
+       CASE WHEN mean_len <= 5.0 THEN 0 ELSE 1 END AS fail_mean,
+       CASE WHEN n_toks BETWEEN 20 AND 80 AND dup_frac <= 0.6
+                 AND mean_len <= 5.0 THEN 1 ELSE 0 END AS keep
+FROM m
+""",
+)
+def text_quality_filter(spark, sf_dir):
+    """Gopher-style composite quality filter (rule-based pre-training
+    hygiene): per document, word count in [20, 80], duplicate-token
+    fraction <= 0.6 (the repetition rule), mean word length <= 5.0 — each
+    rule emitted as its own fail flag plus the combined keep verdict, so
+    the judge value-checks every rule boundary, not just the conjunction.
+    (mean word length = (chars - spaces) / words, exact under the corpus's
+    single-space convention; thresholds sit inside this corpus's observed
+    ranges so both keep and drop sides are populated.)
+
+    One projection over the scan — token counts, distinct counts, and
+    flags are all per-row built-in expressions inside WholeStageCodegen;
+    no shuffle at all, so at 100 TB this is scan-bound, the floor for any
+    filter.  The production pipeline composes: filter(keep = 1) feeds
+    dedup/packing downstream."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_toks = F.size(toks)
+    dup_frac = F.lit(1.0) - F.size(F.array_distinct(toks)) / n_toks.cast("double")
+    mean_len = (F.length("text") - n_toks + F.lit(1.0)) / n_toks
+    fail_len = F.when(n_toks.between(20, 80), 0).otherwise(1)
+    fail_dup = F.when(dup_frac <= 0.6, 0).otherwise(1)
+    fail_mean = F.when(mean_len <= 5.0, 0).otherwise(1)
+    return d.select(
+        "doc_id",
+        "lang",
+        n_toks.alias("n_toks"),
+        r6(dup_frac).alias("dup_frac_r"),
+        r6(mean_len).alias("mean_len_r"),
+        fail_len.alias("fail_len"),
+        fail_dup.alias("fail_dup"),
+        fail_mean.alias("fail_mean"),
+        (
+            F.when((fail_len == 0) & (fail_dup == 0) & (fail_mean == 0), 1)
+            .otherwise(0)
+        ).alias("keep"),
+    )
+
+
+@q(
     "pack_sequences",
     """
 WITH base AS (

@@ -215,6 +215,29 @@ def test_stratified_sample_no_single_partition_exchange(spark):
     assert "Window" in plan  # the partitioned rank windows remain
 
 
+def test_quality_filter_is_shuffle_free(spark):
+    """text_quality_filter's scale contract: every signal and flag is a
+    per-row expression — the plan has no exchange, no aggregation, no
+    window; at 100 TB the filter is scan-bound."""
+    plan = _plan(spark, "text_quality_filter")
+    assert "Exchange" not in plan
+    assert "Window" not in plan
+    assert "HashAggregate" not in plan
+
+
+def test_mix_temperature_windows_only_grouped_frame(spark):
+    """sample_mix_temperature's scale contract: the corpus-sized work is
+    one scan + one per-language hash aggregation; the (single-partition by
+    necessity) weight windows run over the #languages-row grouped frame,
+    AFTER the aggregate exchanges."""
+    plan = _plan(spark, "sample_mix_temperature")
+    assert "HashAggregate" in plan
+    # executedPlan().toString() prints root-first: a Window node closer to
+    # the root than every HashAggregate appears EARLIER in the text — i.e.
+    # the windows run over the aggregated frame, never over the raw scan
+    assert plan.index("Window") < plan.index("HashAggregate")
+
+
 def test_topk_series_is_take_ordered(spark):
     """topk_series_by_sum's scale contract: the global top-5 plans as
     TakeOrderedAndProject (per-partition top-k merged on the driver); the
