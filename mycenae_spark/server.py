@@ -61,11 +61,16 @@ class Engine:
         lake_dir: str,
         catalog_dir: str,
         rollup_dir: str | None = None,
+        ladder: dict[int, str] | None = None,
     ):
         self.spark = spark
         self.lake_dir = lake_dir
         self.catalog_dir = catalog_dir
         self.rollup_dir = rollup_dir
+        #: Cascaded coarse rungs (interval_ms → dir, streaming/rollup.py::
+        #: cascade_rollup).  Routed onto per query when current + covering;
+        #: the ingest-maintained fine rung stays the fallback.
+        self.ladder = ladder or {}
         self._tag_keys_cache: list[str] | None = None
         from mycenae_spark.keyspace import KeyspaceManager
 
@@ -240,10 +245,53 @@ class Engine:
                 )
         for q in parse_query_request(body, now_ms):
             nan_fill = bool(q.downsample and q.downsample.endswith("-nan"))
+            r, r_iv = self._pick_rung(q, rollup)
             out.extend(
-                shape_response(plan(pts, q, rollup=rollup), q, nan_fill=nan_fill)
+                shape_response(
+                    plan(pts, q, rollup=r, rollup_interval_ms=r_iv),
+                    q,
+                    nan_fill=nan_fill,
+                )
             )
         return out
+
+    def _pick_rung(self, q, fine_rollup):
+        """Coarsest serving frame for ``q``'s downsample: a ladder rung
+        (cascaded materialization) when one divides the query interval, is
+        marked covering, AND is current against the commit log — else the
+        ingest-maintained fine rung — else raw points.
+
+        Rung selection is per query: a `1d-avg` reads the 1d rung
+        (#series × #days rows), while a `90s-avg` in the same request
+        falls through to the fine rung or points.  Cascades are immutable
+        once built (atomic rename), so a plain directory read is safe
+        here; staleness is the commit-log check, not file watching."""
+        if not self.ladder or fine_rollup is None or not q.downsample:
+            return fine_rollup, 60_000
+        from mycenae_spark.plans.tsdb import rollup_routable
+        from mycenae_spark.schema import parse_interval_ms
+        from mycenae_spark.streaming.rollup import (
+            cascade_is_current,
+            read_rollup_series,
+            rollup_coverage_complete,
+        )
+
+        try:
+            interval_ms = parse_interval_ms(q.downsample.split("-")[0])
+        except (ValueError, IndexError):
+            return fine_rollup, 60_000
+        fits = sorted(
+            (iv for iv in self.ladder if interval_ms % iv == 0), reverse=True
+        )
+        for iv in fits:
+            rung_dir = self.ladder[iv]
+            if (
+                rollup_routable(q, iv)
+                and rollup_coverage_complete(rung_dir)
+                and cascade_is_current(self.lake_dir, rung_dir)
+            ):
+                return read_rollup_series(self.spark, rung_dir), iv
+        return fine_rollup, 60_000
 
     def query_expression(self, exp: str) -> list:
         now_ms = int(time.time() * 1000)

@@ -129,16 +129,24 @@ def write_rollup_batch(
 _COVERAGE_MARKER = "_coverage_complete"
 
 
-def mark_rollup_coverage(rollup_dir: str, complete: bool) -> None:
-    """Record rollup coverage state (atomic write-then-rename)."""
+def mark_rollup_coverage(
+    rollup_dir: str, complete: bool, as_of_seq: int | None = None
+) -> None:
+    """Record rollup coverage state (atomic write-then-rename).
+
+    ``as_of_seq`` (cascaded rungs only) pins the commit-log position the
+    rung was built from, so ladder routing can detect staleness."""
     import json
     import os
 
     os.makedirs(rollup_dir, exist_ok=True)
     path = os.path.join(rollup_dir, _COVERAGE_MARKER)
     tmp = path + ".tmp"
+    payload = {"complete": bool(complete)}
+    if as_of_seq is not None:
+        payload["as_of_seq"] = int(as_of_seq)
     with open(tmp, "w") as f:
-        json.dump({"complete": bool(complete)}, f)
+        json.dump(payload, f)
         f.flush()
         os.fsync(f.fileno())
     os.rename(tmp, path)
@@ -258,6 +266,7 @@ def cascade_rollup(
     dst_dir: str,
     dst_interval_ms: int,
     series_cols: list[str] | None = None,
+    lake_dir: str | None = None,
 ) -> None:
     """Materialize a COARSER rollup rung from a finer one (1m → 1h → 1d —
     the TimescaleDB continuous-aggregate ladder / OpenTSDB multi-interval
@@ -279,10 +288,19 @@ def cascade_rollup(
     Atomic publish: write to a temp dir, rename into place (the rung
     either exists completely or not at all); coverage is inherited from
     the source rung's marker.
+
+    With ``lake_dir``, the rung's marker also pins the lake's commit-log
+    head at build time (``as_of_seq``): `cascade_is_current` then detects
+    any later rollup-touching commit, so the engine never serves a stale
+    rung after new ingest — the cascade is a materialization, not part of
+    the ingest transaction, and currency must be checked, not assumed.
     """
     import os
     import uuid
 
+    from mycenae_spark.streaming import commitlog
+
+    as_of_seq = commitlog.latest_seq(lake_dir) if lake_dir is not None else None
     series_cols = series_cols or ["ksid", "tsid", "metric"]
     df = spark.read.parquet(src_dir)
     df = df.withColumn(
@@ -318,7 +336,47 @@ def cascade_rollup(
     tmp = os.path.join(base, f"_rollup_cascade_{uuid.uuid4().hex[:8]}")
     merged.write.mode("overwrite").partitionBy("ksid", "date").parquet(tmp)
     os.rename(tmp, dst_dir)
-    mark_rollup_coverage(dst_dir, rollup_coverage_complete(src_dir))
+    mark_rollup_coverage(
+        dst_dir, rollup_coverage_complete(src_dir), as_of_seq=as_of_seq
+    )
+
+
+def cascade_is_current(lake_dir: str, rung_dir: str) -> bool:
+    """True iff no rollup-touching commit landed after the rung was built.
+
+    Reads the rung marker's pinned ``as_of_seq`` and scans only the log
+    TAIL past it (a handful of tiny JSON files between refreshes — never
+    the rollup data).  Any later entry that carries rollup partials (an
+    ingest batch with a ``rollup`` manifest section, or a
+    ``rollup-backfill``) makes the rung stale; catalog-only commits do
+    not.  A marker without ``as_of_seq`` (pre-ladder rung, or built
+    without ``lake_dir``) reads as stale — the fallback, serving from the
+    fine rung or raw points, is always correct."""
+    import json
+    import os
+
+    from mycenae_spark.streaming import commitlog
+
+    try:
+        with open(os.path.join(rung_dir, _COVERAGE_MARKER)) as f:
+            marker = json.load(f)
+    except (OSError, ValueError):
+        return False
+    as_of = marker.get("as_of_seq")
+    if as_of is None:
+        return False
+    # Content-NEUTRAL kinds for rollup reads: checkpoints and catalog
+    # maintenance touch no partials; compaction rewrites partial FILES but
+    # preserves their merged values, which is all a cascade depends on.
+    # Everything else — points-append (writes partials when rollup is on),
+    # rollup-backfill, partition-drop (TTL deletes rollup partitions too),
+    # and any kind this code doesn't know — is conservatively staling:
+    # the fallback path is always correct, a stale rung never is.
+    neutral = {"checkpoint", "catalog-dedupe", "catalog-rewrite", "compaction"}
+    for _seq, payload in commitlog.entries(lake_dir, since=as_of):
+        if payload.get("kind") not in neutral:
+            return False
+    return True
 
 
 def ladder_rung(rungs: dict[int, str], interval_ms: int) -> tuple[int, str]:

@@ -241,6 +241,73 @@ def test_rollup_backed_server(spark, tmp_path_factory):
         httpd.shutdown()
 
 
+def test_engine_ladder_routing(spark, tmp_path_factory):
+    """Engine(ladder=...): an aligned coarse downsample is served from the
+    cascaded rung (the physical plan reads the rung dir, not the fine
+    rollup or the lake), the answer matches the point path exactly, and a
+    later ingest makes the rung STALE — the engine falls back to the fine
+    rung (fresh answer, no silent under-report) until the cascade is
+    rebuilt."""
+    import pyspark.sql.functions as F
+
+    from mycenae_spark.server import Engine
+    from mycenae_spark.streaming.rollup import cascade_is_current, cascade_rollup
+
+    d = tmp_path_factory.mktemp("ladder")
+    lake, catalog, roll, rung1h = (
+        str(d / n) for n in ("lake", "catalog", "rollup", "rollup_1h")
+    )
+    eng = Engine(spark, lake, catalog, rollup_dir=roll,
+                 ladder={3_600_000: rung1h})
+    # 26 hours of points at 20-min spacing → ingest maintains the 1m rung
+    pts = [{"metric": "lad.s", "tags": {"ksid": "k1", "host": "h0"},
+            "timestamp": BASE_TS + i * 1_200_000, "value": float(i)}
+           for i in range(78)]
+    eng.put(pts)
+    cascade_rollup(spark, roll, rung1h, 3_600_000, lake_dir=lake)
+    assert cascade_is_current(lake, rung1h)
+
+    body = {
+        "start": BASE_TS, "end": BASE_TS + 24 * 3_600_000,
+        "queries": [{"metric": "lad.s", "aggregator": "sum",
+                     "downsample": "2h-avg"}],
+    }
+    out = eng.query(body)
+    assert len(out) == 1 and len(out[0]["dps"]) == 12
+    # exact vs closed form: bucket b holds i in [6b, 6b+6) → avg = 6b + 2.5
+    for b, (ts, v) in enumerate(sorted(out[0]["dps"].items(),
+                                       key=lambda kv: int(kv[0]))):
+        assert v == pytest.approx(6 * b + 2.5)
+
+    # the rung, not the fine rollup, backs the plan
+    from mycenae_spark.api import parse_query_request
+
+    rollup_frame, iv = eng._pick_rung(
+        parse_query_request(body, BASE_TS + 30 * 3_600_000)[0],
+        eng.spark.read.parquet(roll),
+    )
+    assert iv == 3_600_000
+    plan_str = rollup_frame._jdf.queryExecution().executedPlan().toString()
+    assert "rollup_1h" in plan_str
+
+    # new ingest → rung stale → fallback still answers, with the new point
+    eng.put([{"metric": "lad.s", "tags": {"ksid": "k1", "host": "h0"},
+              "timestamp": BASE_TS + 100, "value": 1000.0}])
+    assert not cascade_is_current(lake, rung1h)
+    out2 = eng.query(body)
+    first = sorted(out2[0]["dps"].items(), key=lambda kv: int(kv[0]))[0]
+    assert first[1] == pytest.approx((0 + 1 + 2 + 3 + 4 + 5 + 1000) / 7)
+
+    # rebuild → current again, and the refreshed rung serves the new value
+    cascade_rollup(spark, roll,
+                   str(d / "rollup_1h_v2"), 3_600_000, lake_dir=lake)
+    eng.ladder = {3_600_000: str(d / "rollup_1h_v2")}
+    assert cascade_is_current(lake, str(d / "rollup_1h_v2"))
+    out3 = eng.query(body)
+    assert sorted(out3[0]["dps"].items(), key=lambda kv: int(kv[0]))[0][1] == \
+        pytest.approx((0 + 1 + 2 + 3 + 4 + 5 + 1000) / 7)
+
+
 def test_tag_key_discovery_reads_catalog_not_lake(spark, tmp_path_factory):
     """_points()/suggest tag-key discovery must come from the #series-bounded
     catalog, never a full scan of the point lake's tags column (a per-request
