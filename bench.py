@@ -83,6 +83,10 @@ HEADLINE = [
     "decontaminate_ngram",
     "corpus_mix_profile",
     "pack_sequences",
+    # round 7
+    "dedup_semantic",
+    "sample_mix_temperature",
+    "text_quality_filter",
 ]
 
 

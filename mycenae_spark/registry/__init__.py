@@ -53,7 +53,8 @@ _R6_OVERFLOW = (
 )
 
 # Declared for the first time in round 7 — never checked, take window slots
-# ahead of stale re-checks.
+# ahead of stale re-checks.  (Window now holds 11 overflow + 5 new + 34
+# stale re-checks; the last 14 stale-tail ids queue as r8's front.)
 _NEW_ROUND7 = (
     "rollup_backfill_roundtrip",
     "rollup_ladder_roundtrip",
