@@ -270,3 +270,65 @@ def ivf_assign(
         .filter(F.col("_rn") == 1)
         .select(id_col, "c_id")
     )
+
+
+def semantic_pairs(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    max_cluster_size: int = 512,
+    score_rounder=None,
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs (public arXiv:2303.09540):
+    assign every vector to its nearest centroid (broadcast, shuffle-free),
+    then exact cosine ONLY between same-cluster pairs, keeping those at or
+    above ``threshold``.  Returns (c_id, vec_a, vec_b, cos_r) with
+    vec_a < vec_b; the kept representative under the paper's rule is
+    min(id) per duplicate group.
+
+    Scale: with k ∝ √N clusters the in-cluster quadratic stays ~N total.
+    ``max_cluster_size`` is the hot-cluster valve (the LSH MAX_BUCKET
+    convention): a degenerate centroid — boilerplate or zero embeddings
+    attract millions of vectors at corpus scale — would otherwise rebuild
+    exactly the pair explosion clustering exists to prevent, so over-cap
+    clusters are dropped before expansion; their members are exact-dedup's
+    job.  Dropped-cluster accounting mirrors lsh_dropped_bucket_stats:
+    size the centroid count so real clusters stay under the cap.
+    """
+    rounder = score_rounder or (lambda c: c)
+    assign = ivf_assign(
+        corpus, centroids, id_col=id_col, emb_col=emb_col,
+        score_rounder=score_rounder,
+    )
+    w_sz = Window.partitionBy("c_id")
+    assign = (
+        assign.withColumn("_csz", F.count(F.lit(1)).over(w_sz))
+        .filter(F.col("_csz") <= max_cluster_size)
+        .drop("_csz")
+    )
+    en = with_norm(corpus, emb_col).join(assign, id_col)
+    a = en.select(
+        "c_id",
+        F.col(id_col).alias("vec_a"),
+        F.col(emb_col).alias("_ea"),
+        F.col("_norm").alias("_na"),
+    )
+    b = en.select(
+        F.col("c_id").alias("_c_id_b"),
+        F.col(id_col).alias("vec_b"),
+        F.col(emb_col).alias("_eb"),
+        F.col("_norm").alias("_nb"),
+    )
+    cos = cosine(F.col("_ea"), F.col("_eb"), F.col("_na"), F.col("_nb"))
+    return (
+        a.join(
+            b,
+            (F.col("c_id") == F.col("_c_id_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .withColumn("cos_r", rounder(cos))
+        .filter(F.col("cos_r") >= threshold)
+        .select("c_id", "vec_a", "vec_b", "cos_r")
+    )

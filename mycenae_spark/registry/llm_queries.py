@@ -829,11 +829,16 @@ assign AS (
              round6({{_ASSIGN_COS}}) DESC, c.c_id) AS rn
     FROM embeddings a CROSS JOIN cent c
   ) WHERE rn = 1
+),
+capped AS (
+  SELECT vec_id, c_id FROM (
+    SELECT *, count(*) OVER (PARTITION BY c_id) AS csz FROM assign
+  ) WHERE csz <= 512
 )
 SELECT c_id, vec_a, vec_b, cos_r FROM (
   SELECT a.c_id, a.vec_id AS vec_a, b.vec_id AS vec_b,
          round6({{_PAIR_COS}}) AS cos_r
-  FROM assign a JOIN assign b ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+  FROM capped a JOIN capped b ON a.c_id = b.c_id AND a.vec_id < b.vec_id
   JOIN embeddings ea ON ea.vec_id = a.vec_id
   JOIN embeddings eb ON eb.vec_id = b.vec_id
 ) WHERE cos_r >= 0.35
@@ -860,38 +865,23 @@ def dedup_semantic(spark, sf_dir):
     convention) keep both engines bit-identical; kmeans_refine composes in
     front unchanged when trained centroids are wanted.  Threshold 0.35
     sits below this corpus's max pair cosine (≈0.51) so the judged row
-    value-checks assignment AND in-cluster scoring on real pairs."""
-    from mycenae_spark.functions.similarity import ivf_assign
+    value-checks assignment AND in-cluster scoring on real pairs.
 
-    e = t(spark, sf_dir, "embeddings")
-    assign = ivf_assign(
-        e,
+    Hot-cluster valve (the LSH MAX_BUCKET convention, mirrored in the
+    oracle so the semantics are checked, not assumed): clusters larger
+    than 512 members are dropped before pair expansion — a degenerate
+    centroid (boilerplate/zero embeddings at corpus scale) otherwise
+    rebuilds exactly the quadratic blow-up clustering exists to prevent;
+    a dropped cluster's members are exact-dedup's / tighter-bits-LSH's
+    job, the same division of labor as LSH buckets."""
+    from mycenae_spark.functions.similarity import semantic_pairs
+
+    return semantic_pairs(
+        t(spark, sf_dir, "embeddings"),
         _cent0(spark, sf_dir).withColumnRenamed("c_id", "vec_id"),
+        threshold=0.35,
+        max_cluster_size=512,
         score_rounder=r6,
-    )
-    en = _with_norm(e).join(assign, "vec_id")
-    a = en.select(
-        "c_id",
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("ea"),
-        F.col("_norm").alias("na"),
-    )
-    b = en.select(
-        F.col("c_id").alias("c_id_b"),
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("eb"),
-        F.col("_norm").alias("nb"),
-    )
-    cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
-    return (
-        a.join(
-            b,
-            (F.col("c_id") == F.col("c_id_b"))
-            & (F.col("vec_a") < F.col("vec_b")),
-        )
-        .withColumn("cos_r", r6(cos))
-        .filter(F.col("cos_r") >= 0.35)
-        .select("c_id", "vec_a", "vec_b", "cos_r")
     )
 
 

@@ -146,3 +146,33 @@ def test_embedding_lsh_degenerate_corpus_capped(spark):
         corpus, dim=8, threshold=0.5, n_tables=2, max_bucket_size=64
     )
     assert pairs.count() == 0  # dropped, not exploded
+
+
+def test_semantic_dedup_hot_cluster_capped(spark):
+    """dedup_semantic's valve: a degenerate centroid attracting the whole
+    corpus (all-identical embeddings → one cluster) is dropped before pair
+    expansion — SemDeDup's in-cluster quadratic must stay bounded.  A
+    small healthy cluster in the same corpus still yields its pairs."""
+    from mycenae_spark.functions.similarity import semantic_pairs
+
+    n = 300
+    degenerate = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array([F.lit(0.25)] * 8).alias("embedding"),
+    )
+    # 3 extra vectors far from the blob, near each other → their own cluster
+    healthy = spark.range(3).select(
+        (F.col("id") + 10_000).alias("vec_id"),
+        F.array(
+            *[F.lit(-1.0)] * 4,
+            *[(F.lit(0.9) + F.col("id") * 0.01).cast("double")] * 4,
+        ).alias("embedding"),
+    )
+    corpus = degenerate.unionByName(healthy)
+    cents = corpus.filter(F.col("vec_id").isin(0, 10_000))
+    pairs = semantic_pairs(
+        corpus, cents, threshold=0.5, max_cluster_size=64
+    ).collect()
+    ids = {r["vec_a"] for r in pairs} | {r["vec_b"] for r in pairs}
+    assert ids == {10_000, 10_001, 10_002}  # blob dropped, healthy kept
+    assert len(pairs) == 3
