@@ -87,6 +87,8 @@ HEADLINE = [
     "dedup_semantic",
     "sample_mix_temperature",
     "text_quality_filter",
+    "text_repetition",
+    "text_unigram_logprob",
 ]
 
 

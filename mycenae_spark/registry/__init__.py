@@ -53,14 +53,16 @@ _R6_OVERFLOW = (
 )
 
 # Declared for the first time in round 7 — never checked, take window slots
-# ahead of stale re-checks.  (Window now holds 11 overflow + 5 new + 34
-# stale re-checks; the last 14 stale-tail ids queue as r8's front.)
+# ahead of stale re-checks.  (Window now holds 11 overflow + 7 new + 32
+# stale re-checks; the last 16 stale-tail ids queue as r8's front.)
 _NEW_ROUND7 = (
     "rollup_backfill_roundtrip",
     "rollup_ladder_roundtrip",
     "sample_mix_temperature",
     "text_quality_filter",
     "dedup_semantic",
+    "text_repetition",
+    "text_unigram_logprob",
 )
 
 # --- CORRECTNESS_r06 green ids, grouped as they were fronted in r6 --------

@@ -1767,6 +1767,121 @@ def text_quality_filter(spark, sf_dir):
 
 
 @q(
+    "text_repetition",
+    """
+WITH s AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), m AS (
+  SELECT doc_id,
+         len(toks) - 1 AS n_bigrams,
+         1.0 - len(list_distinct(list_transform(
+                 generate_series(1, len(toks) - 1),
+                 i -> toks[i] || ' ' || toks[i+1])))::DOUBLE
+             / (len(toks) - 1) AS dup_frac,
+         list_max(list_transform(list_distinct(toks),
+                 x -> len(list_filter(toks, t -> t = x))))::DOUBLE
+             / len(toks) AS top_share
+  FROM s WHERE len(toks) >= 2
+)
+SELECT doc_id, n_bigrams, round6(dup_frac) AS dup_bigram_frac_r,
+       round6(top_share) AS top_tok_share_r,
+       CASE WHEN dup_frac > 0.05 OR top_share > 0.12 THEN 1 ELSE 0 END
+         AS fail_rep
+FROM m
+""",
+)
+def text_repetition(spark, sf_dir):
+    """Repetition signals — the OTHER Gopher rule family beside
+    text_quality_filter's length/dup-token rules: per document, the
+    duplicate-BIGRAM fraction (1 − distinct/total, the 'duplicate n-gram
+    fraction' rule) and the top-token share (most frequent token's share
+    of all tokens — boilerplate and keyword-stuffing both spike it), plus
+    the combined fail flag at thresholds inside this corpus's observed
+    spread (dup median 0.028 / p75 0.047; share median 0.093 / p90 0.14).
+
+    Every signal is a per-row higher-order expression over the token
+    array (shingle build, list_distinct, a bounded O(len²) count-per-
+    distinct-token transform — documents cap at ~100 tokens, so the
+    quadratic is a constant) — NO explode, NO shuffle: like the quality
+    filter this is scan-bound at 100 TB, and the two compose into one
+    pass."""
+    from mycenae_spark.functions.text import shingles, tokens
+
+    d = t(spark, sf_dir, "documents")
+    toks = tokens("text")
+    grams = shingles(toks, 2)
+    dup_frac = F.lit(1.0) - F.size(F.array_distinct(grams)) / (
+        F.size(toks) - F.lit(1)
+    ).cast("double")
+    top_share = (
+        F.array_max(
+            F.transform(
+                F.array_distinct(toks),
+                lambda x: F.size(F.filter(toks, lambda tk: tk == x)),
+            )
+        )
+        / F.size(toks)
+    )
+    return (
+        d.filter(F.size(toks) >= 2)
+        .select(
+            "doc_id",
+            (F.size(toks) - 1).alias("n_bigrams"),
+            r6(dup_frac).alias("dup_bigram_frac_r"),
+            r6(top_share).alias("top_tok_share_r"),
+            (
+                F.when((dup_frac > 0.05) | (top_share > 0.12), 1).otherwise(0)
+            ).alias("fail_rep"),
+        )
+    )
+
+
+@q(
+    "text_unigram_logprob",
+    """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), vocab AS (
+  SELECT tok, count(*) AS c FROM toks GROUP BY tok
+), tot AS (
+  SELECT sum(c)::DOUBLE AS n FROM vocab
+)
+SELECT doc_id, count(*) AS n_toks,
+       round6(avg(-ln(c / n))) AS nll_r
+FROM toks JOIN vocab USING (tok) CROSS JOIN tot
+GROUP BY doc_id
+""",
+)
+def text_unigram_logprob(spark, sf_dir):
+    """Unigram language-model scoring (the CCNet-style perplexity-proxy
+    quality signal, public arXiv:1911.00359): train a unigram LM on the
+    corpus itself (token → count / total), score each document by its
+    mean negative log-likelihood — documents full of rare tokens (noise,
+    codes, mangled text) score high, fluent ones low.  The full KenLM
+    n-gram scorer swaps in behind the same shape.
+
+    Scale: the vocabulary aggregation is bounded by vocab size (Zipf —
+    millions of keys at 100 TB, not corpus-sized), the scoring join is
+    keyed by token (Catalyst broadcasts when the vocab fits, hash-joins
+    otherwise — both shapes correct), and the per-doc aggregation is one
+    more hash agg.  Three aggregations + one join, nothing quadratic.
+    The one-row total is a broadcast cross join."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = vocab.agg(F.sum("c").cast("double").alias("n"))
+    return (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            r6(F.avg(-F.log(F.col("c") / F.col("n")))).alias("nll_r"),
+        )
+    )
+
+
+@q(
     "pack_sequences",
     """
 WITH base AS (

@@ -238,6 +238,15 @@ def test_mix_temperature_windows_only_grouped_frame(spark):
     assert plan.index("Window") < plan.index("HashAggregate")
 
 
+def test_repetition_is_shuffle_free(spark):
+    """text_repetition's scale contract: shingle build, distinct counts,
+    and the bounded per-token count all stay per-row higher-order
+    expressions — no exchange, no explode-shuffle."""
+    plan = _plan(spark, "text_repetition")
+    assert "Exchange" not in plan
+    assert "HashAggregate" not in plan
+
+
 def test_topk_series_is_take_ordered(spark):
     """topk_series_by_sum's scale contract: the global top-5 plans as
     TakeOrderedAndProject (per-partition top-k merged on the driver); the
