@@ -294,13 +294,44 @@ def cascade_rollup(
     any later rollup-touching commit, so the engine never serves a stale
     rung after new ingest — the cascade is a materialization, not part of
     the ingest transaction, and currency must be checked, not assumed.
+
+    Two torn-read guards make the pin honest:
+
+    * cascading FROM another rung inherits ``min(src.as_of_seq, head)`` —
+      the source's content is only as fresh as ITS pin, so pinning the
+      current head would claim currency the data doesn't have;
+    * cascading from the live ingest-maintained rung waits for every
+      points-append ≤ the pinned head to finish its file moves (the
+      marker → log append → moves commit order means a committed batch's
+      partials can be mid-move while this build lists the directory —
+      the same torn-bootstrap guard checkpoints use).
     """
     import os
+    import time as _time
     import uuid
 
     from mycenae_spark.streaming import commitlog
 
-    as_of_seq = commitlog.latest_seq(lake_dir) if lake_dir is not None else None
+    as_of_seq = None
+    if lake_dir is not None:
+        as_of_seq = commitlog.latest_seq(lake_dir)
+        src_as_of = _read_marker_as_of(src_dir)
+        if src_as_of is not None:
+            as_of_seq = min(as_of_seq, src_as_of)
+        else:
+            from mycenae_spark.streaming import snapshot as _snap
+
+            deadline = _time.monotonic() + 30.0
+            while not _snap._appends_settled(
+                lake_dir, {"rollup": src_dir}, 0, as_of_seq
+            ):
+                if _time.monotonic() > deadline:
+                    raise RuntimeError(
+                        "cascade_rollup: a committed batch's rollup file "
+                        "moves never settled (crashed writer?) — run "
+                        "backfill_rollup to repair, then re-cascade"
+                    )
+                _time.sleep(0.05)
     series_cols = series_cols or ["ksid", "tsid", "metric"]
     df = spark.read.parquet(src_dir)
     df = df.withColumn(
@@ -341,6 +372,18 @@ def cascade_rollup(
     )
 
 
+def _read_marker_as_of(rollup_dir: str) -> int | None:
+    """The ``as_of_seq`` a rung's coverage marker pins, if any."""
+    import json
+    import os
+
+    try:
+        with open(os.path.join(rollup_dir, _COVERAGE_MARKER)) as f:
+            return json.load(f).get("as_of_seq")
+    except (OSError, ValueError):
+        return None
+
+
 def cascade_is_current(lake_dir: str, rung_dir: str) -> bool:
     """True iff no rollup-touching commit landed after the rung was built.
 
@@ -352,17 +395,9 @@ def cascade_is_current(lake_dir: str, rung_dir: str) -> bool:
     not.  A marker without ``as_of_seq`` (pre-ladder rung, or built
     without ``lake_dir``) reads as stale — the fallback, serving from the
     fine rung or raw points, is always correct."""
-    import json
-    import os
-
     from mycenae_spark.streaming import commitlog
 
-    try:
-        with open(os.path.join(rung_dir, _COVERAGE_MARKER)) as f:
-            marker = json.load(f)
-    except (OSError, ValueError):
-        return False
-    as_of = marker.get("as_of_seq")
+    as_of = _read_marker_as_of(rung_dir)
     if as_of is None:
         return False
     # Content-NEUTRAL kinds for rollup reads: checkpoints and catalog
@@ -377,6 +412,67 @@ def cascade_is_current(lake_dir: str, rung_dir: str) -> bool:
         if payload.get("kind") not in neutral:
             return False
     return True
+
+
+def refresh_ladder(
+    spark,
+    lake_dir: str,
+    fine_dir: str,
+    rungs: dict[int, str],
+    force: bool = False,
+) -> dict[int, bool]:
+    """Rebuild every STALE ladder rung (the scheduled maintenance job the
+    engine's `cascade_is_current` fallback assumes — like compaction, run
+    on a cadence, cheap between refreshes because currency is a log-tail
+    check).  Returns interval_ms → whether it was rebuilt.
+
+    Rungs rebuild fine-to-coarse, and each rung cascades FROM the
+    freshest finer rung whose interval divides it (1d from the
+    just-refreshed 1h, not from 1m) — associativity makes that exact and
+    the merge pass proportionally smaller.  A current rung is both
+    skipped and a valid source (currency means it equals the fine rung's
+    content on its grid).
+
+    Publish is an atomic swap: build beside, rename away, rename in,
+    delete old.  A query that resolved the OLD rung's files just before
+    the swap can fail mid-read and needs a retry — cascades are derived,
+    unlogged data, so they get the compaction-style race contract, not
+    the snapshot protocol's retained generations; the window is one
+    directory rename."""
+    import os
+    import shutil
+    import uuid
+
+    rebuilt: dict[int, bool] = {}
+    sources: list[tuple[int, str]] = []  # (interval, dir) fresh this pass
+    for iv in sorted(rungs):
+        dst = rungs[iv]
+        if (
+            not force
+            and os.path.isdir(dst)
+            and rollup_coverage_complete(dst)
+            and cascade_is_current(lake_dir, dst)
+        ):
+            rebuilt[iv] = False
+            sources.append((iv, dst))
+            continue
+        src = fine_dir
+        for s_iv, s_dir in reversed(sources):
+            if iv % s_iv == 0:
+                src = s_dir
+                break
+        tmp = dst.rstrip("/") + f"_new_{uuid.uuid4().hex[:8]}"
+        cascade_rollup(spark, src, tmp, iv, lake_dir=lake_dir)
+        if os.path.isdir(dst):
+            old = dst.rstrip("/") + f"_old_{uuid.uuid4().hex[:8]}"
+            os.rename(dst, old)
+            os.rename(tmp, dst)
+            shutil.rmtree(old)
+        else:
+            os.rename(tmp, dst)
+        rebuilt[iv] = True
+        sources.append((iv, dst))
+    return rebuilt
 
 
 def ladder_rung(rungs: dict[int, str], interval_ms: int) -> tuple[int, str]:

@@ -387,6 +387,65 @@ def test_rollup_ladder_cascade(spark, tmp_path):
     assert got == exp and got
 
 
+def test_refresh_ladder_rebuilds_only_stale_rungs(spark, tmp_path):
+    """refresh_ladder: current rungs are skipped, stale rungs rebuild
+    (rung-from-rung where a fresher finer rung divides), the refreshed
+    rung serves the post-ingest data, and a rung built from a PINNED
+    source inherits the source's as_of (never claims more currency than
+    its input had)."""
+    import json as _json
+
+    from mycenae_spark.streaming import commitlog
+    from mycenae_spark.streaming.ingest import (
+        decode_json_lines,
+        prepare_points,
+        write_points_batch,
+    )
+    from mycenae_spark.streaming.rollup import (
+        _read_marker_as_of,
+        cascade_is_current,
+        read_rollup,
+        refresh_ladder,
+    )
+
+    BASE = 1704067200000
+
+    def mk(i0, n, v0=0.0):
+        rows = [(_json.dumps({
+            "metric": "rl.m", "tags": {"ksid": "k1", "h": "a"},
+            "timestamp": BASE + (i0 + i) * 20 * 60_000, "value": v0 + i,
+        }),) for i in range(n)]
+        return prepare_points(
+            decode_json_lines(spark.createDataFrame(rows, ["value"])))[0]
+
+    lake, cat, fine = (str(tmp_path / d) for d in ("lake", "cat", "r1m"))
+    rungs = {3_600_000: str(tmp_path / "r1h"), 86_400_000: str(tmp_path / "r1d")}
+    write_points_batch(mk(0, 72), lake, cat, batch_id="a", rollup_dir=fine)
+
+    r1 = refresh_ladder(spark, lake, fine, rungs)
+    assert r1 == {3_600_000: True, 86_400_000: True}
+    # second pass: everything current, nothing rebuilds
+    assert refresh_ladder(spark, lake, fine, rungs) == {
+        3_600_000: False, 86_400_000: False}
+    # the 1d rung inherited its pin from the 1h rung it cascaded from
+    assert (_read_marker_as_of(rungs[86_400_000])
+            == _read_marker_as_of(rungs[3_600_000]))
+
+    # new ingest → both stale → both rebuild, and the data shows up
+    write_points_batch(mk(72, 72, v0=72.0), lake, cat, batch_id="b",
+                       rollup_dir=fine)
+    assert not cascade_is_current(lake, rungs[3_600_000])
+    r3 = refresh_ladder(spark, lake, fine, rungs)
+    assert r3 == {3_600_000: True, 86_400_000: True}
+    assert cascade_is_current(lake, rungs[86_400_000])
+    got = {r["bucket_ms"]: r["value"]
+           for r in read_rollup(spark, rungs[86_400_000], agg="avg").collect()}
+    exp = {r["bucket_ms"]: r["value"]
+           for r in read_rollup(spark, fine, agg="avg",
+                                interval_ms=86_400_000).collect()}
+    assert got == exp and len(got) == 2
+
+
 def test_planner_routes_downsample_to_rollup(spark, tmp_path):
     """plans.tsdb.plan(rollup=...): an aligned mergeable downsample is
     served ENTIRELY from rollup partials (the physical plan never scans the
