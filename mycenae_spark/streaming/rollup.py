@@ -466,7 +466,17 @@ def refresh_ladder(
         if os.path.isdir(dst):
             old = dst.rstrip("/") + f"_old_{uuid.uuid4().hex[:8]}"
             os.rename(dst, old)
-            os.rename(tmp, dst)
+            try:
+                os.rename(tmp, dst)
+            except OSError:
+                # Swap race (something recreated dst between the two
+                # renames): restore the old rung so readers keep a
+                # consistent generation, surface the conflict — the same
+                # recovery contract compact_partition documents.
+                if not os.path.isdir(dst):
+                    os.rename(old, dst)
+                shutil.rmtree(tmp, ignore_errors=True)
+                raise
             shutil.rmtree(old)
         else:
             os.rename(tmp, dst)

@@ -71,3 +71,65 @@ def test_rate_matches_reference_model(spark, data, counter, counter_max, reset_v
     for k in expect:
         assert got[k] == pytest.approx(expect[k], rel=1e-9, abs=1e-12), (
             k, got[k], expect[k])
+
+
+# ---------------------------------------------------------------- ladder
+
+points_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3 * 86_400),  # offset seconds
+        st.floats(min_value=0, max_value=1000, allow_nan=False, width=32),
+        st.sampled_from(["a", "b"]),                      # series tag
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=points_strategy,
+       coarse_ms=st.sampled_from([300_000, 3_600_000, 86_400_000]))
+def test_cascade_equals_direct_coarse_rollup(spark, tmp_path_factory, data,
+                                             coarse_ms):
+    """The ladder's ground-truth invariant: cascading 1m partials to a
+    coarser grid is EXACTLY rolling up the raw points at that grid — for
+    all four algebraic partials AND the histogram maps — on arbitrary
+    point sets (bucket-boundary collisions, multi-day spans, duplicate
+    timestamps, multiple series)."""
+    import json as _json
+
+    from mycenae_spark.streaming.ingest import decode_json_lines, prepare_points
+    from mycenae_spark.streaming.rollup import cascade_rollup, rollup_batch
+
+    BASE = 1704067200000
+    rows = [
+        (_json.dumps({
+            "metric": "prop.m", "tags": {"ksid": "k1", "h": h},
+            "timestamp": BASE + off * 1000, "value": v,
+        }),)
+        for off, v, h in data
+    ]
+    valid, _ = prepare_points(
+        decode_json_lines(spark.createDataFrame(rows, ["value"]))
+    )
+    valid = valid.localCheckpoint(eager=True)  # one ingest, two consumers
+
+    d = tmp_path_factory.mktemp("cascade_prop")
+    fine_dir, rung_dir = str(d / "fine"), str(d / "rung")
+    rollup_batch(valid, 60_000).write.mode("overwrite").partitionBy(
+        "ksid", "date").parquet(fine_dir)
+    cascade_rollup(spark, fine_dir, rung_dir, coarse_ms)
+
+    def canon(df):
+        out = {}
+        for r in df.collect():
+            key = (r["tsid"], r["date"], r["bucket_ms"])
+            h = tuple(sorted((r["p_hist"] or {}).items()))
+            out[key] = (round(r["p_sum"], 6), r["p_count"],
+                        round(r["p_min"], 6), round(r["p_max"], 6), h)
+        return out
+
+    direct = canon(rollup_batch(valid, coarse_ms))
+    cascaded = canon(spark.read.parquet(rung_dir))
+    assert cascaded == direct
