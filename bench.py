@@ -89,6 +89,7 @@ HEADLINE = [
     "text_quality_filter",
     "text_repetition",
     "text_unigram_logprob",
+    "sample_resample_epochs",
 ]
 
 

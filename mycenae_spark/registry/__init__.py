@@ -53,8 +53,8 @@ _R6_OVERFLOW = (
 )
 
 # Declared for the first time in round 7 — never checked, take window slots
-# ahead of stale re-checks.  (Window now holds 11 overflow + 7 new + 32
-# stale re-checks; the last 16 stale-tail ids queue as r8's front.)
+# ahead of stale re-checks.  (Window now holds 11 overflow + 8 new + 31
+# stale re-checks; the last 17 stale-tail ids queue as r8's front.)
 _NEW_ROUND7 = (
     "rollup_backfill_roundtrip",
     "rollup_ladder_roundtrip",
@@ -63,6 +63,7 @@ _NEW_ROUND7 = (
     "dedup_semantic",
     "text_repetition",
     "text_unigram_logprob",
+    "sample_resample_epochs",
 )
 
 # --- CORRECTNESS_r06 green ids, grouped as they were fronted in r6 --------

@@ -1767,6 +1767,60 @@ def text_quality_filter(spark, sf_dir):
 
 
 @q(
+    "sample_resample_epochs",
+    """
+WITH g AS (
+  SELECT lang, count(*) AS n_docs,
+         sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+  FROM documents GROUP BY lang
+), p AS (
+  SELECT lang, n_tokens::DOUBLE / sum(n_tokens) OVER () AS p FROM g
+), b AS (
+  SELECT lang, pow(p, 0.3) / sum(pow(p, 0.3)) OVER () / p AS boost FROM p
+)
+SELECT doc_id, documents.lang,
+       (floor(boost) + CASE
+          WHEN ((doc_id * 2654435761) % 65536) / 65536.0
+               < boost - floor(boost) THEN 1 ELSE 0 END)::BIGINT AS reps
+FROM documents JOIN b ON documents.lang = b.lang
+""",
+)
+def sample_resample_epochs(spark, sf_dir):
+    """Materialized resampling plan — the step that turns
+    sample_mix_temperature's weights into per-document repetition counts a
+    data loader executes: a language with boost 1.4 repeats every doc once
+    and a deterministic 40% of docs twice (stochastic rounding by a
+    per-doc hash, so E[reps] = boost exactly and the realized corpus hits
+    the target mixture without a shuffle or an RNG).
+
+    The rounding hash is pure integer arithmetic
+    ((doc_id × 2654435761) mod 2^16, the Knuth multiplicative constant) —
+    bit-identical in both engines, stable under corpus growth like the
+    md5 split convention (any uniform per-doc hash slots in).  Scale:
+    the boost frame is #languages rows broadcast onto one corpus scan;
+    reps is a per-row expression.  Downstream, repeat-explode happens at
+    read time (sequence(1, reps) → explode), never materialized."""
+    d = t(spark, sf_dir, "documents")
+    from mycenae_spark.functions.text import token_count_ws
+
+    g = d.groupBy("lang").agg(
+        F.sum(token_count_ws("text")).alias("n_tokens")
+    )
+    w = Window.partitionBy()
+    p = F.col("n_tokens") / F.sum("n_tokens").over(w)
+    pa = F.pow(p, 0.3)
+    boost = (pa / F.sum(pa).over(w) / p).alias("boost")
+    b = g.select("lang", boost)
+    frac = F.col("boost") - F.floor("boost")
+    hash_u = ((F.col("doc_id") * F.lit(2654435761)) % 65536) / F.lit(65536.0)
+    reps = (F.floor("boost") + F.when(hash_u < frac, 1).otherwise(0)).cast("long")
+    return (
+        d.join(F.broadcast(b), "lang")
+        .select("doc_id", "lang", reps.alias("reps"))
+    )
+
+
+@q(
     "text_repetition",
     """
 WITH s AS (
