@@ -533,15 +533,20 @@ def serve(
     catalog_dir: str,
     port: int = 0,
     rollup_dir: str | None = None,
+    ladder: dict[int, str] | None = None,
 ) -> tuple[ThreadingHTTPServer, Thread]:
     """Start the façade on ``port`` (0 = ephemeral); returns (server, thread).
 
     With ``rollup_dir``, puts also maintain the continuous-aggregate rollup
-    and queries route eligible downsamples onto it (plans/tsdb.py)."""
+    and queries route eligible downsamples onto it (plans/tsdb.py).
+    ``ladder`` (interval_ms → cascaded rung dir, streaming/rollup.py)
+    additionally routes coarse downsamples onto materialized rungs when
+    current — refresh with ``refresh_ladder`` on a maintenance cadence."""
     handler = type(
         "BoundHandler",
         (_Handler,),
-        {"engine": Engine(spark, lake_dir, catalog_dir, rollup_dir=rollup_dir)},
+        {"engine": Engine(spark, lake_dir, catalog_dir, rollup_dir=rollup_dir,
+                          ladder=ladder)},
     )
     httpd = ThreadingHTTPServer(("127.0.0.1", port), handler)
     thread = Thread(target=httpd.serve_forever, daemon=True)
