@@ -485,6 +485,51 @@ def refresh_ladder(
     return rebuilt
 
 
+def gc_ladder_temps(
+    rungs: dict[int, str], max_age_s: float = 24 * 3600
+) -> list[str]:
+    """Sweep crash debris from cascade builds and ladder swaps by age —
+    the `gc_staging` contract applied to the ladder: an interrupted
+    `cascade_rollup` leaves a `_rollup_cascade_*` build dir, a crash
+    inside `refresh_ladder`'s swap can leave `<rung>_new_*` /
+    `<rung>_old_*` generations.  All are invisible to readers (only the
+    exact rung path is ever resolved) but accumulate bytes.  Young dirs
+    are left alone — they may belong to a build in progress.  Returns the
+    paths removed.
+    """
+    import os
+    import shutil
+    import time
+
+    removed: list[str] = []
+    now = time.time()
+    seen_parents: set[str] = set()
+    for dst in rungs.values():
+        dst = dst.rstrip("/")
+        parent = os.path.dirname(dst) or "."
+        base = os.path.basename(dst)
+        prefixes = [base + "_new_", base + "_old_"]
+        if parent not in seen_parents:
+            seen_parents.add(parent)
+            prefixes.append("_rollup_cascade_")
+        try:
+            names = os.listdir(parent)
+        except FileNotFoundError:
+            continue
+        for name in names:
+            if not any(name.startswith(p) for p in prefixes):
+                continue
+            path = os.path.join(parent, name)
+            try:
+                if now - os.path.getmtime(path) < max_age_s:
+                    continue
+            except OSError:
+                continue
+            shutil.rmtree(path, ignore_errors=True)
+            removed.append(path)
+    return sorted(removed)
+
+
 def ladder_rung(rungs: dict[int, str], interval_ms: int) -> tuple[int, str]:
     """Route a downsample onto the COARSEST materialized rung whose
     interval divides the query interval (exactness requires divisibility —

@@ -446,6 +446,31 @@ def test_refresh_ladder_rebuilds_only_stale_rungs(spark, tmp_path):
     assert got == exp and len(got) == 2
 
 
+def test_gc_ladder_temps_sweeps_only_old_debris(tmp_path):
+    """gc_ladder_temps: aged cascade/swap debris is removed, fresh temps
+    (possible in-flight builds) and the live rungs are untouched."""
+    import os
+    import time
+
+    from mycenae_spark.streaming.rollup import gc_ladder_temps
+
+    rung = tmp_path / "r1h"
+    for d in (rung, tmp_path / "r1h_old_dead", tmp_path / "r1h_new_dead",
+              tmp_path / "_rollup_cascade_dead", tmp_path / "r1h_new_live",
+              tmp_path / "unrelated"):
+        d.mkdir()
+        (d / "f.parquet").write_text("x")
+    old = time.time() - 48 * 3600
+    for name in ("r1h_old_dead", "r1h_new_dead", "_rollup_cascade_dead"):
+        os.utime(tmp_path / name, (old, old))
+
+    removed = gc_ladder_temps({3_600_000: str(rung)}, max_age_s=24 * 3600)
+    assert sorted(os.path.basename(p) for p in removed) == [
+        "_rollup_cascade_dead", "r1h_new_dead", "r1h_old_dead"]
+    assert rung.is_dir() and (tmp_path / "r1h_new_live").is_dir()
+    assert (tmp_path / "unrelated").is_dir()
+
+
 def test_planner_routes_downsample_to_rollup(spark, tmp_path):
     """plans.tsdb.plan(rollup=...): an aligned mergeable downsample is
     served ENTIRELY from rollup partials (the physical plan never scans the
