@@ -90,6 +90,7 @@ HEADLINE = [
     "text_repetition",
     "text_unigram_logprob",
     "sample_resample_epochs",
+    "text_langid_trigram",
 ]
 
 

@@ -53,8 +53,8 @@ _R6_OVERFLOW = (
 )
 
 # Declared for the first time in round 7 — never checked, take window slots
-# ahead of stale re-checks.  (Window now holds 11 overflow + 8 new + 31
-# stale re-checks; the last 17 stale-tail ids queue as r8's front.)
+# ahead of stale re-checks.  (Window now holds 11 overflow + 9 new + 30
+# stale re-checks; the last 18 stale-tail ids queue as r8's front.)
 _NEW_ROUND7 = (
     "rollup_backfill_roundtrip",
     "rollup_ladder_roundtrip",
@@ -64,6 +64,7 @@ _NEW_ROUND7 = (
     "text_repetition",
     "text_unigram_logprob",
     "sample_resample_epochs",
+    "text_langid_trigram",
 )
 
 # --- CORRECTNESS_r06 green ids, grouped as they were fronted in r6 --------
