@@ -224,6 +224,15 @@ def main() -> None:
             len(brute & got) / max(len(brute), 1), 3
         )
 
+    # Lang-id quality: accuracy = confusion-matrix diagonal mass.  Both
+    # classifiers are judged by value elsewhere; the extra makes the
+    # heuristic-vs-trained trade visible per scale factor.
+    cm = QUERIES["text_langid_trigram"](spark, sf_dir).collect()
+    n_all = sum(r["n"] for r in cm)
+    langid_acc = round(
+        sum(r["n"] for r in cm if r["lang"] == r["pred"]) / max(n_all, 1), 3
+    )
+
     print(
         json.dumps(
             {
@@ -245,6 +254,7 @@ def main() -> None:
                     "ann_ivfpq_index_was_cached": ivfpq_cached,
                     "ann_ivf_kmeans_recall_at3_by_nprobe": curve,
                     "ann_ivfpq_recall_at3_by_nprobe": ivfpq_curve,
+                    "langid_trigram_accuracy": langid_acc,
                     "bench_reps": reps,
                     "total_first_run_s": total_first,
                 },
