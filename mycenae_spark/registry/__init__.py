@@ -54,7 +54,11 @@ _R6_OVERFLOW = (
 
 # Declared for the first time in round 7 — never checked, take window slots
 # ahead of stale re-checks.  (Window now holds 11 overflow + 9 new + 30
-# stale re-checks; the last 18 stale-tail ids queue as r8's front.)
+# stale re-checks; the last 18 stale-tail ids — the dedup/sim/text families,
+# all judge-reverified green on current data in VERDICT r6 — queue as r8's
+# front.  Conscious trade-off per the r6-accepted policy: a NEVER-checked id
+# beats re-checking one that already has both a historical driver green and
+# a fresh judge verification.)
 _NEW_ROUND7 = (
     "rollup_backfill_roundtrip",
     "rollup_ladder_roundtrip",
