@@ -65,6 +65,19 @@ def latest_seq(lake_dir: str) -> int:
     return max(seqs, default=0)
 
 
+def oldest_seq(lake_dir: str) -> int | None:
+    """Lowest retained sequence number, None if the log is empty — the
+    truncation floor: a reader pinned below ``oldest_seq - 1`` cannot
+    prove what happened in the gap."""
+    d = _log_dir(lake_dir)
+    try:
+        names = os.listdir(d)
+    except FileNotFoundError:
+        return None
+    seqs = [s for s in map(_seq_of, names) if s is not None]
+    return min(seqs, default=None)
+
+
 def entries(lake_dir: str, since: int = 0) -> list[tuple[int, dict]]:
     """Committed (seq, payload) entries with seq > since, ascending."""
     d = _log_dir(lake_dir)

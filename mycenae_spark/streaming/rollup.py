@@ -400,6 +400,18 @@ def cascade_is_current(lake_dir: str, rung_dir: str) -> bool:
     as_of = _read_marker_as_of(rung_dir)
     if as_of is None:
         return False
+    # Truncation blindness: if gc_commitlog dropped entries in
+    # (as_of, oldest_retained), a rollup-touching commit could have been
+    # erased — currency is unprovable, so the rung reads as stale (the
+    # fallback is correct; the next refresh_ladder re-pins at the head).
+    floor = commitlog.oldest_seq(lake_dir)
+    if floor is None:
+        # Empty log: current only if the rung was pinned on a lake that
+        # had never committed (as_of 0).  A non-zero pin with NO retained
+        # entries means the log was erased under the rung — unprovable.
+        return as_of == 0
+    if floor > as_of + 1:
+        return False
     # Content-NEUTRAL kinds for rollup reads: checkpoints and catalog
     # maintenance touch no partials; compaction rewrites partial FILES but
     # preserves their merged values, which is all a cascade depends on.

@@ -446,6 +446,41 @@ def test_refresh_ladder_rebuilds_only_stale_rungs(spark, tmp_path):
     assert got == exp and len(got) == 2
 
 
+def test_cascade_currency_unprovable_after_log_truncation(spark, tmp_path):
+    """gc_commitlog truncation past a rung's pin makes currency
+    UNPROVABLE (a staling commit could have been erased) — the rung must
+    read as stale, not silently current."""
+    import json as _json
+
+    from mycenae_spark.streaming import commitlog
+    from mycenae_spark.streaming.ingest import (
+        decode_json_lines,
+        prepare_points,
+        write_points_batch,
+    )
+    from mycenae_spark.streaming.rollup import cascade_is_current, cascade_rollup
+
+    def mk(n):
+        rows = [(_json.dumps({
+            "metric": "tr.m", "tags": {"ksid": "k1", "h": "a"},
+            "timestamp": 1704067200000 + i * 60_000, "value": float(i),
+        }),) for i in range(n)]
+        return prepare_points(
+            decode_json_lines(spark.createDataFrame(rows, ["value"])))[0]
+
+    lake, cat, fine, rung = (
+        str(tmp_path / d) for d in ("lake", "cat", "r1m", "r1h"))
+    write_points_batch(mk(3), lake, cat, batch_id="a", rollup_dir=fine)
+    cascade_rollup(spark, fine, rung, 3_600_000, lake_dir=lake)
+    assert cascade_is_current(lake, rung)
+
+    # later commits, then GC keeps only the newest entry → gap above pin
+    write_points_batch(mk(3), lake, cat, batch_id="b", rollup_dir=fine)
+    write_points_batch(mk(3), lake, cat, batch_id="c", rollup_dir=fine)
+    commitlog.truncate(lake, keep_last=1)
+    assert not cascade_is_current(lake, rung)
+
+
 def test_gc_ladder_temps_sweeps_only_old_debris(tmp_path):
     """gc_ladder_temps: aged cascade/swap debris is removed, fresh temps
     (possible in-flight builds) and the live rungs are untouched."""
