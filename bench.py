@@ -91,6 +91,7 @@ HEADLINE = [
     "text_unigram_logprob",
     "sample_resample_epochs",
     "text_langid_trigram",
+    "knn_graph_topk",
 ]
 
 

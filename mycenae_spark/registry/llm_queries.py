@@ -885,6 +885,89 @@ def dedup_semantic(spark, sf_dir):
     )
 
 
+
+@q(
+    "knn_graph_topk",
+    f"""
+WITH cent AS ({{_CENT0_SQL}}),
+assign AS (
+  SELECT vec_id, c_id FROM (
+    SELECT a.vec_id, c.c_id,
+           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+             round6({{_ASSIGN_COS}}) DESC, c.c_id) AS rn
+    FROM embeddings a CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+scored AS (
+  SELECT a.vec_id, b.vec_id AS n_id,
+         round6({{_PAIR_COS}}) AS cos_r
+  FROM assign a JOIN assign b
+    ON a.c_id = b.c_id AND a.vec_id <> b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+)
+SELECT vec_id, n_id, rk, cos_r FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY cos_r DESC, n_id) AS rk
+  FROM scored
+) WHERE rk <= 3
+""".format(
+        _CENT0_SQL=_CENT0_SQL,
+        _ASSIGN_COS=_cos_sql_pair("a.embedding", "c.c_emb"),
+        _PAIR_COS=_cos_sql_pair("ea.embedding", "eb.embedding"),
+    ),
+)
+def knn_graph_topk(spark, sf_dir):
+    """kNN-GRAPH construction: top-3 nearest neighbors for EVERY corpus
+    vector — the batch kNN join behind embedding-dedup graphs, label
+    propagation, and kNN classification.  sim_topk answers a bounded
+    query set by broadcast; a corpus-wide kNN cannot broadcast the query
+    side, so this is the clustered formulation: assign all vectors to
+    broadcast centroids (shuffle-free scan), rank neighbors WITHIN each
+    cluster only — approximate exactly like IVF search (a neighbor in
+    another cluster is missed; nprobe-style multi-assignment widens it),
+    with per-vector work bounded by cluster size, never corpus size.
+
+    Same structural skeleton as dedup_semantic (shared assign CTE) but a
+    different product: per-vector ranked neighbor lists instead of
+    above-threshold pairs — the graph, not the verdicts.  All ranking on
+    rounded cosines with id tie-breaks (cross-engine stable)."""
+    from mycenae_spark.functions.similarity import ivf_assign
+
+    e = t(spark, sf_dir, "embeddings")
+    assign = ivf_assign(
+        e,
+        _cent0(spark, sf_dir).withColumnRenamed("c_id", "vec_id"),
+        score_rounder=r6,
+    )
+    en = _with_norm(e).join(assign, "vec_id")
+    a = en.select(
+        "c_id",
+        "vec_id",
+        F.col("embedding").alias("_ea"),
+        F.col("_norm").alias("_na"),
+    )
+    b = en.select(
+        F.col("c_id").alias("_c_id_b"),
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").alias("_eb"),
+        F.col("_norm").alias("_nb"),
+    )
+    cos = _dot(F.col("_ea"), F.col("_eb")) / (F.col("_na") * F.col("_nb"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_r"), "n_id")
+    return (
+        a.join(
+            b,
+            (F.col("c_id") == F.col("_c_id_b"))
+            & (F.col("vec_id") != F.col("n_id")),
+        )
+        .withColumn("cos_r", r6(cos))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("vec_id", "n_id", "rk", "cos_r")
+    )
+
+
 @q(
     "dedup_ngram_containment",
     f"""
