@@ -92,6 +92,7 @@ HEADLINE = [
     "sample_resample_epochs",
     "text_langid_trigram",
     "knn_graph_topk",
+    "dedup_semantic_clusters",
 ]
 
 

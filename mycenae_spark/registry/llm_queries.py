@@ -887,6 +887,71 @@ def dedup_semantic(spark, sf_dir):
 
 
 @q(
+    "dedup_semantic_clusters",
+    f"""
+WITH RECURSIVE cent AS ({{_CENT0_SQL}}),
+assign AS (
+  SELECT vec_id, c_id FROM (
+    SELECT a.vec_id, c.c_id,
+           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+             round6({{_ASSIGN_COS}}) DESC, c.c_id) AS rn
+    FROM embeddings a CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT vec_a, vec_b FROM (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round6({{_PAIR_COS}}) AS cos_r
+    FROM assign a JOIN assign b ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+    JOIN embeddings ea ON ea.vec_id = a.vec_id
+    JOIN embeddings eb ON eb.vec_id = b.vec_id
+  ) WHERE cos_r >= 0.35
+), edges AS (
+  SELECT vec_a AS a, vec_b AS b FROM pairs
+  UNION SELECT vec_b, vec_a FROM pairs
+), reach(src, dst) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+)
+SELECT src AS vec_id, least(src, min(dst)) AS cluster_id
+FROM reach GROUP BY src
+""".format(
+        _CENT0_SQL=_CENT0_SQL,
+        _ASSIGN_COS=_cos_sql_pair("a.embedding", "c.c_emb"),
+        _PAIR_COS=_cos_sql_pair("ea.embedding", "eb.embedding"),
+    ),
+)
+def dedup_semantic_clusters(spark, sf_dir):
+    """Semantic duplicate GROUPS — SemDeDup's keep-one-per-group rule made
+    executable: the in-cluster cosine pairs of dedup_semantic become an
+    edge list, pointer-jumping connected components label every involved
+    vector with the smallest reachable id (= the kept representative;
+    everything else in the component drops).  The oracle walks the same
+    graph with a recursive CTE — the dedup_clusters pattern pointed at
+    embedding-space edges instead of minhash bands, which demonstrates
+    the component machinery is edge-source-agnostic.
+
+    Scale: edges are already bucket-bounded (the semantic valve), and
+    min-label propagation converges in O(component diameter) shuffles —
+    near-dup components are shallow.  Bounded rounds, seeded variant
+    available (functions/dedup.py::connected_components)."""
+    from mycenae_spark.functions.dedup import connected_components
+    from mycenae_spark.functions.similarity import semantic_pairs
+
+    pairs = semantic_pairs(
+        t(spark, sf_dir, "embeddings"),
+        _cent0(spark, sf_dir).withColumnRenamed("c_id", "vec_id"),
+        threshold=0.35,
+        max_cluster_size=512,
+        score_rounder=r6,
+    )
+    return connected_components(
+        pairs, a_col="vec_a", b_col="vec_b"
+    ).select(F.col("doc_id").alias("vec_id"), "cluster_id")
+
+
+@q(
     "knn_graph_topk",
     f"""
 WITH cent AS ({{_CENT0_SQL}}),
