@@ -1975,7 +1975,7 @@ WITH g AS (
   SELECT doc_id, lang,
          list_transform(generate_series(1, length(text) - 2),
                         i -> substr(text, i, 3)) AS grams
-  FROM documents
+  FROM documents WHERE length(text) >= 3
 ), dg AS (
   SELECT doc_id, lang, gram, count(*) AS tf
   FROM (SELECT doc_id, lang, unnest(grams) AS gram FROM g)
@@ -2024,7 +2024,10 @@ def text_langid_trigram(spark, sf_dir):
     gram-keyed join + a (doc, lang) hash agg — nothing quadratic in
     documents."""
     d = t(spark, sf_dir, "documents")
-    grams = d.select(
+    # length >= 3 guard on BOTH sides: Spark's sequence(1, 0) counts DOWN
+    # (the shingles() pitfall) — a sub-3-char document would emit spurious
+    # grams here while DuckDB's generate_series yields none.
+    grams = d.filter(F.length("text") >= 3).select(
         "doc_id",
         "lang",
         F.explode(
