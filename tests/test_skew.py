@@ -176,3 +176,31 @@ def test_semantic_dedup_hot_cluster_capped(spark):
     ids = {r["vec_a"] for r in pairs} | {r["vec_b"] for r in pairs}
     assert ids == {10_000, 10_001, 10_002}  # blob dropped, healthy kept
     assert len(pairs) == 3
+
+
+def test_semantic_pairs_composes_with_trained_centroids(spark):
+    """The docstring's claim that kmeans_refine composes in front of
+    semantic_pairs, proven: refined centroids produce a valid pair set
+    through the same code path (same columns, vec_a < vec_b, scores in
+    range), and refining does not disturb a well-separated clustering."""
+    from mycenae_spark.functions.similarity import kmeans_refine, semantic_pairs
+
+    # two tight blobs around orthogonal directions + slight jitter
+    mk = lambda base, sign: spark.range(20).select(
+        (F.col("id") + base).alias("vec_id"),
+        F.array(
+            *[(F.lit(sign * 1.0) + F.col("id") * 0.001).cast("double")] * 4,
+            *[F.lit(0.05)] * 4,
+        ).alias("embedding"),
+    )
+    corpus = mk(0, 1).unionByName(mk(100, -1))
+    seeds = corpus.filter(F.col("vec_id").isin(0, 100))
+    trained = kmeans_refine(corpus, seeds, iters=1).withColumnRenamed(
+        "c_id", "vec_id"
+    )
+    pairs = semantic_pairs(corpus, trained, threshold=0.9).collect()
+    assert pairs  # tight blobs: plenty of high-cosine in-cluster pairs
+    for r in pairs:
+        assert r["vec_a"] < r["vec_b"] and 0.9 <= r["cos_r"] <= 1.0
+        # no cross-blob pair survives: ids stay within one blob's range
+        assert (r["vec_a"] < 100) == (r["vec_b"] < 100)
