@@ -69,6 +69,23 @@ def main() -> None:
     print("\nOpenTSDB response (truncated):")
     print(render_json(payload)[:300], "…")
 
+    # -- 2b. rollup ladder: long ranges never rescan raw points -----------
+    from mycenae_spark.streaming.ingest import decode_json_lines, prepare_points
+    from mycenae_spark.streaming.rollup import (
+        cascade_rollup, read_rollup_ladder, refresh_ladder, write_rollup_batch,
+    )
+
+    fine = os.path.join(work, "rollup_1m")
+    valid, _ = prepare_points(decode_json_lines(
+        spark.createDataFrame([(json.dumps(p),) for p in points], ["value"])))
+    write_rollup_batch(valid, fine, 60_000)
+    rungs = {3_600_000: os.path.join(work, "rollup_1h")}
+    refresh_ladder(spark, lake, fine, rungs)   # builds the stale 1h rung
+    hourly = read_rollup_ladder(spark, {60_000: fine, **rungs},
+                                agg="avg", interval_ms=3_600_000)
+    print(f"\nladder: 1h-avg served from the cascaded rung → "
+          f"{hourly.count()} (series, hour) rows")
+
     # -- 3. same engine via the expression language -----------------------
     exp = "merge(max, downsample(10m, avg, query(cpu.usage, {host=web1}, 1704067200000)))"
     out = plan(pts, parse_expression(exp, 1704080000000))
