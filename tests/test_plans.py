@@ -238,6 +238,17 @@ def test_mix_temperature_windows_only_grouped_frame(spark):
     assert plan.index("Window") < plan.index("HashAggregate")
 
 
+def test_semantic_dedup_broadcasts_centroids(spark):
+    """dedup_semantic / knn_graph_topk scale contract: centroid
+    assignment reaches the corpus by broadcast (never a corpus shuffle
+    for the assign), and the only corpus-keyed join is the in-cluster
+    pair join on c_id."""
+    for name in ("dedup_semantic", "knn_graph_topk"):
+        plan = _plan(spark, name)
+        assert "BroadcastExchange" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
 def test_repetition_is_shuffle_free(spark):
     """text_repetition's scale contract: shingle build, distinct counts,
     and the bounded per-token count all stay per-row higher-order
