@@ -267,6 +267,7 @@ def cascade_rollup(
     dst_interval_ms: int,
     series_cols: list[str] | None = None,
     lake_dir: str | None = None,
+    settle_timeout_s: float = 30.0,
 ) -> None:
     """Materialize a COARSER rollup rung from a finer one (1m → 1h → 1d —
     the TimescaleDB continuous-aggregate ladder / OpenTSDB multi-interval
@@ -321,7 +322,7 @@ def cascade_rollup(
         else:
             from mycenae_spark.streaming import snapshot as _snap
 
-            deadline = _time.monotonic() + 30.0
+            deadline = _time.monotonic() + settle_timeout_s
             while not _snap._appends_settled(
                 lake_dir, {"rollup": src_dir}, 0, as_of_seq
             ):

@@ -446,6 +446,46 @@ def test_refresh_ladder_rebuilds_only_stale_rungs(spark, tmp_path):
     assert got == exp and len(got) == 2
 
 
+def test_cascade_waits_for_unsettled_appends(spark, tmp_path):
+    """cascade_rollup's torn-read guard fires: a committed batch whose
+    rollup partial is missing on disk (mid-move / crashed writer) makes
+    the cascade refuse to build from the live fine rung rather than
+    silently pin a head whose files it never saw."""
+    import json as _json
+    import os
+
+    import pytest as _pytest
+
+    from mycenae_spark.streaming.ingest import (
+        decode_json_lines,
+        prepare_points,
+        write_points_batch,
+    )
+    from mycenae_spark.streaming.rollup import cascade_rollup
+
+    rows = [(_json.dumps({
+        "metric": "st.m", "tags": {"ksid": "k1", "h": "a"},
+        "timestamp": 1704067200000 + i * 60_000, "value": float(i),
+    }),) for i in range(3)]
+    valid, _ = prepare_points(
+        decode_json_lines(spark.createDataFrame(rows, ["value"])))
+    lake, cat, fine, rung = (
+        str(tmp_path / d) for d in ("lake", "cat", "r1m", "r1h"))
+    write_points_batch(valid, lake, cat, batch_id="a", rollup_dir=fine)
+
+    # simulate a mid-move batch: delete one manifest-listed rollup file
+    victim = next(
+        os.path.join(dp, f)
+        for dp, _dns, fns in os.walk(fine)
+        for f in fns if f.endswith(".parquet")
+    )
+    os.unlink(victim)
+    with _pytest.raises(RuntimeError, match="never settled"):
+        cascade_rollup(spark, fine, rung, 3_600_000, lake_dir=lake,
+                       settle_timeout_s=0.3)
+    assert not os.path.isdir(rung)  # nothing published
+
+
 def test_cascade_currency_unprovable_after_log_truncation(spark, tmp_path):
     """gc_commitlog truncation past a rung's pin makes currency
     UNPROVABLE (a staling commit could have been erased) — the rung must
