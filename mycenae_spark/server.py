@@ -71,6 +71,13 @@ class Engine:
         #: cascade_rollup).  Routed onto per query when current + covering;
         #: the ingest-maintained fine rung stays the fallback.
         self.ladder = ladder or {}
+        #: rung_dir → (marker as_of_seq, read_rollup_series frame).  The
+        #: frame embeds driver-side tag-key discovery (a collect over the
+        #: rung), so rebuilding it per sub-query is wasted work; a rung is
+        #: immutable per generation and refresh_ladder publishes a NEW
+        #: as_of pin, which misses the cache and replaces the stale frame
+        #: naturally.
+        self._rung_frames: dict = {}
         self._tag_keys_cache: list[str] | None = None
         from mycenae_spark.keyspace import KeyspaceManager
 
@@ -283,6 +290,8 @@ class Engine:
         fits = sorted(
             (iv for iv in self.ladder if interval_ms % iv == 0), reverse=True
         )
+        from mycenae_spark.streaming.rollup import _read_marker_as_of
+
         for iv in fits:
             rung_dir = self.ladder[iv]
             if (
@@ -290,7 +299,12 @@ class Engine:
                 and rollup_coverage_complete(rung_dir)
                 and cascade_is_current(self.lake_dir, rung_dir)
             ):
-                return read_rollup_series(self.spark, rung_dir), iv
+                pin = _read_marker_as_of(rung_dir) or -1
+                cached = self._rung_frames.get(rung_dir)
+                if cached is None or cached[0] != pin:
+                    cached = (pin, read_rollup_series(self.spark, rung_dir))
+                    self._rung_frames[rung_dir] = cached
+                return cached[1], iv
         return fine_rollup, 60_000
 
     def query_expression(self, exp: str) -> list:
