@@ -93,6 +93,7 @@ HEADLINE = [
     "text_langid_trigram",
     "knn_graph_topk",
     "dedup_semantic_clusters",
+    "agg_kmv_distinct",
 ]
 
 

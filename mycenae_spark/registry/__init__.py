@@ -53,8 +53,8 @@ _R6_OVERFLOW = (
 )
 
 # Declared for the first time in round 7 — never checked, take window slots
-# ahead of stale re-checks.  (Window now holds 11 overflow + 11 new + 28
-# stale re-checks; the last 20 stale-tail ids — the dedup/sim/text families,
+# ahead of stale re-checks.  (Window now holds 11 overflow + 12 new + 27
+# stale re-checks; the last 21 stale-tail ids — the dedup/sim/text families,
 # all judge-reverified green on current data in VERDICT r6 — queue as r8's
 # front.  Conscious trade-off per the r6-accepted policy: a NEVER-checked id
 # beats re-checking one that already has both a historical driver green and
@@ -71,6 +71,7 @@ _NEW_ROUND7 = (
     "text_langid_trigram",
     "knn_graph_topk",
     "dedup_semantic_clusters",
+    "agg_kmv_distinct",
 )
 
 # --- CORRECTNESS_r06 green ids, grouped as they were fronted in r6 --------
