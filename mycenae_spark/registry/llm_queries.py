@@ -857,7 +857,8 @@ def dedup_semantic(spark, sf_dir):
 
     This is the third bucketing scheme in the near-dup family (hyperplane
     LSH buckets in dedup_embedding_lsh, minhash bands for text): centroids
-    broadcast, the corpus is assigned in one shuffle-free pass, and the
+    broadcast, the corpus is assigned in one scan + one bounded ~N-row
+    exchange (ivf_assign's partial-agg argmax), and the
     quadratic verify is confined to same-cluster pairs — with k ∝ sqrt(N)
     clusters the per-cluster pair count stays bounded as the corpus grows,
     which is exactly why SemDeDup scales where all-pairs cosine cannot.
@@ -898,11 +899,16 @@ assign AS (
     FROM embeddings a CROSS JOIN cent c
   ) WHERE rn = 1
 ),
+capped AS (
+  SELECT vec_id, c_id FROM (
+    SELECT *, count(*) OVER (PARTITION BY c_id) AS csz FROM assign
+  ) WHERE csz <= 512
+),
 pairs AS (
   SELECT vec_a, vec_b FROM (
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            round6({{_PAIR_COS}}) AS cos_r
-    FROM assign a JOIN assign b ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+    FROM capped a JOIN capped b ON a.c_id = b.c_id AND a.vec_id < b.vec_id
     JOIN embeddings ea ON ea.vec_id = a.vec_id
     JOIN embeddings eb ON eb.vec_id = b.vec_id
   ) WHERE cos_r >= 0.35
@@ -963,10 +969,15 @@ assign AS (
     FROM embeddings a CROSS JOIN cent c
   ) WHERE rn = 1
 ),
+capped AS (
+  SELECT vec_id, c_id FROM (
+    SELECT *, count(*) OVER (PARTITION BY c_id) AS csz FROM assign
+  ) WHERE csz <= 512
+),
 scored AS (
   SELECT a.vec_id, b.vec_id AS n_id,
          round6({{_PAIR_COS}}) AS cos_r
-  FROM assign a JOIN assign b
+  FROM capped a JOIN capped b
     ON a.c_id = b.c_id AND a.vec_id <> b.vec_id
   JOIN embeddings ea ON ea.vec_id = a.vec_id
   JOIN embeddings eb ON eb.vec_id = b.vec_id
@@ -988,48 +999,89 @@ def knn_graph_topk(spark, sf_dir):
     propagation, and kNN classification.  sim_topk answers a bounded
     query set by broadcast; a corpus-wide kNN cannot broadcast the query
     side, so this is the clustered formulation: assign all vectors to
-    broadcast centroids (shuffle-free scan), rank neighbors WITHIN each
-    cluster only — approximate exactly like IVF search (a neighbor in
-    another cluster is missed; nprobe-style multi-assignment widens it),
-    with per-vector work bounded by cluster size, never corpus size.
+    broadcast centroids (one bounded ~N-row exchange, see ivf_assign),
+    rank neighbors WITHIN each cluster only — approximate exactly like
+    IVF search (a neighbor in another cluster is missed;
+    knn_graph_multiprobe widens it with top-2 probing), with per-vector
+    work bounded by cluster size, never corpus size.  The bound is made
+    REAL by the shared hot-cluster valve (capped_assign, mirrored in the
+    oracle's capped CTE): one degenerate centroid attracting the corpus
+    would otherwise turn the in-cluster join quadratic — over-cap
+    clusters drop from the graph rather than detonating it.
 
     Same structural skeleton as dedup_semantic (shared assign CTE) but a
     different product: per-vector ranked neighbor lists instead of
     above-threshold pairs — the graph, not the verdicts.  All ranking on
     rounded cosines with id tie-breaks (cross-engine stable)."""
-    from mycenae_spark.functions.similarity import ivf_assign
+    from mycenae_spark.functions.similarity import knn_graph
 
-    e = t(spark, sf_dir, "embeddings")
-    assign = ivf_assign(
-        e,
+    return knn_graph(
+        t(spark, sf_dir, "embeddings"),
         _cent0(spark, sf_dir).withColumnRenamed("c_id", "vec_id"),
+        k=3,
+        probes=1,
+        max_cluster_size=512,
         score_rounder=r6,
     )
-    en = _with_norm(e).join(assign, "vec_id")
-    a = en.select(
-        "c_id",
-        "vec_id",
-        F.col("embedding").alias("_ea"),
-        F.col("_norm").alias("_na"),
-    )
-    b = en.select(
-        F.col("c_id").alias("_c_id_b"),
-        F.col("vec_id").alias("n_id"),
-        F.col("embedding").alias("_eb"),
-        F.col("_norm").alias("_nb"),
-    )
-    cos = _dot(F.col("_ea"), F.col("_eb")) / (F.col("_na") * F.col("_nb"))
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_r"), "n_id")
-    return (
-        a.join(
-            b,
-            (F.col("c_id") == F.col("_c_id_b"))
-            & (F.col("vec_id") != F.col("n_id")),
-        )
-        .withColumn("cos_r", r6(cos))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 3)
-        .select("vec_id", "n_id", "rk", "cos_r")
+
+
+@q(
+    "knn_graph_multiprobe",
+    f"""
+WITH cent AS ({{_CENT0_SQL}}),
+scoredass AS (
+  SELECT a.vec_id, c.c_id,
+         row_number() OVER (PARTITION BY a.vec_id ORDER BY
+           round6({{_ASSIGN_COS}}) DESC, c.c_id) AS rn
+  FROM embeddings a CROSS JOIN cent c
+),
+assign AS (SELECT vec_id, c_id FROM scoredass WHERE rn = 1),
+probe AS (SELECT vec_id, c_id FROM scoredass WHERE rn <= 2),
+capped AS (
+  SELECT vec_id, c_id FROM (
+    SELECT *, count(*) OVER (PARTITION BY c_id) AS csz FROM assign
+  ) WHERE csz <= 512
+),
+scored AS (
+  SELECT a.vec_id, b.vec_id AS n_id,
+         round6({{_PAIR_COS}}) AS cos_r
+  FROM probe a JOIN capped b
+    ON a.c_id = b.c_id AND a.vec_id <> b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+)
+SELECT vec_id, n_id, rk, cos_r FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY cos_r DESC, n_id) AS rk
+  FROM scored
+) WHERE rk <= 3
+""".format(
+        _CENT0_SQL=_CENT0_SQL,
+        _ASSIGN_COS=_cos_sql_pair("a.embedding", "c.c_emb"),
+        _PAIR_COS=_cos_sql_pair("ea.embedding", "eb.embedding"),
+    ),
+)
+def knn_graph_multiprobe(spark, sf_dir):
+    """kNN graph with nprobe-style MULTI-PROBE candidate generation
+    (VERDICT r7 item 5): each vector ranks neighbors from its top-2
+    clusters instead of only its own — the exact recall dial IVF search
+    turns with nprobe (0.47→0.80 recall@3 for IVFPQ on this corpus),
+    applied to graph construction.  Candidates stay single-assigned (and
+    hot-cluster-capped, shared valve), so a (vector, neighbor) pair can
+    match on at most one cluster — no dedup pass, and cost grows linearly
+    in probes, never quadratically.  Judged beside knn_graph_topk so the
+    single-probe/multi-probe recall trade is value-checked on both
+    engines; bench extras report measured recall@3 vs brute force for
+    both variants."""
+    from mycenae_spark.functions.similarity import knn_graph
+
+    return knn_graph(
+        t(spark, sf_dir, "embeddings"),
+        _cent0(spark, sf_dir).withColumnRenamed("c_id", "vec_id"),
+        k=3,
+        probes=2,
+        max_cluster_size=512,
+        score_rounder=r6,
     )
 
 
@@ -1928,7 +1980,7 @@ WITH g AS (
 )
 SELECT doc_id, documents.lang,
        (floor(boost) + CASE
-          WHEN ((doc_id * 2654435761) % 65536) / 65536.0
+          WHEN (((doc_id % 65536) * 2654435761) % 65536) / 65536.0
                < boost - floor(boost) THEN 1 ELSE 0 END)::BIGINT AS reps
 FROM documents JOIN b ON documents.lang = b.lang
 """,
@@ -1942,9 +1994,14 @@ def sample_resample_epochs(spark, sf_dir):
     the target mixture without a shuffle or an RNG).
 
     The rounding hash is pure integer arithmetic
-    ((doc_id × 2654435761) mod 2^16, the Knuth multiplicative constant) —
-    bit-identical in both engines, stable under corpus growth like the
-    md5 split convention (any uniform per-doc hash slots in).  Scale:
+    (((doc_id mod 2^16) × 2654435761) mod 2^16, the Knuth multiplicative
+    constant) — bit-identical in both engines, stable under corpus growth
+    like the md5 split convention (any uniform per-doc hash slots in).
+    doc_id reduces mod 2^16 BEFORE the multiply: the low 16 bits of the
+    product only depend on doc_id's low 16 bits, so the value is
+    unchanged, but the intermediate stays ≤ 2^16·K ≈ 1.7e14 — no int64
+    overflow at any corpus size (the raw product wraps negative past
+    doc_id ≈ 3.5e9 in Spark and errors in DuckDB).  Scale:
     the boost frame is #languages rows broadcast onto one corpus scan;
     reps is a per-row expression.  Downstream, repeat-explode happens at
     read time (sequence(1, reps) → explode), never materialized."""
@@ -1960,7 +2017,9 @@ def sample_resample_epochs(spark, sf_dir):
     boost = (pa / F.sum(pa).over(w) / p).alias("boost")
     b = g.select("lang", boost)
     frac = F.col("boost") - F.floor("boost")
-    hash_u = ((F.col("doc_id") * F.lit(2654435761)) % 65536) / F.lit(65536.0)
+    hash_u = (
+        ((F.col("doc_id") % 65536) * F.lit(2654435761)) % 65536
+    ) / F.lit(65536.0)
     reps = (F.floor("boost") + F.when(hash_u < frac, 1).otherwise(0)).cast("long")
     return (
         d.join(F.broadcast(b), "lang")
@@ -2200,7 +2259,7 @@ WITH base AS (
            AS cum_toks
   FROM base
 )
-SELECT bucket, (cum_toks - n_toks) // 2048 AS seq_id,
+SELECT bucket, ((cum_toks - n_toks) // 2048)::BIGINT AS seq_id,
        count(*) AS n_docs, sum(n_toks)::BIGINT AS seq_toks,
        min(doc_id) AS first_doc
 FROM cum GROUP BY bucket, seq_id

@@ -253,13 +253,30 @@ class Engine:
         for q in parse_query_request(body, now_ms):
             nan_fill = bool(q.downsample and q.downsample.endswith("-nan"))
             r, r_iv = self._pick_rung(q, rollup)
-            out.extend(
-                shape_response(
+            try:
+                rows = shape_response(
                     plan(pts, q, rollup=r, rollup_interval_ms=r_iv),
                     q,
                     nan_fill=nan_fill,
                 )
-            )
+            except Exception:
+                if r is rollup:
+                    raise
+                # Ladder-routed read raced refresh_ladder's atomic swap:
+                # _pick_rung's currency check passed just before the
+                # rename, then the old rung's files vanished mid-read.
+                # The fine rollup/points path is always correct — drop the
+                # stale memoized rung frame and retry once through it (a
+                # genuine query error simply re-raises from the retry).
+                self._rung_frames = {
+                    d: c for d, c in self._rung_frames.items() if c[1] is not r
+                }
+                rows = shape_response(
+                    plan(pts, q, rollup=rollup, rollup_interval_ms=60_000),
+                    q,
+                    nan_fill=nan_fill,
+                )
+            out.extend(rows)
         return out
 
     def _pick_rung(self, q, fine_rollup):

@@ -130,12 +130,19 @@ _COVERAGE_MARKER = "_coverage_complete"
 
 
 def mark_rollup_coverage(
-    rollup_dir: str, complete: bool, as_of_seq: int | None = None
+    rollup_dir: str,
+    complete: bool,
+    as_of_seq: int | None = None,
+    kind: str | None = None,
 ) -> None:
     """Record rollup coverage state (atomic write-then-rename).
 
     ``as_of_seq`` (cascaded rungs only) pins the commit-log position the
-    rung was built from, so ladder routing can detect staleness."""
+    rung was built from, so ladder routing can detect staleness.
+    ``kind`` ("cascade" for cascaded rungs) lets ``cascade_rollup`` tell a
+    pin-less CASCADED source (built without ``lake_dir`` — its files never
+    appear in commit manifests, so waiting for them to settle would hang)
+    apart from the live ingest-maintained rung (whose files do settle)."""
     import json
     import os
 
@@ -145,6 +152,8 @@ def mark_rollup_coverage(
     payload = {"complete": bool(complete)}
     if as_of_seq is not None:
         payload["as_of_seq"] = int(as_of_seq)
+    if kind is not None:
+        payload["kind"] = kind
     with open(tmp, "w") as f:
         json.dump(payload, f)
         f.flush()
@@ -316,9 +325,22 @@ def cascade_rollup(
     as_of_seq = None
     if lake_dir is not None:
         as_of_seq = commitlog.latest_seq(lake_dir)
-        src_as_of = _read_marker_as_of(src_dir)
+        src_marker = _read_marker(src_dir)
+        src_as_of = src_marker.get("as_of_seq")
         if src_as_of is not None:
             as_of_seq = min(as_of_seq, src_as_of)
+        elif src_marker.get("kind") == "cascade":
+            # A cascaded source WITHOUT a pin was built without lake_dir:
+            # its files never appear in commit manifests, so the settle
+            # wait below could never succeed — fail fast with the real
+            # remedy instead of a settle_timeout hang and a misleading
+            # "crashed writer" error.
+            raise ValueError(
+                "cascade_rollup: source rung was cascaded without "
+                "lake_dir, so it carries no as_of_seq pin — rebuild the "
+                "source with lake_dir to cascade from it with currency "
+                "tracking"
+            )
         else:
             from mycenae_spark.streaming import snapshot as _snap
 
@@ -369,20 +391,29 @@ def cascade_rollup(
     merged.write.mode("overwrite").partitionBy("ksid", "date").parquet(tmp)
     os.rename(tmp, dst_dir)
     mark_rollup_coverage(
-        dst_dir, rollup_coverage_complete(src_dir), as_of_seq=as_of_seq
+        dst_dir,
+        rollup_coverage_complete(src_dir),
+        as_of_seq=as_of_seq,
+        kind="cascade",
     )
 
 
-def _read_marker_as_of(rollup_dir: str) -> int | None:
-    """The ``as_of_seq`` a rung's coverage marker pins, if any."""
+def _read_marker(rollup_dir: str) -> dict:
+    """A rung's coverage marker payload ({} when missing/unreadable)."""
     import json
     import os
 
     try:
         with open(os.path.join(rollup_dir, _COVERAGE_MARKER)) as f:
-            return json.load(f).get("as_of_seq")
+            out = json.load(f)
+            return out if isinstance(out, dict) else {}
     except (OSError, ValueError):
-        return None
+        return {}
+
+
+def _read_marker_as_of(rollup_dir: str) -> int | None:
+    """The ``as_of_seq`` a rung's coverage marker pins, if any."""
+    return _read_marker(rollup_dir).get("as_of_seq")
 
 
 def cascade_is_current(lake_dir: str, rung_dir: str) -> bool:

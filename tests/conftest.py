@@ -60,10 +60,35 @@ def canonical_rows(cols, rows):
     )
 
 
+_BANNED_ORACLE_TYPES = ("HUGEINT", "UHUGEINT")
+
+
+def assert_oracle_types_driver_safe(rel, name=""):
+    """The r7 pack_sequences lesson, made structural: DuckDB's Python
+    fetchall() converts HUGEINT to int (so this replica compared equal),
+    but the driver's pandas-style canonicalization renders HUGEINT /
+    UHUGEINT / wide DECIMAL as float — hash-mismatching a value-identical
+    result.  Ban those output types outright: any oracle whose window
+    ``sum`` (etc.) promotes past BIGINT must cast explicitly."""
+    import re
+
+    for col, typ in zip(rel.columns, rel.types):
+        t = str(typ).upper()
+        bad = t in _BANNED_ORACLE_TYPES
+        m = re.match(r"DECIMAL\((\d+)", t)
+        if m and int(m.group(1)) > 18:
+            bad = True
+        assert not bad, (
+            f"{name}: oracle column {col!r} has driver-unsafe type {t} — "
+            "cast to BIGINT/DOUBLE in the oracle SQL"
+        )
+
+
 def assert_matches_oracle(spark_df, ddb_con, sql, name=""):
     s_cols = spark_df.columns
     s_rows = [tuple(r) for r in spark_df.collect()]
     rel = ddb_con.sql(sql)
+    assert_oracle_types_driver_safe(rel, name)
     d_cols = rel.columns
     d_rows = rel.fetchall()
     assert sorted(s_cols) == sorted(

@@ -387,6 +387,40 @@ def test_rollup_ladder_cascade(spark, tmp_path):
     assert got == exp and got
 
 
+def test_cascade_from_pinless_cascaded_rung_fails_fast(spark, tmp_path):
+    """ADVICE r7: cascading WITH lake_dir from a rung that was itself
+    cascaded WITHOUT lake_dir (marker present, no as_of_seq pin) used to
+    fall into the live-rung settle wait — where the source's files can
+    never appear in commit manifests — and hang until settle_timeout
+    before dying with a misleading 'crashed writer' error.  It must fail
+    fast with the real remedy instead."""
+    import time as _time
+
+    from mycenae_spark.streaming.ingest import decode_json_lines, prepare_points
+    from mycenae_spark.streaming.ingest import write_points_batch
+    from mycenae_spark.streaming.rollup import cascade_rollup, write_rollup_batch
+
+    BASE = 1704067200000
+    pts = [
+        {"metric": "ff.m", "tags": {"ksid": "ks1"},
+         "timestamp": BASE + i * 17 * 60_000, "value": float(i)}
+        for i in range(40)
+    ]
+    raw = spark.createDataFrame([(json.dumps(p),) for p in pts], ["value"])
+    valid, _ = prepare_points(decode_json_lines(raw))
+    lake, catalog, m_dir, h_dir, d_dir = (
+        str(tmp_path / d) for d in ("lake", "cat", "r1m", "r1h", "r1d")
+    )
+    # a real committed lake so the commit log exists
+    write_points_batch(valid, lake, catalog, batch_id=0, rollup_dir=m_dir)
+    # pin-less cascaded source: built WITHOUT lake_dir
+    cascade_rollup(spark, m_dir, h_dir, 3_600_000)
+    t0 = _time.monotonic()
+    with pytest.raises(ValueError, match="rebuild the source with lake_dir"):
+        cascade_rollup(spark, h_dir, d_dir, 86_400_000, lake_dir=lake)
+    assert _time.monotonic() - t0 < 5  # fail fast, not a settle-timeout hang
+
+
 def test_refresh_ladder_rebuilds_only_stale_rungs(spark, tmp_path):
     """refresh_ladder: current rungs are skipped, stale rungs rebuild
     (rung-from-rung where a fresher finer rung divides), the refreshed

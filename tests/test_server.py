@@ -308,6 +308,51 @@ def test_engine_ladder_routing(spark, tmp_path_factory):
         pytest.approx((0 + 1 + 2 + 3 + 4 + 5 + 1000) / 7)
 
 
+def test_engine_ladder_swap_race_retries_on_fine_path(spark, tmp_path_factory):
+    """ADVICE r7: a query that passes _pick_rung's coverage/currency checks
+    just before refresh_ladder's atomic swap can fail mid-read (old rung
+    files deleted).  Engine.query must catch the ladder-routed read
+    failure and retry once via the fine rollup/points path instead of
+    surfacing a request error.  Simulated by deleting the rung's parquet
+    data (keeping the marker, so routing still picks it) after the frame
+    is memoized."""
+    import glob
+    import os
+
+    from mycenae_spark.server import Engine
+    from mycenae_spark.streaming.rollup import cascade_rollup
+
+    d = tmp_path_factory.mktemp("ladderrace")
+    lake, catalog, roll, rung1h = (
+        str(d / n) for n in ("lake", "catalog", "rollup", "rollup_1h")
+    )
+    eng = Engine(spark, lake, catalog, rollup_dir=roll,
+                 ladder={3_600_000: rung1h})
+    pts = [{"metric": "race.s", "tags": {"ksid": "k1", "host": "h0"},
+            "timestamp": BASE_TS + i * 1_200_000, "value": float(i)}
+           for i in range(12)]
+    eng.put(pts)
+    cascade_rollup(spark, roll, rung1h, 3_600_000, lake_dir=lake)
+
+    body = {
+        "start": BASE_TS, "end": BASE_TS + 4 * 3_600_000,
+        "queries": [{"metric": "race.s", "aggregator": "sum",
+                     "downsample": "1h-avg"}],
+    }
+    out = eng.query(body)  # memoizes the rung frame; serves from the rung
+    want = {k: pytest.approx(v) for k, v in out[0]["dps"].items()}
+    assert eng._rung_frames  # routed + memoized
+
+    # the swap: old rung data vanishes; the marker survives so the
+    # coverage/currency checks still pass (checks-then-read race window)
+    for p in glob.glob(os.path.join(rung1h, "**", "*.parquet"),
+                       recursive=True):
+        os.remove(p)
+    out2 = eng.query(body)  # must retry on the fine rollup path
+    assert {k: v for k, v in out2[0]["dps"].items()} == want
+    assert not eng._rung_frames  # the stale memoized frame was dropped
+
+
 def test_tag_key_discovery_reads_catalog_not_lake(spark, tmp_path_factory):
     """_points()/suggest tag-key discovery must come from the #series-bounded
     catalog, never a full scan of the point lake's tags column (a per-request

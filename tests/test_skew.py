@@ -178,6 +178,91 @@ def test_semantic_dedup_hot_cluster_capped(spark):
     assert len(pairs) == 3
 
 
+def test_knn_graph_hot_cluster_capped(spark):
+    """knn_graph's valve (VERDICT r7 item 3): a degenerate centroid
+    attracting 90%+ of the corpus must NOT go quadratic — its members drop
+    from the graph (no neighbor rows), while a small healthy cluster still
+    yields ranked neighbors.  Multi-probe keeps the same bound: the capped
+    candidate side means even blob members probing the healthy cluster
+    rank at most cap candidates."""
+    from mycenae_spark.functions.similarity import knn_graph
+
+    n = 300
+    blob = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array([F.lit(0.25)] * 8).alias("embedding"),
+    )
+    healthy = spark.range(4).select(
+        (F.col("id") + 10_000).alias("vec_id"),
+        F.array(
+            *[F.lit(-1.0)] * 4,
+            *[(F.lit(0.9) + F.col("id") * 0.01).cast("double")] * 4,
+        ).alias("embedding"),
+    )
+    corpus = blob.unionByName(healthy)
+    cents = corpus.filter(F.col("vec_id").isin(0, 10_000))
+    for probes in (1, 2):
+        rows = knn_graph(
+            corpus, cents, k=3, probes=probes, max_cluster_size=64
+        ).collect()
+        qids = {r["vec_id"] for r in rows}
+        nids = {r["n_id"] for r in rows}
+        assert nids <= {10_000, 10_001, 10_002, 10_003}, probes
+        if probes == 1:
+            # blob members' own cluster is dropped → they get no rows
+            assert qids == {10_000, 10_001, 10_002, 10_003}
+        # healthy members get their full k=3 in-cluster ranking
+        per_q = {q: sum(1 for r in rows if r["vec_id"] == q) for q in qids}
+        for q in (10_000, 10_001, 10_002, 10_003):
+            assert per_q[q] == 3, (probes, q)
+
+
+def test_knn_graph_multiprobe_superset_recall(spark):
+    """Multi-probe's point, proven on a boundary case: a vector whose true
+    nearest neighbor sits just across the centroid boundary finds it with
+    probes=2 but not probes=1."""
+    from mycenae_spark.functions.similarity import knn_graph
+
+    # two clusters along orthogonal axes; cluster A holds fewer than k
+    # members, so the bridge vector's 3rd-nearest neighbor truly lives in
+    # cluster B — reachable only by probing its 2nd-nearest centroid
+    mk = lambda base, axis, n: spark.range(n).select(
+        (F.col("id") + base).alias("vec_id"),
+        F.array(
+            *[
+                (F.lit(1.0) + F.col("id") * 0.01).cast("double")
+                if j == axis else F.lit(0.0)
+                for j in range(4)
+            ]
+        ).alias("embedding"),
+    )
+    a, b = mk(0, 0, 2), mk(100, 1, 5)
+    bridge = spark.range(1).select(
+        F.lit(50).alias("vec_id"),
+        F.array(
+            F.lit(1.0), F.lit(0.95), F.lit(0.0), F.lit(0.0)
+        ).alias("embedding"),
+    )
+    corpus = a.unionByName(b).unionByName(bridge)
+    cents = corpus.filter(F.col("vec_id").isin(0, 100))
+    single = {
+        (r["vec_id"], r["n_id"])
+        for r in knn_graph(corpus, cents, k=3, probes=1).collect()
+    }
+    multi = {
+        (r["vec_id"], r["n_id"])
+        for r in knn_graph(corpus, cents, k=3, probes=2).collect()
+    }
+    # probes=2 sees strictly more candidates for the bridge vector
+    bridge_single = {n for q, n in single if q == 50}
+    bridge_multi = {n for q, n in multi if q == 50}
+    assert bridge_single == {0, 1}  # confined to its own (small) cluster
+    # 3rd neighbor found across the boundary (all B members are cosine-
+    # equidistant in exact math, so any of them may win the float tie)
+    assert {0, 1} < bridge_multi and len(bridge_multi) == 3
+    assert bridge_multi - {0, 1} <= {100, 101, 102, 103, 104}
+
+
 def test_semantic_pairs_composes_with_trained_centroids(spark):
     """The docstring's claim that kmeans_refine composes in front of
     semantic_pairs, proven: refined centroids produce a valid pair set
