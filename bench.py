@@ -94,6 +94,9 @@ HEADLINE = [
     "knn_graph_topk",
     "dedup_semantic_clusters",
     "agg_kmv_distinct",
+    # round 8
+    "knn_graph_multiprobe",
+    "text_langid_mixture",
 ]
 
 
@@ -229,12 +232,42 @@ def main() -> None:
 
     # Lang-id quality: accuracy = confusion-matrix diagonal mass.  Both
     # classifiers are judged by value elsewhere; the extra makes the
-    # heuristic-vs-trained trade visible per scale factor.
-    cm = QUERIES["text_langid_trigram"](spark, sf_dir).collect()
-    n_all = sum(r["n"] for r in cm)
-    langid_acc = round(
-        sum(r["n"] for r in cm if r["lang"] == r["pred"]) / max(n_all, 1), 3
-    )
+    # heuristic-vs-trained trade visible per scale factor, and the
+    # trigram-vs-mixture delta is REPORTED (it measures ~flat on this
+    # shared-letter-distribution synthetic corpus — see the docstring).
+    def _acc(name):
+        cm = QUERIES[name](spark, sf_dir).collect()
+        n_all = sum(r["n"] for r in cm)
+        return round(
+            sum(r["n"] for r in cm if r["lang"] == r["pred"]) / max(n_all, 1),
+            3,
+        )
+
+    langid_acc = _acc("text_langid_trigram")
+    langid_mix_acc = _acc("text_langid_mixture")
+
+    # kNN-graph quality (VERDICT r7 item 5): recall@3 of the clustered
+    # single-probe and top-2-multiprobe graphs against the exact graph,
+    # measured on a 1-in-10 query sample (the graph itself covers every
+    # vector; the sample keeps the brute-force reference bounded).
+    from mycenae_spark.functions.similarity import brute_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    sample = emb.filter(F.col("vec_id") % 10 == 0)
+    exact_graph = {
+        (r["q_id"], r["n_id"])
+        for r in brute_topk(emb, sample, 3, score_rounder=_r6).collect()
+    }
+    knn_recalls = {}
+    for name in ("knn_graph_topk", "knn_graph_multiprobe"):
+        got = {
+            (r["vec_id"], r["n_id"])
+            for r in QUERIES[name](spark, sf_dir).collect()
+            if r["vec_id"] % 10 == 0
+        }
+        knn_recalls[name] = round(
+            len(exact_graph & got) / max(len(exact_graph), 1), 3
+        )
 
     print(
         json.dumps(
@@ -258,8 +291,17 @@ def main() -> None:
                     "ann_ivf_kmeans_recall_at3_by_nprobe": curve,
                     "ann_ivfpq_recall_at3_by_nprobe": ivfpq_curve,
                     "langid_trigram_accuracy": langid_acc,
+                    "langid_mixture_accuracy": langid_mix_acc,
+                    "knn_graph_recall_at3": knn_recalls["knn_graph_topk"],
+                    "knn_graph_multiprobe_recall_at3": knn_recalls[
+                        "knn_graph_multiprobe"
+                    ],
                     "bench_reps": reps,
                     "total_first_run_s": total_first,
+                    # per-query first-run map (VERDICT r7 item 8): the
+                    # best-of-N mask never hides a cold-path regression —
+                    # future rounds diff this against the quoted map.
+                    "queries_first_run": first_run,
                 },
             }
         )

@@ -262,7 +262,13 @@ def ivf_assign(
     (Not literally shuffle-free: an argmax over a keyed grid needs one
     bounded exchange in any engine; this is the cheapest shape of it.)
     Tie-break on the rounded score is smallest c_id, matching the oracles'
-    ``row_number() ORDER BY cos DESC, c_id``."""
+    ``row_number() ORDER BY cos DESC, c_id``.
+
+    Consumers that SELF-JOIN the assignment (semantic_pairs, knn_graph)
+    reference this subtree twice in the static plan, but AQE's exchange
+    reuse computes it once at runtime (ReusedExchange on the second side
+    — plan-asserted in tests/test_plans.py), so no checkpoint of the
+    N-row frame is needed."""
     rounder = score_rounder or (lambda c: c)
     en = with_norm(corpus, emb_col)
     cent = with_norm(centroids, emb_col).select(

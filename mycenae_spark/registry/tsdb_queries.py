@@ -1719,6 +1719,127 @@ def rollup_ladder_roundtrip(spark, sf_dir):
 
 
 @q(
+    "rollup_kmv_roundtrip",
+    """
+SELECT * FROM (VALUES
+  ('n_1m_states', CAST(144 AS BIGINT)),
+  ('ladder_vs_direct_1h', CAST(1 AS BIGINT)),
+  ('ladder_vs_direct_1d', CAST(1 AS BIGINT)),
+  ('day0_exact_seven', CAST(1 AS BIGINT)),
+  ('day1_sketch_estimates', CAST(1 AS BIGINT)),
+  ('route_2h_picks_1h_rung', CAST(1 AS BIGINT))
+) AS t(what, n)
+""",
+)
+def rollup_kmv_roundtrip(spark, sf_dir):
+    """KMV DISTINCT-COUNT partials as a rollup lake (VERDICT r7 item 6 —
+    the mergeability contract agg_kmv_distinct documented, built):
+    count-distinct is the one downsample the algebraic partials cannot
+    answer, and the bottom-k sketch cascades exactly like sum-of-sums
+    because the k smallest hashes of a coarse bucket are always among the
+    k smallest of its fine buckets (union + re-take-k).  2 days of points
+    at 20-min spacing, values i%7 on day 0 (7 distinct) and i on day 1
+    (72 distinct), written as TWO interleaved batches so micro-batch
+    bucket splits are merged, not assumed.  Judged flags:
+
+    * 144 one-minute sketch states (one per point — under-k exact),
+    * the cascaded 1h rung reads bucket-for-bucket IDENTICAL (count AND
+      estimate) to re-merging the 1m states at read time,
+    * the 1d rung — cascaded FROM THE 1H RUNG, so associativity itself
+      is under test — matches the direct 1m re-merge the same way,
+    * day 0's count is EXACT (7 distinct < k=16: the sketch holds every
+      hash, estimate == 7.0),
+    * day 1 overflows the sketch (n_kmv == k) and estimates 72 within
+      the KMV error envelope (±50% at k=16 — the md5-determined value is
+      fixed, the flag just keeps the oracle scale-free),
+    * ladder routing serves a 2h distinct-count from the 1h rung.
+
+    At 100 TB this makes a year-long `1d-count-distinct` read #series ×
+    365 sketch rows (k hashes each) instead of re-scanning raw points.
+    Constant oracle; collected so the frame outlives the temp dir.
+    ``sf_dir`` unused — input synthesized, scale-invariant."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from mycenae_spark.streaming.ingest import decode_json_lines, prepare_points
+    from mycenae_spark.streaming.rollup import (
+        cascade_kmv,
+        ladder_rung,
+        read_kmv_distinct,
+        read_kmv_ladder,
+        write_kmv_batch,
+    )
+
+    BASE = 1704067200000  # 2024-01-01T00:00Z, day-aligned
+    def mk(idxs):
+        rows = [
+            (_json.dumps({
+                "metric": "kmv.m",
+                "tags": {"ksid": "k1", "host": "h0"},
+                "timestamp": BASE + i * 20 * 60_000,
+                "value": float(i % 7 if i < 72 else i),
+            }),)
+            for i in idxs
+        ]
+        valid, _ = prepare_points(
+            decode_json_lines(spark.createDataFrame(rows, ["value"]))
+        )
+        return valid
+
+    base = tempfile.mkdtemp(prefix="kmv_rt_")
+    try:
+        m_dir, h_dir, d_dir = (f"{base}/k{s}" for s in ("1m", "1h", "1d"))
+        # two interleaved batches: every 1h bucket spans both appends
+        write_kmv_batch(mk(range(0, 144, 2)), m_dir, 60_000)
+        write_kmv_batch(mk(range(1, 144, 2)), m_dir, 60_000)
+        cascade_kmv(spark, m_dir, h_dir, HOUR_MS)
+        cascade_kmv(spark, h_dir, d_dir, DAY_MS)  # rung-from-rung
+
+        n_m = spark.read.parquet(m_dir).count()
+
+        key = lambda r: (r["ksid"], r["tsid"], r["bucket_ms"])
+        val = lambda r: (r["n_kmv"], round(r["value"], 9))
+        ladder_ok = {}
+        for rung_dir, iv in ((h_dir, HOUR_MS), (d_dir, DAY_MS)):
+            direct = {key(r): val(r) for r in read_kmv_distinct(
+                spark, m_dir, interval_ms=iv).collect()}
+            rung = {key(r): val(r) for r in read_kmv_distinct(
+                spark, rung_dir).collect()}
+            ladder_ok[iv] = 1 if rung == direct and rung else 0
+
+        day = {r["bucket_ms"]: (r["n_kmv"], r["value"])
+               for r in read_kmv_distinct(spark, d_dir).collect()}
+        d0_n, d0_v = day.get(BASE, (0, 0.0))
+        day0_ok = 1 if d0_n == 7 and abs(d0_v - 7.0) < 1e-9 else 0
+        d1_n, d1_v = day.get(BASE + DAY_MS, (0, 0.0))
+        day1_ok = 1 if d1_n == 16 and 36.0 < d1_v < 108.0 else 0
+
+        rungs = {60_000: m_dir, HOUR_MS: h_dir, DAY_MS: d_dir}
+        route_ok = 1 if (
+            ladder_rung(rungs, 2 * HOUR_MS) == (HOUR_MS, h_dir)
+            and read_kmv_ladder(spark, rungs, 2 * HOUR_MS).count() == 24
+        ) else 0
+
+        out = spark.createDataFrame(
+            [
+                ("n_1m_states", n_m),
+                ("ladder_vs_direct_1h", ladder_ok[HOUR_MS]),
+                ("ladder_vs_direct_1d", ladder_ok[DAY_MS]),
+                ("day0_exact_seven", day0_ok),
+                ("day1_sketch_estimates", day1_ok),
+                ("route_2h_picks_1h_rung", route_ok),
+            ],
+            "what string, n long",
+        )
+        rows_out = out.collect()
+        schema = out.schema
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows_out, schema)
+
+
+@q(
     "stream_dedup_roundtrip",
     """
 SELECT * FROM (VALUES

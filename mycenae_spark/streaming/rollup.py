@@ -692,6 +692,177 @@ def read_rollup_percentile(
     return hit.select(*series_cols, "bucket_ms", value.alias("value"))
 
 
+# --- KMV distinct-count partials ------------------------------------------
+#
+# Distinct counts are NOT recoverable from the sum/count/min/max partials
+# (read_rollup refuses them), but a K-minimum-values sketch (Bar-Yossef et
+# al. 2002 — the registry's agg_kmv_distinct, made a lake) is mergeable the
+# same way the algebraic partials are: the k smallest distinct hashes of a
+# coarse bucket are always among the k smallest of its fine buckets, so
+# union + re-take-k cascades EXACTLY like sum-of-sums.  That makes
+# count-distinct downsamples routable onto rollup rungs: a year-long
+# `1d-count-distinct` reads #series × 365 sketch rows, never the points.
+
+#: Sketch width: estimate stderr ≈ 1/√(k−2) ≈ 26% at 16; groups with fewer
+#: than k distinct keys are EXACT.  Matches agg_kmv_distinct's judged k.
+KMV_K = 16
+
+
+def kmv_hash(col) -> "F.Column":
+    """32-bit md5-prefix hash — agg_kmv_distinct's convention: deterministic
+    in any engine (no seed, no platform hashing), uniform on [0, 2^32)."""
+    return F.conv(
+        F.substring(F.md5(col.cast("string")), 1, 8), 16, 10
+    ).cast("long")
+
+
+def kmv_batch(
+    valid: DataFrame,
+    interval_ms: int,
+    k: int = KMV_K,
+    key_col: str = "value",
+    series_cols: list[str] | None = None,
+) -> DataFrame:
+    """One micro-batch → per-(series, bucket) KMV states: ``p_kmv`` is the
+    sorted array of the ≤ k smallest distinct hashes of ``key_col``.
+
+    Scale shape mirrors the algebraic partials: one distinct over
+    (series, bucket, hash) then a per-group bottom-k (window rank — the
+    partition is a (series, bucket) group, never global), state ≤ k values
+    per bucket.  Batches splitting a bucket are fine by mergeability."""
+    from pyspark.sql import Window
+
+    series_cols = series_cols or ["ksid", "tsid", "metric"]
+    ts_us = F.unix_micros(F.col("ts"))
+    base = valid.withColumn("bucket_ms", bucket_ms_long(ts_us, interval_ms))
+    h = base.select(
+        *series_cols, "date", "bucket_ms",
+        kmv_hash(F.col(key_col)).alias("hv"),
+    ).distinct()
+    w = Window.partitionBy(*series_cols, "date", "bucket_ms").orderBy("hv")
+    return (
+        h.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .groupBy(*series_cols, "date", "bucket_ms")
+        .agg(F.sort_array(F.collect_list("hv")).alias("p_kmv"))
+    )
+
+
+def write_kmv_batch(
+    valid: DataFrame,
+    kmv_dir: str,
+    interval_ms: int,
+    k: int = KMV_K,
+    key_col: str = "value",
+    series_cols: list[str] | None = None,
+) -> None:
+    """Append a batch's KMV states to the sketch lake (same (ksid, date)
+    partitioning as the point/rollup lakes → same pruning)."""
+    (
+        kmv_batch(valid, interval_ms, k, key_col, series_cols)
+        .write.mode("append")
+        .partitionBy("ksid", "date")
+        .parquet(kmv_dir)
+    )
+
+
+def _kmv_retake(
+    df: DataFrame, k: int, group_cols: list[str]
+) -> DataFrame:
+    """Union + re-take-k: explode states, distinct hashes per group, keep
+    the k smallest, re-collect the sorted array.  The one KMV merge rule,
+    shared by cascade and read."""
+    from pyspark.sql import Window
+
+    ex = df.select(
+        *group_cols, F.explode("p_kmv").alias("hv")
+    ).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("hv")
+    return (
+        ex.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .groupBy(*group_cols)
+        .agg(F.sort_array(F.collect_list("hv")).alias("p_kmv"))
+    )
+
+
+def cascade_kmv(
+    spark,
+    src_dir: str,
+    dst_dir: str,
+    dst_interval_ms: int,
+    k: int = KMV_K,
+    series_cols: list[str] | None = None,
+) -> None:
+    """Materialize a coarser KMV rung from a finer one (the sketch twin of
+    ``cascade_rollup``): re-bucket, union + re-take-k.  Exact by KMV
+    mergeability — cascading sketches equals sketching raw points at the
+    coarse interval.  ``date`` stays in the group key like the algebraic
+    cascade (a day-crossing coarse bucket keeps one state per date; the
+    read path's re-merge makes that invisible).  Atomic rename publish."""
+    import os
+    import uuid
+
+    series_cols = series_cols or ["ksid", "tsid", "metric"]
+    df = spark.read.parquet(src_dir).withColumn(
+        "bucket_ms",
+        F.col("bucket_ms") - (F.col("bucket_ms") % F.lit(dst_interval_ms)),
+    )
+    merged = _kmv_retake(df, k, [*series_cols, "date", "bucket_ms"])
+    base = os.path.dirname(dst_dir.rstrip("/")) or "."
+    tmp = os.path.join(base, f"_kmv_cascade_{uuid.uuid4().hex[:8]}")
+    merged.write.mode("overwrite").partitionBy("ksid", "date").parquet(tmp)
+    os.rename(tmp, dst_dir)
+
+
+def read_kmv_distinct(
+    spark,
+    kmv_dir: str,
+    k: int = KMV_K,
+    series_cols: list[str] | None = None,
+    interval_ms: int | None = None,
+) -> DataFrame:
+    """Merged distinct-count estimate per (series, bucket): union the
+    states (micro-batch splits, dates, and coarser buckets via
+    ``interval_ms``), re-take the bottom-k, estimate (k−1)/u_(k) with
+    u_(k) the k-th smallest hash normalized to [0,1) — EXACT (the sketch
+    holds every hash) when a bucket has fewer than k distinct keys.
+    Returns (series, bucket_ms, n_kmv, value)."""
+    series_cols = series_cols or ["ksid", "tsid"]
+    df = spark.read.parquet(kmv_dir)
+    if interval_ms is not None:
+        df = df.withColumn(
+            "bucket_ms",
+            F.col("bucket_ms") - (F.col("bucket_ms") % F.lit(interval_ms)),
+        )
+    r = _kmv_retake(df, k, [*series_cols, "bucket_ms"]).select(
+        *series_cols, "bucket_ms",
+        F.size("p_kmv").alias("n_kmv"),
+        F.element_at("p_kmv", -1).alias("_uk"),
+    )
+    est = F.when(F.col("n_kmv") < k, F.col("n_kmv").cast("double")).otherwise(
+        (F.col("n_kmv") - 1) / (F.col("_uk") / F.lit(4294967296.0))
+    )
+    return r.select(*series_cols, "bucket_ms", "n_kmv", est.alias("value"))
+
+
+def read_kmv_ladder(
+    spark,
+    rungs: dict[int, str],
+    interval_ms: int,
+    k: int = KMV_K,
+    series_cols: list[str] | None = None,
+) -> DataFrame:
+    """`read_kmv_distinct` through the ladder: pick the coarsest exact rung
+    (same routing rule as the algebraic ladder) and re-merge the residual
+    at read time — a count-distinct downsample never rescans points."""
+    _, rung_dir = ladder_rung(rungs, interval_ms)
+    return read_kmv_distinct(
+        spark, rung_dir, k=k, series_cols=series_cols,
+        interval_ms=interval_ms,
+    )
+
+
 def read_rollup_series(spark, rollup_dir: str, df: DataFrame | None = None) -> DataFrame:
     """Rollup partials in the planner's column convention: ``metric``,
     ``tag_<k>`` columns (expanded from the carried tags map), ``bucket_ms``,

@@ -249,6 +249,20 @@ def test_semantic_dedup_broadcasts_centroids(spark):
         assert "CartesianProduct" not in plan, name
 
 
+def test_semantic_assign_subtree_deduped_at_runtime(spark):
+    """VERDICT r7 item 4: the in-cluster self-join references the assign
+    subtree on BOTH sides — it must be computed once, not twice.  The two
+    sides' exchanges are identical, so AQE's exchange reuse replaces one
+    with a ReusedExchange at runtime; asserted on the FINAL adaptive plan
+    (executing first — the static plan still shows both subtrees)."""
+    for name in ("dedup_semantic", "knn_graph_topk", "knn_graph_multiprobe"):
+        df = QUERIES[name](spark, SF_DIR)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan, name
+        assert "ReusedExchange" in plan, name
+
+
 def test_repetition_is_shuffle_free(spark):
     """text_repetition's scale contract: shingle build, distinct counts,
     and the bounded per-token count all stay per-row higher-order

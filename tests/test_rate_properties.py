@@ -133,3 +133,48 @@ def test_cascade_equals_direct_coarse_rollup(spark, tmp_path_factory, data,
     direct = canon(rollup_batch(valid, coarse_ms))
     cascaded = canon(spark.read.parquet(rung_dir))
     assert cascaded == direct
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=points_strategy,
+       coarse_ms=st.sampled_from([300_000, 3_600_000, 86_400_000]))
+def test_kmv_cascade_equals_direct_sketch(spark, tmp_path_factory, data,
+                                          coarse_ms):
+    """The KMV ladder's ground-truth invariant (the sketch twin of the
+    algebraic cascade property): cascading 1m KMV states to a coarser
+    grid is EXACTLY sketching the raw points at that grid — the k
+    smallest hashes of a coarse bucket are always among the k smallest
+    of its fine buckets, so union + re-take-k loses nothing.  Arbitrary
+    point sets: duplicate values, bucket splits, multiple series."""
+    import json as _json
+
+    from mycenae_spark.streaming.ingest import decode_json_lines, prepare_points
+    from mycenae_spark.streaming.rollup import cascade_kmv, kmv_batch
+
+    BASE = 1704067200000
+    rows = [
+        (_json.dumps({
+            "metric": "kprop.m", "tags": {"ksid": "k1", "h": h},
+            "timestamp": BASE + off * 1000, "value": v,
+        }),)
+        for off, v, h in data
+    ]
+    valid, _ = prepare_points(
+        decode_json_lines(spark.createDataFrame(rows, ["value"]))
+    )
+    valid = valid.localCheckpoint(eager=True)
+
+    d = tmp_path_factory.mktemp("kmv_prop")
+    fine_dir, rung_dir = str(d / "fine"), str(d / "rung")
+    kmv_batch(valid, 60_000, k=4).write.mode("overwrite").partitionBy(
+        "ksid", "date").parquet(fine_dir)
+    cascade_kmv(spark, fine_dir, rung_dir, coarse_ms, k=4)
+
+    canon = lambda df: {
+        (r["tsid"], r["date"], r["bucket_ms"]): tuple(r["p_kmv"])
+        for r in df.collect()
+    }
+    direct = canon(kmv_batch(valid, coarse_ms, k=4))
+    cascaded = canon(spark.read.parquet(rung_dir))
+    assert cascaded == direct
