@@ -7,7 +7,8 @@ prep flow — every stage a DataFrame program, so the whole pipeline is one
 lazy plan until the final actions:
 
     quality filter  →  repetition filter  →  exact dedup
-        →  semantic dedup (SemDeDup)  →  benchmark decontamination
+        →  semantic dedup (SemDeDup, keep-best-per-group)
+        →  benchmark decontamination
         →  deterministic split  →  mixing weights  →  sequence packing
 
 Run order matters the way it does in production: cheap scan-bound filters
@@ -59,11 +60,30 @@ def main() -> None:
     docs = docs.join(keep.select("doc_id"), "doc_id")
     n_exact = docs.count()
 
-    # 4. Semantic dedup: embeddings keyed by the same id domain; drop the
-    # larger id of every in-cluster pair above the duplication threshold.
+    # 4. Semantic dedup, keep-BEST per duplicate group (r8 — the CCNet-
+    # style argmax upgrade over keep-min-id): connected components over
+    # the in-cluster pairs label each duplicate group; within a group the
+    # longest document survives (id tie-break), the rest drop.
+    from pyspark.sql import Window
+
+    from mycenae_spark.functions.dedup import connected_components
+
     cents = emb.filter(F.col("vec_id") % 100 == 0)
     pairs = semantic_pairs(emb, cents, threshold=0.45)
-    drop = pairs.select(F.col("vec_b").alias("doc_id")).distinct()
+    labels = connected_components(pairs, a_col="vec_a", b_col="vec_b").select(
+        F.col("doc_id").alias("vec_id"), "cluster_id"
+    )
+    sized = labels.join(
+        docs.select(F.col("doc_id").alias("vec_id"), "n_chars"), "vec_id"
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("cluster_id").orderBy(F.desc("n_chars"), "vec_id")
+    )
+    drop = (
+        sized.withColumn("_rk", rk)
+        .filter(F.col("_rk") > 1)
+        .select(F.col("vec_id").alias("doc_id"))
+    )
     docs = docs.join(drop, "doc_id", "left_anti")
     n_sem = docs.count()
 
@@ -87,8 +107,6 @@ def main() -> None:
         .groupBy("lang")
         .agg(F.sum(token_count_ws("text")).alias("n_tokens"))
     )
-    from pyspark.sql import Window
-
     w = Window.partitionBy()
     p = F.col("n_tokens") / F.sum("n_tokens").over(w)
     pa = F.pow(p, 0.3)
