@@ -79,6 +79,17 @@ class Engine:
         #: naturally.
         self._rung_frames: dict = {}
         self._tag_keys_cache: list[str] | None = None
+        #: Shaped-response cache — the reference's memcached tier, scoped
+        #: to a COMMIT-LOG GENERATION: keys are (canonical request JSON,
+        #: log head seq at serve time).  Every write path (points, rollup,
+        #: catalog rewrite, meta delete) appends a log entry, so any
+        #: write — from THIS process or another — advances the head and
+        #: the next read misses into a fresh plan: no invalidation calls,
+        #: no staleness window.  Only fully time-pinned requests cache
+        #: (integer start AND end): relative times ("1h-ago" / implicit
+        #: end=now) resolve against the wall clock, so their results are
+        #: not a function of (request, generation).  Bounded FIFO.
+        self._result_cache: dict = {}
         from mycenae_spark.keyspace import KeyspaceManager
 
         self.keyspaces = KeyspaceManager(lake_dir)
@@ -218,6 +229,19 @@ class Engine:
 
     def query(self, body: dict) -> list:
         now_ms = int(time.time() * 1000)
+        cache_key = None
+        if isinstance(body.get("start"), int) and isinstance(
+            body.get("end"), int
+        ):
+            from mycenae_spark.streaming import commitlog
+
+            cache_key = (
+                json.dumps(body, sort_keys=True),
+                commitlog.latest_seq(self.lake_dir),
+            )
+            hit = self._result_cache.get(cache_key)
+            if hit is not None:
+                return hit
         out = []
         pts = self._points()
         rollup = None
@@ -277,6 +301,10 @@ class Engine:
                     nan_fill=nan_fill,
                 )
             out.extend(rows)
+        if cache_key is not None:
+            self._result_cache[cache_key] = out
+            while len(self._result_cache) > 256:  # bounded FIFO
+                self._result_cache.pop(next(iter(self._result_cache)))
         return out
 
     def _pick_rung(self, q, fine_rollup):

@@ -348,9 +348,59 @@ def test_engine_ladder_swap_race_retries_on_fine_path(spark, tmp_path_factory):
     for p in glob.glob(os.path.join(rung1h, "**", "*.parquet"),
                        recursive=True):
         os.remove(p)
+    # drop the generation-scoped RESULT cache so the re-issued request
+    # actually replans (a cache hit here would be CORRECT — same log
+    # generation, a rung refresh never changes answers — but this test
+    # exists to drive the ladder-read retry path, not the cache)
+    eng._result_cache.clear()
     out2 = eng.query(body)  # must retry on the fine rollup path
     assert {k: v for k, v in out2[0]["dps"].items()} == want
     assert not eng._rung_frames  # the stale memoized frame was dropped
+
+
+def test_query_result_cache_generation_scoped(spark, tmp_path_factory,
+                                              monkeypatch):
+    """The memcached tier: a fully time-pinned query's shaped response is
+    cached per commit-log generation.  Proven behaviorally: (1) a repeat
+    query answers WITHOUT re-planning (the planner is broken between the
+    two calls and the second still succeeds, byte-identical); (2) ANY
+    write advances the log head, so the next query misses into a fresh
+    plan and sees the new point; (3) relative-time requests bypass the
+    cache entirely — their answers depend on the wall clock, not only on
+    (request, generation)."""
+    import mycenae_spark.server as srv
+    from mycenae_spark.server import Engine
+
+    d = tmp_path_factory.mktemp("qcache")
+    eng = Engine(spark, str(d / "lake"), str(d / "catalog"))
+    eng.put([{"metric": "qc.m", "tags": {"ksid": "k1", "host": "h0"},
+              "timestamp": BASE_TS + i * 60_000, "value": float(i)}
+             for i in range(3)])
+    body = {
+        "start": BASE_TS, "end": BASE_TS + 600_000,
+        "queries": [{"metric": "qc.m", "aggregator": "sum"}],
+    }
+    first = eng.query(body)
+    assert len(eng._result_cache) == 1
+
+    real_plan = srv.plan
+    def broken(*a, **k):
+        raise AssertionError("planner must not run on a cache hit")
+    monkeypatch.setattr(srv, "plan", broken)
+    assert eng.query(body) == first  # served from cache, planner untouched
+
+    monkeypatch.setattr(srv, "plan", real_plan)
+    eng.put([{"metric": "qc.m", "tags": {"ksid": "k1", "host": "h0"},
+              "timestamp": BASE_TS + 1, "value": 100.0}])
+    fresh = eng.query(body)  # head advanced → miss → replan
+    assert fresh != first
+    assert sum(v for v in fresh[0]["dps"].values()) == pytest.approx(103.0)
+
+    n_before = len(eng._result_cache)
+    rel = dict(body, start="1h-ago")
+    del rel["end"]
+    eng.query(rel)
+    assert len(eng._result_cache) == n_before  # relative time: never cached
 
 
 def test_tag_key_discovery_reads_catalog_not_lake(spark, tmp_path_factory):
