@@ -713,6 +713,55 @@ def _cent0(spark, sf_dir):
     )
 
 
+#: Hot-cluster valve width, shared by every semantic-family engine call
+#: site AND the oracle fragments below — ONE constant, so the engine/
+#: oracle cap can never drift apart again (the ADVICE r7 bug class).
+_SEM_CAP = 512
+
+#: Shared oracle fragments (the _CAPPED_BANDS_SQL convention): nearest-
+#: centroid assignment, and the hot-cluster-capped view of an ``assign``
+#: CTE.  Used by dedup_semantic / dedup_semantic_clusters /
+#: dedup_keep_best / knn_graph_topk (assign + capped) and
+#: knn_graph_multiprobe (capped only — its assign derives from the
+#: multi-probe ``scoredass``).
+_ASSIGN_RN1_SQL = f"""assign AS (
+  SELECT vec_id, c_id FROM (
+    SELECT a.vec_id, c.c_id,
+           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+             round6({_cos_sql_pair('a.embedding', 'c.c_emb')}) DESC, c.c_id) AS rn
+    FROM embeddings a CROSS JOIN cent c
+  ) WHERE rn = 1
+)"""
+
+_CAPPED_SQL = f"""capped AS (
+  SELECT vec_id, c_id FROM (
+    SELECT *, count(*) OVER (PARTITION BY c_id) AS csz FROM assign
+  ) WHERE csz <= {_SEM_CAP}
+)"""
+
+_ASSIGN_CAPPED_SQL = _ASSIGN_RN1_SQL + ",\n" + _CAPPED_SQL
+
+
+def _semantic_labels(spark, sf_dir):
+    """Shared semantic-duplicate component labels — the
+    pairs → connected-components → (vec_id, cluster_id) pipeline behind
+    dedup_semantic_clusters AND dedup_keep_best (one implementation, two
+    judged products)."""
+    from mycenae_spark.functions.dedup import connected_components
+    from mycenae_spark.functions.similarity import semantic_pairs
+
+    pairs = semantic_pairs(
+        t(spark, sf_dir, "embeddings"),
+        _cent0(spark, sf_dir).withColumnRenamed("c_id", "vec_id"),
+        threshold=0.35,
+        max_cluster_size=_SEM_CAP,
+        score_rounder=r6,
+    )
+    return connected_components(pairs, a_col="vec_a", b_col="vec_b").select(
+        F.col("doc_id").alias("vec_id"), "cluster_id"
+    )
+
+
 @q("ann_ivf_topk", f"WITH cent AS ({_CENT0_SQL}), {_ivf_search_sql_tail()}")
 def ann_ivf_topk(spark, sf_dir):
     """IVF-style ANN with multi-probe: the 100 TB scale path for similarity
@@ -822,19 +871,7 @@ def ann_ivf_kmeans2_topk(spark, sf_dir):
     "dedup_semantic",
     f"""
 WITH cent AS ({{_CENT0_SQL}}),
-assign AS (
-  SELECT vec_id, c_id FROM (
-    SELECT a.vec_id, c.c_id,
-           row_number() OVER (PARTITION BY a.vec_id ORDER BY
-             round6({{_ASSIGN_COS}}) DESC, c.c_id) AS rn
-    FROM embeddings a CROSS JOIN cent c
-  ) WHERE rn = 1
-),
-capped AS (
-  SELECT vec_id, c_id FROM (
-    SELECT *, count(*) OVER (PARTITION BY c_id) AS csz FROM assign
-  ) WHERE csz <= 512
-)
+{{_ASSIGN_CAPPED}}
 SELECT c_id, vec_a, vec_b, cos_r FROM (
   SELECT a.c_id, a.vec_id AS vec_a, b.vec_id AS vec_b,
          round6({{_PAIR_COS}}) AS cos_r
@@ -846,6 +883,8 @@ SELECT c_id, vec_a, vec_b, cos_r FROM (
         _CENT0_SQL=_CENT0_SQL,
         _ASSIGN_COS=_cos_sql_pair("a.embedding", "c.c_emb"),
         _PAIR_COS=_cos_sql_pair("ea.embedding", "eb.embedding"),
+        _ASSIGN_CAPPED=_ASSIGN_CAPPED_SQL,
+        _CAPPED=_CAPPED_SQL,
     ),
 )
 def dedup_semantic(spark, sf_dir):
@@ -881,7 +920,7 @@ def dedup_semantic(spark, sf_dir):
         t(spark, sf_dir, "embeddings"),
         _cent0(spark, sf_dir).withColumnRenamed("c_id", "vec_id"),
         threshold=0.35,
-        max_cluster_size=512,
+        max_cluster_size=_SEM_CAP,
         score_rounder=r6,
     )
 
@@ -891,19 +930,7 @@ def dedup_semantic(spark, sf_dir):
     "dedup_semantic_clusters",
     f"""
 WITH RECURSIVE cent AS ({{_CENT0_SQL}}),
-assign AS (
-  SELECT vec_id, c_id FROM (
-    SELECT a.vec_id, c.c_id,
-           row_number() OVER (PARTITION BY a.vec_id ORDER BY
-             round6({{_ASSIGN_COS}}) DESC, c.c_id) AS rn
-    FROM embeddings a CROSS JOIN cent c
-  ) WHERE rn = 1
-),
-capped AS (
-  SELECT vec_id, c_id FROM (
-    SELECT *, count(*) OVER (PARTITION BY c_id) AS csz FROM assign
-  ) WHERE csz <= 512
-),
+{{_ASSIGN_CAPPED}},
 pairs AS (
   SELECT vec_a, vec_b FROM (
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -926,6 +953,8 @@ FROM reach GROUP BY src
         _CENT0_SQL=_CENT0_SQL,
         _ASSIGN_COS=_cos_sql_pair("a.embedding", "c.c_emb"),
         _PAIR_COS=_cos_sql_pair("ea.embedding", "eb.embedding"),
+        _ASSIGN_CAPPED=_ASSIGN_CAPPED_SQL,
+        _CAPPED=_CAPPED_SQL,
     ),
 )
 def dedup_semantic_clusters(spark, sf_dir):
@@ -942,38 +971,14 @@ def dedup_semantic_clusters(spark, sf_dir):
     min-label propagation converges in O(component diameter) shuffles —
     near-dup components are shallow.  Bounded rounds, seeded variant
     available (functions/dedup.py::connected_components)."""
-    from mycenae_spark.functions.dedup import connected_components
-    from mycenae_spark.functions.similarity import semantic_pairs
-
-    pairs = semantic_pairs(
-        t(spark, sf_dir, "embeddings"),
-        _cent0(spark, sf_dir).withColumnRenamed("c_id", "vec_id"),
-        threshold=0.35,
-        max_cluster_size=512,
-        score_rounder=r6,
-    )
-    return connected_components(
-        pairs, a_col="vec_a", b_col="vec_b"
-    ).select(F.col("doc_id").alias("vec_id"), "cluster_id")
+    return _semantic_labels(spark, sf_dir)
 
 
 @q(
     "dedup_keep_best",
     f"""
 WITH RECURSIVE cent AS ({{_CENT0_SQL}}),
-assign AS (
-  SELECT vec_id, c_id FROM (
-    SELECT a.vec_id, c.c_id,
-           row_number() OVER (PARTITION BY a.vec_id ORDER BY
-             round6({{_ASSIGN_COS}}) DESC, c.c_id) AS rn
-    FROM embeddings a CROSS JOIN cent c
-  ) WHERE rn = 1
-),
-capped AS (
-  SELECT vec_id, c_id FROM (
-    SELECT *, count(*) OVER (PARTITION BY c_id) AS csz FROM assign
-  ) WHERE csz <= 512
-),
+{{_ASSIGN_CAPPED}},
 pairs AS (
   SELECT vec_a, vec_b FROM (
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -1005,6 +1010,8 @@ FROM (
         _CENT0_SQL=_CENT0_SQL,
         _ASSIGN_COS=_cos_sql_pair("a.embedding", "c.c_emb"),
         _PAIR_COS=_cos_sql_pair("ea.embedding", "eb.embedding"),
+        _ASSIGN_CAPPED=_ASSIGN_CAPPED_SQL,
+        _CAPPED=_CAPPED_SQL,
     ),
 )
 def dedup_keep_best(spark, sf_dir):
@@ -1024,19 +1031,7 @@ def dedup_keep_best(spark, sf_dir):
     component-sized (shallow near-dup clusters), never corpus-sized; the
     metadata join is doc-keyed and Catalyst picks broadcast vs hash by
     stats."""
-    from mycenae_spark.functions.dedup import connected_components
-    from mycenae_spark.functions.similarity import semantic_pairs
-
-    pairs = semantic_pairs(
-        t(spark, sf_dir, "embeddings"),
-        _cent0(spark, sf_dir).withColumnRenamed("c_id", "vec_id"),
-        threshold=0.35,
-        max_cluster_size=512,
-        score_rounder=r6,
-    )
-    labels = connected_components(pairs, a_col="vec_a", b_col="vec_b").select(
-        F.col("doc_id").alias("vec_id"), "cluster_id"
-    )
+    labels = _semantic_labels(spark, sf_dir)
     docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
     j = labels.join(docs, labels["vec_id"] == docs["doc_id"])
     w_n = Window.partitionBy("cluster_id")
@@ -1060,19 +1055,7 @@ def dedup_keep_best(spark, sf_dir):
     "knn_graph_topk",
     f"""
 WITH cent AS ({{_CENT0_SQL}}),
-assign AS (
-  SELECT vec_id, c_id FROM (
-    SELECT a.vec_id, c.c_id,
-           row_number() OVER (PARTITION BY a.vec_id ORDER BY
-             round6({{_ASSIGN_COS}}) DESC, c.c_id) AS rn
-    FROM embeddings a CROSS JOIN cent c
-  ) WHERE rn = 1
-),
-capped AS (
-  SELECT vec_id, c_id FROM (
-    SELECT *, count(*) OVER (PARTITION BY c_id) AS csz FROM assign
-  ) WHERE csz <= 512
-),
+{{_ASSIGN_CAPPED}},
 scored AS (
   SELECT a.vec_id, b.vec_id AS n_id,
          round6({{_PAIR_COS}}) AS cos_r
@@ -1090,6 +1073,8 @@ SELECT vec_id, n_id, rk, cos_r FROM (
         _CENT0_SQL=_CENT0_SQL,
         _ASSIGN_COS=_cos_sql_pair("a.embedding", "c.c_emb"),
         _PAIR_COS=_cos_sql_pair("ea.embedding", "eb.embedding"),
+        _ASSIGN_CAPPED=_ASSIGN_CAPPED_SQL,
+        _CAPPED=_CAPPED_SQL,
     ),
 )
 def knn_graph_topk(spark, sf_dir):
@@ -1119,7 +1104,7 @@ def knn_graph_topk(spark, sf_dir):
         _cent0(spark, sf_dir).withColumnRenamed("c_id", "vec_id"),
         k=3,
         probes=1,
-        max_cluster_size=512,
+        max_cluster_size=_SEM_CAP,
         score_rounder=r6,
     )
 
@@ -1136,11 +1121,7 @@ scoredass AS (
 ),
 assign AS (SELECT vec_id, c_id FROM scoredass WHERE rn = 1),
 probe AS (SELECT vec_id, c_id FROM scoredass WHERE rn <= 2),
-capped AS (
-  SELECT vec_id, c_id FROM (
-    SELECT *, count(*) OVER (PARTITION BY c_id) AS csz FROM assign
-  ) WHERE csz <= 512
-),
+{{_CAPPED}},
 scored AS (
   SELECT a.vec_id, b.vec_id AS n_id,
          round6({{_PAIR_COS}}) AS cos_r
@@ -1158,6 +1139,8 @@ SELECT vec_id, n_id, rk, cos_r FROM (
         _CENT0_SQL=_CENT0_SQL,
         _ASSIGN_COS=_cos_sql_pair("a.embedding", "c.c_emb"),
         _PAIR_COS=_cos_sql_pair("ea.embedding", "eb.embedding"),
+        _ASSIGN_CAPPED=_ASSIGN_CAPPED_SQL,
+        _CAPPED=_CAPPED_SQL,
     ),
 )
 def knn_graph_multiprobe(spark, sf_dir):
@@ -1179,7 +1162,7 @@ def knn_graph_multiprobe(spark, sf_dir):
         _cent0(spark, sf_dir).withColumnRenamed("c_id", "vec_id"),
         k=3,
         probes=2,
-        max_cluster_size=512,
+        max_cluster_size=_SEM_CAP,
         score_rounder=r6,
     )
 

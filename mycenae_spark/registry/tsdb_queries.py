@@ -1765,9 +1765,17 @@ def listener_roundtrip(spark, sf_dir):
         deadline = _time.time() + timeout
         while _time.time() < deadline:
             with listener.spool._lock:
-                if len(listener.spool._buf) >= n:
-                    return
+                got = len(listener.spool._buf)
+            if got >= n:
+                return
             _time.sleep(0.05)
+        # fail self-describingly: a silent partial spool would surface as
+        # an inexplicable red driver row that looks like an ingest bug
+        raise TimeoutError(
+            f"listener_roundtrip: spool buffered {got}/{n} lines within "
+            f"{timeout}s — datagram loss or listener-thread stall, not an "
+            "ingest defect"
+        )
 
     base = tempfile.mkdtemp(prefix="lis_rt_")
     try:

@@ -84,12 +84,31 @@ class Engine:
         #: log head seq at serve time).  Every write path (points, rollup,
         #: catalog rewrite, meta delete) appends a log entry, so any
         #: write — from THIS process or another — advances the head and
-        #: the next read misses into a fresh plan: no invalidation calls,
-        #: no staleness window.  Only fully time-pinned requests cache
-        #: (integer start AND end): relative times ("1h-ago" / implicit
-        #: end=now) resolve against the wall clock, so their results are
-        #: not a function of (request, generation).  Bounded FIFO.
+        #: the next read misses into a fresh plan: no invalidation calls.
+        #: THREE gates keep a cached answer a pure function of
+        #: (request, generation):
+        #:
+        #: * only fully time-pinned requests (integer start AND end) —
+        #:   relative times resolve against the wall clock;
+        #: * only when a checkpoint exists, so reads are LOG-GATED: a
+        #:   directory read can race write_points_batch's append-then-move
+        #:   commit order and momentarily miss a committed batch's files —
+        #:   transient uncached, but a cache would pin that torn answer
+        #:   for the whole generation;
+        #: * never when this request's reads degraded to a directory
+        #:   fallback (NoBaseline corner) — same torn-window reasoning.
+        #:
+        #: Bounded FIFO; lock-guarded (ThreadingHTTPServer handlers share
+        #: the engine).
         self._result_cache: dict = {}
+        import threading
+
+        self._result_cache_lock = threading.Lock()
+        #: Per-request-thread flag: did any read in the CURRENT query fall
+        #: back to a directory listing?  Thread-local so concurrent
+        #: requests cannot launder each other's degraded reads into the
+        #: cache.
+        self._degraded_reads = threading.local()
         from mycenae_spark.keyspace import KeyspaceManager
 
         self.keyspaces = KeyspaceManager(lake_dir)
@@ -189,6 +208,10 @@ class Engine:
             try:
                 return read_snapshot()
             except snap.NoBaseline:
+                # directory fallback: correct pre-log-gating semantics,
+                # but NOT a pure function of the log generation — mark
+                # the request so the result cache skips it
+                self._degraded_reads.flag = True
                 return self.spark.read.parquet(dir_path)
             except snap.TransientInFlight:
                 _time.sleep(0.05)
@@ -234,14 +257,18 @@ class Engine:
             body.get("end"), int
         ):
             from mycenae_spark.streaming import commitlog
+            from mycenae_spark.streaming import snapshot as snap
 
-            cache_key = (
-                json.dumps(body, sort_keys=True),
-                commitlog.latest_seq(self.lake_dir),
-            )
-            hit = self._result_cache.get(cache_key)
-            if hit is not None:
-                return hit
+            if snap.latest_checkpoint(self.lake_dir) is not None:
+                cache_key = (
+                    json.dumps(body, sort_keys=True),
+                    commitlog.latest_seq(self.lake_dir),
+                )
+                with self._result_cache_lock:
+                    hit = self._result_cache.get(cache_key)
+                if hit is not None:
+                    return hit
+        self._degraded_reads.flag = False
         out = []
         pts = self._points()
         rollup = None
@@ -301,10 +328,13 @@ class Engine:
                     nan_fill=nan_fill,
                 )
             out.extend(rows)
-        if cache_key is not None:
-            self._result_cache[cache_key] = out
-            while len(self._result_cache) > 256:  # bounded FIFO
-                self._result_cache.pop(next(iter(self._result_cache)))
+        if cache_key is not None and not getattr(
+            self._degraded_reads, "flag", False
+        ):
+            with self._result_cache_lock:
+                self._result_cache[cache_key] = out
+                while len(self._result_cache) > 256:  # bounded FIFO
+                    self._result_cache.pop(next(iter(self._result_cache)))
         return out
 
     def _pick_rung(self, q, fine_rollup):

@@ -361,12 +361,15 @@ def test_engine_ladder_swap_race_retries_on_fine_path(spark, tmp_path_factory):
 def test_query_result_cache_generation_scoped(spark, tmp_path_factory,
                                               monkeypatch):
     """The memcached tier: a fully time-pinned query's shaped response is
-    cached per commit-log generation.  Proven behaviorally: (1) a repeat
-    query answers WITHOUT re-planning (the planner is broken between the
-    two calls and the second still succeeds, byte-identical); (2) ANY
-    write advances the log head, so the next query misses into a fresh
-    plan and sees the new point; (3) relative-time requests bypass the
-    cache entirely — their answers depend on the wall clock, not only on
+    cached per commit-log generation.  Proven behaviorally: (0) WITHOUT a
+    checkpoint nothing caches — directory reads can race a batch's
+    append-then-move commit order, and a cache would pin that torn answer
+    for a whole generation; (1) with log-gated reads a repeat query
+    answers WITHOUT re-planning (the planner is broken between the two
+    calls and the second still succeeds, byte-identical); (2) ANY write
+    advances the log head, so the next query misses into a fresh plan and
+    sees the new point; (3) relative-time requests bypass the cache
+    entirely — their answers depend on the wall clock, not only on
     (request, generation)."""
     import mycenae_spark.server as srv
     from mycenae_spark.server import Engine
@@ -380,6 +383,10 @@ def test_query_result_cache_generation_scoped(spark, tmp_path_factory,
         "start": BASE_TS, "end": BASE_TS + 600_000,
         "queries": [{"metric": "qc.m", "aggregator": "sum"}],
     }
+    eng.query(body)
+    assert not eng._result_cache  # no checkpoint -> torn-window guard
+
+    eng.checkpoint()  # log-gated reads from here on: caching is safe
     first = eng.query(body)
     assert len(eng._result_cache) == 1
 
