@@ -97,6 +97,7 @@ HEADLINE = [
     # round 8
     "knn_graph_multiprobe",
     "text_langid_mixture",
+    "text_bpe_pair_stats",
 ]
 
 

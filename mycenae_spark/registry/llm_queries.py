@@ -1437,6 +1437,64 @@ def text_scrub(spark, sf_dir):
     )
 
 
+@q(
+    "text_bpe_pair_stats",
+    """
+WITH w AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+), v AS (
+  SELECT word, count(*) AS wf FROM w WHERE length(word) >= 2 GROUP BY word
+), p AS (
+  SELECT unnest(list_transform(generate_series(1, length(word) - 1),
+                               i -> substr(word, i, 2))) AS pair, wf
+  FROM v
+), agg AS (
+  SELECT pair, sum(wf)::BIGINT AS n FROM p GROUP BY pair
+)
+SELECT pair, n, rk FROM (
+  SELECT *, row_number() OVER (ORDER BY n DESC, pair) AS rk FROM agg
+) WHERE rk <= 20
+""",
+)
+def text_bpe_pair_stats(spark, sf_dir):
+    """BPE tokenizer-training statistics — the inner loop of byte-pair
+    encoding (Sennrich et al. 2016, public arXiv:1508.07909): count every
+    adjacent symbol pair across the corpus weighted by word frequency;
+    the most frequent pair is the next merge.  Judged output is the
+    top-20 pair table with deterministic (count DESC, pair) ranking —
+    exactly what iteration 1 of a BPE trainer computes; the full trainer
+    is a driver-side loop of this same job after applying each merge,
+    which is how distributed BPE implementations actually run.
+
+    Scale: the word-frequency aggregation is VOCAB-bounded (Zipf — the
+    corpus-sized scan collapses into millions of keys, not billions),
+    pair extraction runs over the vocab frame (∝ vocab chars, not corpus
+    chars — the frequency weighting is why BPE trainers pre-aggregate
+    words first), the pair key space is charset²-bounded, and the top-20
+    plans as TakeOrderedAndProject — no global sort materializes."""
+    d = t(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.split("text", " ")).alias("word")).filter(
+        F.length("word") >= 2
+    )
+    v = words.groupBy("word").agg(F.count(F.lit(1)).alias("wf"))
+    pairs = v.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.col("word").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "wf",
+    )
+    agg = pairs.groupBy("pair").agg(F.sum("wf").alias("n"))
+    w = Window.orderBy(F.desc("n"), "pair")
+    return (
+        agg.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("pair", "n", "rk")
+    )
+
+
 # --------------------------------------------- product-quantization ANN
 
 # Constants live with the machinery (functions/pq.py); the oracle SQL below

@@ -272,6 +272,17 @@ def test_repetition_is_shuffle_free(spark):
     assert "HashAggregate" not in plan
 
 
+def test_bpe_pair_stats_vocab_bounded_topk(spark):
+    """text_bpe_pair_stats' scale contract: the global top-20 rank window
+    rewrites to TakeOrderedAndProject (no single-partition window over
+    the pair aggregate), and the only corpus-sized work is the word
+    explosion feeding the vocab-bounded hash aggregations."""
+    plan = _plan(spark, "text_bpe_pair_stats")
+    assert "TakeOrderedAndProject" in plan
+    assert "SinglePartition" not in plan
+    assert "HashAggregate" in plan
+
+
 def test_topk_series_is_take_ordered(spark):
     """topk_series_by_sum's scale contract: the global top-5 plans as
     TakeOrderedAndProject (per-partition top-k merged on the driver); the
