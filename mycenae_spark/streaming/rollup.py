@@ -846,6 +846,56 @@ def read_kmv_distinct(
     return r.select(*series_cols, "bucket_ms", "n_kmv", est.alias("value"))
 
 
+def backfill_kmv(
+    spark,
+    lake_dir: str,
+    kmv_dir: str,
+    interval_ms: int = 60_000,
+    k: int = KMV_K,
+    key_col: str = "value",
+    series_cols: list[str] | None = None,
+) -> dict:
+    """Build (or rebuild) the KMV sketch lake from a PINNED point
+    snapshot.  Unlike the algebraic rollup — which the ingest transaction
+    maintains batch-by-batch — sketches cannot be derived from the rollup
+    partials (they need raw values), so the KMV lake is a MAINTENANCE
+    materialization like ladder rungs: built from a log-pinned cut,
+    published by one atomic rename (no concurrent writer to salvage
+    against), marker-pinned at ``as_of_seq``.  Currency is then
+    ``cascade_is_current(lake_dir, kmv_dir)`` — the ladder's predicate is
+    exactly right here too: points-append / partition-drop / unknown
+    kinds conservatively stale the sketch (new or deleted values change
+    distinct counts), while checkpoints, catalog maintenance, and
+    compaction (which preserves point VALUES) are neutral.  A stale
+    sketch lake falls back to direct sketching from points — always
+    correct, just unrouted — until the next backfill re-pins.
+
+    Returns {"as_of", "seq", "n_states"}.
+    """
+    import os
+    import shutil
+    import uuid
+
+    from mycenae_spark.streaming import snapshot as snap
+
+    as_of = snap.write_checkpoint(lake_dir, mode="full")
+    valid = snap.read_points_snapshot(spark, lake_dir, as_of=as_of)
+    states = kmv_batch(valid, interval_ms, k, key_col, series_cols)
+    base = os.path.dirname(kmv_dir.rstrip("/")) or "."
+    tmp = os.path.join(base, f"_kmv_backfill_{uuid.uuid4().hex[:8]}")
+    states.write.mode("overwrite").partitionBy("ksid", "date").parquet(tmp)
+    n_states = spark.read.parquet(tmp).count()
+    if os.path.isdir(kmv_dir):
+        old = os.path.join(base, f"_kmv_old_{uuid.uuid4().hex[:8]}")
+        os.rename(kmv_dir, old)
+        os.rename(tmp, kmv_dir)
+        shutil.rmtree(old, ignore_errors=True)
+    else:
+        os.rename(tmp, kmv_dir)
+    mark_rollup_coverage(kmv_dir, True, as_of_seq=as_of, kind="kmv")
+    return {"as_of": as_of, "seq": as_of, "n_states": n_states}
+
+
 def read_kmv_ladder(
     spark,
     rungs: dict[int, str],
