@@ -793,16 +793,37 @@ def cascade_kmv(
     dst_interval_ms: int,
     k: int = KMV_K,
     series_cols: list[str] | None = None,
+    lake_dir: str | None = None,
 ) -> None:
     """Materialize a coarser KMV rung from a finer one (the sketch twin of
     ``cascade_rollup``): re-bucket, union + re-take-k.  Exact by KMV
     mergeability — cascading sketches equals sketching raw points at the
     coarse interval.  ``date`` stays in the group key like the algebraic
     cascade (a day-crossing coarse bucket keeps one state per date; the
-    read path's re-merge makes that invisible).  Atomic rename publish."""
+    read path's re-merge makes that invisible).  Atomic rename publish.
+
+    With ``lake_dir``, the rung inherits a currency pin exactly like the
+    algebraic cascade: ``min(head, source pin)`` — a cascade is only as
+    fresh as its input.  KMV sources have no manifest-tracked files, so
+    there is no settle-wait path here: a source WITHOUT a pin (written by
+    ``write_kmv_batch`` directly, never backfilled) cannot prove a cut
+    and the call fails fast with the remedy."""
     import os
     import uuid
 
+    from mycenae_spark.streaming import commitlog
+
+    as_of_seq = None
+    if lake_dir is not None:
+        as_of_seq = commitlog.latest_seq(lake_dir)
+        src_as_of = _read_marker(src_dir).get("as_of_seq")
+        if src_as_of is None:
+            raise ValueError(
+                "cascade_kmv: source sketch lake carries no as_of_seq pin "
+                "— run backfill_kmv on the source (or cascade from a "
+                "pinned rung) before cascading with currency tracking"
+            )
+        as_of_seq = min(as_of_seq, src_as_of)
     series_cols = series_cols or ["ksid", "tsid", "metric"]
     df = spark.read.parquet(src_dir).withColumn(
         "bucket_ms",
@@ -813,6 +834,10 @@ def cascade_kmv(
     tmp = os.path.join(base, f"_kmv_cascade_{uuid.uuid4().hex[:8]}")
     merged.write.mode("overwrite").partitionBy("ksid", "date").parquet(tmp)
     os.rename(tmp, dst_dir)
+    if as_of_seq is not None:
+        mark_rollup_coverage(
+            dst_dir, True, as_of_seq=as_of_seq, kind="kmv-cascade"
+        )
 
 
 def read_kmv_distinct(

@@ -421,6 +421,58 @@ def test_cascade_from_pinless_cascaded_rung_fails_fast(spark, tmp_path):
     assert _time.monotonic() - t0 < 5  # fail fast, not a settle-timeout hang
 
 
+def test_kmv_cascade_inherits_pin_and_currency(spark, tmp_path):
+    """KMV ladder symmetry with the algebraic one: a rung cascaded WITH
+    lake_dir from a backfilled (pinned) sketch lake inherits the pin and
+    reads as current; later ingest stales BOTH; a pin-less source fails
+    fast with the backfill remedy (sketch files are never
+    manifest-tracked, so no settle-wait could ever apply)."""
+    from mycenae_spark.streaming.ingest import decode_json_lines, prepare_points
+    from mycenae_spark.streaming.ingest import write_points_batch
+    from mycenae_spark.streaming.rollup import (
+        backfill_kmv,
+        cascade_is_current,
+        cascade_kmv,
+        read_kmv_distinct,
+        write_kmv_batch,
+    )
+
+    BASE = 1704067200000
+    def mk(n):
+        rows = [
+            (json.dumps({
+                "metric": "kc.m", "tags": {"ksid": "ks1"},
+                "timestamp": BASE + i * 60_000, "value": float(i % 5)}),)
+            for i in range(n)
+        ]
+        valid, _ = prepare_points(decode_json_lines(spark.createDataFrame(rows, ["value"])))
+        return valid
+
+    lake, catalog, kmv, rung1h = (
+        str(tmp_path / d) for d in ("lake", "cat", "kmv", "kmv1h")
+    )
+    write_points_batch(mk(30), lake, catalog, batch_id=0)
+    backfill_kmv(spark, lake, kmv)
+    cascade_kmv(spark, kmv, rung1h, 3_600_000, lake_dir=lake)
+    assert cascade_is_current(lake, rung1h)
+    # rung merge equals direct re-merge of the base lake
+    direct = {r["bucket_ms"]: (r["n_kmv"], r["value"])
+              for r in read_kmv_distinct(spark, kmv, interval_ms=3_600_000).collect()}
+    rung = {r["bucket_ms"]: (r["n_kmv"], r["value"])
+            for r in read_kmv_distinct(spark, rung1h).collect()}
+    assert rung == direct and rung
+
+    write_points_batch(mk(5), lake, catalog, batch_id=1)
+    assert not cascade_is_current(lake, rung1h)  # staled by new ingest
+
+    # pin-less source: fail fast, not a wrong pin
+    pinless = str(tmp_path / "pinless")
+    write_kmv_batch(mk(10), pinless, 60_000)
+    with pytest.raises(ValueError, match="backfill_kmv"):
+        cascade_kmv(spark, pinless, str(tmp_path / "r2"), 3_600_000,
+                    lake_dir=lake)
+
+
 def test_refresh_ladder_rebuilds_only_stale_rungs(spark, tmp_path):
     """refresh_ladder: current rungs are skipped, stale rungs rebuild
     (rung-from-rung where a fresher finer rung divides), the refreshed
