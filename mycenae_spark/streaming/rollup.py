@@ -538,8 +538,10 @@ def gc_ladder_temps(
     inside `refresh_ladder`'s swap can leave `<rung>_new_*` /
     `<rung>_old_*` generations.  All are invisible to readers (only the
     exact rung path is ever resolved) but accumulate bytes.  Young dirs
-    are left alone — they may belong to a build in progress.  Returns the
-    paths removed.
+    are left alone — they may belong to a build in progress.  KMV sketch
+    dirs use the same `<dir>_new_*`/`<dir>_old_*` debris naming
+    (``_swap_in``), so include them in ``rungs`` to sweep crashed
+    backfill_kmv / cascade_kmv builds too.  Returns the paths removed.
     """
     import os
     import shutil
@@ -808,7 +810,6 @@ def cascade_kmv(
     there is no settle-wait path here: a source WITHOUT a pin (written by
     ``write_kmv_batch`` directly, never backfilled) cannot prove a cut
     and the call fails fast with the remedy."""
-    import os
     import uuid
 
     from mycenae_spark.streaming import commitlog
@@ -830,10 +831,12 @@ def cascade_kmv(
         F.col("bucket_ms") - (F.col("bucket_ms") % F.lit(dst_interval_ms)),
     )
     merged = _kmv_retake(df, k, [*series_cols, "date", "bucket_ms"])
-    base = os.path.dirname(dst_dir.rstrip("/")) or "."
-    tmp = os.path.join(base, f"_kmv_cascade_{uuid.uuid4().hex[:8]}")
+    tmp = dst_dir.rstrip("/") + f"_new_{uuid.uuid4().hex[:8]}"
     merged.write.mode("overwrite").partitionBy("ksid", "date").parquet(tmp)
-    os.rename(tmp, dst_dir)
+    # Guarded swap, so RE-cascading after the source re-pins (the refresh
+    # path a staled rung takes) replaces the old generation instead of
+    # failing on a non-empty destination.
+    _swap_in(tmp, dst_dir)
     if as_of_seq is not None:
         mark_rollup_coverage(
             dst_dir, True, as_of_seq=as_of_seq, kind="kmv-cascade"
@@ -871,6 +874,39 @@ def read_kmv_distinct(
     return r.select(*series_cols, "bucket_ms", "n_kmv", est.alias("value"))
 
 
+def _swap_in(tmp: str, dst: str) -> None:
+    """Guarded generation swap, shared by every KMV publish path: rename
+    ``tmp`` into ``dst``, replacing any existing generation via
+    rename-away → rename-in.  On the recreate race (something recreates
+    ``dst`` between the two renames) the old generation is RESTORED and
+    the conflict surfaces — refresh_ladder's recovery contract.  Debris
+    uses the ``<dst>_new_*`` / ``<dst>_old_*`` naming, so
+    ``gc_ladder_temps`` sweeps crashed KMV builds with no new prefixes —
+    pass sketch dirs in its ``rungs`` mapping alongside algebraic ones.
+
+    A reader racing the swap can observe one transient missing-path
+    window between the renames; KMV readers are maintenance/analysis
+    jobs (never the engine hot path) and a retry reads the new
+    generation."""
+    import os
+    import shutil
+    import uuid
+
+    if os.path.isdir(dst):
+        old = dst.rstrip("/") + f"_old_{uuid.uuid4().hex[:8]}"
+        os.rename(dst, old)
+        try:
+            os.rename(tmp, dst)
+        except OSError:
+            if not os.path.isdir(dst):
+                os.rename(old, dst)
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
+        shutil.rmtree(old, ignore_errors=True)
+    else:
+        os.rename(tmp, dst)
+
+
 def backfill_kmv(
     spark,
     lake_dir: str,
@@ -885,7 +921,9 @@ def backfill_kmv(
     maintains batch-by-batch — sketches cannot be derived from the rollup
     partials (they need raw values), so the KMV lake is a MAINTENANCE
     materialization like ladder rungs: built from a log-pinned cut,
-    published by one atomic rename (no concurrent writer to salvage
+    published by the guarded generation swap (``_swap_in`` — atomic
+    rename for a first build, rename-away → rename-in with
+    restore-on-race for a rebuild; no concurrent writer to salvage
     against), marker-pinned at ``as_of_seq``.  Currency is then
     ``cascade_is_current(lake_dir, kmv_dir)`` — the ladder's predicate is
     exactly right here too: points-append / partition-drop / unknown
@@ -897,8 +935,6 @@ def backfill_kmv(
 
     Returns {"as_of", "seq", "n_states"}.
     """
-    import os
-    import shutil
     import uuid
 
     from mycenae_spark.streaming import snapshot as snap
@@ -906,17 +942,10 @@ def backfill_kmv(
     as_of = snap.write_checkpoint(lake_dir, mode="full")
     valid = snap.read_points_snapshot(spark, lake_dir, as_of=as_of)
     states = kmv_batch(valid, interval_ms, k, key_col, series_cols)
-    base = os.path.dirname(kmv_dir.rstrip("/")) or "."
-    tmp = os.path.join(base, f"_kmv_backfill_{uuid.uuid4().hex[:8]}")
+    tmp = kmv_dir.rstrip("/") + f"_new_{uuid.uuid4().hex[:8]}"
     states.write.mode("overwrite").partitionBy("ksid", "date").parquet(tmp)
     n_states = spark.read.parquet(tmp).count()
-    if os.path.isdir(kmv_dir):
-        old = os.path.join(base, f"_kmv_old_{uuid.uuid4().hex[:8]}")
-        os.rename(kmv_dir, old)
-        os.rename(tmp, kmv_dir)
-        shutil.rmtree(old, ignore_errors=True)
-    else:
-        os.rename(tmp, kmv_dir)
+    _swap_in(tmp, kmv_dir)
     mark_rollup_coverage(kmv_dir, True, as_of_seq=as_of, kind="kmv")
     return {"as_of": as_of, "seq": as_of, "n_states": n_states}
 

@@ -465,6 +465,18 @@ def test_kmv_cascade_inherits_pin_and_currency(spark, tmp_path):
     write_points_batch(mk(5), lake, catalog, batch_id=1)
     assert not cascade_is_current(lake, rung1h)  # staled by new ingest
 
+    # the refresh cycle: re-backfill re-pins the base, re-cascade REPLACES
+    # the existing rung generation (guarded swap — this used to fail
+    # ENOTEMPTY, leaving every staled rung permanently stale)
+    backfill_kmv(spark, lake, kmv)
+    cascade_kmv(spark, kmv, rung1h, 3_600_000, lake_dir=lake)
+    assert cascade_is_current(lake, rung1h)
+    direct2 = {r["bucket_ms"]: (r["n_kmv"], r["value"])
+               for r in read_kmv_distinct(spark, kmv, interval_ms=3_600_000).collect()}
+    rung2 = {r["bucket_ms"]: (r["n_kmv"], r["value"])
+             for r in read_kmv_distinct(spark, rung1h).collect()}
+    assert rung2 == direct2 and rung2
+
     # pin-less source: fail fast, not a wrong pin
     pinless = str(tmp_path / "pinless")
     write_kmv_batch(mk(10), pinless, 60_000)
