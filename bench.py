@@ -98,6 +98,8 @@ HEADLINE = [
     "knn_graph_multiprobe",
     "text_langid_mixture",
     "text_bpe_pair_stats",
+    "source_quality_profile",
+    "sample_ccnet_buckets",
 ]
 
 

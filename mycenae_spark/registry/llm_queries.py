@@ -1495,6 +1495,139 @@ def text_bpe_pair_stats(spark, sf_dir):
     )
 
 
+@q(
+    "source_quality_profile",
+    """
+WITH m AS (
+  SELECT source,
+         1.0 - len(list_distinct(string_split(text, ' ')))::DOUBLE
+             / len(string_split(text, ' ')) AS dup,
+         len(string_split(text, ' ')) AS nt
+  FROM documents
+), g AS (
+  SELECT source, count(*) AS n_docs, sum(nt)::BIGINT AS n_tokens,
+         avg(dup) AS mdup, avg(nt) AS mnt
+  FROM m GROUP BY source
+)
+SELECT source, n_docs, n_tokens,
+       round6(mdup) AS mean_dup_r, round6(mnt) AS mean_toks_r,
+       CASE WHEN mdup <= 0.5 THEN 0 ELSE 1 END AS fail_dup,
+       CASE WHEN mnt BETWEEN 48 AND 60 THEN 0 ELSE 1 END AS fail_len,
+       CASE WHEN mdup <= 0.5 AND mnt BETWEEN 48 AND 60
+            THEN 1 ELSE 0 END AS keep
+FROM g
+""",
+)
+def source_quality_profile(spark, sf_dir):
+    """SOURCE-level quality filtering — the C4 / RefinedWeb move the
+    per-document rules cannot make: aggregate quality signals per origin
+    (domain/crawl/feed — the corpus's ``source`` column) and keep or drop
+    WHOLE SOURCES, because document-level filters leak systematic junk
+    that is only visible in the aggregate (boilerplate farms score
+    mid-range per doc, terribly per domain).  Per source: doc/token
+    counts, mean duplicate-token fraction, mean doc length, per-rule fail
+    flags + keep verdict (thresholds inside this corpus's observed
+    per-source spread — 0.44..0.55 mean-dup, 46..62 mean-tokens — so
+    both verdicts populate and every rule boundary is value-checked).
+
+    Scale: one corpus scan into a #sources-keyed hash aggregation
+    (domains are millions at web scale, not billions — partial agg
+    collapses map-side), verdicts are per-group expressions.  The
+    production composition is `filter(keep = 1)` semi-joined back onto
+    documents — the same shape as the split/mix stages."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    dup = F.lit(1.0) - F.size(F.array_distinct(toks)) / F.size(toks).cast(
+        "double"
+    )
+    g = d.select("source", dup.alias("dup"), F.size(toks).alias("nt")).groupBy(
+        "source"
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nt").alias("n_tokens"),
+        F.avg("dup").alias("mdup"),
+        F.avg("nt").alias("mnt"),
+    )
+    fail_dup = F.when(F.col("mdup") <= 0.5, 0).otherwise(1)
+    fail_len = F.when(F.col("mnt").between(48, 60), 0).otherwise(1)
+    return g.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        r6(F.col("mdup")).alias("mean_dup_r"),
+        r6(F.col("mnt")).alias("mean_toks_r"),
+        fail_dup.alias("fail_dup"),
+        fail_len.alias("fail_len"),
+        (
+            F.when((fail_dup == 0) & (fail_len == 0), 1).otherwise(0)
+        ).alias("keep"),
+    )
+
+
+@q(
+    "sample_ccnet_buckets",
+    """
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents
+), vocab AS (
+  SELECT tok, count(*) AS c FROM toks GROUP BY tok
+), tot AS (
+  SELECT sum(c)::DOUBLE AS n FROM vocab
+), scored AS (
+  SELECT doc_id, lang, round6(avg(-ln(c / n))) AS nll_r
+  FROM toks JOIN vocab USING (tok) CROSS JOIN tot
+  GROUP BY doc_id, lang
+), bucketed AS (
+  SELECT lang, nll_r,
+         ntile(3) OVER (PARTITION BY lang ORDER BY nll_r, doc_id) AS bucket
+  FROM scored
+)
+SELECT lang, bucket, count(*) AS n_docs, round6(avg(nll_r)) AS mean_nll_r
+FROM bucketed GROUP BY lang, bucket
+""",
+)
+def sample_ccnet_buckets(spark, sf_dir):
+    """CCNet's head/middle/tail partitioning (public arXiv:1911.00359):
+    score every document with the corpus unigram LM (the
+    text_unigram_logprob signal), then split EACH LANGUAGE into
+    perplexity tertiles — bucket 1 = head (most fluent), 3 = tail; CCNet
+    trains on head+middle and drops or down-weights the tail.  Judged
+    output is the per-(lang, bucket) profile (doc count + mean NLL), so
+    the bucket ASSIGNMENT — the part downstream sampling consumes — is
+    what gets value-checked.
+
+    Determinism: ntile runs over (rounded nll, doc_id) — total order,
+    identical in both engines; bucket sizes follow the SQL standard
+    ntile split (first n mod 3 buckets take the extra row).  Scale: LM
+    scoring is the unigram-logprob shape (vocab-bounded agg + token-
+    keyed join); the tertile window partitions BY LANGUAGE — hundreds of
+    partitions of corpus/|langs| rows, the same per-stratum window
+    sample_stratified already scales through (and the histogram-
+    decomposed rewrite applies here identically if a language is ever
+    one giant partition)."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = vocab.agg(F.sum("c").cast("double").alias("n"))
+    scored = (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "lang")
+        .agg(r6(F.avg(-F.log(F.col("c") / F.col("n")))).alias("nll_r"))
+    )
+    w = Window.partitionBy("lang").orderBy("nll_r", "doc_id")
+    return (
+        scored.withColumn("bucket", F.ntile(3).over(w))
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            r6(F.avg("nll_r")).alias("mean_nll_r"),
+        )
+    )
+
+
 # --------------------------------------------- product-quantization ANN
 
 # Constants live with the machinery (functions/pq.py); the oracle SQL below
