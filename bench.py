@@ -100,6 +100,7 @@ HEADLINE = [
     "text_bpe_pair_stats",
     "source_quality_profile",
     "sample_ccnet_buckets",
+    "window_holt",
 ]
 
 

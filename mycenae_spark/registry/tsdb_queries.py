@@ -1206,6 +1206,106 @@ def window_ewma(spark, sf_dir):
 
 
 @q(
+    "window_holt",
+    f"""
+WITH ds AS (
+  SELECT metric, tag_user, {{BUCKET}} AS bucket_ms,
+         round4(avg(value)) AS v
+  FROM ({{SQL_POINTS}}) GROUP BY metric, tag_user, bucket_ms
+), s AS (
+  SELECT metric, tag_user, list(v ORDER BY bucket_ms) AS vs
+  FROM ds GROUP BY metric, tag_user
+), f AS (
+  SELECT metric, tag_user, len(vs)::BIGINT AS n,
+         list_reduce(
+           list_prepend(
+             [vs[1]::DOUBLE, (vs[2] - vs[1])::DOUBLE],
+             list_transform(vs[3:], x -> [x::DOUBLE, 0.0::DOUBLE])),
+           (acc, x) -> [0.5 * x[1] + 0.5 * (acc[1] + acc[2]),
+                        0.25 * x[1] - 0.25 * acc[1] + 0.75 * acc[2]]
+         ) AS st
+  FROM s WHERE len(vs) >= 2
+)
+SELECT metric, tag_user, n,
+       round6(st[1]) AS level_r, round6(st[2]) AS trend_r,
+       round6(st[1] + st[2]) AS fcast1_r,
+       round6(st[1] + 3 * st[2]) AS fcast3_r
+FROM f
+""".format(BUCKET=bucket_ms_sql(DAY_MS), SQL_POINTS=SQL_POINTS),
+)
+def window_holt(spark, sf_dir):
+    """Holt's LINEAR-TREND smoothing (double exponential smoothing — the
+    level+trend forecasting primitive one rung above window_ewma) over
+    the per-series daily downsample, emitting each series' final state
+    and its 1- and 3-bucket-ahead forecasts (l + h·b), n ≥ 2 buckets:
+
+        l_t = α·x_t + (1−α)(l_{{t−1}} + b_{{t−1}})
+        b_t = β(l_t − l_{{t−1}}) + (1−β)·b_{{t−1}},   l₁=x₁, b₁=x₂−x₁
+
+    α = β = 0.5 is the window_ewma trick extended: substituting l_t into
+    the trend update flattens both recurrences to pure dyadic
+    combinations (l' = x/2 + (l+b)/2; b' = x/4 − l/4 + 3b/4) — every
+    operation is exact in binary floats, and BOTH engines run the
+    IDENTICAL left fold over the identically ordered value array (Spark
+    ``F.aggregate``, DuckDB ``list_reduce``) — bit-identical before the
+    final rounding.  The accumulator is a 2-element DOUBLE LIST on both
+    sides, deliberately NOT a struct: DuckDB 1.0's list_reduce aliases a
+    struct accumulator in place (the l written by the current step is
+    visible to the b expression from the second step on — measured, and
+    why this oracle avoids struct state).  This is the sequential-
+    recurrence class a plain window function cannot express (each step
+    needs the previous OUTPUT, not the previous input); the fold over
+    ``collect_list`` keeps it one hash-agg shuffle on the series key
+    with per-series O(n) work — the streaming twin is the stateful
+    kernel family (U5).
+
+    Scale: the fold runs inside the aggregation's merge expression —
+    per-series arrays are #buckets long (bounded by the range / interval,
+    not by points), and no window or sort crosses series boundaries."""
+    p = points(spark, sf_dir).withColumn(
+        "bucket_ms", bucket_ms_long(F.col("ts_us"), DAY_MS)
+    )
+    ds = p.groupBy("metric", "tag_user", "bucket_ms").agg(
+        r4(F.avg("value")).alias("v")
+    )
+    s = (
+        ds.groupBy("metric", "tag_user")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("bucket_ms", "v"))),
+                lambda t: t["v"],
+            ).alias("vs")
+        )
+        .filter(F.size("vs") >= 2)
+    )
+    v1 = F.element_at("vs", 1).cast("double")
+    v2 = F.element_at("vs", 2).cast("double")
+    init = F.array(v1, v2 - v1)
+    rest = F.slice(
+        "vs", F.lit(3), F.greatest(F.size("vs") - 2, F.lit(0))
+    )
+
+    def step(acc, x):
+        l, b = F.element_at(acc, 1), F.element_at(acc, 2)
+        return F.array(
+            F.lit(0.5) * x + F.lit(0.5) * (l + b),
+            F.lit(0.25) * x - F.lit(0.25) * l + F.lit(0.75) * b,
+        )
+
+    st = F.aggregate(rest, init, step)
+    l, b = F.element_at(st, 1), F.element_at(st, 2)
+    return s.select(
+        "metric",
+        "tag_user",
+        F.size("vs").cast("long").alias("n"),
+        r6(l).alias("level_r"),
+        r6(b).alias("trend_r"),
+        r6(l + b).alias("fcast1_r"),
+        r6(l + 3 * b).alias("fcast3_r"),
+    )
+
+
+@q(
     "meta_page",
     f"""
 SELECT metric, tag_user, pg FROM (
