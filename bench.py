@@ -101,6 +101,7 @@ HEADLINE = [
     "source_quality_profile",
     "sample_ccnet_buckets",
     "window_holt",
+    "window_zscore",
 ]
 
 

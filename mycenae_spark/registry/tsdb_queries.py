@@ -1306,6 +1306,79 @@ def window_holt(spark, sf_dir):
 
 
 @q(
+    "window_zscore",
+    f"""
+WITH ds AS (
+  SELECT metric, tag_user, {{BUCKET}} AS bucket_ms,
+         round4(avg(value)) AS v
+  FROM ({{SQL_POINTS}}) GROUP BY metric, tag_user, bucket_ms
+), w AS (
+  SELECT metric, tag_user, bucket_ms, v,
+         avg(v) OVER hist AS mu,
+         stddev_samp(v) OVER hist AS sd,
+         count(*) OVER hist AS hist_n
+  FROM ds
+  WINDOW hist AS (PARTITION BY metric, tag_user ORDER BY bucket_ms
+                  ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT metric, tag_user, bucket_ms, v,
+       round6((v - mu) / sd) AS z_r,
+       CASE WHEN abs(round6((v - mu) / sd)) > 2.0 THEN 1 ELSE 0 END
+         AS is_anom
+FROM w WHERE hist_n >= 3 AND sd > 0
+""".format(BUCKET=bucket_ms_sql(DAY_MS), SQL_POINTS=SQL_POINTS),
+)
+def window_zscore(spark, sf_dir):
+    """Rolling z-score anomaly flags — the classic TSDB alerting
+    primitive: each daily bucket scored against its own series' trailing
+    history (up to 7 prior buckets, CURRENT EXCLUDED — scoring a point
+    against a window containing itself dilutes the very spike being
+    tested), z = (v − μ)/σ with sample stddev, flagged at |z| > 2.
+    Buckets with fewer than 3 history points or zero spread are omitted
+    (no score is honest; 0.0 would alias "perfectly normal").
+
+    Determinism: μ/σ are float aggregations whose summation order may
+    differ per engine, so z rounds to the 1e-6 grid BEFORE the flag
+    threshold on BOTH sides — the flag is a pure function of the rounded
+    score.  σ > 0 is exact, not a tolerance call: a window of identical
+    r4-rounded values yields exactly 0.0 in either engine.  Scale: one
+    hash-agg downsample + one bounded-frame window pass per series —
+    the same single-shuffle shape as every W-family op."""
+    p = points(spark, sf_dir).withColumn(
+        "bucket_ms", bucket_ms_long(F.col("ts_us"), DAY_MS)
+    )
+    ds = p.groupBy("metric", "tag_user", "bucket_ms").agg(
+        r4(F.avg("value")).alias("v")
+    )
+    hist = (
+        Window.partitionBy("metric", "tag_user")
+        .orderBy("bucket_ms")
+        .rowsBetween(-7, -1)
+    )
+    w = ds.select(
+        "metric",
+        "tag_user",
+        "bucket_ms",
+        "v",
+        F.avg("v").over(hist).alias("mu"),
+        F.stddev_samp("v").over(hist).alias("sd"),
+        F.count(F.lit(1)).over(hist).alias("hist_n"),
+    )
+    z = r6((F.col("v") - F.col("mu")) / F.col("sd"))
+    return (
+        w.filter((F.col("hist_n") >= 3) & (F.col("sd") > 0))
+        .select(
+            "metric",
+            "tag_user",
+            "bucket_ms",
+            "v",
+            z.alias("z_r"),
+            F.when(F.abs(z) > 2.0, 1).otherwise(0).alias("is_anom"),
+        )
+    )
+
+
+@q(
     "meta_page",
     f"""
 SELECT metric, tag_user, pg FROM (
