@@ -268,7 +268,12 @@ def ivf_assign(
     reference this subtree twice in the static plan, but AQE's exchange
     reuse computes it once at runtime (ReusedExchange on the second side
     — plan-asserted in tests/test_plans.py), so no checkpoint of the
-    N-row frame is needed."""
+    N-row frame is needed.
+
+    The negated-id tie-break needs a NUMERIC id; non-numeric id columns
+    (the parameterization allows any orderable type) take the window
+    formulation instead — same argmax, same tie-break, one rank window
+    with WindowGroupLimit's map-side prune rather than the partial agg."""
     rounder = score_rounder or (lambda c: c)
     en = with_norm(corpus, emb_col)
     cent = with_norm(centroids, emb_col).select(
@@ -277,13 +282,28 @@ def ivf_assign(
         F.col("_norm").alias("_cn"),
     )
     cos = cosine(F.col(emb_col), F.col("_ce"), F.col("_norm"), F.col("_cn"))
+    grid = en.crossJoin(F.broadcast(cent))
+    numeric_id = any(
+        c == "c_id" and t in ("tinyint", "smallint", "int", "bigint",
+                              "float", "double")
+        for c, t in grid.dtypes
+    )
+    if not numeric_id:
+        # generic orderable ids: unary minus would ANSI-throw (or null
+        # the tie-break with ANSI off) — keep the pre-r8 window path
+        w = Window.partitionBy(id_col).orderBy(F.desc("_cos_r"), "c_id")
+        return (
+            grid.withColumn("_cos_r", rounder(cos))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(id_col, "c_id")
+        )
     best = F.struct(
         rounder(cos).alias("_c"),
         (-F.col("c_id")).alias("_negid"),
     )
     return (
-        en.crossJoin(F.broadcast(cent))
-        .groupBy(id_col)
+        grid.groupBy(id_col)
         .agg(F.max(best).alias("_b"))
         .select(id_col, (-F.col("_b._negid")).alias("c_id"))
     )

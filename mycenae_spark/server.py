@@ -109,6 +109,12 @@ class Engine:
         #: requests cannot launder each other's degraded reads into the
         #: cache.
         self._degraded_reads = threading.local()
+        #: Per-request-thread snapshot pin: when a query computes a cache
+        #: key at head S, its snapshot reads resolve AT S (not the live
+        #: head) — otherwise a write landing mid-query leaks S+1 data
+        #: into an answer cached under S, breaking the pure-function-of-
+        #: (request, generation) invariant.
+        self._read_pin = threading.local()
         from mycenae_spark.keyspace import KeyspaceManager
 
         self.keyspaces = KeyspaceManager(lake_dir)
@@ -217,13 +223,19 @@ class Engine:
                 _time.sleep(0.05)
         return read_snapshot()  # still in-flight after ~1s: surface it
 
+    def _pinned_as_of(self):
+        """The current request's generation pin, if one is active."""
+        return getattr(self._read_pin, "as_of", None)
+
     def _read_lake(self) -> DataFrame:
         """Log-gated snapshot read when a checkpoint exists; directory read
         only when no baseline exists (see :meth:`_snapshot_or_dir`)."""
         from mycenae_spark.streaming import snapshot as snap
 
         return self._snapshot_or_dir(
-            lambda: snap.read_points_snapshot(self.spark, self.lake_dir),
+            lambda: snap.read_points_snapshot(
+                self.spark, self.lake_dir, as_of=self._pinned_as_of()
+            ),
             self.lake_dir,
         )
 
@@ -233,7 +245,8 @@ class Engine:
 
         return self._snapshot_or_dir(
             lambda: snap.read_catalog_snapshot(
-                self.spark, self.lake_dir, self.catalog_dir
+                self.spark, self.lake_dir, self.catalog_dir,
+                as_of=self._pinned_as_of(),
             ),
             self.catalog_dir,
         )
@@ -260,15 +273,23 @@ class Engine:
             from mycenae_spark.streaming import snapshot as snap
 
             if snap.latest_checkpoint(self.lake_dir) is not None:
-                cache_key = (
-                    json.dumps(body, sort_keys=True),
-                    commitlog.latest_seq(self.lake_dir),
-                )
+                head = commitlog.latest_seq(self.lake_dir)
+                cache_key = (json.dumps(body, sort_keys=True), head)
                 with self._result_cache_lock:
                     hit = self._result_cache.get(cache_key)
                 if hit is not None:
                     return hit
         self._degraded_reads.flag = False
+        # Pin this request's snapshot reads to the KEY's generation: a
+        # write landing mid-query must not leak newer-generation data
+        # into an answer cached (and served) under the older key.
+        self._read_pin.as_of = cache_key[1] if cache_key is not None else None
+        try:
+            return self._query_uncached(body, now_ms, cache_key)
+        finally:
+            self._read_pin.as_of = None
+
+    def _query_uncached(self, body: dict, now_ms: int, cache_key) -> list:
         out = []
         pts = self._points()
         rollup = None
@@ -294,7 +315,8 @@ class Engine:
                 # same contract as the points/catalog paths.
                 roll_df = self._snapshot_or_dir(
                     lambda: snap.read_rollup_snapshot(
-                        self.spark, self.lake_dir, self.rollup_dir
+                        self.spark, self.lake_dir, self.rollup_dir,
+                        as_of=self._pinned_as_of(),
                     ),
                     self.rollup_dir,
                 )
@@ -303,7 +325,15 @@ class Engine:
                 )
         for q in parse_query_request(body, now_ms):
             nan_fill = bool(q.downsample and q.downsample.endswith("-nan"))
-            r, r_iv = self._pick_rung(q, rollup)
+            try:
+                r, r_iv = self._pick_rung(q, rollup)
+            except Exception:
+                # refresh_ladder's swap can race the FRAME BUILD too
+                # (read_rollup_series lists + collects over the rung dir,
+                # a wider window than the marker checks) — same fallback
+                # as a mid-read failure: the fine path is always correct.
+                self._rung_frames = {}
+                r, r_iv = rollup, 60_000
             try:
                 rows = shape_response(
                     plan(pts, q, rollup=r, rollup_interval_ms=r_iv),

@@ -484,7 +484,6 @@ def refresh_ladder(
     the snapshot protocol's retained generations; the window is one
     directory rename."""
     import os
-    import shutil
     import uuid
 
     rebuilt: dict[int, bool] = {}
@@ -507,23 +506,9 @@ def refresh_ladder(
                 break
         tmp = dst.rstrip("/") + f"_new_{uuid.uuid4().hex[:8]}"
         cascade_rollup(spark, src, tmp, iv, lake_dir=lake_dir)
-        if os.path.isdir(dst):
-            old = dst.rstrip("/") + f"_old_{uuid.uuid4().hex[:8]}"
-            os.rename(dst, old)
-            try:
-                os.rename(tmp, dst)
-            except OSError:
-                # Swap race (something recreated dst between the two
-                # renames): restore the old rung so readers keep a
-                # consistent generation, surface the conflict — the same
-                # recovery contract compact_partition documents.
-                if not os.path.isdir(dst):
-                    os.rename(old, dst)
-                shutil.rmtree(tmp, ignore_errors=True)
-                raise
-            shutil.rmtree(old)
-        else:
-            os.rename(tmp, dst)
+        # Guarded generation swap with restore-on-race — shared with the
+        # KMV publish paths (one copy of the protocol).
+        _swap_in(tmp, dst)
         rebuilt[iv] = True
         sources.append((iv, dst))
     return rebuilt
@@ -875,11 +860,12 @@ def read_kmv_distinct(
 
 
 def _swap_in(tmp: str, dst: str) -> None:
-    """Guarded generation swap, shared by every KMV publish path: rename
+    """Guarded generation swap — THE one copy of the publish protocol,
+    used by ``refresh_ladder`` and every KMV publish path: rename
     ``tmp`` into ``dst``, replacing any existing generation via
     rename-away → rename-in.  On the recreate race (something recreates
     ``dst`` between the two renames) the old generation is RESTORED and
-    the conflict surfaces — refresh_ladder's recovery contract.  Debris
+    the conflict surfaces — the compact_partition recovery contract.  Debris
     uses the ``<dst>_new_*`` / ``<dst>_old_*`` naming, so
     ``gc_ladder_temps`` sweeps crashed KMV builds with no new prefixes —
     pass sketch dirs in its ``rungs`` mapping alongside algebraic ones.

@@ -263,6 +263,28 @@ def test_knn_graph_multiprobe_superset_recall(spark):
     assert bridge_multi - {0, 1} <= {100, 101, 102, 103, 104}
 
 
+def test_ivf_assign_supports_non_numeric_ids(spark):
+    """The argmax rewrite's negated-id tie-break needs numeric ids; the
+    generic-orderable-id behavior the pre-r8 window implementation
+    provided must survive (ANSI mode would otherwise throw on the string
+    cast).  String-keyed corpus + centroids: assignment works and ties
+    break to the LEXICOGRAPHICALLY smallest centroid id, matching the
+    numeric path's smallest-id rule."""
+    from mycenae_spark.functions.similarity import ivf_assign
+
+    corpus = spark.createDataFrame(
+        [("d1", [1.0, 0.0]), ("d2", [0.0, 1.0]), ("mid", [1.0, 1.0])],
+        "vec_id string, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [("ca", [1.0, 0.0]), ("cb", [0.0, 1.0])],
+        "vec_id string, embedding array<double>",
+    )
+    got = {r["vec_id"]: r["c_id"] for r in ivf_assign(corpus, cents).collect()}
+    # "mid" is equidistant: tie breaks to the smaller id "ca"
+    assert got == {"d1": "ca", "d2": "cb", "mid": "ca"}
+
+
 def test_semantic_pairs_composes_with_trained_centroids(spark):
     """The docstring's claim that kmeans_refine composes in front of
     semantic_pairs, proven: refined centroids produce a valid pair set
