@@ -102,6 +102,7 @@ HEADLINE = [
     "sample_ccnet_buckets",
     "window_holt",
     "window_zscore",
+    "window_holtwinters",
 ]
 
 

@@ -1306,6 +1306,129 @@ def window_holt(spark, sf_dir):
 
 
 @q(
+    "window_holtwinters",
+    f"""
+WITH ds AS (
+  SELECT metric, tag_user, {{BUCKET}} AS bucket_ms,
+         round4(avg(value)) AS v
+  FROM ({{SQL_POINTS}}) GROUP BY metric, tag_user, bucket_ms
+), s AS (
+  SELECT metric, tag_user, list(v ORDER BY bucket_ms) AS vs
+  FROM ds GROUP BY metric, tag_user
+), i AS (
+  SELECT metric, tag_user, vs,
+         list_reduce(vs[1:7], (a, v) -> a + v) / 7.0 AS l0
+  FROM s WHERE len(vs) >= 8
+), f AS (
+  SELECT metric, tag_user, len(vs)::BIGINT AS n,
+         list_reduce(
+           list_prepend(
+             [l0, 0.0, 1.0] || list_transform(vs[1:7], v -> v - l0),
+             list_transform(vs[8:], x -> [x::DOUBLE])),
+           (acc, xl) -> [
+              0.5 * (xl[1] - acc[CAST(acc[3] AS INT) + 3])
+                + 0.5 * (acc[1] + acc[2]),
+              0.25 * (xl[1] - acc[CAST(acc[3] AS INT) + 3])
+                - 0.25 * acc[1] + 0.75 * acc[2],
+              CAST(CAST(acc[3] AS INT) % 7 + 1 AS DOUBLE)
+           ] || list_transform(acc[4:10], (v, j) ->
+                CASE WHEN j = CAST(acc[3] AS INT)
+                     THEN 0.25 * xl[1]
+                          + 0.75 * acc[CAST(acc[3] AS INT) + 3]
+                          - 0.25 * acc[1] - 0.25 * acc[2]
+                     ELSE v END)
+         ) AS st
+  FROM i
+)
+SELECT metric, tag_user, n,
+       round6(st[1]) AS level_r, round6(st[2]) AS trend_r,
+       round6(st[CAST(st[3] AS INT) + 3]) AS s_next_r,
+       round6(st[1] + st[2] + st[CAST(st[3] AS INT) + 3]) AS f1_r
+FROM f
+""".format(BUCKET=bucket_ms_sql(DAY_MS), SQL_POINTS=SQL_POINTS),
+)
+def window_holtwinters(spark, sf_dir):
+    """Holt-Winters ADDITIVE seasonal smoothing (triple exponential —
+    level + trend + weekly seasonal indices over the daily downsample),
+    per series: final state and the one-step seasonal forecast
+    f₁ = l + b + s_next.  Initialization is the textbook first-season
+    form (l₀ = mean of the first 7 buckets — one IEEE division, same
+    single op both engines; s_i = v_i − l₀; b₀ = 0), then the fold runs
+    the flattened recurrences at α = β = γ = 0.5:
+
+        l' = (x−s_i)/2 + (l+b)/2
+        b' = (x−s_i)/4 − l/4 + 3b/4
+        s_i' = x/4 + 3s_i/4 − l/4 − b/4     (cyclic i, season m = 7)
+
+    Every step is dyadic multiplies and adds — the window_holt exactness
+    argument extended to a VECTOR state: the accumulator is the flat
+    DOUBLE list [l, b, pos, s₁..s₇] (the struct-aliasing bug
+    window_holt documents never arises), the cyclic update rebuilds the
+    season slots through an index-aware list_transform on both engines,
+    and fold order is the identical left fold (Spark ``F.aggregate``,
+    DuckDB ``list_reduce`` with single-element-list fold inputs so the
+    element type stays DOUBLE[]).  Series need ≥ 8 buckets (one full
+    season + at least one smoothing step).  Scale: same single
+    hash-agg-shuffle shape as window_holt — per-series O(n·m) work
+    inside the aggregation, nothing crosses series."""
+    p = points(spark, sf_dir).withColumn(
+        "bucket_ms", bucket_ms_long(F.col("ts_us"), DAY_MS)
+    )
+    ds = p.groupBy("metric", "tag_user", "bucket_ms").agg(
+        r4(F.avg("value")).alias("v")
+    )
+    s = (
+        ds.groupBy("metric", "tag_user")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("bucket_ms", "v"))),
+                lambda t: t["v"],
+            ).alias("vs")
+        )
+        .filter(F.size("vs") >= 8)
+    )
+    M = 7
+    season0 = F.slice("vs", 1, M)
+    l0 = F.aggregate(season0, F.lit(0.0), lambda a, v: a + v) / F.lit(7.0)
+    init = F.concat(
+        F.array(l0, F.lit(0.0), F.lit(1.0)),
+        F.transform(season0, lambda v: v - l0),
+    )
+    rest = F.slice("vs", M + 1, F.greatest(F.size("vs") - M, F.lit(0)))
+
+    def step(acc, x):
+        pos = F.get(acc, F.lit(2)).cast("int")  # 0-based get → state[3]
+        l, b = F.get(acc, F.lit(0)), F.get(acc, F.lit(1))
+        si = F.get(acc, pos + 2)
+        lp = F.lit(0.5) * (x - si) + F.lit(0.5) * (l + b)
+        bp = F.lit(0.25) * (x - si) - F.lit(0.25) * l + F.lit(0.75) * b
+        sip = (
+            F.lit(0.25) * x + F.lit(0.75) * si
+            - F.lit(0.25) * l - F.lit(0.25) * b
+        )
+        posp = (pos % M + 1).cast("double")
+        seasons = F.transform(
+            F.slice(acc, 4, M),
+            lambda v, j: F.when(j == pos - 1, sip).otherwise(v),
+        )
+        return F.concat(F.array(lp, bp, posp), seasons)
+
+    st = F.aggregate(rest, init, step)
+    pos_f = F.get(st, F.lit(2)).cast("int")
+    l_f, b_f = F.get(st, F.lit(0)), F.get(st, F.lit(1))
+    s_next = F.get(st, pos_f + 2)
+    return s.select(
+        "metric",
+        "tag_user",
+        F.size("vs").cast("long").alias("n"),
+        r6(l_f).alias("level_r"),
+        r6(b_f).alias("trend_r"),
+        r6(s_next).alias("s_next_r"),
+        r6(l_f + b_f + s_next).alias("f1_r"),
+    )
+
+
+@q(
     "window_zscore",
     f"""
 WITH ds AS (
