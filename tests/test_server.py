@@ -410,6 +410,49 @@ def test_query_result_cache_generation_scoped(spark, tmp_path_factory,
     assert len(eng._result_cache) == n_before  # relative time: never cached
 
 
+def test_result_cache_pins_reads_to_key_generation(spark, tmp_path_factory,
+                                                   monkeypatch):
+    """The purity invariant behind the cache: an answer cached under
+    generation S must be computed FROM generation S even if a write lands
+    mid-query.  Simulated by freezing the head the key reads at S after a
+    later batch has really committed: the pinned snapshot read must
+    exclude the newer batch (an unpinned read would resolve to the live
+    head and leak it into the S-keyed cache entry)."""
+    import mycenae_spark.streaming.commitlog as cl
+    from mycenae_spark.server import Engine
+
+    d = tmp_path_factory.mktemp("qpin")
+    lake = str(d / "lake")
+    eng = Engine(spark, lake, str(d / "catalog"))
+    eng.put([{"metric": "qp.m", "tags": {"ksid": "k1", "host": "h0"},
+              "timestamp": BASE_TS + i * 60_000, "value": float(i)}
+             for i in range(3)])
+    eng.checkpoint()
+    head_s = cl.latest_seq(lake)
+
+    # a newer batch really commits (advances the true head past S)
+    eng.put([{"metric": "qp.m", "tags": {"ksid": "k1", "host": "h0"},
+              "timestamp": BASE_TS + 1, "value": 100.0}])
+
+    # freeze the head the cache key observes at S — the race window where
+    # the key was computed just before the write landed
+    real_latest = cl.latest_seq
+    monkeypatch.setattr(cl, "latest_seq", lambda p: head_s)
+    body = {
+        "start": BASE_TS, "end": BASE_TS + 600_000,
+        "queries": [{"metric": "qp.m", "aggregator": "sum"}],
+    }
+    out = eng.query(body)
+    # pinned at S: the 100.0 point must be INVISIBLE to this answer
+    assert sum(out[0]["dps"].values()) == pytest.approx(3.0)
+
+    # with the real head restored the same request misses (new key) and
+    # sees the newer batch
+    monkeypatch.setattr(cl, "latest_seq", real_latest)
+    fresh = eng.query(body)
+    assert sum(fresh[0]["dps"].values()) == pytest.approx(103.0)
+
+
 def test_tag_key_discovery_reads_catalog_not_lake(spark, tmp_path_factory):
     """_points()/suggest tag-key discovery must come from the #series-bounded
     catalog, never a full scan of the point lake's tags column (a per-request
