@@ -246,6 +246,60 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int = 2,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC near-dup pairs: containment C(A,B) = |A∩B| / |A| over
+    distinct n-gram sets — the quote/subset detector Jaccard misses (a
+    paragraph fully contained in a larger document scores C≈1 but low
+    Jaccard).  Emits ORDERED pairs (doc_a, doc_b, containment) with
+    doc_a ≠ doc_b, keeping pairs where C(doc_a, doc_b) ≥ threshold.
+
+    Same inverted-index shape and ``max_df`` document-frequency cut as
+    :func:`ngram_jaccard_pairs`: grams in more than ``max_df`` documents
+    are dropped from the gram sets BEFORE the postings self-join (a df-d
+    gram contributes d² join rows), so both |A∩B| and |A| are over the
+    df-filtered vocabulary — the standard stop-shingle semantics, SQL-
+    mirrorable.  The stop list is Zipf-head tiny → broadcast anti-join,
+    zero shuffle of the postings."""
+    g = df.select(
+        id_col, F.array_distinct(shingles(tokens(text_col), ngram)).alias("_g")
+    ).filter(F.size("_g") > 0)
+    inv = g.select(id_col, F.explode("_g").alias("_gram"))
+    if max_df is not None:
+        inv = inv.localCheckpoint(eager=False)  # see ngram_jaccard_pairs
+        stop = (
+            inv.groupBy("_gram")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_df)
+            .select("_gram")
+        )
+        inv = inv.join(F.broadcast(stop), "_gram", "left_anti")
+        sizes = inv.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz"))
+    else:
+        sizes = g.select(id_col, F.size("_g").alias("_sz"))
+    a = inv.select(F.col(id_col).alias("doc_a"), "_gram")
+    b = inv.select(F.col(id_col).alias("doc_b"), "_gram")
+    common = (
+        a.join(b, "_gram")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("_sz").alias("_sa"))
+    cont = F.col("_c") / F.col("_sa")
+    return (
+        common.join(sa, "doc_a")
+        .filter(cont >= threshold)
+        .select("doc_a", "doc_b", cont.alias("containment"))
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",

@@ -245,6 +245,51 @@ def embedding_lsh_pairs(
     )
 
 
+def embedding_dedup_verdicts(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_tables: int = 4,
+    n_bits: int | None = None,
+    dim: int = 64,
+    threshold: float = 0.45,
+    score_rounder=None,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Per-vector embedding-cosine dedup VERDICT with keep-first-id
+    semantics, composed on :func:`embedding_lsh_pairs` so pair generation
+    is bucket-bounded (never all-pairs): ``is_dup = 1`` iff some lower-id
+    vector scores rounded-cos ≥ threshold inside a shared LSH bucket;
+    ``dup_of`` = the smallest such id (NULL for keepers).
+
+    Scale: the verdict is one groupBy(vec_b) min-agg over the verified
+    pairs (≤ #pairs rows ≪ corpus), broadcast back onto the id column.
+    Inherits the hot-bucket cap and auto-bits behavior of the pair
+    helper, so a degenerate corpus yields NO verdicts instead of a
+    quadratic explosion (tests/test_skew.py)."""
+    pairs = embedding_lsh_pairs(
+        corpus,
+        id_col=id_col,
+        emb_col=emb_col,
+        n_tables=n_tables,
+        n_bits=n_bits,
+        dim=dim,
+        threshold=threshold,
+        score_rounder=score_rounder,
+        max_bucket_size=max_bucket_size,
+    )
+    verdicts = pairs.groupBy(F.col("vec_b").alias(id_col)).agg(
+        F.min("vec_a").alias("dup_of")
+    )
+    return corpus.select(id_col).join(
+        F.broadcast(verdicts), id_col, "left"
+    ).select(
+        id_col,
+        F.when(F.col("dup_of").isNotNull(), 1).otherwise(0).alias("is_dup"),
+        "dup_of",
+    )
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: DataFrame,

@@ -42,8 +42,19 @@ from __future__ import annotations
 
 import glob
 import json
+import logging
 import os
 import re
+
+logger = logging.getLogger(__name__)
+
+#: Set when :func:`_driver_history` found ZERO artifacts — true in a
+#: fresh clone before any driver round (benign: rotation degrades to
+#: declaration order) but ALSO when the package was mis-located (e.g. a
+#: site-packages install three dirnames away from any repo root).  Tests
+#: assert on this flag; a one-line warning is logged so the silent-
+#: degradation case is visible in driver logs (r8 ADVICE).
+NO_DRIVER_ARTIFACTS = False
 
 from mycenae_spark.registry import llm_queries, relational_queries, tsdb_queries
 
@@ -51,17 +62,19 @@ from mycenae_spark.registry import llm_queries, relational_queries, tsdb_queries
 DRIVER_WINDOW = 50
 
 
-def _driver_history() -> dict[str, tuple[int, bool]]:
+def _driver_history(root: str | None = None) -> dict[str, tuple[int, bool]]:
     """id → (newest round it was driver-checked, was it green) from the
     committed ``CORRECTNESS_r*.json`` artifacts at the repo root.
 
     Ids absent from every file have no driver evidence (never checked).
     A malformed or missing file contributes nothing — worst case the
     rotation treats some ids as staler than they are, which only costs a
-    redundant re-check, never a skipped one."""
-    root = os.path.dirname(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    )
+    redundant re-check, never a skipped one.  ``root`` is overridable for
+    tests; the default is three dirnames up from this file."""
+    if root is None:
+        root = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
     hist: dict[str, tuple[int, bool]] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", os.path.basename(path))
@@ -85,6 +98,16 @@ def _driver_history() -> dict[str, tuple[int, bool]]:
             prev = hist.get(qid)
             if prev is None or rnd >= prev[0]:
                 hist[qid] = (rnd, green)
+    if not hist:
+        global NO_DRIVER_ARTIFACTS
+        NO_DRIVER_ARTIFACTS = True
+        logger.warning(
+            "no CORRECTNESS_r*.json artifacts under %s — verification "
+            "rotation degrades to declaration order (expected only in a "
+            "fresh pre-round-1 clone; otherwise the repo root was "
+            "mis-located)",
+            root,
+        )
     return hist
 
 

@@ -29,7 +29,9 @@ make API parity concrete and end-to-end testable.
 
 from __future__ import annotations
 
+import copy
 import json
+import logging
 import re
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -50,6 +52,8 @@ from mycenae_spark.plans.expression import check_expression, parse_expression
 from mycenae_spark.plans.tsdb import plan
 from mycenae_spark.schema import POINT_SCHEMA
 from mycenae_spark.streaming.ingest import prepare_points
+
+logger = logging.getLogger(__name__)
 
 
 class Engine:
@@ -278,7 +282,12 @@ class Engine:
                 with self._result_cache_lock:
                     hit = self._result_cache.get(cache_key)
                 if hit is not None:
-                    return hit
+                    # Serve a DEEP COPY: cached entries are plain
+                    # lists/dicts, and a caller (or future handler
+                    # decoration) mutating a served response must not
+                    # poison the cached value for the rest of the
+                    # generation (r8 ADVICE).
+                    return copy.deepcopy(hit)
         self._degraded_reads.flag = False
         # Pin this request's snapshot reads to the KEY's generation: a
         # write landing mid-query must not leak newer-generation data
@@ -328,11 +337,19 @@ class Engine:
             try:
                 r, r_iv = self._pick_rung(q, rollup)
             except Exception:
-                # refresh_ladder's swap can race the FRAME BUILD too
-                # (read_rollup_series lists + collects over the rung dir,
-                # a wider window than the marker checks) — same fallback
-                # as a mid-read failure: the fine path is always correct.
-                self._rung_frames = {}
+                # _pick_rung handles the known swap-race class itself
+                # (per-rung, logged, falls through to the next fit);
+                # anything reaching here is an UNEXPECTED routing failure.
+                # The fine path is still always correct, so degrade — but
+                # log loudly and leave the memoized frames alone so a
+                # genuine routing bug surfaces in logs instead of being
+                # masked by a silent cache wipe (r8 ADVICE).
+                logger.warning(
+                    "ladder routing failed for downsample=%s; "
+                    "serving the fine path",
+                    getattr(q, "downsample", None),
+                    exc_info=True,
+                )
                 r, r_iv = rollup, 60_000
             try:
                 rows = shape_response(
@@ -362,7 +379,10 @@ class Engine:
             self._degraded_reads, "flag", False
         ):
             with self._result_cache_lock:
-                self._result_cache[cache_key] = out
+                # Store a private copy for the same immutability reason
+                # the hit path deep-copies: `out` is about to be handed
+                # to the caller, who may mutate it.
+                self._result_cache[cache_key] = copy.deepcopy(out)
                 while len(self._result_cache) > 256:  # bounded FIFO
                     self._result_cache.pop(next(iter(self._result_cache)))
         return out
@@ -407,7 +427,25 @@ class Engine:
                 pin = _read_marker_as_of(rung_dir) or -1
                 cached = self._rung_frames.get(rung_dir)
                 if cached is None or cached[0] != pin:
-                    cached = (pin, read_rollup_series(self.spark, rung_dir))
+                    try:
+                        cached = (
+                            pin, read_rollup_series(self.spark, rung_dir)
+                        )
+                    except Exception:
+                        # refresh_ladder's atomic swap can race the FRAME
+                        # BUILD (read_rollup_series lists + collects over
+                        # the rung dir, a wider window than the marker
+                        # checks).  Drop only THIS rung's memoized frame,
+                        # log, and fall through to the next (coarser →
+                        # finer) fit — the fine path is always correct.
+                        logger.warning(
+                            "rung frame build raced a swap for %s; "
+                            "falling through",
+                            rung_dir,
+                            exc_info=True,
+                        )
+                        self._rung_frames.pop(rung_dir, None)
+                        continue
                     self._rung_frames[rung_dir] = cached
                 return cached[1], iv
         return fine_rollup, 60_000

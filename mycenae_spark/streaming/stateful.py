@@ -33,6 +33,31 @@ from pyspark.sql.types import (
     StructType,
 )
 
+_REGISTERED_BY_VALUE = False
+
+
+def _register_by_value() -> None:
+    """Ship this module's stateful kernels BY VALUE to Python workers
+    (whose sys.path does not include the repo — the driver patching its
+    own path does not propagate; the multimodal convention).
+
+    NOTE the effect is PROCESS-GLOBAL: once registered, every closure
+    pickled in this session that references this module embeds it by
+    value.  That is exactly what the kernels need and harmless otherwise
+    (the module is small and dependency-free), but it is a session-wide
+    switch, not a per-call one — so register at most ONCE (r8 ADVICE:
+    repeated per-call registration added nothing)."""
+    global _REGISTERED_BY_VALUE
+    if _REGISTERED_BY_VALUE:
+        return
+    import sys as _sys
+
+    from pyspark import cloudpickle as _cp
+
+    _cp.register_pickle_by_value(_sys.modules[__name__])
+    _REGISTERED_BY_VALUE = True
+
+
 EWMA_OUTPUT_SCHEMA = StructType(
     [
         StructField("metric", StringType(), False),
@@ -147,14 +172,7 @@ def kmv_stream(points: DataFrame, k: int = 16) -> DataFrame:
 
     ``points`` needs (metric, ts, value); the hash column is derived
     here so the Python kernel never sees raw values."""
-    import sys as _sys
-
-    from pyspark import cloudpickle as _cp
-
-    # Python workers cannot import mycenae_spark unless the repo is on
-    # THEIR PYTHONPATH (the driver patching sys.path does not propagate) —
-    # ship the kernel by value instead, the multimodal convention.
-    _cp.register_pickle_by_value(_sys.modules[__name__])
+    _register_by_value()
 
     from mycenae_spark.streaming.rollup import kmv_hash
 
@@ -182,11 +200,7 @@ def ewma_stream(points: DataFrame, alpha: float = 0.3) -> DataFrame:
     replay (exact cross-batch ordering on an unbounded stream needs an
     upstream per-key sort, same as any TSDB write path).
     """
-    import sys as _sys
-
-    from pyspark import cloudpickle as _cp
-
-    _cp.register_pickle_by_value(_sys.modules[__name__])  # see kmv_stream
+    _register_by_value()
     return (
         points.withWatermark("ts", "1 hour")
         .groupBy("metric", "tag_user")

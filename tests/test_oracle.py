@@ -135,3 +135,19 @@ def test_driver_history_reads_committed_artifacts():
                          ("text_tokens", "text_langid_trigram")):
         if _HISTORY[stale][0] < _HISTORY[fresh][0]:
             assert ids.index(stale) < ids.index(fresh), (stale, fresh)
+
+
+def test_driver_history_flags_missing_artifacts(tmp_path):
+    """r8 ADVICE: a zero-artifact root (wheel install / mis-located repo)
+    must not SILENTLY degrade the rotation to declaration order — the
+    helper sets the module flag (and warns).  In this repo the artifacts
+    exist, so the import-time flag is False."""
+    import mycenae_spark.registry as reg
+
+    assert reg.NO_DRIVER_ARTIFACTS is False
+    try:
+        hist = reg._driver_history(root=str(tmp_path))
+        assert hist == {}
+        assert reg.NO_DRIVER_ARTIFACTS is True
+    finally:
+        reg.NO_DRIVER_ARTIFACTS = False

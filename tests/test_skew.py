@@ -148,6 +148,76 @@ def test_embedding_lsh_degenerate_corpus_capped(spark):
     assert pairs.count() == 0  # dropped, not exploded
 
 
+def test_embedding_cosine_verdicts_degenerate_corpus(spark):
+    """r8 VERDICT item 2: dedup_embedding_cosine's judged form is now the
+    bucket-then-verify composition — so it must inherit the hot-bucket
+    valve.  An all-identical corpus (one over-cap bucket per table) yields
+    ZERO duplicate verdicts instead of a quadratic pair explosion, while a
+    small healthy group of near-identical vectors in a mixed corpus gets
+    keep-first-id verdicts."""
+    from mycenae_spark.functions.similarity import embedding_dedup_verdicts
+
+    n = 400
+    blob = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array([F.lit(0.25)] * 8).alias("embedding"),
+    )
+    v = embedding_dedup_verdicts(
+        blob, dim=8, threshold=0.5, n_tables=2, max_bucket_size=64
+    ).collect()
+    assert len(v) == n and all(r["is_dup"] == 0 for r in v)  # dropped, not exploded
+
+    # mixed corpus: 3 identical vectors (small bucket) + the big blob
+    trio = spark.range(3).select(
+        (F.col("id") + 10_000).alias("vec_id"),
+        F.array(
+            *[F.lit(-1.0)] * 4, *[F.lit(0.8)] * 4
+        ).alias("embedding"),
+    )
+    got = {
+        r["vec_id"]: (r["is_dup"], r["dup_of"])
+        for r in embedding_dedup_verdicts(
+            blob.unionByName(trio),
+            dim=8,
+            threshold=0.5,
+            n_tables=2,
+            max_bucket_size=64,
+        ).collect()
+    }
+    # keep-first-id: 10000 keeps, 10001/10002 point at 10000
+    assert got[10_000] == (0, None)
+    assert got[10_001] == (1, 10_000) and got[10_002] == (1, 10_000)
+    assert all(got[i] == (0, None) for i in range(n))  # blob still capped
+
+
+def test_ngram_containment_dfcut_skew(spark):
+    """The df-cut is dedup_ngram_containment's skew valve (r8 VERDICT
+    item 2): a corpus-wide shared shingle must be dropped BEFORE the
+    postings self-join (df-d grams contribute d² rows), so docs related
+    only through it produce no pairs — while docs sharing RARE grams keep
+    their asymmetric containment verdicts over the df-filtered sets."""
+    from mycenae_spark.functions.dedup import ngram_containment_pairs
+
+    # every doc shares the 'common common' bigram; docs 0/1 additionally
+    # share rare grams where doc 0's kept set is a subset of doc 1's
+    rows = [(0, "common common rare1 rare2 rare3")] + [
+        (1, "common common rare1 rare2 rare3 extra4 extra5")
+    ] + [(i, f"common common unique{i}a unique{i}b") for i in range(2, 200)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in ngram_containment_pairs(
+            docs, "doc_id", "text", ngram=2, threshold=0.5, max_df=20
+        ).collect()
+    }
+    # 'common common' (df=200) is cut → no pair rides on it; doc 0's kept
+    # grams {common rare1, rare1 rare2, rare2 rare3} are all in doc 1 →
+    # C(0,1) = 1.0; doc 1 has extra kept grams → C(1,0) < 1 but ≥ 0.5
+    assert pairs[(0, 1)] == 1.0
+    assert 0.5 <= pairs[(1, 0)] < 1.0
+    assert set(pairs) == {(0, 1), (1, 0)}  # nothing pairs via the hot gram
+
+
 def test_semantic_dedup_hot_cluster_capped(spark):
     """dedup_semantic's valve: a degenerate centroid attracting the whole
     corpus (all-identical embeddings → one cluster) is dropped before pair
