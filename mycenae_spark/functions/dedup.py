@@ -202,8 +202,12 @@ def ngram_jaccard_pairs(
     the SQL oracle expresses identically.
     """
     g = df.select(
-        id_col, F.array_distinct(shingles(tokens(text_col), ngram)).alias("_g")
-    ).filter(F.size("_g") > 0)
+        id_col, tokens(text_col).alias("_toks")
+    ).filter(F.size("_toks") >= ngram).select(
+        # pre-projected token array: the lambda references ONE attribute,
+        # not n inlined copies of split() (see shingles() docstring)
+        id_col, F.array_distinct(shingles(F.col("_toks"), ngram)).alias("_g")
+    )
     inv = g.select(id_col, F.explode("_g").alias("_gram"))
     if max_df is not None:
         # The postings feed FIVE consumers (stop list, anti-join, sizes, and
@@ -268,8 +272,10 @@ def ngram_containment_pairs(
     mirrorable.  The stop list is Zipf-head tiny → broadcast anti-join,
     zero shuffle of the postings."""
     g = df.select(
-        id_col, F.array_distinct(shingles(tokens(text_col), ngram)).alias("_g")
-    ).filter(F.size("_g") > 0)
+        id_col, tokens(text_col).alias("_toks")
+    ).filter(F.size("_toks") >= ngram).select(
+        id_col, F.array_distinct(shingles(F.col("_toks"), ngram)).alias("_g")
+    )
     inv = g.select(id_col, F.explode("_g").alias("_gram"))
     if max_df is not None:
         inv = inv.localCheckpoint(eager=False)  # see ngram_jaccard_pairs
@@ -298,6 +304,99 @@ def ngram_containment_pairs(
         .filter(cont >= threshold)
         .select("doc_a", "doc_b", cont.alias("containment"))
     )
+
+
+def repeated_span_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    max_df: int = 20,
+    min_len: int | None = None,
+) -> DataFrame:
+    """SPAN-LEVEL exact dedup: maximal repeated token passages of ≥ k
+    tokens shared ACROSS documents — the substring modality (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499) that doc-level exact/near/semantic dedup misses:
+    boilerplate headers, quoted licences, templated paragraphs repeated
+    inside otherwise-distinct documents.
+
+    The reference algorithm is a suffix array on the concatenated corpus
+    — inherently sequential.  The Spark-first re-expression is a bucketed
+    postings pipeline with the SAME output semantics for cross-document
+    repeats:
+
+    1. k-token shingles WITH POSITIONS: (doc, pos, gram), one corpus scan;
+    2. df-cut: grams occurring < 2 times can't repeat, grams occurring
+       > ``max_df`` times are stop-passages (a df-d gram contributes d²
+       join rows — the same valve as ``ngram_jaccard_pairs``); both cuts
+       are one #distinct-grams-keyed agg;
+    3. postings self-join on the gram (doc_a < doc_b) → matching
+       coordinates (pa, pb);
+    4. maximal-span extraction: matches on one DIAGONAL (pa − pb
+       constant) at CONSECUTIVE positions are one repeated passage —
+       classic gaps-and-islands: group (doc_a, doc_b, diag), island id =
+       pa − row_number() ordered by pa, span = [min pa, max pa + k − 1].
+
+    Every stage is keyed (gram, then pair+diagonal) — nothing corpus-
+    sized shuffles unkeyed, and the df cap bounds the join fanout at any
+    corpus size.  The df-cut approximation is honest: a passage
+    containing a stop-gram in the middle splits into two reported spans
+    (exactly as Lee et al.'s minimum-frequency thresholds merge/split
+    boundary cases).
+
+    Output: (doc_a, doc_b, start_a, start_b, len_toks) per maximal span,
+    0-based token offsets, ``len_toks ≥ max(k, min_len)``."""
+    from pyspark.sql import Window
+
+    docs = df.select(
+        id_col, tokens(text_col).alias("_ts")
+    ).filter(F.size("_ts") >= k)
+    grams = docs.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_ts") - k),
+                lambda i: F.struct(
+                    i.cast("long").alias("pos"),
+                    F.concat_ws(" ", F.slice("_ts", i + 1, k)).alias("gram"),
+                ),
+            )
+        ).alias("_pg"),
+    ).select(id_col, F.col("_pg.pos").alias("pos"), F.col("_pg.gram").alias("gram"))
+    # one aggregation serves both cuts: df < 2 never repeats, df > cap is
+    # a stop-passage (join fanout valve); the kept list is the Zipf
+    # middle — bounded per corpus, joined on the gram key
+    keep = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter((F.col("_df") >= 2) & (F.col("_df") <= max_df))
+        .select("gram")
+    )
+    p = grams.join(keep, "gram")
+    a = p.select(
+        F.col(id_col).alias("doc_a"), F.col("pos").alias("pa"), "gram"
+    )
+    b = p.select(
+        F.col(id_col).alias("doc_b"), F.col("pos").alias("pb"), "gram"
+    )
+    m = a.join(b, "gram").filter(F.col("doc_a") < F.col("doc_b"))
+    diag = (F.col("pa") - F.col("pb")).alias("diag")
+    w = Window.partitionBy("doc_a", "doc_b", F.col("pa") - F.col("pb")).orderBy(
+        "pa"
+    )
+    isl = m.select(
+        "doc_a", "doc_b", diag, "pa", "pb",
+        (F.col("pa") - F.row_number().over(w)).alias("grp"),
+    )
+    spans = isl.groupBy("doc_a", "doc_b", "diag", "grp").agg(
+        F.min("pa").alias("start_a"),
+        F.min("pb").alias("start_b"),
+        (F.max("pa") - F.min("pa") + k).cast("long").alias("len_toks"),
+    )
+    if min_len is not None and min_len > k:
+        spans = spans.filter(F.col("len_toks") >= min_len)
+    return spans.select("doc_a", "doc_b", "start_a", "start_b", "len_toks")
 
 
 def connected_components(

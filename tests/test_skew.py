@@ -218,6 +218,53 @@ def test_ngram_containment_dfcut_skew(spark):
     assert set(pairs) == {(0, 1), (1, 0)}  # nothing pairs via the hot gram
 
 
+def test_repeated_span_extraction_and_stop_gram_split(spark):
+    """dedup_span_exact's kernel on a constructed corpus: two documents
+    share a 28-token passage whose MIDDLE 8 tokens also appear in 28
+    other documents (df = 30 > cap 20).  Expected: the hot pure-middle
+    gram is df-cut, so the shared passage reports as exactly TWO maximal
+    spans flanking it — the honest split semantics the docstring
+    documents — with exact 0-based coordinates; and the 28 hot-gram-only
+    documents produce NO pairs at all (the d² valve)."""
+    from mycenae_spark.functions.dedup import repeated_span_pairs
+
+    a = [f"A{i}" for i in range(1, 11)]
+    h = [f"h{i}" for i in range(1, 9)]
+    b = [f"B{i}" for i in range(1, 11)]
+    shared = a + h + b
+    rows = [
+        (0, " ".join(["u0", *shared, "v0"])),
+        (1, " ".join(["u1", *shared, "v1"])),
+    ] + [
+        (i, " ".join([f"z{i}x", f"z{i}y", *h, f"w{i}"])) for i in range(2, 30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = sorted(
+        tuple(r)
+        for r in repeated_span_pairs(docs, "doc_id", "text", k=8, max_df=20)
+        .collect()
+    )
+    # matching diagonal-0 positions are {1..21} minus the cut pure-h gram
+    # at pos 11 → islands {1..10} and {12..21}, each spanning 17 tokens
+    assert spans == [(0, 1, 1, 1, 17), (0, 1, 12, 12, 17)]
+
+
+def test_repeated_span_degenerate_corpus_capped(spark):
+    """An all-identical corpus (every gram df = N ≫ cap) must yield ZERO
+    spans — the df valve drops the postings before the self-join can go
+    quadratic, same contract as the LSH hot-bucket cap."""
+    from mycenae_spark.functions.dedup import repeated_span_pairs
+
+    n = 300
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("one two three four five six seven eight nine ten").alias("text"),
+    )
+    assert (
+        repeated_span_pairs(docs, "doc_id", "text", k=8, max_df=20).count() == 0
+    )
+
+
 def test_semantic_dedup_hot_cluster_capped(spark):
     """dedup_semantic's valve: a degenerate centroid attracting the whole
     corpus (all-identical embeddings → one cluster) is dropped before pair
