@@ -136,3 +136,63 @@ def test_window_ewma_closed_form_matches_recursive(spark):
         assert math.isclose(
             got[(series, i)], by_series[series], rel_tol=1e-11, abs_tol=1e-11
         ), (series, i, got[(series, i)], by_series[series])
+
+
+def test_bpe_apply_merge_adjacent_runs():
+    """The replace-semantics contract (functions/bpe.py): ONE pass misses
+    immediately-adjacent repeats because the matched trailing space
+    consumes the next occurrence's leading space; the spec'd 3 passes
+    reach the fixpoint for natural runs.  Both engines implement the same
+    pass count, so this pins the Python reference."""
+    from mycenae_spark.functions.bpe import apply_merge
+
+    assert apply_merge(" a a a a ", "a a", passes=1) == " aa a a "
+    assert apply_merge(" a a a a ", "a a", passes=2) == " aa aa "
+    assert apply_merge(" a a a a ", "a a", passes=3) == " aa aa "
+    # non-adjacent occurrences all merge in one pass
+    assert apply_merge(" a a x a a ", "a a", passes=1) == " aa x aa "
+    # merged symbols are atomic: 'aa a' is not ' a a '
+    assert apply_merge(" aa a ", "a a", passes=3) == " aa a "
+
+
+def test_bpe_learn_and_tokenize_known_corpus(spark):
+    """Trainer + tokenizer on a corpus with hand-computable pair counts:
+    word freqs are ab=4, abc=2, zz=1 → pair counts (a b)=6, (b c)=2,
+    (z z)=1 → first merge ('a b', 6); after it 'abc' is [ab, c] → second
+    merge ('ab c', 2).  Tokenizing with both merges: 'ab' → [ab],
+    'abc' → [abc], 'zz' → [z, z]."""
+    from mycenae_spark.functions.bpe import bpe_token_counts, learn_merges
+
+    docs = spark.createDataFrame(
+        [(0, "ab ab ab abc"), (1, "ab abc zz")],
+        "doc_id long, text string",
+    )
+    merges = learn_merges(docs, n_merges=2)
+    assert [(m[1], m[2]) for m in merges] == [("a b", 6), ("ab c", 2)]
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_words"])
+        for r in bpe_token_counts(docs, merges).collect()
+    }
+    # doc0: ab(1)+ab(1)+ab(1)+abc(1) = 4 tokens / 4 words
+    # doc1: ab(1)+abc(1)+zz(2: z z unmerged) = 4 tokens / 3 words
+    assert got == {0: (4, 4), 1: (4, 3)}
+
+
+def test_bpe_tokenize_engine_matches_python_on_adjacent_runs(spark):
+    """The JVM replace chain and the Python reference agree on the
+    adversarial adjacent-run words the pass-count spec exists for."""
+    from mycenae_spark.functions.bpe import (
+        apply_merge,
+        bpe_token_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "aaaa aaa aaaaaaaa")], "doc_id long, text string"
+    )
+    merges = [(1, "a a", 99)]
+    got = {r["doc_id"]: r["n_tokens"] for r in bpe_token_counts(docs, merges).collect()}
+    expect = sum(
+        len(apply_merge(" " + " ".join(w) + " ", "a a").split()) 
+        for w in ("aaaa", "aaa", "aaaaaaaa")
+    )
+    assert got == {0: expect}
