@@ -271,6 +271,93 @@ def api_aggregators(spark, sf_dir):
     )
 
 
+_EXPR_SRC = (
+    "groupBy({host=*}) | merge(avg, downsample(1h, sum, null, "
+    "rate(true, 1000, null, query(cpu, {host=web01,dc=east}, 1704067200000))))"
+)
+_EXPR_CANON = (
+    "groupBy({host=*}) | merge(avg, rate(true, 1000, null, "
+    "downsample(1h, sum, null, query(cpu, {host=web01,dc=east}, "
+    "1704067200000))))"
+)
+
+
+@q(
+    "expression_endpoints_roundtrip",
+    f"""
+SELECT probe, CAST(ok AS BIGINT) AS ok, detail FROM (VALUES
+  ('check_valid', 1, ''),
+  ('check_syntax_error', 1, ''),
+  ('check_unknown_agg', 1, ''),
+  ('check_bad_downsample', 1, ''),
+  ('check_empty_range', 1, ''),
+  ('compile_fields', 1, '1h-sum-null'),
+  ('render_canonical', 1, '{_EXPR_CANON}'),
+  ('render_idempotent', 1, '')
+) AS v(probe, ok, detail)
+""",
+)
+def expression_endpoints_roundtrip(spark, sf_dir):
+    """§3.3 expression SECONDARY endpoints as a judged lifecycle row (r8
+    VERDICT item 6 — parse→plan was already judged via
+    ``tsdb_pipeline_expression``; this closes the pytest-only
+    ``check`` / ``compile`` / ``render`` surface the same way the M5
+    endpoint rows closed theirs): a probe battery runs the REAL endpoint
+    functions against a pinned now_ms and emits verdict flags plus the
+    canonical rendered expression AS A VALUE, hash-checked against the
+    constant oracle — so validator error classes, compiled-IR fields,
+    the exact canonical rendering (including the W7 rate-after-
+    downsample operation-order normalization) and render idempotence
+    are all driver-verified data, not pytest-only claims."""
+    from mycenae_spark.plans.expression import (
+        check_expression,
+        parse_expression,
+        render_expression,
+    )
+
+    now = 1706745600000  # 2024-02-01T00:00:00Z, pinned
+    rows: list[tuple[str, int, str]] = []
+    rows.append(
+        ("check_valid",
+         int(check_expression("merge(sum, query(m, {h=a}, 1h-ago))", now) == []),
+         "")
+    )
+    rows.append(
+        ("check_syntax_error", int(len(check_expression("merge(", now)) == 1), "")
+    )
+    errs = check_expression("merge(median, query(m, {h=a}, 1h-ago))", now)
+    rows.append(
+        ("check_unknown_agg",
+         int(len(errs) == 1 and "aggregator" in errs[0]), "")
+    )
+    rows.append(
+        ("check_bad_downsample",
+         int(len(check_expression(
+             "downsample(1m, bogus, query(m, {h=a}, 1h-ago))", now)) == 1),
+         "")
+    )
+    errs = check_expression("query(m, {h=a}, 0m-ago)", now)
+    rows.append(
+        ("check_empty_range",
+         int(len(errs) == 1 and "time range" in errs[0]), "")
+    )
+    q1 = parse_expression(_EXPR_SRC, now)
+    rows.append(
+        ("compile_fields",
+         int(
+             (q1.metric, q1.aggregator, q1.rate, q1.counter, q1.counter_max)
+             == ("cpu", "avg", True, True, 1000.0)
+             and {f.tagk for f in q1.filters} == {"host", "dc"}
+         ),
+         q1.downsample or "")
+    )
+    rendered = render_expression(q1)
+    rows.append(("render_canonical", 1, rendered))
+    q2 = parse_expression(rendered, now)
+    rows.append(("render_idempotent", int(render_expression(q2) == rendered), ""))
+    return spark.createDataFrame(rows, "probe string, ok long, detail string")
+
+
 # ------------------------------------------------------------- §2.2 filters
 
 @q(
