@@ -108,6 +108,11 @@ class Engine:
         import threading
 
         self._result_cache_lock = threading.Lock()
+        #: Incremental per-metric generation state (guarded by the cache
+        #: lock): (scanned-to seq, {metric: last seq whose points-append
+        #: footprint named it}, wildcard floor seq raised by every commit
+        #: with no metric footprint).  See _metric_generation.
+        self._metric_heads: tuple[int, dict, int] = (0, {}, 0)
         #: Per-request-thread flag: did any read in the CURRENT query fall
         #: back to a directory listing?  Thread-local so concurrent
         #: requests cannot launder each other's degraded reads into the
@@ -269,7 +274,7 @@ class Engine:
 
     def query(self, body: dict) -> list:
         now_ms = int(time.time() * 1000)
-        cache_key = None
+        head = None
         if isinstance(body.get("start"), int) and isinstance(
             body.get("end"), int
         ):
@@ -278,28 +283,109 @@ class Engine:
 
             if snap.latest_checkpoint(self.lake_dir) is not None:
                 head = commitlog.latest_seq(self.lake_dir)
-                cache_key = (json.dumps(body, sort_keys=True), head)
-                with self._result_cache_lock:
-                    hit = self._result_cache.get(cache_key)
-                if hit is not None:
-                    # Serve a DEEP COPY: cached entries are plain
-                    # lists/dicts, and a caller (or future handler
-                    # decoration) mutating a served response must not
-                    # poison the cached value for the rest of the
-                    # generation (r8 ADVICE).
-                    return copy.deepcopy(hit)
-        self._degraded_reads.flag = False
-        # Pin this request's snapshot reads to the KEY's generation: a
-        # write landing mid-query must not leak newer-generation data
-        # into an answer cached (and served) under the older key.
-        self._read_pin.as_of = cache_key[1] if cache_key is not None else None
+        # Pin this request's snapshot reads to the generation its cache
+        # keys are derived from: a write landing mid-query must not leak
+        # newer-generation data into an answer cached under an older key.
+        self._read_pin.as_of = head
         try:
-            return self._query_uncached(body, now_ms, cache_key)
+            return self._query_subqueries(body, now_ms, head)
         finally:
             self._read_pin.as_of = None
 
-    def _query_uncached(self, body: dict, now_ms: int, cache_key) -> list:
+    @staticmethod
+    def _canonical_subquery(q) -> str:
+        """Canonical cache identity of one parsed subquery: resolved
+        absolute times + every semantic field, filters order-normalized —
+        two requests batching the same subquery differently share the
+        entry."""
+        import dataclasses
+
+        d = dataclasses.asdict(q)
+        d["filters"] = sorted(
+            (json.dumps(f, sort_keys=True, default=str) for f in d["filters"])
+        )
+        d["order"] = list(d["order"])
+        return json.dumps(d, sort_keys=True, default=str)
+
+    def _metric_generation(self, metric: str, head: int) -> int:
+        """The newest commit seq that could have changed ``metric``'s
+        answers: per-metric heads come from points-append entries'
+        ``metrics`` footprints; every OTHER commit kind (compaction,
+        catalog rewrite, TTL drop, rollup backfill, legacy/over-cap
+        appends with no footprint) raises the conservative wildcard
+        floor shared by all metrics.  Derived incrementally from the
+        commit log and memoized under the cache lock — one log-tail scan
+        per head advance, shared by every subquery."""
+        from mycenae_spark.streaming import commitlog
+
+        with self._result_cache_lock:
+            scanned, heads, floor = self._metric_heads
+            if head > scanned:
+                for seq, payload in commitlog.entries(
+                    self.lake_dir, since=scanned
+                ):
+                    if seq > head:
+                        continue
+                    mets = (
+                        payload.get("metrics")
+                        if payload.get("kind") == "points-append"
+                        else None
+                    )
+                    if mets is None:
+                        floor = seq
+                    else:
+                        for m in mets:
+                            heads[m] = seq
+                self._metric_heads = (head, heads, floor)
+            return max(floor, heads.get(metric, 0))
+
+    def _query_subqueries(self, body: dict, now_ms: int, head) -> list:
+        """Plan/serve each subquery independently with a PER-SUBQUERY
+        result cache (r8 VERDICT item 4): dashboards batch many subqueries
+        per request, and whole-request keys made a write to ANY metric
+        evict ALL of them.  Keys are (canonical subquery, per-metric
+        generation), so a write that only touches metric X leaves metric
+        Y's cached answers servable.  The r8 purity gates carry over
+        per subquery: only time-pinned requests, only LOG-GATED reads
+        (``head`` is None otherwise), and never rows whose reads degraded
+        to a directory fallback."""
         out = []
+        pts = rollup = None
+        frames_built = False
+        for q in parse_query_request(body, now_ms):
+            key = None
+            if head is not None:
+                key = (
+                    self._canonical_subquery(q),
+                    self._metric_generation(q.metric, head),
+                )
+                with self._result_cache_lock:
+                    hit = self._result_cache.get(key)
+                if hit is not None:
+                    # deep copy: served responses must not be able to
+                    # poison the cached entry (r8 ADVICE)
+                    out.extend(copy.deepcopy(hit))
+                    continue
+            if not frames_built:
+                pts, rollup = self._build_frames()
+                frames_built = True
+            self._degraded_reads.flag = False
+            rows = self._run_subquery(pts, rollup, q)
+            if key is not None and not getattr(
+                self._degraded_reads, "flag", False
+            ):
+                with self._result_cache_lock:
+                    self._result_cache[key] = copy.deepcopy(rows)
+                    while len(self._result_cache) > 256:  # bounded FIFO
+                        self._result_cache.pop(
+                            next(iter(self._result_cache))
+                        )
+            out.extend(rows)
+        return out
+
+    def _build_frames(self):
+        """Lazy points/rollup serving frames — skipped entirely when every
+        subquery in the request hits the cache."""
         pts = self._points()
         rollup = None
         if self.rollup_dir is not None:
@@ -332,60 +418,50 @@ class Engine:
                 rollup = read_rollup_series(
                     self.spark, self.rollup_dir, df=roll_df
                 )
-        for q in parse_query_request(body, now_ms):
-            nan_fill = bool(q.downsample and q.downsample.endswith("-nan"))
-            try:
-                r, r_iv = self._pick_rung(q, rollup)
-            except Exception:
-                # _pick_rung handles the known swap-race class itself
-                # (per-rung, logged, falls through to the next fit);
-                # anything reaching here is an UNEXPECTED routing failure.
-                # The fine path is still always correct, so degrade — but
-                # log loudly and leave the memoized frames alone so a
-                # genuine routing bug surfaces in logs instead of being
-                # masked by a silent cache wipe (r8 ADVICE).
-                logger.warning(
-                    "ladder routing failed for downsample=%s; "
-                    "serving the fine path",
-                    getattr(q, "downsample", None),
-                    exc_info=True,
-                )
-                r, r_iv = rollup, 60_000
-            try:
-                rows = shape_response(
-                    plan(pts, q, rollup=r, rollup_interval_ms=r_iv),
-                    q,
-                    nan_fill=nan_fill,
-                )
-            except Exception:
-                if r is rollup:
-                    raise
-                # Ladder-routed read raced refresh_ladder's atomic swap:
-                # _pick_rung's currency check passed just before the
-                # rename, then the old rung's files vanished mid-read.
-                # The fine rollup/points path is always correct — drop the
-                # stale memoized rung frame and retry once through it (a
-                # genuine query error simply re-raises from the retry).
-                self._rung_frames = {
-                    d: c for d, c in self._rung_frames.items() if c[1] is not r
-                }
-                rows = shape_response(
-                    plan(pts, q, rollup=rollup, rollup_interval_ms=60_000),
-                    q,
-                    nan_fill=nan_fill,
-                )
-            out.extend(rows)
-        if cache_key is not None and not getattr(
-            self._degraded_reads, "flag", False
-        ):
-            with self._result_cache_lock:
-                # Store a private copy for the same immutability reason
-                # the hit path deep-copies: `out` is about to be handed
-                # to the caller, who may mutate it.
-                self._result_cache[cache_key] = copy.deepcopy(out)
-                while len(self._result_cache) > 256:  # bounded FIFO
-                    self._result_cache.pop(next(iter(self._result_cache)))
-        return out
+        return pts, rollup
+
+    def _run_subquery(self, pts, rollup, q) -> list:
+        nan_fill = bool(q.downsample and q.downsample.endswith("-nan"))
+        try:
+            r, r_iv = self._pick_rung(q, rollup)
+        except Exception:
+            # _pick_rung handles the known swap-race class itself
+            # (per-rung, logged, falls through to the next fit);
+            # anything reaching here is an UNEXPECTED routing failure.
+            # The fine path is still always correct, so degrade — but
+            # log loudly and leave the memoized frames alone so a
+            # genuine routing bug surfaces in logs instead of being
+            # masked by a silent cache wipe (r8 ADVICE).
+            logger.warning(
+                "ladder routing failed for downsample=%s; "
+                "serving the fine path",
+                getattr(q, "downsample", None),
+                exc_info=True,
+            )
+            r, r_iv = rollup, 60_000
+        try:
+            return shape_response(
+                plan(pts, q, rollup=r, rollup_interval_ms=r_iv),
+                q,
+                nan_fill=nan_fill,
+            )
+        except Exception:
+            if r is rollup:
+                raise
+            # Ladder-routed read raced refresh_ladder's atomic swap:
+            # _pick_rung's currency check passed just before the
+            # rename, then the old rung's files vanished mid-read.
+            # The fine rollup/points path is always correct — drop the
+            # stale memoized rung frame and retry once through it (a
+            # genuine query error simply re-raises from the retry).
+            self._rung_frames = {
+                d: c for d, c in self._rung_frames.items() if c[1] is not r
+            }
+            return shape_response(
+                plan(pts, q, rollup=rollup, rollup_interval_ms=60_000),
+                q,
+                nan_fill=nan_fill,
+            )
 
     def _pick_rung(self, q, fine_rollup):
         """Coarsest serving frame for ``q``'s downsample: a ladder rung

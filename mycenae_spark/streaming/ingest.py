@@ -267,6 +267,14 @@ def write_points_batch(
                     "batch_id": str(batch_id),
                     "n_files": len(manifest.get("points", ()))
                     + len(manifest.get("rollup", ())),
+                    # Distinct metrics this batch touched (None = unknown/
+                    # too many = treat as touching everything): the
+                    # per-subquery result cache derives per-metric
+                    # generations from these (server.py) — a write to
+                    # metric X must not invalidate cached answers for
+                    # metric Y.  Manifests predating this field replay as
+                    # None, the conservative wildcard.
+                    "metrics": manifest.get("metrics"),
                 },
             )
         manifest["seq"] = seq
@@ -337,10 +345,19 @@ def write_points_batch(
                 # files carry job-unique names, so the final moves from many
                 # writers never clash.
                 _new_series().write.parquet(os.path.join(staging, "catalog"))
+                # the batch's metric footprint, for per-metric cache
+                # generations: bounded collect (capped; over-cap batches
+                # record the None wildcard, which only costs cache hits)
+                mets = [
+                    r[0]
+                    for r in valid.select("metric").distinct()
+                    .limit(65).collect()
+                ]
                 manifest = {
                     "roots": {"points": lake_dir, "catalog": catalog_dir},
                     "points": _staged_files(os.path.join(staging, "points")),
                     "catalog": _staged_files(os.path.join(staging, "catalog")),
+                    "metrics": sorted(mets) if len(mets) <= 64 else None,
                 }
                 if rollup_dir is not None:
                     manifest["roots"]["rollup"] = rollup_dir

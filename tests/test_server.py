@@ -410,6 +410,79 @@ def test_query_result_cache_generation_scoped(spark, tmp_path_factory,
     assert len(eng._result_cache) == n_before  # relative time: never cached
 
 
+def test_result_cache_is_per_subquery_and_per_metric(spark, tmp_path_factory,
+                                                     monkeypatch):
+    """r8 VERDICT item 4: OpenTSDB dashboards batch many subqueries per
+    request, and the r8 whole-request key made ANY write evict ALL of
+    them.  Keys are now (canonical subquery, per-metric generation) —
+    proven behaviorally: a two-subquery request caches two entries; after
+    a write that touches ONLY metric B, the metric-A subquery still
+    serves from cache (the planner is broken and the request succeeds,
+    even batched in a request whose OTHER subquery changed shape), while
+    a metric-B subquery must replan (the broken planner raises).  Also:
+    the same subquery batched in DIFFERENT request bodies shares one
+    cache entry (canonicalization), and a non-footprint commit (catalog
+    rewrite kind) raises the wildcard floor, invalidating everything."""
+    import mycenae_spark.server as srv
+    import mycenae_spark.streaming.commitlog as cl
+    from mycenae_spark.server import Engine
+
+    d = tmp_path_factory.mktemp("qsubcache")
+    lake = str(d / "lake")
+    eng = Engine(spark, lake, str(d / "catalog"))
+    for m in ("sub.a", "sub.b"):
+        eng.put([{"metric": m, "tags": {"ksid": "k1", "host": "h0"},
+                  "timestamp": BASE_TS + i * 60_000, "value": float(i)}
+                 for i in range(3)])
+    eng.checkpoint()
+    both = {
+        "start": BASE_TS, "end": BASE_TS + 600_000,
+        "queries": [{"metric": "sub.a", "aggregator": "sum"},
+                    {"metric": "sub.b", "aggregator": "sum"}],
+    }
+    first = eng.query(both)
+    assert len(eng._result_cache) == 2  # one entry PER SUBQUERY
+
+    # write touching ONLY sub.b
+    eng.put([{"metric": "sub.b", "tags": {"ksid": "k1", "host": "h0"},
+              "timestamp": BASE_TS + 1, "value": 100.0}])
+
+    real_plan = srv.plan
+    def broken(*a, **k):
+        raise AssertionError("planner ran for an unchanged-metric subquery")
+    monkeypatch.setattr(srv, "plan", broken)
+    # sub.a alone: must serve from cache across the sub.b write —
+    # byte-identical to its slice of the batched first response (this
+    # also proves canonicalization: a different request BODY shares the
+    # same subquery entry)
+    only_a = dict(both, queries=[{"metric": "sub.a", "aggregator": "sum"}])
+    a_expected = [r for r in first if r["metric"] == "sub.a"]
+    assert eng.query(only_a) == a_expected
+    # sub.b alone: stale generation -> must replan -> broken planner raises
+    only_b = dict(both, queries=[{"metric": "sub.b", "aggregator": "sum"}])
+    with pytest.raises(AssertionError, match="planner ran"):
+        eng.query(only_b)
+
+    # batched WITH the changed subquery, the unchanged one still hits:
+    # only sub.b's replan trips the broken planner
+    with pytest.raises(AssertionError, match="planner ran"):
+        eng.query(both)
+
+    monkeypatch.setattr(srv, "plan", real_plan)
+    fresh = eng.query(both)
+    a_rows = [r for r in fresh if r["metric"] == "sub.a"]
+    b_rows = [r for r in fresh if r["metric"] == "sub.b"]
+    assert sum(a_rows[0]["dps"].values()) == pytest.approx(3.0)
+    assert sum(b_rows[0]["dps"].values()) == pytest.approx(103.0)
+
+    # a commit with NO metric footprint (maintenance kinds) raises the
+    # wildcard floor: everything invalidates
+    cl.append(lake, {"kind": "catalog-rewrite"})
+    monkeypatch.setattr(srv, "plan", broken)
+    with pytest.raises(AssertionError, match="planner ran"):
+        eng.query(only_a)
+
+
 def test_result_cache_pins_reads_to_key_generation(spark, tmp_path_factory,
                                                    monkeypatch):
     """The purity invariant behind the cache: an answer cached under
