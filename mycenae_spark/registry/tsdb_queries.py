@@ -2479,6 +2479,141 @@ def rollup_kmv_roundtrip(spark, sf_dir):
 
 
 @q(
+    "rollup_qsample_roundtrip",
+    """
+SELECT * FROM (VALUES
+  ('n_1m_states', CAST(144 AS BIGINT)),
+  ('ladder_vs_direct_1h', CAST(1 AS BIGINT)),
+  ('ladder_vs_direct_1d', CAST(1 AS BIGINT)),
+  ('hourly_p50_all_exact', CAST(1 AS BIGINT)),
+  ('day0_p50_sampled_in_band', CAST(1 AS BIGINT)),
+  ('route_2h_picks_1h_rung', CAST(1 AS BIGINT))
+) AS t(what, n)
+""",
+)
+def rollup_qsample_roundtrip(spark, sf_dir):
+    """Mergeable QUANTILE state for the ladder (r8 VERDICT item 7): the
+    rollup lake's percentiles ride fixed histogram bins (bounded error,
+    tested); this is the principled companion at coarse rungs — a
+    BOTTOM-K SAMPLE BY POINT-IDENTITY HASH (Cohen & Kaplan PODC'07),
+    whose union + re-take-k merge is EXACTLY associative (the property
+    KLL/t-digest merges only approximate; pinned bit-for-bit by the
+    cascade==direct hypothesis test in test_rate_properties.py).
+
+    Same lifecycle shape as ``rollup_kmv_roundtrip``: 2 days of points at
+    20-min spacing (value = i), written as TWO interleaved batches so
+    micro-batch bucket splits are merged, not assumed; 1m → 1h → 1d
+    cascades (rung-from-rung, so associativity itself is under test).
+    Judged flags:
+
+    * 144 one-minute sample states (one point each — under-k exact);
+    * the cascaded 1h and 1d rungs read bucket-for-bucket IDENTICAL
+      (sample size AND p50) to re-merging the 1m states at read time;
+    * every 1h bucket (3 points < k=64: the sample IS the bucket) serves
+      the EXACT inverted-CDF median v_(⌈q·n⌉) = values {3i, 3i+1, 3i+2}
+      → 3i+1;
+    * day 0 overflows the sample (72 points > k) and its p50 estimates
+      the exact 35.0 within the O(1/√k) band (the md5-determined value
+      is fixed; the band keeps the oracle scale-free);
+    * ladder routing picks the 1h rung for a 2h quantile read.
+
+    At 100 TB a year-long `1d-p99` reads #series × 365 sample rows
+    (k values each) instead of raw points, with principled error instead
+    of bin-width error.  Constant oracle; collected so the frame
+    outlives the temp dir.  ``sf_dir`` unused — input synthesized,
+    scale-invariant."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from mycenae_spark.streaming.ingest import decode_json_lines, prepare_points
+    from mycenae_spark.streaming.rollup import (
+        cascade_qsample,
+        ladder_rung,
+        read_qsample_quantile,
+        write_qsample_batch,
+    )
+
+    BASE = 1704067200000  # 2024-01-01T00:00Z, day-aligned
+
+    def mk(idxs):
+        rows = [
+            (_json.dumps({
+                "metric": "qs.m",
+                "tags": {"ksid": "k1", "host": "h0"},
+                "timestamp": BASE + i * 20 * 60_000,
+                "value": float(i),
+            }),)
+            for i in idxs
+        ]
+        valid, _ = prepare_points(
+            decode_json_lines(spark.createDataFrame(rows, ["value"]))
+        )
+        return valid
+
+    base = tempfile.mkdtemp(prefix="qs_rt_")
+    try:
+        m_dir, h_dir, d_dir = (f"{base}/q{s}" for s in ("1m", "1h", "1d"))
+        # two interleaved batches: every 1h bucket spans both appends
+        write_qsample_batch(mk(range(0, 144, 2)), m_dir, 60_000)
+        write_qsample_batch(mk(range(1, 144, 2)), m_dir, 60_000)
+        cascade_qsample(spark, m_dir, h_dir, HOUR_MS)
+        cascade_qsample(spark, h_dir, d_dir, DAY_MS)  # rung-from-rung
+
+        n_m = spark.read.parquet(m_dir).count()
+
+        key = lambda r: (r["ksid"], r["tsid"], r["bucket_ms"])
+        val = lambda r: (r["n_sample"], round(r["value"], 9))
+        ladder_ok = {}
+        for rung_dir, iv in ((h_dir, HOUR_MS), (d_dir, DAY_MS)):
+            direct = {key(r): val(r) for r in read_qsample_quantile(
+                spark, m_dir, 0.5, interval_ms=iv).collect()}
+            rung = {key(r): val(r) for r in read_qsample_quantile(
+                spark, rung_dir, 0.5).collect()}
+            ladder_ok[iv] = 1 if rung == direct and rung else 0
+
+        hourly = {r["bucket_ms"]: (r["n_sample"], r["value"])
+                  for r in read_qsample_quantile(spark, h_dir, 0.5).collect()}
+        hourly_ok = 1 if len(hourly) == 48 and all(
+            n == 3 and abs(v - (3 * j + 1.0)) < 1e-9
+            for j, (b, (n, v)) in enumerate(sorted(hourly.items()))
+        ) else 0
+
+        day = {r["bucket_ms"]: (r["n_sample"], r["value"])
+               for r in read_qsample_quantile(spark, d_dir, 0.5).collect()}
+        d0_n, d0_v = day.get(BASE, (0, -1.0))
+        # exact median of 0..71 at q=.5 is v_36 = 35.0; k=64 of 72 points
+        # bounds the estimate within a few ranks of it
+        day0_ok = 1 if d0_n == 64 and 25.0 <= d0_v <= 45.0 else 0
+
+        rungs = {60_000: m_dir, HOUR_MS: h_dir, DAY_MS: d_dir}
+        iv, rung_dir = ladder_rung(rungs, 2 * HOUR_MS)
+        route_ok = 1 if (
+            (iv, rung_dir) == (HOUR_MS, h_dir)
+            and read_qsample_quantile(
+                spark, rung_dir, 0.5, interval_ms=2 * HOUR_MS
+            ).count() == 24
+        ) else 0
+
+        out = spark.createDataFrame(
+            [
+                ("n_1m_states", n_m),
+                ("ladder_vs_direct_1h", ladder_ok[HOUR_MS]),
+                ("ladder_vs_direct_1d", ladder_ok[DAY_MS]),
+                ("hourly_p50_all_exact", hourly_ok),
+                ("day0_p50_sampled_in_band", day0_ok),
+                ("route_2h_picks_1h_rung", route_ok),
+            ],
+            "what string, n long",
+        )
+        rows_out = out.collect()
+        schema = out.schema
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows_out, schema)
+
+
+@q(
     "stream_kmv_roundtrip",
     """
 SELECT * FROM (VALUES

@@ -953,6 +953,206 @@ def read_kmv_ladder(
     )
 
 
+# --------------------------------------------------- bottom-k value samples
+#
+# Mergeable QUANTILE state for the ladder (r8 VERDICT item 7): the rollup
+# lake's percentiles ride fixed histogram bins (bounded error, tested);
+# this is the principled mergeable companion at coarse rungs — a BOTTOM-K
+# SAMPLE BY HASH (Cohen & Kaplan, "Summarizing data using bottom-k
+# sketches", PODC'07): keep the (hash, value) pairs whose deterministic
+# per-POINT hash is among the k smallest.  That is a uniform
+# without-replacement sample of the bucket's points whose merge rule —
+# union + re-take-k — is EXACTLY associative (the k smallest hashes of a
+# coarse bucket are always among the k smallest of its fine buckets), so
+# cascade == direct holds bit-for-bit, the property KLL/t-digest merges
+# only approximate.  Quantiles come from the sampled values' empirical
+# inverted CDF: EXACT when the bucket holds ≤ k points (the sample is the
+# bucket), O(1/√k) quantile error beyond.  Identical md5 derivation on
+# both engines → hash-checkable, the KMV convention.
+
+QSAMPLE_K = 64
+
+
+def qsample_hash(tsid_col, ts_col) -> "F.Column":
+    """48-bit md5-prefix hash of the POINT IDENTITY (tsid, ts) — not the
+    value: sampling must pick points uniformly, and identity hashing makes
+    replayed batches merge to the same state (union dedupes).  48 bits
+    keep the conv() result positive in a signed long."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", tsid_col, F.unix_micros(ts_col).cast("string"))),
+            1, 12,
+        ),
+        16, 10,
+    ).cast("long")
+
+
+def qsample_batch(
+    valid: DataFrame,
+    interval_ms: int,
+    k: int = QSAMPLE_K,
+    series_cols: list[str] | None = None,
+) -> DataFrame:
+    """One micro-batch → per-(series, bucket) bottom-k value samples:
+    ``p_qs`` is the array of (hv, v) structs for the ≤ k smallest point
+    hashes, sorted by hash.  Same shape as ``kmv_batch``: per-group
+    window rank, state ≤ k entries per bucket, batch splits healed by
+    mergeability."""
+    from pyspark.sql import Window
+
+    series_cols = series_cols or ["ksid", "tsid", "metric"]
+    ts_us = F.unix_micros(F.col("ts"))
+    base = valid.withColumn("bucket_ms", bucket_ms_long(ts_us, interval_ms))
+    h = base.select(
+        *series_cols, "date", "bucket_ms",
+        F.struct(
+            qsample_hash(F.col("tsid"), F.col("ts")).alias("hv"),
+            F.col("value").alias("v"),
+        ).alias("_s"),
+    ).distinct()
+    w = Window.partitionBy(*series_cols, "date", "bucket_ms").orderBy("_s.hv")
+    return (
+        h.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .groupBy(*series_cols, "date", "bucket_ms")
+        .agg(F.sort_array(F.collect_list("_s")).alias("p_qs"))
+    )
+
+
+def write_qsample_batch(
+    valid: DataFrame,
+    qs_dir: str,
+    interval_ms: int,
+    k: int = QSAMPLE_K,
+    series_cols: list[str] | None = None,
+) -> None:
+    """Append a batch's sample states to the sketch lake (same (ksid,
+    date) partitioning as the point/rollup/KMV lakes → same pruning)."""
+    (
+        qsample_batch(valid, interval_ms, k, series_cols)
+        .write.mode("append")
+        .partitionBy("ksid", "date")
+        .parquet(qs_dir)
+    )
+
+
+def _qsample_retake(df: DataFrame, k: int, group_cols: list[str]) -> DataFrame:
+    """Union + re-take-k on the point-identity hash — the one merge rule,
+    shared by cascade and read (the `_kmv_retake` twin over (hv, v)
+    structs; sort_array orders by hv, the struct's first field)."""
+    from pyspark.sql import Window
+
+    ex = df.select(*group_cols, F.explode("p_qs").alias("_s")).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("_s.hv")
+    return (
+        ex.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .groupBy(*group_cols)
+        .agg(F.sort_array(F.collect_list("_s")).alias("p_qs"))
+    )
+
+
+def cascade_qsample(
+    spark,
+    src_dir: str,
+    dst_dir: str,
+    dst_interval_ms: int,
+    k: int = QSAMPLE_K,
+    series_cols: list[str] | None = None,
+    lake_dir: str | None = None,
+) -> None:
+    """Materialize a coarser sample rung from a finer one — the sample
+    twin of ``cascade_kmv``, sharing its pin/currency and guarded-swap
+    contract: re-bucket, union + re-take-k; exact by bottom-k
+    mergeability."""
+    import uuid
+
+    from mycenae_spark.streaming import commitlog
+
+    as_of_seq = None
+    if lake_dir is not None:
+        as_of_seq = commitlog.latest_seq(lake_dir)
+        src_as_of = _read_marker(src_dir).get("as_of_seq")
+        if src_as_of is None:
+            raise ValueError(
+                "cascade_qsample: source sample lake carries no as_of_seq "
+                "pin — run backfill_qsample on the source (or cascade from "
+                "a pinned rung) before cascading with currency tracking"
+            )
+        as_of_seq = min(as_of_seq, src_as_of)
+    series_cols = series_cols or ["ksid", "tsid", "metric"]
+    df = spark.read.parquet(src_dir).withColumn(
+        "bucket_ms",
+        F.col("bucket_ms") - (F.col("bucket_ms") % F.lit(dst_interval_ms)),
+    )
+    merged = _qsample_retake(df, k, [*series_cols, "date", "bucket_ms"])
+    tmp = dst_dir.rstrip("/") + f"_new_{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").partitionBy("ksid", "date").parquet(tmp)
+    _swap_in(tmp, dst_dir)
+    if as_of_seq is not None:
+        mark_rollup_coverage(
+            dst_dir, True, as_of_seq=as_of_seq, kind="qsample-cascade"
+        )
+
+
+def backfill_qsample(
+    spark,
+    lake_dir: str,
+    qs_dir: str,
+    interval_ms: int = 60_000,
+    k: int = QSAMPLE_K,
+    series_cols: list[str] | None = None,
+) -> dict:
+    """Build (or rebuild) the sample lake from a PINNED point snapshot —
+    the ``backfill_kmv`` contract verbatim: log-pinned cut, guarded swap,
+    marker-pinned ``as_of_seq``, currency via ``cascade_is_current``."""
+    import uuid
+
+    from mycenae_spark.streaming import snapshot as snap
+
+    as_of = snap.write_checkpoint(lake_dir, mode="full")
+    valid = snap.read_points_snapshot(spark, lake_dir, as_of=as_of)
+    states = qsample_batch(valid, interval_ms, k, series_cols)
+    tmp = qs_dir.rstrip("/") + f"_new_{uuid.uuid4().hex[:8]}"
+    states.write.mode("overwrite").partitionBy("ksid", "date").parquet(tmp)
+    n_states = spark.read.parquet(tmp).count()
+    _swap_in(tmp, qs_dir)
+    mark_rollup_coverage(qs_dir, True, as_of_seq=as_of, kind="qsample")
+    return {"as_of": as_of, "seq": as_of, "n_states": n_states}
+
+
+def read_qsample_quantile(
+    spark,
+    qs_dir: str,
+    q: float,
+    k: int = QSAMPLE_K,
+    series_cols: list[str] | None = None,
+    interval_ms: int | None = None,
+) -> DataFrame:
+    """Merged quantile estimate per (series, bucket): union the states
+    (micro-batch splits, dates, coarser buckets via ``interval_ms``),
+    re-take the bottom-k, then the empirical inverted CDF of the sampled
+    VALUES — ``v_(⌈q·n⌉)`` over the sorted sample, the same percentile
+    convention as the exact operator, so ≤ k-point buckets are EXACT.
+    Returns (series, bucket_ms, n_sample, value)."""
+    series_cols = series_cols or ["ksid", "tsid"]
+    df = spark.read.parquet(qs_dir)
+    if interval_ms is not None:
+        df = df.withColumn(
+            "bucket_ms",
+            F.col("bucket_ms") - (F.col("bucket_ms") % F.lit(interval_ms)),
+        )
+    merged = _qsample_retake(df, k, [*series_cols, "bucket_ms"])
+    vs = F.array_sort(F.transform("p_qs", lambda s: s["v"]))
+    n = F.size("p_qs")
+    idx = F.greatest(F.lit(1), F.ceil(F.lit(q) * n).cast("int"))
+    return merged.select(
+        *series_cols, "bucket_ms",
+        n.alias("n_sample"),
+        F.element_at(vs, idx).alias("value"),
+    )
+
+
 def read_rollup_series(spark, rollup_dir: str, df: DataFrame | None = None) -> DataFrame:
     """Rollup partials in the planner's column convention: ``metric``,
     ``tag_<k>`` columns (expanded from the carried tags map), ``bucket_ms``,

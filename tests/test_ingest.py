@@ -485,6 +485,73 @@ def test_kmv_cascade_inherits_pin_and_currency(spark, tmp_path):
                     lake_dir=lake)
 
 
+def test_qsample_backfill_pin_and_currency(spark, tmp_path):
+    """The bottom-k VALUE sample lake shares the KMV maintenance
+    contract (same _swap_in / marker / cascade_is_current machinery):
+    backfill pins, cascade inherits the pin and reads current, later
+    ingest stales both, the refresh cycle re-pins through the guarded
+    swap, and a pin-less source fails fast with the remedy."""
+    from mycenae_spark.streaming.ingest import (
+        decode_json_lines,
+        prepare_points,
+        write_points_batch,
+    )
+    from mycenae_spark.streaming.rollup import (
+        backfill_qsample,
+        cascade_is_current,
+        cascade_qsample,
+        read_qsample_quantile,
+        write_qsample_batch,
+    )
+
+    BASE = 1704067200000
+
+    def mk(n, base_i=0):
+        rows = [
+            (json.dumps({
+                "metric": "qc.m", "tags": {"ksid": "ks1"},
+                "timestamp": BASE + (base_i + i) * 60_000,
+                "value": float(base_i + i)}),)
+            for i in range(n)
+        ]
+        valid, _ = prepare_points(
+            decode_json_lines(spark.createDataFrame(rows, ["value"]))
+        )
+        return valid
+
+    lake, catalog, qs, rung1h = (
+        str(tmp_path / d) for d in ("lake", "cat", "qs", "qs1h")
+    )
+    write_points_batch(mk(30), lake, catalog, batch_id=0)
+    res = backfill_qsample(spark, lake, qs)
+    assert res["n_states"] == 30  # one point per 1m bucket
+    cascade_qsample(spark, qs, rung1h, 3_600_000, lake_dir=lake)
+    assert cascade_is_current(lake, rung1h)
+    canon = lambda d: {
+        r["bucket_ms"]: (r["n_sample"], r["value"]) for r in d.collect()
+    }
+    direct = canon(read_qsample_quantile(spark, qs, 0.5, interval_ms=3_600_000))
+    rung = canon(read_qsample_quantile(spark, rung1h, 0.5))
+    assert rung == direct and rung
+    # 30 points in hour 0 (values 0..29, under k): exact median v_15 = 14
+    assert rung[BASE] == (30, 14.0)
+
+    write_points_batch(mk(5, base_i=30), lake, catalog, batch_id=1)
+    assert not cascade_is_current(lake, rung1h)  # staled by new ingest
+
+    backfill_qsample(spark, lake, qs)  # guarded-swap rebuild
+    cascade_qsample(spark, qs, rung1h, 3_600_000, lake_dir=lake)
+    assert cascade_is_current(lake, rung1h)
+    rung2 = canon(read_qsample_quantile(spark, rung1h, 0.5))
+    assert rung2[BASE] == (35, 17.0)  # median of 0..34
+
+    pinless = str(tmp_path / "pinless")
+    write_qsample_batch(mk(10), pinless, 60_000)
+    with pytest.raises(ValueError, match="backfill_qsample"):
+        cascade_qsample(spark, pinless, str(tmp_path / "r2"), 3_600_000,
+                        lake_dir=lake)
+
+
 def test_refresh_ladder_rebuilds_only_stale_rungs(spark, tmp_path):
     """refresh_ladder: current rungs are skipped, stale rungs rebuild
     (rung-from-rung where a fresher finer rung divides), the refreshed

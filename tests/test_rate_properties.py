@@ -178,3 +178,87 @@ def test_kmv_cascade_equals_direct_sketch(spark, tmp_path_factory, data,
     direct = canon(kmv_batch(valid, coarse_ms, k=4))
     cascaded = canon(spark.read.parquet(rung_dir))
     assert cascaded == direct
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=points_strategy,
+       coarse_ms=st.sampled_from([300_000, 3_600_000, 86_400_000]))
+def test_qsample_cascade_equals_direct_sample(spark, tmp_path_factory, data,
+                                              coarse_ms):
+    """The bottom-k VALUE sample's ground-truth invariant (r8 VERDICT
+    item 7): cascading 1m sample states to a coarser grid is EXACTLY
+    sampling the raw points at that grid — the k smallest point-identity
+    hashes of a coarse bucket are always among the k smallest of its
+    fine buckets, so union + re-take-k loses nothing.  This is the
+    associativity KLL/t-digest merges only approximate; here it is
+    bit-exact on arbitrary point sets (duplicates, bucket splits,
+    multiple series).  Also pins quantile EXACTNESS under k: for ≤ k
+    point buckets the sample IS the bucket, so the p50 read equals the
+    exact inverted-CDF median of the raw points."""
+    import json as _json
+    import math
+
+    from mycenae_spark.streaming.ingest import decode_json_lines, prepare_points
+    from mycenae_spark.streaming.rollup import (
+        cascade_qsample,
+        qsample_batch,
+        read_qsample_quantile,
+    )
+
+    BASE = 1704067200000
+    # one value per (point identity): the sample dedupes on the identity
+    # hash (replay semantics), so the raw reference must too — colliding
+    # (ts, series) inputs are last-write-wins territory, not sampling's
+    data = [
+        (off, v, h)
+        for (off, h), v in {(o, hh): vv for o, vv, hh in data}.items()
+    ]
+    rows = [
+        (_json.dumps({
+            "metric": "qprop.m", "tags": {"ksid": "k1", "h": h},
+            "timestamp": BASE + off * 1000, "value": v,
+        }),)
+        for off, v, h in data
+    ]
+    valid, _ = prepare_points(
+        decode_json_lines(spark.createDataFrame(rows, ["value"]))
+    )
+    valid = valid.localCheckpoint(eager=True)
+
+    d = tmp_path_factory.mktemp("qs_prop")
+    fine_dir, rung_dir = str(d / "fine"), str(d / "rung")
+    qsample_batch(valid, 60_000, k=4).write.mode("overwrite").partitionBy(
+        "ksid", "date").parquet(fine_dir)
+    cascade_qsample(spark, fine_dir, rung_dir, coarse_ms, k=4)
+
+    canon = lambda df: {
+        (r["tsid"], r["date"], r["bucket_ms"]):
+            tuple((s["hv"], s["v"]) for s in r["p_qs"])
+        for r in df.collect()
+    }
+    direct = canon(qsample_batch(valid, coarse_ms, k=4))
+    cascaded = canon(spark.read.parquet(rung_dir))
+    assert cascaded == direct
+
+    # exact-under-k: with k >= #points, p50 == the exact inverted-CDF
+    # median of the raw points per (series, coarse bucket)
+    big_dir = str(d / "big")
+    qsample_batch(valid, coarse_ms, k=64).write.mode("overwrite").partitionBy(
+        "ksid", "date").parquet(big_dir)
+    got = {
+        (r["tsid"], r["bucket_ms"]): (r["n_sample"], r["value"])
+        for r in read_qsample_quantile(spark, big_dir, 0.5, k=64).collect()
+    }
+    raw: dict = {}
+    for r in valid.collect():
+        ts_ms = r["ts"].timestamp() * 1000
+        b = int(ts_ms // coarse_ms) * coarse_ms
+        raw.setdefault((r["tsid"], b), []).append(r["value"])
+    assert set(got) == set(raw)
+    for key, vals in raw.items():
+        vs = sorted(vals)
+        exact = vs[max(1, math.ceil(0.5 * len(vs))) - 1]
+        n, est = got[key]
+        assert n == len(vals)  # under k: the sample IS the bucket
+        assert est == pytest.approx(exact, rel=1e-9), (key, vs, got[key])
