@@ -117,6 +117,22 @@ _ALL_QUERIES = {
     **tsdb_queries.QUERIES,
 }
 
+#: Ids whose SEMANTICS changed since their newest green driver row — a
+#: green for the old form is not evidence for the new one, so they rank
+#: with the never-checked class until a fresh row lands.  Membership is
+#: hand-curated per redeclaration (the one legitimate manual input to the
+#: otherwise-derived rotation) and must be pruned once re-verified:
+#: entries whose newest driver row is >= the round of redeclaration are
+#: treated as ordinary greens again (self-cleaning — see _rotation_key).
+#:
+#: r9: both r8-VERDICT "weak" quadratics were recomposed into their scale
+#: forms (full corpus, LSH-bucket verify / df-cut) with new output
+#: semantics for dedup_embedding_cosine.
+REDECLARED: dict[str, int] = {
+    "dedup_embedding_cosine": 9,
+    "dedup_ngram_containment": 9,
+}
+
 _HISTORY = _driver_history()
 _DECL_IDX = {k: i for i, k in enumerate(_ALL_QUERIES)}
 
@@ -129,6 +145,12 @@ def _rotation_key(qid: str) -> tuple[int, int, int]:
     rnd, green = h
     if not green:
         return (0, rnd, _DECL_IDX[qid])  # red: re-check first
+    if rnd < REDECLARED.get(qid, 0):
+        # green predates a semantic redeclaration: not evidence for the
+        # current form — rank with the never-checked class; once a row
+        # from the redeclaration round (or later) lands, this branch
+        # stops firing and the entry is dead weight to prune
+        return (1, 0, _DECL_IDX[qid])
     return (2, rnd, _DECL_IDX[qid])  # green: stalest first
 
 

@@ -95,6 +95,7 @@ def test_verification_window_composition():
         _ALL_QUERIES,
         _HISTORY,
         DRIVER_WINDOW,
+        REDECLARED,
         _rotation_key,
     )
 
@@ -102,15 +103,21 @@ def test_verification_window_composition():
     assert set(ids) == set(_ALL_QUERIES)
     assert ids == sorted(ids, key=_rotation_key)
 
+    def stale_redeclared(k):
+        # a green predating a semantic redeclaration ranks as unchecked
+        return k in _HISTORY and _HISTORY[k][0] < REDECLARED.get(k, 0)
+
     window = set(ids[:DRIVER_WINDOW])
     reds = [k for k in ids if k in _HISTORY and not _HISTORY[k][1]]
-    never = [k for k in ids if k not in _HISTORY]
+    never = [k for k in ids if k not in _HISTORY or stale_redeclared(k)]
     if len(reds) + len(never) <= DRIVER_WINDOW:
         out = [k for k in reds + never if k not in window]
         assert not out, f"red/never-checked ids outside the window: {out}"
 
     green_rounds = [
-        _HISTORY[k][0] for k in ids if k in _HISTORY and _HISTORY[k][1]
+        _HISTORY[k][0]
+        for k in ids
+        if k in _HISTORY and _HISTORY[k][1] and not stale_redeclared(k)
     ]
     assert green_rounds == sorted(green_rounds), (
         "green ids are not stalest-first"
