@@ -103,6 +103,11 @@ HEADLINE = [
     "window_holt",
     "window_zscore",
     "window_holtwinters",
+    # round 9
+    "dedup_span_exact",
+    "dedup_embedding_cosine",
+    "text_bpe_train",
+    "text_bpe_tokenize",
 ]
 
 
