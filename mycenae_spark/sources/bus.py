@@ -75,14 +75,22 @@ def publish(topic_dir: str, partition: int, values: list[str]) -> str:
     committed (renamed) segments, so a torn publish is invisible — the
     same append-then-move discipline as the point lake.
 
-    Segment name ``<seq10>-<count>.jsonl``: seq is one past the last
-    committed segment (single producer per partition, the Kafka model;
-    multi-producer fan-in goes through separate partitions)."""
+    Segment name ``<seq10>-<start>-<count>.jsonl``: seq is one past the
+    last committed segment (single producer per partition, the Kafka
+    model; multi-producer fan-in goes through separate partitions) and
+    ``start`` is the segment's ABSOLUTE base offset — offsets are
+    filename facts, not cumulative sums, so retention GC of consumed
+    head segments (``gc_topic``) can never shift live offsets, exactly
+    like Kafka's log-segment base offsets."""
     pdir = os.path.join(topic_dir, f"p={partition}")
     os.makedirs(pdir, exist_ok=True)
-    seqs = [int(f.split("-")[0]) for f in _segments(pdir)]
-    seq = (max(seqs) + 1) if seqs else 0
-    name = f"{seq:010d}-{len(values)}.jsonl"
+    segs = _segments(pdir)
+    if segs:
+        seq = _seg_info(segs[-1])[0] + 1
+        start = _seg_info(segs[-1])[1] + _seg_info(segs[-1])[2]
+    else:
+        seq, start = 0, 0
+    name = f"{seq:010d}-{start}-{len(values)}.jsonl"
     tmp = os.path.join(pdir, f".{name}.tmp")
     with open(tmp, "w") as f:
         for v in values:
@@ -103,6 +111,12 @@ def _segments(pdir: str) -> list[str]:
     )
 
 
+def _seg_info(name: str) -> tuple[int, int, int]:
+    """(seq, start offset, message count) from a segment filename."""
+    seq, start, count = name[: -len(".jsonl")].split("-")
+    return int(seq), int(start), int(count)
+
+
 def _partition_dirs(topic_dir: str) -> dict[str, str]:
     try:
         names = os.listdir(topic_dir)
@@ -116,12 +130,29 @@ def _partition_dirs(topic_dir: str) -> dict[str, str]:
 
 
 def _latest_offsets(topic_dir: str) -> dict:
-    """Per-partition message counts from segment FILENAMES — a listing,
-    never a read (the latestOffset hot path runs once per micro-batch)."""
-    return {
-        p: sum(int(s.split("-")[1].split(".")[0]) for s in _segments(d))
-        for p, d in _partition_dirs(topic_dir).items()
-    }
+    """Per-partition end offsets from segment FILENAMES — a listing,
+    never a read (the latestOffset hot path runs once per micro-batch).
+    The end offset is the LAST segment's start+count (absolute), so it
+    never regresses under head-segment GC."""
+    out = {}
+    for p, d in _partition_dirs(topic_dir).items():
+        segs = _segments(d)
+        if segs:
+            _, start, count = _seg_info(segs[-1])
+            out[p] = start + count
+        else:
+            out[p] = 0
+    return out
+
+
+def _earliest_offsets(topic_dir: str) -> dict:
+    """Per-partition earliest RETAINED offset (the first segment's base)
+    — where a brand-new checkpoint starts on a GC'd topic."""
+    out = {}
+    for p, d in _partition_dirs(topic_dir).items():
+        segs = _segments(d)
+        out[p] = _seg_info(segs[0])[1] if segs else 0
+    return out
 
 
 # ------------------------------------------------------------------ readers
@@ -136,13 +167,11 @@ class BusInputPartition(InputPartition):
 
 def _read_range(pdir: str, partition: int, start: int, end: int) -> Iterator[tuple]:
     """Yield (value, partition, offset) for offsets in [start, end) —
-    skipping whole segments via their filename counts, opening only the
-    segments the range overlaps."""
-    base = 0
+    skipping whole segments via their filename base offsets (absolute,
+    GC-safe), opening only the segments the range overlaps."""
     for seg in _segments(pdir):
-        n = int(seg.split("-")[1].split(".")[0])
+        _, base, n = _seg_info(seg)
         if base + n <= start:
-            base += n
             continue
         if base >= end:
             break
@@ -154,7 +183,6 @@ def _read_range(pdir: str, partition: int, start: int, end: int) -> Iterator[tup
                 if off >= end:
                     break
                 yield (line.rstrip("\n"), partition, off)
-        base += n
 
 
 class BusStreamReader(DataSourceStreamReader):
@@ -162,9 +190,12 @@ class BusStreamReader(DataSourceStreamReader):
         self.topic_dir = topic_dir
 
     def initialOffset(self) -> dict:
-        # earliest: every currently-known partition from 0; partitions
-        # created later are picked up by partitions() (absent-in-start = 0)
-        return {p: 0 for p in _partition_dirs(self.topic_dir)}
+        # earliest RETAINED offset per currently-known partition (0 on a
+        # never-GC'd topic); partitions created later are picked up by
+        # partitions() (absent-in-start = 0 — their offsets start at 0
+        # because GC keeps at least one segment, so a partition can only
+        # have a nonzero earliest AFTER some checkpoint already read it)
+        return _earliest_offsets(self.topic_dir)
 
     def latestOffset(self) -> dict:
         return _latest_offsets(self.topic_dir)
@@ -204,11 +235,12 @@ class BusBatchReader(DataSourceReader):
 
     def partitions(self) -> Sequence[InputPartition]:
         ends = _latest_offsets(self.topic_dir)
+        starts = _earliest_offsets(self.topic_dir)
         dirs = _partition_dirs(self.topic_dir)
         out = [
-            BusInputPartition(dirs[p], int(p), 0, int(e))
+            BusInputPartition(dirs[p], int(p), int(starts.get(p, 0)), int(e))
             for p, e in sorted(ends.items())
-            if e > 0
+            if e > starts.get(p, 0)
         ]
         # Spark requires >= 1 partition from a batch reader (an empty list
         # still schedules one None task): an empty topic reads as one
@@ -250,3 +282,88 @@ def register(spark) -> None:
     """Idempotently register the source with a session."""
     _register_by_value()
     spark.dataSource.register(BusDataSource)
+
+
+def start_bus_ingest(
+    spark,
+    topic_dir: str,
+    lake_dir: str,
+    catalog_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    rollup_dir: str | None = None,
+    rollup_interval_ms: int = 60_000,
+):
+    """The bus-fed twin of ``streaming.ingest.start_ingest``: readStream
+    over the bus source → production JSON decoder → the SAME
+    ``write_points_batch`` two-phase-commit sink (points + rollup
+    partials + catalog merge under one manifest).  Exactly-once end to
+    end: the source replays checkpointed offset ranges, the sink's
+    batch-id manifests make re-delivered micro-batches idempotent.
+    Batch ids are prefixed ``bus-`` so replays can never collide with a
+    file-source ingest sharing the lake."""
+    from pyspark.sql import DataFrame
+
+    from mycenae_spark.streaming.ingest import (
+        decode_json_lines,
+        prepare_points,
+        write_points_batch,
+    )
+
+    register(spark)
+    raw = (
+        spark.readStream.format("mycenae_bus").option("path", topic_dir)
+        .load()
+        .select("value")
+    )
+    decoded = decode_json_lines(raw)
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        valid, _invalid = prepare_points(batch)
+        write_points_batch(
+            valid,
+            lake_dir,
+            catalog_dir,
+            batch_id=f"bus-{batch_id}",
+            rollup_dir=rollup_dir,
+            rollup_interval_ms=rollup_interval_ms,
+        )
+
+    writer = decoded.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def gc_topic(topic_dir: str, keep_segments: int = 2) -> int:
+    """Drop head segments FULLY CONSUMED per the ``_committed.json``
+    consumer-offset marker, keeping at least the newest
+    ``keep_segments`` (min 1) per partition regardless — replay headroom
+    for a checkpoint slightly behind the marker (the marker trails batch
+    completion by design), and an anchor for the absolute offset line.
+    Safe BECAUSE offsets are segment-filename facts (base + count), not
+    cumulative sums — removal cannot shift a surviving offset.  Returns
+    the number of segments removed.  Correctness never depends on this:
+    the Spark checkpoint owns replay, and a range read over a GC'd
+    segment means the OPERATOR chose a retention shorter than their
+    checkpoint lag — the same contract as commit-log truncation."""
+    keep_segments = max(1, keep_segments)
+    marker = os.path.join(topic_dir, "_committed.json")
+    try:
+        with open(marker) as f:
+            committed = json.load(f)
+    except (OSError, ValueError):
+        return 0
+    removed = 0
+    for p, pdir in _partition_dirs(topic_dir).items():
+        limit = int(committed.get(p, 0))
+        segs = _segments(pdir)
+        for seg in segs[: max(0, len(segs) - keep_segments)]:
+            _, base, n = _seg_info(seg)
+            if base + n > limit:
+                break  # not fully consumed; later segments aren't either
+            os.unlink(os.path.join(pdir, seg))
+            removed += 1
+    return removed

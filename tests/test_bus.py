@@ -18,9 +18,12 @@ def test_publish_is_atomic_and_ordered(tmp_path):
     bus.publish(topic, 0, ["c"])
     # torn publish: a dot-prefixed temp file must be invisible to readers
     pdir = os.path.join(topic, "p=0")
-    with open(os.path.join(pdir, ".9999999999-9.jsonl.tmp"), "w") as f:
+    with open(os.path.join(pdir, ".9999999999-0-9.jsonl.tmp"), "w") as f:
         f.write("torn\n")
-    assert bus._segments(pdir) == ["0000000000-2.jsonl", "0000000001-1.jsonl"]
+    # segment names carry (seq, absolute base offset, count)
+    assert bus._segments(pdir) == [
+        "0000000000-0-2.jsonl", "0000000001-2-1.jsonl"
+    ]
     assert bus._latest_offsets(topic) == {"0": 3}
     # embedded newlines cannot corrupt framing (one message = one line)
     bus.publish(topic, 1, ["x\ny"])
@@ -92,3 +95,75 @@ def test_stream_replay_and_new_partition(spark, tmp_path):
         out.groupBy("partition", "offset").count().filter("count > 1").count()
         == 0
     )
+
+
+def test_gc_topic_preserves_absolute_offsets(tmp_path):
+    """Retention GC of consumed head segments must not shift a single
+    surviving offset (offsets are segment-filename base facts, Kafka's
+    log-segment model) — and new checkpoints start at the earliest
+    RETAINED offset, never a regressed zero."""
+    import json
+
+    topic = str(tmp_path / "t")
+    bus.publish(topic, 0, [f"m{i}" for i in range(3)])   # offsets 0-2
+    bus.publish(topic, 0, [f"m{i}" for i in range(3, 5)])  # 3-4
+    bus.publish(topic, 0, [f"m{i}" for i in range(5, 9)])  # 5-8
+    # consumer committed through offset 5 (mid third segment)
+    with open(os.path.join(topic, "_committed.json"), "w") as f:
+        json.dump({"0": 5}, f)
+    removed = bus.gc_topic(topic, keep_segments=1)
+    assert removed == 2  # first two fully-consumed segments dropped
+    # latest/earliest reflect the absolute line, not a re-sum
+    assert bus._latest_offsets(topic) == {"0": 9}
+    assert bus._earliest_offsets(topic) == {"0": 5}
+    pdir = os.path.join(topic, "p=0")
+    got = list(bus._read_range(pdir, 0, 5, 9))
+    assert [(v, o) for v, _, o in got] == [
+        ("m5", 5), ("m6", 6), ("m7", 7), ("m8", 8)
+    ]
+    # publishing after GC continues the absolute line
+    bus.publish(topic, 0, ["m9"])
+    assert bus._latest_offsets(topic) == {"0": 10}
+    # keep_segments floor: never delete the last anchor segment
+    with open(os.path.join(topic, "_committed.json"), "w") as f:
+        json.dump({"0": 10}, f)
+    bus.gc_topic(topic, keep_segments=0)
+    assert bus._segments(pdir), "anchor segment must survive"
+
+
+def test_start_bus_ingest_end_to_end(spark, tmp_path):
+    """The composed path: bus topic → custom source → production JSON
+    decoder → two-phase-commit lake write; replay with the same
+    checkpoint adds nothing; new messages flow incrementally."""
+    import json
+
+    from mycenae_spark.sources.bus import start_bus_ingest
+
+    BASE = 1704067200000
+    topic, lake, catalog, ck = (
+        str(tmp_path / d) for d in ("topic", "lake", "cat", "ck")
+    )
+
+    def msg(i):
+        return json.dumps({
+            "metric": "bus.e2e", "tags": {"ksid": "k1", "host": f"h{i%2}"},
+            "timestamp": BASE + i * 60_000, "value": float(i),
+        })
+
+    bus.publish(topic, 0, [msg(i) for i in range(6)])
+    q = start_bus_ingest(spark, topic, lake, catalog, ck)
+    q.awaitTermination(120)
+    assert spark.read.parquet(lake).count() == 6
+    # replay: nothing new
+    q = start_bus_ingest(spark, topic, lake, catalog, ck)
+    q.awaitTermination(120)
+    assert spark.read.parquet(lake).count() == 6
+    # incremental
+    bus.publish(topic, 0, [msg(i) for i in range(6, 9)])
+    q = start_bus_ingest(spark, topic, lake, catalog, ck)
+    q.awaitTermination(120)
+    out = spark.read.parquet(lake)
+    assert out.count() == 9
+    assert out.select("value").distinct().count() == 9
+    # catalog got the two series, once each
+    assert spark.read.parquet(catalog).select("tsid").distinct().count() == 2
