@@ -290,3 +290,44 @@ def test_topk_series_is_take_ordered(spark):
     exchange of the full series aggregate exists."""
     plan = _plan(spark, "topk_series_by_sum")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_span_dedup_no_cartesian_keyed_stages(spark):
+    """dedup_span_exact's scale contract: the postings self-join is keyed
+    on the gram (never a cartesian product), the df-cut aggregate is a
+    hash agg, and the islands window partitions by (pair, diagonal) —
+    no single-partition exchange anywhere."""
+    plan = _plan(spark, "dedup_span_exact")
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_ngram_containment_broadcasts_stop_list(spark):
+    """The df-cut's plan shape (shared with jaccard_dfcut): the Zipf-head
+    stop-gram list broadcasts into a left-anti join, so the postings are
+    filtered with zero extra shuffle of the postings themselves."""
+    plan = _plan(spark, "dedup_ngram_containment")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_embedding_cosine_verdicts_broadcast_verdict_join(spark):
+    """The recomposed dedup_embedding_cosine: the per-vector verdict side
+    (#dups ≪ corpus) broadcasts onto the id column, and the LSH plane
+    frame broadcasts as in the pair helper — no corpus-sized shuffle
+    join appears on the verdict path."""
+    plan = _plan(spark, "dedup_embedding_cosine")
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_bpe_tokenize_vocab_scoring_join(spark):
+    """text_bpe_tokenize's scale contract: merges apply to the distinct-
+    word frame (vocab-bounded hash aggregates), scoring is a token-keyed
+    join, and no single-partition exchange exists — the corpus never
+    funnels through one task."""
+    plan = _plan(spark, "text_bpe_tokenize")
+    assert "SinglePartition" not in plan
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
