@@ -7,15 +7,20 @@ prep flow — every stage a DataFrame program, so the whole pipeline is one
 lazy plan until the final actions:
 
     quality filter  →  repetition filter  →  exact dedup
+        →  span-level dedup (repeated-passage excision candidates)
         →  semantic dedup (SemDeDup, keep-best-per-group)
         →  benchmark decontamination
-        →  deterministic split  →  mixing weights  →  sequence packing
+        →  deterministic split  →  mixing weights
+        →  BPE train + tokenize  →  sequence packing (BPE token counts)
 
 Run order matters the way it does in production: cheap scan-bound filters
 first (quality/repetition are zero-shuffle — they shrink everything
 downstream), content dedup before semantic dedup (exact copies would waste
-cluster pair budget), decontamination after dedup (fewer docs to shingle),
-splits/packing last (they must see the final corpus).
+cluster pair budget), span dedup after exact (whole-copy pairs are gone, so
+spans flag genuine boilerplate/quotes), decontamination after dedup (fewer
+docs to shingle), splits last (they must see the final corpus), and packing
+counts tokens with the TRAINED tokenizer — whitespace counts mis-size
+sequences by the subword fertility factor.
 """
 
 from __future__ import annotations
@@ -59,6 +64,22 @@ def main() -> None:
     keep = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
     docs = docs.join(keep.select("doc_id"), "doc_id")
     n_exact = docs.count()
+
+    # 3b. Span-level dedup (r9, Lee et al. 2107.06499): maximal repeated
+    # ≥8-token passages across the surviving docs.  A production run
+    # excises the spans; here the near-copy class (a span covering most
+    # of a short doc) drops the higher doc_id, and the rest are counted
+    # as excision candidates.
+    from mycenae_spark.functions.dedup import repeated_span_pairs
+
+    spans = repeated_span_pairs(docs, "doc_id", "text", k=8, max_df=20)
+    near_copy = (
+        spans.filter(F.col("len_toks") >= 24)
+        .select(F.col("doc_b").alias("doc_id")).distinct()
+    )
+    n_span_pairs = spans.count()
+    docs = docs.join(near_copy, "doc_id", "left_anti")
+    n_span = docs.count()
 
     # 4. Semantic dedup, keep-BEST per duplicate group (r8 — the CCNet-
     # style argmax upgrade over keep-min-id): connected components over
@@ -115,15 +136,28 @@ def main() -> None:
         F.round(pa / F.sum(pa).over(w), 4).alias("weight"),
     ).collect()
 
-    # 8. Pack the train split into 2048-token sequences (md5-bucketed).
+    # 7b. Train the tokenizer on the TRAIN split and tokenize with it
+    # (r9): packing must count the tokens the model will actually see —
+    # whitespace counts mis-size sequences by the subword fertility.
+    from mycenae_spark.functions.bpe import bpe_token_counts, learn_merges
+
+    train = split.filter(F.col("split") == "train")
+    merges = learn_merges(train, n_merges=20)
+    bpe_counts = bpe_token_counts(train, merges)  # (doc_id, n_tokens, ...)
+    fertility = bpe_counts.agg(
+        (F.sum("n_tokens") / F.sum("n_words")).alias("f")
+    ).collect()[0]["f"]
+
+    # 8. Pack the train split into 2048-token sequences (md5-bucketed),
+    # sized by the TRAINED tokenizer's counts.
     h = F.md5(F.concat(F.lit("prep1|"), F.col("doc_id").cast("string")))
     wb = (
         Window.partitionBy("bucket").orderBy("h", "doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     packed = (
-        split.filter(F.col("split") == "train")
-        .select("doc_id", token_count_ws("text").alias("n_toks"),
+        train.join(bpe_counts.select("doc_id", "n_tokens"), "doc_id")
+        .select("doc_id", F.col("n_tokens").alias("n_toks"),
                 F.substring(h, 1, 1).alias("bucket"), h.alias("h"))
         .withColumn("cum", F.sum("n_toks").over(wb))
         .withColumn("seq_id", F.expr("(cum - n_toks) div 2048"))
@@ -134,10 +168,12 @@ def main() -> None:
     print(f"documents                {n0}")
     print(f"after quality+repetition {n_quality}")
     print(f"after exact dedup        {n_exact}")
+    print(f"repeated spans flagged   {n_span_pairs} (near-copies dropped -> {n_span})")
     print(f"after semantic dedup     {n_sem}")
     print(f"after decontamination    {n_clean}")
     for r in sorted(mix, key=lambda r: -r["weight"]):
         print(f"mix weight {r['lang']}: {r['weight']} ({r['n_tokens']} tokens)")
+    print(f"BPE merges trained       {len(merges)} (fertility {fertility:.2f} tok/word)")
     print(f"train sequences (2048t)  {n_seqs}")
 
 
