@@ -181,6 +181,53 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     return agged.select(id_col, sig.alias("simhash"))
 
 
+def _gram_postings(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int,
+    max_df: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared inverted-index scaffolding for the n-gram pair operators
+    (jaccard / containment): (postings, per-doc sizes) over DISTINCT
+    n-gram sets, with the optional document-frequency cut applied to
+    BOTH — one copy, so a fix to the cut or checkpoint behavior cannot
+    silently diverge between the two score functions.
+
+    * token array pre-projected: the shingle lambda references ONE
+      attribute, not n inlined copies of split() (see shingles());
+    * with ``max_df``: the postings feed FIVE consumers (stop list,
+      anti-join, sizes, both self-join branches) — a lazy
+      localCheckpoint materializes the tokenize→shingle pipeline once
+      instead of per branch (measured 2.7 s → 1.5 s at sf0.1; at corpus
+      scale the materialization is the same bytes a shuffle would
+      spill anyway);
+    * the stop-gram list (df > max_df) is the Zipf head — TINY — and
+      its groupBy partial-aggregates map-side, so broadcasting it into
+      a left_anti join filters the postings with ZERO shuffle of inv;
+      sizes are then counted over the FILTERED postings (the score
+      denominators live in the df-cut vocabulary on both engines)."""
+    g = df.select(
+        id_col, tokens(text_col).alias("_toks")
+    ).filter(F.size("_toks") >= ngram).select(
+        id_col, F.array_distinct(shingles(F.col("_toks"), ngram)).alias("_g")
+    )
+    inv = g.select(id_col, F.explode("_g").alias("_gram"))
+    if max_df is not None:
+        inv = inv.localCheckpoint(eager=False)
+        stop = (
+            inv.groupBy("_gram")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_df)
+            .select("_gram")
+        )
+        inv = inv.join(F.broadcast(stop), "_gram", "left_anti")
+        sizes = inv.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz"))
+    else:
+        sizes = g.select(id_col, F.size("_g").alias("_sz"))
+    return inv, sizes
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -201,36 +248,7 @@ def ngram_jaccard_pairs(
     df-filtered vocabulary — the standard stop-shingle semantics, and a form
     the SQL oracle expresses identically.
     """
-    g = df.select(
-        id_col, tokens(text_col).alias("_toks")
-    ).filter(F.size("_toks") >= ngram).select(
-        # pre-projected token array: the lambda references ONE attribute,
-        # not n inlined copies of split() (see shingles() docstring)
-        id_col, F.array_distinct(shingles(F.col("_toks"), ngram)).alias("_g")
-    )
-    inv = g.select(id_col, F.explode("_g").alias("_gram"))
-    if max_df is not None:
-        # The postings feed FIVE consumers (stop list, anti-join, sizes, and
-        # both self-join branches); a lazy localCheckpoint materializes the
-        # tokenize→shingle pipeline once instead of recomputing it per
-        # branch — measured 2.7 s → 1.5 s at sf0.1, and at corpus scale the
-        # materialization is the same bytes a shuffle would spill anyway.
-        inv = inv.localCheckpoint(eager=False)
-        # Stop-gram list = grams with df > max_df: TINY by construction
-        # (it's the head of the Zipf curve), and the groupBy partial-
-        # aggregates map-side so its shuffle carries (gram, count) per
-        # distinct gram — never the postings.  Broadcasting it into a
-        # left_anti join filters the postings with ZERO shuffle of inv.
-        stop = (
-            inv.groupBy("_gram")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") > max_df)
-            .select("_gram")
-        )
-        inv = inv.join(F.broadcast(stop), "_gram", "left_anti")
-        sizes = inv.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz"))
-    else:
-        sizes = g.select(id_col, F.size("_g").alias("_sz"))
+    inv, sizes = _gram_postings(df, id_col, text_col, ngram, max_df)
     a = inv.select(F.col(id_col).alias("doc_a"), "_gram")
     b = inv.select(F.col(id_col).alias("doc_b"), "_gram")
     common = (
@@ -270,25 +288,9 @@ def ngram_containment_pairs(
     gram contributes d² join rows), so both |A∩B| and |A| are over the
     df-filtered vocabulary — the standard stop-shingle semantics, SQL-
     mirrorable.  The stop list is Zipf-head tiny → broadcast anti-join,
-    zero shuffle of the postings."""
-    g = df.select(
-        id_col, tokens(text_col).alias("_toks")
-    ).filter(F.size("_toks") >= ngram).select(
-        id_col, F.array_distinct(shingles(F.col("_toks"), ngram)).alias("_g")
-    )
-    inv = g.select(id_col, F.explode("_g").alias("_gram"))
-    if max_df is not None:
-        inv = inv.localCheckpoint(eager=False)  # see ngram_jaccard_pairs
-        stop = (
-            inv.groupBy("_gram")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") > max_df)
-            .select("_gram")
-        )
-        inv = inv.join(F.broadcast(stop), "_gram", "left_anti")
-        sizes = inv.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz"))
-    else:
-        sizes = g.select(id_col, F.size("_g").alias("_sz"))
+    zero shuffle of the postings (plan shape shared with
+    :func:`ngram_jaccard_pairs` via ``_gram_postings``)."""
+    inv, sizes = _gram_postings(df, id_col, text_col, ngram, max_df)
     a = inv.select(F.col(id_col).alias("doc_a"), "_gram")
     b = inv.select(F.col(id_col).alias("doc_b"), "_gram")
     common = (

@@ -133,9 +133,9 @@ def decode_media(
     # — the same fix pyspark documents for "module not found on workers".
     import sys as _sys
 
-    from pyspark import cloudpickle as _cp
+    from mycenae_spark.pickling import register_module_by_value
 
-    _cp.register_pickle_by_value(_sys.modules[__name__])
+    register_module_by_value(_sys.modules[__name__])
 
     if kernel is None:
         if not decode_stub:
@@ -236,9 +236,9 @@ def resize_media(
     shape — skew bucketing, byte-bounded batches, schema — is real."""
     import sys as _sys
 
-    from pyspark import cloudpickle as _cp
+    from mycenae_spark.pickling import register_module_by_value
 
-    _cp.register_pickle_by_value(_sys.modules[__name__])
+    register_module_by_value(_sys.modules[__name__])
 
     if not decode_stub:  # pragma: no cover - real-codec path
         def kernel(pdf):

@@ -307,15 +307,24 @@ class Engine:
         d["order"] = list(d["order"])
         return json.dumps(d, sort_keys=True, default=str)
 
-    def _metric_generation(self, metric: str, head: int) -> int:
-        """The newest commit seq that could have changed ``metric``'s
-        answers: per-metric heads come from points-append entries'
-        ``metrics`` footprints; every OTHER commit kind (compaction,
-        catalog rewrite, TTL drop, rollup backfill, legacy/over-cap
-        appends with no footprint) raises the conservative wildcard
-        floor shared by all metrics.  Derived incrementally from the
-        commit log and memoized under the cache lock — one log-tail scan
-        per head advance, shared by every subquery."""
+    def _metric_generation(self, metric: str, head: int) -> int | None:
+        """The newest commit seq ≤ ``head`` that could have changed
+        ``metric``'s answers: per-metric heads come from points-append
+        entries' ``metrics`` footprints; every OTHER commit kind
+        (compaction, catalog rewrite, TTL drop, rollup backfill,
+        legacy/over-cap appends with no footprint) raises the
+        conservative wildcard floor shared by all metrics.  Derived
+        incrementally from the commit log and memoized under the cache
+        lock — one log-tail scan per head advance, shared by every
+        subquery.
+
+        Returns ``None`` when the memo has already advanced PAST this
+        request's pinned head (a concurrent writer + query raced in
+        between): the memo would then report generations NEWER than the
+        snapshot this request reads at, and caching those rows under the
+        future generation would serve pre-write answers after the write
+        (review finding r9).  The caller skips caching — correct, and
+        the race is rare."""
         from mycenae_spark.streaming import commitlog
 
         with self._result_cache_lock:
@@ -337,6 +346,8 @@ class Engine:
                         for m in mets:
                             heads[m] = seq
                 self._metric_heads = (head, heads, floor)
+            elif head < scanned:
+                return None  # memo ahead of this request's pinned head
             return max(floor, heads.get(metric, 0))
 
     def _query_subqueries(self, body: dict, now_ms: int, head) -> list:
@@ -352,13 +363,22 @@ class Engine:
         out = []
         pts = rollup = None
         frames_built = False
+        # Reset the degraded-reads flag ONCE, before any read can set it:
+        # the snapshot fallbacks fire during FRAME RESOLUTION
+        # (_build_frames → _points/_read_catalog/rollup read), so a reset
+        # after the build would launder a NoBaseline directory fallback
+        # into every subquery's cache entry (review finding r9 — the
+        # exact torn-answer-pinned-for-a-generation class the flag
+        # guards).  Frames are shared across subqueries, so once any
+        # read degrades, NOTHING from this request may cache.
+        self._degraded_reads.flag = False
         for q in parse_query_request(body, now_ms):
             key = None
             if head is not None:
-                key = (
-                    self._canonical_subquery(q),
-                    self._metric_generation(q.metric, head),
-                )
+                gen = self._metric_generation(q.metric, head)
+                if gen is not None:
+                    key = (self._canonical_subquery(q), gen)
+            if key is not None:
                 with self._result_cache_lock:
                     hit = self._result_cache.get(key)
                 if hit is not None:
@@ -369,7 +389,6 @@ class Engine:
             if not frames_built:
                 pts, rollup = self._build_frames()
                 frames_built = True
-            self._degraded_reads.flag = False
             rows = self._run_subquery(pts, rollup, q)
             if key is not None and not getattr(
                 self._degraded_reads, "flag", False

@@ -46,22 +46,26 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructType
 
-_REGISTERED_BY_VALUE = False
-
-
 def _register_by_value() -> None:
     """Executors unpickle the reader without the repo on their sys.path —
-    ship this module by value (the stateful/multimodal convention; the
-    effect is process-global, registered at most once)."""
-    global _REGISTERED_BY_VALUE
-    if _REGISTERED_BY_VALUE:
-        return
+    ship this module by value (the shared once-per-module convention;
+    see mycenae_spark.pickling for the process-global caveat).
+
+    Worker-safe: the Python Data Source API also instantiates the source
+    INSIDE Python workers (plan/read run there), where this module is a
+    by-value reconstruction absent from sys.modules and the package is
+    not importable — registration only matters on the driver, so both
+    cases no-op."""
     import sys as _sys
 
-    from pyspark import cloudpickle as _cp
-
-    _cp.register_pickle_by_value(_sys.modules[__name__])
-    _REGISTERED_BY_VALUE = True
+    mod = _sys.modules.get(__name__)
+    if mod is None:
+        return  # by-value copy on a worker: nothing to register
+    try:
+        from mycenae_spark.pickling import register_module_by_value
+    except ImportError:
+        return  # worker without the repo on sys.path
+    register_module_by_value(mod)
 
 
 BUS_SCHEMA = "value string, partition int, offset bigint"

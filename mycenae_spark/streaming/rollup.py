@@ -773,6 +773,87 @@ def _kmv_retake(
     )
 
 
+def _cascade_sketch(
+    spark,
+    src_dir: str,
+    dst_dir: str,
+    dst_interval_ms: int,
+    k: int,
+    series_cols: list[str] | None,
+    lake_dir: str | None,
+    retake,
+    kind: str,
+    remedy: str,
+) -> None:
+    """THE one copy of the sketch-cascade lifecycle (KMV and value-sample
+    rungs share it — r9 review: three drifting copies of the pin /
+    guarded-swap contract is how a future fix misses one): re-bucket,
+    union + re-take-k via ``retake``, guarded-swap publish, optional
+    currency pin ``min(head, source pin)`` — a cascade is only as fresh
+    as its input.  Sketch sources have no manifest-tracked files, so
+    there is no settle-wait path: a pin-less source cannot prove a cut
+    and fails fast with ``remedy``."""
+    import uuid
+
+    from mycenae_spark.streaming import commitlog
+
+    as_of_seq = None
+    if lake_dir is not None:
+        as_of_seq = commitlog.latest_seq(lake_dir)
+        src_as_of = _read_marker(src_dir).get("as_of_seq")
+        if src_as_of is None:
+            raise ValueError(
+                f"{remedy}: source sketch lake carries no as_of_seq pin "
+                f"— run {remedy} on the source (or cascade from a "
+                "pinned rung) before cascading with currency tracking"
+            )
+        as_of_seq = min(as_of_seq, src_as_of)
+    series_cols = series_cols or ["ksid", "tsid", "metric"]
+    df = spark.read.parquet(src_dir).withColumn(
+        "bucket_ms",
+        F.col("bucket_ms") - (F.col("bucket_ms") % F.lit(dst_interval_ms)),
+    )
+    merged = retake(df, k, [*series_cols, "date", "bucket_ms"])
+    tmp = dst_dir.rstrip("/") + f"_new_{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").partitionBy("ksid", "date").parquet(tmp)
+    # Guarded swap, so RE-cascading after the source re-pins (the refresh
+    # path a staled rung takes) replaces the old generation instead of
+    # failing on a non-empty destination.
+    _swap_in(tmp, dst_dir)
+    if as_of_seq is not None:
+        mark_rollup_coverage(dst_dir, True, as_of_seq=as_of_seq, kind=kind)
+
+
+def _backfill_sketch(
+    spark,
+    lake_dir: str,
+    sketch_dir: str,
+    interval_ms: int,
+    k: int,
+    series_cols: list[str] | None,
+    batch_fn,
+    kind: str,
+) -> dict:
+    """THE one copy of the sketch-backfill lifecycle: build from a
+    log-PINNED point snapshot, guarded-swap publish, marker-pin
+    ``as_of_seq`` — currency is then ``cascade_is_current``'s
+    conservative predicate (see ``backfill_kmv``'s docstring for the
+    full contract rationale)."""
+    import uuid
+
+    from mycenae_spark.streaming import snapshot as snap
+
+    as_of = snap.write_checkpoint(lake_dir, mode="full")
+    valid = snap.read_points_snapshot(spark, lake_dir, as_of=as_of)
+    states = batch_fn(valid, interval_ms, k, series_cols)
+    tmp = sketch_dir.rstrip("/") + f"_new_{uuid.uuid4().hex[:8]}"
+    states.write.mode("overwrite").partitionBy("ksid", "date").parquet(tmp)
+    n_states = spark.read.parquet(tmp).count()
+    _swap_in(tmp, sketch_dir)
+    mark_rollup_coverage(sketch_dir, True, as_of_seq=as_of, kind=kind)
+    return {"as_of": as_of, "seq": as_of, "n_states": n_states}
+
+
 def cascade_kmv(
     spark,
     src_dir: str,
@@ -787,45 +868,12 @@ def cascade_kmv(
     mergeability — cascading sketches equals sketching raw points at the
     coarse interval.  ``date`` stays in the group key like the algebraic
     cascade (a day-crossing coarse bucket keeps one state per date; the
-    read path's re-merge makes that invisible).  Atomic rename publish.
-
-    With ``lake_dir``, the rung inherits a currency pin exactly like the
-    algebraic cascade: ``min(head, source pin)`` — a cascade is only as
-    fresh as its input.  KMV sources have no manifest-tracked files, so
-    there is no settle-wait path here: a source WITHOUT a pin (written by
-    ``write_kmv_batch`` directly, never backfilled) cannot prove a cut
-    and the call fails fast with the remedy."""
-    import uuid
-
-    from mycenae_spark.streaming import commitlog
-
-    as_of_seq = None
-    if lake_dir is not None:
-        as_of_seq = commitlog.latest_seq(lake_dir)
-        src_as_of = _read_marker(src_dir).get("as_of_seq")
-        if src_as_of is None:
-            raise ValueError(
-                "cascade_kmv: source sketch lake carries no as_of_seq pin "
-                "— run backfill_kmv on the source (or cascade from a "
-                "pinned rung) before cascading with currency tracking"
-            )
-        as_of_seq = min(as_of_seq, src_as_of)
-    series_cols = series_cols or ["ksid", "tsid", "metric"]
-    df = spark.read.parquet(src_dir).withColumn(
-        "bucket_ms",
-        F.col("bucket_ms") - (F.col("bucket_ms") % F.lit(dst_interval_ms)),
+    read path's re-merge makes that invisible).  Pin/swap lifecycle:
+    ``_cascade_sketch``."""
+    _cascade_sketch(
+        spark, src_dir, dst_dir, dst_interval_ms, k, series_cols, lake_dir,
+        _kmv_retake, "kmv-cascade", "backfill_kmv",
     )
-    merged = _kmv_retake(df, k, [*series_cols, "date", "bucket_ms"])
-    tmp = dst_dir.rstrip("/") + f"_new_{uuid.uuid4().hex[:8]}"
-    merged.write.mode("overwrite").partitionBy("ksid", "date").parquet(tmp)
-    # Guarded swap, so RE-cascading after the source re-pins (the refresh
-    # path a staled rung takes) replaces the old generation instead of
-    # failing on a non-empty destination.
-    _swap_in(tmp, dst_dir)
-    if as_of_seq is not None:
-        mark_rollup_coverage(
-            dst_dir, True, as_of_seq=as_of_seq, kind="kmv-cascade"
-        )
 
 
 def read_kmv_distinct(
@@ -921,19 +969,11 @@ def backfill_kmv(
 
     Returns {"as_of", "seq", "n_states"}.
     """
-    import uuid
-
-    from mycenae_spark.streaming import snapshot as snap
-
-    as_of = snap.write_checkpoint(lake_dir, mode="full")
-    valid = snap.read_points_snapshot(spark, lake_dir, as_of=as_of)
-    states = kmv_batch(valid, interval_ms, k, key_col, series_cols)
-    tmp = kmv_dir.rstrip("/") + f"_new_{uuid.uuid4().hex[:8]}"
-    states.write.mode("overwrite").partitionBy("ksid", "date").parquet(tmp)
-    n_states = spark.read.parquet(tmp).count()
-    _swap_in(tmp, kmv_dir)
-    mark_rollup_coverage(kmv_dir, True, as_of_seq=as_of, kind="kmv")
-    return {"as_of": as_of, "seq": as_of, "n_states": n_states}
+    return _backfill_sketch(
+        spark, lake_dir, kmv_dir, interval_ms, k, series_cols,
+        lambda v, iv, kk, sc: kmv_batch(v, iv, kk, key_col, sc),
+        "kmv",
+    )
 
 
 def read_kmv_ladder(
@@ -1010,7 +1050,12 @@ def qsample_batch(
             F.col("value").alias("v"),
         ).alias("_s"),
     ).distinct()
-    w = Window.partitionBy(*series_cols, "date", "bucket_ms").orderBy("_s.hv")
+    # rank by the FULL struct (hv, v), not hv alone: a 48-bit hash
+    # collision (or a re-ingested identity with a corrected value) ties
+    # on hv, and an hv-only order would make the k-boundary survivor
+    # arbitrary — breaking the bit-for-bit cascade==direct contract
+    # (review finding r9); struct order is total and deterministic
+    w = Window.partitionBy(*series_cols, "date", "bucket_ms").orderBy("_s")
     return (
         h.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
@@ -1043,7 +1088,9 @@ def _qsample_retake(df: DataFrame, k: int, group_cols: list[str]) -> DataFrame:
     from pyspark.sql import Window
 
     ex = df.select(*group_cols, F.explode("p_qs").alias("_s")).distinct()
-    w = Window.partitionBy(*group_cols).orderBy("_s.hv")
+    # full-struct order: deterministic k-boundary under hv ties (see
+    # qsample_batch)
+    w = Window.partitionBy(*group_cols).orderBy("_s")
     return (
         ex.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
@@ -1062,37 +1109,13 @@ def cascade_qsample(
     lake_dir: str | None = None,
 ) -> None:
     """Materialize a coarser sample rung from a finer one — the sample
-    twin of ``cascade_kmv``, sharing its pin/currency and guarded-swap
-    contract: re-bucket, union + re-take-k; exact by bottom-k
-    mergeability."""
-    import uuid
-
-    from mycenae_spark.streaming import commitlog
-
-    as_of_seq = None
-    if lake_dir is not None:
-        as_of_seq = commitlog.latest_seq(lake_dir)
-        src_as_of = _read_marker(src_dir).get("as_of_seq")
-        if src_as_of is None:
-            raise ValueError(
-                "cascade_qsample: source sample lake carries no as_of_seq "
-                "pin — run backfill_qsample on the source (or cascade from "
-                "a pinned rung) before cascading with currency tracking"
-            )
-        as_of_seq = min(as_of_seq, src_as_of)
-    series_cols = series_cols or ["ksid", "tsid", "metric"]
-    df = spark.read.parquet(src_dir).withColumn(
-        "bucket_ms",
-        F.col("bucket_ms") - (F.col("bucket_ms") % F.lit(dst_interval_ms)),
+    twin of ``cascade_kmv``, sharing the ONE pin/currency/guarded-swap
+    lifecycle (``_cascade_sketch``): re-bucket, union + re-take-k; exact
+    by bottom-k mergeability."""
+    _cascade_sketch(
+        spark, src_dir, dst_dir, dst_interval_ms, k, series_cols, lake_dir,
+        _qsample_retake, "qsample-cascade", "backfill_qsample",
     )
-    merged = _qsample_retake(df, k, [*series_cols, "date", "bucket_ms"])
-    tmp = dst_dir.rstrip("/") + f"_new_{uuid.uuid4().hex[:8]}"
-    merged.write.mode("overwrite").partitionBy("ksid", "date").parquet(tmp)
-    _swap_in(tmp, dst_dir)
-    if as_of_seq is not None:
-        mark_rollup_coverage(
-            dst_dir, True, as_of_seq=as_of_seq, kind="qsample-cascade"
-        )
 
 
 def backfill_qsample(
@@ -1104,21 +1127,13 @@ def backfill_qsample(
     series_cols: list[str] | None = None,
 ) -> dict:
     """Build (or rebuild) the sample lake from a PINNED point snapshot —
-    the ``backfill_kmv`` contract verbatim: log-pinned cut, guarded swap,
-    marker-pinned ``as_of_seq``, currency via ``cascade_is_current``."""
-    import uuid
-
-    from mycenae_spark.streaming import snapshot as snap
-
-    as_of = snap.write_checkpoint(lake_dir, mode="full")
-    valid = snap.read_points_snapshot(spark, lake_dir, as_of=as_of)
-    states = qsample_batch(valid, interval_ms, k, series_cols)
-    tmp = qs_dir.rstrip("/") + f"_new_{uuid.uuid4().hex[:8]}"
-    states.write.mode("overwrite").partitionBy("ksid", "date").parquet(tmp)
-    n_states = spark.read.parquet(tmp).count()
-    _swap_in(tmp, qs_dir)
-    mark_rollup_coverage(qs_dir, True, as_of_seq=as_of, kind="qsample")
-    return {"as_of": as_of, "seq": as_of, "n_states": n_states}
+    the ``backfill_kmv`` contract via the ONE shared lifecycle
+    (``_backfill_sketch``): log-pinned cut, guarded swap, marker-pinned
+    ``as_of_seq``, currency via ``cascade_is_current``."""
+    return _backfill_sketch(
+        spark, lake_dir, qs_dir, interval_ms, k, series_cols,
+        qsample_batch, "qsample",
+    )
 
 
 def read_qsample_quantile(

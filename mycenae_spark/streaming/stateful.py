@@ -33,29 +33,21 @@ from pyspark.sql.types import (
     StructType,
 )
 
-_REGISTERED_BY_VALUE = False
-
-
 def _register_by_value() -> None:
-    """Ship this module's stateful kernels BY VALUE to Python workers
-    (whose sys.path does not include the repo — the driver patching its
-    own path does not propagate; the multimodal convention).
-
-    NOTE the effect is PROCESS-GLOBAL: once registered, every closure
-    pickled in this session that references this module embeds it by
-    value.  That is exactly what the kernels need and harmless otherwise
-    (the module is small and dependency-free), but it is a session-wide
-    switch, not a per-call one — so register at most ONCE (r8 ADVICE:
-    repeated per-call registration added nothing)."""
-    global _REGISTERED_BY_VALUE
-    if _REGISTERED_BY_VALUE:
-        return
+    """Ship this module's stateful kernels BY VALUE to Python workers —
+    the shared once-per-module convention (mycenae_spark.pickling, where
+    the process-global caveat is documented once).  Worker-safe no-op in
+    a by-value reconstruction (see sources/bus.py)."""
     import sys as _sys
 
-    from pyspark import cloudpickle as _cp
-
-    _cp.register_pickle_by_value(_sys.modules[__name__])
-    _REGISTERED_BY_VALUE = True
+    mod = _sys.modules.get(__name__)
+    if mod is None:
+        return
+    try:
+        from mycenae_spark.pickling import register_module_by_value
+    except ImportError:
+        return
+    register_module_by_value(mod)
 
 
 EWMA_OUTPUT_SCHEMA = StructType(

@@ -483,6 +483,82 @@ def test_result_cache_is_per_subquery_and_per_metric(spark, tmp_path_factory,
         eng.query(only_a)
 
 
+def test_degraded_frame_build_never_caches(spark, tmp_path_factory,
+                                           monkeypatch):
+    """r9 review finding: the degraded-reads flag must be armed BEFORE
+    frame resolution — the NoBaseline directory fallback fires inside
+    _build_frames (via the catalog/points snapshot readers), and a reset
+    after the build would launder the degraded answer into the cache for
+    a whole generation.  Simulated with a catalog snapshot that raises
+    NoBaseline (directory fallback engaged): the query must succeed AND
+    nothing may cache."""
+    import mycenae_spark.streaming.snapshot as snap
+    from mycenae_spark.server import Engine
+
+    d = tmp_path_factory.mktemp("qdegrade")
+    eng = Engine(spark, str(d / "lake"), str(d / "catalog"))
+    eng.put([{"metric": "dg.m", "tags": {"ksid": "k1", "host": "h0"},
+              "timestamp": BASE_TS + i * 60_000, "value": float(i)}
+             for i in range(3)])
+    eng.checkpoint()
+
+    def no_baseline(*a, **k):
+        raise snap.NoBaseline("checkpoint lacks a catalog section")
+    monkeypatch.setattr(snap, "read_catalog_snapshot", no_baseline)
+
+    body = {
+        "start": BASE_TS, "end": BASE_TS + 600_000,
+        "queries": [{"metric": "dg.m", "aggregator": "sum"}],
+    }
+    out = eng.query(body)  # served via the directory fallback
+    assert sum(out[0]["dps"].values()) == pytest.approx(3.0)
+    assert not eng._result_cache, (
+        "degraded-read rows were laundered into the result cache"
+    )
+
+
+def test_metric_generation_never_exceeds_pinned_head(spark,
+                                                     tmp_path_factory,
+                                                     monkeypatch):
+    """r9 review finding: when the per-metric memo has advanced PAST a
+    request's pinned head (concurrent writer + query raced in between),
+    the generation lookup must refuse (None → uncached) rather than
+    return a generation newer than the snapshot being read — caching
+    pre-write rows under the post-write generation would serve stale
+    answers after the write."""
+    import mycenae_spark.streaming.commitlog as cl
+    from mycenae_spark.server import Engine
+
+    d = tmp_path_factory.mktemp("qmemoahead")
+    lake = str(d / "lake")
+    eng = Engine(spark, lake, str(d / "catalog"))
+    eng.put([{"metric": "ma.m", "tags": {"ksid": "k1", "host": "h0"},
+              "timestamp": BASE_TS + i * 60_000, "value": float(i)}
+             for i in range(3)])
+    eng.checkpoint()
+    head_s = cl.latest_seq(lake)
+
+    # concurrent write + a query at the NEW head advance the memo past S
+    eng.put([{"metric": "ma.m", "tags": {"ksid": "k1", "host": "h0"},
+              "timestamp": BASE_TS + 1, "value": 100.0}])
+    assert eng._metric_generation("ma.m", cl.latest_seq(lake)) > head_s
+
+    # the racing request still holds head S: generation must refuse
+    assert eng._metric_generation("ma.m", head_s) is None
+
+    # end-to-end: with the head frozen at S the request computes the
+    # pinned (pre-write) answer and caches NOTHING
+    monkeypatch.setattr(cl, "latest_seq", lambda p: head_s)
+    n_before = len(eng._result_cache)
+    body = {
+        "start": BASE_TS, "end": BASE_TS + 600_000,
+        "queries": [{"metric": "ma.m", "aggregator": "sum"}],
+    }
+    out = eng.query(body)
+    assert sum(out[0]["dps"].values()) == pytest.approx(3.0)
+    assert len(eng._result_cache) == n_before
+
+
 def test_result_cache_pins_reads_to_key_generation(spark, tmp_path_factory,
                                                    monkeypatch):
     """The purity invariant behind the cache: an answer cached under
