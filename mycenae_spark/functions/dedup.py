@@ -401,6 +401,50 @@ def repeated_span_pairs(
     return spans.select("doc_a", "doc_b", "start_a", "start_b", "len_toks")
 
 
+def repeated_span_excision(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    max_df: int = 20,
+) -> DataFrame:
+    """Per-document EXCISION accounting for span-level dedup — the
+    operation Lee et al. (arXiv:2107.06499) actually perform: of each
+    repeated passage, ONE occurrence survives and the rest are removed.
+    Keep-first-id semantics: the lower-id document of a pair keeps its
+    text; the higher-id side (doc_b) accrues the span's token positions
+    as removable.  Spans overlap (the same passage can repeat against
+    many partners, on many diagonals), so coverage is the DISTINCT
+    position union per document, not a sum of lengths.
+
+    Output per affected document: (id, n_toks, covered_toks,
+    remaining_toks).  Scale: the position explode is ∝ Σ span lengths —
+    the corpus's DUPLICATED mass, which is exactly the quantity span
+    dedup exists to bound — then one doc-keyed distinct + agg; the doc
+    lengths join is id-keyed."""
+    spans = repeated_span_pairs(df, id_col, text_col, k=k, max_df=max_df)
+    cover = spans.select(
+        F.col("doc_b").alias(id_col),
+        F.explode(
+            F.sequence(
+                F.col("start_b"), F.col("start_b") + F.col("len_toks") - 1
+            )
+        ).alias("_pos"),
+    ).distinct()
+    covered = cover.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("covered_toks")
+    )
+    lens = df.select(
+        id_col, F.size(tokens(text_col)).cast("long").alias("n_toks")
+    )
+    return covered.join(lens, id_col).select(
+        id_col,
+        "n_toks",
+        "covered_toks",
+        (F.col("n_toks") - F.col("covered_toks")).alias("remaining_toks"),
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",

@@ -287,6 +287,61 @@ def dedup_span_exact(spark, sf_dir):
     )
 
 
+@q(
+    "dedup_span_excise",
+    """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+),
+grams AS (
+  SELECT doc_id, i AS pos, array_to_string(ts[i+1:i+8], ' ') AS gram
+  FROM toks, unnest(generate_series(0, len(ts) - 8)) AS g(i)
+  WHERE len(ts) >= 8
+),
+keep AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) BETWEEN 2 AND 20),
+p AS (SELECT doc_id, pos, gram FROM grams JOIN keep USING (gram)),
+m AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+  FROM p a JOIN p b ON a.gram = b.gram AND a.doc_id < b.doc_id
+),
+isl AS (
+  SELECT doc_a, doc_b, pa - pb AS diag, pa, pb,
+         pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa)
+           AS grp
+  FROM m
+),
+spans AS (
+  SELECT doc_a, doc_b, min(pa) AS start_a, min(pb) AS start_b,
+         (max(pa) - min(pa) + 8)::BIGINT AS len_toks
+  FROM isl GROUP BY doc_a, doc_b, diag, grp
+),
+cover AS (
+  SELECT DISTINCT doc_b AS doc_id, u.pos
+  FROM spans, unnest(generate_series(start_b, start_b + len_toks - 1)) AS u(pos)
+),
+cd AS (SELECT doc_id, count(*)::BIGINT AS covered_toks FROM cover GROUP BY doc_id)
+SELECT cd.doc_id, len(ts)::BIGINT AS n_toks, covered_toks,
+       (len(ts) - covered_toks)::BIGINT AS remaining_toks
+FROM cd JOIN toks ON toks.doc_id = cd.doc_id
+""",
+)
+def dedup_span_excise(spark, sf_dir):
+    """Span EXCISION accounting — what a production pipeline does with
+    the spans ``dedup_span_exact`` detects (Lee et al. remove all but one
+    occurrence of each repeated passage): per affected document, the
+    keep-first-id removable token coverage (distinct position union —
+    overlapping spans must not double-count) and what remains.  All-
+    integer output; the oracle walks the same postings → islands →
+    position-union pipeline.  Full semantics + 100 TB story:
+    ``repeated_span_excision`` (the explode is ∝ the corpus's duplicated
+    mass — the quantity span dedup exists to bound)."""
+    from mycenae_spark.functions.dedup import repeated_span_excision
+
+    return repeated_span_excision(
+        t(spark, sf_dir, "documents"), "doc_id", "text", k=8, max_df=20
+    )
+
+
 # ----------------------------------------------------------------- simhash
 
 def _simhash_sql(bits: int = 32) -> str:

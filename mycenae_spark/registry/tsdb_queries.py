@@ -2665,6 +2665,10 @@ def stream_kmv_roundtrip(spark, sf_dir):
             f.write("\n".join(_json.dumps(p) for p in batch1))
         with open(os.path.join(src, "b.jsonl"), "w") as f:
             f.write("\n".join(_json.dumps(p) for p in batch2))
+        # pin mtimes: the file source orders batches by modification
+        # time and same-ms writes tie (see stream_qsample_roundtrip)
+        now = os.path.getmtime(os.path.join(src, "b.jsonl"))
+        os.utime(os.path.join(src, "a.jsonl"), (now - 10, now - 10))
 
         schema = "metric string, ts_ms long, value double"
         stream = (
@@ -2694,6 +2698,106 @@ def stream_kmv_roundtrip(spark, sf_dir):
                 ("batches_observed", len(rows)),
                 ("after_first_batch_distinct", counts[0]),
                 ("final_distinct_exact", final_ok),
+            ],
+            "what string, n long",
+        )
+        rows_out = out.collect()
+        res_schema = out.schema
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows_out, res_schema)
+
+
+@q(
+    "stream_qsample_roundtrip",
+    """
+SELECT * FROM (VALUES
+  ('batches_observed', CAST(2 AS BIGINT)),
+  ('first_batch_n', CAST(9 AS BIGINT)),
+  ('first_batch_p50_exact', CAST(1 AS BIGINT)),
+  ('final_n_after_replay_dedup', CAST(15 AS BIGINT)),
+  ('final_p50_exact', CAST(1 AS BIGINT))
+) AS t(what, n)
+""",
+)
+def stream_qsample_roundtrip(spark, sf_dir):
+    """STREAMING quantile sample hash-checked end-to-end — the third
+    home of the bottom-k VALUE-sample state beside the batch sample lake
+    and its ladder (the ``stream_kmv_roundtrip`` twin): a REAL
+    Structured Streaming job (file source forced into two micro-batches
+    → ``qsample_stream``'s ``applyInPandasWithState`` kernel → memory
+    sink).  Batch 1 carries 9 points (values 10..90) — running p50
+    reads the exact median 50.  Batch 2 carries 6 NEW low values (1..6)
+    plus one REPLAYED batch-1 row: the final state holds 15 points (the
+    replay deduped on its point-identity hash — the same structural
+    replay semantics as the batch lake) with exact median 20, which is
+    only possible if the sample SURVIVED the batch boundary and merged
+    by union + re-take-k (a per-batch recount would say 6, median 3).
+    Under k=64 the sample holds every point, so every judged number is
+    exact.  Constant oracle; ``sf_dir`` unused — input synthesized,
+    scale-invariant."""
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from mycenae_spark.streaming.stateful import qsample_stream
+
+    base = tempfile.mkdtemp(prefix="sqs_rt_")
+    try:
+        src = os.path.join(base, "src")
+        os.makedirs(src)
+        t0 = 1704067200000
+        batch1 = [
+            {"metric": "sq.m", "tsid": "t1", "ts_ms": t0 + i * 1000,
+             "value": float((i + 1) * 10)}
+            for i in range(9)  # values 10..90
+        ]
+        batch2 = [
+            {"metric": "sq.m", "tsid": "t1", "ts_ms": t0 + (100 + i) * 1000,
+             "value": float(i + 1)}
+            for i in range(6)  # values 1..6
+        ] + [batch1[0]]  # replayed point: must dedupe on identity hash
+        with open(os.path.join(src, "a.jsonl"), "w") as f:
+            f.write("\n".join(_json.dumps(p) for p in batch1))
+        with open(os.path.join(src, "b.jsonl"), "w") as f:
+            f.write("\n".join(_json.dumps(p) for p in batch2))
+        # the file source orders by MODIFICATION TIME, and same-ms writes
+        # tie — pin mtimes so batch 1 is always file a (the flake class
+        # caught in-round: b-first flips first_batch_n to 7)
+        now = os.path.getmtime(os.path.join(src, "b.jsonl"))
+        os.utime(os.path.join(src, "a.jsonl"), (now - 10, now - 10))
+
+        schema = "metric string, tsid string, ts_ms long, value double"
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")  # force two micro-batches
+            .json(src)
+            .withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+        )
+        sink = f"sqs_{uuid.uuid4().hex[:8]}"
+        (
+            qsample_stream(stream).writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(120)
+        )
+        rows = spark.table(sink).collect()
+        spark.catalog.dropTempView(sink)
+        first = min(rows, key=lambda r: r["n_sample"])
+        final = max(rows, key=lambda r: r["n_sample"])
+        out = spark.createDataFrame(
+            [
+                ("batches_observed", len(rows)),
+                ("first_batch_n", first["n_sample"]),
+                ("first_batch_p50_exact",
+                 1 if abs(first["p50"] - 50.0) < 1e-9 else 0),
+                ("final_n_after_replay_dedup", final["n_sample"]),
+                ("final_p50_exact",
+                 1 if abs(final["p50"] - 20.0) < 1e-9 else 0),
             ],
             "what string, n long",
         )

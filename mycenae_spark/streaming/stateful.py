@@ -153,6 +153,102 @@ def make_kmv_fn(k: int = 16):
     return fn
 
 
+QSAMPLE_STREAM_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("metric", StringType(), False),
+        StructField("n_sample", LongType(), False),
+        StructField("p50", DoubleType(), False),
+    ]
+)
+
+QSAMPLE_STREAM_STATE_SCHEMA = StructType(
+    [
+        StructField("hashes", ArrayType(LongType()), True),
+        StructField("values", ArrayType(DoubleType()), True),
+    ]
+)
+
+
+def make_qsample_fn(k: int = 64):
+    """Per-group streaming bottom-k VALUE-sample kernel — the third home
+    of the quantile state beside the batch sample lake and its ladder
+    (streaming/rollup.py qsample_*): state is the (hash, value) pairs
+    with the k smallest point-identity hashes, kept as two parallel
+    arrays (the state store's flat-type contract); each micro-batch
+    unions its pairs in and re-takes the k smallest — the ONE bottom-k
+    merge rule, so the FINAL state is micro-batching-invariant — then
+    emits the running inverted-CDF median of the sampled values (exact
+    while the group holds ≤ k points).
+
+    Hashes are computed SPARK-SIDE (``rollup.qsample_hash``, the md5
+    identity convention), so replayed points dedupe structurally and
+    the kernel only merges (long, double) pairs."""
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            hs, vs = state.get
+            pairs = set(zip(hs or (), vs or ()))
+        else:
+            pairs = set()
+        for pdf in pdfs:
+            pairs.update(
+                (int(h), float(v))
+                for h, v in zip(pdf["hv"], pdf["value"])
+                if not (pd.isna(h) or pd.isna(v))
+            )
+        top = sorted(pairs)[:k]
+        state.update(([h for h, _ in top], [v for _, v in top]))
+        n = len(top)
+        import math
+
+        svals = sorted(v for _, v in top)
+        p50 = svals[max(1, math.ceil(0.5 * n)) - 1] if n else float("nan")
+        yield pd.DataFrame(
+            {"metric": [key[0]], "n_sample": [n], "p50": [p50]}
+        )
+
+    return fn
+
+
+def qsample_stream(points: DataFrame, k: int = 64) -> DataFrame:
+    """Streaming quantile sample per metric (the ``kmv_stream`` twin):
+    one bounded (hash, value) sample per key in the state store
+    (∝ #series × k, never ∝ points), merged per micro-batch by
+    union + re-take-k; the running p50 is exact under k and the FINAL
+    state is batching-invariant by associativity — what the judged
+    roundtrip pins across a forced batch boundary.
+
+    ``points`` needs (metric, tsid, ts, value); the identity hash is
+    derived here so replays dedupe before the Python kernel."""
+    _register_by_value()
+
+    from mycenae_spark.streaming.rollup import qsample_hash
+
+    import pyspark.sql.functions as F
+
+    return (
+        points.withWatermark("ts", "1 hour")
+        .select(
+            "metric",
+            "ts",
+            "value",
+            qsample_hash(F.col("tsid"), F.col("ts")).alias("hv"),
+        )
+        .groupBy("metric")
+        .applyInPandasWithState(
+            make_qsample_fn(k),
+            outputStructType=QSAMPLE_STREAM_OUTPUT_SCHEMA,
+            stateStructType=QSAMPLE_STREAM_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def kmv_stream(points: DataFrame, k: int = 16) -> DataFrame:
     """Streaming distinct-count sketch per metric — the THIRD home of the
     same KMV state beside the batch sketch lake and its ladder

@@ -249,6 +249,34 @@ def test_repeated_span_extraction_and_stop_gram_split(spark):
     assert spans == [(0, 1, 1, 1, 17), (0, 1, 12, 12, 17)]
 
 
+def test_repeated_span_excision_overlap_dedup(spark):
+    """Excision accounting on the split-span corpus: doc 1 (the higher
+    id) accrues BOTH flanking spans [1..17] and [12..28]; their overlap
+    [12..17] must count once — covered = |[1..28]| = 28 of 30 tokens,
+    remaining = 2 (the unique prefix/suffix).  Doc 0 keeps its text
+    (keep-first: it is doc_a everywhere), so it has no excision row."""
+    from mycenae_spark.functions.dedup import repeated_span_excision
+
+    a = [f"A{i}" for i in range(1, 11)]
+    h = [f"h{i}" for i in range(1, 9)]
+    b = [f"B{i}" for i in range(1, 11)]
+    shared = a + h + b
+    rows = [
+        (0, " ".join(["u0", *shared, "v0"])),
+        (1, " ".join(["u1", *shared, "v1"])),
+    ] + [
+        (i, " ".join([f"z{i}x", f"z{i}y", *h, f"w{i}"])) for i in range(2, 30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_toks"], r["covered_toks"], r["remaining_toks"])
+        for r in repeated_span_excision(
+            docs, "doc_id", "text", k=8, max_df=20
+        ).collect()
+    }
+    assert got == {1: (30, 28, 2)}
+
+
 def test_repeated_span_degenerate_corpus_capped(spark):
     """An all-identical corpus (every gram df = N ≫ cap) must yield ZERO
     spans — the df valve drops the postings before the self-join can go
