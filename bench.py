@@ -105,9 +105,13 @@ HEADLINE = [
     "window_holtwinters",
     # round 9
     "dedup_span_exact",
+    "dedup_span_excise",
     "dedup_embedding_cosine",
     "text_bpe_train",
     "text_bpe_tokenize",
+    "decontaminate_span",
+    "text_winnow_fingerprint",
+    "text_tfidf_topk",
 ]
 
 

@@ -349,8 +349,21 @@ def repeated_span_pairs(
 
     Output: (doc_a, doc_b, start_a, start_b, len_toks) per maximal span,
     0-based token offsets, ``len_toks ≥ max(k, min_len)``."""
-    from pyspark.sql import Window
+    p = _span_postings(df, id_col, text_col, k, max_df)
+    spans = _span_islands(
+        p, p, id_col, k, pair_cond=F.col("doc_a") < F.col("doc_b")
+    )
+    if min_len is not None and min_len > k:
+        spans = spans.filter(F.col("len_toks") >= min_len)
+    return spans
 
+
+def _span_postings(
+    df: DataFrame, id_col: str, text_col: str, k: int, max_df: int
+) -> DataFrame:
+    """Positioned k-gram postings with the (2 ≤ df ≤ max_df) cut — the
+    shared front half of every span operator (within-corpus pairs,
+    excision, cross-set decontamination)."""
     docs = df.select(
         id_col, tokens(text_col).alias("_ts")
     ).filter(F.size("_ts") >= k)
@@ -375,14 +388,22 @@ def repeated_span_pairs(
         .filter((F.col("_df") >= 2) & (F.col("_df") <= max_df))
         .select("gram")
     )
-    p = grams.join(keep, "gram")
-    a = p.select(
-        F.col(id_col).alias("doc_a"), F.col("pos").alias("pa"), "gram"
-    )
-    b = p.select(
-        F.col(id_col).alias("doc_b"), F.col("pos").alias("pb"), "gram"
-    )
-    m = a.join(b, "gram").filter(F.col("doc_a") < F.col("doc_b"))
+    return grams.join(keep, "gram")
+
+
+def _span_islands(pa, pb, id_col: str, k: int, pair_cond=None) -> DataFrame:
+    """Gaps-and-islands maximal-span extraction over two postings frames
+    joined on the gram — the shared back half of the span operators.
+    ``pair_cond`` constrains pairs BEFORE island grouping (doc_a < doc_b
+    within one corpus; None when the two sides are already disjoint,
+    e.g. train × eval)."""
+    from pyspark.sql import Window
+
+    a = pa.select(F.col(id_col).alias("doc_a"), F.col("pos").alias("pa"), "gram")
+    b = pb.select(F.col(id_col).alias("doc_b"), F.col("pos").alias("pb"), "gram")
+    m = a.join(b, "gram")
+    if pair_cond is not None:
+        m = m.filter(pair_cond)
     diag = (F.col("pa") - F.col("pb")).alias("diag")
     w = Window.partitionBy("doc_a", "doc_b", F.col("pa") - F.col("pb")).orderBy(
         "pa"
@@ -391,14 +412,52 @@ def repeated_span_pairs(
         "doc_a", "doc_b", diag, "pa", "pb",
         (F.col("pa") - F.row_number().over(w)).alias("grp"),
     )
-    spans = isl.groupBy("doc_a", "doc_b", "diag", "grp").agg(
+    return isl.groupBy("doc_a", "doc_b", "diag", "grp").agg(
         F.min("pa").alias("start_a"),
         F.min("pb").alias("start_b"),
         (F.max("pa") - F.min("pa") + k).cast("long").alias("len_toks"),
+    ).select("doc_a", "doc_b", "start_a", "start_b", "len_toks")
+
+
+def span_contamination(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    eval_pred,
+    k: int = 8,
+    max_df: int = 20,
+    flag_len: int = 16,
+) -> DataFrame:
+    """SPAN-level benchmark decontamination (Lee et al. §5 / the GPT-3
+    appendix-C move upgraded from n-gram overlap to exact passages): a
+    training document is contaminated when it shares a VERBATIM ≥
+    ``flag_len``-token passage with an eval document — n-gram overlap
+    ratios (``decontaminate_ngram``) catch distributional leaks, but a
+    long exact quote of one eval item inside a big training doc can sit
+    under any ratio threshold.  ``eval_pred`` is a Column predicate
+    selecting the eval side; postings and the df cut are computed over
+    the FULL corpus (a gram's fanout doesn't care which side it is on),
+    then the gram join runs train × eval only.
+
+    Output: one row per maximal train↔eval span — (train_doc, eval_doc,
+    start_train, start_eval, len_toks, contaminated) with the flag pure
+    in len_toks ≥ flag_len.  Scale: the cross join is postings-keyed and
+    df-capped exactly like within-corpus spans; eval sets are tiny, so
+    the eval postings side broadcasts."""
+    p = _span_postings(df, id_col, text_col, k, max_df)
+    tr = p.filter(~eval_pred(F.col(id_col)))
+    ev = p.filter(eval_pred(F.col(id_col)))
+    spans = _span_islands(tr, F.broadcast(ev), id_col, k)
+    return spans.select(
+        F.col("doc_a").alias("train_doc"),
+        F.col("doc_b").alias("eval_doc"),
+        F.col("start_a").alias("start_train"),
+        F.col("start_b").alias("start_eval"),
+        "len_toks",
+        F.when(F.col("len_toks") >= flag_len, 1).otherwise(0).alias(
+            "contaminated"
+        ),
     )
-    if min_len is not None and min_len > k:
-        spans = spans.filter(F.col("len_toks") >= min_len)
-    return spans.select("doc_a", "doc_b", "start_a", "start_b", "len_toks")
 
 
 def repeated_span_excision(

@@ -2337,6 +2337,163 @@ def decontaminate_ngram(spark, sf_dir):
 
 
 @q(
+    "decontaminate_span",
+    """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+grams AS (
+  SELECT doc_id, i AS pos, array_to_string(ts[i+1:i+8], ' ') AS gram
+  FROM toks, unnest(generate_series(0, len(ts) - 8)) AS g(i)
+  WHERE len(ts) >= 8
+),
+keep AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) BETWEEN 2 AND 20),
+p AS (SELECT doc_id, pos, gram FROM grams JOIN keep USING (gram)),
+m AS (
+  SELECT t.doc_id AS train_doc, e.doc_id AS eval_doc, t.pos AS pt, e.pos AS pe
+  FROM p t JOIN p e ON t.gram = e.gram AND t.doc_id >= 50 AND e.doc_id < 50
+),
+isl AS (
+  SELECT train_doc, eval_doc, pt - pe AS diag, pt, pe,
+         pt - row_number() OVER (PARTITION BY train_doc, eval_doc, pt - pe
+                                 ORDER BY pt) AS grp
+  FROM m
+)
+SELECT train_doc, eval_doc, min(pt) AS start_train, min(pe) AS start_eval,
+       (max(pt) - min(pt) + 8)::BIGINT AS len_toks,
+       CASE WHEN max(pt) - min(pt) + 8 >= 16 THEN 1 ELSE 0 END AS contaminated
+FROM isl GROUP BY train_doc, eval_doc, diag, grp
+""",
+)
+def decontaminate_span(spark, sf_dir):
+    """SPAN-level benchmark decontamination — the exact-passage upgrade
+    over ``decontaminate_ngram``'s overlap ratio (Lee et al. §5 / the
+    GPT-3 appendix-C move): a long verbatim quote of one eval item
+    inside a big training document sits under any gram-RATIO threshold,
+    but is exactly a maximal train↔eval repeated span.  Same eval
+    stand-in (doc_id < 50) as the ngram row; postings + df-cut over the
+    FULL corpus, gram join train × eval only, maximal spans via the
+    shared gaps-and-islands kernel, contaminated = span ≥ 16 tokens
+    (flag pure in the judged len_toks).  Full semantics + scale story:
+    ``span_contamination`` (eval postings broadcast — benchmark sets
+    are tiny next to a 100 TB corpus)."""
+    from mycenae_spark.functions.dedup import span_contamination
+
+    return span_contamination(
+        t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        eval_pred=lambda c: c < 50,
+        k=8,
+        max_df=20,
+        flag_len=16,
+    )
+
+
+@q(
+    "text_winnow_fingerprint",
+    """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+),
+grams AS (
+  SELECT doc_id, i AS pos,
+         CAST(('0x' || substr(md5(array_to_string(ts[i+1:i+4], ' ')), 1, 8))
+              AS BIGINT) AS h
+  FROM toks, unnest(generate_series(0, len(ts) - 4)) AS g(i)
+  WHERE len(ts) >= 7
+),
+keyed AS (
+  SELECT doc_id, pos, h * 1048576 + pos AS key,
+         count(*) OVER (PARTITION BY doc_id) AS ng
+  FROM grams
+),
+sel AS (
+  SELECT doc_id, pos, ng,
+         min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS skey
+  FROM keyed
+)
+SELECT DISTINCT doc_id, (skey % 1048576)::BIGINT AS pos,
+       (skey // 1048576)::BIGINT AS fph
+FROM sel WHERE pos <= ng - 4
+""",
+)
+def text_winnow_fingerprint(spark, sf_dir):
+    """Document fingerprinting by WINNOWING (Schleimer et al. SIGMOD'03,
+    the MOSS kernel — the build brief's rolling-hash fingerprinting
+    modality, distinct from minhash: winnowing GUARANTEES any ≥ w+k−1
+    = 7-token match shares a selected fingerprint, at expected density
+    2/(w+1) of the grams).  k=4-token grams, w=4 windows, per-window
+    argmin totalized as min(hash·2²⁰ + pos) so both engines select the
+    identical fingerprint set — the judged output is the full (doc,
+    pos, fph) fingerprint RELATION, not a summary.  Full semantics +
+    scale story: ``winnow_fingerprints`` (one scan, per-doc windows,
+    no global order)."""
+    from mycenae_spark.functions.text import winnow_fingerprints
+
+    return winnow_fingerprints(
+        t(spark, sf_dir, "documents"), "doc_id", "text", k=4, w=4
+    )
+
+
+@q(
+    "text_tfidf_topk",
+    """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term <> '' GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT doc_id, term, round6(tf * ln(n / df)) AS tfidf_r
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tfidf_r, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf_r DESC, term) AS rk
+  FROM scored
+) WHERE rk <= 3
+""",
+)
+def text_tfidf_topk(spark, sf_dir):
+    """Per-document top-3 keywords by tf-idf (the classic salience
+    ranking a labeling / clustering / search-indexing stage consumes):
+    tf = in-doc term count, idf = ln(N/df) with df = #docs containing
+    the term (one row per (doc, term) in tf, so its count IS the doc
+    frequency — no count-distinct needed).  Ranking is on the ROUNDED
+    score with a term tie-break, the round6 convention, so the cutoff
+    cannot flip on summation noise.
+
+    Scale: two vocab-bounded hash aggs (tf keyed by (doc, term), df by
+    term — both partial-agg collapse), the N frame is one broadcast
+    scalar, scoring is a term-keyed join, and the top-3 window
+    partitions per doc — never a global sort."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.select(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            r6(F.col("tf") * F.log(F.col("n") / F.col("df"))).alias("tfidf_r"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf_r"), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tfidf_r", "rk")
+    )
+
+
+@q(
     "corpus_mix_profile",
     """
 WITH base AS (

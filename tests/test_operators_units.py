@@ -196,3 +196,30 @@ def test_bpe_tokenize_engine_matches_python_on_adjacent_runs(spark):
         for w in ("aaaa", "aaa", "aaaaaaaa")
     )
     assert got == {0: expect}
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """The winnowing GUARANTEE (Schleimer et al.): any shared passage of
+    ≥ w + k − 1 = 7 tokens must share at least one selected fingerprint
+    (same fph AND same gram content, since fingerprints are positioned
+    hashes of identical grams); and density is far below one-per-gram
+    (the 2/(w+1) expectation)."""
+    from mycenae_spark.functions.text import winnow_fingerprints
+
+    shared = [f"s{i}" for i in range(9)]  # 9-token shared passage
+    rows = [
+        (0, " ".join([f"a{i}" for i in range(20)] + shared)),
+        (1, " ".join(shared + [f"b{i}" for i in range(20)])),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnow_fingerprints(docs, "doc_id", "text", k=4, w=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fph"])
+    # guarantee: the 9-token shared run yields at least one common hash
+    assert by_doc[0] & by_doc[1]
+    # density: 29-token docs have 26 grams; selections must be well
+    # under one-per-gram (expected ~2/(w+1) of positions, deduped)
+    for d, s in by_doc.items():
+        n_rows = sum(1 for r in fps if r["doc_id"] == d)
+        assert n_rows < 26, (d, n_rows)

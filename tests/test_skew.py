@@ -456,3 +456,32 @@ def test_semantic_pairs_composes_with_trained_centroids(spark):
         assert r["vec_a"] < r["vec_b"] and 0.9 <= r["cos_r"] <= 1.0
         # no cross-blob pair survives: ids stay within one blob's range
         assert (r["vec_a"] < 100) == (r["vec_b"] < 100)
+
+
+def test_span_contamination_cross_set_only(spark):
+    """decontaminate_span's kernel: a train doc quoting 20 eval tokens
+    verbatim is flagged with exact coordinates; train↔train repeats are
+    NOT reported (that is dedup_span_exact's job), and an eval gram
+    repeated across >20 docs is df-cut before it can fan out."""
+    from mycenae_spark.functions.dedup import span_contamination
+
+    quote = [f"q{i}" for i in range(20)]
+    rows = [
+        (0, " ".join(["e0a", *quote, "e0b"])),            # eval doc
+        (100, " ".join(["t0a", "t0b", *quote, "t0c"])),   # quoting train doc
+        (101, " ".join([f"u{i}" for i in range(12)])),    # clean train doc
+    ] + [
+        # 30 docs sharing one hot 8-gram with the eval doc -> df-cut
+        (200 + i, " ".join([f"z{i}", *[f"h{j}" for j in range(8)]]))
+        for i in range(30)
+    ] + [(1, " ".join(["e1a", *[f"h{j}" for j in range(8)], "e1b"]))]  # eval
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        tuple(r)
+        for r in span_contamination(
+            docs, "doc_id", "text", eval_pred=lambda c: c < 50,
+            k=8, max_df=20, flag_len=16,
+        ).collect()
+    )
+    # one span: train 100 positions 2..21 match eval 0 positions 1..20
+    assert got == [(100, 0, 2, 1, 20, 1)]
