@@ -331,3 +331,35 @@ def test_bpe_tokenize_vocab_scoring_join(spark):
     assert "SinglePartition" not in plan
     assert "HashAggregate" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_span_contamination_broadcasts_eval_postings(spark):
+    """decontaminate_span's scale contract: the eval postings side
+    broadcasts into the gram join (benchmark sets are tiny next to the
+    corpus), nothing is cartesian, and no single-partition exchange
+    exists."""
+    plan = _plan(spark, "decontaminate_span")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_winnow_fingerprints_per_doc_windows_only(spark):
+    """Winnowing's scale contract: the selection window partitions per
+    document (never a global order) and the pipeline is one scan into
+    keyed windows — no single-partition exchange."""
+    plan = _plan(spark, "text_winnow_fingerprint")
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tfidf_topk_keyed_aggs_and_broadcast_n(spark):
+    """tf-idf's scale contract: vocab-bounded hash aggregations, the N
+    scalar broadcasts (the only 1-row cross join), and the top-3 window
+    partitions PER DOC — the single SinglePartition exchange in the plan
+    is the 1-row N aggregate, never the scored frame."""
+    plan = _plan(spark, "text_tfidf_topk")
+    assert "HashAggregate" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert plan.count("SinglePartition") <= 1  # only the N scalar
+    assert "windowspecdefinition(doc_id" in plan  # per-doc rank window
