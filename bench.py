@@ -112,6 +112,7 @@ HEADLINE = [
     "decontaminate_span",
     "text_winnow_fingerprint",
     "text_tfidf_topk",
+    "text_char_entropy",
 ]
 
 

@@ -2389,6 +2389,59 @@ def decontaminate_span(spark, sf_dir):
 
 
 @q(
+    "text_char_entropy",
+    """
+WITH ch AS (
+  SELECT doc_id, substr(text, i::INT, 1) AS c
+  FROM documents, unnest(generate_series(1, length(text))) AS u(i)
+),
+cc AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY doc_id, c),
+tot AS (SELECT doc_id, sum(n)::DOUBLE AS t FROM cc GROUP BY doc_id)
+SELECT cc.doc_id, round6(-sum((n / t) * ln(n / t))) AS ent_r,
+       CASE WHEN round6(-sum((n / t) * ln(n / t))) < 2.8 THEN 1 ELSE 0 END
+         AS low_entropy
+FROM cc JOIN tot USING (doc_id)
+GROUP BY cc.doc_id
+""",
+)
+def text_char_entropy(spark, sf_dir):
+    """Character-distribution Shannon entropy per document — the
+    gibberish/encoding-junk detector quality pipelines run beside the
+    Gopher rules (binary-ish blobs, base64 runs, single-char floods all
+    sit far from natural-language entropy; this corpus spans 2.55–2.93
+    nats, the < 2.8 flag populates both classes).  Flag is pure in the
+    ROUNDED entropy (round6 convention); the ~30-term float sum sits
+    ~1e-15 inside the +1e-9 guard band, the text_unigram_logprob
+    precedent.
+
+    Scale: char explode ∝ corpus chars (the shingle-family cost), one
+    (doc, char)-keyed agg with ≤ charset distinct keys per doc, one
+    per-doc agg — zero joins beyond the per-doc total, no windows."""
+    d = t(spark, sf_dir, "documents")
+    ch = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text")),
+                lambda i: F.col("text").substr(i, F.lit(1)),
+            )
+        ).alias("c"),
+    )
+    cc = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("n"))
+    tot = cc.groupBy("doc_id").agg(F.sum("n").cast("double").alias("t"))
+    p = F.col("n") / F.col("t")
+    ent = r6(-F.sum(p * F.log(p)))
+    return (
+        cc.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            ent.alias("ent_r"),
+            F.when(ent < 2.8, 1).otherwise(0).alias("low_entropy"),
+        )
+    )
+
+
+@q(
     "text_winnow_fingerprint",
     """
 WITH toks AS (
