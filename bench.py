@@ -113,6 +113,7 @@ HEADLINE = [
     "text_winnow_fingerprint",
     "text_tfidf_topk",
     "text_char_entropy",
+    "text_pmi_bigrams",
 ]
 
 

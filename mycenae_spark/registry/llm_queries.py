@@ -2389,6 +2389,93 @@ def decontaminate_span(spark, sf_dir):
 
 
 @q(
+    "text_pmi_bigrams",
+    """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+uni AS (
+  SELECT u.tok, count(*) AS n
+  FROM toks, unnest(ts) AS u(tok) WHERE u.tok <> '' GROUP BY u.tok
+),
+tot AS (SELECT sum(n)::DOUBLE AS t FROM uni),
+bi AS (
+  SELECT ts[i] AS tok_a, ts[i+1] AS tok_b, count(*) AS n_ab
+  FROM toks, unnest(generate_series(1, len(ts) - 1)) AS g(i)
+  GROUP BY ts[i], ts[i+1] HAVING count(*) >= 5
+),
+scored AS (
+  SELECT tok_a, tok_b, n_ab, round6(ln(n_ab * t / (a.n * b.n))) AS pmi_r
+  FROM bi JOIN uni a ON a.tok = bi.tok_a
+          JOIN uni b ON b.tok = bi.tok_b CROSS JOIN tot
+)
+SELECT tok_a, tok_b, n_ab, pmi_r, rk FROM (
+  SELECT *, row_number() OVER (ORDER BY pmi_r DESC, tok_a, tok_b) AS rk
+  FROM scored
+) WHERE rk <= 20
+""",
+)
+def text_pmi_bigrams(spark, sf_dir):
+    """Collocation extraction by pointwise mutual information over
+    ADJACENT token bigrams (Church & Hanks 1990 — the association
+    statistic phrase-mining / tokenizer-vocab pipelines rank by):
+    PMI(a,b) = ln(n_ab·T / (n_a·n_b)), support n_ab ≥ 5, top-20 by the
+    ROUNDED score (tok tie-breaks).  Doc-level co-occurrence PMI is
+    degenerate on this corpus (31-token vocabulary — every pair
+    co-occurs), so the judged form is the bigram statistic, which has a
+    real spread here (−0.74..+3.04 across sfs); all inputs are integer
+    counts, the single ln rounds once.
+
+    Scale: bigram and unigram tables are vocab²- and vocab-bounded hash
+    aggs (partial-agg collapsed — the corpus never shuffles raw), the
+    totals frame is one broadcast scalar, scoring is two vocab-keyed
+    joins, and the global top-20 plans as TakeOrderedAndProject."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("ts"))
+    uni = (
+        toks.select(F.explode("ts").alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = uni.agg(F.sum("n").cast("double").alias("t"))
+    bi = (
+        toks.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ts") - 1),
+                    lambda i: F.struct(
+                        F.element_at("ts", i).alias("tok_a"),
+                        F.element_at("ts", i + 1).alias("tok_b"),
+                    ),
+                )
+            ).alias("_p")
+        )
+        .select("_p.tok_a", "_p.tok_b")
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 5)
+    )
+    ua = uni.select(F.col("tok").alias("tok_a"), F.col("n").alias("_na"))
+    ub = uni.select(F.col("tok").alias("tok_b"), F.col("n").alias("_nb"))
+    scored = (
+        bi.join(F.broadcast(ua), "tok_a")
+        .join(F.broadcast(ub), "tok_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "tok_a", "tok_b", "n_ab",
+            r6(
+                F.log(F.col("n_ab") * F.col("t") / (F.col("_na") * F.col("_nb")))
+            ).alias("pmi_r"),
+        )
+    )
+    w = Window.orderBy(F.desc("pmi_r"), "tok_a", "tok_b")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("tok_a", "tok_b", "n_ab", "pmi_r", "rk")
+    )
+
+
+@q(
     "text_char_entropy",
     """
 WITH ch AS (
