@@ -262,3 +262,67 @@ def test_qsample_cascade_equals_direct_sample(spark, tmp_path_factory, data,
         n, est = got[key]
         assert n == len(vals)  # under k: the sample IS the bucket
         assert est == pytest.approx(exact, rel=1e-9), (key, vs, got[key])
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    prefix=st.lists(st.integers(0, 30), min_size=0, max_size=25),
+    suffix=st.lists(st.integers(0, 30), min_size=0, max_size=25),
+    shared=st.lists(st.integers(0, 30), min_size=7, max_size=15),
+)
+def test_winnowing_guarantee_property(spark, prefix, suffix, shared):
+    """Winnowing's theorem (Schleimer et al.), property-tested: for ANY
+    two documents sharing a run of ≥ w + k − 1 = 7 tokens, the selected
+    fingerprint sets intersect.  Tokens are drawn from a small alphabet
+    so hash ties and repeated grams are COMMON — the regime where a
+    sloppy argmin tie-break would break the guarantee."""
+    from mycenae_spark.functions.text import winnow_fingerprints
+
+    doc0 = [f"p{t}" for t in prefix] + [f"s{t}" for t in shared]
+    doc1 = [f"s{t}" for t in shared] + [f"q{t}" for t in suffix]
+    docs = spark.createDataFrame(
+        [(0, " ".join(doc0)), (1, " ".join(doc1))],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(docs, "doc_id", "text", k=4, w=4).collect()
+    by_doc: dict = {0: set(), 1: set()}
+    for r in fps:
+        by_doc[r["doc_id"]].add(r["fph"])
+    assert by_doc[0] & by_doc[1], (doc0, doc1)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    words=st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=8),
+        min_size=1, max_size=12,
+    )
+)
+def test_bpe_tokenize_jvm_matches_python_property(spark, words):
+    """The BPE replace-semantics contract, property-tested on a binary
+    alphabet (adjacent repeats everywhere — the regime the pass-count
+    spec exists for): the JVM replace chain's per-doc token counts must
+    equal a pure-Python application of the same learned merges."""
+    from mycenae_spark.functions.bpe import (
+        apply_merge,
+        bpe_token_counts,
+        learn_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, " ".join(words))], "doc_id long, text string"
+    )
+    merges = learn_merges(docs, n_merges=5)
+    got = {r["doc_id"]: r["n_tokens"]
+           for r in bpe_token_counts(docs, merges).collect()}
+
+    def py_tokens(word: str) -> int:
+        sym = " " + " ".join(word) + " "
+        for _, pair, _c in merges:
+            sym = apply_merge(sym, pair)
+        return len(sym.split())
+
+    expect = sum(py_tokens(w) for w in words if w)
+    assert got == {0: expect}, (words, merges)
