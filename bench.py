@@ -114,6 +114,7 @@ HEADLINE = [
     "text_tfidf_topk",
     "text_char_entropy",
     "text_pmi_bigrams",
+    "dedup_winnow_pairs",
 ]
 
 

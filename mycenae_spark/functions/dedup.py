@@ -504,6 +504,53 @@ def repeated_span_excision(
     )
 
 
+def winnow_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 4,
+    w: int = 4,
+    max_df: int = 20,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Near-dup candidate pairs from WINNOWED fingerprints — the MOSS
+    composition (Schleimer et al. §4: fingerprint, index, report
+    documents sharing fingerprints), and the fourth candidate-generation
+    scheme in the dedup family beside minhash bands, hyperplane LSH and
+    semantic clusters.  Versus the raw shingle postings of
+    ``ngram_jaccard_pairs``, the winnowed index is pre-thinned to
+    ~2/(w+1) of the grams WITH a locality guarantee (any ≥ w+k−1-token
+    match still collides), so the same Σdf² join cost buys longer-match
+    sensitivity.
+
+    Same valves as every postings join: fingerprints in more than
+    ``max_df`` documents are boilerplate and are cut before the
+    self-join (d² fanout); pairs must share ≥ ``min_shared``
+    fingerprints (the MOSS report threshold).  Output: (doc_a, doc_b,
+    n_shared), doc_a < doc_b."""
+    from mycenae_spark.functions.text import winnow_fingerprints
+
+    fp = winnow_fingerprints(df, id_col, text_col, k=k, w=w).select(
+        id_col, "fph"
+    ).distinct()
+    hot = (
+        fp.groupBy("fph")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > max_df)
+        .select("fph")
+    )
+    kept = fp.join(F.broadcast(hot), "fph", "left_anti")
+    a = kept.select(F.col(id_col).alias("doc_a"), "fph")
+    b = kept.select(F.col(id_col).alias("doc_b"), "fph")
+    return (
+        a.join(b, "fph")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",

@@ -2389,6 +2389,61 @@ def decontaminate_span(spark, sf_dir):
 
 
 @q(
+    "dedup_winnow_pairs",
+    """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+grams AS (
+  SELECT doc_id, i AS pos,
+         CAST(('0x' || substr(md5(array_to_string(ts[i+1:i+4], ' ')), 1, 8))
+              AS BIGINT) AS h
+  FROM toks, unnest(generate_series(0, len(ts) - 4)) AS g(i)
+  WHERE len(ts) >= 7
+),
+keyed AS (
+  SELECT doc_id, pos, h * 1048576 + pos AS key,
+         count(*) OVER (PARTITION BY doc_id) AS ng
+  FROM grams
+),
+sel AS (
+  SELECT doc_id, pos, ng,
+         min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS skey
+  FROM keyed
+),
+fp AS (
+  SELECT DISTINCT doc_id, (skey // 1048576)::BIGINT AS fph
+  FROM sel WHERE pos <= ng - 4
+),
+dfreq AS (SELECT fph, count(*) AS df FROM fp GROUP BY fph),
+kept AS (SELECT fp.doc_id, fp.fph FROM fp JOIN dfreq USING (fph)
+         WHERE df <= 20)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+FROM kept a JOIN kept b ON a.fph = b.fph AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= 2
+""",
+)
+def dedup_winnow_pairs(spark, sf_dir):
+    """Near-dup candidates from WINNOWED fingerprints — the MOSS
+    composition of ``text_winnow_fingerprint`` (Schleimer et al. §4),
+    the FOURTH candidate-generation scheme beside minhash bands,
+    hyperplane LSH and semantic clusters: the fingerprint index is
+    pre-thinned to ~2/(w+1) of the grams with the ≥7-token locality
+    guarantee, fingerprints in > 20 docs are boilerplate-cut before the
+    self-join (the d² valve), pairs report at ≥ 2 shared fingerprints
+    (25 pairs at sf0.01 / 308 at sf0.1).  Full semantics + scale story:
+    ``winnow_candidate_pairs``.  Note DISTINCT on (doc, fph) before the
+    join — the same fingerprint hash selected at two positions is one
+    index entry, mirrored in the oracle's fp CTE."""
+    from mycenae_spark.functions.dedup import winnow_candidate_pairs
+
+    return winnow_candidate_pairs(
+        t(spark, sf_dir, "documents"), "doc_id", "text",
+        k=4, w=4, max_df=20, min_shared=2,
+    )
+
+
+@q(
     "text_pmi_bigrams",
     """
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),

@@ -485,3 +485,29 @@ def test_span_contamination_cross_set_only(spark):
     )
     # one span: train 100 positions 2..21 match eval 0 positions 1..20
     assert got == [(100, 0, 2, 1, 20, 1)]
+
+
+def test_winnow_pairs_boilerplate_cut(spark):
+    """dedup_winnow_pairs' valve: a boilerplate passage present in 30
+    documents selects the same fingerprints in all of them (df > 20 →
+    cut before the self-join can go d²), so boilerplate-only doc pairs
+    report nothing — while two docs sharing a RARE passage pair up."""
+    from mycenae_spark.functions.dedup import winnow_candidate_pairs
+
+    boiler = [f"b{i}" for i in range(10)]
+    rare = [f"r{i}" for i in range(10)]
+    rows = [
+        (i, " ".join([f"u{i}", *boiler, f"v{i}"])) for i in range(30)
+    ] + [
+        (100, " ".join(["x0", *rare, "x1"])),
+        (101, " ".join(["y0", *rare, "y1"])),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["n_shared"]
+        for r in winnow_candidate_pairs(
+            docs, "doc_id", "text", k=4, w=4, max_df=20, min_shared=2
+        ).collect()
+    }
+    assert set(pairs) == {(100, 101)}  # boilerplate cluster reports nothing
+    assert pairs[(100, 101)] >= 2
