@@ -115,6 +115,7 @@ HEADLINE = [
     "text_char_entropy",
     "text_pmi_bigrams",
     "dedup_winnow_pairs",
+    "join_asof_tolerance",
 ]
 
 

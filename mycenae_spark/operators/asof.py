@@ -28,13 +28,20 @@ def asof_join(
     left_id: str = "event_id",
     right_id: str = "event_id",
     inner: bool = True,
+    tolerance: int | None = None,
 ) -> DataFrame:
     """Match each left row to the right row with the greatest ts ≤ left ts.
 
     Returns left rows with ``left_<left_id>``, ``right_<right_id>`` and
     ``right_<ts_col>`` columns.  ``inner=False`` keeps unmatched left rows
     with nulls.
-    """
+
+    ``tolerance`` (in ``ts_col`` units) is the pandas ``merge_asof``
+    gap bound: a left row whose LATEST-PRIOR right row is further back
+    than the tolerance is UNMATCHED — it does not fall back to an even
+    earlier right row (there is none nearer by construction).  A pure
+    post-predicate on the carried gap, so the single-shuffle plan is
+    unchanged."""
     # Null placeholders adopt the OTHER side's native dtype — casting the id
     # itself (e.g. a string event id to long) would silently null it out and,
     # with inner=True, filter every row.
@@ -68,6 +75,18 @@ def asof_join(
         .filter(F.col("_side") == 1)
         .drop("_side", "_rid", "_rts")
     )
+    if tolerance is not None:
+        in_tol = (
+            F.col(f"right_{right_id}").isNotNull()
+            & ((F.col(ts_col) - F.col(f"right_{ts_col}")) <= F.lit(tolerance))
+        )
+        out = out.withColumn(
+            f"right_{right_id}",
+            F.when(in_tol, F.col(f"right_{right_id}")),
+        ).withColumn(
+            f"right_{ts_col}",
+            F.when(in_tol, F.col(f"right_{ts_col}")),
+        )
     if inner:
         out = out.filter(F.col(f"right_{right_id}").isNotNull())
     return out

@@ -196,6 +196,49 @@ def join_asof(spark, sf_dir):
     )
 
 
+@q(
+    "join_asof_tolerance",
+    """
+SELECT e.event_id AS error_id, c.event_id AS click_id,
+       epoch_us(e.ts) - epoch_us(c.ts) AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON e.user_id = c.user_id AND e.ts >= c.ts
+WHERE epoch_us(e.ts) - epoch_us(c.ts) <= 86400000000
+""",
+)
+def join_asof_tolerance(spark, sf_dir):
+    """J6 with a GAP BOUND — pandas ``merge_asof(tolerance=...)``
+    semantics, the form a joining pipeline actually wants ("the same
+    user's latest click, but only if RECENT"): an error whose latest
+    prior click is older than 1 day is unmatched — it must NOT fall
+    back to an even earlier click, which is exactly why this is a
+    post-predicate on the as-of result (oracle: ASOF JOIN + WHERE on
+    the gap), not a range-join condition.  Keeps 746 of 1909 matches at
+    sf0.01 — the bound genuinely bites.  Plan unchanged from join_asof:
+    one sort-shuffle, tolerance is a free filter."""
+    from mycenae_spark.operators.asof import asof_join
+    from mycenae_spark.registry.util import points as _points
+
+    p = _points(spark, sf_dir)
+    err = p.filter(F.col("metric") == "error").select(
+        "event_id", "tag_user", "ts_us"
+    )
+    clk = p.filter(F.col("metric") == "click").select(
+        "event_id", "tag_user", "ts_us"
+    )
+    out = asof_join(
+        err, clk, on="tag_user", ts_col="ts_us",
+        left_id="event_id", right_id="event_id",
+        tolerance=86_400_000_000,
+    )
+    return out.select(
+        F.col("left_event_id").alias("error_id"),
+        F.col("right_event_id").alias("click_id"),
+        (F.col("ts_us") - F.col("right_ts_us")).alias("gap_us"),
+    )
+
+
 # ----------------------------------------------------------- §2.7 set ops
 
 @q(

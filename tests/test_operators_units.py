@@ -223,3 +223,37 @@ def test_winnowing_guarantee_and_density(spark):
     for d, s in by_doc.items():
         n_rows = sum(1 for r in fps if r["doc_id"] == d)
         assert n_rows < 26, (d, n_rows)
+
+
+def test_asof_join_tolerance_bound(spark):
+    """merge_asof tolerance semantics: a left row whose latest-prior
+    right row is beyond the bound is UNMATCHED (no fallback to older
+    rows); within the bound, matching is unchanged; outer mode keeps
+    the row with nulls."""
+    from mycenae_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("u", 100, "L1"), ("u", 250, "L2"), ("u", 900, "L3")],
+        "k string, ts_us long, lid string",
+    )
+    right = spark.createDataFrame(
+        [("u", 90, "R1"), ("u", 240, "R2")],
+        "k string, ts_us long, rid string",
+    )
+    inner = {
+        r["left_lid"]: r["right_rid"]
+        for r in asof_join(
+            left, right, on="k", ts_col="ts_us",
+            left_id="lid", right_id="rid", tolerance=50,
+        ).collect()
+    }
+    # L3's latest prior is R2 at gap 660 > 50: dropped, NOT matched to R1
+    assert inner == {"L1": "R1", "L2": "R2"}
+    outer = {
+        r["left_lid"]: r["right_rid"]
+        for r in asof_join(
+            left, right, on="k", ts_col="ts_us",
+            left_id="lid", right_id="rid", tolerance=50, inner=False,
+        ).collect()
+    }
+    assert outer == {"L1": "R1", "L2": "R2", "L3": None}
