@@ -1740,6 +1740,216 @@ def agg_grouped_multi_tag(spark, sf_dir):
 
 
 @q(
+    "compaction_roundtrip",
+    """
+SELECT * FROM (VALUES
+  ('files_before_ge_3', CAST(1 AS BIGINT)),
+  ('files_after_one', CAST(1 AS BIGINT)),
+  ('count_preserved', CAST(18 AS BIGINT)),
+  ('sum_preserved', CAST(1 AS BIGINT)),
+  ('pinned_read_survives_compaction', CAST(1 AS BIGINT)),
+  ('retained_generation_swept', CAST(1 AS BIGINT)),
+  ('head_read_after_gc', CAST(18 AS BIGINT))
+) AS t(what, n)
+""",
+)
+def compaction_roundtrip(spark, sf_dir):
+    """Partition COMPACTION hash-checked end-to-end (the r3 lifecycle
+    pattern applied to the small-files maintenance job — pytest-only
+    until r9): three appended batches leave ≥ 3 part files in one
+    (ksid, date) partition; ``compact_partition`` (CAS-guarded against
+    the commit log, salvage-on-race) rewrites them to ONE file with
+    count AND exact value sum preserved; a snapshot read PINNED before
+    the compaction still serves the original rows from the retained
+    generation (`_retained/<seq>` — the VACUUM grace window); then
+    ``gc_retained(max_age_s=0)`` sweeps that generation and the current
+    head read is untouched.  Constant oracle; collected before rmtree.
+    ``sf_dir`` unused — input synthesized, scale-invariant."""
+    import glob as _glob
+    import json as _json
+    import shutil
+    import tempfile
+
+    from mycenae_spark.maintenance import compact_partition, gc_retained
+    from mycenae_spark.streaming import snapshot as snap
+    from mycenae_spark.streaming.ingest import (
+        decode_json_lines,
+        prepare_points,
+        write_points_batch,
+    )
+
+    BASE = 1704067200000
+
+    def mk(n, base_i):
+        rows = [
+            (_json.dumps({
+                "metric": "cmp.m",
+                "tags": {"ksid": "k1", "host": f"h{base_i + i}"},
+                "timestamp": BASE + (base_i + i) * 60_000,
+                "value": float(base_i + i),
+            }),)
+            for i in range(n)
+        ]
+        valid, _ = prepare_points(
+            decode_json_lines(spark.createDataFrame(rows, ["value"]))
+        )
+        return valid
+
+    base = tempfile.mkdtemp(prefix="cmp_rt_")
+    try:
+        lake, catalog = base + "/lake", base + "/catalog"
+        write_points_batch(mk(10, 0), lake, catalog, batch_id="a")
+        write_points_batch(mk(5, 10), lake, catalog, batch_id="b")
+        write_points_batch(mk(3, 15), lake, catalog, batch_id="c")
+        cp = snap.write_checkpoint(lake, catalog)
+
+        part = _glob.glob(f"{lake}/ksid=k1/date=*/")[0]
+        files_before = len(_glob.glob(f"{part}/*.parquet"))
+        fb, fa = compact_partition(spark, lake, "k1", part.rstrip("/")
+                                   .rsplit("date=", 1)[1])
+
+        head = spark.read.parquet(lake)
+        n_head = head.count()
+        sum_ok = 1 if abs(
+            head.agg(F.sum("value")).collect()[0][0] - float(sum(range(18)))
+        ) < 1e-9 else 0
+
+        pinned = snap.read_points_snapshot(spark, lake, as_of=cp)
+        pinned_ok = 1 if (
+            pinned.count() == 18
+            and abs(pinned.agg(F.sum("value")).collect()[0][0] - 153.0) < 1e-9
+        ) else 0
+
+        removed = gc_retained(lake, max_age_s=0)
+        n_after_gc = spark.read.parquet(lake).count()
+
+        out = spark.createDataFrame(
+            [
+                ("files_before_ge_3", 1 if files_before >= 3 else 0),
+                ("files_after_one", 1 if fa == 1 else 0),
+                ("count_preserved", n_head),
+                ("sum_preserved", sum_ok),
+                ("pinned_read_survives_compaction", pinned_ok),
+                ("retained_generation_swept", 1 if removed else 0),
+                ("head_read_after_gc", n_after_gc),
+            ],
+            "what string, n long",
+        )
+        rows_out = out.collect()
+        schema = out.schema
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows_out, schema)
+
+
+@q(
+    "maintenance_gc_roundtrip",
+    """
+SELECT * FROM (VALUES
+  ('staging_orphans_swept', CAST(1 AS BIGINT)),
+  ('commit_markers_swept', CAST(1 AS BIGINT)),
+  ('commitlog_truncated_to_keep', CAST(1 AS BIGINT)),
+  ('topic_segments_swept', CAST(2 AS BIGINT)),
+  ('ladder_debris_swept', CAST(1 AS BIGINT)),
+  ('lake_intact_after_sweeps', CAST(15 AS BIGINT))
+) AS t(what, n)
+""",
+)
+def maintenance_gc_roundtrip(spark, sf_dir):
+    """The GC sweep family hash-checked as one lifecycle (closing the
+    last pytest-only maintenance surface): a lake with two committed
+    batches plus planted crash debris — an orphaned ``_staging`` dir, a
+    ladder ``<rung>_new_*`` build remnant, a fully-consumed bus topic
+    head segment — swept by ``gc_staging`` / ``gc_commit_markers`` /
+    ``gc_commitlog`` / ``gc_topic`` / ``gc_ladder_temps`` with age 0,
+    and the lake reads IDENTICALLY afterwards (GC reclaims invisible
+    bytes, never visible data).  Judged counts are structural: 1 orphan,
+    both markers (their staged moves completed), log truncated to the
+    newest entry, exactly the 2 consumed segments (the anchor survives),
+    1 debris dir.  Constant oracle; ``sf_dir`` unused."""
+    import json as _json
+    import os as _os
+    import shutil
+    import tempfile
+
+    from mycenae_spark.maintenance import (
+        gc_commit_markers,
+        gc_commitlog,
+        gc_staging,
+    )
+    from mycenae_spark.sources import bus
+    from mycenae_spark.streaming.ingest import (
+        decode_json_lines,
+        prepare_points,
+        write_points_batch,
+    )
+    from mycenae_spark.streaming.rollup import gc_ladder_temps
+
+    BASE = 1704067200000
+
+    def mk(n, base_i):
+        rows = [
+            (_json.dumps({
+                "metric": "gc.m",
+                "tags": {"ksid": "k1", "host": f"h{base_i + i}"},
+                "timestamp": BASE + (base_i + i) * 60_000,
+                "value": float(base_i + i),
+            }),)
+            for i in range(n)
+        ]
+        valid, _ = prepare_points(
+            decode_json_lines(spark.createDataFrame(rows, ["value"]))
+        )
+        return valid
+
+    base = tempfile.mkdtemp(prefix="gc_rt_")
+    try:
+        lake, catalog = base + "/lake", base + "/catalog"
+        write_points_batch(mk(10, 0), lake, catalog, batch_id="a")
+        write_points_batch(mk(5, 10), lake, catalog, batch_id="b")
+
+        # planted crash debris
+        orphan = _os.path.join(lake, "_staging", "orphan")
+        _os.makedirs(orphan)
+        open(_os.path.join(orphan, "part-x.parquet"), "w").close()
+        rung = base + "/rung1m"
+        _os.makedirs(rung)
+        _os.makedirs(rung + "_new_deadbeef")
+        topic = base + "/topic"
+        bus.publish(topic, 0, ["m0", "m1"])
+        bus.publish(topic, 0, ["m2"])
+        bus.publish(topic, 0, ["m3"])
+        with open(_os.path.join(topic, "_committed.json"), "w") as f:
+            _json.dump({"0": 4}, f)
+
+        staging_swept = len(gc_staging(lake, max_age_s=0))
+        markers_swept = len(gc_commit_markers(lake, max_age_s=0))
+        log_removed = gc_commitlog(lake, keep_last=1)
+        topic_swept = bus.gc_topic(topic, keep_segments=1)
+        ladder_swept = len(gc_ladder_temps({60_000: rung}, max_age_s=0))
+        n_lake = spark.read.parquet(lake).count()
+
+        out = spark.createDataFrame(
+            [
+                ("staging_orphans_swept", staging_swept),
+                ("commit_markers_swept",
+                 1 if markers_swept == 2 else 0),
+                ("commitlog_truncated_to_keep",
+                 1 if log_removed == 1 else 0),
+                ("topic_segments_swept", topic_swept),
+                ("ladder_debris_swept", ladder_swept),
+                ("lake_intact_after_sweeps", n_lake),
+            ],
+            "what string, n long",
+        )
+        rows_out = out.collect()
+        schema = out.schema
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows_out, schema)
+
+
+@q(
     "snapshot_read_roundtrip",
     """
 SELECT * FROM (VALUES
