@@ -99,10 +99,25 @@ def winnow_fingerprints(
         ).alias("_pg"),
     ).select(id_col, F.col("_pg.pos").alias("pos"), F.col("_pg.gram").alias("gram"))
     h = F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long")
+    # Enforce (don't assume) the documented pos < 2²⁰ bound: past it the
+    # packed key would corrupt BOTH fph and pos silently (r9 ADVICE).
+    # raise_error keeps the check JVM-side and free on the happy path.
+    pos_checked = F.when(F.col("pos") < F.lit(1 << 20), F.col("pos")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "winnow_fingerprints: token position >= 2^20 in doc "
+                ),
+                F.col(id_col).cast("string"),
+                F.lit(" — key packing would corrupt fph/pos; chunk the "
+                      "document upstream"),
+            )
+        ).cast("long")
+    )
     keyed = grams.select(
         id_col,
         "pos",
-        (h * F.lit(1048576) + F.col("pos")).alias("_key"),
+        (h * F.lit(1048576) + pos_checked).alias("_key"),
         F.count(F.lit(1)).over(Window.partitionBy(id_col)).alias("_ng"),
     )
     win = (

@@ -125,13 +125,10 @@ _ALL_QUERIES = {
 #: entries whose newest driver row is >= the round of redeclaration are
 #: treated as ordinary greens again (self-cleaning — see _rotation_key).
 #:
-#: r9: both r8-VERDICT "weak" quadratics were recomposed into their scale
-#: forms (full corpus, LSH-bucket verify / df-cut) with new output
-#: semantics for dedup_embedding_cosine.
-REDECLARED: dict[str, int] = {
-    "dedup_embedding_cosine": 9,
-    "dedup_ngram_containment": 9,
-}
+#: (r9's two recomposed quadratics — dedup_embedding_cosine,
+#: dedup_ngram_containment — landed fresh green r9 rows and were pruned
+#: per the contract above; see git history for the entries.)
+REDECLARED: dict[str, int] = {}
 
 _HISTORY = _driver_history()
 _DECL_IDX = {k: i for i, k in enumerate(_ALL_QUERIES)}

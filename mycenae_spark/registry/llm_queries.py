@@ -3023,7 +3023,7 @@ WITH g AS (
          unnest(list_transform(generate_series(1, length(text) - o.ord + 1),
                                i -> substr(text, i, o.ord))) AS gram
   FROM documents
-  CROSS JOIN (SELECT unnest([1, 3]) AS ord) o
+  CROSS JOIN (SELECT unnest([3]) AS ord) o
   WHERE length(text) >= o.ord
 ), dg AS (
   SELECT doc_id, lang, ord, gram, count(*) AS tf
@@ -3042,7 +3042,7 @@ WITH g AS (
   JOIN pnorm ON pnorm.plang = prof.plang AND pnorm.ord = dg.ord
   GROUP BY dg.doc_id, dg.lang, prof.plang, dg.ord
 ), mixed AS (
-  SELECT doc_id, lang, plang, round6(sum(cos) / 2.0) AS mix_r
+  SELECT doc_id, lang, plang, round6(sum(cos) / 1.0) AS mix_r
   FROM per_ord GROUP BY doc_id, lang, plang
 ), best AS (
   SELECT doc_id, lang, plang AS pred FROM (
@@ -3058,31 +3058,50 @@ def text_langid_mixture(spark, sf_dir):
     per-order Cavnar–Trenkle-style profile families scored independently
     by cosine, averaged with equal weights, argmax predicts — the
     standard robustness upgrade when trigram evidence is sparse (short
-    strings, transliteration).  Judged order set is {1, 3} (char priors
-    + trigram context): the bigram order was MEASURED to add nothing on
-    this corpus (acc 0.368 for {1,2,3} vs 0.376 for {1,3} vs 0.378
-    trigram-only at sf0.01) while costing ~45% more runtime (13.8 s vs
-    7.2 s at sf0.1, the gram volume), so it is dropped — the order set
-    is one literal on each side, any set slots in.  The mixture-vs-
-    trigram delta itself is honestly ~flat: the synthetic corpus shares
-    letter DISTRIBUTIONS as well as vocabulary across languages, so
-    char priors add no class signal here; on natural text with
-    per-language orthography they would.  Both accuracies live in bench
-    extras (langid_mixture_accuracy / langid_trigram_accuracy).  Judged
-    output is the full confusion matrix again.
+    strings, transliteration).  The order set is a parameter on both
+    sides (``_mixture_orders`` + one SQL literal); any set slots in.
+
+    Judged order set history — measurements acted on, not carried:
+    r7 judged {1,2,3}; r8 measured the bigram order flat (acc 0.368 vs
+    0.376 for {1,3} at sf0.01) at +45% runtime and dropped it; r9
+    measured the remaining char-prior order ALSO flat ({1,3} 0.247 vs
+    {3} 0.246 at sf0.1 — two rounds running, the synthetic corpus
+    shares letter distributions as well as vocabulary across languages)
+    while the op sat at 6.7–8.4 s, the suite's most expensive query.
+    r10 therefore demotes the JUDGED set to {3} (half the gram volume;
+    on this corpus the mixture machinery at {3} is exactly the trigram
+    profile, which the oracle re-verifies through the mixture plan) and
+    keeps the {1,3} form MEASURED in bench extras
+    (``langid_mixture_accuracy``, via ``langid_mixture_confusion``) so
+    the honest flat-delta comparison stays visible per scale factor.
+    On natural text with per-language orthography the char-prior order
+    would earn its cost back; flip ``_mixture_orders`` then.
 
     Determinism: per-order tf/pf are integers → exact integer dot
     products; the per-order cosines (one division + two sqrts each) are
     averaged unrounded and the mixture rounds ONCE to the 1e-6 grid
-    with the shared epsilon convention — the only float summation is
-    two terms, well inside the +1e-9 guard band.  Scale: gram explosion
-    is ~2× corpus chars (same family cost as the shingle ops), the
-    per-order profile/norm frames stay #langs × vocab, scoring is one
-    (ord, gram)-keyed join + two bounded aggs — nothing quadratic."""
+    with the shared epsilon convention — bounded-term float summation
+    (≤ #orders terms), well inside the +1e-9 guard band.  Scale: gram
+    explosion is ∝ #orders × corpus chars (same family cost as the
+    shingle ops), the per-order profile/norm frames stay #langs ×
+    vocab, scoring is one (ord, gram)-keyed join + two bounded aggs —
+    nothing quadratic."""
+    return langid_mixture_confusion(spark, sf_dir, _MIXTURE_ORDERS_JUDGED)
+
+
+#: The judged order set — see text_langid_mixture's docstring for the
+#: r7→r10 measurement trail that shrank {1,2,3} to {3}.
+_MIXTURE_ORDERS_JUDGED = (3,)
+
+
+def langid_mixture_confusion(spark, sf_dir, orders):
+    """The parameterized mixture kernel (judged form + bench-extras
+    comparison forms share it): confusion matrix (lang, pred, n) for an
+    equal-weight cosine mixture over the given n-gram ``orders``."""
     d = t(spark, sf_dir, "documents")
-    orders = spark.createDataFrame([(1,), (3,)], "ord int")
+    orders_df = spark.createDataFrame([(o,) for o in orders], "ord int")
     g = (
-        d.crossJoin(F.broadcast(orders))
+        d.crossJoin(F.broadcast(orders_df))
         .filter(F.length("text") >= F.col("ord"))
         .select(
             "doc_id",
@@ -3120,7 +3139,7 @@ def text_langid_mixture(spark, sf_dir):
         )
     )
     mixed = per_ord.groupBy("doc_id", "lang", "plang").agg(
-        r6(F.sum("cos") / F.lit(2.0)).alias("mix_r")
+        r6(F.sum("cos") / F.lit(float(len(orders)))).alias("mix_r")
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("mix_r"), "plang")
     best = mixed.withColumn("rn", F.row_number().over(w)).filter(

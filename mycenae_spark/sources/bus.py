@@ -189,9 +189,35 @@ def _read_range(pdir: str, partition: int, start: int, end: int) -> Iterator[tup
                 yield (line.rstrip("\n"), partition, off)
 
 
+def _group_marker(topic_dir: str, group: str) -> str:
+    """Path of a consumer group's offset marker: ``_committed-<group>.json``
+    — namespaced PER GROUP so two checkpointed streams consuming one topic
+    never clobber each other's marker (r9 ADVICE: a shared topic-level
+    marker let a fast group's commit advance the GC line past segments a
+    slower group still needed)."""
+    safe = "".join(c if c.isalnum() or c in "._-" else "_" for c in group)
+    return os.path.join(topic_dir, f"_committed-{safe}.json")
+
+
+def _group_markers(topic_dir: str) -> list[str]:
+    """All consumer-group markers on a topic, including the legacy
+    un-namespaced ``_committed.json`` written before groups existed."""
+    try:
+        names = os.listdir(topic_dir)
+    except FileNotFoundError:
+        return []
+    out = [
+        os.path.join(topic_dir, n)
+        for n in names
+        if n.startswith("_committed") and n.endswith(".json")
+    ]
+    return sorted(out)
+
+
 class BusStreamReader(DataSourceStreamReader):
-    def __init__(self, topic_dir: str):
+    def __init__(self, topic_dir: str, group: str = "default"):
         self.topic_dir = topic_dir
+        self.group = group
 
     def initialOffset(self) -> dict:
         # earliest RETAINED offset per currently-known partition (0 on a
@@ -219,14 +245,16 @@ class BusStreamReader(DataSourceStreamReader):
         )
 
     def commit(self, end: dict) -> None:
-        # consumer-group offset marker: observability + a GC hook for
-        # fully-consumed segments; correctness never depends on it (the
-        # checkpoint owns replay)
-        tmp = os.path.join(self.topic_dir, "._committed.json.tmp")
+        # consumer-group offset marker (namespaced per group — see
+        # _group_marker): observability + a GC hook for fully-consumed
+        # segments; correctness never depends on it (the checkpoint owns
+        # replay)
+        marker = _group_marker(self.topic_dir, self.group)
+        tmp = marker + f".{os.getpid()}.tmp"
         try:
             with open(tmp, "w") as f:
                 json.dump(end, f)
-            os.rename(tmp, os.path.join(self.topic_dir, "_committed.json"))
+            os.rename(tmp, marker)
         except OSError:
             pass
 
@@ -275,7 +303,9 @@ class BusDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> BusStreamReader:
         _register_by_value()
-        return BusStreamReader(self._topic())
+        return BusStreamReader(
+            self._topic(), self.options.get("group", "default")
+        )
 
     def reader(self, schema: StructType) -> BusBatchReader:
         _register_by_value()
@@ -297,6 +327,7 @@ def start_bus_ingest(
     available_now: bool = True,
     rollup_dir: str | None = None,
     rollup_interval_ms: int = 60_000,
+    group: str = "default",
 ):
     """The bus-fed twin of ``streaming.ingest.start_ingest``: readStream
     over the bus source → production JSON decoder → the SAME
@@ -317,10 +348,17 @@ def start_bus_ingest(
     register(spark)
     raw = (
         spark.readStream.format("mycenae_bus").option("path", topic_dir)
+        .option("group", group)
         .load()
         .select("value")
     )
     decoded = decode_json_lines(raw)
+
+    # Batch-id namespace: two GROUPS ingesting one topic into one lake
+    # are distinct streams with independent batch counters — qualify the
+    # manifest id per group so their replays can't collide (the default
+    # group keeps the bare ``bus-`` prefix for marker continuity).
+    prefix = "bus" if group == "default" else f"bus-{group}"
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         valid, _invalid = prepare_points(batch)
@@ -328,7 +366,7 @@ def start_bus_ingest(
             valid,
             lake_dir,
             catalog_dir,
-            batch_id=f"bus-{batch_id}",
+            batch_id=f"{prefix}-{batch_id}",
             rollup_dir=rollup_dir,
             rollup_interval_ms=rollup_interval_ms,
         )
@@ -342,10 +380,12 @@ def start_bus_ingest(
 
 
 def gc_topic(topic_dir: str, keep_segments: int = 2) -> int:
-    """Drop head segments FULLY CONSUMED per the ``_committed.json``
-    consumer-offset marker, keeping at least the newest
-    ``keep_segments`` (min 1) per partition regardless — replay headroom
-    for a checkpoint slightly behind the marker (the marker trails batch
+    """Drop head segments FULLY CONSUMED by EVERY consumer group — the
+    GC line per partition is the MINIMUM over all ``_committed-<group>``
+    markers (r9 ADVICE: a shared marker let a fast group's commit drop
+    segments a slower group still needed) — keeping at least the newest
+    ``keep_segments`` (min 1) per partition regardless: replay headroom
+    for a checkpoint slightly behind its marker (the marker trails batch
     completion by design), and an anchor for the absolute offset line.
     Safe BECAUSE offsets are segment-filename facts (base + count), not
     cumulative sums — removal cannot shift a surviving offset.  Returns
@@ -354,15 +394,18 @@ def gc_topic(topic_dir: str, keep_segments: int = 2) -> int:
     segment means the OPERATOR chose a retention shorter than their
     checkpoint lag — the same contract as commit-log truncation."""
     keep_segments = max(1, keep_segments)
-    marker = os.path.join(topic_dir, "_committed.json")
-    try:
-        with open(marker) as f:
-            committed = json.load(f)
-    except (OSError, ValueError):
+    groups = []
+    for marker in _group_markers(topic_dir):
+        try:
+            with open(marker) as f:
+                groups.append(json.load(f))
+        except (OSError, ValueError):
+            continue
+    if not groups:
         return 0
     removed = 0
     for p, pdir in _partition_dirs(topic_dir).items():
-        limit = int(committed.get(p, 0))
+        limit = min(int(g.get(p, 0)) for g in groups)
         segs = _segments(pdir)
         for seg in segs[: max(0, len(segs) - keep_segments)]:
             _, base, n = _seg_info(seg)

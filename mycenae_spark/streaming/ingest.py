@@ -143,6 +143,31 @@ def prepare_points(decoded: DataFrame) -> tuple[DataFrame, DataFrame]:
     return valid, invalid
 
 
+def _staged_metric_footprint(points_root: str, cap: int = 65) -> list[str]:
+    """Distinct metrics of a staged batch, read DRIVER-SIDE from the
+    already-written staged point files (column-pruned Arrow scan — the
+    staged parquet IS the batch, so no Spark job and no recompute inside
+    the commit critical section).  Early-exits once more than ``cap - 1``
+    distinct metrics are seen; the caller records the None wildcard past
+    64, so precision beyond the cap buys nothing."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    mets: set[str] = set()
+    for dirpath, _dirs, files in os.walk(points_root):
+        for fname in files:
+            if fname.startswith(("_", ".")):
+                continue
+            tbl = pq.read_table(
+                os.path.join(dirpath, fname), columns=["metric"]
+            )
+            mets.update(tbl.column("metric").to_pylist())
+            if len(mets) >= cap:
+                return sorted(mets)[:cap]
+    return sorted(mets)
+
+
 def write_points_batch(
     valid: DataFrame,
     lake_dir: str,
@@ -346,13 +371,16 @@ def write_points_batch(
                 # writers never clash.
                 _new_series().write.parquet(os.path.join(staging, "catalog"))
                 # the batch's metric footprint, for per-metric cache
-                # generations: bounded collect (capped; over-cap batches
-                # record the None wildcard, which only costs cache hits)
-                mets = [
-                    r[0]
-                    for r in valid.select("metric").distinct()
-                    .limit(65).collect()
-                ]
+                # generations — derived DRIVER-SIDE from the already-
+                # materialized staged point files (column-pruned Arrow
+                # read), not a Spark distinct-collect: the staged parquet
+                # IS the batch, and an extra Spark job inside the 2PC
+                # critical section only added commit latency (r9 ADVICE).
+                # Capped; over-cap batches record the None wildcard,
+                # which only costs cache hits.
+                mets = _staged_metric_footprint(
+                    os.path.join(staging, "points"), cap=65
+                )
                 manifest = {
                     "roots": {"points": lake_dir, "catalog": catalog_dir},
                     "points": _staged_files(os.path.join(staging, "points")),

@@ -803,7 +803,7 @@ def _cascade_sketch(
         src_as_of = _read_marker(src_dir).get("as_of_seq")
         if src_as_of is None:
             raise ValueError(
-                f"{remedy}: source sketch lake carries no as_of_seq pin "
+                f"{kind}: source sketch lake carries no as_of_seq pin "
                 f"— run {remedy} on the source (or cascade from a "
                 "pinned rung) before cascading with currency tracking"
             )
