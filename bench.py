@@ -116,6 +116,10 @@ HEADLINE = [
     "text_pmi_bigrams",
     "dedup_winnow_pairs",
     "join_asof_tolerance",
+    # round 10
+    "join_asof_forward",
+    "join_asof_nearest",
+    "dedup_winnow_spans",
 ]
 
 

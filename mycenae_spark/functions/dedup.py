@@ -391,12 +391,16 @@ def _span_postings(
     return grams.join(keep, "gram")
 
 
-def _span_islands(pa, pb, id_col: str, k: int, pair_cond=None) -> DataFrame:
+def _span_islands(
+    pa, pb, id_col: str, k: int, pair_cond=None, pairs=None
+) -> DataFrame:
     """Gaps-and-islands maximal-span extraction over two postings frames
     joined on the gram — the shared back half of the span operators.
     ``pair_cond`` constrains pairs BEFORE island grouping (doc_a < doc_b
     within one corpus; None when the two sides are already disjoint,
-    e.g. train × eval)."""
+    e.g. train × eval).  ``pairs`` — a (doc_a, doc_b) candidate frame —
+    further restricts the match set to pre-vetted pairs (broadcast
+    semi-join; the cheap-candidates → exact-verify composition)."""
     from pyspark.sql import Window
 
     a = pa.select(F.col(id_col).alias("doc_a"), F.col("pos").alias("pa"), "gram")
@@ -404,6 +408,12 @@ def _span_islands(pa, pb, id_col: str, k: int, pair_cond=None) -> DataFrame:
     m = a.join(b, "gram")
     if pair_cond is not None:
         m = m.filter(pair_cond)
+    if pairs is not None:
+        m = m.join(
+            F.broadcast(pairs.select("doc_a", "doc_b")),
+            ["doc_a", "doc_b"],
+            "left_semi",
+        )
     diag = (F.col("pa") - F.col("pb")).alias("diag")
     w = Window.partitionBy("doc_a", "doc_b", F.col("pa") - F.col("pb")).orderBy(
         "pa"
@@ -548,6 +558,60 @@ def winnow_candidate_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def winnow_verified_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k_fp: int = 4,
+    w: int = 4,
+    max_df_fp: int = 20,
+    min_shared: int = 2,
+    k_span: int = 8,
+    max_df_span: int = 20,
+) -> DataFrame:
+    """Winnow-candidate pairs VERIFIED by exact maximal spans — the
+    cheap-candidates → exact-verify composition production MOSS runs
+    (Schleimer et al. §4 report stage), built entirely from the two
+    already-judged halves: ``winnow_candidate_pairs`` proposes pairs
+    from the ~2/(w+1)-thinned fingerprint index, then the Lee-et-al
+    gaps-and-islands span kernel (``_span_postings`` + ``_span_islands``)
+    runs ONLY on those pairs.
+
+    Why compose rather than run spans corpus-wide: the span postings
+    self-join costs Σdf² over ALL kept grams; restricted to candidate
+    docs the postings frame shrinks to the candidate neighborhood first
+    (id-keyed semi-join — non-candidate documents never enter the gram
+    join) and the match set is then pair-semi-joined against the
+    broadcast candidate list, so verify work scales with the candidate
+    count the winnow index already bounded, not with the corpus.
+
+    Output: (doc_a, doc_b, start_a, start_b, len_toks, n_shared) — one
+    row per maximal verified span ≥ ``k_span`` tokens, carrying the
+    candidate's shared-fingerprint count; a candidate pair with no
+    verified span (fingerprint collision without an 8-token exact
+    repeat) simply emits nothing — that filtering IS the verify."""
+    cand = winnow_candidate_pairs(
+        df, id_col, text_col,
+        k=k_fp, w=w, max_df=max_df_fp, min_shared=min_shared,
+    )
+    cand_docs = (
+        cand.select(F.col("doc_a").alias(id_col))
+        .union(cand.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    p = _span_postings(df, id_col, text_col, k_span, max_df_span).join(
+        F.broadcast(cand_docs), id_col, "left_semi"
+    )
+    spans = _span_islands(
+        p, p, id_col, k_span,
+        pair_cond=F.col("doc_a") < F.col("doc_b"),
+        pairs=cand,
+    )
+    return spans.join(F.broadcast(cand), ["doc_a", "doc_b"]).select(
+        "doc_a", "doc_b", "start_a", "start_b", "len_toks", "n_shared"
     )
 
 

@@ -29,19 +29,32 @@ def asof_join(
     right_id: str = "event_id",
     inner: bool = True,
     tolerance: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Match each left row to the right row with the greatest ts ≤ left ts.
+    """Match each left row to the right row with the greatest ts ≤ left ts
+    (``direction="backward"``, the default), the smallest ts ≥ left ts
+    (``"forward"``), or whichever of the two is nearer in absolute gap
+    (``"nearest"``, ties preferring backward) — the pandas
+    ``merge_asof(direction=...)`` triple.
 
     Returns left rows with ``left_<left_id>``, ``right_<right_id>`` and
     ``right_<ts_col>`` columns.  ``inner=False`` keeps unmatched left rows
     with nulls.
 
     ``tolerance`` (in ``ts_col`` units) is the pandas ``merge_asof``
-    gap bound: a left row whose LATEST-PRIOR right row is further back
-    than the tolerance is UNMATCHED — it does not fall back to an even
-    earlier right row (there is none nearer by construction).  A pure
-    post-predicate on the carried gap, so the single-shuffle plan is
-    unchanged."""
+    gap bound: a left row whose matched right row is further away (in
+    absolute gap) than the tolerance is UNMATCHED — it does not fall
+    back to a farther right row (there is none nearer by construction).
+    A pure post-predicate on the carried gap, so the plan is unchanged.
+
+    All three directions keep the single sort-shuffle shape: forward is
+    the mirrored window (``first`` over the FOLLOWING frame, ties
+    ordered left-before-right so an equal-ts right row still matches);
+    nearest evaluates both frames over the one partitioning — Spark
+    plans one exchange and two in-partition sorts, still linear in
+    |L|+|R| with no range explosion."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"asof_join: unknown direction {direction!r}")
     # Null placeholders adopt the OTHER side's native dtype — casting the id
     # itself (e.g. a string event id to long) would silently null it out and,
     # with inner=True, filter every row.
@@ -64,21 +77,52 @@ def asof_join(
         F.col(ts_col).cast("long").alias("_rts"),
     )
     u = l.unionByName(r)
-    w = (
+    # Backward frame: rows ordered (ts, right-before-left) so an equal-ts
+    # right row is inside the preceding-inclusive window (ASOF >=).
+    back_w = (
         Window.partitionBy(on)
         .orderBy(ts_col, "_side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # Forward frame: the mirror — left-before-right at equal ts, so the
+    # following-inclusive window still sees an equal-ts right row (<=).
+    fwd_w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts_col).asc(), F.col("_side").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    if direction == "backward":
+        rid = F.last("_rid", ignorenulls=True).over(back_w)
+        rts = F.last("_rts", ignorenulls=True).over(back_w)
+    elif direction == "forward":
+        rid = F.first("_rid", ignorenulls=True).over(fwd_w)
+        rts = F.first("_rts", ignorenulls=True).over(fwd_w)
+    else:  # nearest: both frames, smaller absolute gap wins, tie → backward
+        p_rid = F.last("_rid", ignorenulls=True).over(back_w)
+        p_rts = F.last("_rts", ignorenulls=True).over(back_w)
+        n_rid = F.first("_rid", ignorenulls=True).over(fwd_w)
+        n_rts = F.first("_rts", ignorenulls=True).over(fwd_w)
+        pick_prev = p_rid.isNotNull() & (
+            n_rid.isNull()
+            | ((F.col(ts_col) - p_rts) <= (n_rts - F.col(ts_col)))
+        )
+        rid = F.when(pick_prev, p_rid).otherwise(n_rid)
+        rts = F.when(pick_prev, p_rts).otherwise(n_rts)
     out = (
-        u.withColumn(f"right_{right_id}", F.last("_rid", ignorenulls=True).over(w))
-        .withColumn(f"right_{ts_col}", F.last("_rts", ignorenulls=True).over(w))
+        u.withColumn(f"right_{right_id}", rid)
+        .withColumn(f"right_{ts_col}", rts)
         .filter(F.col("_side") == 1)
         .drop("_side", "_rid", "_rts")
     )
     if tolerance is not None:
+        # absolute gap: equals ts−rts for backward (non-negative there),
+        # rts−ts for forward, and the chosen side's gap for nearest
         in_tol = (
             F.col(f"right_{right_id}").isNotNull()
-            & ((F.col(ts_col) - F.col(f"right_{ts_col}")) <= F.lit(tolerance))
+            & (
+                F.abs(F.col(ts_col) - F.col(f"right_{ts_col}"))
+                <= F.lit(tolerance)
+            )
         )
         out = out.withColumn(
             f"right_{right_id}",

@@ -113,6 +113,44 @@ def rollup_routable(q: TsdbQuery, rollup_interval_ms: int) -> bool:
     return False
 
 
+#: pNN downsample aggregators servable from bottom-k value-sample rungs
+#: (not mergeable as algebraic partials like _ROLLUP_AGGS; mergeable as
+#: samples: union + re-take-k, exact under k points per bucket).
+QSAMPLE_AGGS = ("p50", "p90", "p95", "p99")
+
+
+def qsample_routable(q: TsdbQuery, rung_interval_ms: int) -> bool:
+    """True iff ``q``'s percentile downsample can be served from a
+    quantile-sample rung: same alignment and stage-order gates as
+    ``rollup_routable``, for the pNN family.  Serving is EXACT when the
+    bucket's point count is ≤ the sample k (the sample then IS the
+    bucket), O(1/√k)-banded beyond — the Engine routes either way and
+    records the rung class it served from."""
+    if not q.downsample:
+        return False
+    parts = q.downsample.split("-")
+    try:
+        interval_ms = parse_interval_ms(parts[0])
+    except ValueError:
+        return False
+    if len(parts) < 2 or parts[1] not in QSAMPLE_AGGS:
+        return False
+    if interval_ms % rung_interval_ms:
+        return False
+    if q.start_ms % interval_ms or q.end_ms % interval_ms:
+        return False
+    for stage in q.order:
+        if stage == "downsample":
+            return True
+        if (
+            stage == "aggregation"
+            or (stage == "rate" and q.rate)
+            or (stage == "filterValue" and q.filter_value)
+        ):
+            return False
+    return False
+
+
 def plan(
     points: DataFrame,
     q: TsdbQuery,

@@ -239,6 +239,101 @@ def join_asof_tolerance(spark, sf_dir):
     )
 
 
+@q(
+    "join_asof_forward",
+    """
+SELECT e.event_id AS error_id, c.event_id AS click_id,
+       epoch_us(c.ts) - epoch_us(e.ts) AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON e.user_id = c.user_id AND e.ts <= c.ts
+""",
+)
+def join_asof_forward(spark, sf_dir):
+    """J6 direction mode FORWARD (r9 VERDICT item 6): each error matched
+    to the same user's EARLIEST click at-or-after it — pandas
+    ``merge_asof(direction="forward")`` / DuckDB ``ASOF ... ON l.ts <=
+    r.ts``.  The "what did the user do next" form of the alignment.
+    Same single sort-shuffle composition as backward, mirrored: the
+    union window carries the NEXT right payload with ``first(...,
+    ignorenulls)`` over the following-inclusive frame, ties ordered
+    left-before-right so an equal-ts click still matches (<= inclusive).
+    Linear in |L|+|R|; no range explosion at any scale."""
+    from mycenae_spark.operators.asof import asof_join
+    from mycenae_spark.registry.util import points as _points
+
+    p = _points(spark, sf_dir)
+    err = p.filter(F.col("metric") == "error").select(
+        "event_id", "tag_user", "ts_us"
+    )
+    clk = p.filter(F.col("metric") == "click").select(
+        "event_id", "tag_user", "ts_us"
+    )
+    out = asof_join(
+        err, clk, on="tag_user", ts_col="ts_us",
+        left_id="event_id", right_id="event_id", direction="forward",
+    )
+    return out.select(
+        F.col("left_event_id").alias("error_id"),
+        F.col("right_event_id").alias("click_id"),
+        (F.col("right_ts_us") - F.col("ts_us")).alias("gap_us"),
+    )
+
+
+@q(
+    "join_asof_nearest",
+    """
+WITH e AS (SELECT * FROM events WHERE event_type = 'error'),
+     c AS (SELECT * FROM events WHERE event_type = 'click'),
+     b AS (
+       SELECT e.event_id AS eid, c.event_id AS cid,
+              epoch_us(e.ts) - epoch_us(c.ts) AS g
+       FROM e ASOF JOIN c ON e.user_id = c.user_id AND e.ts >= c.ts
+     ),
+     f AS (
+       SELECT e.event_id AS eid, c.event_id AS cid,
+              epoch_us(c.ts) - epoch_us(e.ts) AS g
+       FROM e ASOF JOIN c ON e.user_id = c.user_id AND e.ts <= c.ts
+     )
+SELECT coalesce(b.eid, f.eid) AS error_id,
+       CASE WHEN b.eid IS NOT NULL AND (f.eid IS NULL OR b.g <= f.g)
+            THEN b.cid ELSE f.cid END AS click_id,
+       CASE WHEN b.eid IS NOT NULL AND (f.eid IS NULL OR b.g <= f.g)
+            THEN b.g ELSE f.g END AS gap_us
+FROM b FULL OUTER JOIN f ON b.eid = f.eid
+""",
+)
+def join_asof_nearest(spark, sf_dir):
+    """J6 direction mode NEAREST (r9 VERDICT item 6, completing the
+    pandas ``merge_asof`` direction triple): each error matched to the
+    same user's click closest in ABSOLUTE time, ties preferring the
+    backward (at-or-before) match — the deterministic convention both
+    engines mirror (oracle: backward/forward ASOF CTEs full-outer
+    composed, CASE on the smaller gap).  One shuffle still: Spark
+    evaluates the preceding and following frames over the same
+    partitioning (one exchange, two in-partition sorts — asserted
+    linear, never a range join)."""
+    from mycenae_spark.operators.asof import asof_join
+    from mycenae_spark.registry.util import points as _points
+
+    p = _points(spark, sf_dir)
+    err = p.filter(F.col("metric") == "error").select(
+        "event_id", "tag_user", "ts_us"
+    )
+    clk = p.filter(F.col("metric") == "click").select(
+        "event_id", "tag_user", "ts_us"
+    )
+    out = asof_join(
+        err, clk, on="tag_user", ts_col="ts_us",
+        left_id="event_id", right_id="event_id", direction="nearest",
+    )
+    return out.select(
+        F.col("left_event_id").alias("error_id"),
+        F.col("right_event_id").alias("click_id"),
+        F.abs(F.col("right_ts_us") - F.col("ts_us")).alias("gap_us"),
+    )
+
+
 # ----------------------------------------------------------- §2.7 set ops
 
 @q(

@@ -2941,6 +2941,110 @@ def rollup_qsample_roundtrip(spark, sf_dir):
 
 
 @q(
+    "qsample_route_roundtrip",
+    """
+SELECT * FROM (VALUES
+  ('routed_via_qsample_1h', CAST(1 AS DOUBLE)),
+  ('routed_equals_fine', CAST(1 AS DOUBLE)),
+  ('n_buckets', CAST(2 AS DOUBLE)),
+  ('p95_sum_bucket0_r4', CAST(1168.15 AS DOUBLE)),
+  ('p95_sum_bucket1_r4', CAST(1368.15 AS DOUBLE)),
+  ('stale_falls_back_fine', CAST(1 AS DOUBLE)),
+  ('refreshed_routes_again', CAST(1 AS DOUBLE)),
+  ('refreshed_equals_fine', CAST(1 AS DOUBLE))
+) AS t(what, n)
+""",
+)
+def qsample_route_roundtrip(spark, sf_dir):
+    """pNN downsamples SERVED from the quantile-sample ladder (r9
+    VERDICT item 2), judged through the real engine: the algebraic
+    rollup rungs cannot merge a percentile at all, so before this a
+    year-long p99 query always scanned raw points; now ``_pick_qsample``
+    (server.py) routes percentile downsamples onto qsample rungs under
+    the SAME coverage/currency/pin gates as the algebraic ladder, the
+    engine records the rung class it served from, and a bucket holding
+    ≤ k points is answered EXACTLY (the bottom-k sample IS the bucket;
+    ``read_qsample_percentile`` replicates F.percentile's interpolation
+    arithmetic bit-for-bit).
+
+    Lifecycle: 2 series × 2 hours × 60 points/hour (≤ k=64 per bucket)
+    put through the engine → ``backfill_qsample`` 1h rung →
+    a ``1h-p95`` sum query routes (`last_routes() == ["qsample:…"]`),
+    matches the closed form (per-bucket interpolated p95: h0 100b+56.05,
+    h1 1000+100b+112.1, summed), and equals the fine-path answer of a
+    ladder-less engine on the same stores bucket-for-bucket — exactness,
+    not approximation, is what's judged.  Then a write STALES the rung
+    (commit-log currency) → the same query falls back to the fine path;
+    a re-backfill re-pins → routes again and still equals fine.
+    Constant oracle; collected before rmtree; ``sf_dir`` unused."""
+    import shutil
+    import tempfile
+
+    from mycenae_spark.server import Engine
+    from mycenae_spark.streaming.rollup import backfill_qsample
+
+    BASE = 1704067200000
+    base = tempfile.mkdtemp(prefix="qs_route_")
+    lake, catalog, qs1h = f"{base}/lake", f"{base}/cat", f"{base}/qs1h"
+    body = {
+        "start": BASE, "end": BASE + 2 * 3_600_000,
+        "queries": [{"metric": "qs.route", "aggregator": "sum",
+                     "downsample": "1h-p95"}],
+    }
+
+    def dps(engine):
+        out = engine.query(body)
+        return {k: round(v, 6) for k, v in out[0]["dps"].items()}
+
+    try:
+        eng = Engine(spark, lake, catalog, qsample_ladder={3_600_000: qs1h})
+        fine = Engine(spark, lake, catalog)
+        eng.put(
+            [{"metric": "qs.route", "tags": {"ksid": "k1", "host": "h0"},
+              "timestamp": BASE + b * 3_600_000 + j * 60_000,
+              "value": float(100 * b + j)}
+             for b in range(2) for j in range(60)]
+            + [{"metric": "qs.route", "tags": {"ksid": "k1", "host": "h1"},
+                "timestamp": BASE + b * 3_600_000 + j * 60_000,
+                "value": float(1000 + 100 * b + 2 * j)}
+               for b in range(2) for j in range(60)]
+        )
+        backfill_qsample(spark, lake, qs1h, interval_ms=3_600_000)
+
+        routed = dps(eng)
+        routed_ok = int(eng.last_routes() == ["qsample:3600000"])
+        fine1 = dps(fine)
+        eq_fine = int(routed == fine1 and fine.last_routes() == ["fine"])
+        b0 = round(routed.get(str(BASE // 1000), -1.0), 4)
+        b1 = round(routed.get(str((BASE + 3_600_000) // 1000), -1.0), 4)
+
+        eng.put([{"metric": "qs.route",
+                  "tags": {"ksid": "k1", "host": "h0"},
+                  "timestamp": BASE + 30_000, "value": 1e6}])
+        stale = dps(eng)
+        stale_ok = int(eng.last_routes() == ["fine"] and stale != routed)
+
+        backfill_qsample(spark, lake, qs1h, interval_ms=3_600_000)
+        refreshed = dps(eng)
+        rerouted_ok = int(eng.last_routes() == ["qsample:3600000"])
+        req_fine = int(refreshed == dps(fine))
+
+        rows = [
+            ("routed_via_qsample_1h", float(routed_ok)),
+            ("routed_equals_fine", float(eq_fine)),
+            ("n_buckets", float(len(routed))),
+            ("p95_sum_bucket0_r4", b0),
+            ("p95_sum_bucket1_r4", b1),
+            ("stale_falls_back_fine", float(stale_ok)),
+            ("refreshed_routes_again", float(rerouted_ok)),
+            ("refreshed_equals_fine", float(req_fine)),
+        ]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, "what string, n double")
+
+
+@q(
     "stream_kmv_roundtrip",
     """
 SELECT * FROM (VALUES

@@ -66,11 +66,18 @@ class Engine:
         catalog_dir: str,
         rollup_dir: str | None = None,
         ladder: dict[int, str] | None = None,
+        qsample_ladder: dict[int, str] | None = None,
     ):
         self.spark = spark
         self.lake_dir = lake_dir
         self.catalog_dir = catalog_dir
         self.rollup_dir = rollup_dir
+        #: Quantile-sample rungs (interval_ms → dir, streaming/rollup.py::
+        #: backfill_qsample / cascade_qsample).  Percentile (pNN)
+        #: downsamples route onto these — exact when a bucket holds ≤ k
+        #: points, O(1/√k)-banded beyond — under the same coverage/
+        #: currency/pin gates as the algebraic ladder; see _pick_qsample.
+        self.qsample_ladder = qsample_ladder or {}
         #: Cascaded coarse rungs (interval_ms → dir, streaming/rollup.py::
         #: cascade_rollup).  Routed onto per query when current + covering;
         #: the ingest-maintained fine rung stays the fallback.
@@ -124,6 +131,13 @@ class Engine:
         #: into an answer cached under S, breaking the pure-function-of-
         #: (request, generation) invariant.
         self._read_pin = threading.local()
+        #: Per-request-thread routing trace: one entry per served
+        #: subquery — "qsample:<iv>", "ladder:<iv>", or "fine" — so
+        #: operators (and the routing behavioral tests) can see WHICH
+        #: rung class answered without parsing physical plans.  Reset by
+        #: query(); read via last_routes().  Cache hits append
+        #: "cache" (no frame was consulted).
+        self._route_trace = threading.local()
         from mycenae_spark.keyspace import KeyspaceManager
 
         self.keyspaces = KeyspaceManager(lake_dir)
@@ -323,10 +337,23 @@ class Engine:
         # keys are derived from: a write landing mid-query must not leak
         # newer-generation data into an answer cached under an older key.
         self._read_pin.as_of = head
+        self._route_trace.routes = []
         try:
             return self._query_subqueries(body, now_ms, head)
         finally:
             self._read_pin.as_of = None
+
+    def _note_route(self, route: str) -> None:
+        routes = getattr(self._route_trace, "routes", None)
+        if routes is not None:
+            routes.append(route)
+        logger.debug("subquery served from %s", route)
+
+    def last_routes(self) -> list[str]:
+        """Routing trace of this thread's most recent query() — one
+        "qsample:<iv>" / "ladder:<iv>" / "fine" / "cache" entry per
+        subquery, in order."""
+        return list(getattr(self._route_trace, "routes", []))
 
     @staticmethod
     def _canonical_subquery(q) -> str:
@@ -427,6 +454,7 @@ class Engine:
                     # deep copy: served responses must not be able to
                     # poison the cached entry (r8 ADVICE)
                     out.extend(copy.deepcopy(hit))
+                    self._note_route("cache")
                     continue
             if not frames_built:
                 pts, rollup = self._build_frames()
@@ -483,6 +511,31 @@ class Engine:
 
     def _run_subquery(self, pts, rollup, q) -> list:
         nan_fill = bool(q.downsample and q.downsample.endswith("-nan"))
+        # Percentile downsamples first consult the quantile-sample ladder
+        # (r9 VERDICT item 2): the algebraic rungs cannot merge a pNN at
+        # all, so without this a year-long p99 query scans raw points.
+        # A qsample rung answers from #series × #buckets sample states —
+        # EXACT (bit-for-bit the fine path's F.percentile) when buckets
+        # hold ≤ k points, O(1/√k)-banded beyond.
+        picked = self._pick_qsample(q)
+        if picked is not None:
+            qpts, q2, qs_iv = picked
+            try:
+                rows = shape_response(
+                    plan(qpts, q2), q2, nan_fill=nan_fill
+                )
+                self._note_route(f"qsample:{qs_iv}")
+                return rows
+            except Exception:
+                # Same swap-race/unexpected-failure contract as the
+                # algebraic ladder: the fine points path below is always
+                # correct, so degrade loudly and fall through.
+                logger.warning(
+                    "qsample-routed pNN failed for downsample=%s; "
+                    "serving the fine path",
+                    q.downsample,
+                    exc_info=True,
+                )
         try:
             r, r_iv = self._pick_rung(q, rollup)
         except Exception:
@@ -501,11 +554,13 @@ class Engine:
             )
             r, r_iv = rollup, 60_000
         try:
-            return shape_response(
+            rows = shape_response(
                 plan(pts, q, rollup=r, rollup_interval_ms=r_iv),
                 q,
                 nan_fill=nan_fill,
             )
+            self._note_route("fine" if r is rollup else f"ladder:{r_iv}")
+            return rows
         except Exception:
             if r is rollup:
                 raise
@@ -518,11 +573,13 @@ class Engine:
             self._rung_frames = {
                 d: c for d, c in self._rung_frames.items() if c[1] is not r
             }
-            return shape_response(
+            rows = shape_response(
                 plan(pts, q, rollup=rollup, rollup_interval_ms=60_000),
                 q,
                 nan_fill=nan_fill,
             )
+            self._note_route("fine")
+            return rows
 
     def _pick_rung(self, q, fine_rollup):
         """Coarsest serving frame for ``q``'s downsample: a ladder rung
@@ -586,6 +643,101 @@ class Engine:
                     self._rung_frames[rung_dir] = cached
                 return cached[1], iv
         return fine_rollup, 60_000
+
+    #: pNN name → quantile fraction, the downsample family QSAMPLE_AGGS
+    #: routes (mirrors operators/downsample.py's exact pNN set).
+    _PCTS = {"p50": 0.5, "p90": 0.9, "p95": 0.95, "p99": 0.99}
+
+    def _pick_qsample(self, q):
+        """Quantile-sample-ladder route for a percentile downsample:
+        returns (points-shaped frame, rewritten query, rung interval) or
+        None when no rung fits.  Gates mirror ``_pick_rung`` exactly —
+        routability (alignment + stage order, ``qsample_routable``),
+        coverage marker, commit-log currency — plus the pNN-specific
+        rewrite: the rung frame already holds ONE percentile value per
+        (series, bucket), so the downsample stage is rewritten to
+        ``<iv>-avg`` (any agg is identity over a single row) and the
+        rest of the query — tag filters, cross-series aggregation,
+        post-downsample rate/fill — lowers through the ordinary planner
+        unchanged."""
+        if not self.qsample_ladder or not q.downsample:
+            return None
+        from mycenae_spark.plans.tsdb import qsample_routable
+        from mycenae_spark.schema import parse_interval_ms
+        from mycenae_spark.streaming.rollup import (
+            cascade_is_current,
+            rollup_coverage_complete,
+        )
+
+        parts = q.downsample.split("-")
+        pct = self._PCTS.get(parts[1]) if len(parts) > 1 else None
+        if pct is None:
+            return None
+        try:
+            interval_ms = parse_interval_ms(parts[0])
+        except (ValueError, IndexError):
+            return None
+        fits = sorted(
+            (iv for iv in self.qsample_ladder if interval_ms % iv == 0),
+            reverse=True,
+        )
+        for iv in fits:
+            rung_dir = self.qsample_ladder[iv]
+            if (
+                qsample_routable(q, iv)
+                and rollup_coverage_complete(rung_dir)
+                and cascade_is_current(self.lake_dir, rung_dir)
+            ):
+                try:
+                    qpts = self._qsample_points(rung_dir, pct, interval_ms)
+                except Exception:
+                    logger.warning(
+                        "qsample frame build raced a swap for %s; "
+                        "falling through",
+                        rung_dir,
+                        exc_info=True,
+                    )
+                    continue
+                import dataclasses
+
+                q2 = dataclasses.replace(
+                    q, downsample="-".join([parts[0], "avg", *parts[2:]])
+                )
+                return qpts, q2, iv
+        return None
+
+    def _qsample_points(self, rung_dir: str, pct: float, interval_ms: int):
+        """Lower a qsample rung into the planner's points convention:
+        merge sample states to the query's bucket grid, take the
+        interpolated percentile per (series, bucket)
+        (``read_qsample_percentile`` — Spark's exact ``percentile``
+        arithmetic, so ≤ k-point buckets reproduce the fine path
+        bit-for-bit), then join each series' tags from the CATALOG
+        (#series-bounded broadcast — the sketch lake itself stays
+        tag-free) and expand them to ``tag_<k>`` columns at the bucket
+        timestamp.  All lazy: no collect beyond the cached tag-key
+        discovery the ordinary points path already does."""
+        from pyspark.sql.functions import broadcast
+
+        from mycenae_spark.streaming.rollup import read_qsample_percentile
+
+        qq = read_qsample_percentile(
+            self.spark,
+            rung_dir,
+            pct,
+            series_cols=["ksid", "tsid", "metric"],
+            interval_ms=interval_ms,
+        )
+        cat = self._read_catalog().select("tsid", "tags").dropDuplicates(
+            ["tsid"]
+        )
+        keys = self._tag_keys()
+        return qq.join(broadcast(cat), "tsid").select(
+            "metric",
+            (F.col("bucket_ms") * 1000).alias("ts_us"),
+            "value",
+            *[F.col("tags").getItem(k).alias(f"tag_{k}") for k in keys],
+        )
 
     def query_expression(self, exp: str) -> list:
         now_ms = int(time.time() * 1000)

@@ -1168,6 +1168,50 @@ def read_qsample_quantile(
     )
 
 
+def read_qsample_percentile(
+    spark,
+    qs_dir: str,
+    q: float,
+    k: int = QSAMPLE_K,
+    series_cols: list[str] | None = None,
+    interval_ms: int | None = None,
+) -> DataFrame:
+    """INTERPOLATED percentile from merged sample states — the pNN
+    downsample SERVING twin of ``read_qsample_quantile`` (which uses the
+    inverted-CDF convention): replicates Spark's exact ``percentile``
+    arithmetic (rank h = q·(n−1); v = v_(⌊h⌋+1)·(⌈h⌉−h) +
+    v_(⌈h⌉+1)·(h−⌊h⌋) over the 1-based sorted sample) so a bucket whose
+    point count is ≤ k — where the sample IS the bucket — reproduces the
+    exact fine-path pNN downsample bit-for-bit (same doubles, same
+    formula).  Beyond k points the sample percentile has the standard
+    O(1/√k) bottom-k-sampling error band.  Returns (series, bucket_ms,
+    n_sample, value) — the Engine joins series tags from the catalog and
+    lowers this onto the planner as a points-shaped frame
+    (``server.Engine._qsample_points``)."""
+    series_cols = series_cols or ["ksid", "tsid"]
+    df = spark.read.parquet(qs_dir)
+    if interval_ms is not None:
+        df = df.withColumn(
+            "bucket_ms",
+            F.col("bucket_ms") - (F.col("bucket_ms") % F.lit(interval_ms)),
+        )
+    merged = _qsample_retake(df, k, [*series_cols, "bucket_ms"])
+    vs = F.array_sort(F.transform("p_qs", lambda s: s["v"]))
+    n = F.size("p_qs")
+    h = (n - F.lit(1)).cast("double") * F.lit(q)
+    lo = F.floor(h).cast("int")
+    hi = F.ceil(h).cast("int")
+    v = F.when(lo == hi, F.element_at(vs, lo + 1)).otherwise(
+        F.element_at(vs, lo + 1) * (hi.cast("double") - h)
+        + F.element_at(vs, hi + 1) * (h - lo.cast("double"))
+    )
+    return merged.select(
+        *series_cols, "bucket_ms",
+        n.alias("n_sample"),
+        v.alias("value"),
+    )
+
+
 def read_rollup_series(spark, rollup_dir: str, df: DataFrame | None = None) -> DataFrame:
     """Rollup partials in the planner's column convention: ``metric``,
     ``tag_<k>`` columns (expanded from the carried tags map), ``bucket_ms``,

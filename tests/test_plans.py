@@ -363,3 +363,55 @@ def test_tfidf_topk_keyed_aggs_and_broadcast_n(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert plan.count("SinglePartition") <= 1  # only the N scalar
     assert "windowspecdefinition(doc_id" in plan  # per-doc rank window
+
+
+def test_winnow_spans_broadcast_semi_verify(spark):
+    """dedup_winnow_spans' composition contract: verify work is bounded
+    by the candidate set — the candidate-doc restriction and the
+    candidate-pair restriction both plan as BROADCAST semi-joins (the
+    candidate frame is pair-count-sized, never corpus-sized), the gram
+    join stays keyed (no cartesian), and no single-partition exchange
+    appears anywhere."""
+    plan = _plan(spark, "dedup_winnow_spans")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
+
+
+@pytest.mark.parametrize("name", ["join_asof_forward", "join_asof_nearest"])
+def test_asof_directions_single_sort_shuffle(spark, name):
+    """The direction modes keep backward's linear plan: a union + window
+    composition — never a range join (no cartesian / broadcast-nested-
+    loop), partitioned on the join key (no single-partition window).
+    Nearest evaluates two frames but they share the one key exchange."""
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SinglePartition" not in plan
+    assert "Window" in plan
+
+
+def test_qsample_route_frame_is_keyed_and_broadcasts_catalog(spark, tmp_path_factory):
+    """The pNN serving frame (_qsample_points): the sample re-take
+    windows partition per (series, bucket) — no single-partition sort —
+    and the series-tags enrichment joins the #series-bounded catalog as
+    a BROADCAST, so routing a percentile never shuffles the rung by
+    anything but its own keys."""
+    from mycenae_spark.server import Engine
+    from mycenae_spark.streaming.rollup import backfill_qsample
+
+    d = tmp_path_factory.mktemp("qsplan")
+    lake, catalog, qs = str(d / "lake"), str(d / "cat"), str(d / "qs")
+    eng = Engine(spark, lake, catalog, qsample_ladder={3_600_000: qs})
+    eng.put([
+        {"metric": "qp.m", "tags": {"ksid": "k1", "host": f"h{i % 2}"},
+         "timestamp": 1704067200000 + i * 60_000, "value": float(i)}
+        for i in range(120)
+    ])
+    backfill_qsample(spark, lake, qs, interval_ms=3_600_000)
+    frame = eng._qsample_points(qs, 0.95, 3_600_000)
+    plan = frame._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan

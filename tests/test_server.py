@@ -684,3 +684,89 @@ def test_engine_log_gated_reads_after_checkpoint(spark, tmp_path_factory):
          "timestamp": BASE_TS + 9000, "value": 1.0},
     ])
     assert n_rows() == 5
+
+
+def test_engine_routes_pnn_onto_qsample_ladder(spark, tmp_path_factory):
+    """r9 VERDICT item 2: percentile downsamples consult the
+    quantile-sample ladder under the same coverage/currency gates as the
+    algebraic rungs — exact (bit-for-bit vs the fine path's
+    F.percentile) when buckets hold <= k points — and the engine records
+    which rung class served.  Staleness (a put after the backfill) must
+    fall back to the fine path, and a refreshed rung must route again."""
+    import pytest as _pytest
+
+    from mycenae_spark.server import Engine
+    from mycenae_spark.streaming.rollup import backfill_qsample
+
+    d = tmp_path_factory.mktemp("qsroute")
+    lake, catalog, qs1h = str(d / "lake"), str(d / "cat"), str(d / "qs1h")
+
+    eng = Engine(spark, lake, catalog, qsample_ladder={3_600_000: qs1h})
+    # 2 series x 2 hours x 60 points/hour (60 <= k=64: sample == bucket)
+    pts = [
+        {"metric": "qs.route", "tags": {"ksid": "k1", "host": "h0"},
+         "timestamp": BASE_TS + b * 3_600_000 + j * 60_000,
+         "value": float(100 * b + j)}
+        for b in range(2) for j in range(60)
+    ] + [
+        {"metric": "qs.route", "tags": {"ksid": "k1", "host": "h1"},
+         "timestamp": BASE_TS + b * 3_600_000 + j * 60_000,
+         "value": float(1000 + 100 * b + 2 * j)}
+        for b in range(2) for j in range(60)
+    ]
+    eng.put(pts)
+    backfill_qsample(spark, lake, qs1h, interval_ms=3_600_000)
+
+    body = {"start": BASE_TS, "end": BASE_TS + 2 * 3_600_000,
+            "queries": [{"metric": "qs.route", "aggregator": "sum",
+                         "downsample": "1h-p95"}]}
+    out = eng.query(body)
+    assert eng.last_routes() == ["qsample:3600000"]
+    dps = {int(k) * 1000: v for k, v in out[0]["dps"].items()}
+    # closed form: per-bucket interpolated p95 of 60 values
+    # h0: 100b + 56.05 ; h1: 1000 + 100b + 112.1 ; summed across series
+    assert dps[BASE_TS] == _pytest.approx(1168.15)
+    assert dps[BASE_TS + 3_600_000] == _pytest.approx(1368.15)
+
+    # the fine path (no ladder) computes the identical answer
+    eng_fine = Engine(spark, lake, catalog)
+    out_fine = eng_fine.query(body)
+    assert eng_fine.last_routes() == ["fine"]
+    assert out_fine[0]["dps"] == out[0]["dps"]
+
+    # per-series grouping routes too (tags joined from the catalog)
+    body_g = {"start": BASE_TS, "end": BASE_TS + 2 * 3_600_000,
+              "queries": [{"metric": "qs.route", "aggregator": "sum",
+                           "downsample": "1h-p95",
+                           "filters": [{"type": "wildcard", "tagk": "host",
+                                        "filter": "*", "groupBy": True}]}]}
+    out_g = eng.query(body_g)
+    assert eng.last_routes() == ["qsample:3600000"]
+    by_host = {o["tags"]["host"]: o["dps"] for o in out_g}
+    assert {int(k) * 1000: v for k, v in by_host["h0"].items()}[BASE_TS] == \
+        _pytest.approx(56.05)
+    assert {int(k) * 1000: v for k, v in by_host["h1"].items()}[BASE_TS] == \
+        _pytest.approx(1112.1)
+
+    # a write stales the rung -> falls back to the fine path
+    eng.put([{"metric": "qs.route", "tags": {"ksid": "k1", "host": "h0"},
+              "timestamp": BASE_TS + 30_000, "value": 1e6}])
+    out_stale = eng.query(body)
+    assert eng.last_routes() == ["fine"]
+    # p95 of h0's bucket now spans 61 values (h=57 exactly -> 57.0):
+    # 57.0 + 1112.1 = 1169.1 -- the new point IS in the fine answer
+    assert {int(k) * 1000: v for k, v in out_stale[0]["dps"].items()}[
+        BASE_TS] == _pytest.approx(1169.1)
+
+    # refresh re-pins -> routes again, with the new point in the sample
+    backfill_qsample(spark, lake, qs1h, interval_ms=3_600_000)
+    out_new = eng.query(body)
+    assert eng.last_routes() == ["qsample:3600000"]
+    assert out_new[0]["dps"] == out_stale[0]["dps"]
+
+    # misaligned range / pre-downsample rate: never routed
+    body_mis = {"start": BASE_TS + 60_000, "end": BASE_TS + 2 * 3_600_000,
+                "queries": [{"metric": "qs.route", "aggregator": "sum",
+                             "downsample": "1h-p95"}]}
+    eng.query(body_mis)
+    assert eng.last_routes() == ["fine"]
