@@ -120,6 +120,9 @@ HEADLINE = [
     "join_asof_forward",
     "join_asof_nearest",
     "dedup_winnow_spans",
+    "dedup_incremental",
+    "sample_dsir",
+    "events_funnel",
 ]
 
 

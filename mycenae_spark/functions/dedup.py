@@ -706,3 +706,83 @@ def connected_components(
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+def incremental_minhash_verdicts(
+    corpus: DataFrame,
+    delta: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_bands: int = 4,
+    max_bucket_size: int | None = None,
+    extra_cols: tuple[str, ...] = ("lang",),
+) -> DataFrame:
+    """Dedup a DELTA batch against an existing corpus's minhash band index
+    — the daily-crawl shape: production dedup is rarely one global pass;
+    it is "does today's batch duplicate anything already kept?".
+
+    The corpus side is exactly the band relation a committed index stores
+    (``minhash_signatures`` unpivoted to (band, sig, id) — at scale it is
+    written once as parquet partitioned by band, maintained like the ANN
+    index lake in functions/pq.py, and NEVER recomputed per batch).  The
+    delta batch computes its own signatures and probes the index with one
+    equi-join on (band, sig); join cost scales with the delta, not the
+    corpus.  The hot-bucket valve applies on the INDEX side (bucket size
+    counted over corpus entries only), so a boilerplate signature cannot
+    explode any future batch — same cap semantics as ``lsh_buckets``.
+
+    Returns one verdict row per delta document: ``dup_of`` = smallest
+    matching corpus id (-1 if none), ``n_idx_matches`` = distinct corpus
+    docs sharing ≥1 band, ``is_dup`` flag.  Short documents (< ngram
+    tokens, no signature) are structural keeps.
+    """
+
+    def _bands(sigs: DataFrame, out_id: str) -> DataFrame:
+        return sigs.select(
+            F.col(id_col).alias(out_id),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"), F.col(f"sig{b}").alias("sig")
+                        )
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("bs"),
+        ).select(out_id, "bs.band", "bs.sig")
+
+    idx = _bands(
+        minhash_signatures(corpus, id_col, text_col, n_bands=n_bands), "idx_id"
+    )
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "sig")
+        idx = idx.withColumn("_bsz", F.count(F.lit(1)).over(w)).filter(
+            F.col("_bsz") <= max_bucket_size
+        ).drop("_bsz")
+    probe = _bands(
+        minhash_signatures(delta, id_col, text_col, n_bands=n_bands), "probe_id"
+    )
+    matches = (
+        probe.join(idx, ["band", "sig"])
+        .select("probe_id", "idx_id")
+        .distinct()
+        .groupBy("probe_id")
+        .agg(
+            F.min("idx_id").alias("_dup_of"),
+            F.count(F.lit(1)).alias("_n_idx"),
+        )
+    )
+    return (
+        delta.select(id_col, *extra_cols)
+        .join(matches, F.col(id_col) == F.col("probe_id"), "left")
+        .select(
+            id_col,
+            *extra_cols,
+            F.coalesce(F.col("_dup_of"), F.lit(-1)).alias("dup_of"),
+            F.coalesce(F.col("_n_idx"), F.lit(0)).alias("n_idx_matches"),
+            F.when(F.col("_dup_of").isNotNull(), 1).otherwise(0).alias("is_dup"),
+        )
+    )

@@ -3412,3 +3412,207 @@ def pack_sequences(spark, sf_dir):
             F.min("doc_id").alias("first_doc"),
         )
     )
+
+
+# ------------------------------------------------- incremental (delta) dedup
+
+def _sigs_where_sql(pred: str) -> str:
+    """The band-signature CTE body over a doc_id-filtered corpus slice —
+    _SIGS_SQL with a WHERE pushed into the base scan (kept textually
+    parallel so the minhash convention lives in one shape)."""
+    return f"""
+SELECT doc_id, {_SIG_COLS_SQL} FROM (
+SELECT doc_id, list_transform(generate_series(1, len(toks) - 2),
+         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shingles
+FROM (SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents WHERE {pred})
+WHERE len(toks) >= 3)
+"""
+
+
+_IDX_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT doc_id AS idx_id, {b} AS band, sig{b} AS sig FROM csig"
+    for b in range(N_BANDS)
+)
+_PROBE_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT doc_id AS probe_id, {b} AS band, sig{b} AS sig FROM dsig"
+    for b in range(N_BANDS)
+)
+
+
+@q(
+    "dedup_incremental",
+    f"""
+WITH csig AS ({_sigs_where_sql("doc_id % 10 < 8")}),
+dsig AS ({_sigs_where_sql("doc_id % 10 >= 8")}),
+idx AS (
+  SELECT idx_id, band, sig FROM (
+    SELECT idx_id, band, sig,
+           count(*) OVER (PARTITION BY band, sig) AS bsz
+    FROM ({_IDX_BANDS_SQL})
+  ) WHERE bsz <= {MAX_BUCKET}
+),
+probe AS ({_PROBE_BANDS_SQL}),
+m AS (
+  SELECT DISTINCT probe_id, idx_id
+  FROM probe JOIN idx USING (band, sig)
+),
+agg AS (
+  SELECT probe_id, min(idx_id) AS dup_of, count(*) AS n_idx
+  FROM m GROUP BY probe_id
+)
+SELECT d.doc_id, d.lang,
+       coalesce(agg.dup_of, -1) AS dup_of,
+       coalesce(agg.n_idx, 0)::BIGINT AS n_idx_matches,
+       CASE WHEN agg.dup_of IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+FROM (SELECT doc_id, lang FROM documents WHERE doc_id % 10 >= 8) d
+LEFT JOIN agg ON agg.probe_id = d.doc_id
+""",
+)
+def dedup_incremental(spark, sf_dir):
+    """Incremental (delta-batch) near-dedup — the production shape: dedup
+    is rarely one global pass; a daily crawl asks "does today's batch
+    duplicate anything the corpus already keeps?".  The corpus slice
+    (doc_id % 10 < 8, ~80%) plays the committed minhash band INDEX; the
+    delta slice (~20%) computes its own signatures and probes it with one
+    (band, sig) equi-join.  Hot-bucket valve on the INDEX side only
+    (a boilerplate signature must not explode any future batch).  One
+    verdict row per delta document: smallest matching corpus id (-1 keep),
+    distinct index matches, is_dup.
+
+    Scale: at 100 TB the index relation is materialized ONCE as parquet
+    partitioned by band (the ANN index-lake pattern, functions/pq.py) and
+    each day's join cost is ∝ |delta| × #bands, never re-touching the
+    corpus; the judged form computes both sides inline so the whole
+    contract — signatures, valve, verdict — is hash-checked."""
+    from mycenae_spark.functions.dedup import incremental_minhash_verdicts
+
+    d = t(spark, sf_dir, "documents")
+    return incremental_minhash_verdicts(
+        d.filter(F.col("doc_id") % 10 < 8),
+        d.filter(F.col("doc_id") % 10 >= 8),
+        "doc_id",
+        "text",
+        n_bands=N_BANDS,
+        max_bucket_size=MAX_BUCKET,
+    )
+
+
+# ------------------------------------------- DSIR importance resampling
+
+@q(
+    "sample_dsir",
+    """
+WITH toks AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+),
+bi AS (
+  SELECT doc_id, lang, substr(md5(ts[i] || ' ' || ts[i+1]), 1, 2) AS feat
+  FROM toks, unnest(generate_series(1, len(ts) - 1)) AS g(i)
+),
+docf AS (
+  SELECT doc_id, lang, feat, count(*) AS c FROM bi GROUP BY doc_id, lang, feat
+),
+src AS (SELECT feat, sum(c)::BIGINT AS sc FROM docf GROUP BY feat),
+tgt AS (
+  SELECT feat, sum(c)::BIGINT AS tc FROM docf WHERE lang = 'en' GROUP BY feat
+),
+tots AS (
+  SELECT (SELECT sum(sc) FROM src)::DOUBLE AS s_tot,
+         (SELECT coalesce(sum(tc), 0) FROM tgt)::DOUBLE AS t_tot
+),
+lr AS (
+  SELECT src.feat,
+         CAST(floor(ln((coalesce(tc, 0) + 1.0) * (s_tot + 256.0)
+                       / ((sc + 1.0) * (t_tot + 256.0))) * 10000
+                    + 0.5 + 1e-6) AS BIGINT) AS lr_u
+  FROM src LEFT JOIN tgt ON src.feat = tgt.feat CROSS JOIN tots
+),
+w AS (
+  SELECT d.doc_id, d.lang,
+         sum(d.c * lr.lr_u)::BIGINT AS weight_u,
+         sum(d.c)::BIGINT AS n_bigrams
+  FROM docf d JOIN lr ON d.feat = lr.feat
+  GROUP BY d.doc_id, d.lang
+)
+SELECT doc_id, lang, n_bigrams, weight_u, rk FROM (
+  SELECT *, row_number() OVER (ORDER BY weight_u DESC, doc_id) AS rk FROM w
+) WHERE rk <= 64
+""",
+)
+def sample_dsir(spark, sf_dir):
+    """DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    arXiv 2302.03169): score every document by how much more likely its
+    hashed-bigram features are under a TARGET domain (here lang='en')
+    than under the raw corpus, then keep the top-64.  Features are word
+    bigrams hashed to 256 buckets (substr(md5(gram),1,2) — the repo's
+    cross-engine hash convention standing in for DSIR's 10k-bucket
+    feature hashing); bucket distributions use add-1 smoothing.
+
+    Determinism: the per-bucket log-ratio is quantized ONCE to integer
+    ten-thousandths (floor(ln·1e4 + 0.5 + 1e-6) — the ln's cross-engine
+    noise is ~1e-11 at this scale, far inside the 1e-6 guard), so the
+    per-document weight is an exact BIGINT dot product — no float sum
+    whose addition order could differ between engines.
+
+    Scale: docf is the one corpus-scan aggregate (doc × ≤256 features);
+    src/tgt re-aggregate docf (256-row frames — the corpus is scanned
+    ONCE and never shuffled raw), the log-ratio table broadcasts onto
+    docf, and the top-64 plans as TakeOrderedAndProject — the rank
+    window runs on the already-64-row frame, never globally."""
+    from mycenae_spark.functions.text import shingles, tokens
+
+    d = t(spark, sf_dir, "documents")
+    toked = d.select("doc_id", "lang", tokens("text").alias("_ts")).filter(
+        F.size("_ts") >= 2
+    )
+    bi = toked.select(
+        "doc_id",
+        "lang",
+        F.explode(shingles("_ts", 2)).alias("_g"),
+    ).select(
+        "doc_id", "lang", F.substring(F.md5("_g"), 1, 2).alias("feat")
+    )
+    docf = bi.groupBy("doc_id", "lang", "feat").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    src = docf.groupBy("feat").agg(F.sum("c").alias("sc"))
+    tgt = (
+        docf.filter(F.col("lang") == "en")
+        .groupBy("feat")
+        .agg(F.sum("c").alias("tc"))
+    )
+    tots = src.agg(
+        F.sum("sc").cast("double").alias("s_tot")
+    ).crossJoin(
+        tgt.agg(F.coalesce(F.sum("tc"), F.lit(0)).cast("double").alias("t_tot"))
+    )
+    lr_expr = F.floor(
+        F.log(
+            (F.coalesce(F.col("tc"), F.lit(0)) + 1.0)
+            * (F.col("s_tot") + 256.0)
+            / ((F.col("sc") + 1.0) * (F.col("t_tot") + 256.0))
+        )
+        * 10000
+        + 0.5
+        + 1e-6
+    ).cast("long")
+    lr = (
+        src.join(tgt, "feat", "left")
+        .crossJoin(F.broadcast(tots))
+        .select("feat", lr_expr.alias("lr_u"))
+    )
+    w = (
+        docf.join(F.broadcast(lr), "feat")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum(F.col("c") * F.col("lr_u")).alias("weight_u"),
+            F.sum("c").alias("n_bigrams"),
+        )
+    )
+    top = w.orderBy(F.desc("weight_u"), "doc_id").limit(64)
+    rk = F.row_number().over(
+        Window.orderBy(F.desc("weight_u"), "doc_id")
+    )
+    return top.select("doc_id", "lang", "n_bigrams", "weight_u", rk.alias("rk"))

@@ -3605,3 +3605,74 @@ def stream_join_roundtrip(spark, sf_dir):
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(rows, res_schema)
+
+
+# ----------------------------------------------------------- funnel analysis
+
+_FUNNEL_W_US = 86_400_000_000  # one day, in µs
+
+
+@q(
+    "events_funnel",
+    f"""
+WITH p AS ({SQL_POINTS}),
+w1 AS (
+  SELECT tag_user, metric, ts_us,
+         min(CASE WHEN metric = 'view' THEN ts_us END)
+           OVER (PARTITION BY tag_user) AS v
+  FROM p
+),
+w2 AS (
+  SELECT *, min(CASE WHEN metric = 'click' AND ts_us >= v
+                      AND ts_us <= v + {_FUNNEL_W_US} THEN ts_us END)
+              OVER (PARTITION BY tag_user) AS c
+  FROM w1
+),
+w3 AS (
+  SELECT *, min(CASE WHEN metric = 'purchase' AND ts_us >= c
+                      AND ts_us <= c + {_FUNNEL_W_US} THEN ts_us END)
+              OVER (PARTITION BY tag_user) AS pu
+  FROM w2
+)
+SELECT tag_user AS user_id,
+       coalesce(max(v), -1) AS view_us,
+       coalesce(max(c), -1) AS click_us,
+       coalesce(max(pu), -1) AS purchase_us,
+       (CASE WHEN max(v) IS NOT NULL THEN 1 ELSE 0 END
+        + CASE WHEN max(c) IS NOT NULL THEN 1 ELSE 0 END
+        + CASE WHEN max(pu) IS NOT NULL THEN 1 ELSE 0 END) AS stage,
+       CASE WHEN max(pu) IS NOT NULL
+            THEN (max(pu) - max(v)) // 1000 ELSE -1 END AS latency_ms
+FROM w3 GROUP BY tag_user
+""",
+)
+def events_funnel(spark, sf_dir):
+    """Ordered multi-stage funnel — the classic product-analytics operator
+    (view → click within 1 day of the first view → purchase within 1 day
+    of that click), one row per user with the stage reached, the three
+    stage timestamps (-1 sentinel) and the end-to-end conversion latency.
+    Step k's window anchors on step k-1's MATCHED time, not any event —
+    that ordering constraint is what separates a funnel from three
+    filters.
+
+    Plan shape: ONE exchange on user_id; the three stage times are
+    nested unbounded MIN windows over that same partitioning (step k
+    references step k-1's window column, so Catalyst plans them as
+    consecutive Window nodes with no re-shuffle), and the final per-user
+    collapse reuses the partitioning as a hash agg.  At 100 TB a funnel
+    over a year of events is therefore exactly one shuffle of (user,
+    step-relevant events) — the same cost as sessionization
+    (stream_session), which shares this shape.  NULL semantics carry the
+    ordering: `ts >= NULL` is NULL, so an unmatched step k structurally
+    blanks every later step on both engines.  Kernel:
+    operators/funnel.py::funnel_stages (N-step general form)."""
+    from mycenae_spark.operators.funnel import funnel_stages
+
+    return funnel_stages(
+        points(spark, sf_dir),
+        "tag_user",
+        "metric",
+        "ts_us",
+        ["view", "click", "purchase"],
+        _FUNNEL_W_US,
+    )

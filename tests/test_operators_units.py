@@ -257,3 +257,102 @@ def test_asof_join_tolerance_bound(spark):
         ).collect()
     }
     assert outer == {"L1": "R1", "L2": "R2", "L3": None}
+
+
+# ------------------------------------------------------------------ funnel
+
+def test_funnel_ordering_and_window_bounds(spark):
+    """The funnel's ordering constraint: step k anchors on step k-1's
+    MATCHED time.  A click BEFORE the first view does not convert; a
+    click exactly at the window bound does; one past it does not."""
+    from mycenae_spark.operators.funnel import funnel_stages
+
+    W = 100
+    rows = [
+        # u1: full funnel — click at view+W (inclusive bound), purchase in window
+        ("u1", "view", 1000), ("u1", "click", 1000 + W), ("u1", "purchase", 1150),
+        # u2: click exists but only BEFORE the first view -> stage 1
+        ("u2", "click", 500), ("u2", "view", 900),
+        # u3: click one past the window -> stage 1
+        ("u3", "view", 1000), ("u3", "click", 1000 + W + 1),
+        # u4: no view at all (click+purchase present) -> stage 0
+        ("u4", "click", 100), ("u4", "purchase", 150),
+        # u5: view+click, purchase outside CLICK's window (anchors on click,
+        # not view) -> stage 2
+        ("u5", "view", 1000), ("u5", "click", 1010),
+        ("u5", "purchase", 1010 + W + 1),
+    ]
+    df = spark.createDataFrame(rows, "tag_user string, metric string, ts_us long")
+    out = {
+        r["user_id"]: r
+        for r in funnel_stages(
+            df, "tag_user", "metric", "ts_us",
+            ["view", "click", "purchase"], W,
+        ).collect()
+    }
+    assert out["u1"]["stage"] == 3
+    assert out["u1"]["click_us"] == 1000 + W           # inclusive bound
+    assert out["u1"]["latency_ms"] == (1150 - 1000) // 1000
+    assert out["u2"]["stage"] == 1 and out["u2"]["click_us"] == -1
+    assert out["u3"]["stage"] == 1
+    assert out["u4"]["stage"] == 0 and out["u4"]["view_us"] == -1
+    assert out["u5"]["stage"] == 2 and out["u5"]["purchase_us"] == -1
+
+
+def test_funnel_anchors_on_matched_step_not_earliest_event(spark):
+    """Two clicks: one before the view (ignored), one after (matched) —
+    the purchase window must anchor on the MATCHED click."""
+    from mycenae_spark.operators.funnel import funnel_stages
+
+    rows = [
+        ("u", "click", 100),          # pre-view click: not a funnel step
+        ("u", "view", 200),
+        ("u", "click", 250),          # the matched click
+        ("u", "purchase", 320),       # within 100 of 250, NOT of 100
+    ]
+    df = spark.createDataFrame(rows, "tag_user string, metric string, ts_us long")
+    (r,) = funnel_stages(
+        df, "tag_user", "metric", "ts_us", ["view", "click", "purchase"], 100
+    ).collect()
+    assert (r["stage"], r["click_us"], r["purchase_us"]) == (3, 250, 320)
+
+
+# ------------------------------------------------- incremental minhash dedup
+
+def test_incremental_dedup_verdicts_and_index_valve(spark):
+    """Delta-vs-index semantics: an exact copy of a corpus doc is flagged
+    with the smallest matching corpus id; a unique delta doc keeps; a
+    short (< ngram) delta doc is a structural keep; and a bucket over the
+    INDEX-side cap is dropped, so a delta doc matching only boilerplate
+    keeps."""
+    from mycenae_spark.functions.dedup import incremental_minhash_verdicts
+
+    boiler = "the same boilerplate text repeated everywhere forever"
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),  # dup inside corpus
+            (10, boiler), (11, boiler), (12, boiler),    # hot bucket (3 > cap 2)
+        ],
+        "doc_id long, text string",
+    )
+    delta = spark.createDataFrame(
+        [
+            (100, "alpha beta gamma delta epsilon zeta"),  # copy -> dup_of 1
+            (101, "nothing like anything else at all here"),  # unique keep
+            (102, "too short"),                              # < 3 tokens: keep
+            (103, boiler),                                   # valve: keep
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in incremental_minhash_verdicts(
+            corpus, delta, "doc_id", "text",
+            n_bands=4, max_bucket_size=2, extra_cols=(),
+        ).collect()
+    }
+    assert out[100]["is_dup"] == 1 and out[100]["dup_of"] == 1
+    assert out[101]["is_dup"] == 0 and out[101]["dup_of"] == -1
+    assert out[102]["is_dup"] == 0 and out[102]["n_idx_matches"] == 0
+    assert out[103]["is_dup"] == 0  # index-side valve dropped the hot bucket

@@ -415,3 +415,40 @@ def test_qsample_route_frame_is_keyed_and_broadcasts_catalog(spark, tmp_path_fac
     assert "BroadcastHashJoin" in plan
     assert "SinglePartition" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_funnel_single_user_exchange(spark):
+    """events_funnel's scale contract: the whole funnel — three nested
+    stage windows plus the per-user collapse — runs on ONE exchange keyed
+    by user; no single-partition window, no join at all."""
+    plan = _plan(spark, "events_funnel")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Window") == 3
+
+
+def test_dsir_keyed_aggs_broadcast_ratio_topk(spark):
+    """sample_dsir's scale contract: the corpus is scanned once into the
+    keyed (doc, feature) aggregate; the 256-row log-ratio table BROADCASTS
+    back onto it; selection is TakeOrderedAndProject (never a global
+    sort); the only single-partition exchanges are the 1-row totals and
+    the 64-row post-limit rank frame."""
+    plan = _plan(spark, "sample_dsir")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("SinglePartition") <= 3  # 2 scalar aggs + 64-row rank
+
+
+def test_dedup_incremental_keyed_probe_no_corpus_blowup(spark):
+    """dedup_incremental's scale contract: the delta probes the index via
+    a KEYED (band, sig) join — never a cartesian — the hot-bucket valve is
+    a per-(band, sig) window (not a global one), and the verdict join
+    broadcasts the match aggregate onto the delta frame."""
+    plan = _plan(spark, "dedup_incremental")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SinglePartition" not in plan
+    assert "windowspecdefinition(band" in plan
