@@ -300,3 +300,133 @@ def ewma_stream(points: DataFrame, alpha: float = 0.3) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def funnel_stream_schemas(steps: list[str]):
+    """(output, state) schemas for an N-step streaming funnel."""
+    out = StructType(
+        [StructField("user", StringType(), False),
+         StructField("n_seen", LongType(), False)]
+        + [StructField(f"{s}_us", LongType(), True) for s in steps]
+        + [StructField("stage", LongType(), False),
+           StructField("latency_us", LongType(), False)]
+    )
+    state = StructType(
+        [StructField(f"t{i}", ArrayType(LongType()), True)
+         for i in range(len(steps))]
+    )
+    return out, state
+
+
+def _funnel_match(step_times: list[list[int]], window_us: int):
+    """The ONE funnel kernel, shared verbatim by replay and emit: given
+    the per-step candidate-time sets, return the matched timestamps
+    (None past the first miss) — identical semantics to the batch
+    operator (operators/funnel.py): step 0 anchors on its min, step k
+    on the earliest step-k time in [t_{k-1}, t_{k-1} + window_us]."""
+    matched: list[int | None] = []
+    prev: int | None = None
+    for i, times in enumerate(step_times):
+        if i == 0:
+            cur = min(times) if times else None
+        elif prev is None:
+            cur = None
+        else:
+            cands = [t for t in times if prev <= t <= prev + window_us]
+            cur = min(cands) if cands else None
+        matched.append(cur)
+        prev = cur
+    return matched
+
+
+def make_funnel_fn(steps: list[str], window_us: int):
+    """Per-user streaming funnel kernel — the stateful twin of
+    operators/funnel.py.  State is the per-step candidate-time SETS (not
+    the matches): the funnel is a pure function of the union of events
+    seen, so the emitted row is micro-batching-invariant BY CONSTRUCTION
+    and replayed events dedupe structurally (set union).  Keeping
+    candidates is what makes late data exact — a late-arriving EARLIER
+    first-step event retroactively REWIRES every later stage (the judged
+    roundtrip forces exactly that downgrade), which no matched-only state
+    could do.
+
+    Bounded by pruning: the step-0 anchor is a running MIN, so each
+    step-k window top (anchor + k·window) only ever moves DOWN — times
+    above the current top can never match and are dropped each batch.
+    State is therefore ∝ step-relevant events inside the funnel horizon;
+    production adds GroupStateTimeout eviction for abandoned users."""
+    n = len(steps)
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            sets = [set(a or ()) for a in state.get]
+        else:
+            sets = [set() for _ in range(n)]
+        for pdf in pdfs:
+            for m, ts in zip(pdf["metric"], pdf["ts_us"]):
+                if pd.isna(ts):
+                    continue
+                try:
+                    i = steps.index(m)
+                except ValueError:
+                    continue
+                sets[i].add(int(ts))
+        matched = _funnel_match([sorted(s) for s in sets], window_us)
+        # prune: window tops only move down as the anchor min decreases
+        top = matched[0] if matched[0] is not None else None
+        for i in range(1, n):
+            if top is None:
+                break
+            top += window_us
+            sets[i] = {t for t in sets[i] if t <= top}
+        state.update(tuple(sorted(s) for s in sets))
+        stage = 0
+        for m in matched:
+            if m is None:
+                break
+            stage += 1
+        latency = (
+            matched[-1] - matched[0] if matched[-1] is not None else -1
+        )
+        row = {
+            "user": [str(key[0])],
+            "n_seen": [sum(len(s) for s in sets)],
+            **{
+                f"{s}_us": [matched[i] if matched[i] is not None else -1]
+                for i, s in enumerate(steps)
+            },
+            "stage": [stage],
+            "latency_us": [latency],
+        }
+        yield pd.DataFrame(row)
+
+    return fn
+
+
+def funnel_stream(
+    events: DataFrame,
+    steps: list[str],
+    window_us: int,
+) -> DataFrame:
+    """Streaming funnel per user (the batch operator's stateful twin):
+    ``events`` needs (user string, metric, ts_us long) plus an event-time
+    ``ts`` timestamp for the watermark.  One shuffle on user; state store
+    entries ∝ #users × step-relevant events in the horizon."""
+    _register_by_value()
+
+    out_schema, state_schema = funnel_stream_schemas(steps)
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy("user")
+        .applyInPandasWithState(
+            make_funnel_fn(steps, window_us),
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
