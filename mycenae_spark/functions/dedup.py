@@ -715,7 +715,7 @@ def incremental_minhash_verdicts(
     text_col: str,
     n_bands: int = 4,
     max_bucket_size: int | None = None,
-    extra_cols: tuple[str, ...] = ("lang",),
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Dedup a DELTA batch against an existing corpus's minhash band index
     — the daily-crawl shape: production dedup is rarely one global pass;

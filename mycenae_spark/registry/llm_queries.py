@@ -3495,6 +3495,7 @@ def dedup_incremental(spark, sf_dir):
         "text",
         n_bands=N_BANDS,
         max_bucket_size=MAX_BUCKET,
+        extra_cols=("lang",),
     )
 
 

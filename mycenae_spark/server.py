@@ -207,7 +207,20 @@ class Engine:
             rollup_dir=self.rollup_dir,
             group=group,
         )
-        job.awaitTermination(timeout_s)
+        if not job.awaitTermination(timeout_s):
+            # Timeout with the query STILL RUNNING: returning normally
+            # here would tell the caller the topic is drained (and
+            # invalidate caches) while ingest continues in the
+            # background — and a retry on the same checkpoint would
+            # start a second query against the active one.  Stop the
+            # job and surface the truth; the checkpoint makes the
+            # retry exactly-once.
+            job.stop()
+            raise TimeoutError(
+                f"drain_bus: topic {topic_dir!r} not drained within "
+                f"{timeout_s}s; streaming job stopped — retry resumes "
+                "from the checkpoint"
+            )
         self._tag_keys_cache = None  # drained batch may add tag keys
 
     # -- query ------------------------------------------------------------
@@ -619,6 +632,14 @@ class Engine:
                 and cascade_is_current(self.lake_dir, rung_dir)
             ):
                 pin = _read_marker_as_of(rung_dir) or -1
+                head = self._pinned_as_of()
+                if head is not None and pin > head:
+                    # Rung re-backfilled AFTER this request pinned its
+                    # head: its rows may reflect commits newer than the
+                    # pinned generation, and the answer would be cached
+                    # under the older key.  Fall through (next fit, then
+                    # the fine path, which reads log-gated AT the pin).
+                    continue
                 cached = self._rung_frames.get(rung_dir)
                 if cached is None or cached[0] != pin:
                     try:
@@ -688,6 +709,16 @@ class Engine:
                 and rollup_coverage_complete(rung_dir)
                 and cascade_is_current(self.lake_dir, rung_dir)
             ):
+                from mycenae_spark.streaming.rollup import _read_marker_as_of
+
+                pin = _read_marker_as_of(rung_dir) or -1
+                head = self._pinned_as_of()
+                if head is not None and pin > head:
+                    # Same gate as _pick_rung (r10 ADVICE): a rung
+                    # re-backfilled between head-pinning and serving can
+                    # hold rows newer than the pinned generation — the
+                    # fine path at the pin is always correct.
+                    continue
                 try:
                     qpts = self._qsample_points(rung_dir, pct, interval_ms)
                 except Exception:

@@ -392,15 +392,44 @@ def gc_topic(topic_dir: str, keep_segments: int = 2) -> int:
     the number of segments removed.  Correctness never depends on this:
     the Spark checkpoint owns replay, and a range read over a GC'd
     segment means the OPERATOR chose a retention shorter than their
-    checkpoint lag — the same contract as commit-log truncation."""
+    checkpoint lag — the same contract as commit-log truncation.
+
+    Legacy-marker retirement: commit() only ever writes namespaced
+    ``_committed-<group>.json`` (even for group 'default'), so a
+    pre-upgrade topic's un-namespaced ``_committed.json`` never advances
+    again — left in the min it would freeze the GC line forever and leak
+    segments unboundedly.  Once ANY namespaced marker dominates it
+    (every partition offset ≥ the legacy's), the legacy marker is
+    retired: its consumer has provably been superseded, so it is deleted
+    and excluded from the min.  Until then it still holds the line — a
+    pre-upgrade consumer that has not yet committed under a group name
+    keeps its replay window."""
     keep_segments = max(1, keep_segments)
+    legacy_path = os.path.join(topic_dir, "_committed.json")
+    legacy = None
     groups = []
     for marker in _group_markers(topic_dir):
         try:
             with open(marker) as f:
-                groups.append(json.load(f))
+                data = json.load(f)
         except (OSError, ValueError):
             continue
+        if marker == legacy_path:
+            legacy = data
+        else:
+            groups.append(data)
+    if legacy is not None:
+        superseded = any(
+            all(int(g.get(p, 0)) >= int(off) for p, off in legacy.items())
+            for g in groups
+        )
+        if superseded:
+            try:
+                os.unlink(legacy_path)
+            except OSError:
+                pass
+        else:
+            groups.append(legacy)
     if not groups:
         return 0
     removed = 0

@@ -376,7 +376,12 @@ def make_funnel_fn(steps: list[str], window_us: int):
                     continue
                 sets[i].add(int(ts))
         matched = _funnel_match([sorted(s) for s in sets], window_us)
-        # prune: window tops only move down as the anchor min decreases
+        # prune: window tops only move down as the anchor min decreases.
+        # Step 0 collapses to its running min — the anchor is min(sets[0])
+        # and no other step-0 time can ever affect any match, so keeping
+        # more would grow state with first-step event volume (r10 ADVICE).
+        if sets[0]:
+            sets[0] = {min(sets[0])}
         top = matched[0] if matched[0] is not None else None
         for i in range(1, n):
             if top is None:

@@ -241,3 +241,30 @@ def test_bus_engine_crash_replay_no_dupes(spark, tmp_path):
             "queries": [{"metric": "bus.crash", "aggregator": "sum"}]}
     res = eng.query(body)
     assert sum(res[0]["dps"].values()) == float(sum(range(12)))
+
+
+def test_gc_topic_retires_superseded_legacy_marker(tmp_path):
+    """A pre-upgrade topic's un-namespaced ``_committed.json`` never
+    advances again (commit() is per-group now), so left in the GC min it
+    would freeze the line forever and leak segments unboundedly (r10
+    ADVICE).  Once a namespaced marker dominates it per-partition, the
+    legacy marker is deleted and GC proceeds; until then it still holds
+    the line for a not-yet-migrated consumer."""
+    topic = str(tmp_path / "t")
+    bus.publish(topic, 0, [f"m{i}" for i in range(3)])   # offsets 0-2
+    bus.publish(topic, 0, [f"m{i}" for i in range(3, 6)])  # 3-5
+    bus.publish(topic, 0, [f"m{i}" for i in range(6, 9)])  # 6-8
+    legacy = os.path.join(topic, "_committed.json")
+    with open(legacy, "w") as f:
+        json.dump({"0": 3}, f)  # frozen pre-upgrade marker
+    # a namespaced group BEHIND the legacy marker: legacy still binds
+    with open(os.path.join(topic, "_committed-default.json"), "w") as f:
+        json.dump({"0": 2}, f)
+    assert bus.gc_topic(topic, keep_segments=1) == 0
+    assert os.path.exists(legacy)
+    # group advances past the legacy line: legacy is retired + GC runs
+    with open(os.path.join(topic, "_committed-default.json"), "w") as f:
+        json.dump({"0": 6}, f)
+    assert bus.gc_topic(topic, keep_segments=1) == 2
+    assert not os.path.exists(legacy)
+    assert bus._earliest_offsets(topic) == {"0": 6}
