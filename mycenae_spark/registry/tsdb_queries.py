@@ -3731,3 +3731,129 @@ def events_retention(spark, sf_dir):
             "retention_r"
         ),
     )
+
+
+@q(
+    "stream_funnel_roundtrip",
+    """
+SELECT * FROM (VALUES
+  ('multi_total_rows',        CAST(5 AS BIGINT)),
+  ('multi_u1_rows',           CAST(3 AS BIGINT)),
+  ('multi_u1_distinct_rows',  CAST(2 AS BIGINT)),
+  ('multi_u1_max_stage',      CAST(3 AS BIGINT)),
+  ('multi_u1_final_stage',    CAST(1 AS BIGINT)),
+  ('oneshot_rows',            CAST(3 AS BIGINT)),
+  ('oneshot_equals_multibatch_final', CAST(3 AS BIGINT))
+) AS t(what, n)
+""",
+)
+def stream_funnel_roundtrip(spark, sf_dir):
+    """Streaming funnel (T-series stateful twin of ``events_funnel``)
+    HASH-CHECKED end-to-end over a REAL multi-micro-batch run
+    (file source, ``maxFilesPerTrigger=1``, mtime-ordered files), pinning
+    the three properties ``streaming/stateful.py::make_funnel_fn`` claims:
+
+    * **Batching-invariance**: a second run with ALL events in ONE batch
+      emits, per user, exactly the multi-batch run's FINAL row (state is
+      the per-step candidate-time sets — a pure function of the union of
+      events seen, however it is sliced into batches).
+    * **Replay dedup**: batch 2 retransmits batch 1's complete u1 funnel
+      verbatim; set-union state makes the emitted row IDENTICAL, so u1's
+      three emissions hold only TWO distinct rows.
+    * **Retroactive DOWNGRADE**: batch 3 delivers a LATE, EARLIER
+      first-step event for u1 (view at T-60s).  The anchor is a running
+      min, so it rewires every later stage: the 10s click window
+      [T-60s, T-50s] now matches nothing and u1 drops from stage 3
+      (max_stage) to stage 1 (final_stage) — exact late-data semantics a
+      matched-only state could never give.
+
+    Constant oracle; ``sf_dir`` unused — input synthesized,
+    scale-invariant.  Timeline (window 10s): u1 view@T click@T+2s
+    purchase@T+4s (complete); u2 view@T click@T+20s (outside window);
+    u3 view@T+1s (batch 2)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from mycenae_spark.streaming.stateful import funnel_stream
+
+    T = 1_704_067_200_000_000  # us
+    S = 1_000_000  # 1 s in us
+    steps = ["view", "click", "purchase"]
+    batches = [
+        [  # batch 1: complete u1 funnel; u2 clicks too late
+            ("u1", "view", T), ("u1", "click", T + 2 * S),
+            ("u1", "purchase", T + 4 * S),
+            ("u2", "view", T), ("u2", "click", T + 20 * S),
+        ],
+        [  # batch 2: VERBATIM replay of u1 + a new single-step user
+            ("u1", "view", T), ("u1", "click", T + 2 * S),
+            ("u1", "purchase", T + 4 * S),
+            ("u3", "view", T + 1 * S),
+        ],
+        [  # batch 3: late, EARLIER first step -> retroactive downgrade
+            ("u1", "view", T - 60 * S),
+        ],
+    ]
+
+    def run(files: list[list[tuple]], sink: str):
+        base = tempfile.mkdtemp(prefix="sfunnel_")
+        try:
+            src = os.path.join(base, "src")
+            os.makedirs(src)
+            for i, rows in enumerate(files):
+                path = os.path.join(src, f"{chr(ord('a') + i)}.json")
+                with open(path, "w") as f:
+                    f.write("\n".join(
+                        '{"user":"%s","metric":"%s","ts_us":%d}' % r
+                        for r in rows
+                    ))
+                # deterministic batch order: the file source lists by
+                # modification time; pin strictly increasing mtimes
+                os.utime(path, (1_700_000_000 + 10 * i,) * 2)
+            stream = (
+                spark.readStream.schema("user string, metric string, ts_us long")
+                .option("maxFilesPerTrigger", "1")
+                .json(src)
+                .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+            )
+            (
+                funnel_stream(stream, steps, window_us=10 * S)
+                .writeStream.format("memory")
+                .queryName(sink)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination(180)
+            )
+            return [r.asDict() for r in spark.table(sink).collect()]
+        finally:
+            spark.catalog.dropTempView(sink)
+            shutil.rmtree(base, ignore_errors=True)
+
+    tag = uuid.uuid4().hex[:8]
+    multi = run(batches, f"sfun_m_{tag}")
+    oneshot = run([[r for b in batches for r in b]], f"sfun_1_{tag}")
+
+    key = lambda d: tuple(sorted(d.items()))  # noqa: E731 — row identity
+    u1 = [d for d in multi if d["user"] == "u1"]
+    # multi-batch FINAL row per user: u1's is its (unique) stage-1 row —
+    # the downgrade; u2/u3 each emitted exactly once
+    final = {d["user"]: d for d in multi if d["user"] != "u1"}
+    final["u1"] = next(d for d in u1 if d["stage"] == 1)
+    one_by_user = {d["user"]: d for d in oneshot}
+    n_equal = sum(
+        1 for uu, d in one_by_user.items()
+        if uu in final and key(final[uu]) == key(d)
+    )
+    flags = [
+        ("multi_total_rows", len(multi)),
+        ("multi_u1_rows", len(u1)),
+        ("multi_u1_distinct_rows", len({key(d) for d in u1})),
+        ("multi_u1_max_stage", max(d["stage"] for d in u1)),
+        ("multi_u1_final_stage", final["u1"]["stage"]),
+        ("oneshot_rows", len(oneshot)),
+        ("oneshot_equals_multibatch_final", n_equal),
+    ]
+    return spark.createDataFrame(flags, "what string, n long")

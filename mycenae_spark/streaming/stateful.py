@@ -347,8 +347,8 @@ def make_funnel_fn(steps: list[str], window_us: int):
     and replayed events dedupe structurally (set union).  Keeping
     candidates is what makes late data exact — a late-arriving EARLIER
     first-step event retroactively REWIRES every later stage (the judged
-    roundtrip forces exactly that downgrade), which no matched-only state
-    could do.
+    ``stream_funnel_roundtrip`` forces exactly that downgrade, stage 3 →
+    1), which no matched-only state could do.
 
     Bounded by pruning: the step-0 anchor is a running MIN, so each
     step-k window top (anchor + k·window) only ever moves DOWN — times

@@ -66,3 +66,79 @@ def test_ewma_stateful_across_batches(spark, tmp_path):
             r["tag_user"], r["ts_us"], r["ewma"], exp[r["ts_us"]])
     # every input row came back exactly once
     assert len(got) == sum(len(v) for v in by_series.values())
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for driving make_funnel_fn directly."""
+
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    # applyInPandasWithState exposes .get as a property-like accessor
+    get = property(get)
+
+    def update(self, v):
+        self._v = v
+
+
+def test_funnel_match_kernel():
+    from mycenae_spark.streaming.stateful import _funnel_match
+
+    W = 10
+    # empty step sets: no anchor -> nothing matches
+    assert _funnel_match([[], [5], [7]], W) == [None, None, None]
+    # first miss blanks every later step even if its events exist
+    assert _funnel_match([[0], [], [3]], W) == [0, None, None]
+    # boundary: t = prev + window is INCLUSIVE; t = prev is inclusive too
+    assert _funnel_match([[0], [10], [10]], W) == [0, 10, 10]
+    assert _funnel_match([[0], [11], [12]], W) == [0, None, None]
+    # anchor is the MIN first-step time; later steps take the EARLIEST
+    # candidate inside the window, not the closest
+    assert _funnel_match([[4, 0], [2, 9, 30], [9]], W) == [0, 2, 9]
+    # a step event BEFORE the previous match cannot count
+    assert _funnel_match([[5], [3], []], W) == [5, None, None]
+
+
+def test_funnel_fn_pruning_and_replay(spark):
+    """State stays bounded (step-0 collapses to its running min, later
+    steps prune above the window top) and replayed events are structural
+    no-ops (set union)."""
+    import pandas as pd
+
+    from mycenae_spark.streaming.stateful import make_funnel_fn
+
+    W = 10_000_000
+    fn = make_funnel_fn(["view", "click", "purchase"], W)
+    st = _FakeState()
+    T = 1_000_000_000
+
+    def feed(rows):
+        pdf = pd.DataFrame(
+            {"metric": [m for m, _ in rows], "ts_us": [t for _, t in rows]}
+        )
+        return list(fn(("u1",), iter([pdf]), st))[0].iloc[0].to_dict()
+
+    # flood of step-0 events: state keeps ONE (the running min)
+    out = feed([("view", T + i) for i in range(500)])
+    assert out["stage"] == 1
+    assert len(st._v[0]) == 1 and st._v[0] == [T]
+    # click beyond the window top is pruned immediately
+    out = feed([("click", T + 2 * W), ("click", T + 5)])
+    assert out["stage"] == 2 and out["click_us"] == T + 5
+    assert st._v[1] == [T + 5]
+    # replay of already-seen events leaves state and output unchanged
+    before = st._v
+    out2 = feed([("view", T), ("click", T + 5)])
+    assert st._v == before
+    assert out2["stage"] == 2 and out2["click_us"] == T + 5
+    # late EARLIER anchor downgrades: click window slides below T+5
+    out3 = feed([("view", T - 3 * W)])
+    assert out3["stage"] == 1 and out3["click_us"] == -1
+    assert st._v[0] == [T - 3 * W] and st._v[1] == []
