@@ -70,3 +70,48 @@ def funnel_stages(
         .cast("long")
         .alias("latency_ms"),
     )
+
+
+def retention_matrix(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    bucket_us: int,
+) -> DataFrame:
+    """Cohort retention matrix: users cohorted by the bucket of their
+    FIRST event; cell (cohort_bucket, bucket_offset) counts cohort
+    members active ``bucket_offset`` buckets later, with the cohort size
+    and the retention rate (unrounded — callers canonicalize).
+
+    Plan shape: the (user, bucket) activity set and the per-user cohort
+    frame are BOTH user-keyed aggregates over one scan, so the cohort
+    join back onto activity is co-partitioned (AQE reuses the exchange)
+    and the final cell aggregate is keyed by (cohort, offset) —
+    cardinality #buckets², tiny.  At 100 TB only the initial distinct
+    carries event volume, and it collapses map-side to #users × #buckets.
+    """
+    act = df.select(
+        user_col,
+        F.expr(f"`{ts_col}` div {int(bucket_us)}").alias("bucket"),
+    ).distinct()
+    coh = act.groupBy(user_col).agg(F.min("bucket").alias("cohort_bucket"))
+    ret = (
+        act.join(coh, user_col)
+        .groupBy(
+            "cohort_bucket",
+            (F.col("bucket") - F.col("cohort_bucket")).alias("bucket_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    sz = coh.groupBy("cohort_bucket").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return ret.join(sz, "cohort_bucket").select(
+        "cohort_bucket",
+        "bucket_offset",
+        "n_active",
+        "cohort_size",
+        (F.col("n_active") / F.col("cohort_size").cast("double")).alias(
+            "retention"
+        ),
+    )

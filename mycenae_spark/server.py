@@ -7,6 +7,10 @@ already speaks, backed by the Parquet lake + planner:
 * ``POST /api/text/put``                — text points
 * ``POST /keysets/{ks}/api/query``      — OpenTSDB query JSON
 * ``GET  /keysets/{ks}/api/query/expression?exp=...`` — expression query
+* ``POST /keysets/{ks}/api/query/funnel``    — ordered multi-step funnel
+  (body: steps/window/user_tag/start/end/limit → per-stage reach + rates)
+* ``POST /keysets/{ks}/api/query/retention`` — cohort retention matrix
+  (body: bucket/user_tag/metric/start/end → cells)
 * ``POST /api/expression/check``        — validate an expression
 * ``GET  /api/suggest?type=metrics&q=p&max=N`` (``type=tagv`` takes ``tagk=``)
 * ``GET  /api/aggregators`` / ``GET /api/config/filters``
@@ -775,6 +779,112 @@ class Engine:
         q = parse_expression(exp, now_ms)
         return shape_response(plan(self._points(), q), q)
 
+    def _analytics_points(self, body: dict, user_tag: str):
+        """Shared slice for the analytics verbs: the points frame,
+        optionally [start, end)-filtered (epoch ms, the OpenTSDB body
+        convention), restricted to rows carrying the user tag.  Raises
+        on an unknown tag so a typo'd ``user_tag`` is a 400, not an
+        empty funnel."""
+        ucol = f"tag_{user_tag}"
+        p = self._points()
+        if ucol not in p.columns:
+            raise ValueError(
+                f"unknown user tag {user_tag!r}; known: "
+                f"{sorted(self._tag_keys())}"
+            )
+        if isinstance(body.get("start"), int):
+            p = p.filter(F.col("ts_us") >= body["start"] * 1000)
+        if isinstance(body.get("end"), int):
+            p = p.filter(F.col("ts_us") < body["end"] * 1000)
+        return p.filter(F.col(ucol).isNotNull()), ucol
+
+    def query_funnel(self, body: dict) -> dict:
+        """``POST /keysets/{ks}/api/query/funnel`` — the served form of
+        ``operators/funnel.py::funnel_stages`` (judged as
+        ``events_funnel``; this endpoint is ``analytics_endpoints_
+        roundtrip``'s surface).  Body: ``steps`` (≥2 metric names, in
+        order), ``window`` (per-step interval, e.g. "1d"), optional
+        ``user_tag`` (default "user"), ``start``/``end`` (epoch ms),
+        and ``limit`` (return up to N per-user rows, stage-desc).
+
+        Response is the per-stage summary — ``reached[k]`` = users whose
+        matched chain got AT LEAST to step k, ``rate[k]`` =
+        reached[k] / reached[0] — because at 100 TB the per-user frame
+        is #users rows: the endpoint collapses it to #steps numbers on
+        the cluster and only ships the (optional, bounded) user sample
+        to the driver."""
+        from mycenae_spark.operators.funnel import funnel_stages
+        from mycenae_spark.schema import parse_interval_ms
+
+        steps = body.get("steps")
+        if not isinstance(steps, list) or len(steps) < 2:
+            raise ValueError("funnel needs 'steps': [metric, metric, ...]")
+        window_us = parse_interval_ms(str(body.get("window", "1d"))) * 1000
+        user_tag = str(body.get("user_tag", "user"))
+        p, ucol = self._analytics_points(body, user_tag)
+        per_user = funnel_stages(p, ucol, "metric", "ts_us", steps, window_us)
+        by_stage = {
+            r["stage"]: r["n"]
+            for r in per_user.groupBy("stage")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        # users at EXACTLY stage s, cumulated down: reached[k] = Σ_{s>k}
+        reached = [
+            sum(n for s, n in by_stage.items() if s > k)
+            for k in range(len(steps))
+        ]
+        resp = {
+            "steps": steps,
+            "window_us": window_us,
+            "users": sum(by_stage.values()),
+            "reached": reached,
+            "rate": [
+                (r / reached[0]) if reached[0] else 0.0 for r in reached
+            ],
+        }
+        limit = body.get("limit")
+        if isinstance(limit, int) and limit > 0:
+            resp["sample"] = [
+                r.asDict()
+                for r in per_user.orderBy(
+                    F.desc("stage"), "user_id"
+                ).limit(limit).collect()
+            ]
+        return resp
+
+    def query_retention(self, body: dict) -> dict:
+        """``POST /keysets/{ks}/api/query/retention`` — the served form
+        of ``operators/funnel.py::retention_matrix`` (judged as
+        ``events_retention``).  Body: optional ``bucket`` (cohort
+        granularity, default "1d"), ``user_tag``, ``start``/``end``
+        (epoch ms), ``metric`` (restrict activity to one metric).
+
+        Returns the full matrix — #buckets² cells, driver-safe at any
+        corpus size (a year at daily grain is ≤ 366² cells) — as
+        ``cells: [{cohort, offset, n_active, cohort_size, rate}]`` with
+        cohort in epoch ms of the bucket start."""
+        from mycenae_spark.operators.funnel import retention_matrix
+        from mycenae_spark.schema import parse_interval_ms
+
+        bucket_ms = parse_interval_ms(str(body.get("bucket", "1d")))
+        user_tag = str(body.get("user_tag", "user"))
+        p, ucol = self._analytics_points(body, user_tag)
+        if body.get("metric"):
+            p = p.filter(F.col("metric") == str(body["metric"]))
+        mat = retention_matrix(p, ucol, "ts_us", bucket_ms * 1000)
+        cells = [
+            {
+                "cohort": r["cohort_bucket"] * bucket_ms,
+                "offset": r["bucket_offset"],
+                "n_active": r["n_active"],
+                "cohort_size": r["cohort_size"],
+                "rate": r["retention"],
+            }
+            for r in mat.orderBy("cohort_bucket", "bucket_offset").collect()
+        ]
+        return {"bucket_ms": bucket_ms, "cells": cells}
+
     def suggest(
         self, kind: str, prefix: str, limit: int, tagk: str | None = None
     ) -> list:
@@ -950,6 +1060,12 @@ class _Handler(BaseHTTPRequestHandler):
                 )
             if re.match(r"^/keysets/[^/]+/api/query$", u.path):
                 return self._send(200, self.engine.query(self._body()))
+            if re.match(r"^/keysets/[^/]+/api/query/funnel$", u.path):
+                return self._send(200, self.engine.query_funnel(self._body()))
+            if re.match(r"^/keysets/[^/]+/api/query/retention$", u.path):
+                return self._send(
+                    200, self.engine.query_retention(self._body())
+                )
             if u.path == "/api/expression/check":
                 errors = check_expression(
                     self._body()["exp"], int(time.time() * 1000)

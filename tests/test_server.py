@@ -770,3 +770,57 @@ def test_engine_routes_pnn_onto_qsample_ladder(spark, tmp_path_factory):
                              "downsample": "1h-p95"}]}
     eng.query(body_mis)
     assert eng.last_routes() == ["fine"]
+
+
+def test_funnel_and_retention_endpoints(server):
+    """The analytics verbs are reachable through the served engine (r10
+    VERDICT item 3): POST funnel/retention bodies compile onto
+    operators/funnel.py and return summary JSON."""
+    DAY = 86_400_000
+    evs = []
+
+    def ev(u, m, ts):
+        evs.append({"metric": m, "tags": {"ksid": "k1", "user": u},
+                    "timestamp": ts, "value": 1.0})
+
+    # f1 completes view->click->purchase inside 1d windows
+    ev("f1", "view", BASE_TS)
+    ev("f1", "click", BASE_TS + 3_600_000)
+    ev("f1", "purchase", BASE_TS + 7_200_000)
+    # f2 clicks, but purchases 3 days after the click (outside window)
+    ev("f2", "view", BASE_TS)
+    ev("f2", "click", BASE_TS + 3_600_000)
+    ev("f2", "purchase", BASE_TS + 3 * DAY)
+    # f3 views on day 0 and again on day 1 (retention signal)
+    ev("f3", "view", BASE_TS)
+    ev("f3", "view", BASE_TS + DAY)
+    code, resp = _req(server, "/api/put", evs)
+    assert code == 200 and resp["failed"] == 0
+
+    code, fr = _req(
+        server, "/keysets/k1/api/query/funnel",
+        {"steps": ["view", "click", "purchase"], "window": "1d",
+         "user_tag": "user", "start": BASE_TS - DAY,
+         "end": BASE_TS + 10 * DAY, "limit": 5},
+    )
+    assert code == 200
+    assert fr["reached"] == [3, 2, 1]
+    assert fr["rate"][0] == 1.0 and abs(fr["rate"][2] - 1 / 3) < 1e-9
+    top = fr["sample"][0]
+    assert top["user_id"] == "f1" and top["stage"] == 3
+
+    code, rr = _req(
+        server, "/keysets/k1/api/query/retention",
+        {"bucket": "1d", "user_tag": "user", "metric": "view"},
+    )
+    assert code == 200
+    cells = {c["offset"]: c for c in rr["cells"]}
+    assert cells[0]["cohort_size"] == 3 and cells[0]["n_active"] == 3
+    assert cells[1]["n_active"] == 1 and abs(cells[1]["rate"] - 1 / 3) < 1e-9
+
+    # unknown user tag is a 400, not an empty funnel
+    code, err = _req(
+        server, "/keysets/k1/api/query/funnel",
+        {"steps": ["view", "click"], "window": "1d", "user_tag": "nosuch"},
+    )
+    assert code == 400 and "unknown user tag" in err["error"]
