@@ -157,25 +157,40 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
 
     ONE hash aggregation: ``groupBy(doc)`` with one conditional-sum column
     per bit (``(h >> j) & 1``) plus the token count, then the signature is a
-    pure projection over the 32 counts.  The earlier form cross-joined a
-    32-row bit frame into the token-hash table — a 32× shuffle expansion for
-    the same result; this one shuffles each token hash exactly once, and the
-    per-bit sums partial-aggregate map-side.  Near-dup clustering then
-    operates on Hamming distance over 8-byte values."""
+    pure projection over the ``bits`` counts.  The earlier form cross-joined
+    a per-bit frame into the token-hash table — a ``bits``× shuffle
+    expansion for the same result; this one shuffles each token hash exactly
+    once, and the per-bit sums partial-aggregate map-side.  Near-dup
+    clustering then operates on Hamming distance over 8-byte values.
+
+    ``bits`` up to 64 (the Manku production grain).  Beyond 32, token bits
+    come from a SECOND md5 word (chars 9–16) so every signature bit has an
+    independent vote, and bit 63 lands on the long's sign bit: its term is
+    the two's-complement value −2⁶³, so a 64-bit signature is a plain
+    (possibly negative) BIGINT on any engine — xor/bit_count Hamming
+    arithmetic is representation-exact either way."""
+    if not 1 <= bits <= 64:
+        raise ValueError(f"bits must be in [1, 64], got {bits}")
     tok = df.select(id_col, F.explode(tokens(text_col)).alias("_tok"))
-    h = tok.select(
-        id_col,
-        F.conv(F.substring(F.md5("_tok"), 1, 8), 16, 10).cast("long").alias("_h"),
-    )
+    md5 = tok.select(id_col, F.md5("_tok").alias("_m"))
+    halves = [
+        F.conv(F.substring("_m", 1, 8), 16, 10).cast("long").alias("_hlo"),
+        F.conv(F.substring("_m", 9, 8), 16, 10).cast("long").alias("_hhi"),
+    ]
+    h = md5.select(id_col, *halves[: 2 if bits > 32 else 1])
     bit_sums = [
-        F.sum(F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(1))).alias(f"_c{j}")
+        F.sum(
+            F.shiftright(F.col("_hlo" if j < 32 else "_hhi"), j % 32)
+            .bitwiseAND(F.lit(1))
+        ).alias(f"_c{j}")
         for j in range(bits)
     ]
     agged = h.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"), *bit_sums)
     sig = None
     for j in range(bits):
+        bitval = -(1 << 63) if j == 63 else (1 << j)
         term = F.when(
-            2 * F.col(f"_c{j}") > F.col("_n"), F.lit(1 << j).cast("long")
+            2 * F.col(f"_c{j}") > F.col("_n"), F.lit(bitval).cast("long")
         ).otherwise(F.lit(0).cast("long"))
         sig = term if sig is None else sig + term
     return agged.select(id_col, sig.alias("simhash"))
@@ -810,14 +825,23 @@ def simhash_hamming_pairs(
     self-join would recompute the signature aggregation on both branches —
     the measured 7× trap), same hot-bucket valve semantics: an over-cap
     segment bucket is boilerplate/exact-dup mass, exact dedup's job.
+
+    Segments need not divide ``bits`` evenly: 64/6 (Manku's production
+    grain, judged as ``dedup_simhash_pairs64``) splits 11·4 + 10·2 —
+    pigeonhole only needs the segments to PARTITION the bit positions.
+    Extraction uses a LOGICAL right shift so the 64-bit signature's sign
+    bit (bit 63) lands in the top segment as data, not as sign smear.
     """
     if max_hamming > n_segments - 1:
         raise ValueError(
             f"pigeonhole guarantee needs max_hamming <= n_segments - 1, "
             f"got {max_hamming} > {n_segments - 1}"
         )
-    seg_bits = bits // n_segments
-    mask = (1 << seg_bits) - 1
+    base, rem = divmod(bits, n_segments)
+    if base < 1:
+        raise ValueError(f"{n_segments} segments need >= {n_segments} bits")
+    widths = [base + 1 if j < rem else base for j in range(n_segments)]
+    offsets = [sum(widths[:j]) for j in range(n_segments)]
     sigs = simhash(df, id_col, text_col, bits=bits)
     segs = sigs.select(
         F.col(id_col).alias("_id"),
@@ -827,8 +851,8 @@ def simhash_hamming_pairs(
                 *[
                     F.struct(
                         F.lit(j).alias("j"),
-                        F.shiftright("simhash", j * seg_bits)
-                        .bitwiseAND(F.lit(mask))
+                        F.shiftrightunsigned("simhash", offsets[j])
+                        .bitwiseAND(F.lit((1 << widths[j]) - 1))
                         .alias("segval"),
                     )
                     for j in range(n_segments)
