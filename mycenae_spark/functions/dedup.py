@@ -896,3 +896,217 @@ def simhash_hamming_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# -------------------------------------------- materialized band index
+
+#: Bump when signature/band/valve semantics change — part of the index
+#: fingerprint so new code never serves an index built differently.
+BAND_INDEX_VERSION = 1
+
+#: (band, sig) rows shard by a sig-hash so a probe batch can prune the
+#: index scan to the partitions its own signatures can possibly hit.
+BAND_INDEX_SHARDS = 64
+
+
+def _sig_shard(col: str = "sig", n_shards: int = BAND_INDEX_SHARDS) -> Column:
+    """Deterministic shard of a (string) band signature: first 8 hex chars
+    → int, mod ``n_shards``.  Engine-local (never mirrored in an oracle —
+    sharding changes WHAT IS READ, not any result)."""
+    return F.pmod(
+        F.conv(F.substring(F.col(col), 1, 8), 16, 10).cast("long"),
+        F.lit(n_shards),
+    )
+
+
+def band_index_fingerprint(
+    sf_dir: str,
+    pred_desc: str,
+    n_bands: int,
+    ngram: int,
+    max_bucket_size: int | None,
+    n_shards: int,
+) -> str:
+    """Content fingerprint of the documents table + index parameters —
+    the staleness gate: hashes every data file's (path, size, mtime_ns)
+    plus the build version and every semantic knob, so a changed corpus
+    or changed parameters mint a NEW index directory instead of silently
+    serving stale band rows (functions/pq.py's discipline verbatim)."""
+    import hashlib
+    import os
+
+    src = os.path.join(sf_dir.rstrip("/"), "documents.parquet")
+    h = hashlib.md5(
+        f"bands-v{BAND_INDEX_VERSION}|{pred_desc}|b{n_bands}|g{ngram}"
+        f"|cap{max_bucket_size}|s{n_shards}|{os.path.abspath(src)}".encode()
+    )
+    if os.path.isdir(src):
+        for base, _dirs, files in sorted(os.walk(src)):
+            for f in sorted(files):
+                p = os.path.join(base, f)
+                st = os.stat(p)
+                h.update(
+                    f"|{os.path.relpath(p, src)}|{st.st_size}"
+                    f"|{st.st_mtime_ns}".encode()
+                )
+    else:
+        st = os.stat(src)
+        h.update(f"|{st.st_size}|{st.st_mtime_ns}".encode())
+    return h.hexdigest()[:16]
+
+
+def ensure_band_index(
+    spark,
+    sf_dir: str,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    pred_desc: str,
+    n_bands: int = 4,
+    ngram: int = 3,
+    max_bucket_size: int | None = None,
+    n_shards: int = BAND_INDEX_SHARDS,
+) -> str:
+    """Build-and-commit the minhash band index ``dedup_incremental``'s
+    docstring promises: the (idx_id, band, sig) relation written ONCE as
+    parquet ``partitionBy(band, shard)``, committed with the atomic
+    CAS-by-rename + marker protocol shared with the ANN index lake
+    (functions/pq.py) — readers only ever see a fully-built index, and a
+    crash mid-build leaves nothing visible.
+
+    The hot-bucket valve is applied AT BUILD TIME (bucket sizes counted
+    over the whole corpus slice, over-cap buckets dropped), so a
+    boilerplate signature is excised from the index once instead of
+    re-filtered by every probing batch — and the probe path needs no
+    window over the index at all.  ``pred_desc`` names the corpus slice
+    in the fingerprint; pass anything that changes which rows build the
+    index."""
+    import os
+    import shutil
+    import uuid
+
+    from mycenae_spark.functions.pq import (
+        _commit_index,
+        _index_root,
+        _touch_index,
+        index_is_committed,
+    )
+    from pyspark.sql import Window
+
+    fp = band_index_fingerprint(
+        sf_dir, pred_desc, n_bands, ngram, max_bucket_size, n_shards
+    )
+    dest = os.path.join(_index_root(), f"bands-{fp}")
+    if index_is_committed(dest):
+        _touch_index(dest)
+        return dest
+    staging = f"{dest}.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    try:
+        sigs = minhash_signatures(
+            corpus, id_col, text_col, n_bands=n_bands, ngram=ngram
+        )
+        bands = sigs.select(
+            F.col(id_col).alias("idx_id"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.col(f"sig{b}").alias("sig"),
+                        )
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("bs"),
+        ).select("idx_id", "bs.band", "bs.sig")
+        if max_bucket_size is not None:
+            w = Window.partitionBy("band", "sig")
+            bands = (
+                bands.withColumn("_bsz", F.count(F.lit(1)).over(w))
+                .filter(F.col("_bsz") <= max_bucket_size)
+                .drop("_bsz")
+            )
+        bands.withColumn("shard", _sig_shard("sig", n_shards)).write.partitionBy(
+            "band", "shard"
+        ).parquet(os.path.join(staging, "bands"))
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    return _commit_index(dest, staging, fp)
+
+
+def probe_band_index(
+    spark,
+    index_dir: str,
+    delta: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n_bands: int = 4,
+    ngram: int = 3,
+    n_shards: int = BAND_INDEX_SHARDS,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Probe a COMMITTED band index with a delta batch — the search-phase
+    half of ``incremental_minhash_verdicts`` (same verdict schema, same
+    semantics, proven by the shared judged oracle): the delta computes
+    its own signatures and equi-joins the index on (band, sig); the
+    corpus is never re-read, never re-hashed.
+
+    Partition pruning is the scale story: the probe's distinct signature
+    SHARDS are collected driver-side (≤ ``n_shards`` tiny values — the
+    IVF probed-lists move, functions/pq.py::ivfpq_search) and pushed as a
+    static ``shard IN (...)`` filter, so the index scan reads only the
+    partitions this batch's signatures can possibly collide in
+    (plan-asserted: PartitionFilters on the bands scan).  A daily delta
+    touching k of ``n_shards`` shards reads k/n_shards of the index —
+    index READ cost follows the delta, not the corpus."""
+    import os
+
+    from mycenae_spark.functions.pq import _load_index
+
+    (bands,) = _load_index(spark, index_dir, ("bands",))
+    sigs = minhash_signatures(
+        delta, id_col, text_col, n_bands=n_bands, ngram=ngram
+    )
+    probe = sigs.select(
+        F.col(id_col).alias("probe_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), F.col(f"sig{b}").alias("sig")
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select("probe_id", "bs.band", "bs.sig", _sig_shard("bs.sig", n_shards).alias("shard"))
+    shards = sorted(
+        r["shard"] for r in probe.select("shard").distinct().collect()
+    )
+    pruned = bands.filter(F.col("shard").isin(shards))
+    matches = (
+        probe.join(pruned, ["band", "shard", "sig"])
+        .select("probe_id", "idx_id")
+        .distinct()
+        .groupBy("probe_id")
+        .agg(
+            F.min("idx_id").alias("_dup_of"),
+            F.count(F.lit(1)).alias("_n_idx"),
+        )
+    )
+    return (
+        delta.select(id_col, *extra_cols)
+        .join(matches, F.col(id_col) == F.col("probe_id"), "left")
+        .select(
+            id_col,
+            *extra_cols,
+            F.coalesce(F.col("_dup_of"), F.lit(-1)).alias("dup_of"),
+            F.coalesce(F.col("_n_idx"), F.lit(0)).alias("n_idx_matches"),
+            F.when(F.col("_dup_of").isNotNull(), 1).otherwise(0).alias(
+                "is_dup"
+            ),
+        )
+    )

@@ -3483,8 +3483,10 @@ def dedup_incremental(spark, sf_dir):
     Scale: at 100 TB the index relation is materialized ONCE as parquet
     partitioned by band (the ANN index-lake pattern, functions/pq.py) and
     each day's join cost is ∝ |delta| × #bands, never re-touching the
-    corpus; the judged form computes both sides inline so the whole
-    contract — signatures, valve, verdict — is hash-checked."""
+    corpus; this judged form computes both sides inline so the whole
+    contract — signatures, valve, verdict — is hash-checked, and
+    ``dedup_index_probe`` judges the materialized-index search path
+    against the SAME oracle (identical verdicts by construction)."""
     from mycenae_spark.functions.dedup import incremental_minhash_verdicts
 
     d = t(spark, sf_dir, "documents")
@@ -3495,6 +3497,81 @@ def dedup_incremental(spark, sf_dir):
         "text",
         n_bands=N_BANDS,
         max_bucket_size=MAX_BUCKET,
+        extra_cols=("lang",),
+    )
+
+
+_INCR_ORACLE = f"""
+WITH csig AS ({_sigs_where_sql("doc_id % 10 < 8")}),
+dsig AS ({_sigs_where_sql("doc_id % 10 >= 8")}),
+idx AS (
+  SELECT idx_id, band, sig FROM (
+    SELECT idx_id, band, sig,
+           count(*) OVER (PARTITION BY band, sig) AS bsz
+    FROM ({_IDX_BANDS_SQL})
+  ) WHERE bsz <= {MAX_BUCKET}
+),
+probe AS ({_PROBE_BANDS_SQL}),
+m AS (
+  SELECT DISTINCT probe_id, idx_id
+  FROM probe JOIN idx USING (band, sig)
+),
+agg AS (
+  SELECT probe_id, min(idx_id) AS dup_of, count(*) AS n_idx
+  FROM m GROUP BY probe_id
+)
+SELECT d.doc_id, d.lang,
+       coalesce(agg.dup_of, -1) AS dup_of,
+       coalesce(agg.n_idx, 0)::BIGINT AS n_idx_matches,
+       CASE WHEN agg.dup_of IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+FROM (SELECT doc_id, lang FROM documents WHERE doc_id % 10 >= 8) d
+LEFT JOIN agg ON agg.probe_id = d.doc_id
+"""
+
+
+@q("dedup_index_probe", _INCR_ORACLE)
+def dedup_index_probe(spark, sf_dir):
+    """`dedup_incremental` against a MATERIALIZED band index — the scale
+    story that op's docstring promises, made judged (r10 VERDICT item 5):
+    `ensure_band_index` writes the corpus slice's (idx_id, band, sig)
+    relation ONCE as parquet `partitionBy(band, shard)` behind the ANN
+    index lake's CAS-by-rename + commit-marker protocol (functions/
+    pq.py), with the hot-bucket valve applied at build time; the judged
+    query is the SEARCH PHASE ALONE (the `ann_pq_search_topk`
+    precedent): the delta computes its signatures, collects its distinct
+    signature shards driver-side, prunes the index scan to those
+    partitions (PartitionFilters, plan-asserted in tests/test_plans.py),
+    and equi-joins on (band, shard, sig).
+
+    The oracle is VERBATIM `dedup_incremental`'s: materializing the
+    index must be invisible in the verdicts — same signatures, same
+    valve, same keeps — and the shared hash proves it.  Staleness gate:
+    the index fingerprint hashes the documents files' stats + every
+    semantic knob + a build version, so a changed corpus or parameter
+    mints a new directory (pytest-pinned in tests/test_pq_index.py).
+
+    100 TB: build cost is one corpus scan amortized over every future
+    batch; probe cost is |delta| x bands hashing + a join against the
+    <= k/n_shards slice of the index the delta's signatures can reach."""
+    from mycenae_spark.functions.dedup import (
+        ensure_band_index,
+        probe_band_index,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    idx_dir = ensure_band_index(
+        spark, sf_dir,
+        d.filter(F.col("doc_id") % 10 < 8),
+        "doc_id", "text",
+        pred_desc="doc_id%10<8",
+        n_bands=N_BANDS,
+        max_bucket_size=MAX_BUCKET,
+    )
+    return probe_band_index(
+        spark, idx_dir,
+        d.filter(F.col("doc_id") % 10 >= 8),
+        "doc_id", "text",
+        n_bands=N_BANDS,
         extra_cols=("lang",),
     )
 

@@ -476,3 +476,13 @@ def test_retention_keyed_aggs_cohort_join_copartitioned(spark):
     plan = _plan(spark, "events_retention")
     assert "CartesianProduct" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_band_index_probe_prunes_partitions(spark, tmp_path, monkeypatch):
+    """dedup_index_probe's scale contract: the delta's signature shards
+    reach the committed band-index scan as PartitionFilters (only the
+    shards this batch can collide in are read), and the corpus is never
+    re-scanned — the only documents scan in the plan is the delta's."""
+    monkeypatch.setenv("MYCENAE_INDEX_ROOT", str(tmp_path / "idx"))
+    plan = _plan(spark, "dedup_index_probe")
+    assert "PartitionFilters: [shard" in plan

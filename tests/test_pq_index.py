@@ -118,3 +118,76 @@ def test_fingerprint_tracks_source_regeneration(tmp_path):
     f.write_bytes(b"v2-longer")
     fp2 = pq.pq_index_fingerprint(str(sf))
     assert fp2 != fp1
+
+
+def test_band_index_build_probe_refresh(spark, index_root, tmp_path):
+    """dedup_index_probe's lifecycle contract: build commits atomically
+    (marker-gated), probe against the committed index matches the inline
+    computation, a second ensure is a no-op reuse, a torn build is
+    refused, and a corpus change mints a NEW directory (staleness gate)."""
+    import os
+    import shutil
+
+    from mycenae_spark.functions import dedup
+
+    sf = tmp_path / "sfB"
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),
+            (3, "one two three four five six seven"),
+            (100, "alpha beta gamma delta epsilon zeta"),
+            (101, "totally different words here entirely now"),
+        ],
+        "doc_id long, text string",
+    )
+    docs.coalesce(1).write.parquet(str(sf / "documents.parquet"))
+    saved = spark.read.parquet(str(sf / "documents.parquet"))
+    corpus = saved.filter("doc_id < 100")
+    delta = saved.filter("doc_id >= 100")
+
+    idx1 = dedup.ensure_band_index(
+        spark, str(sf), corpus, "doc_id", "text",
+        pred_desc="lt100", n_bands=4, max_bucket_size=64,
+    )
+    assert os.path.isfile(os.path.join(idx1, "_COMMITTED"))
+    # reuse, not rebuild
+    assert dedup.ensure_band_index(
+        spark, str(sf), corpus, "doc_id", "text",
+        pred_desc="lt100", n_bands=4, max_bucket_size=64,
+    ) == idx1
+    out = {
+        r["doc_id"]: r
+        for r in dedup.probe_band_index(
+            spark, idx1, delta, "doc_id", "text", n_bands=4
+        ).collect()
+    }
+    inline = {
+        r["doc_id"]: r
+        for r in dedup.incremental_minhash_verdicts(
+            corpus, delta, "doc_id", "text", n_bands=4, max_bucket_size=64
+        ).collect()
+    }
+    assert {k: tuple(v) for k, v in out.items()} == {
+        k: tuple(v) for k, v in inline.items()
+    }
+    assert out[100]["is_dup"] == 1 and out[100]["dup_of"] == 1
+    assert out[101]["is_dup"] == 0
+
+    # torn build (marker removed) is refused by the probe
+    os.remove(os.path.join(idx1, "_COMMITTED"))
+    with pytest.raises(FileNotFoundError):
+        dedup.probe_band_index(spark, idx1, delta, "doc_id", "text")
+    shutil.rmtree(idx1)
+
+    # corpus regeneration mints a NEW directory (stat-based fingerprint)
+    fp1 = dedup.band_index_fingerprint(str(sf), "lt100", 4, 3, 64, 64)
+    pfile = next(
+        p for p in (sf / "documents.parquet").iterdir()
+        if p.name.endswith(".parquet")
+    )
+    os.utime(pfile, (1, 1))
+    fp2 = dedup.band_index_fingerprint(str(sf), "lt100", 4, 3, 64, 64)
+    assert fp2 != fp1
+    # and parameter changes do too
+    assert dedup.band_index_fingerprint(str(sf), "lt100", 8, 3, 64, 64) != fp2
