@@ -228,3 +228,94 @@ def contamination_pairs(
         .groupBy("train_doc", "eval_doc")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+
+
+def dsir_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_pred: Column,
+    *,
+    n_buckets: int = 10_000,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, arXiv 2302.03169) as a
+    generic kernel: score each document by how much likelier its
+    hashed-bigram features are under the TARGET slice (``target_pred``,
+    any boolean Column — a language, a domain tag, a quality flag) than
+    under the raw corpus.  ``n_buckets`` is the feature-hash width; the
+    paper's grain is 10k.
+
+    Feature map: word bigram → first 4 md5 hex chars → int mod
+    ``n_buckets`` (the repo's cross-engine hash convention; DuckDB
+    mirrors it exactly, so judged oracles hash-match).  Bucket
+    distributions use add-1 smoothing over ``n_buckets``; the per-bucket
+    log-ratio quantizes ONCE to integer ten-thousandths
+    (floor(ln·1e4 + 0.5 + 1e-6)) so each document's weight is an exact
+    BIGINT dot product — no float sum whose addition order could differ
+    between engines or between partitionings.
+
+    Returns (id, *extra_cols, n_bigrams, weight_u) — callers rank/cut.
+
+    Scale: ONE corpus scan into the (doc, feat) aggregate; src/tgt are
+    ``n_buckets``-row re-aggregates; the log-ratio table broadcasts back
+    onto the doc-feature frame.  Nothing downstream of the first
+    aggregate carries corpus volume."""
+    from mycenae_spark.functions.text import shingles, tokens
+
+    toked = df.select(
+        id_col, *extra_cols, tokens(text_col).alias("_ts"),
+        target_pred.alias("_is_tgt"),
+    ).filter(F.size("_ts") >= 2)
+    nb = float(n_buckets)
+    bi = toked.select(
+        id_col,
+        *extra_cols,
+        "_is_tgt",
+        F.explode(shingles("_ts", 2)).alias("_g"),
+    ).select(
+        id_col,
+        *extra_cols,
+        "_is_tgt",
+        F.pmod(
+            F.conv(F.substring(F.md5("_g"), 1, 4), 16, 10).cast("long"),
+            F.lit(n_buckets),
+        ).alias("feat"),
+    )
+    docf = bi.groupBy(id_col, *extra_cols, "_is_tgt", "feat").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    src = docf.groupBy("feat").agg(F.sum("c").alias("sc"))
+    tgt = (
+        docf.filter(F.col("_is_tgt"))
+        .groupBy("feat")
+        .agg(F.sum("c").alias("tc"))
+    )
+    tots = src.agg(F.sum("sc").cast("double").alias("s_tot")).crossJoin(
+        tgt.agg(
+            F.coalesce(F.sum("tc"), F.lit(0)).cast("double").alias("t_tot")
+        )
+    )
+    lr_expr = F.floor(
+        F.log(
+            (F.coalesce(F.col("tc"), F.lit(0)) + 1.0)
+            * (F.col("s_tot") + nb)
+            / ((F.col("sc") + 1.0) * (F.col("t_tot") + nb))
+        )
+        * 10000
+        + 0.5
+        + 1e-6
+    ).cast("long")
+    lr = (
+        src.join(tgt, "feat", "left")
+        .crossJoin(F.broadcast(tots))
+        .select("feat", lr_expr.alias("lr_u"))
+    )
+    return (
+        docf.join(F.broadcast(lr), "feat")
+        .groupBy(id_col, *extra_cols)
+        .agg(
+            F.sum(F.col("c") * F.col("lr_u")).alias("weight_u"),
+            F.sum("c").alias("n_bigrams"),
+        )
+    )
