@@ -12,8 +12,7 @@ rounded to 1e-9, rows sorted).  Run it from anywhere — it does NOT need
 the repo on sys.path beforehand.
 
 Exit code 0 iff every window entry passes (rows-only ids pass on
-execution).  Use before every end-of-round commit; see
-.claude/skills/verify/SKILL.md.
+execution).  Use before every end-of-round commit.
 """
 
 from __future__ import annotations
