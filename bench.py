@@ -125,6 +125,12 @@ HEADLINE = [
     "events_funnel",
     "dedup_simhash_pairs",
     "events_retention",
+    # round 11
+    "dedup_simhash_pairs64",
+    "dedup_index_probe",
+    "sample_dsir10k",
+    "ann_filtered_topk",
+    "series_gaps",
 ]
 
 

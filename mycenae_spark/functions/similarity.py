@@ -69,6 +69,55 @@ def brute_topk(
     )
 
 
+def brute_topk_filtered(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    match_cols: tuple[str, ...],
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    score_rounder=None,
+) -> DataFrame:
+    """Filtered vector search — exact cosine top-k restricted to corpus
+    rows whose ``match_cols`` EQUAL the query row's (the tenant / language
+    / label filter every production vector store must compose with
+    similarity, and the case that breaks post-filtering: prune AFTER
+    top-k and a query whose matches are rare gets fewer than k rows
+    back).  Filtering here is IN the candidate generation — the join key
+    — so k survivors are guaranteed whenever k matches exist.
+
+    Plan upgrade over unfiltered ``brute_topk``: the query set broadcasts
+    and the join is a keyed BroadcastHashJoin on ``match_cols`` (not a
+    BroadcastNestedLoop cross join), so each corpus row meets only the
+    queries sharing its key — scan cost unchanged, pair volume divided by
+    the key's selectivity.  The corpus still never shuffles; per-query
+    ranking windows run on the (tiny) scored frame."""
+    rounder = score_rounder or (lambda c: c)
+    qs = with_norm(queries, emb_col).select(
+        F.col(id_col).alias("q_id"),
+        *[F.col(c).alias(f"_q_{c}") for c in match_cols],
+        F.col(emb_col).alias("_qe"),
+        F.col("_norm").alias("_qn"),
+    )
+    c = with_norm(corpus, emb_col).select(
+        F.col(id_col).alias("n_id"),
+        *match_cols,
+        F.col(emb_col).alias("_ce"),
+        F.col("_norm").alias("_cn"),
+    )
+    cond = [F.col(m) == F.col(f"_q_{m}") for m in match_cols]
+    cos = cosine(F.col("_qe"), F.col("_ce"), F.col("_qn"), F.col("_cn"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_r"), "n_id")
+    return (
+        c.join(F.broadcast(qs), cond)
+        .filter(F.col("n_id") != F.col("q_id"))
+        .withColumn("cos_r", rounder(cos))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "n_id", *match_cols, "rk", "cos_r")
+    )
+
+
 def kmeans_refine(
     corpus: DataFrame,
     centroids: DataFrame,

@@ -548,6 +548,47 @@ def sim_topk(spark, sf_dir):
     )
 
 
+@q(
+    "ann_filtered_topk",
+    f"""
+WITH scored AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS n_id, b.label AS label,
+         round6({_COS_SQL}) AS cos_r
+  FROM (SELECT * FROM embeddings WHERE vec_id < 10) a
+  JOIN embeddings b ON b.label = a.label AND b.vec_id <> a.vec_id
+)
+SELECT q_id, n_id, label, rk, cos_r FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_r DESC, n_id) AS rk
+  FROM scored
+) WHERE rk <= 5
+""",
+)
+def ann_filtered_topk(spark, sf_dir):
+    """FILTERED vector search (r11) — similarity composed with a
+    query-dependent metadata equality (same ``label``), the tenant /
+    language / collection filter every production vector store must
+    support and the case that breaks post-filtering: prune AFTER top-k
+    and a query whose matches are rare returns < k rows.  Here the
+    filter IS the candidate generation — the join key — so k survivors
+    are guaranteed whenever k matches exist (kernel:
+    functions/similarity.py::brute_topk_filtered).
+
+    Plan: the broadcast query set joins the corpus scan as a keyed
+    BroadcastHashJoin on label (sim_topk's cross join upgraded — each
+    corpus row meets only same-key queries, pair volume ÷ label
+    cardinality), corpus never shuffles, per-query rank windows on the
+    tiny scored frame.  At 100 TB the same composition holds with IVF
+    pruning the scan first (the ann_ivf family) and label as a partition
+    column making the filter a PartitionFilters prune."""
+    from mycenae_spark.functions.similarity import brute_topk_filtered
+
+    e = t(spark, sf_dir, "embeddings")
+    return brute_topk_filtered(
+        e, e.filter(F.col("vec_id") < 10), k=5,
+        match_cols=("label",), score_rounder=r6,
+    )
+
+
 # ------------------------------------------------------------ text analysis
 
 @q(

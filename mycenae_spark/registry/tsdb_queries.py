@@ -3963,3 +3963,68 @@ def analytics_endpoints_roundtrip(spark, sf_dir):
     finally:
         shutil.rmtree(base_dir, ignore_errors=True)
     return spark.createDataFrame(flags, "what string, n long")
+
+
+_GAP_US = 21_600_000_000  # 6 h
+
+
+@q(
+    "series_gaps",
+    f"""
+WITH p AS ({SQL_POINTS}),
+g AS (
+  SELECT metric, tag_user, ts_us,
+         ts_us - lag(ts_us) OVER (
+           PARTITION BY metric, tag_user ORDER BY ts_us, event_id
+         ) AS gap
+  FROM p
+)
+SELECT metric, tag_user,
+       count(*)::BIGINT AS n_points,
+       coalesce(max(gap), -1)::BIGINT AS max_gap_us,
+       sum(CASE WHEN gap > {_GAP_US} THEN 1 ELSE 0 END)::BIGINT
+         AS n_large_gaps,
+       CASE WHEN count(*) > 1
+            THEN (max(ts_us) - min(ts_us)) // (count(*) - 1)
+            ELSE -1 END::BIGINT AS mean_gap_us
+FROM g GROUP BY metric, tag_user
+""",
+)
+def series_gaps(spark, sf_dir):
+    """Heartbeat / gap monitoring (r11) — the TSDB operational query the
+    reference's users run constantly: per series, how many points, the
+    LARGEST silent window, how many gaps exceeded the 6 h alert
+    threshold, and the mean inter-point interval (integer-floored
+    microseconds — an exact BIGINT on both engines; a float mean at
+    1e11 µs magnitude sits at double's 4-decimal representability edge
+    and round4 ULP noise flipped a half-case, measured) — "is this
+    series still reporting, and how ragged is it?".  A single-point
+    series reports max_gap_us = mean_gap_us = −1 (no interval exists;
+    0 would alias "perfectly dense").
+
+    Plan: ONE exchange on (metric, tag_user) shared by the lag window
+    and the final hash agg (the window's partitioning IS the grouping,
+    so Catalyst re-uses the sort) — at 100 TB this is exactly one
+    shuffle of (series, ts) pairs, the same cost envelope as `rate`,
+    and the output is #series rows.  Lag ordered by (ts_us, event_id)
+    so equal-timestamp points order identically on both engines."""
+    p = points(spark, sf_dir)
+    w = Window.partitionBy("metric", "tag_user").orderBy("ts_us", "event_id")
+    g = p.select(
+        "metric", "tag_user", "ts_us",
+        (F.col("ts_us") - F.lag("ts_us").over(w)).alias("gap"),
+    )
+    return g.groupBy("metric", "tag_user").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.coalesce(F.max("gap"), F.lit(-1)).alias("max_gap_us"),
+        F.sum(
+            F.when(F.col("gap") > _GAP_US, 1).otherwise(0)
+        ).alias("n_large_gaps"),
+        F.when(
+            F.count(F.lit(1)) > 1,
+            F.floor(
+                (F.max("ts_us") - F.min("ts_us"))
+                / (F.count(F.lit(1)) - 1)
+            ),
+        ).otherwise(F.lit(-1)).cast("long").alias("mean_gap_us"),
+    )

@@ -486,3 +486,21 @@ def test_band_index_probe_prunes_partitions(spark, tmp_path, monkeypatch):
     monkeypatch.setenv("MYCENAE_INDEX_ROOT", str(tmp_path / "idx"))
     plan = _plan(spark, "dedup_index_probe")
     assert "PartitionFilters: [shard" in plan
+
+
+def test_series_gaps_single_exchange(spark):
+    """series_gaps' scale contract: the lag window and the per-series agg
+    share ONE (metric, tag_user) exchange — the same envelope as rate."""
+    plan = _plan(spark, "series_gaps")
+    assert plan.count("Exchange") == 1
+    assert "SinglePartition" not in plan
+
+
+def test_filtered_topk_is_keyed_broadcast(spark):
+    """ann_filtered_topk's scale contract: the label filter is the JOIN
+    KEY — a keyed BroadcastHashJoin, not a BroadcastNestedLoop cross join
+    — and the corpus never shuffles before scoring."""
+    plan = _plan(spark, "ann_filtered_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
