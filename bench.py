@@ -131,6 +131,7 @@ HEADLINE = [
     "sample_dsir10k",
     "ann_filtered_topk",
     "series_gaps",
+    "downsample_cal_month",
 ]
 
 

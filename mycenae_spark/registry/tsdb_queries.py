@@ -592,6 +592,15 @@ def downsample_sum_1h(spark, sf_dir):
     return _ds(spark, sf_dir, HOUR_MS, "sum", "sum_v_r")
 
 
+@q("downsample_sum_1w", _ds_oracle(7 * 86_400_000, "round4(sum(value))", "sum_v_r"))
+def downsample_sum_1w(spark, sf_dir):
+    """W1: the `w` interval unit judged ([L] in the survey row) — epoch-
+    aligned 7-day buckets (OpenTSDB's week: 7×86400 s from the epoch, NOT
+    ISO calendar weeks), same generic bucket arithmetic as every other
+    interval; the testdata's 30-day span yields ~5 buckets per series."""
+    return _ds(spark, sf_dir, 7 * 86_400_000, "sum", "sum_v_r")
+
+
 @q("downsample_min", _ds_oracle(600_000, "min(value)", "min_v"))
 def downsample_min(spark, sf_dir):
     return _ds(spark, sf_dir, 600_000, "min", "min_v", rounder=None)
@@ -4027,4 +4036,67 @@ def series_gaps(spark, sf_dir):
                 / (F.count(F.lit(1)) - 1)
             ),
         ).otherwise(F.lit(-1)).cast("long").alias("mean_gap_us"),
+    )
+
+
+@q(
+    "downsample_cal_month",
+    f"""
+WITH p AS ({SQL_POINTS}),
+d AS (
+  SELECT metric, tag_user, value,
+         date_trunc('month',
+           DATE '1970-01-01' + CAST(ts_us // 86400000000 AS INT)) AS m0
+  FROM p
+)
+SELECT metric, tag_user,
+       (m0 - DATE '1970-01-01') * 86400000::BIGINT AS bucket_ms,
+       round4(sum(value)) AS sum_v_r,
+       count(*)::BIGINT AS n
+FROM d GROUP BY metric, tag_user, m0
+""",
+)
+def downsample_cal_month(spark, sf_dir):
+    """CALENDAR-aligned downsample (OpenTSDB 2.3's calendar flag, the
+    real semantics of the `n` month unit): buckets start at the first of
+    each UTC month, so they are VARIABLE-LENGTH — 28/29/30/31 days —
+    which no fixed-interval `ts div iv` arithmetic can express.  The
+    epoch-aligned `1n = 30 d` approximation drifts one bucket boundary
+    per ~2 months and splits real months across buckets.
+
+    Timezone-free by construction on BOTH engines: epoch µs → epoch DAY
+    (integer div) → DATE arithmetic (`date_add`/`trunc('month')` on the
+    date type, never a timestamp) → back to epoch ms via days-since-
+    epoch.  A vanilla driver session carries the host's timezone; any
+    timestamp-typed path would silently shift buckets there (the
+    nanosAsLong class of trap), date arithmetic cannot.
+
+    Plan: identical to every fixed downsample — the bucket is a pure
+    projection, then one (series, bucket) hash agg."""
+    import datetime
+
+    p = points(spark, sf_dir)
+    m0 = F.trunc(
+        F.date_add(
+            F.lit(datetime.date(1970, 1, 1)),
+            (F.col("ts_us") / F.lit(86_400_000_000)).cast("int"),
+        ),
+        "month",
+    )
+    return (
+        p.withColumn("_m0", m0)
+        .groupBy("metric", "tag_user", "_m0")
+        .agg(
+            r4(F.sum("value")).alias("sum_v_r"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "metric",
+            "tag_user",
+            (F.unix_date(F.col("_m0")).cast("long") * F.lit(86_400_000)).alias(
+                "bucket_ms"
+            ),
+            "sum_v_r",
+            "n",
+        )
     )
