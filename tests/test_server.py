@@ -824,3 +824,47 @@ def test_funnel_and_retention_endpoints(server):
         {"steps": ["view", "click"], "window": "1d", "user_tag": "nosuch"},
     )
     assert code == 400 and "unknown user tag" in err["error"]
+
+
+def test_rung_pinned_head_gate(spark, tmp_path_factory):
+    """r10 ADVICE: a rung re-backfilled AFTER a request pinned its head
+    must not serve that request — its rows may reflect commits newer than
+    the pinned generation and would be cached under the older key.  Both
+    routing paths (qsample + algebraic ladder) gate the rung marker's
+    as_of_seq against the request's pinned head and fall through."""
+    from mycenae_spark.api import parse_query_request
+    from mycenae_spark.server import Engine
+    from mycenae_spark.streaming.rollup import (
+        _read_marker_as_of,
+        backfill_qsample,
+    )
+
+    d = tmp_path_factory.mktemp("pingate")
+    lake, catalog, qs1h = str(d / "lake"), str(d / "cat"), str(d / "qs1h")
+    eng = Engine(spark, lake, catalog, qsample_ladder={3_600_000: qs1h})
+    eng.put([
+        {"metric": "pin.g", "tags": {"ksid": "k1", "host": "h0"},
+         "timestamp": BASE_TS + j * 60_000, "value": float(j)}
+        for j in range(60)
+    ])
+    backfill_qsample(spark, lake, qs1h, interval_ms=3_600_000)
+    rung_pin = _read_marker_as_of(qs1h)
+    assert rung_pin is not None and rung_pin >= 1
+
+    body = {"start": BASE_TS, "end": BASE_TS + 3_600_000,
+            "queries": [{"metric": "pin.g", "aggregator": "sum",
+                         "downsample": "1h-p95"}]}
+    (q,) = parse_query_request(body, BASE_TS + 3_600_000)
+
+    try:
+        # request pinned AT (or after) the rung's build head: routes
+        eng._read_pin.as_of = rung_pin
+        assert eng._pick_qsample(q) is not None
+        # request pinned BEFORE the rung was built: must fall through
+        eng._read_pin.as_of = rung_pin - 1
+        assert eng._pick_qsample(q) is None
+        # unpinned request (no checkpoint/log gate): routes as before
+        eng._read_pin.as_of = None
+        assert eng._pick_qsample(q) is not None
+    finally:
+        eng._read_pin.as_of = None
