@@ -135,6 +135,27 @@ def main() -> None:
     print(f"decontamination: {leaks.count()} (train, eval) doc pairs "
           "share at least one 3-gram")
 
+    # -- 7. product analytics: funnel stages + cohort retention -----------
+    # (served over HTTP by server.py's /api/query/funnel and
+    #  /api/query/retention; here the kernels run directly)
+    from mycenae_spark.operators.funnel import funnel_stages, retention_matrix
+
+    ev = spark.createDataFrame(
+        [("u1", "view", 0), ("u1", "click", 5_000_000),
+         ("u1", "purchase", 9_000_000),
+         ("u2", "view", 0), ("u2", "click", 30_000_000)],  # outside window
+        "user string, metric string, ts_us long",
+    )
+    fun = funnel_stages(
+        ev, "user", "metric", "ts_us",
+        ["view", "click", "purchase"], window_us=10_000_000,
+    )
+    print("\nfunnel (10s windows):")
+    fun.orderBy("user_id").show()
+    ret = retention_matrix(ev, "user", "ts_us", bucket_us=10_000_000)
+    print("retention (10s cohort buckets):")
+    ret.orderBy("cohort_bucket", "bucket_offset").show()
+
 
 if __name__ == "__main__":
     main()
