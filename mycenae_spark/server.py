@@ -11,6 +11,8 @@ already speaks, backed by the Parquet lake + planner:
   (body: steps/window/user_tag/start/end/limit → per-stage reach + rates)
 * ``POST /keysets/{ks}/api/query/retention`` — cohort retention matrix
   (body: bucket/user_tag/metric/start/end → cells)
+* ``POST /keysets/{ks}/api/query/gaps``      — per-series heartbeat/gap
+  report (body: metric/threshold/start/end → series rows)
 * ``POST /api/expression/check``        — validate an expression
 * ``GET  /api/suggest?type=metrics&q=p&max=N`` (``type=tagv`` takes ``tagk=``)
 * ``GET  /api/aggregators`` / ``GET /api/config/filters``
@@ -853,6 +855,54 @@ class Engine:
             ]
         return resp
 
+    def query_gaps(self, body: dict) -> list:
+        """``POST /keysets/{ks}/api/query/gaps`` — heartbeat monitoring
+        over the served lake (the registry's ``series_gaps`` shape, on
+        engine series identity = metric + full tag set).  Body: optional
+        ``metric``, ``threshold`` (gap alert interval, default "6h"),
+        ``start``/``end`` (epoch ms).  Returns one row per series with
+        the point count, largest silent window, count of gaps over the
+        threshold, and the integer mean inter-point interval (µs) — the
+        "which series went quiet" operator question.  One exchange on
+        the series key shared by the lag window and the aggregate;
+        output is #series rows, driver-safe at any scale."""
+        from pyspark.sql import Window
+        from mycenae_spark.schema import parse_interval_ms
+
+        thr_us = parse_interval_ms(str(body.get("threshold", "6h"))) * 1000
+        p = self._points()
+        if body.get("metric"):
+            p = p.filter(F.col("metric") == str(body["metric"]))
+        if isinstance(body.get("start"), int):
+            p = p.filter(F.col("ts_us") >= body["start"] * 1000)
+        if isinstance(body.get("end"), int):
+            p = p.filter(F.col("ts_us") < body["end"] * 1000)
+        keys = ["metric"] + [f"tag_{k}" for k in self._tag_keys()]
+        w = Window.partitionBy(*keys).orderBy("ts_us")
+        g = p.select(
+            *keys, "ts_us",
+            (F.col("ts_us") - F.lag("ts_us").over(w)).alias("gap"),
+        )
+        agg = g.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.coalesce(F.max("gap"), F.lit(-1)).alias("max_gap_us"),
+            F.sum(F.when(F.col("gap") > thr_us, 1).otherwise(0)).alias(
+                "n_large_gaps"
+            ),
+        )
+        return [
+            {
+                "metric": r["metric"],
+                "tags": {
+                    k[4:]: r[k] for k in keys[1:] if r[k] is not None
+                },
+                "n_points": r["n_points"],
+                "max_gap_us": r["max_gap_us"],
+                "n_large_gaps": r["n_large_gaps"],
+            }
+            for r in agg.collect()
+        ]
+
     def query_retention(self, body: dict) -> dict:
         """``POST /keysets/{ks}/api/query/retention`` — the served form
         of ``operators/funnel.py::retention_matrix`` (judged as
@@ -1066,6 +1116,8 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._send(
                     200, self.engine.query_retention(self._body())
                 )
+            if re.match(r"^/keysets/[^/]+/api/query/gaps$", u.path):
+                return self._send(200, self.engine.query_gaps(self._body()))
             if u.path == "/api/expression/check":
                 errors = check_expression(
                     self._body()["exp"], int(time.time() * 1000)

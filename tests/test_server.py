@@ -868,3 +868,23 @@ def test_rung_pinned_head_gate(spark, tmp_path_factory):
         assert eng._pick_qsample(q) is not None
     finally:
         eng._read_pin.as_of = None
+
+
+def test_gaps_endpoint(server):
+    """POST /api/query/gaps: per-series heartbeat report over the served
+    lake — a 2h-threshold scan of the funnel-test series must flag f3's
+    1-day silent window and report clean series with zero large gaps."""
+    code, rows = _req(
+        server, "/keysets/k1/api/query/gaps",
+        {"metric": "view", "threshold": "2h"},
+    )
+    assert code == 200
+    by_user = {r["tags"].get("user"): r for r in rows
+               if r["metric"] == "view"}
+    # f3 viewed at BASE_TS and BASE_TS+1d: one 24h gap over the threshold
+    assert by_user["f3"]["n_points"] == 2
+    assert by_user["f3"]["max_gap_us"] == 86_400_000 * 1000
+    assert by_user["f3"]["n_large_gaps"] == 1
+    # f1 viewed once: no interval exists
+    assert by_user["f1"]["n_points"] == 1
+    assert by_user["f1"]["max_gap_us"] == -1
