@@ -132,6 +132,7 @@ HEADLINE = [
     "ann_filtered_topk",
     "series_gaps",
     "downsample_cal_month",
+    "downsample_sum_1w",
 ]
 
 
@@ -165,6 +166,30 @@ def main() -> None:
     t0 = time.perf_counter()
     _pq.ensure_ivfpq_index(spark, sf_dir, rounder=_r6)
     ivfpq_build_s = round(time.perf_counter() - t0, 3)
+
+    # Same amortization contract for the minhash band index
+    # (dedup_index_probe): build-once is a corpus job, the judged query is
+    # the search phase — price the build separately, flag cache hits.
+    from mycenae_spark.functions import dedup as _dd
+    from mycenae_spark.registry.llm_queries import MAX_BUCKET as _MB
+    from mycenae_spark.registry.llm_queries import N_BANDS as _NB
+    from mycenae_spark.sources.tables import load_table as _lt
+    import pyspark.sql.functions as _F
+
+    band_fp = _dd.band_index_fingerprint(
+        sf_dir, "doc_id%10<8", _NB, 3, _MB, _dd.BAND_INDEX_SHARDS
+    )
+    band_cached = _pq.index_is_committed(
+        os.path.join(_pq._index_root(), f"bands-{band_fp}")
+    )
+    t0 = time.perf_counter()
+    _dd.ensure_band_index(
+        spark, sf_dir,
+        _lt(spark, sf_dir, "documents").filter(_F.col("doc_id") % 10 < 8),
+        "doc_id", "text", pred_desc="doc_id%10<8",
+        n_bands=_NB, max_bucket_size=_MB,
+    )
+    band_build_s = round(time.perf_counter() - t0, 3)
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     times: dict[str, float] = {}
@@ -326,6 +351,8 @@ def main() -> None:
                     "ann_pq_index_build_s": pq_build_s,
                     "ann_pq_index_was_cached": pq_cached,
                     "ann_ivfpq_index_build_s": ivfpq_build_s,
+                    "band_index_build_s": band_build_s,
+                    "band_index_was_cached": band_cached,
                     "ann_ivfpq_index_was_cached": ivfpq_cached,
                     "ann_ivf_kmeans_recall_at3_by_nprobe": curve,
                     "ann_ivfpq_recall_at3_by_nprobe": ivfpq_curve,
