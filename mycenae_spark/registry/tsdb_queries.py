@@ -4100,3 +4100,94 @@ def downsample_cal_month(spark, sf_dir):
             "n",
         )
     )
+
+
+@q(
+    "stream_gaps_roundtrip",
+    """
+SELECT * FROM (VALUES
+  ('total_alerts',   CAST(2 AS BIGINT)),
+  ('s1_alerts',      CAST(1 AS BIGINT)),
+  ('s1_gap_s',       CAST(35940 AS BIGINT)),
+  ('s2_alerts',      CAST(0 AS BIGINT)),
+  ('s3_gap_s',       CAST(25200 AS BIGINT))
+) AS t(what, n)
+""",
+)
+def stream_gaps_roundtrip(spark, sf_dir):
+    """Streaming heartbeat alerting (``series_gaps``' stateful twin)
+    HASH-CHECKED over a REAL 3-micro-batch run: per-series state is ONE
+    long (newest ts seen) and each batch emits an alert per gap over the
+    6 h threshold.  Pins the three properties that make it stateful:
+
+    * the s1 alert's silent window SPANS a batch boundary (last point of
+      batch 1 → first point of batch 2, 9h59m) — a per-batch window can
+      never see it, only carried state can;
+    * a REPLAYED old point in batch 3 (s1's T+60s again, ≤ carried
+      last_ts) adds no alert — monotone state makes replay structurally
+      silent;
+    * s3's same-batch gap (7 h inside batch 3) alerts too — in-batch and
+      cross-batch walks share one kernel.
+
+    s2 reports hourly and stays silent.  Constant oracle; ``sf_dir``
+    unused — input synthesized, scale-invariant.  Kernel:
+    streaming/stateful.py::make_gap_fn."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from mycenae_spark.streaming.stateful import gap_stream
+
+    T = 1_704_067_200_000_000
+    S, H = 1_000_000, 3_600_000_000
+    batches = [
+        [("s1", T), ("s1", T + 60 * S), ("s2", T)],
+        [("s1", T + 10 * H), ("s2", T + 1 * H)],
+        [("s1", T + 10 * H + 60 * S), ("s1", T + 60 * S),  # replay
+         ("s2", T + 2 * H), ("s3", T), ("s3", T + 7 * H)],
+    ]
+    base = tempfile.mkdtemp(prefix="sgaps_")
+    sink = f"sgaps_{uuid.uuid4().hex[:8]}"
+    try:
+        src = os.path.join(base, "src")
+        os.makedirs(src)
+        for i, rows in enumerate(batches):
+            path = os.path.join(src, f"{chr(ord('a') + i)}.json")
+            with open(path, "w") as f:
+                f.write("\n".join(
+                    '{"series":"%s","ts_us":%d}' % r for r in rows
+                ))
+            os.utime(path, (1_700_000_000 + 10 * i,) * 2)
+        stream = (
+            spark.readStream.schema("series string, ts_us long")
+            .option("maxFilesPerTrigger", "1")
+            .json(src)
+            .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        )
+        (
+            gap_stream(stream, threshold_us=6 * H)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(180)
+        )
+        alerts = [r.asDict() for r in spark.table(sink).collect()]
+        by = {}
+        for a in alerts:
+            by.setdefault(a["series"], []).append(a)
+        flags = [
+            ("total_alerts", len(alerts)),
+            ("s1_alerts", len(by.get("s1", []))),
+            ("s1_gap_s", by["s1"][0]["gap_us"] // 1_000_000
+             if by.get("s1") else -1),
+            ("s2_alerts", len(by.get("s2", []))),
+            ("s3_gap_s", by["s3"][0]["gap_us"] // 1_000_000
+             if by.get("s3") else -1),
+        ]
+    finally:
+        spark.catalog.dropTempView(sink)
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(flags, "what string, n long")

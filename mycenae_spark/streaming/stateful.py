@@ -435,3 +435,80 @@ def funnel_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def gap_stream_schemas():
+    """(output, state) schemas for the streaming gap detector."""
+    out = StructType(
+        [StructField("series", StringType(), False),
+         StructField("gap_start_us", LongType(), False),
+         StructField("gap_end_us", LongType(), False),
+         StructField("gap_us", LongType(), False)]
+    )
+    state = StructType([StructField("last_ts", LongType(), True)])
+    return out, state
+
+
+def make_gap_fn(threshold_us: int):
+    """Per-series streaming gap detector — `series_gaps`' stateful twin:
+    state is ONE long per series (the newest timestamp seen), and each
+    micro-batch emits an alert row for every inter-point gap exceeding
+    ``threshold_us`` — including the gap SPANNING the batch boundary
+    (carried last_ts → first point of this batch), which is the entire
+    reason this is stateful: a per-batch window can never see it.
+
+    Semantics are observed-arrival monitoring: points are folded in
+    event-time order WITHIN a batch, and the carried state is the max
+    ts seen, so a late point older than the carried watermark cannot
+    retro-close an already-emitted alert — the batch twin
+    (``series_gaps``) is the exact reconciliation, same division of
+    labor as EWMA/KMV and their lake-side twins.  State ∝ #series × 8
+    bytes; one shuffle on the series key."""
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        last = state.get[0] if state.exists else None
+        starts, ends = [], []
+        ts_all = []
+        for pdf in pdfs:
+            ts_all.extend(int(t) for t in pdf["ts_us"] if not pd.isna(t))
+        for t in sorted(ts_all):
+            if last is not None and t - last > threshold_us:
+                starts.append(last)
+                ends.append(t)
+            if last is None or t > last:
+                last = t
+        state.update((last,))
+        if starts:
+            yield pd.DataFrame({
+                "series": [str(key[0])] * len(starts),
+                "gap_start_us": starts,
+                "gap_end_us": ends,
+                "gap_us": [e - s for s, e in zip(starts, ends)],
+            })
+
+    return fn
+
+
+def gap_stream(
+    points: DataFrame, threshold_us: int
+) -> DataFrame:
+    """Streaming heartbeat alerts per series: ``points`` needs
+    (series string, ts_us long) plus an event-time ``ts`` timestamp for
+    the watermark.  Emits one row per detected gap > ``threshold_us``."""
+    _register_by_value()
+
+    out_schema, state_schema = gap_stream_schemas()
+    return (
+        points.withWatermark("ts", "1 hour")
+        .groupBy("series")
+        .applyInPandasWithState(
+            make_gap_fn(threshold_us),
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

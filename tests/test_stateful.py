@@ -142,3 +142,30 @@ def test_funnel_fn_pruning_and_replay(spark):
     out3 = feed([("view", T - 3 * W)])
     assert out3["stage"] == 1 and out3["click_us"] == -1
     assert st._v[0] == [T - 3 * W] and st._v[1] == []
+
+
+def test_gap_fn_kernel():
+    """make_gap_fn unit semantics: cross-batch gap via carried state,
+    replayed/older points are silent, boundary (gap == threshold) does
+    NOT alert (strictly greater), multiple gaps in one batch all emit."""
+    from mycenae_spark.streaming.stateful import make_gap_fn
+    import pandas as pd
+
+    fn = make_gap_fn(10)
+    st = _FakeState()
+
+    def feed(ts):
+        out = list(fn(("s",), iter([pd.DataFrame({"ts_us": ts})]), st))
+        return out[0].to_dict("records") if out else []
+
+    assert feed([100, 105]) == []          # dense
+    assert st._v == (105,)
+    # boundary: exactly threshold is not a gap
+    assert feed([115]) == []
+    # cross-batch gap from carried 115
+    got = feed([200, 290])                 # 115->200 (85) and 200->290 (90)
+    assert [(g["gap_start_us"], g["gap_end_us"]) for g in got] == [
+        (115, 200), (200, 290)]
+    # replayed old point: no alert, state monotone
+    assert feed([100]) == []
+    assert st._v == (290,)
