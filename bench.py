@@ -133,6 +133,7 @@ HEADLINE = [
     "series_gaps",
     "downsample_cal_month",
     "downsample_sum_1w",
+    "ann_ivf_filtered_topk",
 ]
 
 

