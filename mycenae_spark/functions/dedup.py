@@ -1030,6 +1030,24 @@ def ensure_band_index(
         bands.withColumn("shard", _sig_shard("sig", n_shards)).write.partitionBy(
             "band", "shard"
         ).parquet(os.path.join(staging, "bands"))
+        # Persist the semantic build params beside the data: the probe
+        # validates against them, so a probe compiled with different
+        # n_shards/n_bands/ngram cannot silently miss every collision
+        # (the shard function would diverge and the equi-join would
+        # return all-keep verdicts with no error — review finding).
+        import json as _json
+
+        with open(os.path.join(staging, "_params.json"), "w") as fh:
+            _json.dump(
+                {
+                    "version": BAND_INDEX_VERSION,
+                    "n_bands": n_bands,
+                    "ngram": ngram,
+                    "n_shards": n_shards,
+                    "max_bucket_size": max_bucket_size,
+                },
+                fh,
+            )
     except BaseException:
         shutil.rmtree(staging, ignore_errors=True)
         raise
@@ -1062,11 +1080,31 @@ def probe_band_index(
     (plan-asserted: PartitionFilters on the bands scan).  A daily delta
     touching k of ``n_shards`` shards reads k/n_shards of the index —
     index READ cost follows the delta, not the corpus."""
+    import json as _json
     import os
 
     from mycenae_spark.functions.pq import _load_index
 
     (bands,) = _load_index(spark, index_dir, ("bands",))
+    # Probe/build parameter agreement is CORRECTNESS here (a shard or
+    # band mismatch silently yields zero collisions); the committed
+    # params file is the contract.  A pre-params index (none on disk)
+    # probes on trust, as before.
+    try:
+        with open(os.path.join(index_dir, "_params.json")) as fh:
+            params = _json.load(fh)
+    except FileNotFoundError:
+        params = None
+    if params is not None:
+        want = {"version": BAND_INDEX_VERSION, "n_bands": n_bands,
+                "ngram": ngram, "n_shards": n_shards}
+        have = {k: params.get(k) for k in want}
+        if have != want:
+            raise ValueError(
+                f"band index at {index_dir!r} was built with {have}, "
+                f"probe compiled with {want} — rebuild via "
+                "ensure_band_index or pass matching parameters"
+            )
     sigs = minhash_signatures(
         delta, id_col, text_col, n_bands=n_bands, ngram=ngram
     )

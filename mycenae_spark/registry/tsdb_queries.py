@@ -4016,26 +4016,16 @@ def series_gaps(spark, sf_dir):
     so Catalyst re-uses the sort) — at 100 TB this is exactly one
     shuffle of (series, ts) pairs, the same cost envelope as `rate`,
     and the output is #series rows.  Lag ordered by (ts_us, event_id)
-    so equal-timestamp points order identically on both engines."""
-    p = points(spark, sf_dir)
-    w = Window.partitionBy("metric", "tag_user").orderBy("ts_us", "event_id")
-    g = p.select(
-        "metric", "tag_user", "ts_us",
-        (F.col("ts_us") - F.lag("ts_us").over(w)).alias("gap"),
-    )
-    return g.groupBy("metric", "tag_user").agg(
-        F.count(F.lit(1)).alias("n_points"),
-        F.coalesce(F.max("gap"), F.lit(-1)).alias("max_gap_us"),
-        F.sum(
-            F.when(F.col("gap") > _GAP_US, 1).otherwise(0)
-        ).alias("n_large_gaps"),
-        F.when(
-            F.count(F.lit(1)) > 1,
-            F.floor(
-                (F.max("ts_us") - F.min("ts_us"))
-                / (F.count(F.lit(1)) - 1)
-            ),
-        ).otherwise(F.lit(-1)).cast("long").alias("mean_gap_us"),
+    so equal-timestamp points order identically on both engines.
+    Kernel: operators/gaps.py::series_gap_stats (the form
+    Engine.query_gaps serves)."""
+    from mycenae_spark.operators.gaps import series_gap_stats
+
+    return series_gap_stats(
+        points(spark, sf_dir),
+        ["metric", "tag_user"],
+        _GAP_US,
+        order_cols=["event_id"],
     )
 
 

@@ -213,21 +213,28 @@ class Engine:
             rollup_dir=self.rollup_dir,
             group=group,
         )
-        if not job.awaitTermination(timeout_s):
-            # Timeout with the query STILL RUNNING: returning normally
-            # here would tell the caller the topic is drained (and
-            # invalidate caches) while ingest continues in the
-            # background — and a retry on the same checkpoint would
-            # start a second query against the active one.  Stop the
-            # job and surface the truth; the checkpoint makes the
-            # retry exactly-once.
-            job.stop()
-            raise TimeoutError(
-                f"drain_bus: topic {topic_dir!r} not drained within "
-                f"{timeout_s}s; streaming job stopped — retry resumes "
-                "from the checkpoint"
-            )
-        self._tag_keys_cache = None  # drained batch may add tag keys
+        try:
+            if not job.awaitTermination(timeout_s):
+                # Timeout with the query STILL RUNNING: returning
+                # normally here would tell the caller the topic is
+                # drained while ingest continues in the background —
+                # and a retry on the same checkpoint would start a
+                # second query against the active one.  Stop the job
+                # and surface the truth; the checkpoint makes the
+                # retry exactly-once.
+                job.stop()
+                raise TimeoutError(
+                    f"drain_bus: topic {topic_dir!r} not drained within "
+                    f"{timeout_s}s; streaming job stopped — retry "
+                    "resumes from the checkpoint"
+                )
+        finally:
+            # Micro-batches that committed BEFORE a timeout already
+            # mutated the lake (each commits independently via the 2PC
+            # sink), so the tag-key cache must drop on EVERY exit path —
+            # a raise that skipped this served stale tag columns against
+            # data the engine had already committed (review finding).
+            self._tag_keys_cache = None
 
     # -- query ------------------------------------------------------------
 
@@ -825,6 +832,13 @@ class Engine:
         user_tag = str(body.get("user_tag", "user"))
         p, ucol = self._analytics_points(body, user_tag)
         per_user = funnel_stages(p, ucol, "metric", "ts_us", steps, window_us)
+        limit = body.get("limit")
+        want_sample = isinstance(limit, int) and limit > 0
+        if want_sample:
+            # Two consumers (stage histogram + bounded sample) — one
+            # materialization of the window-heavy per-user frame instead
+            # of re-running the whole plan per consumer (review finding).
+            per_user = per_user.localCheckpoint(eager=True)
         by_stage = {
             r["stage"]: r["n"]
             for r in per_user.groupBy("stage")
@@ -845,8 +859,7 @@ class Engine:
                 (r / reached[0]) if reached[0] else 0.0 for r in reached
             ],
         }
-        limit = body.get("limit")
-        if isinstance(limit, int) and limit > 0:
+        if want_sample:
             resp["sample"] = [
                 r.asDict()
                 for r in per_user.orderBy(
@@ -869,6 +882,8 @@ class Engine:
         from pyspark.sql import Window
         from mycenae_spark.schema import parse_interval_ms
 
+        from mycenae_spark.operators.gaps import series_gap_stats
+
         thr_us = parse_interval_ms(str(body.get("threshold", "6h"))) * 1000
         p = self._points()
         if body.get("metric"):
@@ -878,18 +893,7 @@ class Engine:
         if isinstance(body.get("end"), int):
             p = p.filter(F.col("ts_us") < body["end"] * 1000)
         keys = ["metric"] + [f"tag_{k}" for k in self._tag_keys()]
-        w = Window.partitionBy(*keys).orderBy("ts_us")
-        g = p.select(
-            *keys, "ts_us",
-            (F.col("ts_us") - F.lag("ts_us").over(w)).alias("gap"),
-        )
-        agg = g.groupBy(*keys).agg(
-            F.count(F.lit(1)).alias("n_points"),
-            F.coalesce(F.max("gap"), F.lit(-1)).alias("max_gap_us"),
-            F.sum(F.when(F.col("gap") > thr_us, 1).otherwise(0)).alias(
-                "n_large_gaps"
-            ),
-        )
+        agg = series_gap_stats(p, keys, thr_us)
         return [
             {
                 "metric": r["metric"],
@@ -899,6 +903,7 @@ class Engine:
                 "n_points": r["n_points"],
                 "max_gap_us": r["max_gap_us"],
                 "n_large_gaps": r["n_large_gaps"],
+                "mean_gap_us": r["mean_gap_us"],
             }
             for r in agg.collect()
         ]

@@ -398,15 +398,19 @@ def gc_topic(topic_dir: str, keep_segments: int = 2) -> int:
     ``_committed-<group>.json`` (even for group 'default'), so a
     pre-upgrade topic's un-namespaced ``_committed.json`` never advances
     again — left in the min it would freeze the GC line forever and leak
-    segments unboundedly.  Once ANY namespaced marker dominates it
-    (every partition offset ≥ the legacy's), the legacy marker is
-    retired: its consumer has provably been superseded, so it is deleted
-    and excluded from the min.  Until then it still holds the line — a
-    pre-upgrade consumer that has not yet committed under a group name
-    keeps its replay window."""
+    segments unboundedly.  The legacy marker is retired only when the
+    **default** group's namespaced marker dominates it (every partition
+    offset ≥ the legacy's): the un-namespaced marker was written by the
+    pre-group consumer, whose continuation after upgrade IS group
+    'default' — an unrelated group racing ahead (say a fresh analytics
+    consumer started from latest) says nothing about the legacy
+    consumer's progress and must NOT collapse its replay window (review
+    finding on the r10 fix).  Until then the legacy marker holds the
+    line."""
     keep_segments = max(1, keep_segments)
     legacy_path = os.path.join(topic_dir, "_committed.json")
-    legacy = None
+    default_path = _group_marker(topic_dir, "default")
+    legacy = default = None
     groups = []
     for marker in _group_markers(topic_dir):
         try:
@@ -418,10 +422,11 @@ def gc_topic(topic_dir: str, keep_segments: int = 2) -> int:
             legacy = data
         else:
             groups.append(data)
+            if marker == default_path:
+                default = data
     if legacy is not None:
-        superseded = any(
-            all(int(g.get(p, 0)) >= int(off) for p, off in legacy.items())
-            for g in groups
+        superseded = default is not None and all(
+            int(default.get(p, 0)) >= int(off) for p, off in legacy.items()
         )
         if superseded:
             try:

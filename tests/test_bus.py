@@ -262,6 +262,12 @@ def test_gc_topic_retires_superseded_legacy_marker(tmp_path):
         json.dump({"0": 2}, f)
     assert bus.gc_topic(topic, keep_segments=1) == 0
     assert os.path.exists(legacy)
+    # an UNRELATED group racing ahead says nothing about the legacy
+    # consumer's progress — it must not collapse the replay window
+    with open(os.path.join(topic, "_committed-analytics.json"), "w") as f:
+        json.dump({"0": 9}, f)
+    assert bus.gc_topic(topic, keep_segments=1) == 0
+    assert os.path.exists(legacy)
     # group advances past the legacy line: legacy is retired + GC runs
     with open(os.path.join(topic, "_committed-default.json"), "w") as f:
         json.dump({"0": 6}, f)

@@ -174,6 +174,17 @@ def test_band_index_build_probe_refresh(spark, index_root, tmp_path):
     assert out[100]["is_dup"] == 1 and out[100]["dup_of"] == 1
     assert out[101]["is_dup"] == 0
 
+    # a probe compiled with different banding params must refuse, not
+    # silently return all-keep verdicts (shard functions would diverge)
+    with pytest.raises(ValueError, match="was built with"):
+        dedup.probe_band_index(
+            spark, idx1, delta, "doc_id", "text", n_bands=8
+        )
+    with pytest.raises(ValueError, match="was built with"):
+        dedup.probe_band_index(
+            spark, idx1, delta, "doc_id", "text", n_bands=4, n_shards=32
+        )
+
     # torn build (marker removed) is refused by the probe
     os.remove(os.path.join(idx1, "_COMMITTED"))
     with pytest.raises(FileNotFoundError):

@@ -872,19 +872,32 @@ def test_rung_pinned_head_gate(spark, tmp_path_factory):
 
 def test_gaps_endpoint(server):
     """POST /api/query/gaps: per-series heartbeat report over the served
-    lake — a 2h-threshold scan of the funnel-test series must flag f3's
-    1-day silent window and report clean series with zero large gaps."""
+    lake — a 2h-threshold scan must flag g2's 1-day silent window and
+    report the single-point series with the -1 sentinels."""
+    DAY = 86_400_000
+    pts = [
+        {"metric": "hb.sig", "tags": {"ksid": "k1", "node": "g1"},
+         "timestamp": BASE_TS, "value": 1.0},
+        {"metric": "hb.sig", "tags": {"ksid": "k1", "node": "g2"},
+         "timestamp": BASE_TS, "value": 1.0},
+        {"metric": "hb.sig", "tags": {"ksid": "k1", "node": "g2"},
+         "timestamp": BASE_TS + DAY, "value": 1.0},
+    ]
+    code, resp = _req(server, "/api/put", pts)
+    assert code == 200 and resp["failed"] == 0
     code, rows = _req(
         server, "/keysets/k1/api/query/gaps",
-        {"metric": "view", "threshold": "2h"},
+        {"metric": "hb.sig", "threshold": "2h"},
     )
     assert code == 200
-    by_user = {r["tags"].get("user"): r for r in rows
-               if r["metric"] == "view"}
-    # f3 viewed at BASE_TS and BASE_TS+1d: one 24h gap over the threshold
-    assert by_user["f3"]["n_points"] == 2
-    assert by_user["f3"]["max_gap_us"] == 86_400_000 * 1000
-    assert by_user["f3"]["n_large_gaps"] == 1
-    # f1 viewed once: no interval exists
-    assert by_user["f1"]["n_points"] == 1
-    assert by_user["f1"]["max_gap_us"] == -1
+    by_node = {r["tags"].get("node"): r for r in rows
+               if r["metric"] == "hb.sig"}
+    # g2 reported at BASE_TS and BASE_TS+1d: one 24h gap over threshold
+    assert by_node["g2"]["n_points"] == 2
+    assert by_node["g2"]["max_gap_us"] == DAY * 1000
+    assert by_node["g2"]["n_large_gaps"] == 1
+    assert by_node["g2"]["mean_gap_us"] == DAY * 1000
+    # g1 reported once: no interval exists
+    assert by_node["g1"]["n_points"] == 1
+    assert by_node["g1"]["max_gap_us"] == -1
+    assert by_node["g1"]["mean_gap_us"] == -1
