@@ -134,6 +134,8 @@ HEADLINE = [
     "downsample_cal_month",
     "downsample_sum_1w",
     "ann_ivf_filtered_topk",
+    "series_correlation",
+    "text_bigram_logprob",
 ]
 
 

@@ -4181,3 +4181,72 @@ def stream_gaps_roundtrip(spark, sf_dir):
         spark.catalog.dropTempView(sink)
         shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(flags, "what string, n long")
+
+
+@q(
+    "series_correlation",
+    f"""
+WITH p AS ({SQL_POINTS}),
+b AS (
+  SELECT tag_user, metric, ts_us // 86400000000 AS day,
+         round6(avg(value)) AS v
+  FROM p WHERE metric IN ('click', 'view')
+  GROUP BY tag_user, metric, day
+),
+j AS (
+  SELECT a.tag_user, a.day, a.v AS x, c.v AS y
+  FROM (SELECT * FROM b WHERE metric = 'click') a
+  JOIN (SELECT * FROM b WHERE metric = 'view') c
+    ON c.tag_user = a.tag_user AND c.day = a.day
+)
+SELECT tag_user, count(*)::BIGINT AS n_days, round4(corr(x, y)) AS corr_r
+FROM j GROUP BY tag_user
+HAVING count(*) >= 3 AND stddev_samp(x) > 0 AND stddev_samp(y) > 0
+""",
+)
+def series_correlation(spark, sf_dir):
+    """Cross-metric correlation — the TSDB capacity/causality scan
+    ("does error rate track load?"): per user, Pearson correlation of
+    the daily-averaged `click` and `view` series over their ALIGNED
+    days.  Bucket averages are rounded to the 1e-6 grid BEFORE the
+    correlation so both engines correlate identical inputs; the
+    coefficient itself is rounded to 1e-4 (Spark's distributed `corr`
+    and DuckDB's sequential one reassociate float sums — sub-ulp noise,
+    collapsed by the grid).  Pairs need ≥ 3 aligned days and non-zero
+    spread on BOTH sides (a constant series has no defined correlation
+    — engines disagree on NaN vs NULL there, so the gate is part of the
+    operator's contract, not a convenience).
+
+    Plan: one (user, metric, day) hash agg over the scan, a self-join
+    on (user, day) — co-partitioned, AQE reuses the exchange — then a
+    #users-keyed corr agg.  At 100 TB nothing after the first agg
+    carries point volume; the downsample-then-align shape is exactly
+    how a production pairwise-correlation sweep stays tractable."""
+    p = points(spark, sf_dir).filter(F.col("metric").isin("click", "view"))
+    b = (
+        p.groupBy(
+            "tag_user", "metric",
+            F.expr("ts_us div 86400000000").alias("day"),
+        )
+        .agg(r6(F.avg("value")).alias("v"))
+    )
+    x = b.filter(F.col("metric") == "click").select(
+        "tag_user", "day", F.col("v").alias("x")
+    )
+    y = b.filter(F.col("metric") == "view").select(
+        "tag_user", "day", F.col("v").alias("y")
+    )
+    j = x.join(y, ["tag_user", "day"])
+    return (
+        j.groupBy("tag_user")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            r4(F.corr("x", "y")).alias("corr_r"),
+            F.stddev_samp("x").alias("_sx"),
+            F.stddev_samp("y").alias("_sy"),
+        )
+        .filter(
+            (F.col("n_days") >= 3) & (F.col("_sx") > 0) & (F.col("_sy") > 0)
+        )
+        .drop("_sx", "_sy")
+    )
