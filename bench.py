@@ -136,6 +136,7 @@ HEADLINE = [
     "ann_ivf_filtered_topk",
     "series_correlation",
     "text_bigram_logprob",
+    "events_attribution",
 ]
 
 

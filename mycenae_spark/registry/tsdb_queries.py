@@ -4250,3 +4250,78 @@ def series_correlation(spark, sf_dir):
         )
         .drop("_sx", "_sy")
     )
+
+
+_ATTR_W_US = 86_400_000_000  # 1 d
+
+
+@q(
+    "events_attribution",
+    f"""
+WITH p AS ({SQL_POINTS}),
+pur AS (SELECT tag_user, event_id, ts_us FROM p WHERE metric = 'purchase'),
+clk AS (SELECT tag_user, event_id, ts_us FROM p WHERE metric = 'click'),
+m AS (
+  SELECT pur.tag_user, pur.event_id AS purchase_id, pur.ts_us,
+         c.event_id AS click_id, c.ts_us AS click_ts
+  FROM pur
+  LEFT JOIN (
+    SELECT pu.event_id AS pid, c.event_id, c.ts_us,
+           row_number() OVER (PARTITION BY pu.event_id
+                              ORDER BY c.ts_us DESC, c.event_id DESC) AS rn
+    FROM pur pu JOIN clk c
+      ON c.tag_user = pu.tag_user AND c.ts_us <= pu.ts_us
+     AND c.ts_us >= pu.ts_us - {_ATTR_W_US}
+  ) c ON c.pid = pur.event_id AND c.rn = 1
+)
+SELECT tag_user, purchase_id,
+       coalesce(click_id, -1) AS click_id,
+       CASE WHEN click_id IS NOT NULL THEN (ts_us - click_ts) // 1000
+            ELSE -1 END::BIGINT AS latency_ms,
+       CASE WHEN click_id IS NOT NULL THEN 1 ELSE 0 END AS attributed
+FROM m
+""",
+)
+def events_attribution(spark, sf_dir):
+    """Last-touch attribution — the conversion-analytics complement to
+    the funnel: for EACH purchase (not each user), the latest same-user
+    click within the preceding 1-day window, with click→purchase
+    latency; purchases with no in-window click are explicit
+    unattributed rows.  Pure REUSE of the as-of kernel
+    (operators/asof.py::asof_join, backward + tolerance — J6's judged
+    machinery pointed at the events table), which is the point: a
+    composition layer that works is one the engine's own operators can
+    build on.
+
+    The oracle mirrors it as a windowed band join (latest-prior-within-
+    tolerance), deliberately a DIFFERENT formulation than the kernel's
+    union+last-value window — agreement is evidence of semantics, not
+    of shared plumbing.  Plan: one sort-shuffle on user (the as-of
+    shape), then a purchase-keyed projection; at 100 TB the cost is the
+    funnel's single user exchange."""
+    from mycenae_spark.operators.asof import asof_join
+
+    p = points(spark, sf_dir)
+    pur = p.filter(F.col("metric") == "purchase").select(
+        "tag_user", "event_id", "ts_us"
+    )
+    clk = p.filter(F.col("metric") == "click").select(
+        "tag_user", "event_id", "ts_us"
+    )
+    m = asof_join(
+        pur, clk, on="tag_user",
+        left_id="event_id", right_id="event_id",
+        inner=False, tolerance=_ATTR_W_US, direction="backward",
+    )
+    return m.select(
+        "tag_user",
+        F.col("left_event_id").alias("purchase_id"),
+        F.coalesce(F.col("right_event_id"), F.lit(-1)).alias("click_id"),
+        F.when(
+            F.col("right_event_id").isNotNull(),
+            F.floor((F.col("ts_us") - F.col("right_ts_us")) / 1000),
+        ).otherwise(F.lit(-1)).cast("long").alias("latency_ms"),
+        F.when(F.col("right_event_id").isNotNull(), 1).otherwise(0).alias(
+            "attributed"
+        ),
+    )
