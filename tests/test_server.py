@@ -901,3 +901,20 @@ def test_gaps_endpoint(server):
     assert by_node["g1"]["n_points"] == 1
     assert by_node["g1"]["max_gap_us"] == -1
     assert by_node["g1"]["mean_gap_us"] == -1
+
+
+def test_funnel_endpoint_bad_bodies(server):
+    """Malformed analytics bodies are 400s with actionable messages, not
+    empty results or 500 stack traces."""
+    code, err = _req(server, "/keysets/k1/api/query/funnel",
+                     {"window": "1d", "user_tag": "user"})
+    assert code == 400 and "steps" in err["error"]
+    code, err = _req(server, "/keysets/k1/api/query/funnel",
+                     {"steps": ["view"], "window": "1d"})
+    assert code == 400 and "steps" in err["error"]
+    code, err = _req(server, "/keysets/k1/api/query/funnel",
+                     {"steps": ["view", "click"], "window": "bogus"})
+    assert code == 400
+    code, err = _req(server, "/keysets/k1/api/query/gaps",
+                     {"threshold": "not-an-interval"})
+    assert code == 400
