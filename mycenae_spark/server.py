@@ -788,6 +788,49 @@ class Engine:
         q = parse_expression(exp, now_ms)
         return shape_response(plan(self._points(), q), q)
 
+    def _analytics_cached(self, kind: str, body: dict, compute):
+        """Generation-scoped result cache for the analytics verbs —
+        ``query()``'s memcached-tier discipline applied to funnel /
+        retention / gaps (dashboards poll these identically per refresh):
+        key = (verb, canonical body, commit-log head), so ANY write
+        advances the head and the next request misses into a fresh plan
+        — no invalidation calls.  The same purity gates carry over:
+        cache only under LOG-GATED reads (a checkpoint exists; reads pin
+        to the keyed head via ``_read_pin``, so a write landing
+        mid-request cannot leak newer rows into an answer cached under
+        the older generation) and never when any read degraded to a
+        directory fallback.  Analytics bodies need no time-pinning gate:
+        start/end are absolute epoch ints when present and their absence
+        means "whole lake" — both pure functions of the generation
+        (relative wall-clock times do not exist in these bodies)."""
+        import json as _json
+
+        from mycenae_spark.streaming import commitlog
+        from mycenae_spark.streaming import snapshot as snap
+
+        head = None
+        if snap.latest_checkpoint(self.lake_dir) is not None:
+            head = commitlog.latest_seq(self.lake_dir)
+        if head is None:
+            return compute()
+        key = (kind, _json.dumps(body, sort_keys=True), head)
+        with self._result_cache_lock:
+            hit = self._result_cache.get(key)
+        if hit is not None:
+            return copy.deepcopy(hit)  # served copies must not poison it
+        self._degraded_reads.flag = False
+        self._read_pin.as_of = head
+        try:
+            out = compute()
+        finally:
+            self._read_pin.as_of = None
+        if not getattr(self._degraded_reads, "flag", False):
+            with self._result_cache_lock:
+                self._result_cache[key] = copy.deepcopy(out)
+                while len(self._result_cache) > 256:  # bounded FIFO
+                    self._result_cache.pop(next(iter(self._result_cache)))
+        return out
+
     def _analytics_points(self, body: dict, user_tag: str):
         """Shared slice for the analytics verbs: the points frame,
         optionally [start, end)-filtered (epoch ms, the OpenTSDB body
@@ -821,7 +864,13 @@ class Engine:
         reached[k] / reached[0] — because at 100 TB the per-user frame
         is #users rows: the endpoint collapses it to #steps numbers on
         the cluster and only ships the (optional, bounded) user sample
-        to the driver."""
+        to the driver.  Responses are cached per commit-log generation
+        (``_analytics_cached``)."""
+        return self._analytics_cached(
+            "funnel", body, lambda: self._funnel_compute(body)
+        )
+
+    def _funnel_compute(self, body: dict) -> dict:
         from mycenae_spark.operators.funnel import funnel_stages
         from mycenae_spark.schema import parse_interval_ms
 
@@ -878,8 +927,13 @@ class Engine:
         threshold, and the integer mean inter-point interval (µs) — the
         "which series went quiet" operator question.  One exchange on
         the series key shared by the lag window and the aggregate;
-        output is #series rows, driver-safe at any scale."""
-        from pyspark.sql import Window
+        output is #series rows, driver-safe at any scale.  Responses
+        cached per commit-log generation (``_analytics_cached``)."""
+        return self._analytics_cached(
+            "gaps", body, lambda: self._gaps_compute(body)
+        )
+
+    def _gaps_compute(self, body: dict) -> list:
         from mycenae_spark.schema import parse_interval_ms
 
         from mycenae_spark.operators.gaps import series_gap_stats
@@ -918,7 +972,13 @@ class Engine:
         Returns the full matrix — #buckets² cells, driver-safe at any
         corpus size (a year at daily grain is ≤ 366² cells) — as
         ``cells: [{cohort, offset, n_active, cohort_size, rate}]`` with
-        cohort in epoch ms of the bucket start."""
+        cohort in epoch ms of the bucket start.  Responses cached per
+        commit-log generation (``_analytics_cached``)."""
+        return self._analytics_cached(
+            "retention", body, lambda: self._retention_compute(body)
+        )
+
+    def _retention_compute(self, body: dict) -> dict:
         from mycenae_spark.operators.funnel import retention_matrix
         from mycenae_spark.schema import parse_interval_ms
 

@@ -918,3 +918,53 @@ def test_funnel_endpoint_bad_bodies(server):
     code, err = _req(server, "/keysets/k1/api/query/gaps",
                      {"threshold": "not-an-interval"})
     assert code == 400
+
+
+def test_analytics_generation_cache(spark, tmp_path_factory, monkeypatch):
+    """Analytics responses cache per commit-log generation under query()'s
+    gates: a repeated funnel body recomputes nothing, any write advances
+    the head and the next request misses into a fresh plan, and without a
+    checkpoint (no log-gated reads) nothing is cached."""
+    from mycenae_spark.operators import funnel as funnel_mod
+    from mycenae_spark.server import Engine
+
+    d = tmp_path_factory.mktemp("anacache")
+    eng = Engine(spark, str(d / "lake"), str(d / "cat"))
+    evs = [
+        {"metric": m, "tags": {"ksid": "k1", "user": u},
+         "timestamp": BASE_TS + off, "value": 1.0}
+        for u, m, off in [("c1", "view", 0), ("c1", "click", 60_000)]
+    ]
+    eng.put(evs)
+
+    calls = {"n": 0}
+    real = funnel_mod.funnel_stages
+
+    def counted(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(funnel_mod, "funnel_stages", counted)
+    body = {"steps": ["view", "click"], "window": "1d", "user_tag": "user"}
+
+    # no checkpoint yet -> reads aren't log-gated -> no caching
+    assert eng.query_funnel(body)["reached"] == [1, 1]
+    assert eng.query_funnel(body)["reached"] == [1, 1]
+    assert calls["n"] == 2
+
+    eng.checkpoint()
+    first = eng.query_funnel(body)
+    assert eng.query_funnel(body) == first
+    assert calls["n"] == 3  # second served from the generation cache
+    # served copies must not poison the cached entry
+    hit = eng.query_funnel(body)
+    hit["reached"][0] = 999
+    assert eng.query_funnel(body)["reached"] == first["reached"]
+    assert calls["n"] == 3
+
+    # any write advances the head -> next request recomputes
+    eng.put([{"metric": "view", "tags": {"ksid": "k1", "user": "c2"},
+              "timestamp": BASE_TS, "value": 1.0}])
+    out = eng.query_funnel(body)
+    assert out["reached"] == [2, 1]
+    assert calls["n"] == 4
