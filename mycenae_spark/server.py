@@ -788,6 +788,25 @@ class Engine:
         q = parse_expression(exp, now_ms)
         return shape_response(plan(self._points(), q), q)
 
+    #: Recognized body fields + defaults per analytics verb — the cache
+    #: key's schema.  A field absent here is IGNORED by the verb's
+    #: compute, so it must not reach the key.
+    _ANALYTICS_FIELDS = {
+        "funnel": {"steps": None, "window": "1d", "user_tag": "user",
+                   "start": None, "end": None, "limit": None},
+        "retention": {"bucket": "1d", "user_tag": "user", "metric": None,
+                      "start": None, "end": None},
+        "gaps": {"metric": None, "threshold": "6h",
+                 "start": None, "end": None},
+    }
+
+    def _canonical_analytics(self, kind: str, body: dict) -> str:
+        """Defaults-resolved, order-normalized, unknown-field-free key
+        text for an analytics request body."""
+        spec = self._ANALYTICS_FIELDS[kind]
+        canon = {k: body.get(k, d) for k, d in spec.items()}
+        return json.dumps(canon, sort_keys=True)
+
     def _analytics_cached(self, kind: str, body: dict, compute):
         """Generation-scoped result cache for the analytics verbs —
         ``query()``'s memcached-tier discipline applied to funnel /
@@ -802,9 +821,13 @@ class Engine:
         directory fallback.  Analytics bodies need no time-pinning gate:
         start/end are absolute epoch ints when present and their absence
         means "whole lake" — both pure functions of the generation
-        (relative wall-clock times do not exist in these bodies)."""
-        import json as _json
+        (relative wall-clock times do not exist in these bodies).
 
+        Keys are CANONICALIZED per verb (defaults resolved, unknown body
+        fields dropped — ``_canonical_subquery``'s discipline): two
+        semantically identical requests share one entry, and a client
+        varying an ignored field per poll cannot churn the shared FIFO
+        (review finding)."""
         from mycenae_spark.streaming import commitlog
         from mycenae_spark.streaming import snapshot as snap
 
@@ -813,7 +836,7 @@ class Engine:
             head = commitlog.latest_seq(self.lake_dir)
         if head is None:
             return compute()
-        key = (kind, _json.dumps(body, sort_keys=True), head)
+        key = (kind, self._canonical_analytics(kind, body), head)
         with self._result_cache_lock:
             hit = self._result_cache.get(key)
         if hit is not None:

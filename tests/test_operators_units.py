@@ -405,3 +405,29 @@ def test_simhash_pairs_rejects_unguaranteed_distance(spark):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         simhash_hamming_pairs(docs, "doc_id", "text", n_segments=4, max_hamming=4)
+
+
+def test_asof_join_equal_ts_ties_deterministic(spark):
+    """Equal-(key, ts) right rows must resolve deterministically: backward
+    picks the MAX right id (the windowed-band oracle's ORDER BY ts DESC,
+    id DESC convention), forward the MIN — never shuffle-partitioning
+    luck (r11 review finding; latent until data carries such ties)."""
+    from mycenae_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("u", 100, 1)], "k string, ts_us long, lid long"
+    )
+    right = spark.createDataFrame(
+        [("u", 90, 7), ("u", 90, 3), ("u", 110, 12), ("u", 110, 9)],
+        "k string, ts_us long, rid long",
+    )
+    back = asof_join(
+        left.repartition(8), right.repartition(8), on="k",
+        left_id="lid", right_id="rid",
+    ).collect()
+    assert [(r["left_lid"], r["right_rid"]) for r in back] == [(1, 7)]
+    fwd = asof_join(
+        left.repartition(8), right.repartition(8), on="k",
+        left_id="lid", right_id="rid", direction="forward",
+    ).collect()
+    assert [(r["left_lid"], r["right_rid"]) for r in fwd] == [(1, 9)]

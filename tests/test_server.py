@@ -962,6 +962,13 @@ def test_analytics_generation_cache(spark, tmp_path_factory, monkeypatch):
     assert eng.query_funnel(body)["reached"] == first["reached"]
     assert calls["n"] == 3
 
+    # canonicalized keys: explicit defaults and unknown fields share the
+    # entry with the bare body — no recompute, no FIFO churn
+    assert eng.query_funnel(
+        {**body, "user_tag": "user", "ignored_field": 1}
+    ) == first
+    assert calls["n"] == 3
+
     # any write advances the head -> next request recomputes
     eng.put([{"metric": "view", "tags": {"ksid": "k1", "user": "c2"},
               "timestamp": BASE_TS, "value": 1.0}])
