@@ -137,6 +137,7 @@ HEADLINE = [
     "series_correlation",
     "text_bigram_logprob",
     "events_attribution",
+    "window_holt_backtest",
 ]
 
 

@@ -4325,3 +4325,97 @@ def events_attribution(spark, sf_dir):
             "attributed"
         ),
     )
+
+
+@q(
+    "window_holt_backtest",
+    f"""
+WITH ds AS (
+  SELECT metric, tag_user, {bucket_ms_sql(DAY_MS)} AS bucket_ms,
+         round4(avg(value)) AS v
+  FROM ({SQL_POINTS}) GROUP BY metric, tag_user, bucket_ms
+), s AS (
+  SELECT metric, tag_user, list(v ORDER BY bucket_ms) AS vs
+  FROM ds GROUP BY metric, tag_user
+), f AS (
+  SELECT metric, tag_user, len(vs)::BIGINT AS n,
+         list_reduce(
+           list_prepend(
+             [vs[1]::DOUBLE, (vs[2] - vs[1])::DOUBLE, 0.0::DOUBLE,
+              0.0::DOUBLE],
+             list_transform(vs[3:], x -> [x::DOUBLE, 0.0::DOUBLE,
+                                          0.0::DOUBLE, 0.0::DOUBLE])),
+           (acc, x) -> [0.5 * x[1] + 0.5 * (acc[1] + acc[2]),
+                        0.25 * x[1] - 0.25 * acc[1] + 0.75 * acc[2],
+                        acc[3] + abs(x[1] - (acc[1] + acc[2])),
+                        acc[4] + 1.0]
+         ) AS st
+  FROM s WHERE len(vs) >= 3
+)
+SELECT metric, tag_user, n, CAST(st[4] AS BIGINT) AS n_preds,
+       round6(st[3] / st[4]) AS mae_r,
+       round6(st[1] + st[2]) AS fcast1_r
+FROM f
+""",
+)
+def window_holt_backtest(spark, sf_dir):
+    """Rolling-origin BACKTEST of the Holt forecaster (`window_holt`'s
+    quality monitor — "how good were yesterday's forecasts?", the
+    operational question that decides whether a forecast-based alert is
+    trustworthy): at every step t ≥ 3 the model state BEFORE seeing x_t
+    issues the one-step-ahead forecast l+b, and the mean absolute error
+    of those live forecasts is the series' score, alongside the final
+    next-bucket forecast it contextualizes.
+
+    Exactness inherits `window_holt`'s dyadic-fold argument wholesale:
+    the accumulator widens to [l, b, Σ|err|, n_preds] and BOTH engines
+    run the IDENTICAL left fold over the identically ordered array —
+    the error sum accumulates in the same order, so the state is
+    bit-identical before the final rounding.  Same plan: one hash-agg
+    shuffle on the series key, per-series O(n) inside the aggregate,
+    no window crossing series.  n ≥ 3 buckets (the first prediction
+    needs the two-point init plus one holdout step)."""
+    p = points(spark, sf_dir).withColumn(
+        "bucket_ms", bucket_ms_long(F.col("ts_us"), DAY_MS)
+    )
+    ds = p.groupBy("metric", "tag_user", "bucket_ms").agg(
+        r4(F.avg("value")).alias("v")
+    )
+    s = (
+        ds.groupBy("metric", "tag_user")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("bucket_ms", "v"))),
+                lambda t: t["v"],
+            ).alias("vs")
+        )
+        .filter(F.size("vs") >= 3)
+    )
+    v1 = F.element_at("vs", 1).cast("double")
+    v2 = F.element_at("vs", 2).cast("double")
+    init = F.array(v1, v2 - v1, F.lit(0.0), F.lit(0.0))
+    rest = F.slice(
+        "vs", F.lit(3), F.greatest(F.size("vs") - 2, F.lit(0))
+    )
+
+    def step(acc, x):
+        l, b = F.element_at(acc, 1), F.element_at(acc, 2)
+        sae, k = F.element_at(acc, 3), F.element_at(acc, 4)
+        return F.array(
+            F.lit(0.5) * x + F.lit(0.5) * (l + b),
+            F.lit(0.25) * x - F.lit(0.25) * l + F.lit(0.75) * b,
+            sae + F.abs(x - (l + b)),
+            k + F.lit(1.0),
+        )
+
+    st = F.aggregate(rest, init, step)
+    l, b = F.element_at(st, 1), F.element_at(st, 2)
+    sae, k = F.element_at(st, 3), F.element_at(st, 4)
+    return s.select(
+        "metric",
+        "tag_user",
+        F.size("vs").cast("long").alias("n"),
+        k.cast("long").alias("n_preds"),
+        r6(sae / k).alias("mae_r"),
+        r6(l + b).alias("fcast1_r"),
+    )
