@@ -504,3 +504,33 @@ def test_filtered_topk_is_keyed_broadcast(spark):
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_attribution_is_single_asof_shuffle(spark):
+    """events_attribution's scale contract: the as-of composition keeps
+    ONE sort-shuffle on the user key — no range-join explosion, no
+    cartesian — and the purchase/click branches prune to their metric at
+    the scan."""
+    plan = _plan(spark, "events_attribution")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EqualTo(event_type,purchase)" in plan
+    assert "EqualTo(event_type,click)" in plan
+
+
+def test_holt_backtest_single_agg_shuffle(spark):
+    """window_holt_backtest folds inside the series aggregation: no
+    window function, no per-step shuffle — the same plan family as
+    window_holt."""
+    plan = _plan(spark, "window_holt_backtest")
+    assert "Window" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_bigram_lm_keyed_joins_only(spark):
+    """text_bigram_logprob's scale contract: scoring reaches the bigram
+    frame through keyed joins (broadcast or shuffled-hash per stats) —
+    never a nested-loop; the one cross join is the single-row totals
+    scalar."""
+    plan = _plan(spark, "text_bigram_logprob")
+    assert "CartesianProduct" not in plan
