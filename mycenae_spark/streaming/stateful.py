@@ -339,7 +339,8 @@ def _funnel_match(step_times: list[list[int]], window_us: int):
     return matched
 
 
-def make_funnel_fn(steps: list[str], window_us: int):
+def make_funnel_fn(steps: list[str], window_us: int,
+                   evict_after_ms: int | None = None):
     """Per-user streaming funnel kernel — the stateful twin of
     operators/funnel.py.  State is the per-step candidate-time SETS (not
     the matches): the funnel is a pure function of the union of events
@@ -353,8 +354,20 @@ def make_funnel_fn(steps: list[str], window_us: int):
     Bounded by pruning: the step-0 anchor is a running MIN, so each
     step-k window top (anchor + k·window) only ever moves DOWN — times
     above the current top can never match and are dropped each batch.
-    State is therefore ∝ step-relevant events inside the funnel horizon;
-    production adds GroupStateTimeout eviction for abandoned users."""
+    State is therefore ∝ step-relevant events inside the funnel horizon.
+
+    ``evict_after_ms`` (production grain): processing-time idleness
+    eviction — a user whose funnel saw no events for the duration has
+    abandoned it, and their candidate sets are dropped from the state
+    store (requires the stream to run with
+    ``GroupStateTimeout.ProcessingTimeTimeout``; ``funnel_stream``
+    wires it).  On the timeout invocation (no data, ``hasTimedOut``)
+    the kernel emits NOTHING — every batch already emitted the user's
+    current row, so eviction is silent state reclamation, not a new
+    answer; a user who returns later simply restarts their funnel.
+    Unit-pinned in tests/test_stateful.py (availableNow runs cannot
+    exercise wall-clock timeouts deterministically — the honest local
+    limit, same class as the listener at-most-once note)."""
     n = len(steps)
 
     def fn(
@@ -362,6 +375,9 @@ def make_funnel_fn(steps: list[str], window_us: int):
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        if getattr(state, "hasTimedOut", False):
+            state.remove()
+            return
         if state.exists:
             sets = [set(a or ()) for a in state.get]
         else:
@@ -407,6 +423,8 @@ def make_funnel_fn(steps: list[str], window_us: int):
             "stage": [stage],
             "latency_us": [latency],
         }
+        if evict_after_ms is not None:
+            state.setTimeoutDuration(evict_after_ms)
         yield pd.DataFrame(row)
 
     return fn
@@ -416,11 +434,14 @@ def funnel_stream(
     events: DataFrame,
     steps: list[str],
     window_us: int,
+    evict_after_ms: int | None = None,
 ) -> DataFrame:
     """Streaming funnel per user (the batch operator's stateful twin):
     ``events`` needs (user string, metric, ts_us long) plus an event-time
     ``ts`` timestamp for the watermark.  One shuffle on user; state store
-    entries ∝ #users × step-relevant events in the horizon."""
+    entries ∝ #users × step-relevant events in the horizon —
+    ``evict_after_ms`` bounds that by processing-time idleness too
+    (abandoned users reclaimed; see ``make_funnel_fn``)."""
     _register_by_value()
 
     out_schema, state_schema = funnel_stream_schemas(steps)
@@ -428,11 +449,15 @@ def funnel_stream(
         events.withWatermark("ts", "1 hour")
         .groupBy("user")
         .applyInPandasWithState(
-            make_funnel_fn(steps, window_us),
+            make_funnel_fn(steps, window_us, evict_after_ms=evict_after_ms),
             outputStructType=out_schema,
             stateStructType=state_schema,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if evict_after_ms is not None
+                else GroupStateTimeout.NoTimeout
+            ),
         )
     )
 

@@ -265,3 +265,43 @@ def test_gap_state_matches_batch_kernel_on_ordered_splits():
         assert run([ts]) == expected
 
     check()
+
+
+def test_funnel_fn_eviction_and_timeout_wiring(spark):
+    """Production-grain eviction: the timeout invocation silently removes
+    state (no spurious row), a data invocation re-arms the timeout, and a
+    returning user restarts cleanly after eviction."""
+    import pandas as pd
+
+    from mycenae_spark.streaming.stateful import make_funnel_fn
+
+    class _TimeoutState(_FakeState):
+        hasTimedOut = False
+
+        def __init__(self):
+            super().__init__()
+            self.timeout_set = []
+            self.removed = False
+
+        def setTimeoutDuration(self, ms):
+            self.timeout_set.append(ms)
+
+        def remove(self):
+            self._v = None
+            self.removed = True
+
+    fn = make_funnel_fn(["view", "click"], 10, evict_after_ms=60_000)
+    st = _TimeoutState()
+    pdf = pd.DataFrame({"metric": ["view"], "ts_us": [100]})
+    out = list(fn(("u",), iter([pdf]), st))
+    assert out and out[0].iloc[0]["stage"] == 1
+    assert st.timeout_set == [60_000]  # re-armed on every data batch
+
+    st.hasTimedOut = True
+    assert list(fn(("u",), iter([]), st)) == []  # silent reclamation
+    assert st.removed and not st.exists
+
+    st.hasTimedOut = False
+    out2 = list(fn(("u",), iter([pdf]), st))  # returning user restarts
+    assert out2 and out2[0].iloc[0]["stage"] == 1
+    assert st.timeout_set == [60_000, 60_000]
