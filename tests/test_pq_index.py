@@ -131,13 +131,16 @@ def test_band_index_build_probe_refresh(spark, index_root, tmp_path):
     from mycenae_spark.functions import dedup
 
     sf = tmp_path / "sfB"
+    boiler = "the same boilerplate text repeated everywhere forever"
     docs = spark.createDataFrame(
         [
             (1, "alpha beta gamma delta epsilon zeta"),
             (2, "alpha beta gamma delta epsilon zeta"),
             (3, "one two three four five six seven"),
+            (10, boiler), (11, boiler), (12, boiler),  # hot bucket (3 > 2)
             (100, "alpha beta gamma delta epsilon zeta"),
             (101, "totally different words here entirely now"),
+            (102, boiler),  # matches only the excised boilerplate bucket
         ],
         "doc_id long, text string",
     )
@@ -148,13 +151,13 @@ def test_band_index_build_probe_refresh(spark, index_root, tmp_path):
 
     idx1 = dedup.ensure_band_index(
         spark, str(sf), corpus, "doc_id", "text",
-        pred_desc="lt100", n_bands=4, max_bucket_size=64,
+        pred_desc="lt100", n_bands=4, max_bucket_size=2,
     )
     assert os.path.isfile(os.path.join(idx1, "_COMMITTED"))
     # reuse, not rebuild
     assert dedup.ensure_band_index(
         spark, str(sf), corpus, "doc_id", "text",
-        pred_desc="lt100", n_bands=4, max_bucket_size=64,
+        pred_desc="lt100", n_bands=4, max_bucket_size=2,
     ) == idx1
     out = {
         r["doc_id"]: r
@@ -165,7 +168,7 @@ def test_band_index_build_probe_refresh(spark, index_root, tmp_path):
     inline = {
         r["doc_id"]: r
         for r in dedup.incremental_minhash_verdicts(
-            corpus, delta, "doc_id", "text", n_bands=4, max_bucket_size=64
+            corpus, delta, "doc_id", "text", n_bands=4, max_bucket_size=2
         ).collect()
     }
     assert {k: tuple(v) for k, v in out.items()} == {
@@ -173,6 +176,9 @@ def test_band_index_build_probe_refresh(spark, index_root, tmp_path):
     }
     assert out[100]["is_dup"] == 1 and out[100]["dup_of"] == 1
     assert out[101]["is_dup"] == 0
+    # the build-time valve excised the boilerplate bucket from the
+    # materialized index: the boilerplate delta doc is a structural keep
+    assert out[102]["is_dup"] == 0 and out[102]["n_idx_matches"] == 0
 
     # a probe compiled with different banding params must refuse, not
     # silently return all-keep verdicts (shard functions would diverge)
@@ -192,13 +198,13 @@ def test_band_index_build_probe_refresh(spark, index_root, tmp_path):
     shutil.rmtree(idx1)
 
     # corpus regeneration mints a NEW directory (stat-based fingerprint)
-    fp1 = dedup.band_index_fingerprint(str(sf), "lt100", 4, 3, 64, 64)
+    fp1 = dedup.band_index_fingerprint(str(sf), "lt100", 4, 3, 2, 64)
     pfile = next(
         p for p in (sf / "documents.parquet").iterdir()
         if p.name.endswith(".parquet")
     )
     os.utime(pfile, (1, 1))
-    fp2 = dedup.band_index_fingerprint(str(sf), "lt100", 4, 3, 64, 64)
+    fp2 = dedup.band_index_fingerprint(str(sf), "lt100", 4, 3, 2, 64)
     assert fp2 != fp1
     # and parameter changes do too
-    assert dedup.band_index_fingerprint(str(sf), "lt100", 8, 3, 64, 64) != fp2
+    assert dedup.band_index_fingerprint(str(sf), "lt100", 8, 3, 2, 64) != fp2
