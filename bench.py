@@ -138,6 +138,7 @@ HEADLINE = [
     "text_bigram_logprob",
     "events_attribution",
     "window_holt_backtest",
+    "points_last",
 ]
 
 

@@ -4419,3 +4419,39 @@ def window_holt_backtest(spark, sf_dir):
         r6(sae / k).alias("mae_r"),
         r6(l + b).alias("fcast1_r"),
     )
+
+
+@q(
+    "points_last",
+    f"""
+WITH p AS ({SQL_POINTS})
+SELECT metric, tag_user,
+       max(ts_us)::BIGINT AS last_ts_us,
+       (max({{'t': ts_us, 'e': event_id, 'v': value}})).v AS last_value,
+       count(*)::BIGINT AS n_points
+FROM p GROUP BY metric, tag_user
+""",
+)
+def points_last(spark, sf_dir):
+    """The OpenTSDB ``/api/query/last`` shape — newest datapoint per
+    series, the "current value" read every dashboard header makes.  One
+    hash aggregation: ``max(ts_us)`` plus ``max_by(value, (ts_us,
+    event_id))`` — the value rides the SAME lexicographic argmax on both
+    engines, so equal-timestamp ties resolve deterministically by event
+    id instead of partitioning luck (DuckDB mirrors with a lexicographic
+    ``max`` over the (ts, id, value) struct — its arg_max takes no
+    composite ordering key).
+
+    Plan: a pure partial-aggregating groupBy — map-side combine carries
+    one (ts, id, value) triple per series per partition, output is
+    #series rows; at 100 TB this is the cheapest possible full-series
+    scan, and the production serving path short-circuits it further via
+    the catalog + time-partition pruning (read only the newest
+    partitions until every series answered — the engine endpoint's
+    docstring states the contract)."""
+    p = points(spark, sf_dir)
+    return p.groupBy("metric", "tag_user").agg(
+        F.max("ts_us").alias("last_ts_us"),
+        F.max_by("value", F.struct("ts_us", "event_id")).alias("last_value"),
+        F.count(F.lit(1)).alias("n_points"),
+    )

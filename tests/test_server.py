@@ -975,3 +975,17 @@ def test_analytics_generation_cache(spark, tmp_path_factory, monkeypatch):
     out = eng.query_funnel(body)
     assert out["reached"] == [2, 1]
     assert calls["n"] == 4
+
+
+def test_last_endpoint(server):
+    """POST /api/query/last: newest datapoint per series — the OpenTSDB
+    current-value read, over the heartbeat test's series."""
+    code, rows = _req(
+        server, "/keysets/k1/api/query/last", {"metric": "hb.sig"},
+    )
+    assert code == 200
+    by_node = {r["tags"].get("node"): r for r in rows
+               if r["metric"] == "hb.sig"}
+    assert by_node["g1"]["timestamp"] == BASE_TS
+    assert by_node["g2"]["timestamp"] == BASE_TS + 86_400_000
+    assert by_node["g2"]["value"] == 1.0
