@@ -875,7 +875,10 @@ def _ivf_search(spark, sf_dir, cent, nprobe: int = 4, k: int = 3,
         .distinct()
     )
     if match_col is not None:
-        qlab = e.select(
+        # query labels only — broadcasting (vec_id, label) of the WHOLE
+        # corpus would ship the very relation the plan exists to avoid
+        # shipping at 100 TB (r11 ADVICE); the ≤10 query rows suffice
+        qlab = e.filter(F.col("vec_id") < 10).select(
             F.col("vec_id").alias("q_id"), F.col(match_col).alias("_ql")
         )
         nlab = e.select(

@@ -3820,15 +3820,20 @@ def stream_funnel_roundtrip(spark, sf_dir):
                 .json(src)
                 .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
             )
-            (
+            job = (
                 funnel_stream(stream, steps, window_us=10 * S)
                 .writeStream.format("memory")
                 .queryName(sink)
                 .outputMode("append")
                 .trigger(availableNow=True)
                 .start()
-                .awaitTermination(180)
             )
+            if not job.awaitTermination(180):
+                # Reading the memory sink while the availableNow run is
+                # still going would judge a PARTIAL result as wrong counts
+                # instead of a clear timeout (r11 ADVICE — drain_bus class).
+                job.stop()
+                raise TimeoutError("stream_funnel: run not drained in 180s")
             return [r.asDict() for r in spark.table(sink).collect()]
         finally:
             spark.catalog.dropTempView(sink)
@@ -3953,6 +3958,7 @@ def analytics_endpoints_roundtrip(spark, sf_dir):
             })
         finally:
             httpd.shutdown()
+            httpd.server_close()  # release the listening fd (r11 ADVICE)
         cells = {c["offset"]: c for c in rr["cells"]}
         flags = [
             ("put_failed", put_resp["failed"]),
@@ -4069,7 +4075,10 @@ def downsample_cal_month(spark, sf_dir):
     m0 = F.trunc(
         F.date_add(
             F.lit(datetime.date(1970, 1, 1)),
-            (F.col("ts_us") / F.lit(86_400_000_000)).cast("int"),
+            # exact integer floor division (`div`), matching the oracle's
+            # `//` — a double division is safe at current epoch magnitudes
+            # but breaks the cross-engine exactness discipline (r11 ADVICE)
+            F.expr("ts_us div 86400000000").cast("int"),
         ),
         "month",
     )
@@ -4155,15 +4164,19 @@ def stream_gaps_roundtrip(spark, sf_dir):
             .json(src)
             .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
         )
-        (
+        job = (
             gap_stream(stream, threshold_us=6 * H)
             .writeStream.format("memory")
             .queryName(sink)
             .outputMode("append")
             .trigger(availableNow=True)
             .start()
-            .awaitTermination(180)
         )
+        if not job.awaitTermination(180):
+            # partial-sink-read guard, same contract as drain_bus /
+            # stream_funnel_roundtrip (r11 ADVICE)
+            job.stop()
+            raise TimeoutError("stream_gaps: run not drained in 180s")
         alerts = [r.asDict() for r in spark.table(sink).collect()]
         by = {}
         for a in alerts:
