@@ -138,3 +138,51 @@ def asof_join(
     if inner:
         out = out.filter(F.col(f"right_{right_id}").isNotNull())
     return out
+
+
+def attribution_join(
+    conversions: DataFrame,
+    touches: DataFrame,
+    on: str,
+    window_us: int,
+    mode: str = "last",
+    ts_col: str = "ts_us",
+    conv_id: str = "event_id",
+    touch_id: str = "event_id",
+) -> DataFrame:
+    """Single-touch attribution as a PARAMETER MODE of the as-of kernel
+    (SURVEY §2.10; the funnel family's conversion-credit complement):
+    match each conversion to ONE same-key touch inside the preceding
+    ``window_us``.
+
+    * ``mode="last"`` — the latest in-window touch: a backward as-of
+      with the window as tolerance (``events_attribution``'s judged
+      shape).
+    * ``mode="first"`` — the EARLIEST in-window touch: shift every
+      conversion's timestamp back by the window and run the MIRRORED
+      (forward) as-of with the same tolerance — the smallest touch ts
+      ≥ (ts − window) that is also ≤ ts.  Same single sort-shuffle on
+      the key; no second plan shape, no range join.
+
+    Both modes resolve equal-ts ties deterministically (backward → max
+    touch id, forward → min — the kernel's ``_rid`` sort key), keep
+    unmatched conversions as explicit null rows, and return the
+    conversion's ORIGINAL timestamp in ``ts_col`` (the first-touch
+    shift is undone on the way out)."""
+    if mode == "last":
+        return asof_join(
+            conversions, touches, on=on, ts_col=ts_col,
+            left_id=conv_id, right_id=touch_id,
+            inner=False, tolerance=window_us, direction="backward",
+        )
+    if mode == "first":
+        shifted = conversions.withColumn(
+            ts_col, F.col(ts_col) - F.lit(window_us)
+        )
+        m = asof_join(
+            shifted, touches, on=on, ts_col=ts_col,
+            left_id=conv_id, right_id=touch_id,
+            inner=False, tolerance=window_us, direction="forward",
+        )
+        return m.withColumn(ts_col, F.col(ts_col) + F.lit(window_us))
+    raise ValueError(f"attribution_join: unknown mode {mode!r}")

@@ -11,10 +11,15 @@ already speaks, backed by the Parquet lake + planner:
   (body: steps/window/user_tag/start/end/limit → per-stage reach + rates)
 * ``POST /keysets/{ks}/api/query/retention`` — cohort retention matrix
   (body: bucket/user_tag/metric/start/end → cells)
+* ``POST /keysets/{ks}/api/query/attribution`` — first/last-touch
+  conversion attribution (body: conversion/touch/mode/window/user_tag/
+  start/end/limit → rate + latency summary)
 * ``POST /keysets/{ks}/api/query/gaps``      — per-series heartbeat/gap
-  report (body: metric/threshold/start/end → series rows)
+  report (body: metric/threshold/start/end/limit/after_key → series rows;
+  ``limit`` + the returned ``key`` cursor page keyset-style)
 * ``POST /keysets/{ks}/api/query/last``      — newest datapoint per
-  series (body: metric/back_scan — OpenTSDB's last-value endpoint)
+  series (body: metric/back_scan/limit/after_key — OpenTSDB's last-value
+  endpoint, same pagination contract as gaps)
 * ``POST /api/expression/check``        — validate an expression
 * ``GET  /api/suggest?type=metrics&q=p&max=N`` (``type=tagv`` takes ``tagk=``)
 * ``GET  /api/aggregators`` / ``GET /api/config/filters``
@@ -75,11 +80,21 @@ class Engine:
         rollup_dir: str | None = None,
         ladder: dict[int, str] | None = None,
         qsample_ladder: dict[int, str] | None = None,
+        max_series: int | None = None,
     ):
         self.spark = spark
         self.lake_dir = lake_dir
         self.catalog_dir = catalog_dir
         self.rollup_dir = rollup_dir
+        #: MaxTimeseries (SURVEY §2.3 L2): the reference REJECTS a query
+        #: whose filters resolve to more series than this, rather than
+        #: computing or truncating it — the guard that keeps one
+        #: dashboard typo (e.g. a bare wildcard) from scanning the whole
+        #: lake.  ``None`` = unlimited.  Enforced pre-flight against the
+        #: CATALOG (#series rows — the analogue of the reference
+        #: resolving filters in its metadata index before touching
+        #: storage) by :meth:`_guard_series_cap`.
+        self.max_series = max_series
         #: Quantile-sample rungs (interval_ms → dir, streaming/rollup.py::
         #: backfill_qsample / cascade_qsample).  Percentile (pNN)
         #: downsamples route onto these — exact when a bucket holds ≤ k
@@ -484,6 +499,9 @@ class Engine:
                     out.extend(copy.deepcopy(hit))
                     self._note_route("cache")
                     continue
+            # MaxTimeseries reject BEFORE any lake work (L2): cache
+            # misses only — a hit was computed under the cap already.
+            self._guard_series_cap(metric=q.metric, filters=q.filters)
             if not frames_built:
                 pts, rollup = self._build_frames()
                 frames_built = True
@@ -798,9 +816,14 @@ class Engine:
                    "start": None, "end": None, "limit": None},
         "retention": {"bucket": "1d", "user_tag": "user", "metric": None,
                       "start": None, "end": None},
+        "attribution": {"conversion": None, "touch": None, "mode": "last",
+                        "window": "1d", "user_tag": "user",
+                        "start": None, "end": None, "limit": None},
         "gaps": {"metric": None, "threshold": "6h",
-                 "start": None, "end": None},
-        "last": {"metric": None, "back_scan": None},
+                 "start": None, "end": None,
+                 "limit": None, "after_key": None},
+        "last": {"metric": None, "back_scan": None,
+                 "limit": None, "after_key": None},
     }
 
     def _canonical_analytics(self, kind: str, body: dict) -> str:
@@ -857,6 +880,53 @@ class Engine:
                     self._result_cache.pop(next(iter(self._result_cache)))
         return out
 
+    def _guard_series_cap(
+        self,
+        metric: str | None = None,
+        filters=(),
+        metrics=None,
+        require_tag: str | None = None,
+    ) -> int | None:
+        """MaxTimeseries pre-flight (SURVEY §2.3 L2; upstream rejects a
+        query resolving more series than the keyset's cap): count the
+        series the request's metric + tag filters resolve to IN THE
+        CATALOG — #series rows, the reference's resolve-in-Solr-first
+        step, never a lake scan — and raise when over ``self.max_series``
+        (the HTTP edge maps it to a 400).  No-op without a configured
+        cap.  Runs on result-cache MISSES only (a cached answer already
+        passed on compute), so the added cost is one count over the
+        catalog per fresh plan — and rejection happens BEFORE the lake
+        is touched, which is the entire point at 100 TB.
+
+        ``metric``/``metrics``: restrict to one metric / a metric set
+        (funnel steps).  ``filters``: the subquery's TagFilters, applied
+        to the catalog's tags map exactly as the planner applies them to
+        points.  ``require_tag``: only series carrying this tag key
+        (the analytics verbs' user-tag slice)."""
+        if self.max_series is None:
+            return None
+        from mycenae_spark.catalog import series_cap_guard
+        from mycenae_spark.operators import filters as flt
+
+        cat = self._read_catalog()
+        if metrics is not None:
+            cat = cat.filter(F.col("metric").isin(list(metrics)))
+        elif metric is not None:
+            cat = cat.filter(F.col("metric") == metric)
+        if require_tag is not None:
+            cat = cat.filter(F.col("tags").getItem(require_tag).isNotNull())
+        for f in filters:
+            cat = cat.filter(
+                flt.build_tag_filter(
+                    F.col("tags").getItem(f.tagk).cast("string"),
+                    f.type,
+                    f.filter,
+                )
+            )
+        return series_cap_guard(
+            cat.select("tsid").dropDuplicates(["tsid"]), self.max_series
+        )
+
     def _analytics_points(self, body: dict, user_tag: str):
         """Shared slice for the analytics verbs: the points frame,
         optionally [start, end)-filtered (epoch ms, the OpenTSDB body
@@ -905,6 +975,8 @@ class Engine:
             raise ValueError("funnel needs 'steps': [metric, metric, ...]")
         window_us = parse_interval_ms(str(body.get("window", "1d"))) * 1000
         user_tag = str(body.get("user_tag", "user"))
+        # the funnel's work is bounded by the series its steps resolve to
+        self._guard_series_cap(metrics=steps, require_tag=user_tag)
         p, ucol = self._analytics_points(body, user_tag)
         per_user = funnel_stages(p, ucol, "metric", "ts_us", steps, window_us)
         limit = body.get("limit")
@@ -943,6 +1015,91 @@ class Engine:
             ]
         return resp
 
+    def query_attribution(self, body: dict) -> dict:
+        """``POST /keysets/{ks}/api/query/attribution`` — the served form
+        of ``operators/asof.py::attribution_join`` (judged as
+        ``events_attribution`` / ``events_attribution_first``).  Body:
+        ``conversion`` + ``touch`` (metric names), ``mode`` ("last"
+        default | "first"), ``window`` (default "1d"), optional
+        ``user_tag``/``start``/``end``, ``limit`` (bounded slowest-
+        conversion sample).  The response is the cluster-side collapse —
+        conversion count, attributed count, rate, mean latency — one
+        driver row at any corpus size; only the optional bounded sample
+        ships per-conversion rows.  Cached per commit-log generation."""
+        return self._analytics_cached(
+            "attribution", body, lambda: self._attribution_compute(body)
+        )
+
+    def _attribution_compute(self, body: dict) -> dict:
+        from mycenae_spark.operators.asof import attribution_join
+        from mycenae_spark.schema import parse_interval_ms
+
+        conv = body.get("conversion")
+        touch = body.get("touch")
+        if not conv or not touch:
+            raise ValueError(
+                "attribution needs 'conversion' and 'touch' metric names"
+            )
+        mode = str(body.get("mode", "last"))
+        if mode not in ("last", "first"):
+            raise ValueError(f"attribution mode must be last|first: {mode!r}")
+        window_us = parse_interval_ms(str(body.get("window", "1d"))) * 1000
+        user_tag = str(body.get("user_tag", "user"))
+        self._guard_series_cap(metrics=[conv, touch], require_tag=user_tag)
+        p, ucol = self._analytics_points(body, user_tag)
+        # the serving frame carries no event id; the timestamp is the
+        # deterministic tiebreak id (equal-ts ties pin by ts trivially)
+        pur = p.filter(F.col("metric") == str(conv)).select(
+            F.col(ucol), "ts_us", F.col("ts_us").alias("_id")
+        )
+        clk = p.filter(F.col("metric") == str(touch)).select(
+            F.col(ucol), "ts_us", F.col("ts_us").alias("_id")
+        )
+        m = attribution_join(
+            pur, clk, on=ucol, window_us=window_us, mode=mode,
+            conv_id="_id", touch_id="_id",
+        ).select(
+            F.col(ucol).alias("user_id"),
+            F.expr("ts_us div 1000").alias("conversion_ms"),
+            F.col("right__id").isNotNull().alias("_hit"),
+            F.when(
+                F.col("right__id").isNotNull(),
+                (F.col("ts_us") - F.col("right_ts_us")) / 1000,
+            ).alias("_lat_ms"),
+        )
+        limit = body.get("limit")
+        want_sample = isinstance(limit, int) and limit > 0
+        if want_sample:
+            m = m.localCheckpoint(eager=True)  # two consumers, one plan
+        row = m.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("_hit").cast("long")).alias("hits"),
+            F.avg("_lat_ms").alias("lat"),
+        ).collect()[0]
+        n, hits = row["n"], row["hits"] or 0
+        resp = {
+            "mode": mode,
+            "window_us": window_us,
+            "conversions": n,
+            "attributed": hits,
+            "rate": (hits / n) if n else 0.0,
+            "mean_latency_ms": row["lat"],
+        }
+        if want_sample:
+            resp["sample"] = [
+                r.asDict()
+                for r in m.select(
+                    "user_id", "conversion_ms",
+                    F.col("_hit").alias("attributed"),
+                    F.col("_lat_ms").alias("latency_ms"),
+                )
+                .orderBy(F.desc_nulls_last("_lat_ms"), "user_id",
+                         "conversion_ms")
+                .limit(limit)
+                .collect()
+            ]
+        return resp
+
     def query_gaps(self, body: dict) -> list:
         """``POST /keysets/{ks}/api/query/gaps`` — heartbeat monitoring
         over the served lake (the registry's ``series_gaps`` shape, on
@@ -959,12 +1116,51 @@ class Engine:
             "gaps", body, lambda: self._gaps_compute(body)
         )
 
+    @staticmethod
+    def _series_page(agg: DataFrame, keys: list[str], body: dict):
+        """Keyset pagination for the per-series analytics verbs
+        (gaps/last — one output row per series, unbounded catalogs):
+        ``limit`` bounds the page, ``after_key`` continues strictly after
+        the cursor.  The cursor is a canonical series-identity string
+        (metric + tag values, unit-separated) emitted on every row as
+        ``key`` — clients page with the last row's ``key`` verbatim.
+        The continuation is a pushed filter + TakeOrderedAndProject
+        (per-partition top-K on the key): page N costs page 1 at any
+        catalog size — ``meta_page_after``'s discipline (catalog.py).
+        Returns (paged frame, page active?)."""
+        agg = agg.withColumn(
+            "_key",
+            F.concat_ws(
+                "\x1f",
+                *[
+                    F.coalesce(F.col(k).cast("string"), F.lit(""))
+                    for k in keys
+                ],
+            ),
+        )
+        limit = body.get("limit")
+        paged = isinstance(limit, int) and limit > 0
+        if body.get("after_key") is not None:
+            agg = agg.filter(F.col("_key") > str(body["after_key"]))
+        if paged:
+            agg = agg.orderBy("_key").limit(limit)
+        return agg, paged
+
     def _gaps_compute(self, body: dict) -> list:
         from mycenae_spark.schema import parse_interval_ms
 
         from mycenae_spark.operators.gaps import series_gap_stats
 
         thr_us = parse_interval_ms(str(body.get("threshold", "6h"))) * 1000
+        limit = body.get("limit")
+        if not (isinstance(limit, int) and limit > 0):
+            # Unbounded collect (one row per series): subject to the
+            # MaxTimeseries reject.  A bounded page is ≤ limit rows by
+            # construction, so pagination is the sanctioned way to walk
+            # an over-cap catalog (VERDICT r11 item 1).
+            self._guard_series_cap(
+                metric=str(body["metric"]) if body.get("metric") else None
+            )
         p = self._points()
         if body.get("metric"):
             p = p.filter(F.col("metric") == str(body["metric"]))
@@ -973,13 +1169,14 @@ class Engine:
         if isinstance(body.get("end"), int):
             p = p.filter(F.col("ts_us") < body["end"] * 1000)
         keys = ["metric"] + [f"tag_{k}" for k in self._tag_keys()]
-        agg = series_gap_stats(p, keys, thr_us)
+        agg, _ = self._series_page(series_gap_stats(p, keys, thr_us), keys, body)
         return [
             {
                 "metric": r["metric"],
                 "tags": {
                     k[4:]: r[k] for k in keys[1:] if r[k] is not None
                 },
+                "key": r["_key"],
                 "n_points": r["n_points"],
                 "max_gap_us": r["max_gap_us"],
                 "n_large_gaps": r["n_large_gaps"],
@@ -1011,6 +1208,12 @@ class Engine:
     def _last_compute(self, body: dict) -> list:
         import time as _time
 
+        limit = body.get("limit")
+        if not (isinstance(limit, int) and limit > 0):
+            # same guard-or-paginate contract as _gaps_compute
+            self._guard_series_cap(
+                metric=str(body["metric"]) if body.get("metric") else None
+            )
         p = self._points()
         if body.get("metric"):
             p = p.filter(F.col("metric") == str(body["metric"]))
@@ -1026,10 +1229,12 @@ class Engine:
             # order beats partitioning luck
             F.max_by("value", F.struct("ts_us", "value")).alias("_v"),
         )
+        agg, _ = self._series_page(agg, keys, body)
         return [
             {
                 "metric": r["metric"],
                 "tags": {k[4:]: r[k] for k in keys[1:] if r[k] is not None},
+                "key": r["_key"],
                 "timestamp": r["_ts"] // 1000,
                 "value": r["_v"],
             }
@@ -1058,6 +1263,10 @@ class Engine:
 
         bucket_ms = parse_interval_ms(str(body.get("bucket", "1d")))
         user_tag = str(body.get("user_tag", "user"))
+        self._guard_series_cap(
+            metric=str(body["metric"]) if body.get("metric") else None,
+            require_tag=user_tag,
+        )
         p, ucol = self._analytics_points(body, user_tag)
         if body.get("metric"):
             p = p.filter(F.col("metric") == str(body["metric"]))
@@ -1255,6 +1464,10 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._send(
                     200, self.engine.query_retention(self._body())
                 )
+            if re.match(r"^/keysets/[^/]+/api/query/attribution$", u.path):
+                return self._send(
+                    200, self.engine.query_attribution(self._body())
+                )
             if re.match(r"^/keysets/[^/]+/api/query/gaps$", u.path):
                 return self._send(200, self.engine.query_gaps(self._body()))
             if re.match(r"^/keysets/[^/]+/api/query/last$", u.path):
@@ -1320,6 +1533,7 @@ def serve(
     port: int = 0,
     rollup_dir: str | None = None,
     ladder: dict[int, str] | None = None,
+    max_series: int | None = None,
 ) -> tuple[ThreadingHTTPServer, Thread]:
     """Start the façade on ``port`` (0 = ephemeral); returns (server, thread).
 
@@ -1327,12 +1541,14 @@ def serve(
     and queries route eligible downsamples onto it (plans/tsdb.py).
     ``ladder`` (interval_ms → cascaded rung dir, streaming/rollup.py)
     additionally routes coarse downsamples onto materialized rungs when
-    current — refresh with ``refresh_ladder`` on a maintenance cadence."""
+    current — refresh with ``refresh_ladder`` on a maintenance cadence.
+    ``max_series`` = the keyset's MaxTimeseries: queries resolving more
+    series are rejected with a 400 pre-flight (Engine._guard_series_cap)."""
     handler = type(
         "BoundHandler",
         (_Handler,),
         {"engine": Engine(spark, lake_dir, catalog_dir, rollup_dir=rollup_dir,
-                          ladder=ladder)},
+                          ladder=ladder, max_series=max_series)},
     )
     httpd = ThreadingHTTPServer(("127.0.0.1", port), handler)
     thread = Thread(target=httpd.serve_forever, daemon=True)

@@ -989,3 +989,120 @@ def test_last_endpoint(server):
     assert by_node["g1"]["timestamp"] == BASE_TS
     assert by_node["g2"]["timestamp"] == BASE_TS + 86_400_000
     assert by_node["g2"]["value"] == 1.0
+
+def test_series_cap_and_pagination(spark, tmp_path_factory):
+    """MaxTimeseries (SURVEY §2.3 L2) wired into the served engine
+    (VERDICT r11 item 1): a query / unbounded gaps / unbounded last
+    resolving MORE series than the cap is REJECTED pre-flight (400 —
+    the reference rejects rather than truncates), an under-cap request
+    answers, and a ``limit``-bounded gaps/last request pages an
+    over-cap catalog keyset-style via the returned ``key`` cursor with
+    no row lost or repeated."""
+    d = tmp_path_factory.mktemp("caplake")
+    httpd, _ = serve(spark, str(d / "lake"), str(d / "catalog"),
+                     max_series=3)
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        pts = [
+            {"metric": "m.big", "tags": {"ksid": "k1", "u": f"u{i}"},
+             "timestamp": BASE_TS + i, "value": float(i)}
+            for i in range(5)
+        ] + [
+            {"metric": "m.small", "tags": {"ksid": "k1", "u": f"u{i}"},
+             "timestamp": BASE_TS, "value": 1.0}
+            for i in range(2)
+        ]
+        code, resp = _req(base, "/api/put", pts)
+        assert code == 200 and resp["failed"] == 0
+
+        q = {"start": BASE_TS - 1000, "end": BASE_TS + 60_000,
+             "queries": [{"metric": "m.big", "aggregator": "sum"}]}
+        code, err = _req(base, "/keysets/k1/api/query", q)
+        assert code == 400 and "MaxTimeseries" in err["error"]
+
+        # a tag filter narrowing below the cap answers
+        q["queries"][0]["filters"] = [
+            {"tagk": "u", "type": "literal_or", "filter": "u0|u1"}]
+        code, out = _req(base, "/keysets/k1/api/query", q)
+        assert code == 200 and len(out) == 1
+
+        # under-cap metric answers
+        q2 = {"start": BASE_TS - 1000, "end": BASE_TS + 60_000,
+              "queries": [{"metric": "m.small", "aggregator": "sum"}]}
+        code, out = _req(base, "/keysets/k1/api/query", q2)
+        assert code == 200 and len(out) == 1
+
+        # unbounded gaps/last over 7 series (cap 3): rejected
+        code, err = _req(base, "/keysets/k1/api/query/gaps", {})
+        assert code == 400 and "MaxTimeseries" in err["error"]
+        code, err = _req(base, "/keysets/k1/api/query/last", {})
+        assert code == 400 and "MaxTimeseries" in err["error"]
+
+        # bounded pages walk the whole over-cap catalog exactly once
+        seen, after, pages = [], None, 0
+        while True:
+            body = {"limit": 3}
+            if after is not None:
+                body["after_key"] = after
+            code, rows = _req(base, "/keysets/k1/api/query/last", body)
+            assert code == 200 and len(rows) <= 3
+            if not rows:
+                break
+            assert [r["key"] for r in rows] == sorted(r["key"] for r in rows)
+            seen.extend(r["key"] for r in rows)
+            after = rows[-1]["key"]
+            pages += 1
+            assert pages <= 5
+        assert len(seen) == 7 and len(set(seen)) == 7
+
+        # gaps pages too, and a metric-filtered page restricts
+        code, rows = _req(base, "/keysets/k1/api/query/gaps",
+                          {"metric": "m.big", "limit": 2})
+        assert code == 200 and len(rows) == 2
+        code, rows2 = _req(base, "/keysets/k1/api/query/gaps",
+                           {"metric": "m.big", "limit": 9,
+                            "after_key": rows[-1]["key"]})
+        assert code == 200 and len(rows2) == 3
+        assert not {r["key"] for r in rows} & {r["key"] for r in rows2}
+
+        # funnel/retention pre-flight the cap on their resolved series
+        code, err = _req(base, "/keysets/k1/api/query/funnel",
+                         {"steps": ["m.big", "m.small"], "window": "1d",
+                          "user_tag": "u"})
+        assert code == 400 and "MaxTimeseries" in err["error"]
+        code, out = _req(base, "/keysets/k1/api/query/retention",
+                         {"metric": "m.small", "user_tag": "u"})
+        assert code == 200
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+def test_attribution_endpoint(server):
+    """POST /api/query/attribution: first/last-touch conversion credit
+    over the funnel test's events — f1's purchase attributes to its
+    click (last) and to its view... no: touch metric is explicit, so
+    mode=last picks f1's click at +1h and mode=first the same single
+    click; f2's purchase at day 3 has no click inside its 1d window."""
+    body = {"conversion": "purchase", "touch": "click", "window": "1d",
+            "user_tag": "user", "mode": "last", "limit": 5}
+    code, out = _req(server, "/keysets/k1/api/query/attribution", body)
+    assert code == 200
+    assert out["conversions"] == 2 and out["attributed"] == 1
+    assert abs(out["rate"] - 0.5) < 1e-9
+    # f1: purchase at +2h, click at +1h -> 1h latency
+    assert out["mean_latency_ms"] == 3_600_000.0
+    samp = {s["user_id"]: s for s in out["sample"]}
+    assert samp["f1"]["attributed"] is True
+    assert samp["f2"]["attributed"] is False
+
+    body["mode"] = "first"
+    code, out = _req(server, "/keysets/k1/api/query/attribution", body)
+    assert code == 200 and out["attributed"] == 1
+
+    code, err = _req(server, "/keysets/k1/api/query/attribution",
+                     {"touch": "click"})
+    assert code == 400 and "conversion" in err["error"]
+    code, err = _req(server, "/keysets/k1/api/query/attribution",
+                     {"conversion": "purchase", "touch": "click",
+                      "mode": "bogus"})
+    assert code == 400 and "mode" in err["error"]
