@@ -139,6 +139,10 @@ HEADLINE = [
     "events_attribution",
     "window_holt_backtest",
     "points_last",
+    "series_cap_roundtrip",
+    "events_attribution_first",
+    "events_attribution_position",
+    "text_langid_indexed",
 ]
 
 
@@ -196,6 +200,18 @@ def main() -> None:
         n_bands=_NB, max_bucket_size=_MB,
     )
     band_build_s = round(time.perf_counter() - t0, 3)
+
+    # Langid profile artifact (text_langid_indexed): train-once is a
+    # corpus job, the judged query is the search phase — same pricing
+    # convention as the PQ/band indexes.
+    from mycenae_spark.functions import langid as _li
+
+    langid_cached = _pq.index_is_committed(
+        _li.langid_index_dir(sf_dir, (3,))
+    )
+    t0 = time.perf_counter()
+    _li.ensure_langid_profiles(spark, sf_dir, (3,))
+    langid_build_s = round(time.perf_counter() - t0, 3)
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     times: dict[str, float] = {}
@@ -359,6 +375,8 @@ def main() -> None:
                     "ann_ivfpq_index_build_s": ivfpq_build_s,
                     "band_index_build_s": band_build_s,
                     "band_index_was_cached": band_cached,
+                    "langid_index_build_s": langid_build_s,
+                    "langid_index_was_cached": langid_cached,
                     "ann_ivfpq_index_was_cached": ivfpq_cached,
                     "ann_ivf_kmeans_recall_at3_by_nprobe": curve,
                     "ann_ivfpq_recall_at3_by_nprobe": ivfpq_curve,

@@ -3368,6 +3368,67 @@ def langid_mixture_confusion(spark, sf_dir, orders):
 
 
 @q(
+    "text_langid_indexed",
+    """
+WITH g AS (
+  SELECT doc_id, lang,
+         list_transform(generate_series(1, length(text) - 2),
+                        i -> substr(text, i, 3)) AS grams
+  FROM documents WHERE length(text) >= 3
+), dg AS (
+  SELECT doc_id, lang, gram, count(*) AS tf
+  FROM (SELECT doc_id, lang, unnest(grams) AS gram FROM g)
+  GROUP BY doc_id, lang, gram
+), prof AS (
+  SELECT lang AS plang, gram, sum(tf) AS pf FROM dg GROUP BY lang, gram
+), pnorm AS (
+  SELECT plang, sqrt(sum(pf * pf)) AS pn FROM prof GROUP BY plang
+), dnorm AS (
+  SELECT doc_id, sqrt(sum(tf * tf)) AS dn FROM dg GROUP BY doc_id
+), scored AS (
+  SELECT dg.doc_id, dg.lang, prof.plang,
+         round6(sum(dg.tf * prof.pf) / (any_value(dn) * any_value(pn)))
+           AS cos_r
+  FROM dg JOIN prof USING (gram)
+  JOIN dnorm ON dnorm.doc_id = dg.doc_id
+  JOIN pnorm ON pnorm.plang = prof.plang
+  GROUP BY dg.doc_id, dg.lang, prof.plang
+), best AS (
+  SELECT doc_id, lang, plang AS pred FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY cos_r DESC, plang) AS rn
+    FROM scored) WHERE rn = 1
+)
+SELECT lang, pred, count(*) AS n FROM best GROUP BY lang, pred
+""",
+)
+def text_langid_indexed(spark, sf_dir):
+    """Lang-id with MATERIALIZED profiles (r11 VERDICT item 3 — the
+    standing first-run hot spot): ``text_langid_trigram`` re-trains the
+    per-language profiles on every query; in production the profile is
+    a once-per-corpus TRAINING job and queries are pure SEARCH.  This
+    judged id is the search phase against the committed artifact
+    (functions/langid.py — parquet profiles behind the ANN-index-lake
+    CAS+marker protocol, corpus-fingerprinted so a regenerated corpus
+    mints a new artifact, order-set params persisted in-artifact so a
+    mismatched probe raises instead of silently mis-scoring).
+
+    The oracle is text_langid_trigram's VERBATIM confusion SQL — the
+    band-index/PQ "index invisibility" convention: an artifact that is
+    anything but a pure factoring of the training stage hash-fails.
+    Search-phase plan wins over the inline form: no profile training
+    aggs in the query, the profile joins BROADCAST (no gram-keyed
+    shuffle — the inline form's dot product shuffles the exploded
+    corpus by gram), and the dot product runs at raw gram-instance
+    grain (Σ_instances pf ≡ Σ_g tf·pf, exact integers), skipping the tf
+    agg on the dot branch.  Build priced in bench extras with a
+    cache-hit flag (the PQ/band-index pricing convention)."""
+    from mycenae_spark.functions.langid import langid_confusion_indexed
+
+    return langid_confusion_indexed(spark, sf_dir, (3,))
+
+
+@q(
     "text_repetition",
     """
 WITH s AS (

@@ -208,3 +208,50 @@ def test_band_index_build_probe_refresh(spark, index_root, tmp_path):
     assert fp2 != fp1
     # and parameter changes do too
     assert dedup.band_index_fingerprint(str(sf), "lt100", 8, 3, 2, 64) != fp2
+
+
+def test_langid_artifact_lifecycle(spark, index_root):
+    """The langid profile artifact (functions/langid.py) follows the
+    shared CAS+marker protocol: build-once reuse, torn-build refusal,
+    in-artifact params validation (an order-set mismatch raises instead
+    of silently scoring the wrong profile family), and search/inline
+    agreement (the artifact is a pure factoring of the training stage)."""
+    import shutil
+
+    from mycenae_spark.functions import langid as li
+    from mycenae_spark.registry.llm_queries import langid_mixture_confusion
+
+    d1 = li.ensure_langid_profiles(spark, SF_DIR, (3,))
+    marker = os.path.join(d1, "_COMMITTED")
+    assert os.path.isfile(marker)
+    stamp = os.stat(marker).st_mtime_ns
+    assert li.ensure_langid_profiles(spark, SF_DIR, (3,)) == d1
+    assert os.stat(marker).st_mtime_ns == stamp
+
+    prof, pnorm = li.load_langid_profiles(spark, d1, (3,))
+    assert prof.count() > 0 and pnorm.count() > 0
+
+    # order-set mismatch against the persisted params raises
+    with pytest.raises(ValueError, match="orders"):
+        li.load_langid_profiles(spark, d1, (1, 3))
+
+    # search phase == inline training+scoring, row for row
+    idx_rows = {
+        (r["lang"], r["pred"]): r["n"]
+        for r in li.langid_confusion_indexed(spark, SF_DIR, (3,)).collect()
+    }
+    inline_rows = {
+        (r["lang"], r["pred"]): r["n"]
+        for r in langid_mixture_confusion(spark, SF_DIR, (3,)).collect()
+    }
+    assert idx_rows == inline_rows
+
+    # torn build (marker removed) is refused
+    os.remove(marker)
+    with pytest.raises(FileNotFoundError):
+        li.load_langid_profiles(spark, d1, (3,))
+    shutil.rmtree(d1, ignore_errors=True)
+    # a different order set mints a DIFFERENT artifact directory
+    assert li.langid_index_dir(SF_DIR, (1, 3)) != li.langid_index_dir(
+        SF_DIR, (3,)
+    )
