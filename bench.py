@@ -143,6 +143,7 @@ HEADLINE = [
     "events_attribution_first",
     "events_attribution_position",
     "text_langid_indexed",
+    "multimodal_header_stats",
 ]
 
 

@@ -1604,6 +1604,102 @@ def multimodal_frame_sample(spark, sf_dir):
     )
 
 
+@q(
+    "multimodal_header_stats",
+    """
+WITH m AS (
+  SELECT doc_id,
+         ['png','gif','jpeg'][(doc_id % 3 + 1)::INT] AS fmt,
+         (doc_id % 1920 + 1)::INT AS w,
+         (doc_id % 1080 + 1)::INT AS h,
+         CASE doc_id % 3 WHEN 0 THEN 29 WHEN 1 THEN 11 ELSE 18 END AS nb
+  FROM documents
+)
+SELECT fmt, count(*) AS n_items, sum(nb)::BIGINT AS total_bytes,
+       round4(avg(w)) AS avg_w_r, round4(avg(h)) AS avg_h_r,
+       max(w)::INT AS max_w, max(h)::INT AS max_h
+FROM m GROUP BY fmt
+""",
+)
+def multimodal_header_stats(spark, sf_dir):
+    """REAL media decode, no deps (r11 VERDICT item 4 — the last stub
+    kernel upgraded): the corpus is rendered as REAL PNG / GIF89a /
+    JPEG-JFIF byte streams (signature + IHDR chunk / logical screen
+    descriptor / APP0-then-SOF0 marker stream, dimensions encoded from
+    doc_id arithmetic in the container's own byte order), pushed
+    through the Arrow ``mapInPandas`` path with ``decode_stub=False``,
+    and the header PARSER (functions/multimodal.py::parse_image_header
+    — struct reads per the public container specs, including the JPEG
+    marker walk that must skip the APP0 segment to find the SOF) must
+    recover every width/height exactly.
+
+    The oracle states the ENCODED dimensions from the same doc_id
+    arithmetic — it never sees the bytes — so a parser that misreads
+    endianness, misaligns an offset, or fails to skip a marker segment
+    hash-fails; so does any Arrow-path row loss.  100 TB shape
+    unchanged from multimodal_media_stats: payloads cross the boundary
+    once per byte-bounded batch, output is #formats rows."""
+    from mycenae_spark.functions.multimodal import decode_media
+
+    d = t(spark, sf_dir, "documents")
+    w = (F.col("doc_id") % 1920 + 1).cast("int")
+    h = (F.col("doc_id") % 1080 + 1).cast("int")
+    be32 = lambda c: F.unhex(F.lpad(F.hex(c), 8, "0"))  # noqa: E731
+    be16 = lambda c: F.unhex(F.lpad(F.hex(c), 4, "0"))  # noqa: E731
+
+    def le16(c):
+        s = F.lpad(F.hex(c), 4, "0")
+        return F.unhex(F.concat(F.substring(s, 3, 2), F.substring(s, 1, 2)))
+
+    png = F.concat(
+        F.unhex(F.lit("89504E470D0A1A0A0000000D49484452")),  # sig+len+IHDR
+        be32(w), be32(h),
+        F.unhex(F.lit("0802000000")),  # bit depth, color type, CMF bytes
+    )
+    gif = F.concat(
+        F.unhex(F.lit("474946383961")),  # GIF89a
+        le16(w), le16(h),
+        F.unhex(F.lit("F7")),  # packed fields
+    )
+    jpeg = F.concat(
+        F.unhex(F.lit("FFD8")),          # SOI
+        F.unhex(F.lit("FFE00004ABCD")),  # APP0 the SOF walk must skip
+        F.unhex(F.lit("FFC0000808")),    # SOF0, len 8, precision 8
+        be16(h), be16(w),
+        F.unhex(F.lit("01")),            # component count
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.when(F.col("doc_id") % 3 == 0, png)
+        .when(F.col("doc_id") % 3 == 1, gif)
+        .otherwise(jpeg)
+        .alias("payload"),
+        F.lit("image/mixed").alias("mime"),
+    )
+    feats = decode_media(
+        media, decode_stub=False, shuffle_buckets=8, max_batch_bytes=1 << 20
+    )
+    # group key = the construction's format assignment; the PARSED dims
+    # (width/height, null on any parse failure) are what the hash checks
+    return (
+        feats.groupBy(
+            F.when(F.col("media_id") % 3 == 0, "png")
+            .when(F.col("media_id") % 3 == 1, "gif")
+            .otherwise("jpeg")
+            .alias("fmt")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("n_bytes").alias("total_bytes"),
+            r4(F.avg("width")).alias("avg_w_r"),
+            r4(F.avg("height")).alias("avg_h_r"),
+            F.max("width").alias("max_w"),
+            F.max("height").alias("max_h"),
+        )
+    )
+
+
 # ------------------------------------------------- dedup cluster assignment
 
 @q(

@@ -36,9 +36,17 @@ def test_decode_stub_schema_and_determinism(media):
     assert again == {k: v["checksum"] for k, v in rows.items()}
 
 
-def test_decode_real_path_raises(media):
+def test_decode_real_path_and_resize_still_stubbed(media):
+    """Since r12 decode_stub=False RUNS (real header parsing): opaque
+    payloads yield null dims, never an exception.  Pixel-level resize
+    keeps the honest NotImplementedError — it genuinely needs a codec."""
+    from mycenae_spark.functions.multimodal import resize_media
+
+    rows = decode_media(media, decode_stub=False).collect()
+    assert len(rows) == 4  # runs; the fake payloads parse to null dims
+    assert all(r["width"] is None for r in rows)
     with pytest.raises(Exception) as ei:
-        decode_media(media, decode_stub=False).collect()
+        resize_media(media, decode_stub=False).collect()
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, NotImplementedError
     )
@@ -139,3 +147,73 @@ def test_multimodal_media_stats_judged_query(spark):
     # deterministic across runs (stub kernel is pure)
     again = multimodal_media_stats(spark, SF_DIR).collect()
     assert rows == again
+
+
+def test_parse_image_header_exact_and_malformed():
+    """parse_image_header: exact struct reads per container spec, honest
+    Nones on truncation/desync/unknown magic — the pure-Python real
+    decode (r11 VERDICT item 4)."""
+    import struct
+
+    from mycenae_spark.functions.multimodal import parse_image_header
+
+    png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+           + struct.pack(">II", 640, 480) + b"\x08\x02\x00\x00\x00")
+    assert parse_image_header(png) == ("png", 640, 480)
+    # truncated IHDR: format known, dims not
+    assert parse_image_header(png[:20]) == ("png", None, None)
+    # wrong first chunk type
+    bad = png[:12] + b"IDAT" + png[16:]
+    assert parse_image_header(bad) == ("png", None, None)
+
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\xf7"
+    assert parse_image_header(gif) == ("gif", 320, 200)
+    assert parse_image_header(b"GIF87a" + struct.pack("<HH", 1, 2)) == (
+        "gif", 1, 2)
+    assert parse_image_header(b"GIF89a\x01") == ("gif", None, None)
+
+    # JPEG: APP0 + a COM segment + a restart marker must all be walked
+    jpeg = (b"\xff\xd8"
+            + b"\xff\xe0" + struct.pack(">H", 4) + b"JF"
+            + b"\xff\xfe" + struct.pack(">H", 5) + b"abc"
+            + b"\xff\xd0"  # standalone RST0: no length field
+            + b"\xff\xc2" + struct.pack(">H", 8) + b"\x08"
+            + struct.pack(">HH", 480, 640) + b"\x03")
+    assert parse_image_header(jpeg) == ("jpeg", 640, 480)
+    # desync (non-FF where a marker must be)
+    assert parse_image_header(b"\xff\xd8\x00\xc0") == ("jpeg", None, None)
+    # truncated before any SOF
+    assert parse_image_header(b"\xff\xd8\xff\xe0\x00\x10") == (
+        "jpeg", None, None)
+    # zero segment length cannot advance: malformed, not an infinite loop
+    assert parse_image_header(b"\xff\xd8\xff\xe0\x00\x00rest") == (
+        "jpeg", None, None)
+
+    assert parse_image_header(None) == (None, None, None)
+    assert parse_image_header(b"") == (None, None, None)
+    assert parse_image_header(b"plain text bytes") == (None, None, None)
+
+
+def test_decode_media_real_kernel_through_arrow(spark):
+    """decode_stub=False runs the REAL header kernel end-to-end through
+    mapInPandas: parsed dims for valid containers, nulls for opaque
+    payloads, exact n_bytes/md5 for both."""
+    import hashlib
+    import struct
+
+    from mycenae_spark.functions.multimodal import decode_media
+
+    png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+           + struct.pack(">II", 12, 34) + b"\x08\x02\x00\x00\x00")
+    rows = [(1, "image", png, "image/png"),
+            (2, "image", b"not an image", "application/octet-stream")]
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, mime string")
+    out = {r["media_id"]: r for r in decode_media(
+        df, decode_stub=False).collect()}
+    assert (out[1]["width"], out[1]["height"]) == (12, 34)
+    assert out[1]["n_bytes"] == len(png)
+    assert out[1]["checksum"] == hashlib.md5(png).hexdigest()
+    assert out[1]["n_frames"] is None  # honest: needs codec access
+    assert out[2]["width"] is None and out[2]["height"] is None
+    assert out[2]["checksum"] == hashlib.md5(b"not an image").hexdigest()
