@@ -4749,3 +4749,211 @@ def events_attribution_position(spark, sf_dir):
             .alias("credit_x1e4"),
         )
     )
+
+
+@q(
+    "stream_evict_roundtrip",
+    """
+SELECT * FROM (VALUES
+  ('funnel_u1_rows',          CAST(2 AS BIGINT)),
+  ('funnel_u1_first_stage',   CAST(2 AS BIGINT)),
+  ('funnel_u1_return_stage',  CAST(0 AS BIGINT)),
+  ('funnel_u1_return_n_seen', CAST(1 AS BIGINT)),
+  ('funnel_u9_max_stage',     CAST(2 AS BIGINT)),
+  ('gaps_s1_alerts',          CAST(0 AS BIGINT)),
+  ('gaps_s9_alerts',          CAST(1 AS BIGINT)),
+  ('gaps_s9_gap_s',           CAST(4 AS BIGINT))
+) AS t(what, n)
+""",
+)
+def stream_evict_roundtrip(spark, sf_dir):
+    """WALL-CLOCK state eviction judged end-to-end (r11 VERDICT item 6 —
+    the builder's own carry-forward: ProcessingTimeTimeout was unit-
+    pinned but never driven by a real micro-batch clock).  Two stateful
+    streams run concurrently under a ``processingTime`` trigger with a
+    4 s idleness eviction while ticking side-channel keys keep
+    micro-batches flowing:
+
+    * FUNNEL: u1 reaches stage 2 (view+click), then goes idle past the
+      eviction window; its purchase — IN-WINDOW in event time, so a
+      surviving state would complete stage 3 — arrives after eviction
+      and must RE-ENTER AS A FRESH CHAIN: stage 0, n_seen 1, and
+      exactly one more emitted row (eviction itself is silent).  The
+      ticking u9 proves liveness is per-key: its view+click accumulate
+      across batches to stage 2 while u1 is reclaimed.
+    * GAPS: s1 reports once, retires past the window, reports again 8 s
+      later in event time — over the 2 s alert threshold, so a
+      surviving last_ts would alert; the evicted series re-enters
+      FRESH and stays silent (a decommissioned host is not a failing
+      heartbeat).  s9 spans ticks 1→2 with a deliberate 4 s event-time
+      jump and alerts exactly once — the cross-batch detection that
+      eviction must not break.
+
+    Synchronization is SINK-OBSERVABLE with bounded waits, never
+    ``processAllAvailable`` (which cannot quiesce under processing-time
+    timeouts: timeout-bearing state keeps no-data batches coming —
+    measured hang, r12): every write is followed by a poll until the
+    memory sinks reach the deterministic expected row count (an
+    always-alerting observer series makes every gaps batch visible),
+    so the eviction deadline (u1/s1's last batch + 4 s) is provably
+    crossed by later OBSERVED ticks regardless of host load, and
+    active keys\' inter-batch gaps stay far under the window.
+    Constant oracle; ``sf_dir`` unused."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+    import uuid
+
+    from mycenae_spark.streaming.stateful import funnel_stream, gap_stream
+
+    T = 1_704_067_200_000_000  # us
+    S = 1_000_000
+    EVICT_MS = 6_000
+    base = tempfile.mkdtemp(prefix="sevict_")
+    tag = uuid.uuid4().hex[:8]
+    fsink, gsink = f"sev_f_{tag}", f"sev_g_{tag}"
+    fdir, gdir = os.path.join(base, "f"), os.path.join(base, "g")
+    os.makedirs(fdir)
+    os.makedirs(gdir)
+    seq = [0]
+
+    def write(dirpath, lines):
+        seq[0] += 1
+        p = os.path.join(dirpath, f"{seq[0]:04d}.json")
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("\n".join(lines))
+        os.rename(tmp, p)
+
+    def wait_rows(sink, want, timeout_s=120):
+        """Bounded wait until the memory sink holds >= want rows; the
+        protocol writes nothing new before the previous write is
+        observed, so counts are exact (no batch coalescing ambiguity)."""
+        deadline = _time.monotonic() + timeout_s
+        while _time.monotonic() < deadline:
+            n = spark.table(sink).count()
+            if n >= want:
+                return n
+            _time.sleep(0.25)
+        raise TimeoutError(f"{sink}: expected {want} rows within {timeout_s}s")
+
+    fev = lambda u, m, ts: \
+        '{"user":"%s","metric":"%s","ts_us":%d}' % (u, m, ts)  # noqa: E731
+    gev = lambda s, ts: '{"series":"%s","ts_us":%d}' % (s, ts)  # noqa: E731
+    qf = qg = None
+    # A vanilla driver session carries spark.sql.shuffle.partitions=200:
+    # each 500 ms micro-batch of the two stateful ops then runs 200 state
+    # tasks and batch turnaround can exceed the eviction window itself,
+    # evicting the ACTIVE keys between ticks (measured — the cross-batch
+    # s9 alert vanished under a vanilla session).  Pin a small partition
+    # count for the queries (captured at .start()) and restore after.
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        fstream = (
+            spark.readStream.schema("user string, metric string, ts_us long")
+            .json(fdir)
+            .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        )
+        gstream = (
+            spark.readStream.schema("series string, ts_us long")
+            .json(gdir)
+            .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        )
+        qf = (
+            funnel_stream(fstream, ["view", "click", "purchase"],
+                          window_us=10 * S, evict_after_ms=EVICT_MS)
+            .writeStream.format("memory").queryName(fsink)
+            .outputMode("append")
+            .trigger(processingTime="500 milliseconds")
+            .start()
+        )
+        qg = (
+            gap_stream(gstream, threshold_us=2 * S, evict_after_ms=EVICT_MS)
+            .writeStream.format("memory").queryName(gsink)
+            .outputMode("append")
+            .trigger(processingTime="500 milliseconds")
+            .start()
+        )
+        # batch 1: u1 at stage 2; s1 alive.  The observer series "obs"
+        # writes an IN-BATCH 10 s pair every file, so every gaps batch
+        # yields exactly one alert whether obs state is alive or was
+        # itself evicted (the pair alerts within the batch; consecutive
+        # pairs step +1 s in event time, under the threshold, so a
+        # surviving state adds no cross-batch alert either) — exact,
+        # eviction-independent sink counts.
+        obs_end = T + 10 * S
+
+        def obs_pair():
+            nonlocal obs_end
+            a = obs_end + 1 * S
+            obs_end = a + 10 * S
+            return [gev("obs", a), gev("obs", obs_end)]
+
+        write(fdir, [fev("u1", "view", T), fev("u1", "click", T + 2 * S),
+                     fev("u9", "view", T)])
+        write(gdir, [gev("s1", T), gev("obs", T), gev("obs", obs_end)])
+        f_want = wait_rows(fsink, 2)   # u1 + u9 rows
+        g_want = wait_rows(gsink, 1)   # obs in-batch alert
+        evict_deadline = _time.monotonic() + EVICT_MS / 1000 + 1.0
+        s9_ticks = [T + 1 * S, T + 5 * S]  # the judged 4 s cross-batch jump
+        i = 0
+        while _time.monotonic() < evict_deadline or i < 3:
+            gl = obs_pair()
+            if i < len(s9_ticks):
+                gl.append(gev("s9", s9_ticks[i]))
+            write(fdir, [fev("u9", "click", T + 1 * S)])
+            write(gdir, gl)
+            f_want = wait_rows(fsink, f_want + 1)      # u9 row per tick
+            g_want = wait_rows(
+                gsink, g_want + 1 + (1 if i == 1 else 0)  # obs (+ s9 jump)
+            )
+            _time.sleep(1.0)
+            i += 1
+            if i > 60:
+                raise TimeoutError("eviction tick loop never converged")
+        # one tick strictly AFTER the deadline: its observed batch runs at
+        # wall >= batch1 + EVICT + 1 s, so the u1/s1 timeouts have
+        # provably fired before the return events below
+        write(fdir, [fev("u9", "click", T + 1 * S)])
+        write(gdir, obs_pair())
+        f_want = wait_rows(fsink, f_want + 1)
+        g_want = wait_rows(gsink, g_want + 1)
+        # the evicted keys return: in-window event times that WOULD have
+        # extended the old chains had state survived eviction
+        write(fdir, [fev("u1", "purchase", T + 4 * S)])
+        write(gdir, [gev("s1", T + 8 * S)] + obs_pair())
+        wait_rows(fsink, f_want + 1)  # u1's fresh-chain row
+        wait_rows(gsink, g_want + 1)  # obs marker (s1 must stay silent)
+        _time.sleep(1.0)  # grace: a buggy surviving s1 alert gets seen
+        frows = [r.asDict() for r in spark.table(fsink).collect()]
+        grows = [r.asDict() for r in spark.table(gsink).collect()]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        for qq in (qf, qg):
+            if qq is not None:
+                qq.stop()
+        for snk in (fsink, gsink):
+            try:
+                spark.catalog.dropTempView(snk)
+            except Exception:
+                pass
+        shutil.rmtree(base, ignore_errors=True)
+    u1 = [d for d in frows if d["user"] == "u1"]
+    ret = u1[-1] if len(u1) > 1 else {"stage": -1, "n_seen": -1}
+    s1_alerts = [d for d in grows if d["series"] == "s1"]
+    s9_alerts = [d for d in grows if d["series"] == "s9"]
+    flags = [
+        ("funnel_u1_rows", len(u1)),
+        ("funnel_u1_first_stage", u1[0]["stage"] if u1 else -1),
+        ("funnel_u1_return_stage", ret["stage"]),
+        ("funnel_u1_return_n_seen", ret["n_seen"]),
+        ("funnel_u9_max_stage",
+         max((d["stage"] for d in frows if d["user"] == "u9"), default=-1)),
+        ("gaps_s1_alerts", len(s1_alerts)),
+        ("gaps_s9_alerts", len(s9_alerts)),
+        ("gaps_s9_gap_s", s9_alerts[0]["gap_us"] // 1_000_000
+         if s9_alerts else -1),
+    ]
+    return spark.createDataFrame(flags, "what string, n long")

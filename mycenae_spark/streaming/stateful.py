@@ -474,7 +474,7 @@ def gap_stream_schemas():
     return out, state
 
 
-def make_gap_fn(threshold_us: int):
+def make_gap_fn(threshold_us: int, evict_after_ms: int | None = None):
     """Per-series streaming gap detector — `series_gaps`' stateful twin:
     state is ONE long per series (the newest timestamp seen), and each
     micro-batch emits an alert row for every inter-point gap exceeding
@@ -488,12 +488,24 @@ def make_gap_fn(threshold_us: int):
     retro-close an already-emitted alert — the batch twin
     (``series_gaps``) is the exact reconciliation, same division of
     labor as EWMA/KMV and their lake-side twins.  State ∝ #series × 8
-    bytes; one shuffle on the series key."""
+    bytes; one shuffle on the series key.
+
+    ``evict_after_ms`` (the funnel kernel's idleness contract, r12): a
+    series silent for the duration is presumed RETIRED and its carried
+    timestamp is dropped — when it reports again it re-enters as a
+    FRESH series, so the retirement window itself is deliberately NOT
+    alerted (a decommissioned host is not a failing heartbeat).
+    Requires ``GroupStateTimeout.ProcessingTimeTimeout``; eviction is
+    silent state reclamation, judged end-to-end by
+    ``stream_evict_roundtrip``."""
     def fn(
         key: tuple[Any, ...],
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        if getattr(state, "hasTimedOut", False):
+            state.remove()
+            return
         last = state.get[0] if state.exists else None
         starts, ends = [], []
         ts_all = []
@@ -506,6 +518,8 @@ def make_gap_fn(threshold_us: int):
             if last is None or t > last:
                 last = t
         state.update((last,))
+        if evict_after_ms is not None:
+            state.setTimeoutDuration(evict_after_ms)
         if starts:
             yield pd.DataFrame({
                 "series": [str(key[0])] * len(starts),
@@ -518,11 +532,14 @@ def make_gap_fn(threshold_us: int):
 
 
 def gap_stream(
-    points: DataFrame, threshold_us: int
+    points: DataFrame, threshold_us: int,
+    evict_after_ms: int | None = None,
 ) -> DataFrame:
     """Streaming heartbeat alerts per series: ``points`` needs
     (series string, ts_us long) plus an event-time ``ts`` timestamp for
-    the watermark.  Emits one row per detected gap > ``threshold_us``."""
+    the watermark.  Emits one row per detected gap > ``threshold_us``.
+    ``evict_after_ms`` reclaims state of series idle that long (see
+    ``make_gap_fn`` — retired series re-enter fresh)."""
     _register_by_value()
 
     out_schema, state_schema = gap_stream_schemas()
@@ -530,10 +547,14 @@ def gap_stream(
         points.withWatermark("ts", "1 hour")
         .groupBy("series")
         .applyInPandasWithState(
-            make_gap_fn(threshold_us),
+            make_gap_fn(threshold_us, evict_after_ms=evict_after_ms),
             outputStructType=out_schema,
             stateStructType=state_schema,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if evict_after_ms is not None
+                else GroupStateTimeout.NoTimeout
+            ),
         )
     )
