@@ -928,30 +928,21 @@ def band_index_fingerprint(
     n_shards: int,
 ) -> str:
     """Content fingerprint of the documents table + index parameters —
-    the staleness gate: hashes every data file's (path, size, mtime_ns)
-    plus the build version and every semantic knob, so a changed corpus
-    or changed parameters mint a NEW index directory instead of silently
-    serving stale band rows (functions/pq.py's discipline verbatim)."""
+    the staleness gate: hashes every data file's stat identity (the
+    shared ``pq.fingerprint_tree`` walk) plus the build version and
+    every semantic knob, so a changed corpus or changed parameters mint
+    a NEW index directory instead of silently serving stale band rows."""
     import hashlib
     import os
+
+    from mycenae_spark.functions.pq import fingerprint_tree
 
     src = os.path.join(sf_dir.rstrip("/"), "documents.parquet")
     h = hashlib.md5(
         f"bands-v{BAND_INDEX_VERSION}|{pred_desc}|b{n_bands}|g{ngram}"
         f"|cap{max_bucket_size}|s{n_shards}|{os.path.abspath(src)}".encode()
     )
-    if os.path.isdir(src):
-        for base, _dirs, files in sorted(os.walk(src)):
-            for f in sorted(files):
-                p = os.path.join(base, f)
-                st = os.stat(p)
-                h.update(
-                    f"|{os.path.relpath(p, src)}|{st.st_size}"
-                    f"|{st.st_mtime_ns}".encode()
-                )
-    else:
-        st = os.stat(src)
-        h.update(f"|{st.st_size}|{st.st_mtime_ns}".encode())
+    fingerprint_tree(h, src)
     return h.hexdigest()[:16]
 
 

@@ -55,26 +55,17 @@ _TABLES = ("prof", "pnorm")
 
 
 def langid_index_fingerprint(sf_dir: str, orders: tuple[int, ...]) -> str:
-    """Stat-based content fingerprint (pq_index_fingerprint's discipline:
-    file identity, never a data read) of the documents table + build
-    version + order set."""
+    """Stat-based content fingerprint (the shared ``pq.fingerprint_tree``
+    walk: file identity, never a data read) of the documents table +
+    build version + order set."""
+    from mycenae_spark.functions.pq import fingerprint_tree
+
     src = os.path.join(sf_dir.rstrip("/"), "documents.parquet")
     h = hashlib.md5(
         f"langid-v{LANGID_INDEX_VERSION}|orders{','.join(map(str, orders))}"
         f"|{os.path.abspath(src)}".encode()
     )
-    if os.path.isdir(src):
-        for base, _dirs, files in sorted(os.walk(src)):
-            for f in sorted(files):
-                p = os.path.join(base, f)
-                st = os.stat(p)
-                h.update(
-                    f"|{os.path.relpath(p, src)}|{st.st_size}"
-                    f"|{st.st_mtime_ns}".encode()
-                )
-    else:
-        st = os.stat(src)
-        h.update(f"|{st.st_size}|{st.st_mtime_ns}".encode())
+    fingerprint_tree(h, src)
     return h.hexdigest()[:16]
 
 

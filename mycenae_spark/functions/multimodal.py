@@ -90,11 +90,20 @@ def parse_image_header(b: bytes | None):
     Returns ``(fmt, width, height)``; unknown magic → ``(None, None,
     None)``; a recognized container with a truncated/malformed header →
     ``(fmt, None, None)`` (the format IS known; the dims are not)."""
+    def _dims(fmt, w, h):
+        # Dims outside int32 are malformed by the containers' own specs
+        # (PNG caps at 2^31−1; a corrupt IHDR can carry 0xFFFFFFFF) —
+        # report the format with null dims instead of letting the Arrow
+        # Int32 cast blow up the whole decode task (review finding).
+        if 0 <= w <= 0x7FFFFFFF and 0 <= h <= 0x7FFFFFFF:
+            return (fmt, w, h)
+        return (fmt, None, None)
+
     if not b:
         return (None, None, None)
     if b[:8] == b"\x89PNG\r\n\x1a\n":
         if len(b) >= 24 and b[12:16] == b"IHDR":
-            return (
+            return _dims(
                 "png",
                 int.from_bytes(b[16:20], "big"),
                 int.from_bytes(b[20:24], "big"),
@@ -102,7 +111,7 @@ def parse_image_header(b: bytes | None):
         return ("png", None, None)
     if b[:6] in (b"GIF87a", b"GIF89a"):
         if len(b) >= 10:
-            return (
+            return _dims(
                 "gif",
                 int.from_bytes(b[6:8], "little"),
                 int.from_bytes(b[8:10], "little"),
@@ -113,16 +122,27 @@ def parse_image_header(b: bytes | None):
         while i + 2 <= len(b):
             if b[i] != 0xFF:
                 return ("jpeg", None, None)  # marker desync: malformed
+            # spec B.1.1.2: any number of 0xFF FILL bytes may precede a
+            # marker — consume them, or a spec-legal stream misparses
+            # (review finding)
+            while i + 1 < len(b) and b[i + 1] == 0xFF:
+                i += 1
+            if i + 2 > len(b):
+                return ("jpeg", None, None)
             marker = b[i + 1]
             if marker in _JPEG_SOF:
                 if i + 9 <= len(b):
-                    return (
+                    return _dims(
                         "jpeg",
                         int.from_bytes(b[i + 7 : i + 9], "big"),
                         int.from_bytes(b[i + 5 : i + 7], "big"),
                     )
                 return ("jpeg", None, None)
-            if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+            if marker == 0xD9:
+                # EOI: end of image with no SOF seen — stop, never scan
+                # post-image garbage (review finding)
+                return ("jpeg", None, None)
+            if marker == 0x01 or 0xD0 <= marker <= 0xD8:
                 i += 2  # standalone marker, no length field
                 continue
             if i + 4 > len(b):

@@ -240,26 +240,15 @@ def _index_root() -> str:
     )
 
 
-def pq_index_fingerprint(
-    sf_dir: str, variant: str = "pq", params: str | None = None
-) -> str:
-    """Content fingerprint of the embeddings table + index parameters.
-
-    Hashes every data file's (relative path, size, mtime_ns) — cheap stat
-    calls, no data read — so a regenerated testdata dir (the r4/r5 outage
-    mode) gets a NEW index instead of silently serving stale codes.  The
-    build VERSION and build parameters (seed/centroid moduli) are part of
-    the hash too: a parameter change or an algorithm change mints a new
-    index directory instead of silently serving codes built differently
-    from what the caller (and the shared oracle) expects.
-    """
-    if params is None:
-        params = _pq_params(50) if variant == "pq" else _ivfpq_params(50, 100)
-    src = os.path.join(sf_dir.rstrip("/"), "embeddings.parquet")
-    h = hashlib.md5(
-        f"v{PQ_BUILD_VERSION}|{variant}|M{PQ_M}|SUB{PQ_SUB}|{params}|"
-        f"{os.path.abspath(src)}".encode()
-    )
+def fingerprint_tree(h, src: str) -> None:
+    """Fold the stat-identity of ``src`` (a data file, or a directory
+    walked sorted) into hash object ``h``: (relative path, size,
+    mtime_ns) per file — cheap stat calls, never a data read.  THE one
+    staleness-detection walk shared by every materialized artifact
+    family (PQ/IVFPQ codes, the minhash band index, the langid
+    profiles); a regenerated source dir mints a new artifact in all of
+    them, and a future change to the walk (symlinks, hashing scheme)
+    lands once (review finding — three verbatim copies had grown)."""
     if os.path.isdir(src):
         for base, _dirs, files in sorted(os.walk(src)):
             for f in sorted(files):
@@ -270,6 +259,29 @@ def pq_index_fingerprint(
     else:
         st = os.stat(src)
         h.update(f"|{st.st_size}|{st.st_mtime_ns}".encode())
+
+
+def pq_index_fingerprint(
+    sf_dir: str, variant: str = "pq", params: str | None = None
+) -> str:
+    """Content fingerprint of the embeddings table + index parameters.
+
+    Hashes every data file's stat identity (``fingerprint_tree``) so a
+    regenerated testdata dir (the r4/r5 outage mode) gets a NEW index
+    instead of silently serving stale codes.  The build VERSION and
+    build parameters (seed/centroid moduli) are part of the hash too: a
+    parameter change or an algorithm change mints a new index directory
+    instead of silently serving codes built differently from what the
+    caller (and the shared oracle) expects.
+    """
+    if params is None:
+        params = _pq_params(50) if variant == "pq" else _ivfpq_params(50, 100)
+    src = os.path.join(sf_dir.rstrip("/"), "embeddings.parquet")
+    h = hashlib.md5(
+        f"v{PQ_BUILD_VERSION}|{variant}|M{PQ_M}|SUB{PQ_SUB}|{params}|"
+        f"{os.path.abspath(src)}".encode()
+    )
+    fingerprint_tree(h, src)
     return h.hexdigest()[:16]
 
 

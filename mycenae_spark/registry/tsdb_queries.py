@@ -4771,7 +4771,7 @@ def stream_evict_roundtrip(spark, sf_dir):
     the builder's own carry-forward: ProcessingTimeTimeout was unit-
     pinned but never driven by a real micro-batch clock).  Two stateful
     streams run concurrently under a ``processingTime`` trigger with a
-    4 s idleness eviction while ticking side-channel keys keep
+    6 s idleness eviction while ticking side-channel keys keep
     micro-batches flowing:
 
     * FUNNEL: u1 reaches stage 2 (view+click), then goes idle past the
@@ -4795,7 +4795,7 @@ def stream_evict_roundtrip(spark, sf_dir):
     measured hang, r12): every write is followed by a poll until the
     memory sinks reach the deterministic expected row count (an
     always-alerting observer series makes every gaps batch visible),
-    so the eviction deadline (u1/s1's last batch + 4 s) is provably
+    so the eviction deadline (u1/s1's last batch + 6 s) is provably
     crossed by later OBSERVED ticks regardless of host load, and
     active keys\' inter-batch gaps stay far under the window.
     Constant oracle; ``sf_dir`` unused."""

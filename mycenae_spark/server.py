@@ -1116,8 +1116,22 @@ class Engine:
             "gaps", body, lambda: self._gaps_compute(body)
         )
 
+    def _page_limit(self, body: dict) -> int | None:
+        """Effective page size for gaps/last: the client's positive int
+        ``limit``, CLAMPED to ``max_series`` when a cap is configured —
+        otherwise one request with limit=10⁹ is the unbounded over-cap
+        collect the 400 reject exists to prevent, wearing a pagination
+        hat (review finding)."""
+        limit = body.get("limit")
+        if not (isinstance(limit, int) and limit > 0):
+            return None
+        if self.max_series is not None:
+            limit = min(limit, self.max_series)
+        return limit
+
     @staticmethod
-    def _series_page(agg: DataFrame, keys: list[str], body: dict):
+    def _series_page(agg: DataFrame, keys: list[str], body: dict,
+                     limit: int | None):
         """Keyset pagination for the per-series analytics verbs
         (gaps/last — one output row per series, unbounded catalogs):
         ``limit`` bounds the page, ``after_key`` continues strictly after
@@ -1138,13 +1152,11 @@ class Engine:
                 ],
             ),
         )
-        limit = body.get("limit")
-        paged = isinstance(limit, int) and limit > 0
         if body.get("after_key") is not None:
             agg = agg.filter(F.col("_key") > str(body["after_key"]))
-        if paged:
+        if limit is not None:
             agg = agg.orderBy("_key").limit(limit)
-        return agg, paged
+        return agg
 
     def _gaps_compute(self, body: dict) -> list:
         from mycenae_spark.schema import parse_interval_ms
@@ -1152,8 +1164,8 @@ class Engine:
         from mycenae_spark.operators.gaps import series_gap_stats
 
         thr_us = parse_interval_ms(str(body.get("threshold", "6h"))) * 1000
-        limit = body.get("limit")
-        if not (isinstance(limit, int) and limit > 0):
+        limit = self._page_limit(body)
+        if limit is None:
             # Unbounded collect (one row per series): subject to the
             # MaxTimeseries reject.  A bounded page is ≤ limit rows by
             # construction, so pagination is the sanctioned way to walk
@@ -1169,7 +1181,9 @@ class Engine:
         if isinstance(body.get("end"), int):
             p = p.filter(F.col("ts_us") < body["end"] * 1000)
         keys = ["metric"] + [f"tag_{k}" for k in self._tag_keys()]
-        agg, _ = self._series_page(series_gap_stats(p, keys, thr_us), keys, body)
+        agg = self._series_page(
+            series_gap_stats(p, keys, thr_us), keys, body, limit
+        )
         return [
             {
                 "metric": r["metric"],
@@ -1208,8 +1222,8 @@ class Engine:
     def _last_compute(self, body: dict) -> list:
         import time as _time
 
-        limit = body.get("limit")
-        if not (isinstance(limit, int) and limit > 0):
+        limit = self._page_limit(body)
+        if limit is None:
             # same guard-or-paginate contract as _gaps_compute
             self._guard_series_cap(
                 metric=str(body["metric"]) if body.get("metric") else None
@@ -1229,7 +1243,7 @@ class Engine:
             # order beats partitioning luck
             F.max_by("value", F.struct("ts_us", "value")).alias("_v"),
         )
-        agg, _ = self._series_page(agg, keys, body)
+        agg = self._series_page(agg, keys, body, limit)
         return [
             {
                 "metric": r["metric"],

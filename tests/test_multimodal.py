@@ -217,3 +217,25 @@ def test_decode_media_real_kernel_through_arrow(spark):
     assert out[1]["n_frames"] is None  # honest: needs codec access
     assert out[2]["width"] is None and out[2]["height"] is None
     assert out[2]["checksum"] == hashlib.md5(b"not an image").hexdigest()
+
+
+def test_parse_image_header_hardening():
+    """r12 review fixes: int32-overflow dims go null instead of blowing
+    up the Arrow cast; JPEG fill bytes (spec B.1.1.2) are consumed; EOI
+    terminates the scan."""
+    import struct
+
+    from mycenae_spark.functions.multimodal import parse_image_header
+
+    # corrupt IHDR carrying 0xFFFFFFFF: fmt known, dims null, no raise
+    png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+           + b"\xff\xff\xff\xff" + struct.pack(">I", 480) + b"\x08")
+    assert parse_image_header(png) == ("png", None, None)
+    # fill bytes before a marker are legal and must be skipped
+    jpeg_fill = (b"\xff\xd8" + b"\xff"  # fill byte run
+                 + b"\xff\xc0" + struct.pack(">H", 8) + b"\x08"
+                 + struct.pack(">HH", 480, 640) + b"\x01")
+    assert parse_image_header(jpeg_fill) == ("jpeg", 640, 480)
+    # EOI with no SOF terminates — post-image bytes are never scanned
+    assert parse_image_header(b"\xff\xd8\xff\xd9" + b"\xff\xc0garbage") == (
+        "jpeg", None, None)
