@@ -534,3 +534,55 @@ def test_bigram_lm_keyed_joins_only(spark):
     scalar."""
     plan = _plan(spark, "text_bigram_logprob")
     assert "CartesianProduct" not in plan
+
+
+def test_attribution_first_mirrors_last_touch_plan(spark):
+    """events_attribution_first (r12): the shift-and-mirror forward
+    as-of keeps the EXACT single-exchange shape of last-touch — first-
+    and last-touch cost the same one user-keyed sort-shuffle at 100 TB;
+    metric predicates still prune at the scan."""
+    plan = _plan(spark, "events_attribution_first")
+    assert plan.count("Exchange") - plan.count("ReusedExchange") <= 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EqualTo(event_type,purchase)" in plan
+    assert "EqualTo(event_type,click)" in plan
+
+
+def test_attribution_position_user_keyed_band_join(spark):
+    """events_attribution_position (r12): the multi-touch band join is
+    USER-KEYED (SortMergeJoin on the tag, range predicate inside the
+    join condition — per-user fan-out, never all-pairs), and the
+    position window rides a purchase-keyed exchange: 2 exchanges total,
+    no nested loop."""
+    plan = _plan(spark, "events_attribution_position")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange") - plan.count("ReusedExchange") <= 2
+    assert "SinglePartition" not in plan
+
+
+def test_langid_indexed_broadcast_profile_no_gram_shuffle(spark):
+    """text_langid_indexed (r12): the materialized profile joins
+    BROADCAST, so the exploded gram stream is never shuffled by gram —
+    the structural win over the inline trigram form (whose dot product
+    exchanges the corpus on the gram key)."""
+    plan = _plan(spark, "text_langid_indexed")
+    assert "BroadcastHashJoin" in plan
+    # No exchange PARTITIONED BY the gram key (the inline form's
+    # dot-product join cost).  The (doc_id, ..., gram) tf aggregation
+    # exchange of the norm branch is doc-keyed and expected.
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert not m.group(1).startswith("gram"), m.group(0)
+
+
+def test_multimodal_header_stats_bounded_output(spark):
+    """multimodal_header_stats (r12): the payload construction stays
+    JVM-side (concat/unhex projections — no Python in the build path),
+    the only Python boundary is the one Arrow mapInPandas decode, and
+    aggregation output is #formats rows."""
+    plan = _plan(spark, "multimodal_header_stats")
+    assert plan.count("MapInPandas") == 1
+    assert "CartesianProduct" not in plan
