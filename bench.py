@@ -144,6 +144,8 @@ HEADLINE = [
     "events_attribution_position",
     "text_langid_indexed",
     "multimodal_header_stats",
+    "join_interval_overlap",
+    "ann_sq8_topk",
 ]
 
 
@@ -262,6 +264,12 @@ def main() -> None:
         (r["q_id"], r["n_id"])
         for r in QUERIES["ann_ivfpq_topk"](spark, sf_dir).collect()
     }
+    sq8 = {
+        (r["q_id"], r["n_id"])
+        for r in QUERIES["ann_sq8_topk"](spark, sf_dir).collect()
+        if r["rk"] <= 3
+    }
+    recall_sq8 = round(len(brute & sq8) / max(len(brute), 1), 3)
     recall_pq = round(len(brute & pq) / max(len(brute), 1), 3)
     recall_ivfpq = round(len(brute & ivfpq) / max(len(brute), 1), 3)
     recall = round(len(brute & ivf) / max(len(brute), 1), 3)
@@ -371,6 +379,7 @@ def main() -> None:
                     "ann_ivf_kmeans2_recall_at3": recall_k2,
                     "ann_pq_adc_recall_at3": recall_pq,
                     "ann_ivfpq_recall_at3": recall_ivfpq,
+                    "ann_sq8_recall_at3": recall_sq8,
                     "ann_pq_index_build_s": pq_build_s,
                     "ann_pq_index_was_cached": pq_cached,
                     "ann_ivfpq_index_build_s": ivfpq_build_s,

@@ -579,3 +579,91 @@ def semantic_pairs(
         .filter(F.col("cos_r") >= threshold)
         .select("c_id", "vec_a", "vec_b", "cos_r")
     )
+
+
+def sq8_quantized(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """INT8 scalar quantization (the SQ in FAISS's SQ8 index): per-DIM
+    min/max over the corpus define an affine grid, every component maps
+    to ``floor((v − min_d)·255 / range_d)`` ∈ [0, 255].  Returns
+    (id_col, qv: array<long>).
+
+    All arithmetic is DOUBLE on both engines (components cast before any
+    op), so the quantization grid is bit-identical cross-engine and the
+    downstream integer dot products are EXACT — a deterministic ANN
+    family member where PQ's float LUT needs rounding conventions.
+
+    Plan: one posexplode + per-dim hash agg for the stats (#dims rows),
+    collapsed to two literal arrays broadcast to the quantize projection
+    — the corpus is scanned, never shuffled; quantization is a pure
+    zip_with projection inside the scan stage.  Memory story at 100 TB:
+    4× smaller vectors (int8 vs float32) with the scan cost dropping
+    proportionally once the quantized table is materialized."""
+    dims = corpus.select(
+        F.posexplode(emb_col).alias("pos", "_v")
+    ).select("pos", F.col("_v").cast("double").alias("v"))
+    stats = dims.groupBy("pos").agg(
+        F.min("v").alias("mn"), F.max("v").alias("mx")
+    )
+    arrs = stats.agg(
+        F.array_sort(F.collect_list(F.struct("pos", "mn", "mx"))).alias("s")
+    ).select(
+        F.transform("s", lambda x: x["mn"]).alias("_mins"),
+        F.transform("s", lambda x: x["mx"] - x["mn"]).alias("_rngs"),
+    )
+    shifted = F.zip_with(
+        F.transform(F.col(emb_col), lambda v: v.cast("double")),
+        F.col("_mins"),
+        lambda v, m: v - m,
+    )
+    q = F.zip_with(
+        shifted,
+        F.col("_rngs"),
+        lambda x, r: F.when(r == 0, F.lit(0))
+        .otherwise(F.floor((x * 255) / r))
+        .cast("long"),
+    )
+    return corpus.crossJoin(F.broadcast(arrs)).select(
+        id_col, q.alias("qv")
+    )
+
+
+def sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force top-k over SQ8-quantized vectors: rank by the INTEGER
+    dot product of the quantized components (exact on both engines — no
+    score rounding convention needed at all), ties by neighbor id.
+    ``queries`` is a subset of ``corpus`` rows (quantized on the same
+    corpus-wide grid).  Returns (q_id, n_id, rk, qdot).
+
+    Same plan family as ``brute_topk``: the quantized query set
+    broadcasts, the corpus streams once, per-query rank windows on the
+    scored frame."""
+    qv = sq8_quantized(corpus, id_col=id_col, emb_col=emb_col)
+    q_ids = queries.select(F.col(id_col))
+    a = qv.join(F.broadcast(q_ids), id_col).select(
+        F.col(id_col).alias("q_id"), F.col("qv").alias("_qa")
+    )
+    b = qv.select(F.col(id_col).alias("n_id"), F.col("qv").alias("_qb"))
+    dot = F.aggregate(
+        F.zip_with(F.col("_qa"), F.col("_qb"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("qdot"), "n_id")
+    return (
+        F.broadcast(a)
+        .join(b, F.col("q_id") != F.col("n_id"))
+        .withColumn("qdot", dot)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "n_id", "rk", "qdot")
+    )

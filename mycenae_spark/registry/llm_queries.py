@@ -4312,3 +4312,63 @@ def dedup_simhash_pairs64(spark, sf_dir):
         t(spark, sf_dir, "documents"), "doc_id", "text",
         bits=64, n_segments=6, max_hamming=5, max_bucket_size=MAX_BUCKET,
     )
+
+
+@q(
+    "ann_sq8_topk",
+    """
+WITH dim AS (
+  SELECT unnest(generate_series(1,
+    (SELECT len(embedding) FROM embeddings LIMIT 1))) AS d
+),
+vd AS (
+  SELECT vec_id, d, embedding[d]::DOUBLE AS v
+  FROM embeddings CROSS JOIN dim
+),
+st AS (
+  SELECT d, min(v) AS mn, max(v) - min(v) AS rng FROM vd GROUP BY d
+),
+qd AS (
+  SELECT vec_id, vd.d,
+         CASE WHEN rng = 0 THEN 0
+              ELSE floor(((v - mn) * 255) / rng) END::BIGINT AS qv
+  FROM vd JOIN st ON st.d = vd.d
+),
+dots AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+         sum(a.qv * b.qv)::BIGINT AS qdot
+  FROM (SELECT * FROM qd WHERE vec_id < 10) a
+  JOIN qd b ON b.d = a.d AND b.vec_id <> a.vec_id
+  GROUP BY 1, 2
+)
+SELECT q_id, n_id, rk, qdot FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY qdot DESC, n_id)
+           AS rk
+  FROM dots
+) WHERE rk <= 5
+""",
+)
+def ann_sq8_topk(spark, sf_dir):
+    """INT8 scalar-quantization ANN (r12 — the SQ family member next to
+    PQ/IVFPQ; FAISS's SQ8 shape): per-dim corpus min/max define an
+    affine grid, components map to floor((v−min)·255/range) ∈ [0,255],
+    and ranking is by the INTEGER dot product of quantized vectors —
+    4× memory compression with fully deterministic scoring (no float
+    rounding convention anywhere: the only floats are the grid
+    arithmetic, double-identical on both engines by construction; the
+    scores the hash checks are exact BIGINTs).
+
+    Kernel functions/similarity.py::sq8_quantized/sq8_topk.  Plan: one
+    posexplode + #dims hash agg for stats → two literal arrays
+    broadcast into the quantize projection (corpus scanned, never
+    shuffled) → broadcast query set × corpus with the dot in a
+    higher-order aggregate → per-query rank windows.  The oracle
+    formulates the SAME grid at (vector, dim) grain — a per-dim join,
+    deliberately not the array pipeline — so agreement proves the
+    quantization semantics, not shared plumbing.  At 100 TB the
+    quantized table is the materialization (4× smaller scan); recall
+    vs the float baseline is measured in bench extras."""
+    from mycenae_spark.functions.similarity import sq8_topk
+
+    e = t(spark, sf_dir, "embeddings")
+    return sq8_topk(e, e.filter(F.col("vec_id") < 10), k=5)

@@ -4957,3 +4957,83 @@ def stream_evict_roundtrip(spark, sf_dir):
          if s9_alerts else -1),
     ]
     return spark.createDataFrame(flags, "what string, n long")
+
+
+_W8H_US = 28_800_000_000   # 8 h window stride
+_W90M_US = 5_400_000_000   # 90 min window length
+_DAY_US = 86_400_000_000
+
+
+@q(
+    "join_interval_overlap",
+    f"""
+WITH p AS ({SQL_POINTS}),
+act AS (
+  SELECT tag_user, ts_us // {_DAY_US} AS day,
+         min(ts_us) AS a_start, max(ts_us) AS a_end
+  FROM p GROUP BY tag_user, day
+),
+win AS (
+  SELECT day AS wday, j AS win_id,
+         day * {_DAY_US} + j * {_W8H_US} AS w_start,
+         day * {_DAY_US} + j * {_W8H_US} + {_W90M_US} AS w_end
+  FROM (SELECT DISTINCT ts_us // {_DAY_US} AS day FROM p)
+  CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)
+)
+SELECT tag_user, day, win_id,
+       (least(a_end, w_end) - greatest(a_start, w_start)) AS overlap_us
+FROM act JOIN win
+  ON a_start <= w_end AND a_end >= w_start
+""",
+)
+def join_interval_overlap(spark, sf_dir):
+    """INTERVAL-OVERLAP join at scale (J5's big-big form; r12): which
+    users were ACTIVE during each maintenance window — per-user daily
+    activity spans [first event, last event] overlap-joined against 3
+    fixed 90-minute windows per day.  Spark has no native interval
+    join; a plain theta join plans as BroadcastNestedLoopJoin (O(n·m)).
+    The kernel (operators/ranges.py::interval_overlap_join) is the
+    standard BIN-BUCKETING composition: explode intervals into covered
+    8 h bins, EQUI-join on the bin key (a plain keyed exchange — the
+    plan assertion pins no nested loop), re-check the exact predicate,
+    dedup per-pair bin collisions.  Fan-out ≤ 4 bins per daily span,
+    1 per window; at 100 TB the join parallelizes on the bin key and
+    cost is linear in events, not quadratic in intervals.  A
+    ``max_bins`` valve drops degenerate timeline-spanning intervals
+    (tests/test_skew.py).
+
+    The oracle is the NAIVE range join — exact at sf0.01 — so the
+    binned composition is value-proven equivalent, closed-interval
+    touch semantics included.  All integers; ``overlap_us`` is exact."""
+    from mycenae_spark.operators.ranges import interval_overlap_join
+
+    p = points(spark, sf_dir)
+    act = (
+        p.withColumn("day", F.expr(f"ts_us div {_DAY_US}"))
+        .groupBy("tag_user", "day")
+        .agg(F.min("ts_us").alias("a_start"), F.max("ts_us").alias("a_end"))
+    )
+    win = (
+        act.select("day").distinct()
+        .withColumnRenamed("day", "wday")
+        .crossJoin(
+            spark.createDataFrame([(0,), (1,), (2,)], "win_id int")
+        )
+        .select(
+            "wday",
+            "win_id",
+            (F.col("wday") * _DAY_US + F.col("win_id").cast("long") * _W8H_US)
+            .alias("w_start"),
+            (F.col("wday") * _DAY_US + F.col("win_id").cast("long") * _W8H_US
+             + _W90M_US).alias("w_end"),
+        )
+    )
+    m = interval_overlap_join(
+        act, win, bin_width=_W8H_US,
+        left_start="a_start", left_end="a_end",
+        right_start="w_start", right_end="w_end",
+        max_bins=16,
+    )
+    return m.select(
+        "tag_user", "day", "win_id", F.col("overlap").alias("overlap_us")
+    )

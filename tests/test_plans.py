@@ -586,3 +586,33 @@ def test_multimodal_header_stats_bounded_output(spark):
     plan = _plan(spark, "multimodal_header_stats")
     assert plan.count("MapInPandas") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_interval_overlap_is_keyed_equi_join(spark):
+    """join_interval_overlap (r12): the bin-bucketing composition plans
+    the interval match as a KEYED equi-join on the bin column — never
+    the all-pairs nested loop a plain interval theta join degenerates
+    to.  (The one nested-loop in the full query is the 3-row window-id
+    constructor cross join, which is the tiny-literal case where a
+    nested loop is correct.)"""
+    import re
+
+    plan = _plan(spark, "join_interval_overlap")
+    assert "CartesianProduct" not in plan
+    # the bin key is the equi-join key of a hash/sort-merge join
+    assert re.search(
+        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[?_lbin", plan
+    ), plan[:2000]
+    # no nested loop beyond the 3-row window constructor
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_sq8_stats_broadcast_corpus_never_shuffled(spark):
+    """ann_sq8_topk (r12): the per-dim quantization grid reaches the
+    corpus as a broadcast literal-array pair, the query set broadcasts,
+    and the corpus is never on a shuffle exchange — brute_topk's shape
+    with integer scoring."""
+    plan = _plan(spark, "ann_sq8_topk")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan

@@ -511,3 +511,43 @@ def test_winnow_pairs_boilerplate_cut(spark):
     }
     assert set(pairs) == {(100, 101)}  # boilerplate cluster reports nothing
     assert pairs[(100, 101)] >= 2
+
+
+def test_interval_overlap_max_bins_valve(spark):
+    """interval_overlap_join's skew valve: a degenerate interval
+    spanning the whole timeline (bin fan-out = #bins, colliding with
+    everything) is DROPPED at max_bins, while normal-width intervals on
+    both sides still pair exactly."""
+    from mycenae_spark.operators.ranges import interval_overlap_join
+
+    B = 100
+    left = spark.createDataFrame(
+        [(1, 50, 140),          # spans bins 0-1
+         (2, 300, 310),         # bin 3
+         (9, 0, 100_000)],      # degenerate: 1001 bins
+        "lid long, a_start long, a_end long",
+    )
+    right = spark.createDataFrame(
+        [(10, 120, 160),        # overlaps lid 1 (bin 1)
+         (20, 305, 306),        # inside lid 2
+         (30, 50_000, 50_001)], # only the degenerate would match
+        "rid long, w_start long, w_end long",
+    )
+    out = interval_overlap_join(
+        left, right, bin_width=B,
+        left_start="a_start", left_end="a_end",
+        right_start="w_start", right_end="w_end",
+        max_bins=16,
+    )
+    pairs = {(r["lid"], r["rid"]): r["overlap"] for r in out.collect()}
+    assert set(pairs) == {(1, 10), (2, 20)}  # giant dropped, bulk exact
+    assert pairs[(1, 10)] == 140 - 120
+    assert pairs[(2, 20)] == 1
+    # without the valve the giant pairs with everything it covers
+    out2 = interval_overlap_join(
+        left, right, bin_width=B,
+        left_start="a_start", left_end="a_end",
+        right_start="w_start", right_end="w_end",
+    )
+    assert {(r["lid"], r["rid"]) for r in out2.collect()} == {
+        (1, 10), (2, 20), (9, 10), (9, 20), (9, 30)}
