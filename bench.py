@@ -146,6 +146,7 @@ HEADLINE = [
     "multimodal_header_stats",
     "join_interval_overlap",
     "ann_sq8_topk",
+    "text_trigram_logprob",
 ]
 
 

@@ -4372,3 +4372,133 @@ def ann_sq8_topk(spark, sf_dir):
 
     e = t(spark, sf_dir, "embeddings")
     return sq8_topk(e, e.filter(F.col("vec_id") < 10), k=5)
+
+
+@q(
+    "text_trigram_logprob",
+    """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+),
+tri AS (
+  SELECT doc_id, ts[i] AS p2, ts[i+1] AS p1, ts[i+2] AS cur
+  FROM toks, unnest(generate_series(1, len(ts) - 2)) AS g(i)
+),
+bi AS (
+  SELECT ts[i] AS prev, ts[i+1] AS cur
+  FROM (SELECT string_split(text, ' ') AS ts FROM documents
+        WHERE len(string_split(text, ' ')) >= 2),
+       unnest(generate_series(1, len(ts) - 1)) AS g(i)
+),
+uni AS (
+  SELECT tok, count(*) AS c FROM (
+    SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+  ) GROUP BY tok
+),
+tot AS (SELECT sum(c)::DOUBLE AS n FROM uni),
+ct AS (SELECT p2, p1, cur, count(*) AS ct FROM tri GROUP BY p2, p1, cur),
+cc AS (SELECT p2, p1, count(*) AS cc FROM tri GROUP BY p2, p1),
+cb AS (SELECT prev, cur, count(*) AS cb FROM bi GROUP BY prev, cur),
+cp AS (SELECT prev, count(*) AS cp FROM bi GROUP BY prev)
+SELECT tri.doc_id, count(*) AS n_trigrams,
+       round6(avg(-ln(0.6 * ct.ct / cc.cc
+                      + 0.3 * cb.cb / cp.cp
+                      + 0.1 * uni.c / tot.n))) AS nll_r
+FROM tri
+JOIN ct USING (p2, p1, cur)
+JOIN cc USING (p2, p1)
+JOIN cb ON cb.prev = tri.p1 AND cb.cur = tri.cur
+JOIN cp ON cp.prev = tri.p1
+JOIN uni ON uni.tok = tri.cur
+CROSS JOIN tot
+GROUP BY tri.doc_id
+""",
+)
+def text_trigram_logprob(spark, sf_dir):
+    """TRIGRAM language-model scoring with full interpolation down the
+    order ladder (r12 — the KenLM shape one order deeper than
+    ``text_bigram_logprob``): per trigram position,
+    P(w|w₋₂w₋₁) = 0.6·c(w₋₂w₋₁w)/c(w₋₂w₋₁) + 0.3·c(w₋₁w)/c(w₋₁)
+    + 0.1·c(w)/N, scored as mean NLL per document.  Each level's
+    context count comes from its own position frame (trigram contexts
+    from trigram positions, bigram from bigram), so every conditional
+    is a true probability.  The trigram term separates locally-fluent
+    reshuffles the bigram model scores well; perplexity filtering at
+    n=3 is the CCNet-family production grain.
+
+    Scale: all five count frames are Zipf-bounded aggs; scoring joins
+    are keyed by (n-gram) tokens; one per-doc hash agg collapses.  The
+    plan family is text_bigram_logprob's with two extra keyed joins —
+    nothing quadratic, nothing global.  Float discipline: weights are
+    shared literals, the only float math is the interpolation + ln
+    (bounded per-position terms), rounded once at 1e-6 with the shared
+    epsilon convention."""
+    from mycenae_spark.functions.text import tokens
+
+    d = t(spark, sf_dir, "documents")
+    toked3 = d.select("doc_id", tokens("text").alias("_ts")).filter(
+        F.size("_ts") >= 3
+    )
+    tri = toked3.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_ts") - 2),
+                lambda i: F.struct(
+                    F.element_at("_ts", i).alias("p2"),
+                    F.element_at("_ts", i + 1).alias("p1"),
+                    F.element_at("_ts", i + 2).alias("cur"),
+                ),
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.p2", "g.p1", "g.cur")
+    toked2 = d.select(tokens("text").alias("_ts")).filter(
+        F.size("_ts") >= 2
+    )
+    bi = toked2.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_ts") - 1),
+                lambda i: F.struct(
+                    F.element_at("_ts", i).alias("prev"),
+                    F.element_at("_ts", i + 1).alias("cur"),
+                ),
+            )
+        ).alias("b"),
+    ).select("b.prev", "b.cur")
+    uni = (
+        d.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = uni.agg(F.sum("c").cast("double").alias("n"))
+    ct = tri.groupBy("p2", "p1", "cur").agg(F.count(F.lit(1)).alias("ct"))
+    cc = tri.groupBy("p2", "p1").agg(F.count(F.lit(1)).alias("cc"))
+    cb = bi.groupBy(
+        F.col("prev").alias("b_prev"), F.col("cur").alias("b_cur")
+    ).agg(F.count(F.lit(1)).alias("cb"))
+    cp = bi.groupBy(F.col("prev").alias("b_prev")).agg(
+        F.count(F.lit(1)).alias("cp")
+    )
+    prob = (
+        0.6 * F.col("ct") / F.col("cc")
+        + 0.3 * F.col("cb") / F.col("cp")
+        + 0.1 * F.col("c") / F.col("n")
+    )
+    return (
+        tri.join(ct, ["p2", "p1", "cur"])
+        .join(cc, ["p2", "p1"])
+        .join(
+            cb,
+            (F.col("b_prev") == F.col("p1")) & (F.col("b_cur") == F.col("cur")),
+        )
+        .join(cp, "b_prev")
+        .join(uni, F.col("tok") == F.col("cur"))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            r6(F.avg(-F.log(prob))).alias("nll_r"),
+        )
+    )
