@@ -431,3 +431,71 @@ def test_asof_join_equal_ts_ties_deterministic(spark):
         left_id="lid", right_id="rid", direction="forward",
     ).collect()
     assert [(r["left_lid"], r["right_rid"]) for r in fwd] == [(1, 9)]
+
+
+def test_attribution_join_window_boundaries_and_modes(spark):
+    """attribution_join (r12): first = earliest in-window touch via the
+    shift-and-mirror forward as-of; last = latest via backward as-of;
+    both windows are CLOSED on both ends (a touch exactly at ts−W or at
+    ts matches), unmatched conversions stay as null rows, and the two
+    modes disagree exactly when a window holds >1 touch."""
+    from mycenae_spark.operators.asof import attribution_join
+
+    W = 100
+    conv = spark.createDataFrame(
+        [("u1", 1000, 10), ("u2", 1000, 20), ("u3", 1000, 30)],
+        "user string, ts_us long, event_id long",
+    )
+    touch = spark.createDataFrame(
+        [
+            ("u1", 900, 101),   # exactly at ts-W: in (closed)
+            ("u1", 950, 102),
+            ("u1", 1000, 103),  # exactly at ts: in (closed)
+            ("u2", 899, 201),   # 1 us too early: out
+        ],
+        "user string, ts_us long, event_id long",
+    )
+
+    def run(mode):
+        return {
+            r["left_event_id"]: r["right_event_id"]
+            for r in attribution_join(
+                conv, touch, on="user", window_us=W, mode=mode
+            ).collect()
+        }
+
+    last = run("last")
+    first = run("first")
+    assert last[10] == 103 and first[10] == 101  # modes pick window ends
+    assert last[20] is None and first[20] is None  # out-of-window only
+    assert last[30] is None and first[30] is None  # no touches at all
+    # original conversion timestamp restored in first mode
+    rows = attribution_join(conv, touch, on="user", window_us=W,
+                            mode="first").collect()
+    assert all(r["ts_us"] == 1000 for r in rows)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="mode"):
+        attribution_join(conv, touch, on="user", window_us=W, mode="linear")
+
+
+def test_interval_overlap_touch_semantics(spark):
+    """interval_overlap_join: closed-interval touches (end == start)
+    pair with overlap 0; disjoint intervals in the SAME bin do not."""
+    from mycenae_spark.operators.ranges import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [(1, 100, 200)], "lid long, a_start long, a_end long")
+    right = spark.createDataFrame(
+        [(10, 200, 250),   # touches at 200: overlap 0
+         (20, 201, 250)],  # disjoint but same bin
+        "rid long, w_start long, w_end long")
+    out = {
+        (r["lid"], r["rid"]): r["overlap"]
+        for r in interval_overlap_join(
+            left, right, bin_width=1000,
+            left_start="a_start", left_end="a_end",
+            right_start="w_start", right_end="w_end",
+        ).collect()
+    }
+    assert out == {(1, 10): 0}
