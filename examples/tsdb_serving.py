@@ -123,17 +123,38 @@ def main() -> None:
               f"{len(q[0]['dps'])} buckets; canonical="
               f"{render_expression_of(exp, BASE + 86_400_000)!r}")
 
-        # 7. The HTTP façade on a real socket.
+        # 7. The HTTP façade on a real socket — with a MaxTimeseries cap
+        # (over-cap queries 400 pre-flight) and the analytics verbs.
         from mycenae_spark.server import serve
 
         httpd, _thread = serve(spark, lake, catalog, port=0,
-                               rollup_dir=roll)
+                               rollup_dir=roll, max_series=100)
         port = httpd.server_address[1]
+        base = f"http://127.0.0.1:{port}"
         with urllib.request.urlopen(
-            f"http://127.0.0.1:{port}/api/suggest?type=metrics&q=cpu&max=5"
+            f"{base}/api/suggest?type=metrics&q=cpu&max=5"
         ) as r:
             print(f"HTTP suggest: {json.loads(r.read())}")
+
+        def post(path, body):
+            req = urllib.request.Request(
+                f"{base}{path}", data=json.dumps(body).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req) as resp:
+                return json.loads(resp.read())
+
+        # 8. Analytics verbs: newest point per series (keyset-paged) and
+        # gap/heartbeat monitoring over the served lake.
+        page = post("/keysets/k1/api/query/last", {"limit": 3})
+        print(f"last (page of 3): {len(page)} series; "
+              f"cursor={page[-1]['key']!r}")
+        gaps = post("/keysets/k1/api/query/gaps",
+                    {"metric": "cpu.load", "threshold": "2h", "limit": 5})
+        print(f"gaps: {len(gaps)} series reported, "
+              f"max silent window {max(g['max_gap_us'] for g in gaps)} us")
         httpd.shutdown()
+        httpd.server_close()
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
