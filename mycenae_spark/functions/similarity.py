@@ -587,9 +587,20 @@ def sq8_quantized(
     emb_col: str = "embedding",
 ) -> DataFrame:
     """INT8 scalar quantization (the SQ in FAISS's SQ8 index): per-DIM
-    min/max over the corpus define an affine grid, every component maps
-    to ``floor((v − min_d)·255 / range_d)`` ∈ [0, 255].  Returns
+    min/max over the corpus define a CENTERED affine grid, every
+    component maps to ``floor((v − mid_d)·255 / range_d)`` ∈
+    [−128, 127] with ``mid_d = (min_d + max_d)/2``.  Returns
     (id_col, qv: array<long>).
+
+    Centering is CORRECTNESS for dot-product ranking, not taste: the
+    min-shifted grid (components in [0, 255]) makes every quantized
+    vector share a large positive offset, and Σ qa·qb is then dominated
+    by the offset mass — recall@3 vs the float cosine baseline was
+    0.033, i.e. the ranking carried almost no signal (caught by the
+    bench recall extra, r12).  The centered grid measures 0.633 at
+    sf0.1 — the honest int8 resolution limit on this corpus (a global
+    uniform scale measures the same, so per-dim weighting is not the
+    limiter; the k=3 cut is simply sharp at 8-bit precision).
 
     All arithmetic is DOUBLE on both engines (components cast before any
     op), so the quantization grid is bit-identical cross-engine and the
@@ -611,12 +622,12 @@ def sq8_quantized(
     arrs = stats.agg(
         F.array_sort(F.collect_list(F.struct("pos", "mn", "mx"))).alias("s")
     ).select(
-        F.transform("s", lambda x: x["mn"]).alias("_mins"),
+        F.transform("s", lambda x: (x["mn"] + x["mx"]) / 2).alias("_mids"),
         F.transform("s", lambda x: x["mx"] - x["mn"]).alias("_rngs"),
     )
     shifted = F.zip_with(
         F.transform(F.col(emb_col), lambda v: v.cast("double")),
-        F.col("_mins"),
+        F.col("_mids"),
         lambda v, m: v - m,
     )
     q = F.zip_with(

@@ -4326,12 +4326,13 @@ vd AS (
   FROM embeddings CROSS JOIN dim
 ),
 st AS (
-  SELECT d, min(v) AS mn, max(v) - min(v) AS rng FROM vd GROUP BY d
+  SELECT d, (min(v) + max(v)) / 2 AS mid, max(v) - min(v) AS rng
+  FROM vd GROUP BY d
 ),
 qd AS (
   SELECT vec_id, vd.d,
          CASE WHEN rng = 0 THEN 0
-              ELSE floor(((v - mn) * 255) / rng) END::BIGINT AS qv
+              ELSE floor(((v - mid) * 255) / rng) END::BIGINT AS qv
   FROM vd JOIN st ON st.d = vd.d
 ),
 dots AS (
@@ -4350,9 +4351,13 @@ SELECT q_id, n_id, rk, qdot FROM (
 )
 def ann_sq8_topk(spark, sf_dir):
     """INT8 scalar-quantization ANN (r12 — the SQ family member next to
-    PQ/IVFPQ; FAISS's SQ8 shape): per-dim corpus min/max define an
-    affine grid, components map to floor((v−min)·255/range) ∈ [0,255],
-    and ranking is by the INTEGER dot product of quantized vectors —
+    PQ/IVFPQ; FAISS's SQ8 shape): per-dim corpus min/max define a
+    CENTERED affine grid, components map to
+    floor((v−mid)·255/range) ∈ [−128,127] (centering is what makes the
+    integer dot product a similarity — the min-shifted grid's shared
+    positive offset swamped it, recall 0.033 → 0.633; see
+    sq8_quantized's measured trail), and ranking is by the INTEGER dot
+    product of quantized vectors —
     4× memory compression with fully deterministic scoring (no float
     rounding convention anywhere: the only floats are the grid
     arithmetic, double-identical on both engines by construction; the
