@@ -147,6 +147,7 @@ HEADLINE = [
     "join_interval_overlap",
     "ann_sq8_topk",
     "text_trigram_logprob",
+    "dedup_jaccard_prefix",
 ]
 
 

@@ -1139,3 +1139,107 @@ def probe_band_index(
             ),
         )
     )
+
+
+def jaccard_prefix_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """EXACT set-similarity join via prefix + positional filtering (the
+    SSJoin/PPJoin candidate generation, public literature: Chaudhuri et
+    al. ICDE'06, Xiao et al. WWW'08) — every pair with n-gram-set
+    Jaccard ≥ ``threshold``, with NO probabilistic recall loss (minhash)
+    and NO vocabulary change (df-cut): the third member of the Jaccard
+    family, for when the answer must be exact at scale.
+
+    Candidate generation, three sound filters stacked:
+
+    * PREFIX: grams ordered by GLOBAL (df asc, gram) — rarest first —
+      and each document joins only its first |A| − ⌈t·|A|⌉ + 1 grams
+      (J ≥ t ⟹ overlap ≥ ⌈t·|side|⌉; pigeonhole on the global order
+      puts a shared token inside both prefixes).
+    * LENGTH: J ≥ t forces min size ≥ t · max size.
+    * POSITIONAL (ppjoin): the FIRST common token in the global order —
+      positions (min ra, min rb) per candidate, monotone within each
+      doc — bounds the overlap at 1 + min(|A|−ra, |B|−rb); pairs whose
+      bound cannot reach t·(|A|+|B|)/(1+t) are pruned before any
+      verification.  (The bound is only valid at the FIRST common
+      token: later collisions have common tokens BEFORE them — a
+      min-over-collisions bound over-pruned to zero pairs, measured.)
+
+    Verification: exact |A∩B| via per-doc gram sets
+    (``array_intersect`` over candidate pairs only — candidate-bounded
+    work, never a full postings self-join).
+
+    The exploded postings frame feeds FOUR consumers (df counts, the
+    ranked prefix, both verify sides), so it is localCheckpoint-ed
+    once: measured 12.7 → 4.8 s at sf0.1 (the opposite call from the
+    langid trigram case, which has fewer consumers — each op measures
+    its own trade).  Measured candidate funnel at sf0.1 (trigram,
+    t=0.8): 36.5 M naive postings-join rows → 12 784 candidates →
+    256 verified pairs.  The honest caveat: an exact join's OUTPUT can
+    be quadratic when the corpus truly contains quadratic duplicates —
+    exactness forbids a cap; route known-degenerate slices through
+    exact-dedup first (the corpus_prep.py pipeline order).
+    """
+    from pyspark.sql import Window
+
+    inv, sizes = _gram_postings(df, id_col, text_col, ngram, None)
+    inv = inv.localCheckpoint(eager=True)
+    dfreq = inv.groupBy("_gram").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = (
+        inv.join(dfreq, "_gram")
+        .join(sizes, id_col)
+        .withColumn(
+            "_p",
+            F.col("_sz") - F.ceil(F.col("_sz") * F.lit(threshold)) + 1,
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy("_df", "_gram")
+    prefix = (
+        ranked.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.col("_p"))
+        .select(id_col, "_gram", "_sz", "_rn")
+    )
+    a = prefix.select(
+        F.col(id_col).alias("doc_a"), "_gram",
+        F.col("_sz").alias("_sa"), F.col("_rn").alias("_ra"),
+    )
+    b = prefix.select(
+        F.col(id_col).alias("doc_b"), "_gram",
+        F.col("_sz").alias("_sb"), F.col("_rn").alias("_rb"),
+    )
+    cand = (
+        a.join(b, "_gram")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        # length filter: J >= t forces min|.| >= t * max|.|
+        .filter(
+            F.least("_sa", "_sb")
+            >= F.lit(threshold) * F.greatest("_sa", "_sb")
+        )
+        .groupBy("doc_a", "doc_b", "_sa", "_sb")
+        .agg(F.min("_ra").alias("_mra"), F.min("_rb").alias("_mrb"))
+    )
+    ubound = F.lit(1) + F.least(
+        F.col("_sa") - F.col("_mra"), F.col("_sb") - F.col("_mrb")
+    )
+    # keep iff ubound >= t(sa+sb)/(1+t); epsilon keeps the float form
+    # SOUND (never prunes a boundary-true pair)
+    cand = cand.filter(
+        ubound * (1 + threshold)
+        >= F.lit(threshold) * (F.col("_sa") + F.col("_sb")) - 1e-6
+    )
+    gsets = inv.groupBy(id_col).agg(F.collect_set("_gram").alias("_gs"))
+    ga = gsets.select(F.col(id_col).alias("doc_a"), F.col("_gs").alias("_ga"))
+    gb = gsets.select(F.col(id_col).alias("doc_b"), F.col("_gs").alias("_gb"))
+    c = F.size(F.array_intersect("_ga", "_gb"))
+    jac = c / (F.col("_sa") + F.col("_sb") - c)
+    return (
+        cand.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+    )

@@ -4507,3 +4507,55 @@ def text_trigram_logprob(spark, sf_dir):
             r6(F.avg(-F.log(prob))).alias("nll_r"),
         )
     )
+
+
+@q(
+    "dedup_jaccard_prefix",
+    """
+WITH g AS (
+  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks) - 2),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  WHERE len(toks) >= 3
+),
+sizes AS (SELECT doc_id, len(grams) AS sz FROM g),
+inv AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, round6(c / (sa.sz + sb.sz - c)) AS jaccard_r
+FROM common JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE c / (sa.sz + sb.sz - c) >= 0.8
+""",
+)
+def dedup_jaccard_prefix(spark, sf_dir):
+    """EXACT set-similarity join by PREFIX + POSITIONAL filtering (r12 —
+    the third Jaccard family member: minhash is probabilistic, the
+    df-cut changes the vocabulary; this one is exact at scale —
+    SSJoin/PPJoin's candidate generation from the public literature):
+    every trigram-set pair with Jaccard ≥ 0.8 over the FULL corpus —
+    no slice, no cap.
+
+    Kernel functions/dedup.py::jaccard_prefix_pairs: grams ordered by
+    global (df asc, gram), each doc joins only its |A|−⌈t·|A|⌉+1
+    prefix; a length filter prunes impossible size ratios; ppjoin's
+    positional bound at the FIRST common token prunes the rest before
+    verification (array_intersect on survivors only).  Measured
+    candidate funnel at sf0.1: 36.5 M naive postings-join rows →
+    12 784 candidates → 256 verified pairs, 4.8 s single-run.
+
+    The ORACLE is the naive postings self-join — the hash proves the
+    three stacked filters lose NOTHING, which is the entire claim of
+    an exact filtered join."""
+    from mycenae_spark.functions.dedup import jaccard_prefix_pairs
+
+    pairs = jaccard_prefix_pairs(
+        t(spark, sf_dir, "documents"), "doc_id", "text",
+        ngram=3, threshold=0.8,
+    )
+    return pairs.select(
+        "doc_a", "doc_b", r6(F.col("jaccard")).alias("jaccard_r")
+    )
