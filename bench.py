@@ -148,6 +148,7 @@ HEADLINE = [
     "ann_sq8_topk",
     "text_trigram_logprob",
     "dedup_jaccard_prefix",
+    "sample_weighted_topk",
 ]
 
 

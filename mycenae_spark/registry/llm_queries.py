@@ -4559,3 +4559,60 @@ def dedup_jaccard_prefix(spark, sf_dir):
     return pairs.select(
         "doc_a", "doc_b", r6(F.col("jaccard")).alias("jaccard_r")
     )
+
+
+@q(
+    "sample_weighted_topk",
+    """
+WITH w AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_toks,
+         (CAST(('0x' || substr(md5('aes1|' || doc_id::VARCHAR), 1, 8))
+               AS BIGINT) + 1) / 4294967297.0 AS u
+  FROM documents
+),
+keyed AS (
+  SELECT doc_id, n_toks,
+         round6(ln(u) / n_toks) AS key_r
+  FROM w WHERE n_toks > 0
+)
+SELECT doc_id, n_toks, key_r, rk FROM (
+  SELECT *, row_number() OVER (ORDER BY key_r DESC, doc_id) AS rk
+  FROM keyed
+) WHERE rk <= 64
+""",
+)
+def sample_weighted_topk(spark, sf_dir):
+    """WEIGHTED sampling without replacement (r12) — the
+    Efraimidis–Spirakis A-ES scheme (public: IPL 2006): each item draws
+    a uniform u and the k items with the largest u^(1/w) ARE a weighted
+    sample without replacement; ranking by ln(u)/w is the standard
+    numerically-stable equivalent.  Here u is HASH-derived
+    (md5('aes1|'+doc_id), the house no-rand() convention), so the
+    sample is a pure function of the corpus — reproducible across runs,
+    engines, and retries — and the weight is the document's token
+    count: longer documents proportionally likelier, the seqio/
+    data-mixing default.
+
+    Determinism: u is exact integer arithmetic ÷ one literal; ln and ÷
+    are single IEEE ops on identical doubles; the rank key rounds to
+    the 1e-6 grid with the shared epsilon convention BEFORE ordering
+    (engine ulp noise cannot flip the cutoff; ties by doc_id).  Scale:
+    key assignment is a pure projection inside the scan; top-64 is
+    orderBy+limit — TakeOrderedAndProject's per-partition top-k, never
+    a global sort (the DSIR convention)."""
+    from mycenae_spark.functions.text import token_count_ws
+
+    d = t(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("aes1|"),
+                                          F.col("doc_id").cast("string"))),
+                           1, 8), 16, 10).cast("long") + 1
+    ) / F.lit(4294967297.0)
+    keyed = d.select(
+        "doc_id",
+        token_count_ws("text").alias("n_toks"),
+        r6(F.log(u) / token_count_ws("text")).alias("key_r"),
+    ).filter(F.col("n_toks") > 0)
+    top = keyed.orderBy(F.desc("key_r"), "doc_id").limit(64)
+    rk = F.row_number().over(Window.orderBy(F.desc("key_r"), "doc_id"))
+    return top.select("doc_id", "n_toks", "key_r", rk.alias("rk"))
