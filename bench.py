@@ -96,7 +96,13 @@ HEADLINE = [
     "agg_kmv_distinct",
     # round 8
     "knn_graph_multiprobe",
-    "text_langid_mixture",
+    # text_langid_mixture: demoted from the headline in r12 — at the
+    # judged {3} order set it is semantically and plan-family identical
+    # to text_langid_trigram (which stays, as the inline-vs-indexed
+    # comparison against text_langid_indexed), so the suite was timing
+    # the same computation three ways at ~4 s each.  The id stays
+    # judged (oracle replica + driver window) and its accuracy stays
+    # measured in extras (langid_mixture_accuracy).
     "text_bpe_pair_stats",
     "source_quality_profile",
     "sample_ccnet_buckets",
