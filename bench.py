@@ -155,6 +155,12 @@ HEADLINE = [
     "text_trigram_logprob",
     "dedup_jaccard_prefix",
     "sample_weighted_topk",
+    # Streaming lifecycle roundtrips (stream_funnel/gaps/dedup/evict/
+    # heavyhitters_roundtrip, the bus/ingest roundtrips) are judged via
+    # the driver window + oracle replica but never headline-timed —
+    # they measure micro-batch machinery and, for the eviction one,
+    # deliberate wall-clock sleeps (~15 s against a 6 s idleness
+    # window), not a query plan.  The headline is the QUERY surface.
 ]
 
 
