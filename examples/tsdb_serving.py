@@ -147,12 +147,15 @@ def main() -> None:
         # 8. Analytics verbs: newest point per series (keyset-paged) and
         # gap/heartbeat monitoring over the served lake.
         page = post("/keysets/k1/api/query/last", {"limit": 3})
-        print(f"last (page of 3): {len(page)} series; "
-              f"cursor={page[-1]['key']!r}")
+        cursor = page[-1]["key"] if page else None
+        print(f"last (page of 3): {len(page)} series; cursor={cursor!r}")
         gaps = post("/keysets/k1/api/query/gaps",
                     {"metric": "cpu.load", "threshold": "2h", "limit": 5})
+        # single-point series report max_gap_us = -1 (no interval exists)
+        widest = max((g["max_gap_us"] for g in gaps
+                      if g["max_gap_us"] is not None), default=-1)
         print(f"gaps: {len(gaps)} series reported, "
-              f"max silent window {max(g['max_gap_us'] for g in gaps)} us")
+              f"max silent window {widest} us")
         httpd.shutdown()
         httpd.server_close()
     finally:

@@ -656,9 +656,14 @@ def sq8_topk(
     corpus-wide grid).  Returns (q_id, n_id, rk, qdot).
 
     Same plan family as ``brute_topk``: the quantized query set
-    broadcasts, the corpus streams once, per-query rank windows on the
-    scored frame."""
-    qv = sq8_quantized(corpus, id_col=id_col, emb_col=emb_col)
+    broadcasts and per-query rank windows run on the scored frame.  The
+    quantized frame feeds BOTH join sides, so it is localCheckpoint-ed
+    once — without it the corpus is scanned and re-quantized per branch
+    (review finding; in production the quantized table is a persisted
+    materialization and this is moot)."""
+    qv = sq8_quantized(
+        corpus, id_col=id_col, emb_col=emb_col
+    ).localCheckpoint(eager=True)
     q_ids = queries.select(F.col(id_col))
     a = qv.join(F.broadcast(q_ids), id_col).select(
         F.col(id_col).alias("q_id"), F.col("qv").alias("_qa")

@@ -50,34 +50,54 @@ def interval_overlap_join(
     """Pairs (left row, right row) whose CLOSED intervals overlap
     (``l.start <= r.end AND l.end >= r.start``), by bin bucketing.
 
-    Returns left columns + right columns (callers pre-alias collisions)
-    + ``overlap`` = ``min(ends) - max(starts)`` (≥ 0 for closed-interval
-    touches).  Intervals must be unit-consistent with ``bin_width``.
-    ``max_bins`` drops intervals covering more than that many bins from
-    EITHER side (see module docstring — the skew valve)."""
+    Returns left columns + right columns + ``overlap`` =
+    ``min(ends) - max(starts)`` (≥ 0 for closed-interval touches).
+    The four interval column names must be DISTINCT across the two
+    sides (pre-alias before calling — checked, the post-join predicate
+    would otherwise be ambiguous).  Intervals must be unit-consistent
+    with ``bin_width``.  ``max_bins`` drops intervals covering more
+    than that many bins from EITHER side (the skew valve — module
+    docstring).
+
+    An overlapping pair collides once per SHARED bin; the join keeps
+    only the collision in the pair's FIRST shared bin
+    (``bin == max(lo_l, lo_r)`` — the standard dedup-free form), so
+    output multiplicity matches the naive theta join exactly, even for
+    duplicate input rows, with no distinct shuffle (review finding:
+    the earlier ``dropDuplicates`` collapsed identical input rows)."""
+    if {left_start, left_end} & {right_start, right_end}:
+        raise ValueError(
+            "interval_overlap_join: left and right interval columns "
+            f"must have distinct names, got {left_start}/{left_end} vs "
+            f"{right_start}/{right_end} — alias one side first"
+        )
 
     def binned(df: DataFrame, s: str, e: str, side: str) -> DataFrame:
         lo = F.expr(f"{s} div {bin_width}")
         hi = F.expr(f"{e} div {bin_width}")
         if max_bins is not None:
             df = df.filter(hi - lo < F.lit(max_bins))
-        return df.withColumn(
+        return df.withColumn(f"_{side}lo", lo).withColumn(
             f"_{side}bin", F.explode(F.sequence(lo, hi))
         )
 
     l = binned(left, left_start, left_end, "l")
     r = binned(right, right_start, right_end, "r")
-    joined = l.join(r, l["_lbin"] == r["_rbin"]).filter(
-        (F.col(left_start) <= F.col(right_end))
-        & (F.col(left_end) >= F.col(right_start))
-    )
-    out_cols = [c for c in joined.columns if c not in ("_lbin", "_rbin")]
-    return (
-        joined.select(*out_cols)
-        .dropDuplicates(out_cols)  # one collision per shared bin
-        .withColumn(
-            "overlap",
-            F.least(F.col(left_end), F.col(right_end))
-            - F.greatest(F.col(left_start), F.col(right_start)),
+    joined = (
+        l.join(r, l["_lbin"] == r["_rbin"])
+        .filter(
+            (F.col(left_start) <= F.col(right_end))
+            & (F.col(left_end) >= F.col(right_start))
         )
+        # first-shared-bin: exactly one surviving collision per pair
+        .filter(F.col("_lbin") == F.greatest("_llo", "_rlo"))
+    )
+    out_cols = [
+        c for c in joined.columns
+        if c not in ("_lbin", "_rbin", "_llo", "_rlo")
+    ]
+    return joined.select(*out_cols).withColumn(
+        "overlap",
+        F.least(F.col(left_end), F.col(right_end))
+        - F.greatest(F.col(left_start), F.col(right_start)),
     )

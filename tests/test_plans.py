@@ -569,13 +569,17 @@ def test_langid_indexed_broadcast_profile_no_gram_shuffle(spark):
     exchanges the corpus on the gram key)."""
     plan = _plan(spark, "text_langid_indexed")
     assert "BroadcastHashJoin" in plan
-    # No exchange PARTITIONED BY the gram key (the inline form's
-    # dot-product join cost).  The (doc_id, ..., gram) tf aggregation
-    # exchange of the norm branch is doc-keyed and expected.
+    # Every exchange touching the gram key must ALSO carry doc_id (the
+    # norm branch's doc-keyed tf aggregation) — a pure gram-keyed
+    # repartition anywhere, leading key or not, is the inline form's
+    # dot-product join cost reintroduced (review finding: the earlier
+    # leading-key check missed secondary-key regressions).
     import re
 
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
-        assert not m.group(1).startswith("gram"), m.group(0)
+        keys = m.group(1)
+        if "gram" in keys:
+            assert "doc_id" in keys, m.group(0)
 
 
 def test_multimodal_header_stats_bounded_output(spark):
