@@ -156,6 +156,8 @@ HEADLINE = [
     "dedup_jaccard_prefix",
     "sample_weighted_topk",
     "ann_sq8_rerank_topk",
+    "downsample_cal_week",
+    "dedup_jaccard_prefix_clusters",
     # Streaming lifecycle roundtrips (stream_funnel/gaps/dedup/evict/
     # heavyhitters_roundtrip, the bus/ingest roundtrips) are judged via
     # the driver window + oracle replica but never headline-timed —

@@ -4700,3 +4700,67 @@ def ann_sq8_rerank_topk(spark, sf_dir):
         e, e.filter(F.col("vec_id") < 10), k=5, n_candidates=32,
         score_rounder=r6,
     )
+
+
+@q(
+    "dedup_jaccard_prefix_clusters",
+    """
+WITH RECURSIVE g AS (
+  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks) - 2),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  WHERE len(toks) >= 3
+),
+sizes AS (SELECT doc_id, len(grams) AS sz FROM g),
+inv AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM common JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE c / (sa.sz + sb.sz - c) >= 0.8
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+)
+SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+FROM reach GROUP BY src
+""",
+)
+def dedup_jaccard_prefix_clusters(spark, sf_dir):
+    """EXACT near-dup GROUPS end-to-end (r12): the prefix/positional-
+    filtered exact Jaccard pairs (``dedup_jaccard_prefix``) become an
+    edge list and min-label pointer-jumping components label every
+    involved document with the smallest reachable id — the kept
+    representative under the keep-min rule.  The full production
+    composition with NO approximation anywhere: exact candidate
+    generation (oracle-proven lossless) feeding the edge-source-
+    agnostic component machinery (the dedup_clusters /
+    dedup_semantic_clusters kernel, functions/dedup.py::
+    connected_components).
+
+    The oracle recomputes the pairs NAIVELY and walks the same graph
+    with a recursive CTE, so both stages are value-checked through the
+    composition.  Scale: pairs are filter-bounded (the prefix-join
+    funnel), components converge in O(diameter) shuffles — near-dup
+    components are shallow."""
+    from mycenae_spark.functions.dedup import (
+        connected_components,
+        jaccard_prefix_pairs,
+    )
+
+    pairs = jaccard_prefix_pairs(
+        t(spark, sf_dir, "documents"), "doc_id", "text",
+        ngram=3, threshold=0.8,
+    )
+    return connected_components(pairs, "doc_a", "doc_b")

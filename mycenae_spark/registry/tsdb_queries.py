@@ -5163,3 +5163,64 @@ def stream_heavyhitters_roundtrip(spark, sf_dir):
         )),
     ]
     return spark.createDataFrame(flags, "what string, n long")
+
+
+@q(
+    "downsample_cal_week",
+    f"""
+WITH p AS ({SQL_POINTS}),
+d AS (
+  SELECT metric, tag_user, value,
+         date_trunc('week',
+           DATE '1970-01-01' + CAST(ts_us // 86400000000 AS INT)) AS w0
+  FROM p
+)
+SELECT metric, tag_user,
+       (w0 - DATE '1970-01-01') * 86400000::BIGINT AS bucket_ms,
+       round4(sum(value)) AS sum_v_r,
+       count(*)::BIGINT AS n
+FROM d GROUP BY metric, tag_user, w0
+""",
+)
+def downsample_cal_week(spark, sf_dir):
+    """CALENDAR-week downsample (r12 — the ISO-week sibling of
+    ``downsample_cal_month``, closing the calendar-unit family): buckets
+    start on MONDAYS, which epoch-aligned `1w = 7d` arithmetic cannot
+    express — the epoch (1970-01-01) was a Thursday, so fixed-interval
+    weekly buckets run Thu→Thu and split every real week across two
+    buckets (`downsample_sum_1w` keeps the epoch-aligned form; both
+    grains exist in OpenTSDB's calendar flag semantics).
+
+    Same timezone-free discipline as cal_month on BOTH engines: epoch
+    µs → epoch day by exact integer division → DATE arithmetic
+    (`trunc('week')` is Monday-start in Spark and DuckDB alike) → back
+    to epoch ms via days-since-epoch; no timestamp type anywhere, so a
+    vanilla driver session's host timezone cannot shift a bucket.
+    Plan: pure projection + one (series, bucket) hash agg."""
+    import datetime
+
+    p = points(spark, sf_dir)
+    w0 = F.trunc(
+        F.date_add(
+            F.lit(datetime.date(1970, 1, 1)),
+            F.expr("ts_us div 86400000000").cast("int"),
+        ),
+        "week",
+    )
+    return (
+        p.withColumn("_w0", w0)
+        .groupBy("metric", "tag_user", "_w0")
+        .agg(
+            r4(F.sum("value")).alias("sum_v_r"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "metric",
+            "tag_user",
+            (F.unix_date(F.col("_w0")).cast("long") * F.lit(86_400_000)).alias(
+                "bucket_ms"
+            ),
+            "sum_v_r",
+            "n",
+        )
+    )
