@@ -158,6 +158,7 @@ HEADLINE = [
     "ann_sq8_rerank_topk",
     "downsample_cal_week",
     "dedup_jaccard_prefix_clusters",
+    "decontaminate_split_leakage",
     # Streaming lifecycle roundtrips (stream_funnel/gaps/dedup/evict/
     # heavyhitters_roundtrip, the bus/ingest roundtrips) are judged via
     # the driver window + oracle replica but never headline-timed —

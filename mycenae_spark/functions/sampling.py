@@ -53,18 +53,33 @@ def hash_split(
     –``"f…"`` buckets and would silently mislabel them.  A two-way split
     is spelled ``val=0`` (val bucket empty), not ``train + val = 1``.
     """
+    return df.withColumn(
+        out, split_label(id_col, salt=salt, train=train, val=val)
+    )
+
+
+def split_label(
+    id_col: Column | str,
+    salt: str = "split1",
+    train: float = 0.90,
+    val: float = 0.05,
+) -> Column:
+    """The split label as a pure COLUMN expression — usable anywhere a
+    row carries the id (e.g. labeling the two sides of a dedup pair
+    without any join; the split being a pure function of the id is the
+    entire point of hash splitting).  Same thresholds/validation as
+    :func:`hash_split`, which is now a thin wrapper."""
     if not (0.0 < train and 0.0 <= val and train + val < 1.0):
         raise ValueError(
             f"need 0 < train and 0 <= val and train + val < 1, "
             f"got train={train} val={val}"
         )
     h4 = split_bucket(id_col, salt)
-    label = (
+    return (
         F.when(h4 < F.lit(hex_threshold(train)), "train")
         .when(h4 < F.lit(hex_threshold(train + val)), "val")
         .otherwise("test")
     )
-    return df.withColumn(out, label)
 
 
 def stratified_sample(

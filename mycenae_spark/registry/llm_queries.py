@@ -4764,3 +4764,83 @@ def dedup_jaccard_prefix_clusters(spark, sf_dir):
         ngram=3, threshold=0.8,
     )
     return connected_components(pairs, "doc_a", "doc_b")
+
+
+@q(
+    "decontaminate_split_leakage",
+    """
+WITH g AS (
+  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks) - 2),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  WHERE len(toks) >= 3
+),
+sizes AS (SELECT doc_id, len(grams) AS sz FROM g),
+inv AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT doc_a, doc_b, round6(c / (sa.sz + sb.sz - c)) AS jaccard_r
+  FROM common JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE c / (sa.sz + sb.sz - c) >= 0.8
+),
+sp AS (
+  SELECT doc_id,
+    CASE WHEN substr(md5('split1|' || doc_id::VARCHAR), 1, 4) < 'e666' THEN 'train'
+         WHEN substr(md5('split1|' || doc_id::VARCHAR), 1, 4) < 'f333' THEN 'val'
+         ELSE 'test' END AS split
+  FROM documents
+)
+SELECT p.doc_a, p.doc_b, sa.split AS split_a, sb.split AS split_b,
+       p.jaccard_r
+FROM pairs p
+JOIN sp sa ON sa.doc_id = p.doc_a
+JOIN sp sb ON sb.doc_id = p.doc_b
+WHERE sa.split <> sb.split
+""",
+)
+def decontaminate_split_leakage(spark, sf_dir):
+    """CROSS-SPLIT LEAKAGE detection (r12) — the evaluation-integrity
+    check every training pipeline needs and dedup-within-corpus does
+    not give you: near-duplicate pairs (exact trigram Jaccard ≥ 0.8,
+    the prefix-join kernel — no probabilistic recall loss where a
+    missed pair means a contaminated eval) that SPAN different splits
+    of the deterministic 90/5/5 hash split.  A val/test document with
+    a train-side near-duplicate inflates eval scores without any
+    benchmark decontamination catching it (that guards against
+    EXTERNAL benchmarks; this guards the pipeline's own held-out
+    sets).
+
+    Pure composition of two judged kernels — the hash split +
+    ``jaccard_prefix_pairs`` — and because the split is a PURE FUNCTION
+    of doc_id (that is the point of hash splitting), the labels are
+    PROJECTIONS over the pair frame: no label join at all, not even a
+    broadcast (at 100 TB the label frame is corpus-sized — a join
+    would reintroduce the very shuffle the md5 split exists to avoid).
+    Cost is exactly the dedup pass's envelope (the pairs ARE the dedup
+    pairs): run once per split re-cut, fail the build if the count is
+    nonzero.  Judged output is the full leak list with both splits
+    named."""
+    from mycenae_spark.functions.dedup import jaccard_prefix_pairs
+    from mycenae_spark.functions.sampling import split_label
+
+    d = t(spark, sf_dir, "documents")
+    pairs = jaccard_prefix_pairs(d, "doc_id", "text", ngram=3,
+                                 threshold=0.8)
+    return (
+        pairs.withColumn(
+            "split_a",
+            split_label(F.col("doc_a"), salt="split1", train=0.90, val=0.05),
+        )
+        .withColumn(
+            "split_b",
+            split_label(F.col("doc_b"), salt="split1", train=0.90, val=0.05),
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("doc_a", "doc_b", "split_a", "split_b",
+                r6(F.col("jaccard")).alias("jaccard_r"))
+    )
