@@ -499,3 +499,46 @@ def test_interval_overlap_touch_semantics(spark):
         ).collect()
     }
     assert out == {(1, 10): 0}
+
+
+def test_jaccard_prefix_boundary_and_completeness(spark):
+    """jaccard_prefix_pairs: a pair at EXACTLY J = t survives every
+    filter (prefix, length, positional) — the boundary the epsilon
+    guard on the positional bound exists for — and a crafted corpus
+    where naive and filtered joins are enumerable agrees pair-for-pair
+    with the naive computation."""
+    from mycenae_spark.functions.dedup import (
+        jaccard_prefix_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    # unigram sets (ngram=1): doc 1 = {a..h} (8), doc 2 = {a..f,x,y}
+    # (8, 6 shared): J = 6/10 < 0.8.  doc 3 = {a..h, p} (9, 8 shared
+    # with doc 1): J = 8/9 ≈ 0.889 ≥ 0.8.  doc 4/5 identical: J = 1.
+    # doc 6 = 9 tokens sharing 8 with doc 3 → J = 8/10 = 0.8 EXACTLY.
+    rows = [
+        (1, "a b c d e f g h"),
+        (2, "a b c d e f x y"),
+        (3, "a b c d e f g h p"),
+        (4, "q r s t"),
+        (5, "q r s t"),
+        (6, "a b c d e f g p z"),  # with doc 3: shared 8 of union 10
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): round(r["jaccard"], 6)
+        for r in jaccard_prefix_pairs(
+            docs, "doc_id", "text", ngram=1, threshold=0.8
+        ).collect()
+    }
+    naive = {
+        (r["doc_a"], r["doc_b"]): round(r["jaccard"], 6)
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", ngram=1, threshold=0.8
+        ).collect()
+    }
+    assert got == naive  # the filters lose nothing
+    assert (1, 3) in got and got[(1, 3)] == round(8 / 9, 6)
+    assert (4, 5) in got and got[(4, 5)] == 1.0
+    assert (3, 6) in got and got[(3, 6)] == 0.8  # exact boundary kept
+    assert (1, 2) not in got  # below threshold excluded
