@@ -188,7 +188,18 @@ def langid_confusion_indexed(
     Plan: gram explosion → (a) dot products at raw instance grain
     against the BROADCAST profile (no gram shuffle, exact integer sums)
     and (b) the (doc, ord) norm branch (needs per-gram tf, one keyed
-    agg) → join + argmax window → confusion agg."""
+    agg) → join + argmax window → confusion agg.
+
+    Measured-and-rejected (r12): replacing branch (b)'s gram-keyed agg
+    with an IN-ROW Σtf² (array_sort + run-length fold per document —
+    the text_repetition zero-shuffle trick) produced identical values
+    but ran ~10% SLOWER at sf0.1: the interpreted higher-order fold
+    over ~500-element arrays costs more than the hash-agg exchange it
+    saves.  The remaining search cost is doc-side by nature (the
+    corpus must be exploded and normed per query batch); the artifact's
+    win is the REMOVED training aggregations, worth ~1 s of the inline
+    form's 5.4 s first-run at sf0.1 and proportionally more as #langs
+    × vocab grows."""
     from mycenae_spark.sources.tables import load_table
 
     orders = tuple(sorted(orders))
