@@ -620,3 +620,46 @@ def test_sq8_stats_broadcast_corpus_never_shuffled(spark):
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_trigram_lm_keyed_joins_only(spark):
+    """text_trigram_logprob (r12): all five count frames reach scoring
+    through keyed joins; the one nested-loop is the single-row totals
+    broadcast (text_bigram_logprob's contract, one order deeper)."""
+    plan = _plan(spark, "text_trigram_logprob")
+    assert "CartesianProduct" not in plan
+
+
+def test_jaccard_prefix_no_nested_loop(spark):
+    """dedup_jaccard_prefix (r12): the candidate join is keyed on the
+    gram (never a nested loop), and the checkpointed postings frame
+    appears as a reused in-memory scan, not repeated parquet scans of
+    the documents table per consumer."""
+    plan = _plan(spark, "dedup_jaccard_prefix")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the localCheckpoint collapses the 4-consumer gram explosion to
+    # in-memory scans; only the sizes branch (un-exploded, cheap) still
+    # reads the table — 2 parquet scans total, never one per consumer
+    assert plan.count("Scan parquet") <= 2
+    assert plan.count("Scan ExistingRDD") >= 2  # the checkpointed postings
+
+
+def test_weighted_topk_is_take_ordered(spark):
+    """sample_weighted_topk (r12): key assignment is a pure projection,
+    the top-64 is TakeOrderedAndProject (per-partition top-k) — no
+    global sort of the corpus; the only window runs on the 64-row
+    survivor frame."""
+    plan = _plan(spark, "sample_weighted_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_cal_week_single_agg_no_timestamps(spark):
+    """downsample_cal_week (r12): the Monday bucket is a pure DATE
+    projection (no timestamp type anywhere — the timezone trap), then
+    one (series, bucket) hash aggregation."""
+    plan = _plan(spark, "downsample_cal_week")
+    assert "HashAggregate" in plan
+    assert plan.count("Exchange") <= 2
+    assert "cast(ts_us" not in plan or "timestamp" not in plan.lower().split("hashaggregate")[0]
