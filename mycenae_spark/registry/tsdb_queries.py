@@ -8,6 +8,8 @@ modules — the same code paths the OpenTSDB planner (plans/tsdb.py) uses.
 
 from __future__ import annotations
 
+import logging
+
 import pyspark.sql.functions as F
 from pyspark.sql import Window
 
@@ -19,12 +21,15 @@ from mycenae_spark.registry.util import (
     MS_2024_01_05,
     MS_2024_01_12,
     SQL_POINTS,
+    await_or_raise,
     bucket_ms_sql,
     expand_rounding_macros,
     points,
     r4,
     r6,
 )
+
+_log = logging.getLogger(__name__)
 
 HOUR_MS = 3_600_000
 DAY_MS = 86_400_000
@@ -110,7 +115,7 @@ def ingest_roundtrip(spark, sf_dir):
             os.path.join(base, d) for d in ("lake", "catalog", "ck", "rollup")
         )
         job = start_ingest(spark, src, lake, catalog, ck, rollup_dir=roll)
-        job.awaitTermination(120)
+        await_or_raise(job, 120, "ingest_roundtrip")
 
         lake_agg = (
             spark.read.parquet(lake)
@@ -2396,7 +2401,7 @@ def bus_ingest_roundtrip(spark, sf_dir):
                 .option("checkpointLocation", ck)
                 .trigger(availableNow=True).start()
             )
-            q.awaitTermination(120)
+            await_or_raise(q, 120, "bus_engine drain")
 
         run_stream()
         pass1 = spark.read.parquet(sink).count()
@@ -2636,10 +2641,14 @@ def listener_roundtrip(spark, sf_dir):
         finally:
             lis.stop()
         u_lake = f"{base}/u_lake"
-        start_ingest(
-            spark, u_spool, u_lake, f"{base}/u_cat", f"{base}/u_ck",
-            fmt="json",
-        ).awaitTermination(120)
+        await_or_raise(
+            start_ingest(
+                spark, u_spool, u_lake, f"{base}/u_cat", f"{base}/u_ck",
+                fmt="json",
+            ),
+            120,
+            "listener udp ingest",
+        )
         u_got = spark.read.parquet(u_lake)
         n_udp = u_got.count()
         u_sum = u_got.agg(_F.sum("value")).collect()[0][0]
@@ -2665,10 +2674,14 @@ def listener_roundtrip(spark, sf_dir):
         finally:
             tl.stop()
         t_lake = f"{base}/t_lake"
-        start_ingest(
-            spark, t_spool, t_lake, f"{base}/t_cat", f"{base}/t_ck",
-            fmt="opentsdb",
-        ).awaitTermination(120)
+        await_or_raise(
+            start_ingest(
+                spark, t_spool, t_lake, f"{base}/t_cat", f"{base}/t_ck",
+                fmt="opentsdb",
+            ),
+            120,
+            "listener telnet ingest",
+        )
         t_got = spark.read.parquet(t_lake)
         n_tcp = t_got.count()
         bad_dropped = 1 if n_tcp == 4 else 0
@@ -3118,13 +3131,14 @@ def stream_kmv_roundtrip(spark, sf_dir):
             .withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
         )
         sink = f"skmv_{uuid.uuid4().hex[:8]}"
-        (
+        await_or_raise(
             kmv_stream(stream).writeStream.format("memory")
             .queryName(sink)
             .outputMode("append")
             .trigger(availableNow=True)
-            .start()
-            .awaitTermination(120)
+            .start(),
+            120,
+            "stream_kmv",
         )
         rows = spark.table(sink).collect()
         spark.catalog.dropTempView(sink)
@@ -3217,13 +3231,14 @@ def stream_qsample_roundtrip(spark, sf_dir):
             .withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
         )
         sink = f"sqs_{uuid.uuid4().hex[:8]}"
-        (
+        await_or_raise(
             qsample_stream(stream).writeStream.format("memory")
             .queryName(sink)
             .outputMode("append")
             .trigger(availableNow=True)
-            .start()
-            .awaitTermination(120)
+            .start(),
+            120,
+            "stream_qsample",
         )
         rows = spark.table(sink).collect()
         spark.catalog.dropTempView(sink)
@@ -3419,13 +3434,14 @@ def stream_dedup_roundtrip(spark, sf_dir):
         )
         deduped = dedup_stream_retransmit(stream)
         sink = f"sdedup_{uuid.uuid4().hex[:8]}"
-        (
+        await_or_raise(
             deduped.writeStream.format("memory")
             .queryName(sink)
             .outputMode("append")
             .trigger(availableNow=True)
-            .start()
-            .awaitTermination(120)
+            .start(),
+            120,
+            "stream_dedup",
         )
         n_raw = spark.read.schema(schema).json(src).count()
         n_dedup = spark.table(sink).count()
@@ -3498,13 +3514,14 @@ def stream_enrich_roundtrip(spark, sf_dir):
         )
         enriched = enrich_stream(stream, dim, key="user_id")
         sink = f"senrich_{uuid.uuid4().hex[:8]}"
-        (
+        await_or_raise(
             enriched.writeStream.format("memory")
             .queryName(sink)
             .outputMode("append")
             .trigger(availableNow=True)
-            .start()
-            .awaitTermination(120)
+            .start(),
+            120,
+            "stream_enrich",
         )
         out = (
             spark.table(sink)
@@ -3592,13 +3609,14 @@ def stream_join_roundtrip(spark, sf_dir):
             _stream(lsrc), _stream(rsrc), key="tag_user", within="30 minutes"
         )
         sink = f"sjoin_{uuid.uuid4().hex[:8]}"
-        (
+        await_or_raise(
             joined.writeStream.format("memory")
             .queryName(sink)
             .outputMode("append")
             .trigger(availableNow=True)
-            .start()
-            .awaitTermination(120)
+            .start(),
+            120,
+            "stream_join",
         )
         n_left = spark.read.schema(schema).json(lsrc).count()
         n_right = spark.read.schema(schema).json(rsrc).count()
@@ -3828,12 +3846,7 @@ def stream_funnel_roundtrip(spark, sf_dir):
                 .trigger(availableNow=True)
                 .start()
             )
-            if not job.awaitTermination(180):
-                # Reading the memory sink while the availableNow run is
-                # still going would judge a PARTIAL result as wrong counts
-                # instead of a clear timeout (r11 ADVICE — drain_bus class).
-                job.stop()
-                raise TimeoutError("stream_funnel: run not drained in 180s")
+            await_or_raise(job, 180, "stream_funnel")
             return [r.asDict() for r in spark.table(sink).collect()]
         finally:
             spark.catalog.dropTempView(sink)
@@ -4172,11 +4185,7 @@ def stream_gaps_roundtrip(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        if not job.awaitTermination(180):
-            # partial-sink-read guard, same contract as drain_bus /
-            # stream_funnel_roundtrip (r11 ADVICE)
-            job.stop()
-            raise TimeoutError("stream_gaps: run not drained in 180s")
+        await_or_raise(job, 180, "stream_gaps")
         alerts = [r.asDict() for r in spark.table(sink).collect()]
         by = {}
         for a in alerts:
@@ -4938,7 +4947,7 @@ def stream_evict_roundtrip(spark, sf_dir):
             try:
                 spark.catalog.dropTempView(snk)
             except Exception:
-                pass
+                _log.debug("cleanup: dropTempView(%s) failed", snk, exc_info=True)
         shutil.rmtree(base, ignore_errors=True)
     u1 = [d for d in frows if d["user"] == "u1"]
     ret = u1[-1] if len(u1) > 1 else {"stage": -1, "n_seen": -1}
@@ -5118,9 +5127,7 @@ def stream_heavyhitters_roundtrip(spark, sf_dir):
                 .trigger(availableNow=True)
                 .start()
             )
-            if not job.awaitTermination(180):
-                job.stop()
-                raise TimeoutError("heavy hitters: run not drained in 180s")
+            await_or_raise(job, 180, "heavy hitters")
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         rows = [r.asDict() for r in spark.table(sink).collect()]
@@ -5128,7 +5135,7 @@ def stream_heavyhitters_roundtrip(spark, sf_dir):
         try:
             spark.catalog.dropTempView(sink)
         except Exception:
-            pass
+            _log.debug("cleanup: dropTempView(%s) failed", sink, exc_info=True)
         shutil.rmtree(base, ignore_errors=True)
     by_batch = {}
     for r in rows:

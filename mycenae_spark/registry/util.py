@@ -103,3 +103,22 @@ def bucket_ms_sql(iv_ms: int, ts_expr: str = "ts_us") -> str:
     """DuckDB epoch-aligned bucket start in ms — mirrors
     operators/downsample.py::bucket_ms_long bit-for-bit."""
     return f"(({ts_expr}) // {iv_ms * 1000}) * {iv_ms}"
+
+
+def await_or_raise(job, seconds: int, what: str = "stream job") -> None:
+    """Drain a streaming query or raise — never return with it running.
+
+    ``StreamingQuery.awaitTermination(t)`` returns ``False`` on timeout
+    with the query STILL RUNNING; every judged roundtrip that then reads
+    its sink would hash a PARTIAL result as a wrong count instead of a
+    diagnosable error (r11 ADVICE / r12 VERDICT "What's wrong #1" — the
+    bench host is demonstrably contended, so this is a live flake class,
+    not a theoretical one).  One helper, used by every registry
+    roundtrip, so no site can forget the check.
+    """
+    if not job.awaitTermination(seconds):
+        try:
+            job.stop()
+        except Exception:
+            pass  # best-effort: the raise below is the signal
+        raise TimeoutError(f"{what}: not drained in {seconds}s")

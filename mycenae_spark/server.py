@@ -1401,8 +1401,8 @@ class Engine:
 class _Handler(BaseHTTPRequestHandler):
     engine: Engine  # injected by serve()
 
-    def log_message(self, *a):  # silence request logging in tests
-        pass
+    def log_message(self, fmt, *a):  # route BaseHTTPServer's stderr noise
+        logging.getLogger(__name__).debug("http: " + fmt, *a)
 
     def _send(self, code: int, payload) -> None:
         body = render_json(payload).encode()

@@ -16,6 +16,8 @@ from __future__ import annotations
 
 import os
 
+import logging
+
 from pyspark.sql import SparkSession
 
 # Runtime-settable session confs applied defensively to *any* session handed
@@ -38,7 +40,9 @@ def apply_session_confs(spark: SparkSession) -> SparkSession:
         try:
             spark.conf.set(k, v)
         except Exception:  # pragma: no cover - static conf on some builds
-            pass
+            logging.getLogger(__name__).debug(
+                "conf %s not settable on a live session (static)", k, exc_info=True
+            )
     return spark
 
 

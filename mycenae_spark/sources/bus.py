@@ -35,6 +35,7 @@ readStream plan shape, same checkpoint replay contract).
 from __future__ import annotations
 
 import json
+import logging
 import os
 from collections.abc import Iterator, Sequence
 
@@ -45,6 +46,8 @@ from pyspark.sql.datasource import (
     InputPartition,
 )
 from pyspark.sql.types import StructType
+
+_log = logging.getLogger(__name__)
 
 def _register_by_value() -> None:
     """Executors unpickle the reader without the repo on their sys.path —
@@ -256,7 +259,7 @@ class BusStreamReader(DataSourceStreamReader):
                 json.dump(end, f)
             os.rename(tmp, marker)
         except OSError:
-            pass
+            _log.debug("commit marker write failed (best-effort)", exc_info=True)
 
 
 class BusBatchReader(DataSourceReader):
@@ -432,7 +435,7 @@ def gc_topic(topic_dir: str, keep_segments: int = 2) -> int:
             try:
                 os.unlink(legacy_path)
             except OSError:
-                pass
+                _log.debug("legacy marker unlink failed (best-effort)", exc_info=True)
         else:
             groups.append(legacy)
     if not groups:
