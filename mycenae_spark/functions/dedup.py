@@ -832,6 +832,37 @@ def simhash_hamming_pairs(
     Extraction uses a LOGICAL right shift so the 64-bit signature's sign
     bit (bit 63) lands in the top segment as data, not as sign smear.
     """
+    return hamming_pairs_from_sigs(
+        simhash(df, id_col, text_col, bits=bits),
+        id_col,
+        "simhash",
+        bits=bits,
+        n_segments=n_segments,
+        max_hamming=max_hamming,
+        max_bucket_size=max_bucket_size,
+    )
+
+
+def hamming_pairs_from_sigs(
+    sigs: DataFrame,
+    id_col: str,
+    sig_col: str,
+    bits: int = 32,
+    n_segments: int = 4,
+    max_hamming: int = 3,
+    max_bucket_size: int | None = 512,
+) -> DataFrame:
+    """Segment-banded Hamming-≤k pairs over a PRECOMPUTED signature frame
+    — the banding/verify stage of :func:`simhash_hamming_pairs`, split out
+    (r13 VERDICT item 1b) so any 64-bit signature family reuses it instead
+    of re-implementing: simhash (text), dHash (image perceptual hash,
+    ``dedup_image_phash``), or any future audio/video fingerprint.  Null
+    signatures (undecodable payloads) are dropped before banding — a null
+    has no Hamming distance to anything.
+
+    Same guarantees as the caller: pigeonhole needs ``max_hamming <=
+    n_segments - 1``; one-pass bucket-collect; hot-bucket valve; exact
+    per-candidate ``bit_count(xor)`` verify."""
     if max_hamming > n_segments - 1:
         raise ValueError(
             f"pigeonhole guarantee needs max_hamming <= n_segments - 1, "
@@ -842,16 +873,16 @@ def simhash_hamming_pairs(
         raise ValueError(f"{n_segments} segments need >= {n_segments} bits")
     widths = [base + 1 if j < rem else base for j in range(n_segments)]
     offsets = [sum(widths[:j]) for j in range(n_segments)]
-    sigs = simhash(df, id_col, text_col, bits=bits)
+    sigs = sigs.filter(F.col(sig_col).isNotNull())
     segs = sigs.select(
         F.col(id_col).alias("_id"),
-        F.col("simhash").alias("_sig"),
+        F.col(sig_col).alias("_sig"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(j).alias("j"),
-                        F.shiftrightunsigned("simhash", offsets[j])
+                        F.shiftrightunsigned(sig_col, offsets[j])
                         .bitwiseAND(F.lit((1 << widths[j]) - 1))
                         .alias("segval"),
                     )

@@ -306,7 +306,8 @@ def make_resize_kernel(target_w: int, target_h: int):
     DuckDB oracle can specify it exactly): input dims derive from payload
     length (len%1920+1, len%1080+1 — never zero); the binding dimension is
     chosen by cross-multiplication (w·th vs h·tw, no float ratios), the
-    other side floor-scales by integer division."""
+    other side floor-scales by integer division, clamped to >= 1 (the
+    shared :func:`fit_dims` spec — review finding)."""
     import hashlib
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -316,9 +317,9 @@ def make_resize_kernel(target_w: int, target_h: int):
         fits = (w <= target_w) & (h <= target_h)
         width_bound = (w * target_h) >= (h * target_w)
         out_w = w.where(fits, w.where(~width_bound, target_w))
-        out_w = out_w.mask(~fits & ~width_bound, (w * target_h) // h)
+        out_w = out_w.mask(~fits & ~width_bound, ((w * target_h) // h).clip(lower=1))
         out_h = h.where(fits, h.where(width_bound, target_h))
-        out_h = out_h.mask(~fits & width_bound, (h * target_w) // w)
+        out_h = out_h.mask(~fits & width_bound, ((h * target_w) // w).clip(lower=1))
         return pd.DataFrame(
             {
                 "media_id": pdf["media_id"],
@@ -349,10 +350,10 @@ def resize_media(
     feature-extract / RESIZE / frame-sample).  ``decode_stub=False`` is
     REAL for non-interlaced 8-bit PNG as of r13 (stdlib zlib + per-row
     unfilter + nearest-neighbor resample; checksum is the md5 of the
-    RESIZED pixel buffer); non-PNG payloads raise ``NotImplementedError``
-    — JPEG/GIF pixel access needs a codec (PIL/ffmpeg) this container
-    lacks.  The Spark-side shape — skew bucketing, byte-bounded batches,
-    schema — is identical on both paths."""
+    RESIZED pixel buffer); non-PNG payloads yield null rows — JPEG/GIF
+    pixel access needs a codec (PIL/ffmpeg) this container lacks.  The
+    Spark-side shape — skew bucketing, byte-bounded batches, schema — is
+    identical on both paths."""
     import sys as _sys
 
     from mycenae_spark.pickling import register_module_by_value
@@ -452,12 +453,20 @@ def decode_png_pixels(b: bytes | None):
     ch = _PNG_CHANNELS.get(color)
     if ch is None or w <= 0 or h <= 0 or w * h > _PNG_MAX_PIXELS:
         return None
+    stride = w * ch
+    expect = h * (1 + stride)
+    # Bounded inflate (review finding): a high-ratio DEFLATE stream with
+    # small CLAIMED dims would otherwise fully expand into executor memory
+    # before a post-hoc length check could reject it.  decompressobj with
+    # max_length caps the output at the claimed size; any leftover input
+    # (unconsumed_tail / more compressed data) means the stream inflates
+    # past the claim → reject without ever materializing the bomb.
+    d = zlib.decompressobj()
     try:
-        raw = zlib.decompress(b"".join(idat))
+        raw = d.decompress(b"".join(idat), expect)
     except zlib.error:
         return None
-    stride = w * ch
-    if len(raw) != h * (1 + stride):
+    if len(raw) != expect or d.unconsumed_tail or d.decompress(b"", 1):
         return None
 
     import numpy as np
@@ -527,20 +536,27 @@ def fit_dims(w: int, h: int, target_w: int, target_h: int):
     """Aspect-preserving fit (same integer cross-multiplication contract as
     the stub kernel — one shared spec): images already inside the box keep
     their dims; otherwise the binding side is chosen by ``w·th >= h·tw``
-    and the other side floor-scales."""
+    and the other side floor-scales, clamped to >= 1 so extreme aspect
+    ratios (e.g. 1920×1 into 320×240) yield a 1-pixel side instead of a
+    zero-dim empty buffer (review finding; the stub kernel and the
+    ``multimodal_resize`` oracle carry the same GREATEST(1, ·) clamp)."""
     if w <= target_w and h <= target_h:
         return w, h
     if w * target_h >= h * target_w:  # width-bound
-        return target_w, (h * target_w) // w
-    return (w * target_h) // h, target_h
+        return target_w, max(1, (h * target_w) // w)
+    return max(1, (w * target_h) // h), target_h
 
 
 def make_real_resize_kernel(target_w: int, target_h: int):
     """REAL resize kernel (PNG): decode pixels, aspect-fit, nearest-neighbor
-    sample, md5 the RESIZED buffer.  Raises ``NotImplementedError`` only on
-    payloads that are not decodable PNGs — JPEG/GIF pixel access still
-    needs a codec this container lacks (the honest-stub boundary, now
-    format-precise instead of blanket)."""
+    sample, md5 the RESIZED buffer.  Payloads that are not decodable PNGs
+    yield NULL geometry/checksum rows — the same null-and-continue policy
+    as ``resize_pixel_stats`` and ``dhash_media`` (review finding: the
+    previous per-payload NotImplementedError meant one JPEG in a mixed
+    corpus killed the whole job; format is visible in the envelope, so a
+    mixed corpus routes non-PNG rows through the header/stub paths
+    instead).  JPEG/GIF pixel access still needs a codec this container
+    lacks (the honest-stub boundary, format-precise)."""
     import hashlib
 
     import numpy as np
@@ -553,27 +569,37 @@ def make_real_resize_kernel(target_w: int, target_h: int):
         for mid, kind, payload in zip(
             pdf["media_id"], pdf["kind"], pdf["payload"]
         ):
+            rows["media_id"].append(mid)
+            rows["kind"].append(kind)
             dec = decode_png_pixels(payload)
             if dec is None:
-                raise NotImplementedError(
-                    "real pixel decode supports non-interlaced 8-bit PNG; "
-                    "JPEG/GIF need a codec (PIL/ffmpeg) this environment "
-                    "lacks — pass decode_stub=True for those"
-                )
+                for k in ("in_w", "in_h", "out_w", "out_h", "out_bytes",
+                          "checksum"):
+                    rows[k].append(None)
+                continue
             w, h, ch, raw = dec
             ow, oh = fit_dims(w, h, target_w, target_h)
             img = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, ch)
             res = img[np.ix_(_nearest_grid(h, oh), _nearest_grid(w, ow))]
             buf = res.tobytes()
-            rows["media_id"].append(mid)
-            rows["kind"].append(kind)
             rows["in_w"].append(w)
             rows["in_h"].append(h)
             rows["out_w"].append(ow)
             rows["out_h"].append(oh)
             rows["out_bytes"].append(len(buf))
             rows["checksum"].append(hashlib.md5(buf).hexdigest())
-        return pd.DataFrame(rows)
+        return pd.DataFrame(
+            {
+                "media_id": rows["media_id"],
+                "kind": rows["kind"],
+                "in_w": pd.array(rows["in_w"], dtype="Int64"),
+                "in_h": pd.array(rows["in_h"], dtype="Int64"),
+                "out_w": pd.array(rows["out_w"], dtype="Int64"),
+                "out_h": pd.array(rows["out_h"], dtype="Int64"),
+                "out_bytes": pd.array(rows["out_bytes"], dtype="Int64"),
+                "checksum": rows["checksum"],
+            }
+        )
 
     return kernel
 
@@ -670,18 +696,10 @@ def resize_pixel_stats(
 _DHASH_W, _DHASH_H = 8, 8
 
 
-def dhash64(b: bytes | None):
-    """64-bit difference hash over REAL decoded PNG pixels: grayscale →
-    9×8 nearest-neighbor sample → bit (x, y) set iff the right neighbor
-    is strictly brighter (``g[y][x+1] > g[y][x]``), bit index ``y·8 + x``.
-
-    Returns a SIGNED int64 (bit 63 is the sign bit — two's-complement
-    reinterpretation, the ``dedup_simhash_pairs64`` convention) or None
-    when the payload is not a decodable PNG.  dHash is brightness-shift
-    invariant (gradients only), which is exactly why it survives
-    re-encoding/recompression as a near-dup signal where md5 cannot.
-    """
-    dec = decode_png_pixels(b)
+def _dhash_from_dec(dec):
+    """dHash from an ALREADY-DECODED ``(w, h, ch, raw)`` tuple — split out
+    so callers that also need the dims decode each payload exactly once
+    (review finding: ``dhash_media`` used to decode twice)."""
     if dec is None:
         return None
     w, h, ch, raw = dec
@@ -699,6 +717,20 @@ def dhash64(b: bytes | None):
     if val >= 1 << 63:
         val -= 1 << 64
     return val
+
+
+def dhash64(b: bytes | None):
+    """64-bit difference hash over REAL decoded PNG pixels: grayscale →
+    9×8 nearest-neighbor sample → bit (x, y) set iff the right neighbor
+    is strictly brighter (``g[y][x+1] > g[y][x]``), bit index ``y·8 + x``.
+
+    Returns a SIGNED int64 (bit 63 is the sign bit — two's-complement
+    reinterpretation, the ``dedup_simhash_pairs64`` convention) or None
+    when the payload is not a decodable PNG.  dHash is brightness-shift
+    invariant (gradients only), which is exactly why it survives
+    re-encoding/recompression as a near-dup signal where md5 cannot.
+    """
+    return _dhash_from_dec(decode_png_pixels(b))
 
 
 def dhash_media(
@@ -738,7 +770,7 @@ def dhash_media(
                 continue
             ws.append(dec[0])
             hs.append(dec[1])
-            hashes.append(dhash64(payload))
+            hashes.append(_dhash_from_dec(dec))
         return pd.DataFrame(
             {
                 "media_id": pdf["media_id"],
@@ -758,3 +790,169 @@ def dhash_media(
             yield kernel(pdf)
 
     return df.mapInPandas(run, schema)
+
+
+# -------------------------------------------- PNG encoder + judged corpus
+
+def encode_png(px, color_type: int = 0, row_filters=None, n_idat: int = 1) -> bytes:
+    """Minimal non-interlaced 8-bit PNG ENCODER — the test/judged-corpus
+    counterpart of :func:`decode_png_pixels` (PNG spec §9 filters applied
+    in the forward direction: encoder subtracts the predictor the decoder
+    adds back, so roundtrips exercise both directions of every filter).
+
+    ``px``: uint8 array ``(h, w)`` or ``(h, w, channels)`` matching
+    ``color_type`` (0 gray / 2 RGB / 4 gray+alpha / 6 RGBA).
+    ``row_filters``: per-row filter type — None (all 0), an int, a
+    sequence, or a callable ``y -> filter``.  ``n_idat`` splits the
+    compressed stream across that many IDAT chunks (multi-IDAT joining is
+    part of the decode contract)."""
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(px, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    if ch != _PNG_CHANNELS[color_type]:
+        raise ValueError(f"color_type {color_type} needs {_PNG_CHANNELS[color_type]} channels, got {ch}")
+    if callable(row_filters):
+        filt = [int(row_filters(y)) for y in range(h)]
+    elif row_filters is None:
+        filt = [0] * h
+    elif isinstance(row_filters, int):
+        filt = [row_filters] * h
+    else:
+        filt = [int(f) for f in row_filters]
+
+    stride = w * ch
+    zero = np.zeros(ch, dtype=np.int16)
+    out = bytearray()
+    prev = np.zeros(stride, dtype=np.int16)
+    for y in range(h):
+        row = arr[y].reshape(-1).astype(np.int16)
+        f = filt[y]
+        left = np.concatenate([zero, row[:-ch]]) if stride > ch else np.zeros(stride, np.int16)
+        upleft = np.concatenate([zero, prev[:-ch]]) if stride > ch else np.zeros(stride, np.int16)
+        if f == 0:
+            enc = row
+        elif f == 1:
+            enc = row - left
+        elif f == 2:
+            enc = row - prev
+        elif f == 3:
+            enc = row - ((left + prev) >> 1)
+        elif f == 4:
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft))
+            enc = row - pred
+        else:
+            raise ValueError(f"invalid PNG filter type {f}")
+        out.append(f)
+        out += (enc & 0xFF).astype(np.uint8).tobytes()
+        prev = row
+
+    comp = zlib.compress(bytes(out))
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big") + ctype + data
+            + (zlib.crc32(ctype + data) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([8, color_type, 0, 0, 0])
+    )
+    png = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    n_idat = max(1, min(n_idat, len(comp))) if comp else 1
+    step = -(-len(comp) // n_idat) if comp else 1
+    for i in range(0, max(len(comp), 1), step):
+        png += chunk(b"IDAT", comp[i : i + step])
+    return png + chunk(b"IEND", b"")
+
+
+# Judged pixel-corpus spec — ONE closed-form image per doc_id, shared
+# verbatim by the Spark renderer below, the DuckDB oracles
+# (multimodal_pixel_stats / dedup_image_phash), and the pytest vectors:
+#
+#   g  = doc_id - doc_id % 3          (triple base: 3 consecutive ids
+#                                      render the SAME pattern at the
+#                                      same dims, brightness-shifted)
+#   w  = g % 37 + 12,  h = g % 23 + 10
+#   color_type = [0, 2, 4, 6][doc_id % 4]   (all four supported lattices;
+#                                      color channels all carry the gray
+#                                      value, so BT.601 integer luma
+#                                      recovers it EXACTLY: 299v + 587v
+#                                      + 114v = 1000v, // 1000 = v)
+#   v(y, x) = (doc_id % 3)·10 + (37·(g//3) + 53·y + 29·x) % 225
+#   row filter = y % 5                 (every unfilter on every image)
+#   IDAT split across 2 chunks
+#
+# Pattern < 225 and brightness shift <= 20 keep v < 256 with NO mod-wrap,
+# so triple members differ by a constant — identical dHash (gradient
+# comparisons are shift-invariant), different md5/px_sum: the perceptual
+# near-dup the hash exists to catch, guaranteed in-corpus.
+
+def pixel_corpus_image(doc_id: int):
+    """Render one judged-corpus image: ``(w, h, color_type, gray, px)``
+    where ``gray`` is the (h, w) uint8 luma plane the spec defines and
+    ``px`` is the channel-expanded uint8 array ``encode_png`` takes."""
+    import numpy as np
+
+    d = int(doc_id)
+    g = d - d % 3
+    w = g % 37 + 12
+    h = g % 23 + 10
+    ct = (0, 2, 4, 6)[d % 4]
+    ys = np.arange(h, dtype=np.int64)[:, None]
+    xs = np.arange(w, dtype=np.int64)[None, :]
+    gray = (
+        (d % 3) * 10 + (37 * (g // 3) + 53 * ys + 29 * xs) % 225
+    ).astype(np.uint8)
+    if ct == 0:
+        px = gray
+    elif ct == 2:
+        px = np.repeat(gray[:, :, None], 3, axis=2)
+    elif ct == 4:
+        px = np.dstack([gray, np.full((h, w), 255, np.uint8)])
+    else:
+        px = np.dstack(
+            [gray, gray, gray, np.full((h, w), 255, np.uint8)]
+        )
+    return w, h, ct, gray, px
+
+
+def render_pixel_corpus(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """(id) → (media_id, payload): render the judged pixel corpus as REAL
+    PNG byte streams via ``mapInPandas`` (the ``multimodal_header_stats``
+    precedent, upgraded from header-only to full pixel containers).  The
+    payload is deterministic in the id alone, so both judged pixel queries
+    rebuild the identical corpus and the DuckDB oracle never needs to see
+    a byte of it."""
+    import sys as _sys
+
+    from mycenae_spark.pickling import register_module_by_value
+
+    register_module_by_value(_sys.modules[__name__])
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("payload", BinaryType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for d in ids:
+                w, h, ct, gray, px = pixel_corpus_image(int(d))
+                payloads.append(
+                    encode_png(px, ct, row_filters=lambda y: y % 5, n_idat=2)
+                )
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return df.select(F.col(id_col)).mapInPandas(run, schema)

@@ -36,20 +36,45 @@ def test_decode_stub_schema_and_determinism(media):
     assert again == {k: v["checksum"] for k, v in rows.items()}
 
 
-def test_decode_real_path_and_resize_still_stubbed(media):
+def test_decode_real_path_and_resize_mixed_corpus(media):
     """Since r12 decode_stub=False RUNS (real header parsing): opaque
-    payloads yield null dims, never an exception.  Pixel-level resize
-    keeps the honest NotImplementedError — it genuinely needs a codec."""
-    from mycenae_spark.functions.multimodal import resize_media
+    payloads yield null dims, never an exception.  Since r13 pixel-level
+    resize is REAL for non-interlaced 8-bit PNG; r14 made the non-PNG
+    policy null-and-continue (one JPEG must not kill a mixed corpus) —
+    this covers BOTH branches: a real PNG resizes with exact geometry
+    and a checksum of the RESIZED buffer, non-PNGs yield null rows."""
+    import hashlib
+
+    import numpy as np
+
+    from mycenae_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        encode_png,
+        resize_media,
+    )
 
     rows = decode_media(media, decode_stub=False).collect()
     assert len(rows) == 4  # runs; the fake payloads parse to null dims
     assert all(r["width"] is None for r in rows)
-    with pytest.raises(Exception) as ei:
-        resize_media(media, decode_stub=False).collect()
-    assert "NotImplementedError" in str(ei.value) or isinstance(
-        ei.value, NotImplementedError
+
+    # mixed corpus: one real 20×10 PNG + the fake payloads
+    px = (np.arange(10)[:, None] * 7 + np.arange(20)[None, :] * 3) % 256
+    png = encode_png(px.astype(np.uint8), 0, row_filters=lambda y: y % 5)
+    spark = media.sparkSession
+    mixed = media.union(
+        spark.createDataFrame([(9, "image", png, "image/png")], MEDIA_SCHEMA)
     )
+    out = {r["media_id"]: r for r in
+           resize_media(mixed, 8, 8, decode_stub=False).collect()}
+    assert len(out) == 5
+    for mid in (1, 2, 3, 4):  # non-PNG → null row, never a raise
+        assert out[mid]["out_w"] is None and out[mid]["checksum"] is None
+    r = out[9]
+    assert (r["in_w"], r["in_h"], r["out_w"], r["out_h"]) == (20, 10, 8, 4)
+    res = px.astype(np.uint8)[np.ix_([0, 2, 5, 7],
+                                     [0, 2, 5, 7, 10, 12, 15, 17])]
+    assert r["checksum"] == hashlib.md5(res.tobytes()).hexdigest()
+    assert r["out_bytes"] == res.size
 
 
 def test_custom_kernel_and_bucketing(media):
@@ -239,3 +264,232 @@ def test_parse_image_header_hardening():
     # EOI with no SOF terminates — post-image bytes are never scanned
     assert parse_image_header(b"\xff\xd8\xff\xd9" + b"\xff\xc0garbage") == (
         "jpeg", None, None)
+
+
+# ---------------------------------------------- real PNG pixel decode (r13)
+# r14: the r13 pixel family landed dark (zero tests); this pins the whole
+# matrix — every unfilter, every color-type lattice, every rejection path,
+# the bounded-inflate guard, and golden dHash values.
+
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (len(data).to_bytes(4, "big") + ctype + data
+            + (zlib.crc32(ctype + data) & 0xFFFFFFFF).to_bytes(4, "big"))
+
+
+def test_png_roundtrip_unfilter_matrix():
+    """encode(filter f) → decode must recover the exact pixels for every
+    filter type (0 None, 1 Sub, 2 Up, 3 Average, 4 Paeth) × every
+    supported color type (gray/RGB/gray+alpha/RGBA), including mixed
+    per-row filters and multi-IDAT streams."""
+    import numpy as np
+
+    from mycenae_spark.functions.multimodal import decode_png_pixels, encode_png
+
+    rng = np.random.RandomState(14)
+    for ct, ch in ((0, 1), (2, 3), (4, 2), (6, 4)):
+        px = rng.randint(0, 256, (11, 13, ch)).astype(np.uint8)
+        for f in range(5):
+            dec = decode_png_pixels(encode_png(px, ct, row_filters=f))
+            assert dec is not None, (ct, f)
+            assert dec[:3] == (13, 11, ch)
+            assert dec[3] == px.tobytes(), f"filter {f} color {ct}"
+        # mixed filters + IDAT split across 3 chunks
+        dec = decode_png_pixels(
+            encode_png(px, ct, row_filters=lambda y: y % 5, n_idat=3))
+        assert dec is not None and dec[3] == px.tobytes()
+
+
+def test_png_decode_rejections():
+    """Every malformed-input path returns None (never raises): bad magic,
+    CRC mismatch, truncated chunk, wrong IHDR length, interlaced, 16-bit,
+    palette color, invalid filter byte, short/long pixel stream, and the
+    claimed-dims guard."""
+    import zlib
+
+    import numpy as np
+
+    from mycenae_spark.functions.multimodal import decode_png_pixels, encode_png
+
+    px = np.arange(100, dtype=np.uint8).reshape(10, 10)
+    good = encode_png(px, 0)
+    assert decode_png_pixels(good)[3] == px.tobytes()
+
+    assert decode_png_pixels(None) is None
+    assert decode_png_pixels(b"") is None
+    assert decode_png_pixels(b"JFIF not a png") is None
+    # flip a byte inside IHDR data → CRC mismatch
+    corrupt = bytearray(good)
+    corrupt[16] ^= 0x01
+    assert decode_png_pixels(bytes(corrupt)) is None
+    # truncated INSIDE the IDAT chunk (cut 1 byte into its CRC; cutting
+    # only the trailing IEND would still decode — all pixel data present)
+    assert decode_png_pixels(good[: len(good) - 13]) is None
+
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def ihdr(w, h, depth=8, color=0, interlace=0):
+        return _chunk(b"IHDR", w.to_bytes(4, "big") + h.to_bytes(4, "big")
+                      + bytes([depth, color, 0, 0, interlace]))
+
+    idat = _chunk(b"IDAT", zlib.compress(b"\x00" + b"\x01" * 4))
+    end = _chunk(b"IEND", b"")
+    assert decode_png_pixels(sig + ihdr(4, 1) + idat + end) is not None
+    assert decode_png_pixels(sig + ihdr(4, 1, depth=16) + idat + end) is None
+    assert decode_png_pixels(sig + ihdr(4, 1, color=3) + idat + end) is None
+    assert decode_png_pixels(sig + ihdr(4, 1, interlace=1) + idat + end) is None
+    assert decode_png_pixels(sig + ihdr(0, 1) + idat + end) is None
+    # claimed dims over the pixel guard
+    assert decode_png_pixels(sig + ihdr(1 << 16, 1 << 16) + idat + end) is None
+    # invalid filter type byte (5)
+    bad_f = _chunk(b"IDAT", zlib.compress(b"\x05" + b"\x01" * 4))
+    assert decode_png_pixels(sig + ihdr(4, 1) + bad_f + end) is None
+    # stream shorter / longer than h*(1+stride)
+    short = _chunk(b"IDAT", zlib.compress(b"\x00" + b"\x01" * 3))
+    assert decode_png_pixels(sig + ihdr(4, 1) + short + end) is None
+    long_ = _chunk(b"IDAT", zlib.compress(b"\x00" + b"\x01" * 5))
+    assert decode_png_pixels(sig + ihdr(4, 1) + long_ + end) is None
+
+
+def test_png_zlib_bomb_is_rejected_bounded():
+    """The bomb guard (r14 review fix): a payload with SMALL claimed dims
+    whose IDAT inflates ~1000:1 must be rejected WITHOUT materializing
+    the expansion — decompression is capped at the claimed size via
+    decompressobj(max_length), so rejection is O(claimed), not
+    O(inflated)."""
+    import time
+    import zlib
+
+    from mycenae_spark.functions.multimodal import decode_png_pixels
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = _chunk(b"IHDR", (2).to_bytes(4, "big") + (2).to_bytes(4, "big")
+                  + bytes([8, 0, 0, 0, 0]))
+    bomb = _chunk(b"IDAT", zlib.compress(b"\x00" * 50_000_000, 9))
+    t0 = time.monotonic()
+    assert decode_png_pixels(sig + ihdr + bomb + _chunk(b"IEND", b"")) is None
+    assert time.monotonic() - t0 < 1.0  # bounded: never inflated 50 MB
+
+
+def test_png_gray_luma_and_alpha():
+    """BT.601 integer luma on a nontrivial RGB triple is exact
+    ((299R + 587G + 114B) // 1000) and alpha channels are ignored."""
+    import numpy as np
+
+    from mycenae_spark.functions.multimodal import (
+        _png_gray,
+        decode_png_pixels,
+        encode_png,
+    )
+
+    px = np.zeros((1, 2, 3), np.uint8)
+    px[0, 0] = (255, 0, 0)
+    px[0, 1] = (10, 200, 30)
+    w, h, ch, raw = decode_png_pixels(encode_png(px, 2))
+    g = _png_gray(w, h, ch, raw)
+    assert g[0, 0] == (299 * 255) // 1000 == 76
+    assert g[0, 1] == (299 * 10 + 587 * 200 + 114 * 30) // 1000 == 123
+    # gray+alpha: alpha ignored
+    ga = np.dstack([np.array([[7, 9]], np.uint8),
+                    np.array([[0, 255]], np.uint8)])
+    w, h, ch, raw = decode_png_pixels(encode_png(ga, 4))
+    assert _png_gray(w, h, ch, raw).tolist() == [[7, 9]]
+
+
+def test_dhash64_golden_and_brightness_invariance():
+    """Golden dHash values: a strictly-increasing row gradient sets all 64
+    bits (signed −1), a decreasing one sets none (0); a brightness shift
+    with no wrap never changes the hash (the perceptual property); images
+    under the 9×8 grid return None; pinned corpus value guards the spec."""
+    import numpy as np
+
+    from mycenae_spark.functions.multimodal import (
+        _dhash_from_dec,
+        decode_png_pixels,
+        dhash64,
+        encode_png,
+        pixel_corpus_image,
+    )
+
+    inc = np.tile(np.arange(9, dtype=np.uint8) * 10, (8, 1))
+    assert dhash64(encode_png(inc, 0)) == -1
+    dec_img = inc[:, ::-1].copy()
+    assert dhash64(encode_png(dec_img, 0)) == 0
+    # brightness shift (no wrap): identical hash, different bytes
+    assert dhash64(encode_png(inc + 37, 0)) == -1
+    # checkerboard [50,0,50,0,…]: the rising edge is at ODD x (0 → 50),
+    # so bits 0xAA per row → 0xAAAA…AAAA, reinterpreted signed (bit 63 set)
+    chk = np.tile(np.array([1, 0] * 4 + [1], np.uint8) * 50, (8, 1))
+    assert dhash64(encode_png(chk, 0)) == 0xAAAAAAAAAAAAAAAA - (1 << 64)
+    # too small for the 9×8 grid
+    assert dhash64(encode_png(inc[:7, :], 0)) is None
+    assert dhash64(encode_png(inc[:, :8], 0)) is None
+    assert dhash64(b"not a png") is None
+    assert _dhash_from_dec(None) is None
+
+    # pinned judged-corpus triple: same hash across the brightness triple
+    hs = []
+    for d in (411, 412, 413):
+        w, h, ct, gray, px = pixel_corpus_image(d)
+        b = encode_png(px, ct, row_filters=lambda y: y % 5, n_idat=2)
+        hs.append(_dhash_from_dec(decode_png_pixels(b)))
+    assert hs[0] == hs[1] == hs[2] == -4765408807961004101
+
+
+def test_fit_dims_clamps_degenerate_aspect():
+    """r14 review fix: extreme aspect ratios clamp the floor-scaled side
+    to 1 instead of emitting a zero-dim (empty) buffer; the stub kernel
+    carries the identical clamp (one shared spec)."""
+    import pandas as pd
+
+    from mycenae_spark.functions.multimodal import fit_dims, make_resize_kernel
+
+    assert fit_dims(1920, 1, 320, 240) == (320, 1)
+    assert fit_dims(1, 1920, 320, 240) == (1, 240)
+    assert fit_dims(100, 50, 320, 240) == (100, 50)  # already inside
+    assert fit_dims(640, 480, 320, 240) == (320, 240)
+
+    # stub kernel parity: len 1080 → stub dims (1081, 1) → (320, 1)
+    kernel = make_resize_kernel(320, 240)
+    out = kernel(pd.DataFrame(
+        {"media_id": [1], "kind": ["image"], "payload": [b"x" * 1080]}))
+    assert (out["in_w"][0], out["in_h"][0]) == (1081, 1)
+    assert (out["out_w"][0], out["out_h"][0]) == (320, 1)
+
+
+def test_pixel_corpus_spec_and_kernels_through_arrow(spark):
+    """The judged pixel pipeline end-to-end on a small id frame: render
+    REAL PNGs → resize_pixel_stats matches the spec's closed-form px_sum;
+    dhash_media decodes ONCE per payload and pairs brightness triples."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from mycenae_spark.functions.multimodal import (
+        _nearest_grid,
+        dhash_media,
+        fit_dims,
+        pixel_corpus_image,
+        render_pixel_corpus,
+        resize_pixel_stats,
+    )
+
+    ids = spark.range(0, 24).select(F.col("id").alias("media_id"))
+    media = render_pixel_corpus(ids, "media_id")
+    stats = {r["media_id"]: r for r in
+             resize_pixel_stats(media, 16, 16, shuffle_buckets=2,
+                                max_batch_bytes=1 << 16).collect()}
+    sigs = {r["media_id"]: r for r in dhash_media(media).collect()}
+    assert len(stats) == len(sigs) == 24
+    for d in range(24):
+        w, h, ct, gray, px = pixel_corpus_image(d)
+        ow, oh = fit_dims(w, h, 16, 16)
+        res = gray[np.ix_(_nearest_grid(h, oh), _nearest_grid(w, ow))]
+        r = stats[d]
+        assert (r["in_w"], r["in_h"], r["out_w"], r["out_h"]) == (w, h, ow, oh)
+        assert r["px_sum"] == int(res.astype(np.int64).sum())
+        assert (sigs[d]["width"], sigs[d]["height"]) == (w, h)
+    # brightness triples share the perceptual hash
+    for base in (0, 3, 6, 9, 12, 15, 18, 21):
+        assert (sigs[base]["dhash"] == sigs[base + 1]["dhash"]
+                == sigs[base + 2]["dhash"] is not None)

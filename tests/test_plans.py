@@ -663,3 +663,27 @@ def test_cal_week_single_agg_no_timestamps(spark):
     assert "HashAggregate" in plan
     assert plan.count("Exchange") <= 2
     assert "cast(ts_us" not in plan or "timestamp" not in plan.lower().split("hashaggregate")[0]
+
+
+def test_pixel_stats_pruned_scan_two_arrow_stages(spark):
+    """multimodal_pixel_stats (r14): the documents scan reads ONLY doc_id
+    (render + decode derive everything from the id — the text column must
+    never reach the pixel path), and the pipeline crosses Python exactly
+    twice (render mapInPandas → decode mapInPandas), never per-row."""
+    plan = _plan(spark, "multimodal_pixel_stats")
+    assert plan.count("MapInPandas") == 2
+    assert "text" not in plan.split("ReadSchema")[-1].split("\n")[0]
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_image_phash_pairs_keyed_buckets_no_allpairs(spark):
+    """dedup_image_phash (r14): pixels collapse to an 8-byte signature at
+    the Arrow boundary; pair generation is the segment-banding kernel —
+    keyed equality buckets, one-pass bucket-collect — never a signature
+    self-join that would recompute the decode on both branches, never an
+    all-pairs nested loop over assets."""
+    plan = _plan(spark, "dedup_image_phash")
+    assert plan.count("MapInPandas") == 2  # render + dhash, each once
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
