@@ -53,14 +53,20 @@ HEADLINE = [
     "dedup_embedding_lsh",
     "dedup_near_signature",
     "dedup_minhash_pairs",
-    "dedup_clusters",
+    # dedup_clusters: demoted r14 — composition of dedup_minhash_pairs
+    # (timed above) + the iterative pointer-jump components kernel, which
+    # the headline still times TWICE (dedup_semantic_clusters,
+    # dedup_jaccard_prefix_clusters) with different pair generators.
+    # Stays judged.
     "dedup_simhash",
     "dedup_ngram_jaccard_dfcut",
     "sim_topk",
     "ann_ivf_topk",
     "ann_ivf_kmeans_topk",
     "ann_ivf_rerank_topk",
-    "ann_ivf_kmeans2_topk",
+    # ann_ivf_kmeans2_topk: demoted r14 — plan-identical to
+    # ann_ivf_kmeans_topk plus one more Lloyd iteration; its recall
+    # stays measured in extras (ann_ivf_kmeans2_recall_at3).  Stays judged.
     "window_cumsum",
     "agg_percentile",
     "tsdb_pipeline_expression",
@@ -91,7 +97,8 @@ HEADLINE = [
     "text_unigram_logprob",
     "sample_resample_epochs",
     "text_langid_trigram",
-    "knn_graph_topk",
+    # knn_graph_topk: demoted r14 — single-probe baseline of
+    # knn_graph_multiprobe (kept); recall stays in extras.  Stays judged.
     "dedup_semantic_clusters",
     "agg_kmv_distinct",
     # round 8
@@ -110,7 +117,10 @@ HEADLINE = [
     "window_zscore",
     "window_holtwinters",
     # round 9
-    "dedup_span_exact",
+    # dedup_span_exact: demoted r14 — strict plan-prefix of
+    # dedup_span_excise (postings → islands subtree; excise adds the
+    # position-union accounting on top), so the suite was timing the
+    # same subtree twice.  Stays judged (oracle + driver window).
     "dedup_span_excise",
     "dedup_embedding_cosine",
     "text_bpe_train",
@@ -120,16 +130,21 @@ HEADLINE = [
     "text_tfidf_topk",
     "text_char_entropy",
     "text_pmi_bigrams",
-    "dedup_winnow_pairs",
+    # dedup_winnow_pairs: demoted r14 — strict plan-prefix of
+    # dedup_winnow_spans (same fingerprint postings + pair join; spans
+    # adds span verification).  Stays judged.
     "join_asof_tolerance",
     # round 10
     "join_asof_forward",
     "join_asof_nearest",
     "dedup_winnow_spans",
     "dedup_incremental",
-    "sample_dsir",
+    # sample_dsir: demoted r14 — plan-identical to sample_dsir10k
+    # (same dsir_weights pipeline, 1k vs 10k hash buckets; the 10k
+    # production grain stays).  Stays judged.
     "events_funnel",
-    "dedup_simhash_pairs",
+    # dedup_simhash_pairs: demoted r14 — plan-identical 32-bit twin of
+    # dedup_simhash_pairs64 (Manku production grain, kept).  Stays judged.
     "events_retention",
     # round 11
     "dedup_simhash_pairs64",
@@ -145,7 +160,9 @@ HEADLINE = [
     "events_attribution",
     "window_holt_backtest",
     "points_last",
-    "series_cap_roundtrip",
+    # series_cap_roundtrip: demoted r14 by the roundtrip policy below —
+    # it builds two temp lakes and walks a real HTTP reject/pagination
+    # lifecycle (~5 s of fixed machinery, not a query plan).  Stays judged.
     "events_attribution_first",
     "events_attribution_position",
     "text_langid_indexed",
@@ -159,6 +176,10 @@ HEADLINE = [
     "downsample_cal_week",
     "dedup_jaccard_prefix_clusters",
     "decontaminate_split_leakage",
+    # round 14: real pixel decode (render PNGs → unfilter → luma →
+    # resample) and perceptual-hash pairs over the same corpus
+    "multimodal_pixel_stats",
+    "dedup_image_phash",
     # Streaming lifecycle roundtrips (stream_funnel/gaps/dedup/evict/
     # heavyhitters_roundtrip, the bus/ingest roundtrips) are judged via
     # the driver window + oracle replica but never headline-timed —
@@ -389,6 +410,24 @@ def main() -> None:
             len(exact_graph & got) / max(len(exact_graph), 1), 3
         )
 
+    # Perceptual-hash family comparison (r13 VERDICT item 8 convention —
+    # every new signature family ships a cross-family extra): pair-set
+    # Jaccard between the dHash and aHash Hamming-≤5 pair sets.  Both
+    # families pair every brightness triple at distance 0 by
+    # construction; the disagreement mass is the structural tail where
+    # gradient-direction and above-mean signatures diverge.
+    dpairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["dedup_image_phash"](spark, sf_dir).collect()
+    }
+    apairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["dedup_image_ahash"](spark, sf_dir).collect()
+    }
+    phash_agreement = round(
+        len(dpairs & apairs) / max(len(dpairs | apairs), 1), 3
+    )
+
     print(
         json.dumps(
             {
@@ -422,6 +461,9 @@ def main() -> None:
                     "knn_graph_multiprobe_recall_at3": knn_recalls[
                         "knn_graph_multiprobe"
                     ],
+                    "phash_dhash_pairs": len(dpairs),
+                    "phash_ahash_pairs": len(apairs),
+                    "phash_family_pair_jaccard": phash_agreement,
                     "bench_reps": reps,
                     "total_first_run_s": total_first,
                     # per-query first-run map (VERDICT r7 item 8): the

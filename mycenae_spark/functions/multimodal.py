@@ -472,36 +472,54 @@ def decode_png_pixels(b: bytes | None):
     import numpy as np
 
     out = np.empty((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint16)
+    prev = np.zeros(stride, dtype=np.int64)
+    prev_list = [0] * stride
     for y in range(h):
         row_start = y * (1 + stride)
         ftype = raw[row_start]
         line = np.frombuffer(
             raw, dtype=np.uint8, count=stride, offset=row_start + 1
-        ).astype(np.uint16)
+        )
         if ftype == 0:
-            cur = line
-        elif ftype == 2:  # Up — fully vectorized
+            cur = line.astype(np.int64)
+        elif ftype == 2:  # Up — vectorized
             cur = (line + prev) & 0xFF
-        elif ftype in (1, 3, 4):
-            cur = np.empty(stride, dtype=np.uint16)
-            for x in range(stride):
-                a = cur[x - ch] if x >= ch else 0  # left
-                if ftype == 1:
-                    pred = a
-                elif ftype == 3:
-                    pred = (int(a) + int(prev[x])) >> 1
-                else:  # Paeth
-                    bb = int(prev[x])
-                    cc = int(prev[x - ch]) if x >= ch else 0
-                    p = int(a) + bb - cc
-                    pa, pb, pc = abs(p - int(a)), abs(p - bb), abs(p - cc)
-                    pred = int(a) if (pa <= pb and pa <= pc) else (bb if pb <= pc else cc)
-                cur[x] = (int(line[x]) + pred) & 0xFF
+        elif ftype == 1:
+            # Sub is a per-channel prefix sum: cur[x] = Σ line[x-k·ch]
+            # (mod 256) — vectorized as a channel-strided cumsum.
+            cur = np.empty(stride, dtype=np.int64)
+            for c in range(ch):
+                cur[c::ch] = np.cumsum(line[c::ch], dtype=np.int64) & 0xFF
+        elif ftype in (3, 4):
+            # Sequential left-dependency (Average/Paeth) — plain-int list
+            # walk: ~10× the throughput of numpy scalar indexing in a
+            # Python loop (measured r14; the filter-1 cumsum and this
+            # rewrite together took the judged sf0.1 decode from ~4.6 s
+            # to well under the bench gate's per-query budget).
+            row = line.tolist()
+            pl = prev_list
+            clist = [0] * stride
+            if ftype == 3:
+                for x in range(stride):
+                    a = clist[x - ch] if x >= ch else 0
+                    clist[x] = (row[x] + ((a + pl[x]) >> 1)) & 0xFF
+            else:
+                for x in range(stride):
+                    a = clist[x - ch] if x >= ch else 0
+                    bb = pl[x]
+                    cc = pl[x - ch] if x >= ch else 0
+                    p = a + bb - cc
+                    pa = p - a if p >= a else a - p
+                    pb = p - bb if p >= bb else bb - p
+                    pc = p - cc if p >= cc else cc - p
+                    pred = a if (pa <= pb and pa <= pc) else (bb if pb <= pc else cc)
+                    clist[x] = (row[x] + pred) & 0xFF
+            cur = np.array(clist, dtype=np.int64)
         else:
             return None  # invalid filter type byte
         out[y] = cur.astype(np.uint8)
         prev = cur
+        prev_list = cur.tolist()
     return (w, h, ch, out.tobytes())
 
 
@@ -733,63 +751,109 @@ def dhash64(b: bytes | None):
     return _dhash_from_dec(decode_png_pixels(b))
 
 
-def dhash_media(
-    df: DataFrame,
-    shuffle_buckets: int | None = None,
-    max_batch_bytes: int | None = None,
-) -> DataFrame:
-    """Per-asset dHash over the Arrow path: (media_id, dhash, width,
-    height); null dhash for undecodable/too-small payloads.  The 100 TB
-    shape matches decode_media — payloads cross the JVM↔Python boundary
-    once per byte-bounded batch, output is one 8-byte signature per asset,
-    and downstream near-dup joins run on the signature frame only (the
-    pixel bytes never shuffle again)."""
-    import sys as _sys
+def _ahash_from_dec(dec):
+    """64-bit AVERAGE hash from a decoded tuple: 8×8 nearest-grid luma
+    samples, integer mean (Σ//64), bit (y·8 + x) set iff the sample is
+    strictly above the mean.  Same signed-int64 convention as dHash.
+    Like dHash it is brightness-shift invariant (sample+c > mean+c ⟺
+    sample > mean) but thresholds against the GLOBAL mean instead of the
+    local gradient — the classic aHash/dHash trade: aHash is more
+    tolerant of local noise, dHash of global lighting structure."""
+    if dec is None:
+        return None
+    w, h, ch, raw = dec
+    if w < _DHASH_W or h < _DHASH_H:
+        return None
+    import numpy as np
 
-    from mycenae_spark.pickling import register_module_by_value
+    gray = _png_gray(w, h, ch, raw)
+    sample = gray[np.ix_(_nearest_grid(h, _DHASH_H), _nearest_grid(w, _DHASH_W))]
+    mean = int(sample.astype(np.int64).sum()) // (_DHASH_W * _DHASH_H)
+    val = 0
+    for y in range(_DHASH_H):
+        for x in range(_DHASH_W):
+            if int(sample[y, x]) > mean:
+                val |= 1 << (y * 8 + x)
+    if val >= 1 << 63:
+        val -= 1 << 64
+    return val
 
-    register_module_by_value(_sys.modules[__name__])
 
-    schema = StructType(
-        [
-            StructField("media_id", LongType(), False),
-            StructField("dhash", LongType(), True),
-            StructField("width", IntegerType(), True),
-            StructField("height", IntegerType(), True),
-        ]
-    )
+def ahash64(b: bytes | None):
+    """Payload-level :func:`_ahash_from_dec` (decodes first)."""
+    return _ahash_from_dec(decode_png_pixels(b))
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        hashes, ws, hs = [], [], []
-        for payload in pdf["payload"]:
-            dec = decode_png_pixels(payload)
-            if dec is None:
-                hashes.append(None)
-                ws.append(None)
-                hs.append(None)
-                continue
-            ws.append(dec[0])
-            hs.append(dec[1])
-            hashes.append(_dhash_from_dec(dec))
-        return pd.DataFrame(
-            {
-                "media_id": pdf["media_id"],
-                "dhash": pd.array(hashes, dtype="Int64"),
-                "width": pd.array(ws, dtype="Int32"),
-                "height": pd.array(hs, dtype="Int32"),
-            }
+
+def _make_signature_media(sig_col: str, sig_fn):
+    """Factory for per-asset perceptual-signature frames over the Arrow
+    path: (media_id, <sig>, width, height); null signature for
+    undecodable/too-small payloads.  One decode per payload (review
+    finding r13), one JVM↔Python crossing per byte-bounded batch, 8-byte
+    signature out — downstream near-dup joins run on the signature frame
+    only (the pixel bytes never shuffle again)."""
+
+    def media_fn(
+        df: DataFrame,
+        shuffle_buckets: int | None = None,
+        max_batch_bytes: int | None = None,
+    ) -> DataFrame:
+        import sys as _sys
+
+        from mycenae_spark.pickling import register_module_by_value
+
+        register_module_by_value(_sys.modules[__name__])
+
+        schema = StructType(
+            [
+                StructField("media_id", LongType(), False),
+                StructField(sig_col, LongType(), True),
+                StructField("width", IntegerType(), True),
+                StructField("height", IntegerType(), True),
+            ]
         )
 
-    if shuffle_buckets:
-        df = df.repartition(shuffle_buckets, F.pmod(F.col("media_id"), shuffle_buckets))
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            hashes, ws, hs = [], [], []
+            for payload in pdf["payload"]:
+                dec = decode_png_pixels(payload)
+                if dec is None:
+                    hashes.append(None)
+                    ws.append(None)
+                    hs.append(None)
+                    continue
+                ws.append(dec[0])
+                hs.append(dec[1])
+                hashes.append(sig_fn(dec))
+            return pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    sig_col: pd.array(hashes, dtype="Int64"),
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                }
+            )
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if max_batch_bytes:
-            batches = rechunk_by_bytes(batches, max_batch_bytes)
-        for pdf in batches:
-            yield kernel(pdf)
+        if shuffle_buckets:
+            df = df.repartition(
+                shuffle_buckets, F.pmod(F.col("media_id"), shuffle_buckets)
+            )
 
-    return df.mapInPandas(run, schema)
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            if max_batch_bytes:
+                batches = rechunk_by_bytes(batches, max_batch_bytes)
+            for pdf in batches:
+                yield kernel(pdf)
+
+        return df.mapInPandas(run, schema)
+
+    return media_fn
+
+
+#: Per-asset dHash frame — see :func:`_make_signature_media`.
+dhash_media = _make_signature_media("dhash", _dhash_from_dec)
+
+#: Per-asset aHash frame — the second perceptual signature family.
+ahash_media = _make_signature_media("ahash", _ahash_from_dec)
 
 
 # -------------------------------------------- PNG encoder + judged corpus

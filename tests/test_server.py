@@ -1106,3 +1106,94 @@ def test_attribution_endpoint(server):
                      {"conversion": "purchase", "touch": "click",
                       "mode": "bogus"})
     assert code == 400 and "mode" in err["error"]
+
+
+def test_funnel_attribution_cursor_pagination(spark, tmp_path_factory):
+    """r12 VERDICT item 4 (twice-carried, closed r14): the funnel and
+    attribution per-user samples page keyset-style beyond ``limit`` via
+    ``after_key`` — every row's ``key`` is the typed cursor, pages walk
+    the whole frame with no row lost or repeated, ordering holds across
+    page boundaries (including the non-null → null latency boundary in
+    attribution), and a malformed cursor is a 400."""
+    HOUR = 3_600_000
+    d = tmp_path_factory.mktemp("pagelake")
+    httpd, _ = serve(spark, str(d / "lake"), str(d / "catalog"))
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        evs = []
+
+        def ev(u, m, ts):
+            evs.append({"metric": m, "tags": {"ksid": "k1", "user": u},
+                        "timestamp": ts, "value": 1.0})
+
+        # stages: u0,u6 → 3; u1,u2 → 2; u3,u4,u5 → 1
+        for u in ("u0", "u1", "u2", "u3", "u4", "u5", "u6"):
+            ev(u, "view", BASE_TS)
+        for u, dt in (("u0", HOUR), ("u1", HOUR), ("u2", HOUR),
+                      ("u6", HOUR // 2)):
+            ev(u, "click", BASE_TS + dt)
+        # purchases: u0 latency 1h, u6 1.5h, u2 10min; u1/u3 purchase
+        # with NO click in window → attributed=False, null latency
+        ev("u0", "purchase", BASE_TS + 2 * HOUR)
+        ev("u6", "purchase", BASE_TS + 2 * HOUR)
+        ev("u2", "purchase", BASE_TS + HOUR + 600_000)
+        ev("u1", "purchase", BASE_TS + 3 * 86_400_000)
+        ev("u3", "purchase", BASE_TS + 4 * 86_400_000)
+        code, resp = _req(base, "/api/put", evs)
+        assert code == 200 and resp["failed"] == 0
+
+        # ---- funnel: pages of 3 over 7 users, (stage DESC, user ASC)
+        fbody = {"steps": ["view", "click", "purchase"], "window": "1d",
+                 "user_tag": "user", "limit": 3}
+        seen, after = [], None
+        for _ in range(4):
+            b = dict(fbody)
+            if after is not None:
+                b["after_key"] = after
+            code, fr = _req(base, "/keysets/k1/api/query/funnel", b)
+            assert code == 200
+            # the summary is page-invariant
+            assert fr["reached"] == [7, 4, 3]
+            if not fr["sample"]:
+                break
+            seen.extend((s["stage"], s["user_id"]) for s in fr["sample"])
+            after = fr["sample"][-1]["key"]
+        expect = [(3, "u0"), (3, "u2"), (3, "u6"), (2, "u1"),
+                  (1, "u3"), (1, "u4"), (1, "u5")]
+        # ordering within the walk is (stage desc, user asc) end-to-end
+        assert seen == sorted(seen, key=lambda t: (-t[0], t[1]))
+        assert sorted(seen) == sorted(expect)
+        assert len(set(seen)) == 7
+
+        code, err = _req(base, "/keysets/k1/api/query/funnel",
+                         {**fbody, "after_key": "bogus"})
+        assert code == 400 and "after_key" in err["error"]
+
+        # ---- attribution: pages of 2 over 5 conversions, latency DESC
+        # NULLS LAST — the walk crosses the non-null → null boundary
+        abody = {"conversion": "purchase", "touch": "click",
+                 "window": "1d", "user_tag": "user", "limit": 2}
+        rows, after = [], None
+        for _ in range(4):
+            b = dict(abody)
+            if after is not None:
+                b["after_key"] = after
+            code, ar = _req(base, "/keysets/k1/api/query/attribution", b)
+            assert code == 200
+            assert ar["conversions"] == 5 and ar["attributed"] == 3
+            if not ar["sample"]:
+                break
+            rows.extend(ar["sample"])
+            after = ar["sample"][-1]["key"]
+        got = [(r["latency_ms"], r["user_id"]) for r in rows]
+        assert got == [(5_400_000.0, "u6"), (3_600_000.0, "u0"),
+                       (600_000.0, "u2"), (None, "u1"), (None, "u3")]
+        assert all(r["attributed"] is (r["latency_ms"] is not None)
+                   for r in rows)
+
+        code, err = _req(base, "/keysets/k1/api/query/attribution",
+                         {**abody, "after_key": [1, 2]})
+        assert code == 400 and "after_key" in err["error"]
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
