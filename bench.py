@@ -180,6 +180,7 @@ HEADLINE = [
     # resample) and perceptual-hash pairs over the same corpus
     "multimodal_pixel_stats",
     "dedup_image_phash",
+    "multimodal_pixel_stats_mixed",
     # Streaming lifecycle roundtrips (stream_funnel/gaps/dedup/evict/
     # heavyhitters_roundtrip, the bus/ingest roundtrips) are judged via
     # the driver window + oracle replica but never headline-timed —

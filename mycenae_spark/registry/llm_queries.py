@@ -1892,6 +1892,41 @@ def dedup_image_phash(spark, sf_dir):
     )
 
 
+_PIXEL_STATS_SQL = ORACLE["multimodal_pixel_stats"]
+
+
+@q("multimodal_pixel_stats_mixed", _PIXEL_STATS_SQL)
+def multimodal_pixel_stats_mixed(spark, sf_dir):
+    """REAL GIF pixel decode judged, through a MIXED-container corpus
+    (r14): even doc_ids render as PNG (zlib + per-row filters), odd ones
+    as GIF89a (real LZW-compressed palette indices, identity grayscale
+    palette) — one pipeline, one dispatch decoder
+    (``decode_image_pixels``), one resample path.  The oracle is the
+    container-INDEPENDENT pixel spec, VERBATIM ``multimodal_pixel_stats``'s
+    SQL: a GIF LZW decode that drops a code, mis-grows the code width,
+    misses a CLEAR reset, or mis-maps the palette changes half the rows'
+    ``px_sum`` and hash-fails, and so does any dispatch bug that nulls a
+    decodable container.  GIF joins PNG as a fully-real lossless decode
+    because LZW is exact integer bit-twiddling — unlike JPEG, whose IDCT
+    has no bit-exact cross-engine answer (the honest stub that remains).
+    Same 100 TB shape: manifest-first 32-wide partitioning, payloads
+    never shuffle, 7 integers out per asset."""
+    from mycenae_spark.functions.multimodal import (
+        render_pixel_corpus,
+        resize_pixel_stats,
+    )
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("media_id"))
+        .repartition(32, F.pmod(F.col("doc_id"), 32))
+    )
+    media = render_pixel_corpus(d, "media_id", container="mixed")
+    return resize_pixel_stats(
+        media, 16, 16, max_batch_bytes=1 << 20
+    ).orderBy("media_id")
+
+
 # aHash per the same pixel spec: 8×8 nearest-grid luma samples, integer
 # mean (Σ // 64), bit (y*8+x) set iff the sample is strictly above it.
 _PIXEL_AHASH_SQL = f"""

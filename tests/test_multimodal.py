@@ -539,3 +539,79 @@ def test_ahash64_golden_and_brightness_invariance():
         b = encode_png(px, ct, row_filters=lambda y: y % 5, n_idat=2)
         hs.append(_ahash_from_dec(decode_png_pixels(b)))
     assert hs[0] == hs[1] == hs[2] is not None
+
+
+def test_gif_roundtrip_and_rejections():
+    """REAL GIF decode (r14): LZW roundtrip across palette sizes and
+    dims (the no-dictionary encoder emits frequent CLEAR resets, so the
+    decoder's table rebuild and width growth both exercise); interlaced,
+    truncated, trailer-first, missing-palette, and out-of-range-index
+    streams all return None."""
+    import numpy as np
+
+    from mycenae_spark.functions.multimodal import (
+        _GRAY_PALETTE,
+        decode_gif_pixels,
+        decode_image_pixels,
+        encode_gif,
+    )
+
+    rng = np.random.RandomState(14)
+    for h, w in ((5, 7), (23, 31), (10, 48)):
+        idx = rng.randint(0, 256, (h, w)).astype(np.uint8)
+        g = encode_gif(idx, _GRAY_PALETTE)
+        dec = decode_gif_pixels(g)
+        assert dec is not None and dec[:3] == (w, h, 3)
+        rgb = np.frombuffer(dec[3], np.uint8).reshape(h, w, 3)
+        assert (rgb == idx[:, :, None]).all()
+    # 4-entry palette at min_code_size 2 — non-identity mapping
+    pal4 = bytes(v for i in (0, 85, 170, 255) for v in (i, i, i))
+    idx = rng.randint(0, 4, (9, 13)).astype(np.uint8)
+    rgb = np.frombuffer(
+        decode_gif_pixels(encode_gif(idx, pal4, min_code_size=2))[3],
+        np.uint8,
+    ).reshape(9, 13, 3)
+    assert (rgb[:, :, 0] == np.array([0, 85, 170, 255], np.uint8)[idx]).all()
+
+    good = encode_gif(idx, pal4, min_code_size=2)
+    assert decode_gif_pixels(None) is None
+    assert decode_gif_pixels(b"GIF89a") is None
+    assert decode_gif_pixels(good[:25]) is None  # truncated in data
+    # interlace flag set in the image descriptor → rejected
+    i = good.index(b"\x2c")
+    interlaced = good[: i + 9] + bytes([good[i + 9] | 0x40]) + good[i + 10:]
+    assert decode_gif_pixels(interlaced) is None
+    # trailer before any image block
+    assert decode_gif_pixels(good[:13] + pal4 + b"\x3b") is None
+    # dispatch: PNG magic → PNG decoder, GIF magic → GIF decoder
+    assert decode_image_pixels(good) is not None
+    assert decode_image_pixels(b"\xff\xd8jpeg-ish") is None
+
+
+def test_cross_container_perceptual_match():
+    """The perceptual-hash punchline: the SAME image encoded as PNG and
+    as GIF has wildly different bytes (md5 differs) but IDENTICAL dHash
+    and aHash — and identical resize pixel sums — because both decoders
+    recover the same luma plane exactly."""
+    import hashlib
+
+    from mycenae_spark.functions.multimodal import (
+        _GRAY_PALETTE,
+        _ahash_from_dec,
+        _dhash_from_dec,
+        _png_gray,
+        decode_image_pixels,
+        encode_gif,
+        encode_png,
+        pixel_corpus_image,
+    )
+
+    for d in (0, 7, 411):
+        w, h, ct, gray, px = pixel_corpus_image(d)
+        p = encode_png(px, ct, row_filters=lambda y: y % 5, n_idat=2)
+        g = encode_gif(gray, _GRAY_PALETTE)
+        assert hashlib.md5(p).hexdigest() != hashlib.md5(g).hexdigest()
+        dp, dg = decode_image_pixels(p), decode_image_pixels(g)
+        assert _png_gray(*dp).tobytes() == _png_gray(*dg).tobytes()
+        assert _dhash_from_dec(dp) == _dhash_from_dec(dg) is not None
+        assert _ahash_from_dec(dp) == _ahash_from_dec(dg) is not None
