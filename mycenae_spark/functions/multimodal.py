@@ -352,10 +352,10 @@ def resize_media(
 ) -> DataFrame:
     """Resize via Arrow-batched ``mapInPandas`` (build brief: decode /
     feature-extract / RESIZE / frame-sample).  ``decode_stub=False`` is
-    REAL for non-interlaced 8-bit PNG as of r13 (stdlib zlib + per-row
-    unfilter + nearest-neighbor resample; checksum is the md5 of the
-    RESIZED pixel buffer); non-PNG payloads yield null rows — JPEG/GIF
-    pixel access needs a codec (PIL/ffmpeg) this container lacks.  The
+    REAL for non-interlaced 8-bit PNG (r13) and
+    still-image GIF (r14) via the shared dispatch decoder; checksum is
+    the md5 of the RESIZED pixel buffer; other payloads yield null rows
+    — JPEG pixel access needs a DCT codec this container lacks.  The
     Spark-side shape — skew bucketing, byte-bounded batches, schema — is
     identical on both paths."""
     import sys as _sys
@@ -365,9 +365,8 @@ def resize_media(
     register_module_by_value(_sys.modules[__name__])
 
     if not decode_stub:
-        # REAL since r13 for PNG: zlib inflate + per-row unfilter + nearest
-        # resample (decode_png_pixels).  Non-PNG payloads still raise —
-        # JPEG/GIF pixel access needs a codec this container lacks.
+        # REAL for PNG (r13) and GIF (r14) via decode_image_pixels;
+        # anything else (JPEG needs a DCT codec) yields a null row.
         kernel = make_real_resize_kernel(target_w, target_h)
     else:
         kernel = make_resize_kernel(target_w, target_h)
@@ -477,7 +476,6 @@ def decode_png_pixels(b: bytes | None):
 
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int64)
-    prev_list = [0] * stride
     for y in range(h):
         row_start = y * (1 + stride)
         ftype = raw[row_start]
@@ -501,7 +499,9 @@ def decode_png_pixels(b: bytes | None):
             # rewrite together took the judged sf0.1 decode from ~4.6 s
             # to well under the bench gate's per-query budget).
             row = line.tolist()
-            pl = prev_list
+            # list conversion paid only on rows that need the scalar walk
+            # (review finding: was converted eagerly for every row)
+            pl = prev.tolist()
             clist = [0] * stride
             if ftype == 3:
                 for x in range(stride):
@@ -523,7 +523,6 @@ def decode_png_pixels(b: bytes | None):
             return None  # invalid filter type byte
         out[y] = cur.astype(np.uint8)
         prev = cur
-        prev_list = cur.tolist()
     return (w, h, ch, out.tobytes())
 
 
@@ -570,15 +569,14 @@ def fit_dims(w: int, h: int, target_w: int, target_h: int):
 
 
 def make_real_resize_kernel(target_w: int, target_h: int):
-    """REAL resize kernel (PNG): decode pixels, aspect-fit, nearest-neighbor
-    sample, md5 the RESIZED buffer.  Payloads that are not decodable PNGs
-    yield NULL geometry/checksum rows — the same null-and-continue policy
-    as ``resize_pixel_stats`` and ``dhash_media`` (review finding: the
-    previous per-payload NotImplementedError meant one JPEG in a mixed
-    corpus killed the whole job; format is visible in the envelope, so a
-    mixed corpus routes non-PNG rows through the header/stub paths
-    instead).  JPEG/GIF pixel access still needs a codec this container
-    lacks (the honest-stub boundary, format-precise)."""
+    """REAL resize kernel (PNG + GIF via ``decode_image_pixels``): decode
+    pixels, aspect-fit, nearest-neighbor sample, md5 the RESIZED buffer.
+    Undecodable payloads yield NULL geometry/checksum rows — the same
+    null-and-continue policy as ``resize_pixel_stats`` and the signature
+    kernels (review finding: the previous per-payload
+    NotImplementedError meant one JPEG in a mixed corpus killed the
+    whole job).  JPEG pixel access still needs a DCT codec this
+    container lacks (the honest-stub boundary, format-precise)."""
     import hashlib
 
     import numpy as np
@@ -742,7 +740,9 @@ def _dhash_from_dec(dec):
 
 
 def dhash64(b: bytes | None):
-    """64-bit difference hash over REAL decoded PNG pixels: grayscale →
+    """64-bit difference hash over REAL decoded pixels (PNG or GIF —
+    the :func:`decode_image_pixels` dispatch, matching ``dhash_media``):
+    grayscale →
     9×8 nearest-neighbor sample → bit (x, y) set iff the right neighbor
     is strictly brighter (``g[y][x+1] > g[y][x]``), bit index ``y·8 + x``.
 
@@ -752,7 +752,7 @@ def dhash64(b: bytes | None):
     invariant (gradients only), which is exactly why it survives
     re-encoding/recompression as a near-dup signal where md5 cannot.
     """
-    return _dhash_from_dec(decode_png_pixels(b))
+    return _dhash_from_dec(decode_image_pixels(b))
 
 
 def _ahash_from_dec(dec):
@@ -784,8 +784,9 @@ def _ahash_from_dec(dec):
 
 
 def ahash64(b: bytes | None):
-    """Payload-level :func:`_ahash_from_dec` (decodes first)."""
-    return _ahash_from_dec(decode_png_pixels(b))
+    """Payload-level :func:`_ahash_from_dec` (PNG or GIF dispatch,
+    matching ``ahash_media``)."""
+    return _ahash_from_dec(decode_image_pixels(b))
 
 
 def _make_signature_media(sig_col: str, sig_fn):
@@ -1164,7 +1165,12 @@ def decode_gif_pixels(b: bytes | None):
                 return None
             min_code = b[i]
             i += 1
-            if not (2 <= min_code <= 11):
+            # Palette indices are single bytes, so a spec-legal still
+            # image never needs a minimum code size above 8; 9-11 would
+            # make the table seed bytes([i]) with i >= 256 (review
+            # finding: crashed instead of nulling) and cannot reference
+            # a <=256-entry palette anyway.
+            if not (2 <= min_code <= 8):
                 return None
             data = bytearray()
             while i < len(b) and b[i] != 0:

@@ -1519,8 +1519,9 @@ def multimodal_media_stats(spark, sf_dir):
     The payload is a deterministic binary envelope built from the documents
     table (text bytes; kind cycles image/audio/video by doc_id), so the run
     is reproducible without codecs — the decode kernel is the honest stub
-    (metadata derived from byte length; real codecs raise
-    ``NotImplementedError``, functions/multimodal.py).  HASH-CHECKED as of
+    (metadata derived from byte length; the REAL pixel paths live in
+    ``multimodal_pixel_stats``/``_mixed``, functions/multimodal.py, and
+    null-and-continue on undecodable payloads).  HASH-CHECKED as of
     r6 (the multimodal_resize precedent): the stub kernel is a pure
     byte-length/md5 specification the DuckDB oracle states exactly, so the
     whole Arrow path — repartition, re-chunking, kernel, aggregation — is

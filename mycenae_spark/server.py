@@ -1023,7 +1023,8 @@ class Engine:
             ak = body.get("after_key")
             if ak is not None:
                 if not (isinstance(ak, (list, tuple)) and len(ak) == 2
-                        and isinstance(ak[0], int)):
+                        and isinstance(ak[0], int)
+                        and isinstance(ak[1], (str, int))):
                     raise ValueError(
                         "funnel after_key must be the previous page's "
                         "last [stage, user_id] cursor"
@@ -1117,17 +1118,30 @@ class Engine:
             # conversion_ms] echoed back verbatim (r12 VERDICT item 4).
             # Latency equality in the cursor is exact: both pages compute
             # the identical double from the same integer µs difference.
+            # Exact duplicates (a retried put ingests the same purchase
+            # twice; the lake dedups the catalog, not points) collapse to
+            # one row with a count — the cursor key (latency, user,
+            # conversion_ms) is then UNIQUE, so the strict-greater keyset
+            # walk can never drop a twin straddling a page boundary
+            # (review finding).
             sample = m.select(
                 "user_id", "conversion_ms",
                 F.col("_hit").alias("attributed"),
                 F.col("_lat_ms").alias("latency_ms"),
-            )
+            ).groupBy(
+                "user_id", "conversion_ms", "attributed", "latency_ms"
+            ).agg(F.count(F.lit(1)).alias("n_dup"))
             ak = body.get("after_key")
             if ak is not None:
-                if not (isinstance(ak, (list, tuple)) and len(ak) == 3):
+                if not (
+                    isinstance(ak, (list, tuple)) and len(ak) == 3
+                    and (ak[0] is None or isinstance(ak[0], (int, float)))
+                    and isinstance(ak[1], (str, int))
+                    and isinstance(ak[2], int)
+                ):
                     raise ValueError(
                         "attribution after_key must be the previous "
-                        "page's last [latency_ms, user_id, "
+                        "page's last [latency_ms|null, user_id, "
                         "conversion_ms] cursor"
                     )
                 lat0, u0, c0 = ak

@@ -583,6 +583,13 @@ def test_gif_roundtrip_and_rejections():
     assert decode_gif_pixels(interlaced) is None
     # trailer before any image block
     assert decode_gif_pixels(good[:13] + pal4 + b"\x3b") is None
+    # LZW minimum code size 9-11 passes the old guard but can neither
+    # seed a byte table nor reference a <=256-entry palette — must be
+    # None, never a ValueError that kills the Arrow task (review finding)
+    i = good.index(b"\x2c")
+    lzw_at = i + 10  # descriptor is 10 bytes; pal4 is global, no LCT
+    bad_min = good[:lzw_at] + bytes([9]) + good[lzw_at + 1:]
+    assert decode_gif_pixels(bad_min) is None
     # dispatch: PNG magic → PNG decoder, GIF magic → GIF decoder
     assert decode_image_pixels(good) is not None
     assert decode_image_pixels(b"\xff\xd8jpeg-ish") is None

@@ -1194,6 +1194,35 @@ def test_funnel_attribution_cursor_pagination(spark, tmp_path_factory):
         code, err = _req(base, "/keysets/k1/api/query/attribution",
                          {**abody, "after_key": [1, 2]})
         assert code == 400 and "after_key" in err["error"]
+        # wrong-typed cursor elements are the documented 400, not a raw
+        # float()/AnalysisException message (review finding)
+        code, err = _req(base, "/keysets/k1/api/query/attribution",
+                         {**abody, "after_key": ["abc", "u0", 0]})
+        assert code == 400 and "after_key" in err["error"]
+        code, err = _req(base, "/keysets/k1/api/query/funnel",
+                         {**fbody, "after_key": [2, None]})
+        assert code == 400 and "after_key" in err["error"]
+
+        # exact duplicate conversions (client retry) collapse to one
+        # cursor-unique sample row with n_dup — a page boundary between
+        # twins can no longer drop one (review finding)
+        ev("u6", "purchase", BASE_TS + 2 * HOUR)  # exact twin of u6's
+        code, resp = _req(base, "/api/put", [evs[-1]])
+        assert code == 200 and resp["failed"] == 0
+        rows, after = [], None
+        for _ in range(5):
+            b = {**abody, "limit": 1}
+            if after is not None:
+                b["after_key"] = after
+            code, ar = _req(base, "/keysets/k1/api/query/attribution", b)
+            assert code == 200
+            if not ar["sample"]:
+                break
+            rows.extend(ar["sample"])
+            after = ar["sample"][-1]["key"]
+        by_user = {r["user_id"]: r for r in rows}
+        assert by_user["u6"]["n_dup"] == 2  # collapsed, not dropped
+        assert len(rows) == 5 and ar["conversions"] == 6
     finally:
         httpd.shutdown()
         httpd.server_close()
