@@ -181,6 +181,7 @@ HEADLINE = [
     "multimodal_pixel_stats",
     "dedup_image_phash",
     "multimodal_pixel_stats_mixed",
+    "multimodal_audio_stats",
     # Streaming lifecycle roundtrips (stream_funnel/gaps/dedup/evict/
     # heavyhitters_roundtrip, the bus/ingest roundtrips) are judged via
     # the driver window + oracle replica but never headline-timed —

@@ -1274,3 +1274,204 @@ def encode_gif(indices, palette: bytes, min_code_size: int = 8) -> bytes:
         gif += bytes([len(chunk)]) + chunk
     gif += b"\x00\x3b"
     return bytes(gif)
+
+
+# ------------------------------------------------ real WAV/PCM decode (r14)
+#
+# The third modality goes real: WAV PCM is UNCOMPRESSED — the sample
+# values are literal little-endian integers in the data chunk — so audio
+# decode is exact, dependency-free, and oracle-statable the same way the
+# PNG/GIF pixel paths are.  Lossy audio (MP3/AAC/Opus) needs a real codec
+# and stays honestly stubbed, the JPEG precedent.
+
+def decode_wav_samples(b: bytes | None):
+    """REAL WAV decode: RIFF chunk walk → fmt validation → PCM samples.
+    Supports the interchange mainline: RIFF/WAVE, ``fmt `` audio format 1
+    (integer PCM), 8/16-bit, any channel count/rate.  Returns
+    ``(n_channels, sample_rate, bits, samples)`` where ``samples`` is a
+    1-D numpy int32 array of interleaved sample values (8-bit WAV is
+    unsigned per spec and is re-centered to signed around 0), or None for
+    anything else (wrong magic, float/ADPCM/extensible formats, truncated
+    chunks, missing fmt/data)."""
+    if not b or len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    import numpy as np
+
+    i = 12
+    fmt = None
+    data = None
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        clen = int.from_bytes(b[i + 4 : i + 8], "little")
+        if i + 8 + clen > len(b):
+            return None  # truncated chunk
+        body = b[i + 8 : i + 8 + clen]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+            if fmt is not None:
+                break
+        # chunks are word-aligned: odd lengths carry a pad byte
+        i += 8 + clen + (clen & 1)
+    if fmt is None or data is None or len(fmt) < 16:
+        return None
+    audio_fmt = int.from_bytes(fmt[0:2], "little")
+    n_ch = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_fmt != 1 or n_ch < 1 or rate < 1 or bits not in (8, 16):
+        return None
+    bps = bits // 8
+    n = len(data) // bps
+    if n == 0 or len(data) % bps:
+        return None
+    if bits == 16:
+        samples = np.frombuffer(data, dtype="<i2", count=n).astype(np.int32)
+    else:
+        samples = np.frombuffer(data, dtype=np.uint8, count=n).astype(
+            np.int32
+        ) - 128
+    return (n_ch, rate, bits, samples)
+
+
+def encode_wav(samples, sample_rate: int = 8000, bits: int = 16,
+               n_channels: int = 1) -> bytes:
+    """Minimal WAV ENCODER (tests + judged-corpus rendering): canonical
+    44-byte RIFF/WAVE/fmt/data layout, integer PCM."""
+    import numpy as np
+
+    arr = np.asarray(samples)
+    if bits == 16:
+        data = arr.astype("<i2").tobytes()
+    elif bits == 8:
+        data = (arr.astype(np.int32) + 128).astype(np.uint8).tobytes()
+    else:
+        raise ValueError(f"bits must be 8 or 16: {bits}")
+    block = n_channels * bits // 8
+    fmt = (
+        (1).to_bytes(2, "little") + n_channels.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + (sample_rate * block).to_bytes(4, "little")
+        + block.to_bytes(2, "little") + bits.to_bytes(2, "little")
+    )
+    out = b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    out += b"data" + len(data).to_bytes(4, "little") + data
+    if len(data) & 1:
+        out += b"\x00"
+    return b"RIFF" + len(out).to_bytes(4, "little") + out
+
+
+#: Judged audio-corpus spec (shared by the renderer, the DuckDB oracle,
+#: and pytest): per doc_id d —
+#:   n  = d % 200 + 50           (samples, mono s16le @ 8 kHz)
+#:   s(k) = ((37·d + 113·k) % 4001) - 2000       (k = 0 .. n-1)
+#: Deterministic, full-range-ish, sign-mixed; every reduction below is an
+#: exact integer both engines can state.
+def audio_corpus_samples(doc_id: int):
+    import numpy as np
+
+    d = int(doc_id)
+    n = d % 200 + 50
+    k = np.arange(n, dtype=np.int64)
+    return ((37 * d + 113 * k) % 4001) - 2000
+
+
+#: Audio feature output: exact integer reductions over the PCM samples.
+AUDIO_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_samples", LongType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("sum_abs", LongType(), True),
+        StructField("max_abs", LongType(), True),
+        StructField("energy", LongType(), True),
+    ]
+)
+
+
+def render_audio_corpus(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """(id) → (media_id, payload): render the judged audio corpus as REAL
+    WAV byte streams (the pixel-corpus pattern at the third modality)."""
+    import sys as _sys
+
+    from mycenae_spark.pickling import register_module_by_value
+
+    register_module_by_value(_sys.modules[__name__])
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("payload", BinaryType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = [
+                encode_wav(audio_corpus_samples(int(d))) for d in ids
+            ]
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return df.select(F.col(id_col)).mapInPandas(run, schema)
+
+
+def audio_pcm_stats(
+    df: DataFrame,
+    max_batch_bytes: int | None = None,
+) -> DataFrame:
+    """REAL WAV decode + exact integer amplitude reductions (see
+    :data:`AUDIO_STATS_SCHEMA`): sample count, Σ|s|, max |s|, Σ s² —
+    the loudness/clipping/energy profile an audio training pipeline
+    computes corpus-wide before filtering.  Undecodable payloads yield
+    null stats (the shared null-and-continue policy).  100 TB shape
+    identical to the pixel kernels: payload bytes cross the JVM↔Python
+    boundary once per byte-bounded Arrow batch, five integers come back,
+    samples never shuffle."""
+    import sys as _sys
+
+    from mycenae_spark.pickling import register_module_by_value
+
+    register_module_by_value(_sys.modules[__name__])
+
+    import numpy as np
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = {k: [] for k in (
+            "media_id", "n_samples", "sample_rate", "sum_abs", "max_abs",
+            "energy",
+        )}
+        for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+            rows["media_id"].append(mid)
+            dec = decode_wav_samples(payload)
+            if dec is None:
+                for k in ("n_samples", "sample_rate", "sum_abs",
+                          "max_abs", "energy"):
+                    rows[k].append(None)
+                continue
+            n_ch, rate, bits, s = dec
+            a = np.abs(s.astype(np.int64))
+            rows["n_samples"].append(int(s.size))
+            rows["sample_rate"].append(rate)
+            rows["sum_abs"].append(int(a.sum()))
+            rows["max_abs"].append(int(a.max()))
+            rows["energy"].append(int((a * a).sum()))
+        return pd.DataFrame(
+            {
+                "media_id": rows["media_id"],
+                "n_samples": pd.array(rows["n_samples"], dtype="Int64"),
+                "sample_rate": pd.array(rows["sample_rate"], dtype="Int32"),
+                "sum_abs": pd.array(rows["sum_abs"], dtype="Int64"),
+                "max_abs": pd.array(rows["max_abs"], dtype="Int64"),
+                "energy": pd.array(rows["energy"], dtype="Int64"),
+            }
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if max_batch_bytes:
+            batches = rechunk_by_bytes(batches, max_batch_bytes)
+        for pdf in batches:
+            yield kernel(pdf)
+
+    return df.mapInPandas(run, AUDIO_STATS_SCHEMA)

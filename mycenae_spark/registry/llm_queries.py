@@ -1928,6 +1928,51 @@ def multimodal_pixel_stats_mixed(spark, sf_dir):
     ).orderBy("media_id")
 
 
+@q(
+    "multimodal_audio_stats",
+    """
+WITH m AS (
+  SELECT doc_id, (doc_id % 200 + 50)::BIGINT AS n FROM documents
+), grid AS (SELECT unnest(generate_series(0, 249)) AS k),
+s AS (
+  SELECT doc_id, n, ((37 * doc_id + 113 * g.k) % 4001) - 2000 AS v
+  FROM m, grid g WHERE g.k < n
+)
+SELECT doc_id AS media_id, n AS n_samples, 8000::INT AS sample_rate,
+       sum(abs(v))::BIGINT AS sum_abs, max(abs(v))::BIGINT AS max_abs,
+       sum(v * v)::BIGINT AS energy
+FROM s GROUP BY doc_id, n
+""",
+)
+def multimodal_audio_stats(spark, sf_dir):
+    """REAL AUDIO decode judged — the third modality goes real (r14):
+    the corpus renders as REAL WAV byte streams (RIFF/WAVE/fmt/data,
+    mono s16le @ 8 kHz, samples from the closed-form spec
+    ``functions/multimodal.py::audio_corpus_samples``), and
+    ``audio_pcm_stats`` walks the RIFF chunks, validates integer-PCM
+    ``fmt``, and reduces the little-endian samples to exact integers:
+    count, Σ|s|, max |s|, Σ s² — the loudness/clipping/energy profile an
+    audio pipeline computes corpus-wide before filtering.  WAV PCM is
+    uncompressed, so (like GIF's LZW and unlike JPEG/MP3) the decode is
+    bit-exact and the oracle states every value from the sample spec —
+    an endianness flip, off-by-one chunk walk, or sign-extension bug
+    hash-fails.  Lossy audio stays the honest codec stub.  100 TB shape:
+    manifest-first 32-wide partitioning, one Arrow crossing per
+    byte-bounded batch, 5 integers per asset, samples never shuffle."""
+    from mycenae_spark.functions.multimodal import (
+        audio_pcm_stats,
+        render_audio_corpus,
+    )
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("media_id"))
+        .repartition(32, F.pmod(F.col("doc_id"), 32))
+    )
+    media = render_audio_corpus(d, "media_id")
+    return audio_pcm_stats(media, max_batch_bytes=1 << 20).orderBy("media_id")
+
+
 # aHash per the same pixel spec: 8×8 nearest-grid luma samples, integer
 # mean (Σ // 64), bit (y*8+x) set iff the sample is strictly above it.
 _PIXEL_AHASH_SQL = f"""

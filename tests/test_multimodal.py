@@ -622,3 +622,75 @@ def test_cross_container_perceptual_match():
         assert _png_gray(*dp).tobytes() == _png_gray(*dg).tobytes()
         assert _dhash_from_dec(dp) == _dhash_from_dec(dg) is not None
         assert _ahash_from_dec(dp) == _ahash_from_dec(dg) is not None
+
+
+def test_wav_roundtrip_and_rejections():
+    """REAL WAV decode (r14, third modality): 16-bit signed and 8-bit
+    recentered PCM roundtrip exactly; extension chunks are walked with
+    word alignment; float/ADPCM formats, truncation, missing fmt/data,
+    and odd-length sample data all return None."""
+    import numpy as np
+
+    from mycenae_spark.functions.multimodal import (
+        audio_corpus_samples,
+        decode_wav_samples,
+        encode_wav,
+    )
+
+    s = audio_corpus_samples(411)
+    w = encode_wav(s)
+    n_ch, rate, bits, out = decode_wav_samples(w)
+    assert (n_ch, rate, bits) == (1, 8000, 16) and (out == s).all()
+    s8 = np.arange(-128, 128)
+    assert (decode_wav_samples(encode_wav(s8, bits=8))[3] == s8).all()
+    # an extra odd-length chunk between fmt and data must be walked with
+    # its pad byte
+    fmt_i = w.index(b"fmt ")
+    data_i = w.index(b"data")
+    extra = b"LIST" + (3).to_bytes(4, "little") + b"abc" + b"\x00"
+    w2 = w[:data_i] + extra + w[data_i:]
+    w2 = w2[:4] + (len(w2) - 8).to_bytes(4, "little") + w2[8:]
+    assert (decode_wav_samples(w2)[3] == s).all()
+
+    assert decode_wav_samples(None) is None
+    assert decode_wav_samples(b"RIFFxxxxWAVE") is None
+    assert decode_wav_samples(w[:30]) is None  # truncated chunk
+    # float format (3) rejected: flip the audio-format field
+    wf = bytearray(w)
+    wf[fmt_i + 8] = 3
+    assert decode_wav_samples(bytes(wf)) is None
+    # 24-bit rejected (bits field at fmt+22)
+    wb = bytearray(w)
+    wb[fmt_i + 22] = 24
+    assert decode_wav_samples(bytes(wb)) is None
+
+
+def test_audio_pcm_stats_through_arrow(spark):
+    """The judged audio pipeline end-to-end on a small id frame: render
+    REAL WAVs → decode → exact integer reductions matching the spec;
+    a non-WAV payload yields a null row."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from mycenae_spark.functions.multimodal import (
+        audio_corpus_samples,
+        audio_pcm_stats,
+        render_audio_corpus,
+    )
+
+    ids = spark.range(0, 12).select(F.col("id").alias("media_id"))
+    media = render_audio_corpus(ids, "media_id")
+    rows = {r["media_id"]: r for r in
+            audio_pcm_stats(media, max_batch_bytes=1 << 16).collect()}
+    assert len(rows) == 12
+    for d in range(12):
+        s = audio_corpus_samples(d).astype(np.int64)
+        r = rows[d]
+        assert r["n_samples"] == s.size and r["sample_rate"] == 8000
+        assert r["sum_abs"] == int(np.abs(s).sum())
+        assert r["max_abs"] == int(np.abs(s).max())
+        assert r["energy"] == int((s * s).sum())
+    bad = spark.createDataFrame(
+        [(99, b"mp3-ish junk")], "media_id long, payload binary")
+    out = audio_pcm_stats(bad).collect()[0]
+    assert out["n_samples"] is None and out["energy"] is None

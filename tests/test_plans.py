@@ -687,3 +687,14 @@ def test_image_phash_pairs_keyed_buckets_no_allpairs(spark):
     assert plan.count("MapInPandas") == 2  # render + dhash, each once
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_audio_stats_pruned_scan_two_arrow_stages(spark):
+    """multimodal_audio_stats (r14): same shape contract as the pixel
+    queries — id-only scan, exactly two Arrow crossings (render, decode),
+    no cartesian, no single-partition collapse."""
+    plan = _plan(spark, "multimodal_audio_stats")
+    assert plan.count("MapInPandas") == 2
+    assert "text" not in plan.split("ReadSchema")[-1].split("\n")[0]
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
