@@ -2037,6 +2037,76 @@ def dedup_image_ahash(spark, sf_dir):
     )
 
 
+# Audio fingerprint per the afp corpus spec: sample i → window (65·i)//n,
+# window energies Σ v², bit k = energy[k+1] > energy[k].
+_AFP_SQL = """
+WITH m AS (SELECT doc_id, doc_id - doc_id % 3 AS g FROM documents),
+dims AS (SELECT doc_id, g, (g % 200 + 65)::BIGINT AS n FROM m),
+grid AS (SELECT unnest(generate_series(0, 263)) AS k),
+s AS (
+  SELECT doc_id, n, (65 * g.k) // n AS w,
+         (doc_id % 3 + 1) * (((37 * dims.g + 113 * g.k) % 2001) - 1000) AS v
+  FROM dims, grid g WHERE g.k < n
+),
+e AS (SELECT doc_id, w, sum(v * v) AS en FROM s GROUP BY doc_id, w),
+bits AS (
+  SELECT doc_id, w AS bit,
+         CASE WHEN lead(en) OVER (PARTITION BY doc_id ORDER BY w) > en
+              THEN 1 ELSE 0 END AS bset
+  FROM e
+),
+uhash AS (
+  SELECT doc_id,
+    sum(CASE WHEN bset = 1 AND bit < 64 THEN CAST(pow(2, bit) AS HUGEINT)
+             ELSE CAST(0 AS HUGEINT) END) AS us
+  FROM bits GROUP BY doc_id
+)
+SELECT doc_id, us,
+  CAST(us - CASE WHEN us >= CAST(9223372036854775808 AS HUGEINT)
+                 THEN CAST(18446744073709551616 AS HUGEINT)
+                 ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS afp
+FROM uhash
+"""
+
+
+@q("dedup_audio_fingerprint", _pixel_pairs_sql(_AFP_SQL, "afp"))
+def dedup_audio_fingerprint(spark, sf_dir):
+    """Audio near-dup pairs by energy-envelope fingerprint — the THIRD
+    modality through the one shared signature pipeline (r14): real WAV
+    decode → 65-window energy envelope → dHash-style adjacent-energy
+    bits → Hamming-≤5 pairs via the SAME reused segment-banding kernel
+    as text simhash and image dHash/aHash.
+
+    The corpus spec guarantees the pairs the fingerprint exists to
+    catch: each triple of consecutive doc_ids plays the SAME waveform at
+    volumes 1×/2×/3× — different md5/sum_abs/energy, IDENTICAL
+    fingerprint, because a volume change scales every window energy by
+    the same c² and the adjacent comparisons never move (the audio
+    analog of dHash's brightness invariance).  All Hamming distances 0–5
+    populated at sf0.1 (17 494 pairs, max segment bucket 153 — the 512
+    valve never binds).  The oracle states every energy and every bit
+    from the closed-form sample spec and mirrors banding + valve.
+    100 TB shape: samples → 8-byte signature at the Arrow boundary,
+    keyed equality buckets, never all-pairs."""
+    from mycenae_spark.functions.dedup import hamming_pairs_from_sigs
+    from mycenae_spark.functions.multimodal import (
+        afp_media,
+        render_afp_corpus,
+    )
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("media_id"))
+        .repartition(32, F.pmod(F.col("doc_id"), 32))
+    )
+    media = render_afp_corpus(d, "media_id")
+    sigs = afp_media(media, max_batch_bytes=1 << 20).select("media_id", "afp")
+    return hamming_pairs_from_sigs(
+        sigs, "media_id", "afp",
+        bits=64, n_segments=6, max_hamming=5, max_bucket_size=MAX_BUCKET,
+    )
+
+
 # ------------------------------------------------- dedup cluster assignment
 
 @q(

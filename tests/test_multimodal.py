@@ -694,3 +694,42 @@ def test_audio_pcm_stats_through_arrow(spark):
         [(99, b"mp3-ish junk")], "media_id long, payload binary")
     out = audio_pcm_stats(bad).collect()[0]
     assert out["n_samples"] is None and out["energy"] is None
+
+
+def test_audio_fingerprint_volume_invariance_and_arrow(spark):
+    """Audio fingerprint (r14): volume triples share the fingerprint
+    (scale invariance: c²-scaled window energies preserve every adjacent
+    comparison) while md5/amplitude stats differ; too-short audio and
+    non-WAV payloads yield null; the Arrow kernel matches the
+    payload-level helper row for row."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from mycenae_spark.functions.multimodal import (
+        _afp_from_samples,
+        afp64,
+        afp_corpus_samples,
+        afp_media,
+        encode_wav,
+        render_afp_corpus,
+    )
+
+    for base in (0, 3, 300):
+        fps, sums = [], []
+        for d in (base, base + 1, base + 2):
+            s = afp_corpus_samples(d)
+            fps.append(afp64(encode_wav(s)))
+            sums.append(int(np.abs(s).sum()))
+        assert fps[0] == fps[1] == fps[2] is not None
+        assert len(set(sums)) == 3  # volumes differ; fingerprint doesn't
+    # pinned golden from the corpus spec
+    assert afp64(encode_wav(afp_corpus_samples(0))) == -4602696377132909056
+    assert _afp_from_samples(np.arange(64)) is None  # under the 65 grid
+    assert afp64(b"not audio") is None
+
+    ids = spark.range(0, 9).select(F.col("id").alias("media_id"))
+    rows = {r["media_id"]: r for r in
+            afp_media(render_afp_corpus(ids, "media_id")).collect()}
+    for d in range(9):
+        assert rows[d]["afp"] == afp64(encode_wav(afp_corpus_samples(d)))
+        assert rows[d]["n_samples"] == afp_corpus_samples(d).size
