@@ -183,6 +183,7 @@ HEADLINE = [
     "multimodal_pixel_stats_mixed",
     "multimodal_audio_stats",
     "dedup_audio_fingerprint",
+    "multimodal_audio_frames",
     # Streaming lifecycle roundtrips (stream_funnel/gaps/dedup/evict/
     # heavyhitters_roundtrip, the bus/ingest roundtrips) are judged via
     # the driver window + oracle replica but never headline-timed —

@@ -1611,3 +1611,84 @@ def render_afp_corpus(df: DataFrame, id_col: str = "media_id") -> DataFrame:
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
     return df.select(F.col(id_col)).mapInPandas(run, schema)
+
+
+#: Frame grid for frame-level audio features (distinct from the
+#: fingerprint's 65-window envelope: frames here are fixed-length).
+_AUDIO_FRAME = 50
+
+#: Frame-feature output: one row per (asset, frame) — the row-EXPANSION
+#: shape (decode → explode) at the audio modality.
+AUDIO_FRAMES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), True),
+        StructField("n", IntegerType(), True),
+        StructField("energy", LongType(), True),
+        StructField("zcr", IntegerType(), True),
+        StructField("peak", LongType(), True),
+    ]
+)
+
+
+def audio_frame_features(
+    df: DataFrame,
+    frame: int = _AUDIO_FRAME,
+    max_batch_bytes: int | None = None,
+) -> DataFrame:
+    """REAL WAV decode → fixed-length frame EXPLODE: one row per
+    ``frame``-sample window with exact integer features — Σ s² (energy),
+    strict zero crossings (s[k]·s[k+1] < 0, counted within the frame),
+    max |s| (peak).  The audio row-expansion primitive (VAD / silence
+    trimming / loudness segmentation all start here), mirroring
+    ``sample_frames``'s video shape but over REAL decoded samples.
+    The tail frame keeps its true (shorter) length in ``n``.
+    Undecodable payloads yield one null row (asset visible, features
+    null).  100 TB shape: expansion happens INSIDE the Arrow kernel —
+    payload bytes cross once, ~n/frame small integer rows come back."""
+    import sys as _sys
+
+    from mycenae_spark.pickling import register_module_by_value
+
+    register_module_by_value(_sys.modules[__name__])
+
+    import numpy as np
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = {k: [] for k in (
+            "media_id", "frame_idx", "n", "energy", "zcr", "peak",
+        )}
+        for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+            dec = decode_wav_samples(payload)
+            if dec is None:
+                rows["media_id"].append(mid)
+                for k in ("frame_idx", "n", "energy", "zcr", "peak"):
+                    rows[k].append(None)
+                continue
+            s = dec[3].astype(np.int64)
+            for fi in range(0, s.size, frame):
+                win = s[fi : fi + frame]
+                rows["media_id"].append(mid)
+                rows["frame_idx"].append(fi // frame)
+                rows["n"].append(int(win.size))
+                rows["energy"].append(int((win * win).sum()))
+                rows["zcr"].append(int(((win[:-1] * win[1:]) < 0).sum()))
+                rows["peak"].append(int(np.abs(win).max()))
+        return pd.DataFrame(
+            {
+                "media_id": rows["media_id"],
+                "frame_idx": pd.array(rows["frame_idx"], dtype="Int32"),
+                "n": pd.array(rows["n"], dtype="Int32"),
+                "energy": pd.array(rows["energy"], dtype="Int64"),
+                "zcr": pd.array(rows["zcr"], dtype="Int32"),
+                "peak": pd.array(rows["peak"], dtype="Int64"),
+            }
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if max_batch_bytes:
+            batches = rechunk_by_bytes(batches, max_batch_bytes)
+        for pdf in batches:
+            yield kernel(pdf)
+
+    return df.mapInPandas(run, AUDIO_FRAMES_SCHEMA)

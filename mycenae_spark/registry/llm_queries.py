@@ -2037,6 +2037,57 @@ def dedup_image_ahash(spark, sf_dir):
     )
 
 
+@q(
+    "multimodal_audio_frames",
+    """
+WITH m AS (SELECT doc_id, (doc_id % 200 + 50)::BIGINT AS n FROM documents),
+grid AS (SELECT unnest(generate_series(0, 249)) AS k),
+s AS (
+  SELECT doc_id, g.k AS k, g.k // 50 AS f,
+         ((37 * doc_id + 113 * g.k) % 4001) - 2000 AS v
+  FROM m, grid g WHERE g.k < n
+),
+w AS (
+  SELECT *, lead(v) OVER (PARTITION BY doc_id, f ORDER BY k) AS nxt FROM s
+)
+SELECT doc_id AS media_id, f::INT AS frame_idx, count(*)::INT AS n,
+       sum(v * v)::BIGINT AS energy,
+       sum(CASE WHEN nxt IS NOT NULL AND v * nxt < 0 THEN 1 ELSE 0 END)::INT
+         AS zcr,
+       max(abs(v))::BIGINT AS peak
+FROM w GROUP BY doc_id, f
+""",
+)
+def multimodal_audio_frames(spark, sf_dir):
+    """Frame-level audio features — the row-EXPANSION shape at the audio
+    modality (r14; ``multimodal_frame_sample`` is the video twin, but
+    over REAL decoded samples): real WAV decode → fixed 50-sample frame
+    explode inside the Arrow kernel → exact integer features per frame
+    (Σ s² energy, strict zero crossings s·s' < 0, max |s| peak; the tail
+    frame keeps its true length).  This is where VAD / silence trimming /
+    loudness segmentation start in an audio training pipeline.  The
+    oracle states every frame row from the closed-form sample spec (lead
+    window for the crossing pairs), so a frame-boundary off-by-one, a
+    crossing counted across a frame edge, or a dropped tail frame
+    hash-fails.  100 TB shape: expansion happens inside the kernel —
+    payload bytes cross the boundary once, ~n/50 small integer rows
+    come back, and downstream segmentation aggs are JVM-side."""
+    from mycenae_spark.functions.multimodal import (
+        audio_frame_features,
+        render_audio_corpus,
+    )
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("media_id"))
+        .repartition(32, F.pmod(F.col("doc_id"), 32))
+    )
+    media = render_audio_corpus(d, "media_id")
+    return audio_frame_features(
+        media, frame=50, max_batch_bytes=1 << 20
+    ).orderBy("media_id", "frame_idx")
+
+
 # Audio fingerprint per the afp corpus spec: sample i → window (65·i)//n,
 # window energies Σ v², bit k = energy[k+1] > energy[k].
 _AFP_SQL = """

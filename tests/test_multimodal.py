@@ -733,3 +733,46 @@ def test_audio_fingerprint_volume_invariance_and_arrow(spark):
     for d in range(9):
         assert rows[d]["afp"] == afp64(encode_wav(afp_corpus_samples(d)))
         assert rows[d]["n_samples"] == afp_corpus_samples(d).size
+
+
+def test_audio_frame_features_explode_shape(spark):
+    """Frame explode (r14): per-frame energy/zcr/peak match the numpy
+    mirror including the short tail frame; crossings never count across
+    a frame boundary; non-WAV payloads yield one null row."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from mycenae_spark.functions.multimodal import (
+        audio_corpus_samples,
+        audio_frame_features,
+        encode_wav,
+        render_audio_corpus,
+    )
+
+    ids = spark.range(0, 6).select(F.col("id").alias("media_id"))
+    media = render_audio_corpus(ids, "media_id")
+    rows = audio_frame_features(media, frame=50).collect()
+    by_key = {(r["media_id"], r["frame_idx"]): r for r in rows}
+    for d in range(6):
+        s = audio_corpus_samples(d).astype(np.int64)
+        n_frames = -(-s.size // 50)
+        assert sum(1 for k in by_key if k[0] == d) == n_frames
+        for fi in range(n_frames):
+            win = s[fi * 50 : fi * 50 + 50]
+            r = by_key[(d, fi)]
+            assert r["n"] == win.size
+            assert r["energy"] == int((win * win).sum())
+            assert r["zcr"] == int(((win[:-1] * win[1:]) < 0).sum())
+            assert r["peak"] == int(np.abs(win).max())
+    # an adversarial boundary: [-1, +1] straddling two frames must count 0
+    sb = np.zeros(100, dtype=np.int64)
+    sb[49], sb[50] = -5, 5
+    df = spark.createDataFrame(
+        [(7, bytearray(encode_wav(sb)))], "media_id long, payload binary")
+    out = {r["frame_idx"]: r for r in
+           audio_frame_features(df, frame=50).collect()}
+    assert out[0]["zcr"] == 0 and out[1]["zcr"] == 0
+    bad = spark.createDataFrame(
+        [(9, b"junk")], "media_id long, payload binary")
+    nr = audio_frame_features(bad).collect()[0]
+    assert nr["frame_idx"] is None and nr["energy"] is None
