@@ -3458,6 +3458,144 @@ def stream_dedup_roundtrip(spark, sf_dir):
 
 
 @q(
+    "stream_media_dedup_roundtrip",
+    """
+SELECT * FROM (VALUES
+  ('raw_rows', CAST(51 AS BIGINT)),
+  ('unique_payloads', CAST(51 AS BIGINT)),
+  ('unique_signatures', CAST(12 AS BIGINT))
+) AS t(what, n)
+""",
+)
+def stream_media_dedup_roundtrip(spark, sf_dir):
+    """Streaming PERCEPTUAL dedup — the multimodal twin of
+    ``stream_dedup_roundtrip`` (r14): a REAL Structured Streaming job
+    (file source → JVM-side unbase64 → Arrow dHash kernel →
+    ``dropDuplicatesWithinWatermark`` keyed on the SIGNATURE → memory
+    sink, availableNow, maxFilesPerTrigger=1 so the signature state
+    store must persist across micro-batches).
+
+    The source is built so byte-level dedup provably finds nothing:
+    file A carries 30 PNGs (10 brightness triples — every byte stream
+    distinct); file B RETRANSMITS 15 of A's images RE-ENCODED AS GIF
+    (same pixels, completely different bytes — the re-encode/recompress
+    retransmit md5 cannot catch) plus 6 new PNGs (2 triples).  All 51
+    payloads are md5-distinct (asserted in-query), yet the signature
+    dedup collapses them to the 12 true images: triples share dHash by
+    brightness invariance, PNG/GIF re-encodes share it by the
+    cross-container decode (one dispatch decoder, one luma plane).
+    Constant oracle: 51 raw / 51 distinct payloads / 12 signatures.
+    ``sf_dir`` unused — input synthesized, scale-invariant.  At 100 TB
+    the shape is the point: signatures are computed once at the Arrow
+    boundary in-stream, dedup state is 8 bytes per unique image within
+    the watermark horizon, and payload bytes never enter the state
+    store."""
+    import base64 as _b64
+    import json as _json
+    import os
+    import shutil
+    import sys as _sys
+    import tempfile
+    import uuid
+
+    from mycenae_spark.functions import multimodal as _mm
+    from mycenae_spark.pickling import register_module_by_value
+
+    register_module_by_value(_sys.modules[_mm.__name__])
+    import pandas as _pd
+
+    base = tempfile.mkdtemp(prefix="smdedup_rt_")
+    try:
+        src = os.path.join(base, "src")
+        os.makedirs(src)
+        t0 = 1704067200000
+
+        def png_payload(d):
+            w, h, ct, gray, px = _mm.pixel_corpus_image(d)
+            return _mm.encode_png(px, ct, row_filters=lambda y: y % 5,
+                                  n_idat=2)
+
+        def gif_payload(d):
+            w, h, ct, gray, px = _mm.pixel_corpus_image(d)
+            return _mm.encode_gif(gray, _mm._GRAY_PALETTE)
+
+        rows_a = [
+            {"media_id": d, "ts_ms": t0 + d * 1000,
+             "payload_b64": _b64.b64encode(png_payload(d)).decode()}
+            for d in range(30)
+        ]
+        rows_b = [
+            {"media_id": 1000 + d, "ts_ms": t0 + 60_000 + d * 1000,
+             "payload_b64": _b64.b64encode(gif_payload(d)).decode()}
+            for d in range(15)
+        ] + [
+            {"media_id": d, "ts_ms": t0 + 90_000 + d * 1000,
+             "payload_b64": _b64.b64encode(png_payload(d)).decode()}
+            for d in range(30, 36)
+        ]
+        with open(os.path.join(src, "a.jsonl"), "w") as f:
+            f.write("\n".join(_json.dumps(p) for p in rows_a))
+        with open(os.path.join(src, "b.jsonl"), "w") as f:
+            f.write("\n".join(_json.dumps(p) for p in rows_b))
+
+        schema = "media_id long, ts_ms long, payload_b64 string"
+
+        def sig_kernel(batches):
+            for pdf in batches:
+                yield _pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "ts_ms": pdf["ts_ms"],
+                        "dhash": _pd.array(
+                            [_mm.dhash64(p) for p in pdf["payload"]],
+                            dtype="Int64",
+                        ),
+                    }
+                )
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .json(src)
+            .withColumn("payload", F.unbase64("payload_b64"))
+            .select("media_id", "ts_ms", "payload")
+            .mapInPandas(
+                sig_kernel, "media_id long, ts_ms long, dhash long"
+            )
+            .withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+            .withWatermark("ts", "1 hour")
+            .dropDuplicatesWithinWatermark(["dhash"])
+        )
+        sink = f"smdedup_{uuid.uuid4().hex[:8]}"
+        await_or_raise(
+            stream.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start(),
+            120,
+            "stream_media_dedup",
+        )
+        raw = spark.read.schema(schema).json(src)
+        n_raw = raw.count()
+        n_payloads = raw.select(
+            F.md5(F.unbase64("payload_b64"))
+        ).distinct().count()
+        n_sigs = spark.table(sink).count()
+        out = spark.createDataFrame(
+            [("raw_rows", n_raw), ("unique_payloads", n_payloads),
+             ("unique_signatures", n_sigs)],
+            "what string, n long",
+        )
+        rows = out.collect()
+        res_schema = out.schema
+        spark.catalog.dropTempView(sink)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, res_schema)
+
+
+@q(
     "stream_enrich_roundtrip",
     """
 SELECT * FROM (VALUES
