@@ -776,3 +776,53 @@ def test_audio_frame_features_explode_shape(spark):
         [(9, b"junk")], "media_id long, payload binary")
     nr = audio_frame_features(bad).collect()[0]
     assert nr["frame_idx"] is None and nr["energy"] is None
+
+
+def test_hamming_pairs_from_sigs_recall_and_null_drop(spark):
+    """The shared banding stage (r14 refactor): on the image-corpus
+    dHash frame it returns EXACTLY the brute-force Hamming-≤5 pair set
+    (pigeonhole recall 1.0 — 6 segments guarantee distance ≤ 5), and
+    null signatures (undecodable assets) are dropped before banding
+    instead of forming a null bucket."""
+    import itertools
+
+    import pyspark.sql.functions as F
+
+    from mycenae_spark.functions.dedup import hamming_pairs_from_sigs
+    from mycenae_spark.functions.multimodal import (
+        dhash_media,
+        render_pixel_corpus,
+    )
+
+    ids = spark.range(0, 60).select(F.col("id").alias("media_id"))
+    sigs = dhash_media(render_pixel_corpus(ids, "media_id")).select(
+        "media_id", "dhash"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in hamming_pairs_from_sigs(
+            sigs, "media_id", "dhash",
+            bits=64, n_segments=6, max_hamming=5,
+        ).collect()
+    }
+    sig_map = {r["media_id"]: r["dhash"] for r in sigs.collect()}
+    brute = set()
+    for a, b in itertools.combinations(sorted(sig_map), 2):
+        hd = bin((sig_map[a] ^ sig_map[b]) & ((1 << 64) - 1)).count("1")
+        if hd <= 5:
+            brute.add((a, b, hd))
+    assert got == brute and len(brute) >= 59  # triples guarantee >= 59
+
+    # null signatures never pair (and never crash the banding)
+    with_null = sigs.union(
+        spark.createDataFrame([(999, None)], "media_id long, dhash long")
+    )
+    got2 = {
+        (r["doc_a"], r["doc_b"])
+        for r in hamming_pairs_from_sigs(
+            with_null, "media_id", "dhash",
+            bits=64, n_segments=6, max_hamming=5,
+        ).collect()
+    }
+    assert got2 == {(a, b) for a, b, _ in brute}
+    assert not any(999 in p for p in got2)
