@@ -469,7 +469,11 @@ def decode_png_pixels(b: bytes | None):
         raw = d.decompress(b"".join(idat), expect)
     except zlib.error:
         return None
-    if len(raw) != expect or d.unconsumed_tail or d.decompress(b"", 1):
+    # d.eof: require DEFLATE stream termination (advice r14) — a stream
+    # truncated exactly after yielding `expect` bytes would otherwise pass
+    # with its adler32 never verified.
+    if (len(raw) != expect or not d.eof or d.unconsumed_tail
+            or d.decompress(b"", 1)):
         return None
 
     import numpy as np
@@ -651,9 +655,11 @@ def resize_pixel_stats(
     """Real PNG decode + aspect-fit nearest resize, reduced to
     oracle-statable integers (see :data:`RESIZE_STATS_SCHEMA`).  Color
     inputs collapse to BT.601 integer luma before the sum so the reduction
-    is channel-order-proof.  Non-PNG rows yield null stats (format is
-    visible in the envelope; a mixed corpus routes those through the
-    header/stub paths instead)."""
+    is channel-order-proof.  Dispatches through
+    :func:`decode_image_pixels`, so PNG and GIF both decode for real;
+    undecodable payloads (JPEG and other formats) yield null stats
+    (format is visible in the envelope; a mixed corpus routes those
+    through the header/stub paths instead)."""
     import sys as _sys
 
     from mycenae_spark.pickling import register_module_by_value
@@ -1499,11 +1505,8 @@ def _afp_from_samples(samples):
     if n < _AFP_WINDOWS:
         return None
     w = (np.arange(n, dtype=np.int64) * _AFP_WINDOWS) // n
-    energy = np.bincount(w, weights=(s * s).astype(np.float64),
-                         minlength=_AFP_WINDOWS)
-    # exact integer energies: bincount in float64 is exact only to 2^53 —
-    # redo in int64 via add.at (energies here are ≤ 249·3000² ≈ 2.2e9,
-    # far inside both, but the int path costs nothing and never rounds)
+    # exact integer energies via add.at (float64 bincount is exact only to
+    # 2^53; the int64 path never rounds and costs nothing)
     e = np.zeros(_AFP_WINDOWS, dtype=np.int64)
     np.add.at(e, w, s * s)
     val = 0

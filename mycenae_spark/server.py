@@ -69,6 +69,14 @@ from mycenae_spark.streaming.ingest import prepare_points
 logger = logging.getLogger(__name__)
 
 
+def _is_int(v) -> bool:
+    """Strict JSON-integer check for cursor elements: bool is a subclass
+    of int in Python, so a bare ``isinstance(v, int)`` silently accepts
+    JSON ``true``/``false`` and treats it as a stage/timestamp instead of
+    returning the documented 400 (advice r14)."""
+    return isinstance(v, int) and not isinstance(v, bool)
+
+
 class Engine:
     """Lake-backed query/ingest engine shared by all requests."""
 
@@ -1023,8 +1031,8 @@ class Engine:
             ak = body.get("after_key")
             if ak is not None:
                 if not (isinstance(ak, (list, tuple)) and len(ak) == 2
-                        and isinstance(ak[0], int)
-                        and isinstance(ak[1], (str, int))):
+                        and _is_int(ak[0])
+                        and (isinstance(ak[1], str) or _is_int(ak[1]))):
                     raise ValueError(
                         "funnel after_key must be the previous page's "
                         "last [stage, user_id] cursor"
@@ -1135,9 +1143,10 @@ class Engine:
             if ak is not None:
                 if not (
                     isinstance(ak, (list, tuple)) and len(ak) == 3
-                    and (ak[0] is None or isinstance(ak[0], (int, float)))
-                    and isinstance(ak[1], (str, int))
-                    and isinstance(ak[2], int)
+                    and (ak[0] is None or _is_int(ak[0])
+                         or isinstance(ak[0], float))
+                    and (isinstance(ak[1], str) or _is_int(ak[1]))
+                    and _is_int(ak[2])
                 ):
                     raise ValueError(
                         "attribution after_key must be the previous "

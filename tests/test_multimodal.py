@@ -350,6 +350,13 @@ def test_png_decode_rejections():
     assert decode_png_pixels(sig + ihdr(4, 1) + short + end) is None
     long_ = _chunk(b"IDAT", zlib.compress(b"\x00" + b"\x01" * 5))
     assert decode_png_pixels(sig + ihdr(4, 1) + long_ + end) is None
+    # DEFLATE stream truncated exactly AFTER yielding the claimed bytes
+    # (adler32 / end marker cut — d.eof never set): the bounded-inflate
+    # acceptance must still require stream termination (advice r14)
+    whole = zlib.compress(b"\x00" + b"\x01" * 4)
+    for cut in (1, 4, 5):
+        cut_idat = _chunk(b"IDAT", whole[:-cut])
+        assert decode_png_pixels(sig + ihdr(4, 1) + cut_idat + end) is None
 
 
 def test_png_zlib_bomb_is_rejected_bounded():

@@ -1202,6 +1202,18 @@ def test_funnel_attribution_cursor_pagination(spark, tmp_path_factory):
         code, err = _req(base, "/keysets/k1/api/query/funnel",
                          {**fbody, "after_key": [2, None]})
         assert code == 400 and "after_key" in err["error"]
+        # JSON booleans are NOT integers: bool subclasses int in Python,
+        # so [true, "u1"] used to pass the isinstance(int) check and run
+        # as stage 1 instead of the documented 400 (advice r14)
+        code, err = _req(base, "/keysets/k1/api/query/funnel",
+                         {**fbody, "after_key": [True, "u1"]})
+        assert code == 400 and "after_key" in err["error"]
+        code, err = _req(base, "/keysets/k1/api/query/attribution",
+                         {**abody, "after_key": [True, "u0", 0]})
+        assert code == 400 and "after_key" in err["error"]
+        code, err = _req(base, "/keysets/k1/api/query/attribution",
+                         {**abody, "after_key": [None, "u0", False]})
+        assert code == 400 and "after_key" in err["error"]
 
         # exact duplicate conversions (client retry) collapse to one
         # cursor-unique sample row with n_dup — a page boundary between
