@@ -179,11 +179,22 @@ HEADLINE = [
     # round 14: real pixel decode (render PNGs → unfilter → luma →
     # resample) and perceptual-hash pairs over the same corpus
     "multimodal_pixel_stats",
-    "dedup_image_phash",
+    # dedup_image_phash: demoted r15 — strict plan-prefix of
+    # dedup_media_keep_best below (render → decode → signature → banded
+    # pairs); the pair stage keeps getting timed inside the superset.
+    # Stays judged.
     "multimodal_pixel_stats_mixed",
     "multimodal_audio_stats",
     "dedup_audio_fingerprint",
     "multimodal_audio_frames",
+    # round 15: the perceptual families finished to duplicate GROUPS +
+    # keep-best verdicts.  keep_best is the new plan shape (single-decode
+    # profile → banding → pointer-jump components → quality join + argmax
+    # window); dedup_media_clusters / dedup_audio_clusters are
+    # demoted-but-judged (pair stages timed above/inside keep_best, and
+    # the headline already times the component kernel twice via
+    # dedup_semantic_clusters + dedup_jaccard_prefix_clusters).
+    "dedup_media_keep_best",
     # Streaming lifecycle roundtrips (stream_funnel/gaps/dedup/evict/
     # heavyhitters_roundtrip, the bus/ingest roundtrips) are judged via
     # the driver window + oracle replica but never headline-timed —

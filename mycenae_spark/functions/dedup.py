@@ -630,11 +630,43 @@ def winnow_verified_spans(
     )
 
 
+def _iter_boundary(df: DataFrame) -> DataFrame:
+    """Materialization boundary for ITERATIVE plans: localCheckpoint +
+    drop the carried plan statistics.
+
+    Root cause (r15, measured): ``Dataset.localCheckpoint`` pins the
+    checkpointed plan's ``sizeInBytes`` estimate onto the new
+    ``LogicalRDD`` (originStats).  A loop whose round JOINS the previous
+    round's frame with itself then MULTIPLIES those BigInt estimates —
+    the digit count doubles every round (measured 76 → 3 591 digits in
+    6 rounds on a 99-edge graph), and from ~round 15 the driver spends
+    its time in ``BigInteger.multiplyKaratsuba`` (2.5× wall per round:
+    0.3 s at round 12, 260 s at round 21 — on 99 rows).  RDD lineage,
+    logical plan, stage counts, GC are all flat; only the stats object
+    grows.  Rebuilding the frame over the SAME checkpointed RDD via
+    ``internalCreateDataFrame`` drops originStats, so every round plans
+    against fresh leaf stats and round cost stays constant.  Falls back
+    to the plain checkpoint if the internal API moves."""
+    ck = df.localCheckpoint(eager=True)
+    try:
+        spark = ck.sparkSession
+        jrdd = ck._jdf.queryExecution().toRdd()
+        jschema = spark._jvm.org.apache.spark.sql.types.DataType.fromJson(
+            ck.schema.json()
+        )
+        jdf = spark._jsparkSession.internalCreateDataFrame(
+            jrdd, jschema, False
+        )
+        return DataFrame(jdf, spark)
+    except Exception:  # pragma: no cover - internal-API drift fallback
+        return ck
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
-    max_iter: int = 20,
+    max_iter: int = 40,
     seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Cluster near-dup candidate pairs into components: every member gets
@@ -659,9 +691,10 @@ def connected_components(
         )
         .distinct()
     )
-    # localCheckpoint materializes `edges`/`labels` with fresh lineage, which
-    # also sidesteps Spark's ambiguous-self-join detection across rounds.
-    edges = edges.localCheckpoint(eager=True)
+    # The boundary materializes `edges`/`labels` with fresh lineage (which
+    # also sidesteps Spark's ambiguous-self-join detection across rounds)
+    # AND drops carried plan stats — see _iter_boundary.
+    edges = _iter_boundary(edges)
     labels = edges.select(F.col("src").alias("node")).distinct()
     if seeds is not None:
         labels = (
@@ -675,9 +708,13 @@ def connected_components(
         )
     else:
         labels = labels.withColumn("label", F.col("node"))
-    labels = labels.localCheckpoint(eager=True)
+    labels = _iter_boundary(labels)
+    converged = False
     for _ in range(max_iter):
-        # 1) hook: pull the min label across direct edges
+        # 1) hook: pull the min label across direct edges.  Materialize
+        # before the pointer-jump self-join — both join branches below
+        # read `hooked`, and an unmaterialized frame would recompute the
+        # edge join + aggregation TWICE per round.
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
@@ -688,10 +725,12 @@ def connected_components(
             neighbor_min, labels.node == neighbor_min.nnode, "left"
         ).select(
             "node",
+            F.col("label").alias("old_label"),
             F.least(
                 F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
             ).alias("label"),
         )
+        hooked = _iter_boundary(hooked)
         # 2) pointer-jump: label ← label's label.  Without this the loop
         # needs O(component diameter) rounds (a 172-node LSH chain broke a
         # 20-round cap); with it, O(log diameter).
@@ -702,22 +741,33 @@ def connected_components(
             hooked.join(ptr, hooked.label == ptr.pnode, "left")
             .select(
                 "node",
+                "old_label",
                 F.least(
                     F.col("label"), F.coalesce(F.col("plabel"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
         )
+        new_labels = _iter_boundary(new_labels)
+        # convergence check on the MATERIALIZED frame via the carried
+        # old_label — no join back to the previous labels frame
         changed = (
-            new_labels.withColumnRenamed("label", "new_label")
-            .join(labels, "node")
-            .filter(F.col("new_label") != F.col("label"))
+            new_labels.filter(F.col("label") != F.col("old_label"))
             .limit(1)
             .count()
         )
-        labels = new_labels
+        labels = new_labels.select("node", "label")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # A silently non-converged result is WRONG labels (nodes not yet
+        # carrying their component min), not a degraded answer — fail
+        # loudly instead (r15: the 20-round cap was hit by a 758-node
+        # chain component without anyone noticing).
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "- component diameter exceeds 2^rounds; raise max_iter"
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )

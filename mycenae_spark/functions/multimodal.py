@@ -867,6 +867,75 @@ dhash_media = _make_signature_media("dhash", _dhash_from_dec)
 ahash_media = _make_signature_media("ahash", _ahash_from_dec)
 
 
+#: Dedup profile: perceptual signature + quality key from ONE decode.
+MEDIA_PROFILE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("dhash", LongType(), True),
+        StructField("px_sum", LongType(), True),
+    ]
+)
+
+
+def media_dedup_profile(
+    df: DataFrame,
+    target_w: int = 16,
+    target_h: int = 16,
+    max_batch_bytes: int | None = None,
+) -> DataFrame:
+    """Per-asset DEDUP PROFILE — the 64-bit dHash signature AND the
+    keep-best quality key (aspect-fit ``target_w×target_h`` grayscale
+    pixel sum, exactly ``resize_pixel_stats``'s px_sum) from a SINGLE
+    :func:`decode_image_pixels` pass.
+
+    A keep-best media dedup needs both per asset (signature → duplicate
+    components, quality → which member survives); running the signature
+    kernel and the stats kernel separately would decode every payload
+    twice — the exact double-decode the r13 review flagged inside
+    ``dhash_media``.  Undecodable / too-small payloads yield null for
+    BOTH columns (null signatures are dropped before banding downstream).
+    100 TB shape: one JVM↔Python crossing per byte-bounded batch, 24
+    bytes out per asset — the profile frame is what gets persisted and
+    re-joined; pixels never cross an exchange."""
+    import sys as _sys
+
+    from mycenae_spark.pickling import register_module_by_value
+
+    register_module_by_value(_sys.modules[__name__])
+
+    import numpy as np
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        hashes, sums = [], []
+        for payload in pdf["payload"]:
+            dec = decode_image_pixels(payload)
+            if dec is None:
+                hashes.append(None)
+                sums.append(None)
+                continue
+            hashes.append(_dhash_from_dec(dec))
+            w, h, ch, raw = dec
+            gray = _png_gray(w, h, ch, raw)
+            ow, oh = fit_dims(w, h, target_w, target_h)
+            res = gray[np.ix_(_nearest_grid(h, oh), _nearest_grid(w, ow))]
+            sums.append(int(res.astype(np.int64).sum()))
+        return pd.DataFrame(
+            {
+                "media_id": pdf["media_id"],
+                "dhash": pd.array(hashes, dtype="Int64"),
+                "px_sum": pd.array(sums, dtype="Int64"),
+            }
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if max_batch_bytes:
+            batches = rechunk_by_bytes(batches, max_batch_bytes)
+        for pdf in batches:
+            yield kernel(pdf)
+
+    return df.mapInPandas(run, MEDIA_PROFILE_SCHEMA)
+
+
 # -------------------------------------------- PNG encoder + judged corpus
 
 def encode_png(px, color_type: int = 0, row_filters=None, n_idat: int = 1) -> bytes:

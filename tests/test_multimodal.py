@@ -833,3 +833,74 @@ def test_hamming_pairs_from_sigs_recall_and_null_drop(spark):
     }
     assert got2 == {(a, b) for a, b, _ in brute}
     assert not any(999 in p for p in got2)
+
+
+def test_media_clusters_and_keep_best_triple_collapse(spark):
+    """The judged composition end-to-end (r14 VERDICT item 1 'done'
+    criterion): every brightness triple collapses into ONE duplicate
+    component, and the keep-best verdict keeps exactly one asset per
+    component — the max-px_sum member (for an unmerged triple that is
+    the brightest rendition, doc_id % 3 == 2).  Also pins the
+    single-decode profile kernel against the two split kernels it
+    replaces."""
+    import pyspark.sql.functions as F
+
+    from mycenae_spark.functions.multimodal import (
+        dhash_media,
+        media_dedup_profile,
+        render_pixel_corpus,
+        resize_pixel_stats,
+    )
+    from mycenae_spark.registry.llm_queries import (
+        dedup_audio_clusters,
+        dedup_media_clusters,
+        dedup_media_keep_best,
+    )
+    from tests.conftest import SF_DIR
+
+    # profile == the split kernels, from one decode
+    ids = spark.range(0, 12).select(F.col("id").alias("media_id"))
+    media = render_pixel_corpus(ids, "media_id")
+    prof = {r["media_id"]: r for r in
+            media_dedup_profile(media, 16, 16,
+                                max_batch_bytes=1 << 16).collect()}
+    sigs = {r["media_id"]: r["dhash"] for r in dhash_media(media).collect()}
+    sums = {r["media_id"]: r["px_sum"]
+            for r in resize_pixel_stats(media, 16, 16).collect()}
+    assert len(prof) == 12
+    for d in range(12):
+        assert prof[d]["dhash"] == sigs[d] is not None
+        assert prof[d]["px_sum"] == sums[d] is not None
+
+    labels = {r["media_id"]: r["cluster_id"]
+              for r in dedup_media_clusters(spark, SF_DIR).collect()}
+    n_docs = max(labels) + 1
+    # every asset is paired (its triple guarantees Hamming-0 partners)
+    # and every brightness triple shares one component
+    assert len(labels) == n_docs
+    for base in range(0, n_docs - 2, 3):
+        assert labels[base] == labels[base + 1] == labels[base + 2]
+
+    kept = {r["cluster_id"]: r
+            for r in dedup_media_keep_best(spark, SF_DIR).collect()}
+    # one verdict per component, group sizes partition the corpus
+    assert set(kept) == set(labels.values())
+    assert sum(r["n_members"] for r in kept.values()) == len(labels)
+    members = {}
+    for m, c in labels.items():
+        members.setdefault(c, []).append(m)
+    for c, ms in members.items():
+        r = kept[c]
+        assert r["n_members"] == len(ms)
+        assert r["kept_media"] in ms
+    # an unmerged triple keeps the brightest rendition (doc_id % 3 == 2)
+    plain = [c for c, ms in members.items() if len(ms) == 3]
+    assert plain, "corpus must contain at least one unmerged triple"
+    for c in plain:
+        assert kept[c]["kept_media"] % 3 == 2
+
+    # audio twin: volume triples collapse the same way
+    alabels = {r["media_id"]: r["cluster_id"]
+               for r in dedup_audio_clusters(spark, SF_DIR).collect()}
+    for base in range(0, n_docs - 2, 3):
+        assert alabels[base] == alabels[base + 1] == alabels[base + 2]

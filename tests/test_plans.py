@@ -698,3 +698,27 @@ def test_audio_stats_pruned_scan_two_arrow_stages(spark):
     assert "text" not in plan.split("ReadSchema")[-1].split("\n")[0]
     assert "CartesianProduct" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_media_keep_best_single_decode_no_repeat_python(spark):
+    """dedup_media_keep_best (r15): the signature AND the quality key come
+    from ONE materialized profile frame (media_dedup_profile +
+    localCheckpoint) — downstream of it the executed plan has ZERO Python
+    crossings: neither the banding branch nor the quality join re-renders
+    or re-decodes the corpus.  No all-pairs, no single-partition
+    collapse."""
+    plan = _plan(spark, "dedup_media_keep_best")
+    assert "MapInPandas" not in plan  # profile decoded exactly once
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_media_clusters_keyed_banding(spark):
+    """dedup_media_clusters / dedup_audio_clusters (r15): the component
+    labels are checkpoint-materialized by the pointer-jump kernel; the
+    final plan reads the label frame — no cartesian, no nested-loop pair
+    expansion survives into the output plan."""
+    for name in ("dedup_media_clusters", "dedup_audio_clusters"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan

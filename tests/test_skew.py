@@ -551,3 +551,64 @@ def test_interval_overlap_max_bins_valve(spark):
     )
     assert {(r["lid"], r["rid"]) for r in out2.collect()} == {
         (1, 10), (2, 20), (9, 10), (9, 20), (9, 30)}
+
+
+def test_iter_boundary_resets_carried_plan_stats(spark):
+    """r15 root-cause regression: Dataset.localCheckpoint pins the
+    checkpointed plan's sizeInBytes BigInt onto the new LogicalRDD, and an
+    iterative self-join loop then SQUARES it every round — the digit
+    count doubles per round and from ~round 15 the driver burns its time
+    in BigInteger.multiplyKaratsuba (measured 0.3 s → 260 s/round on a
+    99-edge graph).  _iter_boundary rebuilds the frame over the SAME
+    checkpointed RDD without originStats, so stats stay leaf-sized no
+    matter how many rounds compound."""
+    import pyspark.sql.functions as F
+
+    from mycenae_spark.functions.dedup import _iter_boundary
+
+    big = spark.range(64).select(
+        F.col("id").alias("node"), F.col("id").alias("label")
+    )
+    for _ in range(6):  # six self-joins square the size estimate 6 times
+        other = big.select(
+            F.col("node").alias("n2"), F.col("label").alias("l2")
+        )
+        big = big.join(other, big["label"] == other["n2"]).select(
+            "node", "label"
+        )
+
+    def digits(df):
+        return len(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+
+    plain = big.localCheckpoint(eager=True)
+    reset = _iter_boundary(big)
+    assert digits(plain) > 60  # the carried product estimate
+    assert digits(reset) < 30  # fresh leaf stats
+    # the boundary is value-neutral
+    assert sorted(map(tuple, reset.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+
+def test_connected_components_converges_or_raises(spark):
+    """r15: a round cap that silently returns non-converged labels is
+    WRONG output (the sf0.1 audio-fingerprint graph has a 758-node chain
+    component that needed >20 rounds under the old cap).  The kernel now
+    raises when the cap binds, and the default cap converges a
+    600-diameter path to the exact component minimum."""
+    import pytest as _pytest
+
+    from mycenae_spark.functions.dedup import connected_components
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(599)], "doc_a long, doc_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(path, max_iter=3)
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(path).collect()
+    }
+    assert len(labels) == 600 and set(labels.values()) == {0}
