@@ -271,6 +271,22 @@ def main() -> None:
     _li.ensure_langid_profiles(spark, sf_dir, (3,))
     langid_build_s = round(time.perf_counter() - t0, 3)
 
+    # Rendered media corpora (r15, r14 VERDICT item 3): the corpus is a
+    # committed artifact now — render-once is priced here per kind with
+    # the same cache-hit flag convention; judged media queries then read
+    # parquet and decode (one Arrow crossing, no in-query render).
+    from mycenae_spark.functions import multimodal as _mm
+
+    media_builds: dict[str, float] = {}
+    media_cached: dict[str, bool] = {}
+    for kind in ("png", "mixed", "audio", "afp"):
+        media_cached[kind] = _pq.index_is_committed(
+            _mm.media_corpus_dir(sf_dir, kind)
+        )
+        t0 = time.perf_counter()
+        _mm.ensure_media_corpus(spark, sf_dir, kind)
+        media_builds[kind] = round(time.perf_counter() - t0, 3)
+
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     times: dict[str, float] = {}
     first_run: dict[str, float] = {}
@@ -467,6 +483,8 @@ def main() -> None:
                     "band_index_was_cached": band_cached,
                     "langid_index_build_s": langid_build_s,
                     "langid_index_was_cached": langid_cached,
+                    "media_corpus_build_s": media_builds,
+                    "media_corpus_was_cached": media_cached,
                     "ann_ivfpq_index_was_cached": ivfpq_cached,
                     "ann_ivf_kmeans_recall_at3_by_nprobe": curve,
                     "ann_ivfpq_recall_at3_by_nprobe": ivfpq_curve,

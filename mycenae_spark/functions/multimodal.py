@@ -1764,3 +1764,119 @@ def audio_frame_features(
             yield kernel(pdf)
 
     return df.mapInPandas(run, AUDIO_FRAMES_SCHEMA)
+
+
+# -------------------------------- committed rendered media corpus (r15)
+#
+# The judged media queries used to re-render the corpus INSIDE every run
+# (an extra Arrow crossing + Python-worker spin-up that made the first
+# driver media query 5.9x its idle cost — r14 VERDICT item 3).  The
+# corpus is deterministic in the documents table's ids alone, so it is a
+# materialized-artifact candidate exactly like the PQ codes / band index
+# / langid profiles: content-fingerprinted, built once, committed behind
+# the shared CAS+marker protocol, and every media query reads parquet
+# (payload bytes flow scan -> decode kernel, still never shuffling).
+
+#: Bump when any corpus render spec changes (pixel spec, WAV layout,
+#: container encoders) — part of the fingerprint, so new code never
+#: decodes a corpus built by old code.
+MEDIA_CORPUS_VERSION = 1
+
+#: kind -> renderer over a (media_id) frame.
+_CORPUS_KINDS = ("png", "mixed", "audio", "afp")
+
+
+def _render_corpus_kind(df: DataFrame, kind: str) -> DataFrame:
+    if kind == "png":
+        return render_pixel_corpus(df, "media_id", container="png")
+    if kind == "mixed":
+        return render_pixel_corpus(df, "media_id", container="mixed")
+    if kind == "audio":
+        return render_audio_corpus(df, "media_id")
+    if kind == "afp":
+        return render_afp_corpus(df, "media_id")
+    raise ValueError(f"kind must be one of {_CORPUS_KINDS}: {kind!r}")
+
+
+def media_corpus_fingerprint(sf_dir: str, kind: str) -> str:
+    """Fingerprint = render version + kind + the documents table's stat
+    identity (``fingerprint_tree`` — the one shared staleness walk): a
+    regenerated testdata dir or a render-spec bump mints a NEW corpus
+    instead of silently serving stale payloads."""
+    import hashlib
+    import os
+
+    from mycenae_spark.functions.pq import fingerprint_tree
+
+    src = os.path.join(sf_dir.rstrip("/"), "documents.parquet")
+    h = hashlib.md5(
+        f"media-corpus-v{MEDIA_CORPUS_VERSION}|{kind}|"
+        f"{os.path.abspath(src)}".encode()
+    )
+    fingerprint_tree(h, src)
+    return h.hexdigest()[:16]
+
+
+def media_corpus_dir(sf_dir: str, kind: str) -> str:
+    import os
+
+    from mycenae_spark.functions.pq import _index_root
+
+    return os.path.join(
+        _index_root(), f"media-{kind}-{media_corpus_fingerprint(sf_dir, kind)}"
+    )
+
+
+def ensure_media_corpus(spark, sf_dir: str, kind: str = "png") -> str:
+    """Build-and-commit the rendered corpus for (sf_dir, kind) if absent;
+    return its directory.  Same staging + marker-last + rename-publish
+    discipline as ``ensure_pq_index`` (losers of a concurrent build race
+    use the winner's — byte-identical by deterministic construction).
+    The corpus is written 32-wide from a manifest-first id repartition,
+    so readers get parallel splits WITHOUT ever shuffling payloads."""
+    import os
+    import shutil
+    import uuid
+
+    from mycenae_spark.functions.pq import (
+        _commit_index,
+        _touch_index,
+        index_is_committed,
+    )
+    from mycenae_spark.sources.tables import load_table
+
+    dest = media_corpus_dir(sf_dir, kind)
+    if index_is_committed(dest):
+        _touch_index(dest)
+        return dest
+    staging = f"{dest}.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    try:
+        ids = (
+            load_table(spark, sf_dir, "documents")
+            .select(F.col("doc_id").alias("media_id"))
+            .repartition(32, F.pmod(F.col("media_id"), 32))
+        )
+        _render_corpus_kind(ids, kind).write.parquet(
+            os.path.join(staging, "media")
+        )
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    return _commit_index(dest, staging, media_corpus_fingerprint(sf_dir, kind))
+
+
+def media_corpus(spark, sf_dir: str, kind: str = "png") -> DataFrame:
+    """(media_id, payload) frame of the committed rendered corpus —
+    build-on-miss, marker-checked read (refuses a torn build)."""
+    import os
+
+    from mycenae_spark.functions.pq import _COMMIT_MARKER, _touch_index
+
+    d = ensure_media_corpus(spark, sf_dir, kind)
+    if not os.path.isfile(os.path.join(d, _COMMIT_MARKER)):
+        raise FileNotFoundError(
+            f"media corpus at {d!r} has no {_COMMIT_MARKER}; "
+            "refusing to read a torn build"
+        )
+    _touch_index(d)
+    return spark.read.parquet(os.path.join(d, "media"))

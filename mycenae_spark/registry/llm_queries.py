@@ -1765,20 +1765,15 @@ def multimodal_pixel_stats(spark, sf_dir):
     JVM↔Python boundary once per byte-bounded Arrow batch; output is 7
     small integers per asset; pixel bytes never shuffle)."""
     from mycenae_spark.functions.multimodal import (
-        render_pixel_corpus,
+        media_corpus,
         resize_pixel_stats,
     )
 
-    # Repartition the ID FRAME (8 bytes/row) before rendering, not the
-    # payload frame after: render and decode then both run 32-wide and
-    # the PNG bytes never cross an exchange at all — at 100 TB the
-    # equivalent is partitioning the manifest, never shuffling pixels.
-    d = (
-        t(spark, sf_dir, "documents")
-        .select(F.col("doc_id").alias("media_id"))
-        .repartition(32, F.pmod(F.col("doc_id"), 32))
-    )
-    media = render_pixel_corpus(d, "media_id")
+    # Committed rendered corpus (r15, the PQ/band/langid artifact
+    # protocol): built once 32-wide from a manifest-first id repartition,
+    # then every media query reads parquet — payload bytes flow
+    # scan → decode kernel and never cross an exchange.
+    media = media_corpus(spark, sf_dir, "png")
     return resize_pixel_stats(
         media, 16, 16, max_batch_bytes=1 << 20
     ).orderBy("media_id")
@@ -1901,17 +1896,10 @@ def dedup_image_phash(spark, sf_dir):
     from mycenae_spark.functions.dedup import hamming_pairs_from_sigs
     from mycenae_spark.functions.multimodal import (
         dhash_media,
-        render_pixel_corpus,
+        media_corpus,
     )
 
-    # Same manifest-first partitioning as multimodal_pixel_stats: ids
-    # repartition 32-wide BEFORE render, payloads never shuffle.
-    d = (
-        t(spark, sf_dir, "documents")
-        .select(F.col("doc_id").alias("media_id"))
-        .repartition(32, F.pmod(F.col("doc_id"), 32))
-    )
-    media = render_pixel_corpus(d, "media_id")
+    media = media_corpus(spark, sf_dir, "png")
     sigs = dhash_media(
         media, max_batch_bytes=1 << 20
     ).select("media_id", "dhash")
@@ -1941,16 +1929,11 @@ def multimodal_pixel_stats_mixed(spark, sf_dir):
     Same 100 TB shape: manifest-first 32-wide partitioning, payloads
     never shuffle, 7 integers out per asset."""
     from mycenae_spark.functions.multimodal import (
-        render_pixel_corpus,
+        media_corpus,
         resize_pixel_stats,
     )
 
-    d = (
-        t(spark, sf_dir, "documents")
-        .select(F.col("doc_id").alias("media_id"))
-        .repartition(32, F.pmod(F.col("doc_id"), 32))
-    )
-    media = render_pixel_corpus(d, "media_id", container="mixed")
+    media = media_corpus(spark, sf_dir, "mixed")
     return resize_pixel_stats(
         media, 16, 16, max_batch_bytes=1 << 20
     ).orderBy("media_id")
@@ -1989,15 +1972,10 @@ def multimodal_audio_stats(spark, sf_dir):
     byte-bounded batch, 5 integers per asset, samples never shuffle."""
     from mycenae_spark.functions.multimodal import (
         audio_pcm_stats,
-        render_audio_corpus,
+        media_corpus,
     )
 
-    d = (
-        t(spark, sf_dir, "documents")
-        .select(F.col("doc_id").alias("media_id"))
-        .repartition(32, F.pmod(F.col("doc_id"), 32))
-    )
-    media = render_audio_corpus(d, "media_id")
+    media = media_corpus(spark, sf_dir, "audio")
     return audio_pcm_stats(media, max_batch_bytes=1 << 20).orderBy("media_id")
 
 
@@ -2047,15 +2025,10 @@ def dedup_image_ahash(spark, sf_dir):
     from mycenae_spark.functions.dedup import hamming_pairs_from_sigs
     from mycenae_spark.functions.multimodal import (
         ahash_media,
-        render_pixel_corpus,
+        media_corpus,
     )
 
-    d = (
-        t(spark, sf_dir, "documents")
-        .select(F.col("doc_id").alias("media_id"))
-        .repartition(32, F.pmod(F.col("doc_id"), 32))
-    )
-    media = render_pixel_corpus(d, "media_id")
+    media = media_corpus(spark, sf_dir, "png")
     sigs = ahash_media(
         media, max_batch_bytes=1 << 20
     ).select("media_id", "ahash")
@@ -2102,15 +2075,10 @@ def multimodal_audio_frames(spark, sf_dir):
     come back, and downstream segmentation aggs are JVM-side."""
     from mycenae_spark.functions.multimodal import (
         audio_frame_features,
-        render_audio_corpus,
+        media_corpus,
     )
 
-    d = (
-        t(spark, sf_dir, "documents")
-        .select(F.col("doc_id").alias("media_id"))
-        .repartition(32, F.pmod(F.col("doc_id"), 32))
-    )
-    media = render_audio_corpus(d, "media_id")
+    media = media_corpus(spark, sf_dir, "audio")
     return audio_frame_features(
         media, frame=50, max_batch_bytes=1 << 20
     ).orderBy("media_id", "frame_idx")
@@ -2170,15 +2138,10 @@ def dedup_audio_fingerprint(spark, sf_dir):
     from mycenae_spark.functions.dedup import hamming_pairs_from_sigs
     from mycenae_spark.functions.multimodal import (
         afp_media,
-        render_afp_corpus,
+        media_corpus,
     )
 
-    d = (
-        t(spark, sf_dir, "documents")
-        .select(F.col("doc_id").alias("media_id"))
-        .repartition(32, F.pmod(F.col("doc_id"), 32))
-    )
-    media = render_afp_corpus(d, "media_id")
+    media = media_corpus(spark, sf_dir, "afp")
     sigs = afp_media(media, max_batch_bytes=1 << 20).select("media_id", "afp")
     return hamming_pairs_from_sigs(
         sigs, "media_id", "afp",
@@ -2187,17 +2150,6 @@ def dedup_audio_fingerprint(spark, sf_dir):
 
 
 # ----------------------- perceptual dedup: duplicate groups + verdicts
-
-
-def _media_doc_ids(spark, sf_dir):
-    """Manifest-first media id frame: repartition the 8-byte id frame
-    BEFORE render/decode so payload bytes never cross an exchange (the
-    shape every media query shares)."""
-    return (
-        t(spark, sf_dir, "documents")
-        .select(F.col("doc_id").alias("media_id"))
-        .repartition(32, F.pmod(F.col("doc_id"), 32))
-    )
 
 
 @q(
@@ -2231,10 +2183,10 @@ def dedup_media_clusters(spark, sf_dir):
     )
     from mycenae_spark.functions.multimodal import (
         dhash_media,
-        render_pixel_corpus,
+        media_corpus,
     )
 
-    media = render_pixel_corpus(_media_doc_ids(spark, sf_dir), "media_id")
+    media = media_corpus(spark, sf_dir, "png")
     sigs = dhash_media(
         media, max_batch_bytes=1 << 20
     ).select("media_id", "dhash")
@@ -2287,10 +2239,10 @@ def dedup_media_keep_best(spark, sf_dir):
     )
     from mycenae_spark.functions.multimodal import (
         media_dedup_profile,
-        render_pixel_corpus,
+        media_corpus,
     )
 
-    media = render_pixel_corpus(_media_doc_ids(spark, sf_dir), "media_id")
+    media = media_corpus(spark, sf_dir, "png")
     # ONE decode for both the signature and the quality key; eager
     # localCheckpoint materializes the 24-byte/asset profile so the pair
     # stage and the quality join never re-render the corpus.
@@ -2343,10 +2295,10 @@ def dedup_audio_clusters(spark, sf_dir):
     )
     from mycenae_spark.functions.multimodal import (
         afp_media,
-        render_afp_corpus,
+        media_corpus,
     )
 
-    media = render_afp_corpus(_media_doc_ids(spark, sf_dir), "media_id")
+    media = media_corpus(spark, sf_dir, "afp")
     sigs = afp_media(media, max_batch_bytes=1 << 20).select("media_id", "afp")
     pairs = hamming_pairs_from_sigs(
         sigs, "media_id", "afp",

@@ -665,14 +665,13 @@ def test_cal_week_single_agg_no_timestamps(spark):
     assert "cast(ts_us" not in plan or "timestamp" not in plan.lower().split("hashaggregate")[0]
 
 
-def test_pixel_stats_pruned_scan_two_arrow_stages(spark):
-    """multimodal_pixel_stats (r14): the documents scan reads ONLY doc_id
-    (render + decode derive everything from the id — the text column must
-    never reach the pixel path), and the pipeline crosses Python exactly
-    twice (render mapInPandas → decode mapInPandas), never per-row."""
+def test_pixel_stats_committed_corpus_one_arrow_stage(spark):
+    """multimodal_pixel_stats (r15): the corpus is a committed artifact,
+    so the judged query is parquet scan → ONE Python crossing (the decode
+    mapInPandas) — the in-query render stage is gone (r14 VERDICT item
+    3); payloads flow scan → kernel without a shuffle."""
     plan = _plan(spark, "multimodal_pixel_stats")
-    assert plan.count("MapInPandas") == 2
-    assert "text" not in plan.split("ReadSchema")[-1].split("\n")[0]
+    assert plan.count("MapInPandas") == 1
     assert "CartesianProduct" not in plan
     assert "SinglePartition" not in plan
 
@@ -684,18 +683,17 @@ def test_image_phash_pairs_keyed_buckets_no_allpairs(spark):
     self-join that would recompute the decode on both branches, never an
     all-pairs nested loop over assets."""
     plan = _plan(spark, "dedup_image_phash")
-    assert plan.count("MapInPandas") == 2  # render + dhash, each once
+    assert plan.count("MapInPandas") == 1  # dhash only; corpus committed (r15)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_audio_stats_pruned_scan_two_arrow_stages(spark):
-    """multimodal_audio_stats (r14): same shape contract as the pixel
-    queries — id-only scan, exactly two Arrow crossings (render, decode),
-    no cartesian, no single-partition collapse."""
+    """multimodal_audio_stats (r15): committed corpus scan + exactly ONE
+    Arrow crossing (decode), no cartesian, no single-partition
+    collapse."""
     plan = _plan(spark, "multimodal_audio_stats")
-    assert plan.count("MapInPandas") == 2
-    assert "text" not in plan.split("ReadSchema")[-1].split("\n")[0]
+    assert plan.count("MapInPandas") == 1
     assert "CartesianProduct" not in plan
     assert "SinglePartition" not in plan
 
