@@ -1238,3 +1238,79 @@ def test_funnel_attribution_cursor_pagination(spark, tmp_path_factory):
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+
+def test_media_dups_endpoint(server):
+    """POST /keysets/{ks}/api/query/media_dups (r15, r14 VERDICT item 8):
+    the perceptual dedup family served over HTTP.  Two brightness
+    triples + a cross-container GIF re-encode collapse into two groups
+    (the GIF joins its triple — md5-invisible, dHash-visible); a garbage
+    payload decodes to null and never pairs; keyset paging walks groups;
+    malformed bodies are the documented 400."""
+    import base64
+
+    from mycenae_spark.functions.multimodal import (
+        _GRAY_PALETTE,
+        encode_gif,
+        encode_png,
+        pixel_corpus_image,
+    )
+
+    items = []
+    for d in (30, 31, 32, 600, 601, 602):  # two brightness triples
+        w, h, ct, gray, px = pixel_corpus_image(d)
+        b = encode_png(px, ct, row_filters=lambda y: y % 5, n_idat=2)
+        items.append({"id": d, "payload": base64.b64encode(b).decode()})
+    # GIF re-encode of id 30's pixels: different bytes, same dHash
+    w, h, ct, gray, px = pixel_corpus_image(30)
+    gif = encode_gif(gray, _GRAY_PALETTE)
+    items.append({"id": 9000, "payload": base64.b64encode(gif).decode()})
+    items.append({"id": 9001, "payload": base64.b64encode(b"junk").decode()})
+
+    code, resp = _req(server, "/keysets/k1/api/query/media_dups",
+                      {"items": items, "max_hamming": 0})
+    assert code == 200
+    assert resp["n_items"] == 8 and resp["n_undecodable"] == 1
+    assert resp["n_groups"] == 2 and resp["n_duplicates"] == 5
+    by_keep = {g["keep"]: g for g in resp["groups"]}
+    assert by_keep[30]["members"] == [30, 31, 32, 9000]  # GIF joins
+    assert by_keep[600]["members"] == [600, 601, 602]
+    assert all(g["n_members"] == len(g["members"]) for g in resp["groups"])
+
+    # keyset paging: limit=1 walks both groups via the cluster_id cursor
+    seen = []
+    after = None
+    for _ in range(3):
+        body = {"items": items, "max_hamming": 0, "limit": 1}
+        if after is not None:
+            body["after_key"] = after
+        code, page = _req(server, "/keysets/k1/api/query/media_dups", body)
+        assert code == 200 and page["n_groups"] == 2  # page-invariant
+        if not page["groups"]:
+            break
+        seen.extend(g["cluster_id"] for g in page["groups"])
+        after = page["groups"][-1]["key"]
+    assert seen == [30, 600]
+
+    # aHash family answers too (triples are brightness-invariant there)
+    code, resp = _req(server, "/keysets/k1/api/query/media_dups",
+                      {"items": items[:3], "family": "ahash"})
+    assert code == 200 and resp["n_groups"] == 1
+
+    # malformed bodies: each is the documented 400, never a 500
+    bad = [
+        {},  # items missing
+        {"items": []},
+        {"items": [{"id": True, "payload": "AA=="}]},  # bool id
+        {"items": [{"id": 1, "payload": "not-b64!!"}]},
+        {"items": [{"id": 1, "payload": "AA=="},
+                   {"id": 1, "payload": "AA=="}]},  # dup id
+        {"items": items[:1], "family": "md5"},
+        {"items": items[:1], "max_hamming": 9},
+        {"items": items[:1], "max_hamming": True},
+        {"items": items[:1], "after_key": True},
+        {"items": items[:1], "limit": 0},
+    ]
+    for body in bad:
+        code, err = _req(server, "/keysets/k1/api/query/media_dups", body)
+        assert code == 400 and "error" in err, body
