@@ -193,7 +193,10 @@ HEADLINE = [
     # window); dedup_media_clusters / dedup_audio_clusters are
     # demoted-but-judged (pair stages timed above/inside keep_best, and
     # the headline already times the component kernel twice via
-    # dedup_semantic_clusters + dedup_jaccard_prefix_clusters).
+    # dedup_semantic_clusters + dedup_jaccard_prefix_clusters);
+    # dedup_audio_keep_best is the same plan shape at the audio corpus
+    # (profile -> banding -> components -> quality argmax) — judged, not
+    # double-timed.
     "dedup_media_keep_best",
     # Streaming lifecycle roundtrips (stream_funnel/gaps/dedup/evict/
     # heavyhitters_roundtrip, the bus/ingest roundtrips) are judged via

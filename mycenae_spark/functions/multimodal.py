@@ -1598,39 +1598,50 @@ def afp_media(
     df: DataFrame,
     max_batch_bytes: int | None = None,
 ) -> DataFrame:
-    """Per-asset audio fingerprint frame: (media_id, afp, n_samples);
-    null for undecodable/too-short payloads.  Same 100 TB shape as the
-    image signature kernels: one Arrow crossing per byte-bounded batch,
-    8-byte signature out, samples never shuffle."""
+    """Per-asset audio DEDUP PROFILE: (media_id, afp, n_samples, energy);
+    null for undecodable (and null afp for too-short) payloads.  The
+    exact Σ s² energy rides along from the SAME decode (r15 — the
+    ``media_dedup_profile`` convention: signature + keep-best quality
+    key in one pixel/sample pass), so an audio keep-best never decodes
+    twice.  Same 100 TB shape as the image signature kernels: one Arrow
+    crossing per byte-bounded batch, 16 bytes out per asset, samples
+    never shuffle."""
     import sys as _sys
 
     from mycenae_spark.pickling import register_module_by_value
 
     register_module_by_value(_sys.modules[__name__])
 
+    import numpy as np
+
     schema = StructType(
         [
             StructField("media_id", LongType(), False),
             StructField("afp", LongType(), True),
             StructField("n_samples", LongType(), True),
+            StructField("energy", LongType(), True),
         ]
     )
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        fps, ns = [], []
+        fps, ns, es = [], [], []
         for payload in pdf["payload"]:
             dec = decode_wav_samples(payload)
             if dec is None:
                 fps.append(None)
                 ns.append(None)
+                es.append(None)
                 continue
+            s = dec[3].astype(np.int64)
             fps.append(_afp_from_samples(dec[3]))
-            ns.append(int(dec[3].size))
+            ns.append(int(s.size))
+            es.append(int((s * s).sum()))
         return pd.DataFrame(
             {
                 "media_id": pdf["media_id"],
                 "afp": pd.array(fps, dtype="Int64"),
                 "n_samples": pd.array(ns, dtype="Int64"),
+                "energy": pd.array(es, dtype="Int64"),
             }
         )
 

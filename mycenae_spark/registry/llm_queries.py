@@ -2309,6 +2309,85 @@ def dedup_audio_clusters(spark, sf_dir):
     )
 
 
+#: Per-asset total energy (Σ s²) stated from the afp sample spec — the
+#: audio keep-best quality key, exact integers both engines.
+_AFP_ENERGY_SQL = """
+WITH m AS (SELECT doc_id, doc_id - doc_id % 3 AS g FROM documents),
+dims AS (SELECT doc_id, g, (g % 200 + 65)::BIGINT AS n FROM m),
+grid AS (SELECT unnest(generate_series(0, 263)) AS k),
+s AS (
+  SELECT doc_id,
+         (doc_id % 3 + 1) * (((37 * dims.g + 113 * g.k) % 2001) - 1000) AS v
+  FROM dims, grid g WHERE g.k < n
+)
+SELECT doc_id AS media_id, sum(v * v)::BIGINT AS energy
+FROM s GROUP BY doc_id
+"""
+
+
+@q(
+    "dedup_audio_keep_best",
+    f"""
+WITH RECURSIVE {_pixel_labels_ctes(_AFP_SQL, "afp")},
+astats AS ({_AFP_ENERGY_SQL})
+SELECT cluster_id, media_id AS kept_media, energy AS kept_energy, n_members
+FROM (
+  SELECT l.cluster_id, a.media_id, a.energy,
+         count(*) OVER (PARTITION BY l.cluster_id) AS n_members,
+         row_number() OVER (PARTITION BY l.cluster_id
+                            ORDER BY a.energy DESC, a.media_id) AS rn
+  FROM labels l JOIN astats a ON a.media_id = l.media_id
+) WHERE rn = 1
+""",
+)
+def dedup_audio_keep_best(spark, sf_dir):
+    """Keep-BEST verdict per AUDIO duplicate group — the modality story
+    symmetric (r15): within each fingerprint component, keep the asset
+    maximizing exact total energy Σ s² (a volume triple keeps its
+    loudest 3× rendition — the keep-highest-fidelity rule), media_id
+    tie-break, group size reported.
+
+    One decode per payload: ``afp_media`` is the audio dedup PROFILE
+    (signature + n_samples + energy from the same sample pass, the
+    ``media_dedup_profile`` convention), localCheckpointed so banding
+    and the quality join read the materialized 16-byte/asset frame.
+    The oracle replays components AND the energy spec in closed form."""
+    from mycenae_spark.functions.dedup import (
+        connected_components,
+        hamming_pairs_from_sigs,
+    )
+    from mycenae_spark.functions.multimodal import afp_media, media_corpus
+
+    media = media_corpus(spark, sf_dir, "afp")
+    prof = afp_media(
+        media, max_batch_bytes=1 << 20
+    ).select("media_id", "afp", "energy").localCheckpoint(eager=True)
+    pairs = hamming_pairs_from_sigs(
+        prof.select("media_id", "afp"), "media_id", "afp",
+        bits=64, n_segments=6, max_hamming=5, max_bucket_size=MAX_BUCKET,
+    )
+    labels = connected_components(pairs)
+    j = labels.join(
+        prof.select("media_id", "energy"),
+        labels["doc_id"] == prof["media_id"],
+    )
+    w_n = Window.partitionBy("cluster_id")
+    w_rk = Window.partitionBy("cluster_id").orderBy(
+        F.desc("energy"), "media_id"
+    )
+    return (
+        j.withColumn("n_members", F.count(F.lit(1)).over(w_n))
+        .withColumn("_rn", F.row_number().over(w_rk))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("media_id").alias("kept_media"),
+            F.col("energy").alias("kept_energy"),
+            "n_members",
+        )
+    )
+
+
 # ------------------------------------------------- dedup cluster assignment
 
 @q(

@@ -899,8 +899,22 @@ def test_media_clusters_and_keep_best_triple_collapse(spark):
     for c in plain:
         assert kept[c]["kept_media"] % 3 == 2
 
-    # audio twin: volume triples collapse the same way
+    # audio twin: volume triples collapse the same way, and keep-best
+    # keeps the loudest (3x, doc_id % 3 == 2) rendition of a pure triple
+    from mycenae_spark.registry.llm_queries import dedup_audio_keep_best
+
     alabels = {r["media_id"]: r["cluster_id"]
                for r in dedup_audio_clusters(spark, SF_DIR).collect()}
     for base in range(0, n_docs - 2, 3):
         assert alabels[base] == alabels[base + 1] == alabels[base + 2]
+    akept = {r["cluster_id"]: r
+             for r in dedup_audio_keep_best(spark, SF_DIR).collect()}
+    amembers = {}
+    for m, c in alabels.items():
+        amembers.setdefault(c, []).append(m)
+    assert set(akept) == set(alabels.values())
+    assert sum(r["n_members"] for r in akept.values()) == len(alabels)
+    apure = [c for c, ms in amembers.items() if len(ms) == 3]
+    assert apure
+    for c in apure:
+        assert akept[c]["kept_media"] % 3 == 2  # loudest rendition
