@@ -196,8 +196,14 @@ HEADLINE = [
     # dedup_semantic_clusters + dedup_jaccard_prefix_clusters);
     # dedup_audio_keep_best is the same plan shape at the audio corpus
     # (profile -> banding -> components -> quality argmax) — judged, not
-    # double-timed.
+    # double-timed (11 s at sf0.1: the synthetic audio graph's 758-node
+    # chain costs ~14 pointer-jump rounds; the driver checks it at
+    # sf0.01 where components are shallow).
     "dedup_media_keep_best",
+    # the two-sided probe shape (delta batch vs corpus signature index)
+    # is new — nothing else times an index-probe banding join at the
+    # perceptual families.
+    "dedup_media_incremental",
     # Streaming lifecycle roundtrips (stream_funnel/gaps/dedup/evict/
     # heavyhitters_roundtrip, the bus/ingest roundtrips) are judged via
     # the driver window + oracle replica but never headline-timed —

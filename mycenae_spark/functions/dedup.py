@@ -893,6 +893,48 @@ def simhash_hamming_pairs(
     )
 
 
+def _sig_segments(
+    sigs: DataFrame,
+    id_col: str,
+    sig_col: str,
+    bits: int,
+    n_segments: int,
+    max_hamming: int,
+) -> DataFrame:
+    """(_id, _sig, j, segval) segment frame for a 64-bit-signature relation
+    — the Manku partition shared by the self-pair kernel
+    (:func:`hamming_pairs_from_sigs`) and the index-probe kernel
+    (:func:`hamming_probe_sigs`).  Null signatures are dropped; pigeonhole
+    precondition enforced here so every consumer inherits it."""
+    if max_hamming > n_segments - 1:
+        raise ValueError(
+            f"pigeonhole guarantee needs max_hamming <= n_segments - 1, "
+            f"got {max_hamming} > {n_segments - 1}"
+        )
+    base, rem = divmod(bits, n_segments)
+    if base < 1:
+        raise ValueError(f"{n_segments} segments need >= {n_segments} bits")
+    widths = [base + 1 if j < rem else base for j in range(n_segments)]
+    offsets = [sum(widths[:j]) for j in range(n_segments)]
+    return sigs.filter(F.col(sig_col).isNotNull()).select(
+        F.col(id_col).alias("_id"),
+        F.col(sig_col).alias("_sig"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.shiftrightunsigned(sig_col, offsets[j])
+                        .bitwiseAND(F.lit((1 << widths[j]) - 1))
+                        .alias("segval"),
+                    )
+                    for j in range(n_segments)
+                ]
+            )
+        ).alias("s"),
+    ).select("_id", "_sig", "s.j", "s.segval")
+
+
 def hamming_pairs_from_sigs(
     sigs: DataFrame,
     id_col: str,
@@ -913,34 +955,7 @@ def hamming_pairs_from_sigs(
     Same guarantees as the caller: pigeonhole needs ``max_hamming <=
     n_segments - 1``; one-pass bucket-collect; hot-bucket valve; exact
     per-candidate ``bit_count(xor)`` verify."""
-    if max_hamming > n_segments - 1:
-        raise ValueError(
-            f"pigeonhole guarantee needs max_hamming <= n_segments - 1, "
-            f"got {max_hamming} > {n_segments - 1}"
-        )
-    base, rem = divmod(bits, n_segments)
-    if base < 1:
-        raise ValueError(f"{n_segments} segments need >= {n_segments} bits")
-    widths = [base + 1 if j < rem else base for j in range(n_segments)]
-    offsets = [sum(widths[:j]) for j in range(n_segments)]
-    sigs = sigs.filter(F.col(sig_col).isNotNull())
-    segs = sigs.select(
-        F.col(id_col).alias("_id"),
-        F.col(sig_col).alias("_sig"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("j"),
-                        F.shiftrightunsigned(sig_col, offsets[j])
-                        .bitwiseAND(F.lit((1 << widths[j]) - 1))
-                        .alias("segval"),
-                    )
-                    for j in range(n_segments)
-                ]
-            )
-        ).alias("s"),
-    ).select("_id", "_sig", "s.j", "s.segval")
+    segs = _sig_segments(sigs, id_col, sig_col, bits, n_segments, max_hamming)
     buckets = (
         segs.groupBy("j", "segval")
         .agg(
@@ -976,6 +991,65 @@ def hamming_pairs_from_sigs(
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def hamming_probe_sigs(
+    index_sigs: DataFrame,
+    probe_sigs: DataFrame,
+    id_col: str,
+    sig_col: str,
+    bits: int = 64,
+    n_segments: int = 6,
+    max_hamming: int = 5,
+    max_bucket_size: int | None = 512,
+) -> DataFrame:
+    """Two-sided banding: Hamming-<=k matches of a PROBE batch against an
+    INDEX signature relation — the incremental (daily-crawl) shape at the
+    perceptual families: the corpus side is exactly the (j, segval, id,
+    sig) relation a committed signature index stores, today's batch
+    explodes its own segments and joins on (j, segval), then exact
+    ``bit_count(xor)`` verifies.  Returns (probe_id, idx_id, hamming).
+
+    The hot-bucket valve applies to the INDEX side only (the
+    ``incremental_minhash_verdicts`` convention): a degenerate corpus
+    signature must not explode any future batch, while a hot PROBE
+    segment only multiplies by the batch's own size.  Join cost is
+    ∝ |probe| × n_segments, never re-touching the corpus."""
+    from pyspark.sql import Window
+
+    isegs = _sig_segments(
+        index_sigs, id_col, sig_col, bits, n_segments, max_hamming
+    )
+    if max_bucket_size is not None:
+        w = Window.partitionBy("j", "segval")
+        isegs = (
+            isegs.withColumn("_bsz", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
+    psegs = _sig_segments(
+        probe_sigs, id_col, sig_col, bits, n_segments, max_hamming
+    ).select(
+        F.col("_id").alias("_pid"), F.col("_sig").alias("_psig"),
+        "j", "segval",
+    )
+    cand = (
+        psegs.join(isegs, ["j", "segval"])
+        .select(
+            F.col("_pid").alias("probe_id"),
+            F.col("_id").alias("idx_id"),
+            F.col("_psig").alias("_ps"),
+            F.col("_sig").alias("_is"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("_ps").bitwiseXOR(F.col("_is")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("probe_id", "idx_id", "hamming")
     )
 
 

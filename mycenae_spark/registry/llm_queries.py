@@ -2388,6 +2388,112 @@ def dedup_audio_keep_best(spark, sf_dir):
     )
 
 
+#: Triple-granular delta split for the incremental media probe: the
+#: WHOLE brightness triple lands on one side (g = doc_id - doc_id%3;
+#: (g//3) % 5 == 4 → delta, ~20%), so a delta asset's Hamming-0 partners
+#: are never in the corpus — dup verdicts come only from genuine
+#: cross-triple near-collisions and BOTH branches (dup and keep) carry
+#: real mass.
+_MEDIA_DELTA_PRED = "((doc_id - doc_id % 3) // 3) % 5 = 4"
+
+
+def _pixel_probe_sql(sig_cte: str, sig_name: str, delta_pred: str) -> str:
+    """Incremental-probe oracle: corpus-side segments (valved) as the
+    index, delta-side segments probe on (j, segval), exact Hamming
+    verify, one verdict row per delta asset."""
+    def segs(src: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT doc_id, {sig_name}, {j} AS j, "
+            f"CAST((us // CAST({1 << off} AS HUGEINT)) % {1 << w} AS BIGINT)"
+            f" AS segval FROM {src}"
+            for j, off, w in _SEG64
+        )
+
+    return f"""
+WITH sig AS ({sig_cte}),
+csig AS (SELECT * FROM sig WHERE NOT ({delta_pred})),
+dsig AS (SELECT * FROM sig WHERE {delta_pred}),
+isegs AS (
+  SELECT doc_id, {sig_name}, j, segval FROM (
+    SELECT *, count(*) OVER (PARTITION BY j, segval) AS bsz
+    FROM ({segs("csig")})
+  ) WHERE bsz <= {MAX_BUCKET}
+),
+psegs AS ({segs("dsig")}),
+m AS (
+  SELECT DISTINCT p.doc_id AS probe_id, i.doc_id AS idx_id,
+         p.{sig_name} AS ps, i.{sig_name} AS isig
+  FROM psegs p JOIN isegs i ON p.j = i.j AND p.segval = i.segval
+),
+v AS (SELECT probe_id, idx_id FROM m WHERE bit_count(xor(ps, isig)) <= 5),
+agg AS (
+  SELECT probe_id, min(idx_id) AS dup_of, count(*) AS n_matches
+  FROM v GROUP BY probe_id
+)
+SELECT d.doc_id AS media_id,
+       coalesce(agg.dup_of, -1) AS dup_of,
+       coalesce(agg.n_matches, 0)::BIGINT AS n_idx_matches,
+       CASE WHEN agg.dup_of IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+FROM (SELECT doc_id FROM documents WHERE {delta_pred}) d
+LEFT JOIN agg ON agg.probe_id = d.doc_id
+"""
+
+
+@q(
+    "dedup_media_incremental",
+    _pixel_probe_sql(_PIXEL_DHASH_SQL, "dhash", _MEDIA_DELTA_PRED),
+)
+def dedup_media_incremental(spark, sf_dir):
+    """Incremental (daily-crawl) PERCEPTUAL dedup — the
+    ``dedup_incremental`` production shape at the image modality: the
+    corpus slice (~80%, whole brightness triples) plays the committed
+    signature index; the delta batch computes its own dHashes and probes
+    it with one (segment, value) equi-join (``hamming_probe_sigs`` — the
+    two-sided form of the shared banding kernel).  One verdict row per
+    delta asset: smallest Hamming-≤5 corpus match (-1 keep), distinct
+    match count, is_dup.
+
+    The triple-granular split puts every Hamming-0 partner on the SAME
+    side, so dup verdicts come only from genuine cross-triple
+    near-collisions — both the dup and the keep branch carry real mass
+    (at sf0.01: 3 dups / 96 keeps).  Valve on the index side only (a
+    degenerate corpus signature must never explode a future batch).
+    Scale: at 100 TB the index relation is the committed per-segment
+    parquet (the band-index pattern); each day's probe costs
+    ∝ |delta| × 6 segments and never re-touches the corpus — this judged
+    form computes both sides inline so signatures, valve, probe join,
+    and verdict are all hash-checked."""
+    from mycenae_spark.functions.dedup import hamming_probe_sigs
+    from mycenae_spark.functions.multimodal import dhash_media, media_corpus
+
+    pred = F.expr("((media_id - media_id % 3) div 3) % 5 = 4")
+    sigs = dhash_media(
+        media_corpus(spark, sf_dir, "png"), max_batch_bytes=1 << 20
+    ).select("media_id", "dhash").localCheckpoint(eager=True)  # ONE decode
+    matches = hamming_probe_sigs(
+        sigs.filter(~pred), sigs.filter(pred), "media_id", "dhash",
+        bits=64, n_segments=6, max_hamming=5, max_bucket_size=MAX_BUCKET,
+    )
+    agg = matches.groupBy("probe_id").agg(
+        F.min("idx_id").alias("_dup_of"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    delta = (
+        t(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("media_id"))
+        .filter(pred)
+    )
+    return delta.join(
+        agg, delta["media_id"] == agg["probe_id"], "left"
+    ).select(
+        "media_id",
+        F.coalesce(F.col("_dup_of"), F.lit(-1)).alias("dup_of"),
+        F.coalesce(F.col("_n"), F.lit(0)).alias("n_idx_matches"),
+        F.when(F.col("_dup_of").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0)).alias("is_dup"),
+    )
+
+
 # ------------------------------------------------- dedup cluster assignment
 
 @q(

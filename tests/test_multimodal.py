@@ -918,3 +918,65 @@ def test_media_clusters_and_keep_best_triple_collapse(spark):
     assert apure
     for c in apure:
         assert akept[c]["kept_media"] % 3 == 2  # loudest rendition
+
+
+def test_hamming_probe_matches_brute_force(spark):
+    """Two-sided banding (r15, the incremental media probe): probe-vs-
+    index matches equal brute-force cross-side Hamming-≤5 pairs exactly;
+    within-side pairs never leak; null signatures drop; the index-side
+    valve removes hot segments without crashing the probe."""
+    import itertools
+
+    import pyspark.sql.functions as F
+
+    from mycenae_spark.functions.dedup import (
+        hamming_pairs_from_sigs,
+        hamming_probe_sigs,
+    )
+    from mycenae_spark.functions.multimodal import (
+        dhash_media,
+        render_pixel_corpus,
+    )
+
+    ids = spark.range(0, 60).select(F.col("id").alias("media_id"))
+    sigs = dhash_media(render_pixel_corpus(ids, "media_id")).select(
+        "media_id", "dhash"
+    )
+    pred = F.expr("((media_id - media_id % 3) div 3) % 5 = 4")
+    idx, probe = sigs.filter(~pred), sigs.filter(pred)
+    got = {
+        (r["probe_id"], r["idx_id"], r["hamming"])
+        for r in hamming_probe_sigs(
+            idx, probe, "media_id", "dhash",
+            bits=64, n_segments=6, max_hamming=5,
+        ).collect()
+    }
+    imap = {r["media_id"]: r["dhash"] for r in idx.collect()}
+    pmap = {r["media_id"]: r["dhash"] for r in probe.collect()}
+    brute = set()
+    for p, i in itertools.product(pmap, imap):
+        hd = bin((pmap[p] ^ imap[i]) & ((1 << 64) - 1)).count("1")
+        if hd <= 5:
+            brute.add((p, i, hd))
+    assert got == brute
+    # the triple-granular split keeps Hamming-0 partners same-side:
+    # every cross match is a genuine near-collision, never an exact twin
+    assert all(h > 0 for _p, _i, h in got)
+    # null probe signature drops instead of crashing
+    with_null = probe.union(
+        spark.createDataFrame([(999, None)], "media_id long, dhash long")
+    )
+    got2 = {
+        (r["probe_id"], r["idx_id"])
+        for r in hamming_probe_sigs(
+            idx, with_null, "media_id", "dhash",
+            bits=64, n_segments=6, max_hamming=5,
+        ).collect()
+    }
+    assert got2 == {(p, i) for p, i, _h in brute}
+    # pigeonhole precondition enforced on both sides
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        hamming_probe_sigs(idx, probe, "media_id", "dhash",
+                           bits=64, n_segments=6, max_hamming=6)
