@@ -20,9 +20,10 @@ already speaks, backed by the Parquet lake + planner:
 * ``POST /keysets/{ks}/api/query/last``      — newest datapoint per
   series (body: metric/back_scan/limit/after_key — OpenTSDB's last-value
   endpoint, same pagination contract as gaps)
-* ``POST /keysets/{ks}/api/query/media_dups`` — perceptual image dedup
-  over a posted asset batch (body: items[{id, payload b64}]/family/
-  max_hamming/limit/after_key → duplicate groups + keep verdicts)
+* ``POST /keysets/{ks}/api/query/media_dups`` — perceptual media dedup
+  over a posted asset batch, image (dhash/ahash) or audio (afp)
+  (body: items[{id, payload b64}]/family/max_hamming/limit/after_key →
+  duplicate groups + keep verdicts)
 * ``POST /api/expression/check``        — validate an expression
 * ``GET  /api/suggest?type=metrics&q=p&max=N`` (``type=tagv`` takes ``tagk=``)
 * ``GET  /api/aggregators`` / ``GET /api/config/filters``
@@ -1491,7 +1492,9 @@ class Engine:
 
         Body: ``items`` (required, ≤ :data:`MAX_MEDIA_ITEMS` entries of
         ``{"id": int, "payload": "<base64>"}``, ids unique),
-        ``family`` ("dhash" default | "ahash"), ``max_hamming`` (0–5,
+        ``family`` ("dhash" default | "ahash" for images | "afp" for
+        WAV audio — the energy-envelope fingerprint), ``max_hamming``
+        (0–5,
         default 5), ``limit`` + ``after_key`` (keyset page over groups,
         cursor = last group's cluster_id, strict int).
 
@@ -1533,8 +1536,8 @@ class Engine:
                 raise ValueError(f"item {it['id']}: payload is not base64")
             rows.append((it["id"], payload))
         family = body.get("family", "dhash")
-        if family not in ("dhash", "ahash"):
-            raise ValueError(f"family must be dhash|ahash: {family!r}")
+        if family not in ("dhash", "ahash", "afp"):
+            raise ValueError(f"family must be dhash|ahash|afp: {family!r}")
         max_hamming = body.get("max_hamming", 5)
         if not (_is_int(max_hamming) and 0 <= max_hamming <= 5):
             raise ValueError("max_hamming must be an int in [0, 5]")
@@ -1549,12 +1552,17 @@ class Engine:
             raise ValueError("limit must be a positive int")
 
         from mycenae_spark.functions.dedup import hamming_pairs_from_sigs
-        from mycenae_spark.functions.multimodal import ahash_media, dhash_media
+        from mycenae_spark.functions.multimodal import (
+            afp_media,
+            ahash_media,
+            dhash_media,
+        )
 
         media = self.spark.createDataFrame(
             rows, "media_id long, payload binary"
         )
-        sig_fn = dhash_media if family == "dhash" else ahash_media
+        sig_fn = {"dhash": dhash_media, "ahash": ahash_media,
+                  "afp": afp_media}[family]
         sigs = sig_fn(media, max_batch_bytes=1 << 20).select(
             "media_id", F.col(family).alias("sig")
         ).localCheckpoint(eager=True)

@@ -1297,6 +1297,24 @@ def test_media_dups_endpoint(server):
                       {"items": items[:3], "family": "ahash"})
     assert code == 200 and resp["n_groups"] == 1
 
+    # audio family: a WAV volume triple (1x/2x/3x of one waveform) is
+    # md5-distinct but collapses under the energy-envelope fingerprint
+    from mycenae_spark.functions.multimodal import (
+        afp_corpus_samples,
+        encode_wav,
+    )
+
+    wav_items = [
+        {"id": 7000 + i,
+         "payload": base64.b64encode(
+             encode_wav(afp_corpus_samples(30 + i))).decode()}
+        for i in range(3)
+    ]
+    code, resp = _req(server, "/keysets/k1/api/query/media_dups",
+                      {"items": wav_items, "family": "afp"})
+    assert code == 200 and resp["n_groups"] == 1
+    assert resp["groups"][0]["members"] == [7000, 7001, 7002]
+
     # malformed bodies: each is the documented 400, never a 500
     bad = [
         {},  # items missing
@@ -1306,6 +1324,7 @@ def test_media_dups_endpoint(server):
         {"items": [{"id": 1, "payload": "AA=="},
                    {"id": 1, "payload": "AA=="}]},  # dup id
         {"items": items[:1], "family": "md5"},
+        {"items": items[:1], "family": "AFP"},  # families are lowercase
         {"items": items[:1], "max_hamming": 9},
         {"items": items[:1], "max_hamming": True},
         {"items": items[:1], "after_key": True},
