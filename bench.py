@@ -202,8 +202,11 @@ HEADLINE = [
     "dedup_media_keep_best",
     # the two-sided probe shape (delta batch vs corpus signature index)
     # is new — nothing else times an index-probe banding join at the
-    # perceptual families.
+    # perceptual families.  The inline form and the committed-index form
+    # both time (the dedup_incremental / dedup_index_probe precedent):
+    # same verdicts by shared oracle, different read paths.
     "dedup_media_incremental",
+    "dedup_media_index_probe",
     # Streaming lifecycle roundtrips (stream_funnel/gaps/dedup/evict/
     # heavyhitters_roundtrip, the bus/ingest roundtrips) are judged via
     # the driver window + oracle replica but never headline-timed —
@@ -295,6 +298,32 @@ def main() -> None:
         t0 = time.perf_counter()
         _mm.ensure_media_corpus(spark, sf_dir, kind)
         media_builds[kind] = round(time.perf_counter() - t0, 3)
+
+    # Perceptual signature index (dedup_media_index_probe): build-once
+    # is a corpus job — price it separately with the cache-hit flag.
+    _sig_fp = _dd.sig_index_fingerprint(
+        sf_dir, "triple_div3_mod5_ne4", "dhash-png", 64, 6, _MB,
+        _dd.SIG_INDEX_SHARDS,
+    )
+    sigidx_cached = _pq.index_is_committed(
+        os.path.join(_pq._index_root(), f"sigidx-{_sig_fp}")
+    )
+    t0 = time.perf_counter()
+    _pred = _F.expr("((media_id - media_id % 3) div 3) % 5 = 4")
+    from mycenae_spark.functions.multimodal import (
+        dhash_media as _dhm,
+        media_corpus as _mc,
+    )
+
+    _dd.ensure_sig_index(
+        spark, sf_dir,
+        _dhm(_mc(spark, sf_dir, "png").filter(~_pred),
+             max_batch_bytes=1 << 20).select("media_id", "dhash"),
+        "media_id", "dhash",
+        pred_desc="triple_div3_mod5_ne4", kind="dhash-png",
+        bits=64, n_segments=6, max_bucket_size=_MB,
+    )
+    sigidx_build_s = round(time.perf_counter() - t0, 3)
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     times: dict[str, float] = {}
@@ -494,6 +523,8 @@ def main() -> None:
                     "langid_index_was_cached": langid_cached,
                     "media_corpus_build_s": media_builds,
                     "media_corpus_was_cached": media_cached,
+                    "sig_index_build_s": sigidx_build_s,
+                    "sig_index_was_cached": sigidx_cached,
                     "ann_ivfpq_index_was_cached": ivfpq_cached,
                     "ann_ivf_kmeans_recall_at3_by_nprobe": curve,
                     "ann_ivfpq_recall_at3_by_nprobe": ivfpq_curve,

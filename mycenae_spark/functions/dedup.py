@@ -1053,6 +1053,205 @@ def hamming_probe_sigs(
     )
 
 
+# ---------------------------------- materialized SIGNATURE index (r15)
+
+#: Bump when the signature-index layout or segment semantics change —
+#: part of the fingerprint, so new probes never read an index built
+#: differently.
+SIG_INDEX_VERSION = 1
+
+#: Segment values shard by value mod this, so a probe batch can prune
+#: the index scan to the partitions its own signatures can possibly hit
+#: (the band-index convention at numeric segment values).
+SIG_INDEX_SHARDS = 64
+
+
+def sig_index_fingerprint(
+    sf_dir: str,
+    pred_desc: str,
+    kind: str,
+    bits: int,
+    n_segments: int,
+    max_bucket_size: int | None,
+    n_shards: int,
+) -> str:
+    """Staleness gate for the perceptual signature index: documents stat
+    identity + every semantic knob + the build version (the
+    ``band_index_fingerprint`` convention).  ``kind`` names the signature
+    family AND its source corpus (e.g. "dhash-png")."""
+    import hashlib
+    import os
+
+    from mycenae_spark.functions.pq import fingerprint_tree
+
+    src = os.path.join(sf_dir.rstrip("/"), "documents.parquet")
+    h = hashlib.md5(
+        f"sigidx-v{SIG_INDEX_VERSION}|{pred_desc}|{kind}|b{bits}"
+        f"|seg{n_segments}|cap{max_bucket_size}|s{n_shards}"
+        f"|{os.path.abspath(src)}".encode()
+    )
+    fingerprint_tree(h, src)
+    return h.hexdigest()[:16]
+
+
+def ensure_sig_index(
+    spark,
+    sf_dir: str,
+    index_sigs: DataFrame,
+    id_col: str,
+    sig_col: str,
+    *,
+    pred_desc: str,
+    kind: str,
+    bits: int = 64,
+    n_segments: int = 6,
+    max_bucket_size: int | None = 512,
+    n_shards: int = SIG_INDEX_SHARDS,
+) -> str:
+    """Build-and-commit the perceptual SIGNATURE index — the
+    ``ensure_band_index`` pattern at 64-bit signatures: the corpus
+    slice's (idx_id, sig, j, segval) segment relation written ONCE as
+    parquet ``partitionBy(j, shard)`` behind the shared CAS+marker
+    protocol, hot-bucket valve applied AT BUILD TIME (a degenerate
+    signature is excised once, not re-filtered by every batch), build
+    params persisted beside the data so a mismatched probe raises
+    instead of silently missing every collision."""
+    import json as _json
+    import os
+    import shutil
+    import uuid
+
+    from mycenae_spark.functions.pq import (
+        _commit_index,
+        _index_root,
+        _touch_index,
+        index_is_committed,
+    )
+    from pyspark.sql import Window
+
+    fp = sig_index_fingerprint(
+        sf_dir, pred_desc, kind, bits, n_segments, max_bucket_size, n_shards
+    )
+    dest = os.path.join(_index_root(), f"sigidx-{fp}")
+    if index_is_committed(dest):
+        _touch_index(dest)
+        return dest
+    staging = f"{dest}.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    try:
+        segs = _sig_segments(
+            index_sigs, id_col, sig_col, bits, n_segments, n_segments - 1
+        ).select(
+            F.col("_id").alias("idx_id"), F.col("_sig").alias("sig"),
+            "j", "segval",
+        )
+        if max_bucket_size is not None:
+            w = Window.partitionBy("j", "segval")
+            segs = (
+                segs.withColumn("_bsz", F.count(F.lit(1)).over(w))
+                .filter(F.col("_bsz") <= max_bucket_size)
+                .drop("_bsz")
+            )
+        segs.withColumn(
+            "shard", F.pmod(F.col("segval"), F.lit(n_shards))
+        ).write.partitionBy("j", "shard").parquet(
+            os.path.join(staging, "segments")
+        )
+        with open(os.path.join(staging, "_params.json"), "w") as fh:
+            _json.dump(
+                {
+                    "version": SIG_INDEX_VERSION,
+                    "kind": kind,
+                    "bits": bits,
+                    "n_segments": n_segments,
+                    "n_shards": n_shards,
+                    "max_bucket_size": max_bucket_size,
+                },
+                fh,
+            )
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    return _commit_index(dest, staging, fp)
+
+
+def probe_sig_index(
+    spark,
+    index_dir: str,
+    probe_sigs: DataFrame,
+    id_col: str,
+    sig_col: str,
+    *,
+    bits: int = 64,
+    n_segments: int = 6,
+    max_hamming: int = 5,
+    n_shards: int = SIG_INDEX_SHARDS,
+) -> DataFrame:
+    """Probe a COMMITTED signature index with a delta batch — the
+    search-phase half of :func:`hamming_probe_sigs` (same (probe_id,
+    idx_id, hamming) output, same semantics, proven by the shared judged
+    oracle).  The probe's distinct (segment, shard) pairs are collected
+    driver-side (≤ 6 × n_shards tiny values) and pushed as a static
+    partition filter, so the index scan reads only the partitions this
+    batch's signatures can possibly collide in — probe READ cost follows
+    the delta, not the corpus."""
+    import json as _json
+    import os
+
+    from mycenae_spark.functions.pq import _COMMIT_MARKER, _touch_index
+
+    if not os.path.isfile(os.path.join(index_dir, _COMMIT_MARKER)):
+        raise FileNotFoundError(
+            f"signature index at {index_dir!r} has no {_COMMIT_MARKER}; "
+            "refusing to read a torn build"
+        )
+    _touch_index(index_dir)
+    # Explicit schema: an index whose corpus slice was ENTIRELY excised
+    # by the build-time valve (or was empty) has zero part files, and
+    # schema inference would fail — an empty index must answer all-keep,
+    # not crash the probe.
+    segments = spark.read.schema(
+        "idx_id long, sig long, segval long, j int, shard bigint"
+    ).parquet(os.path.join(index_dir, "segments"))
+    try:
+        with open(os.path.join(index_dir, "_params.json")) as fh:
+            params = _json.load(fh)
+    except FileNotFoundError:
+        params = None
+    if params is not None:
+        want = {"version": SIG_INDEX_VERSION, "bits": bits,
+                "n_segments": n_segments, "n_shards": n_shards}
+        have = {k: params.get(k) for k in want}
+        if have != want:
+            raise ValueError(
+                f"signature index at {index_dir!r} was built with {have}, "
+                f"probe compiled with {want} — rebuild via ensure_sig_index "
+                "or pass matching parameters"
+            )
+    psegs = _sig_segments(
+        probe_sigs, id_col, sig_col, bits, n_segments, max_hamming
+    ).select(
+        F.col("_id").alias("probe_id"), F.col("_sig").alias("_psig"),
+        "j", "segval",
+        F.pmod(F.col("segval"), F.lit(n_shards)).alias("shard"),
+    )
+    shards = sorted(
+        r["shard"] for r in psegs.select("shard").distinct().collect()
+    )
+    pruned = segments.filter(F.col("shard").isin(shards))
+    cand = (
+        psegs.join(pruned, ["j", "shard", "segval"])
+        .select("probe_id", "idx_id", "_psig", F.col("sig").alias("_isig"))
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("_psig").bitwiseXOR(F.col("_isig")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("probe_id", "idx_id", "hamming")
+    )
+
+
 # -------------------------------------------- materialized band index
 
 #: Bump when signature/band/valve semantics change — part of the index

@@ -2483,6 +2483,23 @@ def dedup_media_incremental(spark, sf_dir):
         .select(F.col("doc_id").alias("media_id"))
         .filter(pred)
     )
+    return _probe_verdicts(spark, sf_dir, matches, pred)
+
+
+def _probe_verdicts(spark, sf_dir, matches, delta_pred):
+    """One verdict row per delta asset from a (probe_id, idx_id, hamming)
+    match relation — shared by the inline incremental form and the
+    materialized-index probe so both judged ids provably assemble
+    verdicts identically."""
+    agg = matches.groupBy("probe_id").agg(
+        F.min("idx_id").alias("_dup_of"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    delta = (
+        t(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("media_id"))
+        .filter(delta_pred)
+    )
     return delta.join(
         agg, delta["media_id"] == agg["probe_id"], "left"
     ).select(
@@ -2492,6 +2509,59 @@ def dedup_media_incremental(spark, sf_dir):
         F.when(F.col("_dup_of").isNotNull(), F.lit(1))
         .otherwise(F.lit(0)).alias("is_dup"),
     )
+
+
+@q(
+    "dedup_media_index_probe",
+    _pixel_probe_sql(_PIXEL_DHASH_SQL, "dhash", _MEDIA_DELTA_PRED),
+)
+def dedup_media_index_probe(spark, sf_dir):
+    """``dedup_media_incremental`` against a MATERIALIZED signature index
+    — the scale story that op's docstring promises, made judged (the
+    ``dedup_index_probe`` precedent at the perceptual family):
+    ``ensure_sig_index`` writes the corpus slice's (idx_id, sig, j,
+    segval) segment relation ONCE as parquet ``partitionBy(j, shard)``
+    behind the shared CAS+marker protocol, hot-bucket valve applied at
+    build time; the judged query is the SEARCH PHASE ALONE — the delta
+    decodes only ITS OWN payloads (the media_id predicate pushes into
+    the corpus-parquet scan, below the decode kernel), collects its
+    distinct segment shards driver-side, prunes the index scan to those
+    partitions, equi-joins on (j, shard, segval) and Hamming-verifies.
+
+    The oracle is VERBATIM ``dedup_media_incremental``'s: materializing
+    the index must be invisible in the verdicts — same signatures, same
+    valve, same keeps — and the shared hash proves it.  Build params are
+    persisted in the index and validated at probe time (a shard/segment
+    mismatch raises instead of silently missing every collision).
+    100 TB: the index is built once per corpus generation at ingest;
+    each day's probe decodes |delta| assets and reads ≤ probed-shards /
+    n_shards of the index."""
+    from mycenae_spark.functions.dedup import (
+        ensure_sig_index,
+        probe_sig_index,
+    )
+    from mycenae_spark.functions.multimodal import dhash_media, media_corpus
+
+    corpus = media_corpus(spark, sf_dir, "png")
+    pred = F.expr("((media_id - media_id % 3) div 3) % 5 = 4")
+    idx_dir = ensure_sig_index(
+        spark, sf_dir,
+        dhash_media(
+            corpus.filter(~pred), max_batch_bytes=1 << 20
+        ).select("media_id", "dhash"),
+        "media_id", "dhash",
+        pred_desc="triple_div3_mod5_ne4", kind="dhash-png",
+        bits=64, n_segments=6, max_bucket_size=MAX_BUCKET,
+    )
+    matches = probe_sig_index(
+        spark, idx_dir,
+        dhash_media(
+            corpus.filter(pred), max_batch_bytes=1 << 20
+        ).select("media_id", "dhash"),
+        "media_id", "dhash",
+        bits=64, n_segments=6, max_hamming=5,
+    )
+    return _probe_verdicts(spark, sf_dir, matches, pred)
 
 
 # ------------------------------------------------- dedup cluster assignment

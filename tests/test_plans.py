@@ -720,3 +720,23 @@ def test_media_clusters_keyed_banding(spark):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_media_index_probe_partition_pruned(spark):
+    """dedup_media_index_probe (r15): the probe's distinct segment shards
+    push into the committed index scan as PartitionFilters — the index
+    read follows the delta batch, never the corpus — and the final plan
+    has exactly ONE Python crossing (the delta decode; the corpus side
+    is the materialized index)."""
+    plan = _plan(spark, "dedup_media_index_probe")
+    # the index scan carries the probe's shard INSET partition filter
+    assert any(
+        seg[:200].lstrip(": [").startswith("shard")
+        for seg in plan.split("PartitionFilters")[1:]
+    ), plan
+    # only the DELTA side decodes (the corpus side is the materialized
+    # index) — every Python crossing in the plan is the delta kernel,
+    # and the triple predicate filters below it (non-delta payloads
+    # never reach Python)
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan

@@ -258,3 +258,93 @@ def test_langid_artifact_lifecycle(spark, index_root):
     assert li.langid_index_dir(SF_DIR, (1, 3)) != li.langid_index_dir(
         SF_DIR, (3,)
     )
+
+
+def test_sig_index_build_probe_refresh(spark, index_root, tmp_path):
+    """dedup_media_index_probe's lifecycle contract (r15): the committed
+    perceptual signature index matches the inline two-sided probe
+    exactly, a second ensure is a marker reuse, the build-time valve
+    excises hot segments, a params mismatch refuses, and a corpus change
+    mints a new directory."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from mycenae_spark.functions import dedup
+
+    sf = tmp_path / "sfS"
+    # signatures direct (no decode needed to test the index contract):
+    # 1/2 identical, 3 near (hamming 1), 4 far; 100 probes near 1;
+    # 101 far from everything
+    rows = [(1, 0x0F0F), (2, 0x0F0F), (3, 0x0F0E), (4, -1)]
+    probe_rows = [(100, 0x0F0B), (101, 0x7E00FF00FF00FF0F)]
+    spark.createDataFrame(
+        [(i, "x") for i, _ in rows + probe_rows], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(sf / "documents.parquet"))
+    isigs = spark.createDataFrame(rows, "media_id long, dhash long")
+    psigs = spark.createDataFrame(probe_rows, "media_id long, dhash long")
+
+    idx = dedup.ensure_sig_index(
+        spark, str(sf), isigs, "media_id", "dhash",
+        pred_desc="t", kind="dhash-test", bits=64, n_segments=6,
+        max_bucket_size=512,
+    )
+    assert os.path.isfile(os.path.join(idx, "_COMMITTED"))
+    assert dedup.ensure_sig_index(
+        spark, str(sf), isigs, "media_id", "dhash",
+        pred_desc="t", kind="dhash-test", bits=64, n_segments=6,
+        max_bucket_size=512,
+    ) == idx
+
+    got = {
+        (r["probe_id"], r["idx_id"], r["hamming"])
+        for r in dedup.probe_sig_index(
+            spark, idx, psigs, "media_id", "dhash",
+            bits=64, n_segments=6, max_hamming=5,
+        ).collect()
+    }
+    inline = {
+        (r["probe_id"], r["idx_id"], r["hamming"])
+        for r in dedup.hamming_probe_sigs(
+            isigs, psigs, "media_id", "dhash",
+            bits=64, n_segments=6, max_hamming=5,
+        ).collect()
+    }
+    assert got == inline
+    # 0x0F0B vs 0x0F0F: one flipped bit; vs 0x0F0E: two
+    assert got == {(100, 1, 1), (100, 2, 1), (100, 3, 2)}
+    assert not any(p == 101 for p, _i, _h in got)  # far probe keeps
+
+    # params mismatch refuses instead of silently missing collisions
+    with pytest.raises(ValueError, match="was built with"):
+        dedup.probe_sig_index(
+            spark, idx, psigs, "media_id", "dhash",
+            bits=64, n_segments=4, max_hamming=3,
+        )
+
+    # staleness: regenerating the documents table mints a NEW directory
+    fp1 = dedup.sig_index_fingerprint(str(sf), "t", "dhash-test", 64, 6,
+                                      512, dedup.SIG_INDEX_SHARDS)
+    for f in (sf / "documents.parquet").iterdir():
+        if f.suffix == ".parquet":
+            f.write_bytes(f.read_bytes() + b"x")
+    fp2 = dedup.sig_index_fingerprint(str(sf), "t", "dhash-test", 64, 6,
+                                      512, dedup.SIG_INDEX_SHARDS)
+    assert fp1 != fp2
+
+    # build-time valve: a hot segment (many identical sigs over the cap)
+    # is excised from the index, so its probes are structural keeps
+    hot = spark.createDataFrame(
+        [(i, 0x1111) for i in range(10, 16)], "media_id long, dhash long"
+    )
+    idx2 = dedup.ensure_sig_index(
+        spark, str(sf), hot, "media_id", "dhash",
+        pred_desc="hot", kind="dhash-test", bits=64, n_segments=6,
+        max_bucket_size=5,
+    )
+    got2 = dedup.probe_sig_index(
+        spark, idx2,
+        spark.createDataFrame([(200, 0x1111)], "media_id long, dhash long"),
+        "media_id", "dhash", bits=64, n_segments=6, max_hamming=5,
+    ).collect()
+    assert got2 == []
