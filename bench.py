@@ -303,7 +303,7 @@ def main() -> None:
     # is a corpus job — price it separately with the cache-hit flag.
     _sig_fp = _dd.sig_index_fingerprint(
         sf_dir, "triple_div3_mod5_ne4", "dhash-png", 64, 6, _MB,
-        _dd.SIG_INDEX_SHARDS,
+        _dd.SIG_INDEX_SHARDS, source_version=_mm.MEDIA_CORPUS_VERSION,
     )
     sigidx_cached = _pq.index_is_committed(
         os.path.join(_pq._index_root(), f"sigidx-{_sig_fp}")
@@ -322,6 +322,7 @@ def main() -> None:
         "media_id", "dhash",
         pred_desc="triple_div3_mod5_ne4", kind="dhash-png",
         bits=64, n_segments=6, max_bucket_size=_MB,
+        source_version=_mm.MEDIA_CORPUS_VERSION,
     )
     sigidx_build_s = round(time.perf_counter() - t0, 3)
 

@@ -1074,11 +1074,17 @@ def sig_index_fingerprint(
     n_segments: int,
     max_bucket_size: int | None,
     n_shards: int,
+    source_version: int = 0,
 ) -> str:
     """Staleness gate for the perceptual signature index: documents stat
     identity + every semantic knob + the build version (the
     ``band_index_fingerprint`` convention).  ``kind`` names the signature
-    family AND its source corpus (e.g. "dhash-png")."""
+    family AND its source corpus (e.g. "dhash-png");
+    ``source_version`` is the VERSION OF THE SIGNATURE SOURCE SPEC (e.g.
+    ``MEDIA_CORPUS_VERSION`` when the signatures derive from the
+    committed rendered corpus) — without it, a render-spec bump re-mints
+    the corpus but this index would keep serving OLD-spec signatures and
+    every probe would silently miss (review finding r15)."""
     import hashlib
     import os
 
@@ -1086,8 +1092,8 @@ def sig_index_fingerprint(
 
     src = os.path.join(sf_dir.rstrip("/"), "documents.parquet")
     h = hashlib.md5(
-        f"sigidx-v{SIG_INDEX_VERSION}|{pred_desc}|{kind}|b{bits}"
-        f"|seg{n_segments}|cap{max_bucket_size}|s{n_shards}"
+        f"sigidx-v{SIG_INDEX_VERSION}|src{source_version}|{pred_desc}"
+        f"|{kind}|b{bits}|seg{n_segments}|cap{max_bucket_size}|s{n_shards}"
         f"|{os.path.abspath(src)}".encode()
     )
     fingerprint_tree(h, src)
@@ -1107,6 +1113,7 @@ def ensure_sig_index(
     n_segments: int = 6,
     max_bucket_size: int | None = 512,
     n_shards: int = SIG_INDEX_SHARDS,
+    source_version: int = 0,
 ) -> str:
     """Build-and-commit the perceptual SIGNATURE index — the
     ``ensure_band_index`` pattern at 64-bit signatures: the corpus
@@ -1130,7 +1137,8 @@ def ensure_sig_index(
     from pyspark.sql import Window
 
     fp = sig_index_fingerprint(
-        sf_dir, pred_desc, kind, bits, n_segments, max_bucket_size, n_shards
+        sf_dir, pred_desc, kind, bits, n_segments, max_bucket_size,
+        n_shards, source_version,
     )
     dest = os.path.join(_index_root(), f"sigidx-{fp}")
     if index_is_committed(dest):

@@ -2474,15 +2474,6 @@ def dedup_media_incremental(spark, sf_dir):
         sigs.filter(~pred), sigs.filter(pred), "media_id", "dhash",
         bits=64, n_segments=6, max_hamming=5, max_bucket_size=MAX_BUCKET,
     )
-    agg = matches.groupBy("probe_id").agg(
-        F.min("idx_id").alias("_dup_of"),
-        F.count(F.lit(1)).alias("_n"),
-    )
-    delta = (
-        t(spark, sf_dir, "documents")
-        .select(F.col("doc_id").alias("media_id"))
-        .filter(pred)
-    )
     return _probe_verdicts(spark, sf_dir, matches, pred)
 
 
@@ -2540,7 +2531,11 @@ def dedup_media_index_probe(spark, sf_dir):
         ensure_sig_index,
         probe_sig_index,
     )
-    from mycenae_spark.functions.multimodal import dhash_media, media_corpus
+    from mycenae_spark.functions.multimodal import (
+        MEDIA_CORPUS_VERSION,
+        dhash_media,
+        media_corpus,
+    )
 
     corpus = media_corpus(spark, sf_dir, "png")
     pred = F.expr("((media_id - media_id % 3) div 3) % 5 = 4")
@@ -2552,6 +2547,7 @@ def dedup_media_index_probe(spark, sf_dir):
         "media_id", "dhash",
         pred_desc="triple_div3_mod5_ne4", kind="dhash-png",
         bits=64, n_segments=6, max_bucket_size=MAX_BUCKET,
+        source_version=MEDIA_CORPUS_VERSION,
     )
     matches = probe_sig_index(
         spark, idx_dir,

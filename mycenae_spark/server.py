@@ -1498,14 +1498,20 @@ class Engine:
         default 5), ``limit`` + ``after_key`` (keyset page over groups,
         cursor = last group's cluster_id, strict int).
 
-        The signature and pair stages are the JUDGED kernels (the Arrow
-        signature frame + ``hamming_pairs_from_sigs`` banding with the
-        hot-bucket valve); group assembly runs driver-side union-find
-        over the pair list, which is sound here because the request cap
-        bounds it (≤ items² worst case, banding-bounded in practice) —
-        the batch-verb analogue of funnel's limit-clamped collects.
-        Undecodable payloads are reported in ``n_undecodable`` and never
-        pair (null signatures drop before banding).  Groups are keyed by
+        The signature stage is the JUDGED Arrow kernel; exact-duplicate
+        signatures collapse to DRIVER-SIDE cliques (Hamming 0 by
+        definition) and only DISTINCT signatures enter the judged
+        ``hamming_pairs_from_sigs`` banding — so a mass-duplicate batch
+        can never be silently zeroed by the corpus-scale hot-bucket
+        valve; if >512 distinct signatures share a segment value
+        (adversarial), ``n_capped_buckets`` > 0 marks the answer as a
+        subset.  Group assembly runs driver-side union-find over cliques
+        + cross-signature pairs, sound because the request cap bounds it
+        — the batch-verb analogue of funnel's limit-clamped collects.
+        ``n_undecodable`` counts payloads that failed to DECODE;
+        ``n_no_signature`` counts assets contributing no signature
+        (undecodable PLUS decodable-but-too-small, e.g. an 8×8 image for
+        the 9×8 dHash grid) — neither ever pairs.  Groups are keyed by
         their smallest member id; ``keep`` is that smallest id (the
         keep-one-per-group rule; the judged ``dedup_media_keep_best``
         carries the quality-key variant).  Responses are not cached: the
@@ -1563,15 +1569,45 @@ class Engine:
         )
         sig_fn = {"dhash": dhash_media, "ahash": ahash_media,
                   "afp": afp_media}[family]
-        sigs = sig_fn(media, max_batch_bytes=1 << 20).select(
-            "media_id", F.col(family).alias("sig")
+        # dhash/ahash carry (width, height), afp carries n_samples —
+        # non-null means the payload DECODED; a decodable-but-too-small
+        # asset has a null signature but is NOT undecodable (review
+        # finding: the two classes were conflated in a client counter).
+        evid = "n_samples" if family == "afp" else "width"
+        prof = sig_fn(media, max_batch_bytes=1 << 20).select(
+            "media_id", F.col(family).alias("sig"), F.col(evid).alias("_ev")
         ).localCheckpoint(eager=True)
-        n_undecodable = sigs.filter(F.col("sig").isNull()).count()
+        n_undecodable = prof.filter(F.col("_ev").isNull()).count()
+        n_no_signature = prof.filter(F.col("sig").isNull()).count()
+        # Exact-duplicate signatures are grouped DRIVER-SIDE as cliques
+        # (Hamming 0 by definition), and only DISTINCT signatures enter
+        # the banding stage — a batch of 600 copies of one image is one
+        # signature there, so the corpus-scale hot-bucket valve can no
+        # longer silently zero a mass-duplicate batch's answer (review
+        # finding).  The valve now only binds when >512 DISTINCT
+        # signatures share a segment value (adversarial batches); when it
+        # does, n_capped_buckets > 0 tells the client the answer is a
+        # subset instead of pretending completeness.
+        sig_rows = prof.filter(F.col("sig").isNotNull()).collect()
+        by_sig: dict = {}
+        for r in sig_rows:
+            by_sig.setdefault(r["sig"], []).append(r["media_id"])
+        distinct = self.spark.createDataFrame(
+            [(min(ms), s) for s, ms in by_sig.items()],
+            "media_id long, sig long",
+        )
         pairs = hamming_pairs_from_sigs(
-            sigs, "media_id", "sig",
+            distinct, "media_id", "sig",
             bits=64, n_segments=6, max_hamming=max_hamming,
             max_bucket_size=512,
-        ).collect()  # bounded by the request cap
+        ).collect()  # bounded by #distinct signatures ≤ the request cap
+        from mycenae_spark.functions.dedup import _sig_segments
+
+        n_capped_buckets = (
+            _sig_segments(distinct, "media_id", "sig", 64, 6, max_hamming)
+            .groupBy("j", "segval").count().filter(F.col("count") > 512)
+            .count()
+        )
 
         parent: dict = {}
 
@@ -1581,7 +1617,15 @@ class Engine:
                 x = parent[x]
             return x
 
+        for s, ms in by_sig.items():
+            if len(ms) > 1:  # same-signature clique: Hamming 0
+                m0 = min(ms)
+                for m in ms:
+                    ra, rb = find(m0), find(m)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
         for r in pairs:
+            # pair endpoints are clique representatives (min per sig)
             ra, rb = find(r["doc_a"]), find(r["doc_b"])
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
@@ -1601,6 +1645,8 @@ class Engine:
         return {
             "n_items": len(rows),
             "n_undecodable": n_undecodable,
+            "n_no_signature": n_no_signature,
+            "n_capped_buckets": n_capped_buckets,
             "n_groups": total_groups,
             "n_duplicates": total_dups,
             "family": family,

@@ -1271,6 +1271,7 @@ def test_media_dups_endpoint(server):
                       {"items": items, "max_hamming": 0})
     assert code == 200
     assert resp["n_items"] == 8 and resp["n_undecodable"] == 1
+    assert resp["n_no_signature"] == 1 and resp["n_capped_buckets"] == 0
     assert resp["n_groups"] == 2 and resp["n_duplicates"] == 5
     by_keep = {g["keep"]: g for g in resp["groups"]}
     assert by_keep[30]["members"] == [30, 31, 32, 9000]  # GIF joins
@@ -1296,6 +1297,32 @@ def test_media_dups_endpoint(server):
     code, resp = _req(server, "/keysets/k1/api/query/media_dups",
                       {"items": items[:3], "family": "ahash"})
     assert code == 200 and resp["n_groups"] == 1
+
+    # MASS duplicates beyond the corpus-scale valve (review finding):
+    # 520 copies of one image used to hit the 512 hot-bucket cap and come
+    # back as 520 "unique" assets with no warning; signature cliques now
+    # group driver-side, so the valve cannot zero the answer
+    many = [{"id": 20000 + i, "payload": items[0]["payload"]}
+            for i in range(520)]
+    code, resp = _req(server, "/keysets/k1/api/query/media_dups",
+                      {"items": many, "max_hamming": 0})
+    assert code == 200
+    assert resp["n_groups"] == 1 and resp["n_duplicates"] == 519
+    assert resp["groups"][0]["keep"] == 20000
+    assert resp["n_capped_buckets"] == 0  # one DISTINCT signature
+
+    # decodable-but-too-small (8x8 < the 9x8 dHash grid): NOT undecodable,
+    # but contributes no signature
+    import numpy as np
+
+    from mycenae_spark.functions.multimodal import encode_png as _ep
+
+    tiny = _ep(np.zeros((8, 8), dtype=np.uint8), 0)
+    code, resp = _req(server, "/keysets/k1/api/query/media_dups",
+                      {"items": [{"id": 1, "payload":
+                                  base64.b64encode(tiny).decode()}]})
+    assert code == 200
+    assert resp["n_undecodable"] == 0 and resp["n_no_signature"] == 1
 
     # audio family: a WAV volume triple (1x/2x/3x of one waveform) is
     # md5-distinct but collapses under the energy-envelope fingerprint
