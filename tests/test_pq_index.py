@@ -348,3 +348,48 @@ def test_sig_index_build_probe_refresh(spark, index_root, tmp_path):
         "media_id", "dhash", bits=64, n_segments=6, max_hamming=5,
     ).collect()
     assert got2 == []
+
+
+def test_media_corpus_artifact_lifecycle(spark, index_root, tmp_path):
+    """ensure_media_corpus (r15): committed once and reused, marker-gated
+    reads refuse a torn build, kinds mint distinct directories, and a
+    regenerated documents table or a render-spec bump mints a NEW
+    corpus."""
+    import os
+    import shutil
+
+    from mycenae_spark.functions import multimodal as mm
+
+    sf = tmp_path / "sfM"
+    spark.createDataFrame(
+        [(i, "t") for i in range(12)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(sf / "documents.parquet"))
+
+    d1 = mm.ensure_media_corpus(spark, str(sf), "png")
+    assert os.path.isfile(os.path.join(d1, "_COMMITTED"))
+    assert mm.ensure_media_corpus(spark, str(sf), "png") == d1  # reuse
+    rows = {r["media_id"]: r["payload"]
+            for r in mm.media_corpus(spark, str(sf), "png").collect()}
+    assert len(rows) == 12
+    # payloads are the deterministic spec renders
+    w, h, ct, gray, px = mm.pixel_corpus_image(5)
+    assert rows[5] == mm.encode_png(px, ct, row_filters=lambda y: y % 5,
+                                    n_idat=2)
+    # kinds are distinct artifacts
+    d2 = mm.ensure_media_corpus(spark, str(sf), "afp")
+    assert d2 != d1
+    # torn state (marker removed): the rebuilder cannot atomically
+    # replace a non-empty uncommitted dir and must fail loudly — the
+    # shared _commit_index contract (see test_torn_index_is_refused)
+    os.remove(os.path.join(d1, "_COMMITTED"))
+    with pytest.raises(OSError):
+        mm.media_corpus(spark, str(sf), "png")
+    shutil.rmtree(d1, ignore_errors=True)
+    # with the torn dir cleared, the rebuild commits and reads again
+    assert len(mm.media_corpus(spark, str(sf), "png").collect()) == 12
+    # staleness: regenerated documents table mints a new fingerprint
+    fp1 = mm.media_corpus_fingerprint(str(sf), "png")
+    for f in (sf / "documents.parquet").iterdir():
+        if f.suffix == ".parquet":
+            f.write_bytes(f.read_bytes() + b"x")
+    assert mm.media_corpus_fingerprint(str(sf), "png") != fp1
