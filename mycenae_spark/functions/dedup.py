@@ -9,10 +9,18 @@ valid minwise family with no engine-specific integer hashing anywhere.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame
 import pyspark.sql.functions as F
 
 from mycenae_spark.functions.text import shingles, tokens
+
+logger = logging.getLogger(__name__)
+
+#: One-shot flag so the _iter_boundary internal-API-drift fallback warns
+#: once per process instead of once per round (r15 ADVICE item).
+_ITER_BOUNDARY_WARNED = False
 
 
 def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -658,7 +666,20 @@ def _iter_boundary(df: DataFrame) -> DataFrame:
             jrdd, jschema, False
         )
         return DataFrame(jdf, spark)
-    except Exception:  # pragma: no cover - internal-API drift fallback
+    except Exception as exc:  # pragma: no cover - internal-API drift fallback
+        # The fallback silently reinstates the exponential originStats
+        # regression this function exists to fix — warn ONCE per process
+        # so an internal-API drift shows up in logs instead of
+        # re-manifesting as an unexplained driver slowdown (r15 ADVICE).
+        global _ITER_BOUNDARY_WARNED
+        if not _ITER_BOUNDARY_WARNED:
+            _ITER_BOUNDARY_WARNED = True
+            logger.warning(
+                "_iter_boundary: internalCreateDataFrame path failed (%s: %s)"
+                " — falling back to plain localCheckpoint; iterative plans"
+                " will carry originStats and slow down past ~15 rounds",
+                type(exc).__name__, exc,
+            )
         return ck
 
 
@@ -1146,10 +1167,24 @@ def ensure_sig_index(
         return dest
     staging = f"{dest}.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
     try:
+        # The committed layout is read back with an EXPLICIT schema
+        # (`idx_id long, sig long` — see probe_sig_index); an index built
+        # with any other id type would commit fine and then fail or
+        # miscast on every probe, so refuse it at build time (r15 ADVICE)
+        # and persist the types in _params.json as a second fence.
+        id_type = dict(index_sigs.dtypes).get(id_col)
+        if id_type not in ("bigint", "int", "smallint", "tinyint"):
+            raise TypeError(
+                f"ensure_sig_index needs an integral id column; {id_col!r} "
+                f"is {id_type!r} — the committed layout is read back as "
+                "'idx_id long' (map string ids to a dense long surrogate "
+                "first)"
+            )
         segs = _sig_segments(
             index_sigs, id_col, sig_col, bits, n_segments, n_segments - 1
         ).select(
-            F.col("_id").alias("idx_id"), F.col("_sig").alias("sig"),
+            F.col("_id").cast("long").alias("idx_id"),
+            F.col("_sig").alias("sig"),
             "j", "segval",
         )
         if max_bucket_size is not None:
@@ -1173,6 +1208,11 @@ def ensure_sig_index(
                     "n_segments": n_segments,
                     "n_shards": n_shards,
                     "max_bucket_size": max_bucket_size,
+                    # read-back contract: probe_sig_index reads with an
+                    # explicit 'idx_id long, sig long' schema; recorded
+                    # so a future layout change is validated, not guessed
+                    "id_type": "long",
+                    "sig_type": "long",
                 },
                 fh,
             )
@@ -1227,7 +1267,12 @@ def probe_sig_index(
         params = None
     if params is not None:
         want = {"version": SIG_INDEX_VERSION, "bits": bits,
-                "n_segments": n_segments, "n_shards": n_shards}
+                "n_segments": n_segments, "n_shards": n_shards,
+                "id_type": "long", "sig_type": "long"}
+        # Indexes written before the types were recorded (same layout,
+        # enforced at build since v1) validate on the shared keys only.
+        want = {k: v for k, v in want.items()
+                if k in params or k not in ("id_type", "sig_type")}
         have = {k: params.get(k) for k in want}
         if have != want:
             raise ValueError(

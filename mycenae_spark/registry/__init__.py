@@ -127,22 +127,10 @@ _ALL_QUERIES = {
 #:
 #: (r9's two recomposed quadratics — dedup_embedding_cosine,
 #: dedup_ngram_containment — landed fresh green r9 rows and were pruned
-#: per the contract above; see git history for the entries.)
-#:
-#: r15: the seven batch media ids switched their corpus INPUT from an
-#: in-query render to the committed artifact (functions/multimodal.py
-#: ensure_media_corpus) — values verified identical against the oracles
-#: this session, but the r14 greens exercised a different read path, so
-#: they re-front until a fresh driver row lands.  Prune at r16.
-REDECLARED: dict[str, int] = {
-    "multimodal_pixel_stats": 15,
-    "dedup_image_phash": 15,
-    "multimodal_pixel_stats_mixed": 15,
-    "multimodal_audio_stats": 15,
-    "dedup_image_ahash": 15,
-    "dedup_audio_fingerprint": 15,
-    "multimodal_audio_frames": 15,
-}
+#: per the contract above; r15's seven corpus-artifact media ids landed
+#: fresh green r15 rows and were pruned at r16.  See git history for the
+#: entries.)
+REDECLARED: dict[str, int] = {}
 
 _HISTORY = _driver_history()
 _DECL_IDX = {k: i for i, k in enumerate(_ALL_QUERIES)}

@@ -1484,6 +1484,17 @@ class Engine:
     #: same way the series cap bounds analytics collects.
     MAX_MEDIA_ITEMS = 4096
 
+    #: Companion BYTES valve: the item cap alone lets one request buffer
+    #: gigabytes driver-side (4096 × a huge base64 payload all decoded
+    #: before createDataFrame), so total DECODED payload bytes are capped
+    #: too (r15 ADVICE).  64 MiB ≈ 4096 items × a generous 16 KiB asset.
+    MAX_MEDIA_BYTES = 64 << 20
+
+    #: Hot-bucket valve for the banding stage AND its subset-answer
+    #: reporting — ONE binding so the cap and the `n_capped_buckets`
+    #: signal cannot drift apart (r15 ADVICE).
+    MEDIA_BUCKET_CAP = 512
+
     def query_media_dups(self, body: dict) -> dict:
         """``POST /keysets/{ks}/api/query/media_dups`` — the perceptual
         dedup family served over HTTP (r14 VERDICT item 8, the U49
@@ -1526,7 +1537,7 @@ class Engine:
                 f"items must be a non-empty list of at most "
                 f"{self.MAX_MEDIA_ITEMS} entries"
             )
-        rows, seen = [], set()
+        rows, seen, total_bytes = [], set(), 0
         for it in items:
             if not (isinstance(it, dict) and _is_int(it.get("id"))
                     and isinstance(it.get("payload"), str)):
@@ -1540,6 +1551,12 @@ class Engine:
                 payload = base64.b64decode(it["payload"], validate=True)
             except Exception:
                 raise ValueError(f"item {it['id']}: payload is not base64")
+            total_bytes += len(payload)
+            if total_bytes > self.MAX_MEDIA_BYTES:
+                raise ValueError(
+                    f"total decoded payload exceeds {self.MAX_MEDIA_BYTES} "
+                    f"bytes (at item {it['id']}) — split the batch"
+                )
             rows.append((it["id"], payload))
         family = body.get("family", "dhash")
         if family not in ("dhash", "ahash", "afp"):
@@ -1599,13 +1616,14 @@ class Engine:
         pairs = hamming_pairs_from_sigs(
             distinct, "media_id", "sig",
             bits=64, n_segments=6, max_hamming=max_hamming,
-            max_bucket_size=512,
+            max_bucket_size=self.MEDIA_BUCKET_CAP,
         ).collect()  # bounded by #distinct signatures ≤ the request cap
         from mycenae_spark.functions.dedup import _sig_segments
 
         n_capped_buckets = (
             _sig_segments(distinct, "media_id", "sig", 64, 6, max_hamming)
-            .groupBy("j", "segval").count().filter(F.col("count") > 512)
+            .groupBy("j", "segval").count()
+            .filter(F.col("count") > self.MEDIA_BUCKET_CAP)
             .count()
         )
 
@@ -1682,6 +1700,13 @@ class _Handler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(body)
 
+    #: Decompressed-body bound: gzip bombs must not buffer unbounded
+    #: driver memory before any endpoint valve can run (r15 ADVICE).
+    #: 256 MiB comfortably covers the largest legitimate batch (the
+    #: media endpoint's own decoded-bytes cap is 64 MiB; put batches
+    #: compress ~10× and are far smaller).
+    MAX_INFLATED_BODY = 256 << 20
+
     def _body(self):
         n = int(self.headers.get("Content-Length", 0))
         raw = self.rfile.read(n)
@@ -1689,8 +1714,15 @@ class _Handler(BaseHTTPRequestHandler):
         # bodies — high-volume put batches compress ~10×.
         if "gzip" in self.headers.get("Content-Encoding", ""):
             import gzip
+            import io
 
-            raw = gzip.decompress(raw)
+            with gzip.GzipFile(fileobj=io.BytesIO(raw)) as gz:
+                raw = gz.read(self.MAX_INFLATED_BODY + 1)
+                if len(raw) > self.MAX_INFLATED_BODY:
+                    raise ValueError(
+                        "decompressed body exceeds "
+                        f"{self.MAX_INFLATED_BODY} bytes"
+                    )
         return json.loads(raw or b"null")
 
     def do_GET(self):  # noqa: N802 (stdlib casing)
