@@ -2560,6 +2560,70 @@ def dedup_media_index_probe(spark, sf_dir):
     return _probe_verdicts(spark, sf_dir, matches, pred)
 
 
+@q(
+    "dedup_media_index_assimilate",
+    _pixel_probe_sql(_PIXEL_DHASH_SQL, "dhash", _MEDIA_DELTA_PRED),
+)
+def dedup_media_index_assimilate(spark, sf_dir):
+    """The CLOSED incremental-dedup lifecycle (r15 VERDICT item 1): a
+    signature index built over day-0's corpus, yesterday's kept delta
+    ASSIMILATED into it without a rebuild, today's batch probed against
+    the grown index — and yesterday's assets are visible to the probe.
+
+    Three-way triple-granular split of the committed PNG corpus: day 0
+    is triples 0–2 of each mod-5 cycle (the ``ensure_sig_index`` build),
+    day 1 is triple 3 (``assimilate_sig_index``: only the delta-touched
+    (j, shard) partitions are rewritten, every untouched partition is
+    hard-linked, and the hot-bucket valve re-binds on TRUE merged bucket
+    sizes via the v2 ``capped/`` accounting), day 2 is triple 4 (the
+    probe).  The corpus is decoded ONCE; all three slices filter the
+    same checkpointed signature frame.
+
+    The oracle is VERBATIM ``dedup_media_index_probe``'s, whose index
+    side is the full day-0 ∪ day-1 union: assimilation must be
+    INDISTINGUISHABLE from rebuilding the index from scratch over the
+    union — same signatures, same valve decisions, same verdicts — and
+    the shared hash proves it end-to-end.  100 TB: this is the daily
+    job — probe the crawl, keep the non-dups, append-merge their
+    segment rows (cost ∝ |delta|, bounded partition rewrites + links),
+    never re-index the corpus."""
+    from mycenae_spark.functions.dedup import (
+        assimilate_sig_index,
+        ensure_sig_index,
+        probe_sig_index,
+    )
+    from mycenae_spark.functions.multimodal import (
+        MEDIA_CORPUS_VERSION,
+        dhash_media,
+        media_corpus,
+    )
+
+    triple = "((media_id - media_id % 3) div 3) % 5"
+    probe_pred = F.expr(f"{triple} = 4")
+    day1_pred = F.expr(f"{triple} = 3")
+    sigs = dhash_media(
+        media_corpus(spark, sf_dir, "png"), max_batch_bytes=1 << 20
+    ).select("media_id", "dhash").localCheckpoint(eager=True)  # ONE decode
+    base_dir = ensure_sig_index(
+        spark, sf_dir,
+        sigs.filter(~probe_pred & ~day1_pred),
+        "media_id", "dhash",
+        pred_desc="triple_div3_mod5_in_0_2", kind="dhash-png",
+        bits=64, n_segments=6, max_bucket_size=MAX_BUCKET,
+        source_version=MEDIA_CORPUS_VERSION,
+    )
+    grown_dir = assimilate_sig_index(
+        spark, base_dir, sigs.filter(day1_pred), "media_id", "dhash"
+    )
+    matches = probe_sig_index(
+        spark, grown_dir,
+        sigs.filter(probe_pred),
+        "media_id", "dhash",
+        bits=64, n_segments=6, max_hamming=5,
+    )
+    return _probe_verdicts(spark, sf_dir, matches, probe_pred)
+
+
 # ------------------------------------------------- dedup cluster assignment
 
 @q(

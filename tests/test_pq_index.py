@@ -350,6 +350,118 @@ def test_sig_index_build_probe_refresh(spark, index_root, tmp_path):
     assert got2 == []
 
 
+def test_sig_index_assimilate_equals_rebuild(spark, index_root, tmp_path):
+    """assimilate_sig_index (r16): probing the grown index is
+    INDISTINGUISHABLE from probing one rebuilt from scratch over
+    base ∪ delta — including the valve re-binding on TRUE merged bucket
+    sizes (a bucket at the cap in the base that crosses it with the
+    delta is excised WITH its base rows; a bucket excised at build stays
+    excised after a one-member delta); untouched base partitions are
+    hard-linked, not rewritten; re-assimilating the same delta is an
+    idempotent cache hit; chained assimilation composes; a torn base
+    refuses."""
+    import os
+
+    from mycenae_spark.functions import dedup
+
+    sf = tmp_path / "sfA"
+    spark.createDataFrame(
+        [(i, "x") for i in range(40)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(sf / "documents.parquet"))
+
+    CAP = 2
+    # base: 0x1111 ×2 (AT the cap — kept), 0x7777 ×4 (over — excised at
+    # build, capped/ records n=4), 0x0200…0F0F (bit 57 set: its j=5
+    # segment lands in a (j, shard) partition no delta sig touches)
+    base = spark.createDataFrame(
+        [(1, 0x1111), (2, 0x1111),
+         (10, 0x7777), (11, 0x7777), (12, 0x7777), (13, 0x7777),
+         (30, 0x0200000000000F0F)],
+        "media_id long, dhash long",
+    )
+    # delta: one more 0x1111 (crosses the cap → whole bucket excised),
+    # one more 0x7777 (stays excised), a fresh near-pair 0x2222/0x2223
+    delta = spark.createDataFrame(
+        [(3, 0x1111), (14, 0x7777), (4, 0x2222), (5, 0x2223)],
+        "media_id long, dhash long",
+    )
+    probes = spark.createDataFrame(
+        [(100, 0x1111), (101, 0x2222), (102, 0x7777)],
+        "media_id long, dhash long",
+    )
+    kw = dict(bits=64, n_segments=6, max_bucket_size=CAP)
+
+    base_dir = dedup.ensure_sig_index(
+        spark, str(sf), base, "media_id", "dhash",
+        pred_desc="base", kind="dhash-test", **kw,
+    )
+    grown = dedup.assimilate_sig_index(
+        spark, base_dir, delta, "media_id", "dhash"
+    )
+    assert grown != base_dir and os.path.isfile(
+        os.path.join(grown, "_COMMITTED")
+    )
+    # idempotent: same base + same delta → the SAME committed directory
+    assert dedup.assimilate_sig_index(
+        spark, base_dir, delta, "media_id", "dhash"
+    ) == grown
+
+    rebuilt = dedup.ensure_sig_index(
+        spark, str(sf), base.unionByName(delta), "media_id", "dhash",
+        pred_desc="union", kind="dhash-test", **kw,
+    )
+
+    def probe(d):
+        return {
+            (r["probe_id"], r["idx_id"], r["hamming"])
+            for r in dedup.probe_sig_index(
+                spark, d, probes, "media_id", "dhash",
+                bits=64, n_segments=6, max_hamming=5,
+            ).collect()
+        }
+
+    got, want = probe(grown), probe(rebuilt)
+    assert got == want
+    # and the verdicts are the ones the valve story predicts: 0x1111
+    # crossed the cap during assimilation (excised with its base rows),
+    # 0x7777 was excised at build and STAYS excised, the fresh 0x2222
+    # pair is findable (0x2223 is hamming-1 away)
+    assert got == {(101, 4, 0), (101, 5, 1)}
+    # yesterday's delta is visible to today's probe (the lifecycle point)
+    assert any(i in (4, 5) for _p, i, _h in got)
+
+    # untouched base partition (j=5 of the bit-57 sig) was HARD-LINKED:
+    # same inode serves both directories
+    part = os.path.join(grown, "segments", "j=5", "shard=8")
+    files = [f for f in os.listdir(part) if f.endswith(".parquet")]
+    assert files and all(
+        os.stat(os.path.join(part, f)).st_nlink >= 2 for f in files
+    )
+
+    # chained assimilation composes: day-2 delta onto the grown index.
+    # A second 0x2222 pushes the shared-with-0x2223 segment buckets over
+    # the cap (excised in BOTH paths), but the j=0 segment differs
+    # between 0x2222 and 0x2223, so that bucket holds exactly {4, 6} —
+    # at the cap, kept — and the probe still finds the exact twins.
+    delta2 = spark.createDataFrame(
+        [(6, 0x2222)], "media_id long, dhash long"
+    )
+    grown2 = dedup.assimilate_sig_index(
+        spark, grown, delta2, "media_id", "dhash"
+    )
+    rebuilt2 = dedup.ensure_sig_index(
+        spark, str(sf), base.unionByName(delta).unionByName(delta2),
+        "media_id", "dhash", pred_desc="union2", kind="dhash-test", **kw,
+    )
+    assert probe(grown2) == probe(rebuilt2) == {(101, 4, 0), (101, 6, 0)}
+
+    # a torn base (no commit marker) refuses
+    with pytest.raises(FileNotFoundError, match="torn"):
+        dedup.assimilate_sig_index(
+            spark, str(tmp_path / "nope"), delta, "media_id", "dhash"
+        )
+
+
 def test_media_corpus_artifact_lifecycle(spark, index_root, tmp_path):
     """ensure_media_corpus (r15): committed once and reused, marker-gated
     reads refuse a torn build, kinds mint distinct directories, and a
