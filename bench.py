@@ -170,7 +170,10 @@ HEADLINE = [
     "join_interval_overlap",
     "ann_sq8_topk",
     "text_trigram_logprob",
-    "dedup_jaccard_prefix",
+    # dedup_jaccard_prefix: demoted r16 — strict plan-prefix of
+    # dedup_jaccard_prefix_clusters below (same PPJoin candidate
+    # generation + verify; clusters adds components on top), the exact
+    # relationship that demoted dedup_image_phash in r15.  Stays judged.
     "sample_weighted_topk",
     "ann_sq8_rerank_topk",
     "downsample_cal_week",
@@ -190,16 +193,19 @@ HEADLINE = [
     # round 15: the perceptual families finished to duplicate GROUPS +
     # keep-best verdicts.  keep_best is the new plan shape (single-decode
     # profile → banding → pointer-jump components → quality join + argmax
-    # window); dedup_media_clusters / dedup_audio_clusters are
-    # demoted-but-judged (pair stages timed above/inside keep_best, and
-    # the headline already times the component kernel twice via
+    # window); dedup_media_clusters is demoted-but-judged (pair stage
+    # timed inside keep_best; the component kernel is timed via
     # dedup_semantic_clusters + dedup_jaccard_prefix_clusters);
-    # dedup_audio_keep_best is the same plan shape at the audio corpus
-    # (profile -> banding -> components -> quality argmax) — judged, not
-    # double-timed (11 s at sf0.1: the synthetic audio graph's 758-node
-    # chain costs ~14 pointer-jump rounds; the driver checks it at
-    # sf0.01 where components are shallow).
+    # dedup_audio_keep_best is the same plan shape at the audio corpus —
+    # judged, not double-timed.
     "dedup_media_keep_best",
+    # r16 (r15 VERDICT item 4): dedup_audio_clusters PROMOTED — it is the
+    # iterative-components family's honest worst case at sf0.1 (17.5k
+    # pairs, a 758-node chain, ~25 convergence rounds; ~9.7 s idle after
+    # the _iter_boundary fix — slower than anything else in the suite),
+    # and a timed headline that hides its own slowest query is lying.
+    # The cheap image instance of the same family stays demoted.
+    "dedup_audio_clusters",
     # the two-sided probe shape (delta batch vs corpus signature index)
     # is new — nothing else times an index-probe banding join at the
     # perceptual families.  The inline form and the committed-index form
@@ -207,6 +213,12 @@ HEADLINE = [
     # same verdicts by shared oracle, different read paths.
     "dedup_media_incremental",
     "dedup_media_index_probe",
+    # dedup_media_index_assimilate / dedup_index_assimilate (r16): judged,
+    # not headline-timed — warm runs are ensure(cache hit) +
+    # assimilate(cache hit) + probe, i.e. plan-identical to the
+    # *_index_probe ids already timed above; the assimilation WRITE cost
+    # is priced separately in extras (sig_index_assim_s, cache-flagged)
+    # like every other artifact build.
     # Streaming lifecycle roundtrips (stream_funnel/gaps/dedup/evict/
     # heavyhitters_roundtrip, the bus/ingest roundtrips) are judged via
     # the driver window + oracle replica but never headline-timed —
@@ -325,6 +337,33 @@ def main() -> None:
         source_version=_mm.MEDIA_CORPUS_VERSION,
     )
     sigidx_build_s = round(time.perf_counter() - t0, 3)
+
+    # Assimilation (dedup_media_index_assimilate, r16): price the
+    # append-merge WRITE separately — the daily-job cost the lifecycle
+    # exists to bound.  Built over the judged query's own day-0/day-1
+    # split; re-runs are idempotent cache hits on the chained fingerprint.
+    _sigs_all = _dhm(
+        _mc(spark, sf_dir, "png"), max_batch_bytes=1 << 20
+    ).select("media_id", "dhash").localCheckpoint(eager=True)
+    _day1 = _F.expr("((media_id - media_id % 3) div 3) % 5 = 3")
+    _base_dir = _dd.ensure_sig_index(
+        spark, sf_dir, _sigs_all.filter(~_pred & ~_day1),
+        "media_id", "dhash",
+        pred_desc="triple_div3_mod5_in_0_2", kind="dhash-png",
+        bits=64, n_segments=6, max_bucket_size=_MB,
+        source_version=_mm.MEDIA_CORPUS_VERSION,
+    )
+    _wall0 = time.time()
+    t0 = time.perf_counter()
+    _grown = _dd.assimilate_sig_index(
+        spark, _base_dir, _sigs_all.filter(_day1), "media_id", "dhash"
+    )
+    sigidx_assim_s = round(time.perf_counter() - t0, 3)
+    # cache-hit iff the commit marker predates this call (the cache-hit
+    # path touches the DIR mtime, never the marker file's)
+    sigidx_assim_cached = (
+        os.path.getmtime(os.path.join(_grown, "_COMMITTED")) < _wall0
+    )
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     times: dict[str, float] = {}
@@ -526,6 +565,8 @@ def main() -> None:
                     "media_corpus_was_cached": media_cached,
                     "sig_index_build_s": sigidx_build_s,
                     "sig_index_was_cached": sigidx_cached,
+                    "sig_index_assim_s": sigidx_assim_s,
+                    "sig_index_assim_was_cached": sigidx_assim_cached,
                     "ann_ivfpq_index_was_cached": ivfpq_cached,
                     "ann_ivf_kmeans_recall_at3_by_nprobe": curve,
                     "ann_ivfpq_recall_at3_by_nprobe": ivfpq_curve,

@@ -1372,43 +1372,12 @@ def assimilate_sig_index(
     the same delta is an idempotent cache hit and a DIFFERENT delta
     mints a different directory.
     """
-    import functools
-    import hashlib
-    import json as _json
-    import operator
-    import os
-    import shutil
-    import uuid
-
-    from mycenae_spark.functions.pq import (
-        _COMMIT_MARKER,
-        _commit_index,
-        _index_root,
-        _touch_index,
-        index_is_committed,
+    base_fp, params = _load_assim_base(
+        base_dir, SIG_INDEX_VERSION, "signature index", "ensure_sig_index"
     )
-
-    marker = os.path.join(base_dir, _COMMIT_MARKER)
-    if not os.path.isfile(marker):
-        raise FileNotFoundError(
-            f"signature index at {base_dir!r} has no {_COMMIT_MARKER}; "
-            "refusing to assimilate into a torn build"
-        )
-    with open(marker) as fh:
-        base_fp = fh.read().strip()
-    with open(os.path.join(base_dir, "_params.json")) as fh:
-        params = _json.load(fh)
-    if params.get("version") != SIG_INDEX_VERSION:
-        raise ValueError(
-            f"signature index at {base_dir!r} is version "
-            f"{params.get('version')}; assimilation needs version "
-            f"{SIG_INDEX_VERSION} (its capped-bucket accounting) — "
-            "rebuild via ensure_sig_index"
-        )
     bits = params["bits"]
     n_segments = params["n_segments"]
     n_shards = params["n_shards"]
-    max_bucket_size = params["max_bucket_size"]
 
     id_type = dict(delta_sigs.dtypes).get(id_col)
     if id_type not in ("bigint", "int", "smallint", "tinyint"):
@@ -1420,8 +1389,8 @@ def assimilate_sig_index(
         F.col(id_col).cast("long").alias("_id"), F.col(sig_col).alias("_sig")
     ).filter(F.col("_sig").isNotNull())
     # Delta segment frame, materialized ONCE (the upstream is typically a
-    # decode kernel): reused by the content hash, the touched-partition
-    # collect, the bucket accounting, and the merge write.
+    # decode kernel): the merge kernel reuses it for the content hash,
+    # the touched-partition collect, the bucket accounting, and the write.
     dsegs = (
         _sig_segments(delta, "_id", "_sig", bits, n_segments, n_segments - 1)
         .select(
@@ -1431,72 +1400,153 @@ def assimilate_sig_index(
         )
         .localCheckpoint(eager=True)
     )
-    # Content fingerprint of the delta: row count + order-independent sum
-    # of per-row xxhash64 over (id, sig), summed in DECIMAL(38) so ANSI
-    # mode cannot overflow.  Chained onto the base fingerprint: same base
-    # + same delta → same directory (idempotent re-run); anything else →
-    # a new one.
-    stat = (
-        dsegs.filter(F.col("j") == 0)
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(
-                F.xxhash64(F.col("idx_id"), F.col("sig")).cast("decimal(38,0)")
-            ).alias("h"),
-        )
-        .collect()[0]
+    return _assimilate_partitioned_index(
+        spark, base_dir, dsegs,
+        table="segments",
+        read_schema="idx_id long, sig long, segval long, j int, shard bigint",
+        capped_schema=_SIG_CAPPED_SCHEMA,
+        part1="j",
+        bucket_key=("j", "segval"),
+        data_cols=("idx_id", "sig", "segval", "j", "shard"),
+        max_bucket_size=params["max_bucket_size"],
+        fp_seed=f"sigidx-assim-v{SIG_INDEX_VERSION}",
+        dest_prefix="sigidx-",
+        base_fp=base_fp,
+        params=params,
     )
+
+
+def _load_assim_base(
+    base_dir: str, want_version: int, family: str, rebuild_via: str
+) -> tuple[str, dict]:
+    """Common assimilation preamble: refuse a torn base, read its
+    committed fingerprint from the marker, load and version-check
+    ``_params.json`` (pre-v2 layouts have no capped-bucket accounting,
+    so the valve could not be re-checked on merged sizes — rebuild)."""
+    import json as _json
+    import os
+
+    from mycenae_spark.functions.pq import _COMMIT_MARKER
+
+    marker = os.path.join(base_dir, _COMMIT_MARKER)
+    if not os.path.isfile(marker):
+        raise FileNotFoundError(
+            f"{family} at {base_dir!r} has no {_COMMIT_MARKER}; "
+            "refusing to assimilate into a torn build"
+        )
+    with open(marker) as fh:
+        base_fp = fh.read().strip()
+    with open(os.path.join(base_dir, "_params.json")) as fh:
+        params = _json.load(fh)
+    if params.get("version") != want_version:
+        raise ValueError(
+            f"{family} at {base_dir!r} is version {params.get('version')}; "
+            f"assimilation needs version {want_version} (its capped-bucket "
+            f"accounting) — rebuild via {rebuild_via}"
+        )
+    return base_fp, params
+
+
+def _assimilate_partitioned_index(
+    spark,
+    base_dir: str,
+    drows: DataFrame,
+    *,
+    table: str,
+    read_schema: str,
+    capped_schema: str,
+    part1: str,
+    bucket_key: tuple[str, str],
+    data_cols: tuple[str, ...],
+    max_bucket_size: int | None,
+    fp_seed: str,
+    dest_prefix: str,
+    base_fp: str,
+    params: dict,
+) -> str:
+    """The shared append-merge kernel behind ``assimilate_sig_index`` and
+    ``assimilate_band_index`` — ONE implementation of the lifecycle
+    mechanics (delta content fingerprint → idempotent dest, touched-
+    partition pruning, valve re-check on TRUE merged bucket sizes via the
+    ``capped/`` accounting, bounded partition rewrites + hard links for
+    everything untouched, CAS commit), parameterized by the index family's
+    table name, physical partitioning (``(part1, shard)``), valve bucket
+    key, and read-back schemas.  ``drows`` is the delta's fully-formed
+    row frame in the index table's own schema, already materialized by
+    the caller (its upstream is typically a decode/shingle kernel that
+    must run exactly once)."""
+    import functools
+    import hashlib
+    import json as _json
+    import operator
+    import os
+    import shutil
+    import uuid
+
+    from mycenae_spark.functions.pq import (
+        _commit_index,
+        _index_root,
+        _touch_index,
+        index_is_committed,
+    )
+
+    bk = list(bucket_key)
+    # Content fingerprint of the delta: row count + order-independent sum
+    # of per-row xxhash64 over the full row, summed in DECIMAL(38) so
+    # ANSI mode cannot overflow.  Chained onto the base fingerprint: same
+    # base + same delta → same directory (idempotent re-run); anything
+    # else → a new one.
+    stat = drows.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.xxhash64(*[F.col(c) for c in data_cols]).cast("decimal(38,0)")
+        ).alias("h"),
+    ).collect()[0]
     fp = hashlib.md5(
-        f"sigidx-assim-v{SIG_INDEX_VERSION}|{base_fp}|n{stat['n']}"
-        f"|h{stat['h']}".encode()
+        f"{fp_seed}|{base_fp}|n{stat['n']}|h{stat['h']}".encode()
     ).hexdigest()[:16]
-    dest = os.path.join(_index_root(), f"sigidx-{fp}")
+    dest = os.path.join(_index_root(), f"{dest_prefix}{fp}")
     if index_is_committed(dest):
         _touch_index(dest)
         return dest
 
     touched = sorted(
-        (r["j"], r["shard"])
-        for r in dsegs.select("j", "shard").distinct().collect()
-    )  # bounded by n_segments × n_shards, never by corpus or delta size
-    base_segments = spark.read.schema(
-        "idx_id long, sig long, segval long, j int, shard bigint"
-    ).parquet(os.path.join(base_dir, "segments"))
-    base_capped = spark.read.schema(_SIG_CAPPED_SCHEMA).parquet(
+        (r[part1], r["shard"])
+        for r in drows.select(part1, "shard").distinct().collect()
+    )  # bounded by the partition grid, never by corpus or delta size
+    base_rows = spark.read.schema(read_schema).parquet(
+        os.path.join(base_dir, table)
+    )
+    base_capped = spark.read.schema(capped_schema).parquet(
         os.path.join(base_dir, "capped")
     )
     if touched:
         pair_cond = functools.reduce(
             operator.or_,
             [
-                (F.col("j") == F.lit(j)) & (F.col("shard") == F.lit(s))
-                for j, s in touched
+                (F.col(part1) == F.lit(p)) & (F.col("shard") == F.lit(s))
+                for p, s in touched
             ],
         )
     else:  # empty delta: nothing to merge, link everything
         pair_cond = F.lit(False)
-    base_touched = base_segments.filter(pair_cond)
+    base_touched = base_rows.filter(pair_cond)
 
     # Valve re-check on TRUE merged sizes, delta-touched buckets only (a
-    # bucket's rows live in exactly one (j, shard) partition, so
+    # bucket's rows live in exactly one (part1, shard) partition, so
     # base_touched covers every base row of every delta bucket):
     # merged n = base kept rows + base excised count + delta rows.
-    dcnt = dsegs.groupBy("j", "segval").agg(F.count(F.lit(1)).alias("_dn"))
+    dcnt = drows.groupBy(bk).agg(F.count(F.lit(1)).alias("_dn"))
     bcnt = (
-        base_touched.join(
-            F.broadcast(dcnt.select("j", "segval")), ["j", "segval"],
-            "left_semi",
-        )
-        .groupBy("j", "segval")
+        base_touched.join(F.broadcast(dcnt.select(bk)), bk, "left_semi")
+        .groupBy(bk)
         .agg(F.count(F.lit(1)).alias("_bn"))
     )
     totals = (
-        dcnt.join(bcnt, ["j", "segval"], "left")
-        .join(
-            base_capped.withColumnRenamed("n", "_cn"), ["j", "segval"], "left"
-        )
+        dcnt.join(bcnt, bk, "left")
+        .join(base_capped.withColumnRenamed("n", "_cn"), bk, "left")
         .select(
-            "j", "segval",
+            *bk,
             (
                 F.col("_dn")
                 + F.coalesce(F.col("_bn"), F.lit(0))
@@ -1512,43 +1562,41 @@ def assimilate_sig_index(
 
     staging = f"{dest}.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
     try:
-        merged = (
-            base_touched.unionByName(dsegs)
-            .join(
-                F.broadcast(excised.select("j", "segval")), ["j", "segval"],
-                "left_anti",
-            )
+        merged = base_touched.unionByName(drows).join(
+            F.broadcast(excised.select(bk)), bk, "left_anti"
         )
-        merged.select("idx_id", "sig", "segval", "j", "shard").write.partitionBy(
-            "j", "shard"
-        ).parquet(os.path.join(staging, "segments"))
+        merged.select(*data_cols).write.partitionBy(part1, "shard").parquet(
+            os.path.join(staging, table)
+        )
         # Hard-link every base partition the delta did NOT touch — the
-        # append-cost core: unchanged corpus data is never re-written.
+        # append-cost core: unchanged corpus data is never re-written
+        # (same filesystem by construction: both live under the index
+        # root).
         touched_set = set(touched)
-        seg_src = os.path.join(base_dir, "segments")
-        seg_dst = os.path.join(staging, "segments")
-        for jdir in os.listdir(seg_src):
-            if not jdir.startswith("j="):
+        seg_src = os.path.join(base_dir, table)
+        seg_dst = os.path.join(staging, table)
+        p1pre = f"{part1}="
+        for pdir in os.listdir(seg_src):
+            if not pdir.startswith(p1pre):
                 continue
-            jsrc = os.path.join(seg_src, jdir)
-            for sdir in os.listdir(jsrc):
+            psrc = os.path.join(seg_src, pdir)
+            for sdir in os.listdir(psrc):
                 if not sdir.startswith("shard="):
                     continue
-                key = (int(jdir[2:]), int(sdir[6:]))
+                key = (int(pdir[len(p1pre):]), int(sdir[6:]))
                 if key in touched_set:
                     continue
-                src = os.path.join(jsrc, sdir)
-                dst = os.path.join(seg_dst, jdir, sdir)
+                src = os.path.join(psrc, sdir)
+                dst = os.path.join(seg_dst, pdir, sdir)
                 os.makedirs(dst, exist_ok=True)
                 for f in os.listdir(src):
                     os.link(os.path.join(src, f), os.path.join(dst, f))
         # Updated accounting: untouched excised buckets carry over; every
         # delta-touched bucket's entry (if any) is re-derived above.
         new_capped = base_capped.join(
-            F.broadcast(dcnt.select("j", "segval")), ["j", "segval"],
-            "left_anti",
+            F.broadcast(dcnt.select(bk)), bk, "left_anti"
         ).unionByName(excised)
-        new_capped.select("j", "segval", "n").write.parquet(
+        new_capped.select(*bk, "n").write.parquet(
             os.path.join(staging, "capped")
         )
         params = dict(params)
@@ -1565,7 +1613,13 @@ def assimilate_sig_index(
 
 #: Bump when signature/band/valve semantics change — part of the index
 #: fingerprint so new code never serves an index built differently.
-BAND_INDEX_VERSION = 1
+#: v2 (r16): the build persists a ``capped/`` accounting table of
+#: valve-excised bucket counts so assimilation can re-check the valve on
+#: TRUE merged bucket sizes (the SIG_INDEX_VERSION=2 rationale).
+BAND_INDEX_VERSION = 2
+
+#: Read-back schema of the band index's ``capped/`` accounting table.
+_BAND_CAPPED_SCHEMA = "band int, sig string, n long"
 
 #: (band, sig) rows shard by a sig-hash so a probe batch can prune the
 #: index scan to the partitions its own signatures can possibly hit.
@@ -1674,16 +1728,33 @@ def ensure_band_index(
                 )
             ).alias("bs"),
         ).select("idx_id", "bs.band", "bs.sig")
+        # Materialize once: the kept-rows write AND the capped-bucket
+        # accounting both read this frame, whose upstream is the shingle
+        # + minhash pipeline over the whole corpus slice.
+        bands = bands.localCheckpoint(eager=True)
         if max_bucket_size is not None:
             w = Window.partitionBy("band", "sig")
-            bands = (
+            kept = (
                 bands.withColumn("_bsz", F.count(F.lit(1)).over(w))
                 .filter(F.col("_bsz") <= max_bucket_size)
                 .drop("_bsz")
             )
-        bands.withColumn("shard", _sig_shard("sig", n_shards)).write.partitionBy(
+            capped = (
+                bands.groupBy("band", "sig")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .filter(F.col("n") > max_bucket_size)
+            )
+        else:
+            kept = bands
+            capped = spark.createDataFrame([], _BAND_CAPPED_SCHEMA)
+        kept.withColumn("shard", _sig_shard("sig", n_shards)).write.partitionBy(
             "band", "shard"
         ).parquet(os.path.join(staging, "bands"))
+        # v2: persist the excised-bucket counts so assimilation can apply
+        # the valve to TRUE merged sizes (see BAND_INDEX_VERSION).
+        capped.select("band", "sig", "n").write.parquet(
+            os.path.join(staging, "capped")
+        )
         # Persist the semantic build params beside the data: the probe
         # validates against them, so a probe compiled with different
         # n_shards/n_bands/ngram cannot silently miss every collision
@@ -1801,6 +1872,78 @@ def probe_band_index(
                 "is_dup"
             ),
         )
+    )
+
+
+def assimilate_band_index(
+    spark,
+    base_dir: str,
+    delta: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> str:
+    """Grow a COMMITTED minhash band index by a kept delta batch WITHOUT
+    a rebuild — ``assimilate_sig_index``'s twin at the TEXT family,
+    closing the same lifecycle hole for ``dedup_incremental``-shaped
+    pipelines: probe today's crawl (``probe_band_index``), keep the
+    non-dups, append-merge their (band, sig) rows so tomorrow's probe
+    sees them.  Returns the NEW committed directory; the base is never
+    mutated.
+
+    Same equivalence contract and same shared merge kernel
+    (:func:`_assimilate_partitioned_index`): probing the grown index is
+    indistinguishable from probing one rebuilt from scratch over
+    base ∪ delta, including valve decisions on TRUE merged bucket sizes
+    via the v2 ``capped/`` accounting; only delta-touched (band, shard)
+    partitions are rewritten, untouched base partitions hard-link; the
+    fingerprint chains base + delta content, so re-assimilation is an
+    idempotent cache hit.  Band count / n-gram / shard grid / valve cap
+    all carry over from the base's ``_params.json`` — the delta's
+    signatures are computed with exactly the build's parameters."""
+    base_fp, params = _load_assim_base(
+        base_dir, BAND_INDEX_VERSION, "band index", "ensure_band_index"
+    )
+    n_bands = params["n_bands"]
+    ngram = params["ngram"]
+    n_shards = params["n_shards"]
+
+    sigs = minhash_signatures(
+        delta, id_col, text_col, n_bands=n_bands, ngram=ngram
+    )
+    drows = (
+        sigs.select(
+            F.col(id_col).alias("idx_id"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.col(f"sig{b}").alias("sig"),
+                        )
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("bs"),
+        )
+        .select(
+            "idx_id", "bs.band", "bs.sig",
+            _sig_shard("bs.sig", n_shards).alias("shard"),
+        )
+        .localCheckpoint(eager=True)  # shingle+minhash runs exactly once
+    )
+    return _assimilate_partitioned_index(
+        spark, base_dir, drows,
+        table="bands",
+        read_schema="idx_id long, sig string, band int, shard bigint",
+        capped_schema=_BAND_CAPPED_SCHEMA,
+        part1="band",
+        bucket_key=("band", "sig"),
+        data_cols=("idx_id", "sig", "band", "shard"),
+        max_bucket_size=params["max_bucket_size"],
+        fp_seed=f"bands-assim-v{BAND_INDEX_VERSION}",
+        dest_prefix="bands-",
+        base_fp=base_fp,
+        params=params,
     )
 
 

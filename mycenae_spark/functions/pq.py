@@ -507,6 +507,82 @@ def ivfpq_search(
     return _exact_rerank(short, unitv, query_pred, rounder, k)
 
 
+def ivfpq_search_vectors(
+    unitv: DataFrame,
+    cb: DataFrame,
+    codes: DataFrame,
+    cent: DataFrame,
+    qvecs: DataFrame,
+    rounder: Rounder,
+    nprobe: int = 4,
+    k: int = 3,
+    shortlist: int = PQ_SHORTLIST,
+) -> DataFrame:
+    """:func:`ivfpq_search` for EXTERNAL query vectors — the serving
+    shape: the query set is a bounded batch of client-posted
+    ``(vec_id, embedding)`` rows that need NOT exist in the corpus, so
+    the LUT and the exact re-rank derive the query side from the posted
+    vectors (unit-normalized with the corpus's own convention,
+    :func:`unit_embeddings`) instead of from ``unitv``.  Two deliberate
+    semantic differences from the corpus-query form: no self-exclusion
+    (a client id is a client-chosen label in a DIFFERENT namespace from
+    corpus vec_ids — excluding an unrelated corpus neighbor that happens
+    to share the integer would silently drop a true match; finding the
+    identical corpus item IS the lookup use-case), and every returned
+    ``n_id`` is a corpus id.  Same probe → partition-pruned ADC → exact
+    re-rank plan as the judged kernel, same driver-bounded probe collect
+    (#queries × nprobe pairs, bounded by the caller's request cap)."""
+    qunit = unit_embeddings(qvecs)
+    cw = with_norm(cent, "embedding").select(
+        "c_id", F.col("embedding").alias("_ce"), F.col("_norm").alias("_cn")
+    )
+    # |ue| = 1 by construction, so cosine(q, c) = dot(ue, ce)/|ce|
+    w_probe = Window.partitionBy("vec_id").orderBy(F.desc("_cos_r"), "c_id")
+    probes = (
+        qunit.crossJoin(F.broadcast(cw))
+        .withColumn(
+            "_cos_r",
+            rounder(dot(F.col("ue"), F.col("_ce")) / F.col("_cn")),
+        )
+        .withColumn("_rn", F.row_number().over(w_probe))
+        .filter(F.col("_rn") <= nprobe)
+        .select(F.col("vec_id").alias("q_id"), "c_id")
+    )
+    probe_rows = [(r["q_id"], r["c_id"]) for r in probes.collect()]
+    probed_lists = sorted({c for _q, c in probe_rows})
+    probe_pairs = unitv.sparkSession.createDataFrame(
+        probe_rows, "q_id long, c_id long"
+    )
+
+    lut = sub_slices(qunit, "q_id", "ve").join(F.broadcast(cb), "s").select(
+        "q_id", "s", "code",
+        rounder(dot(F.col("ve"), F.col("ce"))).alias("pdot_r"),
+    )
+    pruned = codes.filter(F.col("c_id").isin(probed_lists))
+    w_short = Window.partitionBy("q_id").orderBy(F.desc("adc_r"), "n_id")
+    short = (
+        pruned.withColumnRenamed("vec_id", "n_id")
+        .join(F.broadcast(probe_pairs), "c_id")
+        .join(F.broadcast(lut), ["q_id", "s", "code"])
+        .groupBy("q_id", "n_id")
+        .agg(rounder(F.sum("pdot_r")).alias("adc_r"))
+        .withColumn("_srn", F.row_number().over(w_short))
+        .filter(F.col("_srn") <= shortlist)
+        .select("q_id", "n_id")
+    )
+    uq = qunit.select(F.col("vec_id").alias("q_id"), F.col("ue").alias("_uq"))
+    un = unitv.select(F.col("vec_id").alias("n_id"), F.col("ue").alias("_un"))
+    w_rank = Window.partitionBy("q_id").orderBy(F.desc("cos_r"), "n_id")
+    return (
+        short.join(F.broadcast(uq), "q_id")
+        .join(un, "n_id")
+        .withColumn("cos_r", rounder(dot(F.col("_uq"), F.col("_un"))))
+        .withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "n_id", "rk", "cos_r")
+    )
+
+
 def gc_pq_indexes(max_age_s: float = 7 * 24 * 3600) -> list[str]:
     """Sweep the index root: abandoned staging dirs and superseded indexes.
 

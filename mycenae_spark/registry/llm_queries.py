@@ -4882,6 +4882,53 @@ def dedup_index_probe(spark, sf_dir):
     )
 
 
+@q("dedup_index_assimilate", _INCR_ORACLE)
+def dedup_index_assimilate(spark, sf_dir):
+    """The CLOSED incremental lifecycle at the TEXT family (r15 VERDICT
+    item 1's stretch): a band index built over day-0's corpus slice
+    (doc_id % 10 < 6), day-1's kept batch (doc_id % 10 in (6, 7))
+    ASSIMILATED without a rebuild (``assimilate_band_index``: the shared
+    append-merge kernel — only delta-touched (band, shard) partitions
+    rewritten, untouched partitions hard-linked, hot-bucket valve
+    re-checked on TRUE merged bucket sizes via the v2 ``capped/``
+    accounting), day-2's batch (doc_id % 10 >= 8) probed against the
+    grown index and seeing yesterday's documents.
+
+    The oracle is VERBATIM ``dedup_incremental``'s, whose index side is
+    the full day-0 ∪ day-1 union (doc_id % 10 < 8): assimilation must be
+    indistinguishable from rebuilding over the union — same signatures,
+    same valve decisions, same verdicts — and the shared hash proves it.
+    100 TB: the daily text-dedup job becomes probe → keep → append-merge
+    (cost ∝ |delta| × bands), never a corpus re-index."""
+    from mycenae_spark.functions.dedup import (
+        assimilate_band_index,
+        ensure_band_index,
+        probe_band_index,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    base_dir = ensure_band_index(
+        spark, sf_dir,
+        d.filter(F.col("doc_id") % 10 < 6),
+        "doc_id", "text",
+        pred_desc="doc_id%10<6",
+        n_bands=N_BANDS,
+        max_bucket_size=MAX_BUCKET,
+    )
+    grown_dir = assimilate_band_index(
+        spark, base_dir,
+        d.filter((F.col("doc_id") % 10 >= 6) & (F.col("doc_id") % 10 < 8)),
+        "doc_id", "text",
+    )
+    return probe_band_index(
+        spark, grown_dir,
+        d.filter(F.col("doc_id") % 10 >= 8),
+        "doc_id", "text",
+        n_bands=N_BANDS,
+        extra_cols=("lang",),
+    )
+
+
 # ------------------------------------------- DSIR importance resampling
 
 @q(

@@ -49,6 +49,7 @@ from __future__ import annotations
 import copy
 import json
 import logging
+import os
 import re
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -93,11 +94,16 @@ class Engine:
         ladder: dict[int, str] | None = None,
         qsample_ladder: dict[int, str] | None = None,
         max_series: int | None = None,
+        sim_dir: str | None = None,
     ):
         self.spark = spark
         self.lake_dir = lake_dir
         self.catalog_dir = catalog_dir
         self.rollup_dir = rollup_dir
+        #: Similarity corpus (a directory holding ``embeddings.parquet``)
+        #: serving ``POST .../api/query/similar`` over the committed
+        #: IVFPQ artifact; ``None`` = the endpoint answers a typed 400.
+        self.sim_dir = sim_dir
         #: MaxTimeseries (SURVEY §2.3 L2): the reference REJECTS a query
         #: whose filters resolve to more series than this, rather than
         #: computing or truncating it — the guard that keeps one
@@ -1681,6 +1687,157 @@ class Engine:
         }
 
 
+    #: Request-size valves for the similarity endpoint (the media_dups
+    #: discipline at the ANN family): a bounded query batch, a bounded
+    #: k, a bounded probe width — every driver-side collect in the
+    #: search path is ∝ these caps, never corpus-sized.
+    MAX_SIM_QUERIES = 256
+    MAX_SIM_K = 100
+    MAX_SIM_NPROBE = 32
+
+    def query_similar(self, body: dict) -> dict:
+        """``POST /keysets/{ks}/api/query/similar`` — the ANN family
+        served over HTTP (r15 VERDICT item 3, the U49/U73 endpoint
+        pattern): post a batch of query vectors, get back the top-k
+        nearest corpus neighbors by cosine.
+
+        Body: ``queries`` (required, ≤ :data:`MAX_SIM_QUERIES` entries of
+        ``{"id": int, "vector": [float × corpus-dim]}``, ids unique,
+        every element a finite number), ``k`` (1–:data:`MAX_SIM_K`,
+        default 3), ``nprobe`` (1–:data:`MAX_SIM_NPROBE`, default 4;
+        ivfpq only), ``method`` ("ivfpq" default — probe the COMMITTED
+        IVFPQ index (functions/pq.py artifact lake: built once per
+        corpus generation behind the CAS+marker protocol, inverted-list
+        parquet layout, partition-pruned codes scan) then exact-cosine
+        re-rank; "exact" — brute-force cosine over the corpus, the
+        recall baseline).  The search kernels are the JUDGED ones
+        (``ivfpq_search_vectors`` is the external-vector twin of
+        ``ann_ivfpq_topk``'s kernel — same probe → pruned ADC → exact
+        re-rank plan); neighbor ids are corpus ``vec_id``s, and client
+        query ids are a separate namespace (no self-exclusion: finding
+        the identical corpus vector IS the lookup use-case).
+
+        Requires the engine to be constructed with ``sim_dir`` (the
+        corpus directory holding ``embeddings.parquet``); without it the
+        endpoint answers a typed 400 — the similarity corpus is a
+        deployment choice, not a lake default.  Responses are not
+        cached: the index artifact's content fingerprint already makes
+        reads a pure function of (request, corpus generation)."""
+        if self.sim_dir is None:
+            raise ValueError(
+                "similarity corpus not configured: construct the engine "
+                "with sim_dir pointing at a directory holding "
+                "embeddings.parquet"
+            )
+        from mycenae_spark.functions import pq
+
+        dim = pq.PQ_M * pq.PQ_SUB
+        queries = body.get("queries")
+        if not (isinstance(queries, list) and 0 < len(queries)
+                <= self.MAX_SIM_QUERIES):
+            raise ValueError(
+                f"queries must be a non-empty list of at most "
+                f"{self.MAX_SIM_QUERIES} entries"
+            )
+        rows, seen = [], set()
+        for it in queries:
+            if not (isinstance(it, dict) and _is_int(it.get("id"))
+                    and isinstance(it.get("vector"), list)):
+                raise ValueError(
+                    "each query must be {'id': int, 'vector': [float...]}"
+                )
+            if it["id"] in seen:
+                raise ValueError(f"duplicate query id {it['id']}")
+            seen.add(it["id"])
+            vec = it["vector"]
+            if len(vec) != dim:
+                raise ValueError(
+                    f"query {it['id']}: vector has {len(vec)} elements, "
+                    f"corpus dimension is {dim}"
+                )
+            ok = all(
+                isinstance(x, (int, float)) and not isinstance(x, bool)
+                and x == x and abs(x) != float("inf")
+                for x in vec
+            )
+            if not ok:
+                raise ValueError(
+                    f"query {it['id']}: vector elements must be finite "
+                    "numbers"
+                )
+            if not any(vec):
+                raise ValueError(
+                    f"query {it['id']}: zero vector has no cosine direction"
+                )
+            rows.append((it["id"], [float(x) for x in vec]))
+        k = body.get("k", 3)
+        if not (_is_int(k) and 1 <= k <= self.MAX_SIM_K):
+            raise ValueError(f"k must be an int in [1, {self.MAX_SIM_K}]")
+        nprobe = body.get("nprobe", 4)
+        if not (_is_int(nprobe) and 1 <= nprobe <= self.MAX_SIM_NPROBE):
+            raise ValueError(
+                f"nprobe must be an int in [1, {self.MAX_SIM_NPROBE}]"
+            )
+        method = body.get("method", "ivfpq")
+        if method not in ("ivfpq", "exact"):
+            raise ValueError(f"method must be ivfpq|exact: {method!r}")
+
+        # EPS-shifted rounding, the convention the committed index's
+        # codes were encoded with (registry/util.py::r6) — ranking on the
+        # rounded score with id tie-break keeps answers reproducible.
+        def r6(c):
+            return F.round(c + F.lit(1e-9), 6)
+
+        qvecs = self.spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        if method == "exact":
+            from mycenae_spark.functions.pq import unit_embeddings
+            from mycenae_spark.functions.similarity import dot
+
+            corpus = self.spark.read.parquet(
+                os.path.join(self.sim_dir, "embeddings.parquet")
+            ).select("vec_id", "embedding")
+            uq = unit_embeddings(qvecs).select(
+                F.col("vec_id").alias("q_id"), F.col("ue").alias("_uq")
+            )
+            un = unit_embeddings(corpus).select(
+                F.col("vec_id").alias("n_id"), F.col("ue").alias("_un")
+            )
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("q_id").orderBy(F.desc("cos_r"), "n_id")
+            out = (
+                un.crossJoin(F.broadcast(uq))
+                .withColumn("cos_r", r6(dot(F.col("_uq"), F.col("_un"))))
+                .withColumn("rk", F.row_number().over(w))
+                .filter(F.col("rk") <= k)
+                .select("q_id", "n_id", "rk", "cos_r")
+            )
+        else:
+            idx = pq.ensure_ivfpq_index(self.spark, self.sim_dir, rounder=r6)
+            unitv, cb, codes, cent = pq.load_ivfpq_index(self.spark, idx)
+            out = pq.ivfpq_search_vectors(
+                unitv, cb, codes, cent, qvecs, rounder=r6,
+                nprobe=nprobe, k=k,
+            )
+        got = out.collect()  # bounded: ≤ MAX_SIM_QUERIES × MAX_SIM_K rows
+        by_q: dict = {qid: [] for qid, _v in rows}
+        for r in sorted(got, key=lambda r: (r["q_id"], r["rk"])):
+            by_q[r["q_id"]].append(
+                {"n_id": r["n_id"], "rk": r["rk"], "cos": r["cos_r"]}
+            )
+        return {
+            "n_queries": len(rows),
+            "k": k,
+            "method": method,
+            **({"nprobe": nprobe} if method == "ivfpq" else {}),
+            "results": [
+                {"id": qid, "neighbors": by_q[qid]} for qid, _v in rows
+            ],
+        }
+
+
 class _Handler(BaseHTTPRequestHandler):
     engine: Engine  # injected by serve()
 
@@ -1787,6 +1944,10 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._send(
                     200, self.engine.query_media_dups(self._body())
                 )
+            if re.match(r"^/keysets/[^/]+/api/query/similar$", u.path):
+                return self._send(
+                    200, self.engine.query_similar(self._body())
+                )
             if u.path == "/api/expression/check":
                 errors = check_expression(
                     self._body()["exp"], int(time.time() * 1000)
@@ -1849,6 +2010,7 @@ def serve(
     rollup_dir: str | None = None,
     ladder: dict[int, str] | None = None,
     max_series: int | None = None,
+    sim_dir: str | None = None,
 ) -> tuple[ThreadingHTTPServer, Thread]:
     """Start the façade on ``port`` (0 = ephemeral); returns (server, thread).
 
@@ -1858,12 +2020,16 @@ def serve(
     additionally routes coarse downsamples onto materialized rungs when
     current — refresh with ``refresh_ladder`` on a maintenance cadence.
     ``max_series`` = the keyset's MaxTimeseries: queries resolving more
-    series are rejected with a 400 pre-flight (Engine._guard_series_cap)."""
+    series are rejected with a 400 pre-flight (Engine._guard_series_cap).
+    ``sim_dir`` (a directory holding ``embeddings.parquet``) enables the
+    similarity endpoint (``POST .../api/query/similar``) over the
+    committed IVFPQ artifact; without it that endpoint answers 400."""
     handler = type(
         "BoundHandler",
         (_Handler,),
         {"engine": Engine(spark, lake_dir, catalog_dir, rollup_dir=rollup_dir,
-                          ladder=ladder, max_series=max_series)},
+                          ladder=ladder, max_series=max_series,
+                          sim_dir=sim_dir)},
     )
     httpd = ThreadingHTTPServer(("127.0.0.1", port), handler)
     thread = Thread(target=httpd.serve_forever, daemon=True)

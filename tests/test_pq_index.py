@@ -462,6 +462,71 @@ def test_sig_index_assimilate_equals_rebuild(spark, index_root, tmp_path):
         )
 
 
+def test_band_index_assimilate_equals_rebuild(spark, index_root, tmp_path):
+    """assimilate_band_index (r16): the text-family twin rides the same
+    merge kernel — probe-after-assimilate equals rebuild-from-scratch
+    over base ∪ delta, idempotent re-assimilation, lineage recorded."""
+    import json
+    import os
+
+    from mycenae_spark.functions import dedup
+
+    sf = tmp_path / "sfB"
+    words = "the quick brown fox jumps over a lazy dog near the old river"
+    # one exact-duplicate family (every %3==0 doc) + fully-disjoint word
+    # salads elsewhere: a shared-prefix corpus would collide EVERY band
+    # bucket and the valve would (correctly) excise the whole index
+    docs = [
+        (i, words if i % 3 == 0
+         else " ".join(f"w{i}x{k}" for k in range(12)))
+        for i in range(30)
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(str(sf / "documents.parquet"))
+    d = spark.read.parquet(str(sf / "documents.parquet"))
+
+    base_dir = dedup.ensure_band_index(
+        spark, str(sf), d.filter("doc_id % 3 != 2"), "doc_id", "text",
+        pred_desc="b", n_bands=4, max_bucket_size=16,
+    )
+    delta = d.filter("doc_id % 3 = 2")
+    grown = dedup.assimilate_band_index(
+        spark, base_dir, delta, "doc_id", "text"
+    )
+    assert dedup.assimilate_band_index(
+        spark, base_dir, delta, "doc_id", "text"
+    ) == grown  # idempotent cache hit
+    rebuilt = dedup.ensure_band_index(
+        spark, str(sf), d, "doc_id", "text",
+        pred_desc="u", n_bands=4, max_bucket_size=16,
+    )
+    probes = spark.createDataFrame(
+        [(100, words), (101, "completely unrelated text with nothing shared")],
+        "doc_id long, text string",
+    )
+
+    def verdicts(idx):
+        return {
+            tuple(r)
+            for r in dedup.probe_band_index(
+                spark, idx, probes, "doc_id", "text", n_bands=4
+            ).collect()
+        }
+
+    got = verdicts(grown)
+    assert got == verdicts(rebuilt)
+    # the exact-duplicate probe found corpus matches on BOTH sides of the
+    # day split (delta ids 2, 5, ... are % 3 == 2; id 0's text is probe
+    # 100's verbatim), the unrelated probe kept
+    by_id = {p: (dup, n, isd) for p, dup, n, isd in got}
+    assert by_id[100][2] == 1 and by_id[100][0] == 0
+    assert by_id[101] == (-1, 0, 0)
+    # params lineage chains the base fingerprint
+    with open(os.path.join(grown, "_params.json")) as fh:
+        assert len(json.load(fh)["lineage"]) == 1
+
+
 def test_media_corpus_artifact_lifecycle(spark, index_root, tmp_path):
     """ensure_media_corpus (r15): committed once and reused, marker-gated
     reads refuse a torn build, kinds mint distinct directories, and a

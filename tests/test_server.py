@@ -1360,3 +1360,107 @@ def test_media_dups_endpoint(server):
     for body in bad:
         code, err = _req(server, "/keysets/k1/api/query/media_dups", body)
         assert code == 400 and "error" in err, body
+
+
+# ------------------------------------------------- similarity endpoint (r16)
+
+@pytest.fixture(scope="module")
+def sim_server(spark, tmp_path_factory):
+    """A façade constructed WITH a similarity corpus (the testdata
+    embeddings table) — serving the committed IVFPQ artifact."""
+    from tests.conftest import SF_DIR
+
+    d = tmp_path_factory.mktemp("simlake")
+    httpd, _ = serve(
+        spark, str(d / "lake"), str(d / "catalog"), sim_dir=SF_DIR
+    )
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    yield base
+    httpd.shutdown()
+
+
+def _corpus_vec(spark, vec_id):
+    from tests.conftest import SF_DIR
+
+    row = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .filter(f"vec_id = {vec_id}")
+        .collect()[0]
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+def test_similar_unconfigured_is_typed_400(server):
+    code, err = _req(
+        server, "/keysets/k1/api/query/similar",
+        {"queries": [{"id": 1, "vector": [0.1] * 64}]},
+    )
+    assert code == 400 and "not configured" in err["error"]
+
+
+def test_similar_exact_finds_identical_vector(spark, sim_server):
+    v7 = _corpus_vec(spark, 7)
+    code, resp = _req(
+        sim_server, "/keysets/k1/api/query/similar",
+        {"queries": [{"id": 1, "vector": v7}], "k": 3, "method": "exact"},
+    )
+    assert code == 200
+    assert resp["n_queries"] == 1 and resp["method"] == "exact"
+    (res,) = resp["results"]
+    assert res["id"] == 1
+    nb = res["neighbors"]
+    assert len(nb) == 3 and [n["rk"] for n in nb] == [1, 2, 3]
+    # no self-exclusion: the identical corpus vector IS the top hit
+    assert nb[0]["n_id"] == 7 and nb[0]["cos"] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_similar_ivfpq_matches_exact_top1_and_recall(spark, sim_server):
+    """The recall-vs-exact extra: the served IVFPQ answers agree with the
+    exact baseline on top-1 for identical-vector probes and overlap on
+    top-3 (the ann_ivfpq_recall_at3 discipline, socket-side)."""
+    qs = [{"id": i, "vector": _corpus_vec(spark, vid)}
+          for i, vid in enumerate([3, 7, 20])]
+    code, ex = _req(
+        sim_server, "/keysets/k1/api/query/similar",
+        {"queries": qs, "k": 3, "method": "exact"},
+    )
+    assert code == 200
+    code, iv = _req(
+        sim_server, "/keysets/k1/api/query/similar",
+        {"queries": qs, "k": 3, "nprobe": 4},
+    )
+    assert code == 200 and iv["method"] == "ivfpq" and iv["nprobe"] == 4
+    ex_by = {r["id"]: r["neighbors"] for r in ex["results"]}
+    iv_by = {r["id"]: r["neighbors"] for r in iv["results"]}
+    hits = total = 0
+    for q in ex_by:
+        assert iv_by[q][0]["n_id"] == ex_by[q][0]["n_id"]  # top-1 agrees
+        es = {n["n_id"] for n in ex_by[q]}
+        hits += sum(1 for n in iv_by[q] if n["n_id"] in es)
+        total += len(es)
+    assert hits / total >= 2 / 3  # IVFPQ recall@3 vs exact, served
+
+
+def test_similar_validation_is_typed_400(sim_server):
+    ok_vec = [0.1] * 64
+    bad = [
+        {},  # queries missing
+        {"queries": []},
+        {"queries": [{"id": True, "vector": ok_vec}]},  # bool id
+        {"queries": [{"id": 1, "vector": [0.1] * 63}]},  # wrong dim
+        {"queries": [{"id": 1, "vector": [True] + [0.1] * 63}]},  # bool elem
+        {"queries": [{"id": 1, "vector": ["x"] + [0.1] * 63}]},
+        {"queries": [{"id": 1, "vector": [0.0] * 64}]},  # zero vector
+        {"queries": [{"id": 1, "vector": ok_vec},
+                     {"id": 1, "vector": ok_vec}]},  # dup id
+        {"queries": [{"id": 1, "vector": ok_vec}], "k": 0},
+        {"queries": [{"id": 1, "vector": ok_vec}], "k": True},
+        {"queries": [{"id": 1, "vector": ok_vec}], "k": 101},
+        {"queries": [{"id": 1, "vector": ok_vec}], "nprobe": 0},
+        {"queries": [{"id": 1, "vector": ok_vec}], "nprobe": 33},
+        {"queries": [{"id": 1, "vector": ok_vec}], "method": "IVFPQ"},
+        {"queries": [{"id": 1, "vector": ok_vec}], "method": "hnsw"},
+    ]
+    for body in bad:
+        code, err = _req(sim_server, "/keysets/k1/api/query/similar", body)
+        assert code == 400 and "error" in err, body
