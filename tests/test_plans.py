@@ -488,6 +488,50 @@ def test_band_index_probe_prunes_partitions(spark, tmp_path, monkeypatch):
     assert "PartitionFilters: [shard" in plan
 
 
+def test_sig_index_assimilate_merge_read_is_pruned(spark, tmp_path,
+                                                   monkeypatch):
+    """assimilate_sig_index's scale contract: the base-index read during
+    the merge carries the delta's touched (j, shard) pairs as
+    PartitionFilters — an OR-chain of partition-column equality
+    conjunctions prunes at the file index, so merge READ cost follows
+    the delta, never the corpus."""
+    import functools
+    import operator
+    import os
+
+    import pyspark.sql.functions as F
+
+    from mycenae_spark.functions import dedup
+
+    monkeypatch.setenv("MYCENAE_INDEX_ROOT", str(tmp_path / "idx"))
+    sf = tmp_path / "sfP"
+    spark.createDataFrame(
+        [(i, "x") for i in range(10)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(sf / "documents.parquet"))
+    sigs = spark.createDataFrame(
+        [(i, 0x1111 * (i + 1)) for i in range(8)],
+        "media_id long, dhash long",
+    )
+    d = dedup.ensure_sig_index(
+        spark, str(sf), sigs, "media_id", "dhash",
+        pred_desc="p", kind="t", bits=64, n_segments=6, max_bucket_size=512,
+    )
+    segs = spark.read.schema(
+        "idx_id long, sig long, segval long, j int, shard bigint"
+    ).parquet(os.path.join(d, "segments"))
+    cond = functools.reduce(
+        operator.or_,
+        [
+            (F.col("j") == F.lit(a)) & (F.col("shard") == F.lit(b))
+            for a, b in [(0, 3), (1, 5)]
+        ],
+    )
+    plan = segs.filter(cond)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [((" in plan and "OR" in plan
+    # nothing leaked into the data filter — the whole condition pruned
+    assert "PushedFilters: []" in plan
+
+
 def test_series_gaps_single_exchange(spark):
     """series_gaps' scale contract: the lag window and the per-series agg
     share ONE (metric, tag_user) exchange — the same envelope as rate."""
