@@ -1217,14 +1217,20 @@ def ensure_sig_index(
         else:
             kept = segs
             capped = spark.createDataFrame([], _SIG_CAPPED_SCHEMA)
+        # Repartition on the physical partition keys BEFORE the write:
+        # without it every shuffle task writes a sliver into every
+        # partition directory (tasks × dirs tiny files — measured ~20 s
+        # of commit overhead at sf0.1 and a file-listing tax on every
+        # future probe/assimilate); with it each directory holds exactly
+        # one file.
         kept.withColumn(
             "shard", F.pmod(F.col("segval"), F.lit(n_shards))
-        ).write.partitionBy("j", "shard").parquet(
-            os.path.join(staging, "segments")
-        )
+        ).repartition(F.col("j"), F.col("shard")).write.partitionBy(
+            "j", "shard"
+        ).parquet(os.path.join(staging, "segments"))
         # v2: persist the excised-bucket counts so assimilation can apply
         # the valve to TRUE merged sizes (see SIG_INDEX_VERSION).
-        capped.select("j", "segval", "n").write.parquet(
+        capped.select("j", "segval", "n").coalesce(1).write.parquet(
             os.path.join(staging, "capped")
         )
         with open(os.path.join(staging, "_params.json"), "w") as fh:
@@ -1360,17 +1366,20 @@ def assimilate_sig_index(
     would.  Counts only grow under append-only assimilation, so a capped
     bucket can never silently come back.
 
-    Cost ∝ |delta|: only the (j, shard) partitions the delta's own
-    segments touch are read (static partition pruning, bounded by
-    n_segments × n_shards pairs) and rewritten; every untouched base
-    partition is HARD-LINKED into the new directory (same filesystem by
-    construction — both live under the index root), so the merge writes
-    delta-sized data plus links.  Build params, id/sig read-back types,
-    and the valve cap carry over verbatim from the base's
-    ``_params.json``; the fingerprint chains base fingerprint + delta
-    content (count + order-independent xxhash sum), so re-assimilating
-    the same delta is an idempotent cache hit and a DIFFERENT delta
-    mints a different directory.
+    Cost ∝ |delta|: kept delta rows are APPENDED as new parquet files
+    alongside the base partitions' hard-linked files (parquet
+    directories compose by listing), so unchanged corpus data is never
+    re-written; a partition is REWRITTEN only when a bucket inside it
+    newly crossed the valve cap and its base rows must be removed —
+    bounded by the valve's own rarity, usually zero.  The only
+    base-sized work is a two-column counting scan of the delta-touched
+    partitions for the valve accounting (reads are cheap; writes follow
+    the delta).  Build params, id/sig read-back types, and the valve cap
+    carry over verbatim from the base's ``_params.json``; the
+    fingerprint chains base fingerprint + delta content (count +
+    order-independent xxhash sum), so re-assimilating the same delta is
+    an idempotent cache hit and a DIFFERENT delta mints a different
+    directory.
     """
     base_fp, params = _load_assim_base(
         base_dir, SIG_INDEX_VERSION, "signature index", "ensure_sig_index"
@@ -1405,6 +1414,7 @@ def assimilate_sig_index(
         table="segments",
         read_schema="idx_id long, sig long, segval long, j int, shard bigint",
         capped_schema=_SIG_CAPPED_SCHEMA,
+        key_schema="j int, segval long",
         part1="j",
         bucket_key=("j", "segval"),
         data_cols=("idx_id", "sig", "segval", "j", "shard"),
@@ -1455,6 +1465,7 @@ def _assimilate_partitioned_index(
     table: str,
     read_schema: str,
     capped_schema: str,
+    key_schema: str,
     part1: str,
     bucket_key: tuple[str, str],
     data_cols: tuple[str, ...],
@@ -1491,34 +1502,42 @@ def _assimilate_partitioned_index(
     )
 
     bk = list(bucket_key)
-    # Content fingerprint of the delta: row count + order-independent sum
-    # of per-row xxhash64 over the full row, summed in DECIMAL(38) so
-    # ANSI mode cannot overflow.  Chained onto the base fingerprint: same
-    # base + same delta → same directory (idempotent re-run); anything
-    # else → a new one.
-    stat = drows.agg(
+    # ONE job computes both the content fingerprint (row count +
+    # order-independent sum of per-row xxhash64, summed in DECIMAL(38)
+    # so ANSI mode cannot overflow — group partial sums re-add exactly)
+    # and the touched-partition set (bounded by the partition grid,
+    # never by corpus or delta size).  Chained onto the base
+    # fingerprint: same base + same delta → same directory (idempotent
+    # re-run); anything else → a new one.
+    per_part = drows.groupBy(part1, "shard").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(
             F.xxhash64(*[F.col(c) for c in data_cols]).cast("decimal(38,0)")
         ).alias("h"),
-    ).collect()[0]
+    ).collect()
+    n_total = sum(r["n"] for r in per_part)
+    h_total = sum(r["h"] for r in per_part) if per_part else None
     fp = hashlib.md5(
-        f"{fp_seed}|{base_fp}|n{stat['n']}|h{stat['h']}".encode()
+        f"{fp_seed}|{base_fp}|n{n_total}|h{h_total}".encode()
     ).hexdigest()[:16]
     dest = os.path.join(_index_root(), f"{dest_prefix}{fp}")
     if index_is_committed(dest):
         _touch_index(dest)
         return dest
 
-    touched = sorted(
-        (r[part1], r["shard"])
-        for r in drows.select(part1, "shard").distinct().collect()
-    )  # bounded by the partition grid, never by corpus or delta size
+    touched = sorted((r[part1], r["shard"]) for r in per_part)
     base_rows = spark.read.schema(read_schema).parquet(
         os.path.join(base_dir, table)
     )
-    base_capped = spark.read.schema(capped_schema).parquet(
+    # The capped table is DRIVER-SIZED by the valve's design (one row per
+    # excised bucket — rare), so it is collected once and handled as
+    # plain Python: the accounting join gets a local broadcast frame, and
+    # the carry-over set needs no Spark job at all.
+    base_capped_rows = spark.read.schema(capped_schema).parquet(
         os.path.join(base_dir, "capped")
+    ).collect()
+    base_capped = spark.createDataFrame(
+        [tuple(r) for r in base_capped_rows], capped_schema
     )
     if touched:
         pair_cond = functools.reduce(
@@ -1535,7 +1554,9 @@ def _assimilate_partitioned_index(
     # Valve re-check on TRUE merged sizes, delta-touched buckets only (a
     # bucket's rows live in exactly one (part1, shard) partition, so
     # base_touched covers every base row of every delta bucket):
-    # merged n = base kept rows + base excised count + delta rows.
+    # merged n = base kept rows + base excised count + delta rows.  The
+    # excised set is collected driver-side in ONE job (delta-bounded by
+    # construction — a delta can only push delta-touched buckets over).
     dcnt = drows.groupBy(bk).agg(F.count(F.lit(1)).alias("_dn"))
     bcnt = (
         base_touched.join(F.broadcast(dcnt.select(bk)), bk, "left_semi")
@@ -1544,7 +1565,10 @@ def _assimilate_partitioned_index(
     )
     totals = (
         dcnt.join(bcnt, bk, "left")
-        .join(base_capped.withColumnRenamed("n", "_cn"), bk, "left")
+        .join(
+            F.broadcast(base_capped.withColumnRenamed("n", "_cn")),
+            bk, "left",
+        )
         .select(
             *bk,
             (
@@ -1555,24 +1579,74 @@ def _assimilate_partitioned_index(
         )
     )
     if max_bucket_size is not None:
-        excised = totals.filter(F.col("n") > max_bucket_size)
+        exc_rows = (
+            totals.filter(F.col("n") > max_bucket_size)
+            .join(drows.select(*bk, "shard").distinct(), bk)
+            .select(*bk, "n", "shard")
+            .distinct()
+            .collect()
+        )  # every excised bucket is delta-touched, so its shard is known
     else:
-        excised = totals.filter(F.lit(False))
-    excised = excised.localCheckpoint(eager=True)  # tiny; reused twice
+        exc_rows = []
+    exc_keys = (
+        spark.createDataFrame(
+            [tuple(r[c] for c in bk) for r in exc_rows], key_schema
+        )
+        if exc_rows else None
+    )
 
     staging = f"{dest}.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
     try:
-        merged = base_touched.unionByName(drows).join(
-            F.broadcast(excised.select(bk)), bk, "left_anti"
+        # The merge writes TWO row classes, so that write cost is
+        # ∝ |delta| and never ∝ the base rows the delta happens to share
+        # partitions with (a realistic delta's segments span the whole
+        # (part1, shard) grid, so "rewrite every touched partition"
+        # degenerates to a full rebuild at scale):
+        #
+        # * APPEND — every delta row outside a newly-excised bucket is
+        #   written as NEW parquet files alongside the base partition's
+        #   hard-linked files (parquet directories compose by listing;
+        #   task-UUID file names cannot collide with the base build's);
+        # * REWRITE — only partitions holding a newly-excised bucket
+        #   need base rows REMOVED, so only those are re-written (base
+        #   rows minus excised buckets); usually none, bounded by the
+        #   valve's own rarity.
+        exc_parts = sorted({(r[part1], r["shard"]) for r in exc_rows})
+        appended = (
+            drows.join(F.broadcast(exc_keys), bk, "left_anti")
+            if exc_keys is not None else drows
         )
-        merged.select(*data_cols).write.partitionBy(part1, "shard").parquet(
+        # One file per partition directory (the ensure-side note):
+        # without the repartition, tasks × dirs sliver files dominate
+        # the merge cost and every future read's listing.  Task count is
+        # bounded separately — one task per touched partition turns into
+        # pure scheduling overhead on a small delta.
+        npart = max(1, min(len(touched), 64))
+        appended.select(*data_cols).repartition(
+            npart, F.col(part1), F.col("shard")
+        ).write.partitionBy(part1, "shard").parquet(
             os.path.join(staging, table)
         )
-        # Hard-link every base partition the delta did NOT touch — the
-        # append-cost core: unchanged corpus data is never re-written
-        # (same filesystem by construction: both live under the index
-        # root).
-        touched_set = set(touched)
+        if exc_parts:
+            exc_cond = functools.reduce(
+                operator.or_,
+                [
+                    (F.col(part1) == F.lit(p)) & (F.col("shard") == F.lit(s))
+                    for p, s in exc_parts
+                ],
+            )
+            rewritten = base_rows.filter(exc_cond).join(
+                F.broadcast(exc_keys), bk, "left_anti"
+            )
+            rewritten.select(*data_cols).repartition(
+                F.col(part1), F.col("shard")
+            ).write.mode("append").partitionBy(part1, "shard").parquet(
+                os.path.join(staging, table)
+            )
+        # Hard-link every base partition not being rewritten — unchanged
+        # corpus data is never re-written (same filesystem by
+        # construction: both live under the index root).
+        rewrite_set = set(exc_parts)
         seg_src = os.path.join(base_dir, table)
         seg_dst = os.path.join(staging, table)
         p1pre = f"{part1}="
@@ -1584,21 +1658,26 @@ def _assimilate_partitioned_index(
                 if not sdir.startswith("shard="):
                     continue
                 key = (int(pdir[len(p1pre):]), int(sdir[6:]))
-                if key in touched_set:
+                if key in rewrite_set:
                     continue
                 src = os.path.join(psrc, sdir)
                 dst = os.path.join(seg_dst, pdir, sdir)
                 os.makedirs(dst, exist_ok=True)
                 for f in os.listdir(src):
                     os.link(os.path.join(src, f), os.path.join(dst, f))
-        # Updated accounting: untouched excised buckets carry over; every
-        # delta-touched bucket's entry (if any) is re-derived above.
-        new_capped = base_capped.join(
-            F.broadcast(dcnt.select(bk)), bk, "left_anti"
-        ).unionByName(excised)
-        new_capped.select(*bk, "n").write.parquet(
-            os.path.join(staging, "capped")
-        )
+        # Updated accounting, pure driver-side set algebra: a base-capped
+        # bucket the delta touched is ALWAYS over cap again (counts only
+        # grow), so it is in exc_rows with its refreshed count — carry
+        # over exactly the base entries exc_rows does not replace.
+        exc_key_set = {tuple(r[c] for c in bk) for r in exc_rows}
+        new_capped_rows = [
+            tuple(r[c] for c in bk) + (r["n"],)
+            for r in base_capped_rows
+            if tuple(r[c] for c in bk) not in exc_key_set
+        ] + [tuple(r[c] for c in bk) + (r["n"],) for r in exc_rows]
+        spark.createDataFrame(
+            new_capped_rows, capped_schema
+        ).coalesce(1).write.parquet(os.path.join(staging, "capped"))
         params = dict(params)
         params["lineage"] = params.get("lineage", []) + [base_fp]
         with open(os.path.join(staging, "_params.json"), "w") as fh:
@@ -1747,12 +1826,15 @@ def ensure_band_index(
         else:
             kept = bands
             capped = spark.createDataFrame([], _BAND_CAPPED_SCHEMA)
-        kept.withColumn("shard", _sig_shard("sig", n_shards)).write.partitionBy(
+        # One file per partition directory (see ensure_sig_index's note).
+        kept.withColumn(
+            "shard", _sig_shard("sig", n_shards)
+        ).repartition(F.col("band"), F.col("shard")).write.partitionBy(
             "band", "shard"
         ).parquet(os.path.join(staging, "bands"))
         # v2: persist the excised-bucket counts so assimilation can apply
         # the valve to TRUE merged sizes (see BAND_INDEX_VERSION).
-        capped.select("band", "sig", "n").write.parquet(
+        capped.select("band", "sig", "n").coalesce(1).write.parquet(
             os.path.join(staging, "capped")
         )
         # Persist the semantic build params beside the data: the probe
@@ -1894,12 +1976,13 @@ def assimilate_band_index(
     (:func:`_assimilate_partitioned_index`): probing the grown index is
     indistinguishable from probing one rebuilt from scratch over
     base ∪ delta, including valve decisions on TRUE merged bucket sizes
-    via the v2 ``capped/`` accounting; only delta-touched (band, shard)
-    partitions are rewritten, untouched base partitions hard-link; the
-    fingerprint chains base + delta content, so re-assimilation is an
-    idempotent cache hit.  Band count / n-gram / shard grid / valve cap
-    all carry over from the base's ``_params.json`` — the delta's
-    signatures are computed with exactly the build's parameters."""
+    via the v2 ``capped/`` accounting; kept delta rows APPEND as new
+    files beside hard-linked base partitions, and a partition rewrites
+    only when a bucket in it newly crossed the cap; the fingerprint
+    chains base + delta content, so re-assimilation is an idempotent
+    cache hit.  Band count / n-gram / shard grid / valve cap all carry
+    over from the base's ``_params.json`` — the delta's signatures are
+    computed with exactly the build's parameters."""
     base_fp, params = _load_assim_base(
         base_dir, BAND_INDEX_VERSION, "band index", "ensure_band_index"
     )
@@ -1936,6 +2019,7 @@ def assimilate_band_index(
         table="bands",
         read_schema="idx_id long, sig string, band int, shard bigint",
         capped_schema=_BAND_CAPPED_SCHEMA,
+        key_schema="band int, sig string",
         part1="band",
         bucket_key=("band", "sig"),
         data_cols=("idx_id", "sig", "band", "shard"),
