@@ -50,7 +50,6 @@ def main() -> None:
     )
     from mycenae_spark.functions.multimodal import (
         MEDIA_CORPUS_VERSION,
-        dhash_media,
         media_corpus,
         media_dedup_profile,
     )
@@ -101,24 +100,25 @@ def main() -> None:
 
     # 6. The daily-crawl shape: commit the corpus slice's signature index
     #    once, probe it with a delta batch — the probe reads only the
-    #    index partitions the delta's segments can collide in.
+    #    index partitions the delta's segments can collide in.  Both
+    #    sides reuse step 2's checkpointed profile: the corpus really is
+    #    decoded ONCE in this script.
     pred = F.expr("((media_id - media_id % 3) div 3) % 5 = 4")
+    sigs = prof.select("media_id", "dhash")
     idx_dir = ensure_sig_index(
         spark, sf_dir,
-        dhash_media(corpus.filter(~pred), max_batch_bytes=1 << 20)
-        .select("media_id", "dhash"),
+        sigs.filter(~pred),
         "media_id", "dhash",
         pred_desc="triple_div3_mod5_ne4", kind="dhash-png",
         bits=64, n_segments=6, max_bucket_size=512,
         source_version=MEDIA_CORPUS_VERSION,
     )
+    delta_sigs = sigs.filter(pred)
     matches = probe_sig_index(
-        spark, idx_dir,
-        dhash_media(corpus.filter(pred), max_batch_bytes=1 << 20)
-        .select("media_id", "dhash"),
-        "media_id", "dhash", bits=64, n_segments=6, max_hamming=5,
-    )
-    n_delta = corpus.filter(pred).count()
+        spark, idx_dir, delta_sigs, "media_id", "dhash",
+        bits=64, n_segments=6, max_hamming=5,
+    ).localCheckpoint(eager=True)  # reused: count + keeps anti-join
+    n_delta = delta_sigs.count()
     n_dup = matches.select("probe_id").distinct().count()
     print(f"[6] incremental probe: {n_delta} delta assets vs the committed "
           f"index -> {n_dup} near-dup verdicts, {n_delta - n_dup} keeps")
@@ -126,9 +126,6 @@ def main() -> None:
     # 7. Close the loop: the delta's KEEPS join the index without a
     #    rebuild (append-merge; untouched partitions hard-link into a new
     #    immutable CAS directory), so tomorrow's probe sees them.
-    delta_sigs = dhash_media(
-        corpus.filter(pred), max_batch_bytes=1 << 20
-    ).select("media_id", "dhash").localCheckpoint(eager=True)
     keeps = delta_sigs.join(
         matches.select(F.col("probe_id").alias("media_id")).distinct(),
         "media_id", "left_anti",

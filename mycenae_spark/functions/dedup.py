@@ -1436,7 +1436,7 @@ def _load_assim_base(
     import json as _json
     import os
 
-    from mycenae_spark.functions.pq import _COMMIT_MARKER
+    from mycenae_spark.functions.pq import _COMMIT_MARKER, _touch_index
 
     marker = os.path.join(base_dir, _COMMIT_MARKER)
     if not os.path.isfile(marker):
@@ -1444,6 +1444,11 @@ def _load_assim_base(
             f"{family} at {base_dir!r} has no {_COMMIT_MARKER}; "
             "refusing to assimilate into a torn build"
         )
+    # Assimilation is a USE: without the touch, a base that only ever
+    # serves as a chain root (never probed) ages past the GC window and
+    # gc_pq_indexes sweeps it out from under the daily job (review
+    # finding r16).
+    _touch_index(base_dir)
     with open(marker) as fh:
         base_fp = fh.read().strip()
     with open(os.path.join(base_dir, "_params.json")) as fh:
@@ -1664,7 +1669,16 @@ def _assimilate_partitioned_index(
                 dst = os.path.join(seg_dst, pdir, sdir)
                 os.makedirs(dst, exist_ok=True)
                 for f in os.listdir(src):
-                    os.link(os.path.join(src, f), os.path.join(dst, f))
+                    try:
+                        os.link(os.path.join(src, f), os.path.join(dst, f))
+                    except OSError:
+                        # cross-device base (index root moved between
+                        # builds, or a mounted copy): fall back to a
+                        # real copy — correctness over the link
+                        # optimization (review finding r16)
+                        shutil.copy2(
+                            os.path.join(src, f), os.path.join(dst, f)
+                        )
         # Updated accounting, pure driver-side set algebra: a base-capped
         # bucket the delta touched is ALWAYS over cap again (counts only
         # grow), so it is in exc_rows with its refreshed count — carry
@@ -1790,11 +1804,22 @@ def ensure_band_index(
         return dest
     staging = f"{dest}.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
     try:
+        # v2 read-back contract: assimilation (and any explicit-schema
+        # reader) reads 'idx_id long' — refuse a non-integral id at
+        # build time rather than committing an index the merge path
+        # cannot read (the ensure_sig_index fence, r15 ADVICE).
+        id_type = dict(corpus.dtypes).get(id_col)
+        if id_type not in ("bigint", "int", "smallint", "tinyint"):
+            raise TypeError(
+                f"ensure_band_index needs an integral id column; "
+                f"{id_col!r} is {id_type!r} — map string ids to a dense "
+                "long surrogate first"
+            )
         sigs = minhash_signatures(
             corpus, id_col, text_col, n_bands=n_bands, ngram=ngram
         )
         bands = sigs.select(
-            F.col(id_col).alias("idx_id"),
+            F.col(id_col).cast("long").alias("idx_id"),
             F.explode(
                 F.array(
                     *[
@@ -1990,12 +2015,21 @@ def assimilate_band_index(
     ngram = params["ngram"]
     n_shards = params["n_shards"]
 
+    # Same read-back fence as the sig family (r15 ADVICE): the merge
+    # reads the base as 'idx_id long', so a non-integral delta id would
+    # write files the grown index cannot serve consistently.
+    id_type = dict(delta.dtypes).get(id_col)
+    if id_type not in ("bigint", "int", "smallint", "tinyint"):
+        raise TypeError(
+            f"assimilate_band_index needs an integral id column; {id_col!r} "
+            f"is {id_type!r} — the committed layout reads back 'idx_id long'"
+        )
     sigs = minhash_signatures(
         delta, id_col, text_col, n_bands=n_bands, ngram=ngram
     )
     drows = (
         sigs.select(
-            F.col(id_col).alias("idx_id"),
+            F.col(id_col).cast("long").alias("idx_id"),
             F.explode(
                 F.array(
                     *[

@@ -142,10 +142,14 @@ def build_pq(
 
 
 def _query_lut(
-    unitv: DataFrame, cb: DataFrame, query_pred: Column, rounder: Rounder
+    qunitv: DataFrame, cb: DataFrame, rounder: Rounder
 ) -> DataFrame:
-    """Per-query (q_id, s, code, pdot_r) partial-dot lookup table (tiny)."""
-    qsub = sub_slices(unitv.filter(query_pred), "q_id", "ve")
+    """Per-query (q_id, s, code, pdot_r) partial-dot lookup table (tiny).
+
+    ``qunitv`` is a unitv-shaped (vec_id, ue) query frame — a filtered
+    slice of the corpus unitv for the judged corpus-query paths, or the
+    unit-normalized posted vectors for the serving path."""
+    qsub = sub_slices(qunitv, "q_id", "ve")
     return qsub.join(F.broadcast(cb), "s").select(
         "q_id", "s", "code", rounder(dot(F.col("ve"), F.col("ce"))).alias("pdot_r")
     )
@@ -154,16 +158,17 @@ def _query_lut(
 def _exact_rerank(
     short: DataFrame,
     unitv: DataFrame,
-    query_pred: Column,
+    qunitv: DataFrame,
     rounder: Rounder,
     k: int,
 ) -> DataFrame:
     """Exact-cosine re-rank of a (q_id, n_id) shortlist to top-k.
 
-    Single-sourced for both search paths (adc_search, ivfpq_search) the
-    way the oracle single-sources its rerank tail (_PQ_RERANK_TAIL) — the
-    tie-break and rounding cannot drift between variants."""
-    uq = unitv.filter(query_pred).select(
+    Single-sourced for all three search paths (adc_search, ivfpq_search,
+    ivfpq_search_vectors) the way the oracle single-sources its rerank
+    tail (_PQ_RERANK_TAIL) — the tie-break and rounding cannot drift
+    between variants.  ``qunitv`` as in :func:`_query_lut`."""
+    uq = qunitv.select(
         F.col("vec_id").alias("q_id"), F.col("ue").alias("_uq")
     )
     un = unitv.select(F.col("vec_id").alias("n_id"), F.col("ue").alias("_un"))
@@ -175,6 +180,36 @@ def _exact_rerank(
         .withColumn("rk", F.row_number().over(w_rank))
         .filter(F.col("rk") <= k)
         .select("q_id", "n_id", "rk", "cos_r")
+    )
+
+
+def _ivf_adc_shortlist(
+    pruned: DataFrame,
+    probe_pairs: DataFrame,
+    lut: DataFrame,
+    rounder: Rounder,
+    shortlist: int,
+    exclude_self: bool,
+) -> DataFrame:
+    """IVF-scoped ADC shortlist — the probed-lists → per-query-LUT →
+    top-``shortlist`` stage shared by the corpus-query and
+    external-vector searches.  ``exclude_self`` drops n_id == q_id
+    (corpus queries: a vector is trivially its own neighbor); the
+    serving path keeps it (client ids are a different namespace and the
+    identical corpus item IS the lookup answer)."""
+    w_short = Window.partitionBy("q_id").orderBy(F.desc("adc_r"), "n_id")
+    s = pruned.withColumnRenamed("vec_id", "n_id").join(
+        F.broadcast(probe_pairs), "c_id"
+    )
+    if exclude_self:
+        s = s.filter(F.col("n_id") != F.col("q_id"))
+    return (
+        s.join(F.broadcast(lut), ["q_id", "s", "code"])
+        .groupBy("q_id", "n_id")
+        .agg(rounder(F.sum("pdot_r")).alias("adc_r"))
+        .withColumn("_srn", F.row_number().over(w_short))
+        .filter(F.col("_srn") <= shortlist)
+        .select("q_id", "n_id")
     )
 
 
@@ -192,7 +227,8 @@ def adc_search(
     The LUT (queries × M × |codebook| partial dots) and the query vectors
     are broadcast; the corpus side (codes, unit vectors) never shuffles.
     """
-    lut = _query_lut(unitv, cb, query_pred, rounder)
+    qunitv = unitv.filter(query_pred)
+    lut = _query_lut(qunitv, cb, rounder)
 
     w_short = Window.partitionBy("q_id").orderBy(F.desc("adc_r"), "n_id")
     short = (
@@ -205,7 +241,7 @@ def adc_search(
         .filter(F.col("_srn") <= shortlist)
         .select("q_id", "n_id")
     )
-    return _exact_rerank(short, unitv, query_pred, rounder, k)
+    return _exact_rerank(short, unitv, qunitv, rounder, k)
 
 
 # ------------------------------------------------------- materialized index
@@ -490,21 +526,13 @@ def ivfpq_search(
         probe_rows, "q_id long, c_id long"
     )
 
-    lut = _query_lut(unitv, cb, query_pred, rounder)
+    qunitv = unitv.filter(query_pred)
+    lut = _query_lut(qunitv, cb, rounder)
     pruned = codes.filter(F.col("c_id").isin(probed_lists))
-    w_short = Window.partitionBy("q_id").orderBy(F.desc("adc_r"), "n_id")
-    short = (
-        pruned.withColumnRenamed("vec_id", "n_id")
-        .join(F.broadcast(probe_pairs), "c_id")
-        .filter(F.col("n_id") != F.col("q_id"))
-        .join(F.broadcast(lut), ["q_id", "s", "code"])
-        .groupBy("q_id", "n_id")
-        .agg(rounder(F.sum("pdot_r")).alias("adc_r"))
-        .withColumn("_srn", F.row_number().over(w_short))
-        .filter(F.col("_srn") <= shortlist)
-        .select("q_id", "n_id")
+    short = _ivf_adc_shortlist(
+        pruned, probe_pairs, lut, rounder, shortlist, exclude_self=True
     )
-    return _exact_rerank(short, unitv, query_pred, rounder, k)
+    return _exact_rerank(short, unitv, qunitv, rounder, k)
 
 
 def ivfpq_search_vectors(
@@ -554,33 +582,12 @@ def ivfpq_search_vectors(
         probe_rows, "q_id long, c_id long"
     )
 
-    lut = sub_slices(qunit, "q_id", "ve").join(F.broadcast(cb), "s").select(
-        "q_id", "s", "code",
-        rounder(dot(F.col("ve"), F.col("ce"))).alias("pdot_r"),
-    )
+    lut = _query_lut(qunit, cb, rounder)
     pruned = codes.filter(F.col("c_id").isin(probed_lists))
-    w_short = Window.partitionBy("q_id").orderBy(F.desc("adc_r"), "n_id")
-    short = (
-        pruned.withColumnRenamed("vec_id", "n_id")
-        .join(F.broadcast(probe_pairs), "c_id")
-        .join(F.broadcast(lut), ["q_id", "s", "code"])
-        .groupBy("q_id", "n_id")
-        .agg(rounder(F.sum("pdot_r")).alias("adc_r"))
-        .withColumn("_srn", F.row_number().over(w_short))
-        .filter(F.col("_srn") <= shortlist)
-        .select("q_id", "n_id")
+    short = _ivf_adc_shortlist(
+        pruned, probe_pairs, lut, rounder, shortlist, exclude_self=False
     )
-    uq = qunit.select(F.col("vec_id").alias("q_id"), F.col("ue").alias("_uq"))
-    un = unitv.select(F.col("vec_id").alias("n_id"), F.col("ue").alias("_un"))
-    w_rank = Window.partitionBy("q_id").orderBy(F.desc("cos_r"), "n_id")
-    return (
-        short.join(F.broadcast(uq), "q_id")
-        .join(un, "n_id")
-        .withColumn("cos_r", rounder(dot(F.col("_uq"), F.col("_un"))))
-        .withColumn("rk", F.row_number().over(w_rank))
-        .filter(F.col("rk") <= k)
-        .select("q_id", "n_id", "rk", "cos_r")
-    )
+    return _exact_rerank(short, unitv, qunit, rounder, k)
 
 
 def gc_pq_indexes(max_age_s: float = 7 * 24 * 3600) -> list[str]:

@@ -39,12 +39,17 @@ def brute_topk(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     score_rounder=None,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Exact cosine top-k: broadcast the query set against one corpus scan
     (no corpus shuffle), rank per query.  Returns (q_id, n_id, rk, cos_r).
 
     ``score_rounder`` (Column→Column) stabilizes ranking — rank on the
     rounded score with id tie-break so float noise can't flip the cutoff.
+    ``exclude_self`` drops n_id == q_id (the corpus-query default); pass
+    False when query ids live in a different namespace than corpus ids
+    (the serving path's posted vectors), where the identical corpus item
+    IS the answer and an id collision would silently drop a true match.
     """
     rounder = score_rounder or (lambda c: c)
     qs = with_norm(queries, emb_col).select(
@@ -59,9 +64,11 @@ def brute_topk(
     )
     cos = cosine(F.col("_qe"), F.col("_ce"), F.col("_qn"), F.col("_cn"))
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_r"), "n_id")
+    joined = c.crossJoin(F.broadcast(qs))
+    if exclude_self:
+        joined = joined.filter(F.col("n_id") != F.col("q_id"))
     return (
-        c.crossJoin(F.broadcast(qs))
-        .filter(F.col("n_id") != F.col("q_id"))
+        joined
         .withColumn("cos_r", rounder(cos))
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)

@@ -1765,9 +1765,16 @@ class Engine:
                     f"query {it['id']}: vector elements must be finite "
                     "numbers"
                 )
-            if not any(vec):
+            # The L2 norm itself must be usable: elementwise-finite
+            # vectors can still underflow the norm to 0 (1e-200s) or
+            # overflow it to inf (1e308s), turning unit-normalization
+            # into NaN cosines served as a confident 200 (review
+            # finding r16).
+            nrm = sum(float(x) * float(x) for x in vec)
+            if not (0.0 < nrm < float("inf")):
                 raise ValueError(
-                    f"query {it['id']}: zero vector has no cosine direction"
+                    f"query {it['id']}: vector norm is zero or "
+                    "non-finite — no cosine direction"
                 )
             rows.append((it["id"], [float(x) for x in vec]))
         k = body.get("k", 3)
@@ -1792,27 +1799,13 @@ class Engine:
             rows, "vec_id long, embedding array<double>"
         )
         if method == "exact":
-            from mycenae_spark.functions.pq import unit_embeddings
-            from mycenae_spark.functions.similarity import dot
+            from mycenae_spark.functions.similarity import brute_topk
 
             corpus = self.spark.read.parquet(
                 os.path.join(self.sim_dir, "embeddings.parquet")
             ).select("vec_id", "embedding")
-            uq = unit_embeddings(qvecs).select(
-                F.col("vec_id").alias("q_id"), F.col("ue").alias("_uq")
-            )
-            un = unit_embeddings(corpus).select(
-                F.col("vec_id").alias("n_id"), F.col("ue").alias("_un")
-            )
-            from pyspark.sql import Window
-
-            w = Window.partitionBy("q_id").orderBy(F.desc("cos_r"), "n_id")
-            out = (
-                un.crossJoin(F.broadcast(uq))
-                .withColumn("cos_r", r6(dot(F.col("_uq"), F.col("_un"))))
-                .withColumn("rk", F.row_number().over(w))
-                .filter(F.col("rk") <= k)
-                .select("q_id", "n_id", "rk", "cos_r")
+            out = brute_topk(
+                corpus, qvecs, k, score_rounder=r6, exclude_self=False
             )
         else:
             idx = pq.ensure_ivfpq_index(self.spark, self.sim_dir, rounder=r6)

@@ -1451,6 +1451,8 @@ def test_similar_validation_is_typed_400(sim_server):
         {"queries": [{"id": 1, "vector": [True] + [0.1] * 63}]},  # bool elem
         {"queries": [{"id": 1, "vector": ["x"] + [0.1] * 63}]},
         {"queries": [{"id": 1, "vector": [0.0] * 64}]},  # zero vector
+        {"queries": [{"id": 1, "vector": [1e-200] * 64}]},  # norm underflow
+        {"queries": [{"id": 1, "vector": [1e308] * 64}]},  # norm overflow
         {"queries": [{"id": 1, "vector": ok_vec},
                      {"id": 1, "vector": ok_vec}]},  # dup id
         {"queries": [{"id": 1, "vector": ok_vec}], "k": 0},
