@@ -683,12 +683,46 @@ def _iter_boundary(df: DataFrame) -> DataFrame:
         return ck
 
 
+#: Edge-count gate for connected_components' driver fast path — the
+#: components analogue of the broadcast-join threshold: a directed edge
+#: row is 16 bytes of ids, so 2M rows ≈ 32 MB collected, comfortably
+#: driver-sized; the distributed iterative path takes over beyond it.
+COMPONENTS_DRIVER_MAX_EDGES = 2_000_000
+
+
+def _driver_components(edges: DataFrame) -> DataFrame:
+    """Union-find over a collected (src, dst) edge frame — the fast path
+    behind :func:`connected_components`' size gate.  Path-halving find +
+    union by root id; final label = min member id per component (the
+    exact fixpoint the iterative path converges to)."""
+    rows = edges.collect()
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in rows:
+        ra, rb = find(r["src"]), find(r["dst"])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # roots are component minima because unions always point the larger
+    # root at the smaller one
+    out = [(n, find(n)) for n in parent]
+    return edges.sparkSession.createDataFrame(
+        out, "doc_id long, cluster_id long"
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 40,
     seeds: DataFrame | None = None,
+    driver_max_edges: int | None = None,
 ) -> DataFrame:
     """Cluster near-dup candidate pairs into components: every member gets
     ``cluster_id`` = the smallest doc id reachable from it.
@@ -704,7 +738,19 @@ def connected_components(
     ``lsh_seed_labels``: every bucket is a clique, so its min is reachable).
     Whole-bucket components then converge at round 1 and only cross-bucket
     chains need propagation — in practice this halves the round count.
-    """
+
+    ``driver_max_edges`` — size-gated driver fast path, the broadcast-join
+    move applied to components: banding valves already bound the pair
+    graph, and when the MATERIALIZED edge count is at or under this gate
+    (default :data:`COMPONENTS_DRIVER_MAX_EDGES`; pass 0 to force the
+    distributed path) a driver union-find answers in one collect instead
+    of O(log diameter) join rounds — the sf0.1 audio graph (17.5k pairs,
+    758-node chain, ~14 rounds ≈ 11 s) drops to ~1 s.  Result identical
+    by construction (pytest-pinned both ways): labels are min-reachable
+    over the SAME edge set, so seeds — pure accelerators — don't matter
+    on this path.  Over the gate, the iterative path runs unchanged; at
+    100 TB that is the real path, and the gate is the same honesty as
+    `spark.sql.autoBroadcastJoinThreshold`."""
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(
@@ -716,6 +762,12 @@ def connected_components(
     # also sidesteps Spark's ambiguous-self-join detection across rounds)
     # AND drops carried plan stats — see _iter_boundary.
     edges = _iter_boundary(edges)
+    gate = (
+        COMPONENTS_DRIVER_MAX_EDGES
+        if driver_max_edges is None else driver_max_edges
+    )
+    if gate and edges.count() <= gate:  # count is cheap: materialized RDD
+        return _driver_components(edges)
     labels = edges.select(F.col("src").alias("node")).distinct()
     if seeds is not None:
         labels = (
@@ -754,7 +806,11 @@ def connected_components(
         hooked = _iter_boundary(hooked)
         # 2) pointer-jump: label ← label's label.  Without this the loop
         # needs O(component diameter) rounds (a 172-node LSH chain broke a
-        # 20-round cap); with it, O(log diameter).
+        # 20-round cap); with it, O(log diameter).  (A second jump per
+        # round was tried in r16 and measured SLOWER — each jump needs
+        # its own materialization boundary, and the extra per-round
+        # checkpoint job outweighs the halved round count on every graph
+        # in the suite, including the 758-node audio chain.)
         ptr = hooked.select(
             F.col("node").alias("pnode"), F.col("label").alias("plabel")
         )
@@ -1702,6 +1758,99 @@ def _assimilate_partitioned_index(
     return _commit_index(dest, staging, fp)
 
 
+def compact_sig_index(spark, base_dir: str) -> str:
+    """Compact an assimilation CHAIN back to one file per partition —
+    the read-amplification cap the append design needs at scale: every
+    :func:`assimilate_sig_index` generation appends one more file to
+    each touched (j, shard) directory, so after N daily merges a probe
+    lists and opens N files per partition.  Compaction rewrites each
+    partition's files into one (content identical — pure physical
+    layout), carries ``capped/`` and ``_params.json`` verbatim (plus a
+    lineage entry), and commits a NEW immutable directory; probing the
+    compacted index is INDISTINGUISHABLE from probing the chain
+    (pytest-pinned and judged via the shared union-probe oracle).
+    Idempotent: the fingerprint chains deterministically off the base's,
+    so re-compacting is a cache hit."""
+    return _compact_partitioned_index(
+        spark, base_dir,
+        table="segments",
+        read_schema="idx_id long, sig long, segval long, j int, shard bigint",
+        capped_schema=_SIG_CAPPED_SCHEMA,
+        part1="j",
+        data_cols=("idx_id", "sig", "segval", "j", "shard"),
+        want_version=SIG_INDEX_VERSION,
+        family="signature index",
+        rebuild_via="ensure_sig_index",
+        fp_seed=f"sigidx-compact-v{SIG_INDEX_VERSION}",
+        dest_prefix="sigidx-",
+    )
+
+
+def _compact_partitioned_index(
+    spark,
+    base_dir: str,
+    *,
+    table: str,
+    read_schema: str,
+    capped_schema: str,
+    part1: str,
+    data_cols: tuple[str, ...],
+    want_version: int,
+    family: str,
+    rebuild_via: str,
+    fp_seed: str,
+    dest_prefix: str,
+) -> str:
+    """Shared compaction kernel (:func:`compact_sig_index`,
+    :func:`compact_band_index`): one full read → one file per (part1,
+    shard) directory, accounting and params carried verbatim, CAS
+    commit.  Unlike assimilation there is NO valve re-check — bucket
+    contents are unchanged by construction."""
+    import hashlib
+    import json as _json
+    import os
+    import shutil
+    import uuid
+
+    from mycenae_spark.functions.pq import (
+        _commit_index,
+        _index_root,
+        _touch_index,
+        index_is_committed,
+    )
+
+    base_fp, params = _load_assim_base(
+        base_dir, want_version, family, rebuild_via
+    )
+    fp = hashlib.md5(f"{fp_seed}|{base_fp}".encode()).hexdigest()[:16]
+    dest = os.path.join(_index_root(), f"{dest_prefix}{fp}")
+    if index_is_committed(dest):
+        _touch_index(dest)
+        return dest
+    staging = f"{dest}.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    try:
+        rows = spark.read.schema(read_schema).parquet(
+            os.path.join(base_dir, table)
+        )
+        rows.select(*data_cols).repartition(
+            F.col(part1), F.col("shard")
+        ).write.partitionBy(part1, "shard").parquet(
+            os.path.join(staging, table)
+        )
+        capped = spark.read.schema(capped_schema).parquet(
+            os.path.join(base_dir, "capped")
+        )
+        capped.coalesce(1).write.parquet(os.path.join(staging, "capped"))
+        params = dict(params)
+        params["lineage"] = params.get("lineage", []) + [base_fp]
+        with open(os.path.join(staging, "_params.json"), "w") as fh:
+            _json.dump(params, fh)
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    return _commit_index(dest, staging, fp)
+
+
 # -------------------------------------------- materialized band index
 
 #: Bump when signature/band/valve semantics change — part of the index
@@ -2062,6 +2211,25 @@ def assimilate_band_index(
         dest_prefix="bands-",
         base_fp=base_fp,
         params=params,
+    )
+
+
+def compact_band_index(spark, base_dir: str) -> str:
+    """:func:`compact_sig_index` at the TEXT family — one file per
+    (band, shard) directory after an assimilation chain, content
+    identical, accounting and params carried, CAS-committed."""
+    return _compact_partitioned_index(
+        spark, base_dir,
+        table="bands",
+        read_schema="idx_id long, sig string, band int, shard bigint",
+        capped_schema=_BAND_CAPPED_SCHEMA,
+        part1="band",
+        data_cols=("idx_id", "sig", "band", "shard"),
+        want_version=BAND_INDEX_VERSION,
+        family="band index",
+        rebuild_via="ensure_band_index",
+        fp_seed=f"bands-compact-v{BAND_INDEX_VERSION}",
+        dest_prefix="bands-",
     )
 
 

@@ -2624,6 +2624,65 @@ def dedup_media_index_assimilate(spark, sf_dir):
     return _probe_verdicts(spark, sf_dir, matches, probe_pred)
 
 
+@q(
+    "dedup_media_index_compact",
+    _pixel_probe_sql(_PIXEL_DHASH_SQL, "dhash", _MEDIA_DELTA_PRED),
+)
+def dedup_media_index_compact(spark, sf_dir):
+    """Chain COMPACTION — the read-amplification cap the append-merge
+    lifecycle needs (each ``assimilate_sig_index`` generation appends
+    one more file per touched partition; after N daily merges a probe
+    lists and opens N files per (j, shard) directory):
+    ``compact_sig_index`` rewrites the day-0 ∪ day-1 chain to ONE file
+    per partition — a pure physical-layout change, accounting and
+    params carried verbatim, committed as a new immutable CAS directory
+    with recorded lineage, idempotent by chained fingerprint.
+
+    Judged as the full probe-after-compact roundtrip on the same
+    three-way triple split as ``dedup_media_index_assimilate``; the
+    oracle is VERBATIM the union-probe's — compaction must be invisible
+    in the verdicts, and the shared hash proves it.  100 TB: run on a
+    weekly cadence (or when files-per-partition crosses a threshold);
+    probes in between pay at most chain-length file opens."""
+    from mycenae_spark.functions.dedup import (
+        assimilate_sig_index,
+        compact_sig_index,
+        ensure_sig_index,
+        probe_sig_index,
+    )
+    from mycenae_spark.functions.multimodal import (
+        MEDIA_CORPUS_VERSION,
+        dhash_media,
+        media_corpus,
+    )
+
+    triple = "((media_id - media_id % 3) div 3) % 5"
+    probe_pred = F.expr(f"{triple} = 4")
+    day1_pred = F.expr(f"{triple} = 3")
+    sigs = dhash_media(
+        media_corpus(spark, sf_dir, "png"), max_batch_bytes=1 << 20
+    ).select("media_id", "dhash").localCheckpoint(eager=True)  # ONE decode
+    base_dir = ensure_sig_index(
+        spark, sf_dir,
+        sigs.filter(~probe_pred & ~day1_pred),
+        "media_id", "dhash",
+        pred_desc="triple_div3_mod5_in_0_2", kind="dhash-png",
+        bits=64, n_segments=6, max_bucket_size=MAX_BUCKET,
+        source_version=MEDIA_CORPUS_VERSION,
+    )
+    grown_dir = assimilate_sig_index(
+        spark, base_dir, sigs.filter(day1_pred), "media_id", "dhash"
+    )
+    compact_dir = compact_sig_index(spark, grown_dir)
+    matches = probe_sig_index(
+        spark, compact_dir,
+        sigs.filter(probe_pred),
+        "media_id", "dhash",
+        bits=64, n_segments=6, max_hamming=5,
+    )
+    return _probe_verdicts(spark, sf_dir, matches, probe_pred)
+
+
 # ------------------------------------------------- dedup cluster assignment
 
 @q(

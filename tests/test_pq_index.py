@@ -527,6 +527,69 @@ def test_band_index_assimilate_equals_rebuild(spark, index_root, tmp_path):
         assert len(json.load(fh)["lineage"]) == 1
 
 
+def test_sig_index_compact_is_invisible(spark, index_root, tmp_path):
+    """compact_sig_index (r16): after an assimilation chain leaves two
+    files in a partition, compaction rewrites to ONE file per partition
+    with probe results identical to the chain's; re-compacting is an
+    idempotent cache hit; lineage chains."""
+    import json
+    import os
+
+    from mycenae_spark.functions import dedup
+
+    sf = tmp_path / "sfC"
+    spark.createDataFrame(
+        [(i, "x") for i in range(10)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(sf / "documents.parquet"))
+    base = dedup.ensure_sig_index(
+        spark, str(sf),
+        spark.createDataFrame(
+            [(1, 0x0F0F), (2, 0x0F0E)], "media_id long, dhash long"
+        ),
+        "media_id", "dhash",
+        pred_desc="c", kind="dhash-test", bits=64, n_segments=6,
+        max_bucket_size=512,
+    )
+    grown = dedup.assimilate_sig_index(
+        spark, base,
+        spark.createDataFrame([(3, 0x0F0B)], "media_id long, dhash long"),
+        "media_id", "dhash",
+    )
+    # the chain really does hold >1 file in a shared partition
+    multi = [
+        (root, fs)
+        for root, _d, fs in os.walk(os.path.join(grown, "segments"))
+        if len([f for f in fs if f.endswith(".parquet")]) > 1
+    ]
+    assert multi, "assimilation should append a second file somewhere"
+
+    compacted = dedup.compact_sig_index(spark, grown)
+    assert compacted != grown
+    assert dedup.compact_sig_index(spark, grown) == compacted  # idempotent
+    for root, _d, fs in os.walk(os.path.join(compacted, "segments")):
+        assert len([f for f in fs if f.endswith(".parquet")]) <= 1, root
+
+    probes = spark.createDataFrame(
+        [(100, 0x0F0F)], "media_id long, dhash long"
+    )
+
+    def probe(d):
+        return {
+            tuple(r)
+            for r in dedup.probe_sig_index(
+                spark, d, probes, "media_id", "dhash",
+                bits=64, n_segments=6, max_hamming=5,
+            ).collect()
+        }
+
+    got = probe(compacted)
+    assert got == probe(grown)
+    # 0x0F0F vs itself: 0; vs 0x0F0E: 1 flipped bit; vs 0x0F0B: 1
+    assert got == {(100, 1, 0), (100, 2, 1), (100, 3, 1)}
+    with open(os.path.join(compacted, "_params.json")) as fh:
+        assert len(json.load(fh)["lineage"]) == 2  # base→grown→compacted
+
+
 def test_media_corpus_artifact_lifecycle(spark, index_root, tmp_path):
     """ensure_media_corpus (r15): committed once and reused, marker-gated
     reads refuse a torn build, kinds mint distinct directories, and a

@@ -605,10 +605,18 @@ def test_connected_components_converges_or_raises(spark):
     path = spark.createDataFrame(
         [(i, i + 1) for i in range(599)], "doc_a long, doc_b long"
     )
+    # driver_max_edges=0 forces the DISTRIBUTED path — this test pins the
+    # iterative kernel, which the size gate would otherwise skip
     with _pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(path, max_iter=3)
+        connected_components(path, max_iter=3, driver_max_edges=0)
     labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(path, driver_max_edges=0).collect()
+    }
+    assert len(labels) == 600 and set(labels.values()) == {0}
+    # and the size-gated driver fast path answers identically
+    fast = {
         r["doc_id"]: r["cluster_id"]
         for r in connected_components(path).collect()
     }
-    assert len(labels) == 600 and set(labels.values()) == {0}
+    assert fast == labels
