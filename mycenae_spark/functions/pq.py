@@ -545,6 +545,7 @@ def ivfpq_search_vectors(
     nprobe: int = 4,
     k: int = 3,
     shortlist: int = PQ_SHORTLIST,
+    candidate_ids: DataFrame | None = None,
 ) -> DataFrame:
     """:func:`ivfpq_search` for EXTERNAL query vectors — the serving
     shape: the query set is a bounded batch of client-posted
@@ -584,6 +585,17 @@ def ivfpq_search_vectors(
 
     lut = _query_lut(qunit, cb, rounder)
     pruned = codes.filter(F.col("c_id").isin(probed_lists))
+    if candidate_ids is not None:
+        # Metadata PRE-filter: restrict candidate codes to the allowed
+        # corpus ids BEFORE the shortlist, so the top-``shortlist`` (and
+        # hence top-k) is computed WITHIN the filter — post-filtering a
+        # generic shortlist would return < k whenever matches are rare
+        # (the ann_filtered_topk rationale).  IVF's own caveat stands:
+        # probed lists holding < k matching vectors bound the answer.
+        pruned = pruned.join(
+            F.broadcast(candidate_ids.select("vec_id")), "vec_id",
+            "left_semi",
+        )
     short = _ivf_adc_shortlist(
         pruned, probe_pairs, lut, rounder, shortlist, exclude_self=False
     )

@@ -1705,7 +1705,12 @@ class Engine:
         ``{"id": int, "vector": [float × corpus-dim]}``, ids unique,
         every element a finite number), ``k`` (1–:data:`MAX_SIM_K`,
         default 3), ``nprobe`` (1–:data:`MAX_SIM_NPROBE`, default 4;
-        ivfpq only), ``method`` ("ivfpq" default — probe the COMMITTED
+        ivfpq only), ``label`` (optional int — the tenant/collection
+        metadata filter every production vector store needs: candidates
+        are PRE-filtered to corpus rows with that label, so k survivors
+        are guaranteed whenever k matches exist in the reachable
+        candidate set — the ``ann_filtered_topk`` convention, never
+        post-filtering), ``method`` ("ivfpq" default — probe the COMMITTED
         IVFPQ index (functions/pq.py artifact lake: built once per
         corpus generation behind the CAS+marker protocol, inverted-list
         parquet layout, partition-pruned codes scan) then exact-cosine
@@ -1788,6 +1793,13 @@ class Engine:
         method = body.get("method", "ivfpq")
         if method not in ("ivfpq", "exact"):
             raise ValueError(f"method must be ivfpq|exact: {method!r}")
+        label = body.get("label")
+        if label is not None and not _is_int(label):
+            raise ValueError(
+                "label must be an int (the corpus metadata filter; "
+                "candidates are PRE-filtered so k survivors are "
+                "guaranteed when k matches exist)"
+            )
 
         # EPS-shifted rounding, the convention the committed index's
         # codes were encoded with (registry/util.py::r6) — ranking on the
@@ -1798,21 +1810,32 @@ class Engine:
         qvecs = self.spark.createDataFrame(
             rows, "vec_id long, embedding array<double>"
         )
+        emb = self.spark.read.parquet(
+            os.path.join(self.sim_dir, "embeddings.parquet")
+        )
         if method == "exact":
             from mycenae_spark.functions.similarity import brute_topk
 
-            corpus = self.spark.read.parquet(
-                os.path.join(self.sim_dir, "embeddings.parquet")
-            ).select("vec_id", "embedding")
+            corpus = emb.select("vec_id", "embedding")
+            if label is not None:
+                # pre-filter: the label predicate pushes into the
+                # parquet scan, candidates generate WITHIN the filter
+                corpus = emb.filter(F.col("label") == label).select(
+                    "vec_id", "embedding"
+                )
             out = brute_topk(
                 corpus, qvecs, k, score_rounder=r6, exclude_self=False
             )
         else:
             idx = pq.ensure_ivfpq_index(self.spark, self.sim_dir, rounder=r6)
             unitv, cb, codes, cent = pq.load_ivfpq_index(self.spark, idx)
+            cand = (
+                emb.filter(F.col("label") == label).select("vec_id")
+                if label is not None else None
+            )
             out = pq.ivfpq_search_vectors(
                 unitv, cb, codes, cent, qvecs, rounder=r6,
-                nprobe=nprobe, k=k,
+                nprobe=nprobe, k=k, candidate_ids=cand,
             )
         got = out.collect()  # bounded: ≤ MAX_SIM_QUERIES × MAX_SIM_K rows
         by_q: dict = {qid: [] for qid, _v in rows}
@@ -1825,6 +1848,7 @@ class Engine:
             "k": k,
             "method": method,
             **({"nprobe": nprobe} if method == "ivfpq" else {}),
+            **({"label": label} if label is not None else {}),
             "results": [
                 {"id": qid, "neighbors": by_q[qid]} for qid, _v in rows
             ],

@@ -1441,6 +1441,50 @@ def test_similar_ivfpq_matches_exact_top1_and_recall(spark, sim_server):
     assert hits / total >= 2 / 3  # IVFPQ recall@3 vs exact, served
 
 
+def test_similar_label_filter_prefilters_candidates(spark, sim_server):
+    """The tenant/collection filter (r16): candidates are PRE-filtered
+    to the requested label on BOTH methods — every returned neighbor
+    carries it, k survivors appear whenever k matches exist, and the
+    identical-vector probe's twin is excluded when its label differs."""
+    from tests.conftest import SF_DIR
+
+    rows = {
+        r["vec_id"]: r["label"]
+        for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select("vec_id", "label").collect()
+    }
+    v7, lab7 = _corpus_vec(spark, 7), rows[7]
+    other = next(l for l in set(rows.values()) if l != lab7)
+
+    for body_extra in ({"method": "exact"}, {"nprobe": 8}):
+        code, resp = _req(
+            sim_server, "/keysets/k1/api/query/similar",
+            {"queries": [{"id": 1, "vector": v7}], "k": 3,
+             "label": lab7, **body_extra},
+        )
+        assert code == 200 and resp["label"] == lab7
+        nb = resp["results"][0]["neighbors"]
+        assert nb and all(rows[n["n_id"]] == lab7 for n in nb)
+        assert nb[0]["n_id"] == 7  # own label: the identical vector wins
+
+        code, resp = _req(
+            sim_server, "/keysets/k1/api/query/similar",
+            {"queries": [{"id": 1, "vector": v7}], "k": 3,
+             "label": other, **body_extra},
+        )
+        assert code == 200
+        nb = resp["results"][0]["neighbors"]
+        # the identical vector is OUTSIDE the filter — excluded even
+        # though its cosine is 1.0; everything returned matches the label
+        assert all(n["n_id"] != 7 and rows[n["n_id"]] == other for n in nb)
+
+    code, err = _req(
+        sim_server, "/keysets/k1/api/query/similar",
+        {"queries": [{"id": 1, "vector": v7}], "label": True},
+    )
+    assert code == 400 and "label" in err["error"]
+
+
 def test_similar_validation_is_typed_400(sim_server):
     ok_vec = [0.1] * 64
     bad = [
