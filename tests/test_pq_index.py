@@ -590,6 +590,63 @@ def test_sig_index_compact_is_invisible(spark, index_root, tmp_path):
         assert len(json.load(fh)["lineage"]) == 2  # base→grown→compacted
 
 
+def test_ivfpq_assimilate_appends_frozen_encoded_delta(spark, index_root):
+    """assimilate_ivfpq_index (r16): FAISS add() semantics — the delta is
+    encoded with the FROZEN codebook and assigned to the FROZEN
+    centroids, its rows append beside hard-linked base tables, the grown
+    index's code/unitv row counts cover base ∪ delta, a delta vector is
+    findable as its own nearest neighbor, re-assimilation is an
+    idempotent cache hit, and a torn base refuses."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from mycenae_spark.functions import pq
+    from mycenae_spark.registry.util import r6
+
+    delta_pred = F.col("vec_id") % 10 == 7
+    base = pq.ensure_ivfpq_index(
+        spark, SF_DIR, rounder=r6, pred=~delta_pred, pred_desc="mod10ne7"
+    )
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    delta = e.filter(delta_pred).select("vec_id", "embedding")
+    n_delta, n_all = delta.count(), e.count()
+
+    grown = pq.assimilate_ivfpq_index(spark, base, delta, rounder=r6)
+    assert grown != base
+    assert pq.assimilate_ivfpq_index(
+        spark, base, delta, rounder=r6
+    ) == grown  # idempotent
+
+    unitv, cb, codes, cent = pq.load_ivfpq_index(spark, grown)
+    b_unitv, b_cb, b_codes, b_cent = pq.load_ivfpq_index(spark, base)
+    assert unitv.count() == n_all and b_unitv.count() == n_all - n_delta
+    assert codes.count() == b_codes.count() + n_delta * pq.PQ_M
+    # frozen artifacts: codebook and centroids are IDENTICAL relations
+    assert cent.count() == b_cent.count()
+    assert cb.exceptAll(b_cb).count() == 0 and b_cb.exceptAll(cb).count() == 0
+
+    # a delta vector searched against the grown index finds ITSELF
+    # (external-vector path, no self-exclusion): assimilation made it
+    # visible to every future search
+    probe_vec = delta.limit(1).collect()[0]
+    got = pq.ivfpq_search_vectors(
+        unitv, cb, codes, cent,
+        spark.createDataFrame(
+            [(999_999, [float(x) for x in probe_vec["embedding"]])],
+            "vec_id long, embedding array<double>",
+        ),
+        rounder=r6, nprobe=4, k=1,
+    ).collect()
+    assert got and got[0]["n_id"] == probe_vec["vec_id"]
+    assert abs(got[0]["cos_r"] - 1.0) < 1e-5
+
+    with pytest.raises(FileNotFoundError, match="torn"):
+        pq.assimilate_ivfpq_index(
+            spark, os.path.join(str(index_root), "nope"), delta, rounder=r6
+        )
+
+
 def test_media_corpus_artifact_lifecycle(spark, index_root, tmp_path):
     """ensure_media_corpus (r15): committed once and reused, marker-gated
     reads refuse a torn build, kinds mint distinct directories, and a
