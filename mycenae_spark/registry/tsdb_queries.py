@@ -3596,6 +3596,170 @@ def stream_media_dedup_roundtrip(spark, sf_dir):
 
 
 @q(
+    "stream_media_assimilate_roundtrip",
+    """
+SELECT * FROM (VALUES
+  (CAST(1 AS INT), CAST(21 AS BIGINT), CAST(6 AS BIGINT),
+   CAST(0 AS BIGINT), CAST(15 AS BIGINT), CAST(30 AS BIGINT)),
+  (CAST(2 AS INT), CAST(15 AS BIGINT), CAST(3 AS BIGINT),
+   CAST(6 AS BIGINT), CAST(6 AS BIGINT), CAST(45 AS BIGINT))
+) AS t(day, n_assets, n_dup_day0, n_dup_day1, n_keeps, idx_cover)
+""",
+)
+def stream_media_assimilate_roundtrip(spark, sf_dir):
+    """The FULL daily dedup loop as ONE streaming job — the bridge that
+    joins r16's two lifecycle halves (``stream_media_dedup_roundtrip``'s
+    in-stream perceptual dedup and ``dedup_media_index_assimilate``'s
+    committed-index growth): a Structured Streaming file source drains
+    two crawl-day files through ``foreachBatch``; each micro-batch is
+    decoded ONCE, probed against the CURRENT index generation, its
+    verdicts appended to a parquet lake table, and its keeps
+    assimilated into a NEW generation — so day 2's probe runs against
+    an index that already contains day 1's keeps
+    (streaming/assimilate.py::media_assimilate_stream).
+
+    The construction makes cross-batch assimilation the ONLY way the
+    numbers work: a day-0 index covers images 0–29 (10 brightness
+    triples, built from the same deterministic render spec as the
+    committed corpora); day 1 streams 6 GIF RE-ENCODES of day-0 images
+    (byte-distinct, signature-identical → dups OF DAY 0) + 15 new PNGs
+    (keeps, assimilated); day 2 streams 6 GIF re-encodes OF DAY 1'S
+    KEEPS (dups only if assimilation happened — their ``dup_of`` ids
+    are in day 1's 1000+ namespace), 3 retransmits of a day-0 triple,
+    and 6 new images.  One output row per day: asset count, dups split
+    by WHICH GENERATION caught them, keeps, and the distinct ids the
+    probed index generation covered (30 then 45 — the growth itself,
+    read back from the committed segment relations).  Constant oracle;
+    ``sf_dir`` scopes only the index-artifact cache identity.  At
+    100 TB this is the crawler's drop-directory job: decode ∝ batch,
+    probe reads ∝ batch via (j, shard) pruning, assimilation writes
+    ∝ keeps, corpus never rescanned, and the driver carries only the
+    generation pointer between micro-batches."""
+    import base64 as _b64
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from mycenae_spark.functions.dedup import ensure_sig_index
+    from mycenae_spark.functions.multimodal import (
+        MEDIA_CORPUS_VERSION,
+        _GRAY_PALETTE,
+        dhash_media,
+        encode_gif,
+        encode_png,
+        pixel_corpus_image,
+    )
+    from mycenae_spark.streaming.assimilate import (
+        VERDICT_SCHEMA,
+        media_assimilate_stream,
+    )
+
+    def png_payload(d):
+        _w, _h, ct, _gray, px = pixel_corpus_image(d)
+        return encode_png(px, ct, row_filters=lambda y: y % 5, n_idat=2)
+
+    def gif_payload(d):
+        _w, _h, _ct, gray, _px = pixel_corpus_image(d)
+        return encode_gif(gray, _GRAY_PALETTE)
+
+    base = tempfile.mkdtemp(prefix="smassim_rt_")
+    try:
+        src = os.path.join(base, "src")
+        os.makedirs(src)
+        vdir = os.path.join(base, "verdicts")
+
+        day0 = spark.createDataFrame(
+            [(d, bytearray(png_payload(d))) for d in range(30)],
+            "media_id long, payload binary",
+        )
+        base_dir = ensure_sig_index(
+            spark, sf_dir,
+            dhash_media(day0, max_batch_bytes=1 << 20)
+            .select("media_id", "dhash"),
+            "media_id", "dhash",
+            pred_desc="stream_day0_img0_29", kind="dhash-stream",
+            bits=64, n_segments=6, max_bucket_size=512,
+            source_version=MEDIA_CORPUS_VERSION,
+        )
+
+        def jrow(mid, day, payload):
+            return _json.dumps(
+                {"media_id": mid, "day": day,
+                 "payload_b64": _b64.b64encode(payload).decode()}
+            )
+
+        rows1 = [jrow(1000 + d, 1, gif_payload(d)) for d in range(6)] + [
+            jrow(1000 + d, 1, png_payload(d)) for d in range(30, 45)
+        ]
+        rows2 = (
+            [jrow(2000 + d, 2, gif_payload(d)) for d in range(30, 36)]
+            + [jrow(2000 + d, 2, png_payload(d)) for d in range(6, 9)]
+            + [jrow(2000 + d, 2, png_payload(d)) for d in range(45, 51)]
+        )
+        with open(os.path.join(src, "day1.jsonl"), "w") as f:
+            f.write("\n".join(rows1))
+        with open(os.path.join(src, "day2.jsonl"), "w") as f:
+            f.write("\n".join(rows2))
+        # The file source orders micro-batches by modification time
+        # (oldest first): pin day 1 strictly before day 2 so the chain
+        # dependency is deterministic, not an artifact of write speed.
+        now = _time.time()
+        os.utime(os.path.join(src, "day1.jsonl"), (now - 60, now - 60))
+        os.utime(os.path.join(src, "day2.jsonl"), (now, now))
+
+        chain = media_assimilate_stream(spark, src, base_dir, vdir)
+        if len(chain) != 3:
+            raise AssertionError(
+                f"expected 3 index generations (base + one per day with "
+                f"keeps), got {len(chain)}: {chain}"
+            )
+
+        def cover(gen_dir):
+            return (
+                spark.read.schema(
+                    "idx_id long, sig long, segval long, j int, shard bigint"
+                )
+                .parquet(os.path.join(gen_dir, "segments"))
+                .select("idx_id")
+                .distinct()
+                .count()
+            )
+
+        covers = {1: cover(chain[0]), 2: cover(chain[1])}
+        out = (
+            spark.read.schema(VERDICT_SCHEMA)
+            .parquet(vdir)
+            .groupBy("day")
+            .agg(
+                F.count(F.lit(1)).alias("n_assets"),
+                F.sum(
+                    F.when(
+                        (F.col("dup_of") >= 0) & (F.col("dup_of") < 1000), 1
+                    ).otherwise(0)
+                ).alias("n_dup_day0"),
+                F.sum(
+                    F.when(F.col("dup_of") >= 1000, 1).otherwise(0)
+                ).alias("n_dup_day1"),
+                F.sum(F.lit(1) - F.col("is_dup")).alias("n_keeps"),
+            )
+        )
+        cov = spark.createDataFrame(
+            [(d, c) for d, c in covers.items()], "day int, idx_cover long"
+        )
+        res = out.join(cov, "day").select(
+            "day", "n_assets", "n_dup_day0", "n_dup_day1", "n_keeps",
+            "idx_cover",
+        )
+        rows = res.collect()
+        res_schema = res.schema
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, res_schema)
+
+
+@q(
     "stream_enrich_roundtrip",
     """
 SELECT * FROM (VALUES

@@ -1,0 +1,228 @@
+"""Streaming ingest → probe → assimilate bridge
+(streaming/assimilate.py::media_assimilate_stream).
+
+The contract under test: draining N crawl-day files through the bridge
+is INDISTINGUISHABLE from running the batch verbs (probe_sig_index →
+keep → assimilate_sig_index) N times by hand — same verdicts, and a
+final index that answers exactly like one rebuilt from scratch over
+base ∪ all keeps.  Plus the operational edges: undecodable payloads are
+verdicted keep but never enter the index, an all-dup batch leaves the
+chain unchanged, and a micro-batch spanning two crawl days refuses
+loudly instead of silently collapsing the per-day lifecycle.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+import time
+
+import pytest
+
+import pyspark.sql.functions as F
+
+from mycenae_spark.functions import dedup
+from mycenae_spark.functions.multimodal import (
+    _GRAY_PALETTE,
+    dhash_media,
+    encode_gif,
+    encode_png,
+    pixel_corpus_image,
+)
+from mycenae_spark.streaming.assimilate import (
+    VERDICT_SCHEMA,
+    media_assimilate_stream,
+)
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture()
+def index_root(tmp_path, monkeypatch):
+    root = tmp_path / "pqidx"
+    monkeypatch.setenv("MYCENAE_INDEX_ROOT", str(root))
+    return root
+
+
+def _png(d):
+    _w, _h, ct, _gray, px = pixel_corpus_image(d)
+    return encode_png(px, ct, row_filters=lambda y: y % 5, n_idat=2)
+
+
+def _gif(d):
+    _w, _h, _ct, gray, _px = pixel_corpus_image(d)
+    return encode_gif(gray, _GRAY_PALETTE)
+
+
+def _jrow(mid, day, payload):
+    return json.dumps(
+        {"media_id": mid, "day": day,
+         "payload_b64": base64.b64encode(payload).decode()}
+    )
+
+
+def _write_days(src, files):
+    """files: list of (name, [json rows]); mtimes pinned oldest-first."""
+    os.makedirs(src, exist_ok=True)
+    now = time.time()
+    for i, (name, rows) in enumerate(files):
+        p = os.path.join(src, name)
+        with open(p, "w") as f:
+            f.write("\n".join(rows))
+        os.utime(p, (now - 60 * (len(files) - i), now - 60 * (len(files) - i)))
+
+
+def _base_index(spark, payloads):
+    sigs = dhash_media(
+        spark.createDataFrame(
+            [(i, bytearray(p)) for i, p in payloads],
+            "media_id long, payload binary",
+        ),
+        max_batch_bytes=1 << 20,
+    ).select("media_id", "dhash")
+    return dedup.ensure_sig_index(
+        spark, SF_DIR, sigs, "media_id", "dhash",
+        pred_desc="bridge-test-base", kind="dhash-test",
+        bits=64, n_segments=6, max_bucket_size=512,
+    )
+
+
+def _probe_set(spark, d, probes):
+    return {
+        (r["probe_id"], r["idx_id"], r["hamming"])
+        for r in dedup.probe_sig_index(
+            spark, d, probes, "media_id", "dhash",
+            bits=64, n_segments=6, max_hamming=5,
+        ).collect()
+    }
+
+
+def test_bridge_matches_batch_lifecycle(spark, index_root, tmp_path):
+    """Two crawl days through the bridge: day 1's verdicts equal the
+    hand-run batch probe against the base; day 2 catches a re-encode of
+    a day-1 KEEP (the cross-batch assimilation proof); an undecodable
+    payload is verdicted keep with dup_of=-1 but never indexed; the
+    final generation answers exactly like a from-scratch rebuild over
+    base ∪ all decodable keeps."""
+    src = str(tmp_path / "src")
+    vdir = str(tmp_path / "verdicts")
+    base_dir = _base_index(spark, [(d, _png(d)) for d in range(6)])
+
+    day1 = (
+        [_jrow(1000, 1, _gif(0))]                       # dup of triple 0
+        + [_jrow(1000 + d, 1, _png(d)) for d in (6, 7, 8)]  # new triple
+        + [_jrow(1999, 1, b"not an image")]             # undecodable
+    )
+    day2 = [_jrow(2000, 2, _gif(6)),                    # dup of DAY-1 keep
+            _jrow(2001, 2, _png(9))]                    # new
+    _write_days(src, [("day1.jsonl", day1), ("day2.jsonl", day2)])
+
+    chain = media_assimilate_stream(spark, src, base_dir, vdir)
+    assert len(chain) == 3 and chain[0] == base_dir
+
+    v = spark.read.schema(VERDICT_SCHEMA).parquet(vdir)
+    got = {
+        r["media_id"]: (r["day"], r["dup_of"], r["is_dup"])
+        for r in v.collect()
+    }
+    assert got[1000] == (1, 0, 1)       # GIF re-encode caught by day 0
+    assert got[1006] == (1, -1, 0)
+    assert got[1007] == (1, -1, 0)
+    assert got[1008] == (1, -1, 0)
+    assert got[1999] == (1, -1, 0)      # undecodable: keep, no evidence
+    assert got[2000] == (2, 1006, 1)    # caught ONLY via assimilation
+    assert got[2001] == (2, -1, 0)
+    assert len(got) == 7
+
+    # day-1 verdict parity with the hand-run batch verb against the base
+    d1_sigs = dhash_media(
+        spark.createDataFrame(
+            [(1000, bytearray(_gif(0)))]
+            + [(1000 + d, bytearray(_png(d))) for d in (6, 7, 8)]
+            + [(1999, bytearray(b"not an image"))],
+            "media_id long, payload binary",
+        ),
+        max_batch_bytes=1 << 20,
+    ).select("media_id", "dhash")
+    hand = dedup.probe_sig_index(
+        spark, base_dir, d1_sigs, "media_id", "dhash",
+        bits=64, n_segments=6, max_hamming=5,
+    )
+    hand_dups = {r["probe_id"] for r in hand.collect()}
+    assert hand_dups == {m for m, (d, _, s) in got.items() if d == 1 and s}
+
+    # final generation == rebuild from scratch over base ∪ decodable keeps
+    keeps = spark.createDataFrame(
+        [(d, bytearray(_png(d))) for d in range(6)]
+        + [(1000 + d, bytearray(_png(d))) for d in (6, 7, 8)]
+        + [(2001, bytearray(_png(9)))],
+        "media_id long, payload binary",
+    )
+    rebuilt = dedup.ensure_sig_index(
+        spark, SF_DIR,
+        dhash_media(keeps, max_batch_bytes=1 << 20)
+        .select("media_id", "dhash"),
+        "media_id", "dhash",
+        pred_desc="bridge-test-union", kind="dhash-test",
+        bits=64, n_segments=6, max_bucket_size=512,
+    )
+    probes = dhash_media(
+        spark.createDataFrame(
+            [(9000 + d, bytearray(_gif(d))) for d in (0, 3, 6, 9)],
+            "media_id long, payload binary",
+        ),
+        max_batch_bytes=1 << 20,
+    ).select("media_id", "dhash")
+    assert _probe_set(spark, chain[-1], probes) == _probe_set(
+        spark, rebuilt, probes
+    )
+    # the undecodable asset never entered the index
+    final_ids = {
+        r["idx_id"]
+        for r in spark.read.schema(
+            "idx_id long, sig long, segval long, j int, shard bigint"
+        )
+        .parquet(os.path.join(chain[-1], "segments"))
+        .select("idx_id")
+        .distinct()
+        .collect()
+    }
+    assert 1999 not in final_ids
+    assert {1006, 1007, 1008, 2001} <= final_ids
+
+
+def test_bridge_all_dup_batch_keeps_chain(spark, index_root, tmp_path):
+    """A batch with zero keeps must not mint a new index generation —
+    and the following batch still probes the unchanged chain head."""
+    src = str(tmp_path / "src")
+    vdir = str(tmp_path / "verdicts")
+    base_dir = _base_index(spark, [(d, _png(d)) for d in range(6)])
+
+    _write_days(
+        src,
+        [
+            ("day1.jsonl", [_jrow(1000, 1, _gif(0)), _jrow(1001, 1, _gif(3))]),
+            ("day2.jsonl", [_jrow(2000, 2, _png(6))]),
+        ],
+    )
+    chain = media_assimilate_stream(spark, src, base_dir, vdir)
+    assert chain[0] == base_dir and len(chain) == 2  # day 1 grew nothing
+    v = spark.read.schema(VERDICT_SCHEMA).parquet(vdir)
+    assert v.filter("day = 1").agg(F.sum("is_dup")).collect()[0][0] == 2
+    assert v.filter("day = 2").collect()[0]["is_dup"] == 0
+
+
+def test_bridge_mixed_day_batch_refuses(spark, index_root, tmp_path):
+    """One file spanning two crawl days breaks the probe-then-assimilate
+    per-day contract: the bridge must raise, not silently verdict day 2
+    against an index that should already contain day 1's keeps."""
+    src = str(tmp_path / "src")
+    vdir = str(tmp_path / "verdicts")
+    base_dir = _base_index(spark, [(d, _png(d)) for d in range(3)])
+    _write_days(
+        src,
+        [("mixed.jsonl", [_jrow(1000, 1, _png(3)), _jrow(2000, 2, _png(6))])],
+    )
+    with pytest.raises(Exception, match="spans days"):
+        media_assimilate_stream(spark, src, base_dir, vdir, timeout=60)
