@@ -476,6 +476,30 @@ def main() -> None:
             len(brute & got) / max(len(brute), 1), 3
         )
 
+    # Assimilation-chain recall drift (r16): the judged
+    # ann_ivfpq_recall_drift frame, re-read here so the per-generation
+    # recall@3 of the GROWN index (frozen codebook/centroids, two
+    # assimilated deltas) is visible beside the single-index curves —
+    # the re-train dial for the daily vector-ingest job.  The chain
+    # build is priced and cache-flagged like every other artifact.
+    _wall_d = time.time()
+    t0 = time.perf_counter()
+    drift_rows = QUERIES["ann_ivfpq_recall_drift"](spark, sf_dir).collect()
+    ivfpq_drift_s = round(time.perf_counter() - t0, 3)
+    drift_curve = {
+        str(r["generation"]): r["recall_at_3"] for r in drift_rows
+    }
+    # cache-hit detection: every committed ivfpq-* marker predating this
+    # call means no chain generation was written now.
+    from mycenae_spark.functions.pq import _index_root as _iroot
+
+    drift_cached = not any(
+        os.path.getmtime(os.path.join(_iroot(), d, "_COMMITTED")) >= _wall_d
+        for d in os.listdir(_iroot())
+        if d.startswith("ivfpq-")
+        and os.path.isfile(os.path.join(_iroot(), d, "_COMMITTED"))
+    )
+
     # Lang-id quality: accuracy = confusion-matrix diagonal mass.  The
     # trigram classifier is judged by value elsewhere; the mixture extra
     # measures the FULL {1,3} form (the judged id was demoted to {3} in
@@ -570,6 +594,9 @@ def main() -> None:
                     "ann_ivfpq_index_was_cached": ivfpq_cached,
                     "ann_ivf_kmeans_recall_at3_by_nprobe": curve,
                     "ann_ivfpq_recall_at3_by_nprobe": ivfpq_curve,
+                    "ann_ivfpq_drift_recall_by_gen": drift_curve,
+                    "ann_ivfpq_drift_s": ivfpq_drift_s,
+                    "ann_ivfpq_drift_was_cached": drift_cached,
                     "langid_trigram_accuracy": langid_acc,
                     "langid_mixture_accuracy": langid_mix_acc,
                     "knn_graph_recall_at3": knn_recalls["knn_graph_topk"],

@@ -3129,14 +3129,19 @@ def _pq_l2(v, c, n):
 # partial dots) → a candidate-generation ADC (variant-specific) → RERANK
 # (exact cosine on the shortlist).  ann_pq_adc_topk / ann_pq_search_topk
 # use the full-corpus ADC; ann_ivfpq_topk swaps in the IVF-scoped ADC.
-def _pq_build_ctes(train_pred: str = "TRUE") -> str:
+def _pq_build_ctes(
+    train_pred: str = "TRUE", query_pred: str = "vec_id < 10"
+) -> str:
     """The PQ build mirrored as DuckDB CTEs, parameterized by the
     TRAINING slice: seeds and the Lloyd recenter read only rows
     satisfying ``train_pred`` (bare ``vec_id`` scope), while encoding
     (``codes``) covers the whole table — exactly the assimilation
     contract, where the codebook is frozen on the day-0 corpus and the
     delta is encoded against it.  ``TRUE`` (the default, used by every
-    pre-r16 oracle) trains on everything — the original build."""
+    pre-r16 oracle) trains on everything — the original build.
+    ``query_pred`` scopes the LUT's query set (default: the registry's
+    vec_id < 10 convention; the drift monitor restricts it to queries
+    that live in the base slice so every generation can rerank them)."""
     return f"""subs AS (
   SELECT unnest(generate_series(0, {_PQ_M - 1})) AS s
 ), unitv AS (
@@ -3183,7 +3188,7 @@ def _pq_build_ctes(train_pred: str = "TRUE") -> str:
          round6(list_sum(list_transform(generate_series(1, {_PQ_SUB}),
            i -> q.ve[i] * cb.ce[i]))) AS pdot_r
   FROM vsub q JOIN cb ON cb.s = q.s
-  WHERE q.vec_id < 10
+  WHERE q.{query_pred}
 )"""
 
 
@@ -3455,6 +3460,175 @@ def ann_ivfpq_assimilate_topk(spark, sf_dir):
         nprobe=_IVFPQ_NPROBE, k=3, shortlist=_PQ_SHORTLIST,
     )
 
+
+#: Drift-monitor slices: generation g's index covers vec_id % 10 < 7 + g
+#: (base trains on % 10 < 7; deltas % 10 = 7 then 8 assimilate on the
+#: frozen artifacts).  Queries are ids 0–6 — inside the base slice, so
+#: every generation can exact-rerank them from its own unitv.  The PQ
+#: seeds (% 50 = 0) and IVF centroids (% 100 = 0) all satisfy
+#: % 10 < 7, so the frozen sets equal the full-corpus build's.
+_DRIFT_BASE_PRED = "vec_id % 10 < 7"
+_DRIFT_QPRED = "vec_id < 7"
+_DRIFT_GENS = 3
+
+_IVFPQ_DRIFT_SQL = f"""
+WITH {_pq_build_ctes(_DRIFT_BASE_PRED, _DRIFT_QPRED)},
+cent AS (
+  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+  WHERE vec_id % 100 = 0 AND ({_DRIFT_BASE_PRED})
+),
+assign AS (
+  SELECT vec_id, c_id FROM (
+    SELECT a.vec_id, c.c_id,
+           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+             round6({_cos_sql_pair('a.embedding', 'c.c_emb')}) DESC,
+             c.c_id) AS rn
+    FROM embeddings a CROSS JOIN cent c
+  ) WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS q_id, c_id FROM (
+    SELECT a.vec_id, c.c_id,
+           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+             round6({_cos_sql_pair('a.embedding', 'c.c_emb')}) DESC,
+             c.c_id) AS rn
+    FROM (SELECT * FROM embeddings WHERE {_DRIFT_QPRED}) a
+    CROSS JOIN cent c
+  ) WHERE rn <= {_IVFPQ_NPROBE}
+), gens AS (
+  SELECT unnest(generate_series(0, {_DRIFT_GENS - 1})) AS gen
+), cov AS (
+  SELECT g.gen, e.vec_id FROM embeddings e CROSS JOIN gens g
+  WHERE e.vec_id % 10 < 7 + g.gen
+), adc AS (
+  SELECT cov.gen, lut.q_id, codes.vec_id AS n_id,
+         round6(sum(pdot_r)) AS adc_r
+  FROM codes
+  JOIN cov ON cov.vec_id = codes.vec_id
+  JOIN assign ON assign.vec_id = codes.vec_id
+  JOIN probes ON probes.c_id = assign.c_id
+  JOIN lut ON lut.s = codes.s AND lut.code = codes.code
+          AND lut.q_id = probes.q_id
+  WHERE codes.vec_id <> lut.q_id
+  GROUP BY cov.gen, lut.q_id, codes.vec_id
+), short AS (
+  SELECT gen, q_id, n_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY gen, q_id
+              ORDER BY adc_r DESC, n_id) AS srn
+    FROM adc
+  ) WHERE srn <= {_PQ_SHORTLIST}
+), approx AS (
+  SELECT gen, q_id, n_id FROM (
+    SELECT s.gen, s.q_id, s.n_id,
+           row_number() OVER (PARTITION BY s.gen, s.q_id ORDER BY
+             round6(list_sum(list_transform(generate_series(1, 64),
+               i -> uq.ue[i] * un.ue[i]))) DESC, s.n_id) AS rk
+    FROM short s JOIN unitv uq ON uq.vec_id = s.q_id
+                 JOIN unitv un ON un.vec_id = s.n_id
+  ) WHERE rk <= 3
+), exact AS (
+  SELECT gen, q_id, n_id FROM (
+    SELECT c.gen, q.vec_id AS q_id, e.vec_id AS n_id,
+           row_number() OVER (PARTITION BY c.gen, q.vec_id ORDER BY
+             round6({_cos_sql_pair('q.embedding', 'e.embedding')}) DESC,
+             e.vec_id) AS rk
+    FROM (SELECT * FROM embeddings WHERE {_DRIFT_QPRED}) q
+    CROSS JOIN embeddings e
+    JOIN cov c ON c.vec_id = e.vec_id
+    WHERE e.vec_id <> q.vec_id
+  ) WHERE rk <= 3
+), hits AS (
+  SELECT e.gen, count(*) AS n_matches
+  FROM exact e JOIN approx a
+    ON a.gen = e.gen AND a.q_id = e.q_id AND a.n_id = e.n_id
+  GROUP BY e.gen
+), corp AS (
+  SELECT gen, count(*) AS n_corpus FROM cov GROUP BY gen
+)
+SELECT corp.gen AS generation, corp.n_corpus,
+       COALESCE(hits.n_matches, 0) AS n_matches,
+       round4(COALESCE(hits.n_matches, 0) / (3.0 *
+         (SELECT count(*) FROM embeddings WHERE {_DRIFT_QPRED})))
+         AS recall_at_3
+FROM corp LEFT JOIN hits ON hits.gen = corp.gen
+"""
+
+
+@q("ann_ivfpq_recall_drift", _IVFPQ_DRIFT_SQL)
+def ann_ivfpq_recall_drift(spark, sf_dir):
+    """Recall-DRIFT monitor for IVFPQ assimilation chains — the number
+    that tells an operator when to RE-TRAIN: as daily deltas accumulate
+    on FROZEN codebooks and IVF centroids (the assimilation contract —
+    appends never retrain), the quantizer and the coarse partition were
+    fit to a corpus that no longer exists, and recall@k vs exact moves —
+    decaying when the delta distribution shifts away from the training
+    corpus (the signal to re-train; with the synthetic table's
+    stationary embeddings it instead edges up as true neighbors enter
+    the covered lists, which is exactly what a healthy chain looks
+    like).
+    One row per index GENERATION (base, +delta 1, +delta 2): covered
+    corpus size, exact-top-3 hits among the searched top-3 over a fixed
+    held-out query set, recall@3.
+
+    Everything is hash-judged, not just plumbed: the oracle rebuilds
+    the frozen artifacts (trained on the base slice only), replays the
+    probe → partition-scoped ADC → exact-rerank search per generation
+    against that generation's covered rows, computes the SAME exact
+    top-3 ground truth per covered slice, and intersects — so the
+    monitor's recall numbers are pinned cross-engine, generation by
+    generation.  The Spark side runs the REAL artifact chain:
+    ``ensure_ivfpq_index`` on the base, two ``assimilate_ivfpq_index``
+    generations, ``ivfpq_search`` + ``brute_topk`` per generation.
+    100 TB: the probe set is bounded, each generation's search reads
+    nprobe inverted lists, the exact side is one broadcast-queries scan
+    of the covered slice — run it on the assimilation cadence and
+    re-train (a new ``ensure_ivfpq_index`` generation) when recall@k
+    crosses the floor."""
+    from mycenae_spark.functions import pq
+    from mycenae_spark.functions.similarity import brute_topk
+
+    e = t(spark, sf_dir, "embeddings")
+    base_pred = F.col("vec_id") % 10 < 7
+    queries = e.filter(F.col("vec_id") < 7).select("vec_id", "embedding")
+    n_q = queries.count()
+
+    chain = [
+        pq.ensure_ivfpq_index(
+            spark, sf_dir, rounder=r6, pred=base_pred, pred_desc="mod10lt7"
+        )
+    ]
+    for mod in range(7, 7 + _DRIFT_GENS - 1):
+        chain.append(
+            pq.assimilate_ivfpq_index(
+                spark, chain[-1],
+                e.filter(F.col("vec_id") % 10 == mod)
+                .select("vec_id", "embedding"),
+                rounder=r6,
+            )
+        )
+
+    rows = []
+    for gen, idx_dir in enumerate(chain):
+        unitv, cb, codes, cent = pq.load_ivfpq_index(spark, idx_dir)
+        approx = pq.ivfpq_search(
+            unitv, cb, codes, cent, queries, rounder=r6,
+            nprobe=_IVFPQ_NPROBE, k=3, shortlist=_PQ_SHORTLIST,
+        ).select("q_id", "n_id")
+        covered = e.filter(F.col("vec_id") % 10 < 7 + gen)
+        exact = brute_topk(
+            covered, queries, 3, score_rounder=r6
+        ).select("q_id", "n_id")
+        stat = (
+            exact.join(approx, ["q_id", "n_id"], "left_semi")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()[0]
+        )
+        n_corpus = covered.count()
+        recall = float(round(stat["n"] / (3.0 * n_q) + 1e-9, 4))
+        rows.append((gen, n_corpus, stat["n"], recall))
+    return spark.createDataFrame(
+        rows,
+        "generation long, n_corpus long, n_matches long, recall_at_3 double",
+    )
 
 
 @q(
