@@ -484,6 +484,24 @@ def load_ivfpq_index(
     return _load_index(spark, index_dir, IVFPQ_TABLES)
 
 
+def _link_tree(src_root: str, dst_root: str) -> None:
+    """Hard-link one committed index table into a staging dir (parquet
+    directories compose by listing, so linked base files + newly written
+    files read as one table).  Falls back to a copy when the index root
+    spans filesystems (EXDEV)."""
+    for base, _dirs, files in os.walk(src_root):
+        rel = os.path.relpath(base, src_root)
+        dst = dst_root if rel == "." else os.path.join(dst_root, rel)
+        os.makedirs(dst, exist_ok=True)
+        for f in files:
+            if f == "_SUCCESS" and os.path.exists(os.path.join(dst, f)):
+                continue
+            try:
+                os.link(os.path.join(base, f), os.path.join(dst, f))
+            except OSError:
+                shutil.copy2(os.path.join(base, f), os.path.join(dst, f))
+
+
 def assimilate_ivfpq_index(
     spark: SparkSession,
     base_dir: str,
@@ -558,33 +576,78 @@ def assimilate_ivfpq_index(
             .parquet(os.path.join(staging, "codes"))
         )
 
-        def _link_tree(name):
-            src_root = os.path.join(base_dir, name)
-            dst_root = os.path.join(staging, name)
-            for base, _dirs, files in os.walk(src_root):
-                rel = os.path.relpath(base, src_root)
-                dst = (
-                    dst_root if rel == "." else os.path.join(dst_root, rel)
-                )
-                os.makedirs(dst, exist_ok=True)
-                for f in files:
-                    if f == "_SUCCESS" and os.path.exists(
-                        os.path.join(dst, f)
-                    ):
-                        continue
-                    try:
-                        os.link(
-                            os.path.join(base, f), os.path.join(dst, f)
-                        )
-                    except OSError:
-                        shutil.copy2(
-                            os.path.join(base, f), os.path.join(dst, f)
-                        )
+        # base rows compose with the delta file (unitv/codes); the frozen
+        # artifacts (codebook/centroids) link verbatim
+        for name in ("unitv", "codes", "codebook", "centroids"):
+            _link_tree(
+                os.path.join(base_dir, name), os.path.join(staging, name)
+            )
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    return _commit_index(dest, staging, fp)
 
-        _link_tree("unitv")   # base rows compose with the delta file
-        _link_tree("codes")   # inverted lists compose by listing
-        _link_tree("codebook")
-        _link_tree("centroids")
+
+def compact_ivfpq_index(spark: SparkSession, base_dir: str) -> str:
+    """Compact an IVFPQ assimilation CHAIN back to dense files — the ANN
+    twin of :func:`~mycenae_spark.functions.dedup.compact_sig_index`:
+    every :func:`assimilate_ivfpq_index` generation appends one more
+    parquet file to ``unitv/`` and to each touched ``codes/c_id=*/``
+    inverted list, so after N daily vector batches a search's
+    partition-pruned codes read lists-and-opens N files per probed list
+    and the rerank's unitv scan opens N files.  Compaction rewrites the
+    codes table to ONE file per inverted list (repartition on the
+    partition key — the directory layout IS the index structure, so
+    this is a pure physical change) and the unitv table to
+    ~128 MB-target files, links the frozen codebook/centroids verbatim,
+    and commits a NEW immutable CAS directory.  Searching the compacted
+    index is INDISTINGUISHABLE from searching the chain (same rows,
+    pytest-pinned and judged via the shared assimilation oracle).
+    Idempotent: the fingerprint chains deterministically off the
+    base's, so re-compacting is a cache hit.  Run on the re-train
+    cadence's off-weeks (or when files-per-list crosses a threshold);
+    searches in between pay at most chain-length file opens."""
+    marker = os.path.join(base_dir, _COMMIT_MARKER)
+    if not os.path.isfile(marker):
+        raise FileNotFoundError(
+            f"IVFPQ index at {base_dir!r} has no {_COMMIT_MARKER}; "
+            "refusing to compact a torn build"
+        )
+    _touch_index(base_dir)  # compaction is a USE for the GC age-out
+    with open(marker) as fh:
+        base_fp = fh.read().strip()
+    fp = hashlib.md5(
+        f"ivfpq-compact-v{PQ_BUILD_VERSION}|{base_fp}".encode()
+    ).hexdigest()[:16]
+    dest = os.path.join(_index_root(), f"ivfpq-{fp}")
+    if index_is_committed(dest):
+        _touch_index(dest)
+        return dest
+
+    unitv, _cb, codes, _cent = load_ivfpq_index(spark, base_dir)
+    # unitv target file count from the chain's on-disk bytes (the local
+    # index root is a plain filesystem path — the same invariant the
+    # hard-link composition relies on)
+    ubytes = sum(
+        os.path.getsize(os.path.join(b, f))
+        for b, _d, fs in os.walk(os.path.join(base_dir, "unitv"))
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, -(-ubytes // (128 << 20)))  # ceil-div, ≥ 1
+
+    staging = f"{dest}.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    try:
+        unitv.repartition(n_files).write.parquet(
+            os.path.join(staging, "unitv")
+        )
+        codes.repartition(F.col("c_id")).write.partitionBy("c_id").parquet(
+            os.path.join(staging, "codes")
+        )
+        for name in ("codebook", "centroids"):
+            _link_tree(
+                os.path.join(base_dir, name), os.path.join(staging, name)
+            )
     except BaseException:
         shutil.rmtree(staging, ignore_errors=True)
         raise

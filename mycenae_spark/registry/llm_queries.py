@@ -3461,6 +3461,47 @@ def ann_ivfpq_assimilate_topk(spark, sf_dir):
     )
 
 
+@q("ann_ivfpq_compact_topk", _IVFPQ_ASSIM_SQL)
+def ann_ivfpq_compact_topk(spark, sf_dir):
+    """IVFPQ chain COMPACTION — the read-amplification cap the ANN
+    append lifecycle needs (the ``dedup_media_index_compact`` precedent
+    at the vector family): each ``assimilate_ivfpq_index`` generation
+    appends one parquet file to ``unitv/`` and to every touched
+    inverted list, so after N daily vector batches a search opens N
+    files per probed list.  ``compact_ivfpq_index`` rewrites the chain
+    to ONE file per inverted list (+ size-targeted unitv files) — a
+    pure physical-layout change, frozen codebook/centroids linked
+    verbatim, committed as a new immutable CAS directory, idempotent by
+    chained fingerprint.
+
+    Judged as the full search-after-compact roundtrip on the same
+    day-0/day-1 split as ``ann_ivfpq_assimilate_topk``; the oracle is
+    VERBATIM that id's — compaction must be invisible in the search
+    results, and the shared hash proves it.  100 TB: run on the
+    re-train cadence's off-weeks or when files-per-list crosses a
+    threshold; searches in between pay at most chain-length opens."""
+    from mycenae_spark.functions import pq
+
+    e = t(spark, sf_dir, "embeddings")
+    delta_pred = F.col("vec_id") % 10 == 7
+    base_idx = pq.ensure_ivfpq_index(
+        spark, sf_dir, rounder=r6,
+        pred=~delta_pred, pred_desc="mod10ne7",
+    )
+    grown = pq.assimilate_ivfpq_index(
+        spark, base_idx,
+        e.filter(delta_pred).select("vec_id", "embedding"),
+        rounder=r6,
+    )
+    compacted = pq.compact_ivfpq_index(spark, grown)
+    unitv, cb, codes, cent = pq.load_ivfpq_index(spark, compacted)
+    queries = e.filter(F.col("vec_id") < 10).select("vec_id", "embedding")
+    return pq.ivfpq_search(
+        unitv, cb, codes, cent, queries, rounder=r6,
+        nprobe=_IVFPQ_NPROBE, k=3, shortlist=_PQ_SHORTLIST,
+    )
+
+
 #: Drift-monitor slices: generation g's index covers vec_id % 10 < 7 + g
 #: (base trains on % 10 < 7; deltas % 10 = 7 then 8 assimilate on the
 #: frozen artifacts).  Queries are ids 0–6 — inside the base slice, so

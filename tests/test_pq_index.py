@@ -690,3 +690,69 @@ def test_media_corpus_artifact_lifecycle(spark, index_root, tmp_path):
         if f.suffix == ".parquet":
             f.write_bytes(f.read_bytes() + b"x")
     assert mm.media_corpus_fingerprint(str(sf), "png") != fp1
+
+
+def test_ivfpq_compact_equals_chain(spark, index_root):
+    """compact_ivfpq_index: searching the compacted index returns exactly
+    the chain's rows (pure physical change), the codes table collapses to
+    one file per inverted list, re-compacting is an idempotent cache hit,
+    and a torn chain refuses."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from mycenae_spark.functions import pq
+    from mycenae_spark.sources.tables import load_table
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    delta_pred = F.col("vec_id") % 10 == 7
+    base = pq.ensure_ivfpq_index(
+        spark, SF_DIR, rounder=r6, pred=~delta_pred, pred_desc="mod10ne7"
+    )
+    grown = pq.assimilate_ivfpq_index(
+        spark, base, e.filter(delta_pred).select("vec_id", "embedding"),
+        rounder=r6,
+    )
+    compacted = pq.compact_ivfpq_index(spark, grown)
+    assert compacted not in (base, grown)
+    assert pq.compact_ivfpq_index(spark, grown) == compacted  # idempotent
+
+    queries = e.filter(F.col("vec_id") < 10).select("vec_id", "embedding")
+
+    def search(d):
+        unitv, cb, codes, cent = pq.load_ivfpq_index(spark, d)
+        return {
+            tuple(r)
+            for r in pq.ivfpq_search(
+                unitv, cb, codes, cent, queries, rounder=r6, nprobe=8, k=3
+            ).collect()
+        }
+
+    assert search(compacted) == search(grown)
+
+    def files_per_list(d):
+        root = os.path.join(d, "codes")
+        return {
+            sub: sum(
+                1 for f in os.listdir(os.path.join(root, sub))
+                if f.endswith(".parquet")
+            )
+            for sub in os.listdir(root)
+            if sub.startswith("c_id=")
+        }
+
+    chain_files = files_per_list(grown)
+    compact_files = files_per_list(compacted)
+    assert set(compact_files) == set(chain_files)  # same inverted lists
+    assert all(n == 1 for n in compact_files.values())
+    assert any(n > 1 for n in chain_files.values())  # the chain amplified
+    # unitv compacts to the size-targeted file count (1 at this scale)
+    n_unitv = sum(
+        1 for f in os.listdir(os.path.join(compacted, "unitv"))
+        if f.endswith(".parquet")
+    )
+    assert n_unitv == 1
+
+    os.remove(os.path.join(grown, "_COMMITTED"))
+    with pytest.raises(FileNotFoundError):
+        pq.compact_ivfpq_index(spark, grown)
