@@ -3502,6 +3502,158 @@ def ann_ivfpq_compact_topk(spark, sf_dir):
     )
 
 
+#: ANN-bridge slices: the base index covers vec_id % 20 ∉ {2, 3}; day 1
+#: streams % 20 = 2, day 2 streams % 20 = 3 (both capped < 500 so the
+#: query/assimilation batch stays bounded at any scale factor).  PQ
+#: seeds (% 50 = 0 → % 20 ∈ {0, 10}) and IVF centroids (% 100 = 0 →
+#: % 20 = 0) all live in the base slice, so the frozen artifacts equal
+#: a full-corpus build's.
+_ANN_BRIDGE_BASE = "vec_id % 20 NOT IN (2, 3)"
+_ANN_BRIDGE_QPRED = "vec_id % 20 IN (2, 3) AND vec_id < 500"
+
+_ANN_BRIDGE_SQL = f"""
+WITH {_pq_build_ctes(_ANN_BRIDGE_BASE, _ANN_BRIDGE_QPRED)},
+cent AS (
+  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+  WHERE vec_id % 100 = 0 AND ({_ANN_BRIDGE_BASE})
+),
+assign AS (
+  SELECT vec_id, c_id FROM (
+    SELECT a.vec_id, c.c_id,
+           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+             round6({_cos_sql_pair('a.embedding', 'c.c_emb')}) DESC,
+             c.c_id) AS rn
+    FROM embeddings a CROSS JOIN cent c
+  ) WHERE rn = 1
+), qday AS (
+  SELECT vec_id, CASE WHEN vec_id % 20 = 2 THEN 1 ELSE 2 END AS day
+  FROM embeddings WHERE {_ANN_BRIDGE_QPRED}
+), probes AS (
+  SELECT vec_id AS q_id, c_id FROM (
+    SELECT a.vec_id, c.c_id,
+           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+             round6({_cos_sql_pair('a.embedding', 'c.c_emb')}) DESC,
+             c.c_id) AS rn
+    FROM (SELECT * FROM embeddings WHERE {_ANN_BRIDGE_QPRED}) a
+    CROSS JOIN cent c
+  ) WHERE rn <= {_IVFPQ_NPROBE}
+), cov AS (
+  SELECT d.day, e.vec_id
+  FROM embeddings e CROSS JOIN (VALUES (1), (2)) d(day)
+  WHERE e.vec_id % 20 NOT IN (2, 3)
+     OR (d.day = 2 AND e.vec_id % 20 = 2 AND e.vec_id < 500)
+), adc AS (
+  SELECT qd.day, lut.q_id, codes.vec_id AS n_id,
+         round6(sum(pdot_r)) AS adc_r
+  FROM codes
+  JOIN assign ON assign.vec_id = codes.vec_id
+  JOIN probes ON probes.c_id = assign.c_id
+  JOIN lut ON lut.s = codes.s AND lut.code = codes.code
+          AND lut.q_id = probes.q_id
+  JOIN qday qd ON qd.vec_id = lut.q_id
+  JOIN cov ON cov.vec_id = codes.vec_id AND cov.day = qd.day
+  GROUP BY qd.day, lut.q_id, codes.vec_id
+), short AS (
+  SELECT day, q_id, n_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY day, q_id
+              ORDER BY adc_r DESC, n_id) AS srn
+    FROM adc
+  ) WHERE srn <= {_PQ_SHORTLIST}
+), scored AS (
+  SELECT s.day, s.q_id, s.n_id,
+         round6(list_sum(list_transform(generate_series(1, 64),
+           i -> uq.ue[i] * un.ue[i]))) AS cos_r
+  FROM short s JOIN unitv uq ON uq.vec_id = s.q_id
+               JOIN unitv un ON un.vec_id = s.n_id
+)
+SELECT day, q_id, n_id, rk, cos_r FROM (
+  SELECT *, row_number() OVER (PARTITION BY day, q_id
+            ORDER BY cos_r DESC, n_id) AS rk
+  FROM scored
+) WHERE rk <= 3
+"""
+
+
+@q("stream_ann_assimilate_roundtrip", _ANN_BRIDGE_SQL)
+def stream_ann_assimilate_roundtrip(spark, sf_dir):
+    """Daily VECTOR ingest as ONE streaming job — the ANN twin of
+    ``stream_media_assimilate_roundtrip``: two crawl-day jsonl files of
+    raw ``(vec_id, embedding)`` rows drain through ``foreachBatch``;
+    each micro-batch is top-3-searched against the CURRENT IVFPQ
+    generation (the external-vector serving kernel — no self to
+    exclude, the batch is not indexed yet), its neighbor rows land in a
+    parquet lake table, and the whole batch is assimilated into a new
+    generation on the frozen codebook/centroids
+    (streaming/assimilate.py::ann_assimilate_stream).
+
+    Day 2's searches run against an index that already covers day 1's
+    vectors — the oracle states exactly that: per-day coverage (base
+    for day 1, base ∪ day 1 for day 2), frozen artifacts trained on the
+    base slice only, probe → coverage-scoped ADC → exact-rerank
+    replayed per day, EVERY output row hash-checked (not counts — the
+    actual neighbor ids and rounded cosines).  100 TB: this is the
+    embedding-ingest job — search reads nprobe inverted lists per
+    query, assimilation appends ∝ |batch|, the corpus is never
+    re-encoded, compaction and the recall-drift monitor run on their
+    own cadences."""
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from mycenae_spark.functions import pq
+    from mycenae_spark.streaming.assimilate import (
+        ANN_RESULT_SCHEMA,
+        ann_assimilate_stream,
+    )
+
+    e = t(spark, sf_dir, "embeddings")
+    base_pred = ~((F.col("vec_id") % 20).isin(2, 3))
+    base_dir = pq.ensure_ivfpq_index(
+        spark, sf_dir, rounder=r6, pred=base_pred, pred_desc="mod20ne23"
+    )
+
+    base = tempfile.mkdtemp(prefix="sannassim_rt_")
+    try:
+        src = os.path.join(base, "src")
+        os.makedirs(src)
+        rdir = os.path.join(base, "results")
+        # Bounded driver hop by construction: each day slice is capped
+        # (< 500 ∧ one residue class) — ≤ 25 rows at any judged scale.
+        for day, mod in ((1, 2), (2, 3)):
+            rows = (
+                e.filter((F.col("vec_id") % 20 == mod)
+                         & (F.col("vec_id") < 500))
+                .select("vec_id", "embedding")
+                .collect()
+            )
+            with open(os.path.join(src, f"day{day}.jsonl"), "w") as f:
+                f.write("\n".join(
+                    _json.dumps({"vec_id": r["vec_id"], "day": day,
+                                 "embedding": list(r["embedding"])})
+                    for r in rows
+                ))
+        now = _time.time()
+        os.utime(os.path.join(src, "day1.jsonl"), (now - 60, now - 60))
+        os.utime(os.path.join(src, "day2.jsonl"), (now, now))
+
+        chain = ann_assimilate_stream(
+            spark, src, base_dir, rdir, rounder=r6,
+            k=3, nprobe=_IVFPQ_NPROBE, shortlist=_PQ_SHORTLIST,
+        )
+        if len(chain) != 3:
+            raise AssertionError(
+                f"expected 3 index generations, got {len(chain)}: {chain}"
+            )
+        res = spark.read.schema(ANN_RESULT_SCHEMA).parquet(rdir)
+        rows = res.collect()
+        res_schema = res.schema
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, res_schema)
+
+
 #: Drift-monitor slices: generation g's index covers vec_id % 10 < 7 + g
 #: (base trains on % 10 < 7; deltas % 10 = 7 then 8 assimilate on the
 #: frozen artifacts).  Queries are ids 0–6 — inside the base slice, so

@@ -46,6 +46,26 @@ VERDICT_SCHEMA = (
     "media_id long, day int, dup_of long, n_idx_matches long, is_dup int"
 )
 
+#: Read-back schema of the ANN-bridge search-result lake table.
+ANN_RESULT_SCHEMA = "day int, q_id long, n_id long, rk int, cos_r double"
+
+
+def _single_day(batch: DataFrame, epoch_id: int) -> int | None:
+    """The per-batch day guard both bridges share: one file = one crawl
+    batch = one day.  Returns the day, or None for an empty batch; a
+    batch spanning days refuses loudly (see the media bridge's sink for
+    the rationale)."""
+    days = [r["day"] for r in batch.select("day").distinct().collect()]
+    if not days:
+        return None
+    if len(days) != 1:
+        raise ValueError(
+            f"micro-batch {epoch_id} spans days {sorted(days)}; "
+            "the bridge probes-then-assimilates per batch, so each "
+            "batch must be one crawl day (keep maxFilesPerTrigger=1)"
+        )
+    return days[0]
+
 
 def media_assimilate_stream(
     spark: SparkSession,
@@ -91,22 +111,9 @@ def media_assimilate_stream(
     chain = [base_index_dir]
 
     def sink(batch: DataFrame, epoch_id: int) -> None:
-        days = [r["day"] for r in batch.select("day").distinct().collect()]
-        if not days:
+        day = _single_day(batch, epoch_id)
+        if day is None:
             return  # empty micro-batch: nothing to verdict or assimilate
-        if len(days) != 1:
-            # One file = one crawl batch = one day is the source contract
-            # (maxFilesPerTrigger=1).  A mixed batch means the caller
-            # raised the trigger size past the file granularity — the
-            # verdicts would still be sound, but "probe then assimilate
-            # WITHIN the batch" no longer matches the per-day batch
-            # lifecycle this bridge promises, so refuse loudly.
-            raise ValueError(
-                f"micro-batch {epoch_id} spans days {sorted(days)}; "
-                "the bridge probes-then-assimilates per batch, so each "
-                "batch must be one crawl day (keep maxFilesPerTrigger=1)"
-            )
-        day = days[0]
         payloads = batch.withColumn(
             "payload", F.unbase64("payload_b64")
         ).select("media_id", "payload")
@@ -161,5 +168,79 @@ def media_assimilate_stream(
         .start(),
         timeout,
         "media_assimilate_stream",
+    )
+    return chain
+
+
+def ann_assimilate_stream(
+    spark: SparkSession,
+    src_dir: str,
+    base_index_dir: str,
+    result_dir: str,
+    *,
+    rounder,
+    k: int = 3,
+    nprobe: int = 8,
+    shortlist: int | None = None,
+    max_files_per_trigger: int = 1,
+    timeout: int = 180,
+) -> list[str]:
+    """The ANN twin of :func:`media_assimilate_stream` — daily VECTOR
+    ingest as one streaming job: each micro-batch of
+    ``vec_id long, day int, embedding array<float>`` jsonl rows is
+    searched against the CURRENT committed IVFPQ generation (the
+    external-vector serving form, :func:`~mycenae_spark.functions.pq.
+    ivfpq_search_vectors` — incoming vectors are not in the index yet,
+    so there is no self to exclude), its top-k neighbor rows land in
+    ``result_dir`` as parquet (:data:`ANN_RESULT_SCHEMA`), and the whole
+    batch is assimilated into a NEW generation — so the next batch's
+    search already sees this batch's vectors.  Returns the index chain.
+
+    Unlike the dedup bridge there is no keep-filter: vector ingest
+    keeps everything (near-dup policy belongs to the dedup families);
+    the search output is the batch's nearest-neighbor context — the
+    enrichment a training pipeline attaches at ingest (labels from
+    neighbors, novelty scores, cluster routing).  Scale posture: the
+    search reads nprobe inverted lists per query via partition pruning,
+    assimilation writes ∝ |batch| against frozen artifacts, and the
+    driver carries only the generation pointer.  Compact the chain on
+    the usual cadence (:func:`~mycenae_spark.functions.pq.
+    compact_ivfpq_index`); re-train when the recall-drift monitor says
+    so (``ann_ivfpq_recall_drift``)."""
+    from mycenae_spark.functions import pq
+    from mycenae_spark.registry.util import await_or_raise
+
+    sl = pq.PQ_SHORTLIST if shortlist is None else shortlist
+    chain = [base_index_dir]
+
+    def sink(batch: DataFrame, epoch_id: int) -> None:
+        day = _single_day(batch, epoch_id)
+        if day is None:
+            return
+        vecs = batch.select("vec_id", "embedding")
+        unitv, cb, codes, cent = pq.load_ivfpq_index(spark, chain[-1])
+        res = pq.ivfpq_search_vectors(
+            unitv, cb, codes, cent, vecs, rounder,
+            nprobe=nprobe, k=k, shortlist=sl,
+        ).select(
+            F.lit(day).cast("int").alias("day"),
+            "q_id", "n_id", "rk", "cos_r",
+        )
+        res.write.mode("append").parquet(result_dir)
+        chain.append(
+            pq.assimilate_ivfpq_index(spark, chain[-1], vecs, rounder)
+        )
+
+    stream = (
+        spark.readStream.schema("vec_id long, day int, embedding array<float>")
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .json(src_dir)
+    )
+    await_or_raise(
+        stream.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start(),
+        timeout,
+        "ann_assimilate_stream",
     )
     return chain

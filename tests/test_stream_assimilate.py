@@ -226,3 +226,74 @@ def test_bridge_mixed_day_batch_refuses(spark, index_root, tmp_path):
     )
     with pytest.raises(Exception, match="spans days"):
         media_assimilate_stream(spark, src, base_dir, vdir, timeout=60)
+
+
+def test_ann_bridge_matches_batch_lifecycle(spark, index_root, tmp_path):
+    """ann_assimilate_stream: day 2's search rows equal the hand-run
+    batch composition (assimilate day 1, then ivfpq_search_vectors on
+    the grown generation), the chain grows one generation per batch,
+    and every batch vector is searchable afterwards."""
+    import json
+
+    from mycenae_spark.functions import pq
+    from mycenae_spark.registry.util import r6
+    from mycenae_spark.sources.tables import load_table
+    from mycenae_spark.streaming.assimilate import (
+        ANN_RESULT_SCHEMA,
+        ann_assimilate_stream,
+    )
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    base_pred = ~((F.col("vec_id") % 20).isin(2, 3))
+    base_dir = pq.ensure_ivfpq_index(
+        spark, SF_DIR, rounder=r6, pred=base_pred, pred_desc="mod20ne23"
+    )
+
+    src = str(tmp_path / "src")
+    rdir = str(tmp_path / "results")
+    slices = {}
+    files = []
+    for day, mod in ((1, 2), (2, 3)):
+        rows = (
+            e.filter((F.col("vec_id") % 20 == mod) & (F.col("vec_id") < 500))
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        slices[day] = rows
+        files.append((
+            f"day{day}.jsonl",
+            [json.dumps({"vec_id": r["vec_id"], "day": day,
+                         "embedding": list(r["embedding"])}) for r in rows],
+        ))
+    _write_days(src, files)
+
+    chain = ann_assimilate_stream(
+        spark, src, base_dir, rdir, rounder=r6, k=3, nprobe=8
+    )
+    assert len(chain) == 3 and chain[0] == base_dir
+
+    res = spark.read.schema(ANN_RESULT_SCHEMA).parquet(rdir)
+    got_d2 = {
+        (r["q_id"], r["n_id"], r["rk"], r["cos_r"])
+        for r in res.filter("day = 2").collect()
+    }
+
+    # hand-run the batch verbs: assimilate day 1, search day 2 on gen 1
+    grown = pq.assimilate_ivfpq_index(
+        spark, base_dir,
+        spark.createDataFrame(slices[1], e.select("vec_id", "embedding").schema),
+        rounder=r6,
+    )
+    assert grown == chain[1]  # same delta content -> same committed dir
+    unitv, cb, codes, cent = pq.load_ivfpq_index(spark, grown)
+    hand = pq.ivfpq_search_vectors(
+        unitv, cb, codes, cent,
+        spark.createDataFrame(slices[2], e.select("vec_id", "embedding").schema),
+        r6, nprobe=8, k=3,
+    )
+    assert got_d2 == {
+        (r["q_id"], r["n_id"], r["rk"], r["cos_r"]) for r in hand.collect()
+    }
+    # every streamed query got k rows against a non-trivial index
+    n_q = len(slices[1]) + len(slices[2])
+    assert res.count() == 3 * n_q
