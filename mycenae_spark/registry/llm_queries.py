@@ -3606,6 +3606,7 @@ def stream_ann_assimilate_roundtrip(spark, sf_dir):
     from mycenae_spark.streaming.assimilate import (
         ANN_RESULT_SCHEMA,
         ann_assimilate_stream,
+        read_bridge_output,
     )
 
     e = t(spark, sf_dir, "embeddings")
@@ -3646,7 +3647,7 @@ def stream_ann_assimilate_roundtrip(spark, sf_dir):
             raise AssertionError(
                 f"expected 3 index generations, got {len(chain)}: {chain}"
             )
-        res = spark.read.schema(ANN_RESULT_SCHEMA).parquet(rdir)
+        res = read_bridge_output(spark, rdir, ANN_RESULT_SCHEMA)
         rows = res.collect()
         res_schema = res.schema
     finally:

@@ -3654,6 +3654,7 @@ def stream_media_assimilate_roundtrip(spark, sf_dir):
     from mycenae_spark.streaming.assimilate import (
         VERDICT_SCHEMA,
         media_assimilate_stream,
+        read_bridge_output,
     )
 
     def png_payload(d):
@@ -3729,8 +3730,7 @@ def stream_media_assimilate_roundtrip(spark, sf_dir):
 
         covers = {1: cover(chain[0]), 2: cover(chain[1])}
         out = (
-            spark.read.schema(VERDICT_SCHEMA)
-            .parquet(vdir)
+            read_bridge_output(spark, vdir, VERDICT_SCHEMA)
             .groupBy("day")
             .agg(
                 F.count(F.lit(1)).alias("n_assets"),

@@ -49,6 +49,90 @@ VERDICT_SCHEMA = (
 #: Read-back schema of the ANN-bridge search-result lake table.
 ANN_RESULT_SCHEMA = "day int, q_id long, n_id long, rk int, cos_r double"
 
+#: Chain manifest filename inside the output dir — the bridge's only
+#: cross-restart state besides the committed indexes themselves.
+_CHAIN_MANIFEST = "_chain.json"
+
+
+def read_bridge_output(spark: SparkSession, out_dir: str, schema: str):
+    """Read a bridge's lake table (verdicts / ANN results): one
+    ``batch_<day>/`` parquet directory per processed crawl day.  The
+    explicit schema keeps an empty or partial directory readable."""
+    import os
+
+    days = sorted(
+        d for d in (os.listdir(out_dir) if os.path.isdir(out_dir) else [])
+        if d.startswith("batch_")
+    )
+    reader = spark.read.schema(schema)
+    if not days:
+        return spark.createDataFrame([], schema)
+    return reader.parquet(*[os.path.join(out_dir, d) for d in days])
+
+
+def _load_chain(out_dir: str, base_index_dir: str) -> list[dict]:
+    """Recover the index chain from a previous (partial) run, or start
+    fresh at the base.  Entries are ``{"dir": ..., "day": ...}`` — the
+    day that PRODUCED each generation (None for the base), which is what
+    lets a replayed crash-batch probe the pre-day state (see the sinks).
+    Every recovered generation must still be a committed index whose
+    chain starts at THIS base — a manifest for a different base (caller
+    error) or a GC-swept generation refuses loudly rather than silently
+    re-probing the wrong corpus state."""
+    import json
+    import os
+
+    path = os.path.join(out_dir, _CHAIN_MANIFEST)
+    if not os.path.isfile(path):
+        return [{"dir": base_index_dir, "day": None}]
+    with open(path) as fh:
+        chain = json.load(fh)
+    if chain[0]["dir"] != base_index_dir:
+        raise ValueError(
+            f"chain manifest at {path!r} starts at {chain[0]['dir']!r}, "
+            f"not the requested base {base_index_dir!r} — use a fresh "
+            "output dir for a different base index"
+        )
+    from mycenae_spark.functions.pq import _COMMIT_MARKER
+
+    for e in chain:
+        if not os.path.isfile(os.path.join(e["dir"], _COMMIT_MARKER)):
+            raise FileNotFoundError(
+                f"recovered chain generation {e['dir']!r} is missing or "
+                "torn (GC-swept?); rebuild from the base with a fresh "
+                "output dir"
+            )
+    return chain
+
+
+def _save_chain(out_dir: str, chain: list[dict]) -> None:
+    """Persist the chain manifest atomically (write + rename) so a crash
+    mid-save leaves the previous manifest intact."""
+    import json
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = os.path.join(out_dir, f"{_CHAIN_MANIFEST}.tmp.{os.getpid()}")
+    with open(tmp, "w") as fh:
+        json.dump(chain, fh)
+    os.replace(tmp, os.path.join(out_dir, _CHAIN_MANIFEST))
+
+
+def _probe_state(chain: list[dict], day: int) -> str:
+    """The index generation a batch for ``day`` must probe: normally the
+    chain head — but if some generation was already PRODUCED by this
+    very day, the batch is an at-least-once REPLAY (a crash between
+    assimilation and the source-checkpoint commit, or a full re-run
+    over the same output dir), and probing at-or-past that generation
+    would find the batch's own keeps as duplicates of themselves.
+    Replays probe the pre-day state instead, recompute byte-identical
+    verdicts, and re-assimilate into a fingerprint cache hit — the
+    whole loop is idempotent under replay of any prefix."""
+    for i, e in enumerate(chain):
+        if e["day"] == day:
+            return chain[i - 1]["dir"]
+    return chain[-1]["dir"]
+
 
 def _single_day(batch: DataFrame, epoch_id: int) -> int | None:
     """The per-batch day guard both bridges share: one file = one crawl
@@ -78,6 +162,7 @@ def media_assimilate_stream(
     max_hamming: int = 5,
     max_files_per_trigger: int = 1,
     timeout: int = 180,
+    checkpoint_dir: str | None = None,
 ) -> list[str]:
     """Run the bridge over ``src_dir`` (jsonl files of
     ``media_id long, day int, payload_b64 string`` rows — the bus/spool
@@ -87,13 +172,25 @@ def media_assimilate_stream(
     that kept at least one asset.  Verdicts (one row per asset:
     smallest-id index match within ``max_hamming``, match count, is_dup)
     land in ``verdict_dir`` as parquet, readable with
-    :data:`VERDICT_SCHEMA`.
+    :func:`read_bridge_output` (:data:`VERDICT_SCHEMA`).
 
     Semantics contract (pinned by tests and the judged roundtrip):
     processing N files through this bridge is INDISTINGUISHABLE from
     running the batch probe → keep → assimilate verbs N times by hand —
     same signatures, same valve decisions, same verdicts, same final
     index content as a from-scratch rebuild over base ∪ all keeps.
+
+    Restart discipline — ``foreachBatch`` is at-least-once, and every
+    leg of this sink is idempotent under replay: verdicts write to a
+    per-day ``batch_<day>/`` directory with overwrite (a replayed day
+    rewrites the same deterministic rows instead of appending
+    duplicates), assimilation is a cache hit on the chained content
+    fingerprint (same base + same delta → the same committed
+    directory), and the chain pointer persists to a manifest in
+    ``verdict_dir`` after every batch so a restarted job (pass
+    ``checkpoint_dir`` to resume the SOURCE position too) continues
+    from the generation it actually reached instead of re-probing the
+    base.  The daily loop survives a driver crash at any point.
 
     Undecodable / too-small payloads get a null signature from the
     decode kernel: they are verdicted as keeps (``dup_of = -1`` — no
@@ -108,12 +205,15 @@ def media_assimilate_stream(
     from mycenae_spark.functions.multimodal import dhash_media
     from mycenae_spark.registry.util import await_or_raise
 
-    chain = [base_index_dir]
+    chain = _load_chain(verdict_dir, base_index_dir)
 
     def sink(batch: DataFrame, epoch_id: int) -> None:
+        import os
+
         day = _single_day(batch, epoch_id)
         if day is None:
             return  # empty micro-batch: nothing to verdict or assimilate
+        probe_base = _probe_state(chain, day)
         payloads = batch.withColumn(
             "payload", F.unbase64("payload_b64")
         ).select("media_id", "payload")
@@ -125,7 +225,7 @@ def media_assimilate_stream(
             .localCheckpoint(eager=True)
         )
         matches = probe_sig_index(
-            spark, chain[-1], sigs, "media_id", "dhash",
+            spark, probe_base, sigs, "media_id", "dhash",
             bits=bits, n_segments=n_segments, max_hamming=max_hamming,
         )
         agg = matches.groupBy("probe_id").agg(
@@ -143,7 +243,9 @@ def media_assimilate_stream(
             .otherwise(F.lit(0))
             .alias("is_dup"),
         ).localCheckpoint(eager=True)  # verdict read + keeps derivation
-        verdicts.write.mode("append").parquet(verdict_dir)
+        verdicts.write.mode("overwrite").parquet(
+            os.path.join(verdict_dir, f"batch_{day}")  # idempotent replay
+        )
         keeps = sigs.join(
             verdicts.filter(F.col("is_dup") == 1).select("media_id"),
             "media_id",
@@ -152,24 +254,25 @@ def media_assimilate_stream(
         if keeps.limit(1).count() == 0:
             log.info("bridge day %s: all-dup batch, index chain unchanged",
                      day)
+            _save_chain(verdict_dir, chain)
             return
-        chain.append(
-            assimilate_sig_index(spark, chain[-1], keeps, "media_id", "dhash")
+        grown = assimilate_sig_index(
+            spark, probe_base, keeps, "media_id", "dhash"
         )
+        if all(grown != e["dir"] for e in chain):  # replay → cache hit
+            chain.append({"dir": grown, "day": day})
+        _save_chain(verdict_dir, chain)
 
     stream = (
         spark.readStream.schema("media_id long, day int, payload_b64 string")
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .json(src_dir)
     )
-    await_or_raise(
-        stream.writeStream.foreachBatch(sink)
-        .trigger(availableNow=True)
-        .start(),
-        timeout,
-        "media_assimilate_stream",
-    )
-    return chain
+    writer = stream.writeStream.foreachBatch(sink).trigger(availableNow=True)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    await_or_raise(writer.start(), timeout, "media_assimilate_stream")
+    return [e["dir"] for e in chain]
 
 
 def ann_assimilate_stream(
@@ -184,6 +287,7 @@ def ann_assimilate_stream(
     shortlist: int | None = None,
     max_files_per_trigger: int = 1,
     timeout: int = 180,
+    checkpoint_dir: str | None = None,
 ) -> list[str]:
     """The ANN twin of :func:`media_assimilate_stream` — daily VECTOR
     ingest as one streaming job: each micro-batch of
@@ -192,33 +296,41 @@ def ann_assimilate_stream(
     external-vector serving form, :func:`~mycenae_spark.functions.pq.
     ivfpq_search_vectors` — incoming vectors are not in the index yet,
     so there is no self to exclude), its top-k neighbor rows land in
-    ``result_dir`` as parquet (:data:`ANN_RESULT_SCHEMA`), and the whole
-    batch is assimilated into a NEW generation — so the next batch's
-    search already sees this batch's vectors.  Returns the index chain.
+    ``result_dir`` as parquet (read with :func:`read_bridge_output` /
+    :data:`ANN_RESULT_SCHEMA`), and the whole batch is assimilated into
+    a NEW generation — so the next batch's search already sees this
+    batch's vectors.  Returns the index chain.
 
     Unlike the dedup bridge there is no keep-filter: vector ingest
     keeps everything (near-dup policy belongs to the dedup families);
     the search output is the batch's nearest-neighbor context — the
     enrichment a training pipeline attaches at ingest (labels from
-    neighbors, novelty scores, cluster routing).  Scale posture: the
-    search reads nprobe inverted lists per query via partition pruning,
-    assimilation writes ∝ |batch| against frozen artifacts, and the
-    driver carries only the generation pointer.  Compact the chain on
-    the usual cadence (:func:`~mycenae_spark.functions.pq.
-    compact_ivfpq_index`); re-train when the recall-drift monitor says
-    so (``ann_ivfpq_recall_drift``)."""
+    neighbors, novelty scores, cluster routing).  Same restart
+    discipline as the media bridge: per-day overwrite writes, the
+    persisted chain manifest, replay-safe pre-day search state
+    (searching a generation that already contains the batch would
+    return every vector as its own top-1), optional source checkpoint.
+    Scale posture: the search reads nprobe inverted lists per query via
+    partition pruning, assimilation writes ∝ |batch| against frozen
+    artifacts, and the driver carries only the generation pointer.
+    Compact the chain on the usual cadence
+    (:func:`~mycenae_spark.functions.pq.compact_ivfpq_index`); re-train
+    when the recall-drift monitor says so (``ann_ivfpq_recall_drift``)."""
     from mycenae_spark.functions import pq
     from mycenae_spark.registry.util import await_or_raise
 
     sl = pq.PQ_SHORTLIST if shortlist is None else shortlist
-    chain = [base_index_dir]
+    chain = _load_chain(result_dir, base_index_dir)
 
     def sink(batch: DataFrame, epoch_id: int) -> None:
+        import os
+
         day = _single_day(batch, epoch_id)
         if day is None:
             return
+        search_base = _probe_state(chain, day)
         vecs = batch.select("vec_id", "embedding")
-        unitv, cb, codes, cent = pq.load_ivfpq_index(spark, chain[-1])
+        unitv, cb, codes, cent = pq.load_ivfpq_index(spark, search_base)
         res = pq.ivfpq_search_vectors(
             unitv, cb, codes, cent, vecs, rounder,
             nprobe=nprobe, k=k, shortlist=sl,
@@ -226,21 +338,21 @@ def ann_assimilate_stream(
             F.lit(day).cast("int").alias("day"),
             "q_id", "n_id", "rk", "cos_r",
         )
-        res.write.mode("append").parquet(result_dir)
-        chain.append(
-            pq.assimilate_ivfpq_index(spark, chain[-1], vecs, rounder)
+        res.write.mode("overwrite").parquet(
+            os.path.join(result_dir, f"batch_{day}")  # idempotent replay
         )
+        grown = pq.assimilate_ivfpq_index(spark, search_base, vecs, rounder)
+        if all(grown != e["dir"] for e in chain):  # replay → cache hit
+            chain.append({"dir": grown, "day": day})
+        _save_chain(result_dir, chain)
 
     stream = (
         spark.readStream.schema("vec_id long, day int, embedding array<float>")
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .json(src_dir)
     )
-    await_or_raise(
-        stream.writeStream.foreachBatch(sink)
-        .trigger(availableNow=True)
-        .start(),
-        timeout,
-        "ann_assimilate_stream",
-    )
-    return chain
+    writer = stream.writeStream.foreachBatch(sink).trigger(availableNow=True)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    await_or_raise(writer.start(), timeout, "ann_assimilate_stream")
+    return [e["dir"] for e in chain]

@@ -33,6 +33,7 @@ from mycenae_spark.functions.multimodal import (
 from mycenae_spark.streaming.assimilate import (
     VERDICT_SCHEMA,
     media_assimilate_stream,
+    read_bridge_output,
 )
 
 from tests.conftest import SF_DIR
@@ -121,7 +122,7 @@ def test_bridge_matches_batch_lifecycle(spark, index_root, tmp_path):
     chain = media_assimilate_stream(spark, src, base_dir, vdir)
     assert len(chain) == 3 and chain[0] == base_dir
 
-    v = spark.read.schema(VERDICT_SCHEMA).parquet(vdir)
+    v = read_bridge_output(spark, vdir, VERDICT_SCHEMA)
     got = {
         r["media_id"]: (r["day"], r["dup_of"], r["is_dup"])
         for r in v.collect()
@@ -208,7 +209,7 @@ def test_bridge_all_dup_batch_keeps_chain(spark, index_root, tmp_path):
     )
     chain = media_assimilate_stream(spark, src, base_dir, vdir)
     assert chain[0] == base_dir and len(chain) == 2  # day 1 grew nothing
-    v = spark.read.schema(VERDICT_SCHEMA).parquet(vdir)
+    v = read_bridge_output(spark, vdir, VERDICT_SCHEMA)
     assert v.filter("day = 1").agg(F.sum("is_dup")).collect()[0][0] == 2
     assert v.filter("day = 2").collect()[0]["is_dup"] == 0
 
@@ -272,7 +273,7 @@ def test_ann_bridge_matches_batch_lifecycle(spark, index_root, tmp_path):
     )
     assert len(chain) == 3 and chain[0] == base_dir
 
-    res = spark.read.schema(ANN_RESULT_SCHEMA).parquet(rdir)
+    res = read_bridge_output(spark, rdir, ANN_RESULT_SCHEMA)
     got_d2 = {
         (r["q_id"], r["n_id"], r["rk"], r["cos_r"])
         for r in res.filter("day = 2").collect()
@@ -297,3 +298,76 @@ def test_ann_bridge_matches_batch_lifecycle(spark, index_root, tmp_path):
     # every streamed query got k rows against a non-trivial index
     n_q = len(slices[1]) + len(slices[2])
     assert res.count() == 3 * n_q
+
+
+def test_bridge_checkpoint_restart(spark, index_root, tmp_path):
+    """Operational restart: day 1 drains with a source checkpoint; the
+    job 'comes back tomorrow' (same checkpoint + output dir) after day
+    2's file lands.  The recovered chain means day 2 probes day 1's
+    generation — and day 1's verdicts are not reprocessed or
+    duplicated."""
+    src = str(tmp_path / "src")
+    vdir = str(tmp_path / "verdicts")
+    ckpt = str(tmp_path / "ckpt")
+    base_dir = _base_index(spark, [(d, _png(d)) for d in range(6)])
+
+    _write_days(
+        src, [("day1.jsonl", [_jrow(1000 + d, 1, _png(d)) for d in (6, 7, 8)])]
+    )
+    chain1 = media_assimilate_stream(
+        spark, src, base_dir, vdir, checkpoint_dir=ckpt
+    )
+    assert len(chain1) == 2
+
+    # tomorrow: day 2 lands — a re-encode of a day-1 keep plus one new
+    _write_days(
+        src,
+        [
+            ("day1.jsonl", [_jrow(1000 + d, 1, _png(d)) for d in (6, 7, 8)]),
+            ("day2.jsonl", [_jrow(2000, 2, _gif(6)), _jrow(2001, 2, _png(9))]),
+        ],
+    )
+    chain2 = media_assimilate_stream(
+        spark, src, base_dir, vdir, checkpoint_dir=ckpt
+    )
+    assert chain2[:2] == chain1 and len(chain2) == 3
+
+    v = read_bridge_output(spark, vdir, VERDICT_SCHEMA)
+    assert v.count() == 5  # 3 day-1 rows (not duplicated) + 2 day-2 rows
+    got = {r["media_id"]: (r["dup_of"], r["is_dup"]) for r in v.collect()}
+    assert got[2000] == (1006, 1)  # caught via the RECOVERED chain
+    assert got[2001] == (-1, 0)
+
+
+def test_bridge_full_replay_idempotent(spark, index_root, tmp_path):
+    """At-least-once honesty: re-running the whole backlog over the same
+    output dir (no checkpoint → every batch replays) rewrites
+    byte-identical verdicts against each day's ORIGINAL pre-state and
+    leaves the chain unchanged — a replayed day must not see its own
+    keeps in the index it probes."""
+    src = str(tmp_path / "src")
+    vdir = str(tmp_path / "verdicts")
+    base_dir = _base_index(spark, [(d, _png(d)) for d in range(6)])
+    _write_days(
+        src,
+        [
+            ("day1.jsonl", [_jrow(1000 + d, 1, _png(d)) for d in (6, 7, 8)]),
+            ("day2.jsonl", [_jrow(2000, 2, _gif(6)), _jrow(2001, 2, _png(9))]),
+        ],
+    )
+    chain1 = media_assimilate_stream(spark, src, base_dir, vdir)
+    rows1 = sorted(
+        tuple(r) for r in read_bridge_output(
+            spark, vdir, VERDICT_SCHEMA).collect()
+    )
+    chain2 = media_assimilate_stream(spark, src, base_dir, vdir)
+    rows2 = sorted(
+        tuple(r) for r in read_bridge_output(
+            spark, vdir, VERDICT_SCHEMA).collect()
+    )
+    assert chain2 == chain1
+    assert rows2 == rows1
+    # specifically: the day-1 keeps are still keeps on replay (they WOULD
+    # be self-dups if the replay probed the grown chain head)
+    got = {r[0]: r[4] for r in rows2}  # media_id -> is_dup
+    assert got[1006] == 0 and got[1007] == 0 and got[1008] == 0
