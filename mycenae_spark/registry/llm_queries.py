@@ -5454,6 +5454,144 @@ def dedup_index_assimilate(spark, sf_dir):
     )
 
 
+@q(
+    "stream_text_assimilate_roundtrip",
+    """
+SELECT * FROM (VALUES
+  (CAST(1 AS INT), CAST(6 AS BIGINT), CAST(2 AS BIGINT),
+   CAST(0 AS BIGINT), CAST(4 AS BIGINT), CAST(10 AS BIGINT)),
+  (CAST(2 AS INT), CAST(5 AS BIGINT), CAST(1 AS BIGINT),
+   CAST(2 AS BIGINT), CAST(2 AS BIGINT), CAST(14 AS BIGINT))
+) AS t(day, n_docs, n_dup_day0, n_dup_day1, n_keeps, idx_cover)
+""",
+)
+def stream_text_assimilate_roundtrip(spark, sf_dir):
+    """The TEXT member of the streaming-bridge trio — the daily
+    document-crawl dedup loop as ONE job
+    (streaming/assimilate.py::text_assimilate_stream): two crawl-day
+    jsonl files drain through ``foreachBatch``; each micro-batch is
+    shingled + minhashed once, probed against the CURRENT committed
+    band-index generation, verdicted to a parquet lake table, and its
+    keeps append-merged into a NEW generation — so day 2's probe runs
+    against an index that already holds day 1's keeps.
+
+    The construction makes cross-batch assimilation the only way the
+    numbers work (the ``stream_media_assimilate_roundtrip`` design at
+    exact-text duplicates, which minhash banding catches with
+    certainty — identical shingle sets give identical signatures in
+    every band, and each document's vocabulary is otherwise disjoint):
+    a day-0 index over 10 documents; day 1 streams 2 retransmits of
+    day-0 texts + 4 new documents (keeps, assimilated); day 2 streams
+    2 retransmits OF DAY 1'S KEEPS (their ``dup_of`` ids are in day
+    1's 1000+ namespace — visible only through assimilation), 1 day-0
+    retransmit, and 2 new.  One row per day: doc count, dups split by
+    catching generation, keeps, and the distinct ids the probed
+    generation covered (10 then 14).  Constant oracle; ``sf_dir``
+    scopes only cache identity.  At 100 TB this is the crawler's text
+    pipeline: probe cost ∝ |batch| × bands with shard-pruned index
+    reads, assimilation writes ∝ keeps, the corpus is never re-hashed."""
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from mycenae_spark.functions.dedup import ensure_band_index
+    from mycenae_spark.streaming.assimilate import (
+        TEXT_VERDICT_SCHEMA,
+        read_bridge_output,
+        text_assimilate_stream,
+    )
+
+    def text(i):
+        return f"doc {i} token stream " + " ".join(
+            f"w{i}p{j}" for j in range(12)
+        )
+
+    base = tempfile.mkdtemp(prefix="stassim_rt_")
+    try:
+        src = os.path.join(base, "src")
+        os.makedirs(src)
+        vdir = os.path.join(base, "verdicts")
+
+        day0 = spark.createDataFrame(
+            [(i, text(i)) for i in range(10)], "doc_id long, text string"
+        )
+        base_dir = ensure_band_index(
+            spark, sf_dir, day0, "doc_id", "text",
+            pred_desc="stream_text_day0", n_bands=N_BANDS,
+            max_bucket_size=MAX_BUCKET,
+        )
+
+        def jrow(did, day, txt):
+            return _json.dumps({"doc_id": did, "day": day, "text": txt})
+
+        rows1 = [jrow(1000, 1, text(0)), jrow(1001, 1, text(1))] + [
+            jrow(1000 + i, 1, text(i)) for i in range(10, 14)
+        ]
+        rows2 = (
+            [jrow(2010, 2, text(10)), jrow(2011, 2, text(11))]
+            + [jrow(2002, 2, text(2))]
+            + [jrow(2000 + i, 2, text(i)) for i in (14, 15)]
+        )
+        with open(os.path.join(src, "day1.jsonl"), "w") as f:
+            f.write("\n".join(rows1))
+        with open(os.path.join(src, "day2.jsonl"), "w") as f:
+            f.write("\n".join(rows2))
+        now = _time.time()
+        os.utime(os.path.join(src, "day1.jsonl"), (now - 60, now - 60))
+        os.utime(os.path.join(src, "day2.jsonl"), (now, now))
+
+        chain = text_assimilate_stream(
+            spark, src, base_dir, vdir, n_bands=N_BANDS
+        )
+        if len(chain) != 3:
+            raise AssertionError(
+                f"expected 3 index generations, got {len(chain)}: {chain}"
+            )
+
+        def cover(gen_dir):
+            return (
+                spark.read.schema(
+                    "idx_id long, sig string, band int, shard bigint"
+                )
+                .parquet(os.path.join(gen_dir, "bands"))
+                .select("idx_id")
+                .distinct()
+                .count()
+            )
+
+        covers = {1: cover(chain[0]), 2: cover(chain[1])}
+        out = (
+            read_bridge_output(spark, vdir, TEXT_VERDICT_SCHEMA)
+            .groupBy("day")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(
+                    F.when(
+                        (F.col("dup_of") >= 0) & (F.col("dup_of") < 1000), 1
+                    ).otherwise(0)
+                ).alias("n_dup_day0"),
+                F.sum(
+                    F.when(F.col("dup_of") >= 1000, 1).otherwise(0)
+                ).alias("n_dup_day1"),
+                F.sum(F.lit(1) - F.col("is_dup")).alias("n_keeps"),
+            )
+        )
+        cov = spark.createDataFrame(
+            [(d, c) for d, c in covers.items()], "day int, idx_cover long"
+        )
+        res = out.join(cov, "day").select(
+            "day", "n_docs", "n_dup_day0", "n_dup_day1", "n_keeps",
+            "idx_cover",
+        )
+        rows = res.collect()
+        res_schema = res.schema
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, res_schema)
+
+
 # ------------------------------------------- DSIR importance resampling
 
 @q(

@@ -49,6 +49,11 @@ VERDICT_SCHEMA = (
 #: Read-back schema of the ANN-bridge search-result lake table.
 ANN_RESULT_SCHEMA = "day int, q_id long, n_id long, rk int, cos_r double"
 
+#: Read-back schema of the text-bridge verdict lake table.
+TEXT_VERDICT_SCHEMA = (
+    "doc_id long, day int, dup_of long, n_idx_matches long, is_dup int"
+)
+
 #: Chain manifest filename inside the output dir — the bridge's only
 #: cross-restart state besides the committed indexes themselves.
 _CHAIN_MANIFEST = "_chain.json"
@@ -272,6 +277,95 @@ def media_assimilate_stream(
     if checkpoint_dir is not None:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     await_or_raise(writer.start(), timeout, "media_assimilate_stream")
+    return [e["dir"] for e in chain]
+
+
+def text_assimilate_stream(
+    spark: SparkSession,
+    src_dir: str,
+    base_index_dir: str,
+    verdict_dir: str,
+    *,
+    n_bands: int = 4,
+    ngram: int = 3,
+    max_files_per_trigger: int = 1,
+    timeout: int = 180,
+    checkpoint_dir: str | None = None,
+) -> list[str]:
+    """The TEXT member of the bridge trio (media / text / vectors) —
+    daily DOCUMENT-crawl dedup as one streaming job over the minhash
+    band index: each micro-batch of ``doc_id long, day int, text
+    string`` jsonl rows is shingled + minhashed ONCE, probed against
+    the CURRENT committed band-index generation
+    (:func:`~mycenae_spark.functions.dedup.probe_band_index` — the
+    delta equi-joins (band, shard, sig), the corpus is never re-read or
+    re-hashed), its verdicts land in ``verdict_dir``
+    (:data:`TEXT_VERDICT_SCHEMA`, read with :func:`read_bridge_output`),
+    and the keeps append-merge into a NEW generation
+    (:func:`~mycenae_spark.functions.dedup.assimilate_band_index`) —
+    tomorrow's crawl sees today's keeps.  Returns the index chain.
+
+    Same restart discipline as the other bridges: per-day overwrite
+    writes, persisted chain manifest, replay-safe pre-day probe state,
+    optional source checkpoint.  Probe parameters must match the base
+    index's committed ``_params.json`` (a mismatch raises rather than
+    silently missing every collision); assimilation reads its
+    parameters from the same file, so the two legs cannot diverge."""
+    from mycenae_spark.functions.dedup import (
+        assimilate_band_index,
+        probe_band_index,
+    )
+    from mycenae_spark.registry.util import await_or_raise
+
+    chain = _load_chain(verdict_dir, base_index_dir)
+
+    def sink(batch: DataFrame, epoch_id: int) -> None:
+        import os
+
+        day = _single_day(batch, epoch_id)
+        if day is None:
+            return
+        probe_base = _probe_state(chain, day)
+        # ONE shingle+minhash pass upstream of both legs: the probe and
+        # the keeps' assimilation read this materialized frame.
+        docs = batch.select("doc_id", "text").localCheckpoint(eager=True)
+        verdicts = probe_band_index(
+            spark, probe_base, docs, "doc_id", "text",
+            n_bands=n_bands, ngram=ngram,
+        ).select(
+            "doc_id",
+            F.lit(day).cast("int").alias("day"),
+            "dup_of", "n_idx_matches", "is_dup",
+        ).localCheckpoint(eager=True)  # verdict write + keeps derivation
+        verdicts.write.mode("overwrite").parquet(
+            os.path.join(verdict_dir, f"batch_{day}")  # idempotent replay
+        )
+        keeps = docs.join(
+            verdicts.filter(F.col("is_dup") == 1).select("doc_id"),
+            "doc_id",
+            "left_anti",
+        )
+        if keeps.limit(1).count() == 0:
+            log.info("text bridge day %s: all-dup batch, chain unchanged",
+                     day)
+            _save_chain(verdict_dir, chain)
+            return
+        grown = assimilate_band_index(
+            spark, probe_base, keeps, "doc_id", "text"
+        )
+        if all(grown != e["dir"] for e in chain):  # replay → cache hit
+            chain.append({"dir": grown, "day": day})
+        _save_chain(verdict_dir, chain)
+
+    stream = (
+        spark.readStream.schema("doc_id long, day int, text string")
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .json(src_dir)
+    )
+    writer = stream.writeStream.foreachBatch(sink).trigger(availableNow=True)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    await_or_raise(writer.start(), timeout, "text_assimilate_stream")
     return [e["dir"] for e in chain]
 
 

@@ -371,3 +371,76 @@ def test_bridge_full_replay_idempotent(spark, index_root, tmp_path):
     # be self-dups if the replay probed the grown chain head)
     got = {r[0]: r[4] for r in rows2}  # media_id -> is_dup
     assert got[1006] == 0 and got[1007] == 0 and got[1008] == 0
+
+
+def test_text_bridge_matches_batch_lifecycle(spark, index_root, tmp_path):
+    """text_assimilate_stream: day 2 catches an exact-text retransmit of
+    a day-1 KEEP (cross-batch assimilation at the minhash band index),
+    and the final generation answers like a from-scratch rebuild over
+    base ∪ keeps."""
+    from mycenae_spark.streaming.assimilate import (
+        TEXT_VERDICT_SCHEMA,
+        text_assimilate_stream,
+    )
+
+    def text(i):
+        return f"doc {i} token stream " + " ".join(
+            f"w{i}p{j}" for j in range(12)
+        )
+
+    src = str(tmp_path / "src")
+    vdir = str(tmp_path / "verdicts")
+    day0 = spark.createDataFrame(
+        [(i, text(i)) for i in range(4)], "doc_id long, text string"
+    )
+    base_dir = dedup.ensure_band_index(
+        spark, SF_DIR, day0, "doc_id", "text",
+        pred_desc="text-bridge-test", n_bands=4, max_bucket_size=512,
+    )
+    _write_days(
+        src,
+        [
+            ("day1.jsonl", [
+                json.dumps({"doc_id": 1000, "day": 1, "text": text(0)}),
+                json.dumps({"doc_id": 1004, "day": 1, "text": text(4)}),
+            ]),
+            ("day2.jsonl", [
+                json.dumps({"doc_id": 2004, "day": 2, "text": text(4)}),
+                json.dumps({"doc_id": 2005, "day": 2, "text": text(5)}),
+            ]),
+        ],
+    )
+    chain = text_assimilate_stream(spark, src, base_dir, vdir)
+    assert len(chain) == 3 and chain[0] == base_dir
+
+    v = read_bridge_output(spark, vdir, TEXT_VERDICT_SCHEMA)
+    got = {r["doc_id"]: (r["day"], r["dup_of"], r["is_dup"])
+           for r in v.collect()}
+    assert got[1000] == (1, 0, 1)     # retransmit of base doc 0
+    assert got[1004] == (1, -1, 0)    # new -> keep, assimilated
+    assert got[2004] == (2, 1004, 1)  # caught ONLY via assimilation
+    assert got[2005] == (2, -1, 0)
+
+    # final generation == rebuild from scratch over base ∪ keeps
+    rebuilt = dedup.ensure_band_index(
+        spark, SF_DIR,
+        day0.unionByName(spark.createDataFrame(
+            [(1004, text(4)), (2005, text(5))], "doc_id long, text string"
+        )),
+        "doc_id", "text",
+        pred_desc="text-bridge-union", n_bands=4, max_bucket_size=512,
+    )
+    probes = spark.createDataFrame(
+        [(9000 + i, text(i)) for i in (0, 4, 5, 7)],
+        "doc_id long, text string",
+    )
+
+    def verdicts(d):
+        return {
+            (r["doc_id"], r["dup_of"], r["is_dup"])
+            for r in dedup.probe_band_index(
+                spark, d, probes, "doc_id", "text", n_bands=4
+            ).collect()
+        }
+
+    assert verdicts(chain[-1]) == verdicts(rebuilt)
