@@ -206,6 +206,18 @@ def test_ivfpq_search_prunes_inverted_lists(spark, tmp_path, monkeypatch):
     assert "BroadcastHashJoin" in plan
 
 
+def test_ivfpq_compact_search_still_prunes(spark, tmp_path, monkeypatch):
+    """ann_ivfpq_compact_topk's scale contract: compaction is a pure
+    physical-layout change, so the probed inverted-list ids must STILL
+    reach the (now one-file-per-list) codes scan as PartitionFilters —
+    a compaction that lost the partitionBy(c_id) layout would silently
+    turn every search into a full codes scan."""
+    monkeypatch.setenv("MYCENAE_INDEX_ROOT", str(tmp_path / "idx"))
+    plan = _plan(spark, "ann_ivfpq_compact_topk")
+    assert "PartitionFilters: [c_id" in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_stratified_sample_no_single_partition_exchange(spark):
     """sample_stratified's scale contract: decile assignment decomposes
     through the value histogram + per-value windows — nothing in the plan
