@@ -161,20 +161,27 @@ def _exact_rerank(
     qunitv: DataFrame,
     rounder: Rounder,
     k: int,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Exact-cosine re-rank of a (q_id, n_id) shortlist to top-k.
 
     Single-sourced for all three search paths (adc_search, ivfpq_search,
     ivfpq_search_vectors) the way the oracle single-sources its rerank
     tail (_PQ_RERANK_TAIL) — the tie-break and rounding cannot drift
-    between variants.  ``qunitv`` as in :func:`_query_lut`."""
+    between variants.  ``qunitv`` as in :func:`_query_lut`.
+    ``broadcast_queries=False`` is the BULK regime (see
+    :func:`ivfpq_search_vectors`): the query frame scales with the
+    batch, so the join strategy is left to Catalyst/AQE instead of
+    being forced driver-side."""
     uq = qunitv.select(
         F.col("vec_id").alias("q_id"), F.col("ue").alias("_uq")
     )
+    if broadcast_queries:
+        uq = F.broadcast(uq)
     un = unitv.select(F.col("vec_id").alias("n_id"), F.col("ue").alias("_un"))
     w_rank = Window.partitionBy("q_id").orderBy(F.desc("cos_r"), "n_id")
     return (
-        short.join(F.broadcast(uq), "q_id")
+        short.join(uq, "q_id")
         .join(un, "n_id")
         .withColumn("cos_r", rounder(dot(F.col("_uq"), F.col("_un"))))
         .withColumn("rk", F.row_number().over(w_rank))
@@ -190,21 +197,24 @@ def _ivf_adc_shortlist(
     rounder: Rounder,
     shortlist: int,
     exclude_self: bool,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """IVF-scoped ADC shortlist — the probed-lists → per-query-LUT →
     top-``shortlist`` stage shared by the corpus-query and
     external-vector searches.  ``exclude_self`` drops n_id == q_id
     (corpus queries: a vector is trivially its own neighbor); the
     serving path keeps it (client ids are a different namespace and the
-    identical corpus item IS the lookup answer)."""
+    identical corpus item IS the lookup answer).
+    ``broadcast_queries=False``: probe pairs and the LUT scale with the
+    query batch — in the bulk regime they join unforced (AQE picks)."""
     w_short = Window.partitionBy("q_id").orderBy(F.desc("adc_r"), "n_id")
-    s = pruned.withColumnRenamed("vec_id", "n_id").join(
-        F.broadcast(probe_pairs), "c_id"
-    )
+    pp = F.broadcast(probe_pairs) if broadcast_queries else probe_pairs
+    s = pruned.withColumnRenamed("vec_id", "n_id").join(pp, "c_id")
     if exclude_self:
         s = s.filter(F.col("n_id") != F.col("q_id"))
     return (
-        s.join(F.broadcast(lut), ["q_id", "s", "code"])
+        s.join(F.broadcast(lut) if broadcast_queries else lut,
+               ["q_id", "s", "code"])
         .groupBy("q_id", "n_id")
         .agg(rounder(F.sum("pdot_r")).alias("adc_r"))
         .withColumn("_srn", F.row_number().over(w_short))
@@ -727,6 +737,7 @@ def ivfpq_search_vectors(
     k: int = 3,
     shortlist: int = PQ_SHORTLIST,
     candidate_ids: DataFrame | None = None,
+    bulk: bool = False,
 ) -> DataFrame:
     """:func:`ivfpq_search` for EXTERNAL query vectors — the serving
     shape: the query set is a bounded batch of client-posted
@@ -739,9 +750,24 @@ def ivfpq_search_vectors(
     corpus vec_ids — excluding an unrelated corpus neighbor that happens
     to share the integer would silently drop a true match; finding the
     identical corpus item IS the lookup use-case), and every returned
-    ``n_id`` is a corpus id.  Same probe → partition-pruned ADC → exact
-    re-rank plan as the judged kernel, same driver-bounded probe collect
-    (#queries × nprobe pairs, bounded by the caller's request cap)."""
+    ``n_id`` is a corpus id.
+
+    Two regimes, identical results (pinned by test):
+
+    * **Serving** (default): the query batch is request-capped, so the
+      (q_id, c_id) probe pairs collect driver-side and re-enter as a
+      broadcast local relation, and the per-query LUT / rerank vectors
+      broadcast — the low-latency plan.
+    * **Bulk** (``bulk=True`` — the streaming-ingest bridge's daily
+      crawl, where a batch can be millions of vectors): NOTHING
+      query-proportional touches the driver or a broadcast.  Only the
+      distinct probed list ids collect (bounded by the CENTROID count,
+      not the batch); the probe pairs materialize once
+      (``localCheckpoint`` — same reason the serving path rebuilds them
+      as a local relation: the probe cross-join must not re-execute
+      inside the search DAG) and join unforced, as do the LUT and the
+      rerank query vectors — Catalyst/AQE picks broadcast vs shuffle
+      from actual sizes."""
     qunit = unit_embeddings(qvecs)
     cw = with_norm(cent, "embedding").select(
         "c_id", F.col("embedding").alias("_ce"), F.col("_norm").alias("_cn")
@@ -758,11 +784,18 @@ def ivfpq_search_vectors(
         .filter(F.col("_rn") <= nprobe)
         .select(F.col("vec_id").alias("q_id"), "c_id")
     )
-    probe_rows = [(r["q_id"], r["c_id"]) for r in probes.collect()]
-    probed_lists = sorted({c for _q, c in probe_rows})
-    probe_pairs = unitv.sparkSession.createDataFrame(
-        probe_rows, "q_id long, c_id long"
-    )
+    if bulk:
+        probe_pairs = probes.localCheckpoint(eager=True)
+        probed_lists = sorted(
+            r["c_id"]
+            for r in probe_pairs.select("c_id").distinct().collect()
+        )
+    else:
+        probe_rows = [(r["q_id"], r["c_id"]) for r in probes.collect()]
+        probed_lists = sorted({c for _q, c in probe_rows})
+        probe_pairs = unitv.sparkSession.createDataFrame(
+            probe_rows, "q_id long, c_id long"
+        )
 
     lut = _query_lut(qunit, cb, rounder)
     pruned = codes.filter(F.col("c_id").isin(probed_lists))
@@ -778,9 +811,12 @@ def ivfpq_search_vectors(
             "left_semi",
         )
     short = _ivf_adc_shortlist(
-        pruned, probe_pairs, lut, rounder, shortlist, exclude_self=False
+        pruned, probe_pairs, lut, rounder, shortlist,
+        exclude_self=False, broadcast_queries=not bulk,
     )
-    return _exact_rerank(short, unitv, qunit, rounder, k)
+    return _exact_rerank(
+        short, unitv, qunit, rounder, k, broadcast_queries=not bulk
+    )
 
 
 def gc_pq_indexes(max_age_s: float = 7 * 24 * 3600) -> list[str]:

@@ -428,6 +428,8 @@ def ann_assimilate_stream(
         res = pq.ivfpq_search_vectors(
             unitv, cb, codes, cent, vecs, rounder,
             nprobe=nprobe, k=k, shortlist=sl,
+            bulk=True,  # a crawl batch is not request-capped: nothing
+            #             query-proportional may touch the driver
         ).select(
             F.lit(day).cast("int").alias("day"),
             "q_id", "n_id", "rk", "cos_r",

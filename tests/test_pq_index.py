@@ -756,3 +756,44 @@ def test_ivfpq_compact_equals_chain(spark, index_root):
     os.remove(os.path.join(grown, "_COMMITTED"))
     with pytest.raises(FileNotFoundError):
         pq.compact_ivfpq_index(spark, grown)
+
+
+def test_ivfpq_search_vectors_bulk_equals_serving(spark, index_root):
+    """The bulk regime (streaming-ingest batches: no query-proportional
+    driver collect or forced broadcast) must return exactly the serving
+    regime's rows — same probes, same ADC, same rerank, different
+    physical plan only."""
+    import pyspark.sql.functions as F
+
+    from mycenae_spark.functions import pq
+    from mycenae_spark.sources.tables import load_table
+
+    idx = pq.ensure_ivfpq_index(spark, SF_DIR, rounder=r6)
+    unitv, cb, codes, cent = pq.load_ivfpq_index(spark, idx)
+    qvecs = (
+        load_table(spark, SF_DIR, "embeddings")
+        .filter(F.col("vec_id") < 12)
+        .select((F.col("vec_id") + 9000).alias("vec_id"), "embedding")
+    )
+
+    def rows(bulk):
+        return sorted(
+            tuple(r)
+            for r in pq.ivfpq_search_vectors(
+                unitv, cb, codes, cent, qvecs, r6,
+                nprobe=8, k=3, bulk=bulk,
+            ).collect()
+        )
+
+    serving, bulk = rows(False), rows(True)
+    assert serving == bulk and len(serving) > 0
+    # the bulk plan must still prune the codes scan to the probed lists
+    plan = (
+        pq.ivfpq_search_vectors(
+            unitv, cb, codes, cent, qvecs, r6, nprobe=8, k=3, bulk=True
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [c_id" in plan
