@@ -489,6 +489,28 @@ def main() -> None:
     drift_curve = {
         str(r["generation"]): r["recall_at_3"] for r in drift_rows
     }
+    # The re-train verb beside the drift curve: recall@3 of a generation
+    # RE-TRAINED on the chain's covered corpus, over the same held-out
+    # queries — the before/after the drift monitor's floor-crossing
+    # decision buys.  Exact ground truth over the covered slice.
+    from mycenae_spark.functions.similarity import brute_topk as _btk
+
+    _emb = _t(spark, sf_dir, "embeddings")
+    _rq = _emb.filter(F.col("vec_id") < 7).select("vec_id", "embedding")
+    _rt_rows = {
+        (r["q_id"], r["n_id"])
+        for r in QUERIES["ann_ivfpq_retrain_topk"](spark, sf_dir).collect()
+    }
+    _rt_exact = {
+        (r["q_id"], r["n_id"])
+        for r in _btk(
+            _emb.filter(F.col("vec_id") % 10 < 9), _rq, 3, score_rounder=_r6
+        ).collect()
+    }
+    retrain_recall = round(
+        len(_rt_rows & _rt_exact) / max(len(_rt_exact), 1), 3
+    )
+
     # cache-hit detection: every committed ivfpq-* marker predating this
     # call means no chain generation was written now.
     from mycenae_spark.functions.pq import _index_root as _iroot
@@ -597,6 +619,7 @@ def main() -> None:
                     "ann_ivfpq_drift_recall_by_gen": drift_curve,
                     "ann_ivfpq_drift_s": ivfpq_drift_s,
                     "ann_ivfpq_drift_was_cached": drift_cached,
+                    "ann_ivfpq_retrain_recall_at3": retrain_recall,
                     "langid_trigram_accuracy": langid_acc,
                     "langid_mixture_accuracy": langid_mix_acc,
                     "knn_graph_recall_at3": knn_recalls["knn_graph_topk"],

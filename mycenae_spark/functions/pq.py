@@ -664,6 +664,84 @@ def compact_ivfpq_index(spark: SparkSession, base_dir: str) -> str:
     return _commit_index(dest, staging, fp)
 
 
+def retrain_ivfpq_index(
+    spark: SparkSession,
+    chain_dir: str,
+    rounder: Rounder,
+    seed_mod: int = 50,
+    cent_mod: int = 100,
+) -> str:
+    """Cut a NEW TRAINED generation from an assimilation chain — the
+    verb the recall-drift monitor (``ann_ivfpq_recall_drift``) exists to
+    trigger: assimilation deliberately freezes the codebook and IVF
+    centroids, so after enough deltas the quantizer was fit to a corpus
+    that no longer exists; re-training rebuilds BOTH from the chain's
+    own covered corpus and re-encodes every vector against them.
+
+    Trains from the ARTIFACT, not the source table: the chain's
+    ``unitv`` (base ∪ every assimilated delta, unit-normalized at
+    ingest) is the one complete record of what the index covers — a
+    streamed delta may exist nowhere else.  Consequently every cosine
+    in the new generation's coarse structure is computed over UNIT
+    vectors (scale-invariant mathematically; pinned as the contract so
+    the oracle states the same arithmetic).  Seeds and centroids follow
+    the corpus-derived mod rules on the covered ids (every
+    ``seed_mod``-th / ``cent_mod``-th vector), the same sizing rule the
+    original build used.  Committed as a new immutable CAS directory;
+    idempotent by chained fingerprint; the old chain stays readable for
+    in-flight searches (the generation-pointer swap is the caller's one
+    atomic step, exactly as with assimilation)."""
+    from mycenae_spark.functions.similarity import ivf_assign
+
+    marker = os.path.join(chain_dir, _COMMIT_MARKER)
+    if not os.path.isfile(marker):
+        raise FileNotFoundError(
+            f"IVFPQ index at {chain_dir!r} has no {_COMMIT_MARKER}; "
+            "refusing to retrain from a torn build"
+        )
+    _touch_index(chain_dir)  # retraining is a USE for the GC age-out
+    with open(marker) as fh:
+        base_fp = fh.read().strip()
+    fp = hashlib.md5(
+        f"ivfpq-retrain-v{PQ_BUILD_VERSION}|s{seed_mod}|c{cent_mod}"
+        f"|{base_fp}".encode()
+    ).hexdigest()[:16]
+    dest = os.path.join(_index_root(), f"ivfpq-{fp}")
+    if index_is_committed(dest):
+        _touch_index(dest)
+        return dest
+
+    unitv, _cb, _codes, _cent = load_ivfpq_index(spark, chain_dir)
+    unitv = unitv.localCheckpoint(eager=True)  # 4 consumers below
+    _vsub, cb, codes = build_pq(unitv, rounder, seed_mod=seed_mod)
+    # unit vectors play the embedding role from here on (the documented
+    # contract): |ue| = 1, so cosine values are unchanged up to float
+    # noise, and BOTH engines compute the same formula on the same ue.
+    eue = unitv.select("vec_id", F.col("ue").alias("embedding"))
+    cent = eue.filter(F.col("vec_id") % cent_mod == 0).select(
+        F.col("vec_id").alias("c_id"), "embedding"
+    )
+    assign = ivf_assign(
+        eue, cent.select(F.col("c_id").alias("vec_id"), "embedding"),
+        score_rounder=rounder,
+    )
+    staging = f"{dest}.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    try:
+        unitv.write.parquet(os.path.join(staging, "unitv"))
+        cb.write.parquet(os.path.join(staging, "codebook"))
+        cent.write.parquet(os.path.join(staging, "centroids"))
+        (
+            codes.join(assign, "vec_id")
+            .repartition("c_id")
+            .write.partitionBy("c_id")
+            .parquet(os.path.join(staging, "codes"))
+        )
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    return _commit_index(dest, staging, fp)
+
+
 def ivfpq_search(
     unitv: DataFrame,
     cb: DataFrame,

@@ -3655,6 +3655,94 @@ def stream_ann_assimilate_roundtrip(spark, sf_dir):
     return spark.createDataFrame(rows, res_schema)
 
 
+#: The retrain contract: the chain's covered corpus (base % 10 < 7 plus
+#: the two assimilated deltas → % 10 < 9) re-trains BOTH the codebook
+#: and the IVF centroids; coarse cosines run over UNIT vectors (the
+#: artifact's unitv is the one complete record of a streamed corpus —
+#: raw embeddings of streamed deltas may exist nowhere else), which the
+#: oracle states as the same arithmetic.
+_RETRAIN_COV = "vec_id % 10 < 9"
+#: Same held-out query set as the drift monitor (ids 0-6, inside the
+#: original base slice) — defined here because this block precedes it.
+_RETRAIN_QPRED = "vec_id < 7"
+
+_IVFPQ_RETRAIN_SQL = f"""
+WITH {_pq_build_ctes(_RETRAIN_COV, _RETRAIN_QPRED)},
+cent AS (
+  SELECT vec_id AS c_id, ue AS c_ue FROM unitv
+  WHERE vec_id % 100 = 0 AND ({_RETRAIN_COV})
+),
+assign AS (
+  SELECT vec_id, c_id FROM (
+    SELECT u.vec_id, c.c_id,
+           row_number() OVER (PARTITION BY u.vec_id ORDER BY
+             round6({_cos_sql_pair('u.ue', 'c.c_ue')}) DESC,
+             c.c_id) AS rn
+    FROM (SELECT * FROM unitv WHERE {_RETRAIN_COV}) u CROSS JOIN cent c
+  ) WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS q_id, c_id FROM (
+    SELECT a.vec_id, c.c_id,
+           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+             round6({_cos_sql_pair('a.embedding', 'c.c_ue')}) DESC,
+             c.c_id) AS rn
+    FROM (SELECT * FROM embeddings WHERE {_RETRAIN_QPRED}) a
+    CROSS JOIN cent c
+  ) WHERE rn <= {_IVFPQ_NPROBE}
+), adc AS (
+  SELECT lut.q_id, codes.vec_id AS n_id, round6(sum(pdot_r)) AS adc_r
+  FROM codes
+  JOIN assign ON assign.vec_id = codes.vec_id
+  JOIN probes ON probes.c_id = assign.c_id
+  JOIN lut ON lut.s = codes.s AND lut.code = codes.code
+          AND lut.q_id = probes.q_id
+  WHERE codes.vec_id <> lut.q_id
+  GROUP BY lut.q_id, codes.vec_id
+), {_PQ_RERANK_TAIL}
+"""
+
+
+@q("ann_ivfpq_retrain_topk", _IVFPQ_RETRAIN_SQL)
+def ann_ivfpq_retrain_topk(spark, sf_dir):
+    """RE-TRAINING — the verb the recall-drift monitor triggers, closing
+    the chain lifecycle: assimilation freezes the codebook and IVF
+    centroids by design (that is what makes it an append), so when
+    ``ann_ivfpq_recall_drift`` says the quantizer has aged,
+    ``retrain_ivfpq_index`` cuts a NEW generation trained on the
+    chain's own covered corpus — codebook re-seeded and Lloyd-recentered
+    over base ∪ every assimilated delta, centroids re-picked by the
+    corpus mod rule, every vector re-encoded and re-assigned.  Trains
+    from the ARTIFACT's unitv (a streamed delta's raw embeddings may
+    exist nowhere else), so coarse cosines run over unit vectors — the
+    oracle states exactly that arithmetic alongside the trained-on-
+    covered CTEs, and search-after-retrain must hash-match it.  100 TB:
+    re-training is the expensive, occasional generation cut (one full
+    pass over covered unitv); the daily path stays append-only, and the
+    old chain remains readable until the caller swaps its generation
+    pointer."""
+    from mycenae_spark.functions import pq
+
+    e = t(spark, sf_dir, "embeddings")
+    base_pred = F.col("vec_id") % 10 < 7
+    chain = pq.ensure_ivfpq_index(
+        spark, sf_dir, rounder=r6, pred=base_pred, pred_desc="mod10lt7"
+    )
+    for mod in (7, 8):
+        chain = pq.assimilate_ivfpq_index(
+            spark, chain,
+            e.filter(F.col("vec_id") % 10 == mod)
+            .select("vec_id", "embedding"),
+            rounder=r6,
+        )
+    retrained = pq.retrain_ivfpq_index(spark, chain, rounder=r6)
+    unitv, cb, codes, cent = pq.load_ivfpq_index(spark, retrained)
+    queries = e.filter(F.col("vec_id") < 7).select("vec_id", "embedding")
+    return pq.ivfpq_search(
+        unitv, cb, codes, cent, queries, rounder=r6,
+        nprobe=_IVFPQ_NPROBE, k=3, shortlist=_PQ_SHORTLIST,
+    )
+
+
 #: Drift-monitor slices: generation g's index covers vec_id % 10 < 7 + g
 #: (base trains on % 10 < 7; deltas % 10 = 7 then 8 assimilate on the
 #: frozen artifacts).  Queries are ids 0–6 — inside the base slice, so

@@ -797,3 +797,59 @@ def test_ivfpq_search_vectors_bulk_equals_serving(spark, index_root):
         .toString()
     )
     assert "PartitionFilters: [c_id" in plan
+
+
+def test_ivfpq_retrain_from_chain(spark, index_root):
+    """retrain_ivfpq_index: cuts a committed generation whose codebook
+    and centroids come from the chain's covered corpus (not the frozen
+    day-0 artifacts), covers exactly the chain's ids, is idempotent, and
+    refuses a torn chain."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from mycenae_spark.functions import pq
+    from mycenae_spark.sources.tables import load_table
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    base_pred = F.col("vec_id") % 10 < 7
+    chain = pq.ensure_ivfpq_index(
+        spark, SF_DIR, rounder=r6, pred=base_pred, pred_desc="mod10lt7"
+    )
+    for mod in (7, 8):
+        chain = pq.assimilate_ivfpq_index(
+            spark, chain,
+            e.filter(F.col("vec_id") % 10 == mod)
+            .select("vec_id", "embedding"),
+            rounder=r6,
+        )
+    newgen = pq.retrain_ivfpq_index(spark, chain, rounder=r6)
+    assert newgen != chain
+    assert pq.retrain_ivfpq_index(spark, chain, rounder=r6) == newgen
+
+    old_u, _ocb, _oc, old_cent = pq.load_ivfpq_index(spark, chain)
+    new_u, _ncb, new_codes, new_cent = pq.load_ivfpq_index(spark, newgen)
+    ids = lambda df, c="vec_id": {r[c] for r in df.select(c).collect()}  # noqa: E731
+    covered = ids(old_u)
+    assert ids(new_u) == covered            # same coverage,
+    assert ids(new_codes) == covered        # every vector re-encoded
+    # centroids re-picked by the mod rule over the COVERED ids: the
+    # frozen chain only had base centroids; covered %100==0 is the same
+    # set here (mod-100 ⊂ mod-10<7), but they must now store unit vecs
+    new_c = {r["c_id"] for r in new_cent.collect()}
+    assert new_c == {i for i in covered if i % 100 == 0}
+    nrm = new_cent.select(
+        F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x)
+    ).collect()[0][0]
+    assert abs(nrm - 1.0) < 1e-9            # unit-vector contract
+
+    # retrained index answers (searchable end to end, k rows per query)
+    q = e.filter(F.col("vec_id") < 7).select("vec_id", "embedding")
+    got = pq.ivfpq_search(
+        new_u, _ncb, new_codes, new_cent, q, rounder=r6, nprobe=8, k=3
+    ).collect()
+    assert len(got) == 21
+
+    os.remove(os.path.join(chain, "_COMMITTED"))
+    with pytest.raises(FileNotFoundError):
+        pq.retrain_ivfpq_index(spark, chain, rounder=r6)
