@@ -489,6 +489,19 @@ def main() -> None:
     drift_curve = {
         str(r["generation"]): r["recall_at_3"] for r in drift_rows
     }
+    # cache-hit detection: every committed ivfpq-* marker predating the
+    # drift call means no chain generation was written by it.  MUST run
+    # before the retrain extra below — retraining mints its own ivfpq-*
+    # marker and would read as a false drift-chain build.
+    from mycenae_spark.functions.pq import _index_root as _iroot
+
+    drift_cached = not any(
+        os.path.getmtime(os.path.join(_iroot(), d, "_COMMITTED")) >= _wall_d
+        for d in os.listdir(_iroot())
+        if d.startswith("ivfpq-")
+        and os.path.isfile(os.path.join(_iroot(), d, "_COMMITTED"))
+    )
+
     # The re-train verb beside the drift curve: recall@3 of a generation
     # RE-TRAINED on the chain's covered corpus, over the same held-out
     # queries — the before/after the drift monitor's floor-crossing
@@ -509,17 +522,6 @@ def main() -> None:
     }
     retrain_recall = round(
         len(_rt_rows & _rt_exact) / max(len(_rt_exact), 1), 3
-    )
-
-    # cache-hit detection: every committed ivfpq-* marker predating this
-    # call means no chain generation was written now.
-    from mycenae_spark.functions.pq import _index_root as _iroot
-
-    drift_cached = not any(
-        os.path.getmtime(os.path.join(_iroot(), d, "_COMMITTED")) >= _wall_d
-        for d in os.listdir(_iroot())
-        if d.startswith("ivfpq-")
-        and os.path.isfile(os.path.join(_iroot(), d, "_COMMITTED"))
     )
 
     # Lang-id quality: accuracy = confusion-matrix diagonal mass.  The
