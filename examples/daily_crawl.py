@@ -32,22 +32,10 @@ import os
 import shutil
 import sys
 import tempfile
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from mycenae_spark.session import get_spark  # noqa: E402
-
-
-def write_days(src: str, files) -> None:
-    os.makedirs(src, exist_ok=True)
-    now = time.time()
-    for i, (name, rows) in enumerate(files):
-        p = os.path.join(src, name)
-        with open(p, "w") as f:
-            f.write("\n".join(rows))
-        back = 60 * (len(files) - i)
-        os.utime(p, (now - back, now - back))  # oldest-first batch order
 
 
 def main() -> None:  # noqa: PLR0915 — a linear three-act demo script
@@ -80,6 +68,7 @@ def main() -> None:  # noqa: PLR0915 — a linear three-act demo script
         media_assimilate_stream,
         read_bridge_output,
         text_assimilate_stream,
+        write_day_files,
     )
 
     work = tempfile.mkdtemp(prefix="daily_crawl_")
@@ -98,7 +87,7 @@ def main() -> None:  # noqa: PLR0915 — a linear three-act demo script
             n_bands=4, max_bucket_size=512,
         )
         t_src, t_out = os.path.join(work, "t_src"), os.path.join(work, "t_out")
-        write_days(t_src, [
+        write_day_files(t_src, [
             ("day1.jsonl",
              [json.dumps({"doc_id": 1000, "day": 1, "text": text(0)})] +
              [json.dumps({"doc_id": 1000 + i, "day": 1, "text": text(i)})
@@ -141,7 +130,7 @@ def main() -> None:  # noqa: PLR0915 — a linear three-act demo script
                                base64.b64encode(payload).decode()})
 
         m_src, m_out = os.path.join(work, "m_src"), os.path.join(work, "m_out")
-        write_days(m_src, [
+        write_day_files(m_src, [
             ("day1.jsonl", [mrow(1000 + d, 1, png(d)) for d in (6, 7, 8)]),
             # day 2 retransmits a day-1 keep RE-ENCODED as GIF: different
             # bytes, same pixels — only the signature index catches it
@@ -170,7 +159,7 @@ def main() -> None:  # noqa: PLR0915 — a linear three-act demo script
                             "embedding": list(r["embedding"])})
                 for r in rows
             ]))
-        write_days(a_src, files)
+        write_day_files(a_src, files)
         chain = ann_assimilate_stream(spark, a_src, a_base, a_out,
                                       rounder=r6, k=3, nprobe=8)
         res = read_bridge_output(spark, a_out, ANN_RESULT_SCHEMA)

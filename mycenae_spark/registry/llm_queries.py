@@ -3600,13 +3600,13 @@ def stream_ann_assimilate_roundtrip(spark, sf_dir):
     import os
     import shutil
     import tempfile
-    import time as _time
 
     from mycenae_spark.functions import pq
     from mycenae_spark.streaming.assimilate import (
         ANN_RESULT_SCHEMA,
         ann_assimilate_stream,
         read_bridge_output,
+        write_day_files,
     )
 
     e = t(spark, sf_dir, "embeddings")
@@ -3622,6 +3622,7 @@ def stream_ann_assimilate_roundtrip(spark, sf_dir):
         rdir = os.path.join(base, "results")
         # Bounded driver hop by construction: each day slice is capped
         # (< 500 ∧ one residue class) — ≤ 25 rows at any judged scale.
+        files = []
         for day, mod in ((1, 2), (2, 3)):
             rows = (
                 e.filter((F.col("vec_id") % 20 == mod)
@@ -3629,15 +3630,12 @@ def stream_ann_assimilate_roundtrip(spark, sf_dir):
                 .select("vec_id", "embedding")
                 .collect()
             )
-            with open(os.path.join(src, f"day{day}.jsonl"), "w") as f:
-                f.write("\n".join(
-                    _json.dumps({"vec_id": r["vec_id"], "day": day,
-                                 "embedding": list(r["embedding"])})
-                    for r in rows
-                ))
-        now = _time.time()
-        os.utime(os.path.join(src, "day1.jsonl"), (now - 60, now - 60))
-        os.utime(os.path.join(src, "day2.jsonl"), (now, now))
+            files.append((f"day{day}.jsonl", [
+                _json.dumps({"vec_id": r["vec_id"], "day": day,
+                             "embedding": list(r["embedding"])})
+                for r in rows
+            ]))
+        write_day_files(src, files)
 
         chain = ann_assimilate_stream(
             spark, src, base_dir, rdir, rounder=r6,
@@ -5582,13 +5580,13 @@ def stream_text_assimilate_roundtrip(spark, sf_dir):
     import os
     import shutil
     import tempfile
-    import time as _time
 
     from mycenae_spark.functions.dedup import ensure_band_index
     from mycenae_spark.streaming.assimilate import (
         TEXT_VERDICT_SCHEMA,
         read_bridge_output,
         text_assimilate_stream,
+        write_day_files,
     )
 
     def text(i):
@@ -5622,13 +5620,7 @@ def stream_text_assimilate_roundtrip(spark, sf_dir):
             + [jrow(2002, 2, text(2))]
             + [jrow(2000 + i, 2, text(i)) for i in (14, 15)]
         )
-        with open(os.path.join(src, "day1.jsonl"), "w") as f:
-            f.write("\n".join(rows1))
-        with open(os.path.join(src, "day2.jsonl"), "w") as f:
-            f.write("\n".join(rows2))
-        now = _time.time()
-        os.utime(os.path.join(src, "day1.jsonl"), (now - 60, now - 60))
-        os.utime(os.path.join(src, "day2.jsonl"), (now, now))
+        write_day_files(src, [("day1.jsonl", rows1), ("day2.jsonl", rows2)])
 
         chain = text_assimilate_stream(
             spark, src, base_dir, vdir, n_bands=N_BANDS

@@ -3640,7 +3640,6 @@ def stream_media_assimilate_roundtrip(spark, sf_dir):
     import os
     import shutil
     import tempfile
-    import time as _time
 
     from mycenae_spark.functions.dedup import ensure_sig_index
     from mycenae_spark.functions.multimodal import (
@@ -3655,6 +3654,7 @@ def stream_media_assimilate_roundtrip(spark, sf_dir):
         VERDICT_SCHEMA,
         media_assimilate_stream,
         read_bridge_output,
+        write_day_files,
     )
 
     def png_payload(d):
@@ -3699,16 +3699,7 @@ def stream_media_assimilate_roundtrip(spark, sf_dir):
             + [jrow(2000 + d, 2, png_payload(d)) for d in range(6, 9)]
             + [jrow(2000 + d, 2, png_payload(d)) for d in range(45, 51)]
         )
-        with open(os.path.join(src, "day1.jsonl"), "w") as f:
-            f.write("\n".join(rows1))
-        with open(os.path.join(src, "day2.jsonl"), "w") as f:
-            f.write("\n".join(rows2))
-        # The file source orders micro-batches by modification time
-        # (oldest first): pin day 1 strictly before day 2 so the chain
-        # dependency is deterministic, not an artifact of write speed.
-        now = _time.time()
-        os.utime(os.path.join(src, "day1.jsonl"), (now - 60, now - 60))
-        os.utime(os.path.join(src, "day2.jsonl"), (now, now))
+        write_day_files(src, [("day1.jsonl", rows1), ("day2.jsonl", rows2)])
 
         chain = media_assimilate_stream(spark, src, base_dir, vdir)
         if len(chain) != 3:

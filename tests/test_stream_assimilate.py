@@ -16,7 +16,6 @@ from __future__ import annotations
 import base64
 import json
 import os
-import time
 
 import pytest
 
@@ -34,6 +33,7 @@ from mycenae_spark.streaming.assimilate import (
     VERDICT_SCHEMA,
     media_assimilate_stream,
     read_bridge_output,
+    write_day_files as _write_days,
 )
 
 from tests.conftest import SF_DIR
@@ -61,17 +61,6 @@ def _jrow(mid, day, payload):
         {"media_id": mid, "day": day,
          "payload_b64": base64.b64encode(payload).decode()}
     )
-
-
-def _write_days(src, files):
-    """files: list of (name, [json rows]); mtimes pinned oldest-first."""
-    os.makedirs(src, exist_ok=True)
-    now = time.time()
-    for i, (name, rows) in enumerate(files):
-        p = os.path.join(src, name)
-        with open(p, "w") as f:
-            f.write("\n".join(rows))
-        os.utime(p, (now - 60 * (len(files) - i), now - 60 * (len(files) - i)))
 
 
 def _base_index(spark, payloads):
@@ -444,3 +433,85 @@ def test_text_bridge_matches_batch_lifecycle(spark, index_root, tmp_path):
         }
 
     assert verdicts(chain[-1]) == verdicts(rebuilt)
+
+
+def test_bridge_same_day_new_content_refuses(spark, index_root, tmp_path):
+    """A SECOND file tagged with an already-chained day but carrying
+    different content is not a replay: continuing would fork the chain
+    off the pre-day state (dropping the first file's keeps from the
+    head) and clobber its verdict rows — the bridge must refuse loudly
+    (review finding r16s2)."""
+    src = str(tmp_path / "src")
+    vdir = str(tmp_path / "verdicts")
+    base_dir = _base_index(spark, [(d, _png(d)) for d in range(3)])
+    _write_days(src, [("day1a.jsonl", [_jrow(1000, 1, _png(3))])])
+    chain = media_assimilate_stream(spark, src, base_dir, vdir)
+    assert len(chain) == 2
+    # an intraday top-up mis-tagged with the same day
+    _write_days(
+        src,
+        [
+            ("day1a.jsonl", [_jrow(1000, 1, _png(3))]),
+            ("day1b.jsonl", [_jrow(1001, 1, _png(4))]),
+        ],
+    )
+    with pytest.raises(Exception, match="DIFFERENT content"):
+        media_assimilate_stream(spark, src, base_dir, vdir, timeout=120)
+    # the original day-1 verdicts were not clobbered
+    v = read_bridge_output(spark, vdir, VERDICT_SCHEMA)
+    assert [r["media_id"] for r in v.collect()] == [1000]
+
+
+def test_bridge_all_dup_day_replay_idempotent(spark, index_root, tmp_path):
+    """Replay of a day that produced NO generation: the manifest records
+    no-generation days too, so the replayed day still probes its true
+    pre-day state instead of the post-state head (which by then holds a
+    later day's keeps) — verdicts must come out byte-identical (review
+    finding r16s2)."""
+    src = str(tmp_path / "src")
+    vdir = str(tmp_path / "verdicts")
+    base_dir = _base_index(spark, [(d, _png(d)) for d in range(6)])
+    _write_days(
+        src,
+        [
+            # day 1: all-dup (GIF re-encode of a base triple) -> no gen
+            ("day1.jsonl", [_jrow(1000, 1, _gif(0))]),
+            # day 2: a keep that the day-1 replay must NOT see
+            ("day2.jsonl", [_jrow(2000, 2, _png(6))]),
+            # day 3: dup of day 2's keep (needs the day-2 generation)
+            ("day3.jsonl", [_jrow(3000, 3, _gif(6))]),
+        ],
+    )
+    chain1 = media_assimilate_stream(spark, src, base_dir, vdir)
+    rows1 = sorted(
+        tuple(r)
+        for r in read_bridge_output(spark, vdir, VERDICT_SCHEMA).collect()
+    )
+    chain2 = media_assimilate_stream(spark, src, base_dir, vdir)
+    rows2 = sorted(
+        tuple(r)
+        for r in read_bridge_output(spark, vdir, VERDICT_SCHEMA).collect()
+    )
+    assert chain2 == chain1 and len(chain1) == 2  # only day 2 grew it
+    assert rows2 == rows1
+    got = {r[0]: (r[2], r[4]) for r in rows2}  # id -> (dup_of, is_dup)
+    assert got[1000] == (0, 1)
+    assert got[2000] == (-1, 0)
+    assert got[3000] == (2000, 1)  # via day-2's generation
+
+
+def test_bridge_null_day_refuses(spark, index_root, tmp_path):
+    """A crawl file whose rows lack the day field reads as null days —
+    silently treating it as empty would commit the source checkpoint
+    past real data, so the bridge refuses (review finding r16s2)."""
+    import json as _json
+
+    src = str(tmp_path / "src")
+    vdir = str(tmp_path / "verdicts")
+    base_dir = _base_index(spark, [(d, _png(d)) for d in range(3)])
+    _write_days(
+        src,
+        [("bad.jsonl", [_json.dumps({"media_id": 1, "payload_b64": "aGk="})])],
+    )
+    with pytest.raises(Exception, match="null 'day'"):
+        media_assimilate_stream(spark, src, base_dir, vdir, timeout=120)
