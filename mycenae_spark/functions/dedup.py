@@ -2233,6 +2233,60 @@ def compact_band_index(spark, base_dir: str) -> str:
     )
 
 
+def band_index_valve_report(spark, index_dir: str) -> DataFrame:
+    """The operator dial the capped index families lack an analog of the
+    ANN recall-drift monitor for: how much candidate mass has the
+    hot-bucket valve EXCISED from this committed band index, per band —
+    ``(band, n_buckets_capped, n_ids_capped, n_rows_kept)``.  A capped
+    bucket is recall deliberately traded away (its members can never be
+    paired through that band); this report is the number that tells an
+    operator whether the trade is still the one they signed up for —
+    rising excision mass across assimilation generations means the
+    corpus is accumulating boilerplate faster than the cap assumed, and
+    the response is a bigger cap + rebuild or an upstream scrub, not a
+    silent recall slide.
+
+    Reads only the committed accounting: ``capped/`` (the v2 excised-
+    bucket counts that assimilation keeps true across merged
+    generations) and the kept ``bands/`` rows — no corpus re-hash, cost
+    ∝ index size.  Bands that excised nothing (or kept nothing) still
+    report, zero-filled from the other side's domain."""
+    import os
+
+    from mycenae_spark.functions.pq import _COMMIT_MARKER, _touch_index
+
+    if not os.path.isfile(os.path.join(index_dir, _COMMIT_MARKER)):
+        raise FileNotFoundError(
+            f"band index at {index_dir!r} has no {_COMMIT_MARKER}; "
+            "refusing to read a torn build"
+        )
+    _touch_index(index_dir)
+    capped = spark.read.schema(_BAND_CAPPED_SCHEMA).parquet(
+        os.path.join(index_dir, "capped")
+    )
+    bands = spark.read.schema(
+        "idx_id long, sig string, band int, shard bigint"
+    ).parquet(os.path.join(index_dir, "bands"))
+    rep_c = capped.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_buckets_capped"),
+        F.sum("n").alias("n_ids_capped"),
+    )
+    rep_k = bands.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_rows_kept")
+    )
+    return (
+        rep_k.join(rep_c, "band", "full_outer")
+        .select(
+            "band",
+            F.coalesce("n_buckets_capped", F.lit(0)).alias(
+                "n_buckets_capped"
+            ),
+            F.coalesce("n_ids_capped", F.lit(0)).alias("n_ids_capped"),
+            F.coalesce("n_rows_kept", F.lit(0)).alias("n_rows_kept"),
+        )
+    )
+
+
 def jaccard_prefix_pairs(
     df: DataFrame,
     id_col: str,

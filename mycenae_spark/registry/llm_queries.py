@@ -5540,6 +5540,58 @@ def dedup_index_assimilate(spark, sf_dir):
     )
 
 
+#: The valve-report cap: small enough that the judged corpus carries
+#: REAL excision mass (at sf0.01 the band-bucket distribution tops out
+#: at 6 with dozens of ≥3 buckets), so both report branches are
+#: hash-checked with non-trivial numbers.
+_VALVE_REPORT_CAP = 4
+
+_VALVE_REPORT_SQL = f"""
+WITH sigs AS ({{sigs}}), bands AS ({{bands}}),
+bsz AS (
+  SELECT band, sig, count(*) AS n FROM bands GROUP BY band, sig
+)
+SELECT band,
+  CAST(count(*) FILTER (n > {_VALVE_REPORT_CAP}) AS BIGINT)
+    AS n_buckets_capped,
+  CAST(COALESCE(sum(n) FILTER (n > {_VALVE_REPORT_CAP}), 0) AS BIGINT)
+    AS n_ids_capped,
+  CAST(COALESCE(sum(n) FILTER (n <= {_VALVE_REPORT_CAP}), 0) AS BIGINT)
+    AS n_rows_kept
+FROM bsz GROUP BY band
+""".format(sigs=_SIGS_SQL, bands=_BANDS_SQL)
+
+
+@q("dedup_index_valve_report", _VALVE_REPORT_SQL)
+def dedup_index_valve_report(spark, sf_dir):
+    """Valve-EXCISION report — the operator dial for the capped dedup
+    indexes (the recall-drift monitor's analog at the exact families):
+    per band, how many hot buckets the build-time valve excised, how
+    many member rows went with them (recall deliberately traded away —
+    those ids can never pair through that band), and how many rows the
+    index kept.  Judged over an index built with a cap the corpus
+    actually exceeds, so both branches carry real mass; the oracle
+    recomputes the full band-bucket distribution from the corpus and
+    must agree with the COMMITTED ``capped/`` + ``bands/`` accounting —
+    proving the persisted numbers (which assimilation carries through
+    merged generations) match the data they summarize.  100 TB: the
+    report reads only the index artifact (no corpus re-hash); run it
+    per assimilation generation and alert on rising excision mass —
+    the signal that the corpus is accumulating boilerplate faster than
+    the cap assumed."""
+    from mycenae_spark.functions.dedup import (
+        band_index_valve_report,
+        ensure_band_index,
+    )
+
+    idx = ensure_band_index(
+        spark, sf_dir, t(spark, sf_dir, "documents"), "doc_id", "text",
+        pred_desc="all_docs", n_bands=N_BANDS,
+        max_bucket_size=_VALVE_REPORT_CAP,
+    )
+    return band_index_valve_report(spark, idx)
+
+
 @q(
     "stream_text_assimilate_roundtrip",
     """

@@ -853,3 +853,52 @@ def test_ivfpq_retrain_from_chain(spark, index_root):
     os.remove(os.path.join(chain, "_COMMITTED"))
     with pytest.raises(FileNotFoundError):
         pq.retrain_ivfpq_index(spark, chain, rounder=r6)
+
+
+def test_band_valve_report_tracks_assimilation(spark, index_root, tmp_path):
+    """band_index_valve_report over an ASSIMILATED chain equals the
+    report over an index rebuilt from scratch on the union — the
+    persisted capped/ accounting (which the merge kernel re-binds on
+    TRUE merged bucket sizes) matches the data at every generation,
+    including a bucket that only crossed the cap BECAUSE of the delta."""
+    from mycenae_spark.functions import dedup
+
+    sf = tmp_path / "sfV"
+    spark.createDataFrame(
+        [(i, "x") for i in range(40)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(sf / "documents.parquet"))
+
+    boiler = "the same boilerplate text repeated everywhere forever"
+    base = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon zeta"),
+         (10, boiler), (11, boiler)],
+        "doc_id long, text string",
+    )
+    delta = spark.createDataFrame(
+        [(3, "alpha beta gamma delta epsilon zeta"),  # crosses cap=2 NOW
+         (20, "fresh words never seen before anywhere")],
+        "doc_id long, text string",
+    )
+    kw = dict(n_bands=4, max_bucket_size=2)
+    base_dir = dedup.ensure_band_index(
+        spark, str(sf), base, "doc_id", "text", pred_desc="vbase", **kw
+    )
+    grown = dedup.assimilate_band_index(
+        spark, base_dir, delta, "doc_id", "text"
+    )
+    rebuilt = dedup.ensure_band_index(
+        spark, str(sf), base.unionByName(delta), "doc_id", "text",
+        pred_desc="vunion", **kw,
+    )
+
+    def report(d):
+        return sorted(
+            tuple(r)
+            for r in dedup.band_index_valve_report(spark, d).collect()
+        )
+
+    assert report(grown) == report(rebuilt)
+    # the alpha-triple bucket (3 > 2) is excised in BOTH, per band
+    g = {r[0]: r for r in report(grown)}
+    assert all(g[b][1] >= 1 and g[b][2] >= 3 for b in range(4))
