@@ -24,6 +24,9 @@ already speaks, backed by the Parquet lake + planner:
   over a posted asset batch, image (dhash/ahash) or audio (afp)
   (body: items[{id, payload b64}]/family/max_hamming/limit/after_key →
   duplicate groups + keep verdicts)
+* ``GET /keysets/{ks}/api/query/dedup_daily[?day=N]`` — per-crawl-day
+  dup-rate monitor over a streaming dedup bridge's verdict lake
+  (requires ``dedup_verdicts_dir``)
 * ``POST /api/expression/check``        — validate an expression
 * ``GET  /api/suggest?type=metrics&q=p&max=N`` (``type=tagv`` takes ``tagk=``)
 * ``GET  /api/aggregators`` / ``GET /api/config/filters``
@@ -95,6 +98,7 @@ class Engine:
         qsample_ladder: dict[int, str] | None = None,
         max_series: int | None = None,
         sim_dir: str | None = None,
+        dedup_verdicts_dir: str | None = None,
     ):
         self.spark = spark
         self.lake_dir = lake_dir
@@ -104,6 +108,10 @@ class Engine:
         #: serving ``POST .../api/query/similar`` over the committed
         #: IVFPQ artifact; ``None`` = the endpoint answers a typed 400.
         self.sim_dir = sim_dir
+        #: A streaming-bridge verdict lake (streaming/assimilate.py
+        #: ``batch_<day>/`` layout, media or text family) serving
+        #: ``GET .../api/query/dedup_daily``; ``None`` = typed 400.
+        self.dedup_verdicts_dir = dedup_verdicts_dir
         #: MaxTimeseries (SURVEY §2.3 L2): the reference REJECTS a query
         #: whose filters resolve to more series than this, rather than
         #: computing or truncating it — the guard that keeps one
@@ -1695,6 +1703,74 @@ class Engine:
     MAX_SIM_K = 100
     MAX_SIM_NPROBE = 32
 
+    def query_dedup_daily(self, day: str | None = None) -> dict:
+        """``GET /keysets/{ks}/api/query/dedup_daily[?day=N]`` — the
+        novelty monitor an operator actually watches over a streaming
+        dedup bridge's verdict lake: per crawl day, how many items
+        arrived, how many were duplicates of the committed corpus, how
+        many were kept (= assimilated), and the dup rate.  A rising dup
+        rate means the crawler is re-fetching; a falling one after a
+        source change means new material — either way this is the
+        first chart on the ingest dashboard.
+
+        Reads the ``batch_<day>/`` parquet layout both dedup bridges
+        write (media and text verdicts share the ``day / dup_of /
+        is_dup`` core; the id column differs and is not needed here —
+        the read projects by NAME, so one endpoint serves either
+        family's lake).  Requires the engine to be constructed with
+        ``dedup_verdicts_dir``; without it the endpoint answers a typed
+        400 — the verdict lake is a deployment choice, not a default.
+        Aggregates are day-bounded (one row per crawl day), so the
+        response is inherently small; optional ``day`` narrows to one
+        day (404-style empty days list, not an error)."""
+        if self.dedup_verdicts_dir is None:
+            raise ValueError(
+                "dedup verdict lake not configured: construct the engine "
+                "with dedup_verdicts_dir pointing at a streaming bridge's "
+                "output directory"
+            )
+        from mycenae_spark.streaming.assimilate import read_bridge_output
+
+        v = read_bridge_output(
+            self.spark, self.dedup_verdicts_dir,
+            "day int, dup_of long, is_dup int",
+        )
+        if day is not None:
+            try:
+                v = v.filter(F.col("day") == int(day))
+            except ValueError as exc:
+                raise ValueError(f"day must be an integer, got {day!r}") from exc
+        rows = (
+            v.groupBy("day")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.sum("is_dup").alias("n_dups"),
+            )
+            .orderBy("day")
+            .collect()
+        )
+        days = [
+            {
+                "day": r["day"],
+                "n_items": r["n_items"],
+                "n_dups": int(r["n_dups"]),
+                "n_keeps": r["n_items"] - int(r["n_dups"]),
+                "dup_rate": round(int(r["n_dups"]) / r["n_items"], 4),
+            }
+            for r in rows
+        ]
+        total_items = sum(d["n_items"] for d in days)
+        total_dups = sum(d["n_dups"] for d in days)
+        return {
+            "days": days,
+            "total": {
+                "n_items": total_items,
+                "n_dups": total_dups,
+                "dup_rate": round(total_dups / total_items, 4)
+                if total_items else 0.0,
+            },
+        }
+
     def query_similar(self, body: dict) -> dict:
         """``POST /keysets/{ks}/api/query/similar`` — the ANN family
         served over HTTP (r15 VERDICT item 3, the U49/U73 endpoint
@@ -1930,6 +2006,11 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._send(
                     200, self.engine.query_expression(qs["exp"][0])
                 )
+            if re.match(r"^/keysets/[^/]+/api/query/dedup_daily$", u.path):
+                return self._send(
+                    200,
+                    self.engine.query_dedup_daily(qs.get("day", [None])[0]),
+                )
             return self._send(404, {"error": f"no route {u.path}"})
         except Exception as exc:  # noqa: BLE001 — HTTP edge reports all errors
             return self._send(400, {"error": str(exc)})
@@ -2028,6 +2109,7 @@ def serve(
     ladder: dict[int, str] | None = None,
     max_series: int | None = None,
     sim_dir: str | None = None,
+    dedup_verdicts_dir: str | None = None,
 ) -> tuple[ThreadingHTTPServer, Thread]:
     """Start the façade on ``port`` (0 = ephemeral); returns (server, thread).
 
@@ -2040,13 +2122,17 @@ def serve(
     series are rejected with a 400 pre-flight (Engine._guard_series_cap).
     ``sim_dir`` (a directory holding ``embeddings.parquet``) enables the
     similarity endpoint (``POST .../api/query/similar``) over the
-    committed IVFPQ artifact; without it that endpoint answers 400."""
+    committed IVFPQ artifact; without it that endpoint answers 400.
+    ``dedup_verdicts_dir`` (a streaming dedup bridge's output lake)
+    enables ``GET .../api/query/dedup_daily`` — the per-day dup-rate
+    monitor; without it that endpoint answers 400."""
     handler = type(
         "BoundHandler",
         (_Handler,),
         {"engine": Engine(spark, lake_dir, catalog_dir, rollup_dir=rollup_dir,
                           ladder=ladder, max_series=max_series,
-                          sim_dir=sim_dir)},
+                          sim_dir=sim_dir,
+                          dedup_verdicts_dir=dedup_verdicts_dir)},
     )
     httpd = ThreadingHTTPServer(("127.0.0.1", port), handler)
     thread = Thread(target=httpd.serve_forever, daemon=True)

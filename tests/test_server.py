@@ -1510,3 +1510,63 @@ def test_similar_validation_is_typed_400(sim_server):
     for body in bad:
         code, err = _req(sim_server, "/keysets/k1/api/query/similar", body)
         assert code == 400 and "error" in err, body
+
+
+@pytest.fixture(scope="module")
+def dedup_daily_server(spark, tmp_path_factory):
+    """A server over a bridge-layout verdict lake (two crawl days in the
+    batch_<day>/ layout both dedup bridges write — the endpoint reads it
+    with the same read_bridge_output the bridges' own tests pin)."""
+    from mycenae_spark.streaming.assimilate import VERDICT_SCHEMA
+
+    d = tmp_path_factory.mktemp("dduplake")
+    vdir = d / "verdicts"
+    for day, rows in (
+        (1, [(1000, 1, 0, 3, 1), (1001, 1, -1, 0, 0), (1002, 1, -1, 0, 0)]),
+        (2, [(2000, 2, 1001, 3, 1), (2001, 2, 7, 1, 1), (2002, 2, -1, 0, 0)]),
+    ):
+        spark.createDataFrame(rows, VERDICT_SCHEMA).coalesce(1).write.parquet(
+            str(vdir / f"batch_{day}")
+        )
+    httpd, _ = serve(
+        spark, str(d / "lake"), str(d / "catalog"),
+        dedup_verdicts_dir=str(vdir),
+    )
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    yield base
+    httpd.shutdown()
+
+
+def test_dedup_daily_unconfigured_is_typed_400(server):
+    code, err = _req(server, "/keysets/k1/api/query/dedup_daily")
+    assert code == 400 and "not configured" in err["error"]
+
+
+def test_dedup_daily_reports_per_day_and_total(dedup_daily_server):
+    code, out = _req(dedup_daily_server, "/keysets/k1/api/query/dedup_daily")
+    assert code == 200
+    assert out["days"] == [
+        {"day": 1, "n_items": 3, "n_dups": 1, "n_keeps": 2,
+         "dup_rate": 0.3333},
+        {"day": 2, "n_items": 3, "n_dups": 2, "n_keeps": 1,
+         "dup_rate": 0.6667},
+    ]
+    assert out["total"] == {"n_items": 6, "n_dups": 3, "dup_rate": 0.5}
+
+
+def test_dedup_daily_day_filter_and_validation(dedup_daily_server):
+    code, out = _req(
+        dedup_daily_server, "/keysets/k1/api/query/dedup_daily?day=2"
+    )
+    assert code == 200 and len(out["days"]) == 1
+    assert out["days"][0]["day"] == 2 and out["days"][0]["n_dups"] == 2
+    # an unknown day is an empty answer, not an error
+    code, out = _req(
+        dedup_daily_server, "/keysets/k1/api/query/dedup_daily?day=9"
+    )
+    assert code == 200 and out["days"] == [] and out["total"]["n_items"] == 0
+    # a non-integer day is a typed 400
+    code, err = _req(
+        dedup_daily_server, "/keysets/k1/api/query/dedup_daily?day=x"
+    )
+    assert code == 400 and "must be an integer" in err["error"]
