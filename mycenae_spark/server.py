@@ -1735,6 +1735,19 @@ class Engine:
             self.spark, self.dedup_verdicts_dir,
             "day int, dup_of long, is_dup int",
         )
+        # Wrong-lake guard: an ANN bridge's result lake has the same
+        # batch_<day>/ layout but no is_dup column, so the schema-ful
+        # read yields null is_dup rows and the aggregation below would
+        # 500 on int(None) instead of answering the endpoint's typed
+        # 400 (r16 VERDICT "what's wrong" #3).
+        if v.filter(F.col("is_dup").isNull()).limit(1).count():
+            raise ValueError(
+                "dedup_verdicts_dir does not look like a dedup bridge "
+                "verdict lake (rows with no is_dup — an ANN bridge's "
+                "result lake shares the batch_<day>/ layout but carries "
+                "no verdicts); point it at a media/text bridge output "
+                "directory"
+            )
         if day is not None:
             try:
                 v = v.filter(F.col("day") == int(day))

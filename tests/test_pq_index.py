@@ -902,3 +902,19 @@ def test_band_valve_report_tracks_assimilation(spark, index_root, tmp_path):
     # the alpha-triple bucket (3 > 2) is excised in BOTH, per band
     g = {r[0]: r for r in report(grown)}
     assert all(g[b][1] >= 1 and g[b][2] >= 3 for b in range(4))
+
+
+def test_band_valve_report_pre_v2_is_descriptive(spark, tmp_path):
+    """A pre-v2 band index (no capped/ accounting) must get the
+    assimilation verbs' descriptive "needs version N — rebuild" error,
+    not a raw path-missing AnalysisException (r16 ADVICE)."""
+    import json
+
+    from mycenae_spark.functions import dedup
+
+    old = tmp_path / "prev2"
+    old.mkdir()
+    (old / "_COMMITTED").write_text("deadbeef")
+    (old / "_params.json").write_text(json.dumps({"version": 1}))
+    with pytest.raises(ValueError, match="needs version"):
+        dedup.band_index_valve_report(spark, str(old))

@@ -1554,6 +1554,29 @@ def test_dedup_daily_reports_per_day_and_total(dedup_daily_server):
     assert out["total"] == {"n_items": 6, "n_dups": 3, "dup_rate": 0.5}
 
 
+def test_dedup_daily_wrong_lake_is_typed_400(spark, tmp_path):
+    """dedup_verdicts_dir mis-pointed at an ANN bridge's result lake
+    (same batch_<day>/ layout, no is_dup column): the schema-ful read
+    yields null is_dup rows, which must answer a typed 400 instead of
+    500-ing on int(None) (r16 VERDICT)."""
+    from mycenae_spark.streaming.assimilate import ANN_RESULT_SCHEMA
+
+    vdir = tmp_path / "annlake"
+    spark.createDataFrame(
+        [(1, 10, 20, 1, 0.9)], ANN_RESULT_SCHEMA
+    ).coalesce(1).write.parquet(str(vdir / "batch_1"))
+    httpd, _ = serve(
+        spark, str(tmp_path / "lake"), str(tmp_path / "catalog"),
+        dedup_verdicts_dir=str(vdir),
+    )
+    try:
+        base = f"http://127.0.0.1:{httpd.server_address[1]}"
+        code, err = _req(base, "/keysets/k1/api/query/dedup_daily")
+        assert code == 400 and "verdict lake" in err["error"]
+    finally:
+        httpd.shutdown()
+
+
 def test_dedup_daily_day_filter_and_validation(dedup_daily_server):
     code, out = _req(
         dedup_daily_server, "/keysets/k1/api/query/dedup_daily?day=2"
