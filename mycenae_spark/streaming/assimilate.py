@@ -84,10 +84,17 @@ _CHAIN_MANIFEST = "_chain.json"
 def read_bridge_output(spark: SparkSession, out_dir: str, schema: str):
     """Read a bridge's lake table (verdicts / ANN results): one
     ``batch_<day>/`` parquet directory per processed crawl day.  The
-    explicit schema keeps an empty or partial directory readable."""
+    explicit schema keeps an empty directory readable.  Only PUBLISHED
+    days are listed: the bridge stages each day into a ``.tmp.`` dir and
+    renames it in whole (so a concurrent reader — this function backs
+    the live ``dedup_daily`` endpoint — can never see a half-written
+    day, r16 ADVICE); the ``_SUCCESS`` check additionally skips a day
+    torn by a pre-rename crash of an OLD-layout writer."""
     days = sorted(
         d for d in (os.listdir(out_dir) if os.path.isdir(out_dir) else [])
         if d.startswith("batch_")
+        and ".tmp." not in d
+        and os.path.isfile(os.path.join(out_dir, d, "_SUCCESS"))
     )
     reader = spark.read.schema(schema)
     if not days:
@@ -158,6 +165,48 @@ def _save_state(out_dir: str, state: dict) -> None:
     os.replace(tmp, os.path.join(out_dir, _CHAIN_MANIFEST))
 
 
+def _acquire_writer_lock(out_dir: str, what: str) -> str:
+    """Enforce the single-writer assumption an output dir carries (r16
+    ADVICE): two bridge runs sharing an ``out_dir`` would interleave
+    manifest saves and fork the chain.  O_EXCL lock file holding the
+    owner pid; a lock whose owner is dead (crashed bridge) is stolen,
+    a live owner refuses loudly.  Returns the lock path to release."""
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, f"{_CHAIN_MANIFEST}.lock")
+    for _ in range(2):
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, str(os.getpid()).encode())
+            os.close(fd)
+            return path
+        except FileExistsError:
+            try:
+                with open(path) as fh:
+                    owner = int(fh.read().strip() or "0")
+            except (OSError, ValueError):
+                owner = 0
+            alive = False
+            if owner > 0:
+                if owner == os.getpid():
+                    alive = True  # another bridge IN THIS PROCESS holds it
+                else:
+                    try:
+                        os.kill(owner, 0)
+                        alive = True
+                    except OSError:
+                        alive = False
+            if alive:
+                raise RuntimeError(
+                    f"{what}: output dir {out_dir!r} is locked by a live "
+                    f"bridge run (pid {owner}) — an output dir has exactly "
+                    "one writer; wait for it or use a different out_dir"
+                )
+            os.unlink(path)  # stale lock from a dead run: steal it
+    raise RuntimeError(
+        f"{what}: could not acquire writer lock at {path!r}"
+    )  # pragma: no cover - two steals racing
+
+
 def _chain_dirs(state: dict) -> list[str]:
     """The index chain: base + one dir per generation-producing day."""
     return [state["base"]] + [
@@ -201,6 +250,14 @@ def _single_day(batch: DataFrame, epoch_id: int) -> int | None:
     return days[0]
 
 
+def _results_differ(prev: DataFrame, out: DataFrame) -> bool:
+    """Exact replay compare: any row differing in any column."""
+    return bool(
+        prev.exceptAll(out).limit(1).count()
+        or out.exceptAll(prev).limit(1).count()
+    )
+
+
 def _run_bridge(
     spark: SparkSession,
     src_dir: str,
@@ -209,79 +266,114 @@ def _run_bridge(
     *,
     source_schema: str,
     result_schema: str,
-    stage: Callable[[DataFrame, str, int], tuple[DataFrame, DataFrame | None]],
+    stage: Callable[
+        [DataFrame, str, int],
+        tuple[DataFrame, Callable[[DataFrame], DataFrame | None]],
+    ],
     assimilate: Callable[[str, DataFrame], str],
     what: str,
     max_files_per_trigger: int = 1,
     timeout: int = 180,
     checkpoint_dir: str | None = None,
+    results_differ: Callable[[DataFrame, DataFrame], bool] = _results_differ,
 ) -> list[str]:
     """The shared bridge driver (see the module docstring for the full
     contract).  ``stage(batch, probe_base, day)`` computes this family's
-    ``(result_rows, admission_delta)`` against the pre-batch index
-    generation; ``assimilate(probe_base, delta)`` grows it.  A None or
-    empty delta records a no-generation day."""
+    result rows against the pre-batch index generation and returns
+    ``(result_rows, make_delta)``; the driver checkpoints the result
+    ONCE and passes the checkpointed frame to ``make_delta``, so the
+    probe work feeds the lake write, the replay compare, AND the
+    admission delta without re-executing (r16 ADVICE — deriving keeps
+    from pre-checkpoint verdicts re-ran the probe up to 3×).
+    ``assimilate(probe_base, delta)`` grows the index; a None or empty
+    delta records a no-generation day.  ``results_differ`` is the
+    replay-equality test (exact by default; the ANN family passes a
+    float-tolerant one)."""
     from mycenae_spark.registry.util import await_or_raise
 
-    state = _load_state(out_dir, base_index_dir)
+    lock = _acquire_writer_lock(out_dir, what)
+    try:
+        state = _load_state(out_dir, base_index_dir)
+        # stale day-staging dirs from a crashed PREVIOUS run (we hold
+        # the only writer lock, so anything .tmp. here is dead)
+        import shutil
 
-    def sink(batch: DataFrame, epoch_id: int) -> None:
-        day = _single_day(batch, epoch_id)
-        if day is None:
-            return  # genuinely empty micro-batch
-        events = state["events"]
-        replay_idx = next(
-            (i for i, e in enumerate(events) if e["day"] == day), None
-        )
-        probe_base = _head_before(
-            state, None if replay_idx is None else replay_idx
-        )
-        out, delta = stage(batch, probe_base, day)
-        # one materialization feeds the replay compare / the write AND
-        # the delta derivation (families derive keeps from the verdicts)
-        out = out.localCheckpoint(eager=True)
-        dest = os.path.join(out_dir, f"batch_{day}")
-        if replay_idx is not None:
-            # At-least-once replay of an already-processed day: verify
-            # byte-equal results against the stored rows, then skip all
-            # writes.  A mismatch means a SECOND same-day file with new
-            # content — continuing would fork the chain off the pre-day
-            # state (dropping the first file's admissions from the
-            # head) and clobber its result rows, so refuse loudly.
-            prev = spark.read.schema(result_schema).parquet(dest)
-            if (
-                prev.exceptAll(out).limit(1).count()
-                or out.exceptAll(prev).limit(1).count()
-            ):
-                raise ValueError(
-                    f"{what}: day {day} was already processed into the "
-                    "chain from DIFFERENT content — a second crawl file "
-                    "for the same day needs its own day tag (intraday "
-                    "batches are separate days to the lifecycle)"
+        for d in os.listdir(out_dir):
+            if d.startswith("batch_") and ".tmp." in d:
+                shutil.rmtree(os.path.join(out_dir, d), ignore_errors=True)
+
+        def sink(batch: DataFrame, epoch_id: int) -> None:
+            day = _single_day(batch, epoch_id)
+            if day is None:
+                return  # genuinely empty micro-batch
+            events = state["events"]
+            replay_idx = next(
+                (i for i, e in enumerate(events) if e["day"] == day), None
+            )
+            probe_base = _head_before(
+                state, None if replay_idx is None else replay_idx
+            )
+            out, make_delta = stage(batch, probe_base, day)
+            # THE one materialization: feeds the replay compare / the
+            # write AND (via make_delta) the admission delta
+            out = out.localCheckpoint(eager=True)
+            dest = os.path.join(out_dir, f"batch_{day}")
+            if replay_idx is not None:
+                # At-least-once replay of an already-processed day:
+                # verify equal results against the stored rows, then
+                # skip all writes.  A mismatch means a SECOND same-day
+                # file with new content — continuing would fork the
+                # chain off the pre-day state (dropping the first
+                # file's admissions from the head) and clobber its
+                # result rows, so refuse loudly.
+                prev = spark.read.schema(result_schema).parquet(dest)
+                if results_differ(prev, out):
+                    raise ValueError(
+                        f"{what}: day {day} was already processed into "
+                        "the chain from DIFFERENT content — a second "
+                        "crawl file for the same day needs its own day "
+                        "tag (intraday batches are separate days to the "
+                        "lifecycle)"
+                    )
+                log.info("%s day %s: verified idempotent replay, skipping",
+                         what, day)
+                return
+            # stage into a tmp dir, publish with one rename: a
+            # concurrent reader (the live dedup_daily endpoint) never
+            # sees a partially written day (r16 ADVICE)
+            tmp = f"{dest}.tmp.{os.getpid()}"
+            out.write.mode("overwrite").parquet(tmp)
+            shutil.rmtree(dest, ignore_errors=True)
+            os.rename(tmp, dest)
+            delta = make_delta(out)
+            if delta is not None and delta.limit(1).count() > 0:
+                grown = assimilate(probe_base, delta)
+                events.append({"day": day, "grown": grown})
+            else:
+                log.info(
+                    "%s day %s: nothing admitted, index chain unchanged",
+                    what, day,
                 )
-            log.info("%s day %s: verified idempotent replay, skipping",
-                     what, day)
-            return
-        out.write.mode("overwrite").parquet(dest)
-        if delta is not None and delta.limit(1).count() > 0:
-            grown = assimilate(probe_base, delta)
-            events.append({"day": day, "grown": grown})
-        else:
-            log.info("%s day %s: nothing admitted, index chain unchanged",
-                     what, day)
-            events.append({"day": day, "grown": None})
-        _save_state(out_dir, state)
+                events.append({"day": day, "grown": None})
+            _save_state(out_dir, state)
 
-    stream = (
-        spark.readStream.schema(source_schema)
-        .option("maxFilesPerTrigger", str(max_files_per_trigger))
-        .json(src_dir)
-    )
-    writer = stream.writeStream.foreachBatch(sink).trigger(availableNow=True)
-    if checkpoint_dir is not None:
-        writer = writer.option("checkpointLocation", checkpoint_dir)
-    await_or_raise(writer.start(), timeout, what)
-    return _chain_dirs(state)
+        stream = (
+            spark.readStream.schema(source_schema)
+            .option("maxFilesPerTrigger", str(max_files_per_trigger))
+            .json(src_dir)
+        )
+        writer = (
+            stream.writeStream.foreachBatch(sink).trigger(availableNow=True)
+        )
+        if checkpoint_dir is not None:
+            writer = writer.option("checkpointLocation", checkpoint_dir)
+        await_or_raise(writer.start(), timeout, what)
+        return _chain_dirs(state)
+    finally:
+        try:
+            os.unlink(lock)
+        except OSError:
+            pass
 
 
 def media_assimilate_stream(
@@ -353,12 +445,15 @@ def media_assimilate_stream(
             .otherwise(F.lit(0))
             .alias("is_dup"),
         )
-        keeps = sigs.join(
-            verdicts.filter(F.col("is_dup") == 1).select("media_id"),
-            "media_id",
-            "left_anti",
-        )
-        return verdicts, keeps
+
+        def make_delta(v):  # v = the driver-checkpointed verdicts
+            return sigs.join(
+                v.filter(F.col("is_dup") == 1).select("media_id"),
+                "media_id",
+                "left_anti",
+            )
+
+        return verdicts, make_delta
 
     return _run_bridge(
         spark, src_dir, base_index_dir, verdict_dir,
@@ -416,12 +511,15 @@ def text_assimilate_stream(
             F.lit(day).cast("int").alias("day"),
             "dup_of", "n_idx_matches", "is_dup",
         )
-        keeps = docs.join(
-            verdicts.filter(F.col("is_dup") == 1).select("doc_id"),
-            "doc_id",
-            "left_anti",
-        )
-        return verdicts, keeps
+
+        def make_delta(v):  # v = the driver-checkpointed verdicts
+            return docs.join(
+                v.filter(F.col("is_dup") == 1).select("doc_id"),
+                "doc_id",
+                "left_anti",
+            )
+
+        return verdicts, make_delta
 
     return _run_bridge(
         spark, src_dir, base_index_dir, verdict_dir,
@@ -436,6 +534,27 @@ def text_assimilate_stream(
         timeout=timeout,
         checkpoint_dir=checkpoint_dir,
     )
+
+
+def _ann_results_differ(prev: DataFrame, out: DataFrame) -> bool:
+    """Replay compare for the ANN family: neighbor IDENTITY
+    (day, q_id, n_id, rk) must match exactly, ``cos_r`` only within
+    1e-6 — the recomputed round6 cosine on a restarted/resized cluster
+    can legitimately round differently at a 0.5e-6 boundary, and the
+    exact compare would spuriously refuse the replay (r16 ADVICE).
+    Residual assumption, documented: a rounding flip that changes
+    SHORTLIST MEMBERSHIP (a different n_id at the same rank) still
+    refuses — full replay determinism beyond the tolerance rests on the
+    repo's fixed-parallelism rounding contract."""
+    key = ["day", "q_id", "n_id", "rk"]
+    a = prev.select(*key, F.col("cos_r").alias("_ca"))
+    b = out.select(*key, F.col("cos_r").alias("_cb"))
+    bad = a.join(b, key, "full_outer").filter(
+        F.col("_ca").isNull()
+        | F.col("_cb").isNull()
+        | (F.abs(F.col("_ca") - F.col("_cb")) > 1e-6)
+    )
+    return bool(bad.limit(1).count())
 
 
 def ann_assimilate_stream(
@@ -491,7 +610,7 @@ def ann_assimilate_stream(
             F.lit(day).cast("int").alias("day"),
             "q_id", "n_id", "rk", "cos_r",
         )
-        return res, vecs
+        return res, lambda _v: vecs  # the delta is the whole batch
 
     return _run_bridge(
         spark, src_dir, base_index_dir, result_dir,
@@ -505,4 +624,5 @@ def ann_assimilate_stream(
         max_files_per_trigger=max_files_per_trigger,
         timeout=timeout,
         checkpoint_dir=checkpoint_dir,
+        results_differ=_ann_results_differ,
     )

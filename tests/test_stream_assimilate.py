@@ -500,6 +500,82 @@ def test_bridge_all_dup_day_replay_idempotent(spark, index_root, tmp_path):
     assert got[3000] == (2000, 1)  # via day-2's generation
 
 
+def test_bridge_writer_lock_enforced_and_stale_stolen(
+    spark, index_root, tmp_path
+):
+    """An output dir has exactly one writer (r16 ADVICE — interleaved
+    manifest saves would fork the chain): a lock held by a LIVE pid
+    refuses; a lock left by a dead run (crash) is stolen and the bridge
+    proceeds."""
+    import subprocess
+
+    src = str(tmp_path / "src")
+    vdir = tmp_path / "verdicts"
+    base_dir = _base_index(spark, [(d, _png(d)) for d in range(3)])
+    _write_days(src, [("day1.jsonl", [_jrow(1000, 1, _png(3))])])
+
+    vdir.mkdir()
+    lock = vdir / "_chain.json.lock"
+    lock.write_text(str(os.getpid()))  # a live owner (this process)
+    with pytest.raises(RuntimeError, match="locked by a live"):
+        media_assimilate_stream(spark, src, base_dir, str(vdir))
+
+    dead = subprocess.Popen(["true"])
+    dead.wait()
+    lock.write_text(str(dead.pid))  # a dead owner: stale, steal it
+    chain = media_assimilate_stream(spark, src, base_dir, str(vdir))
+    assert len(chain) == 2
+    assert not lock.exists()  # released after the run
+
+
+def test_read_bridge_output_skips_unpublished_days(spark, tmp_path):
+    """Only atomically published days are readable: a day-staging
+    ``.tmp.`` dir (bridge mid-write or crashed) and a torn dir without
+    ``_SUCCESS`` are both invisible to readers — the live dedup_daily
+    endpoint must never see a partial day (r16 ADVICE)."""
+    vdir = tmp_path / "verdicts"
+    spark.createDataFrame(
+        [(1, 1, -1, 0, 0)], VERDICT_SCHEMA
+    ).coalesce(1).write.parquet(str(vdir / "batch_1"))
+    spark.createDataFrame(
+        [(2, 2, -1, 0, 0)], VERDICT_SCHEMA
+    ).coalesce(1).write.parquet(str(vdir / "batch_2.tmp.999"))
+    spark.createDataFrame(
+        [(3, 3, -1, 0, 0)], VERDICT_SCHEMA
+    ).coalesce(1).write.parquet(str(vdir / "batch_3"))
+    os.remove(str(vdir / "batch_3" / "_SUCCESS"))  # torn pre-rename crash
+    v = read_bridge_output(spark, str(vdir), VERDICT_SCHEMA)
+    assert [r["media_id"] for r in v.collect()] == [1]
+
+
+def test_ann_replay_compare_tolerates_float_noise(spark):
+    """The ANN family's replay-equality test: identical neighbor
+    identity with cos_r differing at float-rounding magnitude (≤1e-6)
+    is a legitimate replay on a resized cluster, NOT a fork; a real
+    value change or an identity change still refuses (r16 ADVICE)."""
+    from mycenae_spark.streaming.assimilate import (
+        ANN_RESULT_SCHEMA,
+        _ann_results_differ,
+    )
+
+    stored = spark.createDataFrame(
+        [(1, 10, 20, 1, 0.9000001), (1, 10, 21, 2, 0.8)], ANN_RESULT_SCHEMA
+    )
+    noise = spark.createDataFrame(
+        [(1, 10, 20, 1, 0.9000004), (1, 10, 21, 2, 0.8)], ANN_RESULT_SCHEMA
+    )
+    real_change = spark.createDataFrame(
+        [(1, 10, 20, 1, 0.91), (1, 10, 21, 2, 0.8)], ANN_RESULT_SCHEMA
+    )
+    flipped_id = spark.createDataFrame(
+        [(1, 10, 22, 1, 0.9000001), (1, 10, 21, 2, 0.8)], ANN_RESULT_SCHEMA
+    )
+    assert not _ann_results_differ(stored, stored)
+    assert not _ann_results_differ(stored, noise)
+    assert _ann_results_differ(stored, real_change)
+    assert _ann_results_differ(stored, flipped_id)
+
+
 def test_bridge_null_day_refuses(spark, index_root, tmp_path):
     """A crawl file whose rows lack the day field reads as null days —
     silently treating it as empty would commit the source checkpoint
