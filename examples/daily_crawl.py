@@ -72,6 +72,9 @@ def main() -> None:  # noqa: PLR0915 — a linear three-act demo script
     )
 
     work = tempfile.mkdtemp(prefix="daily_crawl_")
+    # a private index root: act 4 runs the GC with a demo clock
+    # (max_age_s=0), which must not sweep the machine's shared cache
+    os.environ["MYCENAE_INDEX_ROOT"] = os.path.join(work, "index_root")
     try:
         # ----------------------------------------------------- 1. TEXT
         def text(i):
@@ -160,8 +163,10 @@ def main() -> None:  # noqa: PLR0915 — a linear three-act demo script
                 for r in rows
             ]))
         write_day_files(a_src, files)
+        a_ckpt = os.path.join(work, "a_ckpt")
         chain = ann_assimilate_stream(spark, a_src, a_base, a_out,
-                                      rounder=r6, k=3, nprobe=8)
+                                      rounder=r6, k=3, nprobe=8,
+                                      checkpoint_dir=a_ckpt)
         res = read_bridge_output(spark, a_out, ANN_RESULT_SCHEMA)
         d2_hits_d1 = res.filter(
             "day = 2 AND n_id % 20 = 2"   # a day-1 vector as neighbor
@@ -169,10 +174,35 @@ def main() -> None:  # noqa: PLR0915 — a linear three-act demo script
         print(f"VECTORS {len(chain)} generations; "
               f"{d2_hits_d1} day-2 neighbor rows point at day-1 vectors")
 
-        # operational tails the daily job runs on its own cadence:
+        # ------------------------------------- 4. LIFETIME MANAGEMENT
+        # The operational tail the daily job runs on its own cadence:
+        # compact the chain (one file per inverted list), REBASE the
+        # bridge manifest onto the compacted head so the live job
+        # adopts it, then GC — the chain-aware sweep spares everything
+        # a manifest still references, and the generations the rebase
+        # released age out on the normal clock.
+        from mycenae_spark.streaming.assimilate import rebase_bridge_chain
+
         compacted = pq.compact_ivfpq_index(spark, chain[-1])
+        st = rebase_bridge_chain(a_out, compacted, expect_head=chain[-1])
         print(f"compacted chain -> {os.path.basename(compacted)} "
-              "(one file per inverted list)")
+              "(one file per inverted list); manifest rebased, days "
+              f"{st['horizon_days']} moved past the replay horizon")
+
+        # day 3 continues ON the rebased chain (pass the new base)
+        d3 = (e.filter((F.col("vec_id") % 20 == 4) & (F.col("vec_id") < 200))
+              .select("vec_id", "embedding").collect())
+        write_day_files(a_src, files + [("day3.jsonl", [
+            json.dumps({"vec_id": 100000 + r["vec_id"], "day": 3,
+                        "embedding": list(r["embedding"])}) for r in d3
+        ])])
+        chain2 = ann_assimilate_stream(spark, a_src, compacted, a_out,
+                                       rounder=r6, k=3, nprobe=8,
+                                       checkpoint_dir=a_ckpt)
+        swept = pq.gc_pq_indexes(max_age_s=0)  # demo clock: sweep now
+        print(f"rebased bridge ran day 3 ({len(chain2)} generations on "
+              f"the compacted base); GC swept {len(swept)} released "
+              "dirs, spared every manifest-referenced generation")
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

@@ -897,6 +897,61 @@ def ivfpq_search_vectors(
     )
 
 
+#: Bridge chain-manifest filename (owned here so the GC can read
+#: manifests without importing streaming code; streaming/assimilate.py
+#: imports it as the one name both sides share).
+CHAIN_MANIFEST = "_chain.json"
+
+#: Registry subdir under the index root: one small file per bridge
+#: output dir that holds a chain manifest.  The GC consults it — see
+#: :func:`chain_protected_dirs`.
+_CHAINS_REGISTRY = "_chains"
+
+
+def register_chain_manifest(out_dir: str) -> None:
+    """Record that ``out_dir`` carries a live bridge chain manifest so
+    :func:`gc_pq_indexes` spares every generation the chain references
+    (r16 VERDICT #1: a bridge's daily job only TOUCHES the head and its
+    immediate base, so on a chain older than the GC window the sweep
+    removed mid-chain generations and bricked the manifest into a full
+    rebuild).  Called on every manifest save — the entry's mtime doubles
+    as the registration's liveness stamp, letting the GC prune entries
+    whose out_dir (or manifest) is long gone."""
+    reg = os.path.join(_index_root(), _CHAINS_REGISTRY)
+    os.makedirs(reg, exist_ok=True)
+    key = hashlib.md5(os.path.abspath(out_dir).encode()).hexdigest()[:16]
+    tmp = os.path.join(reg, f".{key}.tmp.{os.getpid()}")
+    with open(tmp, "w") as fh:
+        fh.write(os.path.abspath(out_dir))
+    os.replace(tmp, os.path.join(reg, key))
+
+
+def chain_protected_dirs() -> set[str]:
+    """Every index directory referenced by a registered chain manifest
+    (base + all generation-producing events): these are live no matter
+    their age — a chain is read head-first, but a replayed early day
+    probes an EARLY generation, so the whole chain must survive."""
+    import json
+
+    reg = os.path.join(_index_root(), _CHAINS_REGISTRY)
+    protected: set[str] = set()
+    if not os.path.isdir(reg):
+        return protected
+    for name in os.listdir(reg):
+        try:
+            with open(os.path.join(reg, name)) as fh:
+                out_dir = fh.read().strip()
+            with open(os.path.join(out_dir, CHAIN_MANIFEST)) as fh:
+                state = json.load(fh)
+        except (OSError, ValueError):
+            continue  # gone or torn: nothing to protect
+        protected.add(os.path.abspath(state["base"]))
+        for e in state.get("events", []):
+            if e.get("grown"):
+                protected.add(os.path.abspath(e["grown"]))
+    return protected
+
+
 def gc_pq_indexes(max_age_s: float = 7 * 24 * 3600) -> list[str]:
     """Sweep the index root: abandoned staging dirs and superseded indexes.
 
@@ -916,18 +971,31 @@ def gc_pq_indexes(max_age_s: float = 7 * 24 * 3600) -> list[str]:
     Age uses the directory mtime as a LAST-USE stamp: parquet reads don't
     bump it, so ``ensure_*`` / ``_load_index`` touch the dir on every use —
     an actively-queried index never ages out; a freshly built or rebuilt
-    index always survives.  Returns the paths removed.
+    index always survives.
+
+    CHAIN-AWARE (r16 VERDICT #1): any directory referenced by a
+    registered bridge chain manifest (:func:`chain_protected_dirs`) is
+    spared regardless of age — daily bridge use only touches the chain
+    head, so mid-chain generations LOOK idle while the manifest still
+    needs them for replay.  Releasing them is an explicit operator act:
+    :func:`~mycenae_spark.streaming.assimilate.rebase_bridge_chain`
+    drops them from the manifest, after which age reclaims them here.
+    Stale registry entries (out_dir or manifest deleted) are pruned by
+    the same age rule.  Returns the paths removed.
     """
     import time
 
     root = _index_root()
     if not os.path.isdir(root):
         return []
+    protected = chain_protected_dirs()
     removed = []
     now = time.time()
     for name in os.listdir(root):
         path = os.path.join(root, name)
-        if not os.path.isdir(path):
+        if not os.path.isdir(path) or name == _CHAINS_REGISTRY:
+            continue
+        if os.path.abspath(path) in protected:
             continue
         try:
             age = now - os.path.getmtime(path)
@@ -941,4 +1009,23 @@ def gc_pq_indexes(max_age_s: float = 7 * 24 * 3600) -> list[str]:
             continue
         shutil.rmtree(path, ignore_errors=True)
         removed.append(path)
+    reg = os.path.join(root, _CHAINS_REGISTRY)
+    if os.path.isdir(reg):
+        for name in os.listdir(reg):
+            entry = os.path.join(reg, name)
+            try:
+                with open(entry) as fh:
+                    out_dir = fh.read().strip()
+                live = os.path.isfile(os.path.join(out_dir, CHAIN_MANIFEST))
+                stale = (
+                    not live
+                    and now - os.path.getmtime(entry) > max_age_s
+                )
+            except OSError:
+                continue
+            if stale:
+                try:
+                    os.unlink(entry)
+                except OSError:
+                    pass
     return removed

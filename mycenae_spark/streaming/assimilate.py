@@ -77,8 +77,10 @@ TEXT_VERDICT_SCHEMA = (
 )
 
 #: Chain manifest filename inside the output dir — the bridge's only
-#: cross-restart state besides the committed indexes themselves.
-_CHAIN_MANIFEST = "_chain.json"
+#: cross-restart state besides the committed indexes themselves.  Owned
+#: by functions/pq.py so the chain-aware GC can read manifests without
+#: importing streaming code.
+from mycenae_spark.functions.pq import CHAIN_MANIFEST as _CHAIN_MANIFEST
 
 
 def read_bridge_output(spark: SparkSession, out_dir: str, schema: str):
@@ -155,14 +157,20 @@ def _load_state(out_dir: str, base_index_dir: str) -> dict:
 
 def _save_state(out_dir: str, state: dict) -> None:
     """Persist the manifest atomically (write + rename) so a crash
-    mid-save leaves the previous manifest intact."""
+    mid-save leaves the previous manifest intact, and register it with
+    the index root so the chain-aware GC spares every generation the
+    manifest references (mid-chain generations look idle to the
+    age-based sweep — daily use only touches the head)."""
     import json
+
+    from mycenae_spark.functions.pq import register_chain_manifest
 
     os.makedirs(out_dir, exist_ok=True)
     tmp = os.path.join(out_dir, f"{_CHAIN_MANIFEST}.tmp.{os.getpid()}")
     with open(tmp, "w") as fh:
         json.dump(state, fh)
     os.replace(tmp, os.path.join(out_dir, _CHAIN_MANIFEST))
+    register_chain_manifest(out_dir)
 
 
 def _acquire_writer_lock(out_dir: str, what: str) -> str:
@@ -224,6 +232,82 @@ def _head_before(state: dict, upto_event: int | None = None) -> str:
         if e["grown"]:
             head = e["grown"]
     return head
+
+
+def rebase_bridge_chain(
+    out_dir: str, new_head: str, *, expect_head: str | None = None
+) -> dict:
+    """Adopt ``new_head`` (a compacted or retrained generation minted
+    from this chain's head) as the chain's new BASE — the verb that
+    makes compaction and re-training applicable to a LIVE bridge (r16
+    VERDICT #1: the manifest previously only grew via assimilation, so
+    the read-amplification cap and the re-train dial could never reach
+    the daily job).  The manifest is rewritten to ``{"base": new_head,
+    "events": []}`` and every previously processed day moves into the
+    REPLAY HORIZON: those generations are no longer referenced, so the
+    chain-aware GC can release them once they age out.
+
+    The horizon is the explicit trade: a pre-rebase day can no longer
+    be replayed (its pre-day generation is gone from the manifest and,
+    eventually, from disk), so a redelivery of one refuses loudly.
+    With a source checkpoint this never fires in normal operation —
+    Structured Streaming does not redeliver committed files; the
+    refusal catches a LOST checkpoint or a from-scratch backlog replay
+    against a rebased output dir, both of which genuinely need a fresh
+    output dir (or the original manifest restored from backup).
+
+    ``expect_head`` (recommended) asserts the current chain head — a
+    compact-then-rebase script passes the head it compacted, so a day
+    that landed in between fails the rebase instead of silently
+    dropping that day's admissions.  ``new_head`` must be a committed
+    index; content equivalence to the head (compaction/retraining
+    invariants) is the caller's contract — the judged compact/retrain
+    verbs guarantee it by construction.  After rebasing, run the bridge
+    with ``base_index_dir=new_head``.  Returns the new manifest."""
+    import json
+
+    from mycenae_spark.functions.pq import _COMMIT_MARKER
+
+    lock = _acquire_writer_lock(out_dir, "rebase_bridge_chain")
+    try:
+        path = os.path.join(out_dir, _CHAIN_MANIFEST)
+        if not os.path.isfile(path):
+            raise FileNotFoundError(
+                f"no chain manifest at {path!r} — rebase applies to a "
+                "bridge output dir that has processed at least one day"
+            )
+        with open(path) as fh:
+            state = json.load(fh)
+        head = _head_before(state)
+        if expect_head is not None and head != expect_head:
+            raise ValueError(
+                f"chain head is {head!r}, not the expected "
+                f"{expect_head!r} — a day landed since the new head was "
+                "minted; re-run compaction/retraining from the current "
+                "head and rebase onto that"
+            )
+        if not os.path.isfile(os.path.join(new_head, _COMMIT_MARKER)):
+            raise FileNotFoundError(
+                f"new head {new_head!r} has no {_COMMIT_MARKER}; "
+                "refusing to rebase onto a torn build"
+            )
+        horizon = sorted(
+            set(state.get("horizon_days", []))
+            | {e["day"] for e in state["events"]}
+        )
+        new_state = {
+            "base": new_head,
+            "events": [],
+            "horizon_days": horizon,
+            "rebased_from": head,
+        }
+        _save_state(out_dir, new_state)
+        return new_state
+    finally:
+        try:
+            os.unlink(lock)
+        except OSError:
+            pass
 
 
 def _single_day(batch: DataFrame, epoch_id: int) -> int | None:
@@ -310,6 +394,18 @@ def _run_bridge(
             replay_idx = next(
                 (i for i, e in enumerate(events) if e["day"] == day), None
             )
+            if replay_idx is None and day in state.get("horizon_days", []):
+                # a pre-rebase day redelivered: its pre-day generation
+                # was released by the rebase, so it can be neither
+                # replayed (no state to verify against) nor reprocessed
+                # (the rebased head already contains its admissions —
+                # it would verdict them as self-duplicates)
+                raise ValueError(
+                    f"{what}: day {day} predates this chain's rebase "
+                    "horizon — its pre-day index generation has been "
+                    "released; replaying the backlog needs a fresh "
+                    "output dir (or the pre-rebase manifest restored)"
+                )
             probe_base = _head_before(
                 state, None if replay_idx is None else replay_idx
             )

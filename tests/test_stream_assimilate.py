@@ -576,6 +576,83 @@ def test_ann_replay_compare_tolerates_float_noise(spark):
     assert _ann_results_differ(stored, flipped_id)
 
 
+def test_chain_survives_gc_then_rebases_onto_compacted_head(
+    spark, index_root, tmp_path
+):
+    """Chain lifetime management end to end (r16 VERDICT #1):
+    (1) a week-idle chain SURVIVES the GC — the manifest registry
+    protects every referenced generation even though daily use only
+    touches the head; (2) rebase_bridge_chain adopts a compacted head,
+    the released generations age out and ARE swept, the new base is
+    protected; (3) the bridge continues on the rebased chain with
+    identical dup semantics; (4) a redelivered pre-horizon day refuses
+    loudly instead of forking the rebased chain."""
+    import time
+
+    from mycenae_spark.functions import pq
+    from mycenae_spark.streaming.assimilate import rebase_bridge_chain
+
+    src = str(tmp_path / "src")
+    vdir = str(tmp_path / "verdicts")
+    ckpt = str(tmp_path / "ckpt")
+    base_dir = _base_index(spark, [(d, _png(d)) for d in range(6)])
+    day1 = [_jrow(1000 + d, 1, _png(d)) for d in (6, 7)]
+    day2 = [_jrow(2000, 2, _png(9))]
+    _write_days(src, [("day1.jsonl", day1), ("day2.jsonl", day2)])
+    chain = media_assimilate_stream(
+        spark, src, base_dir, vdir, checkpoint_dir=ckpt
+    )
+    assert len(chain) == 3
+
+    def age_everything():
+        old = time.time() - 9 * 24 * 3600
+        for name in os.listdir(str(index_root)):
+            os.utime(os.path.join(str(index_root), name), (old, old))
+
+    # (1) the whole chain goes idle past the GC window: nothing swept
+    age_everything()
+    assert pq.gc_pq_indexes() == []
+    assert all(os.path.isdir(d) for d in chain)
+    # and the bridge still recovers the manifest intact
+    assert media_assimilate_stream(
+        spark, src, base_dir, vdir, checkpoint_dir=ckpt
+    ) == chain
+
+    # (2) compact the head, rebase, and NOW the old generations release
+    compacted = dedup.compact_sig_index(spark, chain[-1])
+    st = rebase_bridge_chain(vdir, compacted, expect_head=chain[-1])
+    assert st["base"] == compacted and st["horizon_days"] == [1, 2]
+    age_everything()
+    removed = set(pq.gc_pq_indexes())
+    assert set(chain) <= removed          # base + both generations freed
+    assert os.path.isdir(compacted)       # the new base is protected
+
+    # expect_head guards a stale rebase (head moved since compaction)
+    with pytest.raises(ValueError, match="re-run compaction"):
+        rebase_bridge_chain(vdir, compacted, expect_head=chain[-1])
+
+    # (3) day 3 continues on the rebased chain: a re-encode of a DAY-1
+    # keep is still a dup — the compacted head carries the whole corpus
+    day3 = [_jrow(3000, 3, _gif(6)), _jrow(3001, 3, _png(12))]
+    _write_days(
+        src,
+        [("day1.jsonl", day1), ("day2.jsonl", day2), ("day3.jsonl", day3)],
+    )
+    chain2 = media_assimilate_stream(
+        spark, src, compacted, vdir, checkpoint_dir=ckpt
+    )
+    assert chain2[0] == compacted and len(chain2) == 2
+    v = read_bridge_output(spark, vdir, VERDICT_SCHEMA)
+    got = {r["media_id"]: (r["dup_of"], r["is_dup"])
+           for r in v.filter("day = 3").collect()}
+    assert got[3000] == (1006, 1) and got[3001] == (-1, 0)
+
+    # (4) a from-scratch backlog replay (lost checkpoint) redelivers a
+    # pre-horizon day: refuse loudly, never fork the rebased chain
+    with pytest.raises(Exception, match="rebase horizon"):
+        media_assimilate_stream(spark, src, compacted, vdir, timeout=120)
+
+
 def test_bridge_null_day_refuses(spark, index_root, tmp_path):
     """A crawl file whose rows lack the day field reads as null days —
     silently treating it as empty would commit the source checkpoint
