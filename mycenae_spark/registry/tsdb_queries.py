@@ -5524,3 +5524,162 @@ def downsample_cal_week(spark, sf_dir):
             "n",
         )
     )
+
+
+@q(
+    "stream_tsdb_ingest_roundtrip",
+    """
+SELECT * FROM (VALUES
+  ('batches_first_run', CAST(2 AS BIGINT)),
+  ('n_1m_partials_after_2d', CAST(576 AS BIGINT)),
+  ('avg_routed_via_1h_rung', CAST(1 AS BIGINT)),
+  ('avg_all_48_buckets_exact', CAST(1 AS BIGINT)),
+  ('p95_routed_via_qsample_1h', CAST(1 AS BIGINT)),
+  ('p95_all_48_buckets_exact', CAST(1 AS BIGINT)),
+  ('kmv_1h_all_buckets_exact_12', CAST(1 AS BIGINT)),
+  ('day3_batches', CAST(1 AS BIGINT)),
+  ('day3_avg_routed_again', CAST(1 AS BIGINT)),
+  ('day3_avg_all_72_buckets_exact', CAST(1 AS BIGINT))
+) AS t(what, n)
+""",
+)
+def stream_tsdb_ingest_roundtrip(spark, sf_dir):
+    """The TSDB INGEST BRIDGE judged end to end (streaming/
+    tsdb_bridge.py — the r16 bridge pattern applied to the point write
+    path, r16 VERDICT "what's missing" #2): one Structured Streaming
+    job lands each crawl day's points + fine rollup/KMV/qsample
+    partials under ONE two-phase manifest, re-pins the fine sketch
+    lakes at the commit-log head, and advances the 1h rollup, KMV, and
+    qsample rungs per micro-batch — so the serving path's rung routing
+    is current BY CONSTRUCTION, with no backfill or refresh verb ever
+    called by hand.
+
+    Lifecycle judged: 2 days × 24 h × 12 points (5-min spacing, value
+    = 100·H + j for global hour H) stream through the bridge; a real
+    Engine configured with the maintained rung maps then
+
+    * serves a ``1h-avg`` FROM the cascaded 1h rollup rung
+      (``last_routes() == ["ladder:3600000"]``) with every one of the
+      48 buckets equal to the closed form 100·H + 5.5,
+    * serves a ``1h-p95`` from the qsample rung
+      (``["qsample:3600000"]``), every bucket exactly 100·H + 10.45
+      (12 ≤ k=64 points per bucket — the sample IS the bucket, and
+      ``read_qsample_percentile`` replicates F.percentile's
+      interpolation bit-for-bit),
+    * reads 12 distinct values per 1h bucket off the maintained KMV
+      rung exactly (12 < k=16);
+
+    then DAY 3 lands and the job "comes back tomorrow" (same source
+    checkpoint): exactly one more batch drains, the rungs advance
+    inside that batch, and the SAME engine instance routes the
+    extended query again — 72 exact buckets — proving freshness is the
+    ingest transaction's property, not an operator's.  Constant
+    oracle; rows collected before rmtree; ``sf_dir`` unused (input
+    synthesized, scale-invariant)."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from mycenae_spark.server import Engine
+    from mycenae_spark.streaming.assimilate import write_day_files
+    from mycenae_spark.streaming.rollup import read_kmv_distinct
+    from mycenae_spark.streaming.tsdb_bridge import run_tsdb_bridge
+
+    BASE = 1704067200000  # 2024-01-01T00:00Z, day-aligned
+    base = tempfile.mkdtemp(prefix="tsdb_bridge_rt_")
+    lake, cat, ckpt = f"{base}/lake", f"{base}/cat", f"{base}/ckpt"
+    r1m, r1h = f"{base}/r1m", f"{base}/r1h"
+    kmv1m, kmv1h = f"{base}/kmv1m", f"{base}/kmv1h"
+    qs1m, qs1h = f"{base}/qs1m", f"{base}/qs1h"
+
+    def day_rows(d):
+        return [
+            _json.dumps({
+                "metric": "bridge.m",
+                "tags": {"ksid": "k1", "host": "h0"},
+                "timestamp": BASE + d * DAY_MS + h * HOUR_MS + j * 300_000,
+                "value": float(100 * (d * 24 + h) + j),
+            })
+            for h in range(24)
+            for j in range(12)
+        ]
+
+    def run():
+        return run_tsdb_bridge(
+            spark, f"{base}/src", lake, cat, ckpt,
+            rollup_dir=r1m, ladder={HOUR_MS: r1h},
+            kmv_fine_dir=kmv1m, kmv_ladder={HOUR_MS: kmv1h},
+            qsample_fine_dir=qs1m, qsample_ladder={HOUR_MS: qs1h},
+            max_files_per_trigger=1,
+        )
+
+    def dps(eng, n_days, ds):
+        out = eng.query({
+            "start": BASE, "end": BASE + n_days * DAY_MS,
+            "queries": [{"metric": "bridge.m", "aggregator": "sum",
+                         "downsample": ds}],
+        })
+        return {int(k): v for k, v in out[0]["dps"].items()}
+
+    def all_exact(got, n_hours, offset):
+        if len(got) != n_hours:
+            return 0
+        return int(all(
+            abs(got.get((BASE + hh * HOUR_MS) // 1000, -1e18)
+                - (100 * hh + offset)) < 1e-6
+            for hh in range(n_hours)
+        ))
+
+    try:
+        write_day_files(
+            f"{base}/src",
+            [("day1.jsonl", day_rows(0)), ("day2.jsonl", day_rows(1))],
+        )
+        stats1 = run()
+        eng = Engine(
+            spark, lake, cat, rollup_dir=r1m, ladder={HOUR_MS: r1h},
+            qsample_ladder={HOUR_MS: qs1h},
+        )
+        n_1m = spark.read.parquet(r1m).count()
+
+        avg = dps(eng, 2, "1h-avg")
+        avg_routed = int(eng.last_routes() == ["ladder:3600000"])
+        avg_ok = all_exact(avg, 48, 5.5)
+
+        p95 = dps(eng, 2, "1h-p95")
+        p95_routed = int(eng.last_routes() == ["qsample:3600000"])
+        p95_ok = all_exact(p95, 48, 10.45)
+
+        kmv = read_kmv_distinct(spark, kmv1h).collect()
+        kmv_ok = int(
+            len(kmv) == 48 and all(r["value"] == 12.0 for r in kmv)
+        )
+
+        # tomorrow: day 3 lands; same checkpoint resumes the backlog
+        write_day_files(
+            f"{base}/src",
+            [("day1.jsonl", day_rows(0)), ("day2.jsonl", day_rows(1)),
+             ("day3.jsonl", day_rows(2))],
+        )
+        stats2 = run()
+        avg3 = dps(eng, 3, "1h-avg")
+        avg3_routed = int(eng.last_routes() == ["ladder:3600000"])
+        avg3_ok = all_exact(avg3, 72, 5.5)
+
+        rows = [
+            ("batches_first_run", stats1["batches"]),
+            ("n_1m_partials_after_2d", n_1m),
+            ("avg_routed_via_1h_rung", avg_routed),
+            ("avg_all_48_buckets_exact", avg_ok),
+            ("p95_routed_via_qsample_1h", p95_routed),
+            ("p95_all_48_buckets_exact", p95_ok),
+            ("kmv_1h_all_buckets_exact_12", kmv_ok),
+            ("day3_batches", stats2["batches"]),
+            ("day3_avg_routed_again", avg3_routed),
+            ("day3_avg_all_72_buckets_exact", avg3_ok),
+        ]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        [(w, int(n)) for w, n in rows], "what string, n long"
+    )

@@ -175,6 +175,8 @@ def write_points_batch(
     batch_id: int | str | None = None,
     rollup_dir: str | None = None,
     rollup_interval_ms: int = 60_000,
+    kmv_dir: str | None = None,
+    qsample_dir: str | None = None,
 ) -> None:
     """Shared lake+catalog writer (streaming micro-batches and the HTTP put
     path both land here): append points partitioned by (ksid, date), sorted
@@ -197,7 +199,11 @@ def write_points_batch(
     snapshot isolation for concurrent writers (the ingest stream is the
     single writer here).  Rollup partials (``rollup_dir``) stage and commit
     under the SAME manifest, so points and partials land atomically
-    together.  The catalog merge is idempotent by construction (anti-join
+    together; ``kmv_dir`` / ``qsample_dir`` extend the manifest with
+    fine KMV and bottom-k value-sample states on the rollup interval —
+    the sketch lakes the coarse rungs cascade from, maintained
+    batch-by-batch by the ingest bridge instead of by explicit
+    backfills.  The catalog merge is idempotent by construction (anti-join
     against the stored catalog).  Orphaned ``_staging`` dirs (crash before
     commit, batch id never replayed) are invisible garbage; the maintenance
     job may GC them by age.
@@ -213,18 +219,19 @@ def write_points_batch(
         marker = os.path.join(commits, str(batch_id))
         staging = os.path.join(lake_dir, "_staging", str(batch_id))
 
-    if rollup_dir is not None and not os.path.isdir(rollup_dir):
-        # First rollup write: coverage is complete only if the lake holds no
-        # pre-existing points (otherwise their buckets are missing from the
-        # rollup and routed queries would silently under-report — the reader
-        # checks rollup_coverage_complete and falls back to raw points until
-        # backfill_rollup runs).
-        from mycenae_spark.streaming.rollup import mark_rollup_coverage
+    for _deriv_dir in (rollup_dir, kmv_dir, qsample_dir):
+        if _deriv_dir is not None and not os.path.isdir(_deriv_dir):
+            # First derived-lake write: coverage is complete only if the
+            # lake holds no pre-existing points (otherwise their buckets
+            # are missing and routed queries would silently under-report —
+            # readers check rollup_coverage_complete and fall back to raw
+            # points until the matching backfill_* runs).
+            from mycenae_spark.streaming.rollup import mark_rollup_coverage
 
-        lake_has_data = os.path.isdir(lake_dir) and any(
-            e.startswith("ksid=") for e in os.listdir(lake_dir)
-        )
-        mark_rollup_coverage(rollup_dir, complete=not lake_has_data)
+            lake_has_data = os.path.isdir(lake_dir) and any(
+                e.startswith("ksid=") for e in os.listdir(lake_dir)
+            )
+            mark_rollup_coverage(_deriv_dir, complete=not lake_has_data)
 
     def _staged_files(root: str) -> list[str]:
         out = []
@@ -245,6 +252,8 @@ def write_points_batch(
         for section, cfg_root in (
             ("points", lake_dir),
             ("rollup", rollup_dir),
+            ("kmv", kmv_dir),
+            ("qsample", qsample_dir),
             ("catalog", catalog_dir),
         ):
             dest_root = roots.get(section, cfg_root)
@@ -291,7 +300,9 @@ def write_points_batch(
                     "kind": "points-append",
                     "batch_id": str(batch_id),
                     "n_files": len(manifest.get("points", ()))
-                    + len(manifest.get("rollup", ())),
+                    + len(manifest.get("rollup", ()))
+                    + len(manifest.get("kmv", ()))
+                    + len(manifest.get("qsample", ())),
                     # Distinct metrics this batch touched (None = unknown/
                     # too many = treat as touching everything): the
                     # per-subquery result cache derives per-metric
@@ -359,6 +370,22 @@ def write_points_batch(
                     rollup_dir if staging is None else os.path.join(staging, "rollup")
                 )
                 write_rollup_batch(valid, rollup_out, rollup_interval_ms)
+            if kmv_dir is not None:
+                from mycenae_spark.streaming.rollup import write_kmv_batch
+
+                kmv_out = (
+                    kmv_dir if staging is None else os.path.join(staging, "kmv")
+                )
+                write_kmv_batch(valid, kmv_out, rollup_interval_ms)
+            if qsample_dir is not None:
+                from mycenae_spark.streaming.rollup import write_qsample_batch
+
+                qs_out = (
+                    qsample_dir
+                    if staging is None
+                    else os.path.join(staging, "qsample")
+                )
+                write_qsample_batch(valid, qs_out, rollup_interval_ms)
             if marker is None:
                 _new_series().write.mode("append").parquet(catalog_dir)
             else:
@@ -390,6 +417,14 @@ def write_points_batch(
                 if rollup_dir is not None:
                     manifest["roots"]["rollup"] = rollup_dir
                     manifest["rollup"] = _staged_files(os.path.join(staging, "rollup"))
+                if kmv_dir is not None:
+                    manifest["roots"]["kmv"] = kmv_dir
+                    manifest["kmv"] = _staged_files(os.path.join(staging, "kmv"))
+                if qsample_dir is not None:
+                    manifest["roots"]["qsample"] = qsample_dir
+                    manifest["qsample"] = _staged_files(
+                        os.path.join(staging, "qsample")
+                    )
                 tmp = marker + ".tmp"
                 with open(tmp, "w") as f:
                     _json.dump(manifest, f)

@@ -514,6 +514,52 @@ def refresh_ladder(
     return rebuilt
 
 
+def refresh_sketch_ladder(
+    spark,
+    lake_dir: str,
+    fine_dir: str,
+    rungs: dict[int, str],
+    cascade,
+    force: bool = False,
+) -> dict[int, bool]:
+    """``refresh_ladder``'s sketch twin: rebuild every stale KMV or
+    value-sample rung by cascading from the freshest finer rung whose
+    interval divides it (``cascade`` is :func:`cascade_kmv` or
+    :func:`cascade_qsample` — both publish via the shared guarded-swap
+    lifecycle).  The fine sketch lake must carry an ``as_of_seq`` pin
+    (a backfill, or the ingest bridge's per-batch re-pin) — a pin-less
+    source fails fast inside ``_cascade_sketch``.  A fine lake that is
+    not coverage-complete (points predate the sketch lake) is skipped
+    entirely: cascading it would mint rungs that silently under-report;
+    run the matching backfill first.  Returns interval_ms → rebuilt."""
+    import os
+
+    rebuilt: dict[int, bool] = {}
+    if not rollup_coverage_complete(fine_dir):
+        return {iv: False for iv in rungs}
+    sources: list[tuple[int, str]] = []
+    for iv in sorted(rungs):
+        dst = rungs[iv]
+        if (
+            not force
+            and os.path.isdir(dst)
+            and rollup_coverage_complete(dst)
+            and cascade_is_current(lake_dir, dst)
+        ):
+            rebuilt[iv] = False
+            sources.append((iv, dst))
+            continue
+        src = fine_dir
+        for s_iv, s_dir in reversed(sources):
+            if iv % s_iv == 0:
+                src = s_dir
+                break
+        cascade(spark, src, dst, iv, lake_dir=lake_dir)
+        rebuilt[iv] = True
+        sources.append((iv, dst))
+    return rebuilt
+
+
 def gc_ladder_temps(
     rungs: dict[int, str], max_age_s: float = 24 * 3600
 ) -> list[str]:

