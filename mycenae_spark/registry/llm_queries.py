@@ -6609,3 +6609,300 @@ def decontaminate_split_leakage(spark, sf_dir):
         .select("doc_a", "doc_b", "split_a", "split_b",
                 r6(F.col("jaccard")).alias("jaccard_r"))
     )
+
+
+# ------------------------------------------------- end-to-end corpus prep
+
+_PREP_PAIR_COS = _cos_sql_pair("ea.embedding", "eb.embedding")
+_PREP_ASSIGN_COS = _cos_sql_pair("a.embedding", "c.c_emb")
+
+@q(
+    "pipeline_corpus_prep",
+    f"""
+WITH RECURSIVE
+q0 AS (
+  SELECT doc_id, lang, n_chars, text,
+         len(string_split(text, ' ')) AS n_toks,
+         len(list_distinct(string_split(text, ' '))) AS n_uniq
+  FROM documents
+),
+surv1 AS (
+  SELECT doc_id, lang, n_chars, text FROM q0
+  WHERE n_toks BETWEEN 20 AND 80
+    AND 1.0 - n_uniq::DOUBLE / n_toks <= 0.6
+    AND (n_chars - n_toks + 1.0) / n_toks <= 5.0
+),
+surv2 AS (
+  SELECT s.* FROM surv1 s
+  JOIN (SELECT min(doc_id) AS doc_id FROM surv1 GROUP BY text) k
+    ON s.doc_id = k.doc_id
+),
+emb_s AS (
+  SELECT e.vec_id, e.embedding FROM embeddings e
+  JOIN surv2 ON e.vec_id = surv2.doc_id
+),
+cent AS (
+  SELECT vec_id AS c_id, embedding AS c_emb FROM emb_s WHERE vec_id % 100 = 0
+),
+assign AS (
+  SELECT vec_id, c_id FROM (
+    SELECT a.vec_id, c.c_id,
+           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+             round6({_PREP_ASSIGN_COS}) DESC, c.c_id) AS rn
+    FROM emb_s a CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+capped AS (
+  SELECT vec_id, c_id FROM (
+    SELECT *, count(*) OVER (PARTITION BY c_id) AS csz FROM assign
+  ) WHERE csz <= {_SEM_CAP}
+),
+pairs AS (
+  SELECT vec_a, vec_b FROM (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round6({_PREP_PAIR_COS}) AS cos_r
+    FROM capped a JOIN capped b ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+    JOIN emb_s ea ON ea.vec_id = a.vec_id
+    JOIN emb_s eb ON eb.vec_id = b.vec_id
+  ) WHERE cos_r >= 0.35
+),
+edges AS (
+  SELECT vec_a AS a, vec_b AS b FROM pairs
+  UNION SELECT vec_b, vec_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+labels AS (
+  SELECT src AS vec_id, least(src, min(dst)) AS cluster_id
+  FROM reach GROUP BY src
+),
+sem_drop AS (
+  SELECT vec_id FROM (
+    SELECT l.vec_id,
+           row_number() OVER (PARTITION BY l.cluster_id
+                              ORDER BY s.n_chars DESC, l.vec_id) AS rk
+    FROM labels l JOIN surv2 s ON s.doc_id = l.vec_id
+  ) WHERE rk > 1
+),
+surv3 AS (
+  SELECT * FROM surv2
+  WHERE doc_id NOT IN (SELECT vec_id FROM sem_drop)
+),
+gr AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(ts) - 2),
+           i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS grams
+  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM surv3)
+  WHERE len(ts) >= 3
+),
+ev AS (SELECT doc_id AS eval_doc, unnest(grams) AS gram FROM gr WHERE doc_id < 50),
+ev_sz AS (SELECT doc_id AS eval_doc, len(grams) AS sz FROM gr WHERE doc_id < 50),
+trn AS (SELECT doc_id AS train_doc, unnest(grams) AS gram FROM gr WHERE doc_id >= 50),
+leaky AS (
+  SELECT DISTINCT train_doc FROM (
+    SELECT train_doc, eval_doc, count(*) AS n_shared
+    FROM trn JOIN ev USING (gram) GROUP BY train_doc, eval_doc
+  ) c JOIN ev_sz USING (eval_doc)
+  WHERE n_shared / sz >= 0.1
+),
+surv4 AS (
+  SELECT * FROM surv3
+  WHERE doc_id >= 50 AND doc_id NOT IN (SELECT train_doc FROM leaky)
+),
+train AS (
+  SELECT * FROM surv4
+  WHERE substr(md5('prep1|' || doc_id::VARCHAR), 1, 4) < 'e666'
+),
+mixp AS (
+  SELECT lang,
+         sum(len(string_split(text, ' ')))::DOUBLE
+           / sum(sum(len(string_split(text, ' ')))::DOUBLE) OVER () AS p
+  FROM train GROUP BY lang
+),
+mixw AS (
+  SELECT lang, round6(pow(p, 0.3) / sum(pow(p, 0.3)) OVER ()) AS weight_r
+  FROM mixp
+),
+packbase AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_toks,
+         substr(md5('pack1|' || doc_id::VARCHAR), 1, 1) AS bucket,
+         md5('pack1|' || doc_id::VARCHAR) AS h
+  FROM train
+),
+packcum AS (
+  SELECT doc_id, bucket, n_toks,
+         sum(n_toks) OVER (PARTITION BY bucket ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM packbase
+),
+packed AS (
+  SELECT bucket, ((cum - n_toks) // 2048)::BIGINT AS seq_id,
+         sum(n_toks)::DOUBLE AS seq_toks
+  FROM packcum GROUP BY bucket, seq_id
+)
+SELECT 'n' AS what, 'docs0' AS k,
+       (SELECT count(*) FROM documents)::DOUBLE AS v
+UNION ALL SELECT 'n', 'quality', (SELECT count(*) FROM surv1)::DOUBLE
+UNION ALL SELECT 'n', 'exact', (SELECT count(*) FROM surv2)::DOUBLE
+UNION ALL SELECT 'n', 'semantic', (SELECT count(*) FROM surv3)::DOUBLE
+UNION ALL SELECT 'n', 'decontaminated', (SELECT count(*) FROM surv4)::DOUBLE
+UNION ALL SELECT 'n', 'train', (SELECT count(*) FROM train)::DOUBLE
+UNION ALL SELECT 'mix', lang, weight_r FROM mixw
+UNION ALL SELECT 'pack', bucket || ':' || seq_id::VARCHAR, seq_toks FROM packed
+""",
+)
+def pipeline_corpus_prep(spark, sf_dir):
+    """The LLM brief's CAPSTONE, judged as ONE id with a full-SQL oracle
+    (r16 VERDICT item 4): quality filter → exact dedup → semantic
+    keep-best dedup → benchmark decontamination → deterministic split →
+    temperature mixing → sequence packing, composed from the SAME
+    kernels each per-operator id already judges — what THIS id pins is
+    the INTERFACES between stages (which id set flows into which
+    kernel), the thing no per-operator oracle checks.  Every stage's
+    convention matches its judged sibling: the Gopher-rule thresholds
+    (``text_quality_filter``), keep-min-id exact dedup
+    (``dedup_exact``), seeded centroids + hot-cluster valve + 0.35
+    cosine + components + longest-survives keep-best
+    (``dedup_semantic`` / ``dedup_keep_best``), eval = doc_id < 50 with
+    the 10% distinct-3-gram leak rule (``decontaminate_ngram``),
+    'prep1'-salted 90/5/5 split (``sample_hash_split``), alpha=0.3 mix
+    weights (``sample_mix_temperature``), and 'pack1'-salted 2048-token
+    bucket packing (``pack_sequences``; the production variant swaps in
+    the separately judged BPE token counts — whitespace keeps the
+    oracle one engine-independent expression).
+
+    Output is the pipeline's observable surface in one tall frame:
+    stage survivor counts, per-language mix weights, and the FULL
+    per-(bucket, sequence) packing profile — any drift in any stage's
+    output set changes rows here.  Scale posture inherits from the
+    members: the filters are scan-bound, dedup is valve-capped, the
+    eval side broadcasts, split/mix/pack shuffle only bounded keys;
+    stage boundaries localCheckpoint so the downstream stages replan
+    from materialized survivors instead of re-deriving the whole
+    upstream lineage N times."""
+    from pyspark.sql.window import Window as W
+
+    from mycenae_spark.functions.dedup import connected_components
+    from mycenae_spark.functions.sampling import (
+        contamination_pairs,
+        gram_postings,
+        hash_split,
+    )
+    from mycenae_spark.functions.similarity import semantic_pairs
+    from mycenae_spark.functions.text import token_count_ws
+
+    d = t(spark, sf_dir, "documents")
+    e = t(spark, sf_dir, "embeddings")
+    n0 = d.count()
+
+    toks = F.split(F.col("text"), " ")
+    n_toks = F.size(toks)
+    dup = F.lit(1.0) - F.size(F.array_distinct(toks)) / n_toks.cast("double")
+    mean_len = (F.length("text") - n_toks + F.lit(1.0)) / n_toks
+    surv1 = d.select("doc_id", "lang", "n_chars", "text").filter(
+        n_toks.between(20, 80) & (dup <= 0.6) & (mean_len <= 5.0)
+    )
+    n1 = surv1.count()
+
+    keep = surv1.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    surv2 = surv1.join(keep.select("doc_id"), "doc_id").localCheckpoint(
+        eager=True
+    )
+    n2 = surv2.count()
+
+    emb_s = e.join(
+        surv2.select(F.col("doc_id").alias("vec_id")), "vec_id"
+    ).localCheckpoint(eager=True)
+    cents = emb_s.filter(F.col("vec_id") % 100 == 0).select(
+        "vec_id", "embedding"
+    )
+    pairs = semantic_pairs(
+        emb_s, cents, threshold=0.35, max_cluster_size=_SEM_CAP,
+        score_rounder=r6,
+    )
+    labels = connected_components(pairs, a_col="vec_a", b_col="vec_b")
+    rk = F.row_number().over(
+        W.partitionBy("cluster_id").orderBy(F.desc("n_chars"), "doc_id")
+    )
+    drop = (
+        labels.join(surv2.select("doc_id", "n_chars"), "doc_id")
+        .withColumn("_rk", rk)
+        .filter(F.col("_rk") > 1)
+        .select("doc_id")
+    )
+    surv3 = surv2.join(drop, "doc_id", "left_anti").localCheckpoint(
+        eager=True
+    )
+    n3 = surv3.count()
+
+    ev = surv3.filter(F.col("doc_id") < 50)
+    tr = surv3.filter(F.col("doc_id") >= 50)
+    leaks = contamination_pairs(tr, ev, "doc_id", "text", n=3)
+    ev_sz = (
+        gram_postings(ev, "doc_id", "text", 3)
+        .groupBy(F.col("doc_id").alias("eval_doc"))
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    leaky = (
+        leaks.join(F.broadcast(ev_sz), "eval_doc")
+        .filter(F.col("n_shared") / F.col("sz") >= 0.1)
+        .select(F.col("train_doc").alias("doc_id"))
+        .distinct()
+    )
+    surv4 = tr.join(leaky, "doc_id", "left_anti").localCheckpoint(eager=True)
+    n4 = surv4.count()
+
+    train = hash_split(
+        surv4, "doc_id", salt="prep1", train=0.90, val=0.05
+    ).filter(F.col("split") == "train").localCheckpoint(eager=True)
+    n5 = train.count()
+
+    w = W.partitionBy()
+    g = train.groupBy("lang").agg(
+        F.sum(token_count_ws("text")).alias("n_tokens")
+    )
+    p = F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w)
+    pa = F.pow(p, 0.3)
+    mix_out = g.select(
+        F.lit("mix").alias("what"),
+        F.col("lang").alias("k"),
+        r6(pa / F.sum(pa).over(w)).alias("v"),
+    )
+
+    h = F.md5(F.concat(F.lit("pack1|"), F.col("doc_id").cast("string")))
+    wb = (
+        W.partitionBy("bucket").orderBy("h", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    pack_out = (
+        train.select(
+            "doc_id", token_count_ws("text").alias("n_toks"),
+            F.substring(h, 1, 1).alias("bucket"), h.alias("h"),
+        )
+        .withColumn("cum", F.sum("n_toks").over(wb))
+        .withColumn("seq_id", F.expr("(cum - n_toks) div 2048"))
+        .groupBy("bucket", "seq_id")
+        .agg(F.sum("n_toks").cast("double").alias("v"))
+        .select(
+            F.lit("pack").alias("what"),
+            F.concat_ws(":", "bucket", F.col("seq_id").cast("string"))
+            .alias("k"),
+            "v",
+        )
+    )
+
+    counts = spark.createDataFrame(
+        [
+            ("n", "docs0", float(n0)),
+            ("n", "quality", float(n1)),
+            ("n", "exact", float(n2)),
+            ("n", "semantic", float(n3)),
+            ("n", "decontaminated", float(n4)),
+            ("n", "train", float(n5)),
+        ],
+        "what string, k string, v double",
+    )
+    return counts.unionByName(mix_out).unionByName(pack_out)
