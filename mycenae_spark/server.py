@@ -24,6 +24,10 @@ already speaks, backed by the Parquet lake + planner:
   over a posted asset batch, image (dhash/ahash) or audio (afp)
   (body: items[{id, payload b64}]/family/max_hamming/limit/after_key →
   duplicate groups + keep verdicts)
+* ``GET /keysets/{ks}/api/query/dedup_valve`` — per-band valve-excision
+  dial over a committed band index's accounting
+* ``GET /keysets/{ks}/api/query/ann_drift`` — recall-drift-per-
+  generation dial over the drift monitor's lake
 * ``GET /keysets/{ks}/api/query/dedup_daily[?day=N]`` — per-crawl-day
   dup-rate monitor over a streaming dedup bridge's verdict lake
   (requires ``dedup_verdicts_dir``)
@@ -99,6 +103,8 @@ class Engine:
         max_series: int | None = None,
         sim_dir: str | None = None,
         dedup_verdicts_dir: str | None = None,
+        band_index_dir: str | None = None,
+        ann_drift_dir: str | None = None,
     ):
         self.spark = spark
         self.lake_dir = lake_dir
@@ -112,6 +118,14 @@ class Engine:
         #: ``batch_<day>/`` layout, media or text family) serving
         #: ``GET .../api/query/dedup_daily``; ``None`` = typed 400.
         self.dedup_verdicts_dir = dedup_verdicts_dir
+        #: A COMMITTED minhash band index dir serving the valve-excision
+        #: dial (``GET .../api/query/dedup_valve`` over
+        #: ``band_index_valve_report``); ``None`` = typed 400.
+        self.band_index_dir = band_index_dir
+        #: A recall-drift lake (parquet rows in ``ann_ivfpq_recall_drift``'s
+        #: judged schema, written by the monitoring job on its cadence)
+        #: serving ``GET .../api/query/ann_drift``; ``None`` = typed 400.
+        self.ann_drift_dir = ann_drift_dir
         #: MaxTimeseries (SURVEY §2.3 L2): the reference REJECTS a query
         #: whose filters resolve to more series than this, rather than
         #: computing or truncating it — the guard that keeps one
@@ -1784,6 +1798,104 @@ class Engine:
             },
         }
 
+    def query_dedup_valve(self) -> dict:
+        """``GET /keysets/{ks}/api/query/dedup_valve`` — the capped
+        dedup families' operator dial served (r16 VERDICT item 5, the
+        U49/U86 endpoint pattern): per band, how many hot buckets the
+        valve EXCISED from the committed band index, how many ids that
+        traded away, and how many rows were kept — straight off
+        ``band_index_valve_report``'s committed accounting (no corpus
+        re-hash; the report is one aggregation over the index).  Rising
+        excision mass across assimilation generations is the signal to
+        raise the cap and rebuild, or scrub boilerplate upstream —
+        this endpoint is where that curve lives on a dashboard instead
+        of a notebook.  Requires ``band_index_dir``; unconfigured, a
+        missing/torn index, or a pre-v2 index (no capped/ accounting)
+        all answer typed 400s.  Output is #bands rows — inherently
+        request-bounded."""
+        if self.band_index_dir is None:
+            raise ValueError(
+                "band index not configured: construct the engine with "
+                "band_index_dir pointing at a committed minhash band "
+                "index (ensure_band_index)"
+            )
+        from mycenae_spark.functions.dedup import band_index_valve_report
+
+        rows = (
+            band_index_valve_report(self.spark, self.band_index_dir)
+            .orderBy("band")
+            .collect()
+        )
+        bands = [
+            {
+                "band": r["band"],
+                "n_buckets_capped": int(r["n_buckets_capped"]),
+                "n_ids_capped": int(r["n_ids_capped"]),
+                "n_rows_kept": int(r["n_rows_kept"]),
+            }
+            for r in rows
+        ]
+        tot_ex = sum(b["n_ids_capped"] for b in bands)
+        tot_kept = sum(b["n_rows_kept"] for b in bands)
+        return {
+            "bands": bands,
+            "total": {
+                "n_ids_capped": tot_ex,
+                "n_rows_kept": tot_kept,
+                "excised_frac": round(tot_ex / (tot_ex + tot_kept), 4)
+                if tot_ex + tot_kept else 0.0,
+            },
+        }
+
+    def query_ann_drift(self) -> dict:
+        """``GET /keysets/{ks}/api/query/ann_drift`` — the re-train dial
+        served (r16 VERDICT item 5): per assimilation-chain generation,
+        covered corpus size and recall@3 vs exact, read from the drift
+        LAKE the monitoring job writes (``ann_ivfpq_recall_drift``'s
+        judged schema — the monitor runs on the assimilation cadence
+        and appends/overwrites its rows; serving recomputes nothing).
+        The response orders by generation and reports the latest recall
+        and the total drift since generation 0 — the two numbers an
+        operator alerts on.  Requires ``ann_drift_dir``; unconfigured
+        answers a typed 400, and a mis-pointed lake (rows without the
+        drift columns) answers a typed 400 instead of a null-cast 500
+        (the ``dedup_daily`` wrong-lake convention)."""
+        if self.ann_drift_dir is None:
+            raise ValueError(
+                "ann drift lake not configured: construct the engine "
+                "with ann_drift_dir pointing at parquet rows of the "
+                "recall-drift monitor (generation, n_corpus, n_matches, "
+                "recall_at_3)"
+            )
+        df = self.spark.read.schema(
+            "generation long, n_corpus long, n_matches long, "
+            "recall_at_3 double"
+        ).parquet(self.ann_drift_dir)
+        rows = df.orderBy("generation").collect()
+        if not rows or any(
+            r["generation"] is None or r["recall_at_3"] is None for r in rows
+        ):
+            raise ValueError(
+                "ann_drift_dir does not look like a recall-drift lake "
+                "(empty, or rows missing generation/recall_at_3) — point "
+                "it at the drift monitor's output"
+            )
+        gens = [
+            {
+                "generation": r["generation"],
+                "n_corpus": int(r["n_corpus"]),
+                "recall_at_3": r["recall_at_3"],
+            }
+            for r in rows
+        ]
+        return {
+            "generations": gens,
+            "latest_recall": gens[-1]["recall_at_3"],
+            "drift_since_base": round(
+                gens[-1]["recall_at_3"] - gens[0]["recall_at_3"], 6
+            ),
+        }
+
     def query_similar(self, body: dict) -> dict:
         """``POST /keysets/{ks}/api/query/similar`` — the ANN family
         served over HTTP (r15 VERDICT item 3, the U49/U73 endpoint
@@ -2024,6 +2136,10 @@ class _Handler(BaseHTTPRequestHandler):
                     200,
                     self.engine.query_dedup_daily(qs.get("day", [None])[0]),
                 )
+            if re.match(r"^/keysets/[^/]+/api/query/dedup_valve$", u.path):
+                return self._send(200, self.engine.query_dedup_valve())
+            if re.match(r"^/keysets/[^/]+/api/query/ann_drift$", u.path):
+                return self._send(200, self.engine.query_ann_drift())
             return self._send(404, {"error": f"no route {u.path}"})
         except Exception as exc:  # noqa: BLE001 — HTTP edge reports all errors
             return self._send(400, {"error": str(exc)})
@@ -2123,6 +2239,8 @@ def serve(
     max_series: int | None = None,
     sim_dir: str | None = None,
     dedup_verdicts_dir: str | None = None,
+    band_index_dir: str | None = None,
+    ann_drift_dir: str | None = None,
 ) -> tuple[ThreadingHTTPServer, Thread]:
     """Start the façade on ``port`` (0 = ephemeral); returns (server, thread).
 
@@ -2138,14 +2256,20 @@ def serve(
     committed IVFPQ artifact; without it that endpoint answers 400.
     ``dedup_verdicts_dir`` (a streaming dedup bridge's output lake)
     enables ``GET .../api/query/dedup_daily`` — the per-day dup-rate
-    monitor; without it that endpoint answers 400."""
+    monitor; without it that endpoint answers 400.  ``band_index_dir``
+    (a committed minhash band index) enables the valve-excision dial
+    ``GET .../api/query/dedup_valve``; ``ann_drift_dir`` (the recall-
+    drift monitor's lake) enables ``GET .../api/query/ann_drift`` —
+    each answers 400 unconfigured."""
     handler = type(
         "BoundHandler",
         (_Handler,),
         {"engine": Engine(spark, lake_dir, catalog_dir, rollup_dir=rollup_dir,
                           ladder=ladder, max_series=max_series,
                           sim_dir=sim_dir,
-                          dedup_verdicts_dir=dedup_verdicts_dir)},
+                          dedup_verdicts_dir=dedup_verdicts_dir,
+                          band_index_dir=band_index_dir,
+                          ann_drift_dir=ann_drift_dir)},
     )
     httpd = ThreadingHTTPServer(("127.0.0.1", port), handler)
     thread = Thread(target=httpd.serve_forever, daemon=True)

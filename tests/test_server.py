@@ -1593,3 +1593,102 @@ def test_dedup_daily_day_filter_and_validation(dedup_daily_server):
         dedup_daily_server, "/keysets/k1/api/query/dedup_daily?day=x"
     )
     assert code == 400 and "must be an integer" in err["error"]
+
+
+# ------------------------------------------------- served operator dials
+
+
+def test_dedup_valve_unconfigured_is_typed_400(server):
+    code, err = _req(server, "/keysets/k1/api/query/dedup_valve")
+    assert code == 400 and "not configured" in err["error"]
+
+
+def test_ann_drift_unconfigured_is_typed_400(server):
+    code, err = _req(server, "/keysets/k1/api/query/ann_drift")
+    assert code == 400 and "not configured" in err["error"]
+
+
+def test_dedup_valve_serves_excision_report(spark, tmp_path, monkeypatch):
+    """The valve dial over a REAL committed band index whose corpus
+    exceeds the cap: per-band excision counts match the judged
+    band_index_valve_report, and the total records a non-zero excised
+    fraction — the number an operator alerts on."""
+    from mycenae_spark.functions import dedup
+    from tests.conftest import SF_DIR
+
+    monkeypatch.setenv("MYCENAE_INDEX_ROOT", str(tmp_path / "pqidx"))
+    boiler = "the same boilerplate text repeated everywhere forever"
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon zeta"),
+         (3, "alpha beta gamma delta epsilon zeta"),
+         (10, boiler), (11, boiler),
+         (20, "fresh words never seen before anywhere")],
+        "doc_id long, text string",
+    )
+    idx = dedup.ensure_band_index(
+        spark, SF_DIR, docs, "doc_id", "text",
+        pred_desc="valve-dial-test", n_bands=4, max_bucket_size=2,
+    )
+    httpd, _ = serve(
+        spark, str(tmp_path / "lake"), str(tmp_path / "catalog"),
+        band_index_dir=idx,
+    )
+    try:
+        base = f"http://127.0.0.1:{httpd.server_address[1]}"
+        code, out = _req(base, "/keysets/k1/api/query/dedup_valve")
+        assert code == 200 and len(out["bands"]) == 4
+        want = {
+            r["band"]: (r["n_buckets_capped"], r["n_ids_capped"],
+                        r["n_rows_kept"])
+            for r in dedup.band_index_valve_report(spark, idx).collect()
+        }
+        got = {b["band"]: (b["n_buckets_capped"], b["n_ids_capped"],
+                           b["n_rows_kept"]) for b in out["bands"]}
+        assert got == want
+        assert out["total"]["n_ids_capped"] >= 4  # the alpha triple excised
+        assert 0 < out["total"]["excised_frac"] < 1
+    finally:
+        httpd.shutdown()
+
+
+def test_ann_drift_serves_lake_and_guards_wrong_lake(spark, tmp_path):
+    """The re-train dial over a drift lake: ordered generations, latest
+    recall, drift-since-base; a mis-pointed lake (an ANN bridge's
+    result table) answers the typed 400, not a null-cast 500."""
+    drift = tmp_path / "drift"
+    spark.createDataFrame(
+        [(2, 450, 18, 0.857), (0, 350, 21, 0.952), (1, 400, 20, 0.952)],
+        "generation long, n_corpus long, n_matches long, recall_at_3 double",
+    ).coalesce(1).write.parquet(str(drift))
+    wrong = tmp_path / "wrong"
+    from mycenae_spark.streaming.assimilate import ANN_RESULT_SCHEMA
+
+    spark.createDataFrame(
+        [(1, 10, 20, 1, 0.9)], ANN_RESULT_SCHEMA
+    ).coalesce(1).write.parquet(str(wrong))
+
+    httpd, _ = serve(
+        spark, str(tmp_path / "lake"), str(tmp_path / "catalog"),
+        ann_drift_dir=str(drift),
+    )
+    try:
+        base = f"http://127.0.0.1:{httpd.server_address[1]}"
+        code, out = _req(base, "/keysets/k1/api/query/ann_drift")
+        assert code == 200
+        assert [g["generation"] for g in out["generations"]] == [0, 1, 2]
+        assert out["latest_recall"] == 0.857
+        assert abs(out["drift_since_base"] - (-0.095)) < 1e-9
+    finally:
+        httpd.shutdown()
+
+    httpd, _ = serve(
+        spark, str(tmp_path / "lake2"), str(tmp_path / "catalog2"),
+        ann_drift_dir=str(wrong),
+    )
+    try:
+        base = f"http://127.0.0.1:{httpd.server_address[1]}"
+        code, err = _req(base, "/keysets/k1/api/query/ann_drift")
+        assert code == 400 and "drift lake" in err["error"]
+    finally:
+        httpd.shutdown()
