@@ -220,11 +220,21 @@ HEADLINE = [
     # is priced separately in extras (sig_index_assim_s, cache-flagged)
     # like every other artifact build.
     # Streaming lifecycle roundtrips (stream_funnel/gaps/dedup/evict/
-    # heavyhitters_roundtrip, the bus/ingest roundtrips) are judged via
-    # the driver window + oracle replica but never headline-timed —
+    # heavyhitters_roundtrip, the bus/ingest roundtrips, and r17's
+    # stream_tsdb_ingest_roundtrip — ~22 s of streaming batches +
+    # ladder refreshes, scale-invariant synthesized input) are judged
+    # via the driver window + oracle replica but never headline-timed —
     # they measure micro-batch machinery and, for the eviction one,
     # deliberate wall-clock sleeps (~15 s against a 6 s idleness
     # window), not a query plan.  The headline is the QUERY surface.
+    # pipeline_corpus_prep (r17): judged, not headline-timed — it is a
+    # COMPOSITION of subtrees the headline already times individually
+    # (text_quality_filter, dedup_semantic+clusters, decontaminate_ngram,
+    # sample_hash_split/mix_temperature, pack_sequences) plus 4 stage-
+    # boundary localCheckpoints and 6 count() actions (11.7 s warm at
+    # sf0.1 — a multi-action materialization discipline, not one plan);
+    # headlining it would double-time five families, the exact
+    # relationship that demoted dedup_clusters in r14.
 ]
 
 
