@@ -1749,19 +1749,6 @@ class Engine:
             self.spark, self.dedup_verdicts_dir,
             "day int, dup_of long, is_dup int",
         )
-        # Wrong-lake guard: an ANN bridge's result lake has the same
-        # batch_<day>/ layout but no is_dup column, so the schema-ful
-        # read yields null is_dup rows and the aggregation below would
-        # 500 on int(None) instead of answering the endpoint's typed
-        # 400 (r16 VERDICT "what's wrong" #3).
-        if v.filter(F.col("is_dup").isNull()).limit(1).count():
-            raise ValueError(
-                "dedup_verdicts_dir does not look like a dedup bridge "
-                "verdict lake (rows with no is_dup — an ANN bridge's "
-                "result lake shares the batch_<day>/ layout but carries "
-                "no verdicts); point it at a media/text bridge output "
-                "directory"
-            )
         if day is not None:
             try:
                 v = v.filter(F.col("day") == int(day))
@@ -1772,10 +1759,28 @@ class Engine:
             .agg(
                 F.count(F.lit(1)).alias("n_items"),
                 F.sum("is_dup").alias("n_dups"),
+                # wrong-lake guard, folded into the one aggregation pass
+                # (review finding r17 — a separate null-scan job doubled
+                # every request's work): an ANN bridge's result lake has
+                # the same batch_<day>/ layout but no is_dup column, so
+                # the schema-ful read yields null is_dup rows and the
+                # shaping below would 500 on int(None) instead of the
+                # endpoint's typed 400 (r16 VERDICT "what's wrong" #3).
+                F.sum(
+                    F.when(F.col("is_dup").isNull(), 1).otherwise(0)
+                ).alias("n_null"),
             )
             .orderBy("day")
             .collect()
         )
+        if any(r["n_null"] for r in rows):
+            raise ValueError(
+                "dedup_verdicts_dir does not look like a dedup bridge "
+                "verdict lake (rows with no is_dup — an ANN bridge's "
+                "result lake shares the batch_<day>/ layout but carries "
+                "no verdicts); point it at a media/text bridge output "
+                "directory"
+            )
         days = [
             {
                 "day": r["day"],
@@ -1873,12 +1878,20 @@ class Engine:
         ).parquet(self.ann_drift_dir)
         rows = df.orderBy("generation").collect()
         if not rows or any(
-            r["generation"] is None or r["recall_at_3"] is None for r in rows
+            r["generation"] is None or r["recall_at_3"] is None
+            or r["n_corpus"] is None
+            for r in rows
         ):
             raise ValueError(
                 "ann_drift_dir does not look like a recall-drift lake "
-                "(empty, or rows missing generation/recall_at_3) — point "
-                "it at the drift monitor's output"
+                "(empty, or rows missing generation/n_corpus/recall_at_3)"
+                " — point it at the drift monitor's output"
+            )
+        if len({r["generation"] for r in rows}) != len(rows):
+            raise ValueError(
+                "ann_drift lake has duplicate generation rows (monitor "
+                "appended instead of overwriting?) — latest/drift would "
+                "depend on arbitrary tie order; rewrite the lake"
             )
         gens = [
             {

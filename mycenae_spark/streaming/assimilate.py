@@ -135,10 +135,10 @@ def _load_state(out_dir: str, base_index_dir: str) -> dict:
 
     path = os.path.join(out_dir, _CHAIN_MANIFEST)
     if not os.path.isfile(path):
-        return {"base": base_index_dir, "events": []}
+        return {"base": os.path.abspath(base_index_dir), "events": []}
     with open(path) as fh:
         state = json.load(fh)
-    if state["base"] != base_index_dir:
+    if state["base"] != os.path.abspath(base_index_dir):
         raise ValueError(
             f"chain manifest at {path!r} starts at {state['base']!r}, "
             f"not the requested base {base_index_dir!r} — use a fresh "
@@ -160,11 +160,19 @@ def _save_state(out_dir: str, state: dict) -> None:
     mid-save leaves the previous manifest intact, and register it with
     the index root so the chain-aware GC spares every generation the
     manifest references (mid-chain generations look idle to the
-    age-based sweep — daily use only touches the head)."""
+    age-based sweep — daily use only touches the head).  Stored paths
+    are NORMALIZED to absolute: the GC resolves protection at sweep
+    time from whatever cwd the maintenance job runs in, so a relative
+    path saved verbatim would silently lose its protection (review
+    finding r17)."""
     import json
 
     from mycenae_spark.functions.pq import register_chain_manifest
 
+    state["base"] = os.path.abspath(state["base"])
+    for e in state["events"]:
+        if e.get("grown"):
+            e["grown"] = os.path.abspath(e["grown"])
     os.makedirs(out_dir, exist_ok=True)
     tmp = os.path.join(out_dir, f"{_CHAIN_MANIFEST}.tmp.{os.getpid()}")
     with open(tmp, "w") as fh:
@@ -176,43 +184,63 @@ def _save_state(out_dir: str, state: dict) -> None:
 def _acquire_writer_lock(out_dir: str, what: str) -> str:
     """Enforce the single-writer assumption an output dir carries (r16
     ADVICE): two bridge runs sharing an ``out_dir`` would interleave
-    manifest saves and fork the chain.  O_EXCL lock file holding the
-    owner pid; a lock whose owner is dead (crashed bridge) is stolen,
-    a live owner refuses loudly.  Returns the lock path to release."""
+    manifest saves and fork the chain.  The lock file is created with
+    its owner pid ALREADY inside (write a tmp file, ``os.link`` it into
+    place — link fails atomically on an existing lock), so a concurrent
+    reader can never observe an empty lock and mistake it for stale.
+    Liveness semantics (review finding r17): ``os.kill(pid, 0)``
+    raising ``ProcessLookupError`` means dead (steal); raising
+    ``PermissionError`` means the process EXISTS under another user —
+    very much alive, refuse.  Returns the lock path to release."""
     os.makedirs(out_dir, exist_ok=True)
     path = os.path.join(out_dir, f"{_CHAIN_MANIFEST}.lock")
-    for _ in range(2):
-        try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(fd, str(os.getpid()).encode())
-            os.close(fd)
-            return path
-        except FileExistsError:
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        fh.write(str(os.getpid()))
+    try:
+        for _ in range(2):
             try:
-                with open(path) as fh:
-                    owner = int(fh.read().strip() or "0")
-            except (OSError, ValueError):
-                owner = 0
-            alive = False
-            if owner > 0:
-                if owner == os.getpid():
-                    alive = True  # another bridge IN THIS PROCESS holds it
-                else:
-                    try:
-                        os.kill(owner, 0)
-                        alive = True
-                    except OSError:
-                        alive = False
-            if alive:
-                raise RuntimeError(
-                    f"{what}: output dir {out_dir!r} is locked by a live "
-                    f"bridge run (pid {owner}) — an output dir has exactly "
-                    "one writer; wait for it or use a different out_dir"
-                )
-            os.unlink(path)  # stale lock from a dead run: steal it
-    raise RuntimeError(
-        f"{what}: could not acquire writer lock at {path!r}"
-    )  # pragma: no cover - two steals racing
+                os.link(tmp, path)
+                return path
+            except FileExistsError:
+                try:
+                    with open(path) as fh:
+                        owner = int(fh.read().strip() or "0")
+                except (OSError, ValueError):
+                    owner = 0
+                alive = False
+                if owner > 0:
+                    if owner == os.getpid():
+                        alive = True  # another bridge IN THIS PROCESS
+                    else:
+                        try:
+                            os.kill(owner, 0)
+                            alive = True
+                        except ProcessLookupError:
+                            alive = False
+                        except PermissionError:
+                            alive = True  # exists under another user
+                        except OSError:
+                            alive = True  # unknown: refuse, never fork
+                if alive:
+                    raise RuntimeError(
+                        f"{what}: output dir {out_dir!r} is locked by a "
+                        f"live bridge run (pid {owner}) — an output dir "
+                        "has exactly one writer; wait for it or use a "
+                        "different out_dir"
+                    )
+                try:
+                    os.unlink(path)  # stale lock from a dead run
+                except FileNotFoundError:
+                    pass
+        raise RuntimeError(
+            f"{what}: could not acquire writer lock at {path!r}"
+        )  # pragma: no cover - two steals racing
+    finally:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
 
 
 def _chain_dirs(state: dict) -> list[str]:
@@ -279,7 +307,7 @@ def rebase_bridge_chain(
         with open(path) as fh:
             state = json.load(fh)
         head = _head_before(state)
-        if expect_head is not None and head != expect_head:
+        if expect_head is not None and head != os.path.abspath(expect_head):
             raise ValueError(
                 f"chain head is {head!r}, not the expected "
                 f"{expect_head!r} — a day landed since the new head was "

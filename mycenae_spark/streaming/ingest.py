@@ -177,6 +177,7 @@ def write_points_batch(
     rollup_interval_ms: int = 60_000,
     kmv_dir: str | None = None,
     qsample_dir: str | None = None,
+    content_fp: str | None = None,
 ) -> None:
     """Shared lake+catalog writer (streaming micro-batches and the HTTP put
     path both land here): append points partitioned by (ksid, date), sorted
@@ -346,6 +347,26 @@ def write_points_batch(
             # finish any moves the crash interrupted.
             with open(marker) as f:
                 manifest = _json.load(f)
+            stored_fp = manifest.get("content_fp")
+            if (
+                content_fp is not None
+                and stored_fp is not None
+                and stored_fp != content_fp
+            ):
+                # Batch-id collision with DIFFERENT content: a replay
+                # whose source slicing changed (lost checkpoint re-run
+                # with a different maxFilesPerTrigger, or new files
+                # interleaving the old batch boundaries) would silently
+                # skip this batch's NEW rows — the marker says done, but
+                # "done" was a different batch (review finding r17).
+                raise ValueError(
+                    f"batch {batch_id} was already committed from "
+                    f"DIFFERENT content ({stored_fp} vs {content_fp}) — "
+                    "a lost-checkpoint replay must reproduce the "
+                    "original batch slicing (same trigger limits, same "
+                    "file set); otherwise use a fresh lake or restore "
+                    "the checkpoint"
+                )
             _ensure_logged(manifest, replay=True)
             _apply_moves(manifest)
             if "catalog" not in manifest:
@@ -414,6 +435,11 @@ def write_points_batch(
                     "catalog": _staged_files(os.path.join(staging, "catalog")),
                     "metrics": sorted(mets) if len(mets) <= 64 else None,
                 }
+                if content_fp is not None:
+                    # the caller's batch-content fingerprint: lets a
+                    # replay detect a batch-id collision with different
+                    # content (see the replay branch above)
+                    manifest["content_fp"] = content_fp
                 if rollup_dir is not None:
                     manifest["roots"]["rollup"] = rollup_dir
                     manifest["rollup"] = _staged_files(os.path.join(staging, "rollup"))

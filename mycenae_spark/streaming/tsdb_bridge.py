@@ -31,7 +31,10 @@ manual backfill ever run.
 
 Restart discipline is inherited, not reinvented: the source checkpoint
 resumes the backlog; a replayed batch hits write_points_batch's
-committed manifest and idempotently re-applies only unfinished moves;
+committed manifest and idempotently re-applies only unfinished moves —
+and a batch-id COLLISION with different content (a lost-checkpoint
+re-run whose slicing changed) refuses loudly via the per-batch content
+fingerprint instead of silently swallowing the new rows;
 ladder refreshes are pure functions of the committed lake (guarded-swap
 publishes, commit-log currency), so re-running them is a no-op when
 current and a correct rebuild when not.
@@ -147,7 +150,26 @@ def run_tsdb_bridge(
         stats["refreshed"] = refreshed
 
     def sink(batch: DataFrame, batch_id: int) -> None:
+        import pyspark.sql.functions as F
+
         valid, _invalid = prepare_points(batch)
+        # one materialization feeds the fingerprint agg AND the write
+        valid = valid.localCheckpoint(eager=True)
+        # Batch-content fingerprint: integer batch ids only identify a
+        # batch if the source SLICING is reproduced on replay; a
+        # lost-checkpoint re-run with a different maxFilesPerTrigger
+        # would collide ids with different content and the committed
+        # marker would silently swallow the new rows.  The fingerprint
+        # makes that collision refuse loudly inside write_points_batch
+        # (review finding r17 — the assimilate bridges' content-compare
+        # discipline, priced as one agg over the checkpointed batch).
+        stat = valid.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.xxhash64("tsid", "timestamp", "value")
+                .cast("decimal(38,0)")
+            ).alias("h"),
+        ).collect()[0]
         write_points_batch(
             valid,
             lake_dir,
@@ -157,6 +179,7 @@ def run_tsdb_bridge(
             rollup_interval_ms=rollup_interval_ms,
             kmv_dir=kmv_fine_dir,
             qsample_dir=qsample_fine_dir,
+            content_fp=f"n{stat['n']}|h{stat['h']}",
         )
         stats["batches"] += 1
         if stats["batches"] % cascade_every == 0:

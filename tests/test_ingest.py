@@ -1324,7 +1324,21 @@ def test_tsdb_bridge_restart_and_replay(spark, tmp_path):
     assert before[0] == 3 * 18
 
     # lost checkpoint: full-backlog replay is exactly-once end to end
+    # (same slicing: maxFilesPerTrigger=1 reproduces the batch ids)
     s4 = run(checkpoint=str(base / "ckpt2"))
     assert s4["batches"] == 3
     assert counts() == before
     assert cascade_is_current(lake, r1h) and cascade_is_current(lake, qs1h)
+
+    # lost checkpoint AND different slicing: batch 0 would now hold all
+    # three days under the committed day-1 marker — the content
+    # fingerprint must refuse loudly instead of silently dropping
+    # days 2-3 from the "replay" (review finding r17)
+    with pytest.raises(Exception, match="DIFFERENT content"):
+        run_tsdb_bridge(
+            spark, src, lake, cat, str(base / "ckpt3"),
+            rollup_dir=r1m, ladder={HOUR: r1h},
+            qsample_fine_dir=qs1m, qsample_ladder={HOUR: qs1h},
+            max_files_per_trigger=16,
+        )
+    assert counts() == before  # nothing was half-applied
