@@ -181,7 +181,10 @@ def main() -> None:  # noqa: PLR0915 — a linear three-act demo script
         # adopts it, then GC — the chain-aware sweep spares everything
         # a manifest still references, and the generations the rebase
         # released age out on the normal clock.
-        from mycenae_spark.streaming.assimilate import rebase_bridge_chain
+        from mycenae_spark.streaming.assimilate import (
+            prune_bridge_output,
+            rebase_bridge_chain,
+        )
 
         compacted = pq.compact_ivfpq_index(spark, chain[-1])
         st = rebase_bridge_chain(a_out, compacted, expect_head=chain[-1])
@@ -203,6 +206,9 @@ def main() -> None:  # noqa: PLR0915 — a linear three-act demo script
         print(f"rebased bridge ran day 3 ({len(chain2)} generations on "
               f"the compacted base); GC swept {len(swept)} released "
               "dirs, spared every manifest-referenced generation")
+        ret = prune_bridge_output(a_out, keep_last=2)
+        print(f"result-lake retention pruned days {ret['pruned']}, "
+              f"kept {ret['kept']}")
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

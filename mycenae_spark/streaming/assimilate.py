@@ -338,6 +338,75 @@ def rebase_bridge_chain(
             pass
 
 
+def prune_bridge_output(out_dir: str, keep_last: int) -> dict:
+    """RETENTION for a bridge's verdict/result lake — the output-side
+    twin of the index chain's lifetime story: every processed day leaves
+    a ``batch_<day>/`` directory forever, and on a long-running bridge
+    the lake (and every ``read_bridge_output`` listing under the live
+    ``dedup_daily`` endpoint) grows without bound.  Deletes the result
+    directories of all but the newest ``keep_last`` processed days and
+    records the deleted days as PRUNED in the manifest.
+
+    The honest cost mirrors the rebase horizon: a pruned day can no
+    longer be replayed — its stored rows are gone, so a redelivery can
+    neither be verified as idempotent nor reprocessed (its admissions
+    are already in the chain head; reprocessing would verdict them
+    self-dups and clobber nothing into a fork) — so the bridge refuses
+    a pruned day loudly.  With a source checkpoint this never fires in
+    normal operation; ``keep_last`` must be ≥ 1 so the newest day (the
+    one an in-flight crash actually replays) always stays verifiable.
+    The index CHAIN is untouched: the events list keeps every
+    generation pointer (later days' replays still need their pre-day
+    heads), and GC protection is unchanged — verdict retention and
+    generation release are separate dials.
+
+    Crash-safe order: days are marked pruned in the manifest FIRST
+    (refusals active, data still readable), directories deleted after —
+    a crash in between leaves extra readable days that the next prune
+    removes.  Takes the output dir's writer lock.  Returns
+    ``{"pruned": [...], "kept": [...]}`` (days)."""
+    import json
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError(
+            "keep_last must be >= 1: the newest processed day is the "
+            "one an in-flight crash replays, and a replay needs its "
+            "stored rows to verify against"
+        )
+    lock = _acquire_writer_lock(out_dir, "prune_bridge_output")
+    try:
+        path = os.path.join(out_dir, _CHAIN_MANIFEST)
+        if not os.path.isfile(path):
+            raise FileNotFoundError(
+                f"no chain manifest at {path!r} — retention applies to "
+                "a bridge output dir that has processed at least one day"
+            )
+        with open(path) as fh:
+            state = json.load(fh)
+        already = set(state.get("pruned_days", []))
+        days = sorted(
+            {e["day"] for e in state["events"]}
+            | set(state.get("horizon_days", []))
+        )
+        with_rows = [d for d in days if d not in already]
+        kept = with_rows[-keep_last:]
+        prune = [d for d in with_rows if d not in kept]
+        if prune:
+            state["pruned_days"] = sorted(already | set(prune))
+            _save_state(out_dir, state)
+            for d in prune:
+                shutil.rmtree(
+                    os.path.join(out_dir, f"batch_{d}"), ignore_errors=True
+                )
+        return {"pruned": prune, "kept": kept}
+    finally:
+        try:
+            os.unlink(lock)
+        except OSError:
+            pass
+
+
 def _single_day(batch: DataFrame, epoch_id: int) -> int | None:
     """The per-batch day guard all bridges share: one file = one crawl
     batch = one day.  Returns the day, or None for an EMPTY batch; a
@@ -422,6 +491,17 @@ def _run_bridge(
             replay_idx = next(
                 (i for i, e in enumerate(events) if e["day"] == day), None
             )
+            if day in state.get("pruned_days", []):
+                # verdict retention deleted this day's stored rows: a
+                # redelivery can neither be verified as a replay nor
+                # reprocessed (its admissions already sit in the chain
+                # head) — refuse, exactly like the rebase horizon
+                raise ValueError(
+                    f"{what}: day {day}'s results were pruned by "
+                    "verdict retention (prune_bridge_output) — a "
+                    "redelivered pruned day cannot be verified; "
+                    "replaying the backlog needs a fresh output dir"
+                )
             if replay_idx is None and day in state.get("horizon_days", []):
                 # a pre-rebase day redelivered: its pre-day generation
                 # was released by the rebase, so it can be neither

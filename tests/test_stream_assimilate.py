@@ -653,6 +653,57 @@ def test_chain_survives_gc_then_rebases_onto_compacted_head(
         media_assimilate_stream(spark, src, compacted, vdir, timeout=120)
 
 
+def test_prune_bridge_output_retention(spark, index_root, tmp_path):
+    """Verdict-lake retention (the output-side twin of chain lifetime):
+    prune_bridge_output deletes all but the newest N processed days'
+    result dirs, readers serve only the retained days, the bridge keeps
+    ingesting new days on its checkpoint — with the CHAIN fully intact
+    (a dup of a pruned day's keep is still caught) — and a redelivered
+    pruned day refuses loudly instead of forking."""
+    from mycenae_spark.streaming.assimilate import prune_bridge_output
+
+    src = str(tmp_path / "src")
+    vdir = str(tmp_path / "verdicts")
+    ckpt = str(tmp_path / "ckpt")
+    base_dir = _base_index(spark, [(d, _png(d)) for d in range(6)])
+    days = [
+        ("d1.jsonl", [_jrow(1000 + d, 1, _png(d)) for d in (6, 7)]),
+        ("d2.jsonl", [_jrow(2000, 2, _png(9))]),
+        ("d3.jsonl", [_jrow(3000, 3, _png(12))]),
+    ]
+    _write_days(src, days)
+    media_assimilate_stream(spark, src, base_dir, vdir, checkpoint_dir=ckpt)
+
+    with pytest.raises(ValueError, match="keep_last"):
+        prune_bridge_output(vdir, 0)
+    out = prune_bridge_output(vdir, keep_last=1)
+    assert out == {"pruned": [1, 2], "kept": [3]}
+    v = read_bridge_output(spark, vdir, VERDICT_SCHEMA)
+    assert {r["day"] for r in v.collect()} == {3}
+    # idempotent
+    assert prune_bridge_output(vdir, keep_last=1) == {
+        "pruned": [], "kept": [3]
+    }
+
+    # day 4 continues on the checkpoint; the chain is intact — a GIF
+    # re-encode of PRUNED day 1's keep is still a dup of id 1006
+    _write_days(src, days + [
+        ("d4.jsonl", [_jrow(4000, 4, _gif(6)), _jrow(4001, 4, _png(15))]),
+    ])
+    media_assimilate_stream(spark, src, base_dir, vdir, checkpoint_dir=ckpt)
+    got = {
+        r["media_id"]: (r["day"], r["dup_of"], r["is_dup"])
+        for r in read_bridge_output(spark, vdir, VERDICT_SCHEMA).collect()
+    }
+    assert set(got) == {3000, 4000, 4001}
+    assert got[4000] == (4, 1006, 1)
+    assert got[4001] == (4, -1, 0)
+
+    # a lost-checkpoint backlog replay redelivers pruned day 1: refuse
+    with pytest.raises(Exception, match="pruned"):
+        media_assimilate_stream(spark, src, base_dir, vdir, timeout=120)
+
+
 def test_bridge_null_day_refuses(spark, index_root, tmp_path):
     """A crawl file whose rows lack the day field reads as null days —
     silently treating it as empty would commit the source checkpoint
