@@ -24,6 +24,8 @@ already speaks, backed by the Parquet lake + planner:
   over a posted asset batch, image (dhash/ahash) or audio (afp)
   (body: items[{id, payload b64}]/family/max_hamming/limit/after_key →
   duplicate groups + keep verdicts)
+* ``GET /keysets/{ks}/api/query/ladder_status`` — per-rung routing
+  gates (coverage / currency / pin) for the rollup + qsample ladders
 * ``GET /keysets/{ks}/api/query/dedup_valve`` — per-band valve-excision
   dial over a committed band index's accounting
 * ``GET /keysets/{ks}/api/query/ann_drift`` — recall-drift-per-
@@ -1803,6 +1805,56 @@ class Engine:
             },
         }
 
+    def query_ladder_status(self) -> dict:
+        """``GET /keysets/{ks}/api/query/ladder_status`` — the routing
+        dial: per configured rung (algebraic ladder and quantile-sample
+        ladder), its coverage flag, commit-log currency, and pinned
+        ``as_of_seq``, plus the lake's head seq — exactly the gates
+        ``_pick_rung`` / ``_pick_qsample`` consult, so when
+        ``last_routes()`` says a query fell back to the fine path, this
+        endpoint says WHY (stale rung? incomplete coverage? never
+        built?).  An engine with no ladders configured answers empty
+        lists with a 200 — that is a valid deployment, not an error;
+        the TSDB ingest bridge keeps these flags green by
+        construction."""
+        from mycenae_spark.streaming import commitlog
+        from mycenae_spark.streaming.rollup import (
+            _read_marker_as_of,
+            cascade_is_current,
+            rollup_coverage_complete,
+        )
+
+        def rungs(m: dict) -> list:
+            out = []
+            for iv in sorted(m):
+                d = m[iv]
+                built = os.path.isdir(d)
+                out.append({
+                    "interval_ms": iv,
+                    "built": built,
+                    "coverage_complete": built
+                    and rollup_coverage_complete(d),
+                    "current": built
+                    and cascade_is_current(self.lake_dir, d),
+                    "as_of_seq": _read_marker_as_of(d) if built else None,
+                })
+            return out
+
+        fine = None
+        if self.rollup_dir is not None:
+            fine = {
+                "built": os.path.isdir(self.rollup_dir),
+                "coverage_complete": rollup_coverage_complete(
+                    self.rollup_dir
+                ),
+            }
+        return {
+            "head_seq": commitlog.latest_seq(self.lake_dir),
+            "fine_rollup": fine,
+            "ladder": rungs(self.ladder),
+            "qsample": rungs(self.qsample_ladder),
+        }
+
     def query_dedup_valve(self) -> dict:
         """``GET /keysets/{ks}/api/query/dedup_valve`` — the capped
         dedup families' operator dial served (r16 VERDICT item 5, the
@@ -2151,6 +2203,8 @@ class _Handler(BaseHTTPRequestHandler):
                 )
             if re.match(r"^/keysets/[^/]+/api/query/dedup_valve$", u.path):
                 return self._send(200, self.engine.query_dedup_valve())
+            if re.match(r"^/keysets/[^/]+/api/query/ladder_status$", u.path):
+                return self._send(200, self.engine.query_ladder_status())
             if re.match(r"^/keysets/[^/]+/api/query/ann_drift$", u.path):
                 return self._send(200, self.engine.query_ann_drift())
             return self._send(404, {"error": f"no route {u.path}"})

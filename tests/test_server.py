@@ -1692,3 +1692,59 @@ def test_ann_drift_serves_lake_and_guards_wrong_lake(spark, tmp_path):
         assert code == 400 and "drift lake" in err["error"]
     finally:
         httpd.shutdown()
+
+
+def test_ladder_status_reports_routing_gates(spark, tmp_path):
+    """The routing dial: rung coverage/currency/pin flags flip exactly
+    when the gates _pick_rung consults flip — current after a refresh,
+    stale after a write, current again after re-refresh; an engine
+    without ladders answers empty lists (valid deployment, 200)."""
+    from mycenae_spark.server import Engine
+    from mycenae_spark.streaming.rollup import refresh_ladder
+
+    HOUR = 3_600_000
+    lake, cat = str(tmp_path / "lake"), str(tmp_path / "cat")
+    r1m, r1h = str(tmp_path / "r1m"), str(tmp_path / "r1h")
+    eng = Engine(spark, lake, cat, rollup_dir=r1m, ladder={HOUR: r1h})
+
+    def put(ts_off, v):
+        eng.put([{"metric": "ls.m", "tags": {"ksid": "k1", "host": "h0"},
+                  "timestamp": BASE_TS + ts_off, "value": v}])
+
+    put(0, 1.0)
+    put(60_000, 2.0)
+    httpd, _ = serve(spark, lake, cat, rollup_dir=r1m, ladder={HOUR: r1h})
+    try:
+        base = f"http://127.0.0.1:{httpd.server_address[1]}"
+        code, out = _req(base, "/keysets/k1/api/query/ladder_status")
+        assert code == 200
+        assert out["fine_rollup"] == {"built": True,
+                                      "coverage_complete": True}
+        rung = out["ladder"][0]
+        assert rung["interval_ms"] == HOUR
+        assert rung["built"] is False and rung["current"] is False
+
+        refresh_ladder(spark, lake, r1m, {HOUR: r1h})
+        code, out = _req(base, "/keysets/k1/api/query/ladder_status")
+        rung = out["ladder"][0]
+        assert rung["built"] and rung["coverage_complete"] and rung["current"]
+        assert rung["as_of_seq"] == out["head_seq"]
+
+        put(120_000, 3.0)  # stales the rung
+        code, out = _req(base, "/keysets/k1/api/query/ladder_status")
+        rung = out["ladder"][0]
+        assert rung["built"] and not rung["current"]
+        assert out["head_seq"] > rung["as_of_seq"]
+
+        refresh_ladder(spark, lake, r1m, {HOUR: r1h})
+        code, out = _req(base, "/keysets/k1/api/query/ladder_status")
+        assert out["ladder"][0]["current"]
+    finally:
+        httpd.shutdown()
+
+
+def test_ladder_status_without_ladders_is_empty_200(server):
+    code, out = _req(server, "/keysets/k1/api/query/ladder_status")
+    assert code == 200
+    assert out["ladder"] == [] and out["qsample"] == []
+    assert out["fine_rollup"] is None
