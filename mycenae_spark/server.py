@@ -1753,7 +1753,7 @@ class Engine:
         )
         if day is not None:
             try:
-                v = v.filter(F.col("day") == int(day))
+                day_int = int(day)
             except ValueError as exc:
                 raise ValueError(f"day must be an integer, got {day!r}") from exc
         rows = (
@@ -1775,6 +1775,11 @@ class Engine:
             .orderBy("day")
             .collect()
         )
+        # the guard sees the WHOLE lake: filtering ?day= first would let
+        # a mis-pointed lake queried for an absent day answer an empty
+        # 200 instead of the wrong-lake 400 (second review pass r17);
+        # the per-day aggregate is tiny, so the Python-side narrow is
+        # free
         if any(r["n_null"] for r in rows):
             raise ValueError(
                 "dedup_verdicts_dir does not look like a dedup bridge "
@@ -1783,6 +1788,8 @@ class Engine:
                 "no verdicts); point it at a media/text bridge output "
                 "directory"
             )
+        if day is not None:
+            rows = [r for r in rows if r["day"] == day_int]
         days = [
             {
                 "day": r["day"],

@@ -138,7 +138,10 @@ def _load_state(out_dir: str, base_index_dir: str) -> dict:
         return {"base": os.path.abspath(base_index_dir), "events": []}
     with open(path) as fh:
         state = json.load(fh)
-    if state["base"] != os.path.abspath(base_index_dir):
+    # normalize BOTH sides: a pre-r17 manifest may hold the base as the
+    # caller originally spelled it (possibly relative), and refusing a
+    # healthy chain over spelling would brick it (review finding r17)
+    if os.path.abspath(state["base"]) != os.path.abspath(base_index_dir):
         raise ValueError(
             f"chain manifest at {path!r} starts at {state['base']!r}, "
             f"not the requested base {base_index_dir!r} — use a fresh "
@@ -191,14 +194,20 @@ def _acquire_writer_lock(out_dir: str, what: str) -> str:
     Liveness semantics (review finding r17): ``os.kill(pid, 0)``
     raising ``ProcessLookupError`` means dead (steal); raising
     ``PermissionError`` means the process EXISTS under another user —
-    very much alive, refuse.  Returns the lock path to release."""
+    very much alive, refuse.  A steal renames the SPECIFIC observed
+    stale file aside (exactly one racer wins the rename; a bare unlink
+    could remove a COMPETING stealer's freshly acquired lock — second
+    review pass r17), verifies it stole the lock it observed (a pid
+    mismatch means a third writer's fresh lock got caught mid-race: it
+    is restored), and only then retries acquisition.  Returns the lock
+    path to release."""
     os.makedirs(out_dir, exist_ok=True)
     path = os.path.join(out_dir, f"{_CHAIN_MANIFEST}.lock")
     tmp = f"{path}.tmp.{os.getpid()}"
     with open(tmp, "w") as fh:
         fh.write(str(os.getpid()))
     try:
-        for _ in range(2):
+        for _ in range(3):
             try:
                 os.link(tmp, path)
                 return path
@@ -229,13 +238,29 @@ def _acquire_writer_lock(out_dir: str, what: str) -> str:
                         "has exactly one writer; wait for it or use a "
                         "different out_dir"
                     )
+                # atomic steal of the observed-dead lock: exactly one
+                # racer wins this rename; losers loop and re-observe
+                stale = f"{path}.stale.{os.getpid()}"
                 try:
-                    os.unlink(path)  # stale lock from a dead run
+                    os.rename(path, stale)
                 except FileNotFoundError:
-                    pass
+                    continue  # a competing stealer won; retry the link
+                try:
+                    with open(stale) as fh:
+                        stolen = int(fh.read().strip() or "0")
+                except (OSError, ValueError):
+                    stolen = 0
+                if stolen != owner:
+                    # mid-race a THIRD writer acquired a fresh lock and
+                    # we renamed THAT aside — give it back and retry
+                    os.rename(stale, path)
+                    continue
+                os.unlink(stale)
         raise RuntimeError(
-            f"{what}: could not acquire writer lock at {path!r}"
-        )  # pragma: no cover - two steals racing
+            f"{what}: could not acquire writer lock at {path!r} after "
+            "repeated steal races — acquire it manually or use a "
+            "different out_dir"
+        )
     finally:
         try:
             os.unlink(tmp)
@@ -307,7 +332,9 @@ def rebase_bridge_chain(
         with open(path) as fh:
             state = json.load(fh)
         head = _head_before(state)
-        if expect_head is not None and head != os.path.abspath(expect_head):
+        if expect_head is not None and os.path.abspath(
+            head
+        ) != os.path.abspath(expect_head):
             raise ValueError(
                 f"chain head is {head!r}, not the expected "
                 f"{expect_head!r} — a day landed since the new head was "
@@ -327,6 +354,10 @@ def rebase_bridge_chain(
             "base": new_head,
             "events": [],
             "horizon_days": horizon,
+            # retention accounting must survive the rebase: without it a
+            # later prune re-reports already-deleted days as kept or as
+            # freshly pruned (review finding r17)
+            "pruned_days": sorted(set(state.get("pruned_days", []))),
             "rebased_from": head,
         }
         _save_state(out_dir, new_state)
@@ -385,11 +416,19 @@ def prune_bridge_output(out_dir: str, keep_last: int) -> dict:
         with open(path) as fh:
             state = json.load(fh)
         already = set(state.get("pruned_days", []))
-        days = sorted(
-            {e["day"] for e in state["events"]}
-            | set(state.get("horizon_days", []))
-        )
-        with_rows = [d for d in days if d not in already]
+        # PROCESSING order, not day-label order (review finding r17): a
+        # late backfill file can carry a smaller day label than an
+        # earlier batch, and the keep_last guarantee is about the most
+        # recently PROCESSED days — the ones an in-flight crash can
+        # actually redeliver.  Horizon days predate every event (they
+        # were processed before the rebase), so they order first.
+        order: list = []
+        for d in list(state.get("horizon_days", [])) + [
+            e["day"] for e in state["events"]
+        ]:
+            if d not in order:
+                order.append(d)
+        with_rows = [d for d in order if d not in already]
         kept = with_rows[-keep_last:]
         prune = [d for d in with_rows if d not in kept]
         if prune:

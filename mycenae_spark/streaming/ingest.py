@@ -342,6 +342,23 @@ def write_points_batch(
 
     valid.persist()
     try:
+        if content_fp is None and isinstance(batch_id, int):
+            # Integer batch ids are the STREAMING replay domain (uuid put
+            # ids never collide): compute the batch-content fingerprint
+            # here so every streaming caller — start_ingest and the TSDB
+            # bridge alike — gets the id-collision guard below without
+            # wiring it (review finding r17: the first fix covered only
+            # the bridge's sink, leaving start_ingest's identical replay
+            # path silently lossy under a re-sliced backlog).  One agg
+            # over the just-persisted batch.
+            stat = valid.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.xxhash64("tsid", "timestamp", "value")
+                    .cast("decimal(38,0)")
+                ).alias("h"),
+            ).collect()[0]
+            content_fp = f"n{stat['n']}|h{stat['h']}"
         if marker is not None and os.path.exists(marker):
             # Replay of a committed batch: data write already happened;
             # finish any moves the crash interrupted.

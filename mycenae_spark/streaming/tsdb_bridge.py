@@ -150,26 +150,14 @@ def run_tsdb_bridge(
         stats["refreshed"] = refreshed
 
     def sink(batch: DataFrame, batch_id: int) -> None:
-        import pyspark.sql.functions as F
-
         valid, _invalid = prepare_points(batch)
-        # one materialization feeds the fingerprint agg AND the write
-        valid = valid.localCheckpoint(eager=True)
-        # Batch-content fingerprint: integer batch ids only identify a
-        # batch if the source SLICING is reproduced on replay; a
-        # lost-checkpoint re-run with a different maxFilesPerTrigger
-        # would collide ids with different content and the committed
-        # marker would silently swallow the new rows.  The fingerprint
-        # makes that collision refuse loudly inside write_points_batch
-        # (review finding r17 — the assimilate bridges' content-compare
-        # discipline, priced as one agg over the checkpointed batch).
-        stat = valid.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(
-                F.xxhash64("tsid", "timestamp", "value")
-                .cast("decimal(38,0)")
-            ).alias("h"),
-        ).collect()[0]
+        # write_points_batch computes the batch-content fingerprint for
+        # every integer (streaming) batch id: a lost-checkpoint re-run
+        # whose slicing changed collides ids with different content, and
+        # the committed marker would otherwise silently swallow the new
+        # rows — the collision refuses loudly instead (review finding
+        # r17; the guard lives in the writer so start_ingest gets it
+        # too).
         write_points_batch(
             valid,
             lake_dir,
@@ -179,7 +167,6 @@ def run_tsdb_bridge(
             rollup_interval_ms=rollup_interval_ms,
             kmv_dir=kmv_fine_dir,
             qsample_dir=qsample_fine_dir,
-            content_fp=f"n{stat['n']}|h{stat['h']}",
         )
         stats["batches"] += 1
         if stats["batches"] % cascade_every == 0:

@@ -1342,3 +1342,39 @@ def test_tsdb_bridge_restart_and_replay(spark, tmp_path):
             max_files_per_trigger=16,
         )
     assert counts() == before  # nothing was half-applied
+
+
+def test_start_ingest_resliced_replay_refuses(spark, tmp_path):
+    """start_ingest shares write_points_batch's integer-batch-id replay
+    path, so it gets the content-fingerprint guard too (second review
+    pass r17 — the first fix covered only the TSDB bridge): a
+    lost-checkpoint re-run whose batch slicing changed (a new file
+    joined batch 0) must refuse loudly, not silently drop the new
+    rows."""
+    import json as _json
+
+    from mycenae_spark.registry.util import await_or_raise
+
+    src = tmp_path / "src"
+    src.mkdir()
+    lake, cat = str(tmp_path / "lake"), str(tmp_path / "cat")
+
+    def point(i):
+        return _json.dumps({
+            "metric": "ri.m", "tags": {"ksid": "k1", "host": "h0"},
+            "timestamp": 1704067200000 + i * 60_000, "value": float(i),
+        })
+
+    (src / "a.jsonl").write_text("\n".join(point(i) for i in range(5)))
+    q = start_ingest(spark, str(src), lake, cat, str(tmp_path / "ck1"))
+    await_or_raise(q, 120, "ingest-1")
+    n1 = spark.read.parquet(lake).count()
+    assert n1 == 5
+
+    # a second file lands; a FRESH checkpoint re-run folds both files
+    # into batch 0 — colliding with the committed batch-0 marker
+    (src / "b.jsonl").write_text("\n".join(point(i) for i in range(5, 9)))
+    q = start_ingest(spark, str(src), lake, cat, str(tmp_path / "ck2"))
+    with pytest.raises(Exception, match="DIFFERENT content"):
+        await_or_raise(q, 120, "ingest-2")
+    assert spark.read.parquet(lake).count() == n1  # nothing half-applied

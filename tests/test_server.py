@@ -1573,6 +1573,11 @@ def test_dedup_daily_wrong_lake_is_typed_400(spark, tmp_path):
         base = f"http://127.0.0.1:{httpd.server_address[1]}"
         code, err = _req(base, "/keysets/k1/api/query/dedup_daily")
         assert code == 400 and "verdict lake" in err["error"]
+        # the guard must hold even when ?day= names an ABSENT day — a
+        # filtered-first aggregation would answer an empty 200 and hide
+        # the misconfiguration (second review pass r17)
+        code, err = _req(base, "/keysets/k1/api/query/dedup_daily?day=99")
+        assert code == 400 and "verdict lake" in err["error"]
     finally:
         httpd.shutdown()
 

@@ -704,6 +704,65 @@ def test_prune_bridge_output_retention(spark, index_root, tmp_path):
         media_assimilate_stream(spark, src, base_dir, vdir, timeout=120)
 
 
+def test_prune_keeps_processing_order_not_day_labels(
+    spark, index_root, tmp_path
+):
+    """keep_last protects the most recently PROCESSED days — the ones
+    an in-flight crash can redeliver — not the largest day labels: a
+    late backfill file carries a SMALLER day than an earlier batch, and
+    pruning it instead of the older-processed day would wedge the
+    bridge on its own restart (second review pass r17)."""
+    from mycenae_spark.streaming.assimilate import prune_bridge_output
+
+    src = str(tmp_path / "src")
+    vdir = str(tmp_path / "verdicts")
+    base_dir = _base_index(spark, [(d, _png(d)) for d in range(6)])
+    # processing order: day 5 FIRST, then the day-3 backfill
+    _write_days(src, [
+        ("d5.jsonl", [_jrow(5000, 5, _png(6))]),
+        ("d3.jsonl", [_jrow(3000, 3, _png(9))]),
+    ])
+    media_assimilate_stream(spark, src, base_dir, vdir)
+    out = prune_bridge_output(vdir, keep_last=1)
+    assert out == {"pruned": [5], "kept": [3]}  # 3 was processed LAST
+    v = read_bridge_output(spark, vdir, VERDICT_SCHEMA)
+    assert {r["day"] for r in v.collect()} == {3}
+
+
+def test_rebase_preserves_retention_accounting(spark, index_root, tmp_path):
+    """pruned_days must survive a rebase: without carrying it forward,
+    a later prune re-reports already-deleted days as kept or freshly
+    pruned (second review pass r17)."""
+    from mycenae_spark.functions.dedup import compact_sig_index
+    from mycenae_spark.streaming.assimilate import (
+        prune_bridge_output,
+        rebase_bridge_chain,
+    )
+
+    src = str(tmp_path / "src")
+    vdir = str(tmp_path / "verdicts")
+    base_dir = _base_index(spark, [(d, _png(d)) for d in range(6)])
+    _write_days(src, [
+        ("d1.jsonl", [_jrow(1000, 1, _png(6))]),
+        ("d2.jsonl", [_jrow(2000, 2, _png(9))]),
+        ("d3.jsonl", [_jrow(3000, 3, _png(12))]),
+    ])
+    chain = media_assimilate_stream(spark, src, base_dir, vdir)
+    assert prune_bridge_output(vdir, keep_last=2) == {
+        "pruned": [1], "kept": [2, 3]
+    }
+    rebase_bridge_chain(
+        vdir, compact_sig_index(spark, chain[-1]), expect_head=chain[-1]
+    )
+    # day 1 is deleted history, not retained — and not "freshly pruned"
+    assert prune_bridge_output(vdir, keep_last=3) == {
+        "pruned": [], "kept": [2, 3]
+    }
+    assert prune_bridge_output(vdir, keep_last=1) == {
+        "pruned": [2], "kept": [3]
+    }
+
+
 def test_bridge_null_day_refuses(spark, index_root, tmp_path):
     """A crawl file whose rows lack the day field reads as null days —
     silently treating it as empty would commit the source checkpoint
