@@ -1751,13 +1751,14 @@ class Engine:
             self.spark, self.dedup_verdicts_dir,
             "day int, dup_of long, is_dup int",
         )
+        scope = v
         if day is not None:
             try:
-                day_int = int(day)
+                scope = v.filter(F.col("day") == int(day))
             except ValueError as exc:
                 raise ValueError(f"day must be an integer, got {day!r}") from exc
         rows = (
-            v.groupBy("day")
+            scope.groupBy("day")
             .agg(
                 F.count(F.lit(1)).alias("n_items"),
                 F.sum("is_dup").alias("n_dups"),
@@ -1775,12 +1776,18 @@ class Engine:
             .orderBy("day")
             .collect()
         )
-        # the guard sees the WHOLE lake: filtering ?day= first would let
-        # a mis-pointed lake queried for an absent day answer an empty
-        # 200 instead of the wrong-lake 400 (second review pass r17);
-        # the per-day aggregate is tiny, so the Python-side narrow is
-        # free
-        if any(r["n_null"] for r in rows):
+        wrong_lake = any(r["n_null"] for r in rows)
+        if day is not None and not rows:
+            # empty answer for a narrowed request: absent day on a
+            # healthy lake, or a mis-pointed lake whose every day is
+            # absent?  Only THIS path pays a whole-lake guard check —
+            # the hot per-day poll keeps its pruned scan, and the typed
+            # 400 still cannot hide behind an empty 200 (second and
+            # third review passes r17).
+            wrong_lake = bool(
+                v.filter(F.col("is_dup").isNull()).limit(1).count()
+            )
+        if wrong_lake:
             raise ValueError(
                 "dedup_verdicts_dir does not look like a dedup bridge "
                 "verdict lake (rows with no is_dup — an ANN bridge's "
@@ -1788,8 +1795,6 @@ class Engine:
                 "no verdicts); point it at a media/text bridge output "
                 "directory"
             )
-        if day is not None:
-            rows = [r for r in rows if r["day"] == day_int]
         days = [
             {
                 "day": r["day"],

@@ -184,88 +184,59 @@ def _save_state(out_dir: str, state: dict) -> None:
     register_chain_manifest(out_dir)
 
 
-def _acquire_writer_lock(out_dir: str, what: str) -> str:
+def _acquire_writer_lock(out_dir: str, what: str) -> tuple:
     """Enforce the single-writer assumption an output dir carries (r16
     ADVICE): two bridge runs sharing an ``out_dir`` would interleave
-    manifest saves and fork the chain.  The lock file is created with
-    its owner pid ALREADY inside (write a tmp file, ``os.link`` it into
-    place — link fails atomically on an existing lock), so a concurrent
-    reader can never observe an empty lock and mistake it for stale.
-    Liveness semantics (review finding r17): ``os.kill(pid, 0)``
-    raising ``ProcessLookupError`` means dead (steal); raising
-    ``PermissionError`` means the process EXISTS under another user —
-    very much alive, refuse.  A steal renames the SPECIFIC observed
-    stale file aside (exactly one racer wins the rename; a bare unlink
-    could remove a COMPETING stealer's freshly acquired lock — second
-    review pass r17), verifies it stole the lock it observed (a pid
-    mismatch means a third writer's fresh lock got caught mid-race: it
-    is restored), and only then retries acquisition.  Returns the lock
-    path to release."""
+    manifest saves and fork the chain.
+
+    KERNEL lock, not a pid-file dance (third review pass r17): the two
+    file-based designs both had unfixable races — an O_EXCL steal could
+    unlink a competing stealer's fresh lock, and the rename-aside steal
+    could clobber a third writer's lock on its restore path; every
+    variant of "decide staleness in userspace, then mutate the file"
+    has a window.  ``flock(LOCK_EX | LOCK_NB)`` makes the kernel the
+    arbiter: acquisition is atomic, a crashed holder's lock releases
+    automatically (no staleness protocol AT ALL), a live holder —
+    including another thread of this process, via its separate open
+    file description — refuses immediately, and the pid inside the file
+    is diagnostics only.  Advisory-lock caveat, documented: all writers
+    must go through this function (they do — bridge, rebase, prune),
+    and flock over NFS requires a working lock manager.  Returns an
+    opaque handle for :func:`_release_writer_lock`."""
+    import fcntl
+
     os.makedirs(out_dir, exist_ok=True)
     path = os.path.join(out_dir, f"{_CHAIN_MANIFEST}.lock")
-    tmp = f"{path}.tmp.{os.getpid()}"
-    with open(tmp, "w") as fh:
-        fh.write(str(os.getpid()))
+    fd = os.open(path, os.O_CREAT | os.O_RDWR, 0o644)
     try:
-        for _ in range(3):
-            try:
-                os.link(tmp, path)
-                return path
-            except FileExistsError:
-                try:
-                    with open(path) as fh:
-                        owner = int(fh.read().strip() or "0")
-                except (OSError, ValueError):
-                    owner = 0
-                alive = False
-                if owner > 0:
-                    if owner == os.getpid():
-                        alive = True  # another bridge IN THIS PROCESS
-                    else:
-                        try:
-                            os.kill(owner, 0)
-                            alive = True
-                        except ProcessLookupError:
-                            alive = False
-                        except PermissionError:
-                            alive = True  # exists under another user
-                        except OSError:
-                            alive = True  # unknown: refuse, never fork
-                if alive:
-                    raise RuntimeError(
-                        f"{what}: output dir {out_dir!r} is locked by a "
-                        f"live bridge run (pid {owner}) — an output dir "
-                        "has exactly one writer; wait for it or use a "
-                        "different out_dir"
-                    )
-                # atomic steal of the observed-dead lock: exactly one
-                # racer wins this rename; losers loop and re-observe
-                stale = f"{path}.stale.{os.getpid()}"
-                try:
-                    os.rename(path, stale)
-                except FileNotFoundError:
-                    continue  # a competing stealer won; retry the link
-                try:
-                    with open(stale) as fh:
-                        stolen = int(fh.read().strip() or "0")
-                except (OSError, ValueError):
-                    stolen = 0
-                if stolen != owner:
-                    # mid-race a THIRD writer acquired a fresh lock and
-                    # we renamed THAT aside — give it back and retry
-                    os.rename(stale, path)
-                    continue
-                os.unlink(stale)
-        raise RuntimeError(
-            f"{what}: could not acquire writer lock at {path!r} after "
-            "repeated steal races — acquire it manually or use a "
-            "different out_dir"
-        )
-    finally:
+        fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    except OSError:
         try:
-            os.unlink(tmp)
+            with open(path) as fh:
+                owner = fh.read().strip() or "?"
         except OSError:
-            pass
+            owner = "?"
+        os.close(fd)
+        raise RuntimeError(
+            f"{what}: output dir {out_dir!r} is locked by a live "
+            f"bridge run (pid {owner}) — an output dir has exactly "
+            "one writer; wait for it or use a different out_dir"
+        ) from None
+    os.ftruncate(fd, 0)
+    os.write(fd, str(os.getpid()).encode())
+    return (path, fd)
+
+
+def _release_writer_lock(lock: tuple) -> None:
+    """Release a :func:`_acquire_writer_lock` handle.  The lock FILE
+    stays (unlinking would reopen the classic unlink-vs-flock race
+    where a waiter locks a deleted inode); the kernel flock state is
+    the authority, and it drops with the close."""
+    _path, fd = lock
+    try:
+        os.close(fd)  # releases the flock
+    except OSError:
+        pass
 
 
 def _chain_dirs(state: dict) -> list[str]:
@@ -363,10 +334,7 @@ def rebase_bridge_chain(
         _save_state(out_dir, new_state)
         return new_state
     finally:
-        try:
-            os.unlink(lock)
-        except OSError:
-            pass
+        _release_writer_lock(lock)
 
 
 def prune_bridge_output(out_dir: str, keep_last: int) -> dict:
@@ -440,10 +408,7 @@ def prune_bridge_output(out_dir: str, keep_last: int) -> dict:
                 )
         return {"pruned": prune, "kept": kept}
     finally:
-        try:
-            os.unlink(lock)
-        except OSError:
-            pass
+        _release_writer_lock(lock)
 
 
 def _single_day(batch: DataFrame, epoch_id: int) -> int | None:
@@ -613,10 +578,7 @@ def _run_bridge(
         await_or_raise(writer.start(), timeout, what)
         return _chain_dirs(state)
     finally:
-        try:
-            os.unlink(lock)
-        except OSError:
-            pass
+        _release_writer_lock(lock)
 
 
 def media_assimilate_stream(

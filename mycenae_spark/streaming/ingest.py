@@ -342,15 +342,16 @@ def write_points_batch(
 
     valid.persist()
     try:
-        if content_fp is None and isinstance(batch_id, int):
-            # Integer batch ids are the STREAMING replay domain (uuid put
-            # ids never collide): compute the batch-content fingerprint
-            # here so every streaming caller — start_ingest and the TSDB
-            # bridge alike — gets the id-collision guard below without
-            # wiring it (review finding r17: the first fix covered only
-            # the bridge's sink, leaving start_ingest's identical replay
-            # path silently lossy under a re-sliced backlog).  One agg
-            # over the just-persisted batch.
+        if content_fp is None and batch_id is not None:
+            # Compute the batch-content fingerprint for EVERY identified
+            # batch, so every caller gets the id-collision guard below
+            # without wiring it (review finding r17, twice: the first
+            # fix covered only the TSDB bridge's sink; the int-only
+            # second cut still missed the bus path's "bus-<n>" STRING
+            # epoch ids — the same replay domain, just prefixed).  HTTP
+            # puts use uuid ids that never collide, so their fingerprint
+            # is pure insurance — priced as one small agg over the
+            # just-persisted request batch.
             stat = valid.agg(
                 F.count(F.lit(1)).alias("n"),
                 F.sum(

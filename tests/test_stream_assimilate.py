@@ -500,14 +500,16 @@ def test_bridge_all_dup_day_replay_idempotent(spark, index_root, tmp_path):
     assert got[3000] == (2000, 1)  # via day-2's generation
 
 
-def test_bridge_writer_lock_enforced_and_stale_stolen(
+def test_bridge_writer_lock_enforced_and_crash_released(
     spark, index_root, tmp_path
 ):
     """An output dir has exactly one writer (r16 ADVICE — interleaved
-    manifest saves would fork the chain): a lock held by a LIVE pid
-    refuses; a lock left by a dead run (crash) is stolen and the bridge
-    proceeds."""
-    import subprocess
+    manifest saves would fork the chain): a HELD kernel flock refuses a
+    second run; a lock file left behind by a crashed run does NOT block
+    (the kernel released its flock at process death — there is no
+    userspace staleness protocol to get wrong, third review pass
+    r17)."""
+    import fcntl
 
     src = str(tmp_path / "src")
     vdir = tmp_path / "verdicts"
@@ -516,16 +518,16 @@ def test_bridge_writer_lock_enforced_and_stale_stolen(
 
     vdir.mkdir()
     lock = vdir / "_chain.json.lock"
-    lock.write_text(str(os.getpid()))  # a live owner (this process)
+    fd = os.open(str(lock), os.O_CREAT | os.O_RDWR)
+    fcntl.flock(fd, fcntl.LOCK_EX)  # a live concurrent writer
+    os.write(fd, str(os.getpid()).encode())
     with pytest.raises(RuntimeError, match="locked by a live"):
         media_assimilate_stream(spark, src, base_dir, str(vdir))
 
-    dead = subprocess.Popen(["true"])
-    dead.wait()
-    lock.write_text(str(dead.pid))  # a dead owner: stale, steal it
+    os.close(fd)  # the "crash": the kernel releases the flock
     chain = media_assimilate_stream(spark, src, base_dir, str(vdir))
     assert len(chain) == 2
-    assert not lock.exists()  # released after the run
+    assert lock.exists()  # the file remains; flock state is authority
 
 
 def test_read_bridge_output_skips_unpublished_days(spark, tmp_path):
