@@ -221,7 +221,10 @@ class Engine:
         n_bad = invalid.count()
         import uuid
 
-        from mycenae_spark.streaming.ingest import write_points_batch
+        from mycenae_spark.streaming.ingest import (
+            SKIP_CONTENT_FP,
+            write_points_batch,
+        )
 
         # HTTP puts get a batch id too, so the point append and the rollup
         # partials commit under ONE staged manifest — a crash between the
@@ -229,12 +232,15 @@ class Engine:
         # missing from the rollup (which would silently corrupt routed
         # downsample answers).  uuid ids never collide with the streaming
         # job's integer batch ids; manifests are tiny and GC'd by age.
+        # SKIP_CONTENT_FP: uuid ids cannot collide across runs, so the
+        # replay fingerprint would be a wasted agg on request latency.
         write_points_batch(
             valid,
             self.lake_dir,
             self.catalog_dir,
             batch_id=f"put-{uuid.uuid4().hex[:16]}",
             rollup_dir=self.rollup_dir,
+            content_fp=SKIP_CONTENT_FP,
         )
         self._tag_keys_cache = None  # batch may introduce new tag keys
         return {"success": len(points) - n_bad, "failed": n_bad}
@@ -1783,7 +1789,11 @@ class Engine:
             # absent?  Only THIS path pays a whole-lake guard check —
             # the hot per-day poll keeps its pruned scan, and the typed
             # 400 still cannot hide behind an empty 200 (second and
-            # third review passes r17).
+            # third review passes r17).  Documented tradeoff (fourth
+            # pass): a day-scoped poll validates only ITS day's rows —
+            # a lake where some OTHER day is torn serves this day's
+            # correct stats with a 200; the unscoped poll (the overview
+            # chart) is the one that surfaces whole-lake corruption.
             wrong_lake = bool(
                 v.filter(F.col("is_dup").isNull()).limit(1).count()
             )

@@ -199,10 +199,12 @@ def _acquire_writer_lock(out_dir: str, what: str) -> tuple:
     automatically (no staleness protocol AT ALL), a live holder —
     including another thread of this process, via its separate open
     file description — refuses immediately, and the pid inside the file
-    is diagnostics only.  Advisory-lock caveat, documented: all writers
-    must go through this function (they do — bridge, rebase, prune),
-    and flock over NFS requires a working lock manager.  Returns an
-    opaque handle for :func:`_release_writer_lock`."""
+    is best-effort diagnostics only.  Advisory-lock caveat, documented:
+    all writers must go through this function (they do — bridge,
+    rebase, prune), and flock over NFS requires a working lock manager
+    (without one flock raises ENOLCK, which propagates as the REAL
+    cause — only contention reads as "locked", fourth review pass).
+    Returns the lock fd for :func:`_release_writer_lock`."""
     import fcntl
 
     os.makedirs(out_dir, exist_ok=True)
@@ -210,7 +212,7 @@ def _acquire_writer_lock(out_dir: str, what: str) -> tuple:
     fd = os.open(path, os.O_CREAT | os.O_RDWR, 0o644)
     try:
         fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
-    except OSError:
+    except BlockingIOError:
         try:
             with open(path) as fh:
                 owner = fh.read().strip() or "?"
@@ -219,20 +221,25 @@ def _acquire_writer_lock(out_dir: str, what: str) -> tuple:
         os.close(fd)
         raise RuntimeError(
             f"{what}: output dir {out_dir!r} is locked by a live "
-            f"bridge run (pid {owner}) — an output dir has exactly "
-            "one writer; wait for it or use a different out_dir"
+            f"bridge run (last known pid {owner}) — an output dir has "
+            "exactly one writer; wait for it or use a different out_dir"
         ) from None
-    os.ftruncate(fd, 0)
-    os.write(fd, str(os.getpid()).encode())
-    return (path, fd)
+    except OSError:
+        os.close(fd)  # ENOLCK/EIO etc.: report the real cause, not
+        raise          # a phantom concurrent writer
+    try:
+        os.ftruncate(fd, 0)
+        os.write(fd, str(os.getpid()).encode())
+    except OSError:
+        pass  # pid is diagnostics; the flock itself is already held
+    return fd
 
 
-def _release_writer_lock(lock: tuple) -> None:
-    """Release a :func:`_acquire_writer_lock` handle.  The lock FILE
-    stays (unlinking would reopen the classic unlink-vs-flock race
-    where a waiter locks a deleted inode); the kernel flock state is
-    the authority, and it drops with the close."""
-    _path, fd = lock
+def _release_writer_lock(fd: int) -> None:
+    """Release a :func:`_acquire_writer_lock` fd.  The lock FILE stays
+    (unlinking would reopen the classic unlink-vs-flock race where a
+    waiter locks a deleted inode); the kernel flock state is the
+    authority, and it drops with the close."""
     try:
         os.close(fd)  # releases the flock
     except OSError:

@@ -36,6 +36,14 @@ from mycenae_spark.schema import (
     valid_point_predicate,
 )
 
+#: Sentinel for ``write_points_batch(content_fp=...)``: the caller's
+#: batch ids are uncollidable by construction (uuid HTTP puts), so the
+#: replay fingerprint would be pure cost on the request-latency path —
+#: skip the agg and store none.  Streaming callers (integer or
+#: prefixed epoch ids) must NOT pass this: their ids collide across
+#: lost-checkpoint re-runs, which is what the fingerprint exists for.
+SKIP_CONTENT_FP = "skip:uncollidable-batch-id"
+
 
 def decode_json_lines(raw: DataFrame, value_col: str = "value") -> DataFrame:
     """JSON-line datagrams (HTTP/UDP bodies) → typed point rows (S1/S3)."""
@@ -342,16 +350,20 @@ def write_points_batch(
 
     valid.persist()
     try:
-        if content_fp is None and batch_id is not None:
+        if content_fp == SKIP_CONTENT_FP:
+            # the caller declared its batch ids uncollidable (uuid HTTP
+            # puts): no fingerprint is stored and the replay compare is
+            # vacuous — sound, because the id can never be seen twice,
+            # and the request-latency path skips the agg job (fourth
+            # review pass r17)
+            content_fp = None
+        elif content_fp is None and batch_id is not None:
             # Compute the batch-content fingerprint for EVERY identified
             # batch, so every caller gets the id-collision guard below
             # without wiring it (review finding r17, twice: the first
             # fix covered only the TSDB bridge's sink; the int-only
             # second cut still missed the bus path's "bus-<n>" STRING
-            # epoch ids — the same replay domain, just prefixed).  HTTP
-            # puts use uuid ids that never collide, so their fingerprint
-            # is pure insurance — priced as one small agg over the
-            # just-persisted request batch.
+            # epoch ids — the same replay domain, just prefixed).
             stat = valid.agg(
                 F.count(F.lit(1)).alias("n"),
                 F.sum(
