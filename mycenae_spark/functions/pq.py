@@ -930,7 +930,17 @@ def chain_protected_dirs() -> set[str]:
     """Every index directory referenced by a registered chain manifest
     (base + all generation-producing events): these are live no matter
     their age — a chain is read head-first, but a replayed early day
-    probes an EARLY generation, so the whole chain must survive."""
+    probes an EARLY generation, so the whole chain must survive.
+
+    FAILS CLOSED (r17 ADVICE): only a genuinely-absent entry or
+    manifest (``FileNotFoundError`` — the chain was pruned or its
+    out_dir deleted) is skipped.  Any other read error (permission
+    blip, transient I/O, torn JSON — the manifest is saved atomically,
+    so a decode error means real corruption) raises instead of
+    silently dropping that chain's protection: the caller is the age
+    sweep, and sweeping without full protection knowledge would
+    irreversibly delete live mid-chain generations — the exact loss
+    this registry exists to prevent."""
     import json
 
     reg = os.path.join(_index_root(), _CHAINS_REGISTRY)
@@ -943,8 +953,15 @@ def chain_protected_dirs() -> set[str]:
                 out_dir = fh.read().strip()
             with open(os.path.join(out_dir, CHAIN_MANIFEST)) as fh:
                 state = json.load(fh)
-        except (OSError, ValueError):
-            continue  # gone or torn: nothing to protect
+        except FileNotFoundError:
+            continue  # chain genuinely gone: nothing to protect
+        except (OSError, ValueError) as exc:
+            raise RuntimeError(
+                f"cannot resolve chain protection for registry entry "
+                f"{name!r} ({exc}) — refusing to run an age sweep with "
+                "incomplete protection knowledge; retry once the read "
+                "succeeds, or remove the entry if the chain is dead"
+            ) from exc
         protected.add(os.path.abspath(state["base"]))
         for e in state.get("events", []):
             if e.get("grown"):

@@ -90,13 +90,28 @@ def read_bridge_output(spark: SparkSession, out_dir: str, schema: str):
     days are listed: the bridge stages each day into a ``.tmp.`` dir and
     renames it in whole (so a concurrent reader — this function backs
     the live ``dedup_daily`` endpoint — can never see a half-written
-    day, r16 ADVICE); the ``_SUCCESS`` check additionally skips a day
-    torn by a pre-rename crash of an OLD-layout writer."""
+    day, r16 ADVICE).  A published day is any non-``.tmp.`` dir holding
+    at least one parquet part file — NOT gated on ``_SUCCESS`` (r17
+    ADVICE: deployments running object-store committers commonly set
+    ``mapreduce.fileoutputcommitter.marksuccessfuljobs=false``, and a
+    marker requirement would make every published day silently
+    invisible).  ``_SUCCESS`` survives only as the fallback admitting a
+    legitimately EMPTY day (a committed write of zero rows leaves the
+    marker and no part files)."""
+
+    def _published(d: str) -> bool:
+        p = os.path.join(out_dir, d)
+        try:
+            names = os.listdir(p)
+        except OSError:
+            return False
+        return any(n.endswith(".parquet") for n in names) or (
+            "_SUCCESS" in names
+        )
+
     days = sorted(
         d for d in (os.listdir(out_dir) if os.path.isdir(out_dir) else [])
-        if d.startswith("batch_")
-        and ".tmp." not in d
-        and os.path.isfile(os.path.join(out_dir, d, "_SUCCESS"))
+        if d.startswith("batch_") and ".tmp." not in d and _published(d)
     )
     reader = spark.read.schema(schema)
     if not days:
@@ -409,10 +424,16 @@ def prune_bridge_output(out_dir: str, keep_last: int) -> dict:
         if prune:
             state["pruned_days"] = sorted(already | set(prune))
             _save_state(out_dir, state)
-            for d in prune:
-                shutil.rmtree(
-                    os.path.join(out_dir, f"batch_{d}"), ignore_errors=True
-                )
+        # Delete over the FULL pruned set, and even when this call
+        # prunes nothing new (r17 ADVICE): a crash between the manifest
+        # save and the deletes leaves days that are marked pruned but
+        # still readable, and a delete loop over only the new batch
+        # would orphan them forever — rmtree is idempotent, so sweeping
+        # every marked day makes any prune call the crash-recovery.
+        for d in already | set(prune):
+            p = os.path.join(out_dir, f"batch_{d}")
+            if os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
         return {"pruned": prune, "kept": kept}
     finally:
         _release_writer_lock(lock)
@@ -757,14 +778,33 @@ def _ann_results_differ(prev: DataFrame, out: DataFrame) -> bool:
     Residual assumption, documented: a rounding flip that changes
     SHORTLIST MEMBERSHIP (a different n_id at the same rank) still
     refuses — full replay determinism beyond the tolerance rests on the
-    repo's fixed-parallelism rounding contract."""
+    repo's fixed-parallelism rounding contract.
+
+    Each side is aggregated to (count, non-null count, min, max) per
+    key BEFORE the join (r17 ADVICE: a raw key join loses multiplicity
+    — duplicate (day,q_id,n_id,rk) rows, or matching nulls, would
+    compare equal even when the replay genuinely differs).  Keys are
+    expected unique, so min==max==the value and the envelope compare
+    degenerates to the old pairwise one; under a pathological
+    duplicate, count/null-count mismatches and any min/max drift
+    beyond tolerance still refuse."""
     key = ["day", "q_id", "n_id", "rk"]
-    a = prev.select(*key, F.col("cos_r").alias("_ca"))
-    b = out.select(*key, F.col("cos_r").alias("_cb"))
-    bad = a.join(b, key, "full_outer").filter(
-        F.col("_ca").isNull()
-        | F.col("_cb").isNull()
-        | (F.abs(F.col("_ca") - F.col("_cb")) > 1e-6)
+
+    def _agg(df: DataFrame, s: str) -> DataFrame:
+        return df.groupBy(*key).agg(
+            F.count(F.lit(1)).alias("_n" + s),
+            F.count("cos_r").alias("_nn" + s),
+            F.min("cos_r").alias("_lo" + s),
+            F.max("cos_r").alias("_hi" + s),
+        )
+
+    bad = _agg(prev, "a").join(_agg(out, "b"), key, "full_outer").filter(
+        (F.coalesce(F.col("_na"), F.lit(0))
+         != F.coalesce(F.col("_nb"), F.lit(0)))
+        | (F.coalesce(F.col("_nna"), F.lit(0))
+           != F.coalesce(F.col("_nnb"), F.lit(0)))
+        | (F.abs(F.col("_loa") - F.col("_lob")) > 1e-6)
+        | (F.abs(F.col("_hia") - F.col("_hib")) > 1e-6)
     )
     return bool(bad.limit(1).count())
 

@@ -531,10 +531,13 @@ def test_bridge_writer_lock_enforced_and_crash_released(
 
 
 def test_read_bridge_output_skips_unpublished_days(spark, tmp_path):
-    """Only atomically published days are readable: a day-staging
-    ``.tmp.`` dir (bridge mid-write or crashed) and a torn dir without
-    ``_SUCCESS`` are both invisible to readers — the live dedup_daily
-    endpoint must never see a partial day (r16 ADVICE)."""
+    """Published = any non-``.tmp.`` day dir with parquet part files (or
+    a bare ``_SUCCESS`` for a committed empty day): a day-staging
+    ``.tmp.`` dir (bridge mid-write or crashed) and a dir with neither
+    are invisible; a day whose ``_SUCCESS`` is absent (object-store
+    committers with marksuccessfuljobs=false, r17 ADVICE) stays
+    readable — publish atomicity comes from the whole-dir rename, not
+    the marker."""
     vdir = tmp_path / "verdicts"
     spark.createDataFrame(
         [(1, 1, -1, 0, 0)], VERDICT_SCHEMA
@@ -545,9 +548,12 @@ def test_read_bridge_output_skips_unpublished_days(spark, tmp_path):
     spark.createDataFrame(
         [(3, 3, -1, 0, 0)], VERDICT_SCHEMA
     ).coalesce(1).write.parquet(str(vdir / "batch_3"))
-    os.remove(str(vdir / "batch_3" / "_SUCCESS"))  # torn pre-rename crash
+    os.remove(str(vdir / "batch_3" / "_SUCCESS"))  # marker disabled
+    (vdir / "batch_4").mkdir()  # neither parquet nor marker: torn
+    (vdir / "batch_5").mkdir()  # committed EMPTY day: marker only
+    (vdir / "batch_5" / "_SUCCESS").touch()
     v = read_bridge_output(spark, str(vdir), VERDICT_SCHEMA)
-    assert [r["media_id"] for r in v.collect()] == [1]
+    assert sorted(r["media_id"] for r in v.collect()) == [1, 3]
 
 
 def test_ann_replay_compare_tolerates_float_noise(spark):
@@ -780,3 +786,88 @@ def test_bridge_null_day_refuses(spark, index_root, tmp_path):
     )
     with pytest.raises(Exception, match="null 'day'"):
         media_assimilate_stream(spark, src, base_dir, vdir, timeout=120)
+
+
+def test_prune_reclaims_crash_orphaned_days(spark, index_root, tmp_path):
+    """Crash-safety of the prune itself (r17 ADVICE): a crash between
+    the manifest save and the deletes leaves days marked pruned but
+    still on disk — the NEXT prune call must reclaim them even when it
+    prunes nothing new, or they leak (readable forever while their
+    replay refuses as pruned)."""
+    from mycenae_spark.streaming.assimilate import prune_bridge_output
+
+    src = str(tmp_path / "src")
+    vdir = str(tmp_path / "verdicts")
+    base_dir = _base_index(spark, [(d, _png(d)) for d in range(6)])
+    _write_days(src, [
+        ("d1.jsonl", [_jrow(1000, 1, _png(6))]),
+        ("d2.jsonl", [_jrow(2000, 2, _png(9))]),
+        ("d3.jsonl", [_jrow(3000, 3, _png(12))]),
+    ])
+    media_assimilate_stream(spark, src, base_dir, vdir)
+    assert prune_bridge_output(vdir, keep_last=1)["pruned"] == [1, 2]
+    # Simulate the crash orphan: a marked-pruned day's dir reappears
+    # (equivalently: the original prune died after _save_state).
+    orphan = os.path.join(vdir, "batch_1")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "_SUCCESS"), "w"):
+        pass
+    out = prune_bridge_output(vdir, keep_last=1)
+    assert out == {"pruned": [], "kept": [3]}  # nothing NEW pruned...
+    assert not os.path.exists(orphan)          # ...orphan still swept
+
+
+def test_chain_protection_fails_closed_on_torn_registry(
+    spark, index_root, tmp_path
+):
+    """chain_protected_dirs (r17 ADVICE): a genuinely-absent manifest is
+    a dead chain (skipped), but an unreadable one must ABORT the sweep —
+    manifest saves are atomic, so a decode error is real corruption, and
+    sweeping without full protection knowledge deletes live mid-chain
+    generations."""
+    from mycenae_spark.functions import pq
+
+    src = str(tmp_path / "src")
+    vdir = str(tmp_path / "verdicts")
+    base_dir = _base_index(spark, [(d, _png(d)) for d in range(3)])
+    _write_days(src, [("d1.jsonl", [_jrow(1000, 1, _png(4))])])
+    chain = media_assimilate_stream(spark, src, base_dir, vdir)
+    assert set(chain) <= pq.chain_protected_dirs()
+
+    # dead chain: out_dir (and manifest) gone entirely -> skipped
+    import shutil
+
+    shutil.rmtree(vdir)
+    assert pq.chain_protected_dirs() == set()
+
+    # torn manifest: registry points at a dir whose _chain.json is
+    # unparseable -> the sweep must refuse, not silently unprotect
+    os.makedirs(vdir)
+    with open(os.path.join(vdir, "_chain.json"), "w") as fh:
+        fh.write("{ not json")
+    with pytest.raises(RuntimeError, match="chain protection"):
+        pq.chain_protected_dirs()
+    with pytest.raises(RuntimeError, match="chain protection"):
+        pq.gc_pq_indexes()
+
+
+def test_ann_replay_compare_checks_multiplicity_and_nulls(spark):
+    """_ann_results_differ aggregates per key before joining (r17
+    ADVICE): a duplicated (day,q_id,n_id,rk) row on one side is a real
+    difference a raw key join would hide; matching all-null cos_r keys
+    compare equal; a null-vs-value flip refuses."""
+    from mycenae_spark.streaming.assimilate import (
+        ANN_RESULT_SCHEMA,
+        _ann_results_differ,
+    )
+
+    one = spark.createDataFrame([(1, 10, 20, 1, 0.9)], ANN_RESULT_SCHEMA)
+    doubled = spark.createDataFrame(
+        [(1, 10, 20, 1, 0.9), (1, 10, 20, 1, 0.9)], ANN_RESULT_SCHEMA
+    )
+    null_a = spark.createDataFrame([(1, 10, 20, 1, None)], ANN_RESULT_SCHEMA)
+    null_b = spark.createDataFrame([(1, 10, 20, 1, None)], ANN_RESULT_SCHEMA)
+    assert _ann_results_differ(one, doubled)
+    assert _ann_results_differ(doubled, one)
+    assert not _ann_results_differ(null_a, null_b)   # both legitimately null
+    assert _ann_results_differ(one, null_a)          # value -> null refuses
