@@ -1,8 +1,13 @@
 """Benchmark harness (driver contract, BASELINE.md).
 
 Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
-``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}``.
+``local[$SPARK_GRAFT_CPUS]`` and prints the result JSON
+(``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+"sf": ...}``) twice: first the FULL map + extras (one line, ~12 KB —
+what BENCH_LOCAL_r{N}.json archives), then a compact final line sized
+to survive the driver's 2000-char stdout-tail archive, carrying every
+per-query timing as a name-sorted values array (r17 VERDICT item 4 —
+see the comment at the emit site).
 
 Each query is executed to completion with a cheap terminal action
 (``count`` after the full computation) so the measured time is the real
@@ -651,6 +656,35 @@ def main() -> None:
             }
         )
     )
+
+    # LAST line, compact (r17 VERDICT item 4): the external driver
+    # archives only the final ~2000 chars of stdout and json-parses the
+    # last line — the full map above is ~12 KB, so cross-round mover
+    # adjudication was running on whichever ~66 query names survived the
+    # cut.  Full names alone are ~2.4 KB, so no named map of all
+    # queries can fit: instead ``qv`` carries EVERY headline timing (2dp)
+    # in NAME-SORTED order (names are deterministic — zip with
+    # ``sorted(queries)`` from bench.py or any committed BENCH_LOCAL
+    # map), and ``queries`` keeps the driver-contract shape with the
+    # slowest entries named.  Sized to stay parseable inside the tail.
+    qnames = sorted(times)
+    compact = {
+        "metric": "headline_suite_runtime",
+        "value": total,
+        "unit": "sec",
+        "sf": float(sf),
+        "queries": {},
+        "qv_order": "name-sorted",
+        "qv_n": len(qnames),
+        "qv": [round(times[k], 2) for k in qnames],
+    }
+    for n_slow in (24, 16, 8, 4):
+        slow = sorted(times.items(), key=lambda kv: -kv[1])[:n_slow]
+        compact["queries"] = {k: round(v, 2) for k, v in sorted(slow)}
+        line = json.dumps(compact, separators=(",", ":"))
+        if len(line) <= 1850:
+            break
+    print(line)
 
 
 if __name__ == "__main__":

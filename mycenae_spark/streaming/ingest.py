@@ -228,8 +228,20 @@ def write_points_batch(
         marker = os.path.join(commits, str(batch_id))
         staging = os.path.join(lake_dir, "_staging", str(batch_id))
 
+    def _unwritten(d: str) -> bool:
+        # "First write" = the dir has never held data OR a coverage
+        # verdict: missing, empty, or holding nothing but writer-lock
+        # files (run_tsdb_bridge flocks its lakes BEFORE the first
+        # batch, which creates the dir + a _chain.json.lock — that must
+        # not demote a fresh lake's coverage to incomplete, r18).
+        try:
+            entries = os.listdir(d)
+        except FileNotFoundError:
+            return True
+        return all(e.endswith(".lock") for e in entries)
+
     for _deriv_dir in (rollup_dir, kmv_dir, qsample_dir):
-        if _deriv_dir is not None and not os.path.isdir(_deriv_dir):
+        if _deriv_dir is not None and _unwritten(_deriv_dir):
             # First derived-lake write: coverage is complete only if the
             # lake holds no pre-existing points (otherwise their buckets
             # are missing and routed queries would silently under-report —

