@@ -5686,6 +5686,195 @@ def stream_tsdb_ingest_roundtrip(spark, sf_dir):
 
 
 @q(
+    "sketch_retention_roundtrip",
+    """
+SELECT * FROM (VALUES
+  ('batches_first_run', CAST(4 AS BIGINT)),
+  ('pruned_2_days_each_family', CAST(1 AS BIGINT)),
+  ('n_1m_partials_after_prune', CAST(576 AS BIGINT)),
+  ('avg_routed_via_1h_rung', CAST(1 AS BIGINT)),
+  ('avg_all_96_buckets_exact', CAST(1 AS BIGINT)),
+  ('p95_routed_via_qsample_1h', CAST(1 AS BIGINT)),
+  ('p95_all_96_buckets_exact', CAST(1 AS BIGINT)),
+  ('kmv_all_96_buckets_exact_12', CAST(1 AS BIGINT)),
+  ('fine_below_horizon_refused', CAST(1 AS BIGINT)),
+  ('fine_within_retention_buckets', CAST(576 AS BIGINT)),
+  ('floor_refused', CAST(1 AS BIGINT)),
+  ('day5_batches', CAST(1 AS BIGINT)),
+  ('day5_avg_all_120_buckets_exact', CAST(1 AS BIGINT))
+) AS t(what, n)
+""",
+)
+def sketch_retention_roundtrip(spark, sf_dir):
+    """SKETCH-LAKE RETENTION judged end to end (streaming/rollup.py::
+    prune_sketch_lake + the carry-over cascade, r17 VERDICT "what's
+    missing" #1 — the fine 1m rollup/KMV/qsample partial lakes were the
+    one grow-forever surface left; at 100 TB the 1m partial lake is
+    raw-point-order mass while the rungs replacing it are #series ×
+    #coarse-buckets).
+
+    Lifecycle judged: 4 days × 24 h × 12 points (5-min spacing, value =
+    100·H + j) stream through the ingest bridge with
+    ``sketch_retention={keep_days: 2}`` — the end-of-drain prune ages
+    the first two days' fine partials out of ALL THREE lakes (pure
+    partition moves into the grace area, apply_ttl's mechanism) after
+    proving every rung coverage-complete + current over the span.  Then
+    a real Engine proves the honesty contract:
+
+    * ``1h-avg`` / ``1h-p95`` over the FULL four days answer
+      IDENTICALLY from the rollup / qsample rungs (96 closed-form-exact
+      buckets each; routes observed via ``last_routes()``) — the rungs
+      carry the whole history, which is the point of the design;
+    * the maintained KMV 1h rung still reads 12 distinct values in
+      every one of the 96 buckets;
+    * a ``1m-avg`` WITHIN the retained window serves normally from the
+      576 remaining fine partials;
+    * a ``1m-avg`` reaching BELOW the horizon refuses loudly (the HTTP
+      edge's typed 400) — never a silent under-read of pruned partials;
+    * ``keep_days`` below the configured floor refuses before touching
+      anything;
+    * DAY 5 lands on the same checkpoint: the rungs go stale and the
+      in-batch refresh REBUILDS them from the pruned fine lake by
+      carrying the pre-horizon span over from the previous rung
+      generation — 120 exact buckets, nothing lost.
+
+    Constant oracle; rows collected before rmtree; ``sf_dir`` unused
+    (input synthesized, scale-invariant)."""
+    import datetime as _dt
+    import json as _json
+    import shutil
+    import tempfile
+
+    from mycenae_spark.server import Engine
+    from mycenae_spark.streaming.assimilate import write_day_files
+    from mycenae_spark.streaming.rollup import (
+        prune_sketch_lake,
+        read_kmv_distinct,
+    )
+    from mycenae_spark.streaming.tsdb_bridge import run_tsdb_bridge
+
+    BASE = 1704067200000  # 2024-01-01T00:00Z, day-aligned
+    base = tempfile.mkdtemp(prefix="sketch_ret_rt_")
+    lake, cat, ckpt = f"{base}/lake", f"{base}/cat", f"{base}/ckpt"
+    r1m, r1h = f"{base}/r1m", f"{base}/r1h"
+    kmv1m, kmv1h = f"{base}/kmv1m", f"{base}/kmv1h"
+    qs1m, qs1h = f"{base}/qs1m", f"{base}/qs1h"
+    retention = {"keep_days": 2, "floor_days": 1,
+                 "today": _dt.date(2024, 1, 5)}  # horizon 2024-01-03
+
+    def day_rows(d):
+        return [
+            _json.dumps({
+                "metric": "ret.m",
+                "tags": {"ksid": "k1", "host": "h0"},
+                "timestamp": BASE + d * DAY_MS + h * HOUR_MS + j * 300_000,
+                "value": float(100 * (d * 24 + h) + j),
+            })
+            for h in range(24)
+            for j in range(12)
+        ]
+
+    def run():
+        return run_tsdb_bridge(
+            spark, f"{base}/src", lake, cat, ckpt,
+            rollup_dir=r1m, ladder={HOUR_MS: r1h},
+            kmv_fine_dir=kmv1m, kmv_ladder={HOUR_MS: kmv1h},
+            qsample_fine_dir=qs1m, qsample_ladder={HOUR_MS: qs1h},
+            max_files_per_trigger=1, sketch_retention=retention,
+        )
+
+    def dps(eng, ds, start, n_days_end):
+        out = eng.query({
+            "start": start, "end": BASE + n_days_end * DAY_MS,
+            "queries": [{"metric": "ret.m", "aggregator": "sum",
+                         "downsample": ds}],
+        })
+        return {int(k): v for k, v in out[0]["dps"].items()}
+
+    def all_exact(got, n_hours, offset):
+        if len(got) != n_hours:
+            return 0
+        return int(all(
+            abs(got.get((BASE + hh * HOUR_MS) // 1000, -1e18)
+                - (100 * hh + offset)) < 1e-6
+            for hh in range(n_hours)
+        ))
+
+    two_days = ["ksid=k1/date=2024-01-01", "ksid=k1/date=2024-01-02"]
+    try:
+        write_day_files(
+            f"{base}/src",
+            [(f"day{d + 1}.jsonl", day_rows(d)) for d in range(4)],
+        )
+        stats1 = run()
+        pruned_ok = int(all(
+            stats1["retention"][fam]["pruned"] == two_days
+            for fam in ("rollup", "kmv", "qsample")
+        ))
+        n_1m = spark.read.parquet(r1m).count()
+
+        eng = Engine(
+            spark, lake, cat, rollup_dir=r1m, ladder={HOUR_MS: r1h},
+            qsample_ladder={HOUR_MS: qs1h},
+        )
+        avg = dps(eng, "1h-avg", BASE, 4)
+        avg_routed = int(eng.last_routes() == ["ladder:3600000"])
+        avg_ok = all_exact(avg, 96, 5.5)
+        p95 = dps(eng, "1h-p95", BASE, 4)
+        p95_routed = int(eng.last_routes() == ["qsample:3600000"])
+        p95_ok = all_exact(p95, 96, 10.45)
+        kmv = read_kmv_distinct(spark, kmv1h).collect()
+        kmv_ok = int(
+            len(kmv) == 96 and all(r["value"] == 12.0 for r in kmv)
+        )
+        fine_ok = dps(eng, "1m-avg", BASE + 2 * DAY_MS, 4)
+        try:
+            dps(eng, "1m-avg", BASE, 4)
+            refused = 0
+        except ValueError:
+            refused = 1
+        try:
+            prune_sketch_lake(
+                lake, r1m, {HOUR_MS: r1h}, keep_days=0, floor_days=1,
+                today=_dt.date(2024, 1, 5),
+            )
+            floor_refused = 0
+        except ValueError:
+            floor_refused = 1
+
+        # day 5 on the same checkpoint: the in-batch refresh rebuilds
+        # the staled rungs from the PRUNED fine lake via carry-over
+        write_day_files(
+            f"{base}/src",
+            [(f"day{d + 1}.jsonl", day_rows(d)) for d in range(5)],
+        )
+        stats2 = run()
+        avg5 = dps(eng, "1h-avg", BASE, 5)
+        avg5_ok = all_exact(avg5, 120, 5.5)
+
+        rows = [
+            ("batches_first_run", stats1["batches"]),
+            ("pruned_2_days_each_family", pruned_ok),
+            ("n_1m_partials_after_prune", n_1m),
+            ("avg_routed_via_1h_rung", avg_routed),
+            ("avg_all_96_buckets_exact", avg_ok),
+            ("p95_routed_via_qsample_1h", p95_routed),
+            ("p95_all_96_buckets_exact", p95_ok),
+            ("kmv_all_96_buckets_exact_12", kmv_ok),
+            ("fine_below_horizon_refused", refused),
+            ("fine_within_retention_buckets", len(fine_ok)),
+            ("floor_refused", floor_refused),
+            ("day5_batches", stats2["batches"]),
+            ("day5_avg_all_120_buckets_exact", avg5_ok),
+        ]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        [(w, int(n)) for w, n in rows], "what string, n long"
+    )
+
+
+@q(
     "stream_chain_rebase_roundtrip",
     """
 SELECT * FROM (VALUES

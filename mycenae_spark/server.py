@@ -647,6 +647,8 @@ class Engine:
                 exc_info=True,
             )
             r, r_iv = rollup, 60_000
+        if r is rollup and r is not None:
+            self._guard_fine_retention(q)
         try:
             rows = shape_response(
                 plan(pts, q, rollup=r, rollup_interval_ms=r_iv),
@@ -664,6 +666,7 @@ class Engine:
             # The fine rollup/points path is always correct — drop the
             # stale memoized rung frame and retry once through it (a
             # genuine query error simply re-raises from the retry).
+            self._guard_fine_retention(q)  # the retry serves from fine
             self._rung_frames = {
                 d: c for d, c in self._rung_frames.items() if c[1] is not r
             }
@@ -674,6 +677,33 @@ class Engine:
             )
             self._note_route("fine")
             return rows
+
+    def _guard_fine_retention(self, q) -> None:
+        """Fine-sketch retention guard (r17 VERDICT "what's missing" #1):
+        when ``prune_sketch_lake`` aged out fine rollup partials below a
+        horizon and this query would be served FROM those partials
+        (rollup-routable at the fine interval) over a pre-horizon span,
+        the partials would silently under-read — refuse with the remedy
+        instead (the HTTP edge maps it to a typed 400).  Rung-routed
+        queries are untouched: rungs carry the full history, which is
+        the whole point of the retention design.  Non-routable queries
+        read raw points and follow the point lake's own TTL contract."""
+        from mycenae_spark.plans.tsdb import rollup_routable
+        from mycenae_spark.streaming.rollup import sketch_retained_from
+
+        retained = (
+            sketch_retained_from(self.rollup_dir)
+            if self.rollup_dir is not None
+            else 0
+        )
+        if retained and q.start_ms < retained and rollup_routable(q, 60_000):
+            raise ValueError(
+                f"downsample {q.downsample!r} needs the fine rollup "
+                f"grain below its retention horizon ({retained} ms): "
+                "fine partials before that point were pruned after a "
+                "coarser rung took over the span — query at a rung "
+                "grain, or start the range at/after the horizon"
+            )
 
     def _pick_rung(self, q, fine_rollup):
         """Coarsest serving frame for ``q``'s downsample: a ladder rung

@@ -27,6 +27,8 @@ the point lake, so partition pruning applies to both.
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
@@ -134,6 +136,7 @@ def mark_rollup_coverage(
     complete: bool,
     as_of_seq: int | None = None,
     kind: str | None = None,
+    retained_from_ms: int | None = None,
 ) -> None:
     """Record rollup coverage state (atomic write-then-rename).
 
@@ -142,7 +145,14 @@ def mark_rollup_coverage(
     ``kind`` ("cascade" for cascaded rungs) lets ``cascade_rollup`` tell a
     pin-less CASCADED source (built without ``lake_dir`` — its files never
     appear in commit manifests, so waiting for them to settle would hang)
-    apart from the live ingest-maintained rung (whose files do settle)."""
+    apart from the live ingest-maintained rung (whose files do settle).
+
+    ``retained_from_ms`` (fine sketch lakes only — set by
+    :func:`prune_sketch_lake`) records the retention horizon: buckets
+    below it were aged out after a coarser rung took over the span.
+    When None (every re-pin: the ingest bridge re-marks the fine lakes
+    per batch), an EXISTING horizon is preserved — losing it would let
+    reads silently under-read the pruned span."""
     import json
     import os
 
@@ -154,6 +164,10 @@ def mark_rollup_coverage(
         payload["as_of_seq"] = int(as_of_seq)
     if kind is not None:
         payload["kind"] = kind
+    if retained_from_ms is None:
+        retained_from_ms = _read_marker(rollup_dir).get("retained_from_ms")
+    if retained_from_ms:
+        payload["retained_from_ms"] = int(retained_from_ms)
     with open(tmp, "w") as f:
         json.dump(payload, f)
         f.flush()
@@ -178,6 +192,173 @@ def rollup_coverage_complete(rollup_dir: str) -> bool:
             return bool(json.load(f).get("complete"))
     except (OSError, ValueError):
         return False
+
+
+def sketch_retained_from(sketch_dir: str) -> int:
+    """The retention horizon :func:`prune_sketch_lake` recorded for a
+    fine sketch lake (epoch ms), or 0 when the lake was never pruned:
+    buckets below it were aged out and only coarser rungs cover the
+    span."""
+    return int(_read_marker(sketch_dir).get("retained_from_ms") or 0)
+
+
+def prune_sketch_lake(
+    lake_dir: str,
+    fine_dir: str,
+    rungs: dict[int, str],
+    *,
+    keep_days: int,
+    floor_days: int = 7,
+    today=None,
+    sketch: str = "rollup",
+) -> dict:
+    """RETENTION for a fine sketch lake (r17 VERDICT "what's missing"
+    #1 — the one grow-forever surface left): age out fine rollup / KMV /
+    qsample partials once every coarser rung covers the span, the same
+    honesty contract as ``keyspace.apply_ttl`` gives raw points.  At
+    100 TB the 1m partial lake is raw-point-order mass; the rungs that
+    replace it are #series × #coarse-buckets.
+
+    Drops whole ``ksid=*/date=*`` partitions of ``fine_dir`` older than
+    ``today - keep_days`` — pure directory moves, cost independent of
+    partition bytes (apply_ttl's mechanism).  Preconditions, each a
+    loud refusal (never a silent under-read later):
+
+    * ``keep_days >= floor_days`` — the configured floor; fine grain
+      younger than it is always queryable;
+    * every rung in ``rungs`` is coverage-complete AND current against
+      the commit log — the dropped span must already be answerable at
+      every rung grain;
+    * the day-aligned horizon falls on every rung's bucket boundary
+      (a rung bucket straddling the horizon would merge dropped and
+      kept fine buckets);
+    * ``fine_dir`` itself is coverage-complete (a partial fine lake
+      needs its backfill first, not retention).
+
+    Crash-safe order (the prune_bridge_output discipline): commit-log
+    entry first (``sketch-prune`` — log-gated rollup snapshot reads
+    exclude the partitions from this position; content-NEUTRAL for rung
+    currency since rung values are unaffected), then the fine marker's
+    ``retained_from_ms`` (refusals + cascade carry-over active, data
+    still readable), then the moves — into ``fine_dir/_retained/<seq>/``
+    so reads pinned before the prune keep resolving until
+    ``maintenance.gc_retained`` reclaims them.  The move loop covers
+    every partition below the RECORDED horizon, so any prune call
+    reclaims a predecessor's crash orphans.
+
+    After the drop: queries at rung grain answer identically from the
+    rungs; a query needing the fine grain below the horizon refuses
+    loudly (server.Engine) or falls to raw points where servable; rung
+    REBUILDS carry the pre-horizon span over from the previous rung
+    generation (``refresh_ladder`` / ``refresh_sketch_ladder``).  Late
+    points below the horizon are outside the data contract, exactly as
+    ``apply_ttl`` declares for expired partitions.
+
+    Returns ``{"pruned": [relpaths], "retained_from_ms": horizon_ms}``.
+    """
+    import datetime as _dt
+    import shutil
+
+    from mycenae_spark.maintenance import retain_path
+    from mycenae_spark.streaming import commitlog
+
+    if keep_days < floor_days:
+        raise ValueError(
+            f"prune_sketch_lake: keep_days={keep_days} is below the "
+            f"retention floor ({floor_days} days) — fine-grain history "
+            "younger than the floor must stay queryable; raise keep_days "
+            "or lower floor_days deliberately"
+        )
+    if not rungs:
+        raise ValueError(
+            "prune_sketch_lake: no coarser rungs configured — dropping "
+            "fine partials would orphan the span entirely; build the "
+            "ladder first"
+        )
+    today = today or _dt.date.today()
+    horizon_day = today - _dt.timedelta(days=keep_days)
+    horizon_ms = (
+        int(
+            _dt.datetime.combine(
+                horizon_day, _dt.time(), tzinfo=_dt.timezone.utc
+            ).timestamp()
+        )
+        * 1000
+    )
+    for iv, rung_dir in sorted(rungs.items()):
+        if horizon_ms % iv:
+            raise ValueError(
+                f"prune_sketch_lake: horizon {horizon_day} is not "
+                f"aligned to the {iv}ms rung's bucket grid — a straddling "
+                "rung bucket would mix dropped and kept fine buckets; "
+                "adjust keep_days/today so the horizon lands on a rung "
+                "boundary"
+            )
+        if not rollup_coverage_complete(rung_dir):
+            raise ValueError(
+                f"prune_sketch_lake: rung {rung_dir!r} is not marked "
+                "coverage-complete — it cannot prove it answers for the "
+                "dropped span; run the backfill/refresh first"
+            )
+        if not cascade_is_current(lake_dir, rung_dir):
+            raise ValueError(
+                f"prune_sketch_lake: rung {rung_dir!r} is stale against "
+                "the commit log — refresh the ladder first so the rung "
+                "provably covers everything being dropped"
+            )
+    if not rollup_coverage_complete(fine_dir):
+        raise ValueError(
+            f"prune_sketch_lake: fine lake {fine_dir!r} is not "
+            "coverage-complete — backfill it before applying retention"
+        )
+
+    already = sketch_retained_from(fine_dir)
+    horizon_ms = max(horizon_ms, already)
+    horizon_day = _dt.datetime.fromtimestamp(
+        horizon_ms / 1000, tz=_dt.timezone.utc
+    ).date()
+
+    # every partition below the RECORDED horizon — not just newly
+    # expired ones — so a crash between marker and moves is repaired by
+    # the next call (the prune_bridge_output idempotent-sweep contract)
+    expired: list[str] = []
+    for ks in sorted(os.listdir(fine_dir)) if os.path.isdir(fine_dir) else []:
+        if not ks.startswith("ksid="):
+            continue
+        for entry in sorted(os.listdir(os.path.join(fine_dir, ks))):
+            if not entry.startswith("date="):
+                continue
+            try:
+                d = _dt.date.fromisoformat(entry.split("=", 1)[1])
+            except ValueError:
+                continue
+            if d < horizon_day:
+                expired.append(os.path.join(ks, entry))
+
+    if horizon_ms > already or expired:
+        seq = commitlog.append(
+            lake_dir,
+            {
+                "kind": "sketch-prune",
+                "sketch": sketch,
+                "retained_from_ms": horizon_ms,
+                "partitions": expired,
+            },
+        )
+        # carry the pin/kind through: dropping as_of_seq here would
+        # strip the fine lake's currency pin and brick the next cascade
+        marker = _read_marker(fine_dir)
+        mark_rollup_coverage(
+            fine_dir, True,
+            as_of_seq=marker.get("as_of_seq"),
+            kind=marker.get("kind"),
+            retained_from_ms=horizon_ms,
+        )
+        for rel in expired:
+            dst = retain_path(fine_dir, seq, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.move(os.path.join(fine_dir, rel), dst)
+    return {"pruned": expired, "retained_from_ms": horizon_ms}
 
 
 def backfill_rollup(
@@ -269,6 +450,37 @@ def backfill_rollup(
     return {"as_of": as_of, "seq": seq, "salvaged": salvaged}
 
 
+def _carry_pruned_span(
+    spark, merged: DataFrame, carry_dir: str | None, carry_below_ms: int,
+    what: str,
+) -> DataFrame:
+    """THE carry-over rule for rebuilding a rung from a PRUNED fine lake
+    (one copy for the algebraic and sketch cascades): the source no
+    longer holds buckets below the retention horizon, so the new rung
+    generation takes that span verbatim from the PREVIOUS generation —
+    exact because the prune's precondition proved the old rung current
+    over the span, and late data below the horizon is outside the data
+    contract (``prune_sketch_lake``).  A first build of a NEW rung from
+    a pruned fine lake has no previous generation to carry and refuses
+    loudly — minting it would silently under-report the pruned span."""
+    if not carry_below_ms:
+        return merged
+    if carry_dir is None or not rollup_coverage_complete(carry_dir):
+        raise ValueError(
+            f"{what}: the source lake is pruned below "
+            f"{carry_below_ms}ms but the destination rung has no "
+            "coverage-complete previous generation to carry the span "
+            "from — restore the rung, or backfill from raw points if "
+            "they still exist"
+        )
+    old = spark.read.parquet(carry_dir).filter(
+        F.col("bucket_ms") < carry_below_ms
+    )
+    return merged.filter(
+        F.col("bucket_ms") >= carry_below_ms
+    ).unionByName(old)
+
+
 def cascade_rollup(
     spark,
     src_dir: str,
@@ -277,6 +489,8 @@ def cascade_rollup(
     series_cols: list[str] | None = None,
     lake_dir: str | None = None,
     settle_timeout_s: float = 30.0,
+    carry_dir: str | None = None,
+    carry_below_ms: int = 0,
 ) -> None:
     """Materialize a COARSER rollup rung from a finer one (1m → 1h → 1d —
     the TimescaleDB continuous-aggregate ladder / OpenTSDB multi-interval
@@ -386,6 +600,9 @@ def cascade_rollup(
             )
         )
         merged = merged.join(hist, [*series_cols, "date", "bucket_ms"])
+    merged = _carry_pruned_span(
+        spark, merged, carry_dir, carry_below_ms, "cascade_rollup"
+    )
     base = os.path.dirname(dst_dir.rstrip("/")) or "."
     tmp = os.path.join(base, f"_rollup_cascade_{uuid.uuid4().hex[:8]}")
     merged.write.mode("overwrite").partitionBy("ksid", "date").parquet(tmp)
@@ -446,12 +663,18 @@ def cascade_is_current(lake_dir: str, rung_dir: str) -> bool:
         return False
     # Content-NEUTRAL kinds for rollup reads: checkpoints and catalog
     # maintenance touch no partials; compaction rewrites partial FILES but
-    # preserves their merged values, which is all a cascade depends on.
-    # Everything else — points-append (writes partials when rollup is on),
-    # rollup-backfill, partition-drop (TTL deletes rollup partitions too),
-    # and any kind this code doesn't know — is conservatively staling:
-    # the fallback path is always correct, a stale rung never is.
-    neutral = {"checkpoint", "catalog-dedupe", "catalog-rewrite", "compaction"}
+    # preserves their merged values, which is all a cascade depends on;
+    # a sketch-prune drops FINE partials whose span the prune itself
+    # proved every rung already covers (its precondition), so rung values
+    # are untouched.  Everything else — points-append (writes partials
+    # when rollup is on), rollup-backfill, partition-drop (TTL deletes
+    # rollup partitions too), and any kind this code doesn't know — is
+    # conservatively staling: the fallback path is always correct, a
+    # stale rung never is.
+    neutral = {
+        "checkpoint", "catalog-dedupe", "catalog-rewrite", "compaction",
+        "sketch-prune",
+    }
     for _seq, payload in commitlog.entries(lake_dir, since=as_of):
         if payload.get("kind") not in neutral:
             return False
@@ -504,8 +727,15 @@ def refresh_ladder(
             if iv % s_iv == 0:
                 src = s_dir
                 break
+        # A PRUNED fine source no longer holds the pre-horizon span:
+        # carry it over from the rung's previous generation (rung
+        # sources are never pruned, so retained is 0 for them).
+        retained = sketch_retained_from(src)
         tmp = dst.rstrip("/") + f"_new_{uuid.uuid4().hex[:8]}"
-        cascade_rollup(spark, src, tmp, iv, lake_dir=lake_dir)
+        cascade_rollup(
+            spark, src, tmp, iv, lake_dir=lake_dir,
+            carry_dir=dst if retained else None, carry_below_ms=retained,
+        )
         # Guarded generation swap with restore-on-race — shared with the
         # KMV publish paths (one copy of the protocol).
         _swap_in(tmp, dst)
@@ -554,7 +784,12 @@ def refresh_sketch_ladder(
             if iv % s_iv == 0:
                 src = s_dir
                 break
-        cascade(spark, src, dst, iv, lake_dir=lake_dir)
+        # Same pruned-source carry-over rule as refresh_ladder.
+        retained = sketch_retained_from(src)
+        cascade(
+            spark, src, dst, iv, lake_dir=lake_dir,
+            carry_dir=dst if retained else None, carry_below_ms=retained,
+        )
         rebuilt[iv] = True
         sources.append((iv, dst))
     return rebuilt
@@ -830,6 +1065,8 @@ def _cascade_sketch(
     retake,
     kind: str,
     remedy: str,
+    carry_dir: str | None = None,
+    carry_below_ms: int = 0,
 ) -> None:
     """THE one copy of the sketch-cascade lifecycle (KMV and value-sample
     rungs share it — r9 review: three drifting copies of the pin /
@@ -860,6 +1097,9 @@ def _cascade_sketch(
         F.col("bucket_ms") - (F.col("bucket_ms") % F.lit(dst_interval_ms)),
     )
     merged = retake(df, k, [*series_cols, "date", "bucket_ms"])
+    merged = _carry_pruned_span(
+        spark, merged, carry_dir, carry_below_ms, kind
+    )
     tmp = dst_dir.rstrip("/") + f"_new_{uuid.uuid4().hex[:8]}"
     merged.write.mode("overwrite").partitionBy("ksid", "date").parquet(tmp)
     # Guarded swap, so RE-cascading after the source re-pins (the refresh
@@ -908,6 +1148,8 @@ def cascade_kmv(
     k: int = KMV_K,
     series_cols: list[str] | None = None,
     lake_dir: str | None = None,
+    carry_dir: str | None = None,
+    carry_below_ms: int = 0,
 ) -> None:
     """Materialize a coarser KMV rung from a finer one (the sketch twin of
     ``cascade_rollup``): re-bucket, union + re-take-k.  Exact by KMV
@@ -919,6 +1161,7 @@ def cascade_kmv(
     _cascade_sketch(
         spark, src_dir, dst_dir, dst_interval_ms, k, series_cols, lake_dir,
         _kmv_retake, "kmv-cascade", "backfill_kmv",
+        carry_dir=carry_dir, carry_below_ms=carry_below_ms,
     )
 
 
@@ -1153,6 +1396,8 @@ def cascade_qsample(
     k: int = QSAMPLE_K,
     series_cols: list[str] | None = None,
     lake_dir: str | None = None,
+    carry_dir: str | None = None,
+    carry_below_ms: int = 0,
 ) -> None:
     """Materialize a coarser sample rung from a finer one — the sample
     twin of ``cascade_kmv``, sharing the ONE pin/currency/guarded-swap
@@ -1161,6 +1406,7 @@ def cascade_qsample(
     _cascade_sketch(
         spark, src_dir, dst_dir, dst_interval_ms, k, series_cols, lake_dir,
         _qsample_retake, "qsample-cascade", "backfill_qsample",
+        carry_dir=carry_dir, carry_below_ms=carry_below_ms,
     )
 
 

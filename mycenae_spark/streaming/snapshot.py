@@ -352,6 +352,21 @@ def resolve(lake_dir: str, as_of: int | None = None) -> dict:
                     p for p in files[section]
                     if not any(p.startswith(px) for px in prefixes)
                 }
+        elif kind == "sketch-prune":
+            # fine-sketch retention (prune_sketch_lake): ONLY the rollup
+            # section loses the partitions — the points under the same
+            # ksid=/date= prefixes are still live (that asymmetry is why
+            # this is not a partition-drop entry).  KMV/qsample prunes
+            # carry sketch != "rollup" and gate nothing here (those lakes
+            # are not snapshot sections).
+            if payload.get("sketch") == "rollup":
+                prefixes = [
+                    p.rstrip("/") + "/" for p in payload["partitions"]
+                ]
+                files["rollup"] = {
+                    p for p in files["rollup"]
+                    if not any(p.startswith(px) for px in prefixes)
+                }
         elif kind == "rollup-backfill":
             # The backfill recomputed partials from a snapshot pinned at
             # payload["as_of"]; batches committing in (as_of, here) kept

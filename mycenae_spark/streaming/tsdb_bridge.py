@@ -76,6 +76,7 @@ def run_tsdb_bridge(
     max_files_per_trigger: int = 16,
     default_ksid: str | None = None,
     timeout: int = 180,
+    sketch_retention: dict | None = None,
 ) -> dict:
     """Drain ``source_dir`` through the ingest bridge (availableNow) and
     leave every configured rung current.  ``ladder`` / ``kmv_ladder`` /
@@ -228,6 +229,28 @@ def run_tsdb_bridge(
         if stats["batches"] and stats["batches"] % cascade_every != 0:
             # the cadence left a tail batch unrefreshed: finish current
             advance_ladders()
+        if sketch_retention is not None:
+            # End-of-drain retention (r17 VERDICT "what's missing" #1):
+            # prune fine partials each ladder's rungs provably cover —
+            # the rungs were just advanced, so the currency precondition
+            # holds by construction.  ``sketch_retention`` carries
+            # prune_sketch_lake's dials ({"keep_days": N, "floor_days":
+            # M, "today": date}); families without a ladder are skipped
+            # (nothing could serve the dropped span).
+            from mycenae_spark.streaming.rollup import prune_sketch_lake
+
+            retention: dict = {}
+            for fam, fine, fam_rungs in (
+                ("rollup", rollup_dir, ladder),
+                ("kmv", kmv_fine_dir, kmv_ladder),
+                ("qsample", qsample_fine_dir, qsample_ladder),
+            ):
+                if fine and fam_rungs:
+                    retention[fam] = prune_sketch_lake(
+                        lake_dir, fine, fam_rungs,
+                        sketch=fam, **sketch_retention,
+                    )
+            stats["retention"] = retention
         return stats
     finally:
         for fd in locks:

@@ -611,6 +611,119 @@ def test_refresh_ladder_rebuilds_only_stale_rungs(spark, tmp_path):
     assert got == exp and len(got) == 2
 
 
+def test_prune_sketch_lake_retention(spark, tmp_path):
+    """Fine-sketch retention (r17 VERDICT "what's missing" #1) end to
+    end: preconditions refuse loudly (floor, missing/stale rungs,
+    horizon misaligned to a rung grid), the prune drops only pre-horizon
+    fine date partitions (moved to the grace area, not deleted), rung
+    reads answer IDENTICALLY after the drop, rung currency survives the
+    prune (sketch-prune is content-neutral), a later rung REBUILD
+    carries the pruned span over from the previous generation, a
+    first-build rung refuses to mint from a pruned fine lake, and a
+    crash-orphaned partition is reclaimed by the next prune call."""
+    import datetime as _dt
+    import json as _json
+    import os as _os
+
+    from mycenae_spark.streaming.ingest import (
+        decode_json_lines,
+        prepare_points,
+        write_points_batch,
+    )
+    from mycenae_spark.streaming.rollup import (
+        cascade_is_current,
+        prune_sketch_lake,
+        read_rollup,
+        refresh_ladder,
+        sketch_retained_from,
+    )
+
+    BASE = 1704067200000  # 2024-01-01
+    DAY = 86_400_000
+
+    def day_batch(d, n=24):
+        rows = [(_json.dumps({
+            "metric": "ret.m", "tags": {"ksid": "k1", "h": "a"},
+            "timestamp": BASE + d * DAY + i * 3_600_000,
+            "value": float(d * 100 + i),
+        }),) for i in range(n)]
+        return prepare_points(
+            decode_json_lines(spark.createDataFrame(rows, ["value"])))[0]
+
+    lake, cat, fine = (str(tmp_path / d) for d in ("lake", "cat", "r1m"))
+    rungs = {3_600_000: str(tmp_path / "r1h"),
+             86_400_000: str(tmp_path / "r1d")}
+    for d in range(4):  # 2024-01-01 .. 2024-01-04
+        write_points_batch(day_batch(d), lake, cat, batch_id=f"d{d}",
+                           rollup_dir=fine)
+
+    prune = lambda keep, **kw: prune_sketch_lake(  # noqa: E731
+        lake, fine, rungs, keep_days=keep, floor_days=1,
+        today=_dt.date(2024, 1, 5), **kw)
+
+    # floor + missing-rung refusals, all before any mutation
+    with pytest.raises(ValueError, match="retention floor"):
+        prune_sketch_lake(lake, fine, rungs, keep_days=3,
+                          today=_dt.date(2024, 1, 5))  # default floor 7
+    with pytest.raises(ValueError, match="no coarser rungs"):
+        prune_sketch_lake(lake, fine, {}, keep_days=2, floor_days=1)
+    with pytest.raises(ValueError, match="not marked coverage-complete"):
+        prune(2)  # rungs never built
+
+    assert refresh_ladder(spark, lake, fine, rungs) == {
+        3_600_000: True, 86_400_000: True}
+    # a rung whose grid the day-aligned horizon doesn't hit refuses
+    with pytest.raises(ValueError, match="not\n?.*aligned|aligned"):
+        prune_sketch_lake(
+            lake, fine, {**rungs, 604_800_000: str(tmp_path / "r1w")},
+            keep_days=2, floor_days=1, today=_dt.date(2024, 1, 5))
+
+    before_1h = {(r["tsid"], r["bucket_ms"]): r["value"] for r in
+                 read_rollup(spark, rungs[3_600_000], agg="avg").collect()}
+    out = prune(2)  # horizon 2024-01-03: days 1-2 drop
+    assert out["pruned"] == ["ksid=k1/date=2024-01-01",
+                             "ksid=k1/date=2024-01-02"]
+    assert sketch_retained_from(fine) == BASE + 2 * DAY
+    assert not _os.path.isdir(fine + "/ksid=k1/date=2024-01-01")
+    # grace area, not deletion: pinned readers keep resolving
+    assert any("date=2024-01-01" in str(p) for p in
+               (_os.path.join(dp, d) for dp, dns, _f in
+                _os.walk(fine + "/_retained") for d in dns))
+    # the prune is content-neutral for rung currency, reads identical
+    assert cascade_is_current(lake, rungs[3_600_000])
+    after_1h = {(r["tsid"], r["bucket_ms"]): r["value"] for r in
+                read_rollup(spark, rungs[3_600_000], agg="avg").collect()}
+    assert after_1h == before_1h and len(after_1h) == 96
+    # idempotent re-run: no new pruning, horizon unchanged
+    assert prune(2) == {"pruned": [],
+                        "retained_from_ms": BASE + 2 * DAY}
+
+    # crash orphan: a marked-pruned partition reappears -> next call
+    # (pruning nothing new) reclaims it
+    _os.makedirs(fine + "/ksid=k1/date=2024-01-01")
+    assert prune(2)["pruned"] == ["ksid=k1/date=2024-01-01"]
+    assert not _os.path.isdir(fine + "/ksid=k1/date=2024-01-01")
+
+    # new ingest stales the rungs; the rebuild must CARRY the pruned
+    # span from the previous generation instead of losing it
+    write_points_batch(day_batch(4), lake, cat, batch_id="d4",
+                       rollup_dir=fine)
+    assert not cascade_is_current(lake, rungs[3_600_000])
+    assert refresh_ladder(spark, lake, fine, rungs) == {
+        3_600_000: True, 86_400_000: True}
+    rebuilt = {(r["tsid"], r["bucket_ms"]): r["value"] for r in
+               read_rollup(spark, rungs[3_600_000], agg="avg").collect()}
+    assert len(rebuilt) == 120  # 5 days x 24 buckets: nothing lost
+    assert before_1h.items() <= rebuilt.items()
+    day1 = {k: v for k, v in rebuilt.items() if k[1] < BASE + DAY}
+    assert len(day1) == 24  # the pruned span survived the rebuild
+
+    # a NEW rung cannot be minted from a pruned fine lake
+    with pytest.raises(ValueError, match="previous generation"):
+        refresh_ladder(spark, lake, fine,
+                       {7_200_000: str(tmp_path / "r2h")})
+
+
 def test_cascade_waits_for_unsettled_appends(spark, tmp_path):
     """cascade_rollup's torn-read guard fires: a committed batch whose
     rollup partial is missing on disk (mid-move / crashed writer) makes

@@ -308,6 +308,65 @@ def test_engine_ladder_routing(spark, tmp_path_factory):
         pytest.approx((0 + 1 + 2 + 3 + 4 + 5 + 1000) / 7)
 
 
+def test_engine_refuses_fine_grain_below_retention(spark, tmp_path_factory):
+    """After prune_sketch_lake ages out fine partials: a rung-grain query
+    over the full range answers IDENTICALLY from the rung, a fine-grain
+    query within the retained span still serves, and a fine-grain query
+    reaching below the horizon refuses loudly (ValueError -> the HTTP
+    edge's typed 400) instead of silently under-reading pruned partials
+    (r17 VERDICT "what's missing" #1)."""
+    import datetime as _dt
+
+    from mycenae_spark.server import Engine
+    from mycenae_spark.streaming.rollup import (
+        prune_sketch_lake,
+        refresh_ladder,
+        sketch_retained_from,
+    )
+
+    d = tmp_path_factory.mktemp("retention")
+    lake, catalog, roll, rung1h = (
+        str(d / n) for n in ("lake", "catalog", "rollup", "rollup_1h")
+    )
+    ladder = {3_600_000: rung1h}
+    eng = Engine(spark, lake, catalog, rollup_dir=roll, ladder=ladder)
+    DAY = 86_400_000
+    # three days (2024-01-01..03), hourly points: value = day*100 + hour
+    eng.put([{"metric": "ret.s", "tags": {"ksid": "k1", "host": "h0"},
+              "timestamp": BASE_TS + day * DAY + h * 3_600_000,
+              "value": float(day * 100 + h)}
+             for day in range(3) for h in range(24)])
+    refresh_ladder(spark, lake, roll, ladder)
+
+    def q(downsample, start, end):
+        return eng.query({
+            "start": start, "end": end,
+            "queries": [{"metric": "ret.s", "aggregator": "sum",
+                         "downsample": downsample}],
+        })
+
+    full_1h_before = q("1h-avg", BASE_TS, BASE_TS + 3 * DAY)[0]["dps"]
+    assert len(full_1h_before) == 72
+
+    out = prune_sketch_lake(
+        lake, roll, ladder, keep_days=2, floor_days=1,
+        today=_dt.date(2024, 1, 4),  # horizon 2024-01-02: day 1 drops
+    )
+    assert out["pruned"] == ["ksid=k1/date=2024-01-01"]
+    assert sketch_retained_from(roll) == BASE_TS + DAY
+
+    # rung grain over the full range: identical after the drop
+    assert q("1h-avg", BASE_TS, BASE_TS + 3 * DAY)[0]["dps"] == \
+        full_1h_before
+    assert eng.last_routes()[-1] == "ladder:3600000"
+    # fine grain within the retained span: still served
+    fine_ok = q("1m-avg", BASE_TS + DAY, BASE_TS + 3 * DAY)[0]["dps"]
+    assert len(fine_ok) == 48  # one occupied 1m bucket per hour
+    # fine grain below the horizon: loud refusal, never an under-read
+    with pytest.raises(ValueError, match="retention horizon"):
+        q("1m-avg", BASE_TS, BASE_TS + 3 * DAY)
+
+
 def test_engine_ladder_swap_race_retries_on_fine_path(spark, tmp_path_factory):
     """ADVICE r7: a query that passes _pick_rung's coverage/currency checks
     just before refresh_ladder's atomic swap can fail mid-read (old rung
