@@ -30,6 +30,9 @@ already speaks, backed by the Parquet lake + planner:
   dial over a committed band index's accounting
 * ``GET /keysets/{ks}/api/query/ann_drift`` — recall-drift-per-
   generation dial over the drift monitor's lake
+* ``GET /keysets/{ks}/api/query/chain_status`` — chain-lifetime dial
+  over a bridge output dir's ``_chain.json`` (depth, generations,
+  replay horizon, manifest fingerprint)
 * ``GET /keysets/{ks}/api/query/dedup_daily[?day=N]`` — per-crawl-day
   dup-rate monitor over a streaming dedup bridge's verdict lake
   (requires ``dedup_verdicts_dir``)
@@ -107,6 +110,7 @@ class Engine:
         dedup_verdicts_dir: str | None = None,
         band_index_dir: str | None = None,
         ann_drift_dir: str | None = None,
+        chain_dir: str | None = None,
     ):
         self.spark = spark
         self.lake_dir = lake_dir
@@ -128,6 +132,10 @@ class Engine:
         #: judged schema, written by the monitoring job on its cadence)
         #: serving ``GET .../api/query/ann_drift``; ``None`` = typed 400.
         self.ann_drift_dir = ann_drift_dir
+        #: A streaming bridge's OUTPUT dir (the one holding its
+        #: ``_chain.json`` manifest) serving the chain-lifetime dial
+        #: ``GET .../api/query/chain_status``; ``None`` = typed 400.
+        self.chain_dir = chain_dir
         #: MaxTimeseries (SURVEY §2.3 L2): the reference REJECTS a query
         #: whose filters resolve to more series than this, rather than
         #: computing or truncating it — the guard that keeps one
@@ -2013,6 +2021,86 @@ class Engine:
             ),
         }
 
+    def query_chain_status(self) -> dict:
+        """``GET /keysets/{ks}/api/query/chain_status`` — the chain
+        lifetime dial served (r17 VERDICT "what's missing" #4: an
+        operator running the daily compact → rebase → GC loop could not
+        see chain depth, generations, or the replay horizon over HTTP
+        without reading ``_chain.json`` by hand).  Straight off the
+        manifest plus per-generation on-disk flags — no Spark job:
+
+        * ``base`` / ``head`` — the chain's endpoints (head = the last
+          generation-producing day, or the base after an all-dup run /
+          fresh rebase); ``n_generations`` counts base + grown events
+          (chain DEPTH — the compaction dial);
+        * ``days`` — every processed day with its minted generation (or
+          None for an all-dup day) and whether that generation is still
+          on disk (a released-but-unswept dir reads True until the GC
+          ages it out);
+        * ``horizon_days`` / ``pruned_days`` — the loud-refusal sets:
+          redelivering one refuses instead of forking the chain
+          (``rebase_bridge_chain`` / ``prune_bridge_output``);
+        * ``manifest_md5`` — a fingerprint of the canonical manifest
+          JSON, so dashboards can cheap-poll for change and operators
+          can quote exactly which chain state a decision was made on.
+
+        Requires ``chain_dir``; unconfigured, or a dir without a chain
+        manifest (no day processed yet / wrong dir), answer typed 400s
+        — the U90 convention."""
+        import hashlib
+        import json as _json
+
+        if self.chain_dir is None:
+            raise ValueError(
+                "chain dir not configured: construct the engine with "
+                "chain_dir pointing at a streaming bridge's output dir "
+                "(the one holding its _chain.json manifest)"
+            )
+        from mycenae_spark.functions.pq import CHAIN_MANIFEST
+
+        path = os.path.join(self.chain_dir, CHAIN_MANIFEST)
+        try:
+            with open(path) as fh:
+                state = _json.load(fh)
+        except FileNotFoundError:
+            raise ValueError(
+                f"no chain manifest at {path!r} — chain_dir must be a "
+                "bridge output dir that has processed at least one day"
+            ) from None
+        except ValueError:
+            raise ValueError(
+                f"chain manifest at {path!r} is unreadable (torn or not "
+                "JSON) — manifest saves are atomic, so this is real "
+                "corruption; restore from the grace area or backup"
+            ) from None
+        events = state.get("events", [])
+        head = state["base"]
+        for e in events:
+            if e.get("grown"):
+                head = e["grown"]
+        days = [
+            {
+                "day": e["day"],
+                "grown": e.get("grown"),
+                "on_disk": bool(e.get("grown"))
+                and os.path.isdir(e["grown"]),
+            }
+            for e in events
+        ]
+        return {
+            "base": state["base"],
+            "base_on_disk": os.path.isdir(state["base"]),
+            "head": head,
+            "head_on_disk": os.path.isdir(head),
+            "n_generations": 1 + sum(1 for e in events if e.get("grown")),
+            "days": days,
+            "horizon_days": sorted(state.get("horizon_days", [])),
+            "pruned_days": sorted(state.get("pruned_days", [])),
+            "manifest_md5": hashlib.md5(
+                _json.dumps(state, sort_keys=True).encode()
+            ).hexdigest(),
+        }
+
     def query_similar(self, body: dict) -> dict:
         """``POST /keysets/{ks}/api/query/similar`` — the ANN family
         served over HTTP (r15 VERDICT item 3, the U49/U73 endpoint
@@ -2259,6 +2347,8 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._send(200, self.engine.query_ladder_status())
             if re.match(r"^/keysets/[^/]+/api/query/ann_drift$", u.path):
                 return self._send(200, self.engine.query_ann_drift())
+            if re.match(r"^/keysets/[^/]+/api/query/chain_status$", u.path):
+                return self._send(200, self.engine.query_chain_status())
             return self._send(404, {"error": f"no route {u.path}"})
         except Exception as exc:  # noqa: BLE001 — HTTP edge reports all errors
             return self._send(400, {"error": str(exc)})
@@ -2360,6 +2450,7 @@ def serve(
     dedup_verdicts_dir: str | None = None,
     band_index_dir: str | None = None,
     ann_drift_dir: str | None = None,
+    chain_dir: str | None = None,
 ) -> tuple[ThreadingHTTPServer, Thread]:
     """Start the façade on ``port`` (0 = ephemeral); returns (server, thread).
 
@@ -2378,8 +2469,10 @@ def serve(
     monitor; without it that endpoint answers 400.  ``band_index_dir``
     (a committed minhash band index) enables the valve-excision dial
     ``GET .../api/query/dedup_valve``; ``ann_drift_dir`` (the recall-
-    drift monitor's lake) enables ``GET .../api/query/ann_drift`` —
-    each answers 400 unconfigured."""
+    drift monitor's lake) enables ``GET .../api/query/ann_drift``;
+    ``chain_dir`` (a bridge output dir holding ``_chain.json``) enables
+    ``GET .../api/query/chain_status`` — each answers 400
+    unconfigured."""
     handler = type(
         "BoundHandler",
         (_Handler,),
@@ -2388,7 +2481,8 @@ def serve(
                           sim_dir=sim_dir,
                           dedup_verdicts_dir=dedup_verdicts_dir,
                           band_index_dir=band_index_dir,
-                          ann_drift_dir=ann_drift_dir)},
+                          ann_drift_dir=ann_drift_dir,
+                          chain_dir=chain_dir)},
     )
     httpd = ThreadingHTTPServer(("127.0.0.1", port), handler)
     thread = Thread(target=httpd.serve_forever, daemon=True)

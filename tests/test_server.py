@@ -1672,6 +1672,81 @@ def test_ann_drift_unconfigured_is_typed_400(server):
     assert code == 400 and "not configured" in err["error"]
 
 
+def test_chain_status_unconfigured_is_typed_400(server):
+    code, err = _req(server, "/keysets/k1/api/query/chain_status")
+    assert code == 400 and "not configured" in err["error"]
+
+
+def test_chain_status_serves_manifest_dial(spark, tmp_path):
+    """The chain-lifetime dial (r17 VERDICT "what's missing" #4): depth,
+    per-day generations with on-disk flags (a swept released generation
+    reads False), horizon/pruned refusal sets, and a manifest
+    fingerprint that moves exactly when the manifest does; a dir with
+    no manifest and a torn manifest answer typed 400s."""
+    import json as _json
+
+    from mycenae_spark.server import serve
+
+    vdir = tmp_path / "verdicts"
+    vdir.mkdir()
+    g0, g1 = tmp_path / "gen0", tmp_path / "gen1"
+    g0.mkdir()
+    g1.mkdir()
+    gone = str(tmp_path / "gen_gone")  # released + already swept
+    manifest = {
+        "base": str(g0),
+        "events": [
+            {"day": 3, "grown": str(g1)},
+            {"day": 4, "grown": None},  # all-dup day
+            {"day": 5, "grown": gone},
+        ],
+        "horizon_days": [2, 1],
+        "pruned_days": [3],
+    }
+    with open(vdir / "_chain.json", "w") as fh:
+        _json.dump(manifest, fh)
+
+    lake, cat = str(tmp_path / "lake"), str(tmp_path / "cat")
+    httpd, _ = serve(spark, lake, cat, chain_dir=str(vdir))
+    try:
+        base = f"http://127.0.0.1:{httpd.server_address[1]}"
+        code, out = _req(base, "/keysets/k1/api/query/chain_status")
+        assert code == 200
+        assert out["base"] == str(g0) and out["base_on_disk"]
+        assert out["head"] == gone and out["head_on_disk"] is False
+        assert out["n_generations"] == 3  # base + two grown events
+        assert out["days"] == [
+            {"day": 3, "grown": str(g1), "on_disk": True},
+            {"day": 4, "grown": None, "on_disk": False},
+            {"day": 5, "grown": gone, "on_disk": False},
+        ]
+        assert out["horizon_days"] == [1, 2]
+        assert out["pruned_days"] == [3]
+        md5 = out["manifest_md5"]
+        assert len(md5) == 32
+        # stable across polls, moves when the manifest moves
+        assert _req(base, "/keysets/k1/api/query/chain_status")[1][
+            "manifest_md5"] == md5
+        manifest["pruned_days"] = [3, 4]
+        with open(vdir / "_chain.json", "w") as fh:
+            _json.dump(manifest, fh)
+        code, out2 = _req(base, "/keysets/k1/api/query/chain_status")
+        assert out2["manifest_md5"] != md5 and out2["pruned_days"] == [3, 4]
+
+        # torn manifest: typed 400 naming corruption, not a JSON 500
+        with open(vdir / "_chain.json", "w") as fh:
+            fh.write("{ not json")
+        code, err = _req(base, "/keysets/k1/api/query/chain_status")
+        assert code == 400 and "corruption" in err["error"]
+
+        # no manifest at all: typed 400 with the remedy
+        (vdir / "_chain.json").unlink()
+        code, err = _req(base, "/keysets/k1/api/query/chain_status")
+        assert code == 400 and "at least one day" in err["error"]
+    finally:
+        httpd.shutdown()
+
+
 def test_dedup_valve_serves_excision_report(spark, tmp_path, monkeypatch):
     """The valve dial over a REAL committed band index whose corpus
     exceeds the cap: per-band excision counts match the judged
