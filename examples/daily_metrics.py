@@ -19,6 +19,7 @@ rung routing is current BY CONSTRUCTION:
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
 import shutil
@@ -68,6 +69,14 @@ def main() -> None:
                 kmv_fine_dir=kmv1m, kmv_ladder={HOUR: kmv1h},
                 qsample_fine_dir=qs1m, qsample_ladder={HOUR: qs1h},
                 max_files_per_trigger=1,
+                # retention tail: once the 1h rungs are current over a
+                # span past the keep window, the fine 1m partials for it
+                # age out (pure partition moves; rung reads unchanged,
+                # fine-grain reads below the horizon refuse loudly)
+                sketch_retention={
+                    "keep_days": 2, "floor_days": 1,
+                    "today": datetime.date(2024, 1, 4),
+                },
             )
 
         write_day_files(
@@ -75,7 +84,10 @@ def main() -> None:
         )
         stats = run()
         print(f"bridge drained {stats['batches']} crawl days; ladders "
-              f"refreshed: {sorted(stats['refreshed'])}")
+              f"refreshed: {sorted(stats['refreshed'])}; fine partials "
+              "pruned: " + "; ".join(
+                  f"{fam}={len(r['pruned'])}d"
+                  for fam, r in sorted(stats["retention"].items())))
 
         eng = Engine(spark, lake, cat, rollup_dir=r1m, ladder={HOUR: r1h},
                      qsample_ladder={HOUR: qs1h})
@@ -103,6 +115,19 @@ def main() -> None:
         n, routes = q(4, "1h-avg")
         print(f"day 4 landed ({stats['batches']} new batch); 1h-avg now "
               f"{n} buckets, still via {routes}")
+        ret = stats.get("retention", {})
+        print("retention: " + "; ".join(
+            f"{fam} pruned {len(r['pruned'])} day(s)"
+            for fam, r in sorted(ret.items())
+        ))
+        try:
+            eng.query({
+                "start": BASE, "end": BASE + 4 * DAY,
+                "queries": [{"metric": "svc.latency", "aggregator": "sum",
+                             "downsample": "1m-avg"}],
+            })
+        except ValueError as exc:
+            print(f"1m-avg below the horizon refuses loudly: {exc}")
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

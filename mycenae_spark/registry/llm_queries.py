@@ -6906,3 +6906,230 @@ def pipeline_corpus_prep(spark, sf_dir):
         "what string, k string, v double",
     )
     return counts.unionByName(mix_out).unionByName(pack_out)
+
+
+def _media_prep_sql() -> str:
+    """Full-SQL oracle for the media capstone: closed-form pixel-spec
+    signatures + keep-best over the base slice, then two incremental
+    probe days against the valved survivor segments (day 4's index side
+    is keeps0 ∪ keeps3 — the rebuild-over-union form assimilation is
+    judged indistinguishable from in ``dedup_media_index_assimilate``)."""
+    trip = "((doc_id - doc_id % 3) // 3) % 5"
+    base_p, d3_p, d4_p = f"{trip} <= 2", f"{trip} = 3", f"{trip} = 4"
+
+    def segs(src: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT doc_id, dhash, {j} AS j, "
+            f"CAST((us // CAST({1 << off} AS HUGEINT)) % {1 << w} AS BIGINT)"
+            f" AS segval FROM {src}"
+            for j, off, w in _SEG64
+        )
+
+    def valved(src: str) -> str:
+        return (
+            f"SELECT doc_id, dhash, j, segval FROM ("
+            f"SELECT *, count(*) OVER (PARTITION BY j, segval) AS bsz "
+            f"FROM ({segs(src)})) WHERE bsz <= {MAX_BUCKET}"
+        )
+
+    def probe(idx: str, dside: str, m: str, v: str) -> str:
+        return f"""
+{m} AS (
+  SELECT DISTINCT p.doc_id AS probe_id, i.doc_id AS idx_id,
+         p.dhash AS ps, i.dhash AS isig
+  FROM ({segs(dside)}) p JOIN {idx} i
+    ON p.j = i.j AND p.segval = i.segval
+),
+{v} AS (
+  SELECT probe_id, min(idx_id) AS dup_of
+  FROM {m} WHERE bit_count(xor(ps, isig)) <= 5 GROUP BY probe_id
+)"""
+
+    return f"""
+WITH RECURSIVE
+allsig AS MATERIALIZED ({_PIXEL_DHASH_SQL}),
+{_pixel_labels_ctes(f"SELECT * FROM allsig WHERE {base_p}", "dhash")},
+stats AS (SELECT media_id, px_sum FROM ({_PIXEL_STATS_SQL})),
+drop0 AS (
+  SELECT media_id FROM (
+    SELECT l.media_id,
+           row_number() OVER (PARTITION BY l.cluster_id
+                              ORDER BY s.px_sum DESC, l.media_id) AS rn
+    FROM labels l JOIN stats s ON s.media_id = l.media_id
+  ) WHERE rn > 1
+),
+keeps0 AS MATERIALIZED (
+  SELECT doc_id, us, dhash FROM sig
+  WHERE doc_id NOT IN (SELECT media_id FROM drop0)
+),
+i3 AS MATERIALIZED ({valved("keeps0")}),
+{probe("i3", f"(SELECT * FROM allsig WHERE {d3_p})", "m3", "v3")},
+keeps3 AS (
+  SELECT doc_id, us, dhash FROM allsig
+  WHERE {d3_p} AND doc_id NOT IN (SELECT probe_id FROM v3)
+),
+u4 AS MATERIALIZED (
+  SELECT * FROM keeps0 UNION ALL SELECT * FROM keeps3
+),
+i4 AS MATERIALIZED ({valved("u4")}),
+{probe("i4", f"(SELECT * FROM allsig WHERE {d4_p})", "m4", "v4")},
+d4 AS (SELECT doc_id FROM documents WHERE {d4_p})
+SELECT 'n' AS what, 'base' AS k,
+       (SELECT count(*) FROM documents WHERE {base_p})::DOUBLE AS v
+UNION ALL SELECT 'n', 'base_clusters',
+       (SELECT count(DISTINCT cluster_id) FROM labels)::DOUBLE
+UNION ALL SELECT 'n', 'base_keeps', (SELECT count(*) FROM keeps0)::DOUBLE
+UNION ALL SELECT 'n', 'd3',
+       (SELECT count(*) FROM documents WHERE {d3_p})::DOUBLE
+UNION ALL SELECT 'n', 'd3_dups', (SELECT count(*) FROM v3)::DOUBLE
+UNION ALL SELECT 'n', 'd4', (SELECT count(*) FROM d4)::DOUBLE
+UNION ALL SELECT 'n', 'd4_dups', (SELECT count(*) FROM v4)::DOUBLE
+UNION ALL SELECT 'n', 'final_corpus',
+       (SELECT count(*) FROM keeps0)::DOUBLE
+       + (SELECT count(*) FROM keeps3)::DOUBLE
+       + (SELECT count(*) FROM d4)::DOUBLE
+       - (SELECT count(*) FROM v4)::DOUBLE
+UNION ALL SELECT 'verdict', d.doc_id::VARCHAR,
+       coalesce(v4.dup_of, -1)::DOUBLE
+FROM d4 d LEFT JOIN v4 ON v4.probe_id = d.doc_id
+"""
+
+
+@q("pipeline_media_prep", _media_prep_sql())
+def pipeline_media_prep(spark, sf_dir):
+    """The MEDIA family's CAPSTONE — U89's sibling at the perceptual
+    modality (r17 VERDICT "next round" #6): decode → keep-best
+    perceptual dedup → committed index over the SURVIVORS → two
+    incremental crawl days probed and assimilated in sequence →
+    newest-day verdict retention, composed from the SAME kernels each
+    per-operator id already judges.  What THIS id pins is the
+    INTERFACES between stages — which survivor set mints the index
+    (the keep-best winners, not the raw base), which keep set grows it
+    (day 3's non-dups), and which generation day 4 probes (the GROWN
+    chain, so a day-4 near-dup of a day-3 keep is caught only because
+    assimilation happened) — the thing no per-operator oracle checks.
+
+    Stage conventions match their judged siblings exactly: ONE decode
+    per asset (``media_dedup_profile`` — dHash + px_sum in a single
+    pixel pass, localCheckpointed so no stage re-renders), Manku
+    6-segment banding + hot-bucket valve (``dedup_image_phash``),
+    smallest-reachable-id components + keep-brightest
+    (``dedup_media_keep_best``), the committed CAS+marker index with
+    build-time valve (``dedup_media_index_probe``), hard-linked
+    delta assimilation whose valve re-binds on true merged buckets
+    (``dedup_media_index_assimilate`` — which is also why the oracle
+    may model day 4's index side as a rebuild over keeps0 ∪ keeps3).
+    The RETENTION stage is the verdict-lake policy surfaced at the
+    interface: the output carries only the NEWEST day's verdict rows
+    (day 3's are aged out of the served result while its admissions
+    persist in the chain — ``prune_bridge_output``'s keep-newest
+    semantics; the file-level prune itself is pytest-pinned at
+    tests/test_stream_assimilate.py).  Day slicing is triple-granular
+    (``dedup_media_incremental``'s split), so every Hamming-0 partner
+    shares a day and cross-day dups are genuine near-collisions.
+
+    100 TB: decode ∝ corpus once, pairs on 8-byte signatures only,
+    the index is built once over survivors, and each day costs
+    ∝ |delta| probe + ∝ |keeps| assimilation — the corpus is never
+    rescanned.  The full day-4 verdict map is hash-checked against the
+    closed-form pixel-spec oracle."""
+    from pyspark.sql.window import Window as W
+
+    from mycenae_spark.functions.dedup import (
+        assimilate_sig_index,
+        connected_components,
+        ensure_sig_index,
+        hamming_pairs_from_sigs,
+        probe_sig_index,
+    )
+    from mycenae_spark.functions.multimodal import (
+        MEDIA_CORPUS_VERSION,
+        media_corpus,
+        media_dedup_profile,
+    )
+
+    trip = "((media_id - media_id % 3) div 3) % 5"
+    prof = media_dedup_profile(
+        media_corpus(spark, sf_dir, "png"), 16, 16,
+        max_batch_bytes=1 << 20,
+    ).localCheckpoint(eager=True)  # ONE decode feeds every stage
+
+    base = prof.filter(F.expr(f"{trip} <= 2"))
+    pairs = hamming_pairs_from_sigs(
+        base.select("media_id", "dhash"), "media_id", "dhash",
+        bits=64, n_segments=6, max_hamming=5, max_bucket_size=MAX_BUCKET,
+    )
+    labels = connected_components(pairs)
+    wk = W.partitionBy("cluster_id").orderBy(F.desc("px_sum"), "media_id")
+    dropped = (
+        labels.join(
+            base.select("media_id", "px_sum"),
+            labels["doc_id"] == base["media_id"],
+        )
+        .withColumn("_rn", F.row_number().over(wk))
+        .filter(F.col("_rn") > 1)
+        .select("media_id")
+    )
+    keeps0 = base.join(dropped, "media_id", "left_anti")
+
+    base_dir = ensure_sig_index(
+        spark, sf_dir, keeps0.select("media_id", "dhash"),
+        "media_id", "dhash",
+        pred_desc="media_prep_keepbest_base", kind="dhash-png",
+        bits=64, n_segments=6, max_bucket_size=MAX_BUCKET,
+        source_version=MEDIA_CORPUS_VERSION,
+    )
+    d3sig = prof.filter(F.expr(f"{trip} = 3")).select("media_id", "dhash")
+    v3 = (
+        probe_sig_index(
+            spark, base_dir, d3sig, "media_id", "dhash",
+            bits=64, n_segments=6, max_hamming=5,
+        )
+        .groupBy("probe_id")
+        .agg(F.min("idx_id").alias("dup_of"))
+    )
+    keeps3 = d3sig.join(
+        v3, d3sig["media_id"] == v3["probe_id"], "left_anti"
+    )
+    grown_dir = assimilate_sig_index(
+        spark, base_dir, keeps3, "media_id", "dhash"
+    )
+    d4sig = prof.filter(F.expr(f"{trip} = 4")).select("media_id", "dhash")
+    v4 = (
+        probe_sig_index(
+            spark, grown_dir, d4sig, "media_id", "dhash",
+            bits=64, n_segments=6, max_hamming=5,
+        )
+        .groupBy("probe_id")
+        .agg(F.min("idx_id").alias("dup_of"))
+    )
+
+    n_base, n_clusters = base.count(), labels.select(
+        "cluster_id").distinct().count()
+    n_keeps0, n_d3, n_d3d = keeps0.count(), d3sig.count(), v3.count()
+    n_d4, n_d4d = d4sig.count(), v4.count()
+    counts = spark.createDataFrame(
+        [
+            ("n", "base", float(n_base)),
+            ("n", "base_clusters", float(n_clusters)),
+            ("n", "base_keeps", float(n_keeps0)),
+            ("n", "d3", float(n_d3)),
+            ("n", "d3_dups", float(n_d3d)),
+            ("n", "d4", float(n_d4)),
+            ("n", "d4_dups", float(n_d4d)),
+            (
+                "n", "final_corpus",
+                float(n_keeps0 + (n_d3 - n_d3d) + (n_d4 - n_d4d)),
+            ),
+        ],
+        "what string, k string, v double",
+    )
+    # retention: only the NEWEST day's verdicts are served
+    verdicts = d4sig.join(
+        v4, d4sig["media_id"] == v4["probe_id"], "left"
+    ).select(
+        F.lit("verdict").alias("what"),
+        F.col("media_id").cast("string").alias("k"),
+        F.coalesce(F.col("dup_of"), F.lit(-1)).cast("double").alias("v"),
+    )
+    return counts.unionByName(verdicts)
