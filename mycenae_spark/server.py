@@ -671,13 +671,29 @@ class Engine:
             # Ladder-routed read raced refresh_ladder's atomic swap:
             # _pick_rung's currency check passed just before the
             # rename, then the old rung's files vanished mid-read.
-            # The fine rollup/points path is always correct — drop the
-            # stale memoized rung frame and retry once through it (a
-            # genuine query error simply re-raises from the retry).
-            self._guard_fine_retention(q)  # the retry serves from fine
+            # Drop the stale memoized frame and re-pick ONCE — the
+            # freshly swapped generation is current and answers the
+            # same query (r18 review: with fine-sketch retention a
+            # straight fine retry would 400 a rung-grain query over a
+            # pre-horizon span that the new rung serves fine).  Only if
+            # no rung comes back does the retry serve from fine, behind
+            # the retention guard (a genuine query error re-raises).
             self._rung_frames = {
                 d: c for d, c in self._rung_frames.items() if c[1] is not r
             }
+            try:
+                r2, r2_iv = self._pick_rung(q, rollup)
+            except Exception:
+                r2, r2_iv = rollup, 60_000
+            if r2 is not rollup:
+                rows = shape_response(
+                    plan(pts, q, rollup=r2, rollup_interval_ms=r2_iv),
+                    q,
+                    nan_fill=nan_fill,
+                )
+                self._note_route(f"ladder:{r2_iv}")
+                return rows
+            self._guard_fine_retention(q)  # the retry serves from fine
             rows = shape_response(
                 plan(pts, q, rollup=rollup, rollup_interval_ms=60_000),
                 q,

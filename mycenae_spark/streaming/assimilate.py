@@ -97,7 +97,11 @@ def read_bridge_output(spark: SparkSession, out_dir: str, schema: str):
     marker requirement would make every published day silently
     invisible).  ``_SUCCESS`` survives only as the fallback admitting a
     legitimately EMPTY day (a committed write of zero rows leaves the
-    marker and no part files)."""
+    marker and no part files).  Accepted trade, documented: a day dir
+    torn by a pre-rename crash of an OLD-layout (in-place) writer would
+    now be admitted — no such writer exists (every bridge has published
+    by whole-dir rename since r16), and the marker gate it needed broke
+    real marker-less deployments."""
 
     def _published(d: str) -> bool:
         p = os.path.join(out_dir, d)

@@ -235,16 +235,21 @@ def prune_sketch_lake(
     * ``fine_dir`` itself is coverage-complete (a partial fine lake
       needs its backfill first, not retention).
 
-    Crash-safe order (the prune_bridge_output discipline): commit-log
-    entry first (``sketch-prune`` — log-gated rollup snapshot reads
-    exclude the partitions from this position; content-NEUTRAL for rung
-    currency since rung values are unaffected), then the fine marker's
-    ``retained_from_ms`` (refusals + cascade carry-over active, data
-    still readable), then the moves — into ``fine_dir/_retained/<seq>/``
-    so reads pinned before the prune keep resolving until
-    ``maintenance.gc_retained`` reclaims them.  The move loop covers
-    every partition below the RECORDED horizon, so any prune call
-    reclaims a predecessor's crash orphans.
+    Crash-safe order (the prune_bridge_output discipline, refusals
+    strictly before invisibility): the fine marker's
+    ``retained_from_ms`` FIRST (refusals + cascade carry-over active
+    while every partition is still fully readable), then the commit-log
+    entry (``sketch-prune`` — log-gated rollup snapshot reads exclude
+    the partitions from this position; content-NEUTRAL for rung
+    currency since rung values are unaffected), then the moves — into
+    ``fine_dir/_retained/<seq>/`` so reads pinned before the prune keep
+    resolving until ``maintenance.gc_retained`` reclaims them.  The
+    reverse order (log first) would open a crash window where log-gated
+    reads already hide the partitions while the guard still reads
+    retained=0 — a silent under-read, the exact failure this verb
+    exists to prevent (r18 review).  The move loop covers every
+    partition below the RECORDED horizon, so any prune call reclaims a
+    predecessor's crash orphans.
 
     After the drop: queries at rung grain answer identically from the
     rungs; a query needing the fine grain below the horizon refuses
@@ -336,6 +341,17 @@ def prune_sketch_lake(
                 expired.append(os.path.join(ks, entry))
 
     if horizon_ms > already or expired:
+        # marker FIRST (carrying the pin/kind through — dropping
+        # as_of_seq would strip the fine lake's currency pin and brick
+        # the next cascade): refusals activate while the data is still
+        # fully readable on every path
+        marker = _read_marker(fine_dir)
+        mark_rollup_coverage(
+            fine_dir, True,
+            as_of_seq=marker.get("as_of_seq"),
+            kind=marker.get("kind"),
+            retained_from_ms=horizon_ms,
+        )
         seq = commitlog.append(
             lake_dir,
             {
@@ -344,15 +360,6 @@ def prune_sketch_lake(
                 "retained_from_ms": horizon_ms,
                 "partitions": expired,
             },
-        )
-        # carry the pin/kind through: dropping as_of_seq here would
-        # strip the fine lake's currency pin and brick the next cascade
-        marker = _read_marker(fine_dir)
-        mark_rollup_coverage(
-            fine_dir, True,
-            as_of_seq=marker.get("as_of_seq"),
-            kind=marker.get("kind"),
-            retained_from_ms=horizon_ms,
         )
         for rel in expired:
             dst = retain_path(fine_dir, seq, rel)
@@ -452,7 +459,7 @@ def backfill_rollup(
 
 def _carry_pruned_span(
     spark, merged: DataFrame, carry_dir: str | None, carry_below_ms: int,
-    what: str,
+    what: str, dst_interval_ms: int,
 ) -> DataFrame:
     """THE carry-over rule for rebuilding a rung from a PRUNED fine lake
     (one copy for the algebraic and sketch cascades): the source no
@@ -462,9 +469,25 @@ def _carry_pruned_span(
     over the span, and late data below the horizon is outside the data
     contract (``prune_sketch_lake``).  A first build of a NEW rung from
     a pruned fine lake has no previous generation to carry and refuses
-    loudly — minting it would silently under-report the pruned span."""
+    loudly — minting it would silently under-report the pruned span.
+
+    The horizon must land on THIS rung's bucket grid (r18 review): a
+    rung absent from the prune-time ladder never had its alignment
+    checked, and a straddling bucket would mix carried (pre-horizon)
+    and cascaded (post-horizon) halves — the filter split would
+    silently drop the retained fine rows that bucket below the
+    horizon.  Refuse instead."""
     if not carry_below_ms:
         return merged
+    if carry_below_ms % dst_interval_ms:
+        raise ValueError(
+            f"{what}: the source lake's retention horizon "
+            f"({carry_below_ms} ms) does not land on this rung's "
+            f"{dst_interval_ms} ms bucket grid — a straddling bucket "
+            "cannot be split between carry and cascade; this rung was "
+            "not part of the prune-time ladder, so rebuild it from raw "
+            "points or re-run the prune with it included"
+        )
     if carry_dir is None or not rollup_coverage_complete(carry_dir):
         raise ValueError(
             f"{what}: the source lake is pruned below "
@@ -601,7 +624,8 @@ def cascade_rollup(
         )
         merged = merged.join(hist, [*series_cols, "date", "bucket_ms"])
     merged = _carry_pruned_span(
-        spark, merged, carry_dir, carry_below_ms, "cascade_rollup"
+        spark, merged, carry_dir, carry_below_ms, "cascade_rollup",
+        dst_interval_ms,
     )
     base = os.path.dirname(dst_dir.rstrip("/")) or "."
     tmp = os.path.join(base, f"_rollup_cascade_{uuid.uuid4().hex[:8]}")
@@ -1098,7 +1122,7 @@ def _cascade_sketch(
     )
     merged = retake(df, k, [*series_cols, "date", "bucket_ms"])
     merged = _carry_pruned_span(
-        spark, merged, carry_dir, carry_below_ms, kind
+        spark, merged, carry_dir, carry_below_ms, kind, dst_interval_ms
     )
     tmp = dst_dir.rstrip("/") + f"_new_{uuid.uuid4().hex[:8]}"
     merged.write.mode("overwrite").partitionBy("ksid", "date").parquet(tmp)

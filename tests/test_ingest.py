@@ -722,6 +722,12 @@ def test_prune_sketch_lake_retention(spark, tmp_path):
     with pytest.raises(ValueError, match="previous generation"):
         refresh_ladder(spark, lake, fine,
                        {7_200_000: str(tmp_path / "r2h")})
+    # ...and a rung whose grid straddles the horizon (it was never part
+    # of the prune-time ladder) refuses BEFORE the carry-split could
+    # silently drop the retained rows that bucket below the horizon
+    with pytest.raises(ValueError, match="bucket grid"):
+        refresh_ladder(spark, lake, fine,
+                       {604_800_000: str(tmp_path / "r1w")})
 
 
 def test_cascade_waits_for_unsettled_appends(spark, tmp_path):
@@ -1508,6 +1514,20 @@ def test_tsdb_bridge_single_writer_lock(spark, tmp_path):
         str(base / "ck2"), rollup_dir=shared, qsample_fine_dir=shared,
     )
     assert out["batches"] == 0
+
+    # a retention-enabled run against a source that never produced a
+    # batch (cron fired before the first file) is a NO-OP, not a
+    # precondition crash-loop (r18 review)
+    import datetime as _dt
+
+    out = run_tsdb_bridge(
+        spark, str(empty_src), str(base / "lake3"), str(base / "cat3"),
+        str(base / "ck3"), rollup_dir=str(base / "r1m3"),
+        ladder={3_600_000: str(base / "r1h3")},
+        sketch_retention={"keep_days": 2, "floor_days": 1,
+                          "today": _dt.date(2024, 1, 5)},
+    )
+    assert out["batches"] == 0 and out["retention"] == {}
 
 
 def test_start_ingest_resliced_replay_refuses(spark, tmp_path):

@@ -366,6 +366,23 @@ def test_engine_refuses_fine_grain_below_retention(spark, tmp_path_factory):
     with pytest.raises(ValueError, match="retention horizon"):
         q("1m-avg", BASE_TS, BASE_TS + 3 * DAY)
 
+    # swap race AFTER retention (r18 review): the memoized rung frame
+    # dies mid-read when a refresh swaps generations — the retry must
+    # RE-PICK the fresh rung (which still answers the full range), not
+    # 400 a perfectly answerable rung-grain query via the fine guard
+    from mycenae_spark.streaming.rollup import cascade_rollup, _swap_in
+    import uuid as _uuid
+
+    assert eng._rung_frames  # the rung frame is memoized
+    tmp = rung1h + f"_new_{_uuid.uuid4().hex[:8]}"
+    cascade_rollup(spark, roll, tmp, 3_600_000, lake_dir=lake,
+                   carry_dir=rung1h, carry_below_ms=BASE_TS + DAY)
+    _swap_in(tmp, rung1h)  # old generation's files vanish
+    eng._result_cache.clear()
+    assert q("1h-avg", BASE_TS, BASE_TS + 3 * DAY)[0]["dps"] == \
+        full_1h_before
+    assert eng.last_routes()[-1] == "ladder:3600000"
+
 
 def test_engine_ladder_swap_race_retries_on_fine_path(spark, tmp_path_factory):
     """ADVICE r7: a query that passes _pick_rung's coverage/currency checks
