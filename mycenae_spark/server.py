@@ -684,15 +684,40 @@ class Engine:
             try:
                 r2, r2_iv = self._pick_rung(q, rollup)
             except Exception:
+                # same loud-degrade contract as the first attempt (r8
+                # ADVICE): an unexpected routing failure must surface
+                # in logs, not vanish into a silent fine-path serve
+                logger.warning(
+                    "ladder re-pick failed on the swap-race retry for "
+                    "downsample=%s; serving the fine path",
+                    getattr(q, "downsample", None),
+                    exc_info=True,
+                )
                 r2, r2_iv = rollup, 60_000
             if r2 is not rollup:
-                rows = shape_response(
-                    plan(pts, q, rollup=r2, rollup_interval_ms=r2_iv),
-                    q,
-                    nan_fill=nan_fill,
-                )
-                self._note_route(f"ladder:{r2_iv}")
-                return rows
+                try:
+                    rows = shape_response(
+                        plan(pts, q, rollup=r2, rollup_interval_ms=r2_iv),
+                        q,
+                        nan_fill=nan_fill,
+                    )
+                    self._note_route(f"ladder:{r2_iv}")
+                    return rows
+                except Exception:
+                    # a SECOND swap raced the re-picked generation
+                    # (fast refresh cadence) — degrade to the guarded
+                    # fine path instead of failing the request (r18
+                    # review pass 2)
+                    logger.warning(
+                        "re-picked rung read failed for downsample=%s; "
+                        "serving the fine path",
+                        getattr(q, "downsample", None),
+                        exc_info=True,
+                    )
+                    self._rung_frames = {
+                        d: c for d, c in self._rung_frames.items()
+                        if c[1] is not r2
+                    }
             self._guard_fine_retention(q)  # the retry serves from fine
             rows = shape_response(
                 plan(pts, q, rollup=rollup, rollup_interval_ms=60_000),

@@ -244,10 +244,25 @@ def run_tsdb_bridge(
             # prune_sketch_lake's dials ({"keep_days": N, "floor_days":
             # M, "today": date}); families without a ladder are skipped
             # (nothing could serve the dropped span).
-            from mycenae_spark.streaming.rollup import (
-                prune_sketch_lake,
-                rollup_coverage_complete,
-            )
+            from mycenae_spark.streaming.rollup import prune_sketch_lake
+
+            def _initialized(d: str) -> bool:
+                # an UNINITIALIZED fine lake (cron fired before the
+                # first data file ever landed — a zero-batch drain
+                # never built anything) is a no-op, not a precondition
+                # error.  The probe is for DATA partitions, not the
+                # coverage marker (r18 review pass 2): a lake that
+                # holds partials but is marked incomplete (enabled on
+                # pre-existing points, backfill pending) must still
+                # reach prune_sketch_lake's loud coverage refusal —
+                # silently skipping it would regrow the exact
+                # grow-forever surface retention exists to close.
+                try:
+                    return any(
+                        e.startswith("ksid=") for e in os.listdir(d)
+                    )
+                except FileNotFoundError:
+                    return False
 
             retention: dict = {}
             for fam, fine, fam_rungs in (
@@ -255,12 +270,7 @@ def run_tsdb_bridge(
                 ("kmv", kmv_fine_dir, kmv_ladder),
                 ("qsample", qsample_fine_dir, qsample_ladder),
             ):
-                # an UNINITIALIZED fine lake (cron fired before the
-                # first data file ever landed — a zero-batch drain
-                # never built anything) is a no-op, not a precondition
-                # error; a lake that HAS data but fails a precondition
-                # still refuses loudly inside prune_sketch_lake
-                if fine and fam_rungs and rollup_coverage_complete(fine):
+                if fine and fam_rungs and _initialized(fine):
                     retention[fam] = prune_sketch_lake(
                         lake_dir, fine, fam_rungs,
                         sketch=fam, **sketch_retention,

@@ -367,17 +367,25 @@ def test_engine_refuses_fine_grain_below_retention(spark, tmp_path_factory):
         q("1m-avg", BASE_TS, BASE_TS + 3 * DAY)
 
     # swap race AFTER retention (r18 review): the memoized rung frame
-    # dies mid-read when a refresh swaps generations — the retry must
-    # RE-PICK the fresh rung (which still answers the full range), not
-    # 400 a perfectly answerable rung-grain query via the fine guard
-    from mycenae_spark.streaming.rollup import cascade_rollup, _swap_in
+    # dies mid-read when a swap replaces the generation WITHOUT moving
+    # the log (pin unchanged, so _pick_rung hands back the stale frame
+    # and the failure surfaces mid-plan) — the retry must RE-PICK the
+    # fresh rung (which still answers the full range), not 400 a
+    # perfectly answerable rung-grain query via the fine guard.  The
+    # new generation gets the OLD marker verbatim: same pin, new part
+    # files, old files gone.
     import uuid as _uuid
+    from pathlib import Path
+
+    from mycenae_spark.streaming.rollup import cascade_rollup, _swap_in
 
     assert eng._rung_frames  # the rung frame is memoized
+    marker = (Path(rung1h) / "_coverage_complete").read_bytes()
     tmp = rung1h + f"_new_{_uuid.uuid4().hex[:8]}"
     cascade_rollup(spark, roll, tmp, 3_600_000, lake_dir=lake,
                    carry_dir=rung1h, carry_below_ms=BASE_TS + DAY)
-    _swap_in(tmp, rung1h)  # old generation's files vanish
+    (Path(tmp) / "_coverage_complete").write_bytes(marker)
+    _swap_in(tmp, rung1h)  # old generation's files vanish, pin unchanged
     eng._result_cache.clear()
     assert q("1h-avg", BASE_TS, BASE_TS + 3 * DAY)[0]["dps"] == \
         full_1h_before
