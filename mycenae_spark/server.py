@@ -706,11 +706,15 @@ class Engine:
                 except Exception:
                     # a SECOND swap raced the re-picked generation
                     # (fast refresh cadence) — degrade to the guarded
-                    # fine path instead of failing the request (r18
-                    # review pass 2)
+                    # fine path rather than surface the read error.
+                    # Honest bound (r18 review pass 3): the guard may
+                    # still refuse a pre-horizon rung-grain query here
+                    # (fine cannot serve it) — after TWO consecutive
+                    # swaps raced one request, a typed retryable 400
+                    # beats an unbounded re-pick loop.
                     logger.warning(
                         "re-picked rung read failed for downsample=%s; "
-                        "serving the fine path",
+                        "degrading to the guarded fine path",
                         getattr(q, "downsample", None),
                         exc_info=True,
                     )

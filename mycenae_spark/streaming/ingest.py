@@ -247,12 +247,14 @@ def write_points_batch(
             # are missing and routed queries would silently under-report —
             # readers check rollup_coverage_complete and fall back to raw
             # points until the matching backfill_* runs).
-            from mycenae_spark.streaming.rollup import mark_rollup_coverage
-
-            lake_has_data = os.path.isdir(lake_dir) and any(
-                e.startswith("ksid=") for e in os.listdir(lake_dir)
+            from mycenae_spark.streaming.rollup import (
+                has_series_partitions,
+                mark_rollup_coverage,
             )
-            mark_rollup_coverage(_deriv_dir, complete=not lake_has_data)
+
+            mark_rollup_coverage(
+                _deriv_dir, complete=not has_series_partitions(lake_dir)
+            )
 
     def _staged_files(root: str) -> list[str]:
         out = []

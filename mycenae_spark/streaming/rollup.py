@@ -194,6 +194,19 @@ def rollup_coverage_complete(rollup_dir: str) -> bool:
         return False
 
 
+def has_series_partitions(d: str) -> bool:
+    """True iff ``d`` holds at least one ``ksid=`` data partition — THE
+    one copy of the "does this lake have data?" probe (r18 review: the
+    idiom had grown three inline copies).  Distinct from the coverage
+    marker on purpose: a lake can hold data while marked incomplete
+    (backfill pending), and callers gating on emptiness must not
+    conflate the two."""
+    try:
+        return any(e.startswith("ksid=") for e in os.listdir(d))
+    except FileNotFoundError:
+        return False
+
+
 def sketch_retained_from(sketch_dir: str) -> int:
     """The retention horizon :func:`prune_sketch_lake` recorded for a
     fine sketch lake (epoch ms), or 0 when the lake was never pruned:

@@ -244,38 +244,49 @@ def run_tsdb_bridge(
             # prune_sketch_lake's dials ({"keep_days": N, "floor_days":
             # M, "today": date}); families without a ladder are skipped
             # (nothing could serve the dropped span).
-            from mycenae_spark.streaming.rollup import prune_sketch_lake
+            from mycenae_spark.streaming.rollup import (
+                has_series_partitions,
+                prune_sketch_lake,
+            )
 
-            def _initialized(d: str) -> bool:
-                # an UNINITIALIZED fine lake (cron fired before the
-                # first data file ever landed — a zero-batch drain
-                # never built anything) is a no-op, not a precondition
-                # error.  The probe is for DATA partitions, not the
-                # coverage marker (r18 review pass 2): a lake that
-                # holds partials but is marked incomplete (enabled on
-                # pre-existing points, backfill pending) must still
-                # reach prune_sketch_lake's loud coverage refusal —
-                # silently skipping it would regrow the exact
-                # grow-forever surface retention exists to close.
-                try:
-                    return any(
-                        e.startswith("ksid=") for e in os.listdir(d)
-                    )
-                except FileNotFoundError:
-                    return False
-
+            # An UNINITIALIZED fine lake (cron fired before the first
+            # data file ever landed — a zero-batch drain never built
+            # anything) is a no-op, not a precondition error.  The
+            # probe is for DATA partitions, not the coverage marker
+            # (r18 review pass 2): a lake that holds partials but is
+            # marked incomplete (enabled on pre-existing points,
+            # backfill pending) must still reach prune_sketch_lake's
+            # loud coverage refusal — silently skipping it would regrow
+            # the exact grow-forever surface retention exists to close.
+            # Every family is ATTEMPTED before any refusal raises (r18
+            # review pass 3): one family's pending backfill must not
+            # starve the siblings' retention on every future drain.
             retention: dict = {}
+            errors: dict = {}
             for fam, fine, fam_rungs in (
                 ("rollup", rollup_dir, ladder),
                 ("kmv", kmv_fine_dir, kmv_ladder),
                 ("qsample", qsample_fine_dir, qsample_ladder),
             ):
-                if fine and fam_rungs and _initialized(fine):
-                    retention[fam] = prune_sketch_lake(
-                        lake_dir, fine, fam_rungs,
-                        sketch=fam, **sketch_retention,
-                    )
+                if fine and fam_rungs and has_series_partitions(fine):
+                    try:
+                        retention[fam] = prune_sketch_lake(
+                            lake_dir, fine, fam_rungs,
+                            sketch=fam, **sketch_retention,
+                        )
+                    except ValueError as exc:
+                        errors[fam] = str(exc)
             stats["retention"] = retention
+            if errors:
+                raise ValueError(
+                    "sketch retention refused for "
+                    f"{sorted(errors)} (other families pruned first: "
+                    f"{sorted(retention)}): "
+                    + "; ".join(
+                        f"{fam}: {msg}"
+                        for fam, msg in sorted(errors.items())
+                    )
+                )
         return stats
     finally:
         for fd in locks:

@@ -392,6 +392,70 @@ def test_engine_refuses_fine_grain_below_retention(spark, tmp_path_factory):
     assert eng.last_routes()[-1] == "ladder:3600000"
 
 
+def test_engine_double_swap_race_degrades_to_guarded_fine(
+    spark, tmp_path_factory, monkeypatch
+):
+    """The bounded end of the retry ladder (r18 review pass 3): when a
+    SECOND generation swap races the re-picked rung read, the engine
+    degrades to the fine path behind the retention guard — a query the
+    fine lake can serve answers there (route 'fine'); a pre-horizon
+    rung-grain query gets the typed retryable refusal, never a silent
+    under-read or a raw read error.  Simulated by failing every
+    ladder-routed plan (rollup_interval_ms != fine) via monkeypatch."""
+    import datetime as _dt
+
+    import mycenae_spark.server as srv
+    from mycenae_spark.server import Engine
+    from mycenae_spark.streaming.rollup import (
+        prune_sketch_lake,
+        refresh_ladder,
+    )
+
+    d = tmp_path_factory.mktemp("doublerace")
+    lake, catalog, roll, rung1h = (
+        str(d / n) for n in ("lake", "catalog", "rollup", "rollup_1h")
+    )
+    ladder = {3_600_000: rung1h}
+    eng = Engine(spark, lake, catalog, rollup_dir=roll, ladder=ladder)
+    DAY = 86_400_000
+    eng.put([{"metric": "dr.s", "tags": {"ksid": "k1", "host": "h0"},
+              "timestamp": BASE_TS + day * DAY + h * 3_600_000,
+              "value": float(day * 100 + h)}
+             for day in range(3) for h in range(24)])
+    refresh_ladder(spark, lake, roll, ladder)
+    prune_sketch_lake(lake, roll, ladder, keep_days=2, floor_days=1,
+                      today=_dt.date(2024, 1, 4))
+
+    real_plan = srv.plan
+
+    def failing_ladder_plan(pts, q, rollup=None, rollup_interval_ms=60_000,
+                            **kw):
+        if rollup_interval_ms != 60_000:
+            raise RuntimeError("simulated generation swap mid-read")
+        return real_plan(pts, q, rollup=rollup,
+                         rollup_interval_ms=rollup_interval_ms, **kw)
+
+    monkeypatch.setattr(srv, "plan", failing_ladder_plan)
+
+    def q(downsample, start):
+        return eng.query({
+            "start": start, "end": BASE_TS + 3 * DAY,
+            "queries": [{"metric": "dr.s", "aggregator": "sum",
+                         "downsample": downsample}],
+        })
+
+    # within the retained span: both ladder reads fail, the guarded
+    # fine path serves the answer
+    out = q("1h-avg", BASE_TS + DAY)
+    assert len(out[0]["dps"]) == 48
+    assert eng.last_routes()[-1] == "fine"
+    # below the horizon: the guard refuses loudly (fine cannot serve) —
+    # a typed retryable 400, not a silent under-read or a read error
+    eng._result_cache.clear()
+    with pytest.raises(ValueError, match="retention horizon"):
+        q("1h-avg", BASE_TS)
+
+
 def test_engine_ladder_swap_race_retries_on_fine_path(spark, tmp_path_factory):
     """ADVICE r7: a query that passes _pick_rung's coverage/currency checks
     just before refresh_ladder's atomic swap can fail mid-read (old rung
