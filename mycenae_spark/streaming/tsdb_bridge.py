@@ -77,6 +77,7 @@ def run_tsdb_bridge(
     default_ksid: str | None = None,
     timeout: int = 180,
     sketch_retention: dict | None = None,
+    maintenance_max_age_s: float | None = None,
 ) -> dict:
     """Drain ``source_dir`` through the ingest bridge (availableNow) and
     leave every configured rung current.  ``ladder`` / ``kmv_ladder`` /
@@ -84,7 +85,12 @@ def run_tsdb_bridge(
     Engine takes); sketch ladders require their fine lake dir.  Returns
     ``{"batches": n, "refreshed": {...}}`` — ``refreshed`` holds the
     last refresh pass's interval → rebuilt flags per family, the
-    ``last_routes()``-style observable for the maintenance leg.
+    ``last_routes()``-style observable for the maintenance leg — plus,
+    when configured, ``retention`` (``sketch_retention`` =
+    prune_sketch_lake's dials, applied per family at end of drain) and
+    ``maintenance`` (``maintenance_max_age_s`` = one age dial sweeping
+    staging, settled commit markers, retention/grace areas, and
+    cascade/swap temps; the commit log is never truncated here).
 
     Single-writer contract, enforced BRIDGE-vs-BRIDGE (r17 VERDICT
     "what's wrong" #1 — prose alone let two concurrent bridges
@@ -287,6 +293,42 @@ def run_tsdb_bridge(
                         for fam, msg in sorted(errors.items())
                     )
                 )
+        if maintenance_max_age_s is not None:
+            # GC tail (the dial the daily job would otherwise need a
+            # second cron for): sweep aged debris across everything
+            # this bridge writes — commit-batch staging + markers,
+            # every lake's retention/grace area (incl. the sketch
+            # prune's), and cascade/swap temp generations.  The commit
+            # LOG is deliberately NOT truncated here: gc_commitlog's
+            # horizon interacts with checkpoint cadence (truncation
+            # past a rung's pin makes currency unprovable), so it
+            # stays an explicit operator verb.
+            from mycenae_spark.maintenance import (
+                gc_commit_markers,
+                gc_retained,
+                gc_staging,
+            )
+            from mycenae_spark.streaming.rollup import gc_ladder_temps
+
+            age = maintenance_max_age_s
+            fines = [
+                d for d in (rollup_dir, kmv_fine_dir, qsample_fine_dir)
+                if d
+            ]
+            retained: list = []
+            for root in [lake_dir, *fines]:
+                retained += gc_retained(root, age)
+            temps: list = []
+            for m in (ladder, kmv_ladder, qsample_ladder):
+                if m:
+                    temps += gc_ladder_temps(m, age)
+            temps += gc_ladder_temps(dict(enumerate(fines)), age)
+            stats["maintenance"] = {
+                "staging": gc_staging(lake_dir, age),
+                "commit_markers": gc_commit_markers(lake_dir, age),
+                "retained": retained,
+                "ladder_temps": temps,
+            }
         return stats
     finally:
         for fd in locks:

@@ -1530,6 +1530,53 @@ def test_tsdb_bridge_single_writer_lock(spark, tmp_path):
     assert out["batches"] == 0 and out["retention"] == {}
 
 
+def test_tsdb_bridge_maintenance_tail_sweeps_debris(spark, tmp_path):
+    """The bridge's GC tail (one age dial, r18): after a drain with
+    retention, ``maintenance_max_age_s=0`` reclaims the sketch prune's
+    grace area and the settled commit markers in the same invocation —
+    the daily job needs no second cron — while the commit LOG is left
+    alone (truncation stays an explicit operator verb)."""
+    import datetime as _dt
+    import json as _json
+    import os
+
+    from mycenae_spark.streaming import commitlog
+    from mycenae_spark.streaming.assimilate import write_day_files
+    from mycenae_spark.streaming.tsdb_bridge import run_tsdb_bridge
+
+    base = tmp_path
+    lake, cat, r1m, r1h = (
+        str(base / d) for d in ("lake", "cat", "r1m", "r1h"))
+    src = str(base / "src")
+    BASE = 1704067200000
+    write_day_files(src, [
+        (f"d{d}.jsonl", [_json.dumps({
+            "metric": "gc.m", "tags": {"ksid": "k1"},
+            "timestamp": BASE + d * 86_400_000 + i * 3_600_000,
+            "value": float(i)}) for i in range(24)])
+        for d in range(3)
+    ])
+    out = run_tsdb_bridge(
+        spark, src, lake, cat, str(base / "ck"),
+        rollup_dir=r1m, ladder={3_600_000: r1h},
+        max_files_per_trigger=1,
+        sketch_retention={"keep_days": 2, "floor_days": 1,
+                          "today": _dt.date(2024, 1, 4)},
+        maintenance_max_age_s=0,
+    )
+    assert out["retention"]["rollup"]["pruned"] == ["ksid=k1/date=2024-01-01"]
+    mnt = out["maintenance"]
+    # the prune's grace area was reclaimed in the same run (gc_retained
+    # sweeps whole _retained/<seq> generations)
+    assert any(p.startswith(os.path.join(r1m, "_retained"))
+               for p in mnt["retained"])
+    assert os.listdir(os.path.join(r1m, "_retained")) == []
+    # settled batch markers swept; the commit LOG untouched
+    assert len(mnt["commit_markers"]) == 3
+    assert commitlog.latest_seq(lake) >= 3
+    assert mnt["staging"] == [] and mnt["ladder_temps"] == []
+
+
 def test_start_ingest_resliced_replay_refuses(spark, tmp_path):
     """start_ingest shares write_points_batch's integer-batch-id replay
     path, so it gets the content-fingerprint guard too (second review
