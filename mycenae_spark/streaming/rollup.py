@@ -833,7 +833,7 @@ def refresh_sketch_ladder(
 
 
 def gc_ladder_temps(
-    rungs: dict[int, str], max_age_s: float = 24 * 3600
+    rungs: "dict[int, str] | list[str]", max_age_s: float = 24 * 3600
 ) -> list[str]:
     """Sweep crash debris from cascade builds and ladder swaps by age —
     the `gc_staging` contract applied to the ladder: an interrupted
@@ -853,7 +853,11 @@ def gc_ladder_temps(
     removed: list[str] = []
     now = time.time()
     seen_parents: set[str] = set()
-    for dst in rungs.values():
+    # Only the dirs matter (intervals were never consumed): a plain
+    # list of rung/fine dirs is accepted too, so a caller sweeping
+    # several ladders makes ONE call instead of fabricating keys.
+    dirs = rungs.values() if isinstance(rungs, dict) else rungs
+    for dst in dirs:
         dst = dst.rstrip("/")
         parent = os.path.dirname(dst) or "."
         base = os.path.basename(dst)

@@ -78,6 +78,7 @@ def run_tsdb_bridge(
     timeout: int = 180,
     sketch_retention: dict | None = None,
     maintenance_max_age_s: float | None = None,
+    maintenance_floor_s: float = 24 * 3600,
 ) -> dict:
     """Drain ``source_dir`` through the ingest bridge (availableNow) and
     leave every configured rung current.  ``ladder`` / ``kmv_ladder`` /
@@ -139,6 +140,26 @@ def run_tsdb_bridge(
         raise ValueError(
             "fmt='netdata' requires default_ksid: netdata lines carry no "
             "ksid tag and validation drops ksid-less points"
+        )
+    if (
+        maintenance_max_age_s is not None
+        and maintenance_max_age_s < maintenance_floor_s
+    ):
+        # The age FLOOR guards the marker sweep (r18 review pass 5): a
+        # marker younger than the replay window is the
+        # replay-idempotence AND content-fingerprint evidence for its
+        # batch, and log-gated snapshot reads resolve manifests through
+        # it — sweeping it early silently re-lands a replayed batch and
+        # degrades snapshot resolution.  Checked BEFORE the drain (a
+        # bad dial must not half-run the day); lowering the floor is an
+        # explicit act (maintenance_floor_s), same convention as
+        # sketch_retention's floor_days.
+        raise ValueError(
+            f"maintenance_max_age_s={maintenance_max_age_s} is below "
+            f"the floor ({maintenance_floor_s}s): commit markers "
+            "younger than the replay window must survive, or a "
+            "lost-checkpoint replay silently re-lands its batches; "
+            "lower maintenance_floor_s deliberately if you accept that"
         )
 
     from mycenae_spark.streaming.assimilate import (
@@ -242,6 +263,7 @@ def run_tsdb_bridge(
         if stats["batches"] and stats["batches"] % cascade_every != 0:
             # the cadence left a tail batch unrefreshed: finish current
             advance_ladders()
+        retention_error: ValueError | None = None
         if sketch_retention is not None:
             # End-of-drain retention (r17 VERDICT "what's missing" #1):
             # prune fine partials each ladder's rungs provably cover —
@@ -284,7 +306,10 @@ def run_tsdb_bridge(
                         errors[fam] = str(exc)
             stats["retention"] = retention
             if errors:
-                raise ValueError(
+                # raised AFTER the GC tail below (r18 review pass 5):
+                # one family's pending backfill must not also starve
+                # every maintenance sweep on every future drain
+                retention_error = ValueError(
                     "sketch retention refused for "
                     f"{sorted(errors)} (other families pruned first: "
                     f"{sorted(retention)}): "
@@ -318,17 +343,18 @@ def run_tsdb_bridge(
             retained: list = []
             for root in [lake_dir, *fines]:
                 retained += gc_retained(root, age)
-            temps: list = []
-            for m in (ladder, kmv_ladder, qsample_ladder):
-                if m:
-                    temps += gc_ladder_temps(m, age)
-            temps += gc_ladder_temps(dict(enumerate(fines)), age)
+            rung_dirs = [
+                d for m in (ladder, kmv_ladder, qsample_ladder) if m
+                for d in m.values()
+            ]
             stats["maintenance"] = {
                 "staging": gc_staging(lake_dir, age),
                 "commit_markers": gc_commit_markers(lake_dir, age),
                 "retained": retained,
-                "ladder_temps": temps,
+                "ladder_temps": gc_ladder_temps(rung_dirs + fines, age),
             }
+        if retention_error is not None:
+            raise retention_error
         return stats
     finally:
         for fd in locks:

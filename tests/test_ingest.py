@@ -1562,8 +1562,15 @@ def test_tsdb_bridge_maintenance_tail_sweeps_debris(spark, tmp_path):
         max_files_per_trigger=1,
         sketch_retention={"keep_days": 2, "floor_days": 1,
                           "today": _dt.date(2024, 1, 4)},
-        maintenance_max_age_s=0,
+        maintenance_max_age_s=0, maintenance_floor_s=0,
     )
+    # the default floor guards the marker sweep: age below it refuses
+    with pytest.raises(ValueError, match="below the floor"):
+        run_tsdb_bridge(
+            spark, src, lake, cat, str(base / "ck_floor"),
+            rollup_dir=r1m, ladder={3_600_000: r1h},
+            maintenance_max_age_s=60,
+        )
     assert out["retention"]["rollup"]["pruned"] == ["ksid=k1/date=2024-01-01"]
     mnt = out["maintenance"]
     # the prune's grace area was reclaimed in the same run (gc_retained
