@@ -855,7 +855,14 @@ def gc_ladder_temps(
     seen_parents: set[str] = set()
     # Only the dirs matter (intervals were never consumed): a plain
     # list of rung/fine dirs is accepted too, so a caller sweeping
-    # several ladders makes ONE call instead of fabricating keys.
+    # several ladders makes ONE call instead of fabricating keys.  A
+    # bare string is rejected — iterating it char-by-char would turn a
+    # plausible single-dir call into a silent no-op sweep.
+    if isinstance(rungs, str):
+        raise TypeError(
+            "gc_ladder_temps takes a dict of rungs or a LIST of dirs; "
+            f"got a bare string {rungs!r} — wrap it in a list"
+        )
     dirs = rungs.values() if isinstance(rungs, dict) else rungs
     for dst in dirs:
         dst = dst.rstrip("/")

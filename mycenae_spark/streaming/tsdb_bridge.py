@@ -78,7 +78,7 @@ def run_tsdb_bridge(
     timeout: int = 180,
     sketch_retention: dict | None = None,
     maintenance_max_age_s: float | None = None,
-    maintenance_floor_s: float = 24 * 3600,
+    maintenance_floor_s: float | None = None,
 ) -> dict:
     """Drain ``source_dir`` through the ingest bridge (availableNow) and
     leave every configured rung current.  ``ladder`` / ``kmv_ladder`` /
@@ -141,26 +141,39 @@ def run_tsdb_bridge(
             "fmt='netdata' requires default_ksid: netdata lines carry no "
             "ksid tag and validation drops ksid-less points"
         )
-    if (
-        maintenance_max_age_s is not None
-        and maintenance_max_age_s < maintenance_floor_s
-    ):
+    if maintenance_floor_s is not None and maintenance_max_age_s is None:
+        raise ValueError(
+            "maintenance_floor_s set without maintenance_max_age_s: the "
+            "floor only guards the GC tail's marker sweep — nothing is "
+            "being guarded; set maintenance_max_age_s (or drop the floor)"
+        )
+    if maintenance_max_age_s is not None:
         # The age FLOOR guards the marker sweep (r18 review pass 5): a
         # marker younger than the replay window is the
         # replay-idempotence AND content-fingerprint evidence for its
         # batch, and log-gated snapshot reads resolve manifests through
         # it — sweeping it early silently re-lands a replayed batch and
-        # degrades snapshot resolution.  Checked BEFORE the drain (a
-        # bad dial must not half-run the day); lowering the floor is an
-        # explicit act (maintenance_floor_s), same convention as
-        # sketch_retention's floor_days.
-        raise ValueError(
-            f"maintenance_max_age_s={maintenance_max_age_s} is below "
-            f"the floor ({maintenance_floor_s}s): commit markers "
-            "younger than the replay window must survive, or a "
-            "lost-checkpoint replay silently re-lands its batches; "
-            "lower maintenance_floor_s deliberately if you accept that"
+        # degrades snapshot resolution.  The default floor is the SAME
+        # 7-day replay window gc_commit_markers itself defaults to
+        # ("older than any plausible replay window") — a 24 h floor
+        # would bless exactly the sweep that hazard describes.  Checked
+        # BEFORE the drain (a bad dial must not half-run the day);
+        # lowering the floor is an explicit act (maintenance_floor_s),
+        # same convention as sketch_retention's floor_days.
+        floor = (
+            maintenance_floor_s
+            if maintenance_floor_s is not None
+            else 7 * 24 * 3600
         )
+        if maintenance_max_age_s < floor:
+            raise ValueError(
+                f"maintenance_max_age_s={maintenance_max_age_s} is "
+                f"below the floor ({floor}s, the marker replay "
+                "window): commit markers younger than it must survive, "
+                "or a lost-checkpoint replay silently re-lands its "
+                "batches; lower maintenance_floor_s deliberately if "
+                "you accept that"
+            )
 
     from mycenae_spark.streaming.assimilate import (
         _acquire_writer_lock,
@@ -340,20 +353,39 @@ def run_tsdb_bridge(
                 d for d in (rollup_dir, kmv_fine_dir, qsample_fine_dir)
                 if d
             ]
-            retained: list = []
-            for root in [lake_dir, *fines]:
-                retained += gc_retained(root, age)
             rung_dirs = [
                 d for m in (ladder, kmv_ladder, qsample_ladder) if m
                 for d in m.values()
             ]
-            stats["maintenance"] = {
-                "staging": gc_staging(lake_dir, age),
-                "commit_markers": gc_commit_markers(lake_dir, age),
-                "retained": retained,
-                "ladder_temps": gc_ladder_temps(rung_dirs + fines, age),
-            }
+            try:
+                retained: list = []
+                for root in [lake_dir, *fines]:
+                    retained += gc_retained(root, age)
+                stats["maintenance"] = {
+                    "staging": gc_staging(lake_dir, age),
+                    "commit_markers": gc_commit_markers(lake_dir, age),
+                    "retained": retained,
+                    "ladder_temps": gc_ladder_temps(
+                        rung_dirs + fines, age
+                    ),
+                }
+            except Exception:
+                # a sweep failure must not MASK a retention refusal
+                # (r18 review pass 6) — the refusal is the actionable
+                # signal; the sweep is idempotent and retries next
+                # drain.  With no refusal pending, the failure is the
+                # actionable signal and propagates.
+                if retention_error is None:
+                    raise
+                log.warning(
+                    "GC tail failed after a retention refusal; the "
+                    "refusal takes precedence",
+                    exc_info=True,
+                )
         if retention_error is not None:
+            # the caller still gets the audit trail of what this drain
+            # DID do (batches, refreshes, per-family prunes, sweeps)
+            retention_error.stats = stats
             raise retention_error
         return stats
     finally:
