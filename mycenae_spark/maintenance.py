@@ -338,8 +338,16 @@ def dedupe_catalog(
     raise RuntimeError("catalog dedupe lost the commit-log race repeatedly")
 
 
+#: The marker replay window: a committed-batch marker younger than this
+#: is still live replay-idempotence (and content-fingerprint) evidence —
+#: sweeping it lets a lost-checkpoint replay silently re-land its batch.
+#: THE one copy (r18 review): gc_commit_markers defaults to it and the
+#: ingest bridge's GC tail clamps its marker sweep to it.
+REPLAY_WINDOW_S = 7 * 24 * 3600
+
+
 def gc_commit_markers(
-    lake_dir: str, max_age_s: float = 7 * 24 * 3600
+    lake_dir: str, max_age_s: float = REPLAY_WINDOW_S
 ) -> list[str]:
     """Remove committed-batch markers whose work is finished and old.
 

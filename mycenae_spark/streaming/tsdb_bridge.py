@@ -91,7 +91,13 @@ def run_tsdb_bridge(
     prune_sketch_lake's dials, applied per family at end of drain) and
     ``maintenance`` (``maintenance_max_age_s`` = one age dial sweeping
     staging, settled commit markers, retention/grace areas, and
-    cascade/swap temps; the commit log is never truncated here).
+    cascade/swap temps; the commit log is never truncated here).  The
+    MARKER sweep is clamped to ``max(dial, maintenance_floor_s)`` —
+    default ``maintenance.REPLAY_WINDOW_S`` — since younger markers are
+    live replay evidence; setting the floor without the dial refuses.
+    A retention refusal raises AFTER the GC tail with the drain's
+    ``stats`` attached to the exception (``exc.stats`` — batches,
+    refreshes, sibling prunes, sweeps: the audit trail survives).
 
     Single-writer contract, enforced BRIDGE-vs-BRIDGE (r17 VERDICT
     "what's wrong" #1 — prose alone let two concurrent bridges
@@ -144,36 +150,9 @@ def run_tsdb_bridge(
     if maintenance_floor_s is not None and maintenance_max_age_s is None:
         raise ValueError(
             "maintenance_floor_s set without maintenance_max_age_s: the "
-            "floor only guards the GC tail's marker sweep — nothing is "
-            "being guarded; set maintenance_max_age_s (or drop the floor)"
+            "floor only clamps the GC tail's marker sweep — nothing is "
+            "being swept; set maintenance_max_age_s (or drop the floor)"
         )
-    if maintenance_max_age_s is not None:
-        # The age FLOOR guards the marker sweep (r18 review pass 5): a
-        # marker younger than the replay window is the
-        # replay-idempotence AND content-fingerprint evidence for its
-        # batch, and log-gated snapshot reads resolve manifests through
-        # it — sweeping it early silently re-lands a replayed batch and
-        # degrades snapshot resolution.  The default floor is the SAME
-        # 7-day replay window gc_commit_markers itself defaults to
-        # ("older than any plausible replay window") — a 24 h floor
-        # would bless exactly the sweep that hazard describes.  Checked
-        # BEFORE the drain (a bad dial must not half-run the day);
-        # lowering the floor is an explicit act (maintenance_floor_s),
-        # same convention as sketch_retention's floor_days.
-        floor = (
-            maintenance_floor_s
-            if maintenance_floor_s is not None
-            else 7 * 24 * 3600
-        )
-        if maintenance_max_age_s < floor:
-            raise ValueError(
-                f"maintenance_max_age_s={maintenance_max_age_s} is "
-                f"below the floor ({floor}s, the marker replay "
-                "window): commit markers younger than it must survive, "
-                "or a lost-checkpoint replay silently re-lands its "
-                "batches; lower maintenance_floor_s deliberately if "
-                "you accept that"
-            )
 
     from mycenae_spark.streaming.assimilate import (
         _acquire_writer_lock,
@@ -348,7 +327,30 @@ def run_tsdb_bridge(
             )
             from mycenae_spark.streaming.rollup import gc_ladder_temps
 
+            from mycenae_spark.maintenance import REPLAY_WINDOW_S
+
             age = maintenance_max_age_s
+            # The MARKER sweep is clamped to the replay window (r18
+            # review passes 5-7): a marker younger than it is still
+            # live replay-idempotence + content-fingerprint evidence
+            # for its batch, and log-gated snapshot reads resolve
+            # manifests through it — sweeping it early silently
+            # re-lands a lost-checkpoint replay.  Clamping (not
+            # refusing) keeps an aggressive debris dial from turning
+            # into an ingest outage: staging/temps/grace sweep at the
+            # dial, markers live at least the window.  Lowering the
+            # window is an explicit act (maintenance_floor_s).
+            marker_age = max(
+                age,
+                REPLAY_WINDOW_S
+                if maintenance_floor_s is None
+                else maintenance_floor_s,
+            )
+            if marker_age > age:
+                log.info(
+                    "GC tail: marker sweep clamped to the %ss replay "
+                    "window (dial was %ss)", marker_age, age,
+                )
             fines = [
                 d for d in (rollup_dir, kmv_fine_dir, qsample_fine_dir)
                 if d
@@ -357,18 +359,22 @@ def run_tsdb_bridge(
                 d for m in (ladder, kmv_ladder, qsample_ladder) if m
                 for d in m.values()
             ]
+            # built INCREMENTALLY: a sweep failing midway must not
+            # erase the audit trail of the deletes that already ran
+            mnt: dict = {}
+            stats["maintenance"] = mnt
             try:
+                mnt["staging"] = gc_staging(lake_dir, age)
+                mnt["commit_markers"] = gc_commit_markers(
+                    lake_dir, marker_age
+                )
                 retained: list = []
                 for root in [lake_dir, *fines]:
                     retained += gc_retained(root, age)
-                stats["maintenance"] = {
-                    "staging": gc_staging(lake_dir, age),
-                    "commit_markers": gc_commit_markers(lake_dir, age),
-                    "retained": retained,
-                    "ladder_temps": gc_ladder_temps(
-                        rung_dirs + fines, age
-                    ),
-                }
+                mnt["retained"] = retained
+                mnt["ladder_temps"] = gc_ladder_temps(
+                    rung_dirs + fines, age
+                )
             except Exception:
                 # a sweep failure must not MASK a retention refusal
                 # (r18 review pass 6) — the refusal is the actionable

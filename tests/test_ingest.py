@@ -1564,12 +1564,33 @@ def test_tsdb_bridge_maintenance_tail_sweeps_debris(spark, tmp_path):
                           "today": _dt.date(2024, 1, 4)},
         maintenance_max_age_s=0, maintenance_floor_s=0,
     )
-    # the default floor guards the marker sweep: age below it refuses
-    with pytest.raises(ValueError, match="below the floor"):
+    # the replay window CLAMPS the marker sweep: an aggressive debris
+    # dial sweeps staging/temps/grace at the dial but never markers
+    # younger than the window (they are live replay evidence)
+    import time as _time
+
+    lake2, cat2 = str(base / "lake2"), str(base / "cat2")
+    run_tsdb_bridge(
+        spark, src, lake2, cat2, str(base / "ck2"),
+        rollup_dir=str(base / "r1m2"), max_files_per_trigger=1,
+    )
+    commits = os.path.join(lake2, "_commits")
+    old_t = _time.time() - 2 * 86_400  # 2 days: past the dial, inside
+    for m in os.listdir(commits):      # the 7-day window
+        p = os.path.join(commits, m)
+        os.utime(p, (old_t, old_t))
+    out2 = run_tsdb_bridge(
+        spark, src, lake2, cat2, str(base / "ck2"),
+        rollup_dir=str(base / "r1m2"),
+        maintenance_max_age_s=86_400,
+    )
+    assert out2["maintenance"]["commit_markers"] == []
+    assert len(os.listdir(commits)) == 3  # markers survived the dial
+    # a floor with nothing to clamp is a loud misconfiguration
+    with pytest.raises(ValueError, match="without maintenance_max_age_s"):
         run_tsdb_bridge(
-            spark, src, lake, cat, str(base / "ck_floor"),
-            rollup_dir=r1m, ladder={3_600_000: r1h},
-            maintenance_max_age_s=60,
+            spark, src, lake2, cat2, str(base / "ck2"),
+            rollup_dir=str(base / "r1m2"), maintenance_floor_s=0,
         )
     assert out["retention"]["rollup"]["pruned"] == ["ksid=k1/date=2024-01-01"]
     mnt = out["maintenance"]
