@@ -92,9 +92,11 @@ def run_tsdb_bridge(
     ``maintenance`` (``maintenance_max_age_s`` = one age dial sweeping
     staging, settled commit markers, retention/grace areas, and
     cascade/swap temps; the commit log is never truncated here).  The
-    MARKER sweep is clamped to ``max(dial, maintenance_floor_s)`` —
-    default ``maintenance.REPLAY_WINDOW_S`` — since younger markers are
-    live replay evidence; setting the floor without the dial refuses.
+    marker AND grace-area sweeps are clamped to ``max(dial,
+    maintenance_floor_s)`` — default ``maintenance.REPLAY_WINDOW_S`` —
+    since younger markers are live replay evidence and younger retained
+    generations may back pinned reads; setting the floor without the
+    dial refuses.
     A retention refusal raises AFTER the GC tail with the drain's
     ``stats`` attached to the exception (``exc.stats`` — batches,
     refreshes, sibling prunes, sweeps: the audit trail survives).
@@ -321,35 +323,41 @@ def run_tsdb_bridge(
             # past a rung's pin makes currency unprovable), so it
             # stays an explicit operator verb.
             from mycenae_spark.maintenance import (
+                REPLAY_WINDOW_S,
                 gc_commit_markers,
                 gc_retained,
                 gc_staging,
             )
             from mycenae_spark.streaming.rollup import gc_ladder_temps
 
-            from mycenae_spark.maintenance import REPLAY_WINDOW_S
-
             age = maintenance_max_age_s
-            # The MARKER sweep is clamped to the replay window (r18
-            # review passes 5-7): a marker younger than it is still
-            # live replay-idempotence + content-fingerprint evidence
-            # for its batch, and log-gated snapshot reads resolve
-            # manifests through it — sweeping it early silently
-            # re-lands a lost-checkpoint replay.  Clamping (not
-            # refusing) keeps an aggressive debris dial from turning
-            # into an ingest outage: staging/temps/grace sweep at the
-            # dial, markers live at least the window.  Lowering the
-            # window is an explicit act (maintenance_floor_s).
-            marker_age = max(
+            # The MARKER and GRACE-AREA sweeps are clamped to the
+            # replay window (r18 review passes 5-8): a marker younger
+            # than it is live replay-idempotence + content-fingerprint
+            # evidence for its batch, and a ``_retained/<seq>``
+            # generation younger than it may still back a log-gated
+            # read pinned before its rewrite — sweeping either early
+            # silently re-lands a replay or strands a pinned reader.
+            # Clamping (not refusing) keeps an aggressive debris dial
+            # from becoming an ingest outage: staging dirs and swap
+            # temps (crashed-writer debris no reader ever resolves)
+            # sweep at the dial; the evidence classes live at least the
+            # window.  Lowering it is explicit (maintenance_floor_s).
+            evidence_age = max(
                 age,
                 REPLAY_WINDOW_S
                 if maintenance_floor_s is None
                 else maintenance_floor_s,
             )
-            if marker_age > age:
+            if evidence_age > age:
                 log.info(
-                    "GC tail: marker sweep clamped to the %ss replay "
-                    "window (dial was %ss)", marker_age, age,
+                    "GC tail: marker/grace sweeps clamped to %ss "
+                    "(%s; dial was %ss)",
+                    evidence_age,
+                    "the default replay window"
+                    if maintenance_floor_s is None
+                    else "maintenance_floor_s",
+                    age,
                 )
             fines = [
                 d for d in (rollup_dir, kmv_fine_dir, qsample_fine_dir)
@@ -366,11 +374,11 @@ def run_tsdb_bridge(
             try:
                 mnt["staging"] = gc_staging(lake_dir, age)
                 mnt["commit_markers"] = gc_commit_markers(
-                    lake_dir, marker_age
+                    lake_dir, evidence_age
                 )
                 retained: list = []
                 for root in [lake_dir, *fines]:
-                    retained += gc_retained(root, age)
+                    retained += gc_retained(root, evidence_age)
                 mnt["retained"] = retained
                 mnt["ladder_temps"] = gc_ladder_temps(
                     rung_dirs + fines, age

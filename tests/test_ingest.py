@@ -1564,34 +1564,6 @@ def test_tsdb_bridge_maintenance_tail_sweeps_debris(spark, tmp_path):
                           "today": _dt.date(2024, 1, 4)},
         maintenance_max_age_s=0, maintenance_floor_s=0,
     )
-    # the replay window CLAMPS the marker sweep: an aggressive debris
-    # dial sweeps staging/temps/grace at the dial but never markers
-    # younger than the window (they are live replay evidence)
-    import time as _time
-
-    lake2, cat2 = str(base / "lake2"), str(base / "cat2")
-    run_tsdb_bridge(
-        spark, src, lake2, cat2, str(base / "ck2"),
-        rollup_dir=str(base / "r1m2"), max_files_per_trigger=1,
-    )
-    commits = os.path.join(lake2, "_commits")
-    old_t = _time.time() - 2 * 86_400  # 2 days: past the dial, inside
-    for m in os.listdir(commits):      # the 7-day window
-        p = os.path.join(commits, m)
-        os.utime(p, (old_t, old_t))
-    out2 = run_tsdb_bridge(
-        spark, src, lake2, cat2, str(base / "ck2"),
-        rollup_dir=str(base / "r1m2"),
-        maintenance_max_age_s=86_400,
-    )
-    assert out2["maintenance"]["commit_markers"] == []
-    assert len(os.listdir(commits)) == 3  # markers survived the dial
-    # a floor with nothing to clamp is a loud misconfiguration
-    with pytest.raises(ValueError, match="without maintenance_max_age_s"):
-        run_tsdb_bridge(
-            spark, src, lake2, cat2, str(base / "ck2"),
-            rollup_dir=str(base / "r1m2"), maintenance_floor_s=0,
-        )
     assert out["retention"]["rollup"]["pruned"] == ["ksid=k1/date=2024-01-01"]
     mnt = out["maintenance"]
     # the prune's grace area was reclaimed in the same run (gc_retained
@@ -1603,6 +1575,50 @@ def test_tsdb_bridge_maintenance_tail_sweeps_debris(spark, tmp_path):
     assert len(mnt["commit_markers"]) == 3
     assert commitlog.latest_seq(lake) >= 3
     assert mnt["staging"] == [] and mnt["ladder_temps"] == []
+
+
+def test_tsdb_bridge_marker_sweep_clamped(spark, tmp_path):
+    """The replay window CLAMPS the marker/grace sweeps: an aggressive
+    debris dial sweeps staging/temps at the dial but never commit
+    markers younger than the window — they are live replay evidence
+    (sweeping them would let a lost-checkpoint replay silently re-land
+    its batches).  A floor with nothing to clamp is a loud
+    misconfiguration."""
+    import json as _json
+    import os
+    import time as _time
+
+    from mycenae_spark.streaming.assimilate import write_day_files
+    from mycenae_spark.streaming.tsdb_bridge import run_tsdb_bridge
+
+    base = tmp_path
+    lake, cat, r1m = (str(base / d) for d in ("lake", "cat", "r1m"))
+    src = str(base / "src")
+    BASE = 1704067200000
+    write_day_files(src, [
+        (f"d{d}.jsonl", [_json.dumps({
+            "metric": "cl.m", "tags": {"ksid": "k1"},
+            "timestamp": BASE + d * 86_400_000, "value": 1.0})])
+        for d in range(3)
+    ])
+    run_tsdb_bridge(spark, src, lake, cat, str(base / "ck"),
+                    rollup_dir=r1m, max_files_per_trigger=1)
+    commits = os.path.join(lake, "_commits")
+    old_t = _time.time() - 2 * 86_400  # 2 days: past the dial, inside
+    for m in os.listdir(commits):      # the 7-day window
+        os.utime(os.path.join(commits, m), (old_t, old_t))
+    out = run_tsdb_bridge(
+        spark, src, lake, cat, str(base / "ck"),
+        rollup_dir=r1m, maintenance_max_age_s=86_400,
+    )
+    assert out["maintenance"]["commit_markers"] == []
+    assert len(os.listdir(commits)) == 3  # markers survived the dial
+    # a floor with nothing to clamp is a loud misconfiguration
+    with pytest.raises(ValueError, match="without maintenance_max_age_s"):
+        run_tsdb_bridge(
+            spark, src, lake, cat, str(base / "ck"),
+            rollup_dir=r1m, maintenance_floor_s=0,
+        )
 
 
 def test_start_ingest_resliced_replay_refuses(spark, tmp_path):
