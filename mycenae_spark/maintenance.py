@@ -32,6 +32,14 @@ from pyspark.sql import SparkSession
 
 RETAINED_DIR = "_retained"
 
+#: The marker replay window: a committed-batch marker younger than this
+#: is still live replay-idempotence (and content-fingerprint) evidence —
+#: sweeping it lets a lost-checkpoint replay silently re-land its batch.
+#: THE one copy (r18 review): gc_commit_markers and gc_retained default
+#: to it, and the ingest bridge's GC tail clamps its marker AND
+#: grace-area sweeps to it.
+REPLAY_WINDOW_S = 7 * 24 * 3600
+
 
 def retain_path(section_root: str, seq: int, rel_path: str) -> str:
     """Destination for a superseded file retained at log position ``seq``."""
@@ -46,7 +54,7 @@ def retain_file(section_root: str, seq: int, rel_path: str, src: str) -> None:
 
 
 def gc_retained(
-    section_root: str, max_age_s: float = 7 * 24 * 3600
+    section_root: str, max_age_s: float = REPLAY_WINDOW_S
 ) -> list[str]:
     """Sweep retained generations older than ``max_age_s`` (the VACUUM).
 
@@ -336,14 +344,6 @@ def dedupe_catalog(
         swap_catalog_dir(catalog_dir, tmp, snapshot, retain_seq=seq)
         return {"removed": n_before - n_after, "remaining": n_after}
     raise RuntimeError("catalog dedupe lost the commit-log race repeatedly")
-
-
-#: The marker replay window: a committed-batch marker younger than this
-#: is still live replay-idempotence (and content-fingerprint) evidence —
-#: sweeping it lets a lost-checkpoint replay silently re-land its batch.
-#: THE one copy (r18 review): gc_commit_markers defaults to it and the
-#: ingest bridge's GC tail clamps its marker sweep to it.
-REPLAY_WINDOW_S = 7 * 24 * 3600
 
 
 def gc_commit_markers(

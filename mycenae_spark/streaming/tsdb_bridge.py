@@ -152,8 +152,9 @@ def run_tsdb_bridge(
     if maintenance_floor_s is not None and maintenance_max_age_s is None:
         raise ValueError(
             "maintenance_floor_s set without maintenance_max_age_s: the "
-            "floor only clamps the GC tail's marker sweep — nothing is "
-            "being swept; set maintenance_max_age_s (or drop the floor)"
+            "floor only clamps the GC tail's marker/grace sweeps — "
+            "nothing is being swept; set maintenance_max_age_s (or drop "
+            "the floor)"
         )
 
     from mycenae_spark.streaming.assimilate import (

@@ -1532,10 +1532,12 @@ def test_tsdb_bridge_single_writer_lock(spark, tmp_path):
 
 def test_tsdb_bridge_maintenance_tail_sweeps_debris(spark, tmp_path):
     """The bridge's GC tail (one age dial, r18): after a drain with
-    retention, ``maintenance_max_age_s=0`` reclaims the sketch prune's
-    grace area and the settled commit markers in the same invocation —
-    the daily job needs no second cron — while the commit LOG is left
-    alone (truncation stays an explicit operator verb)."""
+    retention, ``maintenance_max_age_s=0`` WITH an explicit
+    ``maintenance_floor_s=0`` (the dial alone is clamped to the replay
+    window for markers/grace — see the clamp test) reclaims the sketch
+    prune's grace area and the settled commit markers in the same
+    invocation — the daily job needs no second cron — while the commit
+    LOG is left alone (truncation stays an explicit operator verb)."""
     import datetime as _dt
     import json as _json
     import os
@@ -1607,12 +1609,19 @@ def test_tsdb_bridge_marker_sweep_clamped(spark, tmp_path):
     old_t = _time.time() - 2 * 86_400  # 2 days: past the dial, inside
     for m in os.listdir(commits):      # the 7-day window
         os.utime(os.path.join(commits, m), (old_t, old_t))
+    # a grace-area generation of the same age must survive too — it may
+    # still back a log-gated read pinned before its rewrite
+    grace = os.path.join(r1m, "_retained", f"{7:020d}")
+    os.makedirs(grace)
+    os.utime(grace, (old_t, old_t))
     out = run_tsdb_bridge(
         spark, src, lake, cat, str(base / "ck"),
         rollup_dir=r1m, maintenance_max_age_s=86_400,
     )
     assert out["maintenance"]["commit_markers"] == []
     assert len(os.listdir(commits)) == 3  # markers survived the dial
+    assert out["maintenance"]["retained"] == []
+    assert os.path.isdir(grace)  # grace generation survived the dial
     # a floor with nothing to clamp is a loud misconfiguration
     with pytest.raises(ValueError, match="without maintenance_max_age_s"):
         run_tsdb_bridge(
