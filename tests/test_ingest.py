@@ -1579,6 +1579,69 @@ def test_tsdb_bridge_maintenance_tail_sweeps_debris(spark, tmp_path):
     assert mnt["staging"] == [] and mnt["ladder_temps"] == []
 
 
+def test_tsdb_bridge_retention_refusal_carries_stats(
+    spark, tmp_path, monkeypatch
+):
+    """A retention refusal is the actionable signal and must survive
+    everything downstream: the GC tail still runs (a pending backfill
+    must not starve debris sweeps), a GC failure is logged but never
+    MASKS the refusal, and the raised error carries the drain's stats
+    so the audit trail of what DID run survives (r18 review passes
+    3-7)."""
+    import datetime as _dt
+    import json as _json
+
+    import mycenae_spark.maintenance as mnt_mod
+    from mycenae_spark.streaming.assimilate import write_day_files
+    from mycenae_spark.streaming.ingest import (
+        decode_json_lines,
+        prepare_points,
+        write_points_batch,
+    )
+    from mycenae_spark.streaming.tsdb_bridge import run_tsdb_bridge
+
+    base = tmp_path
+    lake, cat, r1m, r1h = (
+        str(base / d) for d in ("lake", "cat", "r1m", "r1h"))
+    src = str(base / "src")
+    BASE = 1704067200000
+    # pre-existing points WITHOUT rollup: the bridge's first derived
+    # write then marks the fine lake coverage-INCOMPLETE (backfill
+    # pending), which is exactly the state retention must refuse on
+    pre = prepare_points(decode_json_lines(spark.createDataFrame(
+        [(_json.dumps({"metric": "rs.m", "tags": {"ksid": "k1"},
+                       "timestamp": BASE, "value": 1.0}),)], ["value"])))[0]
+    write_points_batch(pre, lake, cat, batch_id="pre")
+    write_day_files(src, [("d1.jsonl", [_json.dumps({
+        "metric": "rs.m", "tags": {"ksid": "k1"},
+        "timestamp": BASE + 86_400_000, "value": 2.0})])])
+
+    real_gc_staging = mnt_mod.gc_staging
+    calls = {"n": 0}
+
+    def failing_gc_staging(lake_dir, age):
+        calls["n"] += 1
+        real_gc_staging(lake_dir, age)
+        raise OSError("simulated sweep failure")
+
+    monkeypatch.setattr(mnt_mod, "gc_staging", failing_gc_staging)
+    with pytest.raises(ValueError, match="sketch retention refused") as ei:
+        run_tsdb_bridge(
+            spark, src, lake, cat, str(base / "ck"),
+            rollup_dir=r1m, ladder={3_600_000: r1h},
+            max_files_per_trigger=1,
+            sketch_retention={"keep_days": 2, "floor_days": 1,
+                              "today": _dt.date(2024, 1, 10)},
+            maintenance_max_age_s=0, maintenance_floor_s=0,
+        )
+    assert calls["n"] == 1                     # the GC tail DID run
+    st = ei.value.stats                        # audit trail attached
+    assert st["batches"] == 1
+    assert st["retention"] == {}               # nothing pruned
+    # incremental maintenance dict: nothing recorded before the failure
+    assert "maintenance" in st
+
+
 def test_tsdb_bridge_marker_sweep_clamped(spark, tmp_path):
     """The replay window CLAMPS the marker/grace sweeps: an aggressive
     debris dial sweeps staging/temps at the dial but never commit
