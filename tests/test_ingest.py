@@ -1727,3 +1727,64 @@ def test_start_ingest_resliced_replay_refuses(spark, tmp_path):
     with pytest.raises(Exception, match="DIFFERENT content"):
         await_or_raise(q, 120, "ingest-2")
     assert spark.read.parquet(lake).count() == n1  # nothing half-applied
+
+
+@pytest.mark.parametrize("n_days,keep", [(3, 1), (4, 2), (5, 1)])
+def test_prune_carry_rebuild_equals_full_history(spark, tmp_path_factory,
+                                                 n_days, keep):
+    """Property of the carry-over cascade across prune shapes: after
+    pruning the fine lake at ANY valid horizon and then ingesting more
+    data, a rung rebuilt from the pruned fine (carry path) answers
+    IDENTICALLY to a rollup over the full, never-pruned history — for
+    several day-count × keep-window shapes beyond the closed-form
+    fixture."""
+    import datetime as _dt
+    import json as _json
+
+    from mycenae_spark.streaming.ingest import (
+        decode_json_lines,
+        prepare_points,
+        write_points_batch,
+    )
+    from mycenae_spark.streaming.rollup import (
+        prune_sketch_lake,
+        read_rollup,
+        refresh_ladder,
+    )
+
+    BASE = 1704067200000  # 2024-01-01
+    DAY = 86_400_000
+    d = tmp_path_factory.mktemp(f"carry_{n_days}_{keep}")
+    lake, cat, fine = (str(d / p) for p in ("lake", "cat", "r1m"))
+    rungs = {3_600_000: str(d / "r1h")}
+
+    def val(day, h):
+        return float((day * 31 + h * 7) % 997) + 0.5
+
+    def land(day):
+        rows = [(_json.dumps({
+            "metric": "pc.m", "tags": {"ksid": "k1"},
+            "timestamp": BASE + day * DAY + h * 3_600_000,
+            "value": val(day, h)}),) for h in range(24)]
+        write_points_batch(
+            prepare_points(decode_json_lines(
+                spark.createDataFrame(rows, ["value"])))[0],
+            lake, cat, batch_id=f"d{day}", rollup_dir=fine,
+        )
+
+    for day in range(n_days):
+        land(day)
+    refresh_ladder(spark, lake, fine, rungs)
+    out = prune_sketch_lake(
+        lake, fine, rungs, keep_days=keep, floor_days=1,
+        today=_dt.date(2024, 1, 1) + _dt.timedelta(days=n_days),
+    )
+    assert len(out["pruned"]) == n_days - keep  # at least one day gone
+    land(n_days)  # stales the rung; the rebuild must carry
+    assert refresh_ladder(spark, lake, fine, rungs) == {3_600_000: True}
+
+    got = {r["bucket_ms"]: r["value"] for r in
+           read_rollup(spark, rungs[3_600_000], agg="avg").collect()}
+    want = {BASE + day * DAY + h * 3_600_000: val(day, h)
+            for day in range(n_days + 1) for h in range(24)}
+    assert got == want  # full history, one exact bucket per hour
