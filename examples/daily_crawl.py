@@ -209,6 +209,19 @@ def main() -> None:  # noqa: PLR0915 — a linear three-act demo script
         ret = prune_bridge_output(a_out, keep_last=2)
         print(f"result-lake retention pruned days {ret['pruned']}, "
               f"kept {ret['kept']}")
+
+        # the chain-lifetime dial an operator polls instead of reading
+        # _chain.json by hand (same state served over HTTP as
+        # GET /keysets/{ks}/api/query/chain_status with chain_dir=a_out)
+        from mycenae_spark.server import Engine
+
+        cs = Engine(spark, os.path.join(work, "_lk"),
+                    os.path.join(work, "_ct"),
+                    chain_dir=a_out).query_chain_status()
+        print(f"chain status: {cs['n_generations']} generations, head "
+              f"{'on disk' if cs['head_on_disk'] else 'MISSING'}, "
+              f"horizon days {cs['horizon_days']}, pruned "
+              f"{cs['pruned_days']}, manifest {cs['manifest_md5'][:8]}")
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
