@@ -1779,7 +1779,7 @@ def test_prune_carry_rebuild_equals_full_history(spark, tmp_path_factory,
         lake, fine, rungs, keep_days=keep, floor_days=1,
         today=_dt.date(2024, 1, 1) + _dt.timedelta(days=n_days),
     )
-    assert len(out["pruned"]) == n_days - keep  # at least one day gone
+    assert len(out["pruned"]) == n_days - keep  # exact drop count
     land(n_days)  # stales the rung; the rebuild must carry
     assert refresh_ladder(spark, lake, fine, rungs) == {3_600_000: True}
 
