@@ -684,6 +684,17 @@ def main() -> None:
         line = json.dumps(compact, separators=(",", ":"))
         if len(line) <= 1850:
             break
+    if len(line) > 1850:
+        # last resort (r18 ADVICE): if the suite grows until the full
+        # name-sorted qv array alone busts the tail budget even with
+        # only 4 named queries, DROP qv rather than print an oversize
+        # line the driver's 2000-char stdout tail would clip into an
+        # unparseable fragment — a parseable headline + slowest-4 map
+        # beats a complete-but-truncated one.  qv_n stays, so the drop
+        # is visible (qv_n > 0 with qv absent).
+        compact.pop("qv", None)
+        compact["qv_dropped"] = "final-line over tail budget"
+        line = json.dumps(compact, separators=(",", ":"))
     print(line)
 
 

@@ -722,7 +722,12 @@ class Engine:
                         d: c for d, c in self._rung_frames.items()
                         if c[1] is not r2
                     }
-            self._guard_fine_retention(q)  # the retry serves from fine
+            if rollup is not None:
+                # the retry serves from fine — guard it exactly like the
+                # first attempt (r18 ADVICE: unconditional here would
+                # false-400 a raw-points serve when the fine frame is
+                # None but the dir carries a retained_from_ms)
+                self._guard_fine_retention(q)
             rows = shape_response(
                 plan(pts, q, rollup=rollup, rollup_interval_ms=60_000),
                 q,

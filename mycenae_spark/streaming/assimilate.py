@@ -784,14 +784,18 @@ def _ann_results_differ(prev: DataFrame, out: DataFrame) -> bool:
     refuses — full replay determinism beyond the tolerance rests on the
     repo's fixed-parallelism rounding contract.
 
-    Each side is aggregated to (count, non-null count, min, max) per
-    key BEFORE the join (r17 ADVICE: a raw key join loses multiplicity
-    — duplicate (day,q_id,n_id,rk) rows, or matching nulls, would
-    compare equal even when the replay genuinely differs).  Keys are
-    expected unique, so min==max==the value and the envelope compare
-    degenerates to the old pairwise one; under a pathological
-    duplicate, count/null-count mismatches and any min/max drift
-    beyond tolerance still refuse."""
+    Each side is aggregated to (count, non-null count, min, max, sum)
+    per key BEFORE the join (r17 ADVICE: a raw key join loses
+    multiplicity — duplicate (day,q_id,n_id,rk) rows, or matching
+    nulls, would compare equal even when the replay genuinely differs).
+    Keys are expected unique, so min==max==sum==the value and the
+    envelope compare degenerates to the old pairwise one; under a
+    pathological duplicate, count/null-count mismatches, min/max drift
+    beyond tolerance, AND the order-insensitive per-key SUM (r18
+    ADVICE: an interior value changing among ≥3 duplicates — {1,2,3}
+    vs {1,2.5,3} — leaves count and extremes intact; the sum moves)
+    all refuse.  The sum tolerance scales with the non-null count so n
+    legitimate per-value roundings cannot stack past it."""
     key = ["day", "q_id", "n_id", "rk"]
 
     def _agg(df: DataFrame, s: str) -> DataFrame:
@@ -800,6 +804,7 @@ def _ann_results_differ(prev: DataFrame, out: DataFrame) -> bool:
             F.count("cos_r").alias("_nn" + s),
             F.min("cos_r").alias("_lo" + s),
             F.max("cos_r").alias("_hi" + s),
+            F.sum("cos_r").alias("_sm" + s),
         )
 
     bad = _agg(prev, "a").join(_agg(out, "b"), key, "full_outer").filter(
@@ -809,6 +814,8 @@ def _ann_results_differ(prev: DataFrame, out: DataFrame) -> bool:
            != F.coalesce(F.col("_nnb"), F.lit(0)))
         | (F.abs(F.col("_loa") - F.col("_lob")) > 1e-6)
         | (F.abs(F.col("_hia") - F.col("_hib")) > 1e-6)
+        | (F.abs(F.col("_sma") - F.col("_smb"))
+           > F.lit(1e-6) * F.greatest(F.col("_nna"), F.lit(1)).cast("double"))
     )
     return bool(bad.limit(1).count())
 

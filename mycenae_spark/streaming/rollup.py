@@ -303,14 +303,26 @@ def prune_sketch_lake(
         )
         * 1000
     )
+    # clamp to the previously recorded horizon BEFORE the rung checks
+    # (r18 ADVICE): the horizon can only advance, and it is the EFFECTIVE
+    # (clamped) horizon whose alignment against the CURRENT rung grid
+    # matters — if the ladder changed since an earlier prune, an inherited
+    # horizon that no longer lands on every rung boundary must refuse
+    # here, not surprise a later refresh's carry-over
+    already = sketch_retained_from(fine_dir)
+    horizon_ms = max(horizon_ms, already)
+    horizon_day = _dt.datetime.fromtimestamp(
+        horizon_ms / 1000, tz=_dt.timezone.utc
+    ).date()
     for iv, rung_dir in sorted(rungs.items()):
         if horizon_ms % iv:
             raise ValueError(
-                f"prune_sketch_lake: horizon {horizon_day} is not "
-                f"aligned to the {iv}ms rung's bucket grid — a straddling "
-                "rung bucket would mix dropped and kept fine buckets; "
-                "adjust keep_days/today so the horizon lands on a rung "
-                "boundary"
+                f"prune_sketch_lake: effective horizon {horizon_day} "
+                f"(keep_days clamped to any previously recorded horizon) "
+                f"is not aligned to the {iv}ms rung's bucket grid — a "
+                "straddling rung bucket would mix dropped and kept fine "
+                "buckets; adjust keep_days/today (or the rung set) so "
+                "the horizon lands on a rung boundary"
             )
         if not rollup_coverage_complete(rung_dir):
             raise ValueError(
@@ -329,12 +341,6 @@ def prune_sketch_lake(
             f"prune_sketch_lake: fine lake {fine_dir!r} is not "
             "coverage-complete — backfill it before applying retention"
         )
-
-    already = sketch_retained_from(fine_dir)
-    horizon_ms = max(horizon_ms, already)
-    horizon_day = _dt.datetime.fromtimestamp(
-        horizon_ms / 1000, tz=_dt.timezone.utc
-    ).date()
 
     # every partition below the RECORDED horizon — not just newly
     # expired ones — so a crash between marker and moves is repaired by
