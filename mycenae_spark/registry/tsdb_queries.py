@@ -5698,6 +5698,8 @@ SELECT * FROM (VALUES
   ('p95_all_96_buckets_exact', CAST(1 AS BIGINT)),
   ('kmv_all_96_buckets_exact_12', CAST(1 AS BIGINT)),
   ('fine_below_horizon_refused', CAST(1 AS BIGINT)),
+  ('library_read_below_horizon_refused', CAST(1 AS BIGINT)),
+  ('library_read_clamped_buckets', CAST(576 AS BIGINT)),
   ('fine_within_retention_buckets', CAST(576 AS BIGINT)),
   ('floor_refused', CAST(1 AS BIGINT)),
   ('day5_batches', CAST(1 AS BIGINT)),
@@ -5731,6 +5733,12 @@ def sketch_retention_roundtrip(spark, sf_dir):
       576 remaining fine partials;
     * a ``1m-avg`` reaching BELOW the horizon refuses loudly (the HTTP
       edge's typed 400) — never a silent under-read of pruned partials;
+    * the LIBRARY seam holds too (r19): a direct ``read_rollup`` over
+      the pruned fine lake refuses by default and serves exactly the
+      576 retained buckets behind the explicit
+      ``clamp_to_retention=True`` acknowledgement
+      (``guard_sketch_retention`` — the one check shared by every
+      sketch/rollup read verb);
     * ``keep_days`` below the configured floor refuses before touching
       anything;
     * DAY 5 lands on the same checkpoint: the rungs go stale and the
@@ -5750,6 +5758,7 @@ def sketch_retention_roundtrip(spark, sf_dir):
     from mycenae_spark.streaming.rollup import (
         prune_sketch_lake,
         read_kmv_distinct,
+        read_rollup,
     )
     from mycenae_spark.streaming.tsdb_bridge import run_tsdb_bridge
 
@@ -5833,6 +5842,18 @@ def sketch_retention_roundtrip(spark, sf_dir):
             refused = 0
         except ValueError:
             refused = 1
+        # the LIBRARY seam (r18 VERDICT missing #1): a direct read verb
+        # over the pruned fine lake refuses by default — the Engine's
+        # typed 400 is not the only guard — and serves the retained
+        # span only behind the explicit clamp acknowledgement
+        try:
+            read_rollup(spark, r1m)
+            lib_refused = 0
+        except ValueError:
+            lib_refused = 1
+        lib_clamped = read_rollup(
+            spark, r1m, agg="avg", clamp_to_retention=True
+        ).count()
         try:
             prune_sketch_lake(
                 lake, r1m, {HOUR_MS: r1h}, keep_days=0, floor_days=1,
@@ -5862,6 +5883,8 @@ def sketch_retention_roundtrip(spark, sf_dir):
             ("p95_all_96_buckets_exact", p95_ok),
             ("kmv_all_96_buckets_exact_12", kmv_ok),
             ("fine_below_horizon_refused", refused),
+            ("library_read_below_horizon_refused", lib_refused),
+            ("library_read_clamped_buckets", lib_clamped),
             ("fine_within_retention_buckets", len(fine_ok)),
             ("floor_refused", floor_refused),
             ("day5_batches", stats2["batches"]),

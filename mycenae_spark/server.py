@@ -606,8 +606,13 @@ class Engine:
                     ),
                     self.rollup_dir,
                 )
+                # clamp_to_retention: the Engine memoizes this frame and
+                # refuses pre-horizon fine-grain queries per request via
+                # _guard_fine_retention — the library default (refuse)
+                # would brick construction over a legally pruned lake
                 rollup = read_rollup_series(
-                    self.spark, self.rollup_dir, df=roll_df
+                    self.spark, self.rollup_dir, df=roll_df,
+                    clamp_to_retention=True,
                 )
         return pts, rollup
 
@@ -1926,12 +1931,23 @@ class Engine:
         built?).  An engine with no ladders configured answers empty
         lists with a 200 — that is a valid deployment, not an error;
         the TSDB ingest bridge keeps these flags green by
-        construction."""
+        construction.
+
+        The fine lake's block also carries its RETENTION state (r18
+        VERDICT missing #2): ``retained_from_ms`` (0 = never pruned)
+        and the configured ``retention_floor_days`` — the dashboard
+        explanation for ``_guard_fine_retention``'s typed 400 ("why
+        did my 1m query refuse?").  Rung rows carry
+        ``retained_from_ms`` too (always 0 for real rungs, which hold
+        full history — non-zero only in the misconfigured
+        fine-dir-as-rung layout the library read guard refuses)."""
         from mycenae_spark.streaming import commitlog
         from mycenae_spark.streaming.rollup import (
             _read_marker_as_of,
             cascade_is_current,
             rollup_coverage_complete,
+            sketch_retained_from,
+            sketch_retention_info,
         )
 
         def rungs(m: dict) -> list:
@@ -1947,6 +1963,8 @@ class Engine:
                     "current": built
                     and cascade_is_current(self.lake_dir, d),
                     "as_of_seq": _read_marker_as_of(d) if built else None,
+                    "retained_from_ms": sketch_retained_from(d)
+                    if built else 0,
                 })
             return out
 
@@ -1957,6 +1975,7 @@ class Engine:
                 "coverage_complete": rollup_coverage_complete(
                     self.rollup_dir
                 ),
+                **sketch_retention_info(self.rollup_dir),
             }
         return {
             "head_seq": commitlog.latest_seq(self.lake_dir),

@@ -1788,3 +1788,125 @@ def test_prune_carry_rebuild_equals_full_history(spark, tmp_path_factory,
     want = {BASE + day * DAY + h * 3_600_000: val(day, h)
             for day in range(n_days + 1) for h in range(24)}
     assert got == want  # full history, one exact bucket per hour
+
+
+def test_sketch_read_verbs_guard_retention(spark, tmp_path):
+    """LIBRARY-seam retention guard (r18 VERDICT "what's missing" #1):
+    the Engine refuses pre-horizon fine-grain queries, but the read
+    verbs are public composition points — a direct ``read_rollup`` /
+    ``read_rollup_percentile`` / ``read_kmv_distinct`` /
+    ``read_qsample_*`` / ``read_rollup_series`` over a PRUNED fine lake
+    (or a ladder read whose rung IS the fine dir) must refuse by
+    default, serve when the caller declares ``start_ms`` at/after the
+    horizon, and clamp only behind the explicit
+    ``clamp_to_retention=True`` acknowledgement.  The clamped read's
+    day bound must reach the parquet scan as a PartitionFilter (the
+    100 TB posture: the pruned-lake read lists only retained
+    partitions, it doesn't scan-and-discard)."""
+    import datetime as _dt
+    import json as _json
+
+    from mycenae_spark.streaming.ingest import (
+        decode_json_lines,
+        prepare_points,
+        write_points_batch,
+    )
+    from mycenae_spark.streaming.rollup import (
+        guard_sketch_retention,
+        mark_rollup_coverage,
+        prune_sketch_lake,
+        read_kmv_distinct,
+        read_kmv_ladder,
+        read_qsample_percentile,
+        read_qsample_quantile,
+        read_rollup,
+        read_rollup_ladder,
+        read_rollup_percentile,
+        read_rollup_series,
+        refresh_ladder,
+        write_kmv_batch,
+        write_qsample_batch,
+    )
+
+    BASE = 1704067200000  # 2024-01-01
+    DAY = 86_400_000
+    HORIZON = BASE + 2 * DAY
+
+    def day_batch(d, n=24):
+        rows = [(_json.dumps({
+            "metric": "seam.m", "tags": {"ksid": "k1", "h": "a"},
+            "timestamp": BASE + d * DAY + i * 3_600_000,
+            "value": float(d * 100 + i),
+        }),) for i in range(n)]
+        return prepare_points(
+            decode_json_lines(spark.createDataFrame(rows, ["value"])))[0]
+
+    lake, cat, fine = (str(tmp_path / d) for d in ("lake", "cat", "r1m"))
+    kmv, qs = str(tmp_path / "kmv1m"), str(tmp_path / "qs1m")
+    rungs = {3_600_000: str(tmp_path / "r1h")}
+    for d in range(4):  # 2024-01-01 .. 2024-01-04
+        pts = day_batch(d)
+        write_points_batch(pts, lake, cat, batch_id=f"d{d}",
+                           rollup_dir=fine)
+        write_kmv_batch(pts, kmv, 3_600_000)
+        write_qsample_batch(pts, qs, 3_600_000)
+    refresh_ladder(spark, lake, fine, rungs)
+    prune_sketch_lake(lake, fine, rungs, keep_days=2, floor_days=1,
+                      today=_dt.date(2024, 1, 5))  # horizon 2024-01-03
+
+    # default read over the pruned lake refuses loudly, with the remedy
+    with pytest.raises(ValueError, match="retention horizon"):
+        read_rollup(spark, fine).collect()
+    with pytest.raises(ValueError, match="retention horizon"):
+        read_rollup_percentile(spark, fine, 0.5).collect()
+    with pytest.raises(ValueError, match="retention horizon"):
+        read_rollup_series(spark, fine)
+    # the fine dir configured AS a ladder rung is guarded too
+    with pytest.raises(ValueError, match="retention horizon"):
+        read_rollup_ladder(spark, {60_000: fine}, interval_ms=60_000)
+
+    # start_ms at/after the horizon: provably inside the retained span
+    ok = {r["bucket_ms"]: r["value"] for r in
+          read_rollup(spark, fine, agg="avg", start_ms=HORIZON).collect()}
+    assert len(ok) == 48 and min(ok) == HORIZON
+    # explicit clamp serves the retained span only — identical rows
+    clamped = read_rollup(spark, fine, agg="avg", clamp_to_retention=True)
+    assert {r["bucket_ms"]: r["value"] for r in clamped.collect()} == ok
+    # ...and the day bound reaches the scan as a PartitionFilter
+    plan = clamped._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "date" in plan.split(
+        "PartitionFilters", 1)[1].split("]", 1)[0]
+    # start_ms BELOW the horizon still refuses (no silent clamp)
+    with pytest.raises(ValueError, match="retention horizon"):
+        read_rollup(spark, fine, start_ms=BASE)
+    # read_rollup_series honors the marker even with a df override
+    shaped = read_rollup_series(
+        spark, fine, df=spark.read.parquet(fine), clamp_to_retention=True)
+    assert shaped.count() == 48
+
+    # the KMV and qsample verbs share the one guard: prune their lakes
+    # via the marker (the partitions themselves were dropped by the
+    # same mechanism; the marker is what the guard consults)
+    for d_ in (kmv, qs):
+        mark_rollup_coverage(d_, True, retained_from_ms=HORIZON)
+    with pytest.raises(ValueError, match="retention horizon"):
+        read_kmv_distinct(spark, kmv).collect()
+    with pytest.raises(ValueError, match="retention horizon"):
+        read_kmv_ladder(spark, {3_600_000: kmv}, 3_600_000).collect()
+    with pytest.raises(ValueError, match="retention horizon"):
+        read_qsample_quantile(spark, qs, 0.5).collect()
+    with pytest.raises(ValueError, match="retention horizon"):
+        read_qsample_percentile(spark, qs, 0.95).collect()
+    kdist = read_kmv_distinct(spark, kmv, clamp_to_retention=True)
+    assert all(r["bucket_ms"] >= HORIZON for r in kdist.collect())
+    qv = read_qsample_quantile(spark, qs, 0.5, start_ms=HORIZON)
+    assert all(r["bucket_ms"] >= HORIZON for r in qv.collect())
+
+    # un-pruned lakes: the guard is a no-op (retained == 0), start_ms
+    # still filters
+    fresh = str(tmp_path / "fresh")
+    write_kmv_batch(day_batch(0), fresh, 3_600_000)
+    assert read_kmv_distinct(spark, fresh).count() == 24
+    assert read_kmv_distinct(
+        spark, fresh, start_ms=BASE + 12 * 3_600_000).count() == 12
+    assert guard_sketch_retention(fresh) == 0

@@ -1926,9 +1926,17 @@ def test_ladder_status_reports_routing_gates(spark, tmp_path):
     """The routing dial: rung coverage/currency/pin flags flip exactly
     when the gates _pick_rung consults flip — current after a refresh,
     stale after a write, current again after re-refresh; an engine
-    without ladders answers empty lists (valid deployment, 200)."""
+    without ladders answers empty lists (valid deployment, 200).  The
+    fine block carries the retention horizon + configured floor (r18
+    VERDICT missing #2), flipping from (0, None) after a prune — the
+    dashboard explanation for the retention guard's typed 400."""
+    import datetime as _dt
+
     from mycenae_spark.server import Engine
-    from mycenae_spark.streaming.rollup import refresh_ladder
+    from mycenae_spark.streaming.rollup import (
+        prune_sketch_lake,
+        refresh_ladder,
+    )
 
     HOUR = 3_600_000
     lake, cat = str(tmp_path / "lake"), str(tmp_path / "cat")
@@ -1947,10 +1955,13 @@ def test_ladder_status_reports_routing_gates(spark, tmp_path):
         code, out = _req(base, "/keysets/k1/api/query/ladder_status")
         assert code == 200
         assert out["fine_rollup"] == {"built": True,
-                                      "coverage_complete": True}
+                                      "coverage_complete": True,
+                                      "retained_from_ms": 0,
+                                      "retention_floor_days": None}
         rung = out["ladder"][0]
         assert rung["interval_ms"] == HOUR
         assert rung["built"] is False and rung["current"] is False
+        assert rung["retained_from_ms"] == 0
 
         refresh_ladder(spark, lake, r1m, {HOUR: r1h})
         code, out = _req(base, "/keysets/k1/api/query/ladder_status")
@@ -1967,6 +1978,19 @@ def test_ladder_status_reports_routing_gates(spark, tmp_path):
         refresh_ladder(spark, lake, r1m, {HOUR: r1h})
         code, out = _req(base, "/keysets/k1/api/query/ladder_status")
         assert out["ladder"][0]["current"]
+
+        # prune the fine lake: the dial's retention fields flip, so the
+        # guard's typed 400 is explainable from the dashboard
+        prune_sketch_lake(
+            lake, r1m, {HOUR: r1h}, keep_days=1, floor_days=1,
+            today=_dt.date(2024, 1, 4),  # horizon 2024-01-03 > BASE_TS day
+        )
+        code, out = _req(base, "/keysets/k1/api/query/ladder_status")
+        assert code == 200
+        assert out["fine_rollup"]["retained_from_ms"] == BASE_TS + 2 * (
+            24 * HOUR)
+        assert out["fine_rollup"]["retention_floor_days"] == 1
+        assert out["ladder"][0]["retained_from_ms"] == 0  # real rung
     finally:
         httpd.shutdown()
 
