@@ -334,6 +334,19 @@ def write_points_batch(
                     # metric Y.  Manifests predating this field replay as
                     # None, the conservative wildcard.
                     "metrics": manifest.get("metrics"),
+                    # Which 2PC sections this batch landed (r18 VERDICT
+                    # missing #3): the ingest bridge's foreign-writer
+                    # detection reads these — a later points-append
+                    # LACKING a sketch family's section means a writer
+                    # landed points the fine sketch lake doesn't
+                    # represent, and the bridge must demote that lake's
+                    # coverage instead of re-pinning it at the head.
+                    # Entries predating this field read as None — the
+                    # conservative "can't prove coverage" verdict.
+                    "sections": [
+                        s for s in ("points", "rollup", "kmv", "qsample")
+                        if manifest.get(s)
+                    ],
                 },
             )
         manifest["seq"] = seq

@@ -1910,3 +1910,127 @@ def test_sketch_read_verbs_guard_retention(spark, tmp_path):
     assert read_kmv_distinct(
         spark, fresh, start_ms=BASE + 12 * 3_600_000).count() == 12
     assert guard_sketch_retention(fresh) == 0
+
+
+def test_tsdb_bridge_foreign_writer_detection(spark, tmp_path):
+    """Foreign-writer detection on the bridge lakes (r18 VERDICT
+    "what's missing" #3): the flock arbitrates bridge-vs-bridge only,
+    so a non-bridge caller (HTTP put / start_ingest / a bare
+    write_points_batch) can land points WITHOUT a sketch family's 2PC
+    section — and before this, the next drain's head pin would claim
+    sketch coverage the fine lake doesn't have.  Now every
+    points-append commit records its sections and the bridge scans the
+    log before each re-pin: the offending family's coverage DEMOTES
+    (loud, in stats["foreign_writer"]), ingest keeps flowing, and the
+    family's backfill_* re-pins past the offenders so the next drain
+    is clean.  A foreign writer that carries every section passes —
+    it is not foreign to the lake's contract."""
+    import json as _json
+
+    from mycenae_spark.streaming.assimilate import write_day_files
+    from mycenae_spark.streaming.ingest import (
+        decode_json_lines,
+        prepare_points,
+        write_points_batch,
+    )
+    from mycenae_spark.streaming.rollup import (
+        backfill_kmv,
+        backfill_qsample,
+        backfill_rollup,
+        rollup_coverage_complete,
+    )
+    from mycenae_spark.streaming.tsdb_bridge import run_tsdb_bridge
+
+    BASE = 1704067200000
+    HOUR = 3_600_000
+    lake, cat = str(tmp_path / "lake"), str(tmp_path / "cat")
+    r1m, r1h = str(tmp_path / "r1m"), str(tmp_path / "r1h")
+    kmv1m, kmv1h = str(tmp_path / "kmv1m"), str(tmp_path / "kmv1h")
+    qs1m, qs1h = str(tmp_path / "qs1m"), str(tmp_path / "qs1h")
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+
+    def day_rows(d):
+        return [
+            _json.dumps({
+                "metric": "fw.m", "tags": {"ksid": "k1", "host": "h0"},
+                "timestamp": BASE + d * 24 * HOUR + h * HOUR + j * 600_000,
+                "value": float(100 * (d * 24 + h) + j),
+            })
+            for h in range(2) for j in range(6)
+        ]
+
+    def foreign(d, batch_id, **dirs):
+        rows = [(r,) for r in day_rows(d)]
+        write_points_batch(
+            prepare_points(decode_json_lines(
+                spark.createDataFrame(rows, ["value"])))[0],
+            lake, cat, batch_id=batch_id, **dirs)
+
+    def run():
+        return run_tsdb_bridge(
+            spark, src, lake, cat, ckpt,
+            rollup_dir=r1m, ladder={HOUR: r1h},
+            kmv_fine_dir=kmv1m, kmv_ladder={HOUR: kmv1h},
+            qsample_fine_dir=qs1m, qsample_ladder={HOUR: qs1h},
+            max_files_per_trigger=1,
+        )
+
+    days = []
+
+    def land(d):
+        days.append((f"d{d}.jsonl", day_rows(d)))
+        write_day_files(src, days)
+
+    land(0)
+    s1 = run()
+    assert s1["batches"] == 1 and "foreign_writer" not in s1
+    assert all(rollup_coverage_complete(d) for d in (r1m, kmv1m, qs1m))
+
+    # a non-bridge writer lands points + rollup partials but NO sketch
+    # sections: the sketch pins must not claim the span
+    foreign(1, "foreign-sketchless", rollup_dir=r1m)
+    land(2)
+    s2 = run()
+    assert sorted(s2["foreign_writer"]) == ["kmv", "qsample"]
+    assert not rollup_coverage_complete(kmv1m)
+    assert not rollup_coverage_complete(qs1m)
+    # the rollup family was maintained by that writer — not demoted
+    assert rollup_coverage_complete(r1m)
+
+    # demotion is the DURABLE state (the stats flag fires on the
+    # detecting drain; the pin advances with complete=False): later
+    # drains keep the lakes demoted until the family backfill heals
+    land(3)
+    s3 = run()
+    assert not rollup_coverage_complete(kmv1m)
+    assert not rollup_coverage_complete(qs1m)
+    backfill_kmv(spark, lake, kmv1m)
+    backfill_qsample(spark, lake, qs1m)
+    assert rollup_coverage_complete(kmv1m)
+    land(4)
+    s4 = run()
+    assert "foreign_writer" not in s4  # backfill pins past the offender
+    assert rollup_coverage_complete(kmv1m) and rollup_coverage_complete(qs1m)
+
+    # a rollup-less foreign writer demotes the algebraic fine lake too
+    # (it maintains the sketches, so only rollup flags);
+    # backfill_rollup's log entry absolves every earlier offender
+    foreign(5, "foreign-rollupless", kmv_dir=kmv1m, qsample_dir=qs1m)
+    land(6)
+    s5 = run()
+    assert sorted(s5["foreign_writer"]) == ["rollup"]
+    assert not rollup_coverage_complete(r1m)
+    backfill_rollup(spark, lake, r1m)
+    assert rollup_coverage_complete(r1m)
+    land(7)
+    s6 = run()
+    assert "foreign_writer" not in s6
+    assert rollup_coverage_complete(r1m) and rollup_coverage_complete(r1h)
+
+    # a foreign writer carrying EVERY section is not foreign: no flags
+    foreign(8, "foreign-complete", rollup_dir=r1m,
+            kmv_dir=kmv1m, qsample_dir=qs1m)
+    land(9)
+    s7 = run()
+    assert "foreign_writer" not in s7
+    assert all(rollup_coverage_complete(d) for d in (r1m, kmv1m, qs1m))
