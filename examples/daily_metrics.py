@@ -77,6 +77,13 @@ def main() -> None:
                     "keep_days": 2, "floor_days": 1,
                     "today": datetime.date(2024, 1, 4),
                 },
+                # GC tail: sweep staging/marker/grace debris older than
+                # a day, and bound the commit log — truncation is
+                # pin-protected (rung currency stays provable) and
+                # clamped to the replay window, so the opt-in is safe
+                # on the ingest cadence
+                maintenance_max_age_s=86_400.0,
+                commitlog_keep_last=10_000,
             )
 
         write_day_files(

@@ -379,10 +379,23 @@ def gc_commit_markers(
     return sorted(removed)
 
 
-def gc_commitlog(lake_dir: str, keep_last: int = 10_000) -> int:
+def gc_commitlog(
+    lake_dir: str,
+    keep_last: int = 10_000,
+    floor_seq: int | None = None,
+    min_age_s: float | None = None,
+) -> int:
     """Bound the commit log (streaming/commitlog.py): keep the newest
     ``keep_last`` entries — enough for conflict detection and recent-batch
-    crash replay, while the log never grows past ~entries × ~100 bytes."""
+    crash replay, while the log never grows past ~entries × ~100 bytes.
+
+    ``floor_seq`` / ``min_age_s`` pass through to ``commitlog.truncate``'s
+    prefix-stable protections: entries at/after a rung-pin floor (currency
+    stays provable — no truncation-blindness ladder rebuild churn) and
+    entries younger than the replay window (crash-replay + pinned-read
+    evidence) survive regardless of ``keep_last``."""
     from mycenae_spark.streaming import commitlog
 
-    return commitlog.truncate(lake_dir, keep_last)
+    return commitlog.truncate(
+        lake_dir, keep_last, floor_seq=floor_seq, min_age_s=min_age_s
+    )

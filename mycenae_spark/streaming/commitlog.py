@@ -146,18 +146,53 @@ def find_batch(lake_dir: str, batch_id: str) -> int | None:
     return None
 
 
-def truncate(lake_dir: str, keep_last: int = 10_000) -> int:
+def truncate(
+    lake_dir: str,
+    keep_last: int = 10_000,
+    floor_seq: int | None = None,
+    min_age_s: float | None = None,
+) -> int:
     """Drop all but the newest ``keep_last`` entries; returns #removed.
 
     Safe because entries are only read for ordering/conflict detection of
     FUTURE commits (latest_seq survives truncation: the newest entries
-    remain) and for crash replay of recent batches."""
+    remain) and for crash replay of recent batches.
+
+    Two protections clamp the drop (both prefix-stable, so the surviving
+    log is always gap-free and ``oldest_seq`` stays meaningful):
+
+    * ``floor_seq`` — never drop an entry with ``seq >= floor_seq``.
+      Callers protecting rung-currency proofs pass ``min(pins) + 1``:
+      ``cascade_is_current`` needs the oldest retained seq ≤ pin + 1,
+      else truncation blindness conservatively stales every rung and
+      the next refresh rebuilds the whole ladder for nothing.
+    * ``min_age_s`` — never drop an entry younger than this.  Entries
+      inside the replay window are crash-replay evidence
+      (``find_batch``) and may back log-gated snapshot reads pinned
+      moments ago."""
+    import time as _time
+
     d = _log_dir(lake_dir)
     try:
         names = sorted(n for n in os.listdir(d) if _seq_of(n) is not None)
     except FileNotFoundError:
         return 0
     victims = names[:-keep_last] if keep_last else names
+    if floor_seq is not None or min_age_s is not None:
+        now = _time.time()
+        kept: list[str] = []
+        for name in victims:
+            if floor_seq is not None and _seq_of(name) >= floor_seq:
+                break  # prefix cut: everything after is newer still
+            if min_age_s is not None:
+                try:
+                    age = now - os.path.getmtime(os.path.join(d, name))
+                except FileNotFoundError:
+                    continue  # concurrent sweep already took it
+                if age < min_age_s:
+                    break
+            kept.append(name)
+        victims = kept
     for name in victims:
         os.unlink(os.path.join(d, name))
     return len(victims)

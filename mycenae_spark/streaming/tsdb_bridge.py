@@ -119,6 +119,7 @@ def run_tsdb_bridge(
     sketch_retention: dict | None = None,
     maintenance_max_age_s: float | None = None,
     maintenance_floor_s: float | None = None,
+    commitlog_keep_last: int | None = None,
 ) -> dict:
     """Drain ``source_dir`` through the ingest bridge (availableNow) and
     leave every configured rung current.  ``ladder`` / ``kmv_ladder`` /
@@ -131,12 +132,18 @@ def run_tsdb_bridge(
     prune_sketch_lake's dials, applied per family at end of drain) and
     ``maintenance`` (``maintenance_max_age_s`` = one age dial sweeping
     staging, settled commit markers, retention/grace areas, and
-    cascade/swap temps; the commit log is never truncated here).  The
-    marker AND grace-area sweeps are clamped to ``max(dial,
-    maintenance_floor_s)`` — default ``maintenance.REPLAY_WINDOW_S`` —
-    since younger markers are live replay evidence and younger retained
-    generations may back pinned reads; setting the floor without the
-    dial refuses.
+    cascade/swap temps).  The marker AND grace-area sweeps are clamped
+    to ``max(dial, maintenance_floor_s)`` — default
+    ``maintenance.REPLAY_WINDOW_S`` — since younger markers are live
+    replay evidence and younger retained generations may back pinned
+    reads; setting the floor without the dial refuses.
+    ``commitlog_keep_last`` (opt-in, requires the GC tail) additionally
+    bounds the commit log, protected on two fronts: entries at/after
+    the oldest configured rung/sketch pin survive (rung currency stays
+    provable — no truncation-blindness rebuild churn) and entries
+    younger than the same evidence clamp survive (crash replay +
+    pinned reads); both protections are prefix-stable so the surviving
+    log is gap-free.
     A retention refusal raises AFTER the GC tail with the drain's
     ``stats`` attached to the exception (``exc.stats`` — batches,
     refreshes, sibling prunes, sweeps: the audit trail survives).
@@ -202,6 +209,20 @@ def run_tsdb_bridge(
             "nothing is being swept; set maintenance_max_age_s (or drop "
             "the floor)"
         )
+    if commitlog_keep_last is not None:
+        if maintenance_max_age_s is None:
+            raise ValueError(
+                "commitlog_keep_last set without maintenance_max_age_s: "
+                "commit-log truncation is part of the GC tail (its age "
+                "clamp IS the replay-window protection); set "
+                "maintenance_max_age_s (or drop commitlog_keep_last)"
+            )
+        if commitlog_keep_last < 1:
+            raise ValueError(
+                "commitlog_keep_last must be >= 1: the newest entry is "
+                "the lake's head pointer — dropping it would erase "
+                "latest_seq and read every pinned rung as unprovable"
+            )
 
     from mycenae_spark.streaming.assimilate import (
         _acquire_writer_lock,
@@ -408,10 +429,11 @@ def run_tsdb_bridge(
             # this bridge writes — commit-batch staging + markers,
             # every lake's retention/grace area (incl. the sketch
             # prune's), and cascade/swap temp generations.  The commit
-            # LOG is deliberately NOT truncated here: gc_commitlog's
-            # horizon interacts with checkpoint cadence (truncation
-            # past a rung's pin makes currency unprovable), so it
-            # stays an explicit operator verb.
+            # LOG is truncated only behind the EXPLICIT
+            # commitlog_keep_last opt-in below, with pin + replay-window
+            # protections that neutralize the checkpoint-cadence
+            # interaction (truncation past a rung's pin would make
+            # currency unprovable and rebuild the ladder every drain).
             from mycenae_spark.maintenance import (
                 REPLAY_WINDOW_S,
                 gc_commit_markers,
@@ -473,6 +495,33 @@ def run_tsdb_bridge(
                 mnt["ladder_temps"] = gc_ladder_temps(
                     rung_dirs + fines, age
                 )
+                if commitlog_keep_last is not None:
+                    # Commit-log retention (r18 VERDICT missing #5), the
+                    # explicit opt-in: bound the log to keep_last
+                    # entries, with two prefix-stable protections that
+                    # make the documented checkpoint-cadence interaction
+                    # safe by construction — (a) never drop at/after the
+                    # oldest configured rung/sketch pin + 1, so
+                    # cascade_is_current stays provable and no drain
+                    # triggers a truncation-blindness full-ladder
+                    # rebuild; (b) never drop entries younger than the
+                    # replay window (same evidence clamp as the marker
+                    # sweep: they back crash replay and reads pinned
+                    # moments ago).
+                    from mycenae_spark.maintenance import gc_commitlog
+
+                    pins = [
+                        p for p in (
+                            _read_marker_as_of(d)
+                            for d in rung_dirs + fines
+                        ) if p is not None
+                    ]
+                    mnt["commitlog"] = gc_commitlog(
+                        lake_dir,
+                        commitlog_keep_last,
+                        floor_seq=min(pins) + 1 if pins else None,
+                        min_age_s=evidence_age,
+                    )
             except Exception:
                 # a sweep failure must not MASK a retention refusal
                 # (r18 review pass 6) — the refusal is the actionable

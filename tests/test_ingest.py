@@ -2034,3 +2034,104 @@ def test_tsdb_bridge_foreign_writer_detection(spark, tmp_path):
     s7 = run()
     assert "foreign_writer" not in s7
     assert all(rollup_coverage_complete(d) for d in (r1m, kmv1m, qs1m))
+
+
+def test_tsdb_bridge_commitlog_retention(spark, tmp_path):
+    """Commit-log retention wired into the bridge GC tail (r18 VERDICT
+    "what's missing" #5), behind the explicit ``commitlog_keep_last``
+    opt-in: old entries truncate, but the two prefix-stable protections
+    hold — entries at/after the oldest rung pin survive (currency stays
+    PROVABLE: cascade_is_current keeps answering True, no
+    truncation-blindness ladder rebuild every drain) and entries inside
+    the replay window survive.  A same-checkpoint replay after the
+    truncation stays exactly-once.  The knob refuses without the GC
+    tail and refuses keep_last < 1."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from mycenae_spark.streaming import commitlog
+    from mycenae_spark.streaming.assimilate import write_day_files
+    from mycenae_spark.streaming.rollup import (
+        _read_marker_as_of,
+        cascade_is_current,
+    )
+    from mycenae_spark.streaming.tsdb_bridge import run_tsdb_bridge
+
+    BASE = 1704067200000
+    HOUR = 3_600_000
+    lake, cat = str(tmp_path / "lake"), str(tmp_path / "cat")
+    r1m, r1h = str(tmp_path / "r1m"), str(tmp_path / "r1h")
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+
+    def day_rows(d):
+        return [
+            _json.dumps({
+                "metric": "clr.m", "tags": {"ksid": "k1", "host": "h0"},
+                "timestamp": BASE + d * 24 * HOUR + h * HOUR,
+                "value": float(d * 24 + h),
+            })
+            for h in range(3)
+        ]
+
+    def run(**kw):
+        return run_tsdb_bridge(
+            spark, src, lake, cat, ckpt,
+            rollup_dir=r1m, ladder={HOUR: r1h},
+            max_files_per_trigger=1, **kw,
+        )
+
+    with pytest.raises(ValueError, match="without maintenance_max_age_s"):
+        run(commitlog_keep_last=5)
+    with pytest.raises(ValueError, match="must be >= 1"):
+        run(commitlog_keep_last=0, maintenance_max_age_s=0.0)
+
+    days = [(f"d{d}.jsonl", day_rows(d)) for d in range(4)]
+    write_day_files(src, days)
+    s1 = run()
+    assert s1["batches"] == 4
+    n_entries = len(commitlog.entries(lake))
+    assert n_entries >= 4
+    pin = _read_marker_as_of(r1h)
+
+    # age the log files past the (tiny) replay clamp we'll use, but keep
+    # one young entry to prove the age protection
+    names = sorted(_os.listdir(_os.path.join(lake, "_commitlog")))
+    old = _time.time() - 3600
+    for n in names:
+        p = _os.path.join(lake, "_commitlog", n)
+        if _os.path.isfile(p):
+            _os.utime(p, (old, old))
+
+    # keep_last=1 would drop everything but the head — the pin floor
+    # must stop the cut at min(pin)+1 so currency stays provable
+    write_day_files(src, days + [("d4.jsonl", day_rows(4))])
+    s2 = run(commitlog_keep_last=1, maintenance_max_age_s=60.0,
+             maintenance_floor_s=60.0)
+    assert s2["batches"] == 1
+    removed = s2["maintenance"]["commitlog"]
+    assert removed > 0  # pre-pin entries truncated
+    pin2 = _read_marker_as_of(r1h)  # the drain re-pinned at its head
+    assert pin2 >= pin
+    floor = commitlog.oldest_seq(lake)
+    assert floor is not None and floor <= pin2 + 1  # pin protection held
+    assert cascade_is_current(lake, r1h)  # provable, not blind-stale
+    before = spark.read.parquet(lake).count()
+
+    # same-checkpoint replay after truncation: exactly-once end to end
+    s3 = run(commitlog_keep_last=1, maintenance_max_age_s=60.0,
+             maintenance_floor_s=60.0)
+    assert s3["batches"] == 0
+    assert spark.read.parquet(lake).count() == before
+    assert cascade_is_current(lake, r1h)
+
+    # replay-window protection: young entries survive keep_last=1
+    n_after = len(commitlog.entries(lake))
+    write_day_files(src, days + [("d4.jsonl", day_rows(4)),
+                                 ("d5.jsonl", day_rows(5))])
+    s4 = run(commitlog_keep_last=1, maintenance_max_age_s=3600.0)
+    assert s4["batches"] == 1
+    # nothing young was dropped: the log grew by this drain's commits
+    assert len(commitlog.entries(lake)) > n_after
+    assert s4["maintenance"]["commitlog"] == 0
+    assert cascade_is_current(lake, r1h)
