@@ -122,6 +122,10 @@ HEADLINE = [
     "window_zscore",
     "window_holtwinters",
     # round 9
+    # dedup_exact_substr (r19): the pairless ExactSubstr form — distinct
+    # plan family from the pair pipeline (hash-agg + join-back + per-doc
+    # window; no postings self-join), so it times separately.
+    "dedup_exact_substr",
     # dedup_span_exact: demoted r14 — strict plan-prefix of
     # dedup_span_excise (postings → islands subtree; excise adds the
     # position-union accounting on top), so the suite was timing the

@@ -342,6 +342,60 @@ def dedup_span_excise(spark, sf_dir):
     )
 
 
+@q(
+    "dedup_exact_substr",
+    """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+grams AS (
+  SELECT doc_id, i AS pos,
+         substr(md5(array_to_string(ts[i+1:i+16], ' ')), 1, 16) AS gk
+  FROM toks, unnest(generate_series(0, len(ts) - 16)) AS g(i)
+  WHERE len(ts) >= 16
+),
+dup AS (SELECT gk FROM grams GROUP BY gk HAVING count(*) >= 2),
+p AS (SELECT doc_id, pos FROM grams JOIN dup USING (gk)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   > 16
+              THEN 1 ELSE 0 END AS brk
+  FROM p
+),
+grp AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+  FROM isl
+)
+SELECT doc_id, min(pos)::BIGINT AS start_tok,
+       (max(pos) - min(pos) + 16)::BIGINT AS len_toks
+FROM grp GROUP BY doc_id, g
+""",
+)
+def dedup_exact_substr(spark, sf_dir):
+    """ExactSubstr dedup — the SUFFIX-ARRAY semantics of Lee et al.
+    arXiv:2107.06499 §4.1 (their released deduplicate-text-datasets
+    tool), the r18 VERDICT missing-#6 evaluation resolved as ADD: a
+    token position is duplicated mass iff some 16-token window
+    containing it occurs ≥ 2 times in the corpus — ALL occurrences
+    report (every copy, the tool's behavior), within-document repeats
+    count, and there is NO df ceiling, so boilerplate repeated in more
+    documents than ``dedup_span_exact``'s max_df=20 valve allows — its
+    highest-value target — is visible here and invisible there.  The
+    pairless form is what makes the ceiling unnecessary: window-key
+    hash agg → keyed join-back → per-document interval merge; no
+    postings self-join, so the d² fanout that forced the valve never
+    exists (full algorithm + the suffix-array equivalence proof:
+    ``duplicated_substring_spans``).  Output: one row per MAXIMAL
+    duplicated interval, 0-based token offsets, all-integer —
+    cross-engine determinism is structural; the md5 window key is the
+    ``kmv_hash`` convention, identical in both engines."""
+    from mycenae_spark.functions.dedup import duplicated_substring_spans
+
+    return duplicated_substring_spans(
+        t(spark, sf_dir, "documents"), "doc_id", "text", L=16
+    )
+
+
 # ----------------------------------------------------------------- simhash
 
 def _simhash_sql(bits: int = 32) -> str:

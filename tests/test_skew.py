@@ -620,3 +620,55 @@ def test_connected_components_converges_or_raises(spark):
         for r in connected_components(path).collect()
     }
     assert fast == labels
+
+
+def test_duplicated_substring_spans_exactsubstr_semantics(spark):
+    """dedup_exact_substr's kernel on a constructed corpus, pinning the
+    three behaviors the df-capped pair pipeline cannot express (the r18
+    VERDICT missing-#6 evaluation, resolved as ADD):
+
+    * NO df ceiling — a 16-token passage repeated in 30 documents (df
+      far above repeated_span_pairs' max_df=20 valve) reports in EVERY
+      copy, because the pairless form never pays the d² join the valve
+      exists to bound;
+    * ALL occurrences report (the released tool's semantics) — both
+      copies of a passage shared by two docs, not just keep-first's
+      doc_b side;
+    * WITHIN-document repeats count toward df and report;
+
+    plus interval MERGE maximality: overlapping duplicated windows
+    coalesce into one maximal span with exact 0-based coordinates."""
+    from mycenae_spark.functions.dedup import duplicated_substring_spans
+
+    boiler = [f"h{i}" for i in range(16)]          # 16-token boilerplate
+    passage = [f"p{i}" for i in range(24)]          # 24-token shared run
+    rows = (
+        # 30 docs carrying the boilerplate at pos 1 (df=30 > any cap)
+        [(i, " ".join([f"u{i}", *boiler, f"v{i}"])) for i in range(30)]
+        # two docs sharing the 24-token passage at pos 2 (both report)
+        + [(100, " ".join(["x0", "x1", *passage, "x2"])),
+           (101, " ".join(["y0", "y1", *passage, "y2"]))]
+        # one doc repeating ITS OWN 16-token run at pos 1 and pos 20
+        + [(200, " ".join(["q0", *boilerplate_free(), "q1", "q2",
+                           *boilerplate_free(), "q3"]))]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        tuple(r)
+        for r in duplicated_substring_spans(docs, "doc_id", "text", L=16)
+        .collect()
+    )
+    # 30 boilerplate copies, one span each at [1, 17)
+    assert [(i, 1, 16) for i in range(30)] == got[:30]
+    # the shared 24-token passage: overlapping duplicated 16-windows at
+    # pos 2..10 merge to ONE maximal span of 24 tokens, in BOTH docs
+    assert (100, 2, 24) in got and (101, 2, 24) in got
+    # the within-document repeat reports at both of its positions
+    d200 = [g for g in got if g[0] == 200]
+    assert d200 == [(200, 1, 16), (200, 19, 16)]
+    assert len(got) == 34
+
+
+def boilerplate_free():
+    """16 tokens distinct from the other fixtures (within-doc repeat)."""
+    return [f"s{i}" for i in range(16)]
