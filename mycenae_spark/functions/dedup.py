@@ -381,27 +381,45 @@ def repeated_span_pairs(
     return spans
 
 
-def _span_postings(
-    df: DataFrame, id_col: str, text_col: str, k: int, max_df: int
+def _positioned_windows(
+    df: DataFrame, id_col: str, text_col: str, k: int, key_fn
 ) -> DataFrame:
-    """Positioned k-gram postings with the (2 ≤ df ≤ max_df) cut — the
-    shared front half of every span operator (within-corpus pairs,
-    excision, cross-set decontamination)."""
+    """Positioned k-token windows ``(id, pos, wkey)`` — THE one copy of
+    the window construction shared by the pair pipeline
+    (``_span_postings``: raw window text as the join key) and the
+    pairless ExactSubstr form (``duplicated_substring_spans``: full md5
+    of the window).  ``key_fn`` maps the space-joined window text
+    Column to the key Column."""
     docs = df.select(
         id_col, tokens(text_col).alias("_ts")
     ).filter(F.size("_ts") >= k)
-    grams = docs.select(
+    return docs.select(
         id_col,
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.size("_ts") - k),
                 lambda i: F.struct(
                     i.cast("long").alias("pos"),
-                    F.concat_ws(" ", F.slice("_ts", i + 1, k)).alias("gram"),
+                    key_fn(
+                        F.concat_ws(" ", F.slice("_ts", i + 1, k))
+                    ).alias("wkey"),
                 ),
             )
         ).alias("_pg"),
-    ).select(id_col, F.col("_pg.pos").alias("pos"), F.col("_pg.gram").alias("gram"))
+    ).select(
+        id_col, F.col("_pg.pos").alias("pos"), F.col("_pg.wkey").alias("wkey")
+    )
+
+
+def _span_postings(
+    df: DataFrame, id_col: str, text_col: str, k: int, max_df: int
+) -> DataFrame:
+    """Positioned k-gram postings with the (2 ≤ df ≤ max_df) cut — the
+    shared front half of every span operator (within-corpus pairs,
+    excision, cross-set decontamination)."""
+    grams = _positioned_windows(
+        df, id_col, text_col, k, lambda w: w
+    ).withColumnRenamed("wkey", "gram")
     # one aggregation serves both cuts: df < 2 never repeats, df > cap is
     # a stop-passage (join fanout valve); the kept list is the Zipf
     # middle — bounded per corpus, joined on the gram key
@@ -567,10 +585,12 @@ def duplicated_substring_spans(
 
     1. positioned L-token windows, one corpus scan (same shape as the
        shingle stage every span operator already pays);
-    2. per-window 64-bit md5-prefix key → one hash aggregation for the
-       occurrence count (vocab-bounded by Zipf; 16-byte keys shuffle,
+    2. per-window FULL 128-bit md5 key → one hash aggregation for the
+       occurrence count (vocab-bounded by Zipf; 32-byte keys shuffle,
        never the window text — the deterministic-hash convention of
-       ``kmv_hash``, identical in any engine);
+       ``kmv_hash``, identical in any engine; 128 bits keep birthday
+       collisions negligible even at 10^13 windows, where a truncated
+       64-bit key would start minting FALSE duplicated spans);
     3. keyed join-back of the duplicated keys onto positions;
     4. per-document interval merge of the covering windows
        [pos, pos+L−1] — gaps-and-islands with a new island when the
@@ -584,24 +604,9 @@ def duplicated_substring_spans(
     reports are the deliverable."""
     from pyspark.sql import Window
 
-    docs = df.select(
-        id_col, tokens(text_col).alias("_ts")
-    ).filter(F.size("_ts") >= L)
-    grams = docs.select(
-        id_col,
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("_ts") - L),
-                lambda i: F.struct(
-                    i.cast("long").alias("pos"),
-                    F.substring(
-                        F.md5(F.concat_ws(" ", F.slice("_ts", i + 1, L))),
-                        1, 16,
-                    ).alias("gk"),
-                ),
-            )
-        ).alias("_pg"),
-    ).select(id_col, F.col("_pg.pos").alias("pos"), F.col("_pg.gk").alias("gk"))
+    grams = _positioned_windows(
+        df, id_col, text_col, L, F.md5
+    ).withColumnRenamed("wkey", "gk")
     dup = (
         grams.groupBy("gk")
         .agg(F.count(F.lit(1)).alias("_n"))

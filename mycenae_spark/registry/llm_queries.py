@@ -348,7 +348,7 @@ def dedup_span_excise(spark, sf_dir):
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
 grams AS (
   SELECT doc_id, i AS pos,
-         substr(md5(array_to_string(ts[i+1:i+16], ' ')), 1, 16) AS gk
+         md5(array_to_string(ts[i+1:i+16], ' ')) AS gk
   FROM toks, unnest(generate_series(0, len(ts) - 16)) AS g(i)
   WHERE len(ts) >= 16
 ),
@@ -387,8 +387,9 @@ def dedup_exact_substr(spark, sf_dir):
     exists (full algorithm + the suffix-array equivalence proof:
     ``duplicated_substring_spans``).  Output: one row per MAXIMAL
     duplicated interval, 0-based token offsets, all-integer —
-    cross-engine determinism is structural; the md5 window key is the
-    ``kmv_hash`` convention, identical in both engines."""
+    cross-engine determinism is structural; the full-128-bit md5
+    window key is identical in both engines (no truncation — a 64-bit
+    prefix would mint false duplicates at 10^13-window scale)."""
     from mycenae_spark.functions.dedup import duplicated_substring_spans
 
     return duplicated_substring_spans(

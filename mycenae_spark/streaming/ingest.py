@@ -343,10 +343,19 @@ def write_points_batch(
                     # coverage instead of re-pinning it at the head.
                     # Entries predating this field read as None — the
                     # conservative "can't prove coverage" verdict.
+                    # ``roots`` pins WHERE each section landed: a writer
+                    # maintaining a DIFFERENT rollup/sketch directory is
+                    # just as foreign to this bridge's fine lakes as one
+                    # maintaining none (r19 review).
                     "sections": [
                         s for s in ("points", "rollup", "kmv", "qsample")
                         if manifest.get(s)
                     ],
+                    "roots": {
+                        s: manifest.get("roots", {}).get(s)
+                        for s in ("rollup", "kmv", "qsample")
+                        if manifest.get(s)
+                    },
                 },
             )
         manifest["seq"] = seq

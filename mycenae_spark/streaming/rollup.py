@@ -1661,9 +1661,10 @@ def read_qsample_percentile(
     n_sample, value) — the Engine joins series tags from the catalog and
     lowers this onto the planner as a points-shaped frame
     (``server.Engine._qsample_points``).  Pruned-lake reads follow
-    :func:`guard_sketch_retention` — the Engine serves this verb over
-    FINE lakes behind its own per-query guard and passes
-    ``clamp_to_retention=True``."""
+    :func:`guard_sketch_retention` — the Engine only ever points this
+    verb at qsample RUNGS (full history, no retention marker, guard a
+    no-op); a pruned fine dir configured AS a rung refuses here and the
+    Engine degrades to the always-correct raw-point path."""
     series_cols = series_cols or ["ksid", "tsid"]
     bound = guard_sketch_retention(
         qs_dir, start_ms, clamp_to_retention, "read_qsample_percentile"

@@ -58,30 +58,38 @@ log = logging.getLogger(__name__)
 
 
 def foreign_sketchless_appends(
-    lake_dir: str, since_by_family: dict[str, int]
+    lake_dir: str,
+    since_by_family: dict[str, int],
+    roots_by_family: dict[str, str] | None = None,
 ) -> dict[str, list[int]]:
     """Foreign-writer detection (r18 VERDICT "what's missing" #3): for
     each sketch family, the seqs of ``points-append`` commits AFTER the
     family's heal horizon that landed points WITHOUT the family's 2PC
-    section — a writer that isn't maintaining this fine lake
-    (``start_ingest`` without the dir, the HTTP engine's ``put``), whose
-    points the sketch partials therefore don't represent.  Re-pinning
-    the fine marker at the head past such a commit would claim coverage
-    the lake doesn't have; the bridge demotes instead.
+    section — or with the section aimed at a DIFFERENT directory (r19
+    review: a writer maintaining its own rollup dir is just as foreign
+    to THIS bridge's fine lake as one maintaining none).  Those points
+    are not represented in the family's fine lake; re-pinning its
+    marker at the head past such a commit would claim coverage the
+    lake doesn't have, so the bridge demotes instead.
 
     ``since_by_family`` maps family → the seq at/below which the family
     is provably healed: the fine marker's ``as_of_seq`` pin for the
-    sketch families (their backfills re-pin), 0 for the algebraic
-    rollup family (its heal event is the ``rollup-backfill`` log entry,
-    recognized here — a backfill rebuilds from the full point snapshot,
-    absolving every earlier offender).  Entries predating the
-    ``sections`` field read as offenders — "can't prove" is the
-    conservative verdict; one backfill per family clears an upgraded
-    lake."""
+    sketch families (their backfills re-pin), the bridge's persisted
+    check cursor for the algebraic rollup family.  The scan reads only
+    the log TAIL past the smallest horizon — the ``cascade_is_current``
+    discipline, never O(whole log) per batch.  A ``rollup-backfill``
+    entry in the tail absolves earlier rollup offenders (the backfill
+    rebuilt from the full point snapshot).  Entries predating the
+    ``sections``/``roots`` fields read as offenders — "can't prove" is
+    the conservative verdict (the bridge's cursor bootstrap keeps that
+    from sweeping pre-upgrade history; see ``run_tsdb_bridge``)."""
+    import os as _os
+
     from mycenae_spark.streaming import commitlog
 
     out: dict[str, list[int]] = {fam: [] for fam in since_by_family}
-    for seq, ent in commitlog.entries(lake_dir):
+    floor = min(since_by_family.values(), default=0)
+    for seq, ent in commitlog.entries(lake_dir, since=floor):
         kind = ent.get("kind")
         if kind == "rollup-backfill" and "rollup" in out:
             out["rollup"] = []  # rebuilt from the full snapshot
@@ -89,12 +97,55 @@ def foreign_sketchless_appends(
         if kind != "points-append":
             continue
         secs = ent.get("sections")
+        roots = ent.get("roots") or {}
         for fam, since in since_by_family.items():
             if seq <= since:
                 continue
-            if secs is None or ("points" in secs and fam not in secs):
+            if secs is None:
                 out[fam].append(seq)
+                continue
+            if "points" not in secs:
+                continue  # empty/catalog-only batch: no coverage gap
+            if fam not in secs:
+                out[fam].append(seq)
+                continue
+            want = (roots_by_family or {}).get(fam)
+            if want is not None:
+                got = roots.get(fam)
+                if got is None or (
+                    _os.path.realpath(got) != _os.path.realpath(want)
+                ):
+                    out[fam].append(seq)
     return {fam: seqs for fam, seqs in out.items() if seqs}
+
+
+#: Sidecar in the fine rollup dir persisting the foreign-writer check
+#: cursor: entries at/below it were already verified (or demoted-and-
+#: recorded) by a previous advance, so every scan is tail-only.
+_FOREIGN_CURSOR = "_foreign_check"
+
+
+def _read_foreign_cursor(rollup_dir: str) -> int | None:
+    import json
+
+    try:
+        with open(os.path.join(rollup_dir, _FOREIGN_CURSOR)) as f:
+            return int(json.load(f)["seq"])
+    except (OSError, ValueError, KeyError):
+        return None
+
+
+def _write_foreign_cursor(rollup_dir: str, seq: int) -> None:
+    import json
+
+    os.makedirs(rollup_dir, exist_ok=True)
+    path = os.path.join(rollup_dir, _FOREIGN_CURSOR)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"seq": int(seq)}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, path)
 
 
 def run_tsdb_bridge(
@@ -276,12 +327,35 @@ def run_tsdb_bridge(
             # last advance is caught before the NEXT pin — and until
             # then the old pin stands, so the stale-rung currency check
             # already keeps it out of routing.
-            sinces = {"rollup": 0}
+            cursor = _read_foreign_cursor(rollup_dir)
+            if cursor is None:
+                # Bootstrap (r19 review): a lake whose OLDEST log entry
+                # predates the sections field is a pre-upgrade lake —
+                # sweeping its whole history would demote every rung on
+                # the first post-upgrade drain for commits this bridge
+                # itself made with older code.  Enforcement is
+                # forward-looking there (trust-once, loudly); a lake
+                # whose log begins with sectioned entries (fresh, or
+                # truncated into the post-upgrade era) checks from 0.
+                first = commitlog.entries(lake_dir)[:1]
+                if first and first[0][1].get("sections") is None:
+                    cursor = commitlog.latest_seq(lake_dir)
+                    log.info(
+                        "foreign-writer check bootstrapped at seq %s: "
+                        "the commit log predates section recording, so "
+                        "enforcement starts with this drain",
+                        cursor,
+                    )
+                else:
+                    cursor = 0
+            sinces = {"rollup": cursor}
+            roots = {"rollup": rollup_dir}
             for fam, fine in (("kmv", kmv_fine_dir),
                               ("qsample", qsample_fine_dir)):
                 if fine is not None:
                     sinces[fam] = _read_marker_as_of(fine) or 0
-            foreign = foreign_sketchless_appends(lake_dir, sinces)
+                    roots[fam] = fine
+            foreign = foreign_sketchless_appends(lake_dir, sinces, roots)
             if foreign:
                 merged = stats.setdefault("foreign_writer", {})
                 for fam, seqs in foreign.items():
@@ -294,6 +368,9 @@ def run_tsdb_bridge(
                 )
             if "rollup" in foreign:
                 mark_rollup_coverage(rollup_dir, False)
+            # cursor forward regardless of verdict: detect-once, demote
+            # durably — the same discipline as the sketch pins below
+            _write_foreign_cursor(rollup_dir, head)
             for fam, fine in (("kmv", kmv_fine_dir),
                               ("qsample", qsample_fine_dir)):
                 if fine is not None:
