@@ -787,6 +787,7 @@ class Engine:
             cascade_is_current,
             read_rollup_series,
             rollup_coverage_complete,
+            SketchRetentionError,
         )
 
         try:
@@ -820,6 +821,20 @@ class Engine:
                         cached = (
                             pin, read_rollup_series(self.spark, rung_dir)
                         )
+                    except SketchRetentionError as exc:
+                        # PERMANENT misconfiguration, not a race: a
+                        # pruned fine dir is in the ladder map as a
+                        # rung.  Fall through (the fine/raw path stays
+                        # correct) but name the real remedy instead of
+                        # spamming a misleading swap-race traceback per
+                        # request (r19 review).
+                        logger.warning(
+                            "ladder rung %s is a pruned fine lake — "
+                            "remove it from the ladder map or backfill "
+                            "it; serving a finer path (%s)",
+                            rung_dir, exc,
+                        )
+                        continue
                     except Exception:
                         # refresh_ladder's atomic swap can race the FRAME
                         # BUILD (read_rollup_series lists + collects over
@@ -862,6 +877,7 @@ class Engine:
         from mycenae_spark.streaming.rollup import (
             cascade_is_current,
             rollup_coverage_complete,
+            SketchRetentionError,
         )
 
         parts = q.downsample.split("-")
@@ -895,6 +911,17 @@ class Engine:
                     continue
                 try:
                     qpts = self._qsample_points(rung_dir, pct, interval_ms)
+                except SketchRetentionError as exc:
+                    # permanent misconfiguration (pruned fine dir in the
+                    # qsample ladder), not a race — same contract as the
+                    # algebraic rung handler above (r19 review)
+                    logger.warning(
+                        "qsample rung %s is a pruned fine lake — remove "
+                        "it from the ladder map or backfill it; serving "
+                        "a finer path (%s)",
+                        rung_dir, exc,
+                    )
+                    continue
                 except Exception:
                     logger.warning(
                         "qsample frame build raced a swap for %s; "

@@ -95,6 +95,18 @@ def entries(lake_dir: str, since: int = 0) -> list[tuple[int, dict]]:
     return sorted(out)
 
 
+def entry(lake_dir: str, seq: int) -> dict | None:
+    """The payload of ONE committed entry, or None if absent/truncated —
+    a single file read, for callers (e.g. the bridge's foreign-check
+    bootstrap) that must inspect one entry without ``entries()``'s
+    parse of the whole log."""
+    try:
+        with open(os.path.join(_log_dir(lake_dir), f"{seq:020d}.json")) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
 def append(
     lake_dir: str, payload: dict, expected_head: int | None = None
 ) -> int:

@@ -241,6 +241,15 @@ def sketch_retention_info(sketch_dir: str) -> dict:
     }
 
 
+class SketchRetentionError(ValueError):
+    """A read verb refused a pruned-lake read below its retention
+    horizon (``guard_sketch_retention``).  A ValueError subclass so
+    every existing typed-400 / refusal path is unchanged; its own type
+    so routing code can tell this PERMANENT state (a pruned fine dir
+    misconfigured as a rung) from a transient swap race instead of
+    logging a misleading per-request race warning (r19 review)."""
+
+
 def guard_sketch_retention(
     sketch_dir: str,
     start_ms: int | None = None,
@@ -272,7 +281,7 @@ def guard_sketch_retention(
         return int(start_ms)
     if clamp:
         return retained
-    raise ValueError(
+    raise SketchRetentionError(
         f"{what}: {sketch_dir!r} was pruned below its retention "
         f"horizon ({retained} ms) — fine partials before that point "
         "were aged out after a coarser rung took over the span, so an "

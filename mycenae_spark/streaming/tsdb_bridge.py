@@ -337,9 +337,13 @@ def run_tsdb_bridge(
                 # forward-looking there (trust-once, loudly); a lake
                 # whose log begins with sectioned entries (fresh, or
                 # truncated into the post-upgrade era) checks from 0.
-                first = commitlog.entries(lake_dir)[:1]
-                if first and first[0][1].get("sections") is None:
-                    cursor = commitlog.latest_seq(lake_dir)
+                oldest = commitlog.oldest_seq(lake_dir)
+                first = (
+                    commitlog.entry(lake_dir, oldest)
+                    if oldest is not None else None
+                )
+                if first is not None and first.get("sections") is None:
+                    cursor = head
                     log.info(
                         "foreign-writer check bootstrapped at seq %s: "
                         "the commit log predates section recording, so "

@@ -648,7 +648,7 @@ def test_duplicated_substring_spans_exactsubstr_semantics(spark):
         # two docs sharing the 24-token passage at pos 2 (both report)
         + [(100, " ".join(["x0", "x1", *passage, "x2"])),
            (101, " ".join(["y0", "y1", *passage, "y2"]))]
-        # one doc repeating ITS OWN 16-token run at pos 1 and pos 20
+        # one doc repeating ITS OWN 16-token run at pos 1 and pos 19
         + [(200, " ".join(["q0", *boilerplate_free(), "q1", "q2",
                            *boilerplate_free(), "q3"]))]
     )
