@@ -255,6 +255,7 @@ def guard_sketch_retention(
     start_ms: int | None = None,
     clamp: bool = False,
     what: str = "sketch read",
+    interval_ms: int | None = None,
 ) -> int:
     """The LIBRARY-seam retention check (r18 VERDICT "what's missing"
     #1): the Engine refuses fine-grain pre-horizon queries, but the
@@ -273,22 +274,40 @@ def guard_sketch_retention(
     either declare ``start_ms`` at/after the horizon (the read is then
     provably inside the retained span) or opt into ``clamp`` — the
     explicit acknowledgement that pre-horizon buckets are served by the
-    coarser rungs, not this lake; anything else refuses loudly."""
+    coarser rungs, not this lake; anything else refuses loudly.
+
+    With ``interval_ms`` (a read that RE-BUCKETS to a coarser grid),
+    the bound must land on that grid: a coarse bucket straddling it
+    would merge only the post-bound fraction of its span — a silently
+    WRONG value, worse than the omission the guard exists to prevent
+    (r19 review).  Misalignment refuses with the remedy."""
     retained = sketch_retained_from(sketch_dir)
+    bound = 0
     if not retained:
-        return int(start_ms or 0)
-    if start_ms is not None and start_ms >= retained:
-        return int(start_ms)
-    if clamp:
-        return retained
-    raise SketchRetentionError(
-        f"{what}: {sketch_dir!r} was pruned below its retention "
-        f"horizon ({retained} ms) — fine partials before that point "
-        "were aged out after a coarser rung took over the span, so an "
-        "unbounded read would silently under-read; read a rung for "
-        "pre-horizon history, pass start_ms at/after the horizon, or "
-        "pass clamp_to_retention=True to serve the retained span only"
-    )
+        bound = int(start_ms or 0)
+    elif start_ms is not None and start_ms >= retained:
+        bound = int(start_ms)
+    elif clamp:
+        bound = retained
+    else:
+        raise SketchRetentionError(
+            f"{what}: {sketch_dir!r} was pruned below its retention "
+            f"horizon ({retained} ms) — fine partials before that point "
+            "were aged out after a coarser rung took over the span, so an "
+            "unbounded read would silently under-read; read a rung for "
+            "pre-horizon history, pass start_ms at/after the horizon, or "
+            "pass clamp_to_retention=True to serve the retained span only"
+        )
+    if bound and interval_ms and bound % interval_ms:
+        raise SketchRetentionError(
+            f"{what}: the read's lower bound ({bound} ms) does not land "
+            f"on the requested {interval_ms} ms bucket grid — the "
+            "straddling coarse bucket would merge only its post-bound "
+            "fraction (a wrong value, not an omitted bucket); align "
+            "start_ms to the interval, choose a dividing interval, or "
+            "read the stored grid and re-bucket after filtering"
+        )
+    return bound
 
 
 def _apply_retention_bound(df: DataFrame, lo: int) -> DataFrame:
@@ -539,7 +558,11 @@ def backfill_rollup(
     new_files = snap._list_data_files(tmp)
     seq = commitlog.append(
         lake_dir,
-        {"kind": "rollup-backfill", "as_of": as_of, "files": new_files},
+        # ``root`` pins WHICH rollup dir was rebuilt: the bridge's
+        # foreign-offender absolution must not credit a rebuild of a
+        # DIFFERENT directory (r19 review)
+        {"kind": "rollup-backfill", "as_of": as_of, "files": new_files,
+         "root": rollup_dir},
     )
     salvaged = 0
     if os.path.isdir(rollup_dir):
@@ -564,11 +587,45 @@ def backfill_rollup(
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             shutil.move(src, dst)
             salvaged += 1
+        _carry_retained(old, rollup_dir)
         shutil.rmtree(old)
     else:
         os.rename(tmp, rollup_dir)
     mark_rollup_coverage(rollup_dir, True)
     return {"as_of": as_of, "seq": seq, "salvaged": salvaged}
+
+
+def _carry_retained(old_dir: str, new_dir: str) -> None:
+    """Carry the superseded generation's ``_retained/`` area into the new
+    generation before the old dir is deleted (r19: a SECOND backfill's
+    old generation CONTAINS the first's grace area — ``_list_data_files``
+    skips underscore dirs, so without this the rmtree silently destroys
+    every older retained generation, stranding snapshot readers pinned
+    before them and permanently un-settling the original batches'
+    manifests, which hard-fails every later cascade's torn-move guard).
+    Age-based reclamation stays ``maintenance.gc_retained``'s job."""
+    import shutil as _shutil
+
+    old_ret = os.path.join(old_dir, "_retained")
+    if not os.path.isdir(old_ret):
+        return
+    dst_root = os.path.join(new_dir, "_retained")
+    os.makedirs(dst_root, exist_ok=True)
+    for seq_dir in os.listdir(old_ret):
+        src = os.path.join(old_ret, seq_dir)
+        dst = os.path.join(dst_root, seq_dir)
+        if not os.path.isdir(dst):
+            _shutil.move(src, dst)
+            continue
+        # same retain seq on both sides (a crash-rerun backfill): merge
+        # file-by-file, first copy wins (identical content by seq)
+        for dirpath, _dirs, files in os.walk(src):
+            rel = os.path.relpath(dirpath, src)
+            for f in files:
+                d = os.path.join(dst, rel, f)
+                if not os.path.exists(d):
+                    os.makedirs(os.path.dirname(d), exist_ok=True)
+                    _shutil.move(os.path.join(dirpath, f), d)
 
 
 def _carry_pruned_span(
@@ -1059,7 +1116,8 @@ def read_rollup(
         )
     series_cols = series_cols or ["ksid", "tsid"]
     lo = guard_sketch_retention(
-        rollup_dir, start_ms, clamp_to_retention, "read_rollup"
+        rollup_dir, start_ms, clamp_to_retention, "read_rollup",
+        interval_ms=interval_ms,
     )
     df = _apply_retention_bound(spark.read.parquet(rollup_dir), lo)
     if interval_ms is not None:
@@ -1096,7 +1154,8 @@ def read_rollup_percentile(
     """
     series_cols = series_cols or ["ksid", "tsid"]
     lo_b = guard_sketch_retention(
-        rollup_dir, start_ms, clamp_to_retention, "read_rollup_percentile"
+        rollup_dir, start_ms, clamp_to_retention, "read_rollup_percentile",
+        interval_ms=interval_ms,
     )
     df = _apply_retention_bound(spark.read.parquet(rollup_dir), lo_b)
     if "p_hist" not in df.columns:
@@ -1354,7 +1413,8 @@ def read_kmv_distinct(
     follow :func:`guard_sketch_retention`."""
     series_cols = series_cols or ["ksid", "tsid"]
     lo = guard_sketch_retention(
-        kmv_dir, start_ms, clamp_to_retention, "read_kmv_distinct"
+        kmv_dir, start_ms, clamp_to_retention, "read_kmv_distinct",
+        interval_ms=interval_ms,
     )
     df = _apply_retention_bound(spark.read.parquet(kmv_dir), lo)
     if interval_ms is not None:
@@ -1402,6 +1462,10 @@ def _swap_in(tmp: str, dst: str) -> None:
                 os.rename(old, dst)
             shutil.rmtree(tmp, ignore_errors=True)
             raise
+        # the old generation may hold prior generations' _retained grace
+        # areas (sketch prunes, earlier rebuilds) — carry them, same as
+        # backfill_rollup's swap (r19)
+        _carry_retained(old, dst)
         shutil.rmtree(old, ignore_errors=True)
     else:
         os.rename(tmp, dst)
@@ -1629,7 +1693,8 @@ def read_qsample_quantile(
     follow :func:`guard_sketch_retention`."""
     series_cols = series_cols or ["ksid", "tsid"]
     lo = guard_sketch_retention(
-        qs_dir, start_ms, clamp_to_retention, "read_qsample_quantile"
+        qs_dir, start_ms, clamp_to_retention, "read_qsample_quantile",
+        interval_ms=interval_ms,
     )
     df = _apply_retention_bound(spark.read.parquet(qs_dir), lo)
     if interval_ms is not None:
@@ -1676,7 +1741,8 @@ def read_qsample_percentile(
     Engine degrades to the always-correct raw-point path."""
     series_cols = series_cols or ["ksid", "tsid"]
     bound = guard_sketch_retention(
-        qs_dir, start_ms, clamp_to_retention, "read_qsample_percentile"
+        qs_dir, start_ms, clamp_to_retention, "read_qsample_percentile",
+        interval_ms=interval_ms,
     )
     df = _apply_retention_bound(spark.read.parquet(qs_dir), bound)
     if interval_ms is not None:

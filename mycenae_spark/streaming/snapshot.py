@@ -130,9 +130,21 @@ def _appends_settled(
             manifest = _batch_manifest(lake_dir, payload["batch_id"])
         except NoBaseline:
             continue  # marker GC'd: its moves finished long ago
+        man_roots = manifest.get("roots", {})
         for section in SECTIONS:
             root = roots.get(section)
             if root is None:
+                continue
+            # a batch whose manifest roots this section at a DIFFERENT
+            # directory (a foreign writer maintaining its own fine lake
+            # — r19) will never settle files HERE; waiting for them
+            # would deadlock the settle guard.  Coverage honesty for
+            # that case is the bridge's foreign-writer detection, not
+            # this torn-move check.
+            man_root = man_roots.get(section)
+            if man_root is not None and (
+                os.path.realpath(man_root) != os.path.realpath(root)
+            ):
                 continue
             for rel in manifest.get(section, ()):
                 if not os.path.exists(os.path.join(root, rel)) and (

@@ -89,10 +89,19 @@ def foreign_sketchless_appends(
 
     out: dict[str, list[int]] = {fam: [] for fam in since_by_family}
     floor = min(since_by_family.values(), default=0)
+    want_rollup = (roots_by_family or {}).get("rollup")
     for seq, ent in commitlog.entries(lake_dir, since=floor):
         kind = ent.get("kind")
         if kind == "rollup-backfill" and "rollup" in out:
-            out["rollup"] = []  # rebuilt from the full snapshot
+            # absolution is ROOT-CHECKED (r19 review): a rebuild of a
+            # DIFFERENT rollup dir proves nothing about this one, and
+            # a pre-root backfill entry can't prove which it rebuilt
+            got = ent.get("root")
+            if want_rollup is None or (
+                got is not None
+                and _os.path.realpath(got) == _os.path.realpath(want_rollup)
+            ):
+                out["rollup"] = []  # rebuilt from the full snapshot
             continue
         if kind != "points-append":
             continue
@@ -119,30 +128,40 @@ def foreign_sketchless_appends(
     return {fam: seqs for fam, seqs in out.items() if seqs}
 
 
-#: Sidecar in the fine rollup dir persisting the foreign-writer check
-#: cursor: entries at/below it were already verified (or demoted-and-
-#: recorded) by a previous advance, so every scan is tail-only.
-_FOREIGN_CURSOR = "_foreign_check"
+def _foreign_cursor_path(lake_dir: str, rollup_dir: str) -> str:
+    """Sidecar persisting the foreign-writer check cursor: entries
+    at/below it were already verified (or demoted-and-recorded) by a
+    previous advance, so every scan is tail-only.  Lives in the LAKE
+    dir, keyed by the fine rollup dir's realpath — inside ``rollup_dir``
+    it would die with every ``backfill_rollup`` generation swap (r19
+    review), and two bridges maintaining different fine lakes over one
+    lake need distinct cursors."""
+    import hashlib
+
+    h = hashlib.md5(
+        os.path.realpath(rollup_dir).encode()
+    ).hexdigest()[:12]
+    return os.path.join(lake_dir, f"_foreign_check-{h}.json")
 
 
-def _read_foreign_cursor(rollup_dir: str) -> int | None:
+def _read_foreign_cursor(lake_dir: str, rollup_dir: str) -> int | None:
     import json
 
     try:
-        with open(os.path.join(rollup_dir, _FOREIGN_CURSOR)) as f:
+        with open(_foreign_cursor_path(lake_dir, rollup_dir)) as f:
             return int(json.load(f)["seq"])
     except (OSError, ValueError, KeyError):
         return None
 
 
-def _write_foreign_cursor(rollup_dir: str, seq: int) -> None:
+def _write_foreign_cursor(lake_dir: str, rollup_dir: str, seq: int) -> None:
     import json
 
-    os.makedirs(rollup_dir, exist_ok=True)
-    path = os.path.join(rollup_dir, _FOREIGN_CURSOR)
+    path = _foreign_cursor_path(lake_dir, rollup_dir)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
-        json.dump({"seq": int(seq)}, f)
+        json.dump({"seq": int(seq), "rollup_dir": rollup_dir}, f)
         f.flush()
         os.fsync(f.fileno())
     os.rename(tmp, path)
@@ -327,22 +346,31 @@ def run_tsdb_bridge(
             # last advance is caught before the NEXT pin — and until
             # then the old pin stands, so the stale-rung currency check
             # already keeps it out of routing.
-            cursor = _read_foreign_cursor(rollup_dir)
+            cursor = _read_foreign_cursor(lake_dir, rollup_dir)
             if cursor is None:
-                # Bootstrap (r19 review): a lake whose OLDEST log entry
-                # predates the sections field is a pre-upgrade lake —
-                # sweeping its whole history would demote every rung on
-                # the first post-upgrade drain for commits this bridge
-                # itself made with older code.  Enforcement is
-                # forward-looking there (trust-once, loudly); a lake
-                # whose log begins with sectioned entries (fresh, or
-                # truncated into the post-upgrade era) checks from 0.
-                oldest = commitlog.oldest_seq(lake_dir)
-                first = (
-                    commitlog.entry(lake_dir, oldest)
-                    if oldest is not None else None
+                # Bootstrap (r19 review, both passes): a lake whose
+                # oldest retained POINTS-APPEND predates the sections
+                # field is a pre-upgrade lake — sweeping its history
+                # would demote every rung on the first post-upgrade
+                # drain for commits this bridge itself made with older
+                # code, so enforcement is forward-looking there
+                # (trust-once, loudly).  The kind matters: the oldest
+                # entry of ANY kind (a checkpoint, a sketch-prune left
+                # by truncation) proves nothing about append provenance.
+                # A fresh lake, or one whose retained appends are all
+                # sectioned, checks from 0.  One O(log) scan, bootstrap
+                # only — the cursor makes every later scan tail-only.
+                first_append = next(
+                    (
+                        ent for _s, ent in commitlog.entries(lake_dir)
+                        if ent.get("kind") == "points-append"
+                    ),
+                    None,
                 )
-                if first is not None and first.get("sections") is None:
+                if (
+                    first_append is not None
+                    and first_append.get("sections") is None
+                ):
                     cursor = head
                     log.info(
                         "foreign-writer check bootstrapped at seq %s: "
@@ -374,7 +402,7 @@ def run_tsdb_bridge(
                 mark_rollup_coverage(rollup_dir, False)
             # cursor forward regardless of verdict: detect-once, demote
             # durably — the same discipline as the sketch pins below
-            _write_foreign_cursor(rollup_dir, head)
+            _write_foreign_cursor(lake_dir, rollup_dir, head)
             for fam, fine in (("kmv", kmv_fine_dir),
                               ("qsample", qsample_fine_dir)):
                 if fine is not None:

@@ -1879,6 +1879,14 @@ def test_sketch_read_verbs_guard_retention(spark, tmp_path):
     # start_ms BELOW the horizon still refuses (no silent clamp)
     with pytest.raises(ValueError, match="retention horizon"):
         read_rollup(spark, fine, start_ms=BASE)
+    # a coarse re-bucket whose grid the bound doesn't hit refuses: the
+    # straddling bucket would merge only its post-bound fraction — a
+    # WRONG value, not an omitted bucket
+    with pytest.raises(ValueError, match="bucket grid"):
+        read_rollup(spark, fine, agg="sum", interval_ms=25_200_000,
+                    clamp_to_retention=True)
+    assert read_rollup(spark, fine, agg="sum", interval_ms=3_600_000,
+                       clamp_to_retention=True).count() == 48
     # read_rollup_series honors the marker even with a df override
     shaped = read_rollup_series(
         spark, fine, df=spark.read.parquet(fine), clamp_to_retention=True)
@@ -2034,6 +2042,34 @@ def test_tsdb_bridge_foreign_writer_detection(spark, tmp_path):
     s7 = run()
     assert "foreign_writer" not in s7
     assert all(rollup_coverage_complete(d) for d in (r1m, kmv1m, qs1m))
+
+    # a writer maintaining a DIFFERENT rollup dir is foreign to ours,
+    # and a backfill of ITS dir in the same tail does not absolve ours
+    # (the entry is appended directly: it is exactly what writer B's
+    # backfill_rollup would log, and our settle guard refuses building
+    # a foreign-rooted dir from this process)
+    from mycenae_spark.streaming import commitlog
+
+    other = str(tmp_path / "rOther")
+    foreign(10, "foreign-otherroot", rollup_dir=other,
+            kmv_dir=kmv1m, qsample_dir=qs1m)
+    commitlog.append(lake, {"kind": "rollup-backfill", "as_of": 0,
+                            "files": [], "root": other})
+    land(11)
+    s8 = run()
+    assert sorted(s8["foreign_writer"]) == ["rollup"]
+    assert not rollup_coverage_complete(r1m)
+    backfill_rollup(spark, lake, r1m)
+    assert rollup_coverage_complete(r1m)
+
+    # an offender followed in the same scanned tail by a RIGHT-root
+    # backfill is absolved: the rebuild provably covers its points
+    foreign(12, "foreign-absolved", kmv_dir=kmv1m, qsample_dir=qs1m)
+    backfill_rollup(spark, lake, r1m)
+    land(13)
+    s9 = run()
+    assert "foreign_writer" not in s9
+    assert rollup_coverage_complete(r1m)
 
 
 def test_tsdb_bridge_commitlog_retention(spark, tmp_path):
