@@ -495,8 +495,14 @@ def write_points_batch(
                 mets = _staged_metric_footprint(
                     os.path.join(staging, "points"), cap=65
                 )
+                # roots are recorded ABSOLUTE (r19 review): a
+                # relative dir recorded as-given resolves against the
+                # READER's cwd — _appends_settled's foreign-root skip
+                # would misclassify a local batch as foreign and skip
+                # the torn-move wait, the exact failure it guards
                 manifest = {
-                    "roots": {"points": lake_dir, "catalog": catalog_dir},
+                    "roots": {"points": os.path.abspath(lake_dir),
+                              "catalog": os.path.abspath(catalog_dir)},
                     "points": _staged_files(os.path.join(staging, "points")),
                     "catalog": _staged_files(os.path.join(staging, "catalog")),
                     "metrics": sorted(mets) if len(mets) <= 64 else None,
@@ -507,13 +513,13 @@ def write_points_batch(
                     # content (see the replay branch above)
                     manifest["content_fp"] = content_fp
                 if rollup_dir is not None:
-                    manifest["roots"]["rollup"] = rollup_dir
+                    manifest["roots"]["rollup"] = os.path.abspath(rollup_dir)
                     manifest["rollup"] = _staged_files(os.path.join(staging, "rollup"))
                 if kmv_dir is not None:
-                    manifest["roots"]["kmv"] = kmv_dir
+                    manifest["roots"]["kmv"] = os.path.abspath(kmv_dir)
                     manifest["kmv"] = _staged_files(os.path.join(staging, "kmv"))
                 if qsample_dir is not None:
-                    manifest["roots"]["qsample"] = qsample_dir
+                    manifest["roots"]["qsample"] = os.path.abspath(qsample_dir)
                     manifest["qsample"] = _staged_files(
                         os.path.join(staging, "qsample")
                     )

@@ -1043,6 +1043,14 @@ def gc_ladder_temps(
                     continue
             except OSError:
                 continue
+            if name.startswith(base + "_old_") and os.path.isdir(dst):
+                # a swap that crashed mid-_carry_retained strands prior
+                # generations' grace areas in the _old_ debris; salvage
+                # them into the LIVE generation before the delete (r19
+                # review) — the idempotent crash-repair discipline, and
+                # the reason this sweep may run at the aggressive dial
+                # while gc_retained owns the evidence-clamped aging
+                _carry_retained(path, dst)
             shutil.rmtree(path, ignore_errors=True)
             removed.append(path)
     return sorted(removed)

@@ -358,15 +358,18 @@ def run_tsdb_bridge(
                 # entry of ANY kind (a checkpoint, a sketch-prune left
                 # by truncation) proves nothing about append provenance.
                 # A fresh lake, or one whose retained appends are all
-                # sectioned, checks from 0.  One O(log) scan, bootstrap
-                # only — the cursor makes every later scan tail-only.
-                first_append = next(
-                    (
-                        ent for _s, ent in commitlog.entries(lake_dir)
-                        if ent.get("kind") == "points-append"
-                    ),
-                    None,
-                )
+                # sectioned, checks from 0.  Bootstrap-only cost: one
+                # file read per entry, ascending, stopping at the first
+                # points-append (commitlog.entry — not entries(), which
+                # would json-parse the whole log to use one element).
+                first_append = None
+                oldest = commitlog.oldest_seq(lake_dir)
+                if oldest is not None:
+                    for s in range(oldest, head + 1):
+                        ent = commitlog.entry(lake_dir, s)
+                        if ent and ent.get("kind") == "points-append":
+                            first_append = ent
+                            break
                 if (
                     first_append is not None
                     and first_append.get("sections") is None
@@ -385,7 +388,14 @@ def run_tsdb_bridge(
             for fam, fine in (("kmv", kmv_fine_dir),
                               ("qsample", qsample_fine_dir)):
                 if fine is not None:
-                    sinces[fam] = _read_marker_as_of(fine) or 0
+                    # clamped to the cursor (r19 review): on the
+                    # trust-once bootstrap drain the sketch families get
+                    # the same pre-upgrade amnesty as rollup — their
+                    # pins lag the bootstrapped cursor only there (and
+                    # after a family backfill, where the pin is HIGHER),
+                    # so the clamp never skips an unchecked entry
+                    sinces[fam] = max(_read_marker_as_of(fine) or 0,
+                                      cursor)
                     roots[fam] = fine
             foreign = foreign_sketchless_appends(lake_dir, sinces, roots)
             if foreign:
