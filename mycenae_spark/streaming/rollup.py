@@ -1073,6 +1073,26 @@ def ladder_rung(rungs: dict[int, str], interval_ms: int) -> tuple[int, str]:
     return best, rungs[best]
 
 
+
+def _guarded_scan(
+    spark,
+    sketch_dir: str,
+    what: str,
+    start_ms: int | None,
+    clamp: bool,
+    interval_ms: int | None = None,
+) -> DataFrame:
+    """Guard-then-filter preamble shared by the directory-reading sketch
+    verbs — ONE copy (r19 review: five hand-synced copies is how the
+    next guard change reopens the silent-under-read hole on the verb
+    that misses it).  ``read_rollup_series`` keeps its df-override
+    variant inline."""
+    bound = guard_sketch_retention(
+        sketch_dir, start_ms, clamp, what, interval_ms=interval_ms
+    )
+    return _apply_retention_bound(spark.read.parquet(sketch_dir), bound)
+
+
 def read_rollup_ladder(
     spark,
     rungs: dict[int, str],
@@ -1123,11 +1143,10 @@ def read_rollup(
             f"(supported: {sorted(_MERGE_EXPRS)})"
         )
     series_cols = series_cols or ["ksid", "tsid"]
-    lo = guard_sketch_retention(
-        rollup_dir, start_ms, clamp_to_retention, "read_rollup",
-        interval_ms=interval_ms,
+    df = _guarded_scan(
+        spark, rollup_dir, "read_rollup", start_ms, clamp_to_retention,
+        interval_ms,
     )
-    df = _apply_retention_bound(spark.read.parquet(rollup_dir), lo)
     if interval_ms is not None:
         df = df.withColumn(
             "bucket_ms",
@@ -1161,11 +1180,10 @@ def read_rollup_percentile(
     Pruned-lake reads follow :func:`guard_sketch_retention`.
     """
     series_cols = series_cols or ["ksid", "tsid"]
-    lo_b = guard_sketch_retention(
-        rollup_dir, start_ms, clamp_to_retention, "read_rollup_percentile",
-        interval_ms=interval_ms,
+    df = _guarded_scan(
+        spark, rollup_dir, "read_rollup_percentile", start_ms,
+        clamp_to_retention, interval_ms,
     )
-    df = _apply_retention_bound(spark.read.parquet(rollup_dir), lo_b)
     if "p_hist" not in df.columns:
         raise ValueError("rollup was written without histogram partials")
     if interval_ms is not None:
@@ -1420,11 +1438,10 @@ def read_kmv_distinct(
     Returns (series, bucket_ms, n_kmv, value).  Pruned-lake reads
     follow :func:`guard_sketch_retention`."""
     series_cols = series_cols or ["ksid", "tsid"]
-    lo = guard_sketch_retention(
-        kmv_dir, start_ms, clamp_to_retention, "read_kmv_distinct",
-        interval_ms=interval_ms,
+    df = _guarded_scan(
+        spark, kmv_dir, "read_kmv_distinct", start_ms, clamp_to_retention,
+        interval_ms,
     )
-    df = _apply_retention_bound(spark.read.parquet(kmv_dir), lo)
     if interval_ms is not None:
         df = df.withColumn(
             "bucket_ms",
@@ -1700,11 +1717,10 @@ def read_qsample_quantile(
     Returns (series, bucket_ms, n_sample, value).  Pruned-lake reads
     follow :func:`guard_sketch_retention`."""
     series_cols = series_cols or ["ksid", "tsid"]
-    lo = guard_sketch_retention(
-        qs_dir, start_ms, clamp_to_retention, "read_qsample_quantile",
-        interval_ms=interval_ms,
+    df = _guarded_scan(
+        spark, qs_dir, "read_qsample_quantile", start_ms,
+        clamp_to_retention, interval_ms,
     )
-    df = _apply_retention_bound(spark.read.parquet(qs_dir), lo)
     if interval_ms is not None:
         df = df.withColumn(
             "bucket_ms",
@@ -1748,11 +1764,10 @@ def read_qsample_percentile(
     no-op); a pruned fine dir configured AS a rung refuses here and the
     Engine degrades to the always-correct raw-point path."""
     series_cols = series_cols or ["ksid", "tsid"]
-    bound = guard_sketch_retention(
-        qs_dir, start_ms, clamp_to_retention, "read_qsample_percentile",
-        interval_ms=interval_ms,
+    df = _guarded_scan(
+        spark, qs_dir, "read_qsample_percentile", start_ms,
+        clamp_to_retention, interval_ms,
     )
-    df = _apply_retention_bound(spark.read.parquet(qs_dir), bound)
     if interval_ms is not None:
         df = df.withColumn(
             "bucket_ms",
