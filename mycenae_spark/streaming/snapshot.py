@@ -141,9 +141,16 @@ def _appends_settled(
             # would deadlock the settle guard.  Coverage honesty for
             # that case is the bridge's foreign-writer detection, not
             # this torn-move check.
+            # Only an ABSOLUTE recorded root can prove foreignness: a
+            # legacy relative root resolves against the READER's cwd,
+            # and a false mismatch here would skip the torn-move wait
+            # for a LOCAL batch (r19 review pass 5).  New manifests
+            # record absolute roots; relative = "can't prove" = wait.
             man_root = man_roots.get(section)
-            if man_root is not None and (
-                os.path.realpath(man_root) != os.path.realpath(root)
+            if (
+                man_root is not None
+                and os.path.isabs(man_root)
+                and os.path.realpath(man_root) != os.path.realpath(root)
             ):
                 continue
             for rel in manifest.get(section, ()):

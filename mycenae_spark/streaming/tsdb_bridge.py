@@ -83,8 +83,6 @@ def foreign_sketchless_appends(
     ``sections``/``roots`` fields read as offenders — "can't prove" is
     the conservative verdict (the bridge's cursor bootstrap keeps that
     from sweeping pre-upgrade history; see ``run_tsdb_bridge``)."""
-    import os as _os
-
     from mycenae_spark.streaming import commitlog
 
     out: dict[str, list[int]] = {fam: [] for fam in since_by_family}
@@ -99,7 +97,7 @@ def foreign_sketchless_appends(
             got = ent.get("root")
             if want_rollup is None or (
                 got is not None
-                and _os.path.realpath(got) == _os.path.realpath(want_rollup)
+                and os.path.realpath(got) == os.path.realpath(want_rollup)
             ):
                 out["rollup"] = []  # rebuilt from the full snapshot
             continue
@@ -122,7 +120,7 @@ def foreign_sketchless_appends(
             if want is not None:
                 got = roots.get(fam)
                 if got is None or (
-                    _os.path.realpath(got) != _os.path.realpath(want)
+                    os.path.realpath(got) != os.path.realpath(want)
                 ):
                     out[fam].append(seq)
     return {fam: seqs for fam, seqs in out.items() if seqs}
@@ -410,9 +408,6 @@ def run_tsdb_bridge(
                 )
             if "rollup" in foreign:
                 mark_rollup_coverage(rollup_dir, False)
-            # cursor forward regardless of verdict: detect-once, demote
-            # durably — the same discipline as the sketch pins below
-            _write_foreign_cursor(lake_dir, rollup_dir, head)
             for fam, fine in (("kmv", kmv_fine_dir),
                               ("qsample", qsample_fine_dir)):
                 if fine is not None:
@@ -426,6 +421,12 @@ def run_tsdb_bridge(
                         and fam not in foreign,
                         as_of_seq=head, kind="bridge-fine",
                     )
+            # cursor LAST (r19 review pass 5): it must advance only
+            # after every demotion verdict is durably marked — written
+            # first, a crash in between would skip the rescan while the
+            # markers still claim complete, losing the demotion.  A
+            # crash-rerun re-detecting the same offenders is idempotent.
+            _write_foreign_cursor(lake_dir, rollup_dir, head)
             refreshed = {}
             if ladder:
                 refreshed["rollup"] = refresh_ladder(
@@ -628,17 +629,30 @@ def run_tsdb_bridge(
                     # sweep: they back crash replay and reads pinned
                     # moments ago).
                     from mycenae_spark.maintenance import gc_commitlog
+                    from mycenae_spark.streaming.snapshot import (
+                        latest_checkpoint,
+                    )
 
-                    pins = [
-                        p for p in (
+                    floors = [
+                        p + 1 for p in (
                             _read_marker_as_of(d)
                             for d in rung_dirs + fines
                         ) if p is not None
                     ]
+                    # (c) never drop entries the newest SNAPSHOT
+                    # CHECKPOINT still replays forward from (r19 review
+                    # pass 5): resolve() walks (cp_seq, head], and a
+                    # hole there turns every log-gated read into a
+                    # LogGap 500 until a manual re-baseline — rung pins
+                    # refresh each drain, but an operator checkpoint
+                    # can be arbitrarily old.
+                    cp = latest_checkpoint(lake_dir)
+                    if cp is not None and cp.get("seq") is not None:
+                        floors.append(int(cp["seq"]) + 1)
                     mnt["commitlog"] = gc_commitlog(
                         lake_dir,
                         commitlog_keep_last,
-                        floor_seq=min(pins) + 1 if pins else None,
+                        floor_seq=min(floors) if floors else None,
                         min_age_s=evidence_age,
                     )
             except Exception:
