@@ -562,7 +562,7 @@ def backfill_rollup(
         # foreign-offender absolution must not credit a rebuild of a
         # DIFFERENT directory (r19 review)
         {"kind": "rollup-backfill", "as_of": as_of, "files": new_files,
-         "root": rollup_dir},
+         "root": os.path.abspath(rollup_dir)},
     )
     salvaged = 0
     if os.path.isdir(rollup_dir):
@@ -905,6 +905,13 @@ def refresh_ladder(
     import uuid
 
     rebuilt: dict[int, bool] = {}
+    if not force and not rollup_coverage_complete(fine_dir):
+        # A demoted/incomplete fine lake (foreign sketch-less writer,
+        # points predating the rollup) would mint rungs that inherit
+        # complete=False — unroutable, so the full cascade per drain is
+        # pure waste (r19 review pass 6; refresh_sketch_ladder already
+        # gates this way).  Run backfill_rollup to heal, then refresh.
+        return {iv: False for iv in rungs}
     sources: list[tuple[int, str]] = []  # (interval, dir) fresh this pass
     for iv in sorted(rungs):
         dst = rungs[iv]

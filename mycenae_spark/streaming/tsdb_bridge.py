@@ -92,14 +92,22 @@ def foreign_sketchless_appends(
         kind = ent.get("kind")
         if kind == "rollup-backfill" and "rollup" in out:
             # absolution is ROOT-CHECKED (r19 review): a rebuild of a
-            # DIFFERENT rollup dir proves nothing about this one, and
-            # a pre-root backfill entry can't prove which it rebuilt
+            # DIFFERENT rollup dir proves nothing about this one; a
+            # pre-root or RELATIVE recorded root can't prove which dir
+            # it rebuilt (a relative path realpaths against THIS
+            # reader's cwd — the manifest-roots lesson).  And it is
+            # AS_OF-BOUNDED (pass 6): the backfill rebuilt from a
+            # snapshot pinned at ent["as_of"] — an offender committing
+            # DURING the backfill's run window (as_of < seq < entry
+            # seq) is not in that snapshot and stays an offender.
             got = ent.get("root")
             if want_rollup is None or (
                 got is not None
+                and os.path.isabs(got)
                 and os.path.realpath(got) == os.path.realpath(want_rollup)
             ):
-                out["rollup"] = []  # rebuilt from the full snapshot
+                healed = int(ent.get("as_of") or 0)
+                out["rollup"] = [s for s in out["rollup"] if s > healed]
             continue
         if kind != "points-append":
             continue
