@@ -162,6 +162,9 @@ class Engine:
         #: as_of pin, which misses the cache and replaces the stale frame
         #: naturally.
         self._rung_frames: dict = {}
+        #: (fine pin, log end, verdict) memo for _fine_foreign_tail —
+        #: the tail rescans only when either sequence moves
+        self._fine_foreign_memo: tuple | None = None
         self._tag_keys_cache: list[str] | None = None
         #: Shaped-response cache — the reference's memcached tier, scoped
         #: to a COMMIT-LOG GENERATION: keys are (canonical request JSON,
@@ -591,8 +594,10 @@ class Engine:
             # whole lake (marker maintained by ingest / backfill_rollup) —
             # otherwise pre-rollup points would silently vanish from routed
             # answers.  Fallback to raw points is always correct.
-            if os.path.isdir(self.rollup_dir) and rollup_coverage_complete(
-                self.rollup_dir
+            if (
+                os.path.isdir(self.rollup_dir)
+                and rollup_coverage_complete(self.rollup_dir)
+                and not self._fine_foreign_tail()
             ):
                 from mycenae_spark.streaming import snapshot as snap
 
@@ -767,6 +772,55 @@ class Engine:
                 "coarser rung took over the span — query at a rung "
                 "grain, or start the range at/after the horizon"
             )
+
+    def _fine_foreign_tail(self) -> bool:
+        """Currency-class gate for the FINE rollup frame (r19 review
+        pass 7).  Ladder rungs are kept out of routing by
+        ``cascade_is_current`` when their pin lags the log head, but the
+        fine frame's coverage marker is re-pinned by the BRIDGE only at
+        drain time: a foreign sketch-less writer (``write_points_batch``
+        without ``rollup_dir``, a second server configured without it)
+        that lands points after the last drain leaves the marker
+        claiming complete while the partials miss those points — and the
+        bridge's own detection only demotes at its NEXT non-empty drain.
+        Scan the commit-log tail above the marker's pin for
+        points-appends without this fine dir's rollup section; any hit
+        routes this request to raw points (always correct, just
+        slower).  Scoped to PINNED markers (``kind="bridge-fine"``
+        re-pins): an ingest-maintained fine lake has no ``as_of_seq``
+        and its one writer lands partials synchronously per batch, so
+        there is no tail to distrust — and treating pin-less markers as
+        foreign would unroute every such deployment.  Memoized per
+        (pin, log end): the tail is re-scanned only when either moves,
+        so steady-state cost is two marker/head reads per request."""
+        from mycenae_spark.streaming import commitlog
+        from mycenae_spark.streaming.rollup import _read_marker_as_of
+        from mycenae_spark.streaming.tsdb_bridge import (
+            foreign_sketchless_appends,
+        )
+
+        pin = _read_marker_as_of(self.rollup_dir)
+        if pin is None:
+            return False
+        end = commitlog.latest_seq(self.lake_dir) or 0
+        memo = self._fine_foreign_memo
+        if memo is not None and memo[0] == pin and memo[1] == end:
+            return memo[2]
+        foreign = {}
+        if end > pin:
+            foreign = foreign_sketchless_appends(
+                self.lake_dir, {"rollup": pin}, {"rollup": self.rollup_dir}
+            )
+        verdict = bool(foreign)
+        self._fine_foreign_memo = (pin, end, verdict)
+        if verdict:
+            logger.warning(
+                "fine rollup %s pinned at seq %s but sketch-less "
+                "points-appends %s landed since — serving raw points "
+                "until the bridge drains (or backfill_rollup heals)",
+                self.rollup_dir, pin, foreign.get("rollup"),
+            )
+        return verdict
 
     def _pick_rung(self, q, fine_rollup):
         """Coarsest serving frame for ``q``'s downsample: a ladder rung

@@ -552,8 +552,16 @@ def backfill_rollup(
     cut = snap.resolve(lake_dir, as_of=as_of)
     valid = snap.read_points_snapshot(spark, lake_dir, as_of=as_of)
     partials = rollup_batch(valid, interval_ms, series_cols)
-    base = os.path.dirname(rollup_dir.rstrip("/")) or "."
-    tmp = os.path.join(base, f"_rollup_backfill_{uuid.uuid4().hex[:8]}")
+    # Debris names follow the shared `<dir>_new_*` / `<dir>_old_*` swap
+    # convention (``_swap_in``, ``refresh_ladder``) so a crash here is
+    # repaired by the SAME sweeper: ``gc_ladder_temps`` ages the build
+    # dir out and salvages stranded ``_retained/`` grace areas from the
+    # old generation before deleting it (r19 review pass 7 — the
+    # bespoke ``_rollup_backfill_*``/``_rollup_old_*`` names matched no
+    # sweeper, so a crash between the generation swap and
+    # ``_carry_retained`` leaked the old generation's bytes forever and
+    # stranded its grace areas).
+    tmp = rollup_dir.rstrip("/") + f"_new_{uuid.uuid4().hex[:8]}"
     partials.write.mode("overwrite").partitionBy("ksid", "date").parquet(tmp)
     new_files = snap._list_data_files(tmp)
     seq = commitlog.append(
@@ -568,7 +576,7 @@ def backfill_rollup(
     if os.path.isdir(rollup_dir):
         from mycenae_spark.maintenance import retain_file
 
-        old = os.path.join(base, f"_rollup_old_{uuid.uuid4().hex[:8]}")
+        old = rollup_dir.rstrip("/") + f"_old_{uuid.uuid4().hex[:8]}"
         os.rename(rollup_dir, old)
         os.rename(tmp, rollup_dir)
         # Keep partials from batches that committed after the pinned cut:

@@ -127,8 +127,14 @@ def foreign_sketchless_appends(
             want = (roots_by_family or {}).get(fam)
             if want is not None:
                 got = roots.get(fam)
-                if got is None or (
-                    os.path.realpath(got) != os.path.realpath(want)
+                # same evidence bar as the backfill absolution above
+                # (r19 review pass 7): a RELATIVE recorded root realpaths
+                # against THIS reader's cwd, so it can't prove the writer
+                # maintained OUR fine dir — "can't prove" reads offender
+                if (
+                    got is None
+                    or not os.path.isabs(got)
+                    or os.path.realpath(got) != os.path.realpath(want)
                 ):
                     out[fam].append(seq)
     return {fam: seqs for fam, seqs in out.items() if seqs}
@@ -348,10 +354,16 @@ def run_tsdb_bridge(
             # advances, carrying complete=False, so later drains don't
             # rescan-and-renoise an already-recorded demotion.  A
             # foreign writer that DID carry every section is not
-            # foreign to the lake's contract and passes.  Escape analysis: a put landing AFTER the drain's
-            # last advance is caught before the NEXT pin — and until
-            # then the old pin stands, so the stale-rung currency check
-            # already keeps it out of routing.
+            # foreign to the lake's contract and passes.  Escape
+            # analysis for a put landing AFTER the drain's last advance
+            # (caught before the NEXT pin): ladder RUNGS stay out of
+            # routing because their pins lag the moved head
+            # (cascade_is_current), and the FINE frame is re-checked by
+            # the serving engine per request (Engine._fine_foreign_tail
+            # scans the tail above the fine pin — r19 review pass 7
+            # closed this: coverage-complete alone left a silent
+            # under-read window until the next NON-EMPTY drain, since a
+            # zero-batch drain never reaches advance_ladders).
             cursor = _read_foreign_cursor(lake_dir, rollup_dir)
             if cursor is None:
                 # Bootstrap (r19 review, both passes): a lake whose

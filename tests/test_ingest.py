@@ -830,6 +830,111 @@ def test_gc_ladder_temps_sweeps_only_old_debris(tmp_path):
     assert (tmp_path / "unrelated").is_dir()
 
 
+def test_backfill_crash_debris_is_swept_and_salvaged(
+    spark, tmp_path, monkeypatch
+):
+    """backfill_rollup's debris follows the shared ``<dir>_new_*`` /
+    ``<dir>_old_*`` swap convention (r19 review pass 7): a crash between
+    the generation swap and ``_carry_retained`` strands the prior
+    generation's ``_retained/`` grace areas in the ``_old_`` debris, and
+    ``gc_ladder_temps`` — the SAME sweeper that repairs refresh_ladder
+    swaps — must salvage them into the live generation before deleting
+    the debris.  The bespoke ``_rollup_old_*`` names it used before
+    matched no sweeper, so the bytes leaked forever and snapshot reads
+    pinned before the first backfill lost their retained files."""
+    import glob
+    import os
+
+    import mycenae_spark.streaming.rollup as rollup_mod
+    from mycenae_spark.streaming.ingest import (
+        decode_json_lines,
+        prepare_points,
+        write_points_batch,
+    )
+    from mycenae_spark.streaming.rollup import (
+        backfill_rollup,
+        gc_ladder_temps,
+    )
+
+    def mk(n):
+        rows = [(json.dumps({
+            "metric": "bf.m", "tags": {"ksid": "k1", "host": "h0"},
+            "timestamp": 1704067200000 + i * 60_000, "value": float(i),
+        }),) for i in range(n)]
+        return prepare_points(
+            decode_json_lines(spark.createDataFrame(rows, ["value"])))[0]
+
+    lake, cat, roll = (str(tmp_path / d) for d in ("lake", "cat", "r1m"))
+    write_points_batch(mk(3), lake, cat, batch_id="a", rollup_dir=roll)
+    # first backfill: the ingest-maintained generation moves to
+    # _retained/<seq1> (visible to snapshot readers pinned before it)
+    seq1 = backfill_rollup(spark, lake, roll)["seq"]
+    retained = os.path.join(roll, "_retained", f"{seq1:020d}")
+    assert os.path.isdir(retained)
+    retained_files = sorted(glob.glob(retained + "/**/*.parquet",
+                                      recursive=True))
+    assert retained_files
+
+    # second backfill crashes AFTER the swap, BEFORE the carry
+    real_carry = rollup_mod._carry_retained
+    calls = {"n": 0}
+
+    def crashing_carry(old_dir, new_dir):
+        calls["n"] += 1
+        raise RuntimeError("simulated crash mid-backfill")
+
+    monkeypatch.setattr(rollup_mod, "_carry_retained", crashing_carry)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        backfill_rollup(spark, lake, roll)
+    monkeypatch.setattr(rollup_mod, "_carry_retained", real_carry)
+    assert calls["n"] == 1
+
+    debris = glob.glob(roll + "_old_*")
+    assert len(debris) == 1  # the sweeper's naming convention matches
+    assert os.path.isdir(os.path.join(debris[0], "_retained", f"{seq1:020d}"))
+    assert not os.path.isdir(retained)  # stranded: live gen lost it
+
+    removed = gc_ladder_temps([roll], max_age_s=0)
+    assert debris[0] in removed
+    assert not os.path.isdir(debris[0])
+    # the grace area came back to the LIVE generation, files intact
+    # (identical absolute paths: same roll dir, same relative layout)
+    assert sorted(glob.glob(retained + "/**/*.parquet",
+                            recursive=True)) == retained_files
+
+
+def test_foreign_check_rejects_relative_roots(spark, tmp_path, monkeypatch):
+    """foreign_sketchless_appends' per-family root check holds relative
+    recorded roots to the same evidence bar as the backfill absolution
+    (r19 review pass 7): a relative root realpaths against the READER's
+    cwd, so it cannot prove the writer maintained OUR fine dir — even
+    when the cwd makes the strings resolve equal, the entry reads as an
+    offender ("can't prove" is the conservative verdict)."""
+    from mycenae_spark.streaming import commitlog
+    from mycenae_spark.streaming.tsdb_bridge import (
+        foreign_sketchless_appends,
+    )
+
+    lake = str(tmp_path / "lake")
+    want = str(tmp_path / "kmv1m")
+    seq = commitlog.append(lake, {
+        "kind": "points-append", "sections": ["points", "kmv"],
+        "roots": {"points": str(tmp_path / "lake"), "kmv": "kmv1m"},
+    })
+    monkeypatch.chdir(tmp_path)  # makes realpath("kmv1m") == realpath(want)
+    out = foreign_sketchless_appends(lake, {"kmv": 0}, {"kmv": want})
+    assert out == {"kmv": [seq]}
+
+    # an ABSOLUTE matching root passes — the bridge's own commits do
+    seq2 = commitlog.append(lake, {
+        "kind": "points-append", "sections": ["points", "kmv"],
+        "roots": {"points": str(tmp_path / "lake"), "kmv": want},
+    })
+    out2 = foreign_sketchless_appends(lake, {"kmv": seq}, {"kmv": want})
+    assert out2 == {}
+    assert seq2 == seq + 1
+
+
 def test_planner_routes_downsample_to_rollup(spark, tmp_path):
     """plans.tsdb.plan(rollup=...): an aligned mergeable downsample is
     served ENTIRELY from rollup partials (the physical plan never scans the

@@ -308,6 +308,73 @@ def test_engine_ladder_routing(spark, tmp_path_factory):
         pytest.approx((0 + 1 + 2 + 3 + 4 + 5 + 1000) / 7)
 
 
+def test_engine_fine_foreign_tail_falls_back_to_points(
+    spark, tmp_path_factory
+):
+    """The fine rollup frame's currency-class gate (r19 review pass 7):
+    a bridge-pinned coverage marker (``kind="bridge-fine"``, ``as_of``
+    at the last drain head) plus a LATER sketch-less points-append must
+    route fine-grain queries to raw points — before the fix the engine
+    routed on the coverage marker alone, silently omitting the foreign
+    points until the bridge's next NON-EMPTY drain demoted the marker
+    (a zero-batch drain never reaches the detection at all)."""
+    from mycenae_spark.server import Engine
+    from mycenae_spark.streaming import commitlog
+    from mycenae_spark.streaming.ingest import (
+        decode_json_lines,
+        prepare_points,
+        write_points_batch,
+    )
+    from mycenae_spark.streaming.rollup import mark_rollup_coverage
+
+    d = tmp_path_factory.mktemp("foreigntail")
+    lake, catalog, roll = (str(d / n) for n in ("lake", "catalog", "roll"))
+    eng = Engine(spark, lake, catalog, rollup_dir=roll)
+    eng.put([{"metric": "ft.s", "tags": {"ksid": "k1", "host": "h0"},
+              "timestamp": BASE_TS + i * 60_000, "value": float(i)}
+             for i in range(10)])
+
+    body = {
+        "start": BASE_TS, "end": BASE_TS + 3_600_000,
+        "queries": [{"metric": "ft.s", "aggregator": "sum",
+                     "downsample": "10m-avg"}],
+    }
+    # unpinned marker (ingest-maintained lake): gate is idle by design
+    out1 = eng.query(body)
+    assert out1[0]["dps"][str(BASE_TS // 1000)] == pytest.approx(4.5)
+    assert eng._fine_foreign_memo is None
+
+    # simulate the bridge's drain-time re-pin at the current head
+    mark_rollup_coverage(roll, True, as_of_seq=commitlog.latest_seq(lake),
+                         kind="bridge-fine")
+    eng._result_cache.clear()
+    assert eng.query(body)[0]["dps"][str(BASE_TS // 1000)] == \
+        pytest.approx(4.5)
+    assert eng._fine_foreign_memo[2] is False  # clean tail, memoized
+
+    # a foreign writer lands a point WITHOUT rollup partials
+    rows = [(json.dumps({"metric": "ft.s",
+                         "tags": {"ksid": "k1", "host": "h0"},
+                         "timestamp": BASE_TS + 30_000,
+                         "value": 1000.0}),)]
+    write_points_batch(
+        prepare_points(decode_json_lines(
+            spark.createDataFrame(rows, ["value"])))[0],
+        lake, catalog, batch_id="foreign-put")
+    # the fine partials provably LACK the point the answer must carry
+    import pyspark.sql.functions as F
+
+    bucket0 = spark.read.parquet(roll).where(
+        F.col("bucket_ms") == BASE_TS).agg(F.sum("p_sum")).collect()[0][0]
+    assert bucket0 == pytest.approx(0.0)  # the foreign 1000.0 is absent
+
+    out2 = eng.query(body)
+    assert eng._fine_foreign_memo[2] is True
+    assert out2[0]["dps"][str(BASE_TS // 1000)] == pytest.approx(
+        (0 + 1 + 2 + 3 + 4 + 5 + 6 + 7 + 8 + 9 + 1000) / 11
+    )
+
+
 def test_engine_refuses_fine_grain_below_retention(spark, tmp_path_factory):
     """After prune_sketch_lake ages out fine partials: a rung-grain query
     over the full range answers IDENTICALLY from the rung, a fine-grain
