@@ -162,8 +162,9 @@ class Engine:
         #: as_of pin, which misses the cache and replaces the stale frame
         #: naturally.
         self._rung_frames: dict = {}
-        #: (fine pin, log end, verdict) memo for _fine_foreign_tail —
-        #: the tail rescans only when either sequence moves
+        #: (checked_to pin, scanned-to seq, verdict) memo for
+        #: _fine_foreign_tail — incremental: each log entry is scanned
+        #: at most once per engine lifetime; reset when the pin moves
         self._fine_foreign_memo: tuple | None = None
         self._tag_keys_cache: list[str] | None = None
         #: Shaped-response cache — the reference's memcached tier, scoped
@@ -562,7 +563,7 @@ class Engine:
             # misses only — a hit was computed under the cap already.
             self._guard_series_cap(metric=q.metric, filters=q.filters)
             if not frames_built:
-                pts, rollup = self._build_frames()
+                pts, rollup = self._build_frames(head)
                 frames_built = True
             rows = self._run_subquery(pts, rollup, q)
             if key is not None and not getattr(
@@ -577,9 +578,11 @@ class Engine:
             out.extend(rows)
         return out
 
-    def _build_frames(self):
+    def _build_frames(self, head: "int | None" = None):
         """Lazy points/rollup serving frames — skipped entirely when every
-        subquery in the request hits the cache."""
+        subquery in the request hits the cache.  ``head`` (the request's
+        already-read log head, when log-gated) saves the foreign-tail
+        gate a redundant commit-log listing."""
         pts = self._points()
         rollup = None
         if self.rollup_dir is not None:
@@ -597,7 +600,7 @@ class Engine:
             if (
                 os.path.isdir(self.rollup_dir)
                 and rollup_coverage_complete(self.rollup_dir)
-                and not self._fine_foreign_tail()
+                and not self._fine_foreign_tail(head)
             ):
                 from mycenae_spark.streaming import snapshot as snap
 
@@ -773,53 +776,69 @@ class Engine:
                 "grain, or start the range at/after the horizon"
             )
 
-    def _fine_foreign_tail(self) -> bool:
+    def _fine_foreign_tail(self, head: "int | None" = None) -> bool:
         """Currency-class gate for the FINE rollup frame (r19 review
-        pass 7).  Ladder rungs are kept out of routing by
+        passes 7-8).  Ladder rungs are kept out of routing by
         ``cascade_is_current`` when their pin lags the log head, but the
-        fine frame's coverage marker is re-pinned by the BRIDGE only at
+        fine frame's coverage marker is re-checked by the BRIDGE only at
         drain time: a foreign sketch-less writer (``write_points_batch``
         without ``rollup_dir``, a second server configured without it)
         that lands points after the last drain leaves the marker
         claiming complete while the partials miss those points — and the
         bridge's own detection only demotes at its NEXT non-empty drain.
-        Scan the commit-log tail above the marker's pin for
-        points-appends without this fine dir's rollup section; any hit
-        routes this request to raw points (always correct, just
-        slower).  Scoped to PINNED markers (``kind="bridge-fine"``
-        re-pins): an ingest-maintained fine lake has no ``as_of_seq``
-        and its one writer lands partials synchronously per batch, so
-        there is no tail to distrust — and treating pin-less markers as
-        foreign would unroute every such deployment.  Memoized per
-        (pin, log end): the tail is re-scanned only when either moves,
-        so steady-state cost is two marker/head reads per request."""
+        Scan the commit-log tail above the marker's ``checked_to_seq``
+        (written by bridge drains and ``backfill_rollup`` — its own
+        field, NOT ``as_of_seq``, whose cascade-pin contract the fine
+        lake cannot satisfy) for points-appends without this fine dir's
+        rollup section; any hit routes requests to raw points (always
+        correct, just slower) until a heal moves the pin.  A marker
+        without the pin (ingest-maintained lake that never ran a
+        backfill: its one writer lands partials synchronously per
+        batch) has no tail to distrust and stays exempt.  The scan is
+        INCREMENTAL: each log entry is read at most once per engine
+        lifetime (the memo carries scanned-to; a True verdict is sticky
+        until the pin moves, exactly the heal signal), and truncation
+        above the unscanned span reads as unprovable — erased evidence
+        must not read as clean (the ``cascade_is_current`` rule)."""
         from mycenae_spark.streaming import commitlog
-        from mycenae_spark.streaming.rollup import _read_marker_as_of
+        from mycenae_spark.streaming.rollup import _read_marker
         from mycenae_spark.streaming.tsdb_bridge import (
             foreign_sketchless_appends,
         )
 
-        pin = _read_marker_as_of(self.rollup_dir)
+        pin = _read_marker(self.rollup_dir).get("checked_to_seq")
         if pin is None:
             return False
-        end = commitlog.latest_seq(self.lake_dir) or 0
         memo = self._fine_foreign_memo
-        if memo is not None and memo[0] == pin and memo[1] == end:
-            return memo[2]
-        foreign = {}
-        if end > pin:
-            foreign = foreign_sketchless_appends(
-                self.lake_dir, {"rollup": pin}, {"rollup": self.rollup_dir}
-            )
-        verdict = bool(foreign)
-        self._fine_foreign_memo = (pin, end, verdict)
-        if verdict:
-            logger.warning(
-                "fine rollup %s pinned at seq %s but sketch-less "
-                "points-appends %s landed since — serving raw points "
-                "until the bridge drains (or backfill_rollup heals)",
-                self.rollup_dir, pin, foreign.get("rollup"),
-            )
+        if memo is None or memo[0] != pin:
+            memo = (pin, pin, False)
+        scanned_to, verdict = memo[1], memo[2]
+        end = head if head is not None else (
+            commitlog.latest_seq(self.lake_dir) or 0
+        )
+        if not verdict and end > scanned_to:
+            oldest = commitlog.oldest_seq(self.lake_dir)
+            if oldest is None:
+                # entries exist (end > 0) yet none retained: the log
+                # was erased under the pin — unprovable
+                verdict = scanned_to > 0
+            elif oldest > scanned_to + 1:
+                verdict = True  # truncated unscanned span: unprovable
+            else:
+                verdict = bool(foreign_sketchless_appends(
+                    self.lake_dir, {"rollup": scanned_to},
+                    {"rollup": self.rollup_dir},
+                ))
+            if verdict:
+                logger.warning(
+                    "fine rollup %s checked to seq %s but the tail "
+                    "holds sketch-less points-appends (or truncated "
+                    "evidence) — serving raw points until the bridge "
+                    "drains or backfill_rollup heals",
+                    self.rollup_dir, scanned_to,
+                )
+            scanned_to = max(scanned_to, end)
+        self._fine_foreign_memo = (pin, scanned_to, verdict)
         return verdict
 
     def _pick_rung(self, q, fine_rollup):

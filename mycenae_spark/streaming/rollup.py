@@ -138,6 +138,7 @@ def mark_rollup_coverage(
     kind: str | None = None,
     retained_from_ms: int | None = None,
     retention_floor_days: int | None = None,
+    checked_to_seq: int | None = None,
 ) -> None:
     """Record rollup coverage state (atomic write-then-rename).
 
@@ -156,7 +157,21 @@ def mark_rollup_coverage(
     reads silently under-read the pruned span.  ``retention_floor_days``
     (same preserve-if-None rule) records the floor the prune was
     configured with, so the operator dial (``ladder_status``) can
-    explain the refusal envelope without access to the prune config."""
+    explain the refusal envelope without access to the prune config.
+
+    ``checked_to_seq`` (algebraic fine lakes; same preserve-if-None
+    rule) records the commit-log position up to which the lake is
+    PROVEN free of foreign sketch-less appends (bridge drain re-pins,
+    ``backfill_rollup``'s snapshot cut).  It is deliberately a separate
+    field from ``as_of_seq`` (r19 review pass 8): an ``as_of_seq`` on
+    the algebraic fine would change ``cascade_rollup``'s pin
+    arithmetic (``min(head, src pin)``) and permanently stale every
+    rung of an ingest-maintained lake after one backfill — the fine
+    lake keeps representing sectioned appends PAST the pin, which
+    ``as_of_seq``'s contract ("reflects the lake exactly up to here
+    and not beyond") cannot express.  Consumers: the serving engine's
+    per-request foreign-tail gate and the bridge GC tail's
+    truncation floor."""
     import json
     import os
 
@@ -169,7 +184,8 @@ def mark_rollup_coverage(
     if kind is not None:
         payload["kind"] = kind
     prev = None
-    if retained_from_ms is None or retention_floor_days is None:
+    if (retained_from_ms is None or retention_floor_days is None
+            or checked_to_seq is None):
         prev = _read_marker(rollup_dir)
     if retained_from_ms is None:
         retained_from_ms = prev.get("retained_from_ms")
@@ -179,6 +195,10 @@ def mark_rollup_coverage(
         retention_floor_days = prev.get("retention_floor_days")
     if retention_floor_days is not None:
         payload["retention_floor_days"] = int(retention_floor_days)
+    if checked_to_seq is None:
+        checked_to_seq = prev.get("checked_to_seq")
+    if checked_to_seq is not None:
+        payload["checked_to_seq"] = int(checked_to_seq)
     with open(tmp, "w") as f:
         json.dump(payload, f)
         f.flush()
@@ -542,6 +562,11 @@ def backfill_rollup(
     from mycenae_spark.streaming import commitlog
     from mycenae_spark.streaming import snapshot as snap
 
+    # FIRST repair any crashed predecessor's debris (r19 review pass 8):
+    # a stranded `_bfold_` generation holds manifest-referenced files,
+    # and un-settled manifests would stall the checkpoint/settle
+    # machinery this very rebuild depends on.  Idempotent pure moves.
+    _salvage_backfill_debris(rollup_dir)
     # Always take a FRESH FULL checkpoint: its directory listing includes
     # any legacy files written before this lake was log-tracked, matching
     # the coverage semantics of a directory scan while still pinning an
@@ -552,16 +577,20 @@ def backfill_rollup(
     cut = snap.resolve(lake_dir, as_of=as_of)
     valid = snap.read_points_snapshot(spark, lake_dir, as_of=as_of)
     partials = rollup_batch(valid, interval_ms, series_cols)
-    # Debris names follow the shared `<dir>_new_*` / `<dir>_old_*` swap
-    # convention (``_swap_in``, ``refresh_ladder``) so a crash here is
-    # repaired by the SAME sweeper: ``gc_ladder_temps`` ages the build
-    # dir out and salvages stranded ``_retained/`` grace areas from the
-    # old generation before deleting it (r19 review pass 7 — the
-    # bespoke ``_rollup_backfill_*``/``_rollup_old_*`` names matched no
-    # sweeper, so a crash between the generation swap and
-    # ``_carry_retained`` leaked the old generation's bytes forever and
-    # stranded its grace areas).
-    tmp = rollup_dir.rstrip("/") + f"_new_{uuid.uuid4().hex[:8]}"
+    # Crash debris uses the backfill-specific `<dir>_bfnew_*` (build)
+    # and `<dir>_bfold_<seq>_*` (superseded generation) names — NOT the
+    # rung ladder's `<dir>_new_*`/`<dir>_old_*` (r19 review passes
+    # 7-8).  Rung `_old_` debris is rebuildable rung data the sweeper
+    # may rmtree; a backfill's old generation holds files COMMITTED
+    # MANIFESTS still reference (superseded partials destined for
+    # `_retained/<seq>`, post-cut partials owned by later batches), so
+    # its repair is a salvage — every data file moves into the live
+    # generation's `_retained/<seq>` (settling the manifests and
+    # serving pinned readers; the seq rides in the debris name), never
+    # a delete.  The repair runs here (idempotent, at the heal verb)
+    # and in ``gc_ladder_temps`` (age-clamped, for lakes nobody
+    # re-backfills).
+    tmp = rollup_dir.rstrip("/") + f"_bfnew_{uuid.uuid4().hex[:8]}"
     partials.write.mode("overwrite").partitionBy("ksid", "date").parquet(tmp)
     new_files = snap._list_data_files(tmp)
     seq = commitlog.append(
@@ -576,7 +605,8 @@ def backfill_rollup(
     if os.path.isdir(rollup_dir):
         from mycenae_spark.maintenance import retain_file
 
-        old = rollup_dir.rstrip("/") + f"_old_{uuid.uuid4().hex[:8]}"
+        old = (rollup_dir.rstrip("/")
+               + f"_bfold_{seq:020d}_{uuid.uuid4().hex[:8]}")
         os.rename(rollup_dir, old)
         os.rename(tmp, rollup_dir)
         # Keep partials from batches that committed after the pinned cut:
@@ -599,7 +629,20 @@ def backfill_rollup(
         shutil.rmtree(old)
     else:
         os.rename(tmp, rollup_dir)
-    mark_rollup_coverage(rollup_dir, True)
+    # checked_to pinned at the snapshot cut H (r19 review pass 8): an
+    # un-pinned heal would disarm the serving engine's per-request
+    # foreign-tail gate right after the heal, so a foreign sketch-less
+    # append racing the backfill (H < its seq — deliberately NOT
+    # absolved by the bridge's as_of-bounded absolution) would be
+    # silently served-over until the next non-empty drain.  The pin is
+    # H, not this entry's seq: the rebuild proves coverage of exactly
+    # the points visible at H (plus salvaged SECTIONED post-H partials,
+    # which scan clean), so the engine's tail scan must still see a
+    # sketch-less append landing in (H, seq).  NOT as_of_seq — see
+    # mark_rollup_coverage's docstring for why the algebraic fine must
+    # stay as_of-less.
+    mark_rollup_coverage(rollup_dir, True, checked_to_seq=as_of,
+                         kind="backfill")
     return {"as_of": as_of, "seq": seq, "salvaged": salvaged}
 
 
@@ -634,6 +677,83 @@ def _carry_retained(old_dir: str, new_dir: str) -> None:
                 if not os.path.exists(d):
                     os.makedirs(os.path.dirname(d), exist_ok=True)
                     _shutil.move(os.path.join(dirpath, f), d)
+
+
+#: Backfill debris (`_bfnew_`/`_bfold_`) is never touched younger than
+#: this, whatever dial `gc_ladder_temps` runs at: an in-flight
+#: backfill's Spark build or salvage loop must not race the sweeper
+#: (the bridge sweeps every drain at its maintenance dial, and an
+#: operator backfill runs un-flocked beside it — r19 review pass 8).
+_BF_DEBRIS_MIN_AGE_S = 6 * 3600
+
+
+def _salvage_backfill_debris(
+    rollup_dir: str, min_age_s: float = 0.0
+) -> list[str]:
+    """Repair crashed ``backfill_rollup`` generations (r19 review pass
+    8).  A crash between the generation swap and the salvage/carry
+    loops strands the superseded generation as ``<dir>_bfold_<seq>_*``
+    — its data files are still referenced by committed manifests
+    (superseded partials destined for ``_retained/<seq>``, post-cut
+    partials owned by later batches), so deletion would permanently
+    un-settle those manifests and strand snapshot readers pinned before
+    the backfill.  The repair is pure moves: carry the debris's own
+    ``_retained/`` generations into the live dir, then retain every
+    remaining data file at the seq embedded in the debris name (the
+    crashed backfill's commit — where its salvage loop would have
+    superseded them; post-cut files land there too, which over-retains
+    but never under-serves: ``_find_retained`` resolves manifests
+    against every retained generation, and ``gc_retained`` ages the
+    bytes by evidence).  No-op when the live dir is absent (the
+    rename-to-rename torn window): with nothing to salvage INTO, the
+    debris is the only copy and must be left for the next backfill run
+    to supersede.  Idempotent; returns the repaired debris paths.
+
+    ``min_age_s`` skips debris younger than the floor — the sweeper
+    (``gc_ladder_temps``) runs beside arbitrary operator actions and
+    must not race an in-flight backfill's own salvage loop.
+    ``backfill_rollup`` itself calls with 0: same-dir concurrent
+    backfills were never supported (the generation swap fails loudly),
+    so at the heal verb the debris is known-dead."""
+    import shutil
+
+    base = rollup_dir.rstrip("/")
+    if not os.path.isdir(base):
+        return []
+    parent = os.path.dirname(base) or "."
+    prefix = os.path.basename(base) + "_bfold_"
+    repaired: list[str] = []
+    try:
+        names = os.listdir(parent)
+    except FileNotFoundError:
+        return []
+    for name in sorted(names):
+        if not name.startswith(prefix):
+            continue
+        path = os.path.join(parent, name)
+        if not os.path.isdir(path):
+            continue
+        try:
+            seq = int(name[len(prefix):].split("_")[0])
+        except ValueError:
+            continue  # unparseable: leave it (loud in listings)
+        if min_age_s:
+            import time
+
+            try:
+                if time.time() - os.path.getmtime(path) < min_age_s:
+                    continue
+            except OSError:
+                continue
+        from mycenae_spark.maintenance import retain_file
+        from mycenae_spark.streaming import snapshot as snap
+
+        _carry_retained(path, base)
+        for rel in snap._list_data_files(path):
+            retain_file(base, seq, rel, os.path.join(path, rel))
+        shutil.rmtree(path)
+        repaired.append(path)
+    return repaired
 
 
 def _carry_pruned_span(
@@ -1017,7 +1137,13 @@ def gc_ladder_temps(
     are left alone — they may belong to a build in progress.  KMV sketch
     dirs use the same `<dir>_new_*`/`<dir>_old_*` debris naming
     (``_swap_in``), so include them in ``rungs`` to sweep crashed
-    backfill_kmv / cascade_kmv builds too.  Returns the paths removed.
+    backfill_kmv / cascade_kmv builds too.  ``backfill_rollup``'s
+    debris (`<dir>_bfnew_*` builds, `<dir>_bfold_<seq>_*` superseded
+    generations) is handled with different rules — a hard age floor
+    (``_BF_DEBRIS_MIN_AGE_S``) whatever the dial, and `_bfold_` is
+    salvaged into the live generation's ``_retained/`` rather than
+    deleted, because committed manifests still reference its files
+    (r19 review pass 8).  Returns the paths removed or salvaged.
     """
     import os
     import shutil
@@ -1041,20 +1167,32 @@ def gc_ladder_temps(
         dst = dst.rstrip("/")
         parent = os.path.dirname(dst) or "."
         base = os.path.basename(dst)
-        prefixes = [base + "_new_", base + "_old_"]
+        prefixes = [base + "_new_", base + "_old_", base + "_bfnew_"]
         if parent not in seen_parents:
             seen_parents.add(parent)
             prefixes.append("_rollup_cascade_")
+        # Backfill debris gets an age FLOOR whatever the dial (r19
+        # review pass 8): an operator backfill runs un-flocked beside
+        # the bridge's per-drain sweep, and its multi-minute Spark
+        # build / salvage loop must not race a `max_age_s=0` sweep.
+        # `_bfold_` generations hold manifest-referenced files and are
+        # SALVAGED into the live generation, never deleted (the helper
+        # also skips them when dst is gone — the rename-to-rename torn
+        # window leaves the debris as the only copy).
+        bf_age = max(max_age_s, _BF_DEBRIS_MIN_AGE_S)
+        removed += _salvage_backfill_debris(dst, min_age_s=bf_age)
         try:
-            names = os.listdir(parent)
+            names = sorted(os.listdir(parent))
         except FileNotFoundError:
             continue
         for name in names:
             if not any(name.startswith(p) for p in prefixes):
                 continue
             path = os.path.join(parent, name)
+            age_floor = (bf_age if name.startswith(base + "_bfnew_")
+                         else max_age_s)
             try:
-                if now - os.path.getmtime(path) < max_age_s:
+                if now - os.path.getmtime(path) < age_floor:
                     continue
             except OSError:
                 continue

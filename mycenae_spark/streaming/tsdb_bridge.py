@@ -426,21 +426,34 @@ def run_tsdb_bridge(
                     "family's backfill_* to heal, then re-drain",
                     {fam: seqs for fam, seqs in sorted(foreign.items())},
                 )
-            if "rollup" in foreign:
-                mark_rollup_coverage(rollup_dir, False)
-            for fam, fine in (("kmv", kmv_fine_dir),
+            for fam, fine in (("rollup", rollup_dir),
+                              ("kmv", kmv_fine_dir),
                               ("qsample", qsample_fine_dir)):
-                if fine is not None:
-                    # preserve the first-write completeness verdict; the
-                    # pin is what moves (sound: foreign appends were just
-                    # ruled out above, and the flock rules out sibling
-                    # bridges)
-                    mark_rollup_coverage(
-                        fine,
-                        rollup_coverage_complete(fine)
-                        and fam not in foreign,
-                        as_of_seq=head, kind="bridge-fine",
-                    )
+                if fine is None:
+                    continue
+                # preserve the first-write completeness verdict; the
+                # pin is what moves (sound: foreign appends were just
+                # ruled out above, and the flock rules out sibling
+                # bridges).  The ALGEBRAIC fine marker is pinned too
+                # (r19 review pass 8) — but with checked_to_seq, not
+                # as_of_seq: the pin arms the serving engine's
+                # per-request tail gate (Engine._fine_foreign_tail),
+                # without which a foreign put stays servable-over
+                # until the next NON-EMPTY drain, and it feeds the GC
+                # tail's truncation floor so commit-log retention can
+                # never erase unscanned evidence above it.  as_of_seq
+                # on the algebraic fine would corrupt cascade_rollup's
+                # pin arithmetic — see mark_rollup_coverage's
+                # docstring.
+                pin_kw = (
+                    {"checked_to_seq": head} if fam == "rollup"
+                    else {"as_of_seq": head}
+                )
+                mark_rollup_coverage(
+                    fine,
+                    rollup_coverage_complete(fine) and fam not in foreign,
+                    kind="bridge-fine", **pin_kw,
+                )
             # cursor LAST (r19 review pass 5): it must advance only
             # after every demotion verdict is durably marked — written
             # first, a crash in between would skip the rescan while the
@@ -653,10 +666,25 @@ def run_tsdb_bridge(
                         latest_checkpoint,
                     )
 
+                    from mycenae_spark.streaming.rollup import (
+                        _read_marker,
+                    )
+
                     floors = [
                         p + 1 for p in (
                             _read_marker_as_of(d)
                             for d in rung_dirs + fines
+                        ) if p is not None
+                    ]
+                    # the algebraic fine's checked_to pin (r19 pass 8):
+                    # entries above it are the serving engine's
+                    # foreign-tail evidence — erased, the engine must
+                    # (and does) read the gap as unprovable and unroute
+                    # the fine frame, so never create the gap
+                    floors += [
+                        p + 1 for p in (
+                            _read_marker(d).get("checked_to_seq")
+                            for d in fines
                         ) if p is not None
                     ]
                     # (c) never drop entries the newest SNAPSHOT

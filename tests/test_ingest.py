@@ -833,19 +833,20 @@ def test_gc_ladder_temps_sweeps_only_old_debris(tmp_path):
 def test_backfill_crash_debris_is_swept_and_salvaged(
     spark, tmp_path, monkeypatch
 ):
-    """backfill_rollup's debris follows the shared ``<dir>_new_*`` /
-    ``<dir>_old_*`` swap convention (r19 review pass 7): a crash between
-    the generation swap and ``_carry_retained`` strands the prior
-    generation's ``_retained/`` grace areas in the ``_old_`` debris, and
-    ``gc_ladder_temps`` — the SAME sweeper that repairs refresh_ladder
-    swaps — must salvage them into the live generation before deleting
-    the debris.  The bespoke ``_rollup_old_*`` names it used before
-    matched no sweeper, so the bytes leaked forever and snapshot reads
-    pinned before the first backfill lost their retained files."""
+    """A crashed ``backfill_rollup`` generation (``<dir>_bfold_<seq>_*``)
+    holds files committed manifests still reference, so its repair is a
+    SALVAGE — every data file moves into the live generation's
+    ``_retained/<seq>``, stranded grace areas are carried — never a
+    delete (r19 review passes 7-8).  The repair runs at the heal verb
+    itself (the next ``backfill_rollup``) and, age-floored, in
+    ``gc_ladder_temps``; a fresh debris dir must survive even a
+    ``max_age_s=0`` sweep (an in-flight backfill's build/salvage loop
+    must not race the bridge's per-drain sweep), and a debris dir whose
+    live dst is GONE (the rename-to-rename torn window) is the only
+    copy and is never touched."""
     import glob
     import os
 
-    import mycenae_spark.streaming.rollup as rollup_mod
     from mycenae_spark.streaming.ingest import (
         decode_json_lines,
         prepare_points,
@@ -875,32 +876,72 @@ def test_backfill_crash_debris_is_swept_and_salvaged(
                                       recursive=True))
     assert retained_files
 
-    # second backfill crashes AFTER the swap, BEFORE the carry
-    real_carry = rollup_mod._carry_retained
+    # second backfill crashes AFTER the swap, at the START of the
+    # salvage loop: the old generation still holds its superseded data
+    # files AND the stranded _retained/<seq1> grace area
+    import mycenae_spark.maintenance as maint_mod
+
+    real_retain = maint_mod.retain_file
     calls = {"n": 0}
 
-    def crashing_carry(old_dir, new_dir):
+    def crashing_retain(section_root, seq, rel_path, src):
         calls["n"] += 1
         raise RuntimeError("simulated crash mid-backfill")
 
-    monkeypatch.setattr(rollup_mod, "_carry_retained", crashing_carry)
+    monkeypatch.setattr(maint_mod, "retain_file", crashing_retain)
     with pytest.raises(RuntimeError, match="simulated crash"):
         backfill_rollup(spark, lake, roll)
-    monkeypatch.setattr(rollup_mod, "_carry_retained", real_carry)
+    monkeypatch.setattr(maint_mod, "retain_file", real_retain)
     assert calls["n"] == 1
 
-    debris = glob.glob(roll + "_old_*")
-    assert len(debris) == 1  # the sweeper's naming convention matches
-    assert os.path.isdir(os.path.join(debris[0], "_retained", f"{seq1:020d}"))
+    debris = glob.glob(roll + "_bfold_*")
+    assert len(debris) == 1
+    seq2 = int(os.path.basename(debris[0]).split("_bfold_")[1]
+               .split("_")[0])
+    assert os.path.isdir(os.path.join(debris[0], "_retained",
+                                      f"{seq1:020d}"))
     assert not os.path.isdir(retained)  # stranded: live gen lost it
+    debris_data = sorted(
+        os.path.basename(p) for p in
+        glob.glob(debris[0] + "/ksid=*/**/*.parquet", recursive=True))
+    assert debris_data  # superseded files the crash left behind
 
+    # a fresh debris dir survives even an aggressive sweep (age floor)
+    assert gc_ladder_temps([roll], max_age_s=0) == []
+    assert os.path.isdir(debris[0])
+
+    # aged past the floor, the sweeper SALVAGES (pure moves, no delete)
+    ancient = 1.0  # epoch 1970
+    os.utime(debris[0], (ancient, ancient))
     removed = gc_ladder_temps([roll], max_age_s=0)
-    assert debris[0] in removed
+    assert removed == [debris[0]]
     assert not os.path.isdir(debris[0])
-    # the grace area came back to the LIVE generation, files intact
-    # (identical absolute paths: same roll dir, same relative layout)
+    # the stranded grace area came back to the LIVE generation intact
     assert sorted(glob.glob(retained + "/**/*.parquet",
                             recursive=True)) == retained_files
+    # the superseded data files were retained at the crashed seq
+    retained2 = os.path.join(roll, "_retained", f"{seq2:020d}")
+    assert sorted(
+        os.path.basename(p) for p in
+        glob.glob(retained2 + "/**/*.parquet", recursive=True)
+    ) == debris_data
+
+    # a third backfill runs clean over the repaired lake
+    from mycenae_spark.streaming.rollup import rollup_coverage_complete
+
+    out3 = backfill_rollup(spark, lake, roll)
+    assert out3["seq"] > seq2 and rollup_coverage_complete(roll)
+
+    # dst-missing debris (torn swap window) is never touched: it is
+    # the only copy
+    ghost = str(tmp_path / "r2m")
+    torn = ghost + "_bfold_00000000000000000007_dead"
+    os.makedirs(os.path.join(torn, "ksid=k1"))
+    with open(os.path.join(torn, "ksid=k1", "p.parquet"), "w") as f:
+        f.write("x")
+    os.utime(torn, (ancient, ancient))
+    assert gc_ladder_temps([ghost], max_age_s=0) == []
+    assert os.path.isdir(torn)
 
 
 def test_foreign_check_rejects_relative_roots(spark, tmp_path, monkeypatch):

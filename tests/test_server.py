@@ -345,7 +345,10 @@ def test_engine_fine_foreign_tail_falls_back_to_points(
     assert eng._fine_foreign_memo is None
 
     # simulate the bridge's drain-time re-pin at the current head
-    mark_rollup_coverage(roll, True, as_of_seq=commitlog.latest_seq(lake),
+    # (checked_to_seq, NOT as_of_seq — the algebraic fine stays
+    # as_of-less so cascade pin arithmetic is untouched)
+    mark_rollup_coverage(roll, True,
+                         checked_to_seq=commitlog.latest_seq(lake),
                          kind="bridge-fine")
     eng._result_cache.clear()
     assert eng.query(body)[0]["dps"][str(BASE_TS // 1000)] == \
