@@ -566,7 +566,7 @@ def backfill_rollup(
     # a stranded `_bfold_` generation holds manifest-referenced files,
     # and un-settled manifests would stall the checkpoint/settle
     # machinery this very rebuild depends on.  Idempotent pure moves.
-    _salvage_backfill_debris(rollup_dir)
+    _salvage_backfill_debris(rollup_dir, lake_dir=lake_dir)
     # Always take a FRESH FULL checkpoint: its directory listing includes
     # any legacy files written before this lake was log-tracked, matching
     # the coverage semantics of a directory scan while still pinning an
@@ -591,6 +591,10 @@ def backfill_rollup(
     # and in ``gc_ladder_temps`` (age-clamped, for lakes nobody
     # re-backfills).
     tmp = rollup_dir.rstrip("/") + f"_bfnew_{uuid.uuid4().hex[:8]}"
+    # (`_bfnew_` residual: the build dir's top-level mtime stops moving
+    # once the last partition dir is created, so a single partition's
+    # write tail longer than the sweeper's age floor could still race —
+    # accepted: the floor is hours, a partition-write tail is not)
     partials.write.mode("overwrite").partitionBy("ksid", "date").parquet(tmp)
     new_files = snap._list_data_files(tmp)
     seq = commitlog.append(
@@ -607,6 +611,12 @@ def backfill_rollup(
 
         old = (rollup_dir.rstrip("/")
                + f"_bfold_{seq:020d}_{uuid.uuid4().hex[:8]}")
+        # stamp NOW before the rename (which preserves mtime — r19
+        # review pass 9): on a lake quiet for longer than the sweeper's
+        # age floor, the debris would otherwise be born "aged" and the
+        # bridge's per-drain sweep could race this run's own salvage
+        # loop below
+        os.utime(rollup_dir, None)
         os.rename(rollup_dir, old)
         os.rename(tmp, rollup_dir)
         # Keep partials from batches that committed after the pinned cut:
@@ -688,38 +698,50 @@ _BF_DEBRIS_MIN_AGE_S = 6 * 3600
 
 
 def _salvage_backfill_debris(
-    rollup_dir: str, min_age_s: float = 0.0
+    rollup_dir: str, lake_dir: str | None = None, min_age_s: float = 0.0
 ) -> list[str]:
-    """Repair crashed ``backfill_rollup`` generations (r19 review pass
-    8).  A crash between the generation swap and the salvage/carry
-    loops strands the superseded generation as ``<dir>_bfold_<seq>_*``
-    — its data files are still referenced by committed manifests
-    (superseded partials destined for ``_retained/<seq>``, post-cut
-    partials owned by later batches), so deletion would permanently
-    un-settle those manifests and strand snapshot readers pinned before
-    the backfill.  The repair is pure moves: carry the debris's own
-    ``_retained/`` generations into the live dir, then retain every
-    remaining data file at the seq embedded in the debris name (the
-    crashed backfill's commit — where its salvage loop would have
-    superseded them; post-cut files land there too, which over-retains
-    but never under-serves: ``_find_retained`` resolves manifests
-    against every retained generation, and ``gc_retained`` ages the
-    bytes by evidence).  No-op when the live dir is absent (the
-    rename-to-rename torn window): with nothing to salvage INTO, the
-    debris is the only copy and must be left for the next backfill run
-    to supersede.  Idempotent; returns the repaired debris paths.
+    """Repair crashed ``backfill_rollup`` generations (r19 review
+    passes 8-9).  A crash between the generation swap and the
+    salvage/carry loops strands the superseded generation as
+    ``<dir>_bfold_<seq>_*`` — its data files are still referenced by
+    committed manifests (superseded partials destined for
+    ``_retained/<seq>``, post-cut partials owned by later batches), so
+    deletion would permanently un-settle those manifests and strand
+    snapshot readers pinned before the backfill.
+
+    The repair replays the crashed run's own salvage split, so it
+    needs ``lake_dir`` (without it, debris is LEFT — never guess):
+    the crashed ``rollup-backfill`` entry at the seq embedded in the
+    debris name yields the cut H it rebuilt from; files visible at H
+    are superseded and retain at ``_retained/<seq>``, files committed
+    after H are LIVE data (their manifests reference them at the
+    current head — retaining them would let ``gc_retained`` age out
+    files reads still need, r19 pass 9) and move into the live
+    generation.  An erased/unreadable entry leaves the debris in
+    place: unprovable split, loud in listings.
+
+    When the live dir is ABSENT (the rename-to-rename torn window) the
+    debris is the only copy: the newest generation is RESTORED by
+    undoing the completed first rename — without this, the heal verb
+    itself deadlocks (``write_checkpoint``'s settle loop can never see
+    the post-H partials stranded in the debris) and re-running
+    ``backfill_rollup`` raises TransientInFlight for the whole replay
+    window.  Readers pinned after the crashed entry stay broken (it
+    records files that never went live) until the follow-up backfill
+    supersedes it — loud, bounded, and strictly better than the
+    settle deadlock.
 
     ``min_age_s`` skips debris younger than the floor — the sweeper
     (``gc_ladder_temps``) runs beside arbitrary operator actions and
     must not race an in-flight backfill's own salvage loop.
     ``backfill_rollup`` itself calls with 0: same-dir concurrent
     backfills were never supported (the generation swap fails loudly),
-    so at the heal verb the debris is known-dead."""
+    so at the heal verb the debris is known-dead.  Idempotent; returns
+    the repaired (salvaged or restored) debris paths."""
     import shutil
+    import time
 
     base = rollup_dir.rstrip("/")
-    if not os.path.isdir(base):
-        return []
     parent = os.path.dirname(base) or "."
     prefix = os.path.basename(base) + "_bfold_"
     repaired: list[str] = []
@@ -727,30 +749,75 @@ def _salvage_backfill_debris(
         names = os.listdir(parent)
     except FileNotFoundError:
         return []
-    for name in sorted(names):
+    cands: list[tuple[int, str]] = []
+    for name in names:
         if not name.startswith(prefix):
             continue
-        path = os.path.join(parent, name)
-        if not os.path.isdir(path):
+        if not os.path.isdir(os.path.join(parent, name)):
             continue
         try:
-            seq = int(name[len(prefix):].split("_")[0])
+            cands.append((int(name[len(prefix):].split("_")[0]), name))
         except ValueError:
             continue  # unparseable: leave it (loud in listings)
-        if min_age_s:
-            import time
 
+    def _aged(path: str) -> bool:
+        if not min_age_s:
+            return True
+        try:
+            return time.time() - os.path.getmtime(path) >= min_age_s
+        except OSError:
+            return False
+
+    if not os.path.isdir(base) and cands:
+        _seq, name = max(cands)
+        path = os.path.join(parent, name)
+        if _aged(path):
             try:
-                if time.time() - os.path.getmtime(path) < min_age_s:
-                    continue
+                os.rename(path, base)  # torn-window restore
+                repaired.append(path)
+                cands = [c for c in cands if c[1] != name]
             except OSError:
-                continue
+                pass  # a writer recreated base meanwhile: salvage below
+    if not os.path.isdir(base):
+        return repaired
+
+    for seq, name in sorted(cands):
+        path = os.path.join(parent, name)
+        if not os.path.isdir(path) or not _aged(path):
+            continue
+        superseded = None
+        if lake_dir is not None:
+            from mycenae_spark.streaming import commitlog
+            from mycenae_spark.streaming import snapshot as snap
+
+            ent = commitlog.entry(lake_dir, seq)
+            if (ent is not None and ent.get("kind") == "rollup-backfill"
+                    and ent.get("as_of") is not None):
+                try:
+                    superseded = set(
+                        snap.resolve(lake_dir, as_of=int(ent["as_of"]))
+                        .get("rollup") or []
+                    )
+                except Exception:
+                    superseded = None
+        if superseded is None:
+            continue  # can't replay the split: leave the debris
         from mycenae_spark.maintenance import retain_file
-        from mycenae_spark.streaming import snapshot as snap
 
         _carry_retained(path, base)
         for rel in snap._list_data_files(path):
-            retain_file(base, seq, rel, os.path.join(path, rel))
+            src = os.path.join(path, rel)
+            if rel in superseded:
+                retain_file(base, seq, rel, src)
+                continue
+            dst = os.path.join(base, rel)
+            if os.path.exists(dst):
+                # a same-named live file already landed (shouldn't
+                # happen — part names are unique — but never clobber)
+                retain_file(base, seq, rel, src)
+                continue
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.move(src, dst)
         shutil.rmtree(path)
         repaired.append(path)
     return repaired
@@ -1126,7 +1193,8 @@ def refresh_sketch_ladder(
 
 
 def gc_ladder_temps(
-    rungs: "dict[int, str] | list[str]", max_age_s: float = 24 * 3600
+    rungs: "dict[int, str] | list[str]", max_age_s: float = 24 * 3600,
+    lake_dir: str | None = None,
 ) -> list[str]:
     """Sweep crash debris from cascade builds and ladder swaps by age —
     the `gc_staging` contract applied to the ladder: an interrupted
@@ -1141,9 +1209,13 @@ def gc_ladder_temps(
     debris (`<dir>_bfnew_*` builds, `<dir>_bfold_<seq>_*` superseded
     generations) is handled with different rules — a hard age floor
     (``_BF_DEBRIS_MIN_AGE_S``) whatever the dial, and `_bfold_` is
-    salvaged into the live generation's ``_retained/`` rather than
-    deleted, because committed manifests still reference its files
-    (r19 review pass 8).  Returns the paths removed or salvaged.
+    salvaged into the live generation rather than deleted, because
+    committed manifests still reference its files (r19 review passes
+    8-9).  The salvage replays the crashed backfill's superseded /
+    post-cut split, which needs ``lake_dir`` — without it, `_bfold_`
+    debris is left in place (the bridge's GC tail passes it; library
+    callers sweeping bare rung lists keep the old rung-only scope).
+    Returns the paths removed or salvaged.
     """
     import os
     import shutil
@@ -1180,7 +1252,9 @@ def gc_ladder_temps(
         # also skips them when dst is gone — the rename-to-rename torn
         # window leaves the debris as the only copy).
         bf_age = max(max_age_s, _BF_DEBRIS_MIN_AGE_S)
-        removed += _salvage_backfill_debris(dst, min_age_s=bf_age)
+        removed += _salvage_backfill_debris(
+            dst, lake_dir=lake_dir, min_age_s=bf_age
+        )
         try:
             names = sorted(os.listdir(parent))
         except FileNotFoundError:

@@ -646,7 +646,7 @@ def run_tsdb_bridge(
                     retained += gc_retained(root, evidence_age)
                 mnt["retained"] = retained
                 mnt["ladder_temps"] = gc_ladder_temps(
-                    rung_dirs + fines, age
+                    rung_dirs + fines, age, lake_dir=lake_dir
                 )
                 if commitlog_keep_last is not None:
                     # Commit-log retention (r18 VERDICT missing #5), the
@@ -670,23 +670,20 @@ def run_tsdb_bridge(
                         _read_marker,
                     )
 
-                    floors = [
-                        p + 1 for p in (
-                            _read_marker_as_of(d)
-                            for d in rung_dirs + fines
-                        ) if p is not None
-                    ]
-                    # the algebraic fine's checked_to pin (r19 pass 8):
-                    # entries above it are the serving engine's
-                    # foreign-tail evidence — erased, the engine must
-                    # (and does) read the gap as unprovable and unroute
-                    # the fine frame, so never create the gap
-                    floors += [
-                        p + 1 for p in (
-                            _read_marker(d).get("checked_to_seq")
-                            for d in fines
-                        ) if p is not None
-                    ]
+                    # one marker read per dir (r19 pass 9) covering
+                    # both pin kinds: as_of_seq (rung/sketch cascade
+                    # currency) and checked_to_seq (the algebraic
+                    # fine's foreign-tail evidence, r19 pass 8 —
+                    # erased above it, the engine must and does read
+                    # the gap as unprovable and unroute the fine
+                    # frame, so never create the gap)
+                    floors = []
+                    for d in rung_dirs + fines:
+                        m = _read_marker(d)
+                        for key in ("as_of_seq", "checked_to_seq"):
+                            p = m.get(key)
+                            if p is not None:
+                                floors.append(int(p) + 1)
                     # (c) never drop entries the newest SNAPSHOT
                     # CHECKPOINT still replays forward from (r19 review
                     # pass 5): resolve() walks (cp_seq, head], and a

@@ -906,14 +906,37 @@ def test_backfill_crash_debris_is_swept_and_salvaged(
         glob.glob(debris[0] + "/ksid=*/**/*.parquet", recursive=True))
     assert debris_data  # superseded files the crash left behind
 
+    # the debris was born with a FRESH mtime (os.utime before the
+    # rename — a rename preserves mtime, and a long-quiet lake would
+    # otherwise mint pre-aged debris the sweeper could race)
+    import time as _time
+
+    assert _time.time() - os.path.getmtime(debris[0]) < 600
+
     # a fresh debris dir survives even an aggressive sweep (age floor)
+    assert gc_ladder_temps([roll], max_age_s=0, lake_dir=lake) == []
+    assert os.path.isdir(debris[0])
+
+    # a post-cut file (committed after the crashed run's snapshot cut:
+    # not in the cut's visible set) must come back LIVE, not retained —
+    # its manifest references it at the current head, and _retained is
+    # aged out by gc_retained
+    postcut_rel = os.path.join("ksid=k1", "date=2024-01-01",
+                               "part-postcut.parquet")
+    os.makedirs(os.path.dirname(os.path.join(debris[0], postcut_rel)),
+                exist_ok=True)
+    with open(os.path.join(debris[0], postcut_rel), "w") as f:
+        f.write("postcut")
+
+    ancient = 1.0  # epoch 1970
+    os.utime(debris[0], (ancient, ancient))
+    # aged, but WITHOUT lake_dir the split is unprovable: left in place
     assert gc_ladder_temps([roll], max_age_s=0) == []
     assert os.path.isdir(debris[0])
 
-    # aged past the floor, the sweeper SALVAGES (pure moves, no delete)
-    ancient = 1.0  # epoch 1970
-    os.utime(debris[0], (ancient, ancient))
-    removed = gc_ladder_temps([roll], max_age_s=0)
+    # aged past the floor WITH lake context, the sweeper SALVAGES
+    # (pure moves, no delete)
+    removed = gc_ladder_temps([roll], max_age_s=0, lake_dir=lake)
     assert removed == [debris[0]]
     assert not os.path.isdir(debris[0])
     # the stranded grace area came back to the LIVE generation intact
@@ -925,6 +948,8 @@ def test_backfill_crash_debris_is_swept_and_salvaged(
         os.path.basename(p) for p in
         glob.glob(retained2 + "/**/*.parquet", recursive=True)
     ) == debris_data
+    # ... and the post-cut file went LIVE
+    assert os.path.isfile(os.path.join(roll, postcut_rel))
 
     # a third backfill runs clean over the repaired lake
     from mycenae_spark.streaming.rollup import rollup_coverage_complete
@@ -932,16 +957,33 @@ def test_backfill_crash_debris_is_swept_and_salvaged(
     out3 = backfill_rollup(spark, lake, roll)
     assert out3["seq"] > seq2 and rollup_coverage_complete(roll)
 
-    # dst-missing debris (torn swap window) is never touched: it is
-    # the only copy
+    # torn swap window (crash between the two renames: the live dir is
+    # GONE and the debris is the only copy): the heal verb RESTORES the
+    # newest generation — without the restore, write_checkpoint's
+    # settle loop could never see the stranded post-H partials and the
+    # heal itself would deadlock on TransientInFlight
+    seq3 = out3["seq"]
+    os.rename(roll, roll + f"_bfold_{seq3 + 1:020d}_dead")
+    out4 = backfill_rollup(spark, lake, roll)
+    assert out4["seq"] > seq3 and rollup_coverage_complete(roll)
+    assert glob.glob(roll + "_bfold_*") == []
+
+    # the sweeper performs the same restore for aged dst-missing debris
     ghost = str(tmp_path / "r2m")
     torn = ghost + "_bfold_00000000000000000007_dead"
     os.makedirs(os.path.join(torn, "ksid=k1"))
     with open(os.path.join(torn, "ksid=k1", "p.parquet"), "w") as f:
         f.write("x")
     os.utime(torn, (ancient, ancient))
+    assert gc_ladder_temps([ghost], max_age_s=0) == [torn]
+    assert os.path.isdir(ghost) and not os.path.isdir(torn)
+    assert os.path.isfile(os.path.join(ghost, "ksid=k1", "p.parquet"))
+    # ... but never a FRESH one (could be a backfill mid-swap)
+    torn2 = ghost + "_bfold_00000000000000000008_dead"
+    os.rename(ghost, torn2)
+    os.utime(torn2, None)  # the rename preserved the ancient mtime
     assert gc_ladder_temps([ghost], max_age_s=0) == []
-    assert os.path.isdir(torn)
+    assert os.path.isdir(torn2) and not os.path.isdir(ghost)
 
 
 def test_foreign_check_rejects_relative_roots(spark, tmp_path, monkeypatch):
