@@ -607,8 +607,6 @@ def backfill_rollup(
     )
     salvaged = 0
     if os.path.isdir(rollup_dir):
-        from mycenae_spark.maintenance import retain_file
-
         old = (rollup_dir.rstrip("/")
                + f"_bfold_{seq:020d}_{uuid.uuid4().hex[:8]}")
         # stamp NOW before the rename (which preserves mtime — r19
@@ -626,15 +624,8 @@ def backfill_rollup(
         # instead of being deleted, so snapshot reads pinned BEFORE this
         # backfill keep resolving (maintenance.gc_retained sweeps by age).
         superseded = set(cut["rollup"])
-        for rel in snap._list_data_files(old):
-            src = os.path.join(old, rel)
-            if rel in superseded:
-                retain_file(rollup_dir, seq, rel, src)
-                continue
-            dst = os.path.join(rollup_dir, rel)
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
-            shutil.move(src, dst)
-            salvaged += 1
+        live = set(snap._list_data_files(old)) - superseded
+        salvaged = _split_generation(old, rollup_dir, seq, live)
         _carry_retained(old, rollup_dir)
         shutil.rmtree(old)
     else:
@@ -697,6 +688,36 @@ def _carry_retained(old_dir: str, new_dir: str) -> None:
 _BF_DEBRIS_MIN_AGE_S = 6 * 3600
 
 
+def _split_generation(
+    src_dir: str, dst_dir: str, retain_seq: int, live: set
+) -> int:
+    """THE one copy of the superseded-generation split (r19 review pass
+    10 — ``backfill_rollup``'s swap loop and the debris salvage had
+    diverged): every data file in ``src_dir`` either moves LIVE into
+    ``dst_dir`` (``rel in live`` — current manifests reference it
+    there) or retains at ``dst_dir/_retained/<retain_seq>`` (pinned
+    readers may still resolve it; ``gc_retained`` ages the bytes by
+    evidence).  Never clobbers: a same-named live file (part names are
+    unique, so this should not happen) demotes the move to a retain.
+    Returns the number of files moved live."""
+    import shutil
+
+    from mycenae_spark.maintenance import retain_file
+    from mycenae_spark.streaming import snapshot as snap
+
+    moved = 0
+    for rel in snap._list_data_files(src_dir):
+        src = os.path.join(src_dir, rel)
+        dst = os.path.join(dst_dir, rel)
+        if rel in live and not os.path.exists(dst):
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.move(src, dst)
+            moved += 1
+        else:
+            retain_file(dst_dir, retain_seq, rel, src)
+    return moved
+
+
 def _salvage_backfill_debris(
     rollup_dir: str, lake_dir: str | None = None, min_age_s: float = 0.0
 ) -> list[str]:
@@ -709,16 +730,20 @@ def _salvage_backfill_debris(
     deletion would permanently un-settle those manifests and strand
     snapshot readers pinned before the backfill.
 
-    The repair replays the crashed run's own salvage split, so it
-    needs ``lake_dir`` (without it, debris is LEFT — never guess):
-    the crashed ``rollup-backfill`` entry at the seq embedded in the
-    debris name yields the cut H it rebuilt from; files visible at H
-    are superseded and retain at ``_retained/<seq>``, files committed
-    after H are LIVE data (their manifests reference them at the
-    current head — retaining them would let ``gc_retained`` age out
-    files reads still need, r19 pass 9) and move into the live
-    generation.  An erased/unreadable entry leaves the debris in
-    place: unprovable split, loud in listings.
+    The split classifies each debris file against the CURRENT head's
+    visible set, so it needs ``lake_dir`` (without it, debris is LEFT
+    — never guess): a file today's manifests reference moves LIVE into
+    the current generation (retaining it would let ``gc_retained`` age
+    out files reads still need, r19 pass 9); everything else retains
+    at ``_retained/<seq>`` (the seq embedded in the debris name) for
+    readers pinned in the past.  Head-relative, not crashed-cut-
+    relative, on purpose (r19 pass 10): a LATER successful backfill's
+    recompute re-covers the stranded post-cut batches, and a split
+    against the crashed run's own cut would then move those files live
+    into the newer generation — duplicate mergeable partials that
+    directory-scan readers would double-count.  Against the head, a
+    superseded-by-later-rebuild file is simply no longer visible and
+    retains.
 
     When the live dir is ABSENT (the rename-to-rename torn window) the
     debris is the only copy: the newest generation is RESTORED by
@@ -726,10 +751,14 @@ def _salvage_backfill_debris(
     itself deadlocks (``write_checkpoint``'s settle loop can never see
     the post-H partials stranded in the debris) and re-running
     ``backfill_rollup`` raises TransientInFlight for the whole replay
-    window.  Readers pinned after the crashed entry stay broken (it
-    records files that never went live) until the follow-up backfill
-    supersedes it — loud, bounded, and strictly better than the
-    settle deadlock.
+    window.  The restored marker is immediately DEMOTED to incomplete
+    (r19 pass 10): the restored generation may be arbitrarily stale
+    (the live dir could have been lost long after this debris was
+    written), so it must not re-enter routing on its old
+    coverage-complete marker — the restore exists to un-deadlock the
+    settle machinery, and only ``backfill_rollup``'s own rebuild
+    re-proves coverage.  Restore also requires ``lake_dir`` (a bare
+    rung sweep must never resurrect a generation).
 
     ``min_age_s`` skips debris younger than the floor — the sweeper
     (``gc_ladder_temps``) runs beside arbitrary operator actions and
@@ -768,6 +797,9 @@ def _salvage_backfill_debris(
         except OSError:
             return False
 
+    if lake_dir is None:
+        return []  # no lake context: never restore, never split
+
     if not os.path.isdir(base) and cands:
         _seq, name = max(cands)
         path = os.path.join(parent, name)
@@ -776,48 +808,47 @@ def _salvage_backfill_debris(
                 os.rename(path, base)  # torn-window restore
                 repaired.append(path)
                 cands = [c for c in cands if c[1] != name]
+                # demote immediately: the restored generation may be
+                # arbitrarily stale — it must not re-enter routing on
+                # its old coverage-complete marker (r19 pass 10)
+                mark_rollup_coverage(base, False)
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "restored torn backfill generation %s -> %s "
+                    "(coverage demoted; run backfill_rollup to "
+                    "re-prove it)", path, base,
+                )
             except OSError:
                 pass  # a writer recreated base meanwhile: salvage below
     if not os.path.isdir(base):
         return repaired
 
+    live = None
+    if cands and any(_aged(os.path.join(parent, n)) for _s, n in cands):
+        from mycenae_spark.streaming import commitlog
+        from mycenae_spark.streaming import snapshot as snap
+
+        head = commitlog.latest_seq(lake_dir)
+        if head is None:
+            live = set()  # nothing ever committed: nothing is visible
+        else:
+            try:
+                live = set(
+                    snap.resolve(lake_dir, as_of=head).get("rollup")
+                    or []
+                )
+            except Exception:
+                live = None
+    if live is None:
+        return repaired  # can't prove the split: leave the debris
+
     for seq, name in sorted(cands):
         path = os.path.join(parent, name)
         if not os.path.isdir(path) or not _aged(path):
             continue
-        superseded = None
-        if lake_dir is not None:
-            from mycenae_spark.streaming import commitlog
-            from mycenae_spark.streaming import snapshot as snap
-
-            ent = commitlog.entry(lake_dir, seq)
-            if (ent is not None and ent.get("kind") == "rollup-backfill"
-                    and ent.get("as_of") is not None):
-                try:
-                    superseded = set(
-                        snap.resolve(lake_dir, as_of=int(ent["as_of"]))
-                        .get("rollup") or []
-                    )
-                except Exception:
-                    superseded = None
-        if superseded is None:
-            continue  # can't replay the split: leave the debris
-        from mycenae_spark.maintenance import retain_file
-
         _carry_retained(path, base)
-        for rel in snap._list_data_files(path):
-            src = os.path.join(path, rel)
-            if rel in superseded:
-                retain_file(base, seq, rel, src)
-                continue
-            dst = os.path.join(base, rel)
-            if os.path.exists(dst):
-                # a same-named live file already landed (shouldn't
-                # happen — part names are unique — but never clobber)
-                retain_file(base, seq, rel, src)
-                continue
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
-            shutil.move(src, dst)
+        _split_generation(path, base, seq, live)
         shutil.rmtree(path)
         repaired.append(path)
     return repaired
@@ -1248,9 +1279,10 @@ def gc_ladder_temps(
         # the bridge's per-drain sweep, and its multi-minute Spark
         # build / salvage loop must not race a `max_age_s=0` sweep.
         # `_bfold_` generations hold manifest-referenced files and are
-        # SALVAGED into the live generation, never deleted (the helper
-        # also skips them when dst is gone — the rename-to-rename torn
-        # window leaves the debris as the only copy).
+        # SALVAGED into the live generation, never deleted; when dst
+        # is gone (the rename-to-rename torn window) the helper
+        # RESTORES the newest generation with its coverage demoted —
+        # both need lake_dir, so a bare rung sweep leaves them alone.
         bf_age = max(max_age_s, _BF_DEBRIS_MIN_AGE_S)
         removed += _salvage_backfill_debris(
             dst, lake_dir=lake_dir, min_age_s=bf_age

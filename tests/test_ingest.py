@@ -841,9 +841,11 @@ def test_backfill_crash_debris_is_swept_and_salvaged(
     itself (the next ``backfill_rollup``) and, age-floored, in
     ``gc_ladder_temps``; a fresh debris dir must survive even a
     ``max_age_s=0`` sweep (an in-flight backfill's build/salvage loop
-    must not race the bridge's per-drain sweep), and a debris dir whose
+    must not race the bridge's per-drain sweep).  A debris dir whose
     live dst is GONE (the rename-to-rename torn window) is the only
-    copy and is never touched."""
+    copy: aged and with lake context it is RESTORED with coverage
+    demoted (never re-entering routing on its stale marker); fresh or
+    context-less it is left alone."""
     import glob
     import os
 
@@ -889,6 +891,8 @@ def test_backfill_crash_debris_is_swept_and_salvaged(
         raise RuntimeError("simulated crash mid-backfill")
 
     monkeypatch.setattr(maint_mod, "retain_file", crashing_retain)
+    ancient = 1.0  # epoch 1970
+    os.utime(roll, (ancient, ancient))  # a long-quiet lake's mtime
     with pytest.raises(RuntimeError, match="simulated crash"):
         backfill_rollup(spark, lake, roll)
     monkeypatch.setattr(maint_mod, "retain_file", real_retain)
@@ -906,9 +910,10 @@ def test_backfill_crash_debris_is_swept_and_salvaged(
         glob.glob(debris[0] + "/ksid=*/**/*.parquet", recursive=True))
     assert debris_data  # superseded files the crash left behind
 
-    # the debris was born with a FRESH mtime (os.utime before the
-    # rename — a rename preserves mtime, and a long-quiet lake would
-    # otherwise mint pre-aged debris the sweeper could race)
+    # the debris was born with a FRESH mtime despite the pre-aged live
+    # dir (os.utime before the rename — a rename preserves mtime, so a
+    # long-quiet lake would otherwise mint pre-aged debris the
+    # bridge's sweep could race mid-salvage)
     import time as _time
 
     assert _time.time() - os.path.getmtime(debris[0]) < 600
@@ -917,18 +922,17 @@ def test_backfill_crash_debris_is_swept_and_salvaged(
     assert gc_ladder_temps([roll], max_age_s=0, lake_dir=lake) == []
     assert os.path.isdir(debris[0])
 
-    # a post-cut file (committed after the crashed run's snapshot cut:
-    # not in the cut's visible set) must come back LIVE, not retained —
-    # its manifest references it at the current head, and _retained is
-    # aged out by gc_retained
-    postcut_rel = os.path.join("ksid=k1", "date=2024-01-01",
-                               "part-postcut.parquet")
-    os.makedirs(os.path.dirname(os.path.join(debris[0], postcut_rel)),
-                exist_ok=True)
-    with open(os.path.join(debris[0], postcut_rel), "w") as f:
-        f.write("postcut")
+    # a HEAD-VISIBLE file stranded in the debris (the post-cut batch
+    # class: its manifest references it at the current head) must come
+    # back LIVE, not retained — _retained is aged out by gc_retained
+    import shutil as _shutil
 
-    ancient = 1.0  # epoch 1970
+    strand_abs = sorted(glob.glob(roll + "/ksid=*/**/*.parquet",
+                                  recursive=True))[0]
+    strand_rel = os.path.relpath(strand_abs, roll)
+    _shutil.move(strand_abs,
+                 os.path.join(debris[0], strand_rel))
+
     os.utime(debris[0], (ancient, ancient))
     # aged, but WITHOUT lake_dir the split is unprovable: left in place
     assert gc_ladder_temps([roll], max_age_s=0) == []
@@ -948,8 +952,8 @@ def test_backfill_crash_debris_is_swept_and_salvaged(
         os.path.basename(p) for p in
         glob.glob(retained2 + "/**/*.parquet", recursive=True)
     ) == debris_data
-    # ... and the post-cut file went LIVE
-    assert os.path.isfile(os.path.join(roll, postcut_rel))
+    # ... and the head-visible file went back LIVE
+    assert os.path.isfile(os.path.join(roll, strand_rel))
 
     # a third backfill runs clean over the repaired lake
     from mycenae_spark.streaming.rollup import rollup_coverage_complete
@@ -969,20 +973,25 @@ def test_backfill_crash_debris_is_swept_and_salvaged(
     assert glob.glob(roll + "_bfold_*") == []
 
     # the sweeper performs the same restore for aged dst-missing debris
+    # — WITH lake context only, and the restored marker is DEMOTED so a
+    # stale resurrected generation never re-enters routing
     ghost = str(tmp_path / "r2m")
     torn = ghost + "_bfold_00000000000000000007_dead"
     os.makedirs(os.path.join(torn, "ksid=k1"))
     with open(os.path.join(torn, "ksid=k1", "p.parquet"), "w") as f:
         f.write("x")
     os.utime(torn, (ancient, ancient))
-    assert gc_ladder_temps([ghost], max_age_s=0) == [torn]
+    assert gc_ladder_temps([ghost], max_age_s=0) == []  # no lake ctx
+    assert os.path.isdir(torn)
+    assert gc_ladder_temps([ghost], max_age_s=0, lake_dir=lake) == [torn]
     assert os.path.isdir(ghost) and not os.path.isdir(torn)
     assert os.path.isfile(os.path.join(ghost, "ksid=k1", "p.parquet"))
+    assert not rollup_coverage_complete(ghost)  # demoted on restore
     # ... but never a FRESH one (could be a backfill mid-swap)
     torn2 = ghost + "_bfold_00000000000000000008_dead"
     os.rename(ghost, torn2)
     os.utime(torn2, None)  # the rename preserved the ancient mtime
-    assert gc_ladder_temps([ghost], max_age_s=0) == []
+    assert gc_ladder_temps([ghost], max_age_s=0, lake_dir=lake) == []
     assert os.path.isdir(torn2) and not os.path.isdir(ghost)
 
 
