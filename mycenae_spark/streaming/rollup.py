@@ -624,8 +624,10 @@ def backfill_rollup(
         # instead of being deleted, so snapshot reads pinned BEFORE this
         # backfill keep resolving (maintenance.gc_retained sweeps by age).
         superseded = set(cut["rollup"])
-        live = set(snap._list_data_files(old)) - superseded
-        salvaged = _split_generation(old, rollup_dir, seq, live)
+        rels = snap._list_data_files(old)
+        salvaged = _split_generation(
+            old, rollup_dir, seq, set(rels) - superseded, rels=rels
+        )
         _carry_retained(old, rollup_dir)
         shutil.rmtree(old)
     else:
@@ -689,7 +691,8 @@ _BF_DEBRIS_MIN_AGE_S = 6 * 3600
 
 
 def _split_generation(
-    src_dir: str, dst_dir: str, retain_seq: int, live: set
+    src_dir: str, dst_dir: str, retain_seq: int, live: set,
+    rels: "list[str] | None" = None,
 ) -> int:
     """THE one copy of the superseded-generation split (r19 review pass
     10 — ``backfill_rollup``'s swap loop and the debris salvage had
@@ -699,6 +702,7 @@ def _split_generation(
     readers may still resolve it; ``gc_retained`` ages the bytes by
     evidence).  Never clobbers: a same-named live file (part names are
     unique, so this should not happen) demotes the move to a retain.
+    ``rels`` skips re-listing when the caller already walked the tree.
     Returns the number of files moved live."""
     import shutil
 
@@ -706,7 +710,7 @@ def _split_generation(
     from mycenae_spark.streaming import snapshot as snap
 
     moved = 0
-    for rel in snap._list_data_files(src_dir):
+    for rel in (snap._list_data_files(src_dir) if rels is None else rels):
         src = os.path.join(src_dir, rel)
         dst = os.path.join(dst_dir, rel)
         if rel in live and not os.path.exists(dst):
@@ -760,6 +764,14 @@ def _salvage_backfill_debris(
     re-proves coverage.  Restore also requires ``lake_dir`` (a bare
     rung sweep must never resurrect a generation).
 
+    Both paths first prove PROVENANCE (r19 pass 11): the debris seq
+    must name a ``rollup-backfill`` entry in THIS lake's log whose
+    recorded absolute root is THIS dir — a sweep list can carry dirs
+    whose backfills ran against a different lake, and splitting their
+    debris against our head would retain-and-age-out files the other
+    lake's manifests still reference.  Unprovable debris is left
+    loudly in place.
+
     ``min_age_s`` skips debris younger than the floor — the sweeper
     (``gc_ladder_temps``) runs beside arbitrary operator actions and
     must not race an in-flight backfill's own salvage loop.
@@ -800,18 +812,43 @@ def _salvage_backfill_debris(
     if lake_dir is None:
         return []  # no lake context: never restore, never split
 
+    from mycenae_spark.streaming import commitlog
+
+    def _is_ours(seq: int) -> bool:
+        # The debris seq must correspond to a rollup-backfill entry in
+        # THIS lake's log whose recorded root is THIS dir (r19 review
+        # pass 11): a sweep list can carry dirs whose backfills ran
+        # against a DIFFERENT lake — splitting their debris against
+        # our head-visible set would retain-and-age-out files the
+        # other lake's manifests still reference.  Unprovable
+        # provenance (entry erased/pre-root/relative/other root) reads
+        # as not-ours: left loudly in place.
+        ent = commitlog.entry(lake_dir, seq)
+        if ent is None or ent.get("kind") != "rollup-backfill":
+            return False
+        root = ent.get("root")
+        return (root is not None and os.path.isabs(root)
+                and os.path.realpath(root) == os.path.realpath(base))
+
     if not os.path.isdir(base) and cands:
-        _seq, name = max(cands)
+        seq, name = max(cands)
         path = os.path.join(parent, name)
-        if _aged(path):
+        if _aged(path) and _is_ours(seq):
+            # demote INTO THE DEBRIS first (r19 pass 11 — the marker
+            # travels with the rename): demote-after-restore left a
+            # crash window where the resurrected stale generation kept
+            # its coverage-complete marker, and the old broad except
+            # could swallow a failed demote.  A crash after this mark
+            # but before the rename just leaves demoted debris —
+            # idempotent.
+            mark_rollup_coverage(path, False)
             try:
                 os.rename(path, base)  # torn-window restore
+            except OSError:
+                pass  # a writer recreated base meanwhile: salvage below
+            else:
                 repaired.append(path)
                 cands = [c for c in cands if c[1] != name]
-                # demote immediately: the restored generation may be
-                # arbitrarily stale — it must not re-enter routing on
-                # its old coverage-complete marker (r19 pass 10)
-                mark_rollup_coverage(base, False)
                 import logging
 
                 logging.getLogger(__name__).warning(
@@ -819,34 +856,33 @@ def _salvage_backfill_debris(
                     "(coverage demoted; run backfill_rollup to "
                     "re-prove it)", path, base,
                 )
-            except OSError:
-                pass  # a writer recreated base meanwhile: salvage below
     if not os.path.isdir(base):
         return repaired
 
-    live = None
-    if cands and any(_aged(os.path.join(parent, n)) for _s, n in cands):
-        from mycenae_spark.streaming import commitlog
-        from mycenae_spark.streaming import snapshot as snap
+    todo = [
+        (seq, name) for seq, name in sorted(cands)
+        if os.path.isdir(os.path.join(parent, name))
+        and _aged(os.path.join(parent, name)) and _is_ours(seq)
+    ]
+    if not todo:
+        return repaired
+    from mycenae_spark.streaming import snapshot as snap
 
-        head = commitlog.latest_seq(lake_dir)
-        if head is None:
-            live = set()  # nothing ever committed: nothing is visible
-        else:
-            try:
-                live = set(
-                    snap.resolve(lake_dir, as_of=head).get("rollup")
-                    or []
-                )
-            except Exception:
-                live = None
+    head = commitlog.latest_seq(lake_dir)
+    if not head:
+        live: "set | None" = set()  # nothing committed: nothing visible
+    else:
+        try:
+            live = set(
+                snap.resolve(lake_dir, as_of=head).get("rollup") or []
+            )
+        except Exception:
+            live = None
     if live is None:
         return repaired  # can't prove the split: leave the debris
 
-    for seq, name in sorted(cands):
+    for seq, name in todo:
         path = os.path.join(parent, name)
-        if not os.path.isdir(path) or not _aged(path):
-            continue
         _carry_retained(path, base)
         _split_generation(path, base, seq, live)
         shutil.rmtree(path)

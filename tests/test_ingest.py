@@ -967,14 +967,18 @@ def test_backfill_crash_debris_is_swept_and_salvaged(
     # settle loop could never see the stranded post-H partials and the
     # heal itself would deadlock on TransientInFlight
     seq3 = out3["seq"]
-    os.rename(roll, roll + f"_bfold_{seq3 + 1:020d}_dead")
+    # the debris name carries the crashed run's own entry seq — the
+    # provenance check requires a matching rollup-backfill entry with
+    # this dir as its recorded root
+    os.rename(roll, roll + f"_bfold_{seq3:020d}_dead")
     out4 = backfill_rollup(spark, lake, roll)
     assert out4["seq"] > seq3 and rollup_coverage_complete(roll)
     assert glob.glob(roll + "_bfold_*") == []
 
-    # the sweeper performs the same restore for aged dst-missing debris
-    # — WITH lake context only, and the restored marker is DEMOTED so a
-    # stale resurrected generation never re-enters routing
+    # debris whose seq names no rollup-backfill entry of THIS lake
+    # with THIS dir as its root (a different lake's backfill, an
+    # erased entry) is unprovable: never restored, never split — left
+    # loudly in place however aged
     ghost = str(tmp_path / "r2m")
     torn = ghost + "_bfold_00000000000000000007_dead"
     os.makedirs(os.path.join(torn, "ksid=k1"))
@@ -982,17 +986,23 @@ def test_backfill_crash_debris_is_swept_and_salvaged(
         f.write("x")
     os.utime(torn, (ancient, ancient))
     assert gc_ladder_temps([ghost], max_age_s=0) == []  # no lake ctx
-    assert os.path.isdir(torn)
-    assert gc_ladder_temps([ghost], max_age_s=0, lake_dir=lake) == [torn]
-    assert os.path.isdir(ghost) and not os.path.isdir(torn)
-    assert os.path.isfile(os.path.join(ghost, "ksid=k1", "p.parquet"))
-    assert not rollup_coverage_complete(ghost)  # demoted on restore
-    # ... but never a FRESH one (could be a backfill mid-swap)
-    torn2 = ghost + "_bfold_00000000000000000008_dead"
-    os.rename(ghost, torn2)
-    os.utime(torn2, None)  # the rename preserved the ancient mtime
     assert gc_ladder_temps([ghost], max_age_s=0, lake_dir=lake) == []
-    assert os.path.isdir(torn2) and not os.path.isdir(ghost)
+    assert os.path.isdir(torn) and not os.path.isdir(ghost)
+
+    # the sweeper's restore path (same helper as the heal verb) — a
+    # PROVEN torn generation restores with its coverage demoted
+    seq4 = out4["seq"]
+    os.rename(roll, roll + f"_bfold_{seq4:020d}_dead")
+    swept = gc_ladder_temps([roll], max_age_s=0, lake_dir=lake)
+    # fresh debris: the age floor blocks even the proven restore
+    assert swept == [] and not os.path.isdir(roll)
+    os.utime(roll + f"_bfold_{seq4:020d}_dead", (ancient, ancient))
+    swept = gc_ladder_temps([roll], max_age_s=0, lake_dir=lake)
+    assert swept == [roll + f"_bfold_{seq4:020d}_dead"]
+    assert os.path.isdir(roll)
+    assert not rollup_coverage_complete(roll)  # demoted on restore
+    backfill_rollup(spark, lake, roll)
+    assert rollup_coverage_complete(roll)
 
 
 def test_foreign_check_rejects_relative_roots(spark, tmp_path, monkeypatch):
