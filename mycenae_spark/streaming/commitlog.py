@@ -54,6 +54,27 @@ def _seq_of(name: str) -> int | None:
         return None
 
 
+def proves_same_root(recorded: "str | None", target: str) -> bool:
+    """True iff a manifest/entry ``root`` PROVES it names ``target``:
+    absolute and realpath-equal.  THE one copy of the evidence bar
+    (r19 review pass 12 — it had grown four inline copies): a relative
+    recorded root realpaths against the READER's cwd, so it proves
+    nothing either way; None proves nothing.  Callers decide what
+    "can't prove" means for them (offender, wait, leave-alone)."""
+    return (recorded is not None and os.path.isabs(recorded)
+            and os.path.realpath(recorded) == os.path.realpath(target))
+
+
+def proves_different_root(recorded: "str | None", target: str) -> bool:
+    """True iff a recorded ``root`` PROVES it names a dir OTHER than
+    ``target`` — absolute and realpath-unequal.  The complement of
+    :func:`proves_same_root` over proven evidence only: None and
+    relative roots prove nothing, so BOTH predicates return False for
+    them."""
+    return (recorded is not None and os.path.isabs(recorded)
+            and os.path.realpath(recorded) != os.path.realpath(target))
+
+
 def latest_seq(lake_dir: str) -> int:
     """Highest committed sequence number, 0 if the log is empty."""
     d = _log_dir(lake_dir)

@@ -566,7 +566,8 @@ def backfill_rollup(
     # a stranded `_bfold_` generation holds manifest-referenced files,
     # and un-settled manifests would stall the checkpoint/settle
     # machinery this very rebuild depends on.  Idempotent pure moves.
-    _salvage_backfill_debris(rollup_dir, lake_dir=lake_dir)
+    _salvage_backfill_debris(rollup_dir, lake_dir=lake_dir,
+                             allow_unproven_restore=True)
     # Always take a FRESH FULL checkpoint: its directory listing includes
     # any legacy files written before this lake was log-tracked, matching
     # the coverage semantics of a directory scan while still pinning an
@@ -723,7 +724,8 @@ def _split_generation(
 
 
 def _salvage_backfill_debris(
-    rollup_dir: str, lake_dir: str | None = None, min_age_s: float = 0.0
+    rollup_dir: str, lake_dir: str | None = None, min_age_s: float = 0.0,
+    allow_unproven_restore: bool = False,
 ) -> list[str]:
     """Repair crashed ``backfill_rollup`` generations (r19 review
     passes 8-9).  A crash between the generation swap and the
@@ -770,7 +772,13 @@ def _salvage_backfill_debris(
     whose backfills ran against a different lake, and splitting their
     debris against our head would retain-and-age-out files the other
     lake's manifests still reference.  Unprovable debris is left
-    loudly in place.
+    loudly in place — except that the HEAL VERB may restore an
+    unproven newest generation when the live dir is gone
+    (``allow_unproven_restore``, r19 pass 12): with the debris's entry
+    truncated from the log, a strict refusal would leave the settle
+    machinery deadlocked forever, and the demote + follow-up rebuild
+    bound the damage of a wrong guess.  The background sweeper never
+    guesses.
 
     ``min_age_s`` skips debris younger than the floor — the sweeper
     (``gc_ladder_temps``) runs beside arbitrary operator actions and
@@ -826,14 +834,38 @@ def _salvage_backfill_debris(
         ent = commitlog.entry(lake_dir, seq)
         if ent is None or ent.get("kind") != "rollup-backfill":
             return False
-        root = ent.get("root")
-        return (root is not None and os.path.isabs(root)
-                and os.path.realpath(root) == os.path.realpath(base))
+        return commitlog.proves_same_root(ent.get("root"), base)
+
+    # agedness captured BEFORE any mutation (r19 pass 12): the restore
+    # path writes a marker into the debris, which freshens its mtime —
+    # evaluated lazily, a failed restore rename would then skip the
+    # very "salvage below" fallback it promises for a full floor cycle
+    was_aged = {name: _aged(os.path.join(parent, name))
+                for _seq, name in cands}
 
     if not os.path.isdir(base) and cands:
-        seq, name = max(cands)
-        path = os.path.join(parent, name)
-        if _aged(path) and _is_ours(seq):
+        # prefer the newest PROVEN generation (r19 pass 12 — an
+        # unprovable newer debris dir must not block a provable
+        # restore); with none proven, the HEAL VERB may restore the
+        # newest unproven one: backfill_rollup is an explicit operator
+        # action on this dir, the demote keeps a wrong guess out of
+        # routing, and the follow-up rebuild supersedes it — while a
+        # refusal here would leave the settle machinery deadlocked
+        # whenever the debris's entry was truncated (r19 pass 12; the
+        # bridge also floors commit-log retention at outstanding
+        # debris seqs so its own GC never creates that state).  The
+        # background sweeper never guesses.
+        pick = None
+        proven = [c for c in cands if was_aged[c[1]] and _is_ours(c[0])]
+        if proven:
+            pick = max(proven)
+        elif allow_unproven_restore:
+            aged_cands = [c for c in cands if was_aged[c[1]]]
+            if aged_cands:
+                pick = max(aged_cands)
+        if pick is not None:
+            seq, name = pick
+            path = os.path.join(parent, name)
             # demote INTO THE DEBRIS first (r19 pass 11 — the marker
             # travels with the rename): demote-after-restore left a
             # crash window where the resurrected stale generation kept
@@ -862,7 +894,7 @@ def _salvage_backfill_debris(
     todo = [
         (seq, name) for seq, name in sorted(cands)
         if os.path.isdir(os.path.join(parent, name))
-        and _aged(os.path.join(parent, name)) and _is_ours(seq)
+        and was_aged[name] and _is_ours(seq)
     ]
     if not todo:
         return repaired

@@ -147,11 +147,7 @@ def _appends_settled(
             # for a LOCAL batch (r19 review pass 5).  New manifests
             # record absolute roots; relative = "can't prove" = wait.
             man_root = man_roots.get(section)
-            if (
-                man_root is not None
-                and os.path.isabs(man_root)
-                and os.path.realpath(man_root) != os.path.realpath(root)
-            ):
+            if commitlog.proves_different_root(man_root, root):
                 continue
             for rel in manifest.get(section, ()):
                 if not os.path.exists(os.path.join(root, rel)) and (

@@ -101,10 +101,8 @@ def foreign_sketchless_appends(
             # DURING the backfill's run window (as_of < seq < entry
             # seq) is not in that snapshot and stays an offender.
             got = ent.get("root")
-            if want_rollup is None or (
-                got is not None
-                and os.path.isabs(got)
-                and os.path.realpath(got) == os.path.realpath(want_rollup)
+            if want_rollup is None or commitlog.proves_same_root(
+                got, want_rollup
             ):
                 healed = int(ent.get("as_of") or 0)
                 out["rollup"] = [s for s in out["rollup"] if s > healed]
@@ -128,14 +126,8 @@ def foreign_sketchless_appends(
             if want is not None:
                 got = roots.get(fam)
                 # same evidence bar as the backfill absolution above
-                # (r19 review pass 7): a RELATIVE recorded root realpaths
-                # against THIS reader's cwd, so it can't prove the writer
-                # maintained OUR fine dir — "can't prove" reads offender
-                if (
-                    got is None
-                    or not os.path.isabs(got)
-                    or os.path.realpath(got) != os.path.realpath(want)
-                ):
+                # (r19 review pass 7): "can't prove" reads offender
+                if not commitlog.proves_same_root(got, want):
                     out[fam].append(seq)
     return {fam: seqs for fam, seqs in out.items() if seqs}
 
@@ -684,6 +676,27 @@ def run_tsdb_bridge(
                             p = m.get(key)
                             if p is not None:
                                 floors.append(int(p) + 1)
+                    # (d) outstanding backfill debris: the entry at its
+                    # seq is the PROVENANCE evidence the salvage/
+                    # restore needs (r19 pass 12) — truncating it would
+                    # force the heal verb onto its guess path
+                    for d in fines:
+                        b = d.rstrip("/")
+                        pfx = os.path.basename(b) + "_bfold_"
+                        try:
+                            names = os.listdir(
+                                os.path.dirname(b) or "."
+                            )
+                        except FileNotFoundError:
+                            continue
+                        for n in names:
+                            if n.startswith(pfx):
+                                try:
+                                    floors.append(
+                                        int(n[len(pfx):].split("_")[0])
+                                    )
+                                except ValueError:
+                                    pass
                     # (c) never drop entries the newest SNAPSHOT
                     # CHECKPOINT still replays forward from (r19 review
                     # pass 5): resolve() walks (cp_seq, head], and a
