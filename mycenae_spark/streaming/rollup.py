@@ -844,25 +844,37 @@ def _salvage_backfill_debris(
                 for _seq, name in cands}
 
     if not os.path.isdir(base) and cands:
-        # prefer the newest PROVEN generation (r19 pass 12 — an
-        # unprovable newer debris dir must not block a provable
-        # restore); with none proven, the HEAL VERB may restore the
-        # newest unproven one: backfill_rollup is an explicit operator
-        # action on this dir, the demote keeps a wrong guess out of
-        # routing, and the follow-up rebuild supersedes it — while a
-        # refusal here would leave the settle machinery deadlocked
-        # whenever the debris's entry was truncated (r19 pass 12; the
+        # Restore targets the NEWEST candidate only (r19 pass 13): it
+        # is the generation whose absence blocks settling, and a
+        # YOUNG newest debris beside a missing base is the signature
+        # of an in-flight backfill mid-swap — restoring an older
+        # generation under it would make the live run's second rename
+        # fail.  A proven newest restores on both paths; an unproven
+        # one only at the HEAL VERB (backfill_rollup is an explicit
+        # operator action on this dir, the demote keeps a wrong guess
+        # out of routing, and the follow-up rebuild supersedes it —
+        # while a strict refusal would leave the settle machinery
+        # deadlocked whenever the debris's entry was truncated; the
         # bridge also floors commit-log retention at outstanding
-        # debris seqs so its own GC never creates that state).  The
-        # background sweeper never guesses.
+        # debris seqs so its own GC never creates that state).  An
+        # AFFIRMATIVELY DISPROVEN newest (its entry names a different
+        # root) never restores — guessing is for absent evidence, not
+        # against present evidence.  The background sweeper never
+        # guesses at all.
         pick = None
-        proven = [c for c in cands if was_aged[c[1]] and _is_ours(c[0])]
-        if proven:
-            pick = max(proven)
-        elif allow_unproven_restore:
-            aged_cands = [c for c in cands if was_aged[c[1]]]
-            if aged_cands:
-                pick = max(aged_cands)
+        seq, name = max(cands)
+        if was_aged[name]:
+            ent = commitlog.entry(lake_dir, seq)
+            disproven = (
+                ent is not None
+                and ent.get("kind") == "rollup-backfill"
+                and commitlog.proves_different_root(
+                    ent.get("root"), base)
+            )
+            if _is_ours(seq) or (
+                allow_unproven_restore and not disproven
+            ):
+                pick = (seq, name)
         if pick is not None:
             seq, name = pick
             path = os.path.join(parent, name)

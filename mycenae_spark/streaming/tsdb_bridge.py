@@ -679,24 +679,43 @@ def run_tsdb_bridge(
                     # (d) outstanding backfill debris: the entry at its
                     # seq is the PROVENANCE evidence the salvage/
                     # restore needs (r19 pass 12) — truncating it would
-                    # force the heal verb onto its guess path
-                    for d in fines:
+                    # force the heal verb onto its guess path.  Scans
+                    # every swept dir (rungs too — gc_ladder_temps
+                    # salvages rung debris, r19 pass 13), dirs only,
+                    # and WARNS when a floor pins: debris nobody heals
+                    # holds commit-log truncation indefinitely, and the
+                    # actionable remedy (run the dir's backfill, or
+                    # remove debris the log disowns) belongs in the
+                    # operator's face, not a silent growing log.
+                    debris_floors: dict = {}
+                    for d in rung_dirs + fines:
                         b = d.rstrip("/")
                         pfx = os.path.basename(b) + "_bfold_"
+                        par = os.path.dirname(b) or "."
                         try:
-                            names = os.listdir(
-                                os.path.dirname(b) or "."
-                            )
+                            names = os.listdir(par)
                         except FileNotFoundError:
                             continue
                         for n in names:
-                            if n.startswith(pfx):
-                                try:
-                                    floors.append(
-                                        int(n[len(pfx):].split("_")[0])
-                                    )
-                                except ValueError:
-                                    pass
+                            if not n.startswith(pfx) or not os.path.isdir(
+                                    os.path.join(par, n)):
+                                continue
+                            try:
+                                debris_floors[os.path.join(par, n)] = int(
+                                    n[len(pfx):].split("_")[0]
+                                )
+                            except ValueError:
+                                pass
+                    if debris_floors:
+                        floors += debris_floors.values()
+                        log.warning(
+                            "commit-log truncation floored at "
+                            "outstanding backfill debris %s — heal "
+                            "with the dir's backfill_rollup (or "
+                            "remove debris the log disowns) to "
+                            "unpin retention",
+                            dict(sorted(debris_floors.items())),
+                        )
                     # (c) never drop entries the newest SNAPSHOT
                     # CHECKPOINT still replays forward from (r19 review
                     # pass 5): resolve() walks (cp_seq, head], and a
