@@ -723,6 +723,39 @@ def _split_generation(
     return moved
 
 
+def _list_backfill_debris(
+    dst: str, names: "list[str] | None" = None
+) -> "list[tuple[int, str]]":
+    """``[(seq, path)]`` of ``<dst>_bfold_<seq>_*`` debris DIRS — THE
+    one copy of the debris naming contract (r19 pass 14: the prefix
+    match + seq parse had grown three hand-synced copies across the
+    salvage, the sweeper, and the bridge's retention floor).
+    Unparseable or non-directory matches are skipped (left loudly in
+    listings).  ``names`` skips the parent listing when the caller
+    already holds it (the bridge floors many sibling rungs per
+    drain)."""
+    base = dst.rstrip("/")
+    parent = os.path.dirname(base) or "."
+    prefix = os.path.basename(base) + "_bfold_"
+    if names is None:
+        try:
+            names = os.listdir(parent)
+        except FileNotFoundError:
+            return []
+    out: list[tuple[int, str]] = []
+    for name in names:
+        if not name.startswith(prefix):
+            continue
+        path = os.path.join(parent, name)
+        if not os.path.isdir(path):
+            continue
+        try:
+            out.append((int(name[len(prefix):].split("_")[0]), path))
+        except ValueError:
+            continue
+    return out
+
+
 def _salvage_backfill_debris(
     rollup_dir: str, lake_dir: str | None = None, min_age_s: float = 0.0,
     allow_unproven_restore: bool = False,
@@ -791,23 +824,8 @@ def _salvage_backfill_debris(
     import time
 
     base = rollup_dir.rstrip("/")
-    parent = os.path.dirname(base) or "."
-    prefix = os.path.basename(base) + "_bfold_"
     repaired: list[str] = []
-    try:
-        names = os.listdir(parent)
-    except FileNotFoundError:
-        return []
-    cands: list[tuple[int, str]] = []
-    for name in names:
-        if not name.startswith(prefix):
-            continue
-        if not os.path.isdir(os.path.join(parent, name)):
-            continue
-        try:
-            cands.append((int(name[len(prefix):].split("_")[0]), name))
-        except ValueError:
-            continue  # unparseable: leave it (loud in listings)
+    cands = _list_backfill_debris(base)
 
     def _aged(path: str) -> bool:
         if not min_age_s:
@@ -817,67 +835,77 @@ def _salvage_backfill_debris(
         except OSError:
             return False
 
-    if lake_dir is None:
+    if lake_dir is None or not cands:
         return []  # no lake context: never restore, never split
 
     from mycenae_spark.streaming import commitlog
 
-    def _is_ours(seq: int) -> bool:
-        # The debris seq must correspond to a rollup-backfill entry in
-        # THIS lake's log whose recorded root is THIS dir (r19 review
-        # pass 11): a sweep list can carry dirs whose backfills ran
-        # against a DIFFERENT lake — splitting their debris against
-        # our head-visible set would retain-and-age-out files the
-        # other lake's manifests still reference.  Unprovable
-        # provenance (entry erased/pre-root/relative/other root) reads
-        # as not-ours: left loudly in place.
+    # One entry read per candidate (r19 pass 14), from which BOTH
+    # verdicts derive race-free:
+    #   ours      — a rollup-backfill entry in THIS lake's log whose
+    #               recorded absolute root is THIS dir (r19 pass 11:
+    #               a sweep list can carry dirs whose backfills ran
+    #               against a different lake, and splitting their
+    #               debris against our head-visible set would
+    #               retain-and-age-out files the other lake's
+    #               manifests still reference);
+    #   disproven — the entry AFFIRMATIVELY denies the debris: it
+    #               names a different root, or it is not a
+    #               rollup-backfill at all (seqs are never reused, so
+    #               a non-backfill entry at the debris seq proves the
+    #               debris did not come from this log — r19 pass 14).
+    # Absent evidence (entry truncated) is neither.
+    ours: dict[int, bool] = {}
+    disproven: dict[int, bool] = {}
+    for seq, _path in cands:
         ent = commitlog.entry(lake_dir, seq)
-        if ent is None or ent.get("kind") != "rollup-backfill":
-            return False
-        return commitlog.proves_same_root(ent.get("root"), base)
+        if ent is None:
+            ours[seq] = disproven[seq] = False
+        elif ent.get("kind") != "rollup-backfill":
+            ours[seq], disproven[seq] = False, True
+        else:
+            ours[seq] = commitlog.proves_same_root(
+                ent.get("root"), base)
+            disproven[seq] = commitlog.proves_different_root(
+                ent.get("root"), base)
 
     # agedness captured BEFORE any mutation (r19 pass 12): the restore
     # path writes a marker into the debris, which freshens its mtime —
     # evaluated lazily, a failed restore rename would then skip the
     # very "salvage below" fallback it promises for a full floor cycle
-    was_aged = {name: _aged(os.path.join(parent, name))
-                for _seq, name in cands}
+    was_aged = {path: _aged(path) for _seq, path in cands}
 
-    if not os.path.isdir(base) and cands:
-        # Restore targets the NEWEST candidate only (r19 pass 13): it
-        # is the generation whose absence blocks settling, and a
-        # YOUNG newest debris beside a missing base is the signature
-        # of an in-flight backfill mid-swap — restoring an older
-        # generation under it would make the live run's second rename
-        # fail.  A proven newest restores on both paths; an unproven
-        # one only at the HEAL VERB (backfill_rollup is an explicit
-        # operator action on this dir, the demote keeps a wrong guess
-        # out of routing, and the follow-up rebuild supersedes it —
-        # while a strict refusal would leave the settle machinery
-        # deadlocked whenever the debris's entry was truncated; the
-        # bridge also floors commit-log retention at outstanding
-        # debris seqs so its own GC never creates that state).  An
-        # AFFIRMATIVELY DISPROVEN newest (its entry names a different
-        # root) never restores — guessing is for absent evidence, not
-        # against present evidence.  The background sweeper never
+    if not os.path.isdir(base):
+        # Restore walks candidates NEWEST-FIRST and takes the first
+        # restorable one (r19 passes 13-14) — but not when the newest
+        # is YOUNG: young debris beside a missing base is the
+        # signature of an in-flight backfill mid-swap, and restoring
+        # anything under it would make the live run's second rename
+        # fail.  A PROVEN generation restores on both paths; an
+        # evidence-absent one only at the HEAL VERB
+        # (backfill_rollup is an explicit operator action on this
+        # dir, the demote keeps a wrong guess out of routing, and the
+        # follow-up rebuild supersedes it — while a strict refusal
+        # would leave the settle machinery deadlocked whenever the
+        # debris's entry was truncated; the bridge also floors
+        # commit-log retention at outstanding debris seqs so its own
+        # GC never creates that state).  A DISPROVEN candidate never
+        # restores — guessing is for absent evidence, not against
+        # present evidence — but neither does it block an older
+        # proven one (pass 14).  The background sweeper never
         # guesses at all.
         pick = None
-        seq, name = max(cands)
-        if was_aged[name]:
-            ent = commitlog.entry(lake_dir, seq)
-            disproven = (
-                ent is not None
-                and ent.get("kind") == "rollup-backfill"
-                and commitlog.proves_different_root(
-                    ent.get("root"), base)
-            )
-            if _is_ours(seq) or (
-                allow_unproven_restore and not disproven
-            ):
-                pick = (seq, name)
+        if was_aged[max(cands)[1]]:
+            for seq, path in sorted(cands, reverse=True):
+                if not was_aged[path]:
+                    continue
+                if ours[seq] or (
+                    allow_unproven_restore and not disproven[seq]
+                ):
+                    pick = (seq, path)
+                    break
         if pick is not None:
-            seq, name = pick
-            path = os.path.join(parent, name)
+            seq, path = pick
             # demote INTO THE DEBRIS first (r19 pass 11 — the marker
             # travels with the rename): demote-after-restore left a
             # crash window where the resurrected stale generation kept
@@ -892,7 +920,7 @@ def _salvage_backfill_debris(
                 pass  # a writer recreated base meanwhile: salvage below
             else:
                 repaired.append(path)
-                cands = [c for c in cands if c[1] != name]
+                cands = [c for c in cands if c[1] != path]
                 import logging
 
                 logging.getLogger(__name__).warning(
@@ -904,9 +932,8 @@ def _salvage_backfill_debris(
         return repaired
 
     todo = [
-        (seq, name) for seq, name in sorted(cands)
-        if os.path.isdir(os.path.join(parent, name))
-        and was_aged[name] and _is_ours(seq)
+        (seq, path) for seq, path in sorted(cands)
+        if os.path.isdir(path) and was_aged[path] and ours[seq]
     ]
     if not todo:
         return repaired
@@ -925,8 +952,7 @@ def _salvage_backfill_debris(
     if live is None:
         return repaired  # can't prove the split: leave the debris
 
-    for seq, name in todo:
-        path = os.path.join(parent, name)
+    for seq, path in todo:
         _carry_retained(path, base)
         _split_generation(path, base, seq, live)
         shutil.rmtree(path)

@@ -687,25 +687,22 @@ def run_tsdb_bridge(
                     # actionable remedy (run the dir's backfill, or
                     # remove debris the log disowns) belongs in the
                     # operator's face, not a silent growing log.
+                    from mycenae_spark.streaming.rollup import (
+                        _list_backfill_debris,
+                    )
+
                     debris_floors: dict = {}
+                    parent_names: dict = {}  # one listdir per parent
                     for d in rung_dirs + fines:
-                        b = d.rstrip("/")
-                        pfx = os.path.basename(b) + "_bfold_"
-                        par = os.path.dirname(b) or "."
-                        try:
-                            names = os.listdir(par)
-                        except FileNotFoundError:
-                            continue
-                        for n in names:
-                            if not n.startswith(pfx) or not os.path.isdir(
-                                    os.path.join(par, n)):
-                                continue
+                        par = os.path.dirname(d.rstrip("/")) or "."
+                        if par not in parent_names:
                             try:
-                                debris_floors[os.path.join(par, n)] = int(
-                                    n[len(pfx):].split("_")[0]
-                                )
-                            except ValueError:
-                                pass
+                                parent_names[par] = os.listdir(par)
+                            except FileNotFoundError:
+                                parent_names[par] = []
+                        for seq, path in _list_backfill_debris(
+                                d, names=parent_names[par]):
+                            debris_floors[path] = seq
                     if debris_floors:
                         floors += debris_floors.values()
                         log.warning(
