@@ -840,8 +840,8 @@ def _salvage_backfill_debris(
 
     from mycenae_spark.streaming import commitlog
 
-    # One entry read per candidate (r19 pass 14), from which BOTH
-    # verdicts derive race-free:
+    # One LAZY entry read per examined candidate (r19 passes 14-15),
+    # from which BOTH verdicts derive race-free:
     #   ours      — a rollup-backfill entry in THIS lake's log whose
     #               recorded absolute root is THIS dir (r19 pass 11:
     #               a sweep list can carry dirs whose backfills ran
@@ -854,20 +854,27 @@ def _salvage_backfill_debris(
     #               rollup-backfill at all (seqs are never reused, so
     #               a non-backfill entry at the debris seq proves the
     #               debris did not come from this log — r19 pass 14).
-    # Absent evidence (entry truncated) is neither.
-    ours: dict[int, bool] = {}
-    disproven: dict[int, bool] = {}
-    for seq, _path in cands:
-        ent = commitlog.entry(lake_dir, seq)
-        if ent is None:
-            ours[seq] = disproven[seq] = False
-        elif ent.get("kind") != "rollup-backfill":
-            ours[seq], disproven[seq] = False, True
-        else:
-            ours[seq] = commitlog.proves_same_root(
-                ent.get("root"), base)
-            disproven[seq] = commitlog.proves_different_root(
-                ent.get("root"), base)
+    # Absent evidence (entry truncated) is neither.  Candidates the
+    # age filters exclude (the common in-flight-build case, every
+    # drain) are never read at all.
+    _verdict_memo: dict[int, tuple[bool, bool]] = {}
+
+    def _verdicts(seq: int) -> "tuple[bool, bool]":
+        got = _verdict_memo.get(seq)
+        if got is None:
+            ent = commitlog.entry(lake_dir, seq)
+            if ent is None:
+                got = (False, False)
+            elif ent.get("kind") != "rollup-backfill":
+                got = (False, True)
+            else:
+                got = (
+                    commitlog.proves_same_root(ent.get("root"), base),
+                    commitlog.proves_different_root(
+                        ent.get("root"), base),
+                )
+            _verdict_memo[seq] = got
+        return got
 
     # agedness captured BEFORE any mutation (r19 pass 12): the restore
     # path writes a marker into the debris, which freshens its mtime —
@@ -892,20 +899,31 @@ def _salvage_backfill_debris(
         # GC never creates that state).  A DISPROVEN candidate never
         # restores — guessing is for absent evidence, not against
         # present evidence — but neither does it block an older
-        # proven one (pass 14).  The background sweeper never
-        # guesses at all.
+        # proven one (pass 14).  An EVIDENCE-ABSENT candidate is
+        # where the two paths part (pass 15): the heal verb restores
+        # it (it may well be the newest real generation), while the
+        # sweeper STOPS the walk — restoring an older proven
+        # generation UNDER an evidence-absent newer one would fill
+        # the base slot and permanently strand the newer generation
+        # (restore needs the base missing; salvage needs proof), so
+        # the sweeper leaves the whole decision to the heal verb.
         pick = None
-        if was_aged[max(cands)[1]]:
-            for seq, path in sorted(cands, reverse=True):
+        ordered = sorted(cands, reverse=True)
+        if was_aged[ordered[0][1]]:
+            for seq, path in ordered:
                 if not was_aged[path]:
                     continue
-                if ours[seq] or (
-                    allow_unproven_restore and not disproven[seq]
-                ):
+                o, d = _verdicts(seq)
+                if o:
                     pick = (seq, path)
                     break
+                if d:
+                    continue  # provably foreign: walk past it
+                if allow_unproven_restore:
+                    pick = (seq, path)
+                break  # evidence-absent stops the sweeper's walk
         if pick is not None:
-            seq, path = pick
+            _seq, path = pick
             # demote INTO THE DEBRIS first (r19 pass 11 — the marker
             # travels with the rename): demote-after-restore left a
             # crash window where the resurrected stale generation kept
@@ -933,7 +951,7 @@ def _salvage_backfill_debris(
 
     todo = [
         (seq, path) for seq, path in sorted(cands)
-        if os.path.isdir(path) and was_aged[path] and ours[seq]
+        if os.path.isdir(path) and was_aged[path] and _verdicts(seq)[0]
     ]
     if not todo:
         return repaired
