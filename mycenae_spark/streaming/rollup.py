@@ -857,24 +857,19 @@ def _salvage_backfill_debris(
     # Absent evidence (entry truncated) is neither.  Candidates the
     # age filters exclude (the common in-flight-build case, every
     # drain) are never read at all.
-    _verdict_memo: dict[int, tuple[bool, bool]] = {}
+    import functools
 
+    @functools.cache
     def _verdicts(seq: int) -> "tuple[bool, bool]":
-        got = _verdict_memo.get(seq)
-        if got is None:
-            ent = commitlog.entry(lake_dir, seq)
-            if ent is None:
-                got = (False, False)
-            elif ent.get("kind") != "rollup-backfill":
-                got = (False, True)
-            else:
-                got = (
-                    commitlog.proves_same_root(ent.get("root"), base),
-                    commitlog.proves_different_root(
-                        ent.get("root"), base),
-                )
-            _verdict_memo[seq] = got
-        return got
+        ent = commitlog.entry(lake_dir, seq)
+        if ent is None:
+            return (False, False)
+        if ent.get("kind") != "rollup-backfill":
+            return (False, True)
+        return (
+            commitlog.proves_same_root(ent.get("root"), base),
+            commitlog.proves_different_root(ent.get("root"), base),
+        )
 
     # agedness captured BEFORE any mutation (r19 pass 12): the restore
     # path writes a marker into the debris, which freshens its mtime —
@@ -908,20 +903,25 @@ def _salvage_backfill_debris(
         # (restore needs the base missing; salvage needs proof), so
         # the sweeper leaves the whole decision to the heal verb.
         pick = None
-        ordered = sorted(cands, reverse=True)
-        if was_aged[ordered[0][1]]:
-            for seq, path in ordered:
-                if not was_aged[path]:
-                    continue
-                o, d = _verdicts(seq)
-                if o:
-                    pick = (seq, path)
-                    break
-                if d:
-                    continue  # provably foreign: walk past it
-                if allow_unproven_restore:
-                    pick = (seq, path)
-                break  # evidence-absent stops the sweeper's walk
+        for seq, path in sorted(cands, reverse=True):
+            if not was_aged[path]:
+                # YOUNG stops the walk outright (r19 pass 16, wherever
+                # it sits): young debris beside a missing base may be
+                # an in-flight backfill mid-swap or a just-attempted
+                # restore — restoring an OLDER generation under it
+                # would fill the base slot and strand it (the same
+                # hazard as evidence-absent below; the heal verb runs
+                # with min_age_s=0, so this never blocks an operator)
+                break
+            o, d = _verdicts(seq)
+            if o:
+                pick = (seq, path)
+                break
+            if d:
+                continue  # provably foreign: walk past it
+            if allow_unproven_restore:
+                pick = (seq, path)
+            break  # evidence-absent stops the sweeper's walk
         if pick is not None:
             _seq, path = pick
             # demote INTO THE DEBRIS first (r19 pass 11 — the marker
