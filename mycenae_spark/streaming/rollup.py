@@ -879,29 +879,31 @@ def _salvage_backfill_debris(
 
     if not os.path.isdir(base):
         # Restore walks candidates NEWEST-FIRST and takes the first
-        # restorable one (r19 passes 13-14) — but not when the newest
-        # is YOUNG: young debris beside a missing base is the
-        # signature of an in-flight backfill mid-swap, and restoring
-        # anything under it would make the live run's second rename
-        # fail.  A PROVEN generation restores on both paths; an
-        # evidence-absent one only at the HEAL VERB
-        # (backfill_rollup is an explicit operator action on this
-        # dir, the demote keeps a wrong guess out of routing, and the
-        # follow-up rebuild supersedes it — while a strict refusal
-        # would leave the settle machinery deadlocked whenever the
-        # debris's entry was truncated; the bridge also floors
-        # commit-log retention at outstanding debris seqs so its own
-        # GC never creates that state).  A DISPROVEN candidate never
-        # restores — guessing is for absent evidence, not against
-        # present evidence — but neither does it block an older
-        # proven one (pass 14).  An EVIDENCE-ABSENT candidate is
-        # where the two paths part (pass 15): the heal verb restores
-        # it (it may well be the newest real generation), while the
-        # sweeper STOPS the walk — restoring an older proven
-        # generation UNDER an evidence-absent newer one would fill
-        # the base slot and permanently strand the newer generation
-        # (restore needs the base missing; salvage needs proof), so
-        # the sweeper leaves the whole decision to the heal verb.
+        # restorable one (r19 passes 13-16).  Per candidate:
+        # - YOUNG (any position, pass 16) stops the walk outright:
+        #   young debris beside a missing base may be an in-flight
+        #   backfill mid-swap or a just-attempted restore whose
+        #   demote marker freshened the mtime, and restoring an OLDER
+        #   generation under it would fill the base slot and strand
+        #   it (the heal verb runs with min_age_s=0, so an operator
+        #   is never blocked by this).
+        # - PROVEN restores on both paths.
+        # - DISPROVEN (provably foreign) never restores — guessing is
+        #   for absent evidence, not against present evidence — but
+        #   an AGED disproven one is walked past: it cannot be this
+        #   dir's generation, so it does not block an older proven
+        #   restore (pass 14).
+        # - EVIDENCE-ABSENT (entry truncated) is where the two paths
+        #   part (pass 15): the HEAL VERB restores it (it may well be
+        #   the newest real generation; backfill_rollup is an
+        #   explicit operator action, the demote keeps a wrong guess
+        #   out of routing, and the follow-up rebuild supersedes it —
+        #   while a strict refusal would leave the settle machinery
+        #   deadlocked; the bridge also floors commit-log retention
+        #   at outstanding debris seqs so its own GC never creates
+        #   that state), while the SWEEPER stops the walk — restoring
+        #   an older proven generation under it would strand it
+        #   (restore needs the base missing; salvage needs proof).
         pick = None
         for seq, path in sorted(cands, reverse=True):
             if not was_aged[path]:
