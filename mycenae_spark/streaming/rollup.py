@@ -907,14 +907,7 @@ def _salvage_backfill_debris(
         pick = None
         for seq, path in sorted(cands, reverse=True):
             if not was_aged[path]:
-                # YOUNG stops the walk outright (r19 pass 16, wherever
-                # it sits): young debris beside a missing base may be
-                # an in-flight backfill mid-swap or a just-attempted
-                # restore — restoring an OLDER generation under it
-                # would fill the base slot and strand it (the same
-                # hazard as evidence-absent below; the heal verb runs
-                # with min_age_s=0, so this never blocks an operator)
-                break
+                break  # YOUNG stops the walk — rationale above
             o, d = _verdicts(seq)
             if o:
                 pick = (seq, path)
