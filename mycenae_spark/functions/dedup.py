@@ -15,6 +15,7 @@ from pyspark.sql import Column, DataFrame
 import pyspark.sql.functions as F
 
 from mycenae_spark.functions.text import shingles, tokens
+from mycenae_spark.sources.tables import spread_scan
 
 logger = logging.getLogger(__name__)
 
@@ -179,7 +180,14 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     arithmetic is representation-exact either way."""
     if not 1 <= bits <= 64:
         raise ValueError(f"bits must be in [1, 64], got {bits}")
-    tok = df.select(id_col, F.explode(tokens(text_col)).alias("_tok"))
+    # Narrow projection spread core-wide BEFORE the token explode: the
+    # per-token md5 + `bits` partial sums are this kernel's whole cost and
+    # run pre-exchange (spread_scan is the identity on already-parallel
+    # scans; bit-vote sums are integers, so partitioning cannot move the
+    # result).  Measured at sf0.1/32: pairs64 8.5 → 4.8 s interleaved.
+    tok = spread_scan(df.select(id_col, text_col)).select(
+        id_col, F.explode(tokens(text_col)).alias("_tok")
+    )
     md5 = tok.select(id_col, F.md5("_tok").alias("_m"))
     halves = [
         F.conv(F.substring("_m", 1, 8), 16, 10).cast("long").alias("_hlo"),
@@ -230,7 +238,7 @@ def _gram_postings(
       a left_anti join filters the postings with ZERO shuffle of inv;
       sizes are then counted over the FILTERED postings (the score
       denominators live in the df-cut vocabulary on both engines)."""
-    g = df.select(
+    g = spread_scan(df.select(id_col, text_col)).select(
         id_col, tokens(text_col).alias("_toks")
     ).filter(F.size("_toks") >= ngram).select(
         id_col, F.array_distinct(shingles(F.col("_toks"), ngram)).alias("_g")
@@ -390,7 +398,10 @@ def _positioned_windows(
     pairless ExactSubstr form (``duplicated_substring_spans``: full md5
     of the window).  ``key_fn`` maps the space-joined window text
     Column to the key Column."""
-    docs = df.select(
+    # The per-position slice+concat(+md5) below is the span family's whole
+    # pre-exchange cost — spread the narrow projection core-wide first
+    # (identity on already-parallel scans; see spread_scan).
+    docs = spread_scan(df.select(id_col, text_col)).select(
         id_col, tokens(text_col).alias("_ts")
     ).filter(F.size("_ts") >= k)
     return docs.select(
