@@ -42,9 +42,11 @@ def minhash_signatures(
     ``shingles()`` measured ~10× slower here because the conditional is
     inlined into every band's expression after projection collapse.
     """
-    toked = df.select(id_col, tokens(text_col).alias("_toks")).filter(
-        F.size("_toks") >= ngram
-    )
+    # Per-shingle md5 × n_bands is the whole pre-exchange cost — spread the
+    # narrow projection core-wide first (identity on already-parallel scans).
+    toked = spread_scan(df.select(id_col, text_col)).select(
+        id_col, tokens(text_col).alias("_toks")
+    ).filter(F.size("_toks") >= ngram)
     idx = F.sequence(F.lit(1), F.size("_toks") - (ngram - 1))
     build = F.transform(
         idx,
@@ -180,14 +182,11 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     arithmetic is representation-exact either way."""
     if not 1 <= bits <= 64:
         raise ValueError(f"bits must be in [1, 64], got {bits}")
-    # Narrow projection spread core-wide BEFORE the token explode: the
-    # per-token md5 + `bits` partial sums are this kernel's whole cost and
-    # run pre-exchange (spread_scan is the identity on already-parallel
-    # scans; bit-vote sums are integers, so partitioning cannot move the
-    # result).  Measured at sf0.1/32: pairs64 8.5 → 4.8 s interleaved.
-    tok = spread_scan(df.select(id_col, text_col)).select(
-        id_col, F.explode(tokens(text_col)).alias("_tok")
-    )
+    # No spread_scan here: the per-token partial sums feed a (doc, bits)
+    # hash agg whose exchange is immediate, and the interleaved A/B
+    # measured the extra repartition a net loss (pairs64 3.86 → 4.05 s
+    # min-of-4 warm; the banding join after the agg dominates).
+    tok = df.select(id_col, F.explode(tokens(text_col)).alias("_tok"))
     md5 = tok.select(id_col, F.md5("_tok").alias("_m"))
     halves = [
         F.conv(F.substring("_m", 1, 8), 16, 10).cast("long").alias("_hlo"),
@@ -218,6 +217,7 @@ def _gram_postings(
     text_col: str,
     ngram: int,
     max_df: int | None,
+    spread: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared inverted-index scaffolding for the n-gram pair operators
     (jaccard / containment): (postings, per-doc sizes) over DISTINCT
@@ -237,8 +237,15 @@ def _gram_postings(
       its groupBy partial-aggregates map-side, so broadcasting it into
       a left_anti join filters the postings with ZERO shuffle of inv;
       sizes are then counted over the FILTERED postings (the score
-      denominators live in the df-cut vocabulary on both engines)."""
-    g = spread_scan(df.select(id_col, text_col)).select(
+      denominators live in the df-cut vocabulary on both engines);
+    * ``spread=False`` opts a caller out of the pre-explode spread_scan:
+      jaccard_prefix_pairs eagerly localCheckpoints the postings and its
+      cost sits in the later prefix self-join, where the interleaved A/B
+      measured the extra repartition a small net loss (6.19 → 6.55 s)."""
+    src = df.select(id_col, text_col)
+    if spread:
+        src = spread_scan(src)
+    g = src.select(
         id_col, tokens(text_col).alias("_toks")
     ).filter(F.size("_toks") >= ngram).select(
         id_col, F.array_distinct(shingles(F.col("_toks"), ngram)).alias("_g")
@@ -2455,7 +2462,8 @@ def jaccard_prefix_pairs(
     """
     from pyspark.sql import Window
 
-    inv, sizes = _gram_postings(df, id_col, text_col, ngram, None)
+    inv, sizes = _gram_postings(df, id_col, text_col, ngram, None,
+                                spread=False)
     inv = inv.localCheckpoint(eager=True)
     dfreq = inv.groupBy("_gram").agg(F.count(F.lit(1)).alias("_df"))
     ranked = (

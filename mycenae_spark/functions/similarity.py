@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 import pyspark.sql.functions as F
 
+from mycenae_spark.sources.tables import spread_scan
+
 
 def dot(x: Column, y: Column) -> Column:
     return F.aggregate(
@@ -57,7 +59,10 @@ def brute_topk(
         F.col(emb_col).alias("_qe"),
         F.col("_norm").alias("_qn"),
     )
-    c = with_norm(corpus, emb_col).select(
+    # Per-(corpus row × query) cosine is the whole cost and runs inside
+    # the corpus scan stage — spread the narrow corpus projection
+    # core-wide first (identity on real multi-split scans).
+    c = with_norm(spread_scan(corpus.select(id_col, emb_col)), emb_col).select(
         F.col(id_col).alias("n_id"),
         F.col(emb_col).alias("_ce"),
         F.col("_norm").alias("_cn"),
@@ -106,7 +111,9 @@ def brute_topk_filtered(
         F.col(emb_col).alias("_qe"),
         F.col("_norm").alias("_qn"),
     )
-    c = with_norm(corpus, emb_col).select(
+    c = with_norm(
+        spread_scan(corpus.select(id_col, *match_cols, emb_col)), emb_col
+    ).select(
         F.col(id_col).alias("n_id"),
         *match_cols,
         F.col(emb_col).alias("_ce"),
@@ -160,6 +167,10 @@ def kmeans_refine(
     from mycenae_spark.functions.dedup import _iter_boundary
 
     comp = comp_rounder or (lambda c: c)
+    # Every iteration re-scores the corpus grid and re-aggregates per-dim
+    # means — spread the narrow corpus projection once so all iterations
+    # run core-wide (identity on real multi-split scans).
+    corpus = spread_scan(corpus.select(id_col, emb_col))
     cent = centroids.select(F.col(id_col).alias("c_id"), F.col(emb_col))
     for i in range(iters):
         assign = ivf_assign(
@@ -272,8 +283,12 @@ def embedding_lsh_pairs(
         "t int, b int, arr array<double>",
     )
     bit = F.when(rounder(dot(F.col(emb_col), F.col("arr"))) >= 0, 1).otherwise(0)
+    # One shared spread projection under the bucket-key grid and both
+    # verify sides — the repartition exchange is reused (ReusedExchange)
+    # and the per-row plane dots / per-pair cosines run core-wide.
+    cn = spread_scan(corpus.select(id_col, emb_col))
     keys = (
-        corpus.select(id_col, emb_col)
+        cn
         .crossJoin(F.broadcast(planes))
         .select(
             id_col,
@@ -293,12 +308,12 @@ def embedding_lsh_pairs(
     cand = bucket_pairs(buckets).withColumnRenamed("doc_a", "vec_a").withColumnRenamed(
         "doc_b", "vec_b"
     )
-    ea = with_norm(corpus, emb_col).select(
+    ea = with_norm(cn, emb_col).select(
         F.col(id_col).alias("vec_a"),
         F.col(emb_col).alias("_ea"),
         F.col("_norm").alias("_na"),
     )
-    eb = with_norm(corpus, emb_col).select(
+    eb = with_norm(cn, emb_col).select(
         F.col(id_col).alias("vec_b"),
         F.col(emb_col).alias("_eb"),
         F.col("_norm").alias("_nb"),
@@ -388,7 +403,7 @@ def ivf_assign(
     formulation instead — same argmax, same tie-break, one rank window
     with WindowGroupLimit's map-side prune rather than the partial agg."""
     rounder = score_rounder or (lambda c: c)
-    en = with_norm(corpus, emb_col)
+    en = with_norm(spread_scan(corpus.select(id_col, emb_col)), emb_col)
     cent = with_norm(centroids, emb_col).select(
         F.col(id_col).alias("c_id"),
         F.col(emb_col).alias("_ce"),
@@ -441,7 +456,7 @@ def ivf_assign_topn(
     is a window over the broadcast-scored grid — WindowGroupLimit prunes
     rank ≤ n map-side, so the exchange carries ≤ n rows per vector."""
     rounder = score_rounder or (lambda c: c)
-    en = with_norm(corpus, emb_col)
+    en = with_norm(spread_scan(corpus.select(id_col, emb_col)), emb_col)
     cent = with_norm(centroids, emb_col).select(
         F.col(id_col).alias("c_id"),
         F.col(emb_col).alias("_ce"),
@@ -516,7 +531,7 @@ def knn_graph(
             corpus, centroids, probes, id_col=id_col, emb_col=emb_col,
             score_rounder=score_rounder,
         ).select(id_col, "c_id")
-    en = with_norm(corpus, emb_col)
+    en = with_norm(spread_scan(corpus.select(id_col, emb_col)), emb_col)
     a = en.join(q_assign, id_col).select(
         "c_id",
         F.col(id_col).alias("_qid"),
@@ -574,7 +589,9 @@ def semantic_pairs(
         ),
         max_cluster_size,
     )
-    en = with_norm(corpus, emb_col).join(assign, id_col)
+    en = with_norm(spread_scan(corpus.select(id_col, emb_col)), emb_col).join(
+        assign, id_col
+    )
     a = en.select(
         "c_id",
         F.col(id_col).alias("vec_a"),
@@ -632,7 +649,11 @@ def sq8_quantized(
     zip_with projection inside the scan stage.  Memory story at 100 TB:
     4× smaller vectors (int8 vs float32) with the scan cost dropping
     proportionally once the quantized table is materialized."""
-    dims = corpus.select(
+    # One shared spread projection under the per-dim stats explode and the
+    # quantize projection (identity on real multi-split scans); the
+    # localCheckpoint in sq8_topk then materializes a core-wide frame.
+    cn = spread_scan(corpus.select(id_col, emb_col))
+    dims = cn.select(
         F.posexplode(emb_col).alias("pos", "_v")
     ).select("pos", F.col("_v").cast("double").alias("v"))
     stats = dims.groupBy("pos").agg(
@@ -656,7 +677,7 @@ def sq8_quantized(
         .otherwise(F.floor((x * 255) / r))
         .cast("long"),
     )
-    return corpus.crossJoin(F.broadcast(arrs)).select(
+    return cn.crossJoin(F.broadcast(arrs)).select(
         id_col, q.alias("qv")
     )
 
@@ -736,7 +757,7 @@ def sq8_rerank_topk(
         F.col(emb_col).alias("_qe"),
         F.col("_norm").alias("_qn"),
     )
-    c = with_norm(corpus, emb_col).select(
+    c = with_norm(spread_scan(corpus.select(id_col, emb_col)), emb_col).select(
         F.col(id_col).alias("n_id"),
         F.col(emb_col).alias("_ce"),
         F.col("_norm").alias("_cn"),

@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 import pyspark.sql.functions as F
 
+from mycenae_spark.sources.tables import spread_scan
+
 #: Minimal per-language stopword profiles for the lang-id heuristic.  A real
 #: deployment swaps these for character-n-gram profiles; the plan shape
 #: (per-doc set intersections) is identical.
@@ -83,7 +85,12 @@ def winnow_fingerprints(
     a global order), output ∝ corpus grams × 2/(w+1)."""
     from pyspark.sql import Window
 
-    toked = df.select(id_col, tokens(text_col).alias("_ts")).filter(
+    # The per-gram slice+concat+md5 below is this kernel's whole
+    # pre-exchange cost — spread the narrow projection core-wide first
+    # (identity on already-parallel scans; see spread_scan).
+    toked = spread_scan(df.select(id_col, text_col)).select(
+        id_col, tokens(text_col).alias("_ts")
+    ).filter(
         F.size("_ts") >= k + w - 1  # at least one full window
     )
     grams = toked.select(

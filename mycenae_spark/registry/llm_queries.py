@@ -16,6 +16,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Window
 
 from mycenae_spark.registry.util import expand_rounding_macros, r4, r6, t
+from mycenae_spark.sources.tables import spread_scan
 
 QUERIES = {}
 ORACLE = {}
@@ -4463,7 +4464,9 @@ def text_char_entropy(spark, sf_dir):
     (doc, char)-keyed agg with ≤ charset distinct keys per doc, one
     per-doc agg — zero joins beyond the per-doc total, no windows."""
     d = t(spark, sf_dir, "documents")
-    ch = d.select(
+    # Per-character explode is the whole pre-exchange cost — spread the
+    # narrow projection core-wide first (identity on real multi-split scans).
+    ch = spread_scan(d.select("doc_id", "text")).select(
         "doc_id",
         F.explode(
             F.transform(
@@ -4875,7 +4878,11 @@ def text_langid_trigram(spark, sf_dir):
     # length >= 3 guard on BOTH sides: Spark's sequence(1, 0) counts DOWN
     # (the shingles() pitfall) — a sub-3-char document would emit spurious
     # grams here while DuckDB's generate_series yields none.
-    grams = d.filter(F.length("text") >= 3).select(
+    # The 3×-recomputed gram explosion is the whole pre-exchange cost —
+    # spread the narrow projection core-wide (identity on real scans).
+    grams = spread_scan(
+        d.filter(F.length("text") >= 3).select("doc_id", "lang", "text")
+    ).select(
         "doc_id",
         "lang",
         F.explode(
@@ -5280,6 +5287,10 @@ def text_bigram_logprob(spark, sf_dir):
     from mycenae_spark.functions.text import tokens
 
     d = t(spark, sf_dir, "documents")
+    # No spread_scan in the logprob family: every exploded frame feeds a
+    # keyed join/agg whose exchange is immediate, and the interleaved A/B
+    # measured the extra repartition a net loss (bi 1.48 → 1.64 s,
+    # tri 2.29 → 2.94 s min-of-4 warm).
     toked = d.select("doc_id", tokens("text").alias("_ts")).filter(
         F.size("_ts") >= 2
     )
@@ -6262,6 +6273,7 @@ def text_trigram_logprob(spark, sf_dir):
     from mycenae_spark.functions.text import tokens
 
     d = t(spark, sf_dir, "documents")
+    # No spread_scan here — see text_bigram_logprob (measured net loss).
     toked3 = d.select("doc_id", tokens("text").alias("_ts")).filter(
         F.size("_ts") >= 3
     )
