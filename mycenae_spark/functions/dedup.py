@@ -15,7 +15,7 @@ from pyspark.sql import Column, DataFrame
 import pyspark.sql.functions as F
 
 from mycenae_spark.functions.text import shingles, tokens
-from mycenae_spark.sources.tables import spread_scan
+from mycenae_spark.sources.tables import explode_ne, spread_scan
 
 logger = logging.getLogger(__name__)
 
@@ -81,9 +81,13 @@ def lsh_buckets(
     job (`exact_dedup_groups`), not near-dedup's.  Count the dropped mass
     with ``lsh_dropped_bucket_stats`` when tuning the cap.
     """
+    # explode_ne: the band array is a literal-length (n_bands) CreateArray
+    # — non-empty by construction — and the sig columns collapse into the
+    # generator input, so plain explode would re-evaluate the whole
+    # md5-shingle minhash pipeline in the inferred filter (see explode_ne).
     bands = sigs.select(
         id_col,
-        F.explode(
+        explode_ne(
             F.array(
                 *[
                     F.struct(F.lit(b).alias("band"), F.col(f"sig{b}").alias("sig"))
@@ -147,8 +151,11 @@ def lsh_candidate_pairs(
 
 def bucket_pairs(buckets: DataFrame) -> DataFrame:
     """In-bucket pair expansion over a (band, sig, ids) bucket frame."""
+    # explode_ne: buckets are filtered to size > 1, so the pair expansion
+    # is non-empty; plain explode would evaluate the O(|ids|²) expansion
+    # three times per bucket in the inferred filter (see explode_ne).
     pairs = buckets.select(
-        F.explode(
+        explode_ne(
             F.flatten(
                 F.transform(
                     "ids",
@@ -250,7 +257,9 @@ def _gram_postings(
     ).filter(F.size("_toks") >= ngram).select(
         id_col, F.array_distinct(shingles(F.col("_toks"), ngram)).alias("_g")
     )
-    inv = g.select(id_col, F.explode("_g").alias("_gram"))
+    # explode_ne: g is filtered to >= ngram tokens, so the distinct gram
+    # array has >= 1 element (see explode_ne for the inferred-filter tax).
+    inv = g.select(id_col, explode_ne("_g").alias("_gram"))
     if max_df is not None:
         inv = inv.localCheckpoint(eager=False)
         stop = (
@@ -411,9 +420,12 @@ def _positioned_windows(
     docs = spread_scan(df.select(id_col, text_col)).select(
         id_col, tokens(text_col).alias("_ts")
     ).filter(F.size("_ts") >= k)
+    # explode_ne: docs filtered to size(_ts) >= k, so the window array has
+    # >= 1 element; plain explode would re-evaluate the per-position
+    # slice+concat(+md5) pipeline 3x per doc (see explode_ne).
     return docs.select(
         id_col,
-        F.explode(
+        explode_ne(
             F.transform(
                 F.sequence(F.lit(0), F.size("_ts") - k),
                 lambda i: F.struct(
@@ -551,9 +563,10 @@ def repeated_span_excision(
     dedup exists to bound — then one doc-keyed distinct + agg; the doc
     lengths join is id-keyed."""
     spans = repeated_span_pairs(df, id_col, text_col, k=k, max_df=max_df)
+    # explode_ne: len_toks >= k >= 1 makes the position sequence non-empty.
     cover = spans.select(
         F.col("doc_b").alias(id_col),
-        F.explode(
+        explode_ne(
             F.sequence(
                 F.col("start_b"), F.col("start_b") + F.col("len_toks") - 1
             )
@@ -1010,9 +1023,11 @@ def incremental_minhash_verdicts(
     """
 
     def _bands(sigs: DataFrame, out_id: str) -> DataFrame:
+        # explode_ne: literal-length band array (see lsh_buckets' note —
+        # plain explode re-evaluates the collapsed minhash pipeline 3x).
         return sigs.select(
             F.col(id_col).alias(out_id),
-            F.explode(
+            explode_ne(
                 F.array(
                     *[
                         F.struct(
@@ -1126,7 +1141,7 @@ def _sig_segments(
     return sigs.filter(F.col(sig_col).isNotNull()).select(
         F.col(id_col).alias("_id"),
         F.col(sig_col).alias("_sig"),
-        F.explode(
+        explode_ne(  # literal-length segment array, sig non-null above
             F.array(
                 *[
                     F.struct(
@@ -1174,8 +1189,11 @@ def hamming_pairs_from_sigs(
     )
     if max_bucket_size is not None:
         buckets = buckets.filter(F.size("ms") <= max_bucket_size)
+    # explode_ne: buckets filtered to size > 1 make the expansion
+    # non-empty; plain explode would run the O(|ms|²) expansion three
+    # times per bucket in the inferred filter (see explode_ne).
     pairs = buckets.select(
-        F.explode(
+        explode_ne(
             F.flatten(
                 F.transform(
                     "ms",
@@ -2099,7 +2117,7 @@ def ensure_band_index(
         )
         bands = sigs.select(
             F.col(id_col).cast("long").alias("idx_id"),
-            F.explode(
+            explode_ne(  # literal-length band array — see lsh_buckets
                 F.array(
                     *[
                         F.struct(
@@ -2221,7 +2239,7 @@ def probe_band_index(
     )
     probe = sigs.select(
         F.col(id_col).alias("probe_id"),
-        F.explode(
+        explode_ne(  # literal-length band array — see lsh_buckets
             F.array(
                 *[
                     F.struct(
@@ -2309,7 +2327,7 @@ def assimilate_band_index(
     drows = (
         sigs.select(
             F.col(id_col).cast("long").alias("idx_id"),
-            F.explode(
+            explode_ne(  # literal-length band array — see lsh_buckets
                 F.array(
                     *[
                         F.struct(

@@ -48,6 +48,8 @@ import uuid
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from mycenae_spark.sources.tables import explode_ne
+
 LANGID_INDEX_VERSION = 2
 
 #: Artifact tables, in commit order.  v2 (r14, the VERDICT r12/r13 carry):
@@ -93,7 +95,7 @@ def _grams(d: DataFrame, spark: SparkSession, orders: tuple[int, ...]):
             "doc_id",
             "lang",
             "ord",
-            F.explode(
+            explode_ne(  # length >= ord filtered above → non-empty
                 F.transform(
                     F.sequence(F.lit(1), F.length("text") - F.col("ord") + 1),
                     lambda i: F.col("text").substr(i, F.col("ord")),

@@ -44,6 +44,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 import pyspark.sql.functions as F
 
 from mycenae_spark.functions.similarity import dot, with_norm
+from mycenae_spark.sources.tables import explode_ne
 
 PQ_M, PQ_SUB = 16, 4  # 16 subspaces × 4 dims = the 64-dim embedding
 PQ_SHORTLIST = 50     # ADC candidates exact-re-ranked per query
@@ -71,7 +72,7 @@ def sub_slices(unitv: DataFrame, id_alias: str, out: str) -> DataFrame:
     """Explode ``(vec_id, ue)`` into ``(id_alias, s, out)`` subspace slices."""
     return unitv.select(
         F.col("vec_id").alias(id_alias),
-        F.explode(
+        explode_ne(  # literal-length (PQ_M) slice array — non-empty
             F.array(*[
                 F.struct(
                     F.lit(s).alias("s"),

@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame, Window
 import pyspark.sql.functions as F
 
 from mycenae_spark.functions.text import shingles, tokens
+from mycenae_spark.sources.tables import explode_ne
 
 
 def hex_threshold(frac: float) -> str:
@@ -287,7 +288,7 @@ def dsir_weights(
         id_col,
         *extra_cols,
         "_is_tgt",
-        F.explode(shingles("_ts", 2)).alias("_g"),
+        explode_ne(shingles("_ts", 2)).alias("_g"),  # size >= 2 filtered
     ).select(
         id_col,
         *extra_cols,

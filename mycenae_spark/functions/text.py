@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 import pyspark.sql.functions as F
 
-from mycenae_spark.sources.tables import spread_scan
+from mycenae_spark.sources.tables import explode_ne, spread_scan
 
 #: Minimal per-language stopword profiles for the lang-id heuristic.  A real
 #: deployment swaps these for character-n-gram profiles; the plan shape
@@ -93,9 +93,11 @@ def winnow_fingerprints(
     ).filter(
         F.size("_ts") >= k + w - 1  # at least one full window
     )
+    # explode_ne: toked is filtered to >= k+w-1 tokens, so the window
+    # array is non-empty (see explode_ne for the inferred-filter tax).
     grams = toked.select(
         id_col,
-        F.explode(
+        explode_ne(
             F.transform(
                 F.sequence(F.lit(0), F.size("_ts") - k),
                 lambda i: F.struct(

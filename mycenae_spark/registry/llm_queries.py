@@ -16,7 +16,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Window
 
 from mycenae_spark.registry.util import expand_rounding_macros, r4, r6, t
-from mycenae_spark.sources.tables import spread_scan
+from mycenae_spark.sources.tables import explode_ne, spread_scan
 
 QUERIES = {}
 ORACLE = {}
@@ -786,7 +786,8 @@ def text_shingle_stats(spark, sf_dir):
         .filter(F.size("_toks") >= 2)
         .select(
             "doc_id",
-            F.explode(F.array_distinct(shingles(F.col("_toks"), 2))).alias("gram"),
+            # size >= 2 filtered above → non-empty (see explode_ne)
+            explode_ne(F.array_distinct(shingles(F.col("_toks"), 2))).alias("gram"),
         )
     )
     n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
@@ -2880,7 +2881,7 @@ def text_bpe_pair_stats(spark, sf_dir):
     )
     v = words.groupBy("word").agg(F.count(F.lit(1)).alias("wf"))
     pairs = v.select(
-        F.explode(
+        explode_ne(  # length >= 2 filtered above → non-empty
             F.transform(
                 F.sequence(F.lit(1), F.length("word") - 1),
                 lambda i: F.col("word").substr(i, F.lit(2)),
@@ -4466,9 +4467,14 @@ def text_char_entropy(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     # Per-character explode is the whole pre-exchange cost — spread the
     # narrow projection core-wide first (identity on real multi-split scans).
-    ch = spread_scan(d.select("doc_id", "text")).select(
+    # isNotNull is exactly explode's null-array drop, moved to a cheap
+    # pushed-down scan filter so explode_ne's non-empty precondition holds
+    # (Spark's sequence() never yields an empty array).
+    ch = spread_scan(
+        d.filter(F.col("text").isNotNull()).select("doc_id", "text")
+    ).select(
         "doc_id",
-        F.explode(
+        explode_ne(
             F.transform(
                 F.sequence(F.lit(1), F.length("text")),
                 lambda i: F.col("text").substr(i, F.lit(1)),
@@ -4885,7 +4891,7 @@ def text_langid_trigram(spark, sf_dir):
     ).select(
         "doc_id",
         "lang",
-        F.explode(
+        explode_ne(  # length >= 3 filtered above → non-empty
             F.transform(
                 F.sequence(F.lit(1), F.length("text") - 2),
                 lambda i: F.col("text").substr(i, F.lit(3)),
@@ -5017,7 +5023,7 @@ def langid_mixture_confusion(spark, sf_dir, orders):
             "doc_id",
             "lang",
             "ord",
-            F.explode(
+            explode_ne(  # length >= ord filtered above → non-empty
                 F.transform(
                     F.sequence(F.lit(1), F.length("text") - F.col("ord") + 1),
                     lambda i: F.col("text").substr(i, F.col("ord")),
@@ -5296,7 +5302,7 @@ def text_bigram_logprob(spark, sf_dir):
     )
     bi = toked.select(
         "doc_id",
-        F.explode(
+        explode_ne(  # size >= 2 filtered above → non-empty
             F.transform(
                 F.sequence(F.lit(1), F.size("_ts") - 1),
                 lambda i: F.struct(
@@ -5865,7 +5871,7 @@ def sample_dsir(spark, sf_dir):
     bi = toked.select(
         "doc_id",
         "lang",
-        F.explode(shingles("_ts", 2)).alias("_g"),
+        explode_ne(shingles("_ts", 2)).alias("_g"),  # size >= 2 filtered
     ).select(
         "doc_id", "lang", F.substring(F.md5("_g"), 1, 2).alias("feat")
     )
@@ -6279,7 +6285,7 @@ def text_trigram_logprob(spark, sf_dir):
     )
     tri = toked3.select(
         "doc_id",
-        F.explode(
+        explode_ne(  # size >= 3 filtered above → non-empty
             F.transform(
                 F.sequence(F.lit(1), F.size("_ts") - 2),
                 lambda i: F.struct(
@@ -6294,7 +6300,7 @@ def text_trigram_logprob(spark, sf_dir):
         F.size("_ts") >= 2
     )
     bi = toked2.select(
-        F.explode(
+        explode_ne(  # size >= 2 filtered above → non-empty
             F.transform(
                 F.sequence(F.lit(1), F.size("_ts") - 1),
                 lambda i: F.struct(

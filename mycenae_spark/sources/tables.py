@@ -124,3 +124,28 @@ def spread_scan(df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() < parallelism:
         return df.repartition(parallelism)
     return df
+
+
+def explode_ne(col) -> "Column":
+    """``explode`` for an array column that is provably NON-NULL and
+    NON-EMPTY by construction (e.g. built behind a ``size(...) >= k``
+    filter on its source array, or over a filtered non-null column).
+
+    Uses ``explode_outer`` underneath — same rows as ``explode`` under
+    the precondition — because plain ``explode`` triggers Catalyst's
+    InferFiltersFromGenerate: the optimizer inserts
+    ``size(e) > 0 AND isnotnull(e)`` and, after projection collapse,
+    the generator's input expression is inlined into BOTH filter
+    conjuncts and the projection — three evaluations per row, and
+    higher-order-function pipelines (transform/slice/concat_ws …)
+    evaluate INTERPRETED, outside WholeStageCodegen.  Measured on the
+    trigram-shingle build at sf0.1: explode 4.6 s → explode_outer 1.6 s
+    for identical output (260 388 rows both ways).
+
+    The caller owns the precondition: on a null/empty array
+    ``explode_outer`` would emit one row with a NULL element where
+    ``explode`` emits nothing — only use this where that row cannot
+    exist."""
+    import pyspark.sql.functions as F
+
+    return F.explode_outer(col)
