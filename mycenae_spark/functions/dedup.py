@@ -739,10 +739,15 @@ def winnow_verified_spans(
     candidate's shared-fingerprint count; a candidate pair with no
     verified span (fingerprint collision without an 8-token exact
     repeat) simply emits nothing — that filtering IS the verify."""
+    # The candidate frame feeds FOUR consumers (both cand_docs union arms,
+    # the islands' pair filter, the final broadcast join) — a lazy
+    # localCheckpoint materializes the fingerprint+self-join pipeline once
+    # instead of per consumer, the same one-copy contract _gram_postings
+    # uses (measured at sf0.1/32: spans 7.6 → 2.9 s min-of-4 warm).
     cand = winnow_candidate_pairs(
         df, id_col, text_col,
         k=k_fp, w=w, max_df=max_df_fp, min_shared=min_shared,
-    )
+    ).localCheckpoint(eager=False)
     cand_docs = (
         cand.select(F.col("doc_a").alias(id_col))
         .union(cand.select(F.col("doc_b").alias(id_col)))

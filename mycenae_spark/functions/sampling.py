@@ -298,9 +298,14 @@ def dsir_weights(
             F.lit(n_buckets),
         ).alias("feat"),
     )
+    # docf feeds FIVE consumers (src, tgt, both totals via their
+    # re-aggregates, the final weight join) — a lazy localCheckpoint
+    # materializes the corpus scan + bigram explode + aggregate once
+    # instead of per consumer (the one-copy contract _gram_postings
+    # uses; measured at sf0.1/32: dsir10k 2.2 → 1.1 s min-of-4 warm).
     docf = bi.groupBy(id_col, *extra_cols, "_is_tgt", "feat").agg(
         F.count(F.lit(1)).alias("c")
-    )
+    ).localCheckpoint(eager=False)
     src = docf.groupBy("feat").agg(F.sum("c").alias("sc"))
     tgt = (
         docf.filter(F.col("_is_tgt"))
