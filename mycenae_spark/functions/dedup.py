@@ -44,7 +44,9 @@ def minhash_signatures(
     """
     # Per-shingle md5 × n_bands is the whole pre-exchange cost — spread the
     # narrow projection core-wide first (identity on already-parallel scans).
-    toked = spread_scan(df.select(id_col, text_col)).select(
+    toked = spread_scan(
+        df.select(id_col, text_col), site="dedup.minhash_signatures"
+    ).select(
         id_col, tokens(text_col).alias("_toks")
     ).filter(F.size("_toks") >= ngram)
     idx = F.sequence(F.lit(1), F.size("_toks") - (ngram - 1))
@@ -150,7 +152,17 @@ def lsh_candidate_pairs(
 
 
 def bucket_pairs(buckets: DataFrame) -> DataFrame:
-    """In-bucket pair expansion over a (band, sig, ids) bucket frame."""
+    """In-bucket pair expansion over a (band, sig, ids) bucket frame.
+
+    PRECONDITION (r19 ADVICE): every bucket must hold ``size(ids) > 1`` —
+    all in-repo producers filter singleton buckets out before calling.  The
+    defensive filter below makes the contract self-enforcing for external
+    callers: on a singleton bucket the flattened pair array is EMPTY and
+    ``explode_ne`` (= explode_outer) would emit a spurious (NULL, NULL)
+    pair row where plain explode emitted nothing.  When the producer
+    already filtered, Catalyst's CombineFilters + BooleanSimplification
+    collapse the duplicate predicate — no extra plan node survives."""
+    buckets = buckets.filter(F.size("ids") > 1)
     # explode_ne: buckets are filtered to size > 1, so the pair expansion
     # is non-empty; plain explode would evaluate the O(|ids|²) expansion
     # three times per bucket in the inferred filter (see explode_ne).
@@ -251,7 +263,7 @@ def _gram_postings(
       measured the extra repartition a small net loss (6.19 → 6.55 s)."""
     src = df.select(id_col, text_col)
     if spread:
-        src = spread_scan(src)
+        src = spread_scan(src, site="dedup.gram_postings")
     g = src.select(
         id_col, tokens(text_col).alias("_toks")
     ).filter(F.size("_toks") >= ngram).select(
@@ -417,7 +429,9 @@ def _positioned_windows(
     # The per-position slice+concat(+md5) below is the span family's whole
     # pre-exchange cost — spread the narrow projection core-wide first
     # (identity on already-parallel scans; see spread_scan).
-    docs = spread_scan(df.select(id_col, text_col)).select(
+    docs = spread_scan(
+        df.select(id_col, text_col), site="dedup.positioned_windows"
+    ).select(
         id_col, tokens(text_col).alias("_ts")
     ).filter(F.size("_ts") >= k)
     # explode_ne: docs filtered to size(_ts) >= k, so the window array has

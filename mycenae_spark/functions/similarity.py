@@ -62,7 +62,10 @@ def brute_topk(
     # Per-(corpus row × query) cosine is the whole cost and runs inside
     # the corpus scan stage — spread the narrow corpus projection
     # core-wide first (identity on real multi-split scans).
-    c = with_norm(spread_scan(corpus.select(id_col, emb_col)), emb_col).select(
+    c = with_norm(
+        spread_scan(corpus.select(id_col, emb_col), site="sim.brute_topk"),
+        emb_col,
+    ).select(
         F.col(id_col).alias("n_id"),
         F.col(emb_col).alias("_ce"),
         F.col("_norm").alias("_cn"),
@@ -112,7 +115,9 @@ def brute_topk_filtered(
         F.col("_norm").alias("_qn"),
     )
     c = with_norm(
-        spread_scan(corpus.select(id_col, *match_cols, emb_col)), emb_col
+        spread_scan(corpus.select(id_col, *match_cols, emb_col),
+                    site="sim.brute_topk_filtered"),
+        emb_col,
     ).select(
         F.col(id_col).alias("n_id"),
         *match_cols,
@@ -170,7 +175,8 @@ def kmeans_refine(
     # Every iteration re-scores the corpus grid and re-aggregates per-dim
     # means — spread the narrow corpus projection once so all iterations
     # run core-wide (identity on real multi-split scans).
-    corpus = spread_scan(corpus.select(id_col, emb_col))
+    corpus = spread_scan(corpus.select(id_col, emb_col),
+                         site="sim.kmeans_refine")
     cent = centroids.select(F.col(id_col).alias("c_id"), F.col(emb_col))
     for i in range(iters):
         assign = ivf_assign(
@@ -274,13 +280,17 @@ def embedding_lsh_pairs(
     """
     from mycenae_spark.functions.dedup import bucket_pairs
 
+    if n_tables < 1:
+        raise ValueError(f"n_tables must be >= 1, got {n_tables}")
+    if n_bits is not None and n_bits < 1:
+        raise ValueError(f"n_bits must be >= 1, got {n_bits}")
     rounder = score_rounder or (lambda c: c)
     if n_bits is None:
         n_bits = auto_lsh_bits(corpus.count(), target_bucket_size)
     # One shared spread projection under the bucket-key pass and both
     # verify sides — the repartition exchange is reused (ReusedExchange)
     # and the per-row plane dots / per-pair cosines run core-wide.
-    cn = spread_scan(corpus.select(id_col, emb_col))
+    cn = spread_scan(corpus.select(id_col, emb_col), site="sim.embedding_lsh")
     # The planes are LITERAL constants, so every table's key folds into
     # ONE projection per vector — n_tables × n_bits sign-dots against
     # literal arrays, summed as bit * 2^b — instead of the earlier
@@ -411,7 +421,10 @@ def ivf_assign(
     formulation instead — same argmax, same tie-break, one rank window
     with WindowGroupLimit's map-side prune rather than the partial agg."""
     rounder = score_rounder or (lambda c: c)
-    en = with_norm(spread_scan(corpus.select(id_col, emb_col)), emb_col)
+    en = with_norm(
+        spread_scan(corpus.select(id_col, emb_col), site="sim.ivf_assign"),
+        emb_col,
+    )
     cent = with_norm(centroids, emb_col).select(
         F.col(id_col).alias("c_id"),
         F.col(emb_col).alias("_ce"),
@@ -464,7 +477,11 @@ def ivf_assign_topn(
     is a window over the broadcast-scored grid — WindowGroupLimit prunes
     rank ≤ n map-side, so the exchange carries ≤ n rows per vector."""
     rounder = score_rounder or (lambda c: c)
-    en = with_norm(spread_scan(corpus.select(id_col, emb_col)), emb_col)
+    en = with_norm(
+        spread_scan(corpus.select(id_col, emb_col),
+                    site="sim.ivf_assign_topn"),
+        emb_col,
+    )
     cent = with_norm(centroids, emb_col).select(
         F.col(id_col).alias("c_id"),
         F.col(emb_col).alias("_ce"),
@@ -551,7 +568,10 @@ def knn_graph(
             max_cluster_size,
         )
         q_assign = topn.select(id_col, "c_id")
-    en = with_norm(spread_scan(corpus.select(id_col, emb_col)), emb_col)
+    en = with_norm(
+        spread_scan(corpus.select(id_col, emb_col), site="sim.knn_graph"),
+        emb_col,
+    )
     a = en.join(q_assign, id_col).select(
         "c_id",
         F.col(id_col).alias("_qid"),
@@ -609,9 +629,10 @@ def semantic_pairs(
         ),
         max_cluster_size,
     )
-    en = with_norm(spread_scan(corpus.select(id_col, emb_col)), emb_col).join(
-        assign, id_col
-    )
+    en = with_norm(
+        spread_scan(corpus.select(id_col, emb_col), site="sim.semantic_pairs"),
+        emb_col,
+    ).join(assign, id_col)
     a = en.select(
         "c_id",
         F.col(id_col).alias("vec_a"),
@@ -672,7 +693,7 @@ def sq8_quantized(
     # One shared spread projection under the per-dim stats explode and the
     # quantize projection (identity on real multi-split scans); the
     # localCheckpoint in sq8_topk then materializes a core-wide frame.
-    cn = spread_scan(corpus.select(id_col, emb_col))
+    cn = spread_scan(corpus.select(id_col, emb_col), site="sim.sq8_quantized")
     dims = cn.select(
         F.posexplode(emb_col).alias("pos", "_v")
     ).select("pos", F.col("_v").cast("double").alias("v"))
@@ -777,7 +798,10 @@ def sq8_rerank_topk(
         F.col(emb_col).alias("_qe"),
         F.col("_norm").alias("_qn"),
     )
-    c = with_norm(spread_scan(corpus.select(id_col, emb_col)), emb_col).select(
+    c = with_norm(
+        spread_scan(corpus.select(id_col, emb_col), site="sim.sq8_rerank"),
+        emb_col,
+    ).select(
         F.col(id_col).alias("n_id"),
         F.col(emb_col).alias("_ce"),
         F.col("_norm").alias("_cn"),

@@ -4471,7 +4471,8 @@ def text_char_entropy(spark, sf_dir):
     # pushed-down scan filter so explode_ne's non-empty precondition holds
     # (Spark's sequence() never yields an empty array).
     ch = spread_scan(
-        d.filter(F.col("text").isNotNull()).select("doc_id", "text")
+        d.filter(F.col("text").isNotNull()).select("doc_id", "text"),
+        site="q.char_entropy",
     ).select(
         "doc_id",
         explode_ne(
@@ -4887,7 +4888,8 @@ def text_langid_trigram(spark, sf_dir):
     # The 3×-recomputed gram explosion is the whole pre-exchange cost —
     # spread the narrow projection core-wide (identity on real scans).
     grams = spread_scan(
-        d.filter(F.length("text") >= 3).select("doc_id", "lang", "text")
+        d.filter(F.length("text") >= 3).select("doc_id", "lang", "text"),
+        site="q.langid_grams",
     ).select(
         "doc_id",
         "lang",

@@ -1,12 +1,17 @@
 """Capture .explain("formatted") for every headline query into plans/<tag>/.
 
-    python tools/capture_plans.py <tag> [sf_dir] [query ...]
+    PLAN_SUFFIX=before|after python tools/capture_plans.py <tag> [sf_dir] [query ...]
 
-Writes ``plans/<tag>/<query>_<suffix>.txt`` (suffix = ``before`` when the
-tag ends ``/before``-style usage is handled by the caller passing e.g.
-``r19`` and SUFFIX env).  Default queries = the bench HEADLINE list.
-Plans are captured, not executed (artifact ensure_* calls inside a query
-function still run, against their committed caches).
+Writes ``plans/<tag>/<query>_<suffix>.txt``; ``PLAN_SUFFIX`` (default
+``before``) picks the filename suffix — re-running with the same tag AND
+suffix overwrites prior captures, so set PLAN_SUFFIX=after for the
+post-change capture.  Default queries = the bench HEADLINE list.
+
+The queries are never EXECUTED to completion, but constructing them may
+still run real Spark jobs: ``ensure_*`` artifact builds inside a query
+function run against their committed caches (cold caches = real builds),
+and construction-time probes/counts (e.g. dedup_minhash_pairs_auto's
+corpus count) execute as part of building the plan.
 """
 
 from __future__ import annotations
