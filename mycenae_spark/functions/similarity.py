@@ -258,6 +258,7 @@ def embedding_lsh_pairs(
     score_rounder=None,
     max_bucket_size: int | None = None,
     target_bucket_size: int = 64,
+    score_rounder_sql=None,
 ) -> DataFrame:
     """Embedding near-dup pairs at corpus scale: random-hyperplane LSH
     bucketing, then exact cosine verification only INSIDE buckets.
@@ -296,25 +297,64 @@ def embedding_lsh_pairs(
     # literal arrays, summed as bit * 2^b — instead of the earlier
     # corpus × planes crossJoin grid (16× row duplication through the
     # broadcast join) + groupBy re-collapse.  Identical keys (same
-    # rounded dot per (t, b), same integer sum; verified 8 000/8 000
-    # rows), and the grid exchange disappears: keys leg 1.47 → 0.23 s
-    # at sf0.1/32, min-of-4 warm.  Work stays ∝ n_tables · n_bits · dim
-    # per vector at any scale — no shuffle, no duplication.
+    # rounded dot per (t, b), same integer sum), and the grid exchange
+    # disappears.  Work stays ∝ n_tables · n_bits · dim per vector at
+    # any scale — no shuffle, no duplication.
+    #
+    # r20: the whole key expression is ONE F.expr over generated SQL
+    # text.  The Column-API form issued ~8 500 py4j round-trips (1 024
+    # plane-component lits + per-bit HOF lambdas) ≈ 2.3–3.0 s of DRIVER
+    # time per query construction (cProfile: 8 508 send_command, 1.8 s
+    # in socket recv) — paid on every bench rep and dwarfing the actual
+    # sf0.1 execution.  The SQL text parses in one round-trip to the
+    # SAME expression tree: aggregate(zip_with(emb, array(<lits>),
+    # (a, b) -> double(a) * double(b)), 0.0d, (acc, v) -> acc + v) with
+    # the identical left-to-right fold, so keys stay bit-identical
+    # (oracle-verified).  guide §1/§4: the Python-side boundary cost was
+    # the measured bottleneck, not the executors.
     plane_by_tb = {
         (t, b): comps for t, b, comps in hyperplane_planes(n_tables, n_bits, dim)
     }
-    table_keys = []
-    for t in range(n_tables):
-        key = F.lit(0).cast("long")
-        for b in range(n_bits):
-            arr = F.array(*[F.lit(c) for c in plane_by_tb[(t, b)]])
-            key = key + F.when(
-                rounder(dot(F.col(emb_col), arr)) >= 0,
-                F.lit(1 << b).cast("long"),
-            ).otherwise(F.lit(0).cast("long"))
-        table_keys.append(F.struct(F.lit(t).alias("t"), key.alias("key")))
+    if score_rounder_sql is not None or score_rounder is None:
+        # Fast path: one parsed expression.  ``score_rounder_sql`` must be
+        # the SQL twin of ``score_rounder`` (callers pass both; the judged
+        # queries use registry.util.r6 / r6_sql which are the same
+        # round(x + 1e-9, 6) expression in both APIs).
+        sign_sql = score_rounder_sql or (lambda e: f"({e})")
+        structs = []
+        for t in range(n_tables):
+            terms = ["CAST(0 AS BIGINT)"]
+            for b in range(n_bits):
+                arr = "array(" + ",".join(
+                    f"CAST({float(c)!r} AS DOUBLE)" for c in plane_by_tb[(t, b)]
+                ) + ")"
+                d = (f"aggregate(zip_with({emb_col}, {arr}, "
+                     "(a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE)), "
+                     "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+                terms.append(
+                    f"(CASE WHEN {sign_sql(d)} >= 0 THEN CAST({1 << b} AS BIGINT)"
+                    " ELSE CAST(0 AS BIGINT) END)"
+                )
+            structs.append(
+                f"named_struct('t', {t}, 'key', {' + '.join(terms)})"
+            )
+        tk = F.expr("array(" + ",".join(structs) + ")")
+    else:
+        # Column-API fallback for callers passing a rounder without its SQL
+        # twin — same tree, ~8 500 py4j round-trips slower to build.
+        table_keys = []
+        for t in range(n_tables):
+            key = F.lit(0).cast("long")
+            for b in range(n_bits):
+                arr = F.array(*[F.lit(c) for c in plane_by_tb[(t, b)]])
+                key = key + F.when(
+                    rounder(dot(F.col(emb_col), arr)) >= 0,
+                    F.lit(1 << b).cast("long"),
+                ).otherwise(F.lit(0).cast("long"))
+            table_keys.append(F.struct(F.lit(t).alias("t"), key.alias("key")))
+        tk = F.array(*table_keys)
     keys = cn.select(
-        id_col, explode_ne(F.array(*table_keys)).alias("_tk")
+        id_col, explode_ne(tk).alias("_tk")
     ).select(id_col, F.col("_tk.t").alias("t"), F.col("_tk.key").alias("key"))
     buckets = (
         keys.groupBy("t", "key")
@@ -323,8 +363,23 @@ def embedding_lsh_pairs(
     )
     if max_bucket_size is not None:
         buckets = buckets.filter(F.size("ids") <= max_bucket_size)
-    cand = bucket_pairs(buckets).withColumnRenamed("doc_a", "vec_a").withColumnRenamed(
-        "doc_b", "vec_b"
+    # guide §2.6 (idle capacity) / §8 (tell the optimizer what it cannot
+    # know): AQE coalesces the tiny bucket-agg exchange by BYTES (64
+    # buckets ≈ KBs → 1–3 partitions), but each bucket then EXPLODES into
+    # O(|ids|²) pairs and each pair pays an interpreted HOF cosine —
+    # dissected at sf0.1/32: the 465 K-pair expansion + verify ran as 3
+    # tasks on 32 cores.  Two cheap round-robin exchanges restore
+    # core-wide parallelism where the expansion happens: the bucket frame
+    # (rows = #buckets, fat-but-small) before the pair explode, and the
+    # candidate frame (narrow id pairs) before the per-pair verify —
+    # which AQE would otherwise re-coalesce after bucket_pairs' distinct.
+    # Skew stays bounded by max_bucket_size (the existing valve).
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    cand = (
+        bucket_pairs(buckets.repartition(par))
+        .repartition(par)
+        .withColumnRenamed("doc_a", "vec_a")
+        .withColumnRenamed("doc_b", "vec_b")
     )
     ea = with_norm(cn, emb_col).select(
         F.col(id_col).alias("vec_a"),
@@ -356,6 +411,7 @@ def embedding_dedup_verdicts(
     threshold: float = 0.45,
     score_rounder=None,
     max_bucket_size: int | None = None,
+    score_rounder_sql=None,
 ) -> DataFrame:
     """Per-vector embedding-cosine dedup VERDICT with keep-first-id
     semantics, composed on :func:`embedding_lsh_pairs` so pair generation
@@ -378,6 +434,7 @@ def embedding_dedup_verdicts(
         threshold=threshold,
         score_rounder=score_rounder,
         max_bucket_size=max_bucket_size,
+        score_rounder_sql=score_rounder_sql,
     )
     verdicts = pairs.groupBy(F.col("vec_b").alias(id_col)).agg(
         F.min("vec_a").alias("dup_of")
@@ -690,10 +747,15 @@ def sq8_quantized(
     zip_with projection inside the scan stage.  Memory story at 100 TB:
     4× smaller vectors (int8 vs float32) with the scan cost dropping
     proportionally once the quantized table is materialized."""
-    # One shared spread projection under the per-dim stats explode and the
-    # quantize projection (identity on real multi-split scans); the
-    # localCheckpoint in sq8_topk then materializes a core-wide frame.
-    cn = spread_scan(corpus.select(id_col, emb_col), site="sim.sq8_quantized")
+    # spread_scan probed-and-REVERTED here (r20, VERDICT r19 item 1): the
+    # r19 driver measured ann_sq8_topk ~2.2× slower with spread; the r20
+    # interleaved A/B (7 cycles, 32 cores, sf0.1) confirmed OFF wins —
+    # ann_sq8_topk 0.87×, ann_sq8_rerank_topk 0.55× median with the site
+    # disabled.  The downstream consumers (per-dim stats agg, the
+    # localCheckpoint in sq8_topk, the broadcast-join rank) are all
+    # overhead-dominated at this corpus width; the extra exchange only
+    # added stage latency.
+    cn = corpus.select(id_col, emb_col)
     dims = cn.select(
         F.posexplode(emb_col).alias("pos", "_v")
     ).select("pos", F.col("_v").cast("double").alias("v"))
@@ -798,10 +860,10 @@ def sq8_rerank_topk(
         F.col(emb_col).alias("_qe"),
         F.col("_norm").alias("_qn"),
     )
-    c = with_norm(
-        spread_scan(corpus.select(id_col, emb_col), site="sim.sq8_rerank"),
-        emb_col,
-    ).select(
+    # spread_scan probed-and-REVERTED here (r20 interleaved A/B, 7 cycles:
+    # ann_sq8_rerank_topk 0.55× median with the site disabled — see
+    # sq8_quantized above; the rerank side is candidate-bounded anyway).
+    c = with_norm(corpus.select(id_col, emb_col), emb_col).select(
         F.col(id_col).alias("n_id"),
         F.col(emb_col).alias("_ce"),
         F.col("_norm").alias("_cn"),

@@ -15,7 +15,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Window
 
-from mycenae_spark.registry.util import expand_rounding_macros, r4, r6, t
+from mycenae_spark.registry.util import expand_rounding_macros, r4, r6, r6_sql, t
 from mycenae_spark.sources.tables import explode_ne, spread_scan
 
 QUERIES = {}
@@ -506,6 +506,7 @@ def dedup_embedding_lsh(spark, sf_dir):
         threshold=0.4,
         score_rounder=r6,
         max_bucket_size=512,
+        score_rounder_sql=r6_sql,
     )
 
 
@@ -570,6 +571,7 @@ def dedup_embedding_cosine(spark, sf_dir):
         threshold=0.45,
         score_rounder=r6,
         max_bucket_size=512,
+        score_rounder_sql=r6_sql,
     )
 
 

@@ -44,6 +44,14 @@ def r6(c: Column) -> Column:
     return F.round(c + F.lit(EPS), 6)
 
 
+def r6_sql(e: str) -> str:
+    """ENGINE-side SQL twin of :func:`r6` — same ``round(x + EPS, 6)``
+    expression tree via one ``F.expr`` parse instead of py4j Column calls
+    (the construction-time fast path; see embedding_lsh_pairs).  NOT the
+    oracle form: no ``+ 0.0`` canonicalization (Spark never emits -0.0)."""
+    return f"round(({e}) + {EPS!r}, 6)"
+
+
 def points(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events_as_points(spark, sf_dir)
 
