@@ -114,9 +114,12 @@ def brute_topk_filtered(
         F.col(emb_col).alias("_qe"),
         F.col("_norm").alias("_qn"),
     )
+    # spread_scan probed-and-REVERTED here (r20 interleaved A/B, 5 cycles:
+    # ann_filtered_topk off/on 0.90 median, 0.59 vs 0.64 min — the keyed
+    # BroadcastHashJoin already spreads the scored frame; the extra
+    # exchange only added stage latency on this sub-second path).
     c = with_norm(
-        spread_scan(corpus.select(id_col, *match_cols, emb_col),
-                    site="sim.brute_topk_filtered"),
+        corpus.select(id_col, *match_cols, emb_col),
         emb_col,
     ).select(
         F.col(id_col).alias("n_id"),
@@ -172,11 +175,13 @@ def kmeans_refine(
     from mycenae_spark.functions.dedup import _iter_boundary
 
     comp = comp_rounder or (lambda c: c)
-    # Every iteration re-scores the corpus grid and re-aggregates per-dim
-    # means — spread the narrow corpus projection once so all iterations
-    # run core-wide (identity on real multi-split scans).
-    corpus = spread_scan(corpus.select(id_col, emb_col),
-                         site="sim.kmeans_refine")
+    # spread_scan probed-and-REVERTED here (r20 interleaved A/B, 5 cycles:
+    # ann_ivf_kmeans_topk off/on 0.91 median / 0.84 min, ann_ivf_rerank
+    # 0.99 median / 0.86 min — every iteration's work drains into the
+    # ivf_assign partial agg and the (cluster, dim) agg, both of which
+    # repartition anyway; the extra pre-kernel exchange only added stage
+    # latency, the r19 driver-measured ANN regression).
+    corpus = corpus.select(id_col, emb_col)
     cent = centroids.select(F.col(id_col).alias("c_id"), F.col(emb_col))
     for i in range(iters):
         assign = ivf_assign(
