@@ -22,6 +22,96 @@ def dot(x: Column, y: Column) -> Column:
     )
 
 
+#: Route per-PAIR dot products through the Arrow kernel below instead of the
+#: interpreted HOF fold.  Default ON after the r20 hash-parity proof
+#: (tests/test_operators_units.py::test_pair_dot_arrow_bit_parity + oracle
+#: green on every affected id); flip off to fall back to the pure-JVM path.
+ARROW_PAIR_DOT = True
+
+
+def pair_dot_arrow(
+    df: DataFrame, xa: str, xb: str, keep: list[str], out: str
+) -> DataFrame:
+    """Exact per-pair dot product via ``mapInArrow`` — BIT-IDENTICAL to
+    :func:`dot` by construction, not by accident (guide §4.2: hand whole
+    batches to vectorized native code; §4.1: pass only the columns the
+    function needs, return only ``keep`` + the dot so the heavy arrays
+    never cross back).
+
+    Parity argument: the HOF computes ``((0.0 + a0·b0) + a1·b1) + …``
+    with each component cast FLOAT→DOUBLE first (exact), each product an
+    IEEE double multiply, each step an IEEE double add.  The kernel does
+    the same ops in the same order — ``acc = acc + A[:,j] * B[:,j]`` for
+    j = 0..dim−1 — vectorized ACROSS pairs (the fold order per pair is
+    untouched; numpy multiply and add are separate rounding steps, no
+    FMA), so every output double is bit-identical to the HOF's.  The
+    verify-leg rounders stay JVM-side, unchanged.
+
+    Why: the per-pair HOF evaluates INTERPRETED (HOFs never enter
+    WholeStageCodegen) at ~1 µs/pair — the recorded floor spanning the
+    embedding_lsh / knn_graph / semantic_pairs verify legs (r19 VERDICT
+    item 5).  Each 64-dim pair costs the boundary ~1 KB in and 8 B out.
+
+    Preconditions (asserted): non-null, equal-length arrays — the corpus
+    contract every caller already guarantees (fixed ``dim``, filtered
+    non-null embeddings)."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from mycenae_spark.pickling import register_module_by_value
+    import sys as _sys
+
+    register_module_by_value(_sys.modules[__name__])
+
+    in_df = df.select(*keep, xa, xb)
+    out_schema = StructType(
+        [in_df.schema[c] for c in keep] + [StructField(out, DoubleType(), True)]
+    )
+    n_keep = len(keep)
+
+    def fold(it):
+        import numpy as np
+        import pyarrow as pa
+
+        arrow_schema = None
+        for b in it:
+            if arrow_schema is None:
+                arrow_schema = pa.schema(
+                    [b.schema.field(i) for i in range(n_keep)]
+                    + [pa.field(out, pa.float64())]
+                )
+            n = b.num_rows
+            if n == 0:
+                continue
+            ca, cb = b.column(n_keep), b.column(n_keep + 1)
+            if ca.null_count or cb.null_count:
+                raise ValueError("pair_dot_arrow: null embedding array")
+            va = ca.flatten()
+            vb = cb.flatten()
+            if va.null_count or vb.null_count:
+                raise ValueError("pair_dot_arrow: null embedding component")
+            a = va.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+            v = vb.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+            la = pa.compute.list_value_length(ca).to_numpy()
+            lb = pa.compute.list_value_length(cb).to_numpy()
+            if (la != la[0]).any() or (lb != la[0]).any():
+                raise ValueError("pair_dot_arrow: ragged embedding arrays")
+            d = int(la[0])
+            A = a.reshape(n, d)
+            B = v.reshape(n, d)
+            acc = np.zeros(n, dtype=np.float64)
+            for j in range(d):
+                # same op order as the HOF fold: one double multiply, one
+                # double add per component, left to right — never np.dot /
+                # einsum (pairwise/FMA summation would break bit parity).
+                acc = acc + A[:, j] * B[:, j]
+            yield pa.RecordBatch.from_arrays(
+                [b.column(i) for i in range(n_keep)] + [pa.array(acc)],
+                schema=arrow_schema,
+            )
+
+    return in_df.mapInArrow(fold, out_schema)
+
+
 def norm(x: Column) -> Column:
     return F.sqrt(dot(x, x))
 
@@ -396,6 +486,12 @@ def embedding_lsh_pairs(
         F.col(emb_col).alias("_eb"),
         F.col("_norm").alias("_nb"),
     )
+    # pair_dot_arrow probed-and-DECLINED here (r20 interleaved A/B, 7
+    # cycles, 32 cores, sf0.1: dedup_embedding_lsh off/on 0.75 median,
+    # dedup_embedding_cosine 0.88, mins identical): unlike the knn/
+    # semantic legs this verify runs on an already-32-way-repartitioned
+    # candidate frame whose per-task pair slice is small, so the Python
+    # worker round-trip costs more than the interpreted fold saves.
     cos = cosine(F.col("_ea"), F.col("_eb"), F.col("_na"), F.col("_nb"))
     return (
         cand.join(ea, "vec_a")
@@ -646,14 +742,22 @@ def knn_graph(
         F.col(emb_col).alias("_eb"),
         F.col("_norm").alias("_nb"),
     )
-    cos = cosine(F.col("_ea"), F.col("_eb"), F.col("_na"), F.col("_nb"))
+    pairs = a.join(
+        b,
+        (F.col("c_id") == F.col("_c_id_b"))
+        & (F.col("_qid") != F.col("n_id")),
+    )
+    if ARROW_PAIR_DOT:
+        scored = pair_dot_arrow(
+            pairs, "_ea", "_eb", ["_qid", "n_id", "_na", "_nb"], "_dot"
+        )
+        cos = F.col("_dot") / (F.col("_na") * F.col("_nb"))
+    else:
+        scored = pairs
+        cos = cosine(F.col("_ea"), F.col("_eb"), F.col("_na"), F.col("_nb"))
     w = Window.partitionBy("_qid").orderBy(F.desc("cos_r"), "n_id")
     return (
-        a.join(
-            b,
-            (F.col("c_id") == F.col("_c_id_b"))
-            & (F.col("_qid") != F.col("n_id")),
-        )
+        scored
         .withColumn("cos_r", rounder(cos))
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
@@ -707,13 +811,22 @@ def semantic_pairs(
         F.col(emb_col).alias("_eb"),
         F.col("_norm").alias("_nb"),
     )
-    cos = cosine(F.col("_ea"), F.col("_eb"), F.col("_na"), F.col("_nb"))
-    return (
-        a.join(
-            b,
-            (F.col("c_id") == F.col("_c_id_b"))
-            & (F.col("vec_a") < F.col("vec_b")),
+    pairs = a.join(
+        b,
+        (F.col("c_id") == F.col("_c_id_b"))
+        & (F.col("vec_a") < F.col("vec_b")),
+    )
+    if ARROW_PAIR_DOT:
+        scored = pair_dot_arrow(
+            pairs, "_ea", "_eb", ["c_id", "vec_a", "vec_b", "_na", "_nb"],
+            "_dot",
         )
+        cos = F.col("_dot") / (F.col("_na") * F.col("_nb"))
+    else:
+        scored = pairs
+        cos = cosine(F.col("_ea"), F.col("_eb"), F.col("_na"), F.col("_nb"))
+    return (
+        scored
         .withColumn("cos_r", rounder(cos))
         .filter(F.col("cos_r") >= threshold)
         .select("c_id", "vec_a", "vec_b", "cos_r")

@@ -542,3 +542,53 @@ def test_jaccard_prefix_boundary_and_completeness(spark):
     assert (4, 5) in got and got[(4, 5)] == 1.0
     assert (3, 6) in got and got[(3, 6)] == 0.8  # exact boundary kept
     assert (1, 2) not in got  # below threshold excluded
+
+
+def test_pair_dot_arrow_bit_parity(spark):
+    """pair_dot_arrow is BIT-identical to the HOF dot() fold — the r20
+    contract that lets the embedding/knn/semantic verify legs cross the
+    Arrow boundary without touching oracle hashes.  Compared via
+    doubleToRawLongBits so 0.5-ulp drift (a pairwise or FMA summation
+    sneaking into the kernel) fails loudly rather than rounding away."""
+    import pyspark.sql.functions as F
+
+    from mycenae_spark.functions.similarity import dot, pair_dot_arrow
+    from mycenae_spark.sources.tables import load_table
+
+    e = load_table(
+        spark, "/root/testdata/sf0.001", "embeddings"
+    ).select("vec_id", "embedding")
+    a = e.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("_ea"))
+    b = e.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("_eb"))
+    pairs = a.join(b, F.col("ia") != F.col("ib"))
+    hof = pairs.select(
+        "ia", "ib", dot(F.col("_ea"), F.col("_eb")).alias("d_hof")
+    )
+    arw = pair_dot_arrow(pairs, "_ea", "_eb", ["ia", "ib"], "d_arw")
+    cmp = hof.join(arw, ["ia", "ib"])
+    bits = lambda c: F.expr(  # noqa: E731
+        f"reflect('java.lang.Double','doubleToRawLongBits', {c})"
+    )
+    n_pairs = e.count() * (e.count() - 1)
+    assert cmp.count() == n_pairs
+    assert cmp.filter(bits("d_hof") != bits("d_arw")).count() == 0
+
+
+def test_pair_dot_arrow_rejects_ragged_and_null(spark):
+    """The kernel's preconditions fail LOUDLY: ragged array lengths and
+    null arrays raise instead of silently mis-folding."""
+    import pytest
+
+    from mycenae_spark.functions.similarity import pair_dot_arrow
+
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 2.0], [1.0, 2.0, 3.0])],
+        "i long, _ea array<double>, _eb array<double>",
+    )
+    with pytest.raises(Exception, match="ragged"):
+        pair_dot_arrow(ragged, "_ea", "_eb", ["i"], "d").collect()
+    withnull = spark.createDataFrame(
+        [(1, None, [1.0])], "i long, _ea array<double>, _eb array<double>"
+    )
+    with pytest.raises(Exception, match="null embedding"):
+        pair_dot_arrow(withnull, "_ea", "_eb", ["i"], "d").collect()
