@@ -927,6 +927,13 @@ def _ivf_search(spark, sf_dir, cent, nprobe: int = 4, k: int = 3,
         .filter(F.col("_rn") <= nprobe)
         .select(F.col("vec_id").alias("q_id"), "c_id")
     )
+    # F.broadcast(probes) probed-and-DECLINED here (r20 interleaved A/B,
+    # 5 cycles, 32 cores, sf0.1: off/on 0.88–0.96 across the four ann_ivf
+    # judged ids): the probes subtree is a window over a crossJoin, and
+    # forcing it onto the driver as a broadcast build SERIALIZES the query
+    # behind that collect, while the unhinted SortMergeJoin exchanges only
+    # the bounded ~N-row (vec_id, c_id) assign frame and pipelines both
+    # sides.  The docstring's "one bounded exchange" contract is this join.
     cand = (
         probes.join(assign.withColumnRenamed("vec_id", "n_id"), "c_id")
         .filter(F.col("n_id") != F.col("q_id"))
@@ -4918,7 +4925,16 @@ def text_langid_trigram(spark, sf_dir):
         F.sqrt(F.sum(F.col("tf") * F.col("tf"))).alias("dn")
     )
     scored = (
-        dg.join(prof, "gram")
+        # The profile side is #langs × gram-vocab — bounded (vocab
+        # plateaus with the charset³, not the corpus), so BROADCAST it
+        # explicitly (guide §3.1: pin the strategy rather than trust
+        # size estimates after two aggregations; the indexed langid path
+        # already joins its stored profiles this way).  At sf0.1 the
+        # static plan was ALREADY BroadcastHashJoin from estimates —
+        # byte-identical before/after captures, no measured delta — the
+        # hint exists so a worse estimate at corpus scale cannot flip
+        # this to a corpus-sized dg shuffle.
+        dg.join(F.broadcast(prof), "gram")
         .groupBy("doc_id", "lang", "plang")
         .agg(F.sum(F.col("tf") * F.col("pf")).alias("dot"))
         .join(dnorm, "doc_id")
@@ -5048,7 +5064,13 @@ def langid_mixture_confusion(spark, sf_dir, orders):
         F.sqrt(F.sum(F.col("tf") * F.col("tf"))).alias("dn")
     )
     per_ord = (
-        dg.join(prof, ["ord", "gram"])
+        # broadcast the bounded #langs × vocab profile exactly like
+        # text_langid_trigram — HERE the hint changes the plan: the
+        # (ord, gram) composite key defeated the estimate and this join
+        # ran as a SortMergeJoin of the corpus-sized dg frame
+        # (plans/r20/text_langid_mixture: node 30 SMJ → node 27 BHJ;
+        # the remaining SMJ is the doc-keyed dnorm join, correctly left)
+        dg.join(F.broadcast(prof), ["ord", "gram"])
         .groupBy("doc_id", "lang", "plang", "ord")
         .agg(F.sum(F.col("tf") * F.col("pf")).alias("dot"))
         .join(dnorm, ["doc_id", "ord"])
